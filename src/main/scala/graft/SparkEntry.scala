@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Core, Surface}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Views
+import graft.streaming.Streams
+import graft.sources.Lake
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry layout (names map to SURVEY §2 rows; QUERIES.md has
+  * the full inventory):
+  *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
+  *  - b01..b13          — the reference's tested SQL core (§2.B)
+  *  - c01..c30          — arbitrary-SQL surface categories (§2.C)
+  *  - p01               — ELT view-materialization pipeline (A18/B13)
+  *  - s01               — Structured Streaming windowed aggregation
+  *  - x01..x14          — LLM-data-pipeline operators (dedup,
+  *                        similarity, text analysis, multimodal)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The §7.2 canonical scan→filter→agg→sort slice routed through the
+    * SQL path (same query registered as `queries("flagship")`).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Lake.registerAll(spark, "/root/testdata/sf0.001")
+    spark.sql(Core.flagshipSql)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Core.queries ++ Surface.queries ++ Views.queries ++ Streams.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (sketch/stream-internal/
+    * config ops) get the driver's rows-only check; each of those is
+    * covered by a unit test instead.
+    */
+  def oracleSql: Map[String, String] =
+    Core.oracles ++ Surface.oracles ++ Views.oracles ++ Streams.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles
 }

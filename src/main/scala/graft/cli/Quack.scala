@@ -1,0 +1,60 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{EngineException, QueryRequest, SparkEngine}
+import graft.sources.Lake
+
+/** CLI client — SURVEY §2.A A6-A9 (reference src/quack.py): `-q` for
+  * arbitrary SQL, `-limit` (client default 10, quack.py:171), `--debug`
+  * for the metadata envelope, a default COUNT(*) smoke query when no
+  * `-q` is given (quack.py:141-148), terminal rendering capped at 10
+  * rows with 50-char truncation (quack.py:26, :86-124), and round-trip
+  * timing with uniform error surfacing (quack.py:49-83).
+  *
+  * Usage: runMain graft.cli.Quack [-q SQL] [-limit N] [--debug] [-sf DIR]
+  */
+object Quack {
+
+  def main(args: Array[String]): Unit = {
+    var query: Option[String] = None
+    var limit = 10 // quack.py:171 client-side default
+    var debug = false
+    var sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-q" => query = Some(args(i + 1)); i += 2
+        case "-limit" => limit = args(i + 1).toInt; i += 2
+        case "--debug" => debug = true; i += 1
+        case "-sf" => sfDir = args(i + 1); i += 2
+        case other => System.err.println(s"unknown arg: $other"); i += 1
+      }
+    }
+
+    val engine = SparkEngine.local("local[*]")
+    val spark: SparkSession = engine.sql("SELECT 1").sparkSession
+    Lake.registerAll(spark, sfDir)
+
+    // A9: default smoke/health query when none given.
+    val q = query.getOrElse("SELECT COUNT(*) AS counts FROM lineitem")
+
+    val t0 = System.nanoTime()
+    try {
+      val resp = engine.execute(QueryRequest(q, Some(limit)))
+      val roundtripMs = (System.nanoTime() - t0) / 1000000
+      // A8: terminal rendering — show(10, truncate=50) is the literal
+      // match for the reference's capped rich-table display.
+      engine.sql(q).show(SparkEngine.MaxRowsInTerminal, truncate = 50)
+      if (debug) {
+        val m = resp.metadata
+        println(s"timeMs=${m.timeMs} epochMs=${m.epochMs} eventId=${m.eventId} " +
+          s"warm=${m.warm} roundtripMs=$roundtripMs rows=${resp.records.size}")
+      }
+    } catch {
+      case EngineException(msg) => System.err.println(s"errorMessage: $msg")
+    }
+    spark.stop()
+  }
+}

@@ -58,13 +58,31 @@ class SparkEngine(provider: () => SparkSession) {
     */
   def execute(req: QueryRequest): QueryResponse = {
     val warm = isWarm
-    val spark = obtain()
+    // Timer starts BEFORE session acquisition so a cold start is included
+    // in timeMs, matching the reference (app.py:35-38 starts its clock
+    // before creating the connection).
     val t0 = System.nanoTime()
-    val df = spark.sql(req.q).limit(req.limit.getOrElse(DefaultLimit))
-    val schema = df.schema
-    val rows =
-      try df.collect()
-      catch { case e: Exception => throw EngineException(e.getMessage) }
+    val limit = req.limit.getOrElse(DefaultLimit)
+    // The whole parse→analyze→execute path surfaces uniformly as
+    // EngineException (reference surfaces everything as errorMessage,
+    // quack.py:65-68). Parse/analysis errors happen at spark.sql(), not
+    // collect(), so both sit inside the try.
+    val (schema, rows) =
+      try {
+        if (limit <= 0) throw EngineException(s"limit must be > 0, got $limit")
+        if (req.q.trim.isEmpty) {
+          // app.py:47-48: an empty query returns an empty result set with
+          // metadata rather than an error.
+          (StructType(Nil), Array.empty[Row])
+        } else {
+          val spark = obtain()
+          val df = spark.sql(req.q).limit(limit)
+          (df.schema, df.collect())
+        }
+      } catch {
+        case e: EngineException => throw e
+        case e: Exception => throw EngineException(e.getMessage)
+      }
     val records = rows.iterator.map(serializeRow(schema, _)).toSeq
     val timeMs = (System.nanoTime() - t0) / 1000000
     QueryResponse(
@@ -134,9 +152,12 @@ object SparkEngine {
     s
   })
 
-  /** Wrap an existing session (tests, Verify/Bench mains). */
+  /** Wrap an existing session (tests, Verify/Bench mains). Pins the
+    * session timezone to UTC so formatTimestamp's UTC rendering agrees
+    * with the session's wall-clock semantics (SURVEY §7.4.2).
+    */
   def wrap(spark: SparkSession): SparkEngine = {
-    val e = new SparkEngine(() => spark)
-    e
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    new SparkEngine(() => spark)
   }
 }

@@ -1,0 +1,235 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Deduplication operators for a large-scale training-data pipeline,
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design (the 100 TB rules, SURVEY §7.4.8):
+  *  - exact dedup is a hash groupBy on a normalized key — one shuffle;
+  *  - near-dup candidate generation is ALWAYS a banded/bucketed
+  *    equi-join (shuffle on the band/bucket key), never an all-pairs
+  *    crossJoin: candidate volume scales with collisions, not n²;
+  *  - similarity verification runs only on candidates.
+  *
+  * Everything is built from codegen'd built-ins (xxhash64, split,
+  * transform, aggregate) — no Scala UDFs in the hot path.
+  */
+object Dedup {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.table(spark, sfDir, "documents")
+
+  /** Normalized exact-dedup key: lowercase, trimmed text. */
+  private val normText: Column = lower(trim(col("text")))
+
+  /** Word tokens of `text`. */
+  private val tokens: Column = split(col("text"), " ")
+
+  /** Positional k-shingles (k=3) as an array column: for i in
+    * [0, n-k], concat(w[i..i+k-1]). Distinct set per document.
+    */
+  private def shingles(k: Int): Column = array_distinct(
+    transform(
+      sequence(lit(0), greatest(size(tokens) - k, lit(-1))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*)))
+
+  /** MinHash signature positions: numHashes seeded hash functions; the
+    * signature element h_s(doc) = min over shingles of
+    * xxhash64(shingle, s). Exploded to (doc_id, pos, minhash) rows so
+    * the min is a plain partial-aggregatable groupBy.
+    */
+  private def minhashRows(df: DataFrame, numHashes: Int): DataFrame = {
+    val perShingleHashes = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      s => xxhash64(col("shingle"), s))
+    df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+      .select(col("doc_id"), posexplode(perShingleHashes).as(Seq("pos", "h")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** Banded LSH signatures: `bands` bands of `rows` minhashes each; a
+    * band signature is the hash of its minhashes in position order.
+    * Returns (doc_id, band, sig).
+    */
+  def minhashBands(df: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    minhashRows(df, numHashes)
+      .withColumn("band", (col("pos") / rows).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(xxhash64(concat_ws(",",
+        array_sort(collect_list(struct(col("pos"), col("mh")))).cast("string")))
+        .as("sig"))
+  }
+
+  /** Candidate pairs from band collisions: equi-join on (band, sig),
+    * deduplicated. The join key is the bucket — this is the shuffle
+    * that replaces the n² comparison.
+    */
+  def minhashCandidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = fraction of agreeing
+    * minhash positions.
+    */
+  def minhashVerify(candidates: DataFrame, sigRows: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
+    val sa = sigRows.select(col("doc_id").as("doc_a"), col("pos"), col("mh").as("mh_a"))
+    val sb = sigRows.select(col("doc_id").as("doc_b"), col("pos"), col("mh").as("mh_b"))
+    candidates
+      .join(sa, "doc_a").join(sb, Seq("doc_b", "pos"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
+        lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document from the token multiset: bit b of the
+    * fingerprint is the sign of sum over tokens of ±1 according to bit
+    * b of xxhash64(token). Exploded to (doc_id, bit, vote) rows —
+    * partial-aggregatable, no width-64 agg expression list.
+    */
+  def simhashTable(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(tokens).as("token"))
+      .select(col("doc_id"),
+        expr("posexplode(transform(sequence(0, 63), " +
+          "b -> CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END))")
+          .as(Seq("bit", "vote")))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(expr("aggregate(array_sort(collect_list(struct(bit, v))), CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc | CASE WHEN x.v > 0 " +
+        "THEN shiftleft(CAST(1 AS BIGINT), CAST(x.bit AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+
+  /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks,
+    * bucket-join on any equal chunk, then verify by Hamming distance.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = sims.select(col("doc_id"), col("simhash"),
+      expr("posexplode(transform(sequence(0, 3), " +
+        "c -> shiftright(simhash, c * 16) & 65535))")
+        .as(Seq("chunk", "val")))
+    val a = chunks.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = chunks.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard via inverted-index join: explode distinct
+    * shingles, equi-join on the shingle (the "index"), count
+    * intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def ngramJaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val sh = df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    // sizes is one row per doc — small here, but unbounded at corpus
+    // scale, so no broadcast hint: let AQE pick broadcast vs shuffle.
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact dedup, survivor picking: keep the lowest doc_id per
+    // normalized text (hash groupBy — one shuffle at any scale).
+    "x01_dedup_exact" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .groupBy(normText.as("norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+        .select(col("keep_id"), col("n_dupes"))
+        .orderBy(col("keep_id"))),
+
+    // Exact dedup, surviving rows (window row_number variant — the
+    // idiomatic "keep first per key" at scale).
+    "x02_dedup_exact_rows" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(normText).orderBy(col("doc_id"))
+      docs(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-dup: 32 hashes, 8 bands × 4 rows, est-jaccard
+    // verify at 0.5. Banding join only — no crossJoin anywhere in the
+    // plan (the acceptance criterion, VERDICT round-1 §LLM).
+    "x03_dedup_minhash" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val numHashes = 32
+      val sigRows = minhashRows(d, numHashes)
+      val bands = minhashBands(d, numHashes, bands = 8)
+      val cands = minhashCandidates(bands)
+      minhashVerify(cands, sigRows, numHashes, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup: 64-bit fingerprints, 4×16-bit banding,
+    // Hamming ≤ 8.
+    "x04_dedup_simhash" -> ((spark, sfDir) =>
+      simhashPairs(simhashTable(docs(spark, sfDir)), maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Exact 3-gram Jaccard near-dup via inverted-index join (the
+    // ground truth the sketches approximate) — SQL-expressible, so it
+    // gets a full DuckDB oracle.
+    "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
+      ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes FROM documents " +
+        "GROUP BY LOWER(TRIM(text)) ORDER BY keep_id"),
+    "x02_dedup_exact_rows" ->
+      ("SELECT doc_id, lang, source, n_chars FROM (" +
+        "SELECT doc_id, lang, source, n_chars, ROW_NUMBER() OVER (" +
+        "PARTITION BY LOWER(TRIM(text)) ORDER BY doc_id) AS rn FROM documents) t " +
+        "WHERE rn = 1 ORDER BY doc_id"),
+    // x03/x04 are sketch-based (xxhash64-seeded) — not reproducible in
+    // SQL; they get the driver's rows-only check plus our own unit
+    // tests against x05's exact ground truth.
+    "x05_dedup_ngram_jaccard" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard " +
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY doc_a, doc_b")
+  )
+}

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Text-analysis operators for the training-data pipeline, over
+  * `documents`: quality/length stats, language ID (stopword n-gram
+  * heuristic), tokenizer-style counting (whitespace + BPE-ish regex),
+  * and rolling-hash document fingerprinting.
+  *
+  * All per-document — embarrassingly parallel map work with no
+  * shuffle except the final ORDER BY; at 100 TB these run as one
+  * codegen'd scan stage.
+  */
+object TextAnalysis {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.table(spark, sfDir, "documents")
+
+  private val tokens: Column = split(col("text"), " ")
+
+  /** English function words — the language-ID signal. */
+  private val enStopwords = Seq("a", "the", "of", "and", "to", "in", "is")
+
+  private def isStopword(t: Column): Column =
+    t.isInCollection(enStopwords)
+
+  /** BPE-ish token pattern: letter runs, digit runs, or any single
+    * non-space symbol.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val queries: Map[String, Q] = Map(
+
+    // Quality scoring: length, token count, avg token length,
+    // stopword ratio — the filters a data-curation pipeline keys on.
+    "x10_text_stats" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          length(col("text")).as("len"),
+          size(tokens).as("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+            size(tokens), 4).as("avg_token_len"),
+          round(size(filter(tokens, t => isStopword(t))).cast("double") /
+            size(tokens), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Language ID: stopword-density heuristic (n-gram/function-word
+    // family). The decision rule is SQL-expressible, so it gets a full
+    // oracle.
+    "x11_lang_id" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          (size(filter(tokens, t => isStopword(t))).cast("double") / size(tokens))
+            .as("ratio"))
+        .select(col("doc_id"), col("labeled_lang"),
+          when(col("ratio") >= 0.05, "en").otherwise("unknown").as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Tokenizer-style counting: whitespace tokens vs BPE-ish regex
+    // tokens (the token-budget accounting of a training pipeline).
+    "x12_token_count" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(
+          col("doc_id"),
+          size(tokens).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+            .as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprinting: rolling 5-token windows hashed with
+    // xxhash64; fingerprint = (min window hash, distinct window
+    // count) — the winnowing primitive for copy detection.
+    "x13_fingerprint" -> ((spark, sfDir) => {
+      val k = 5
+      val windows = when(size(tokens) >= k,
+        transform(
+          sequence(lit(0), size(tokens) - k),
+          i => xxhash64(concat_ws(" ",
+            (0 until k).map(j => element_at(tokens, i + j + 1)): _*))))
+        .otherwise(array(xxhash64(col("text"))))
+      docs(spark, sfDir)
+        .select(col("doc_id"), windows.as("w"))
+        .select(
+          col("doc_id"),
+          array_min(col("w")).as("min_fp"),
+          size(array_distinct(col("w"))).as("n_windows"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x10_text_stats" ->
+      ("SELECT doc_id, n_chars, CAST(LENGTH(text) AS INTEGER) AS len, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len, " +
+        "ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio " +
+        "FROM documents ORDER BY doc_id"),
+    "x11_lang_id" ->
+      ("SELECT doc_id, lang AS labeled_lang, " +
+        "CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) >= 0.05 " +
+        "THEN 'en' ELSE 'unknown' END AS pred_lang FROM documents ORDER BY doc_id"),
+    "x12_token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
+        "FROM documents ORDER BY doc_id")
+    // x13 is xxhash64-based — rows-only check + unit tests.
+  )
+}

@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** SURVEY §2.C — the "arbitrary SQL" capability surface (reference
+  * app.py:44-51: the engine accepts any SQL the dialect supports). One
+  * named, oracle-checked query per category: joins (broadcast,
+  * shuffle, left/semi/anti, multi-way), aggregations (multi-metric,
+  * DISTINCT, ROLLUP, HAVING, approx), window functions (row_number,
+  * running, lag), set ops, scalar-function batteries (string, date,
+  * conditional, predicate, JSON, math), subqueries, CTEs, UDF/UDAF,
+  * and a generator (explode).
+  *
+  * Determinism rules per SURVEY §7.4: total ORDER BY with unique
+  * tiebreakers; double aggregates ROUNDed identically on both sides;
+  * BIGINT casts where DuckDB would widen to HUGEINT; explicit NULLS
+  * FIRST where grouping nulls reach an ORDER BY.
+  */
+object Surface {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, sfDir: String, name: String) =
+    Lake.table(spark, sfDir, name)
+
+  private def sql(q: String): Q = (spark, sfDir) => {
+    Lake.registerAll(spark, sfDir)
+    spark.sql(q)
+  }
+
+  /** Typed UDAF (Aggregator): root-mean-square of a double column —
+    * partial-aggregatable (sum of squares + count merge), so it keeps
+    * map-side combine at scale, unlike a collect-based implementation.
+    */
+  private val rmsAgg: Aggregator[Double, (Double, Long), Double] =
+    new Aggregator[Double, (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), x: Double): (Double, Long) =
+        (b._1 + x * x, b._2 + 1)
+      def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      def finish(r: (Double, Long)): Double =
+        if (r._2 == 0) 0.0 else math.sqrt(r._1 / r._2)
+      def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder = Encoders.scalaDouble
+    }
+
+  val queries: Map[String, Q] = Map(
+
+    // --- joins ---------------------------------------------------------
+    // Broadcast-hash join: the dimension side is explicitly broadcast —
+    // at 100 TB the fact side never shuffles for this join.
+    "c01_join_broadcast" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .join(broadcast(t(spark, sfDir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("segment"))),
+
+    // Fact-to-fact equi-join on the natural key; planner picks
+    // sort-merge/shuffled-hash when both sides are large.
+    "c02_join_large" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .join(t(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("priority"))),
+
+    "c03_join_left" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer")
+        .join(t(spark, sfDir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+        .limit(200)),
+
+    "c04_join_semi" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer")
+        .join(t(spark, sfDir, "orders"), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .limit(100)),
+
+    "c05_join_anti" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer")
+        .join(t(spark, sfDir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+        .limit(100)),
+
+    // Multi-way star join: two broadcast dims chained onto the fact.
+    "c06_join_multiway" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer")
+        .join(broadcast(t(spark, sfDir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(spark, sfDir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("region"), col("nation"))),
+
+    // --- aggregations --------------------------------------------------
+    // TPC-H Q1-shaped multi-metric aggregate (SUM/AVG/COUNT per group).
+    "c07_agg_tpch_q1" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") < lit("1998-09-01"))
+        .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .orderBy(col("flag"), col("status"))),
+
+    "c08_agg_distinct" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))),
+
+    "c09_agg_rollup" -> sql(
+      "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"),
+
+    "c10_agg_having" -> sql(
+      "SELECT user_id, COUNT(*) AS n FROM events " +
+        "GROUP BY user_id HAVING COUNT(*) > 15 ORDER BY user_id"),
+
+    // HLL sketch — approximate by construction, so no oracle (rows-only).
+    "c11_agg_approx" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    // --- window functions ----------------------------------------------
+    "c12_window_rownum" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+        .limit(300)
+    }),
+
+    "c13_window_running" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(spark, sfDir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 2))
+        .select(col("user_id"), col("event_id"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(500)
+    }),
+
+    "c14_window_lag" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(spark, sfDir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_value"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(500)
+    }),
+
+    // --- set operations -------------------------------------------------
+    "c15_setop_union" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer").select(col("c_nationkey").as("key"))
+        .union(t(spark, sfDir, "supplier").select(col("s_nationkey").as("key")))
+        .distinct()
+        .orderBy(col("key"))),
+
+    "c16_setop_intersect" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer").select(col("c_nationkey").as("key"))
+        .intersect(t(spark, sfDir, "supplier").select(col("s_nationkey").as("key")))
+        .orderBy(col("key"))),
+
+    "c17_setop_except" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer").select(col("c_nationkey").as("key"))
+        .except(t(spark, sfDir, "supplier").select(col("s_nationkey").as("key")))
+        .orderBy(col("key"))),
+
+    // --- scalar function batteries --------------------------------------
+    "c18_scalar_string" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat(col("c_mktsegment"), lit("-"), col("c_custkey").cast("string")).as("tag"))
+        .orderBy(col("c_custkey"))
+        .limit(100)),
+
+    "c19_scalar_date" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+        .limit(100)),
+
+    "c20_scalar_cond" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status"))
+        .orderBy(col("o_orderkey"))
+        .limit(200)),
+
+    "c21_predicates" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(10, 20) &&
+          col("l_linestatus").like("F%"))
+        .agg(count(lit(1)).as("n"))),
+
+    "c22_scalar_json" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))
+        .limit(200)),
+
+    "c23_scalar_math" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")), 2).as("net"),
+          floor(col("l_quantity")).cast("bigint").as("qty_floor"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(300)),
+
+    // --- subquery / CTE ---------------------------------------------------
+    "c24_subquery_scalar" -> sql(
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT 2 * MIN(o_totalprice) FROM orders) " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+
+    "c25_cte" -> sql(
+      "WITH per_cust AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) " +
+        "SELECT c_mktsegment AS segment, CAST(SUM(n) AS BIGINT) AS orders_total " +
+        "FROM per_cust JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "c26_union_all" -> sql(
+      "SELECT 'customer' AS src, COUNT(*) AS n FROM customer " +
+        "UNION ALL SELECT 'supplier' AS src, COUNT(*) AS n FROM supplier " +
+        "ORDER BY src"),
+
+    "c27_distinct" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events").select(col("event_type")).distinct()
+        .orderBy(col("event_type"))),
+
+    // --- UDF / UDAF / generator -----------------------------------------
+    // Typed Aggregator UDAF (partial-merge-able: sum-of-squares + count).
+    "c28_udaf_rms" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(udaf(rmsAgg).apply(col("value")), 4).as("rms"))
+        .orderBy(col("event_type"))),
+
+    // Scalar Scala UDF (coverage for the UDF category; everywhere else we
+    // deliberately stay on codegen'd built-ins per the scale rules).
+    "c29_udf_severity" -> ((spark, sfDir) => {
+      val severity = udf((t: String) => t match {
+        case "error" => 3; case "purchase" => 2; case "signup" => 1; case _ => 0
+      })
+      t(spark, sfDir, "events")
+        .groupBy(severity(col("event_type")).as("severity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("severity"))
+    }),
+
+    // Generator / UDTF category: explode a split column into rows.
+    "c30_explode_tokens" -> ((spark, sfDir) =>
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("token"))
+        .limit(500))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_join_broadcast" ->
+      ("SELECT c_mktsegment AS segment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "c02_join_large" ->
+      ("SELECT o_orderpriority AS priority, COUNT(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"),
+    "c03_join_left" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1 LIMIT 200"),
+    "c04_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey LIMIT 100"),
+    "c05_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) " +
+        "ORDER BY c_custkey LIMIT 100"),
+    "c06_join_multiway" ->
+      ("SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_cust FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c07_agg_tpch_q1" ->
+      ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n, " +
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, ROUND(SUM(l_extendedprice), 2) AS sum_price, " +
+        "ROUND(AVG(l_discount), 6) AS avg_disc FROM lineitem " +
+        "WHERE l_shipdate < '1998-09-01' GROUP BY 1, 2 ORDER BY 1, 2"),
+    "c08_agg_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders FROM orders",
+    "c09_agg_rollup" ->
+      ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"),
+    "c10_agg_having" ->
+      ("SELECT user_id, COUNT(*) AS n FROM events " +
+        "GROUP BY user_id HAVING COUNT(*) > 15 ORDER BY user_id"),
+    "c12_window_rownum" ->
+      ("SELECT o_custkey, o_orderkey, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 300"),
+    "c13_window_running" ->
+      ("SELECT user_id, event_id, ROUND(SUM(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id), 2) AS running_value " +
+        "FROM events ORDER BY user_id, event_id LIMIT 500"),
+    "c14_window_lag" ->
+      ("SELECT user_id, event_id, value, LAG(value, 1) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_value " +
+        "FROM events ORDER BY user_id, event_id LIMIT 500"),
+    "c15_setop_union" ->
+      ("SELECT c_nationkey AS key FROM customer " +
+        "UNION SELECT s_nationkey AS key FROM supplier ORDER BY key"),
+    "c16_setop_intersect" ->
+      ("SELECT c_nationkey AS key FROM customer " +
+        "INTERSECT SELECT s_nationkey AS key FROM supplier ORDER BY key"),
+    "c17_setop_except" ->
+      ("SELECT c_nationkey AS key FROM customer " +
+        "EXCEPT SELECT s_nationkey AS key FROM supplier ORDER BY key"),
+    "c18_scalar_string" ->
+      ("SELECT c_custkey, UPPER(c_name) AS uname, SUBSTRING(c_name, 1, 8) AS prefix, " +
+        "CAST(LENGTH(c_name) AS INTEGER) AS name_len, " +
+        "c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag " +
+        "FROM customer ORDER BY c_custkey LIMIT 100"),
+    "c19_scalar_date" ->
+      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, " +
+        "CAST(YEAR(o_orderdate) AS INTEGER) AS yr, CAST(MONTH(o_orderdate) AS INTEGER) AS mo, " +
+        "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start, " +
+        "CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since " +
+        "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    "c20_scalar_cond" ->
+      ("SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' " +
+        "WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket, " +
+        "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200"),
+    "c21_predicates" ->
+      ("SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag IN ('A', 'R') " +
+        "AND l_quantity BETWEEN 10 AND 20 AND l_linestatus LIKE 'F%'"),
+    "c22_scalar_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id LIMIT 200"),
+    "c23_scalar_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net, " +
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor, " +
+        "ROUND(ABS(l_discount - 0.05), 4) AS disc_dev " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300"),
+    "c24_subquery_scalar" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT 2 * MIN(o_totalprice) FROM orders) " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "c25_cte" ->
+      ("WITH per_cust AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) " +
+        "SELECT c_mktsegment AS segment, CAST(SUM(n) AS BIGINT) AS orders_total " +
+        "FROM per_cust JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"),
+    "c26_union_all" ->
+      ("SELECT 'customer' AS src, COUNT(*) AS n FROM customer " +
+        "UNION ALL SELECT 'supplier' AS src, COUNT(*) AS n FROM supplier ORDER BY src"),
+    "c27_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "c28_udaf_rms" ->
+      ("SELECT event_type, ROUND(SQRT(SUM(value * value) / COUNT(*)), 4) AS rms " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "c29_udf_severity" ->
+      ("SELECT CASE WHEN event_type = 'error' THEN 3 WHEN event_type = 'purchase' THEN 2 " +
+        "WHEN event_type = 'signup' THEN 1 ELSE 0 END AS severity, COUNT(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "c30_explode_tokens" ->
+      ("SELECT doc_id, token, COUNT(*) AS n FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY doc_id, token ORDER BY doc_id, token LIMIT 500")
+  )
+}

@@ -52,14 +52,29 @@ object Lake {
   def ensurePartitionedEvents(
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val target = s"$targetRoot/events_by_date_$key"
+    // Collision-free cache key: a readable slug plus a hash of the full
+    // path, so distinct sfDirs can never alias each other's copy.
+    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val hash = Integer.toHexString(sfDir.hashCode)
+    val target = s"$targetRoot/events_by_date_${slug}_$hash"
     this.synchronized {
-      if (!new java.io.File(target, "_SUCCESS").exists()) {
+      // Hadoop FileSystem (not java.io.File) so the idempotence gate works
+      // on any supported filesystem (local, HDFS, s3a), per the
+      // object-storage framing of the layout.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val path = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) {
         table(spark, sfDir, "events")
           .withColumn("date", to_date(col("ts")))
-          .repartition(col("date")) // one task's output per partition dir
-          .write.mode("overwrite").partitionBy("date").parquet(target)
+          // Bounded shuffle: hash dates into a fixed number of tasks
+          // instead of one task per date (a hot date would otherwise be a
+          // single straggler task at scale); maxRecordsPerFile keeps any
+          // one output file bounded regardless of date skew.
+          .repartition(32, col("date"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 5000000)
+          .partitionBy("date").parquet(target)
       }
     }
     target
