@@ -45,8 +45,9 @@ object Quack {
       val resp = engine.execute(QueryRequest(q, Some(limit)))
       val roundtripMs = (System.nanoTime() - t0) / 1000000
       // A8: terminal rendering — show(10, truncate=50) is the literal
-      // match for the reference's capped rich-table display.
-      engine.sql(q).show(SparkEngine.MaxRowsInTerminal, truncate = 50)
+      // match for the reference's capped rich-table display, over the
+      // same LIMITed result the envelope reports.
+      engine.sql(q).limit(limit).show(SparkEngine.MaxRowsInTerminal, truncate = 50)
       if (debug) {
         val m = resp.metadata
         println(s"timeMs=${m.timeMs} epochMs=${m.epochMs} eventId=${m.eventId} " +

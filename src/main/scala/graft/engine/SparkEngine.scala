@@ -81,7 +81,10 @@ class SparkEngine(provider: () => SparkSession) {
         }
       } catch {
         case e: EngineException => throw e
-        case e: Exception => throw EngineException(e.getMessage)
+        case e: Exception =>
+          // Spark parse errors lead with a newline; normalize so the
+          // error surface is a single readable message (quack.py:65-68).
+          throw EngineException(Option(e.getMessage).getOrElse(e.toString).trim)
       }
     val records = rows.iterator.map(serializeRow(schema, _)).toSeq
     val timeMs = (System.nanoTime() - t0) / 1000000

@@ -40,81 +40,88 @@ object Dedup {
       sequence(lit(0), greatest(size(tokens) - k, lit(-1))),
       i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*)))
 
-  /** MinHash signature positions: numHashes seeded hash functions; the
-    * signature element h_s(doc) = min over shingles of
-    * xxhash64(shingle, s). Exploded to (doc_id, pos, minhash) rows so
-    * the min is a plain partial-aggregatable groupBy.
+  /** MinHash signatures: numHashes seeded hash functions; signature
+    * element s = min over shingles of xxhash64(shingle, s). Computed
+    * as numHashes parallel `min` aggregates over (doc_id, shingle)
+    * rows — partial-aggregatable with NO row multiplication (an
+    * explode-per-hash variant shuffles numHashes× the rows; this
+    * shuffles one compact signature row per doc).
+    * Returns (doc_id, sig: array<bigint>).
     */
-  private def minhashRows(df: DataFrame, numHashes: Int): DataFrame = {
-    val perShingleHashes = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => xxhash64(col("shingle"), s))
+  def minhashSignatures(df: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(s =>
+      min(xxhash64(col("shingle"), lit(s))).as(s"mh_$s"))
     df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
-      .select(col("doc_id"), posexplode(perShingleHashes).as(Seq("pos", "h")))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"mh_$s")): _*).as("sig"))
   }
 
-  /** Banded LSH signatures: `bands` bands of `rows` minhashes each; a
-    * band signature is the hash of its minhashes in position order.
-    * Returns (doc_id, band, sig).
+  /** Banded LSH buckets: `bands` bands of numHashes/bands signature
+    * positions each; the band key is the hash of that slice.
+    * Returns (doc_id, band, bsig).
     */
-  def minhashBands(df: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    minhashRows(df, numHashes)
-      .withColumn("band", (col("pos") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        array_sort(collect_list(struct(col("pos"), col("mh")))).cast("string")))
-        .as("sig"))
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows)).cast("array<string>")), b)))
+        .as(Seq("band", "bsig")))
   }
 
-  /** Candidate pairs from band collisions: equi-join on (band, sig),
+  /** Candidate pairs from band collisions: equi-join on (band, bsig),
     * deduplicated. The join key is the bucket — this is the shuffle
     * that replaces the n² comparison.
     */
   def minhashCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = bandsDf.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "sig"))
+    val a = bandsDf.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val b = bandsDf.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 
   /** Estimated Jaccard for candidate pairs = fraction of agreeing
-    * minhash positions.
+    * minhash positions (zip_with over the two signature arrays).
     */
-  def minhashVerify(candidates: DataFrame, sigRows: DataFrame,
+  def minhashVerify(candidates: DataFrame, sigs: DataFrame,
       numHashes: Int, threshold: Double): DataFrame = {
-    val sa = sigRows.select(col("doc_id").as("doc_a"), col("pos"), col("mh").as("mh_a"))
-    val sb = sigRows.select(col("doc_id").as("doc_b"), col("pos"), col("mh").as("mh_b"))
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     candidates
-      .join(sa, "doc_a").join(sb, Seq("doc_b", "pos"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) /
-        lit(numHashes.toDouble)).as("est_jaccard"))
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          numHashes.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document from the token multiset: bit b of the
     * fingerprint is the sign of sum over tokens of ±1 according to bit
-    * b of xxhash64(token). Exploded to (doc_id, bit, vote) rows —
-    * partial-aggregatable, no width-64 agg expression list.
+    * b of xxhash64(token).
     */
-  def simhashTable(df: DataFrame): DataFrame =
+  def simhashTable(df: DataFrame): DataFrame = {
+    // 64 parallel ±1 vote sums (one partial-aggregatable agg per bit)
+    // over (doc, token) rows — no row multiplication, one shuffle of
+    // 64 compact counters per doc.
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_$b"))
+    val fingerprint = (0 until 64)
+      .map(b => when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
     df.select(col("doc_id"), explode(tokens).as("token"))
-      .select(col("doc_id"),
-        expr("posexplode(transform(sequence(0, 63), " +
-          "b -> CASE WHEN (shiftright(xxhash64(token), b) & 1) = 1 THEN 1 ELSE -1 END))")
-          .as(Seq("bit", "vote")))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
+      .withColumn("th", xxhash64(col("token")))
       .groupBy(col("doc_id"))
-      .agg(expr("aggregate(array_sort(collect_list(struct(bit, v))), CAST(0 AS BIGINT), " +
-        "(acc, x) -> acc | CASE WHEN x.v > 0 " +
-        "THEN shiftleft(CAST(1 AS BIGINT), CAST(x.bit AS INT)) " +
-        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
 
   /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks,
     * bucket-join on any equal chunk, then verify by Hamming distance.
@@ -187,10 +194,14 @@ object Dedup {
     "x03_dedup_minhash" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       val numHashes = 32
-      val sigRows = minhashRows(d, numHashes)
-      val bands = minhashBands(d, numHashes, bands = 8)
-      val cands = minhashCandidates(bands)
-      minhashVerify(cands, sigRows, numHashes, threshold = 0.5)
+      // The signature table feeds three plan branches (banding + both
+      // verify sides) — persist it instead of recomputing the shingle
+      // scan per branch. At warehouse scale this is the step you'd
+      // checkpoint to the lake.
+      val sigs = minhashSignatures(d, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cands = minhashCandidates(minhashBands(sigs, numHashes, bands = 8))
+      minhashVerify(cands, sigs, numHashes, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),

@@ -15,18 +15,19 @@ import graft.sources.Lake
   * feature columns — is real and tested. Swapping [[FakeDecoder]] for
   * a JNI/codec call changes no plan shape.
   */
+/** Decoded-asset features. In a real pipeline: decoded dims +
+  * extracted feature vector. Here: deterministic functions of the
+  * bytes so tests are stable. (Top-level: nested/private case classes
+  * break the generated encoder projections.)
+  */
+final case class AssetFeatures(
+    doc_id: Long, n_bytes: Int, width: Int, height: Int, mean_byte: Double)
+
+final case class Asset(doc_id: Long, blob: Array[Byte])
+
 object Multimodal {
 
   private type Q = (SparkSession, String) => DataFrame
-
-  /** Decoded-asset features. In a real pipeline: decoded dims +
-    * extracted feature vector. Here: deterministic functions of the
-    * bytes so tests are stable.
-    */
-  final case class AssetFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int, mean_byte: Double)
-
-  private final case class Asset(doc_id: Long, blob: Array[Byte])
 
   /** STUB decoder: stands in for image/audio decode + feature
     * extraction (libs not present in this container). Deterministic:

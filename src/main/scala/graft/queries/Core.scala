@@ -88,10 +88,13 @@ object Core {
         .agg(count(lit(1)).as("counts"))),
 
     // B6: partition-column range filter → multi-partition pruning.
+    // Output the partition key as a yyyy-MM-dd string: date-typed
+    // columns round-trip differently through result serializers
+    // (date32 vs datetime64), so the comparable form is the string.
     "b06_partition_range" -> ((spark, sfDir) =>
       Lake.partitionedEvents(spark, sfDir)
         .filter(col("date") >= lit("2024-01-03") && col("date") < lit("2024-01-07"))
-        .groupBy(col("date"))
+        .groupBy(date_format(col("date"), "yyyy-MM-dd").as("date"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("date"))),
 
@@ -168,7 +171,7 @@ object Core {
       ("SELECT COUNT(*) AS counts FROM events " +
         "WHERE ts >= '2024-01-10' AND ts < '2024-01-12'"),
     "b06_partition_range" ->
-      ("SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n FROM events " +
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n FROM events " +
         "WHERE CAST(ts AS DATE) >= DATE '2024-01-03' AND CAST(ts AS DATE) < DATE '2024-01-07' " +
         "GROUP BY 1 ORDER BY 1"),
     "b07_count_star" -> "SELECT COUNT(*) AS counts FROM lineitem",

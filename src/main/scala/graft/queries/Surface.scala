@@ -197,14 +197,16 @@ object Surface {
         .orderBy(col("c_custkey"))
         .limit(100)),
 
+    // Dates rendered as yyyy-MM-dd strings: the comparable form across
+    // result serializers (see b06).
     "c19_scalar_date" -> ((spark, sfDir) =>
       t(spark, sfDir, "orders")
         .select(
           col("o_orderkey"),
-          col("o_orderdate").cast("date").as("odate"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
-          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
         .orderBy(col("o_orderkey"))
         .limit(100)),
@@ -359,9 +361,9 @@ object Surface {
         "c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag " +
         "FROM customer ORDER BY c_custkey LIMIT 100"),
     "c19_scalar_date" ->
-      ("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, " +
+      ("SELECT o_orderkey, STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate, " +
         "CAST(YEAR(o_orderdate) AS INTEGER) AS yr, CAST(MONTH(o_orderdate) AS INTEGER) AS mo, " +
-        "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start, " +
+        "STRFTIME(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start, " +
         "CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since " +
         "FROM orders ORDER BY o_orderkey LIMIT 100"),
     "c20_scalar_cond" ->

@@ -27,9 +27,34 @@ object Lake {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** B1: path-addressed parquet scan. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** B1: path-addressed parquet scan.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright. We read nanos as raw longs
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
+    * microsecond TimestampType with integer division — the same
+    * truncation DuckDB applies when it narrows ns → µs, so both
+    * engines see identical values. DIV keeps the arithmetic in 64-bit
+    * integers (a double round-trip would lose precision at 1e18 ns).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Raw (unconverted) schema of a table as stored — for readStream,
+    * which must declare the on-disk schema before any conversion.
+    */
+  def rawSchema(spark: SparkSession, sfDir: String, name: String) = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet").schema
+  }
 
   /** B13 / dbt-`ref` analog: name -> temp view over the physical path,
     * so `spark.sql` can address tables by name like the oracle does.

@@ -23,12 +23,18 @@ object Streams {
     * watermark, run to completion over the parquet events table.
     */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    // File streams need an explicit schema: take it from the batch reader.
-    val schema = Lake.table(spark, sfDir, "events").schema
+    // File streams need an explicit schema — the on-disk one (ts is
+    // raw nanos-as-long, see Lake.table), converted after read exactly
+    // like the batch path.
+    val schema = Lake.rawSchema(spark, sfDir, "events")
     val sinkName = "graft_stream_" + Integer.toHexString(sfDir.hashCode)
+    // File streams need a directory base path; select just the events
+    // file out of the sf directory with a glob filter.
     val stream = spark.readStream
       .schema(schema)
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -43,7 +49,8 @@ object Streams {
       q.stop()
     }
     spark.table(sinkName)
-      .select(col("window.start").cast("date").as("day"), col("event_type"), col("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
       .orderBy(col("day"), col("event_type"))
   }
 
@@ -53,7 +60,7 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "s01_stream_window" ->
-      ("SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n " +
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+      ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

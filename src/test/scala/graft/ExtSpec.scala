@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Lake
+
+/** Semantics tests for the sketch-based (rows-only-checked) LLM
+  * operators, verified against exact references computed in-process.
+  */
+class ExtSpec extends SparkSpec {
+
+  test("minhash-LSH recalls the exact near-dup pairs (x03 vs x05 ground truth)") {
+    val exact = Dedup.queries("x05_dedup_ngram_jaccard")(spark, SfDir)
+      .filter(col("jaccard") >= 0.8) // high-similarity pairs: banding must catch these
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = Dedup.queries("x03_dedup_minhash")(spark, SfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    val recalled = exact.intersect(sketch)
+    assert(recalled.size.toDouble / exact.size >= 0.9,
+      s"LSH recall too low: ${recalled.size}/${exact.size}; missed ${exact -- sketch}")
+  }
+
+  test("simhash pairs are near-dups by construction (hamming small ⊂ jaccard high)") {
+    val pairs = Dedup.queries("x04_dedup_simhash")(spark, SfDir).collect()
+    assert(pairs.nonEmpty, "planted near-dups should collide in simhash bands")
+    assert(pairs.forall(_.getInt(2) <= 8))
+  }
+
+  test("exact dedup keeps exactly one survivor per normalized text (x01/x02)") {
+    val survivors = Dedup.queries("x02_dedup_exact_rows")(spark, SfDir).count()
+    val distinctTexts = Lake.table(spark, SfDir, "documents")
+      .select(lower(trim(col("text")))).distinct().count()
+    assert(survivors == distinctTexts)
+  }
+
+  test("cosine top-k matches an in-process exact computation (x07)") {
+    val rows = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = rows(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = rows.view.filterKeys(_ != 0L)
+      .map { case (id, v) => (id, math.rint(cos(q, v) * 10000) / 10000) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = Similarity.queries("x07_cosine_topk")(spark, SfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("ANN LSH returns ranked candidates per query (x08)") {
+    val df = Similarity.queries("x08_ann_lsh")(spark, SfDir).collect()
+    assert(df.nonEmpty)
+    val byQuery = df.groupBy(_.getLong(0))
+    assert(byQuery.forall { case (_, rs) => rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length) })
+  }
+
+  test("multimodal stub decode is deterministic and schema-stable (x14)") {
+    val df = Multimodal.queries("x14_multimodal_decode")(spark, SfDir)
+    assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "mean_byte"))
+    val first = df.collect().head
+    val again = Multimodal.queries("x14_multimodal_decode")(spark, SfDir).collect().head
+    assert(first == again)
+    assert(first.getInt(1) > 0)
+  }
+
+  test("fingerprint windows count matches token count - k + 1 (x13)") {
+    val fp = TextAnalysis.queries("x13_fingerprint")(spark, SfDir)
+      .select("doc_id", "n_windows").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val toks = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fp.foreach { case (id, w) =>
+      // distinct windows ≤ raw windows = n - 4 (for docs with ≥5 tokens)
+      if (toks(id) >= 5) assert(w <= toks(id) - 4 && w > 0)
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Core, Surface}
+import graft.ext.{Dedup, Similarity}
+import graft.sources.Lake
+
+/** Plan-shape assertions — the "would this survive 100×" checks:
+  * partition pruning actually prunes, broadcast hints actually
+  * broadcast, and no banded/bucketed operator degenerates into a
+  * cartesian product (SURVEY §7.4.8 acceptance criterion).
+  */
+class PlanSpec extends SparkSpec {
+
+  test("partition-pruned scan reads strictly fewer files than full scan (B3)") {
+    val full = Lake.partitionedEvents(spark, SfDir)
+    val pruned = full.filter(col("date") === lit("2024-01-05"))
+    assert(full.inputFiles.length > 1)
+    assert(pruned.select(col("event_id")).inputFiles.length <= full.inputFiles.length)
+    // the physical plan must show partition filters, not a post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+      s"expected PartitionFilters in:\n$plan")
+  }
+
+  test("filter and projection push down to the parquet scan (B5/B4)") {
+    val df = Lake.table(spark, SfDir, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"missing pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing in:\n$scan")
+  }
+
+  test("broadcast-hinted dimension join plans a broadcast join (c01)") {
+    val plan = Surface.queries("c01_join_broadcast")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("banded/bucketed near-dup operators never plan a cartesian product") {
+    for (name <- Seq("x03_dedup_minhash", "x04_dedup_simhash",
+        "x05_dedup_ngram_jaccard")) {
+      val plan = Dedup.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("ANN LSH joins on the bucket signature, not all pairs (x08/x09)") {
+    for (name <- Seq("x08_ann_lsh", "x09_embed_neardup")) {
+      val plan = Similarity.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
+    val plan = Core.queries("b11_topk_limit")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+}
