@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no single built-in for — composed
+  * from built-ins per the preference order (compose > custom plan):
+  *
+  *  - [[asofJoin]]: the union + ordered-window + last(ignoreNulls)
+  *    carry-forward rewrite. One shuffle on the key, one sort within
+  *    partitions — the classic scalable as-of; no range/theta join, no
+  *    nested loop, so it survives arbitrarily large sides.
+  *  - [[rangeSelfJoin]]: time-binned candidate generation — the probe
+  *    side fans out to the (at most two) bins a match can live in and
+  *    the join is an equi-join on the bin, so Catalyst plans a hash
+  *    join instead of a nested-loop inequality join. Candidate volume
+  *    scales with events-per-bin, never n².
+  */
+object TemporalJoins {
+
+  /** For each left row, attach the most recent right row with the same
+    * key and rightTs <= leftTs (left-join semantics: nulls when no
+    * prior right row).
+    *
+    * @param left      probe side
+    * @param right     reference side (the "as-of" lookup)
+    * @param key       equi-key column name present on both sides
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param carry     columns of `right` to carry onto matches,
+    *                  emitted as `asof_<name>`
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val passThrough = left.columns.filterNot(c => c == key || c == leftTs).toSeq
+    // Tag and union: right rows sort BEFORE left rows at equal
+    // timestamps so an exactly-simultaneous right row is visible to
+    // the left row (ts <= semantics, matching SQL ASOF JOIN).
+    val taggedRight = right.select(
+      col(key) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
+        (carry.map(c => col(c).as(s"asof_$c")) ++
+          passThrough.map(c => lit(null).as(c))): _*)
+    val taggedLeft = left.select(
+      col(key) +: col(leftTs).as("_ts") +: lit(1).as("_side") +:
+        (carry.map(c => lit(null).as(s"asof_$c")) ++
+          passThrough.map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .select(col(key) +: col("_ts") +: col("_side") +:
+        (passThrough.map(col) ++
+          carry.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w)
+            .as(s"asof_$c"))): _*)
+    carried.filter(col("_side") === 1)
+      .drop("_side")
+      .withColumnRenamed("_ts", leftTs)
+  }
+
+  /** All pairs (a, b) of `df` rows with 0 < b.tsCol - a.tsCol <=
+    * windowSeconds, generated via bin buckets: a match's b-bin is
+    * either a's bin or the next one, so probing those two bins with an
+    * equi-join covers every pair exactly once.
+    * Output: all `a.*` prefixed `a_`, all `b.*` prefixed `b_`.
+    */
+  def rangeSelfJoin(df: DataFrame, tsCol: String,
+      windowSeconds: Long): DataFrame = {
+    val binMicros = windowSeconds * 1000000L
+    val withBin = df.withColumn("_bin",
+      expr(s"unix_micros($tsCol) DIV $binMicros"))
+    val a = withBin.select(
+      (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"a_$c")) :+
+        col("_bin")): _*)
+      .withColumn("_probe", explode(array(col("_bin"), col("_bin") + 1)))
+      .drop("_bin")
+    val b = withBin.select(
+      (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"b_$c")) :+
+        col("_bin").as("_probe")): _*)
+    a.join(b, "_probe")
+      .filter(col(s"b_$tsCol") > col(s"a_$tsCol") &&
+        col(s"b_$tsCol") <= col(s"a_$tsCol") + expr(s"INTERVAL $windowSeconds SECOND"))
+      .drop("_probe")
+  }
+}

@@ -295,7 +295,79 @@ object Surface {
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"), col("token"))
-        .limit(500))
+        .limit(500)),
+
+    // --- temporal joins (operators/TemporalJoins) -----------------------
+    // As-of join: each purchase gets the user's most recent click at or
+    // before it — union + window carry-forward, one shuffle on user_id.
+    "c31_asof_join" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.TemporalJoins
+        .asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("asof_click_id").as("last_click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Range self-join via time-bin bucketing: pairs of events within a
+    // 10-minute window, counted per day — equi-join on the bin, no
+    // nested-loop inequality join.
+    "c32_range_join" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events").select(col("event_id"), col("ts"))
+      graft.operators.TemporalJoins.rangeSelfJoin(e, "ts", 600L)
+        .groupBy(date_format(col("a_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("day"))
+    }),
+
+    // CUBE grouping sets (c09 covers ROLLUP).
+    "c33_agg_cube" -> sql(
+      "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"),
+
+    // --- source/sink format breadth -------------------------------------
+    // CSV sink + re-read (schema declared, not inferred) — the format
+    // surface beyond parquet; aggregation proves the round-trip.
+    "c34_csv_roundtrip" -> ((spark, sfDir) => {
+      val target = s"/tmp/graft-formats/csv_${Integer.toHexString(sfDir.hashCode)}"
+      t(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .write.mode("overwrite").option("header", "true").csv(target)
+      spark.read
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+        .option("header", "true").csv(target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // JSON-lines sink + re-read.
+    "c35_json_roundtrip" -> ((spark, sfDir) => {
+      val target = s"/tmp/graft-formats/json_${Integer.toHexString(sfDir.hashCode)}"
+      t(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .write.mode("overwrite").json(target)
+      spark.read
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+        .json(target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // part ⋈ lineitem revenue rollup (completes coverage of every
+    // provisioned table).
+    "c36_join_part" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("brand")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,6 +478,29 @@ object Surface {
     "c30_explode_tokens" ->
       ("SELECT doc_id, token, COUNT(*) AS n FROM (" +
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
-        "GROUP BY doc_id, token ORDER BY doc_id, token LIMIT 500")
+        "GROUP BY doc_id, token ORDER BY doc_id, token LIMIT 500"),
+    "c31_asof_join" ->
+      ("SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS last_click_id " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts ORDER BY purchase_id"),
+    "c32_range_join" ->
+      ("SELECT STRFTIME(CAST(a.ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n_pairs " +
+        "FROM events a JOIN events b " +
+        "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
+        "GROUP BY 1 ORDER BY 1"),
+    "c33_agg_cube" ->
+      ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"),
+    "c34_csv_roundtrip" ->
+      ("SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "c35_json_roundtrip" ->
+      ("SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "c36_join_part" ->
+      ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1")
   )
 }
