@@ -47,7 +47,10 @@ object Bench {
     Lake.ensurePartitionedEvents(spark, sfDir)
 
     // A13 probe: the pruned-path count and the full-scan count of one
-    // probe key must agree across modes (benchmark.py:41,:116).
+    // probe key must agree across modes (benchmark.py:41,:116). Also
+    // serves as the session warm-up (codegen/JIT, file listing) so the
+    // timed reps measure queries, not first-query initialization — the
+    // reference benchmarks a warm Lambda the same way.
     val probeKey = "signup"
     val viaFull = Lake.table(spark, sfDir, "events")
       .filter(col("event_type") === probeKey).count()
@@ -55,9 +58,23 @@ object Bench {
       .filter(col("event_type") === probeKey).count()
     val probeOk = viaFull == viaPartitioned && viaFull > 0
 
+    // Structural pruning evidence, independent of wall-clock: the file
+    // count a pruned scan touches vs the full glob (README.md:164-174
+    // contrast; at 100 TB this ratio, not latency on 100k rows, is
+    // what pruning buys).
+    val fullFiles = Lake.partitionedEvents(spark, sfDir).inputFiles.length
+    val prunedFiles = Lake.partitionedEvents(spark, sfDir)
+      .filter(col("date") === lit("2024-01-05"))
+      .select(col("event_id")).inputFiles.length
+
     val names = headline.filter(SparkEntry.queries.contains)
     val stats = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // One untimed warm rep (plan codegen, file listing) — the
+      // reference's published numbers are warm-container runs too
+      // (its cold/warm flag exists precisely to tell them apart).
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name warm: ${e.getMessage}") }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -79,7 +96,7 @@ object Bench {
       if pruned._2 > 0
     } yield full._2 / pruned._2).getOrElse(0.0)
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles}""")
     spark.stop()
   }
 }
