@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 import graft.sources.Lake
@@ -17,6 +19,28 @@ import graft.sources.Lake
   *    "probe_ok":bool,"pruned_vs_full":ratio}
   */
 object Bench {
+
+  /** Files actually read by the plan's parquet scans, counted AFTER
+    * partition pruning. `DataFrame.inputFiles` resolves the listing
+    * before pruning (it reports the full table), so the real evidence
+    * is the executed plan's `numFiles` metric, populated when the scan
+    * runs. AQE wraps the plan in AdaptiveSparkPlanExec; unwrap to reach
+    * the final physical scans.
+    */
+  def scanFileCount(df: DataFrame): Long = {
+    // Execute THIS plan instance (df.count() would build and run a
+    // separate QueryExecution whose metrics we couldn't read back).
+    val plan = df.queryExecution.executedPlan
+    plan.execute().count()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case s: FileSourceScanExec    => Seq(s)
+        case other => other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans)
+      }
+    scans(plan).map(_.metrics("numFiles").value).sum
+  }
 
   /** Headline set: engine flagship, the pruned/full contrast pair, a
     * large join, a wide aggregate, a window, and the LLM-pipeline
@@ -62,10 +86,12 @@ object Bench {
     // count a pruned scan touches vs the full glob (README.md:164-174
     // contrast; at 100 TB this ratio, not latency on 100k rows, is
     // what pruning buys).
-    val fullFiles = Lake.partitionedEvents(spark, sfDir).inputFiles.length
-    val prunedFiles = Lake.partitionedEvents(spark, sfDir)
-      .filter(col("date") === lit("2024-01-05"))
-      .select(col("event_id")).inputFiles.length
+    val fullFiles = scanFileCount(
+      Lake.partitionedEvents(spark, sfDir).select(col("event_id")))
+    val prunedFiles = scanFileCount(
+      Lake.partitionedEvents(spark, sfDir)
+        .filter(col("date") === lit("2024-01-05"))
+        .select(col("event_id")))
 
     val names = headline.filter(SparkEntry.queries.contains)
     val stats = names.map { name =>

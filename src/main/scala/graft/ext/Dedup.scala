@@ -146,9 +146,25 @@ object Dedup {
   /** Exact n-gram Jaccard via inverted-index join: explode distinct
     * shingles, equi-join on the shingle (the "index"), count
     * intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * Hot-key guard: shingles whose document frequency exceeds
+    * max(50, n_docs/100) are dropped BEFORE the index join — a
+    * ubiquitous shingle ("in the the") would otherwise put a quadratic
+    * posting list on one shuffle key at corpus scale. Jaccard is then
+    * the exact Jaccard of the *capped* shingle sets (sizes are computed
+    * after the cap, so numerator and denominator agree), which is the
+    * standard stopword-filtered similarity a dedup pipeline wants.
     */
   def ngramJaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val sh = df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+    val sh0 = df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+    // Corpus count resolved eagerly (one metadata-cheap count job) so
+    // the cap is a literal in the plan, not a single-row join arm.
+    val cap = math.max(50L, df.count() / 100L)
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+      .filter(col("df_c") > cap)
+      .select(col("shingle"))
+    // anti-join against the (tiny) hot list — AQE broadcasts it
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
@@ -195,11 +211,14 @@ object Dedup {
       val d = docs(spark, sfDir)
       val numHashes = 32
       // The signature table feeds three plan branches (banding + both
-      // verify sides) — persist it instead of recomputing the shingle
-      // scan per branch. At warehouse scale this is the step you'd
-      // checkpoint to the lake.
-      val sigs = minhashSignatures(d, numHashes)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // verify sides) — checkpoint it to the lake once per dataset
+      // (the 100 TB shape) instead of persist(): no executor-memory
+      // cache pinned for the session lifetime, no re-persist churn on
+      // repeated invocations, and the three branches all read one
+      // compact parquet table.
+      val sigs = Lake.materialize(spark, sfDir, s"minhash_sigs_$numHashes") {
+        minhashSignatures(d, numHashes)
+      }
       val cands = minhashCandidates(minhashBands(sigs, numHashes, bands = 8))
       minhashVerify(cands, sigs, numHashes, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -235,7 +254,11 @@ object Dedup {
     "x05_dedup_ngram_jaccard" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
-        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+        "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+        "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
         "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
         "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
         "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +

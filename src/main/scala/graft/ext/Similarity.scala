@@ -13,9 +13,18 @@ import graft.sources.Lake
   *  - brute-force cosine top-k against a query vector — the exactness
   *    baseline; a broadcast of the (tiny) query side, so the big side
   *    is a single codegen'd map + TakeOrdered, no shuffle of the corpus;
-  *  - LSH-bucketed ANN (random-hyperplane signatures) — candidates are
-  *    generated by an equi-join on the bucket signature, never an
-  *    all-pairs product; this is the 100 TB path.
+  *  - LSH-bucketed ANN (random-hyperplane signatures) — the 100 TB
+  *    path. Scale shape:
+  *      * signature width grows with the corpus ([[chooseBits]] ≈
+  *        log2 n, clamped to [8, 24]) so expected bucket size — and
+  *        with it per-bucket candidate volume — stays O(1) instead of
+  *        O(n/2^const);
+  *      * L independent hash tables OR-combined (candidate = collision
+  *        in ANY table) recover the recall that wider signatures cost;
+  *      * bucket rows carry only (table, signature, vec_id) — the
+  *        candidate equi-join shuffles 3 longs per row, never the
+  *        vector payload; vectors are fetched once per *deduplicated*
+  *        candidate, not once per bucket collision.
   *
   * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
   * functions) on double-cast arrays — no UDFs.
@@ -39,18 +48,69 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** n-bit random-hyperplane signature of the array<double> column
-    * named `vecCol`: bit p = sign of Σ_d v[d] · plane(p, d), where the
-    * hyperplanes are deterministic pseudo-random components
-    * xxhash64(p, d) folded into [-1, 1] — a pure function of the
-    * indices, identical on every executor, no RNG state to ship.
+  /** Number of hash tables in the OR-construction. More tables buy
+    * recall at the target (high) similarity; candidate volume grows
+    * linearly with L but stays bucket-bounded per table.
     */
-  def lshSignature(vecCol: String, nBits: Int): Column =
+  val DefaultTables = 16
+
+  /** Signature width for a corpus of n vectors: ~log2 n keeps expected
+    * bucket occupancy constant as the corpus grows (the round-2 16-
+    * bucket variant was O(n²/16) — a cartesian split 16 ways).
+    */
+  def chooseBits(n: Long): Int =
+    math.max(8, math.min(24, math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2.0)).toInt))
+
+  /** nBits-bit random-hyperplane signature of the array<double> column
+    * named `vecCol` under hash table `table`: bit p = sign of
+    * Σ_d v[d] · plane(table, p, d), where the hyperplane components are
+    * deterministic pseudo-random xxhash64(table, p, d) folded into
+    * [-1, 1] — a pure function of the indices, identical on every
+    * executor, no RNG state to ship.
+    */
+  def lshSignature(vecCol: String, nBits: Int, table: Int): Column =
     expr(s"aggregate(sequence(0, ${nBits - 1}), 0, (acc, p) -> acc | " +
       s"CASE WHEN aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS DOUBLE), " +
       s"(s, d) -> s + element_at($vecCol, d + 1) * " +
-      s"((CAST(pmod(xxhash64(p, d), 1000003) AS DOUBLE) / 500001.5) - 1.0)) > 0 " +
+      s"((CAST(pmod(xxhash64($table, p, d), 1000003) AS DOUBLE) / 500001.5) - 1.0)) > 0 " +
       s"THEN shiftleft(1, p) ELSE 0 END)")
+
+  /** Narrow bucket rows (tbl, sig, vec_id) — one per hash table per
+    * vector. Input must have `vec_id` and an array<double> `vec`.
+    */
+  def lshBuckets(df: DataFrame, nBits: Int, nTables: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshSignature("vec", nBits, t)): _*)).as(Seq("tbl", "sig")))
+
+  /** Deduplicated unordered candidate pairs (vec_a < vec_b) colliding
+    * in at least one hash table. The equi-join key is (tbl, sig) — the
+    * shuffle that replaces the n² comparison; both sides are id-only.
+    */
+  def annCandidatePairs(df: DataFrame, nBits: Int, nTables: Int): DataFrame = {
+    val buckets = lshBuckets(df, nBits, nTables)
+    val a = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
+    val b = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_b"))
+    a.join(b, Seq("tbl", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by exact cosine over the LSH candidates: fetch the
+    * two vectors per deduplicated pair, verify cosine ≥ threshold.
+    * Input must have `vec_id` and array<double> `vec`.
+    */
+  def neardupPairs(df: DataFrame, nBits: Int, nTables: Int,
+      threshold: Double): DataFrame = {
+    val va = df.select(col("vec_id").as("vec_a"), col("vec").as("va"))
+    val vb = df.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
+    annCandidatePairs(df, nBits, nTables)
+      .join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -79,42 +139,43 @@ object Similarity {
         .limit(10)
     }),
 
-    // ANN via random-hyperplane LSH: 4-bit signatures bucket the
-    // corpus; each query (vec_id < 5) joins only its bucket, then
-    // ranks by exact cosine within the candidates — top-3 each.
+    // ANN via multi-table random-hyperplane LSH: corpus-adaptive
+    // signature width, 16 OR-combined tables; queries (vec_id < 5)
+    // join candidates through the narrow bucket rows, then rank by
+    // exact cosine within the deduplicated candidates — top-3 each.
     "x08_ann_lsh" -> ((spark, sfDir) => {
-      val signed = emb(spark, sfDir)
-        .withColumn("vec", toDouble(col("embedding")))
-        .withColumn("sig", lshSignature("vec", 4))
-      val queriesSide = signed.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sig"))
-      val corpus = signed
-        .select(col("vec_id").as("neighbor_id"), col("vec"), col("sig"))
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      val bits = chooseBits(e.count())
+      val buckets = lshBuckets(e, bits, DefaultTables)
+      val qb = buckets.filter(col("vec_id") < 5)
+        .select(col("tbl"), col("sig"), col("vec_id").as("query_id"))
+      val cands = qb.join(buckets, Seq("tbl", "sig"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      // query vectors: bounded tiny side -> broadcast; neighbor fetch
+      // shuffles the corpus vectors once, keyed by id.
+      val qv = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+      val nv = e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(desc("cos"), col("neighbor_id"))
-      queriesSide.join(corpus, "sig")
-        .filter(col("query_id") =!= col("neighbor_id"))
+      cands.join(qv, "query_id").join(nv, "neighbor_id")
         .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qvec"), col("vec")), 4).as("cos"))
+          round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Embedding near-dup join scaffolding (cosine ≥ threshold within
-    // LSH buckets) — same banding pattern as x08, self-join flavored.
+    // Embedding near-dup self-join: same multi-table banding, both
+    // sides the full corpus — candidates are bucket collisions only,
+    // verified by exact cosine ≥ threshold.
     "x09_embed_neardup" -> ((spark, sfDir) => {
-      val signed = emb(spark, sfDir)
-        .withColumn("vec", toDouble(col("embedding")))
-        .withColumn("sig", lshSignature("vec", 4))
-      val a = signed.select(col("sig"), col("vec_id").as("vec_a"), col("vec").as("va"))
-      val b = signed.select(col("sig"), col("vec_id").as("vec_b"), col("vec").as("vb"))
-      a.join(b, "sig")
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("va"), col("vb")), 4).as("cos"))
-        .filter(col("cos") >= 0.2)
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      val bits = chooseBits(e.count())
+      neardupPairs(e, bits, DefaultTables, threshold = 0.2)
         .orderBy(desc("cos"), col("vec_a"), col("vec_b"))
         .limit(100)
     })

@@ -52,6 +52,61 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("multi-table LSH recalls planted near-duplicates with bounded candidates (x08/x09)") {
+    // The testdata embeddings are near-orthogonal random vectors (no
+    // planted near-dups), so recall at high similarity is verified on a
+    // planted corpus: 200 gaussian base vectors + 50 noisy copies
+    // (cosine ≈ 0.97 to their base).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(200)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      (0 until 50).map(i => (1000L + i, base(i).map(_ + 0.25 * rnd.nextGaussian()).toSeq))
+    val df = rows.toSeq.toDF("vec_id", "vec")
+    val n = df.count()
+    val bits = ext.Similarity.chooseBits(n)
+    val planted = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    val found = ext.Similarity.neardupPairs(df, bits, ext.Similarity.DefaultTables, 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = planted.intersect(found)
+    assert(recalled.size.toDouble / planted.size >= 0.9,
+      s"LSH recall too low: ${recalled.size}/${planted.size}")
+    // scale bound: candidate volume stays O(L·n), nowhere near all-pairs
+    val cands = ext.Similarity.annCandidatePairs(df, bits, ext.Similarity.DefaultTables).count()
+    assert(cands <= 32L * n, s"candidate volume $cands exceeds 32n (n=$n) — bucket sizing broken")
+    assert(cands < n * (n - 1) / 4, s"candidate volume $cands is within 2x of all-pairs")
+  }
+
+  test("embedding near-dup pairs carry exact cosines above threshold (x09)") {
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Similarity.queries("x09_embed_neardup")(spark, SfDir).collect()
+    assert(got.nonEmpty, "near-dup scaffolding should surface candidate pairs")
+    got.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(c >= 0.2, s"pair ($a,$b) cosine $c below threshold")
+      assert(math.abs(c - cos(vecs(a), vecs(b))) <= 1e-4,
+        s"pair ($a,$b): reported cosine $c != exact ${cos(vecs(a), vecs(b))}")
+    }
+  }
+
+  test("ubiquitous shingles are capped out of the inverted index (x05 hot-key guard)") {
+    import spark.implicits._
+    // "alpha beta gamma" appears in all 60 docs — document frequency 60
+    // exceeds the cap max(50, 60 div 100) = 50, so it must not generate
+    // candidate pairs; every other shingle is unique per doc.
+    val docs = (0 until 60).map(i => (i.toLong, s"alpha beta gamma token$i tail$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, 0.0).count() == 0,
+      "hot shingle survived the document-frequency cap")
+  }
+
   test("ANN LSH returns ranked candidates per query (x08)") {
     val df = Similarity.queries("x08_ann_lsh")(spark, SfDir).collect()
     assert(df.nonEmpty)

@@ -16,12 +16,31 @@ class PlanSpec extends SparkSpec {
   test("partition-pruned scan reads strictly fewer files than full scan (B3)") {
     val full = Lake.partitionedEvents(spark, SfDir)
     val pruned = full.filter(col("date") === lit("2024-01-05"))
-    assert(full.inputFiles.length > 1)
-    assert(pruned.select(col("event_id")).inputFiles.length <= full.inputFiles.length)
+    // post-pruning file counts from the executed plan's numFiles metric
+    // (DataFrame.inputFiles would report the pre-pruning listing)
+    val fullFiles = Bench.scanFileCount(full.select(col("event_id")))
+    val prunedFiles = Bench.scanFileCount(pruned.select(col("event_id")))
+    assert(fullFiles > 1)
+    assert(prunedFiles < fullFiles,
+      s"pruning read $prunedFiles of $fullFiles files — expected strictly fewer")
     // the physical plan must show partition filters, not a post-scan filter
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(date"),
       s"expected PartitionFilters in:\n$plan")
+  }
+
+  test("time-range predicates on events.ts reach the parquet scan (flagship/B5)") {
+    // The reference's canonical query shape (README.md:100) is a
+    // timestamp-range filter over the fact table; at 100 TB it only
+    // survives if the predicate prunes row groups. ts is served
+    // micros-typed from the normalized copy, so the filter must appear
+    // as PushedFilters, not as a post-scan filter over a computed column.
+    for (name <- Seq("flagship", "b05_ts_filter")) {
+      val plan = Core.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+        s"$name: ts predicate not pushed to scan:\n$plan")
+    }
   }
 
   test("filter and projection push down to the parquet scan (B5/B4)") {
