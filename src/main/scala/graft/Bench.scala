@@ -50,7 +50,7 @@ object Bench {
     "flagship", "b02_glob_scan", "b03_pruned_scan", "b09_partial_final",
     "c02_join_large", "c07_agg_tpch_q1", "c12_window_rownum",
     "p01_pipeline_topk", "x03_dedup_minhash", "x07_cosine_topk",
-    "x10_text_stats", "x12_token_count")
+    "x10_text_stats", "x12_token_count", "x15_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

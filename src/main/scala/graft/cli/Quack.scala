@@ -16,6 +16,30 @@ import graft.sources.Lake
   */
 object Quack {
 
+  /** show()-style grid over collected records: `| a | b |` header,
+    * dashed rule, cells truncated to `truncate` chars, `maxRows` rows,
+    * and an "only showing" footer when capped.
+    */
+  def renderTable(columns: Seq[String], records: Seq[Map[String, Any]],
+      maxRows: Int, truncate: Int): String = {
+    val shown = records.take(maxRows)
+    def cell(v: Any): String = {
+      val s = v match { case null => "NULL"; case x => x.toString }
+      if (s.length > truncate) s.substring(0, truncate - 3) + "..." else s
+    }
+    val rows = shown.map(r => columns.map(c => cell(r.getOrElse(c, null))))
+    val widths = columns.zipWithIndex.map { case (c, i) =>
+      (c.length +: rows.map(_(i).length)).max
+    }
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
+        .mkString("|", "|", "|\n")
+    val rule = widths.map("-" * _).mkString("+", "+", "+\n")
+    val footer =
+      if (records.size > maxRows) s"only showing top $maxRows row(s)\n" else ""
+    rule + line(columns) + rule + rows.map(line).mkString + rule + footer
+  }
+
   def main(args: Array[String]): Unit = {
     var query: Option[String] = None
     var limit = 10 // quack.py:171 client-side default
@@ -44,10 +68,11 @@ object Quack {
     try {
       val resp = engine.execute(QueryRequest(q, Some(limit)))
       val roundtripMs = (System.nanoTime() - t0) / 1000000
-      // A8: terminal rendering — show(10, truncate=50) is the literal
-      // match for the reference's capped rich-table display, over the
-      // same LIMITed result the envelope reports.
-      engine.sql(q).limit(limit).show(SparkEngine.MaxRowsInTerminal, truncate = 50)
+      // A8: terminal rendering (10-row cap, 50-char truncation) from
+      // the already-collected records — one execution per invocation,
+      // not a show() re-run of the same query.
+      print(renderTable(resp.columns, resp.records,
+        SparkEngine.MaxRowsInTerminal, truncate = 50))
       if (debug) {
         val m = resp.metadata
         println(s"timeMs=${m.timeMs} epochMs=${m.epochMs} eventId=${m.eventId} " +

@@ -19,7 +19,13 @@ case class QueryRequest(q: String, limit: Option[Int] = None)
 case class QueryMetadata(
     timeMs: Long, epochMs: Long, eventId: String, query: String, warm: Boolean)
 
-case class QueryResponse(metadata: QueryMetadata, records: Seq[Map[String, Any]])
+/** `columns` carries the result's column order (a record map is
+  * unordered) so clients can render without re-executing the query.
+  */
+case class QueryResponse(
+    metadata: QueryMetadata,
+    records: Seq[Map[String, Any]],
+    columns: Seq[String] = Nil)
 
 case class EngineException(message: String) extends RuntimeException(message)
 
@@ -95,7 +101,8 @@ class SparkEngine(provider: () => SparkSession) {
         eventId = UUID.randomUUID().toString,
         query = req.q,
         warm = warm),
-      records)
+      records,
+      schema.fieldNames.toSeq)
   }
 
   /** A7 analog: DataFrame-returning entry for in-process callers that

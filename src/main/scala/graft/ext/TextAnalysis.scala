@@ -74,6 +74,27 @@ object TextAnalysis {
             .as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF: term frequency per (doc, term) joined with document
+    // frequency per term; idf = ln(N/df). Two hash aggregations plus
+    // one equi-join on the term — partial-aggregatable all the way, no
+    // skew beyond natural term frequency (the df table is tiny relative
+    // to the corpus and AQE broadcast-joins it). SQL-expressible, so it
+    // gets a full oracle; scores are ROUNDed identically on both sides
+    // and the rounded value is the sort key.
+    "x15_tfidf" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val nDocs = d.count() // resolved eagerly: the cap is a plan literal
+      val tf = d.select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+        .orderBy(col("doc_id"), desc("tfidf"), col("term"))
+        .limit(1000)
+    }),
+
     // Document fingerprinting: rolling 5-token windows hashed with
     // xxhash64; fingerprint = (min window hash, distinct window
     // count) — the winnowing primitive for copy detection.
@@ -109,7 +130,16 @@ object TextAnalysis {
     "x12_token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+    "x15_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "tot AS (SELECT COUNT(*) AS n FROM documents) " +
+        "SELECT doc_id, term, ROUND(tf * LN(CAST(n AS DOUBLE) / df), 4) AS tfidf " +
+        "FROM tf JOIN dfreq USING (term), tot " +
+        "ORDER BY doc_id, tfidf DESC, term LIMIT 1000")
     // x13 is xxhash64-based — rows-only check + unit tests.
   )
 }

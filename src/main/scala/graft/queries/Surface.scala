@@ -367,7 +367,60 @@ object Surface {
         .join(t(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
-        .orderBy(col("brand")))
+        .orderBy(col("brand"))),
+
+    // Constructor battery: from_json with a declared schema (c22 covers
+    // path extraction), struct/map/array constructors and element
+    // access — flattened back to scalars so the result is
+    // serializer-comparable.
+    "c37_json_struct" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .as("parsed"),
+          struct(col("user_id").as("uid"), col("event_type").as("etype")).as("meta"),
+          map(lit("type"), col("event_type")).as("m"),
+          array(col("user_id"), col("event_id")).as("arr"))
+        .select(col("event_id"),
+          col("parsed.k").as("k"),
+          col("meta.uid").as("uid"),
+          col("meta.etype").as("etype"),
+          element_at(col("m"), "type").as("mtype"),
+          element_at(col("arr"), 2).as("arr_second"))
+        .orderBy(col("event_id"))
+        .limit(200)),
+
+    // ORC sink + re-read — the remaining format of the scans/sources
+    // row (parquet is core; CSV/JSON are c34/c35).
+    "c38_orc_roundtrip" -> ((spark, sfDir) => {
+      val target = s"/tmp/graft-formats/orc_${Integer.toHexString(sfDir.hashCode)}"
+      t(spark, sfDir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .write.mode("overwrite").orc(target)
+      spark.read.orc(target)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
+    // and a RANGE frame running aggregate.
+    "c39_window_breadth" -> ((spark, sfDir) => {
+      val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byValue = Window.partitionBy(col("user_id")).orderBy(col("value"))
+      t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          dense_rank().over(byValue).as("dr"),
+          lead(col("value"), 1).over(byTime).as("next_value"),
+          ntile(4).over(byTime).as("quartile"),
+          round(sum(col("value")).over(
+            byValue.rangeBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("run_by_value"))
+        .select(col("user_id"), col("event_id"), col("dr"),
+          col("next_value"), col("quartile"), col("run_by_value"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(500)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -501,6 +554,23 @@ object Surface {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
-        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1")
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // The constructors flatten back to base columns, so the oracle is
+    // their scalar equivalent.
+    "c37_json_struct" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +
+        "user_id AS uid, event_type AS etype, event_type AS mtype, event_id AS arr_second " +
+        "FROM events ORDER BY event_id LIMIT 200"),
+    "c38_orc_roundtrip" ->
+      ("SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "c39_window_breadth" ->
+      ("SELECT user_id, event_id, " +
+        "CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS INTEGER) AS dr, " +
+        "LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value, " +
+        "CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS quartile, " +
+        "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY value " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_by_value " +
+        "FROM events ORDER BY user_id, event_id LIMIT 500")
   )
 }

@@ -54,13 +54,151 @@ object Streams {
       .orderBy(col("day"), col("event_type"))
   }
 
+  private def rmDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** The production streaming shape the reference wishes for
+    * (README.md:192): append-mode event-time aggregation with a
+    * watermark, written to a parquet file sink with checkpointing —
+    * exactly-once, resumable, no driver-side state. Run over the
+    * static events table with Trigger.AvailableNow, which processes
+    * everything and then runs the trailing no-data batch that lets the
+    * watermark (max ts - 1 day) flush completed windows.
+    *
+    * Append mode can only ever emit windows the watermark has passed,
+    * so the query reports the fixed day range [01-01, 01-25] — fully
+    * inside watermark reach for every provisioned scale factor (events
+    * span Jan 1-30) — and the oracle states the same range.
+    */
+  def appendFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val schema = spark.read.parquet(micros).schema
+    val id = Integer.toHexString(sfDir.hashCode)
+    val outDir = s"/tmp/graft-stream/s02_out_$id"
+    val ckDir = s"/tmp/graft-stream/s02_ck_$id"
+    // deterministic re-run: a fresh checkpoint + sink per invocation
+    rmDir(spark, outDir); rmDir(spark, ckDir)
+    val agg = spark.readStream.schema(schema).parquet(micros)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Sliding windows (2-day window, 1-day slide): each event lands in
+    * two overlapping windows. Complete-mode memory sink as the oracle
+    * harness (every window visible), same as s01.
+    */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Lake.rawSchema(spark, sfDir, "events")
+    val sinkName = "graft_stream_s03_" + Integer.toHexString(sfDir.hashCode)
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  /** Stateful session windows: per-user sessions with a 30-minute
+    * inactivity gap (the session_window operator — Spark's built-in
+    * merging-state aggregation), append mode so only watermark-closed
+    * sessions are emitted. The DuckDB oracle is the equivalent batch
+    * gaps-and-islands query, restricted to the same watermark-safe
+    * day range.
+    */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val schema = spark.read.parquet(micros).schema
+    val id = Integer.toHexString(sfDir.hashCode)
+    val outDir = s"/tmp/graft-stream/s04_out_$id"
+    val ckDir = s"/tmp/graft-stream/s04_ck_$id"
+    rmDir(spark, outDir); rmDir(spark, ckDir)
+    val agg = spark.readStream.schema(schema).parquet(micros)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .filter(col("session_start") >= "2024-01-01" && col("session_start") < "2024-01-26")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir))
+    "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
+    "s02_stream_append_sink" -> ((spark, sfDir) => appendFileSink(spark, sfDir)),
+    "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
+    "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir))
   )
 
   val oracles: Map[String, String] = Map(
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
-        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "s02_stream_append_sink" ->
+      ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
+        "event_type, COUNT(*) AS n FROM events " +
+        "WHERE CAST(DATE_TRUNC('day', ts) AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-25' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // every event is a member of exactly two 2-day sliding windows:
+    // the one starting on its day and the one starting the day before
+    "s03_stream_sliding" ->
+      ("WITH ev AS (SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, event_type FROM events), " +
+        "slides AS (SELECT d AS wstart, event_type FROM ev " +
+        "UNION ALL SELECT d - 1 AS wstart, event_type FROM ev) " +
+        "SELECT STRFTIME(wstart, '%Y-%m-%d') AS wstart, event_type, COUNT(*) AS n " +
+        "FROM slides GROUP BY 1, 2 ORDER BY 1, 2"),
+    // gaps-and-islands: a session breaks where the inactivity gap is
+    // >= 30 minutes (session_window semantics: an event at exactly
+    // start+gap opens a new session)
+    "s04_stream_session" ->
+      ("WITH o AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev " +
+        "FROM events), " +
+        "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_s FROM o), " +
+        "g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+        "s AS (SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "COUNT(*) AS n_events FROM g GROUP BY user_id, sid) " +
+        "SELECT user_id, session_start, n_events FROM s " +
+        "WHERE session_start >= '2024-01-01' AND session_start < '2024-01-26' " +
+        "ORDER BY user_id, session_start")
   )
 }

@@ -34,6 +34,12 @@ class EngineSpec extends SparkSpec {
     assert(resp.records.size == 3)
   }
 
+  test("envelope carries the result's column order (CLI renders without re-executing)") {
+    val resp = engine.execute(
+      QueryRequest("SELECT l_partkey AS b, l_orderkey AS a FROM lineitem", Some(1)))
+    assert(resp.columns == Seq("b", "a"))
+  }
+
   test("warm flag flips after first use (app.py:8,:32-41)") {
     val cold = new SparkEngine(() => spark)
     assert(!cold.isWarm)
