@@ -45,8 +45,19 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Composed-built-ins cosine (three traversals + a zip_with
+    * allocation per row) — kept as the differential baseline for the
+    * fused native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine on the hot path: the fused single-pass native Catalyst
+    * expression (identical accumulation order → bit-identical results,
+    * asserted in FunctionsSpec).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineNative(a, b)
 
   /** Number of hash tables in the OR-construction. More tables buy
     * recall at the target (high) similarity; candidate volume grows
@@ -112,6 +123,59 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to
+    * LSH: a seeded k-means coarse quantizer partitions the corpus into
+    * k disjoint cells; a query probes only its `nprobe` nearest cells
+    * and reranks those candidates by exact cosine. Work per query is
+    * ~(nprobe/k) of the corpus instead of all of it, and the cells are
+    * disjoint so no candidate dedup is needed.
+    *
+    * The centroid table is k rows — driver-side math for probe
+    * selection (the one deliberate collect: the query batch and the
+    * centroids are both bounded, the corpus never leaves executors).
+    *
+    * @param df corpus with `vec_id` and array<double> `vec`
+    */
+  def ivfTopK(df: DataFrame, queriesFilter: Column, k: Int, nprobe: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feat = df.withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(k).setSeed(7L)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("vec"), col("prediction").as("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    def sqDist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // probe table: (query_id, cell, qvec) for the nprobe nearest cells
+    val probes = feat.filter(queriesFilter)
+      .select(col("vec_id"), col("vec")).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        centers.zipWithIndex
+          .sortBy { case (c, _) => sqDist(qv, c) }
+          .take(nprobe)
+          .map { case (_, cell) => (qid, cell, qv.toSeq) }
+      }.toSeq.toDF("query_id", "cell", "qvec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    broadcast(probes).join(assigned, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qvec"), col("vec")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ArrayType surface + exactness anchor: dimension and first
@@ -126,15 +190,17 @@ object Similarity {
 
     // Brute-force cosine top-k: query = vec_id 0, k = 10. The 1-row
     // query side is broadcast; the corpus side is one scan + TakeOrdered.
+    // The native expression consumes the float arrays directly — no
+    // per-row cast/copy to array<double> on the hot path.
     "x07_cosine_topk" -> ((spark, sfDir) => {
       val e = emb(spark, sfDir)
       val query = broadcast(
         e.filter(col("vec_id") === 0)
-          .select(toDouble(col("embedding")).as("qvec")))
+          .select(col("embedding").as("qvec")))
       e.filter(col("vec_id") =!= 0)
         .join(query)
         .select(col("vec_id"), col("label"),
-          round(cosine(toDouble(col("embedding")), col("qvec")), 4).as("cos"))
+          round(cosine(col("embedding"), col("qvec")), 4).as("cos"))
         .orderBy(desc("cos"), col("vec_id"))
         .limit(10)
     }),
@@ -178,6 +244,14 @@ object Similarity {
       neardupPairs(e, bits, DefaultTables, threshold = 0.2)
         .orderBy(desc("cos"), col("vec_a"), col("vec_b"))
         .limit(100)
+    }),
+
+    // ANN via IVF coarse quantization: 16 k-means cells, probe the 4
+    // nearest per query — ~1/4 of the corpus scanned per query instead
+    // of all of it, top-3 by exact cosine within the probed cells.
+    "x16_ann_ivf" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      ivfTopK(e, col("vec_id") < 5, k = 16, nprobe = 4, topK = 3)
     })
   )
 

@@ -83,10 +83,15 @@ object TextAnalysis {
     // and the rounded value is the sort key.
     "x15_tfidf" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      val nDocs = d.count() // resolved eagerly: the cap is a plan literal
-      val tf = d.select(col("doc_id"), explode(tokens).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      val nDocs = d.count() // resolved eagerly: idf's N is a plan literal
+      // tf feeds two consumers (the join probe and the df aggregation);
+      // checkpoint it to the lake so the tokenize+aggregate scan runs
+      // once per dataset, not once per plan branch.
+      val tf = graft.sources.Lake.materialize(spark, sfDir, "tfidf_tf") {
+        d.select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(dfreq, "term")
         .select(col("doc_id"), col("term"),

@@ -420,7 +420,40 @@ object Surface {
           col("next_value"), col("quartile"), col("run_by_value"))
         .orderBy(col("user_id"), col("event_id"))
         .limit(500)
-    })
+    }),
+
+    // Higher-order-function battery: lambda transform/filter/exists and
+    // an aggregate fold over an array column — all codegen'd built-ins,
+    // the idiom this library uses instead of UDFs.
+    "c40_hof_lambdas" -> ((spark, sfDir) =>
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0L), (a, x) => a + x).as("total_chars"),
+          array_max(transform(col("toks"), t => length(t))).as("max_tok"),
+          exists(col("toks"), t => t === "the").as("has_the"))
+        .orderBy(col("doc_id"))),
+
+    // PIVOT: long-to-wide conditional aggregation (DataFrame pivot with
+    // explicit values, so no extra values-discovery job at scale).
+    "c41_pivot" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy(col("flag"))),
+
+    // Exact percentiles (interpolated) + sample stddev per group.
+    "c42_percentiles" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+        .orderBy(col("flag")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -571,6 +604,25 @@ object Surface {
         "CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS quartile, " +
         "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY value " +
         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_by_value " +
-        "FROM events ORDER BY user_id, event_id LIMIT 500")
+        "FROM events ORDER BY user_id, event_id LIMIT 500"),
+    "c40_hof_lambdas" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> LENGTH(t) > 4)) AS INTEGER) AS n_long, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS BIGINT) AS total_chars, " +
+        "CAST(list_max(list_transform(string_split(text, ' '), t -> LENGTH(t))) AS INTEGER) AS max_tok, " +
+        "len(list_filter(string_split(text, ' '), t -> t = 'the')) > 0 AS has_the " +
+        "FROM documents ORDER BY doc_id"),
+    // wide-format conditional aggregation — the engine-agnostic PIVOT
+    "c41_pivot" ->
+      ("SELECT l_returnflag AS flag, " +
+        "COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F, " +
+        "COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "c42_percentiles" ->
+      ("SELECT l_returnflag AS flag, " +
+        "ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
+        "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty, " +
+        "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")
   )
 }

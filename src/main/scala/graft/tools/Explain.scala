@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-inspection CLI: print the formatted physical plan of registered
+  * queries without executing them — the "is this the plan you'd want at
+  * 100 TB" review loop (broadcasts where expected, PushedFilters /
+  * PartitionFilters present, WholeStageCodegen spans wide, no
+  * cartesian products).
+  *
+  * Usage: runMain graft.tools.Explain [sfDir] <query names...>
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val (sfDir, names) =
+      if (args.nonEmpty && args.head.startsWith("/")) (args.head, args.tail.toSeq)
+      else (sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), args.toSeq)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = if (names.nonEmpty) names else SparkEntry.queries.keys.toSeq.sorted
+    targets.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          println(s"\n========== $name ==========")
+          fn(spark, sfDir).explain("formatted")
+        case None => System.err.println(s"unknown query: $name")
+      }
+    }
+    spark.stop()
+  }
+}

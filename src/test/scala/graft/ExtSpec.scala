@@ -107,6 +107,29 @@ class ExtSpec extends SparkSpec {
       "hot shingle survived the document-frequency cap")
   }
 
+  test("IVF ANN stays within the query's cluster on separated planted clusters (x16)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated clusters in 16 dims: center c = 10·e_c, noise σ=0.5
+    val centers = (0 until 4).map(c => Array.tabulate(16)(d => if (d == c) 10.0 else 0.0))
+    val rows = for { c <- 0 until 4; i <- 0 until 50 } yield
+      ((c * 50 + i).toLong, centers(c).map(_ + 0.5 * rnd.nextGaussian()).toSeq)
+    val df = rows.toDF("vec_id", "vec")
+    val clusterOf = rows.map { case (id, _) => id -> (id / 50) }.toMap
+    // 2 queries per cluster; nprobe=1 on separated clusters means every
+    // returned neighbor must come from the query's own cluster
+    val res = ext.Similarity.ivfTopK(df, col("vec_id") % 50 < 2,
+      k = 4, nprobe = 1, topK = 3).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 8, s"expected 8 queries, got ${byQuery.keySet}")
+    res.foreach { r =>
+      assert(clusterOf(r.getLong(1)) == clusterOf(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cluster")
+    }
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length)))
+  }
+
   test("ANN LSH returns ranked candidates per query (x08)") {
     val df = Similarity.queries("x08_ann_lsh")(spark, SfDir).collect()
     assert(df.nonEmpty)
