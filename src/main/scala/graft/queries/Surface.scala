@@ -453,7 +453,52 @@ object Surface {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
           round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
-        .orderBy(col("flag")))
+        .orderBy(col("flag"))),
+
+    // Salted join (operators/Skew): a hot fact key is split into 16
+    // deterministic salt buckets; result is identical to the plain
+    // join, which is exactly what the oracle checks.
+    "c43_salted_join" -> ((spark, sfDir) =>
+      graft.operators.Skew.saltedJoin(
+        t(spark, sfDir, "events").withColumnRenamed("user_id", "c_custkey"),
+        t(spark, sfDir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        key = "c_custkey", saltSrc = col("event_id"), nSalts = 16)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+        .orderBy(col("segment"))),
+
+    // Bucketed co-located join: both fact tables are written once as
+    // 8-bucket tables on the join key, so the sort-merge join needs NO
+    // shuffle exchange (plan-asserted in PlanSpec) — the "pre-shuffle
+    // at ingest, join for free forever" layout a 100 TB lake uses for
+    // its highest-traffic join.
+    "c44_bucketed_join" -> ((spark, sfDir) => {
+      val tag = Integer.toHexString(sfDir.hashCode)
+      val li = s"li_bucketed_$tag"
+      val ord = s"ord_bucketed_$tag"
+      // The in-memory catalog starts empty each session, but the
+      // warehouse directory persists — drop an orphaned location before
+      // re-creating the table, or CTAS fails with LOCATION_ALREADY_EXISTS.
+      def ensureBucketed(name: String, df: => DataFrame, key: String): Unit =
+        if (!spark.catalog.tableExists(name)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), name)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+          df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(name)
+        }
+      ensureBucketed(li,
+        t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "l_orderkey")
+      ensureBucketed(ord,
+        t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey")
+      spark.table(li)
+        .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty_sum"))
+        .orderBy(col("priority"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +668,17 @@ object Surface {
         "ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
         "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty, " +
         "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1")
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // the salted join must be indistinguishable from the plain join
+    "c43_salted_join" ->
+      ("SELECT c_mktsegment AS segment, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 2) AS value_sum " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    "c44_bucketed_join" ->
+      ("SELECT o_orderpriority AS priority, COUNT(*) AS n, " +
+        "ROUND(SUM(l_quantity), 2) AS qty_sum " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

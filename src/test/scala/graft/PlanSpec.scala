@@ -79,6 +79,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-located join plans no shuffle on the join keys (c44)") {
+    // At test scale the planner rightly auto-broadcasts the tiny orders
+    // side; disable broadcast to exhibit the plan the bucketing exists
+    // for at 100 TB, where neither side fits in memory.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try Surface.queries("c44_bucketed_join")(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join in:\n$plan")
+    // both sides are 8-bucket tables on the join key: the join consumes
+    // bucketed scans directly, with no hash-partitioning exchange
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side shuffled despite bucketing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side shuffled despite bucketing:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"), s"bucketed scan missing in:\n$plan")
+  }
+
   test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
     val plan = Core.queries("b11_topk_limit")(spark, SfDir)
       .queryExecution.executedPlan.toString
