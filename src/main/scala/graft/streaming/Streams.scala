@@ -161,14 +161,46 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Streaming deduplication: dropDuplicates emits only the first-seen
+    * row per (user_id, event_type) — the streaming-ingest dedup step of
+    * a training-data pipeline. Which duplicate arrives first is
+    * arrival-order dependent, so the deterministic (and oracle-checked)
+    * output is the per-type count of distinct users, aggregated from
+    * the deduplicated sink. Global-state dedup by choice: the
+    * watermark-scoped variant (dropDuplicatesWithinWatermark) only
+    * dedups near-in-time arrivals, which is a different contract.
+    */
+  def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val schema = spark.read.parquet(micros).schema
+    val sinkName = "graft_stream_s05_" + Integer.toHexString(sfDir.hashCode)
+    val q = spark.readStream.schema(schema).parquet(micros)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
+    "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
     "s02_stream_append_sink" -> ((spark, sfDir) => appendFileSink(spark, sfDir)),
     "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
     "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir))
   )
 
   val oracles: Map[String, String] = Map(
+    "s05_stream_dedup" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
         "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
