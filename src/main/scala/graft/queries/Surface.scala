@@ -467,6 +467,21 @@ object Surface {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
         .orderBy(col("segment"))),
 
+    // Full-outer join (completes the join-type matrix with c01-c06,
+    // c31/c32, c43/c44): unmatched sides surface as nulls, counted
+    // into match/left-only/right-only buckets.
+    "c45_join_full" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer").select(col("c_custkey"))
+        .join(t(spark, sfDir, "orders").select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("order_only").as("side"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("side"))),
+
     // Bucketed co-located join: both fact tables are written once as
     // 8-bucket tables on the join key, so the sort-merge join needs NO
     // shuffle exchange (plan-asserted in PlanSpec) — the "pre-shuffle
@@ -669,6 +684,12 @@ object Surface {
         "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty, " +
         "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "c45_join_full" ->
+      ("SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both' " +
+        "WHEN o_custkey IS NULL THEN 'customer_only' ELSE 'order_only' END AS side, " +
+        "COUNT(*) AS n FROM customer " +
+        "FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey " +
+        "GROUP BY 1 ORDER BY 1"),
     // the salted join must be indistinguishable from the plain join
     "c43_salted_join" ->
       ("SELECT c_mktsegment AS segment, COUNT(*) AS n, " +

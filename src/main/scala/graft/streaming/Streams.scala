@@ -189,9 +189,46 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so state on either
+    * side is evictable — the scalable shape for stream joins. Inner
+    * joins emit eagerly on match, so the finite-input output set is
+    * exactly the batch join's (the oracle), independent of arrival
+    * order once aggregated per purchase day.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val schema = spark.read.parquet(micros).schema
+    val sinkName = "graft_stream_s06_" + Integer.toHexString(sfDir.hashCode)
+    val events = spark.readStream.schema(schema).parquet(micros)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 day")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 day")
+    val q = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sinkName)
+      .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
+    "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir)),
     "s02_stream_append_sink" -> ((spark, sfDir) => appendFileSink(spark, sfDir)),
     "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
     "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir))
@@ -201,6 +238,13 @@ object Streams {
     "s05_stream_dedup" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "s06_stream_stream_join" ->
+      ("SELECT STRFTIME(CAST(p.ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n_pairs " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "GROUP BY 1 ORDER BY 1"),
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
         "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
