@@ -14,13 +14,14 @@ import graft.sources.Lake
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b13          — the reference's tested SQL core (§2.B)
-  *  - c01..c39          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c45          — arbitrary-SQL surface categories (§2.C)
   *  - p01               — ELT view-materialization pipeline (A18/B13)
-  *  - s01..s04          — Structured Streaming: tumbling window,
-  *                        append-mode file sink, sliding window,
-  *                        session window
-  *  - x01..x15          — LLM-data-pipeline operators (dedup,
-  *                        similarity, text analysis, multimodal, TF-IDF)
+  *  - s01..s06          — Structured Streaming: tumbling/sliding/
+  *                        session windows, append-mode file sink,
+  *                        streaming dedup, stream-stream join
+  *  - x01..x17          — LLM-data-pipeline operators (dedup,
+  *                        similarity/ANN, text analysis, TF-IDF,
+  *                        multimodal)
   */
 object SparkEntry {
 

@@ -19,6 +19,11 @@ object Quack {
   /** show()-style grid over collected records: `| a | b |` header,
     * dashed rule, cells truncated to `truncate` chars, `maxRows` rows,
     * and an "only showing" footer when capped.
+    *
+    * Records are name-keyed maps (the reference's `to_dict('records')`
+    * envelope, app.py:67), so duplicate output column names collapse to
+    * the last value — alias duplicate columns distinctly, as any
+    * records-shaped API requires.
     */
   def renderTable(columns: Seq[String], records: Seq[Map[String, Any]],
       maxRows: Int, truncate: Int): String = {

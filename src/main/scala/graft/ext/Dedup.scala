@@ -155,8 +155,14 @@ object Dedup {
     * after the cap, so numerator and denominator agree), which is the
     * standard stopword-filtered similarity a dedup pipeline wants.
     */
-  def ngramJaccardPairs(df: DataFrame, threshold: Double): DataFrame = {
-    val sh0 = df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+  def ngramJaccardPairs(df: DataFrame, threshold: Double,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+    // the exploded shingle table feeds four plan branches (hot-list
+    // agg, anti-join probe, sizes, both intersection sides) — callers
+    // with a lake pass a materializing `checkpoint` so the tokenize +
+    // explode scan runs once, not per branch
+    val sh0 = checkpoint(
+      df.select(col("doc_id"), explode(shingles(3)).as("shingle")))
     // Corpus count resolved eagerly (one metadata-cheap count job) so
     // the cap is a literal in the plan, not a single-row join arm.
     val cap = math.max(50L, df.count() / 100L)
@@ -235,7 +241,8 @@ object Dedup {
     // ground truth the sketches approximate) — SQL-expressible, so it
     // gets a full DuckDB oracle.
     "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
-      ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5)
+      ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh))
         .orderBy(col("doc_a"), col("doc_b")))
   )
 

@@ -97,9 +97,11 @@ object Similarity {
   /** Deduplicated unordered candidate pairs (vec_a < vec_b) colliding
     * in at least one hash table. The equi-join key is (tbl, sig) — the
     * shuffle that replaces the n² comparison; both sides are id-only.
+    * Takes the bucket table directly: it feeds BOTH join sides, so
+    * callers should materialize it once (registered queries checkpoint
+    * it to the lake) rather than recompute the signatures per branch.
     */
-  def annCandidatePairs(df: DataFrame, nBits: Int, nTables: Int): DataFrame = {
-    val buckets = lshBuckets(df, nBits, nTables)
+  def candidatesFromBuckets(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
     val b = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_b"))
     a.join(b, Seq("tbl", "sig"))
@@ -108,20 +110,30 @@ object Similarity {
       .distinct()
   }
 
+  /** Convenience form for in-process corpora (tests): builds the
+    * buckets inline.
+    */
+  def annCandidatePairs(df: DataFrame, nBits: Int, nTables: Int): DataFrame =
+    candidatesFromBuckets(lshBuckets(df, nBits, nTables))
+
   /** Near-dup pairs by exact cosine over the LSH candidates: fetch the
     * two vectors per deduplicated pair, verify cosine ≥ threshold.
-    * Input must have `vec_id` and array<double> `vec`.
+    * `df` must have `vec_id` and array<double> `vec`.
     */
-  def neardupPairs(df: DataFrame, nBits: Int, nTables: Int,
+  def neardupPairsFrom(buckets: DataFrame, df: DataFrame,
       threshold: Double): DataFrame = {
     val va = df.select(col("vec_id").as("vec_a"), col("vec").as("va"))
     val vb = df.select(col("vec_id").as("vec_b"), col("vec").as("vb"))
-    annCandidatePairs(df, nBits, nTables)
+    candidatesFromBuckets(buckets)
       .join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  def neardupPairs(df: DataFrame, nBits: Int, nTables: Int,
+      threshold: Double): DataFrame =
+    neardupPairsFrom(lshBuckets(df, nBits, nTables), df, threshold)
 
   /** IVF (inverted-file) ANN — the other classic scale path next to
     * LSH: a seeded k-means coarse quantizer partitions the corpus into
@@ -212,7 +224,13 @@ object Similarity {
     "x08_ann_lsh" -> ((spark, sfDir) => {
       val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
       val bits = chooseBits(e.count())
-      val buckets = lshBuckets(e, bits, DefaultTables)
+      // the bucket table feeds both candidate-join sides: checkpoint it
+      // to the lake once per dataset instead of recomputing the
+      // signature aggregation per plan branch
+      val buckets = Lake.materialize(spark, sfDir,
+        s"lsh_buckets_${bits}_$DefaultTables") {
+        lshBuckets(e, bits, DefaultTables)
+      }
       val qb = buckets.filter(col("vec_id") < 5)
         .select(col("tbl"), col("sig"), col("vec_id").as("query_id"))
       val cands = qb.join(buckets, Seq("tbl", "sig"))
@@ -241,7 +259,11 @@ object Similarity {
     "x09_embed_neardup" -> ((spark, sfDir) => {
       val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
       val bits = chooseBits(e.count())
-      neardupPairs(e, bits, DefaultTables, threshold = 0.2)
+      val buckets = Lake.materialize(spark, sfDir,
+        s"lsh_buckets_${bits}_$DefaultTables") {
+        lshBuckets(e, bits, DefaultTables)
+      }
+      neardupPairsFrom(buckets, e, threshold = 0.2)
         .orderBy(desc("cos"), col("vec_a"), col("vec_b"))
         .limit(100)
     }),

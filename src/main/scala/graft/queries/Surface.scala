@@ -438,11 +438,15 @@ object Surface {
 
     // PIVOT: long-to-wide conditional aggregation (DataFrame pivot with
     // explicit values, so no extra values-discovery job at scale).
+    // Pivot cells with no rows come back NULL; COUNT semantics (and the
+    // oracle's COUNT(CASE ...)) say 0 — fill so absent combinations
+    // don't diverge on other datasets.
     "c41_pivot" -> ((spark, sfDir) =>
       t(spark, sfDir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
         .orderBy(col("flag"))),
 
     // Exact percentiles (interpolated) + sample stddev per group.

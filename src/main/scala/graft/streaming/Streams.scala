@@ -2,57 +2,29 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.Lake
 
 /** Structured Streaming surface (SURVEY §2.C streaming row; the
   * reference only wishes for streaming ingestion, README.md:192).
   *
-  * The canonical shape: file-source readStream → event-time tumbling
-  * window + watermark → stateful aggregation → sink. For the
-  * correctness gate we drive the stream to completion over the static
-  * events table (processAllAvailable on a memory sink), so the result
-  * is deterministic and oracle-checkable against the equivalent batch
-  * aggregation — the semantics Structured Streaming guarantees.
+  * The canonical shape: file-source readStream → event-time transform
+  * with watermark → stateful operator → sink. For the correctness gate
+  * every query drives the stream to completion over the static events
+  * table, so results are deterministic and oracle-checkable against
+  * the equivalent batch query — the semantics Structured Streaming
+  * guarantees. Two sink harnesses:
+  *  - [[runToMemorySink]]: in-memory table, the oracle harness;
+  *  - [[runToParquetSink]]: append mode into a checkpointed parquet
+  *    file sink with Trigger.AvailableNow — the production shape
+  *    (exactly-once, resumable, no driver-side state); AvailableNow
+  *    processes everything and then runs the trailing no-data batch
+  *    that lets the watermark flush completed state.
   */
 object Streams {
 
   private type Q = (SparkSession, String) => DataFrame
-
-  /** Tumbling 1-day windowed count per event_type with a 1-day
-    * watermark, run to completion over the parquet events table.
-    */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    // File streams need an explicit schema — the on-disk one (ts is
-    // raw nanos-as-long, see Lake.table), converted after read exactly
-    // like the batch path.
-    val schema = Lake.rawSchema(spark, sfDir, "events")
-    val sinkName = "graft_stream_" + Integer.toHexString(sfDir.hashCode)
-    // File streams need a directory base path; select just the events
-    // file out of the sf directory with a glob filter.
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    spark.table(sinkName)
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"))
-      .orderBy(col("day"), col("event_type"))
-  }
 
   private def rmDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -60,148 +32,156 @@ object Streams {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** The production streaming shape the reference wishes for
-    * (README.md:192): append-mode event-time aggregation with a
-    * watermark, written to a parquet file sink with checkpointing —
-    * exactly-once, resumable, no driver-side state. Run over the
-    * static events table with Trigger.AvailableNow, which processes
-    * everything and then runs the trailing no-data batch that lets the
-    * watermark (max ts - 1 day) flush completed windows.
-    *
-    * Append mode can only ever emit windows the watermark has passed,
-    * so the query reports the fixed day range [01-01, 01-25] — fully
-    * inside watermark reach for every provisioned scale factor (events
-    * span Jan 1-30) — and the oracle states the same range.
+  /** Raw-file event stream: explicit on-disk schema (ts is raw
+    * nanos-as-long), converted after read exactly like the batch path;
+    * pathGlobFilter selects the events file out of the sf directory.
     */
-  def appendFileSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val micros = Lake.ensureMicrosEvents(spark, sfDir)
-    val schema = spark.read.parquet(micros).schema
-    val id = Integer.toHexString(sfDir.hashCode)
-    val outDir = s"/tmp/graft-stream/s02_out_$id"
-    val ckDir = s"/tmp/graft-stream/s02_ck_$id"
-    // deterministic re-run: a fresh checkpoint + sink per invocation
-    rmDir(spark, outDir); rmDir(spark, ckDir)
-    val agg = spark.readStream.schema(schema).parquet(micros)
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"))
-    val q = agg.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckDir)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-      .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
-      .orderBy(col("day"), col("event_type"))
-  }
-
-  /** Sliding windows (2-day window, 1-day slide): each event lands in
-    * two overlapping windows. Complete-mode memory sink as the oracle
-    * harness (every window visible), same as s01.
-    */
-  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Lake.rawSchema(spark, sfDir, "events")
-    val sinkName = "graft_stream_s03_" + Integer.toHexString(sfDir.hashCode)
-    val stream = spark.readStream
-      .schema(schema)
+  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(Lake.rawSchema(spark, sfDir, "events"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(sinkName)
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("wstart"),
-        col("event_type"), col("n"))
-      .orderBy(col("wstart"), col("event_type"))
+
+  /** Event stream over the micros-normalized copy (real TimestampType
+    * schema on disk).
+    */
+  private def microsEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    spark.readStream.schema(spark.read.parquet(micros).schema).parquet(micros)
   }
 
-  /** Stateful session windows: per-user sessions with a 30-minute
-    * inactivity gap (the session_window operator — Spark's built-in
-    * merging-state aggregation), append mode so only watermark-closed
-    * sessions are emitted. The DuckDB oracle is the equivalent batch
-    * gaps-and-islands query, restricted to the same watermark-safe
-    * day range.
+  /** Drive a streaming DataFrame to completion into a named memory
+    * sink; returns the sink table.
     */
-  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val micros = Lake.ensureMicrosEvents(spark, sfDir)
-    val schema = spark.read.parquet(micros).schema
-    val id = Integer.toHexString(sfDir.hashCode)
-    val outDir = s"/tmp/graft-stream/s04_out_$id"
-    val ckDir = s"/tmp/graft-stream/s04_ck_$id"
+  private def runToMemorySink(df: DataFrame, sinkName: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(sinkName).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(sinkName)
+  }
+
+  /** Drive an append-mode streaming DataFrame through a checkpointed
+    * parquet file sink with Trigger.AvailableNow; returns a batch read
+    * of the sink. Fresh sink + checkpoint per invocation so re-runs
+    * are deterministic.
+    */
+  private def runToParquetSink(spark: SparkSession, agg: DataFrame,
+      id: String): DataFrame = {
+    val outDir = s"/tmp/graft-stream/${id}_out"
+    val ckDir = s"/tmp/graft-stream/${id}_ck"
     rmDir(spark, outDir); rmDir(spark, ckDir)
-    val agg = spark.readStream.schema(schema).parquet(micros)
-      .withWatermark("ts", "1 day")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        col("n_events"))
     val q = agg.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckDir)
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir)
-      .filter(col("session_start") >= "2024-01-01" && col("session_start") < "2024-01-26")
-      .orderBy(col("user_id"), col("session_start"))
   }
 
-  /** Streaming deduplication: dropDuplicates emits only the first-seen
-    * row per (user_id, event_type) — the streaming-ingest dedup step of
-    * a training-data pipeline. Which duplicate arrives first is
-    * arrival-order dependent, so the deterministic (and oracle-checked)
-    * output is the per-type count of distinct users, aggregated from
-    * the deduplicated sink. Global-state dedup by choice: the
-    * watermark-scoped variant (dropDuplicatesWithinWatermark) only
-    * dedups near-in-time arrivals, which is a different contract.
+  private def tag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)
+
+  /** s01: tumbling 1-day windowed count per event_type with a 1-day
+    * watermark, complete-mode memory sink.
     */
-  def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val micros = Lake.ensureMicrosEvents(spark, sfDir)
-    val schema = spark.read.parquet(micros).schema
-    val sinkName = "graft_stream_s05_" + Integer.toHexString(sfDir.hashCode)
-    val q = spark.readStream.schema(schema).parquet(micros)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(sinkName)
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemorySink(
+      rawEventStream(spark, sfDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      s"graft_stream_${tag(sfDir)}", "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** s02: append-mode watermarked aggregation into the checkpointed
+    * file sink. Append mode can only ever emit windows the watermark
+    * has passed, so the query reports the fixed day range
+    * [01-01, 01-25] — fully inside watermark reach for every
+    * provisioned scale factor (events span Jan 1-30) — and the oracle
+    * states the same range.
+    */
+  def appendFileSink(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquetSink(spark,
+      microsEventStream(spark, sfDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n")),
+      s"s02_${tag(sfDir)}")
+      .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
+      .orderBy(col("day"), col("event_type"))
+
+  /** s03: sliding windows (2-day window, 1-day slide) — each event
+    * lands in two overlapping windows; complete-mode memory sink.
+    */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemorySink(
+      rawEventStream(spark, sfDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      s"graft_stream_s03_${tag(sfDir)}", "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  /** s04: per-user session windows with a 30-minute inactivity gap
+    * (session_window — Spark's built-in merging-state aggregation),
+    * append mode so only watermark-closed sessions are emitted; same
+    * watermark-safe day range as s02. Oracle: the equivalent batch
+    * gaps-and-islands query.
+    */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquetSink(spark,
+      microsEventStream(spark, sfDir)
+        .withWatermark("ts", "1 day")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events")),
+      s"s04_${tag(sfDir)}")
+      .filter(col("session_start") >= "2024-01-01" &&
+        col("session_start") < "2024-01-26")
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** s05: streaming deduplication — dropDuplicates emits only the
+    * first-seen row per (user_id, event_type), the streaming-ingest
+    * dedup step of a training-data pipeline. Which duplicate arrives
+    * first is arrival-order dependent, so the deterministic (and
+    * oracle-checked) output is the per-type count of distinct users,
+    * aggregated from the deduplicated sink. Global-state dedup by
+    * choice: the watermark-scoped variant (dropDuplicatesWithinWatermark)
+    * only dedups near-in-time arrivals, a different contract.
+    */
+  def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemorySink(
+      microsEventStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      s"graft_stream_s05_${tag(sfDir)}", "append")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("distinct_users"))
       .orderBy(col("event_type"))
-  }
 
-  /** Stream-stream interval join: each purchase joins the same user's
-    * clicks from the preceding hour. Both sides carry watermarks and
-    * the join condition bounds event-time distance, so state on either
-    * side is evictable — the scalable shape for stream joins. Inner
-    * joins emit eagerly on match, so the finite-input output set is
-    * exactly the batch join's (the oracle), independent of arrival
-    * order once aggregated per purchase day.
+  /** s06: stream-stream interval join — each purchase joins the same
+    * user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on either side is evictable — the scalable shape for stream
+    * joins. Inner joins emit eagerly on match, so the finite-input
+    * output set is exactly the batch join's (the oracle), independent
+    * of arrival order once aggregated per purchase day.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val micros = Lake.ensureMicrosEvents(spark, sfDir)
-    val schema = spark.read.parquet(micros).schema
-    val sinkName = "graft_stream_s06_" + Integer.toHexString(sfDir.hashCode)
-    val events = spark.readStream.schema(schema).parquet(micros)
+    val events = microsEventStream(spark, sfDir)
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
@@ -209,17 +189,12 @@ object Streams {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 day")
-    val q = purchases.join(clicks,
+    runToMemorySink(
+      purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("c_ts") <= col("p_ts"))
-      .writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(sinkName)
+          col("c_ts") <= col("p_ts")),
+      s"graft_stream_s06_${tag(sfDir)}", "append")
       .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("day"))
@@ -227,24 +202,14 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
-    "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
-    "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir)),
     "s02_stream_append_sink" -> ((spark, sfDir) => appendFileSink(spark, sfDir)),
     "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
-    "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir))
+    "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir)),
+    "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
+    "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir))
   )
 
   val oracles: Map[String, String] = Map(
-    "s05_stream_dedup" ->
-      ("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users " +
-        "FROM events GROUP BY 1 ORDER BY 1"),
-    "s06_stream_stream_join" ->
-      ("SELECT STRFTIME(CAST(p.ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n_pairs " +
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
-        "ON p.user_id = c.user_id " +
-        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
-        "GROUP BY 1 ORDER BY 1"),
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
         "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
@@ -275,6 +240,16 @@ object Streams {
         "COUNT(*) AS n_events FROM g GROUP BY user_id, sid) " +
         "SELECT user_id, session_start, n_events FROM s " +
         "WHERE session_start >= '2024-01-01' AND session_start < '2024-01-26' " +
-        "ORDER BY user_id, session_start")
+        "ORDER BY user_id, session_start"),
+    "s05_stream_dedup" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "s06_stream_stream_join" ->
+      ("SELECT STRFTIME(CAST(p.ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n_pairs " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id " +
+        "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

@@ -5,10 +5,16 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** Plan-inspection CLI: print the formatted physical plan of registered
-  * queries without executing them — the "is this the plan you'd want at
-  * 100 TB" review loop (broadcasts where expected, PushedFilters /
-  * PartitionFilters present, WholeStageCodegen spans wide, no
-  * cartesian products).
+  * queries — the "is this the plan you'd want at 100 TB" review loop
+  * (broadcasts where expected, PushedFilters / PartitionFilters
+  * present, WholeStageCodegen spans wide, no cartesian products).
+  *
+  * Note: batch queries are planned, not executed, but CONSTRUCTING a
+  * query can run setup work — streaming queries (s*) drive the stream
+  * to completion before returning their batch read-back, format
+  * round-trips write their sinks, and several x-queries materialize
+  * lake checkpoints. Name specific queries rather than running the
+  * whole registry.
   *
   * Usage: runMain graft.tools.Explain [sfDir] <query names...>
   */

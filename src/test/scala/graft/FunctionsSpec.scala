@@ -44,6 +44,27 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("native cosine NULL contract: zero norms and length mismatch") {
+    import spark.implicits._
+    // separate frames: Catalyst folds expressions over a LocalRelation
+    // eagerly, and the HOF Divide under ANSI throws on the zero-norm row
+    val good = Seq((1L, Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("id", "a", "b")
+    val rows = good.select(col("id"),
+      VectorExpressions.cosineNative(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(rows(0).getDouble(1) == rows(0).getDouble(2))
+    val edge = Seq(
+      (2L, Seq(0.0, 0.0), Seq(1.0, 2.0)),     // zero-norm left -> NULL, not NaN
+      (3L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)) // length mismatch -> NULL
+    ).toDF("id", "a", "b")
+      .select(col("id"), VectorExpressions.cosineNative(col("a"), col("b")).as("native"))
+      .orderBy("id").collect()
+    assert(edge(0).isNullAt(1), "zero-norm must be NULL (NaN would win desc rankings; " +
+      "the composed Divide would throw DIVIDE_BY_ZERO under ANSI)")
+    assert(edge(1).isNullAt(1), "length mismatch must be NULL, not a truncated score")
+  }
+
   test("native cosine rejects non-array inputs at analysis time") {
     val e = Lake.table(spark, SfDir, "embeddings")
     intercept[Exception] {
