@@ -200,8 +200,38 @@ object Streams {
       .orderBy(col("day"))
   }
 
+  /** s07: streaming ingestion into the partitioned lake — the
+    * reference's run_me_first.py ELT step (derive `date`, write
+    * hive-partitioned) as a continuous pipeline: raw stream →
+    * partitionBy(date) parquet sink with checkpointing. Verified by
+    * re-reading the ingested lake and counting per partition against
+    * the batch oracle.
+    */
+  def streamIngestPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = s"/tmp/graft-stream/s07_lake_${tag(sfDir)}_out"
+    val ckDir = s"/tmp/graft-stream/s07_lake_${tag(sfDir)}_ck"
+    rmDir(spark, outDir); rmDir(spark, ckDir)
+    val q = microsEventStream(spark, sfDir)
+      .withColumn("date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .partitionBy("date")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy(date_format(col("date"), "yyyy-MM-dd").as("date"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("date"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
+    "s07_stream_ingest_partitioned" ->
+      ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
     "s02_stream_append_sink" -> ((spark, sfDir) => appendFileSink(spark, sfDir)),
     "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
     "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir)),
@@ -210,6 +240,9 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "s07_stream_ingest_partitioned" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
         "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
