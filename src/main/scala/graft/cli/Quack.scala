@@ -45,6 +45,36 @@ object Quack {
     rule + line(columns) + rule + rows.map(line).mkString + rule + footer
   }
 
+  /** One client invocation against an existing engine (A6-A9 minus
+    * session lifecycle) — separated from main so the invoke path is
+    * unit-testable without owning/stopping a session.
+    */
+  def runWith(engine: SparkEngine, spark: SparkSession, query: Option[String],
+      limit: Int, debug: Boolean, sfDir: String): Unit = {
+    Lake.registerAll(spark, sfDir)
+    // A9: default smoke/health query when none given.
+    val q = query.getOrElse("SELECT COUNT(*) AS counts FROM lineitem")
+    val t0 = System.nanoTime()
+    try {
+      val resp = engine.execute(QueryRequest(q, Some(limit)))
+      val roundtripMs = (System.nanoTime() - t0) / 1000000
+      // A8: terminal rendering (10-row cap, 50-char truncation) from
+      // the already-collected records — one execution per invocation,
+      // not a show() re-run of the same query.
+      print(renderTable(resp.columns, resp.records,
+        SparkEngine.MaxRowsInTerminal, truncate = 50))
+      if (debug) {
+        val m = resp.metadata
+        println(s"timeMs=${m.timeMs} epochMs=${m.epochMs} eventId=${m.eventId} " +
+          s"warm=${m.warm} roundtripMs=$roundtripMs rows=${resp.records.size}")
+      }
+    } catch {
+      // Console.err (not System.err): redirectable, so the error
+      // surface is testable like the stdout grid.
+      case EngineException(msg) => Console.err.println(s"errorMessage: $msg")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     var query: Option[String] = None
     var limit = 10 // quack.py:171 client-side default
@@ -64,28 +94,7 @@ object Quack {
 
     val engine = SparkEngine.local("local[*]")
     val spark: SparkSession = engine.sql("SELECT 1").sparkSession
-    Lake.registerAll(spark, sfDir)
-
-    // A9: default smoke/health query when none given.
-    val q = query.getOrElse("SELECT COUNT(*) AS counts FROM lineitem")
-
-    val t0 = System.nanoTime()
-    try {
-      val resp = engine.execute(QueryRequest(q, Some(limit)))
-      val roundtripMs = (System.nanoTime() - t0) / 1000000
-      // A8: terminal rendering (10-row cap, 50-char truncation) from
-      // the already-collected records — one execution per invocation,
-      // not a show() re-run of the same query.
-      print(renderTable(resp.columns, resp.records,
-        SparkEngine.MaxRowsInTerminal, truncate = 50))
-      if (debug) {
-        val m = resp.metadata
-        println(s"timeMs=${m.timeMs} epochMs=${m.epochMs} eventId=${m.eventId} " +
-          s"warm=${m.warm} roundtripMs=$roundtripMs rows=${resp.records.size}")
-      }
-    } catch {
-      case EngineException(msg) => System.err.println(s"errorMessage: $msg")
-    }
-    spark.stop()
+    try runWith(engine, spark, query, limit, debug, sfDir)
+    finally spark.stop()
   }
 }

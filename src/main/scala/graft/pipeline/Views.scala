@@ -52,6 +52,36 @@ object Views {
       spark.read.parquet(artifact)
         .select(col("user_id").as("pickup_location_id"), col("counts").as("trips"))
         .orderBy(desc("trips"), col("pickup_location_id"))
+    }),
+
+    // Incremental refresh with dynamic partition overwrite (SURVEY §4:
+    // the idempotent pipeline-re-run semantics): a daily aggregate
+    // view partitioned by date is fully built, then the "new data
+    // arrived" step recomputes ONLY the latest day and overwrites just
+    // that partition. Under dynamic mode the other partitions survive;
+    // under static overwrite the table would be truncated to one day —
+    // so the oracle (the full batch aggregate) directly proves the
+    // overwrite semantics.
+    "p02_incremental_refresh" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val target = s"/tmp/graft-views/daily_counts_$hash"
+      val daily = Lake.table(spark, sfDir, "events")
+        .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // full build
+        daily.write.mode("overwrite").partitionBy("date").parquet(target)
+        // incremental step: the latest day only (bounded 1-row collect)
+        val lastDay = daily.agg(max(col("date"))).collect()(0).getDate(0)
+        daily.filter(col("date") === lit(lastDay))
+          .write.mode("overwrite").partitionBy("date").parquet(target)
+      } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      spark.read.parquet(target)
+        .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
+          col("event_type"), col("n"))
+        .orderBy(col("date"), col("event_type"))
     })
   )
 
@@ -60,6 +90,9 @@ object Views {
       ("SELECT user_id AS pickup_location_id, counts AS trips FROM (" +
         "SELECT user_id, COUNT(*) AS counts FROM events GROUP BY user_id " +
         "ORDER BY counts DESC, user_id LIMIT 200) t " +
-        "ORDER BY trips DESC, pickup_location_id")
+        "ORDER BY trips DESC, pickup_location_id"),
+    "p02_incremental_refresh" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, event_type, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -1,13 +1,34 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.cli.Quack
+import graft.engine.SparkEngine
 
 /** The CLI renders from the already-collected envelope records (one
-  * execution per invocation — A8); these pin the grid format.
+  * execution per invocation — A8); these pin the grid format and the
+  * end-to-end invoke path (A6/A7/A9).
   */
-class CliSpec extends AnyFunSuite {
+class CliSpec extends SparkSpec {
+
+  test("runWith renders the default smoke query and the debug envelope (A6/A8/A9)") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Quack.runWith(SparkEngine.wrap(spark), spark,
+        query = None, limit = 10, debug = true, sfDir = SfDir)
+    }
+    val s = out.toString("UTF-8")
+    assert(s.contains("|counts|"), s"no rendered grid in:\n$s")
+    assert(s.contains("timeMs=") && s.contains("warm=") && s.contains("rows=1"),
+      s"no debug envelope in:\n$s")
+  }
+
+  test("runWith surfaces engine errors as errorMessage (A7)") {
+    val err = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
+      Quack.runWith(SparkEngine.wrap(spark), spark,
+        query = Some("SELEKT broken"), limit = 10, debug = false, sfDir = SfDir)
+    }
+    assert(err.toString("UTF-8").contains("errorMessage:"))
+  }
 
   test("renderTable renders columns in schema order with a row cap") {
     val cols = Seq("b", "a")
