@@ -459,6 +459,24 @@ object Surface {
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
         .orderBy(col("flag"))),
 
+    // Explicit GROUPING SETS + GROUPING() marker (c09/c33 cover the
+    // ROLLUP/CUBE shorthands).
+    "c46_grouping_sets" -> sql(
+      "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n, " +
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ()) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 4"),
+
+    // Multiset set ops (c15-c17 cover the distinct forms); aggregated
+    // to (key, multiplicity) so the compare is order-insensitive.
+    "c47_setop_all" -> ((spark, sfDir) =>
+      t(spark, sfDir, "customer").select(col("c_nationkey").as("key"))
+        .intersectAll(t(spark, sfDir, "supplier").select(col("s_nationkey").as("key")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("key"))),
+
     // Salted join (operators/Skew): a hot fact key is split into 16
     // deterministic salt buckets; result is identical to the plain
     // join, which is exactly what the oracle checks.
@@ -688,6 +706,17 @@ object Surface {
         "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty, " +
         "ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "c46_grouping_sets" ->
+      ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n, " +
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag " +
+        "FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ()) " +
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 4"),
+    "c47_setop_all" ->
+      ("SELECT key, COUNT(*) AS n FROM (" +
+        "SELECT c_nationkey AS key FROM customer " +
+        "INTERSECT ALL SELECT s_nationkey AS key FROM supplier) t " +
+        "GROUP BY 1 ORDER BY 1"),
     "c45_join_full" ->
       ("SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both' " +
         "WHEN o_custkey IS NULL THEN 'customer_only' ELSE 'order_only' END AS side, " +
