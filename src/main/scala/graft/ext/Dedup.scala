@@ -156,16 +156,18 @@ object Dedup {
     * standard stopword-filtered similarity a dedup pipeline wants.
     */
   def ngramJaccardPairs(df: DataFrame, threshold: Double,
-      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+      checkpoint: DataFrame => DataFrame = identity,
+      nDocs: Long = -1L): DataFrame = {
     // the exploded shingle table feeds four plan branches (hot-list
     // agg, anti-join probe, sizes, both intersection sides) — callers
     // with a lake pass a materializing `checkpoint` so the tokenize +
     // explode scan runs once, not per branch
     val sh0 = checkpoint(
       df.select(col("doc_id"), explode(shingles(3)).as("shingle")))
-    // Corpus count resolved eagerly (one metadata-cheap count job) so
-    // the cap is a literal in the plan, not a single-row join arm.
-    val cap = math.max(50L, df.count() / 100L)
+    // The cap is a literal in the plan, not a single-row join arm.
+    // Callers with a lake pass nDocs from footer metadata (Lake.rowCount)
+    // so no count() job runs per invocation; in-memory callers fall back.
+    val cap = math.max(50L, (if (nDocs >= 0L) nDocs else df.count()) / 100L)
     val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
       .filter(col("df_c") > cap)
       .select(col("shingle"))
@@ -242,7 +244,8 @@ object Dedup {
     // gets a full DuckDB oracle.
     "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
       ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh))
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b")))
   )
 

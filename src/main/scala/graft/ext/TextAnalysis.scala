@@ -83,7 +83,9 @@ object TextAnalysis {
     // and the rounded value is the sort key.
     "x15_tfidf" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      val nDocs = d.count() // resolved eagerly: idf's N is a plan literal
+      // idf's N is a plan literal, resolved from parquet footer counts
+      // (cached) — not a full-table count() job per invocation.
+      val nDocs = Lake.rowCount(spark, sfDir, "documents")
       // tf feeds two consumers (the join probe and the df aggregation);
       // checkpoint it to the lake so the tokenize+aggregate scan runs
       // once per dataset, not once per plan branch.

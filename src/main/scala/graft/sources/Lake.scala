@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * partitioning on a low-cardinality derived key (date), file sizes
   * governed by `spark.sql.files.maxPartitionBytes` on read and
   * `repartition(n, key)` before write.
+  *
+  * Caching layers (all cheap, all scale-motivated):
+  *  - derived-table paths carry a fingerprint of the source files, so
+  *    regenerated inputs invalidate /tmp copies automatically;
+  *  - a bounded LRU of resolved DataFrames per (session, path) avoids
+  *    re-listing + re-reading parquet footers on every query — at
+  *    object-store scale each listing is a round-trip, and the
+  *    reference's warm-session design amortizes exactly this;
+  *  - corpus row counts come from parquet footer metadata, not a scan
+  *    job ([[rowCount]]) — sizing decisions (LSH bits, hot-key caps,
+  *    idf N) must not cost a full-table pass per query at 100 TB.
   */
 object Lake {
 
@@ -26,6 +37,103 @@ object Lake {
   val tableNames: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val OutTsKey = "spark.sql.parquet.outputTimestampType"
+
+  /** Run `body` with the given session confs set, restoring the previous
+    * values (or unsetting) afterwards — derived-table builds must not
+    * leave session-global side effects (a later unrelated write would
+    * silently inherit TIMESTAMP_MICROS).
+    */
+  def withConf[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Fingerprint of the source dataset at sfDir: length + mtime of every
+    * table file folded into one hex word. Folded into every derived-table
+    * path so regenerated inputs can never serve a stale /tmp copy.
+    * Cached per sfDir — one listing per process, not per query.
+    */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def fingerprint(spark: SparkSession, sfDir: String): String =
+    fpCache.computeIfAbsent(sfDir, _ => {
+      val (fs, _) = hadoopFs(spark, sfDir)
+      val h = tableNames.foldLeft(17L) { (acc, n) =>
+        val p = new org.apache.hadoop.fs.Path(s"$sfDir/$n.parquet")
+        val x =
+          if (fs.exists(p)) {
+            val st = fs.getFileStatus(p)
+            st.getLen * 31 + st.getModificationTime
+          } else 0L
+        acc * 1000003L + x
+      }
+      java.lang.Long.toHexString(h)
+    })
+
+  /** Exact row count of a source table from parquet footer metadata —
+    * no Spark job, no data scan. Cached per (sfDir, table). This is how
+    * per-query sizing decisions (LSH signature width, document-frequency
+    * caps, idf's N) stay O(footers) instead of a full-table count() at
+    * every invocation.
+    */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent(s"$sfDir/$name", _ => {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sparkContext.hadoopConfiguration
+      val (fs, p) = hadoopFs(spark, s"$sfDir/$name.parquet")
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(p))
+      files.map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
+  /** Bounded LRU of resolved DataFrames keyed by (session identity,
+    * path): `spark.read.parquet` builds a fresh file index (a listing +
+    * footer read) per call; reusing the analyzed plan is the in-session
+    * analog of the reference's warm engine. Plans are immutable, so
+    * sharing is safe; derived paths are fingerprinted, so staleness is
+    * keyed away rather than aged out.
+    */
+  private val ReadCacheMax = 64
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DataFrame](ReadCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > ReadCacheMax
+    })
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val key = System.identityHashCode(spark).toString + "|" + path
+    val hit = dfCache.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(path)
+      dfCache.put(key, df)
+      df
+    }
+  }
 
   /** B1: path-addressed parquet scan.
     *
@@ -38,8 +146,8 @@ object Lake {
     * computed expression — a full scan of the fact table at 100 TB.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") spark.read.parquet(ensureMicrosEvents(spark, sfDir))
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") cachedRead(spark, ensureMicrosEvents(spark, sfDir))
+    else cachedRead(spark, s"$sfDir/$name.parquet")
 
   /** The raw events file as stored: parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright. We read nanos as raw
@@ -48,48 +156,80 @@ object Lake {
     * truncation DuckDB applies when it narrows ns → µs, so both
     * engines see identical values. DIV keeps the arithmetic in 64-bit
     * integers (a double round-trip would lose precision at 1e18 ns).
+    *
+    * NOTE: the nanos-as-long conf must also be set when the returned
+    * plan EXECUTES, not just when the schema is read — callers that
+    * run an action over this frame wrap it in [[withConf]]
+    * ([[ensureMicrosEvents]] does; the streaming path sets it for the
+    * stream's lifetime).
     */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(NanosKey, "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Targets whose _SUCCESS marker this process has already confirmed —
+    * skips the synchronized existence probe on the hot path (at
+    * object-store scale each probe is a round-trip).
+    */
+  private val doneTargets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build `target` once, gated on its _SUCCESS marker, holding the
+    * given scoped confs during the build; idempotent and side-effect
+    * free on session conf.
+    */
+  private def ensureBuilt(spark: SparkSession, target: String,
+      confs: Seq[(String, String)])(build: => Unit): String = {
+    if (!doneTargets.contains(target)) {
+      this.synchronized {
+        val (fs, marker) = hadoopFs(spark, s"$target/_SUCCESS")
+        if (!fs.exists(marker)) withConf(spark, confs: _*)(build)
+      }
+      doneTargets.add(target)
+    }
+    target
+  }
+
+  private def derivedPath(spark: SparkSession, sfDir: String,
+      name: String, targetRoot: String = "/tmp/graft-lake"): String = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = fingerprint(spark, sfDir)
+    s"$targetRoot/${name}_${slug}_$fp"
   }
 
   /** One-time ingest normalization (the run_me_first.py analog): write
     * `events` once with `ts` as parquet TIMESTAMP(MICROS). At 100 TB
     * this is the standard "normalize at ingest" step — you pay one
     * rewrite so that every later time-bounded query prunes row groups
-    * instead of full-scanning the fact table. Idempotent per sfDir,
-    * gated on the _SUCCESS marker like [[ensurePartitionedEvents]].
+    * instead of full-scanning the fact table. Idempotent per source
+    * fingerprint; gated on the _SUCCESS marker.
     */
   def ensureMicrosEvents(
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
-    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hash = Integer.toHexString(sfDir.hashCode)
-    val target = s"$targetRoot/events_micros_${slug}_$hash"
-    this.synchronized {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) {
-        // MICROS (not INT96): INT96 timestamps don't support parquet
-        // predicate pushdown, which is the whole point of this copy.
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        rawEvents(spark, sfDir).write.mode("overwrite").parquet(target)
-      }
+    val target = derivedPath(spark, sfDir, "events_micros", targetRoot)
+    // MICROS (not INT96): INT96 timestamps don't support parquet
+    // predicate pushdown, which is the whole point of this copy.
+    ensureBuilt(spark, target,
+      Seq(NanosKey -> "true", OutTsKey -> "TIMESTAMP_MICROS")) {
+      rawEvents(spark, sfDir).write.mode("overwrite").parquet(target)
     }
-    target
   }
 
   /** Raw (unconverted) schema of a table as stored — for readStream,
     * which must declare the on-disk schema before any conversion.
+    * Schema inference is eager, so the nanos conf is scoped here; a
+    * stream that SCANS the raw file must set it for its own lifetime
+    * (see Streams.rawEventStream).
     */
-  def rawSchema(spark: SparkSession, sfDir: String, name: String) = {
+  def rawSchema(spark: SparkSession, sfDir: String, name: String) =
     if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet").schema
-  }
+      withConf(spark, NanosKey -> "true") {
+        spark.read.parquet(s"$sfDir/$name.parquet").schema
+      }
+    else spark.read.parquet(s"$sfDir/$name.parquet").schema
 
   /** Last sfDir registered per session — registerAll is called on every
     * SQL-path query, and re-reading 10 parquet footers per query is 10
@@ -114,8 +254,8 @@ object Lake {
 
   /** A16 + A17: derive `date` from the event timestamp and write a
     * hive-partitioned copy (mirror of run_me_first.py:95-98, with
-    * `events.ts` standing in for `pickup_at`). Idempotent per sfDir;
-    * the _SUCCESS marker gates rewrite.
+    * `events.ts` standing in for `pickup_at`). Idempotent per source
+    * fingerprint; the _SUCCESS marker gates rewrite.
     *
     * We deliberately keep Spark's native partition-column type
     * inference ON: the partition key reads back as DateType (the
@@ -127,56 +267,37 @@ object Lake {
   def ensurePartitionedEvents(
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
-    // Collision-free cache key: a readable slug plus a hash of the full
-    // path, so distinct sfDirs can never alias each other's copy.
-    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hash = Integer.toHexString(sfDir.hashCode)
-    val target = s"$targetRoot/events_by_date_${slug}_$hash"
-    this.synchronized {
-      // Hadoop FileSystem (not java.io.File) so the idempotence gate works
-      // on any supported filesystem (local, HDFS, s3a), per the
-      // object-storage framing of the layout.
-      val conf = spark.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) {
-        // Same MICROS rule as ensureMicrosEvents: keep `ts` pushdown-capable
-        // in the partitioned copy too.
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        table(spark, sfDir, "events")
-          .withColumn("date", to_date(col("ts")))
-          // Bounded shuffle: hash dates into a fixed number of tasks
-          // instead of one task per date (a hot date would otherwise be a
-          // single straggler task at scale); maxRecordsPerFile keeps any
-          // one output file bounded regardless of date skew.
-          .repartition(32, col("date"))
-          .write.mode("overwrite")
-          .option("maxRecordsPerFile", 5000000)
-          .partitionBy("date").parquet(target)
-      }
+    val target = derivedPath(spark, sfDir, "events_by_date", targetRoot)
+    // Same MICROS rule as ensureMicrosEvents: keep `ts` pushdown-capable
+    // in the partitioned copy too.
+    ensureBuilt(spark, target, Seq(OutTsKey -> "TIMESTAMP_MICROS")) {
+      table(spark, sfDir, "events")
+        .withColumn("date", to_date(col("ts")))
+        // Bounded shuffle: hash dates into a fixed number of tasks
+        // instead of one task per date (a hot date would otherwise be a
+        // single straggler task at scale); maxRecordsPerFile keeps any
+        // one output file bounded regardless of date skew.
+        .repartition(32, col("date"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 5000000)
+        .partitionBy("date").parquet(target)
     }
-    target
   }
 
-  /** Materialize a derived table to the lake once per (sfDir, name),
-    * gated on _SUCCESS like the events copies, and read it back. This
-    * is the "checkpoint the expensive intermediate to the lake" step a
-    * 100 TB pipeline uses instead of executor-memory caching: durable,
-    * shared across sessions, no cache entries pinned for the session's
-    * lifetime.
+  /** Materialize a derived table to the lake once per (source
+    * fingerprint, name), gated on _SUCCESS like the events copies, and
+    * read it back. This is the "checkpoint the expensive intermediate
+    * to the lake" step a 100 TB pipeline uses instead of
+    * executor-memory caching: durable, shared across sessions, no cache
+    * entries pinned for the session's lifetime.
     */
   def materialize(spark: SparkSession, sfDir: String, name: String)(
       build: => DataFrame): DataFrame = {
-    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val hash = Integer.toHexString(sfDir.hashCode)
-    val target = s"/tmp/graft-lake/${name}_${slug}_$hash"
-    this.synchronized {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val path = new org.apache.hadoop.fs.Path(target, "_SUCCESS")
-      val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) build.write.mode("overwrite").parquet(target)
+    val target = derivedPath(spark, sfDir, name)
+    ensureBuilt(spark, target, Seq.empty) {
+      build.write.mode("overwrite").parquet(target)
     }
-    spark.read.parquet(target)
+    cachedRead(spark, target)
   }
 
   /** B2/B3: scan of the hive-partitioned copy; a filter on `date`
@@ -184,5 +305,5 @@ object Lake {
     * construction, benchmark.py:227-240, done by Catalyst instead).
     */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(ensurePartitionedEvents(spark, sfDir))
+    cachedRead(spark, ensurePartitionedEvents(spark, sfDir))
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Lake-level contracts: conf hygiene, metadata row counts, and the
+  * HLL accuracy bound backing the rows-only c11 entry.
+  */
+class LakeSpec extends SparkSpec {
+
+  test("table() leaves no session-conf side effects (scoped set/restore)") {
+    val keys = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.outputTimestampType")
+    // capture whatever the suite's session currently has
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    // force the derived-copy path end-to-end (build may or may not run
+    // depending on prior suites — both paths must be side-effect free)
+    Lake.table(spark, SfDir, "events").count()
+    Lake.partitionedEvents(spark, SfDir).count()
+    keys.foreach { k =>
+      assert(spark.conf.getOption(k) == before(k),
+        s"$k leaked: was ${before(k)}, now ${spark.conf.getOption(k)}")
+    }
+  }
+
+  test("rowCount from parquet footers equals a full count()") {
+    // events is TIMESTAMP(NANOS) on disk — the raw comparison read needs
+    // the nanos conf (scoped, proving it no longer lingers from table())
+    Seq("events", "documents", "embeddings", "lineitem").foreach { t =>
+      val exact = Lake.withConf(spark,
+        "spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+        spark.read.parquet(s"$SfDir/$t.parquet").count()
+      }
+      assert(Lake.rowCount(spark, SfDir, t) === exact, t)
+    }
+  }
+
+  test("derived paths carry the source fingerprint") {
+    val p = Lake.ensureMicrosEvents(spark, SfDir)
+    assert(p.contains(Lake.fingerprint(spark, SfDir)),
+      s"derived path $p does not embed the source fingerprint")
+  }
+
+  test("c11 approx_count_distinct is within 5% of exact per event_type") {
+    val e = Lake.table(spark, SfDir, "events")
+    val approx = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$k: approx $a vs exact $n exceeds 5%")
+    }
+  }
+}
