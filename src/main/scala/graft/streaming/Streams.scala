@@ -22,6 +22,15 @@ import graft.sources.Lake
   *    processes everything and then runs the trailing no-data batch
   *    that lets the watermark flush completed state.
   */
+/** Open-session accumulator for s08's custom state: epoch-millis
+  * bounds + event count. Top-level so Spark can derive an Encoder.
+  */
+case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+
+/** Watermark-closed session emitted by s08 (end = last event + gap). */
+case class ClosedSession(user_id: Long, session_start_ts: java.sql.Timestamp,
+    session_end_ts: java.sql.Timestamp, n_events: Long)
+
 object Streams {
 
   private type Q = (SparkSession, String) => DataFrame
@@ -36,12 +45,18 @@ object Streams {
     * nanos-as-long), converted after read exactly like the batch path;
     * pathGlobFilter selects the events file out of the sf directory.
     */
-  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame =
+  private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // The raw stream scans TIMESTAMP(NANOS) parquet at execution time,
+    // so nanos-as-long must hold for the stream's LIFETIME — a scoped
+    // set/restore (Lake.withConf) would be unset again by the time the
+    // microbatches run. Deliberately session-global here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(Lake.rawSchema(spark, sfDir, "events"))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Event stream over the micros-normalized copy (real TimestampType
     * schema on disk).
@@ -134,9 +149,15 @@ object Streams {
 
   /** s04: per-user session windows with a 30-minute inactivity gap
     * (session_window — Spark's built-in merging-state aggregation),
-    * append mode so only watermark-closed sessions are emitted; same
-    * watermark-safe day range as s02. Oracle: the equivalent batch
-    * gaps-and-islands query.
+    * append mode so only watermark-closed sessions are emitted. The
+    * reported set is bounded on BOTH session endpoints — start ≥ 01-01
+    * and end < 01-26 — and the oracle states the same bounds: a
+    * session that STARTS inside the range but whose event chain
+    * extends to within a watermark of max event time would never be
+    * flushed in append mode, so bounding only the start is a latent
+    * divergence at denser scale factors. Every session with
+    * end < 01-26 is watermark-flushed at all provisioned SFs (final
+    * watermark ≈ max ts − 1 day ≈ 01-29).
     */
   def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
     runToParquetSink(spark,
@@ -145,31 +166,41 @@ object Streams {
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
-          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
-            .as("session_start"),
+          col("session_window.start").as("session_start_ts"),
+          col("session_window.end").as("session_end_ts"),
           col("n_events")),
       s"s04_${tag(sfDir)}")
-      .filter(col("session_start") >= "2024-01-01" &&
-        col("session_start") < "2024-01-26")
+      .filter(col("session_start_ts") >= "2024-01-01" &&
+        col("session_end_ts") < "2024-01-26")
+      .select(col("user_id"),
+        date_format(col("session_start_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** s05: streaming deduplication — dropDuplicates emits only the
-    * first-seen row per (user_id, event_type), the streaming-ingest
-    * dedup step of a training-data pipeline. Which duplicate arrives
-    * first is arrival-order dependent, so the deterministic (and
-    * oracle-checked) output is the per-type count of distinct users,
-    * aggregated from the deduplicated sink. Global-state dedup by
-    * choice: the watermark-scoped variant (dropDuplicatesWithinWatermark)
-    * only dedups near-in-time arrivals, a different contract.
+  /** s05: streaming deduplication with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` keeps a key only until the
+    * watermark passes its event time plus the delay, so the state
+    * store is evictable on an unbounded stream. (Global-state
+    * `dropDuplicates` — the round-3 shape — retains every key ever
+    * seen: a guaranteed OOM on a 100 TB ingest stream, so it is
+    * deliberately NOT on the ingest path anymore.)
+    *
+    * Determinism: which duplicate is emitted first is arrival-order
+    * dependent, and a key could in principle re-emit after eviction,
+    * so the oracle-checked output aggregates the deduplicated sink
+    * with COUNT(DISTINCT user_id) per type — identical to the batch
+    * distinct count regardless of batch splits or re-emission.
     */
   def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame =
     runToMemorySink(
       microsEventStream(spark, sfDir)
-        .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type"),
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type"),
       s"graft_stream_s05_${tag(sfDir)}", "append")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("distinct_users"))
+      .agg(count_distinct(col("user_id")).as("distinct_users"))
       .orderBy(col("event_type"))
 
   /** s06: stream-stream interval join — each purchase joins the same
@@ -198,6 +229,73 @@ object Streams {
       .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("day"))
+  }
+
+  /** s08: custom-state sessionization via flatMapGroupsWithState — the
+    * hand-rolled analog of s04's built-in session_window, for session
+    * semantics the built-in can't express (here it reproduces the same
+    * 30-minute-gap contract so the s04 gaps-and-islands SQL can oracle
+    * it). State per user is the list of sessions not yet watermark-
+    * closed; an event-time timeout flushes a session once the watermark
+    * passes its end, so state is bounded by the gap + watermark delay —
+    * never by stream length. Same dual endpoint bounds as s04.
+    */
+  def statefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val GapMs = 30L * 60 * 1000
+    val sessions = microsEventStream(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "1 day")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionAcc], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[List[SessionAcc]]) =>
+          val open = state.getOption.getOrElse(Nil)
+          // Merge this batch's (unordered) events into the open-session
+          // list. An event chains into a session when it is strictly
+          // within the gap of either endpoint (an event at exactly
+          // start+gap opens a NEW session — session_window semantics,
+          // mirrored in the oracle); an event within the gap of TWO
+          // sessions bridges and merges them.
+          def insert(sessions: List[SessionAcc], t: Long): List[SessionAcc] = {
+            val (near, far) = sessions.partition(s =>
+              s.startMs - t < GapMs && t - s.lastMs < GapMs)
+            val merged =
+              if (near.isEmpty) SessionAcc(t, t, 1)
+              else SessionAcc(
+                math.min(near.map(_.startMs).min, t),
+                math.max(near.map(_.lastMs).max, t),
+                near.map(_.n).sum + 1)
+            merged :: far
+          }
+          val ts = events.map(_._2.getTime).toArray.sorted
+          val merged = ts.foldLeft(open)(insert)
+          // flush every session the watermark has closed (end = last+gap)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = merged.partition(_.lastMs + GapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            // wake up when the earliest open session becomes flushable
+            // (must be strictly beyond the current watermark)
+            val next = stillOpen.map(_.lastMs + GapMs).min
+            state.setTimeoutTimestamp(math.max(next, wm + 1))
+          }
+          closed.map(s => ClosedSession(user,
+            new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.lastMs + GapMs), s.n)).iterator
+      }
+    runToParquetSink(spark, sessions.toDF(), s"s08_${tag(sfDir)}")
+      .filter(col("session_start_ts") >= "2024-01-01" &&
+        col("session_end_ts") < "2024-01-26")
+      .select(col("user_id"),
+        date_format(col("session_start_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** s07: streaming ingestion into the partitioned lake — the
@@ -236,8 +334,29 @@ object Streams {
     "s03_stream_sliding" -> ((spark, sfDir) => slidingCounts(spark, sfDir)),
     "s04_stream_session" -> ((spark, sfDir) => sessionCounts(spark, sfDir)),
     "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
-    "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir))
+    "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir)),
+    "s08_stream_stateful_session" ->
+      ((spark, sfDir) => statefulSessions(spark, sfDir))
   )
+
+  // gaps-and-islands: a session breaks where the inactivity gap is
+  // >= 30 minutes (session_window semantics: an event at exactly
+  // start+gap opens a new session). Both endpoints bounded, mirroring
+  // the append-mode emission contract: start >= 01-01 AND
+  // end (= last event + 30 min) < 01-26.
+  private val sessionOracleSql: String =
+    "WITH o AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev " +
+      "FROM events), " +
+      "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS new_s FROM o), " +
+      "g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
+      "s AS (SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts, " +
+      "COUNT(*) AS n_events FROM g GROUP BY user_id, sid) " +
+      "SELECT user_id, STRFTIME(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start, n_events " +
+      "FROM s WHERE start_ts >= TIMESTAMP '2024-01-01' " +
+      "AND end_ts + INTERVAL 30 MINUTE < TIMESTAMP '2024-01-26' " +
+      "ORDER BY user_id, session_start"
 
   val oracles: Map[String, String] = Map(
     "s07_stream_ingest_partitioned" ->
@@ -259,21 +378,10 @@ object Streams {
         "UNION ALL SELECT d - 1 AS wstart, event_type FROM ev) " +
         "SELECT STRFTIME(wstart, '%Y-%m-%d') AS wstart, event_type, COUNT(*) AS n " +
         "FROM slides GROUP BY 1, 2 ORDER BY 1, 2"),
-    // gaps-and-islands: a session breaks where the inactivity gap is
-    // >= 30 minutes (session_window semantics: an event at exactly
-    // start+gap opens a new session)
-    "s04_stream_session" ->
-      ("WITH o AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev " +
-        "FROM events), " +
-        "f AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_s FROM o), " +
-        "g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
-        "ROWS UNBOUNDED PRECEDING) AS sid FROM f), " +
-        "s AS (SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
-        "COUNT(*) AS n_events FROM g GROUP BY user_id, sid) " +
-        "SELECT user_id, session_start, n_events FROM s " +
-        "WHERE session_start >= '2024-01-01' AND session_start < '2024-01-26' " +
-        "ORDER BY user_id, session_start"),
+    "s04_stream_session" -> sessionOracleSql,
+    // s08 reproduces s04's session contract through custom state, so it
+    // shares the gaps-and-islands oracle verbatim.
+    "s08_stream_stateful_session" -> sessionOracleSql,
     "s05_stream_dedup" ->
       ("SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users " +
         "FROM events GROUP BY 1 ORDER BY 1"),
