@@ -28,9 +28,12 @@ object Quack {
   def renderTable(columns: Seq[String], records: Seq[Map[String, Any]],
       maxRows: Int, truncate: Int): String = {
     val shown = records.take(maxRows)
+    // clamp: substring(0, truncate - 3) throws for truncate < 3 and the
+    // parameter is public — 4 is the smallest width where "x..." fits
+    val trunc = math.max(truncate, 4)
     def cell(v: Any): String = {
       val s = v match { case null => "NULL"; case x => x.toString }
-      if (s.length > truncate) s.substring(0, truncate - 3) + "..." else s
+      if (s.length > trunc) s.substring(0, trunc - 3) + "..." else s
     }
     val rows = shown.map(r => columns.map(c => cell(r.getOrElse(c, null))))
     val widths = columns.zipWithIndex.map { case (c, i) =>

@@ -33,8 +33,10 @@ object VectorExpressions {
 }
 
 /** Scalar cosine similarity; null-safe on the array level (null array →
-  * null result); float arrays are widened element-wise exactly like a
-  * cast-then-multiply. Elements must be non-null (embedding vectors).
+  * null result) AND the element level (any null element → null result,
+  * matching the composed HOF form — a silent 0.0 would fabricate a
+  * plausible score from a corrupt vector); float arrays are widened
+  * element-wise exactly like a cast-then-multiply.
   *
   * NULL contract (deliberate, and stricter than the composed form):
   *  - zero-norm input → NULL. Java division would yield NaN — which
@@ -79,6 +81,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val lf = isFloat(left); val rf = isFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      // a null element would otherwise read as 0.0 and fabricate a
+      // score; the composed HOF form returns NULL — match it
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -105,15 +110,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      // null element: NULL result (matches the HOF form), not a
+         |      // fabricated score from a silent 0.0
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    final double xi = $getA;
          |    final double yi = $getB;
          |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
          |  }
-         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -135,6 +135,18 @@ object Core {
     "b12_set_conf" -> ((spark, _) =>
       spark.sql("SET spark.sql.shuffle.partitions")),
 
+    // B14: multi-path scan — the reference's canonical entry takes a
+    // LIST of parquet paths (`read_parquet([...])`, quack.py:145-146);
+    // Spark-first: varargs `spark.read.parquet(p1, p2)` over two
+    // explicit partition leaf directories of the hive layout, unioned
+    // into one scan relation (one file index, not a UNION plan).
+    "b14_multipath_scan" -> ((spark, sfDir) => {
+      val root = Lake.ensurePartitionedEvents(spark, sfDir)
+      spark.read.parquet(s"$root/date=2024-01-03", s"$root/date=2024-01-04")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // B13: view reference / name→path registration (dbt `ref` analog).
     "b13_view_ref" -> ((spark, sfDir) => {
       Lake.registerAll(spark, sfDir)
@@ -189,6 +201,13 @@ object Core {
     "b13_view_ref" ->
       ("SELECT user_id, counts FROM " +
         "(SELECT user_id, COUNT(*) AS counts FROM events GROUP BY user_id) t " +
-        "ORDER BY counts DESC, user_id LIMIT 10")
+        "ORDER BY counts DESC, user_id LIMIT 10"),
+    // OR-equality, not IN: DuckDB coerces `CAST(ts AS DATE) IN (DATE
+    // ...)` back to timestamp comparison and matches nothing.
+    "b14_multipath_scan" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE CAST(ts AS DATE) = DATE '2024-01-03' " +
+        "OR CAST(ts AS DATE) = DATE '2024-01-04' " +
+        "ORDER BY event_id")
   )
 }

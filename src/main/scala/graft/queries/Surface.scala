@@ -535,7 +535,28 @@ object Surface {
         .groupBy(col("o_orderpriority").as("priority"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty_sum"))
         .orderBy(col("priority"))
-    })
+    }),
+
+    // Right-outer join (the c03 mirror — completes the join-type
+    // matrix's right row): every customer is preserved from the right
+    // side; order counts are 0 where no orders matched.
+    "c48_join_right" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .join(t(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+        .limit(200)),
+
+    // Cross join (explicit, tiny×tiny): region × nation — the one
+    // legitimate cartesian in the library. Bounded by construction
+    // (5 × 25); large-side cartesians are banned and plan-asserted
+    // (PlanSpec's no-cartesian guard covers the dedup/ANN operators).
+    "c49_join_cross" -> ((spark, sfDir) =>
+      t(spark, sfDir, "region").select(col("r_name"))
+        .crossJoin(t(spark, sfDir, "nation").select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -548,6 +569,11 @@ object Surface {
     "c03_join_left" ->
       ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer " +
         "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1 LIMIT 200"),
+    "c48_join_right" ->
+      ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM orders " +
+        "RIGHT JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1 LIMIT 200"),
+    "c49_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY 1, 2",
     "c04_join_semi" ->
       ("SELECT c_custkey, c_name FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey LIMIT 100"),

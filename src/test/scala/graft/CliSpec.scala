@@ -51,4 +51,14 @@ class CliSpec extends SparkSpec {
     assert(!out.contains("y" * 48))
     assert(out.contains("NULL"))
   }
+
+  test("renderTable clamps tiny truncate widths instead of throwing") {
+    // substring(0, truncate - 3) would throw for truncate < 3; the
+    // public parameter clamps to the smallest width where "x..." fits
+    (0 to 4).foreach { tr =>
+      val out = Quack.renderTable(Seq("x"),
+        Seq(Map[String, Any]("x" -> "abcdefgh")), maxRows = 10, truncate = tr)
+      assert(out.contains("a..."), s"truncate=$tr")
+    }
+  }
 }

@@ -65,6 +65,25 @@ class FunctionsSpec extends SparkSpec {
     assert(edge(1).isNullAt(1), "length mismatch must be NULL, not a truncated score")
   }
 
+  test("native cosine NULL contract: null element nulls the score (codegen + eval)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, null)),
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0))
+    ).toDF("id", "a", "b")
+    def run(): Seq[(Long, Boolean)] =
+      df.select(col("id"), VectorExpressions.cosineNative(col("a"), col("b")))
+        .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq.sortBy(_._1)
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(run() == codegen, "codegen and eval disagree on null elements")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(codegen == Seq((1L, true), (2L, true), (3L, false)),
+      "a null element must NULL the score, not contribute a silent 0.0")
+  }
+
   test("native cosine rejects non-array inputs at analysis time") {
     val e = Lake.table(spark, SfDir, "embeddings")
     intercept[Exception] {
