@@ -1,0 +1,106 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{EngineException, QueryRequest, SparkEngine}
+import graft.sources.Lake
+
+/** Minimal HTTP transport around [[SparkEngine.execute]] — the
+  * reference's remaining architectural element (its client invokes the
+  * engine over a remote boundary, quack.py:31-46 → app.py:27-58). The
+  * in-process method call stays the primary boundary (SURVEY §3.1);
+  * this front exists so a user of the reference's deployment shape has
+  * the same wire contract here:
+  *
+  *   POST /query  {"q": "<SQL>", "limit": N}
+  *     → 200 {"metadata": {...}, "records": [...], "columns": [...]}
+  *     → 200 {"errorMessage": "..."}   (engine errors surface in-band,
+  *       exactly like the reference's lambda payload, quack.py:65-68)
+  *   GET /health  → 200 {"ok": true, "warm": <bool>}
+  *
+  * Malformed transport-level input (non-JSON body) is a 400 — that is
+  * a client bug, not a query error. JSON in/out via Jackson (already on
+  * the Spark classpath); threading via the JDK server's executor — the
+  * engine serializes Spark job submission per session anyway, so a
+  * small pool is enough.
+  */
+object HttpFront {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  def start(engine: SparkEngine, spark: SparkSession, sfDir: String,
+      port: Int): HttpServer = {
+    Lake.registerAll(spark, sfDir)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/query", (ex: HttpExchange) => handleQuery(engine, ex))
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, Map("ok" -> true, "warm" -> engine.isWarm)))
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+
+  private def handleQuery(engine: SparkEngine, ex: HttpExchange): Unit = {
+    if (ex.getRequestMethod != "POST") {
+      respond(ex, 405, Map("errorMessage" -> "POST required"))
+      return
+    }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val req =
+      try {
+        val node = mapper.readTree(if (body.isEmpty) "{}" else body)
+        QueryRequest(
+          q = node.path("q").asText(""),
+          limit = if (node.has("limit")) Some(node.get("limit").asInt) else None)
+      } catch {
+        case _: Exception =>
+          respond(ex, 400, Map("errorMessage" -> "request body must be JSON"))
+          return
+      }
+    try {
+      val resp = engine.execute(req)
+      respond(ex, 200, Map(
+        "metadata" -> Map(
+          "timeMs" -> resp.metadata.timeMs,
+          "epochMs" -> resp.metadata.epochMs,
+          "eventId" -> resp.metadata.eventId,
+          "query" -> resp.metadata.query,
+          "warm" -> resp.metadata.warm),
+        "records" -> resp.records,
+        "columns" -> resp.columns))
+    } catch {
+      // in-band error surface, matching the reference's payload shape
+      case EngineException(msg) => respond(ex, 200, Map("errorMessage" -> msg))
+    }
+  }
+
+  private def respond(ex: HttpExchange, status: Int, payload: Any): Unit = {
+    val bytes = mapper.writeValueAsBytes(payload)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
+
+/** Standalone server main: `runMain graft.server.Serve` — port from
+  * GRAFT_PORT (default 8080), tables from SPARK_GRAFT_SF_DIR.
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val port = sys.env.getOrElse("GRAFT_PORT", "8080").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val engine = SparkEngine.local("local[*]")
+    val spark = engine.sql("SELECT 1").sparkSession
+    HttpFront.start(engine, spark, sfDir, port)
+    println(s"graft http front listening on :$port (sf=$sfDir)")
+    Thread.currentThread.join()
+  }
+}

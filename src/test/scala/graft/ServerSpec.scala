@@ -1,0 +1,90 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.engine.SparkEngine
+import graft.server.HttpFront
+
+/** HTTP front wire contract: envelope fields, in-band error surface,
+  * health probe — the reference's remote-client behaviors
+  * (quack.py:49-83) over the JDK server.
+  */
+class ServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def withServer[T](body: Int => T): T = {
+    val server = HttpFront.start(SparkEngine.wrap(spark), spark, SfDir, port = 0)
+    try body(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def post(port: Int, json: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("query returns the metadata envelope, columns, and records") {
+    withServer { port =>
+      val (status, body) = post(port,
+        """{"q": "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1", "limit": 3}""")
+      assert(status == 200)
+      val node = mapper.readTree(body)
+      assert(node.get("columns").get(0).asText == "event_type")
+      assert(node.get("columns").get(1).asText == "n")
+      assert(node.get("records").size == 3)
+      assert(node.get("records").get(0).has("n"))
+      val meta = node.get("metadata")
+      Seq("timeMs", "epochMs", "eventId", "query", "warm")
+        .foreach(f => assert(meta.has(f), s"metadata missing $f"))
+    }
+  }
+
+  test("engine errors surface in-band as errorMessage with HTTP 200") {
+    withServer { port =>
+      val (status, body) = post(port, """{"q": "SELEKT broken"}""")
+      assert(status == 200)
+      val node = mapper.readTree(body)
+      assert(node.get("errorMessage").asText.contains("PARSE_SYNTAX_ERROR"))
+    }
+  }
+
+  test("transport errors are HTTP-level: bad JSON 400, GET 405") {
+    withServer { port =>
+      assert(post(port, "this is not json")._1 == 400)
+      val get = HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$port/query")).GET().build()
+      assert(client.send(get, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+    }
+  }
+
+  test("empty query returns an empty result with metadata, not an error") {
+    withServer { port =>
+      val (status, body) = post(port, """{"q": ""}""")
+      assert(status == 200)
+      val node = mapper.readTree(body)
+      assert(node.get("records").size == 0)
+      assert(node.get("metadata").has("eventId"))
+    }
+  }
+
+  test("health probe reports ok and the warm flag flips after first use") {
+    withServer { port =>
+      def health() = {
+        val req = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/health")).GET().build()
+        mapper.readTree(client.send(req, HttpResponse.BodyHandlers.ofString()).body())
+      }
+      assert(health().get("ok").asBoolean)
+      assert(!health().get("warm").asBoolean) // engine untouched: cold
+      post(port, """{"q": "SELECT 1 AS one"}""")
+      assert(health().get("warm").asBoolean)  // first execute warmed it
+    }
+  }
+}
