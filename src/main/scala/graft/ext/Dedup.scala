@@ -190,6 +190,88 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation: label(v) ← min(label(v), min of neighbor
+    * labels) until a fixed point. The component id is the minimum
+    * doc_id in the component — deterministic, so the operator takes a
+    * full SQL oracle (a recursive CTE).
+    *
+    * This is the step pair-producing dedup (x03/x05/x09) is FOR: a
+    * pipeline keeps one survivor per component, not per pair — pairs
+    * (a,b),(b,c) must collapse to one cluster {a,b,c}, not two
+    * independent decisions.
+    *
+    * Scale shape: each iteration is one equi-join + partial-aggregated
+    * min, shuffled on vertex id; rounds = graph diameter. Near-dup
+    * graphs from banding are dense clique-ish clusters with tiny
+    * diameter, so propagation converges in a handful of rounds (the
+    * alternating star algorithms win only on adversarial long-path
+    * graphs). Callers pass a lake-checkpointed edge table so the
+    * per-iteration re-read is a parquet scan, not a recomputation of
+    * the candidate pipeline; labels persist/unpersist per round so no
+    * lineage chain or cache entry outlives the call.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .union(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+    var labels = sym.select(col("v")).distinct()
+      .withColumn("label", col("v")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("v").as("u"), col("label").as("ulabel")), "u")
+        .groupBy(col("v")).agg(min(col("ulabel")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "v")
+        .filter(col("label") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    // hand back a lineage-free snapshot and release the loop's cache
+    // entry: the result is one row per paired vertex (small), and
+    // registered queries lake-checkpoint it anyway, so nothing stays
+    // pinned for the session lifetime
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    result
+  }
+
+  /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
+    * n-gram near-dup pair definition shared by the x05 and x18 oracles
+    * (and Curation's survivor filter). Mirrors [[ngramJaccardPairs]].
+    * Declared before the maps that embed it (object vals initialize in
+    * declaration order).
+    */
+  val NgramPairsCteBody: String =
+    "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+      "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+      "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+      "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+      "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+      "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+      "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT doc_a, doc_b FROM inter " +
+      "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)"
+
+  /** [[NgramPairsCteBody]] extended through connected components:
+    * ends in `reach(v, l)` (requires WITH RECURSIVE).
+    */
+  val ComponentsCteBody: String =
+    NgramPairsCteBody +
+      ", edges AS (SELECT doc_a AS v, doc_b AS u FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach(v, l) AS (SELECT DISTINCT v, v FROM edges " +
+      "UNION SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)"
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup, survivor picking: keep the lowest doc_id per
@@ -242,6 +324,27 @@ object Dedup {
     // Exact 3-gram Jaccard near-dup via inverted-index join (the
     // ground truth the sketches approximate) — SQL-expressible, so it
     // gets a full DuckDB oracle.
+    // Near-dup CLUSTERING: pairs → connected components → survivor
+    // flag. Exact n-gram pairs (the x05 definition) feed min-label
+    // propagation; component = min doc_id, survivor = the component
+    // representative. Both the edge table and the component table are
+    // lake-checkpointed: iterations re-read parquet, repeat invocations
+    // skip the whole computation.
+    "x18_dedup_components" -> ((spark, sfDir) => {
+      val pairs = Lake.materialize(spark, sfDir, "x18_ngram_pairs") {
+        ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
+          checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+          nDocs = Lake.rowCount(spark, sfDir, "documents"))
+          .select(col("doc_a"), col("doc_b"))
+      }
+      Lake.materialize(spark, sfDir, "x18_components") {
+        connectedComponents(pairs)
+      }
+        .select(col("v").as("doc_id"), col("label").as("component"),
+          (col("v") === col("label")).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
       ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
         checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
@@ -274,6 +377,13 @@ object Dedup {
         "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard " +
         "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
-        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY doc_a, doc_b")
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY doc_a, doc_b"),
+    // same pair definition as x05, then components by transitive
+    // reachability (recursive CTE): component = min reachable doc_id —
+    // exactly what min-label propagation converges to
+    "x18_dedup_components" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        " SELECT v AS doc_id, MIN(l) AS component, (v = MIN(l)) AS is_survivor " +
+        "FROM reach GROUP BY v ORDER BY doc_id")
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -240,18 +240,19 @@ object Streams {
     * passes its end, so state is bounded by the gap + watermark delay —
     * never by stream length. Same dual endpoint bounds as s04.
     */
-  def statefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The s08 core, reusable over any watermarked (key, event-time)
+    * stream (unit tests drive it through a MemoryStream batch by
+    * batch): custom-state sessionization with a fixed inactivity gap.
+    */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
-    val GapMs = 30L * 60 * 1000
-    val sessions = microsEventStream(spark, sfDir)
-      .select(col("user_id"), col("ts"))
-      .withWatermark("ts", "1 day")
-      .as[(Long, java.sql.Timestamp)]
+    import events.sparkSession.implicits._
+    events
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionAcc], ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp)],
             state: GroupState[List[SessionAcc]]) =>
           val open = state.getOption.getOrElse(Nil)
           // Merge this batch's (unordered) events into the open-session
@@ -262,7 +263,7 @@ object Streams {
           // sessions bridges and merges them.
           def insert(sessions: List[SessionAcc], t: Long): List[SessionAcc] = {
             val (near, far) = sessions.partition(s =>
-              s.startMs - t < GapMs && t - s.lastMs < GapMs)
+              s.startMs - t < gapMs && t - s.lastMs < gapMs)
             val merged =
               if (near.isEmpty) SessionAcc(t, t, 1)
               else SessionAcc(
@@ -271,23 +272,33 @@ object Streams {
                 near.map(_.n).sum + 1)
             merged :: far
           }
-          val ts = events.map(_._2.getTime).toArray.sorted
+          val ts = batch.map(_._2.getTime).toArray.sorted
           val merged = ts.foldLeft(open)(insert)
           // flush every session the watermark has closed (end = last+gap)
           val wm = state.getCurrentWatermarkMs()
-          val (closed, stillOpen) = merged.partition(_.lastMs + GapMs <= wm)
+          val (closed, stillOpen) = merged.partition(_.lastMs + gapMs <= wm)
           if (stillOpen.isEmpty) state.remove()
           else {
             state.update(stillOpen)
             // wake up when the earliest open session becomes flushable
             // (must be strictly beyond the current watermark)
-            val next = stillOpen.map(_.lastMs + GapMs).min
+            val next = stillOpen.map(_.lastMs + gapMs).min
             state.setTimeoutTimestamp(math.max(next, wm + 1))
           }
           closed.map(s => ClosedSession(user,
             new java.sql.Timestamp(s.startMs),
-            new java.sql.Timestamp(s.lastMs + GapMs), s.n)).iterator
+            new java.sql.Timestamp(s.lastMs + gapMs), s.n)).iterator
       }
+  }
+
+  def statefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sessions = sessionize(
+      microsEventStream(spark, sfDir)
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 day")
+        .as[(Long, java.sql.Timestamp)],
+      gapMs = 30L * 60 * 1000)
     runToParquetSink(spark, sessions.toDF(), s"s08_${tag(sfDir)}")
       .filter(col("session_start_ts") >= "2024-01-01" &&
         col("session_end_ts") < "2024-01-26")

@@ -22,6 +22,19 @@ class ExtSpec extends SparkSpec {
       s"LSH recall too low: ${recalled.size}/${exact.size}; missed ${exact -- sketch}")
   }
 
+  test("connected components collapse transitive chains to one cluster (x18)") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (one component, min label 1), pair 10-11,
+    // isolated-by-construction pair 20-21 via a shared edge with 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L),
+      s"got $got — pairs (1,2),(2,3),(3,4) must collapse transitively")
+  }
+
   test("simhash pairs are near-dups by construction (hamming small ⊂ jaccard high)") {
     val pairs = Dedup.queries("x04_dedup_simhash")(spark, SfDir).collect()
     assert(pairs.nonEmpty, "planted near-dups should collide in simhash bands")

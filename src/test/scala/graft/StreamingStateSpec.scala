@@ -42,6 +42,46 @@ class StreamingStateSpec extends SparkSpec {
     assert(out.contains((1L, 3L)))
   }
 
+  test("s08 sessionize merges out-of-order batches, bridges sessions, flushes on watermark") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.Streams.sessionize(
+      input.toDS().withWatermark("_2", "1 hour"), gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_s08_test").outputMode("append").start()
+    try {
+      // batch 1: user 1 opens TWO sessions (10:00, 10:50 — 50 min gap);
+      // user 2 opens one at 10:05
+      input.addData((1L, t("10:00:00")), (1L, t("10:50:00")), (2L, t("10:05:00")))
+      q.processAllAvailable()
+      // batch 2 (out of order): 10:25 lands BETWEEN user 1's open
+      // sessions, within the 30-min gap of both -> bridges them into one
+      // [10:00, 10:50] session of 3 events; user 2's 10:40 is 35 min
+      // after 10:05 -> a second separate session
+      input.addData((1L, t("10:25:00")), (2L, t("10:40:00")))
+      q.processAllAvailable()
+      // batches 3+4: a far-future key advances the watermark past the
+      // older sessions' ends (end = last + gap), firing their timeouts
+      input.addData((99L, t("23:00:00")))
+      q.processAllAvailable()
+      input.addData((99L, t("23:30:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("graft_s08_test")
+      .select(col("user_id"), date_format(col("session_start_ts"), "HH:mm").as("start"),
+        col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "10:00", 3L),  // bridged: 10:00 + 10:25 + 10:50
+      (2L, "10:05", 1L),
+      (2L, "10:40", 1L)), s"got $out")
+  }
+
   test("windowed streaming agg equals the batch aggregation (s01 semantics)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Lake
