@@ -78,26 +78,43 @@ object Quack {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    var query: Option[String] = None
-    var limit = 10 // quack.py:171 client-side default
-    var debug = false
-    var sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+  val Usage = "usage: graft.cli.Quack [-q SQL] [-limit N] [--debug] [-sf DIR]"
 
-    var i = 0
-    while (i < args.length) {
-      args(i) match {
-        case "-q" => query = Some(args(i + 1)); i += 2
-        case "-limit" => limit = args(i + 1).toInt; i += 2
-        case "--debug" => debug = true; i += 1
-        case "-sf" => sfDir = args(i + 1); i += 2
-        case other => System.err.println(s"unknown arg: $other"); i += 1
+  /** Parsed CLI flags; `sfDir` None falls back to env/default in main. */
+  case class CliConfig(query: Option[String] = None, limit: Int = 10,
+      debug: Boolean = false, sfDir: Option[String] = None)
+
+  /** Pure argument parser, unit-testable without a session. A trailing
+    * value-taking flag or a non-integer -limit is a Left (usage error),
+    * not an exception; unknown args warn and are skipped, as before.
+    */
+  def parseArgs(args: List[String],
+      cfg: CliConfig = CliConfig()): Either[String, CliConfig] = args match {
+    case Nil => Right(cfg)
+    case "-q" :: v :: rest => parseArgs(rest, cfg.copy(query = Some(v)))
+    case "-limit" :: v :: rest =>
+      v.toIntOption match {
+        case Some(n) => parseArgs(rest, cfg.copy(limit = n))
+        case None    => Left(s"-limit requires an integer, got '$v'")
       }
-    }
+    case "-sf" :: v :: rest => parseArgs(rest, cfg.copy(sfDir = Some(v)))
+    case "--debug" :: rest => parseArgs(rest, cfg.copy(debug = true))
+    case (flag @ ("-q" | "-limit" | "-sf")) :: Nil =>
+      Left(s"$flag requires a value")
+    case other :: rest =>
+      System.err.println(s"unknown arg: $other"); parseArgs(rest, cfg)
+  }
 
-    val engine = SparkEngine.local("local[*]")
-    val spark: SparkSession = engine.sql("SELECT 1").sparkSession
-    try runWith(engine, spark, query, limit, debug, sfDir)
-    finally spark.stop()
+  def main(args: Array[String]): Unit = parseArgs(args.toList) match {
+    case Left(msg) =>
+      Console.err.println(s"errorMessage: $msg")
+      Console.err.println(Usage)
+    case Right(cfg) =>
+      val sfDir = cfg.sfDir.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      val engine = SparkEngine.local("local[*]")
+      val spark: SparkSession = engine.sql("SELECT 1").sparkSession
+      try runWith(engine, spark, cfg.query, cfg.limit, cfg.debug, sfDir)
+      finally spark.stop()
   }
 }

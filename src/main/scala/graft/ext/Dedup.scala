@@ -232,6 +232,17 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // A silently non-converged label table is wrong-and-materialized:
+    // downstream keeps survivors off it. Near-dup graphs have tiny
+    // diameter so this never fires in practice, but a pathological
+    // long-chain graph must fail loudly, not return split components.
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter for graphs " +
+          "with diameter > maxIter")
+    }
     // hand back a lineage-free snapshot and release the loop's cache
     // entry: the result is one row per paired vertex (small), and
     // registered queries lake-checkpoint it anyway, so nothing stays
@@ -331,13 +342,18 @@ object Dedup {
     // lake-checkpointed: iterations re-read parquet, repeat invocations
     // skip the whole computation.
     "x18_dedup_components" -> ((spark, sfDir) => {
-      val pairs = Lake.materialize(spark, sfDir, "x18_ngram_pairs") {
-        ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
+      val threshold = 0.5
+      // the Jaccard threshold is part of the pair definition, so it is
+      // part of the materialization key — changing it must not reuse a
+      // stale pair/component table for the same source fingerprint
+      val tkey = s"t${(threshold * 100).toInt}"
+      val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
+        ngramJaccardPairs(docs(spark, sfDir), threshold = threshold,
           checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
           nDocs = Lake.rowCount(spark, sfDir, "documents"))
           .select(col("doc_a"), col("doc_b"))
       }
-      Lake.materialize(spark, sfDir, "x18_components") {
+      Lake.materialize(spark, sfDir, s"x18_components_$tkey") {
         connectedComponents(pairs)
       }
         .select(col("v").as("doc_id"), col("label").as("component"),

@@ -8,27 +8,29 @@ import graft.sources.Lake
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[FakeDecoder]]); everything
-  * Spark-side — the binary column, the metadata struct schema, the
-  * partition-parallel batch processing shape, and the downstream
-  * feature columns — is real and tested. Swapping [[FakeDecoder]] for
-  * a JNI/codec call changes no plan shape.
+  * The image path is REAL end-to-end: payloads are rendered into 8-bit
+  * grayscale PNGs and decoded with the JDK's bundled ImageIO codec
+  * (`javax.imageio` is part of Java SE — no external libraries), so
+  * x14 exercises an actual compressed-image decode on executors, not a
+  * stub. Gray PNG is lossless, which makes every decoded feature an
+  * exact function of the source bytes — hence a full DuckDB oracle.
+  * Audio/video feature extraction would slot into the same typed
+  * mapPartitions shape; x17 keeps the structural frame-sampling path
+  * for the video case.
   */
-/** Decoded-asset features. In a real pipeline: decoded dims +
-  * extracted feature vector. Here: deterministic functions of the
-  * bytes so tests are stable. (Top-level: nested/private case classes
-  * break the generated encoder projections.)
+/** Features extracted from a decoded image: real dimensions from the
+  * codec plus the mean gray sample. (Top-level: nested/private case
+  * classes break the generated encoder projections.)
   */
-final case class AssetFeatures(
-    doc_id: Long, n_bytes: Int, width: Int, height: Int, mean_byte: Double)
+final case class ImageFeatures(
+    doc_id: Long, width: Int, height: Int, mean_byte: Double)
 
 final case class Asset(doc_id: Long, blob: Array[Byte])
 
 /** One sampled frame of a media payload: where it sits in the blob.
   * Structural fields only — integer byte math — so the sampling logic
-  * is fully oracle-checkable; per-frame feature extraction (the codec
-  * part) stays in the stubbed decode path.
+  * is fully oracle-checkable; per-frame feature extraction plugs into
+  * the same decode path as x14.
   */
 final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
 
@@ -36,18 +38,54 @@ object Multimodal {
 
   private type Q = (SparkSession, String) => DataFrame
 
-  /** STUB decoder: stands in for image/audio decode + feature
-    * extraction (libs not present in this container). Deterministic:
-    * derives "dimensions" from the payload length and a byte-mean
-    * "feature". Replace with a real codec at the call site —
-    * signature (bytes → features) is the real contract.
+  /** Real JDK image codec (javax.imageio, bundled with Java SE).
+    * 16×16 8-bit grayscale PNG: small enough that the encode side of
+    * the pipeline stays cheap, lossless so the decode features are
+    * exact.
     */
-  object FakeDecoder {
-    def decode(id: Long, bytes: Array[Byte]): AssetFeatures = {
-      val n = bytes.length
-      val mean = if (n == 0) 0.0 else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
-      AssetFeatures(id, n, width = 16 + (n % 64), height = 16 + (n % 48),
-        mean_byte = math.rint(mean * 10000) / 10000)
+  object ImageCodec {
+    val Side = 16
+
+    /** Ingest side: render payload bytes into a REAL PNG — pixel p
+      * (row-major) = byte[p mod n] — standing in for lake-resident
+      * image files. Deterministic, so the decode step downstream is
+      * fully oracle-checkable from the source bytes alone.
+      */
+    def encodePng(bytes: Array[Byte]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        Side, Side, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var p = 0
+      while (p < Side * Side) {
+        val v = if (bytes.isEmpty) 0 else bytes(p % bytes.length) & 0xff
+        raster.setSample(p % Side, p / Side, 0, v)
+        p += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode side: actual ImageIO PNG decode + feature extraction —
+      * dimensions from the codec, mean over the raw raster samples
+      * (raster access, not getRGB, so no color-space conversion).
+      * The mean of w·h integer samples is sum/2^k with an exact
+      * integer sum — bit-exact in double on any summation order, so
+      * no rounding is needed for cross-engine comparison.
+      */
+    def decode(id: Long, png: Array[Byte]): ImageFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      ImageFeatures(id, w, h, s.toDouble / (w * h))
     }
   }
 
@@ -67,18 +105,20 @@ object Multimodal {
   }
 
   val queries: Map[String, Q] = Map(
-    // Binary-column pipeline: text bytes stand in for media payloads
-    // (UTF-8 encode = the "read file" step). The decode runs as a
-    // typed mapPartitions — batch-per-partition, the same execution
-    // shape a vectorized decode UDF would have; everything before and
-    // after stays columnar/codegen.
+    // Binary-column pipeline with a REAL codec: text bytes are the
+    // payload (UTF-8 encode = the "read file" step), rendered to PNG
+    // and decoded back with JDK ImageIO. Two typed mapPartitions
+    // passes — media-ingest producing the binary image column, then
+    // decode + feature extraction — the batch-per-partition execution
+    // shape a production image pipeline has; no shuffle anywhere.
     "x14_multimodal_decode" -> ((spark, sfDir) => {
       import spark.implicits._
-      val assets = Lake.table(spark, sfDir, "documents")
+      val pngs = Lake.table(spark, sfDir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         .as[Asset]
-      assets
-        .mapPartitions(_.map(a => FakeDecoder.decode(a.doc_id, a.blob)))
+        .mapPartitions(_.map(a => Asset(a.doc_id, ImageCodec.encodePng(a.blob))))
+      pngs
+        .mapPartitions(_.map(a => ImageCodec.decode(a.doc_id, a.blob)))
         .toDF()
         .orderBy(col("doc_id"))
     }),
@@ -98,9 +138,19 @@ object Multimodal {
     })
   )
 
-  // x14 is byte-level stub output (unit-tested); x17's structural
-  // sampling is exactly reproducible from octet lengths in SQL.
+  // x14: the PNG roundtrip is lossless and the text is single-byte
+  // (ASCII) at every provisioned SF, so pixel p = byte[p mod n] is
+  // reproducible in SQL as ord(substr(text, (p % n) + 1, 1)); the
+  // decoded dims are the encode-side constants and the mean is the
+  // exact sum/256. x17's structural sampling likewise reproduces from
+  // octet lengths.
   val oracles: Map[String, String] = Map(
+    "x14_multimodal_decode" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "u AS (SELECT doc_id, text, n, unnest(range(256)) AS p FROM a) " +
+        "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, " +
+        "AVG(ord(substr(text, CAST(p % n AS INTEGER) + 1, 1))) AS mean_byte " +
+        "FROM u GROUP BY doc_id ORDER BY doc_id"),
     "x17_frame_sample" ->
       ("WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
         "f AS (SELECT doc_id, n, LEAST(4, GREATEST(1, n // 256)) AS frames FROM a), " +

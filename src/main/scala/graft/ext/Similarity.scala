@@ -142,10 +142,6 @@ object Similarity {
     * ~(nprobe/k) of the corpus instead of all of it, and the cells are
     * disjoint so no candidate dedup is needed.
     *
-    * The centroid table is k rows — driver-side math for probe
-    * selection (the one deliberate collect: the query batch and the
-    * centroids are both bounded, the corpus never leaves executors).
-    *
     * @param df corpus with `vec_id` and array<double> `vec`
     */
   /** INDEX BUILD (the amortized step): seeded k-means cell assignment
@@ -175,35 +171,36 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("d"), col("x")))),
         s => s.getField("x")).as("centroid"))
 
+  /** Σ (aᵢ−bᵢ)² over two array<double> columns (codegen'd HOF). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** PROBE (the per-query step): each query vector probes its `nprobe`
     * nearest cells and reranks those candidates by exact cosine.
     * Work per query is ~(nprobe/k) of the corpus instead of all of it,
     * and cells are disjoint so no candidate dedup is needed.
     *
-    * The centroid table is k rows — driver-side math for probe
-    * selection (the one deliberate collect: the query batch and the
-    * centroids are both bounded, the corpus never leaves executors).
+    * Probe selection stays in EXECUTORS: the k-row centroid table is
+    * broadcast against the query batch (|Q|·k intermediate rows) and
+    * each query keeps its nprobe nearest cells via a per-query
+    * row_number window — neither the query table nor the centroids is
+    * ever collected to the driver, so an arbitrarily large query batch
+    * scales with the cluster. (The probe table itself is still hinted
+    * broadcast into the corpus join: |Q|·nprobe rows is the small side
+    * by construction; at extreme |Q| Spark/AQE would fall back to a
+    * shuffle join on `cell`.)
     */
   def ivfTopKFrom(assigned: DataFrame, centroids: DataFrame,
       queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val centers = centroids.select(col("cell"), col("centroid")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    def sqDist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    // probe table: (query_id, cell, qvec) for the nprobe nearest cells
-    val probes = queries.select(col("query_id"), col("qvec")).collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1).toArray
-        centers.sortBy { case (_, c) => sqDist(qv, c) }
-          .take(nprobe)
-          .map { case (cell, _) => (qid, cell, qv.toSeq) }
-      }.toSeq.toDF("query_id", "cell", "qvec")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = queries.select(col("query_id"), col("qvec"))
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))))
+      .withColumn("cdist", sqDist(col("qvec"), col("centroid")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"), col("qvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("neighbor_id"))
     broadcast(probes).join(assigned, "cell")

@@ -30,15 +30,23 @@ import graft.sources.Lake
   * the Spark classpath); threading via the JDK server's executor — the
   * engine serializes Spark job submission per session anyway, so a
   * small pool is enough.
+  *
+  * SECURITY: this endpoint executes arbitrary SQL, and path-addressed
+  * tables mean SQL can read (and via views, write) the local
+  * filesystem — so the default bind is LOOPBACK ONLY. The reference's
+  * deployment has the same property and sits behind an authenticated
+  * gateway (API Gateway → Lambda); exposing this front beyond
+  * localhost requires the same kind of fronting, opted into explicitly
+  * via `bindHost`/`GRAFT_HTTP_BIND=0.0.0.0`.
   */
 object HttpFront {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
   def start(engine: SparkEngine, spark: SparkSession, sfDir: String,
-      port: Int): HttpServer = {
+      port: Int, bindHost: String = "127.0.0.1"): HttpServer = {
     Lake.registerAll(spark, sfDir)
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val server = HttpServer.create(new InetSocketAddress(bindHost, port), 0)
     server.createContext("/query", (ex: HttpExchange) => handleQuery(engine, ex))
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, Map("ok" -> true, "warm" -> engine.isWarm)))
@@ -91,16 +99,19 @@ object HttpFront {
 }
 
 /** Standalone server main: `runMain graft.server.Serve` — port from
-  * GRAFT_PORT (default 8080), tables from SPARK_GRAFT_SF_DIR.
+  * GRAFT_PORT (default 8080), tables from SPARK_GRAFT_SF_DIR, bind
+  * address from GRAFT_HTTP_BIND (default loopback; set 0.0.0.0 only
+  * behind an authenticated gateway — see [[HttpFront]] SECURITY note).
   */
 object Serve {
   def main(args: Array[String]): Unit = {
     val port = sys.env.getOrElse("GRAFT_PORT", "8080").toInt
+    val bind = sys.env.getOrElse("GRAFT_HTTP_BIND", "127.0.0.1")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val engine = SparkEngine.local("local[*]")
     val spark = engine.sql("SELECT 1").sparkSession
-    HttpFront.start(engine, spark, sfDir, port)
-    println(s"graft http front listening on :$port (sf=$sfDir)")
+    HttpFront.start(engine, spark, sfDir, port, bind)
+    println(s"graft http front listening on $bind:$port (sf=$sfDir)")
     Thread.currentThread.join()
   }
 }

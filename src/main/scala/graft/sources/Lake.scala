@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   *  - corpus row counts come from parquet footer metadata, not a scan
   *    job ([[rowCount]]) — sizing decisions (LSH bits, hot-key caps,
   *    idf N) must not cost a full-table pass per query at 100 TB.
+  *
+  * Staleness contract (deliberate, documented): `fingerprint`,
+  * `doneTargets`, `rowCount`, and the DataFrame LRU are all
+  * PER-PROCESS caches that never re-stat the source files — so
+  * "regenerated inputs invalidate /tmp copies automatically" holds
+  * ACROSS process restarts, not within one. A long-lived server
+  * process keeps answering from the derived tables built from the
+  * source as it looked at first touch; operators that rewrite a source
+  * dataset in place under a live server must restart it (or call
+  * [[dropCachesFor]]). This mirrors the reference's warm-Lambda
+  * semantics, where a redeploy/cold-start is the invalidation point.
   */
 object Lake {
 
@@ -124,14 +135,49 @@ object Lake {
         size() > ReadCacheMax
     })
 
+  /** Unique id per live session (weak keys: a stopped session GCs out).
+    * Identity hashes are NOT unique — a hash collision between a
+    * stopped session and its replacement would serve a DataFrame bound
+    * to the dead session, so the cache key is a real UUID.
+    */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) {
+      id = java.util.UUID.randomUUID().toString
+      sessionIds.put(spark, id)
+    }
+    id
+  }
+
   private def cachedRead(spark: SparkSession, path: String): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "|" + path
+    val key = sessionId(spark) + "|" + path
     val hit = dfCache.get(key)
     if (hit != null) hit
     else {
       val df = spark.read.parquet(path)
       dfCache.put(key, df)
       df
+    }
+  }
+
+  /** Explicit invalidation point for a live process after the source
+    * dataset at `sfDir` is rewritten in place: forgets its fingerprint,
+    * footer row counts, built-target markers, and cached DataFrames
+    * (direct and derived). The next touch re-stats the source files and
+    * re-derives against the new fingerprint.
+    */
+  def dropCachesFor(sfDir: String): Unit = {
+    val slug = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    fpCache.remove(sfDir)
+    countCache.keySet.removeIf(_.startsWith(sfDir + "/"))
+    doneTargets.removeIf(_.contains("_" + slug + "_"))
+    // iterating a synchronizedMap view requires holding its monitor
+    dfCache.synchronized {
+      dfCache.keySet.removeIf { k =>
+        val path = k.substring(k.indexOf('|') + 1)
+        path.startsWith(sfDir + "/") || path.contains("_" + slug + "_")
+      }
     }
   }
 
@@ -157,16 +203,18 @@ object Lake {
     * engines see identical values. DIV keeps the arithmetic in 64-bit
     * integers (a double round-trip would lose precision at 1e18 ns).
     *
-    * NOTE: the nanos-as-long conf must also be set when the returned
-    * plan EXECUTES, not just when the schema is read — callers that
-    * run an action over this frame wrap it in [[withConf]]
-    * ([[ensureMicrosEvents]] does; the streaming path sets it for the
-    * stream's lifetime).
+    * Side-effect-free on session conf: the nanos-as-long conf is
+    * scoped here for schema inference only. It must ALSO be set when
+    * the returned plan EXECUTES — callers that run an action over this
+    * frame wrap it in [[withConf]] ([[ensureMicrosEvents]] does, via
+    * [[ensureBuilt]]'s scoped confs; the streaming path sets it for
+    * the stream's lifetime, see Streams.rawEventStream).
     */
   def rawEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set(NanosKey, "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = withConf(spark, NanosKey -> "true") {
+      spark.read.parquet(s"$sfDir/events.parquet")
+    }
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Targets whose _SUCCESS marker this process has already confirmed —

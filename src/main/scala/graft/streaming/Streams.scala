@@ -14,13 +14,16 @@ import graft.sources.Lake
   * every query drives the stream to completion over the static events
   * table, so results are deterministic and oracle-checkable against
   * the equivalent batch query — the semantics Structured Streaming
-  * guarantees. Two sink harnesses:
-  *  - [[runToMemorySink]]: in-memory table, the oracle harness;
-  *  - [[runToParquetSink]]: append mode into a checkpointed parquet
-  *    file sink with Trigger.AvailableNow — the production shape
-  *    (exactly-once, resumable, no driver-side state); AvailableNow
-  *    processes everything and then runs the trailing no-data batch
-  *    that lets the watermark flush completed state.
+  * guarantees. Every registered query runs through ONE sink harness,
+  * [[runToParquetSink]]: append mode into a checkpointed parquet file
+  * sink with Trigger.AvailableNow — the production shape (exactly-once,
+  * resumable, no driver-side state); AvailableNow processes everything
+  * and then runs the trailing no-data batch that lets the watermark
+  * flush completed state. Append mode can only emit state the
+  * watermark has closed, so each query reports a fixed event-time
+  * range fully inside watermark reach (events span Jan 1-30 at every
+  * provisioned scale factor; final watermark ≈ max ts − delay) and its
+  * oracle states the same range.
   */
 /** Open-session accumulator for s08's custom state: epoch-millis
   * bounds + event count. Top-level so Spark can derive an Encoder.
@@ -66,17 +69,6 @@ object Streams {
     spark.readStream.schema(spark.read.parquet(micros).schema).parquet(micros)
   }
 
-  /** Drive a streaming DataFrame to completion into a named memory
-    * sink; returns the sink table.
-    */
-  private def runToMemorySink(df: DataFrame, sinkName: String,
-      mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory").queryName(sinkName).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(sinkName)
-  }
-
   /** Drive an append-mode streaming DataFrame through a checkpointed
     * parquet file sink with Trigger.AvailableNow; returns a batch read
     * of the sink. Fresh sink + checkpoint per invocation so re-runs
@@ -101,17 +93,22 @@ object Streams {
   private def tag(sfDir: String): String = Integer.toHexString(sfDir.hashCode)
 
   /** s01: tumbling 1-day windowed count per event_type with a 1-day
-    * watermark, complete-mode memory sink.
+    * watermark over the RAW nanos-schema stream (s02 is the same shape
+    * over the micros-normalized copy), append mode into the
+    * checkpointed file sink. Reported day range [01-01, 01-25] —
+    * fully watermark-flushed at every provisioned scale factor — and
+    * the oracle states the same range.
     */
   def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemorySink(
+    runToParquetSink(spark,
       rawEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n")),
-      s"graft_stream_${tag(sfDir)}", "complete")
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n")),
+      s"s01_${tag(sfDir)}")
+      .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
       .orderBy(col("day"), col("event_type"))
 
   /** s02: append-mode watermarked aggregation into the checkpointed
@@ -134,17 +131,23 @@ object Streams {
       .orderBy(col("day"), col("event_type"))
 
   /** s03: sliding windows (2-day window, 1-day slide) — each event
-    * lands in two overlapping windows; complete-mode memory sink.
+    * lands in two overlapping windows; append mode into the
+    * checkpointed file sink. A sliding window flushes when the
+    * watermark passes its END (= wstart + 2 days), so the reported
+    * range bounds wstart ≤ 01-24 (window end ≤ 01-26, inside watermark
+    * reach at every provisioned scale factor); the oracle states the
+    * same bound.
     */
   def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemorySink(
+    runToParquetSink(spark,
       rawEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("n")),
-      s"graft_stream_s03_${tag(sfDir)}", "complete")
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("wstart"),
-        col("event_type"), col("n"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("wstart"),
+          col("event_type"), col("n")),
+      s"s03_${tag(sfDir)}")
+      .filter(col("wstart") >= "2023-12-31" && col("wstart") <= "2024-01-24")
       .orderBy(col("wstart"), col("event_type"))
 
   /** s04: per-user session windows with a 30-minute inactivity gap
@@ -193,12 +196,12 @@ object Streams {
     * distinct count regardless of batch splits or re-emission.
     */
   def streamDedupCounts(spark: SparkSession, sfDir: String): DataFrame =
-    runToMemorySink(
+    runToParquetSink(spark,
       microsEventStream(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("ts"))
         .withWatermark("ts", "2 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type"),
-      s"graft_stream_s05_${tag(sfDir)}", "append")
+      s"s05_${tag(sfDir)}")
       .groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("distinct_users"))
       .orderBy(col("event_type"))
@@ -220,12 +223,12 @@ object Streams {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 day")
-    runToMemorySink(
+    runToParquetSink(spark,
       purchases.join(clicks,
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts")),
-      s"graft_stream_s06_${tag(sfDir)}", "append")
+      s"s06_${tag(sfDir)}")
       .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("day"))
@@ -375,7 +378,9 @@ object Streams {
         "FROM events GROUP BY 1 ORDER BY 1"),
     "s01_stream_window" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
-        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+        "event_type, COUNT(*) AS n FROM events " +
+        "WHERE CAST(DATE_TRUNC('day', ts) AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-25' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "s02_stream_append_sink" ->
       ("SELECT STRFTIME(CAST(DATE_TRUNC('day', ts) AS DATE), '%Y-%m-%d') AS day, " +
         "event_type, COUNT(*) AS n FROM events " +
@@ -388,7 +393,8 @@ object Streams {
         "slides AS (SELECT d AS wstart, event_type FROM ev " +
         "UNION ALL SELECT d - 1 AS wstart, event_type FROM ev) " +
         "SELECT STRFTIME(wstart, '%Y-%m-%d') AS wstart, event_type, COUNT(*) AS n " +
-        "FROM slides GROUP BY 1, 2 ORDER BY 1, 2"),
+        "FROM slides WHERE wstart BETWEEN DATE '2023-12-31' AND DATE '2024-01-24' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "s04_stream_session" -> sessionOracleSql,
     // s08 reproduces s04's session contract through custom state, so it
     // shares the gaps-and-islands oracle verbatim.

@@ -52,6 +52,22 @@ class CliSpec extends SparkSpec {
     assert(out.contains("NULL"))
   }
 
+  test("parseArgs handles flags, trailing value-less flags, and bad ints") {
+    import Quack.{parseArgs, CliConfig}
+    assert(parseArgs(List("-q", "SELECT 1", "-limit", "5", "--debug", "-sf", "/d"))
+      == Right(CliConfig(Some("SELECT 1"), 5, debug = true, Some("/d"))))
+    assert(parseArgs(Nil) == Right(CliConfig()))
+    // a trailing value-taking flag is a usage error, not an
+    // ArrayIndexOutOfBounds crash
+    Seq("-q", "-limit", "-sf").foreach { flag =>
+      assert(parseArgs(List(flag)).isLeft, s"trailing $flag should be Left")
+      assert(parseArgs(List("--debug", flag)).isLeft)
+    }
+    assert(parseArgs(List("-limit", "ten")).isLeft)
+    // unknown args warn and skip, preserving the rest
+    assert(parseArgs(List("--wat", "-limit", "7")) == Right(CliConfig(limit = 7)))
+  }
+
   test("renderTable clamps tiny truncate widths instead of throwing") {
     // substring(0, truncate - 3) would throw for truncate < 3; the
     // public parameter clamps to the smallest width where "x..." fits

@@ -150,13 +150,27 @@ class ExtSpec extends SparkSpec {
     assert(byQuery.forall { case (_, rs) => rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length) })
   }
 
-  test("multimodal stub decode is deterministic and schema-stable (x14)") {
+  test("x14 real PNG codec: roundtrip features are exact for known bytes") {
+    import graft.ext.{ImageFeatures, Multimodal => M}
+    // constant payload: every pixel = 'A' (65) → mean exactly 65.0
+    val png = M.ImageCodec.encodePng(Array.fill(10)('A'.toByte))
+    // the blob really is a PNG stream (magic bytes), decoded by ImageIO
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47))
+    assert(M.ImageCodec.decode(7L, png) == ImageFeatures(7L, 16, 16, 65.0))
+    // cycling payload: pixel p = byte[p mod 3] over 256 pixels — mean
+    // is the exact integer-sum / 256, no float tolerance needed
+    val f2 = M.ImageCodec.decode(1L, M.ImageCodec.encodePng(Array[Byte](10, 20, 30)))
+    val s = (0 until 256).map(p => Seq(10, 20, 30)(p % 3)).sum
+    assert(f2.mean_byte == s.toDouble / 256)
+  }
+
+  test("multimodal decode is deterministic and schema-stable (x14)") {
     val df = Multimodal.queries("x14_multimodal_decode")(spark, SfDir)
-    assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "width", "height", "mean_byte"))
+    assert(df.columns.toSeq == Seq("doc_id", "width", "height", "mean_byte"))
     val first = df.collect().head
     val again = Multimodal.queries("x14_multimodal_decode")(spark, SfDir).collect().head
     assert(first == again)
-    assert(first.getInt(1) > 0)
+    assert(first.getInt(1) == 16 && first.getInt(2) == 16)
   }
 
   test("fingerprint windows count matches token count - k + 1 (x13)") {

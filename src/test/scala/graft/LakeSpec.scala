@@ -25,6 +25,23 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("rawEvents and ensureMicrosEvents leave nanosAsLong untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    Lake.rawEvents(spark, SfDir) // schema inference scopes the conf itself
+    assert(spark.conf.getOption(key) == before, "rawEvents leaked nanosAsLong")
+    Lake.ensureMicrosEvents(spark, SfDir)
+    assert(spark.conf.getOption(key) == before,
+      "ensureMicrosEvents leaked nanosAsLong")
+  }
+
+  test("dropCachesFor invalidates cleanly — next touch re-derives and reads") {
+    val n = Lake.table(spark, SfDir, "events").count()
+    Lake.dropCachesFor(SfDir)
+    assert(Lake.rowCount(spark, SfDir, "events") == n)
+    assert(Lake.table(spark, SfDir, "events").count() == n)
+  }
+
   test("rowCount from parquet footers equals a full count()") {
     // events is TIMESTAMP(NANOS) on disk — the raw comparison read needs
     // the nanos conf (scoped, proving it no longer lingers from table())

@@ -74,6 +74,38 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("loopback-only bind by default: the server address is 127.0.0.1") {
+    val server = HttpFront.start(SparkEngine.wrap(spark), spark, SfDir, port = 0)
+    try assert(server.getAddress.getAddress.isLoopbackAddress)
+    finally server.stop(0)
+  }
+
+  test("concurrent requests through the pool return consistent envelopes") {
+    // validates the "small fixed pool is enough" claim: simultaneous
+    // POSTs (more than the 4 pool threads) each get a complete,
+    // independent envelope — no cross-talk, no dropped responses
+    withServer { port =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((1 to 8).map(i => Future(
+          (i, post(port,
+            s"""{"q": "SELECT $i AS tag, COUNT(*) AS n FROM events", "limit": 5}"""))))),
+        2.minutes)
+      results.foreach { case (i, (status, body)) =>
+        assert(status == 200, s"request $i got $status")
+        val node = mapper.readTree(body)
+        assert(node.get("records").get(0).get("tag").asInt == i,
+          s"request $i got someone else's result: $body")
+        assert(node.get("records").get(0).get("n").asLong > 0)
+        assert(node.get("metadata").has("eventId"))
+      }
+      assert(results.map(_._2._2).map(mapper.readTree(_)
+        .get("metadata").get("eventId").asText).distinct.size == 8)
+    }
+  }
+
   test("health probe reports ok and the warm flag flips after first use") {
     withServer { port =>
       def health() = {

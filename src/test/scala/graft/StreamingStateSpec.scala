@@ -85,13 +85,16 @@ class StreamingStateSpec extends SparkSpec {
   test("windowed streaming agg equals the batch aggregation (s01 semantics)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Lake
+    // s01 is append mode, so it reports the watermark-flushed day range
+    // [01-01, 01-25]; the batch side states the same bound.
     val streamed = graft.streaming.Streams.windowedCounts(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     val batch = Lake.table(spark, SfDir, "events")
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed == batch)
   }
 }
