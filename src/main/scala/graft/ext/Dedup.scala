@@ -252,6 +252,29 @@ object Dedup {
     result
   }
 
+  /** The lake-checkpointed near-dup component table (v, label) at the
+    * canonical threshold — shared by x18's component listing and x19's
+    * curation survivor filter, so both read the same two parquet
+    * artifacts and the iterative computation runs once per corpus
+    * fingerprint.
+    */
+  def componentTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val threshold = 0.5
+    // the Jaccard threshold is part of the pair definition, so it is
+    // part of the materialization key — changing it must not reuse a
+    // stale pair/component table for the same source fingerprint
+    val tkey = s"t${(threshold * 100).toInt}"
+    val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
+      ngramJaccardPairs(docs(spark, sfDir), threshold = threshold,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+    Lake.materialize(spark, sfDir, s"x18_components_$tkey") {
+      connectedComponents(pairs)
+    }
+  }
+
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
     * n-gram near-dup pair definition shared by the x05 and x18 oracles
     * (and Curation's survivor filter). Mirrors [[ngramJaccardPairs]].
@@ -341,23 +364,36 @@ object Dedup {
     // representative. Both the edge table and the component table are
     // lake-checkpointed: iterations re-read parquet, repeat invocations
     // skip the whole computation.
-    "x18_dedup_components" -> ((spark, sfDir) => {
-      val threshold = 0.5
-      // the Jaccard threshold is part of the pair definition, so it is
-      // part of the materialization key — changing it must not reuse a
-      // stale pair/component table for the same source fingerprint
-      val tkey = s"t${(threshold * 100).toInt}"
-      val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
-        ngramJaccardPairs(docs(spark, sfDir), threshold = threshold,
-          checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
-          nDocs = Lake.rowCount(spark, sfDir, "documents"))
-          .select(col("doc_a"), col("doc_b"))
-      }
-      Lake.materialize(spark, sfDir, s"x18_components_$tkey") {
-        connectedComponents(pairs)
-      }
+    "x18_dedup_components" -> ((spark, sfDir) =>
+      componentTable(spark, sfDir)
         .select(col("v").as("doc_id"), col("label").as("component"),
           (col("v") === col("label")).as("is_survivor"))
+        .orderBy(col("doc_id"))),
+
+    // CURATION — the end-to-end composition a training-data pipeline
+    // actually runs, as one registered operator: quality gates
+    // (language ID by stopword density, minimum length) -> near-dup
+    // survivor filter (one representative per x18 component) ->
+    // curated corpus with per-doc token accounting. Scale shape: the
+    // quality gates are shuffle-free map work on the scan; the
+    // survivor filter is a left-anti join against the NON-survivor set
+    // (only paired docs, a small fraction of any real corpus —
+    // AQE broadcasts it when it fits); the component table is
+    // lake-checkpointed, so repeat invocations run one scan + one
+    // anti-join.
+    "x19_curation" -> ((spark, sfDir) => {
+      val stats = docs(spark, sfDir).select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(tokens).as("n_tokens"),
+        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
+          size(tokens)).as("stop_ratio"))
+      val nonSurvivors = componentTable(spark, sfDir)
+        .filter(col("v") =!= col("label"))
+        .select(col("v").as("doc_id"))
+      stats
+        .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
+        .join(nonSurvivors, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -400,6 +436,21 @@ object Dedup {
     "x18_dedup_components" ->
       ("WITH RECURSIVE " + ComponentsCteBody +
         " SELECT v AS doc_id, MIN(l) AS component, (v = MIN(l)) AS is_survivor " +
-        "FROM reach GROUP BY v ORDER BY doc_id")
+        "FROM reach GROUP BY v ORDER BY doc_id"),
+    // same components, composed with the quality gates: curated corpus
+    // = quality-passing docs minus non-survivor near-dups
+    "x19_curation" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", comp AS (SELECT v AS doc_id, (v = MIN(l)) AS is_survivor " +
+        "FROM reach GROUP BY v), " +
+        "q AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS stop_ratio FROM documents) " +
+        "SELECT doc_id, lang, n_chars, n_tokens FROM q " +
+        "WHERE stop_ratio >= 0.05 AND n_tokens >= 10 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM comp WHERE NOT is_survivor) " +
+        "ORDER BY doc_id")
   )
 }

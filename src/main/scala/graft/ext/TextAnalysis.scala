@@ -23,11 +23,13 @@ object TextAnalysis {
 
   private val tokens: Column = split(col("text"), " ")
 
-  /** English function words — the language-ID signal. */
-  private val enStopwords = Seq("a", "the", "of", "and", "to", "in", "is")
+  /** English function words — the language-ID signal (shared with the
+    * x19 curation pipeline's quality gate).
+    */
+  val EnStopwords = Seq("a", "the", "of", "and", "to", "in", "is")
 
-  private def isStopword(t: Column): Column =
-    t.isInCollection(enStopwords)
+  def isStopword(t: Column): Column =
+    t.isInCollection(EnStopwords)
 
   /** BPE-ish token pattern: letter runs, digit runs, or any single
     * non-space symbol.

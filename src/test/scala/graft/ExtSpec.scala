@@ -150,6 +150,22 @@ class ExtSpec extends SparkSpec {
     assert(byQuery.forall { case (_, rs) => rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length) })
   }
 
+  test("x19 curation = quality-passing docs minus non-survivor near-dups") {
+    val curated = Dedup.queries("x19_curation")(spark, SfDir)
+      .collect().map(_.getLong(0)).toSet
+    val nonSurvivors = Dedup.queries("x18_dedup_components")(spark, SfDir)
+      .collect().filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val toks = split(col("text"), " ")
+    val quality = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), size(toks).as("n"),
+        (size(filter(toks, t => TextAnalysis.isStopword(t))).cast("double") /
+          size(toks)).as("r"))
+      .filter(col("r") >= 0.05 && col("n") >= 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(curated.nonEmpty && nonSurvivors.nonEmpty)
+    assert(curated == quality -- nonSurvivors)
+  }
+
   test("x14 real PNG codec: roundtrip features are exact for known bytes") {
     import graft.ext.{ImageFeatures, Multimodal => M}
     // constant payload: every pixel = 'A' (65) → mean exactly 65.0
