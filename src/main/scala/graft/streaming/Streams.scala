@@ -325,6 +325,12 @@ object Streams {
     rmDir(spark, outDir); rmDir(spark, ckDir)
     val q = microsEventStream(spark, sfDir)
       .withColumn("date", to_date(col("ts")))
+      // Same bounded shuffle as the batch ingest (Lake
+      // ensurePartitionedEvents): hash dates into a fixed task count so
+      // each microbatch writes ~one file per date instead of every task
+      // writing into every date directory — at scale the latter is a
+      // small-files explosion (tasks × partitions files per batch).
+      .repartition(32, col("date"))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -82,6 +82,20 @@ class StreamingStateSpec extends SparkSpec {
       (2L, "10:40", 1L)), s"got $out")
   }
 
+  test("re-sunk streaming queries return parquet-sink-backed frames, not memory sinks") {
+    // s01/s03/s05/s06 moved off driver-memory sinks in r5: the frame a
+    // registered query returns must read from the checkpointed parquet
+    // sink directory (production shape), which inputFiles exposes
+    Seq("s03_stream_sliding", "s05_stream_dedup", "s06_stream_stream_join")
+      .foreach { name =>
+        val df = graft.streaming.Streams.queries(name)(spark, SfDir)
+        val files = df.inputFiles
+        assert(files.nonEmpty, s"$name: no input files")
+        assert(files.forall(_.contains("/tmp/graft-stream/")),
+          s"$name reads outside the stream sink: ${files.take(3).mkString(",")}")
+      }
+  }
+
   test("windowed streaming agg equals the batch aggregation (s01 semantics)") {
     import org.apache.spark.sql.functions._
     import graft.sources.Lake
