@@ -59,7 +59,8 @@ object Bench {
     "c31_asof_join", "c32_range_join",
     "c44_bucketed_join", "p01_pipeline_topk", "s07_stream_ingest_partitioned",
     "x03_dedup_minhash", "x07_cosine_topk", "x10_text_stats",
-    "x12_token_count", "x15_tfidf", "x18_dedup_components")
+    "x12_token_count", "x14_multimodal_decode", "x15_tfidf",
+    "x18_dedup_components", "x19_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

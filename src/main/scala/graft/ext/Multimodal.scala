@@ -46,6 +46,11 @@ object Multimodal {
   object ImageCodec {
     val Side = 16
 
+    // ImageIO's default stream cache is DISK-backed — every encode and
+    // decode call creates and deletes a temp file, which at corpus
+    // scale is pure filesystem churn per row. In-memory streams only.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Ingest side: render payload bytes into a REAL PNG — pixel p
       * (row-major) = byte[p mod n] — standing in for lake-resident
       * image files. Deterministic, so the decode step downstream is

@@ -318,7 +318,9 @@ object Surface {
     // nested-loop inequality join.
     "c32_range_join" -> ((spark, sfDir) => {
       val e = t(spark, sfDir, "events").select(col("event_id"), col("ts"))
-      graft.operators.TemporalJoins.rangeSelfJoin(e, "ts", 600L)
+      // 150 s bins under the 600 s window: ~37% fewer false candidates
+      // than window-width bins (see rangeSelfJoin's volume analysis)
+      graft.operators.TemporalJoins.rangeSelfJoin(e, "ts", 600L, binSeconds = 150L)
         .groupBy(date_format(col("a_ts"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("day"))
