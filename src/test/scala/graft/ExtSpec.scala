@@ -35,6 +35,32 @@ class ExtSpec extends SparkSpec {
       s"got $got — pairs (1,2),(2,3),(3,4) must collapse transitively")
   }
 
+  test("connected components fail loudly when maxIter is too small for the diameter") {
+    import spark.implicits._
+    // a 6-vertex path has diameter 5: min-label propagation cannot
+    // reach a fixed point in 2 rounds, and a silently non-converged
+    // label table must never be returned (it would be materialized)
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same graph collapses to one component
+    val ok = Dedup.connectedComponents(path, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L) && ok.size == 6)
+  }
+
+  test("IVF probe selection stays in executors (broadcast joins in the plan)") {
+    val df = Similarity.queries("x16_ann_ivf")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // query x centroid scoring is a broadcast nested-loop of the k-row
+    // centroid table; the probe table broadcasts into the corpus join —
+    // no collect-based probe construction anywhere
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"no centroid broadcast in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no probe broadcast join in:\n$plan")
+  }
+
   test("simhash pairs are near-dups by construction (hamming small ⊂ jaccard high)") {
     val pairs = Dedup.queries("x04_dedup_simhash")(spark, SfDir).collect()
     assert(pairs.nonEmpty, "planted near-dups should collide in simhash bands")

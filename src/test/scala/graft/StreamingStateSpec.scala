@@ -82,6 +82,38 @@ class StreamingStateSpec extends SparkSpec {
       (2L, "10:40", 1L)), s"got $out")
   }
 
+  test("checkpointed parquet sink is exactly-once across re-runs") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Lake
+    // the production property every registered streaming query relies
+    // on: re-running the same pipeline against the SAME checkpoint and
+    // sink emits nothing new when there is no new data — no duplicate
+    // rows, resumable by construction
+    val micros = Lake.ensureMicrosEvents(spark, SfDir)
+    val outDir = "/tmp/graft-stream/test_exactly_once_out"
+    val ckDir = "/tmp/graft-stream/test_exactly_once_ck"
+    Seq(outDir, ckDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(micros).schema).parquet(micros)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    runOnce()
+    val n2 = spark.read.parquet(outDir).count()
+    val src = spark.read.parquet(micros).count()
+    assert(n1 == src, s"first run wrote $n1 of $src rows")
+    assert(n2 == n1, s"re-run duplicated rows: $n1 -> $n2")
+  }
+
   test("re-sunk streaming queries return parquet-sink-backed frames, not memory sinks") {
     // s01/s03/s05/s06 moved off driver-memory sinks in r5: the frame a
     // registered query returns must read from the checkpointed parquet
