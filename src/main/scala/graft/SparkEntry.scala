@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Core, Surface}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.Views
 import graft.streaming.Streams
 import graft.sources.Lake
@@ -38,7 +38,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Surface.queries ++ Views.queries ++ Streams.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (sketch/stream-internal/
@@ -48,5 +48,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracles ++ Surface.oracles ++ Views.oracles ++ Streams.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Sampling.oracles
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Corpus-composition operators for a training-data pipeline, over
+  * `documents`: deterministic stratified sampling (language
+  * rebalancing) and greedy token-budget fill (building a fixed-size
+  * training mix per source).
+  *
+  * Both are engine-reproducible by construction — the sampling hash is
+  * plain modular arithmetic (a multiplicative Weyl step with Knuth's
+  * golden-ratio multiplier: h = id·2654435761 mod 2³¹−1; the step
+  * M mod P ≈ 0.236·P makes {h(id)} equidistributed over [0, P) from
+  * id = 1 on, so each stratum's admitted fraction converges to its
+  * rate; products stay < 2⁶³ for id < 3.4·10⁹ — ANSI-safe), not an
+  * engine-specific RNG — so both take full DuckDB oracles, and a
+  * re-run over the same corpus reproduces the sample exactly (the
+  * property that makes training mixes auditable).
+  */
+object Sampling {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.table(spark, sfDir, "documents")
+
+  /** Modulus (2³¹ − 1) and Knuth golden-ratio multiplier. */
+  val HashMod = 2147483647L
+  val HashMul = 2654435761L
+
+  /** Deterministic per-row sampling hash in [0, HashMod). */
+  def sampleHash(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (idCol * HashMul) % HashMod
+
+  val queries: Map[String, Q] = Map(
+
+    // Stratified (per-language) downsampling: keep en at 50%, every
+    // other language at 20% — the rebalancing step of a multilingual
+    // training mix. Scale shape: stateless map work, no shuffle, no
+    // RNG state to coordinate across executors; the decision is a pure
+    // function of doc_id, so adding data never changes which existing
+    // rows are sampled (stable under incremental ingest).
+    "x20_stratified_sample" -> ((spark, sfDir) => {
+      val threshold = when(col("lang") === "en", lit((HashMod * 0.5).toLong))
+        .otherwise(lit((HashMod * 0.2).toLong))
+      docs(spark, sfDir)
+        .filter(sampleHash(col("doc_id")) < threshold)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Greedy token-budget fill: per source, take documents in doc_id
+    // order until the running token count passes the per-source budget
+    // — "give me ~20k tokens from each source". One window (shuffle on
+    // source, sort by the deterministic id) — partial nothing, but the
+    // state per group is one running sum, and budget-filling is
+    // inherently sequential per stratum; skew is bounded by the
+    // documents-per-source distribution, not by token counts.
+    "x21_token_budget" -> ((spark, sfDir) => {
+      val budget = 20000L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("running_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("running_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("running_tokens"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x20_stratified_sample" ->
+      (s"SELECT doc_id, lang, source, n_chars FROM documents " +
+        s"WHERE (doc_id * $HashMul) % $HashMod < " +
+        s"CASE WHEN lang = 'en' THEN ${(HashMod * 0.5).toLong} " +
+        s"ELSE ${(HashMod * 0.2).toLong} END ORDER BY doc_id"),
+    "x21_token_budget" ->
+      ("SELECT doc_id, source, n_tokens, running_tokens FROM (" +
+        "SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        // CAST: DuckDB widens SUM(BIGINT) to HUGEINT; Spark's window sum is BIGINT
+        "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
+        "WHERE running_tokens <= 20000 ORDER BY doc_id")
+  )
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Lake
 
 /** Semantics tests for the sketch-based (rows-only-checked) LLM
@@ -190,6 +190,36 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(curated.nonEmpty && nonSurvivors.nonEmpty)
     assert(curated == quality -- nonSurvivors)
+  }
+
+  test("x20 sample equals the exact hash set; x21 fills are budget-bounded prefixes") {
+    // x20: the sample must be EXACTLY the rows the Weyl hash admits —
+    // recomputed independently here — not a statistical approximation
+    val langs = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = langs.filter { case (id, lang) =>
+      val thr =
+        if (lang == "en") (Sampling.HashMod * 0.5).toLong
+        else (Sampling.HashMod * 0.2).toLong
+      (id * Sampling.HashMul) % Sampling.HashMod < thr
+    }.map(_._1).toSet
+    val got = Sampling.queries("x20_stratified_sample")(spark, SfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < langs.length)
+
+    // x21: every kept row is under budget, and per source the kept set
+    // is a doc_id-order prefix (greedy fill, no holes)
+    val rows = Sampling.queries("x21_token_budget")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= 20000L))
+    rows.groupBy(_._2).foreach { case (src, kept) =>
+      val ordered = kept.sortBy(_._1)
+      assert(ordered.map(_._3.toLong).scanLeft(0L)(_ + _).tail.toSeq ==
+        ordered.map(_._4).toSeq, s"$src running sums inconsistent")
+    }
   }
 
   test("x14 real PNG codec: roundtrip features are exact for known bytes") {
