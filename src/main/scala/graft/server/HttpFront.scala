@@ -55,12 +55,25 @@ object HttpFront {
     server
   }
 
+  /** Request-body cap: a query is a SQL string, not a data upload —
+    * an unbounded read into memory would let one request exhaust the
+    * driver heap. 1 MiB is orders of magnitude above any real query
+    * (the reference's transport has a hard payload cap the same way).
+    */
+  val MaxBodyBytes: Int = 1 << 20
+
   private def handleQuery(engine: SparkEngine, ex: HttpExchange): Unit = {
     if (ex.getRequestMethod != "POST") {
       respond(ex, 405, Map("errorMessage" -> "POST required"))
       return
     }
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val bytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+    if (bytes.length > MaxBodyBytes) {
+      respond(ex, 413, Map("errorMessage" ->
+        s"request body exceeds $MaxBodyBytes bytes"))
+      return
+    }
+    val body = new String(bytes, StandardCharsets.UTF_8)
     val req =
       try {
         val node = mapper.readTree(if (body.isEmpty) "{}" else body)

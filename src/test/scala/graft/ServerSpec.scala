@@ -55,12 +55,15 @@ class ServerSpec extends SparkSpec {
     }
   }
 
-  test("transport errors are HTTP-level: bad JSON 400, GET 405") {
+  test("transport errors are HTTP-level: bad JSON 400, GET 405, oversize 413") {
     withServer { port =>
       assert(post(port, "this is not json")._1 == 400)
       val get = HttpRequest.newBuilder(
         URI.create(s"http://localhost:$port/query")).GET().build()
       assert(client.send(get, HttpResponse.BodyHandlers.ofString()).statusCode() == 405)
+      // a body over the 1 MiB cap is rejected before any parse/execute
+      val huge = """{"q": """" + ("x" * (HttpFront.MaxBodyBytes + 16)) + """"}"""
+      assert(post(port, huge)._1 == 413)
     }
   }
 

@@ -46,4 +46,24 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.rangeSelfJoin(df, "ts", 600L, binSeconds = 7L)
     }
   }
+
+  test("asofJoin: simultaneous right row is visible, later rows are not, no-match is null") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val left = Seq(
+      (1L, t("10:00:00"), "p1"), // exactly-simultaneous click: ts <= semantics
+      (1L, t("11:00:00"), "p2"), // most recent of two prior clicks wins
+      (2L, t("09:00:00"), "p3")  // user 2 has no click at or before -> null
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("10:00:00"), 100L),
+      (1L, t("10:30:00"), 101L),
+      (2L, t("09:30:00"), 102L)  // later than p3: must NOT match
+    ).toDF("user_id", "ts", "click_id")
+    val got = TemporalJoins.asofJoin(left, right, "user_id", "ts", "ts", Seq("click_id"))
+      .select(col("tag"), col("asof_click_id"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map("p1" -> 100L, "p2" -> 101L, "p3" -> -1L), s"got $got")
+  }
 }
