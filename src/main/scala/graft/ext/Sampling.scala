@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Lake
@@ -55,22 +54,25 @@ object Sampling {
 
     // Greedy token-budget fill: per source, take documents in doc_id
     // order until the running token count passes the per-source budget
-    // — "give me ~20k tokens from each source". One window (shuffle on
-    // source, sort by the deterministic id) — partial nothing, but the
-    // state per group is one running sum, and budget-filling is
-    // inherently sequential per stratum; skew is bounded by the
-    // documents-per-source distribution, not by token counts.
+    // — "give me ~20k tokens from each source". The running sum is the
+    // distributed two-pass scan (operators/Prefix), NOT a
+    // Window.partitionBy(source) — the window form materializes each
+    // source in ONE task, which at 100 TB makes a big source a
+    // straggler; the scan bounds per-task data by the range
+    // partitioning regardless of group sizes.
     "x21_token_budget" -> ((spark, sfDir) => {
+      import spark.implicits._
       val budget = 20000L
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(spark, sfDir)
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).as("n_tokens"))
-        .withColumn("running_tokens", sum(col("n_tokens")).over(w))
-        .filter(col("running_tokens") <= budget)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("running_tokens"))
+      val rows = docs(spark, sfDir)
+        .select(col("doc_id").as("id"), col("source").as("group"),
+          size(split(col("text"), " ")).cast("long").as("value"))
+        .as[graft.operators.Prefix.ScanRow]
+      graft.operators.Prefix
+        .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
+        .filter(col("running") <= budget)
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("value").cast("int").as("n_tokens"),
+          col("running").as("running_tokens"))
         .orderBy(col("doc_id"))
     })
   )

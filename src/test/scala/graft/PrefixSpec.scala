@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Prefix
+import graft.operators.Prefix.ScanRow
+
+/** The distributed two-pass scan must agree exactly with the
+  * single-task window running sum on every partitioning — including
+  * partition counts that split groups across many partitions, the
+  * case the operator exists for.
+  */
+class PrefixSpec extends SparkSpec {
+
+  test("runningSum matches the window running sum across partition counts") {
+    import spark.implicits._
+    // 3 groups of very different sizes, interleaved ids, values that
+    // make per-group sums distinctive; deterministic pseudo-random
+    val rows = (0 until 3000).map { i =>
+      val g = if (i % 7 == 0) "small" else if (i % 3 == 0) "mid" else "big"
+      ScanRow(id = i.toLong, group = g, value = (i * 2654435761L % 97) + 1)
+    }
+    val ds = rows.toDS()
+    val w = Window.partitionBy(col("group")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = ds.toDF()
+      .withColumn("running", sum(col("value")).over(w))
+      .select(col("id"), col("running"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 partition (degenerate), 8 (groups split), 64 (many empty)
+    Seq(1, 8, 64).foreach { n =>
+      val got = Prefix.runningSum(ds, n)
+        .collect().map(o => o.id -> o.running).toMap
+      assert(got == expected, s"numPartitions=$n diverged")
+    }
+  }
+}
