@@ -43,6 +43,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // record which sf the dump was produced against, so a checker run
+    // against this dump can default to the RIGHT tables — comparing a
+    // dump to a different sf silently fails only on sf-sensitive rows
+    Files.writeString(Paths.get(s"$outDir/sf_dir.txt"), sfDir)
     spark.stop()
   }
 }

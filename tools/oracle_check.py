@@ -7,12 +7,20 @@ match/mismatch so oracle drift is caught before the driver runs.
 
 Usage: python3 tools/oracle_check.py [sfDir] [verifyDir]
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 import pandas as pd
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
+# default SF to whatever the dump was produced against (Verify writes
+# sf_dir.txt) — comparing a dump to a different sf's tables produces
+# confusing partial mismatches on sf-sensitive queries
+_recorded = None
+if os.path.exists(f"{OUT}/sf_dir.txt"):
+    _recorded = open(f"{OUT}/sf_dir.txt").read().strip()
+SF = sys.argv[1] if len(sys.argv) > 1 else (_recorded or "/root/testdata/sf0.01")
+if _recorded and SF != _recorded:
+    print(f"WARNING: comparing dump produced at {_recorded} against {SF}")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
