@@ -307,6 +307,27 @@ object Similarity {
         .limit(100)
     }),
 
+    // Embedding int8 quantization — the storage-reduction step of an
+    // embedding lake (4 bytes/dim fp32 → 1 byte/dim + 2 scale floats).
+    // Per-vector min-max scale to [0, 255]; shuffle-free map work.
+    // Integer outputs (first quantized component + integer checksum of
+    // the whole quantized vector — order-independent) make the oracle
+    // exact; both engines compute the scale in double precision.
+    "x22_embed_quantize" -> ((spark, sfDir) => {
+      val vec = toDouble(col("embedding"))
+      val mn = array_min(vec)
+      val mx = array_max(vec)
+      def quant(v: Column): Column =
+        when(mx === mn, lit(0))
+          .otherwise(round((v - mn) / (mx - mn) * 255, 0).cast("int"))
+      val q = transform(vec, v => quant(v))
+      emb(spark, sfDir)
+        .select(col("vec_id"),
+          element_at(q, 1).as("q_first"),
+          aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ANN via IVF coarse quantization: 16 k-means cells, probe the 4
     // nearest per query — ~1/4 of the corpus scanned per query instead
     // of all of it, top-3 by exact cosine within the probed cells.
@@ -336,6 +357,18 @@ object Similarity {
     // reference implementation.
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
-        "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100")
+        "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),
+    // the scale math runs in DOUBLE on both engines (the raw elements
+    // are FLOAT — float-precision intermediates would round differently)
+    "x22_embed_quantize" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d " +
+        "FROM embeddings), " +
+        "m AS (SELECT vec_id, d, list_min(d) AS mn, list_max(d) AS mx FROM e) " +
+        "SELECT vec_id, " +
+        "CASE WHEN mx = mn THEN 0 ELSE " +
+        "CAST(ROUND((d[1] - mn) / (mx - mn) * 255) AS INTEGER) END AS q_first, " +
+        "CAST(list_sum(list_transform(d, v -> CASE WHEN mx = mn THEN 0 ELSE " +
+        "CAST(ROUND((v - mn) / (mx - mn) * 255) AS INTEGER) END)) AS BIGINT) AS q_sum " +
+        "FROM m ORDER BY vec_id")
   )
 }

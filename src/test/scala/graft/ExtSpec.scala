@@ -192,6 +192,23 @@ class ExtSpec extends SparkSpec {
     assert(curated == quality -- nonSurvivors)
   }
 
+  test("x22 quantization maps min to 0, max to 255, everything within range") {
+    import spark.implicits._
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val got = Similarity.queries("x22_embed_quantize")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == vecs.size)
+    got.foreach { case (id, qFirst, qSum) =>
+      val v = vecs(id); val mn = v.min; val mx = v.max
+      val expFirst = math.round((v(0) - mn) / (mx - mn) * 255).toInt
+      assert(qFirst == expFirst, s"vec $id first component")
+      // min quantizes to 0 and max to 255, so the checksum is bounded
+      assert(qSum >= 255L && qSum <= 255L * v.length, s"vec $id checksum $qSum")
+    }
+  }
+
   test("x20 sample equals the exact hash set; x21 fills are budget-bounded prefixes") {
     // x20: the sample must be EXACTLY the rows the Weyl hash admits —
     // recomputed independently here — not a statistical approximation
