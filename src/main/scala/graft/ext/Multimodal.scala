@@ -92,6 +92,32 @@ object Multimodal {
       }
       ImageFeatures(id, w, h, s.toDouble / (w * h))
     }
+
+    /** Decode + nearest-neighbor resize to outSide×outSide, features
+      * of the RESIZED image. The nearest kernel is the explicit index
+      * map src = dst·W/out (floor) — hand-rolled rather than
+      * AffineTransformOp because that op's nearest rounding is
+      * implementation-defined, and the mapping here must be exact for
+      * the cross-engine oracle. outSide a power of two keeps the mean
+      * (integer sum / 2^k) bit-exact in double.
+      */
+    def decodeAndResize(id: Long, png: Array[Byte], outSide: Int): ImageFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < outSide) {
+        var x = 0
+        while (x < outSide) {
+          s += raster.getSample(x * w / outSide, y * h / outSide, 0)
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(id, outSide, outSide, s.toDouble / (outSide * outSide))
+    }
   }
 
   /** Deterministic frame sampling: up to `maxFrames` windows of
@@ -128,6 +154,24 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // Image RESIZE over the real binary pipeline: PNG-encode, decode
+    // with the real codec, nearest-neighbor downsample 16×16 → 8×8,
+    // features of the resized image — the thumbnail/preprocess step of
+    // an image-training pipeline, same shuffle-free mapPartitions
+    // shape as x14.
+    "x23_image_resize" -> ((spark, sfDir) => {
+      import spark.implicits._
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+        .mapPartitions(_.map(a => Asset(a.doc_id, ImageCodec.encodePng(a.blob))))
+        .mapPartitions(_.map(a => ImageCodec.decodeAndResize(a.doc_id, a.blob, 8)))
+        .toDF()
+        .select(col("doc_id"), col("width").as("out_w"),
+          col("height").as("out_h"), col("mean_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over the binary payload (video frame-sample
     // plumbing): per-asset flatMap fan-out to frame rows, structural
     // columns only — fully oracle-checked against integer byte math
@@ -150,6 +194,16 @@ object Multimodal {
   // exact sum/256. x17's structural sampling likewise reproduces from
   // octet lengths.
   val oracles: Map[String, String] = Map(
+    // x23: resized pixel (x, y) samples source pixel (2x, 2y) = byte
+    // index 32y + 2x (row-major, 16 wide) — reproducible in SQL the
+    // same way as x14's full-image mean
+    "x23_image_resize" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "g AS (SELECT doc_id, text, n, (32*y.i + 2*x.i) AS p " +
+        "FROM a, range(8) y(i), range(8) x(i)) " +
+        "SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h, " +
+        "AVG(ord(substr(text, CAST(p % n AS INTEGER) + 1, 1))) AS mean_byte " +
+        "FROM g GROUP BY doc_id ORDER BY doc_id"),
     "x14_multimodal_decode" ->
       ("WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
         "u AS (SELECT doc_id, text, n, unnest(range(256)) AS p FROM a) " +

@@ -253,6 +253,17 @@ class ExtSpec extends SparkSpec {
     assert(f2.mean_byte == s.toDouble / 256)
   }
 
+  test("x23 nearest resize samples exactly the even-index pixels") {
+    import graft.ext.{ImageFeatures, Multimodal => M}
+    // payload [10, 200]: source pixel p = byte[p mod 2], so even pixel
+    // indices are 10 and odd are 200. The 16→8 nearest map hits source
+    // (2x, 2y) = index 32y+2x — always even — so the resized image is
+    // all 10s; any off-by-one in the kernel would pull in a 200.
+    val png = M.ImageCodec.encodePng(Array[Byte](10, (200 & 0xff).toByte))
+    assert(M.ImageCodec.decodeAndResize(3L, png, 8) ==
+      ImageFeatures(3L, 8, 8, 10.0))
+  }
+
   test("multimodal decode is deterministic and schema-stable (x14)") {
     val df = Multimodal.queries("x14_multimodal_decode")(spark, SfDir)
     assert(df.columns.toSeq == Seq("doc_id", "width", "height", "mean_byte"))
