@@ -343,7 +343,13 @@ object Dedup {
       val sigs = Lake.materialize(spark, sfDir, s"minhash_sigs_$numHashes") {
         minhashSignatures(d, numHashes)
       }
-      val cands = minhashCandidates(minhashBands(sigs, numHashes, bands = 8))
+      // the band table feeds BOTH candidate-join sides (like x08's LSH
+      // buckets) — checkpoint it so each side is a parquet scan instead
+      // of recomputing the slice-hash aggregation per plan branch
+      val bands = Lake.materialize(spark, sfDir, s"minhash_bands_${numHashes}_8") {
+        minhashBands(sigs, numHashes, bands = 8)
+      }
+      val cands = minhashCandidates(bands)
       minhashVerify(cands, sigs, numHashes, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
