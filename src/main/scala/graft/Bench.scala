@@ -141,12 +141,20 @@ object Bench {
     // ONE run — the direct "would it survive 100×" datapoint next to
     // the structural file-count metric. time_ratio at-or-below
     // data_ratio is the pass band; superlinear growth is a
-    // shuffle/skew/driver-bottleneck smell.
-    val scalingNames = Seq("flagship", "c02_join_large", "x03_dedup_minhash")
-      .filter(names.contains)
+    // shuffle/skew/driver-bottleneck smell. The set deliberately
+    // includes the risk shapes where superlinearity would first show:
+    // the range join (quadratic candidate volume), the streaming
+    // ingest, and the iterative components operator.
+    val scalingNames = Seq(
+      "flagship", "c02_join_large", "c32_range_join",
+      "s07_stream_ingest_partitioned", "x03_dedup_minhash",
+      "x18_dedup_components").filter(names.contains)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.0)
-    val smallDir = sfDir.replace("sf0.1", "sf0.01")
+    // Derive the comparison dir from the PARSED sf token (not a literal
+    // string match on "sf0.1") so a run at any scale factor still
+    // produces — or visibly skips — the scaling evidence.
+    val smallDir = "sf[0-9.]+".r.replaceFirstIn(sfDir, "sf0.01")
     val scalingJson =
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
         Lake.ensurePartitionedEvents(spark, smallDir)
@@ -159,7 +167,12 @@ object Bench {
         val dataRatio =
           if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
         s""","scaling":{"data_ratio":${fmt(dataRatio)},"small_sf":"$smallDir","queries":$entries}"""
-      } else ""
+      } else {
+        val why =
+          if (smallDir == sfDir) "already_at_smallest_sf"
+          else s"missing_small_dir:$smallDir"
+        s""","scaling":{"skipped":"$why"}"""
+      }
 
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}""")
     spark.stop()

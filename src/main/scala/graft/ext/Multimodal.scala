@@ -38,6 +38,31 @@ object Multimodal {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The x14/x23 oracles index CHARACTERS (`ord(substr(text, ...))`)
+    * while the Spark side encodes UTF-8 BYTES — equivalent only for
+    * non-empty, single-byte (ASCII) text. True at every provisioned
+    * scale factor, but a testdata change must fail HERE, loudly, not
+    * surface as silent oracle drift (or a % 0 on the DuckDB side for an
+    * empty document). Asserted once per (process, sfDir) at query
+    * build time.
+    */
+  private val asciiChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertAsciiCorpus(spark: SparkSession, sfDir: String): Unit =
+    if (!asciiChecked.contains(sfDir)) {
+      val bad = Lake.table(spark, sfDir, "documents")
+        .filter(length(col("text")) === 0 ||
+          octet_length(col("text")) =!= length(col("text")))
+        .count()
+      require(bad == 0,
+        s"$bad documents at $sfDir are empty or non-ASCII; the x14/x23 " +
+          "oracles assume non-empty single-byte text (character index " +
+          "== byte index) — rephrase them over bytes before relaxing " +
+          "this assert")
+      asciiChecked.add(sfDir)
+    }
+
   /** Real JDK image codec (javax.imageio, bundled with Java SE).
     * 16×16 8-bit grayscale PNG: small enough that the encode side of
     * the pipeline stays cheap, lossless so the decode features are
@@ -144,6 +169,7 @@ object Multimodal {
     // shape a production image pipeline has; no shuffle anywhere.
     "x14_multimodal_decode" -> ((spark, sfDir) => {
       import spark.implicits._
+      assertAsciiCorpus(spark, sfDir)
       val pngs = Lake.table(spark, sfDir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         .as[Asset]
@@ -161,6 +187,7 @@ object Multimodal {
     // shape as x14.
     "x23_image_resize" -> ((spark, sfDir) => {
       import spark.implicits._
+      assertAsciiCorpus(spark, sfDir)
       Lake.table(spark, sfDir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
         .as[Asset]

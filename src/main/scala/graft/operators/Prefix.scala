@@ -47,6 +47,16 @@ object Prefix {
   def runningSum(ds: Dataset[ScanRow], numPartitions: Int): Dataset[ScanOut] = {
     val spark = ds.sparkSession
     import spark.implicits._
+    // `local` is consumed twice below (spine + final join). Correct pid
+    // alignment between the two consumers relies on Catalyst's
+    // ReuseExchange deduplicating the range exchange — with reuse
+    // disabled the two branches could sample different range boundaries
+    // and tag the same row with different pids. Fail loudly rather than
+    // return silently misaligned running sums.
+    require(spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Prefix.runningSum requires spark.sql.exchange.reuse=true: the " +
+        "range exchange feeds both the spine and the final join, and " +
+        "without exchange reuse their pid tags can misalign")
     val ranged = ds
       .repartitionByRange(numPartitions, col("group"), col("id"))
       .sortWithinPartitions(col("group"), col("id"))
@@ -64,9 +74,12 @@ object Prefix {
       }
     }
     // spine: the last local running per (partition, group) IS that
-    // span's total (rows are contiguous and ordered within a partition)
+    // span's total (rows are contiguous and ordered within a partition).
+    // "Last" means at the max id — NOT max(local_run), which only
+    // coincides with the span total when every value is non-negative;
+    // signed deltas (balances, inventory) need the true last row.
     val spine = local.groupBy(col("pid"), col("group"))
-      .agg(max(col("local_run")).as("ptotal"))
+      .agg(max_by(col("local_run"), col("id")).as("ptotal"))
     val ow = Window.partitionBy(col("group")).orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = spine

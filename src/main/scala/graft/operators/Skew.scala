@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 /** Skew-handling join primitives (the 100 TB rules: a hot join key
   * concentrates one shuffle partition onto one task; salting splits it
   * deterministically; bucketing removes the shuffle entirely).
+  *
+  * When to salt vs when AQE suffices: modern Spark's
+  * `spark.sql.adaptive.skewJoin` splits an oversized shuffle PARTITION
+  * at runtime (PlanSpec asserts it fires on a planted hot key), and is
+  * the right default — zero code, reacts to observed sizes. Manual
+  * salting still wins when (a) ONE key's rows exceed what a single
+  * split should own downstream of the join (AQE splits by partition
+  * bytes, the post-join explosion of a hot key it cannot see), (b) the
+  * skewed join feeds an aggregation keyed on the same column, where
+  * AQE's split would be re-merged by the shuffle anyway and salted
+  * two-phase aggregation is needed, or (c) AQE is unavailable
+  * (streaming micro-batches, non-adaptive plans).
   */
 object Skew {
 

@@ -332,6 +332,22 @@ object Lake {
     }
   }
 
+  /** True when the derived target `name` is already built for this
+    * source fingerprint (process-local marker cache, falling back to
+    * one _SUCCESS existence probe). Lets callers whose build is
+    * EAGER (e.g. an iterative loop that runs jobs while constructing
+    * the frame) skip construction entirely on the warm path —
+    * [[materialize]]'s by-name laziness only helps when building the
+    * frame is itself lazy.
+    */
+  def isBuilt(spark: SparkSession, sfDir: String, name: String): Boolean = {
+    val target = derivedPath(spark, sfDir, name)
+    doneTargets.contains(target) || {
+      val (fs, marker) = hadoopFs(spark, s"$target/_SUCCESS")
+      fs.exists(marker)
+    }
+  }
+
   /** Materialize a derived table to the lake once per (source
     * fingerprint, name), gated on _SUCCESS like the events copies, and
     * read it back. This is the "checkpoint the expensive intermediate

@@ -38,6 +38,37 @@ object Streams {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The windowed queries below and their oracles BOTH hardcode the
+    * watermark-flushed event-time range (days 2024-01-01..01-25; window
+    * ends through 01-26). If the provisioned corpus ever stopped
+    * covering that range, both sides would filter identically and the
+    * oracle would pass vacuously on a silently truncated (possibly
+    * empty) result — so the assumption is asserted here, once per
+    * (process, sfDir), at query build time: the corpus must start by
+    * 01-01 and reach 01-27 (max ts − 1-day watermark ≥ 01-26, the
+    * largest flush bound any registered query needs). Day strings are
+    * computed in the session time zone, matching how the windows
+    * themselves are assigned.
+    */
+  private val spanChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertCorpusSpan(spark: SparkSession, sfDir: String): Unit =
+    if (!spanChecked.contains(sfDir)) {
+      val row = spark.read.parquet(Lake.ensureMicrosEvents(spark, sfDir))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("lo"),
+          date_format(max(col("ts")), "yyyy-MM-dd").as("hi"))
+        .head()
+      val (lo, hi) = (row.getString(0), row.getString(1))
+      require(lo <= "2024-01-01" && hi >= "2024-01-27",
+        s"events corpus at $sfDir spans [$lo, $hi] but the registered " +
+          "streaming queries and their oracles hardcode the " +
+          "watermark-flushed range [2024-01-01, 2024-01-25] (requires " +
+          "max ts >= 2024-01-27 for a 1-day watermark to flush it); " +
+          "update the ranges in Streams to match the new corpus")
+      spanChecked.add(sfDir)
+    }
+
   private def rmDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,7 +130,8 @@ object Streams {
     * fully watermark-flushed at every provisioned scale factor — and
     * the oracle states the same range.
     */
-  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame =
+  def windowedCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    assertCorpusSpan(spark, sfDir)
     runToParquetSink(spark,
       rawEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
@@ -110,6 +142,7 @@ object Streams {
       s"s01_${tag(sfDir)}")
       .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
       .orderBy(col("day"), col("event_type"))
+  }
 
   /** s02: append-mode watermarked aggregation into the checkpointed
     * file sink. Append mode can only ever emit windows the watermark
@@ -118,7 +151,8 @@ object Streams {
     * provisioned scale factor (events span Jan 1-30) — and the oracle
     * states the same range.
     */
-  def appendFileSink(spark: SparkSession, sfDir: String): DataFrame =
+  def appendFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    assertCorpusSpan(spark, sfDir)
     runToParquetSink(spark,
       microsEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
@@ -129,6 +163,7 @@ object Streams {
       s"s02_${tag(sfDir)}")
       .filter(col("day") >= "2024-01-01" && col("day") <= "2024-01-25")
       .orderBy(col("day"), col("event_type"))
+  }
 
   /** s03: sliding windows (2-day window, 1-day slide) — each event
     * lands in two overlapping windows; append mode into the
@@ -138,7 +173,8 @@ object Streams {
     * reach at every provisioned scale factor); the oracle states the
     * same bound.
     */
-  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame =
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    assertCorpusSpan(spark, sfDir)
     runToParquetSink(spark,
       rawEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
@@ -149,6 +185,7 @@ object Streams {
       s"s03_${tag(sfDir)}")
       .filter(col("wstart") >= "2023-12-31" && col("wstart") <= "2024-01-24")
       .orderBy(col("wstart"), col("event_type"))
+  }
 
   /** s04: per-user session windows with a 30-minute inactivity gap
     * (session_window — Spark's built-in merging-state aggregation),
@@ -162,7 +199,8 @@ object Streams {
     * end < 01-26 is watermark-flushed at all provisioned SFs (final
     * watermark ≈ max ts − 1 day ≈ 01-29).
     */
-  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame =
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    assertCorpusSpan(spark, sfDir)
     runToParquetSink(spark,
       microsEventStream(spark, sfDir)
         .withWatermark("ts", "1 day")
@@ -180,6 +218,7 @@ object Streams {
           .as("session_start"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
+  }
 
   /** s05: streaming deduplication with BOUNDED state —
     * `dropDuplicatesWithinWatermark` keeps a key only until the
@@ -295,6 +334,7 @@ object Streams {
   }
 
   def statefulSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    assertCorpusSpan(spark, sfDir)
     import spark.implicits._
     val sessions = sessionize(
       microsEventStream(spark, sfDir)

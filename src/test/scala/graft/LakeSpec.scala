@@ -60,6 +60,37 @@ class LakeSpec extends SparkSpec {
       s"derived path $p does not embed the source fingerprint")
   }
 
+  test("contended first touch materializes a derived artifact exactly once") {
+    // Two queries needing the same unbuilt artifact race through
+    // materialize (the HTTP pool's cold-start scenario): the build must
+    // run once, and every caller must get the correct result. The sleep
+    // widens the race window so all threads really do contend.
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val name = s"testct_${java.util.UUID.randomUUID().toString.take(8)}"
+    val expected = Lake.table(spark, SfDir, "region").count()
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { _ =>
+        pool.submit(new Callable[Long] {
+          def call(): Long = Lake.materialize(spark, SfDir, name) {
+            builds.incrementAndGet()
+            Thread.sleep(300)
+            Lake.table(spark, SfDir, "region")
+          }.count()
+        })
+      }
+      futures.foreach(f =>
+        assert(f.get() == expected, "a contended caller saw a wrong result"))
+      assert(builds.get() == 1,
+        s"build ran ${builds.get()} times under contention — must be exactly once")
+      assert(Lake.isBuilt(spark, SfDir, name), "isBuilt must see the built marker")
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(30, TimeUnit.SECONDS)
+    }
+  }
+
   test("c11 approx_count_distinct is within 5% of exact per event_type") {
     val e = Lake.table(spark, SfDir, "events")
     val approx = e.groupBy(col("event_type"))

@@ -98,6 +98,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), s"bucketed scan missing in:\n$plan")
   }
 
+  test("AQE splits a planted skewed join partition and matches the plain join (c43's modern path)") {
+    // The salted join (c43) is the manual skew fix; modern Spark's
+    // answer is AQE's OptimizeSkewedJoin. Plant one hot key, shrink the
+    // skew thresholds to test scale, and assert the FINAL adaptive plan
+    // actually split the skewed partition (isSkewJoin on the join node)
+    // while producing exactly the plain join's result.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val hot = spark.range(0, 50000).selectExpr("CAST(1 AS BIGINT) AS k", "id AS v")
+    val rest = spark.range(0, 500).selectExpr("id % 50 + 2 AS k", "id AS v")
+    val fact = hot.union(rest)
+    val dim = spark.range(0, 60).selectExpr("id AS k", "concat('d', id) AS name")
+    def joins(p: SparkPlan): Seq[Boolean] = p match {
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      // query stages are LEAF nodes wrapping their subtree in .plan
+      case q: QueryStageExec        => joins(q.plan)
+      case j: SortMergeJoinExec     => Seq(j.isSkewJoin) ++ j.children.flatMap(joins)
+      case j: ShuffledHashJoinExec  => Seq(j.isSkewJoin) ++ j.children.flatMap(joins)
+      case other                    => other.children.flatMap(joins)
+    }
+    // plan compilation is lazy — execute and inspect the SAME
+    // QueryExecution inside the conf scope (Bench.scanFileCount's
+    // pattern), or the restored confs would re-plan a broadcast join
+    val skewFlags = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // one hot partition of ~50k rows must exceed factor × median of
+      // the tiny rest — shrink the byte thresholds to test scale
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = fact.join(dim, "k").queryExecution.executedPlan
+      val n = plan.execute().count()
+      assert(n == 50500L, s"AQE skew join returned $n rows, expected 50500")
+      (joins(plan), plan.toString)
+    }
+    assert(skewFlags._1.nonEmpty,
+      s"no shuffled join in the final adaptive plan:\n${skewFlags._2}")
+    assert(skewFlags._1.contains(true),
+      s"OptimizeSkewedJoin did not fire: the hot partition was not split:\n${skewFlags._2}")
+  }
+
   test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
     val plan = Core.queries("b11_topk_limit")(spark, SfDir)
       .queryExecution.executedPlan.toString

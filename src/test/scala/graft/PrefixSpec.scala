@@ -35,4 +35,28 @@ class PrefixSpec extends SparkSpec {
       assert(got == expected, s"numPartitions=$n diverged")
     }
   }
+
+  test("runningSum is exact for signed values across partition counts") {
+    import spark.implicits._
+    // Signed deltas whose local running sums peak MID-span: a spine
+    // computed as max(local_run) instead of the value at the last id
+    // gets these wrong whenever a group crosses a partition boundary.
+    val rows = (0 until 2000).map { i =>
+      val g = if (i % 5 == 0) "a" else "b"
+      val v = ((i * 2654435761L % 41) - 20) // range [-20, 20], mixed sign
+      ScanRow(id = i.toLong, group = g, value = v)
+    }
+    val ds = rows.toDS()
+    val w = Window.partitionBy(col("group")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = ds.toDF()
+      .withColumn("running", sum(col("value")).over(w))
+      .select(col("id"), col("running"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 7, 32).foreach { n =>
+      val got = Prefix.runningSum(ds, n)
+        .collect().map(o => o.id -> o.running).toMap
+      assert(got == expected, s"numPartitions=$n diverged on signed input")
+    }
+  }
 }

@@ -114,6 +114,56 @@ class StreamingStateSpec extends SparkSpec {
     assert(n2 == n1, s"re-run duplicated rows: $n1 -> $n2")
   }
 
+  test("kill mid-ingest, resume from checkpoint: exactly-once, no dupes or loss") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Lake
+    // The production property the checkpointed sink harness exists for:
+    // a stream STOPPED partway through its input and restarted from the
+    // same checkpoint must end with exactly the batch result — the file
+    // sink's _spark_metadata commit log discards uncommitted output and
+    // the source log resumes at the first unprocessed file.
+    val base = "/tmp/graft-stream/test_kill_resume"
+    val (srcDir, outDir, ckDir) = (s"$base/src", s"$base/out", s"$base/ck")
+    Seq(srcDir, outDir, ckDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // 16 source files + maxFilesPerTrigger=1 → 16 microbatches
+    val micros = Lake.ensureMicrosEvents(spark, SfDir)
+    spark.read.parquet(micros).repartition(16).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def writer = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("date", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .partitionBy("date").outputMode("append")
+    // phase 1: slow trigger cadence; stop as soon as the first batch
+    // commits — later files are guaranteed still unprocessed
+    val q1 = writer.trigger(Trigger.ProcessingTime("1 second")).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    q1.stop()
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "stream never committed a batch before the kill")
+    // phase 2: restart against the SAME checkpoint and drain
+    val q2 = writer.trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val resumedRows = q2.recentProgress.map(_.numInputRows).sum
+    assert(resumedRows > 0,
+      "restart processed nothing — phase 1 was not killed mid-ingest")
+    // exactly-once: the sink equals the source as a multiset — same
+    // row count AND every event_id present exactly once
+    val out = spark.read.parquet(outDir)
+    val srcN = spark.read.parquet(srcDir).count()
+    assert(out.count() == srcN, s"sink has ${out.count()} of $srcN rows")
+    assert(out.select(col("event_id")).distinct().count() == srcN,
+      "duplicate event_ids after resume — sink is not exactly-once")
+  }
+
   test("re-sunk streaming queries return parquet-sink-backed frames, not memory sinks") {
     // s01/s03/s05/s06 moved off driver-memory sinks in r5: the frame a
     // registered query returns must read from the checkpointed parquet
