@@ -59,4 +59,16 @@ class PrefixSpec extends SparkSpec {
       assert(got == expected, s"numPartitions=$n diverged on signed input")
     }
   }
+
+  test("runningSum refuses to run without exchange reuse") {
+    import spark.implicits._
+    // pid alignment between the spine and the final join depends on
+    // ReuseExchange deduplicating the range exchange; with reuse off
+    // the operator must fail loudly instead of silently misaligning
+    val ds = Seq(ScanRow(1L, "g", 1L)).toDS()
+    graft.sources.Lake.withConf(spark, "spark.sql.exchange.reuse" -> "false") {
+      val e = intercept[IllegalArgumentException](Prefix.runningSum(ds, 4))
+      assert(e.getMessage.contains("exchange.reuse"))
+    }
+  }
 }
