@@ -19,9 +19,10 @@ import graft.sources.Lake
   *  - s01..s06          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream join
-  *  - x01..x17          — LLM-data-pipeline operators (dedup,
+  *  - x01..x25          — LLM-data-pipeline operators (dedup,
   *                        similarity/ANN, text analysis, TF-IDF,
-  *                        multimodal)
+  *                        multimodal, curation/composition, PII
+  *                        redaction, contamination screening)
   */
 object SparkEntry {
 

@@ -190,6 +190,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination screen: for each corpus document, count
+    * the distinct verbatim word n-grams it shares with ANY benchmark
+    * document other than itself, and flag it when that count is
+    * positive — the decontamination check a training pipeline runs
+    * against held-out eval sets before training.
+    *
+    * Scale shape: both sides reduce to (doc_id, shingle) rows; the
+    * benchmark side (eval sets are thousands of documents, not
+    * billions) is explicitly broadcast, so the screen is one
+    * shuffle-free scan of the corpus joined against an in-memory hash
+    * set, followed by a per-doc count — no shuffle except the final
+    * aggregation on doc_id. If the benchmark side ever outgrew a
+    * broadcast, drop the hint and the same plan becomes a shuffled
+    * equi-join on the shingle.
+    *
+    * Inputs are (doc_id, text) frames; documents shorter than n tokens
+    * contribute no shingles (and cannot be flagged).
+    */
+  def contaminationScreen(corpus: DataFrame, bench: DataFrame, n: Int): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(when(size(tokens) >= n, shingles(n))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val c = sh(corpus).as("c")
+    val b = sh(bench)
+      .select(col("doc_id").as("b_id"), col("g").as("bg")).as("b")
+    val hits = c.join(broadcast(b),
+        col("c.g") === col("b.bg") && col("c.doc_id") =!= col("b.b_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.g").as("g"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over a near-dup pair graph by iterative
     * min-label propagation: label(v) ← min(label(v), min of neighbor
     * labels) until a fixed point. The component id is the minimum
@@ -429,7 +466,22 @@ object Dedup {
       ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
         checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // BENCHMARK-CONTAMINATION SCREEN — the decontamination step of a
+    // training pipeline: flag corpus documents sharing any verbatim
+    // 8-gram with a held-out benchmark set. The benchmark here is the
+    // deterministic 5% slice doc_id % 20 == 0 (standing in for an
+    // external eval set), so the overlap semantics are fully
+    // SQL-expressible and the oracle is exact.
+    "x25_contamination_screen" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      contaminationScreen(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+        n = 8)
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -458,6 +510,19 @@ object Dedup {
         "SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard " +
         "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
         "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 ORDER BY doc_a, doc_b"),
+    // 8-gram overlap against the deterministic benchmark slice,
+    // mirroring contaminationScreen exactly (distinct shingles per
+    // doc, self-pairs excluded, zero-filled left join)
+    "x25_contamination_screen" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, list_reduce(w[i:i+7], (a, b) -> a || ' ' || b) AS g FROM idx), " +
+        "bench AS (SELECT doc_id AS b_id, g FROM sh WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_shared FROM sh " +
+        "JOIN bench ON sh.g = bench.g AND sh.doc_id != bench.b_id GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
+        "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
     // same pair definition as x05, then components by transitive
     // reachability (recursive CTE): component = min reachable doc_id —
     // exactly what min-label propagation converges to

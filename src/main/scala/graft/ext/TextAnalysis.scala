@@ -36,6 +36,31 @@ object TextAnalysis {
     */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** PII patterns for [[redactPii]]. Kept to the regex subset whose
+    * semantics agree between Java's engine (Spark codegen) and RE2
+    * (the oracle engine): character classes, bounded repetition, no
+    * backrefs/lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing for a training corpus: replace emails and phone
+    * numbers in `textCol` with typed placeholder tags and count what
+    * was removed. Pure per-row map work over codegen'd regexp
+    * expressions — no UDF, no shuffle; at 100 TB this fuses into the
+    * scan's codegen stage like the other text operators.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhonePattern), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Quality scoring: length, token count, avg token length,
@@ -104,6 +129,25 @@ object TextAnalysis {
         .limit(1000)
     }),
 
+    // PII redaction over the corpus. The provisioned documents carry
+    // no natural PII (synthetic word soup), so a deterministic
+    // contact line — built IDENTICALLY by the oracle from doc_id —
+    // is appended before scrubbing: every row then exercises one real
+    // email + one real phone redaction and the oracle is exact and
+    // non-vacuous. red_tail pins the substitution bytes at the
+    // injection site without dumping whole redacted documents.
+    "x24_pii_redact" -> ((spark, sfDir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      redactPii(docs(spark, sfDir).select(col("doc_id"), aug.as("aug")), "aug")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).as("red_len"),
+          expr("right(redacted, 40)").as("red_tail"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows hashed with
     // xxhash64; fingerprint = (min window hash, distinct window
     // count) — the winnowing primitive for copy detection.
@@ -140,6 +184,19 @@ object TextAnalysis {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    "x24_pii_redact" ->
+      ("WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug " +
+        "FROM documents), " +
+        "red AS (SELECT doc_id, aug, regexp_replace(regexp_replace(aug, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted FROM aug) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails, " +
+        "CAST(len(regexp_extract_all(aug, '\\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones, " +
+        "CAST(LENGTH(redacted) AS INTEGER) AS red_len, " +
+        "right(redacted, 40) AS red_tail " +
+        "FROM red ORDER BY doc_id"),
     "x15_tfidf" ->
       ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
         "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +

@@ -273,6 +273,40 @@ class ExtSpec extends SparkSpec {
     assert(first.getInt(1) == 16 && first.getInt(2) == 16)
   }
 
+  test("redactPii scrubs every email and phone and counts them (x24)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+e@f-g.org or call +1-555-0100 now"),
+      (2L, "no pii here at all"),
+      (3L, "+1-222-3333 then +1-444-5555")).toDF("doc_id", "t")
+    val out = TextAnalysis.redactPii(df, "t")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((2, 1,
+      "mail <EMAIL> and <EMAIL> or call <PHONE> now")))
+    assert(out(2L) == ((0, 0, "no pii here at all")))
+    assert(out(3L) == ((0, 2, "<PHONE> then <PHONE>")))
+  }
+
+  test("contaminationScreen flags exactly the docs sharing an n-gram with the bench set (x25)") {
+    import spark.implicits._
+    // bench doc 0 = "a b c d"; doc 10 copies its 3-gram "b c d"; doc 11
+    // shares only shorter overlaps; doc 0 itself must NOT self-flag
+    val corpus = Seq(
+      (0L, "a b c d"),
+      (10L, "x b c d y"),
+      (11L, "b c x d c"),
+      (12L, "p q r s")).toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") === 0L)
+    val out = Dedup.contaminationScreen(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(10L) == ((1L, true)), s"got $out")  // shares "b c d"
+    assert(out(11L) == ((0L, false)))
+    assert(out(12L) == ((0L, false)))
+    assert(out(0L) == ((0L, false)), "benchmark doc self-flagged")
+  }
+
   test("fingerprint windows count matches token count - k + 1 (x13)") {
     val fp = TextAnalysis.queries("x13_fingerprint")(spark, SfDir)
       .select("doc_id", "n_windows").collect()
