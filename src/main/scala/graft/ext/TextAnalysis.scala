@@ -129,6 +129,29 @@ object TextAnalysis {
         .limit(1000)
     }),
 
+    // Within-document repetition scoring (the duplicate-n-gram family
+    // of quality gates a curation pipeline runs alongside x10's
+    // length/stopword stats): fraction of positional 3-grams and of
+    // tokens that are repeats of an earlier occurrence. Shuffle-free
+    // map work over array expressions; the flag uses the UNROUNDED
+    // ratio on both engines so rounding can never flip it.
+    "x26_repetition" -> ((spark, sfDir) => {
+      val grams3 = transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", element_at(tokens, i + 1),
+          element_at(tokens, i + 2), element_at(tokens, i + 3)))
+      val r3 = (size(grams3) - size(array_distinct(grams3))).cast("double") /
+        size(grams3)
+      val rt = (size(tokens) - size(array_distinct(tokens))).cast("double") /
+        size(tokens)
+      docs(spark, sfDir)
+        .filter(size(tokens) >= 3)
+        .select(col("doc_id"),
+          round(r3, 4).as("dup_3gram_ratio"),
+          round(rt, 4).as("dup_token_ratio"),
+          (r3 > 0.02).as("repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction over the corpus. The provisioned documents carry
     // no natural PII (synthetic word soup), so a deterministic
     // contact line — built IDENTICALLY by the oracle from doc_id —
@@ -184,6 +207,18 @@ object TextAnalysis {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    "x26_repetition" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 3), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx), " +
+        "s3 AS (SELECT doc_id, COUNT(*) AS tot3, COUNT(DISTINCT g) AS d3 FROM g GROUP BY 1), " +
+        "tk AS (SELECT doc_id, unnest(w) AS t FROM tok), " +
+        "st AS (SELECT doc_id, COUNT(*) AS tott, COUNT(DISTINCT t) AS dt FROM tk GROUP BY 1) " +
+        "SELECT s3.doc_id, ROUND(CAST(tot3 - d3 AS DOUBLE) / tot3, 4) AS dup_3gram_ratio, " +
+        "ROUND(CAST(tott - dt AS DOUBLE) / tott, 4) AS dup_token_ratio, " +
+        "CAST(tot3 - d3 AS DOUBLE) / tot3 > 0.02 AS repetitive " +
+        "FROM s3 JOIN st USING (doc_id) ORDER BY doc_id"),
     "x24_pii_redact" ->
       ("WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
         "'@example.com or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug " +
