@@ -7,8 +7,9 @@ import graft.sources.Lake
 
 /** Corpus-composition operators for a training-data pipeline, over
   * `documents`: deterministic stratified sampling (language
-  * rebalancing) and greedy token-budget fill (building a fixed-size
-  * training mix per source).
+  * rebalancing), greedy token-budget fill (building a fixed-size
+  * training mix per source), and sequence-packing accounting
+  * (concat-and-chunk context-window assignment).
   *
   * Both are engine-reproducible by construction — the sampling hash is
   * plain modular arithmetic (a multiplicative Weyl step with Knuth's
@@ -74,6 +75,34 @@ object Sampling {
           col("value").cast("int").as("n_tokens"),
           col("running").as("running_tokens"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing — concat-and-chunk accounting: per source, the
+    // documents are (conceptually) concatenated in doc_id order and
+    // cut into fixed 512-token context windows; each document reports
+    // the chunk range it lands in. This is the packing bookkeeping a
+    // training pipeline runs before writing examples: exclusive token
+    // offset = running sum − own tokens, first/last chunk = offset
+    // arithmetic. Same distributed two-pass scan as x21 (NOT a
+    // per-source window) — a 10 TB source never concentrates in one
+    // task, and the chunk assignment is a pure function of the
+    // offsets, so the packing is reproducible across runs and engines.
+    "x27_sequence_pack" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val chunk = 512L
+      val rows = docs(spark, sfDir)
+        .select(col("doc_id").as("id"), col("source").as("group"),
+          size(split(col("text"), " ")).cast("long").as("value"))
+        .as[graft.operators.Prefix.ScanRow]
+      graft.operators.Prefix
+        .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("value").as("n_tokens"),
+          // DIV: integer division (Spark's `/` on longs is double)
+          expr(s"(running - value) DIV $chunk").as("first_chunk"),
+          expr(s"(running - 1) DIV $chunk").as("last_chunk"))
+        .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -89,6 +118,16 @@ object Sampling {
         // CAST: DuckDB widens SUM(BIGINT) to HUGEINT; Spark's window sum is BIGINT
         "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
-        "WHERE running_tokens <= 20000 ORDER BY doc_id")
+        "WHERE running_tokens <= 20000 ORDER BY doc_id"),
+    "x27_sequence_pack" ->
+      ("SELECT doc_id, source, n_tokens, " +
+        "(running_tokens - n_tokens) // 512 AS first_chunk, " +
+        "(running_tokens - 1) // 512 AS last_chunk, " +
+        "(running_tokens - 1) // 512 - (running_tokens - n_tokens) // 512 + 1 AS n_chunks " +
+        "FROM (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
+        "ORDER BY doc_id")
   )
 }
