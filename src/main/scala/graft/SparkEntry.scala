@@ -19,7 +19,7 @@ import graft.sources.Lake
   *  - s01..s06          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream join
-  *  - x01..x27          — LLM-data-pipeline operators (dedup,
+  *  - x01..x28          — LLM-data-pipeline operators (dedup,
   *                        similarity/ANN, text analysis, TF-IDF,
   *                        multimodal, curation/composition, PII
   *                        redaction, contamination screening)

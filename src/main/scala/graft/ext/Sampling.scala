@@ -103,6 +103,26 @@ object Sampling {
           expr(s"(running - 1) DIV $chunk").as("last_chunk"))
         .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
         .orderBy(col("doc_id"))
+    }),
+
+    // Domain mixing with DATA-DERIVED rates: downsample every language
+    // to (approximately) the rarest language's document count — the
+    // "equalize the mixture" step, where x20's rates are constants and
+    // these come from corpus statistics. Thresholds are integer
+    // arithmetic ((HashMod·min_cnt) DIV cnt), so both engines compute
+    // bit-identical cutoffs — no float rates. Scale shape: one
+    // partial-aggregated count per language (a tiny table), broadcast
+    // back onto the scan; the filter itself is stateless map work.
+    "x28_domain_mix" -> ((spark, sfDir) => {
+      val c = docs(spark, sfDir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val thr = c.crossJoin(broadcast(c.agg(min(col("cnt")).as("min_cnt"))))
+        .select(col("lang"), expr(s"($HashMod * min_cnt) DIV cnt").as("thr"))
+      docs(spark, sfDir)
+        .join(broadcast(thr), "lang")
+        .filter(sampleHash(col("doc_id")) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -128,6 +148,13 @@ object Sampling {
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+    "x28_domain_mix" ->
+      (s"WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
+        "m AS (SELECT MIN(cnt) AS min_cnt FROM c), " +
+        s"r AS (SELECT lang, ($HashMod * min_cnt) // cnt AS thr FROM c, m) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
+        "ORDER BY d.doc_id")
   )
 }
