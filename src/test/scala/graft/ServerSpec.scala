@@ -109,6 +109,40 @@ class ServerSpec extends SparkSpec {
     }
   }
 
+  test("concurrent cold-start queries through the pool agree on a fresh corpus") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.sources.Lake
+    // A COPIED corpus gets fresh mtimes, hence a fresh fingerprint,
+    // hence a guaranteed-unbuilt micros events copy: the simultaneous
+    // requests all contend on the first-touch build through the real
+    // HTTP pool (the production cold-start scenario; Lake.ensureBuilt
+    // serializes the build — LakeSpec asserts build-once directly).
+    val dir = java.nio.file.Files.createTempDirectory("graft-cold").toString
+    Lake.tableNames.foreach { t =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$SfDir/$t.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    }
+    val server = HttpFront.start(SparkEngine.wrap(spark), spark, dir, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val results = Await.result(
+        Future.sequence((1 to 6).map(_ => Future(
+          post(port, """{"q": "SELECT COUNT(*) AS n FROM events"}""")))),
+        2.minutes)
+      val expected = Lake.rowCount(spark, dir, "events")
+      results.foreach { case (status, body) =>
+        assert(status == 200, s"cold-start request got $status: $body")
+        val node = mapper.readTree(body)
+        assert(!node.has("errorMessage"), s"cold-start error: $body")
+        assert(node.get("records").get(0).get("n").asLong == expected,
+          s"cold-start result mismatch: $body")
+      }
+    } finally server.stop(0)
+  }
+
   test("health probe reports ok and the warm flag flips after first use") {
     withServer { port =>
       def health() = {
