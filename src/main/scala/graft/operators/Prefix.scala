@@ -48,15 +48,20 @@ object Prefix {
     val spark = ds.sparkSession
     import spark.implicits._
     // `local` is consumed twice below (spine + final join). Correct pid
-    // alignment between the two consumers relies on Catalyst's
-    // ReuseExchange deduplicating the range exchange — with reuse
-    // disabled the two branches could sample different range boundaries
-    // and tag the same row with different pids. Fail loudly rather than
-    // return silently misaligned running sums.
+    // alignment between the two consumers holds by two mechanisms:
+    // (a) Catalyst's exchange reuse deduplicates the range exchange —
+    // the spine reads a ReusedExchange, so both passes see the SAME
+    // shuffle files (PrefixSpec asserts exactly one materialized
+    // shuffle); (b) as a backstop (map-task retry after executor
+    // loss), RangePartitioner's boundary sampling is seeded by
+    // partition index, so identical deterministic input re-yields
+    // identical boundaries. Disabling reuse would strip (a) AND double
+    // the shuffle cost — fail loudly instead of running degraded.
     require(spark.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
       "Prefix.runningSum requires spark.sql.exchange.reuse=true: the " +
-        "range exchange feeds both the spine and the final join, and " +
-        "without exchange reuse their pid tags can misalign")
+        "range exchange feeds both the spine and the final join; " +
+        "without reuse the data is shuffled twice and pid alignment " +
+        "rests solely on deterministic re-sampling")
     val ranged = ds
       .repartitionByRange(numPartitions, col("group"), col("id"))
       .sortWithinPartitions(col("group"), col("id"))

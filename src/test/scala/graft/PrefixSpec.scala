@@ -60,6 +60,31 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("runningSum over a lake table shuffles the data once (ReusedExchange)") {
+    import spark.implicits._
+    // The FINAL adaptive plan materializes exactly ONE (group, id)
+    // range exchange; the spine branch consumes a ReusedExchange of it
+    // — the two-pass scan pays the shuffle once, and pid alignment
+    // between the passes is structural, not re-sampled.
+    val dir = "/tmp/graft-prefix-reuse"
+    (0 until 1000).map(i => ScanRow(i.toLong, s"g${i % 3}", (i % 7).toLong))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val ds = spark.read.parquet(dir).as[ScanRow]
+    val plan = Prefix.runningSum(ds, 4).queryExecution.executedPlan
+    plan.execute().count()
+    val s = plan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    val fin = if (cut > 0) s.substring(0, cut) else s
+    assert("ReusedExchange".r.findAllIn(fin).nonEmpty,
+      s"spine did not reuse the range exchange:\n$fin")
+    // count MATERIALIZED range exchanges only — the ReusedExchange line
+    // restates the exchange it points at, so exclude it
+    val materialized = fin.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning(group") && !l.contains("ReusedExchange"))
+    assert(materialized == 1,
+      s"expected exactly one materialized (group, id) range exchange, got $materialized:\n$fin")
+  }
+
   test("runningSum refuses to run without exchange reuse") {
     import spark.implicits._
     // pid alignment between the spine and the final join depends on
