@@ -16,9 +16,11 @@ import graft.sources.Lake
   *  - b01..b13          — the reference's tested SQL core (§2.B)
   *  - c01..c45          — arbitrary-SQL surface categories (§2.C)
   *  - p01               — ELT view-materialization pipeline (A18/B13)
-  *  - s01..s06          — Structured Streaming: tumbling/sliding/
+  *  - s01..s09          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
-  *                        streaming dedup, stream-stream join
+  *                        streaming dedup, stream-stream and
+  *                        stream-static joins, partitioned ingest,
+  *                        custom-state sessionization
   *  - x01..x28          — LLM-data-pipeline operators (dedup,
   *                        similarity/ANN, text analysis, TF-IDF,
   *                        multimodal, curation/composition, PII

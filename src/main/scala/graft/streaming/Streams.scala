@@ -273,6 +273,27 @@ object Streams {
       .orderBy(col("day"))
   }
 
+  /** s09: stream-static join — the enrich-on-ingest shape: each
+    * microbatch of the event stream joins the STATIC customer
+    * dimension (re-read per batch, broadcast — no state store at all,
+    * the scalable way to attach dimensions during ingest). Inner join
+    * is stateless and emits eagerly, so the finite-input result equals
+    * the batch join regardless of batch boundaries; the oracle is the
+    * straight batch aggregation.
+    */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = microsEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val dim = Lake.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    runToParquetSink(spark,
+      events.join(broadcast(dim), col("user_id") === col("c_custkey")),
+      s"s09_${tag(sfDir)}")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("segment"))
+  }
+
   /** s08: custom-state sessionization via flatMapGroupsWithState — the
     * hand-rolled analog of s04's built-in session_window, for session
     * semantics the built-in can't express (here it reproduces the same
@@ -396,7 +417,9 @@ object Streams {
     "s05_stream_dedup" -> ((spark, sfDir) => streamDedupCounts(spark, sfDir)),
     "s06_stream_stream_join" -> ((spark, sfDir) => streamStreamJoin(spark, sfDir)),
     "s08_stream_stateful_session" ->
-      ((spark, sfDir) => statefulSessions(spark, sfDir))
+      ((spark, sfDir) => statefulSessions(spark, sfDir)),
+    "s09_stream_static_join" ->
+      ((spark, sfDir) => streamStaticJoin(spark, sfDir))
   )
 
   // gaps-and-islands: a session breaks where the inactivity gap is
@@ -454,6 +477,10 @@ object Streams {
         "JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id " +
         "AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts " +
+        "GROUP BY 1 ORDER BY 1"),
+    "s09_stream_static_join" ->
+      ("SELECT c_mktsegment AS segment, COUNT(*) AS n " +
+        "FROM events JOIN customer ON user_id = c_custkey " +
         "GROUP BY 1 ORDER BY 1")
   )
 }
