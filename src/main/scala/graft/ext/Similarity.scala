@@ -225,6 +225,95 @@ object Similarity {
       nprobe, topK)
   }
 
+  /** PQ (product quantization) — the MEMORY-bound ANN scale path next
+    * to LSH (hash pruning) and IVF (coarse partitioning): each vector
+    * is compressed to m small codes, one per contiguous subspace, each
+    * subspace quantized by its own seeded k-means codebook; search
+    * scans the CODES with a per-query additive distance table (ADC)
+    * instead of the raw vectors. At 100 TB the search reads m small
+    * ints per vector instead of 4·dim bytes, and both the codebooks
+    * (m·ksub rows) and the per-query distance tables (|Q|·m·ksub rows)
+    * are broadcast-small by construction.
+    */
+  /** CODEBOOKS (the amortized fit): seeded k-means per contiguous
+    * subspace. Output (sub, code, centroid) — m·ksub rows. Registered
+    * queries lake-materialize this per (corpus fingerprint, m, ksub).
+    */
+  def pqFit(df: DataFrame, m: Int, ksub: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim does not split into $m subspaces")
+    val sd = dim / m
+    (0 until m).map { s =>
+      val feat = df.select(
+        array_to_vector(slice(col("vec"), s * sd + 1, sd)).as("features"))
+      val model = new KMeans().setK(ksub).setSeed(7L + s)
+        .setFeaturesCol("features").fit(feat)
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, c) => (s, c, v.toArray.toSeq) }
+        .toDF("sub", "code", "centroid")
+    }.reduce(_ unionByName _)
+  }
+
+  /** ENCODE (amortized): nearest codebook entry per (vector, subspace)
+    * → (vec_id, sub, code), the compressed representation the search
+    * scans. The argmin is a partial-aggregatable `min` over
+    * (distance, code) structs — lexicographic struct ordering makes
+    * the tie-break deterministic with no window shuffle.
+    */
+  def pqEncode(df: DataFrame, codebooks: DataFrame, m: Int,
+      subDim: Int): DataFrame = {
+    val subs = df.select(col("vec_id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("vec"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    subs.join(broadcast(codebooks), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(sqDist(col("sv"), col("centroid")).as("d2"),
+          col("code").as("code")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).getField("code").as("code"))
+  }
+
+  /** ADC SEARCH (the per-query step): distance table dt(query, sub,
+    * code) = ‖q_sub − centroid‖², broadcast against the code scan;
+    * candidate distance = Σ_sub dt[sub, code_sub] via a
+    * partial-aggregated sum — raw corpus vectors are never touched.
+    */
+  def pqTopKFrom(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      m: Int, subDim: Int, topK: Int): DataFrame = {
+    val qsubs = queries.select(col("query_id"), posexplode(
+      array((0 until m).map(s =>
+        slice(col("qvec"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "qsv")))
+    val dt = qsubs.join(broadcast(codebooks), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        sqDist(col("qsv"), col("centroid")).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Convenience form for in-process corpora (tests). */
+  def pqTopK(df: DataFrame, queriesFilter: Column, m: Int, ksub: Int,
+      topK: Int): DataFrame = {
+    val codebooks = pqFit(df, m, ksub)
+    val sd = codebooks.select(size(col("centroid"))).head().getInt(0)
+    pqTopKFrom(pqEncode(df, codebooks, m, sd), codebooks,
+      df.filter(queriesFilter)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec")),
+      m, sd, topK)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // ArrayType surface + exactness anchor: dimension and first
@@ -347,6 +436,28 @@ object Similarity {
         .select(col("vec_id").as("query_id"),
           toDouble(col("embedding")).as("qvec"))
       ivfTopKFrom(assigned, centroids, queries, nprobe = 4, topK = 3)
+    }),
+
+    // ANN via product quantization: 4 subspaces × 16 codes over the
+    // 64-dim embeddings = 4 codes/vector (64× smaller than the raw
+    // floats); codebooks and codes are lake-materialized once per
+    // corpus fingerprint, search is the ADC code scan. Sketch-based
+    // (k-means codebooks) — rows-only check + planted-cluster and
+    // recall unit tests, like x16.
+    "x29_ann_pq" -> ((spark, sfDir) => {
+      val (m, ksub) = (4, 16)
+      val codebooks = Lake.materialize(spark, sfDir, s"pq_codebooks_${m}_$ksub") {
+        pqFit(emb(spark, sfDir).withColumn("vec", toDouble(col("embedding"))), m, ksub)
+      }
+      val sd = codebooks.select(size(col("centroid"))).head().getInt(0)
+      val codes = Lake.materialize(spark, sfDir, s"pq_codes_${m}_$ksub") {
+        pqEncode(emb(spark, sfDir).withColumn("vec", toDouble(col("embedding"))),
+          codebooks, m, sd)
+      }
+      val queries = emb(spark, sfDir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          toDouble(col("embedding")).as("qvec"))
+      pqTopKFrom(codes, codebooks, queries, m, sd, topK = 3)
     })
   )
 

@@ -169,6 +169,44 @@ class ExtSpec extends SparkSpec {
       assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length)))
   }
 
+  test("PQ ANN stays within the query's cluster on separated planted clusters (x29)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // same planted geometry as the IVF test: 4 well-separated clusters
+    // in 16 dims; with 4 subspaces × 8 codes the ADC scan must rank
+    // same-cluster vectors first despite the lossy compression
+    val centers = (0 until 4).map(c => Array.tabulate(16)(d => if (d == c * 4) 10.0 else 0.0))
+    val rows = for { c <- 0 until 4; i <- 0 until 50 } yield
+      ((c * 50 + i).toLong, centers(c).map(_ + 0.5 * rnd.nextGaussian()).toSeq)
+    val df = rows.toDF("vec_id", "vec")
+    val clusterOf = rows.map { case (id, _) => id -> (id / 50) }.toMap
+    val res = ext.Similarity.pqTopK(df, col("vec_id") % 50 < 2,
+      m = 4, ksub = 8, topK = 3).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 8, s"expected 8 queries, got ${byQuery.keySet}")
+    res.foreach { r =>
+      assert(clusterOf(r.getLong(1)) == clusterOf(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s cluster")
+    }
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length)))
+  }
+
+  test("PQ codes are m small ints per vector with codebook-bounded values (x29)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian()))).toDF("vec_id", "vec")
+    val books = ext.Similarity.pqFit(df, m = 4, ksub = 8)
+    assert(books.count() == 4 * 8, "codebooks must have m*ksub entries")
+    val codes = ext.Similarity.pqEncode(df, books, m = 4, subDim = 4).collect()
+    assert(codes.length == 100 * 4, "exactly one code per (vector, subspace)")
+    codes.foreach { r =>
+      val code = r.getInt(2)
+      assert(code >= 0 && code < 8, s"code $code outside the codebook")
+    }
+  }
+
   test("ANN LSH returns ranked candidates per query (x08)") {
     val df = Similarity.queries("x08_ann_lsh")(spark, SfDir).collect()
     assert(df.nonEmpty)
