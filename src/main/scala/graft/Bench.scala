@@ -60,7 +60,8 @@ object Bench {
     "c44_bucketed_join", "p01_pipeline_topk", "s07_stream_ingest_partitioned",
     "x03_dedup_minhash", "x07_cosine_topk", "x10_text_stats",
     "x12_token_count", "x14_multimodal_decode", "x15_tfidf",
-    "x18_dedup_components", "x19_curation")
+    "x18_dedup_components", "x19_curation",
+    "x25_contamination_screen", "x27_sequence_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
