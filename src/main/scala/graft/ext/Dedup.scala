@@ -74,10 +74,27 @@ object Dedup {
   /** Candidate pairs from band collisions: equi-join on (band, bsig),
     * deduplicated. The join key is the bucket — this is the shuffle
     * that replaces the n² comparison.
+    *
+    * Hot-bucket guard (the banding analog of the shingle
+    * document-frequency cap): a bucket of s members yields s² rows in
+    * ONE join task, so a degenerate bucket — a duplicate-class of a
+    * million near-identical documents all hashing to the same band
+    * value — would quadratic a single shuffle partition at corpus
+    * scale. Buckets larger than `maxBucket` are dropped from candidate
+    * generation; their members agree on a whole signature band, which
+    * is exactly the near-identical case EXACT dedup (x01, one linear
+    * shuffle) collapses upstream, so the composed pipeline loses no
+    * recall it cares about. At the provisioned corpus sizes no bucket
+    * reaches the default cap, so registered results are unchanged.
     */
-  def minhashCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
-    val b = bandsDf.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
+  def minhashCandidates(bandsDf: DataFrame,
+      maxBucket: Long = 100000L): DataFrame = {
+    val hot = bandsDf.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("band"), col("bsig"))
+    val ok = bandsDf.join(hot, Seq("band", "bsig"), "left_anti")
+    val a = ok.select(col("band"), col("bsig"), col("doc_id").as("doc_a"))
+    val b = ok.select(col("band"), col("bsig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
@@ -125,15 +142,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4 16-bit chunks,
     * bucket-join on any equal chunk, then verify by Hamming distance.
+    * Same hot-bucket guard as [[minhashCandidates]] — a degenerate
+    * chunk value (e.g. a huge class of near-identical short documents)
+    * must not quadratic one shuffle task; exact dedup upstream owns
+    * that class at linear cost.
     */
-  def simhashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(sims: DataFrame, maxHamming: Int,
+      maxBucket: Long = 100000L): DataFrame = {
     val chunks = sims.select(col("doc_id"), col("simhash"),
       expr("posexplode(transform(sequence(0, 3), " +
         "c -> shiftright(simhash, c * 16) & 65535))")
         .as(Seq("chunk", "val")))
-    val a = chunks.select(col("chunk"), col("val"),
+    val hot = chunks.groupBy(col("chunk"), col("val"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("chunk"), col("val"))
+    val ok = chunks.join(hot, Seq("chunk", "val"), "left_anti")
+    val a = ok.select(col("chunk"), col("val"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = chunks.select(col("chunk"), col("val"),
+    val b = ok.select(col("chunk"), col("val"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "val"))
       .filter(col("doc_a") < col("doc_b"))

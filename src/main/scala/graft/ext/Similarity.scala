@@ -100,10 +100,21 @@ object Similarity {
     * Takes the bucket table directly: it feeds BOTH join sides, so
     * callers should materialize it once (registered queries checkpoint
     * it to the lake) rather than recompute the signatures per branch.
+    *
+    * Hot-bucket guard (same rationale as Dedup.minhashCandidates): a
+    * bucket of s members is s² join rows in ONE task; buckets above
+    * `maxBucket` — a degenerate duplicate-class all hashing alike —
+    * are excluded from candidate generation and belong to exact dedup
+    * upstream. No provisioned bucket reaches the default cap.
     */
-  def candidatesFromBuckets(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
-    val b = buckets.select(col("tbl"), col("sig"), col("vec_id").as("vec_b"))
+  def candidatesFromBuckets(buckets: DataFrame,
+      maxBucket: Long = 100000L): DataFrame = {
+    val hot = buckets.groupBy(col("tbl"), col("sig"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+      .select(col("tbl"), col("sig"))
+    val ok = buckets.join(hot, Seq("tbl", "sig"), "left_anti")
+    val a = ok.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
+    val b = ok.select(col("tbl"), col("sig"), col("vec_id").as("vec_b"))
     a.join(b, Seq("tbl", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))

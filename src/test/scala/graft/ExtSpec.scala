@@ -135,6 +135,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hot banding buckets are capped out of candidate generation (x03/x04/x08 guards)") {
+    import spark.implicits._
+    // minhash: a 3-member bucket over the cap contributes no pairs;
+    // the 2-member bucket under it still does
+    val bands = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L),
+      (4L, 1, 200L), (5L, 1, 200L)).toDF("doc_id", "band", "bsig")
+    val mh = Dedup.minhashCandidates(bands, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((4L, 5L)), s"minhash guard: got $mh")
+    // simhash: docs 1-3 share every chunk of 7 (hot); docs 4-5 share
+    // chunk 9999 (bucket of 2, kept); the zero chunks are shared by
+    // all five docs and must be capped out
+    val sims = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9999L), (5L, 9999L))
+      .toDF("doc_id", "simhash")
+    val sh = Dedup.simhashPairs(sims, maxHamming = 8, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh == Set((4L, 5L)), s"simhash guard: got $sh")
+    // LSH: same shape through the (tbl, sig) bucket table
+    val buckets = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L),
+      (4L, 1, 200L), (5L, 1, 200L)).toDF("vec_id", "tbl", "sig")
+    val lsh = Similarity.candidatesFromBuckets(buckets, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((4L, 5L)), s"lsh guard: got $lsh")
+  }
+
   test("ubiquitous shingles are capped out of the inverted index (x05 hot-key guard)") {
     import spark.implicits._
     // "alpha beta gamma" appears in all 60 docs — document frequency 60
