@@ -21,7 +21,7 @@ import graft.sources.Lake
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization
-  *  - x01..x29          — LLM-data-pipeline operators (dedup,
+  *  - x01..x30          — LLM-data-pipeline operators (dedup,
   *                        similarity/ANN, text analysis, TF-IDF,
   *                        multimodal, curation/composition, PII
   *                        redaction, contamination screening)

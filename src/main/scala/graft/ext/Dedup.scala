@@ -494,6 +494,44 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // FULL-PIPELINE COMPOSITION — the capstone: curation (quality
+    // gates + near-dup survivor filter, x19) → stratified language
+    // mix (x20's deterministic Weyl thresholds) → sequence-packing
+    // accounting (x27's distributed prefix scan) as ONE registered
+    // operator, proving the stages compose at the API level with the
+    // oracle composed from the same verified pieces. Scale shape is
+    // the union of its parts: map-work gates, one anti-join vs the
+    // (small) non-survivor set, stateless sampling, one range shuffle
+    // for the two-pass scan.
+    "x30_pipeline_compose" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val stats = docs(spark, sfDir).select(
+        col("doc_id"), col("lang"), col("source"),
+        size(tokens).as("n_tokens"),
+        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
+          size(tokens)).as("stop_ratio"))
+      val nonSurvivors = componentTable(spark, sfDir)
+        .filter(col("v") =!= col("label"))
+        .select(col("v").as("doc_id"))
+      val curated = stats
+        .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
+        .join(nonSurvivors, Seq("doc_id"), "left_anti")
+      val threshold =
+        when(col("lang") === "en", lit((Sampling.HashMod * 0.5).toLong))
+          .otherwise(lit((Sampling.HashMod * 0.2).toLong))
+      val mixed = curated.filter(Sampling.sampleHash(col("doc_id")) < threshold)
+      val rows = mixed.select(col("doc_id").as("id"),
+        col("source").as("group"), col("n_tokens").cast("long").as("value"))
+        .as[graft.operators.Prefix.ScanRow]
+      graft.operators.Prefix
+        .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("value").as("n_tokens"),
+          expr("(running - value) DIV 512").as("first_chunk"),
+          expr("(running - 1) DIV 512").as("last_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BENCHMARK-CONTAMINATION SCREEN — the decontamination step of a
     // training pipeline: flag corpus documents sharing any verbatim
     // 8-gram with a held-out benchmark set. The benchmark here is the
@@ -570,6 +608,30 @@ object Dedup {
         "SELECT doc_id, lang, n_chars, n_tokens FROM q " +
         "WHERE stop_ratio >= 0.05 AND n_tokens >= 10 " +
         "AND doc_id NOT IN (SELECT doc_id FROM comp WHERE NOT is_survivor) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+    // the composed pipeline: x19's curation CTEs -> x20's Weyl-hash
+    // mix -> x27's running-sum packing, stage for stage
+    "x30_pipeline_compose" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", comp AS (SELECT v AS doc_id, (v = MIN(l)) AS is_survivor " +
+        "FROM reach GROUP BY v), " +
+        "q AS (SELECT doc_id, lang, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS stop_ratio FROM documents), " +
+        "cur AS (SELECT doc_id, lang, source, n_tokens FROM q " +
+        "WHERE stop_ratio >= 0.05 AND n_tokens >= 10 " +
+        "AND doc_id NOT IN (SELECT doc_id FROM comp WHERE NOT is_survivor)), " +
+        s"mix AS (SELECT * FROM cur WHERE (doc_id * ${Sampling.HashMul}) % ${Sampling.HashMod} < " +
+        s"CASE WHEN lang = 'en' THEN ${(Sampling.HashMod * 0.5).toLong} " +
+        s"ELSE ${(Sampling.HashMod * 0.2).toLong} END), " +
+        "packed AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running FROM mix) " +
+        "SELECT doc_id, source, n_tokens, " +
+        "(running - n_tokens) // 512 AS first_chunk, " +
+        "(running - 1) // 512 AS last_chunk " +
+        "FROM packed ORDER BY doc_id")
   )
 }
