@@ -170,7 +170,8 @@ object Bench {
         s""","scaling":{"data_ratio":${fmt(dataRatio)},"small_sf":"$smallDir","queries":$entries}"""
       } else {
         val why =
-          if (smallDir == sfDir) "already_at_smallest_sf"
+          if (sfOf(sfDir) == 0.0) s"no_sf_token_in:$sfDir"
+          else if (smallDir == sfDir) "already_at_smallest_sf"
           else s"missing_small_dir:$smallDir"
         s""","scaling":{"skipped":"$why"}"""
       }

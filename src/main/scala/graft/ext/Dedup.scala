@@ -348,16 +348,46 @@ object Dedup {
     // backed, hence executor-loss-recomputable) label table to the lake
     // — no localCheckpoint anywhere on this registered path. The
     // isBuilt probe keeps the warm path an O(1) marker check + parquet
-    // read: the iterative loop only ever runs when the artifact is
-    // actually missing for this source fingerprint.
+    // read; the cold build is serialized under a dedicated lock (with
+    // a second isBuilt check inside) so N contending cold-start
+    // queries run the iterative loop ONCE, not N times — the loop is
+    // EAGER (it runs jobs while constructing the frame), so
+    // Lake.materialize's by-name laziness alone cannot protect it.
     val cname = s"x18_components_$tkey"
-    if (!Lake.isBuilt(spark, sfDir, cname)) {
-      val labels = connectedComponents(pairs, checkpoint = identity)
-      try Lake.materialize(spark, sfDir, cname)(labels)
-      finally labels.unpersist()
+    if (!Lake.isBuilt(spark, sfDir, cname)) buildLock.synchronized {
+      if (!Lake.isBuilt(spark, sfDir, cname)) {
+        val labels = connectedComponents(pairs, checkpoint = identity)
+        try Lake.materialize(spark, sfDir, cname)(labels)
+        finally labels.unpersist()
+      }
     }
     Lake.materialize(spark, sfDir, cname)(
       sys.error(s"$cname built above or by a concurrent query"))
+  }
+
+  /** Serializes eager component-table builds across threads. */
+  private val buildLock = new Object
+
+  /** Curated-corpus stats shared by x19 and the x30 composition:
+    * quality gates (stopword density, minimum length) then the
+    * near-dup survivor filter against the shared component table.
+    * One definition so the capstone can never silently diverge from
+    * the stage it composes.
+    */
+  def curatedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = docs(spark, sfDir).select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(tokens).as("n_tokens"),
+      (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
+        size(tokens)).as("stop_ratio"))
+    val nonSurvivors = componentTable(spark, sfDir)
+      .filter(col("v") =!= col("label"))
+      .select(col("v").as("doc_id"))
+    stats
+      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
+      .join(nonSurvivors, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("n_tokens"))
   }
 
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
@@ -442,8 +472,16 @@ object Dedup {
 
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit banding,
     // Hamming ≤ 8.
+    // The fingerprint table is lake-checkpointed like x03's band
+    // table: it feeds THREE plan branches (the hot-bucket guard plus
+    // both candidate-join sides), so without the checkpoint the full
+    // fingerprint aggregation would run three times per invocation.
     "x04_dedup_simhash" -> ((spark, sfDir) =>
-      simhashPairs(simhashTable(docs(spark, sfDir)), maxHamming = 8)
+      simhashPairs(
+        Lake.materialize(spark, sfDir, "x04_simhash") {
+          simhashTable(docs(spark, sfDir))
+        },
+        maxHamming = 8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Exact 3-gram Jaccard near-dup via inverted-index join (the
@@ -472,21 +510,10 @@ object Dedup {
     // AQE broadcasts it when it fits); the component table is
     // lake-checkpointed, so repeat invocations run one scan + one
     // anti-join.
-    "x19_curation" -> ((spark, sfDir) => {
-      val stats = docs(spark, sfDir).select(
-        col("doc_id"), col("lang"), col("n_chars"),
-        size(tokens).as("n_tokens"),
-        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
-          size(tokens)).as("stop_ratio"))
-      val nonSurvivors = componentTable(spark, sfDir)
-        .filter(col("v") =!= col("label"))
-        .select(col("v").as("doc_id"))
-      stats
-        .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
-        .join(nonSurvivors, Seq("doc_id"), "left_anti")
+    "x19_curation" -> ((spark, sfDir) =>
+      curatedStats(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
       ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
@@ -505,30 +532,18 @@ object Dedup {
     // for the two-pass scan.
     "x30_pipeline_compose" -> ((spark, sfDir) => {
       import spark.implicits._
-      val stats = docs(spark, sfDir).select(
-        col("doc_id"), col("lang"), col("source"),
-        size(tokens).as("n_tokens"),
-        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
-          size(tokens)).as("stop_ratio"))
-      val nonSurvivors = componentTable(spark, sfDir)
-        .filter(col("v") =!= col("label"))
-        .select(col("v").as("doc_id"))
-      val curated = stats
-        .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 10)
-        .join(nonSurvivors, Seq("doc_id"), "left_anti")
-      val threshold =
-        when(col("lang") === "en", lit((Sampling.HashMod * 0.5).toLong))
-          .otherwise(lit((Sampling.HashMod * 0.2).toLong))
-      val mixed = curated.filter(Sampling.sampleHash(col("doc_id")) < threshold)
+      val mixed = curatedStats(spark, sfDir)
+        .filter(Sampling.sampleHash(col("doc_id")) < Sampling.langMixThreshold)
       val rows = mixed.select(col("doc_id").as("id"),
         col("source").as("group"), col("n_tokens").cast("long").as("value"))
         .as[graft.operators.Prefix.ScanRow]
+      val chunk = Sampling.PackChunkTokens
       graft.operators.Prefix
         .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
         .select(col("id").as("doc_id"), col("group").as("source"),
           col("value").as("n_tokens"),
-          expr("(running - value) DIV 512").as("first_chunk"),
-          expr("(running - 1) DIV 512").as("last_chunk"))
+          expr(s"(running - value) DIV $chunk").as("first_chunk"),
+          expr(s"(running - 1) DIV $chunk").as("last_chunk"))
         .orderBy(col("doc_id"))
     }),
 
@@ -630,8 +645,8 @@ object Dedup {
         "CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running FROM mix) " +
         "SELECT doc_id, source, n_tokens, " +
-        "(running - n_tokens) // 512 AS first_chunk, " +
-        "(running - 1) // 512 AS last_chunk " +
+        s"(running - n_tokens) // ${Sampling.PackChunkTokens} AS first_chunk, " +
+        s"(running - 1) // ${Sampling.PackChunkTokens} AS last_chunk " +
         "FROM packed ORDER BY doc_id")
   )
 }

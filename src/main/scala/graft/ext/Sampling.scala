@@ -36,6 +36,17 @@ object Sampling {
   def sampleHash(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (idCol * HashMul) % HashMod
 
+  /** The canonical language-mix thresholds (en 50%, other 20%) —
+    * shared by x20 and the x30 composition so the mix definition
+    * lives in one place.
+    */
+  def langMixThreshold: org.apache.spark.sql.Column =
+    when(col("lang") === "en", lit((HashMod * 0.5).toLong))
+      .otherwise(lit((HashMod * 0.2).toLong))
+
+  /** Context-window width (tokens) for packing accounting (x27/x30). */
+  val PackChunkTokens = 512L
+
   val queries: Map[String, Q] = Map(
 
     // Stratified (per-language) downsampling: keep en at 50%, every
@@ -45,10 +56,8 @@ object Sampling {
     // function of doc_id, so adding data never changes which existing
     // rows are sampled (stable under incremental ingest).
     "x20_stratified_sample" -> ((spark, sfDir) => {
-      val threshold = when(col("lang") === "en", lit((HashMod * 0.5).toLong))
-        .otherwise(lit((HashMod * 0.2).toLong))
       docs(spark, sfDir)
-        .filter(sampleHash(col("doc_id")) < threshold)
+        .filter(sampleHash(col("doc_id")) < langMixThreshold)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -89,7 +98,7 @@ object Sampling {
     // offsets, so the packing is reproducible across runs and engines.
     "x27_sequence_pack" -> ((spark, sfDir) => {
       import spark.implicits._
-      val chunk = 512L
+      val chunk = PackChunkTokens
       val rows = docs(spark, sfDir)
         .select(col("doc_id").as("id"), col("source").as("group"),
           size(split(col("text"), " ")).cast("long").as("value"))
@@ -140,10 +149,10 @@ object Sampling {
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
         "WHERE running_tokens <= 20000 ORDER BY doc_id"),
     "x27_sequence_pack" ->
-      ("SELECT doc_id, source, n_tokens, " +
-        "(running_tokens - n_tokens) // 512 AS first_chunk, " +
-        "(running_tokens - 1) // 512 AS last_chunk, " +
-        "(running_tokens - 1) // 512 - (running_tokens - n_tokens) // 512 + 1 AS n_chunks " +
+      (s"SELECT doc_id, source, n_tokens, " +
+        s"(running_tokens - n_tokens) // $PackChunkTokens AS first_chunk, " +
+        s"(running_tokens - 1) // $PackChunkTokens AS last_chunk, " +
+        s"(running_tokens - 1) // $PackChunkTokens - (running_tokens - n_tokens) // $PackChunkTokens + 1 AS n_chunks " +
         "FROM (SELECT doc_id, source, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
         "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +

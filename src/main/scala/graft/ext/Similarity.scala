@@ -314,6 +314,12 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-(corpus, m, ksub) subspace width — saves a driver job on the
+    * warm repeat-invocation path of the registered query.
+    */
+  private val pqSubDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Convenience form for in-process corpora (tests). */
   def pqTopK(df: DataFrame, queriesFilter: Column, m: Int, ksub: Int,
       topK: Int): DataFrame = {
@@ -460,7 +466,10 @@ object Similarity {
       val codebooks = Lake.materialize(spark, sfDir, s"pq_codebooks_${m}_$ksub") {
         pqFit(emb(spark, sfDir).withColumn("vec", toDouble(col("embedding"))), m, ksub)
       }
-      val sd = codebooks.select(size(col("centroid"))).head().getInt(0)
+      // subDim is a constant of the (corpus, m) pair — probe it once
+      // per process, not with a driver job per warm invocation
+      val sd = pqSubDimCache.computeIfAbsent(s"$sfDir/$m/$ksub",
+        _ => codebooks.select(size(col("centroid"))).head().getInt(0))
       val codes = Lake.materialize(spark, sfDir, s"pq_codes_${m}_$ksub") {
         pqEncode(emb(spark, sfDir).withColumn("vec", toDouble(col("embedding"))),
           codebooks, m, sd)
