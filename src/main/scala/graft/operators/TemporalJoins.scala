@@ -64,6 +64,12 @@ object TemporalJoins {
     * the probe side fans out to those k+1 bins and the join is an
     * equi-join on the bin.
     *
+    * This ENUMERATES pairs, so its cost is inherently the output
+    * volume: ≈ W·n²/T pairs at uniform density (n rows over span T).
+    * Callers that only need pair COUNTS must use
+    * [[rangeSuccessorCount]] instead, which never materializes the
+    * quadratic pair set.
+    *
     * Candidate volume at uniform density is ≈ (W + w)·n²/T (W = the
     * window, T = the time span): bins NARROWER than the window trade a
     * larger probe fan-out (k+1 rows per a-row — cheap, id-width) for
@@ -95,5 +101,101 @@ object TemporalJoins {
       .filter(col(s"b_$tsCol") > col(s"a_$tsCol") &&
         col(s"b_$tsCol") <= col(s"a_$tsCol") + expr(s"INTERVAL $windowSeconds SECOND"))
       .drop("_probe")
+  }
+
+  /** For each row, the COUNT of rows within its forward window —
+    * |{b : 0 < b.ts - a.ts <= windowSeconds}| — WITHOUT enumerating
+    * the pairs. Output: all of `df`'s columns plus `n_within` (Long).
+    *
+    * Decomposition: with bin width w = binSeconds and k = W/w, a row
+    * at time t in bin i has its window (t, t+W] spanning
+    *
+    *   - bin i partially (b.ts > t),
+    *   - bins i+1 .. i+k-1 FULLY (every row in them matches),
+    *   - bin i+k partially (b.ts <= t+W).
+    *
+    * The full middle bins need no join at all: their total is
+    * cum(i+k-1) - cum(i) against a cumulative per-bin count table of
+    * O(span/w) rows — broadcast-bounded BY CONTRACT, which is what
+    * makes its single-partition running-sum window safe (the one
+    * place a global window is correct; an unbounded scan would use
+    * [[graft.operators.Prefix.runningSum]]). Only the two partial
+    * edge bins need a real self-join, and that candidate volume is
+    * ≈ 2·w·n²/T — shrinking w cuts it linearly, vs
+    * [[rangeSelfJoin]]'s irreducible W·n²/T output. At 10× density
+    * this is the difference between ~100× more pair rows and ~100×
+    * more *narrow edge candidates on a 10× smaller w*.
+    *
+    * The dense bin domain extends to hi+k with zero counts (cum stays
+    * flat), so the high-bin lookup never needs clamping. Empty bins
+    * inside the span are densified for the same reason.
+    *
+    * Requirements: `idCol` values are unique (the per-row counts are
+    * re-joined on it); pick `binSeconds` so span/binSeconds stays
+    * broadcast-friendly (a 3-year span at 30 s bins is ~3.2M rows of
+    * two longs — fine) and so w·n/T rows per bin keeps the edge join
+    * small.
+    */
+  def rangeSuccessorCount(df: DataFrame, idCol: String, tsCol: String,
+      windowSeconds: Long, binSeconds: Long): DataFrame = {
+    require(binSeconds > 0 && windowSeconds % binSeconds == 0,
+      s"binSeconds $binSeconds must divide windowSeconds $windowSeconds")
+    val k = (windowSeconds / binSeconds).toInt
+    val binMicros = binSeconds * 1000000L
+    val winMicros = windowSeconds * 1000000L
+
+    val withBin = df
+      .withColumn("_us", expr(s"unix_micros($tsCol)"))
+      .withColumn("_bin", expr(s"unix_micros($tsCol) DIV $binMicros"))
+    // one n-sized reduce (map-side partial) — everything downstream of
+    // it is span-bounded, not data-bounded
+    val binCounts = withBin.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
+
+    // Dense domain [lo, hi+k]: zero-count rows for empty bins so every
+    // lookup hits, and k trailing zero bins so the lead(k-1) below
+    // never runs off the end for a real event bin. Chunked
+    // double-explode bounds any one generated array at CHUNK elements
+    // regardless of span. The 1-row aggregate input keeps this whole
+    // chain — densify, broadcast-join the counts, running sum, lead —
+    // in a single task over span/w rows, which the broadcast contract
+    // already bounds.
+    val CHUNK = 4096L
+    val ord = Window.orderBy(col("_bin"))
+    val cumPair = binCounts
+      .agg(min(col("_bin")).as("_lo"), (max(col("_bin")) + k).as("_hi"))
+      .select(col("_lo"), col("_hi"),
+        explode(sequence(expr(s"_lo DIV $CHUNK"), expr(s"_hi DIV $CHUNK"))).as("_c"))
+      .select(col("_lo"), col("_hi"),
+        explode(sequence(
+          greatest(col("_lo"), col("_c") * CHUNK),
+          least(col("_hi"), col("_c") * CHUNK + (CHUNK - 1)))).as("_bin"))
+      .join(broadcast(binCounts), Seq("_bin"), "left")
+      .withColumn("_cum_lo", sum(coalesce(col("_cnt"), lit(0L)))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_cum_hi", lead(col("_cum_lo"), k - 1).over(ord))
+      .select(col("_bin"), col("_cum_lo"), col("_cum_hi"))
+
+    // Partial edge bins i and i+k: one equi-join on the probe bin.
+    // Same-bin rows satisfy b.ts <= t+W structurally and far-bin rows
+    // satisfy b.ts > t structurally, so one symmetric predicate serves
+    // both probes.
+    val aProbe = withBin.select(col(idCol).as("_a_id"), col("_us").as("_a_us"),
+      explode(array(col("_bin"), col("_bin") + k)).as("_pb"))
+    val bSide = withBin.select(col("_us").as("_b_us"), col("_bin").as("_pb"))
+    val edgeCounts = aProbe.join(bSide, "_pb")
+      .filter(col("_b_us") > col("_a_us") &&
+        col("_b_us") <= col("_a_us") + winMicros)
+      .groupBy(col("_a_id")).agg(count(lit(1)).as("_n_edge"))
+
+    // Middle bins i+1..i+k-1 = cum(i+k-1) - cum(i): one broadcast
+    // lookup per row, zero fan-out (k=1 degenerates to 0 via
+    // lead(..., 0) — no middle bins exist). The payload rides along,
+    // so no re-join with `df`.
+    withBin
+      .join(broadcast(cumPair), Seq("_bin"))
+      .join(edgeCounts, col(idCol) === col("_a_id"), "left")
+      .withColumn("n_within",
+        col("_cum_hi") - col("_cum_lo") + coalesce(col("_n_edge"), lit(0L)))
+      .drop("_bin", "_us", "_cum_lo", "_cum_hi", "_a_id", "_n_edge")
   }
 }

@@ -313,17 +313,34 @@ object Surface {
         .orderBy(col("purchase_id"))
     }),
 
-    // Range self-join via time-bin bucketing: pairs of events within a
-    // 10-minute window, counted per day — equi-join on the bin, no
-    // nested-loop inequality join.
+    // Pairs of events within a 10-minute window, COUNTED per day. The
+    // count never materializes the quadratic pair set: full middle
+    // bins come from a broadcast cumulative bin-count table (built
+    // with the distributed prefix scan) and only the two partial edge
+    // bins (30 s each, vs the 600 s window) pay a real self-join —
+    // ~2·w/W of the enumeration's candidate volume, and w shrinks
+    // with scale while W is fixed by the query.
     "c32_range_join" -> ((spark, sfDir) => {
       val e = t(spark, sfDir, "events").select(col("event_id"), col("ts"))
-      // 150 s bins under the 600 s window: ~37% fewer false candidates
-      // than window-width bins (see rangeSelfJoin's volume analysis)
-      graft.operators.TemporalJoins.rangeSelfJoin(e, "ts", 600L, binSeconds = 150L)
-        .groupBy(date_format(col("a_ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n_pairs"))
+      graft.operators.TemporalJoins
+        .rangeSuccessorCount(e, "event_id", "ts", 600L, binSeconds = 30L)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("n_within")).as("n_pairs"))
+        .filter(col("n_pairs") > 0) // pair-join semantics: zero-pair days absent
         .orderBy(col("day"))
+    }),
+
+    // Range pair ENUMERATION (the operator c32's counter decomposes
+    // around) on a bounded slice — output volume is the cost floor of
+    // any enumeration, so the registered query bounds it by filtering
+    // to one event class first.
+    "c50_range_pairs" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      graft.operators.TemporalJoins.rangeSelfJoin(e, "ts", 600L, binSeconds = 150L)
+        .select(col("a_event_id").as("a_id"), col("b_event_id").as("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // CUBE grouping sets (c09 covers ROLLUP).
@@ -685,6 +702,12 @@ object Surface {
         "FROM events a JOIN events b " +
         "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
         "GROUP BY 1 ORDER BY 1"),
+    "c50_range_pairs" ->
+      ("SELECT a.event_id AS a_id, b.event_id AS b_id " +
+        "FROM events a JOIN events b " +
+        "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
+        "WHERE a.event_type = 'error' AND b.event_type = 'error' " +
+        "ORDER BY a_id, b_id"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

@@ -71,6 +71,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range pair-count decomposition: broadcast cum table, no cartesian, no pair blowup (c32)") {
+    val df = Surface.queries("c32_range_join")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the middle-bin lookup must be a broadcast join of the tiny
+    // cumulative bin table, never a shuffle of n rows against it
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cum-table lookup is not a broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"c32 plans a non-equi join:\n$plan")
+    // the only real self-join is on the probe bin — an equi-join
+    assert(plan.contains("_pb"), s"edge equi-join on probe bin missing:\n$plan")
+  }
+
   test("ANN LSH joins on the bucket signature, not all pairs (x08/x09)") {
     for (name <- Seq("x08_ann_lsh", "x09_embed_neardup")) {
       val plan = Similarity.queries(name)(spark, SfDir)

@@ -47,6 +47,50 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeSuccessorCount matches brute force: ties, empty bins, k=1, window edge, trailing rows") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // deliberately nasty corpus: duplicate timestamps (strict-> ties),
+    // a dense burst, a long gap (empty bins inside the span), an exact
+    // window-width pair, and trailing rows whose forward window runs
+    // past the last bin (exercises the hi+k domain extension)
+    val offsetsMs: Seq[Long] = Seq(
+      0L, 0L, 500L, 1500L, 1500L, 30000L, 59999L, 60000L, 600500L,
+      600500L + 600000L, // exactly window-width after the previous
+      3600000L, 3600001L, 7200000L) ++
+      (0 until 200).map(i => 10000000L + (i * 7919L % 600000L))
+    val ts = offsetsMs.map(o => new java.sql.Timestamp(base + o))
+    val df = ts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      .toDF("event_id", "ts")
+
+    val expected = ts.zipWithIndex.map { case (ta, ia) =>
+      ia.toLong -> ts.count(tb => {
+        val d = tb.getTime - ta.getTime; d > 0 && d <= 600000L
+      }).toLong
+    }.toMap
+
+    // several bin widths, including k=1 (binSeconds == window)
+    Seq(600L, 150L, 30L).foreach { bin =>
+      val got = TemporalJoins
+        .rangeSuccessorCount(df, "event_id", "ts", 600L, binSeconds = bin)
+        .select(col("event_id"), col("n_within"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"binSeconds=$bin diverged: " +
+        (expected.keySet ++ got.keySet).filter(k0 =>
+          expected.get(k0) != got.get(k0)).take(5)
+          .map(k0 => s"$k0: want ${expected.get(k0)} got ${got.get(k0)}")
+          .mkString("; "))
+    }
+    // per-day pair totals agree with the enumeration operator
+    val viaCount = TemporalJoins
+      .rangeSuccessorCount(df, "event_id", "ts", 600L, binSeconds = 30L)
+      .agg(sum(col("n_within"))).collect()(0).getLong(0)
+    val viaPairs = TemporalJoins.rangeSelfJoin(df, "ts", 600L, binSeconds = 150L)
+      .count()
+    assert(viaCount == viaPairs,
+      s"count decomposition $viaCount != enumeration $viaPairs")
+  }
+
   test("asofJoin: simultaneous right row is visible, later rows are not, no-match is null") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
