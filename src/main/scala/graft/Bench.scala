@@ -108,7 +108,7 @@ object Bench {
     // One untimed warm rep (plan codegen, file listing, lake-artifact
     // builds) — the reference's published numbers are warm-container
     // runs too (its cold/warm flag exists precisely to tell them apart).
-    def timeQuery(name: String, dir: String): (Double, Double) = {
+    def timeQuery(name: String, dir: String): (Double, Double, Double) = {
       val fn = SparkEntry.queries(name)
       try fn(spark, dir).count()
       catch { case e: Throwable => System.err.println(s"[bench] $name warm: ${e.getMessage}") }
@@ -119,18 +119,26 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val mean = times.sum / reps
-      (mean, math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / reps))
+      // the median is the contention-robust read: a single loaded-
+      // machine rep moves a 3-rep mean by a third of the spike but the
+      // median not at all (the r6 artifact shows exactly that failure)
+      val sorted = times.sorted
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+      (mean, math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / reps), median)
     }
 
     val names = headline.filter(SparkEntry.queries.contains)
     val stats = names.map { name =>
-      val (mean, std) = timeQuery(name, sfDir)
-      (name, mean, std)
+      val (mean, std, median) = timeQuery(name, sfDir)
+      (name, mean, std, median)
     }
 
     def fmt(d: Double) = f"$d%.4f"
-    val means = stats.map { case (n, m, _) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
-    val stds = stats.map { case (n, _, s) => s""""$n":${fmt(s)}""" }.mkString("{", ",", "}")
+    val means = stats.map { case (n, m, _, _) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
+    val stds = stats.map { case (n, _, s, _) => s""""$n":${fmt(s)}""" }.mkString("{", ",", "}")
+    val medians = stats.map { case (n, _, _, md) => s""""$n":${fmt(md)}""" }.mkString("{", ",", "}")
     val total = stats.map(_._2).sum
     val prunedVsFull = (for {
       full <- stats.find(_._1 == "b02_glob_scan")
@@ -160,7 +168,7 @@ object Bench {
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
         Lake.ensurePartitionedEvents(spark, smallDir)
         val entries = scalingNames.map { name =>
-          val (smallMean, _) = timeQuery(name, smallDir)
+          val (smallMean, _, _) = timeQuery(name, smallDir)
           val bigMean = stats.find(_._1 == name).map(_._2).getOrElse(0.0)
           val ratio = if (smallMean > 0) bigMean / smallMean else 0.0
           s""""$name":{"small":${fmt(smallMean)},"big":${fmt(bigMean)},"time_ratio":${fmt(ratio)}}"""
@@ -176,7 +184,7 @@ object Bench {
         s""","scaling":{"skipped":"$why"}"""
       }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"median":$medians,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}""")
     spark.stop()
   }
 }

@@ -55,7 +55,15 @@ class SparkEngine(provider: () => SparkSession) {
   def isWarm: Boolean = session.isDefined
 
   private def obtain(): SparkSession = this.synchronized {
-    session.getOrElse { val s = provider(); session = Some(s); s }
+    session.getOrElse {
+      val s = provider()
+      // the engine's SQL dialect includes the library's native
+      // functions (cosine_sim) regardless of how the caller built the
+      // session — idempotent, so conf-driven registration composes
+      graft.functions.GraftExtensions.ensureRegistered(s)
+      session = Some(s)
+      s
+    }
   }
 
   /** A1 + A3 + A4 + A5: execute SQL, cap rows (default 20, app.py:9),

@@ -560,6 +560,32 @@ object Dedup {
         d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
         n = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // PASSAGE-LEVEL exact dedup: cut each document into fixed 8-word
+    // non-overlapping chunks and flag chunks that occur more than once
+    // in the corpus (within OR across documents) — the sub-document
+    // pass that document-level exact dedup (x01) cannot see, catching
+    // boilerplate and copied passages. Scale shape: the passage table
+    // is ~n_words/8 rows; occurrence counting is one hash groupBy
+    // (map-side partial) and the flag is an equi-join back on the
+    // passage — no pair enumeration at any granularity. The chunking
+    // builds passages with transform+slice on the token array (no
+    // per-word explode, no collect_list ordering hazard).
+    "x31_passage_dedup" -> ((spark, sfDir) => {
+      val P = 8
+      val passages = docs(spark, sfDir).select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, (size(split(text, ' ')) - 1) DIV $P), " +
+            s"i -> array_join(slice(split(text, ' '), i * $P + 1, $P), ' '))"))
+          .as("passage"))
+      val occ = passages.groupBy(col("passage"))
+        .agg(count(lit(1)).as("n_occ"))
+      passages.join(occ, "passage")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -602,6 +628,16 @@ object Dedup {
         "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
         "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
         "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
+    // same 8-word non-overlapping chunking via list slicing; dup =
+    // any passage occurring more than once corpus-wide
+    "x31_passage_dedup" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "c AS (SELECT doc_id, l, unnest(range((len(l)+7)//8)) AS ci FROM d), " +
+        "p AS (SELECT doc_id, array_to_string(l[(ci*8+1):(ci*8+8)], ' ') AS passage FROM c), " +
+        "s AS (SELECT passage, COUNT(*) AS n_occ FROM p GROUP BY 1) " +
+        "SELECT p.doc_id, COUNT(*) AS n_passages, " +
+        "CAST(SUM(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
+        "FROM p JOIN s USING (passage) GROUP BY 1 ORDER BY 1"),
     // same pair definition as x05, then components by transitive
     // reachability (recursive CTE): component = min reachable doc_id —
     // exactly what min-label propagation converges to

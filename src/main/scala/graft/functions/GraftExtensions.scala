@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the library's native expressions —
+  * the last rung of the custom-operator ladder (SURVEY §7.3): a
+  * `Column`-API expression becomes available to pure-SQL callers of
+  * the engine (reference app.py:44-51 accepts arbitrary SQL, so a
+  * user migrating a SQL workload needs the function IN the dialect,
+  * not only in Scala).
+  *
+  * Two entry points, same registry row:
+  *  - conf-driven: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) for sessions the
+  *    library does not construct;
+  *  - imperative: [[GraftExtensions.ensureRegistered]] for an existing
+  *    session (idempotent) — what [[graft.engine.SparkEngine]] uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimEntry)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) row for `cosine_sim` — the fused
+    * single-pass [[CosineSimilarity]] expression.
+    */
+  val cosineSimEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_sim takes exactly 2 arguments, got ${args.length}")
+        CosineSimilarity(args.head, args(1))
+      })
+
+  /** Registers `cosine_sim` in an existing session's function registry
+    * (no-op when already present, so every engine bootstrap can call
+    * it unconditionally).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val (id, info, builder) = cosineSimEntry
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id))
+      registry.registerFunction(id, info, builder)
+  }
+}

@@ -29,6 +29,14 @@ class EngineSpec extends SparkSpec {
     assert(resp.metadata.epochMs > 0)
   }
 
+  test("engine SQL dialect includes the native cosine_sim (extension bootstrap)") {
+    // a SQL-only user of the engine can call the library's native
+    // expression without touching the Scala Column API
+    val resp = engine.execute(QueryRequest(
+      "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c"))
+    assert(resp.records.head("c") == 1.0, s"got ${resp.records.head}")
+  }
+
   test("explicit limit caps rows") {
     val resp = engine.execute(QueryRequest("SELECT l_orderkey FROM lineitem", Some(3)))
     assert(resp.records.size == 3)

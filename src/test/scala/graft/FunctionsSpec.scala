@@ -84,6 +84,23 @@ class FunctionsSpec extends SparkSpec {
       "a null element must NULL the score, not contribute a silent 0.0")
   }
 
+  test("cosine_sim is callable from SQL after registration (idempotent) and via extensions wiring") {
+    import graft.functions.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    GraftExtensions.ensureRegistered(spark) // second call must be a no-op
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same, " +
+        "cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS ortho")
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0, s"got $r")
+    // wrong arity fails at analysis, not at runtime
+    intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0D))").collect()
+    }
+    // the conf-driven class wires the same entry without throwing
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("native cosine rejects non-array inputs at analysis time") {
     val e = Lake.table(spark, SfDir, "embeddings")
     intercept[Exception] {
