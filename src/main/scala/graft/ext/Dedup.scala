@@ -562,32 +562,39 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
-    // PASSAGE-LEVEL exact dedup: cut each document into fixed 8-word
-    // non-overlapping chunks and flag chunks that occur more than once
-    // in the corpus (within OR across documents) — the sub-document
-    // pass that document-level exact dedup (x01) cannot see, catching
-    // boilerplate and copied passages. Scale shape: the passage table
-    // is ~n_words/8 rows; occurrence counting is one hash groupBy
-    // (map-side partial) and the flag is an equi-join back on the
-    // passage — no pair enumeration at any granularity. The chunking
-    // builds passages with transform+slice on the token array (no
-    // per-word explode, no collect_list ordering hazard).
-    "x31_passage_dedup" -> ((spark, sfDir) => {
-      val P = 8
-      val passages = docs(spark, sfDir).select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, (size(split(text, ' ')) - 1) DIV $P), " +
-            s"i -> array_join(slice(split(text, ' '), i * $P + 1, $P), ' '))"))
-          .as("passage"))
-      val occ = passages.groupBy(col("passage"))
-        .agg(count(lit(1)).as("n_occ"))
-      passages.join(occ, "passage")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_passages"),
-          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
-        .orderBy(col("doc_id"))
-    })
+    // PASSAGE-LEVEL exact dedup: the sub-document pass that
+    // document-level exact dedup (x01) cannot see, catching
+    // boilerplate and copied passages.
+    "x31_passage_dedup" -> ((spark, sfDir) =>
+      passageDupStats(docs(spark, sfDir))
+        .orderBy(col("doc_id")))
   )
+
+  /** Per-document passage-duplication stats: cut `text` into fixed
+    * `p`-word non-overlapping chunks and count, per document, its
+    * passages and how many of them occur more than once in the corpus
+    * (within OR across documents). Scale shape: the passage table is
+    * ~n_words/p rows; occurrence counting is one hash groupBy
+    * (map-side partial) and the flag is an equi-join back on the
+    * passage — no pair enumeration at any granularity. The chunking
+    * builds passages with transform+slice on the token array (no
+    * per-word explode, no collect_list ordering hazard). A trailing
+    * short chunk (< p words) is a passage too, so every word is
+    * accounted for.
+    */
+  def passageDupStats(df: DataFrame, p: Int = 8): DataFrame = {
+    val passages = df.select(col("doc_id"),
+      explode(expr(
+        s"transform(sequence(0, (size(split(text, ' ')) - 1) DIV $p), " +
+          s"i -> array_join(slice(split(text, ' '), i * $p + 1, $p), ' '))"))
+        .as("passage"))
+    val occ = passages.groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_occ"))
+    passages.join(occ, "passage")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+  }
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" ->

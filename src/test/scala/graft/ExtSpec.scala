@@ -22,6 +22,30 @@ class ExtSpec extends SparkSpec {
       s"LSH recall too low: ${recalled.size}/${exact.size}; missed ${exact -- sketch}")
   }
 
+  test("passage dedup counts chunk duplication exactly: short docs, cross-doc and within-doc repeats (x31)") {
+    import spark.implicits._
+    val w = (1 to 16).map(i => s"w$i")
+    val repeated = w.take(8).mkString(" ")          // one full 8-word chunk
+    val corpus = Seq(
+      // doc 0: two chunks; the first duplicates doc 1's first chunk
+      (0L, repeated + " " + w.slice(8, 16).mkString(" ")),
+      // doc 1: same first chunk, distinct 3-word trailing short chunk
+      (1L, repeated + " x y z"),
+      // doc 2: the repeated chunk twice -> WITHIN-doc duplication
+      (2L, repeated + " " + repeated),
+      // doc 3: 5 words only -> exactly one short passage, unique
+      (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.passageDupStats(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      0L -> ((2L, 1L)), // chunk1 dup (docs 0,1,2,2), chunk2 unique
+      1L -> ((2L, 1L)), // chunk1 dup, "x y z" unique
+      2L -> ((2L, 2L)), // both its chunks are the repeated one
+      3L -> ((1L, 0L))  // single short passage, unique
+    ), s"got $got")
+  }
+
   test("connected components collapse transitive chains to one cluster (x18)") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (one component, min label 1), pair 10-11,
