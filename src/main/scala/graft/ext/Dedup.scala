@@ -564,9 +564,13 @@ object Dedup {
 
     // PASSAGE-LEVEL exact dedup: the sub-document pass that
     // document-level exact dedup (x01) cannot see, catching
-    // boilerplate and copied passages.
+    // boilerplate and copied passages. The passage table feeds both
+    // the occurrence count and the per-doc join side, so it is
+    // lake-checkpointed like x05's shingle table — each branch reads
+    // one compact parquet table instead of re-tokenizing the corpus.
     "x31_passage_dedup" -> ((spark, sfDir) =>
-      passageDupStats(docs(spark, sfDir))
+      passageDupStats(docs(spark, sfDir),
+        checkpoint = ps => Lake.materialize(spark, sfDir, "x31_passages")(ps))
         .orderBy(col("doc_id")))
   )
 
@@ -580,14 +584,17 @@ object Dedup {
     * builds passages with transform+slice on the token array (no
     * per-word explode, no collect_list ordering hazard). A trailing
     * short chunk (< p words) is a passage too, so every word is
-    * accounted for.
+    * accounted for. `checkpoint` (registered query: a lake
+    * materialization) snapshots the passage table once for its two
+    * consumers.
     */
-  def passageDupStats(df: DataFrame, p: Int = 8): DataFrame = {
-    val passages = df.select(col("doc_id"),
+  def passageDupStats(df: DataFrame, p: Int = 8,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+    val passages = checkpoint(df.select(col("doc_id"),
       explode(expr(
         s"transform(sequence(0, (size(split(text, ' ')) - 1) DIV $p), " +
           s"i -> array_join(slice(split(text, ' '), i * $p + 1, $p), ' '))"))
-        .as("passage"))
+        .as("passage")))
     val occ = passages.groupBy(col("passage"))
       .agg(count(lit(1)).as("n_occ"))
     passages.join(occ, "passage")
