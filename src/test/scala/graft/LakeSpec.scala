@@ -42,6 +42,29 @@ class LakeSpec extends SparkSpec {
     assert(Lake.table(spark, SfDir, "events").count() == n)
   }
 
+  test("micros copy is range-clustered on ts: per-file ranges are pairwise disjoint") {
+    // the point of the one-time ingest rewrite is that footer min/max
+    // stats let a time-bounded scan skip whole files/row groups; that
+    // only works if files cover DISJOINT ts slices (the pre-v2 layout
+    // wrote interleaved files where every file spanned the full month
+    // and nothing was ever skippable)
+    val dir = Lake.ensureMicrosEvents(spark, SfDir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, s"expected a multi-file clustered copy in $dir")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(loB > hiA, s"overlapping file ts ranges: $hiA >= $loB")
+      case _ =>
+    }
+  }
+
   test("rowCount from parquet footers equals a full count()") {
     // events is TIMESTAMP(NANOS) on disk — the raw comparison read needs
     // the nanos conf (scoped, proving it no longer lingers from table())
