@@ -86,8 +86,12 @@ object TemporalJoins {
       s"binSeconds $w must divide windowSeconds $windowSeconds")
     val k = (windowSeconds / w).toInt
     val binMicros = w * 1000000L
-    val withBin = df.withColumn("_bin",
-      expr(s"unix_micros($tsCol) DIV $binMicros"))
+    // floor (not truncating) division: keeps bins uniform across the
+    // 1970 epoch — truncation would merge the two bins around zero
+    // into one double-width bin (still correct for enumeration, the
+    // probe range covers it, but with avoidable false candidates)
+    val withBin = df.withColumn("_bin", expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $binMicros)) DIV $binMicros"))
     val a = withBin.select(
       (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"a_$c")) :+
         col("_bin")): _*)
@@ -144,9 +148,17 @@ object TemporalJoins {
     val binMicros = binSeconds * 1000000L
     val winMicros = windowSeconds * 1000000L
 
+    // TRUE floor division, not SQL DIV: DIV truncates toward zero, so
+    // for pre-1970 timestamps (negative micros) bin 0 would span
+    // (-w, w) — double width — and the uniform-bin containment the
+    // middle-bin prefix arithmetic rests on would silently overcount.
+    // Subtracting pmod (always >= 0) makes the numerator an exact
+    // multiple, so DIV is exact floor for any sign.
+    val floorBin = expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $binMicros)) DIV $binMicros")
     val withBin = df
       .withColumn("_us", expr(s"unix_micros($tsCol)"))
-      .withColumn("_bin", expr(s"unix_micros($tsCol) DIV $binMicros"))
+      .withColumn("_bin", floorBin)
     // one n-sized reduce (map-side partial) — everything downstream of
     // it is span-bounded, not data-bounded
     val binCounts = withBin.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
@@ -161,10 +173,16 @@ object TemporalJoins {
     // already bounds.
     val CHUNK = 4096L
     val ord = Window.orderBy(col("_bin"))
+    // chunk indices need the same floor (not truncating) division as
+    // the bins: DIV would round negative _lo UP, skip the negative
+    // chunks, leave pre-1970 bins out of the dense domain, and the
+    // inner cum join below would silently DROP those rows
+    def floorChunk(c: String) =
+      expr(s"($c - pmod($c, $CHUNK)) DIV $CHUNK")
     val cumPair = binCounts
       .agg(min(col("_bin")).as("_lo"), (max(col("_bin")) + k).as("_hi"))
       .select(col("_lo"), col("_hi"),
-        explode(sequence(expr(s"_lo DIV $CHUNK"), expr(s"_hi DIV $CHUNK"))).as("_c"))
+        explode(sequence(floorChunk("_lo"), floorChunk("_hi"))).as("_c"))
       .select(col("_lo"), col("_hi"),
         explode(sequence(
           greatest(col("_lo"), col("_c") * CHUNK),

@@ -91,6 +91,36 @@ class TemporalJoinsSpec extends SparkSpec {
       s"count decomposition $viaCount != enumeration $viaPairs")
   }
 
+  test("rangeSuccessorCount is exact across the 1970 epoch (negative-micros bins)") {
+    import spark.implicits._
+    // timestamps straddling epoch zero: SQL DIV truncates toward zero,
+    // which would merge the two bins around t=0 into one double-width
+    // bin and overcount the middle-bin prefix sums — the operator must
+    // floor-divide instead
+    val offsetsMs = Seq(-900000L, -600000L, -599999L, -450000L, -300500L,
+      -150000L, -30000L, -1L, 0L, 1L, 29999L, 150000L, 300500L,
+      599999L, 600000L, 600001L, 900000L)
+    val ts = offsetsMs.map(new java.sql.Timestamp(_))
+    val df = ts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }
+      .toDF("event_id", "ts")
+    val expected = ts.zipWithIndex.map { case (ta, ia) =>
+      ia.toLong -> ts.count(tb => {
+        val d = tb.getTime - ta.getTime; d > 0 && d <= 600000L
+      }).toLong
+    }.toMap
+    Seq(600L, 150L, 30L).foreach { bin =>
+      val got = TemporalJoins
+        .rangeSuccessorCount(df, "event_id", "ts", 600L, binSeconds = bin)
+        .select(col("event_id"), col("n_within"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"binSeconds=$bin diverged around the epoch: " +
+        (expected.keySet ++ got.keySet).filter(k0 =>
+          expected.get(k0) != got.get(k0)).take(5)
+          .map(k0 => s"$k0: want ${expected.get(k0)} got ${got.get(k0)}")
+          .mkString("; "))
+    }
+  }
+
   test("asofJoin: simultaneous right row is visible, later rows are not, no-match is null") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
