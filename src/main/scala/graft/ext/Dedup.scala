@@ -590,11 +590,17 @@ object Dedup {
     */
   def passageDupStats(df: DataFrame, p: Int = 8,
       checkpoint: DataFrame => DataFrame = identity): DataFrame = {
-    val passages = checkpoint(df.select(col("doc_id"),
-      explode(expr(
-        s"transform(sequence(0, (size(split(text, ' ')) - 1) DIV $p), " +
-          s"i -> array_join(slice(split(text, ' '), i * $p + 1, $p), ' '))"))
-        .as("passage")))
+    // tokenize ONCE into a projected column: HOF lambda bodies are
+    // evaluated per element with no loop-invariant hoisting, so
+    // split() inside the lambda would re-tokenize the whole document
+    // for every chunk (O(words x chunks) per doc)
+    val passages = checkpoint(df
+      .withColumn("_toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, (size(_toks) - 1) DIV $p), " +
+            s"i -> array_join(slice(_toks, i * $p + 1, $p), ' '))"))
+          .as("passage")))
     val occ = passages.groupBy(col("passage"))
       .agg(count(lit(1)).as("n_occ"))
     passages.join(occ, "passage")

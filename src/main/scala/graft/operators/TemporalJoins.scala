@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** TRUE floor division as a SQL expression: SQL DIV truncates toward
+    * zero, so for negative operands (pre-1970 micros, negative bin
+    * numbers) the two "bins" around zero would merge into one
+    * double-width bin — breaking the uniform-bin arithmetic both range
+    * operators rest on. Subtracting pmod (always >= 0) makes the
+    * numerator an exact multiple, so DIV is exact floor for any sign.
+    */
+  private def floorDiv(x: String, m: Long): Column =
+    expr(s"(($x) - pmod($x, $m)) DIV $m")
+
   /** For each left row, attach the most recent right row with the same
     * key and rightTs <= leftTs (left-join semantics: nulls when no
     * prior right row).
@@ -86,12 +96,10 @@ object TemporalJoins {
       s"binSeconds $w must divide windowSeconds $windowSeconds")
     val k = (windowSeconds / w).toInt
     val binMicros = w * 1000000L
-    // floor (not truncating) division: keeps bins uniform across the
-    // 1970 epoch — truncation would merge the two bins around zero
-    // into one double-width bin (still correct for enumeration, the
-    // probe range covers it, but with avoidable false candidates)
-    val withBin = df.withColumn("_bin", expr(
-      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $binMicros)) DIV $binMicros"))
+    // floorDiv keeps bins uniform across the 1970 epoch — truncation
+    // would still be correct for enumeration (the probe range covers
+    // the merged bin) but with avoidable false candidates
+    val withBin = df.withColumn("_bin", floorDiv(s"unix_micros($tsCol)", binMicros))
     val a = withBin.select(
       (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"a_$c")) :+
         col("_bin")): _*)
@@ -142,23 +150,18 @@ object TemporalJoins {
     */
   def rangeSuccessorCount(df: DataFrame, idCol: String, tsCol: String,
       windowSeconds: Long, binSeconds: Long): DataFrame = {
+    require(windowSeconds > 0,
+      s"windowSeconds must be positive, got $windowSeconds (k = 0 would " +
+        "turn the lead(k-1) high lookup into a lag and produce negative counts)")
     require(binSeconds > 0 && windowSeconds % binSeconds == 0,
       s"binSeconds $binSeconds must divide windowSeconds $windowSeconds")
     val k = (windowSeconds / binSeconds).toInt
     val binMicros = binSeconds * 1000000L
     val winMicros = windowSeconds * 1000000L
 
-    // TRUE floor division, not SQL DIV: DIV truncates toward zero, so
-    // for pre-1970 timestamps (negative micros) bin 0 would span
-    // (-w, w) — double width — and the uniform-bin containment the
-    // middle-bin prefix arithmetic rests on would silently overcount.
-    // Subtracting pmod (always >= 0) makes the numerator an exact
-    // multiple, so DIV is exact floor for any sign.
-    val floorBin = expr(
-      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $binMicros)) DIV $binMicros")
     val withBin = df
       .withColumn("_us", expr(s"unix_micros($tsCol)"))
-      .withColumn("_bin", floorBin)
+      .withColumn("_bin", floorDiv(s"unix_micros($tsCol)", binMicros))
     // one n-sized reduce (map-side partial) — everything downstream of
     // it is span-bounded, not data-bounded
     val binCounts = withBin.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
@@ -173,16 +176,13 @@ object TemporalJoins {
     // already bounds.
     val CHUNK = 4096L
     val ord = Window.orderBy(col("_bin"))
-    // chunk indices need the same floor (not truncating) division as
-    // the bins: DIV would round negative _lo UP, skip the negative
-    // chunks, leave pre-1970 bins out of the dense domain, and the
-    // inner cum join below would silently DROP those rows
-    def floorChunk(c: String) =
-      expr(s"($c - pmod($c, $CHUNK)) DIV $CHUNK")
+    // chunk indices need the same floorDiv as the bins: DIV would
+    // round negative _lo UP, skip the negative chunks, and leave
+    // pre-1970 bins out of the dense domain entirely
     val cumPair = binCounts
       .agg(min(col("_bin")).as("_lo"), (max(col("_bin")) + k).as("_hi"))
       .select(col("_lo"), col("_hi"),
-        explode(sequence(floorChunk("_lo"), floorChunk("_hi"))).as("_c"))
+        explode(sequence(floorDiv("_lo", CHUNK), floorDiv("_hi", CHUNK))).as("_c"))
       .select(col("_lo"), col("_hi"),
         explode(sequence(
           greatest(col("_lo"), col("_c") * CHUNK),
@@ -208,12 +208,17 @@ object TemporalJoins {
     // Middle bins i+1..i+k-1 = cum(i+k-1) - cum(i): one broadcast
     // lookup per row, zero fan-out (k=1 degenerates to 0 via
     // lead(..., 0) — no middle bins exist). The payload rides along,
-    // so no re-join with `df`.
+    // so no re-join with `df`. LEFT join + coalesced difference: a
+    // NULL-ts row has a NULL bin that matches nothing, and the output
+    // contract is "all of df's rows plus n_within" — such a row keeps
+    // n_within = 0 (it has no window; it also never matches any
+    // predicate as a successor) instead of silently vanishing.
     withBin
-      .join(broadcast(cumPair), Seq("_bin"))
+      .join(broadcast(cumPair), Seq("_bin"), "left")
       .join(edgeCounts, col(idCol) === col("_a_id"), "left")
       .withColumn("n_within",
-        col("_cum_hi") - col("_cum_lo") + coalesce(col("_n_edge"), lit(0L)))
+        coalesce(col("_cum_hi") - col("_cum_lo"), lit(0L)) +
+          coalesce(col("_n_edge"), lit(0L)))
       .drop("_bin", "_us", "_cum_lo", "_cum_hi", "_a_id", "_n_edge")
   }
 }

@@ -121,6 +121,28 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeSuccessorCount keeps NULL-ts rows with n_within = 0 and rejects non-positive windows") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = Seq(
+      (0L, Some(new java.sql.Timestamp(base))),
+      (1L, Some(new java.sql.Timestamp(base + 1000L))),
+      (2L, None) // NULL ts: no window, not a successor of anything
+    ).toDF("event_id", "ts")
+    val got = TemporalJoins
+      .rangeSuccessorCount(df, "event_id", "ts", 600L, binSeconds = 30L)
+      .select(col("event_id"), col("n_within"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // output contract: ALL input rows survive, the NULL-ts row at 0
+    assert(got == Map(0L -> 1L, 1L -> 0L, 2L -> 0L), s"got $got")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSuccessorCount(df, "event_id", "ts", 0L, binSeconds = 30L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSuccessorCount(df, "event_id", "ts", -600L, binSeconds = 30L)
+    }
+  }
+
   test("asofJoin: simultaneous right row is visible, later rows are not, no-match is null") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
