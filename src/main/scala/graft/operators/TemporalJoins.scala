@@ -164,6 +164,21 @@ object TemporalJoins {
     * small.
     */
   def rangeSuccessorCount(df: DataFrame, idCol: String, tsCol: String,
+      windowSeconds: Long, binSeconds: Long): DataFrame =
+    rangeSuccessorCount(df, df, idCol, tsCol, tsCol, windowSeconds, binSeconds)
+
+  /** Two-relation form: for each `left` row, the COUNT of `right`
+    * rows within its forward window — the unbounded-scale companion
+    * of [[rangeJoin]] exactly as the single-relation overload is to
+    * [[rangeSelfJoin]]. Same decomposition; the per-bin count table
+    * is built from `right`, and the dense domain spans BOTH
+    * relations' bin ranges (a left row binned before the first or
+    * after the last right row must still find its cum entries — with
+    * a right-only domain the prefix lookup would go NULL and silently
+    * undercount). Output: all of `left`'s columns plus `n_within`.
+    */
+  def rangeSuccessorCount(left: DataFrame, right: DataFrame,
+      idCol: String, leftTs: String, rightTs: String,
       windowSeconds: Long, binSeconds: Long): DataFrame = {
     require(windowSeconds > 0,
       s"windowSeconds must be positive, got $windowSeconds (k = 0 would " +
@@ -174,27 +189,31 @@ object TemporalJoins {
     val binMicros = binSeconds * 1000000L
     val winMicros = windowSeconds * 1000000L
 
-    val withBin = df
-      .withColumn("_us", expr(s"unix_micros($tsCol)"))
-      .withColumn("_bin", floorDiv(s"unix_micros($tsCol)", binMicros))
+    val withBin = left
+      .withColumn("_us", expr(s"unix_micros($leftTs)"))
+      .withColumn("_bin", floorDiv(s"unix_micros($leftTs)", binMicros))
+    val rightBin = right
+      .withColumn("_us", expr(s"unix_micros($rightTs)"))
+      .withColumn("_bin", floorDiv(s"unix_micros($rightTs)", binMicros))
     // one n-sized reduce (map-side partial) — everything downstream of
     // it is span-bounded, not data-bounded
-    val binCounts = withBin.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
+    val binCounts = rightBin.groupBy(col("_bin")).agg(count(lit(1)).as("_cnt"))
 
-    // Dense domain [lo, hi+k]: zero-count rows for empty bins so every
-    // lookup hits, and k trailing zero bins so the lead(k-1) below
-    // never runs off the end for a real event bin. Chunked
-    // double-explode bounds any one generated array at CHUNK elements
-    // regardless of span. The 1-row aggregate input keeps this whole
-    // chain — densify, broadcast-join the counts, running sum, lead —
-    // in a single task over span/w rows, which the broadcast contract
-    // already bounds.
+    // Dense domain [lo, hi+k] over BOTH relations' bins: zero-count
+    // rows for empty bins so every lookup hits, and k trailing zero
+    // bins so the lead(k-1) below never runs off the end for a real
+    // left bin. Chunked double-explode bounds any one generated array
+    // at CHUNK elements regardless of span. The 1-row aggregate input
+    // keeps this whole chain — densify, broadcast-join the counts,
+    // running sum, lead — in a single task over span/w rows, which
+    // the broadcast contract already bounds.
     val CHUNK = 4096L
     val ord = Window.orderBy(col("_bin"))
     // chunk indices need the same floorDiv as the bins: DIV would
     // round negative _lo UP, skip the negative chunks, and leave
     // pre-1970 bins out of the dense domain entirely
-    val cumPair = binCounts
+    val cumPair = withBin.select(col("_bin"))
+      .union(rightBin.select(col("_bin")))
       .agg(min(col("_bin")).as("_lo"), (max(col("_bin")) + k).as("_hi"))
       .select(col("_lo"), col("_hi"),
         explode(sequence(floorDiv("_lo", CHUNK), floorDiv("_hi", CHUNK))).as("_c"))
@@ -214,7 +233,7 @@ object TemporalJoins {
     // both probes.
     val aProbe = withBin.select(col(idCol).as("_a_id"), col("_us").as("_a_us"),
       explode(array(col("_bin"), col("_bin") + k)).as("_pb"))
-    val bSide = withBin.select(col("_us").as("_b_us"), col("_bin").as("_pb"))
+    val bSide = rightBin.select(col("_us").as("_b_us"), col("_bin").as("_pb"))
     val edgeCounts = aProbe.join(bSide, "_pb")
       .filter(col("_b_us") > col("_a_us") &&
         col("_b_us") <= col("_a_us") + winMicros)

@@ -361,6 +361,25 @@ object Surface {
         .orderBy(col("error_id"), col("purchase_id"))
     }),
 
+    // The COUNTING form of c51 at unbounded scale: per day, how many
+    // (error, purchase-within-10-min) pairs exist — same prefix
+    // decomposition as c32 but across two relations, so the answer
+    // never materializes the |errors|x|purchases-in-window| pair set.
+    "c52_range_count_2rel" -> ((spark, sfDir) => {
+      val e = t(spark, sfDir, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      graft.operators.TemporalJoins
+        .rangeSuccessorCount(errors, purchases, "event_id", "ts", "ts",
+          600L, binSeconds = 30L)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("n_within")).as("n_pairs"))
+        .filter(col("n_pairs") > 0) // join-group semantics: zero-pair days absent
+        .orderBy(col("day"))
+    }),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -732,6 +751,12 @@ object Surface {
         "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
         "WHERE a.event_type = 'error' AND b.event_type = 'purchase' " +
         "ORDER BY error_id, purchase_id"),
+    "c52_range_count_2rel" ->
+      ("SELECT STRFTIME(CAST(a.ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n_pairs " +
+        "FROM events a JOIN events b " +
+        "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
+        "WHERE a.event_type = 'error' AND b.event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY 1"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

@@ -124,7 +124,11 @@ class TemporalJoinsSpec extends SparkSpec {
   test("rangeJoin (two relations) matches brute force and rangeSelfJoin is its diagonal case") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val lts = (0 until 80).map(i => base + (i * 7919L % 7200L) * 1000L)
+    // left rows at both extremes sit OUTSIDE the right relation's bin
+    // range entirely (before-first and after-last) — they must still
+    // count zero successors rather than fail a domain lookup
+    val lts = (0 until 80).map(i => base + (i * 7919L % 7200L) * 1000L) ++
+      Seq(base - 900000L, base + 20000000L)
     val rts = (0 until 90).map(i => base + (i * 6007L % 7200L) * 1000L + 250L)
     val left = lts.zipWithIndex.map { case (t0, i) =>
       (i.toLong, new java.sql.Timestamp(t0)) }.toDF("lid", "lts")
@@ -142,6 +146,26 @@ class TemporalJoinsSpec extends SparkSpec {
         .select(col("a_lid"), col("b_rid"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expected, s"binSeconds=$bin two-relation diverged")
+    }
+    // the two-relation COUNTING form agrees per left row, including
+    // left rows binned outside the right relation's bin range (the
+    // dense domain must span both relations)
+    val expectedCounts = lts.zipWithIndex.map { case (lt, li) =>
+      li.toLong -> rts.count(rt => {
+        val d = rt - lt; d > 0 && d <= 600000L
+      }).toLong
+    }.toMap
+    Seq(600L, 30L).foreach { bin =>
+      val gotCounts = TemporalJoins
+        .rangeSuccessorCount(left, right, "lid", "lts", "rts", 600L, bin)
+        .select(col("lid"), col("n_within"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotCounts == expectedCounts,
+        s"binSeconds=$bin two-relation counting diverged: " +
+          expectedCounts.keySet.filter(k0 =>
+            expectedCounts.get(k0) != gotCounts.get(k0)).take(5)
+            .map(k0 => s"$k0: want ${expectedCounts(k0)} got ${gotCounts.get(k0)}")
+            .mkString("; "))
     }
   }
 
