@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_pb"), s"edge equi-join on probe bin missing:\n$plan")
   }
 
+  test("temporal enumeration and two-relation forms stay equi-joins (c50/c51/c52)") {
+    // an inequality range predicate handed to Catalyst raw would plan
+    // BroadcastNestedLoopJoin; the bin bucketing must keep every one
+    // of these an equi-join at any scale
+    for (name <- Seq("c50_range_pairs", "c51_range_join_2rel",
+        "c52_range_count_2rel")) {
+      val plan = Surface.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a non-equi join:\n$plan")
+    }
+  }
+
   test("ANN LSH joins on the bucket signature, not all pairs (x08/x09)") {
     for (name <- Seq("x08_ann_lsh", "x09_embed_neardup")) {
       val plan = Similarity.queries(name)(spark, SfDir)
