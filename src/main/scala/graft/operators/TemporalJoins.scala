@@ -165,7 +165,8 @@ object TemporalJoins {
     */
   def rangeSuccessorCount(df: DataFrame, idCol: String, tsCol: String,
       windowSeconds: Long, binSeconds: Long): DataFrame =
-    rangeSuccessorCount(df, df, idCol, tsCol, tsCol, windowSeconds, binSeconds)
+    rangeCountImpl(df, df, idCol, tsCol, tsCol, windowSeconds, binSeconds,
+      sameRelation = true)
 
   /** Two-relation form: for each `left` row, the COUNT of `right`
     * rows within its forward window — the unbounded-scale companion
@@ -179,7 +180,14 @@ object TemporalJoins {
     */
   def rangeSuccessorCount(left: DataFrame, right: DataFrame,
       idCol: String, leftTs: String, rightTs: String,
-      windowSeconds: Long, binSeconds: Long): DataFrame = {
+      windowSeconds: Long, binSeconds: Long): DataFrame =
+    rangeCountImpl(left, right, idCol, leftTs, rightTs,
+      windowSeconds, binSeconds, sameRelation = false)
+
+  private def rangeCountImpl(left: DataFrame, right: DataFrame,
+      idCol: String, leftTs: String, rightTs: String,
+      windowSeconds: Long, binSeconds: Long,
+      sameRelation: Boolean): DataFrame = {
     require(windowSeconds > 0,
       s"windowSeconds must be positive, got $windowSeconds (k = 0 would " +
         "turn the lead(k-1) high lookup into a lag and produce negative counts)")
@@ -212,9 +220,20 @@ object TemporalJoins {
     // chunk indices need the same floorDiv as the bins: DIV would
     // round negative _lo UP, skip the negative chunks, and leave
     // pre-1970 bins out of the dense domain entirely
-    val cumPair = withBin.select(col("_bin"))
-      .union(rightBin.select(col("_bin")))
-      .agg(min(col("_bin")).as("_lo"), (max(col("_bin")) + k).as("_hi"))
+    // Extent from the span-bounded binCounts table, NOT a re-scan of
+    // the raw relations; the left relation contributes its own 1-row
+    // min/max aggregate only when it is a different relation (the
+    // diagonal/self case is fully covered by binCounts).
+    val rightExtent = binCounts
+      .agg(min(col("_bin")).as("_lo"), max(col("_bin")).as("_hi"))
+    val extent =
+      if (sameRelation) rightExtent
+      else rightExtent
+        .unionByName(withBin
+          .agg(min(col("_bin")).as("_lo"), max(col("_bin")).as("_hi")))
+        .agg(min(col("_lo")).as("_lo"), max(col("_hi")).as("_hi"))
+    val cumPair = extent
+      .select(col("_lo"), (col("_hi") + k).as("_hi"))
       .select(col("_lo"), col("_hi"),
         explode(sequence(floorDiv("_lo", CHUNK), floorDiv("_hi", CHUNK))).as("_c"))
       .select(col("_lo"), col("_hi"),
