@@ -8,17 +8,88 @@ import org.apache.spark.sql.functions._
 import graft.sources.Lake
 
 /** Benchmark harness — the reference's protocol (SURVEY §2.A A13/A14,
-  * benchmark.py:34-124): n=3 repetitions per query, mean/std, a
+  * benchmark.py:34-124): n=3 repetitions per query, mean/std/median, a
   * pruned-partition-scan vs full-scan contrast (the repo's namesake
   * comparison, README.md:164-174), and a cross-mode probe-key equality
   * assert before any timing is trusted.
   *
-  * Prints exactly ONE JSON line:
-  *   {"metric":"total","value":<sum of means>,"unit":"sec",
-  *    "queries":{name:mean,...},"sf":...,"std":{...},"reps":3,
-  *    "probe_ok":bool,"pruned_vs_full":ratio}
+  * Measurement-trust rules (hard-learned from the r6/r7 artifacts):
+  *   - Every derived headline ratio (pruned_vs_full, scaling
+  *     time_ratio) is computed from MEDIANS. A single loaded-machine
+  *     rep moves a 3-rep mean by a third of the spike but the median
+  *     not at all — BENCH_r07 printed a fake flagship 4.64× scaling
+  *     from one contaminated mean that its own medians refuted. Means
+  *     and stds stay in the raw dump for contention diagnosis.
+  *   - A rep that throws is EXCLUDED from the timing stats and the
+  *     query is flagged in a top-level "errors" object. Averaging a
+  *     near-zero failed-rep wall time silently converts a broken
+  *     query into a fast one.
+  *   - Both sides of the scaling contrast run the same protocol: a
+  *     global prewarm pass over the query set at that sf dir, then
+  *     timed reps with no per-query warm rep. Mixing a
+  *     globally-prewarmed big side with a per-query-warmed small side
+  *     compares two different measurement protocols.
+  *
+  * Prints exactly ONE JSON line to stdout and writes the identical
+  * line to /tmp/graft-bench.json (sbt log capture truncates long
+  * lines behind [info] noise; the file is the machine-readable copy).
   */
 object Bench {
+
+  /** Per-query timing result. `err` carries the first failure message
+    * when any rep (or the prewarm) threw; stats are over the
+    * successful reps only. A query whose every rep failed has
+    * okReps == 0 and zeroed stats — callers must treat it as broken,
+    * never as fast.
+    */
+  final case class QueryStats(name: String, mean: Double, std: Double,
+      median: Double, okReps: Int, err: Option[String])
+
+  private def sanitize(msg: String): String = {
+    val m = Option(msg).getOrElse("null")
+    m.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").take(200)
+  }
+
+  /** Time `run` for `reps` repetitions, excluding failed reps from the
+    * stats and capturing the first error. Public and Spark-free so the
+    * failure contract is unit-testable with a deliberately-throwing
+    * thunk (BenchSpec).
+    */
+  def measure(name: String, reps: Int)(run: () => Unit): QueryStats = {
+    val results = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      val err =
+        try { run(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+          Some(s"${e.getClass.getSimpleName}: ${sanitize(e.getMessage)}")
+        }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val ok = results.collect { case (t, None) => t }
+    val firstErr = results.flatMap(_._2).headOption
+    if (ok.isEmpty)
+      QueryStats(name, 0.0, 0.0, 0.0, 0, firstErr.orElse(Some("all reps failed")))
+    else {
+      val mean = ok.sum / ok.size
+      val std = math.sqrt(ok.map(t => (t - mean) * (t - mean)).sum / ok.size)
+      val sorted = ok.sorted
+      val median =
+        if (ok.size % 2 == 1) sorted(ok.size / 2)
+        else (sorted(ok.size / 2 - 1) + sorted(ok.size / 2)) / 2
+      QueryStats(name, mean, std, median, ok.size, firstErr)
+    }
+  }
+
+  /** JSON object mapping each failed query to its first error — empty
+    * when everything ran clean. Split out so BenchSpec can pin the
+    * "a broken query surfaces in the artifact" contract.
+    */
+  def errorsJson(stats: Seq[QueryStats]): String =
+    stats.collect { case QueryStats(n, _, _, _, _, Some(e)) =>
+      s""""$n":"${sanitize(e)}""""
+    }.mkString("{", ",", "}")
 
   /** Files actually read by the plan's parquet scans, counted AFTER
     * partition pruning. `DataFrame.inputFiles` resolves the listing
@@ -50,8 +121,8 @@ object Bench {
     * Label note: p01 is an end-to-end ELT pipeline and s07 a streaming
     * ingest — each rep times write + re-read by design, not a read-only
     * query. x03/x18 reps read their lake-checkpointed artifacts (built
-    * on the untimed warm rep) — the amortized repeat-invocation path a
-    * warm engine serves.
+    * on the untimed prewarm pass) — the amortized repeat-invocation
+    * path a warm engine serves.
     */
   private val headline = Seq(
     "flagship", "b02_glob_scan", "b03_pruned_scan", "b09_partial_final",
@@ -105,67 +176,39 @@ object Bench {
         .filter(col("date") === lit("2024-01-05"))
         .select(col("event_id")))
 
-    // One untimed warm rep (plan codegen, file listing, lake-artifact
-    // builds) — the reference's published numbers are warm-container
-    // runs too (its cold/warm flag exists precisely to tell them apart).
-    // `warm = false` skips the per-query warm rep — used by the main
-    // loop, whose global prewarm pass below already executed every
-    // headline query once on sfDir (the scaling calls at smallDir are
-    // NOT covered by that pass and keep the warm rep).
-    def timeQuery(name: String, dir: String,
-        warm: Boolean = true): (Double, Double, Double) = {
-      val fn = SparkEntry.queries(name)
-      if (warm)
-        try fn(spark, dir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name warm: ${e.getMessage}") }
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, dir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+    // One protocol for every timed number: global prewarm over the
+    // query set at that dir (plan codegen, JIT, file listing,
+    // lake-artifact builds — observed: the flagship timed first in a
+    // fresh JVM records ~2× its steady state), then timed reps with no
+    // per-query warm rep. The reference's published numbers are
+    // warm-Lambda runs (its cold/warm flag exists to tell them apart).
+    def prewarm(queryNames: Seq[String], dir: String): Unit =
+      queryNames.foreach { n =>
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $n prewarm@$dir: ${e.getMessage}") }
       }
-      val mean = times.sum / reps
-      // the median is the contention-robust read: a single loaded-
-      // machine rep moves a 3-rep mean by a third of the spike but the
-      // median not at all (the r6 artifact shows exactly that failure)
-      val sorted = times.sorted
-      val median =
-        if (reps % 2 == 1) sorted(reps / 2)
-        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
-      (mean, math.sqrt(times.map(t => (t - mean) * (t - mean)).sum / reps), median)
-    }
+    def timeQuery(name: String, dir: String): QueryStats =
+      measure(name, reps)(() => { SparkEntry.queries(name)(spark, dir).count(); () })
 
     val names = headline.filter(SparkEntry.queries.contains)
-    // Global warm pass: execute the whole headline once before ANY
-    // timing. The per-query warm rep inside timeQuery is not enough
-    // for the queries timed FIRST: they otherwise pay whole-JVM
-    // JIT/codegen warmup that later queries do not (observed: the
-    // flagship timed first in a fresh JVM records ~2× its
-    // steady-state, while the same query re-measured late in the
-    // session runs in half the time). The reference's published
-    // numbers are warm-Lambda runs (its cold/warm flag exists to tell
-    // them apart); this pass is the JVM equivalent, and it also
-    // builds every lake-checkpointed artifact before any clock starts.
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $n prewarm: ${e.getMessage}") }
-    }
-    val stats = names.map { name =>
-      val (mean, std, median) = timeQuery(name, sfDir, warm = false)
-      (name, mean, std, median)
-    }
+    prewarm(names, sfDir)
+    val stats = names.map(timeQuery(_, sfDir))
 
     def fmt(d: Double) = f"$d%.4f"
-    val means = stats.map { case (n, m, _, _) => s""""$n":${fmt(m)}""" }.mkString("{", ",", "}")
-    val stds = stats.map { case (n, _, s, _) => s""""$n":${fmt(s)}""" }.mkString("{", ",", "}")
-    val medians = stats.map { case (n, _, _, md) => s""""$n":${fmt(md)}""" }.mkString("{", ",", "}")
-    val total = stats.map(_._2).sum
+    val usable = stats.filter(_.okReps > 0)
+    val means = usable.map(s => s""""${s.name}":${fmt(s.mean)}""").mkString("{", ",", "}")
+    val stds = usable.map(s => s""""${s.name}":${fmt(s.std)}""").mkString("{", ",", "}")
+    val medians = usable.map(s => s""""${s.name}":${fmt(s.median)}""").mkString("{", ",", "}")
+    val errors = errorsJson(stats)
+    val total = usable.map(_.mean).sum
+    // Median-based: one spiked rep must not move the artifact's
+    // headline pruning ratio (see object scaladoc).
     val prunedVsFull = (for {
-      full <- stats.find(_._1 == "b02_glob_scan")
-      pruned <- stats.find(_._1 == "b03_pruned_scan")
-      if pruned._2 > 0
-    } yield full._2 / pruned._2).getOrElse(0.0)
+      full <- usable.find(_.name == "b02_glob_scan")
+      pruned <- usable.find(_.name == "b03_pruned_scan")
+      if pruned.median > 0
+    } yield full.median / pruned.median).getOrElse(0.0)
 
     // Scaling-curve evidence: the same queries at two scale factors in
     // ONE run — the direct "would it survive 100×" datapoint next to
@@ -174,7 +217,9 @@ object Bench {
     // shuffle/skew/driver-bottleneck smell. The set deliberately
     // includes the risk shapes where superlinearity would first show:
     // the range join (quadratic candidate volume), the streaming
-    // ingest, and the iterative components operator.
+    // ingest, and the iterative components operator. "small"/"big"
+    // are medians (the compared numbers); means ride along for the
+    // raw dump.
     val scalingNames = Seq(
       "flagship", "c02_join_large", "c32_range_join",
       "s07_stream_ingest_partitioned", "x03_dedup_minhash",
@@ -188,11 +233,17 @@ object Bench {
     val scalingJson =
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
         Lake.ensurePartitionedEvents(spark, smallDir)
-        val entries = scalingNames.map { name =>
-          val (smallMean, _, _) = timeQuery(name, smallDir)
-          val bigMean = stats.find(_._1 == name).map(_._2).getOrElse(0.0)
-          val ratio = if (smallMean > 0) bigMean / smallMean else 0.0
-          s""""$name":{"small":${fmt(smallMean)},"big":${fmt(bigMean)},"time_ratio":${fmt(ratio)}}"""
+        prewarm(scalingNames, smallDir)
+        val entries = scalingNames.flatMap { name =>
+          val small = timeQuery(name, smallDir)
+          val big = stats.find(_.name == name)
+          (small.okReps, big) match {
+            case (ok, Some(b)) if ok > 0 && b.okReps > 0 && small.median > 0 =>
+              val ratio = b.median / small.median
+              Some(s""""$name":{"small":${fmt(small.median)},"big":${fmt(b.median)},"time_ratio":${fmt(ratio)},"small_mean":${fmt(small.mean)},"big_mean":${fmt(b.mean)}}""")
+            case _ =>
+              Some(s""""$name":{"err":"${sanitize(small.err.orElse(big.flatMap(_.err)).getOrElse("unmeasured"))}"}""")
+          }
         }.mkString("{", ",", "}")
         val dataRatio =
           if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
@@ -205,7 +256,16 @@ object Bench {
         s""","scaling":{"skipped":"$why"}"""
       }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"median":$medians,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"median":$medians,"errors":$errors,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}"""
+    println(line)
+    // Machine-readable copy: both BENCH_r06 and BENCH_r07 carried
+    // "parsed": null because log capture truncated the single long
+    // line behind sbt's [info] noise.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft-bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] file write: ${e.getMessage}") }
     spark.stop()
   }
 }

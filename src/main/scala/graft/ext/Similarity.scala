@@ -482,10 +482,25 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
-    // Only the float-exact passthrough gets an oracle; cosine scores
-    // involve float accumulation-order differences across engines, so
-    // x07-x09 use the rows-only check plus unit tests against a scala
-    // reference implementation.
+    // x07 mirrors the native expression's arithmetic exactly — floats
+    // widened to double, per-element double products, sqrt(na)*sqrt(nb)
+    // denominator — and both engines round to 4 dp before the compared
+    // ordering (deterministic vec_id tiebreak), so the residual
+    // accumulation-order risk is a score sitting within 1e-12 of a
+    // rounding boundary: negligible, and the dual-scale sweep would
+    // catch it. x08/x09/x16/x29 stay rows-only: their candidate SETS
+    // depend on engine-specific hash/random projections, not just
+    // float rounding.
+    "x07_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) " +
+        "SELECT e.vec_id, e.label, ROUND(" +
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) / " +
+        "(sqrt(list_sum(list_transform(v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos " +
+        "FROM e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY cos DESC, e.vec_id LIMIT 10"),
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),

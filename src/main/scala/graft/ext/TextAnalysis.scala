@@ -171,26 +171,51 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
-    // Document fingerprinting: rolling 5-token windows hashed with
-    // xxhash64; fingerprint = (min window hash, distinct window
-    // count) — the winnowing primitive for copy detection.
-    "x13_fingerprint" -> ((spark, sfDir) => {
-      val k = 5
-      val windows = when(size(tokens) >= k,
-        transform(
-          sequence(lit(0), size(tokens) - k),
-          i => xxhash64(concat_ws(" ",
-            (0 until k).map(j => element_at(tokens, i + j + 1)): _*))))
-        .otherwise(array(xxhash64(col("text"))))
+    // Document fingerprinting: rolling 5-token windows — the winnowing
+    // primitive for copy detection. The registered projection compares
+    // the STRUCTURAL fingerprint columns (lexicographic min window,
+    // distinct/total window counts), all integer/string-exact across
+    // engines; the xxhash64-hashed variant ([[hashFingerprint]]) stays
+    // the library's compact form but its hash values are
+    // engine-specific by construction, so they'd never oracle-match —
+    // ExtSpec pins its determinism and dup-sharing contract instead.
+    "x13_fingerprint" -> ((spark, sfDir) =>
       docs(spark, sfDir)
-        .select(col("doc_id"), windows.as("w"))
+        .select(col("doc_id"), rollingWindows(col("text"), 5).as("w"))
         .select(
           col("doc_id"),
-          array_min(col("w")).as("min_fp"),
-          size(array_distinct(col("w"))).as("n_windows"))
-        .orderBy(col("doc_id"))
-    })
+          array_min(col("w")).as("min_window"),
+          size(array_distinct(col("w"))).as("n_windows"),
+          size(col("w")).as("n_windows_total"))
+        .orderBy(col("doc_id")))
   )
+
+  /** All rolling `k`-token windows of `textCol` as strings; a doc
+    * shorter than `k` tokens contributes its whole text as the single
+    * window (so every doc has >= 1 window and the min below is total).
+    */
+  def rollingWindows(textCol: Column, k: Int): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(textCol))
+  }
+
+  /** Compact hashed fingerprint: (min xxhash64 over the rolling
+    * windows, distinct window count) per doc — 12 bytes of state per
+    * document regardless of length, the form a 100 TB winnowing pass
+    * would persist. Hash values are Spark-specific (xxhash64 seed and
+    * string encoding), hence excluded from the oracle-compared x13
+    * projection above.
+    */
+  def hashFingerprint(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("_w", rollingWindows(col(textCol), k))
+      .withColumn("min_fp", array_min(transform(col("_w"), w => xxhash64(w))))
+      .withColumn("n_windows", size(array_distinct(col("_w"))))
+      .drop("_w")
 
   val oracles: Map[String, String] = Map(
     "x10_text_stats" ->
@@ -240,7 +265,18 @@ object TextAnalysis {
         "tot AS (SELECT COUNT(*) AS n FROM documents) " +
         "SELECT doc_id, term, ROUND(tf * LN(CAST(n AS DOUBLE) / df), 4) AS tfidf " +
         "FROM tf JOIN dfreq USING (term), tot " +
-        "ORDER BY doc_id, tfidf DESC, term LIMIT 1000")
-    // x13 is xxhash64-based — rows-only check + unit tests.
+        "ORDER BY doc_id, tfidf DESC, term LIMIT 1000"),
+    // Structural fingerprint columns only — the hashed variant
+    // (hashFingerprint) is engine-specific by construction.
+    "x13_fingerprint" ->
+      ("WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents), " +
+        "w AS (SELECT doc_id, CASE WHEN len(t) >= 5 THEN " +
+        "list_transform(range(1, len(t) - 3), i -> " +
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) " +
+        "ELSE [text] END AS w FROM tok) " +
+        "SELECT doc_id, list_min(w) AS min_window, " +
+        "CAST(len(list_distinct(w)) AS INTEGER) AS n_windows, " +
+        "CAST(len(w) AS INTEGER) AS n_windows_total " +
+        "FROM w ORDER BY doc_id")
   )
 }

@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Hard cap on the dense bin-domain cardinality (span/binSeconds + k)
+    * the count decomposition may build: 8M rows of three longs is a
+    * comfortably-broadcastable ~200 MB upper bound; anything larger
+    * means `binSeconds` is mis-sized for the span (a 3-year span at
+    * 30 s bins is ~3.2M — fine; a multi-decade span at 1 s bins is
+    * billions and must fail loudly, not OOM opaquely).
+    */
+  val MaxDomainBins: Long = 8L * 1000 * 1000
+
+  /** Internal column names each operator claims on its inputs. A
+    * caller column with one of these names would be silently
+    * overwritten by withColumn (corrupting output), so the operators
+    * reject it up front. Part of the scaladoc contract alongside
+    * idCol-uniqueness.
+    */
+  private def requireNoReserved(df: DataFrame, op: String,
+      reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$op: input column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved internal names (${reserved.mkString(", ")}); " +
+        "rename them before calling")
+  }
+
   /** TRUE floor division as a SQL expression: SQL DIV truncates toward
     * zero, so for negative operands (pre-1970 micros, negative bin
     * numbers) the two "bins" around zero would merge into one
@@ -43,6 +67,8 @@ object TemporalJoins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    requireNoReserved(left, "asofJoin", Seq("_ts", "_side"))
+    requireNoReserved(right, "asofJoin", Seq("_ts", "_side"))
     val passThrough = left.columns.filterNot(c => c == key || c == leftTs).toSeq
     // Tag and union: right rows sort BEFORE left rows at equal
     // timestamps so an exactly-simultaneous right row is visible to
@@ -104,6 +130,8 @@ object TemporalJoins {
   def rangeJoin(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, windowSeconds: Long,
       binSeconds: Long = 0L): DataFrame = {
+    requireNoReserved(left, "rangeJoin", Seq("_bin", "_probe"))
+    requireNoReserved(right, "rangeJoin", Seq("_bin", "_probe"))
     val w = if (binSeconds > 0) binSeconds else windowSeconds
     require(windowSeconds > 0 && windowSeconds % w == 0,
       s"binSeconds $w must divide windowSeconds $windowSeconds (both > 0)")
@@ -158,10 +186,13 @@ object TemporalJoins {
     * inside the span are densified for the same reason.
     *
     * Requirements: `idCol` values are unique (the per-row counts are
-    * re-joined on it); pick `binSeconds` so span/binSeconds stays
-    * broadcast-friendly (a 3-year span at 30 s bins is ~3.2M rows of
-    * two longs — fine) and so w·n/T rows per bin keeps the edge join
-    * small.
+    * re-joined on it); input columns must not use the reserved
+    * internal names (enforced); pick `binSeconds` so span/binSeconds
+    * stays broadcast-friendly (a 3-year span at 30 s bins is ~3.2M
+    * rows of two longs — fine) and so w·n/T rows per bin keeps the
+    * edge join small. The broadcast contract is ENFORCED: a dense
+    * domain over [[MaxDomainBins]] bins fails at execution time with
+    * a message pointing at `binSeconds`, before any densify work.
     */
   def rangeSuccessorCount(df: DataFrame, idCol: String, tsCol: String,
       windowSeconds: Long, binSeconds: Long): DataFrame =
@@ -193,6 +224,9 @@ object TemporalJoins {
         "turn the lead(k-1) high lookup into a lag and produce negative counts)")
     require(binSeconds > 0 && windowSeconds % binSeconds == 0,
       s"binSeconds $binSeconds must divide windowSeconds $windowSeconds")
+    requireNoReserved(left, "rangeSuccessorCount", Seq(
+      "_bin", "_us", "_cum_lo", "_cum_hi", "_a_id", "_n_edge", "n_within"))
+    requireNoReserved(right, "rangeSuccessorCount", Seq("_bin", "_us"))
     val k = (windowSeconds / binSeconds).toInt
     val binMicros = binSeconds * 1000000L
     val winMicros = windowSeconds * 1000000L
@@ -232,7 +266,22 @@ object TemporalJoins {
         .unionByName(withBin
           .agg(min(col("_bin")).as("_lo"), max(col("_bin")).as("_hi")))
         .agg(min(col("_lo")).as("_lo"), max(col("_hi")).as("_hi"))
-    val cumPair = extent
+    // Enforce the broadcast contract ON the 1-row extent, inside the
+    // plan: assert_true in a filter (not an unused projected column,
+    // which pruning would drop) evaluates once, before the densify
+    // explode can generate a single row, and fails the job with an
+    // actionable message instead of building a billions-row
+    // "broadcast" table and dying opaquely. Same loud-contract style
+    // as Prefix.runningSum's exchange-reuse guard.
+    val domainBins = col("_hi") + k - col("_lo") + 1
+    val checkedExtent = extent.filter(assert_true(
+      domainBins <= MaxDomainBins,
+      format_string(
+        "rangeSuccessorCount: dense bin domain of %d bins (span/binSeconds + k) " +
+          s"exceeds the broadcast bound $MaxDomainBins; increase binSeconds " +
+          s"(currently $binSeconds s) so the span divides into fewer bins",
+        domainBins)).isNull)
+    val cumPair = checkedExtent
       .select(col("_lo"), (col("_hi") + k).as("_hi"))
       .select(col("_lo"), col("_hi"),
         explode(sequence(floorDiv("_lo", CHUNK), floorDiv("_hi", CHUNK))).as("_c"))

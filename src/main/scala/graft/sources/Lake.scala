@@ -247,6 +247,23 @@ object Lake {
     s"$targetRoot/${name}_${slug}_$fp"
   }
 
+  /** Best-effort delete of a retired derived-copy generation (e.g. the
+    * pre-clustering `events_micros` once `events_micros_v2` exists) —
+    * an existing lake root would otherwise silently carry both copies
+    * forever. Probed once per process per path (same round-trip
+    * economics as [[doneTargets]]); failure is ignored, the orphan is
+    * only wasted disk.
+    */
+  private def retireDerived(spark: SparkSession, sfDir: String,
+      retiredName: String, targetRoot: String): Unit = {
+    val old = derivedPath(spark, sfDir, retiredName, targetRoot)
+    if (doneTargets.add(s"retired:$old"))
+      try {
+        val (fs, p) = hadoopFs(spark, old)
+        if (fs.exists(p)) fs.delete(p, true)
+      } catch { case _: Throwable => () }
+  }
+
   /** One-time ingest normalization (the run_me_first.py analog): write
     * `events` once with `ts` as parquet TIMESTAMP(MICROS), RANGE-
     * CLUSTERED on `ts`. At 100 TB this is the standard "normalize at
@@ -265,6 +282,7 @@ object Lake {
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
     val target = derivedPath(spark, sfDir, "events_micros_v2", targetRoot)
+    retireDerived(spark, sfDir, "events_micros", targetRoot)
     // MICROS (not INT96): INT96 timestamps don't support parquet
     // predicate pushdown, which is the whole point of this copy.
     ensureBuilt(spark, target,
@@ -327,6 +345,7 @@ object Lake {
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
     val target = derivedPath(spark, sfDir, "events_by_date_v2", targetRoot)
+    retireDerived(spark, sfDir, "events_by_date", targetRoot)
     // Same MICROS rule as ensureMicrosEvents: keep `ts` pushdown-capable
     // in the partitioned copy too.
     ensureBuilt(spark, target, Seq(OutTsKey -> "TIMESTAMP_MICROS")) {

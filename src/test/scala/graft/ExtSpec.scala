@@ -398,14 +398,38 @@ class ExtSpec extends SparkSpec {
 
   test("fingerprint windows count matches token count - k + 1 (x13)") {
     val fp = TextAnalysis.queries("x13_fingerprint")(spark, SfDir)
-      .select("doc_id", "n_windows").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("doc_id", "n_windows", "n_windows_total").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
     val toks = Lake.table(spark, SfDir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    fp.foreach { case (id, w) =>
-      // distinct windows ≤ raw windows = n - 4 (for docs with ≥5 tokens)
-      if (toks(id) >= 5) assert(w <= toks(id) - 4 && w > 0)
+    fp.foreach { case (id, (distinct, total)) =>
+      if (toks(id) >= 5) {
+        // raw windows = n - 4; distinct ≤ raw
+        assert(total == toks(id) - 4, s"doc $id: total $total vs ${toks(id)} tokens")
+        assert(distinct <= total && distinct > 0)
+      } else assert(total == 1)
     }
+  }
+
+  test("hashFingerprint: deterministic, duplicate texts share min_fp, distinct count matches structural") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "a b c d e f g"),   // exact dup of 0
+      (2L, "x y z w v u t"),
+      (3L, "tiny")             // < k tokens: whole text is the window
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.hashFingerprint(df, "text", k = 5)
+      .select("doc_id", "min_fp", "n_windows").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(fp(0L) == fp(1L), "identical texts must share the hashed fingerprint")
+    assert(fp(0L)._1 != fp(2L)._1, "different texts should not collide")
+    assert(fp(0L)._2 == 3 && fp(3L)._2 == 1)
+    // deterministic across invocations (no per-session hash seed)
+    val again = TextAnalysis.hashFingerprint(df, "text", k = 5)
+      .select("doc_id", "min_fp", "n_windows").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(again == fp)
   }
 }

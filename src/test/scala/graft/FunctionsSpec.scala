@@ -101,6 +101,32 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("spark.sql.extensions=graft.functions.GraftExtensions registers cosine_sim in a user-built session") {
+    // The route a user's OWN session takes: spark.sql.extensions is a
+    // STATIC conf read off the SparkContext at session construction
+    // (SparkSpec sets it on the shared context), so building a fresh
+    // SparkSession re-runs extension resolution — conf string → class
+    // load → injectFunction — with no graft bootstrap code involved.
+    // The fresh session's function registry is independent of the
+    // shared one, so ensureRegistered calls made by other suites
+    // cannot mask a broken conf route. Clearing the active/default
+    // registrations is what forces getOrCreate to build anew.
+    import org.apache.spark.sql.SparkSession
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val fresh = SparkSession.builder().getOrCreate()
+      assert(fresh ne prior, "getOrCreate returned the old session — extensions never resolved")
+      val r = fresh.sql(
+        "SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS same").collect()(0)
+      assert(r.getDouble(0) == 1.0, s"got $r")
+    } finally {
+      SparkSession.setActiveSession(prior)
+      SparkSession.setDefaultSession(prior)
+    }
+  }
+
   test("native cosine rejects non-array inputs at analysis time") {
     val e = Lake.table(spark, SfDir, "embeddings")
     intercept[Exception] {

@@ -52,12 +52,16 @@ class LakeSpec extends SparkSpec {
     val files = new java.io.File(dir).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
     assert(files.length > 1, s"expected a multi-file clustered copy in $dir")
-    val ranges = files.map { f =>
+    val ranges = files.flatMap { f =>
       val r = spark.read.parquet(f)
         .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
         .collect()(0)
-      (r.getLong(0), r.getLong(1))
+      // a 0-row part file aggregates to NULL min/max — skip it (it
+      // constrains no scan) instead of dying on an unboxing NPE
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getLong(0), r.getLong(1)))
     }.sortBy(_._1)
+    assert(ranges.length > 1, "all part files empty — nothing to check")
     ranges.sliding(2).foreach {
       case Array((_, hiA), (loB, _)) =>
         assert(loB > hiA, s"overlapping file ts ranges: $hiA >= $loB")

@@ -171,6 +171,30 @@ class PlanSpec extends SparkSpec {
       s"OptimizeSkewedJoin did not fire: the hot partition was not split:\n${skewFlags._2}")
   }
 
+  test("asof join shuffles exactly once on the key (c31 single-shuffle contract)") {
+    // The union + window rewrite's entire point is ONE hash shuffle on
+    // the join key for both sides together; a regression to a
+    // sort-per-branch or join-then-window plan would double it. AQE off
+    // so the static physical plan is inspectable directly (query
+    // stages hide exchanges behind leaf wrappers).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (shuffles, planStr) = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = Surface.queries("c31_asof_join")(spark, SfDir)
+        .queryExecution.executedPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+      (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
+        plan.toString)
+    }
+    val onKey = shuffles.filter(_.contains("user_id"))
+    assert(onKey.size == 1,
+      s"expected exactly one hash shuffle on user_id, got $shuffles in:\n$planStr")
+    // the only other exchange is the final ORDER BY's range partitioning
+    assert(shuffles.size <= 2,
+      s"unexpected extra shuffles $shuffles in:\n$planStr")
+  }
+
   test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
     val plan = Core.queries("b11_topk_limit")(spark, SfDir)
       .queryExecution.executedPlan.toString

@@ -25,6 +25,12 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // the conf-driven extensions route a user's own session takes;
+      // a static conf, so it must be on the CONTEXT at creation —
+      // FunctionsSpec builds a fresh session over this context to
+      // prove the conf alone (no graft bootstrap code) registers
+      // cosine_sim
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -191,6 +191,62 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeSuccessorCount enforces the broadcast bin-domain bound with an actionable message") {
+    import spark.implicits._
+    // Two rows ~50 years apart at 1 s bins: a ~1.6e9-bin dense domain.
+    // The in-plan assert must fire on the 1-row extent BEFORE the
+    // densify explode can build anything, and point at binSeconds.
+    val df = Seq(
+      (0L, java.sql.Timestamp.valueOf("1970-06-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2020-06-01 00:00:00"))
+    ).toDF("event_id", "ts")
+    val e = intercept[Throwable] {
+      TemporalJoins.rangeSuccessorCount(df, "event_id", "ts", 10L, binSeconds = 1L)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val msg = messages(e).mkString(" | ")
+    assert(msg.contains("binSeconds"), s"expected actionable message, got: $msg")
+    assert(msg.contains("bin domain"), s"expected bin-domain diagnosis, got: $msg")
+    // The registered c32/c52 shape (30 s bins, ~1-month span) stays
+    // far inside the bound and must be unaffected.
+    val ok = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+    ).toDF("event_id", "ts")
+    assert(TemporalJoins
+      .rangeSuccessorCount(ok, "event_id", "ts", 600L, binSeconds = 30L)
+      .count() == 2)
+  }
+
+  test("temporal operators reject caller columns that collide with reserved internal names") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val withBin = Seq((1L, t0, "x")).toDF("event_id", "ts", "_bin")
+    val withUs = Seq((1L, t0, 7L)).toDF("event_id", "ts", "_us")
+    val withNWithin = Seq((1L, t0, 7L)).toDF("event_id", "ts", "n_within")
+    val withSide = Seq((1L, t0, 0)).toDF("user_id", "ts", "_side")
+    val clean = Seq((1L, t0)).toDF("event_id", "ts")
+
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSelfJoin(withBin, "ts", 600L, 30L)
+    }
+    assert(e1.getMessage.contains("_bin") && e1.getMessage.contains("reserved"))
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSuccessorCount(withUs, "event_id", "ts", 600L, 30L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSuccessorCount(withNWithin, "event_id", "ts", 600L, 30L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.rangeSuccessorCount(clean, withUs, "event_id", "ts", "ts", 600L, 30L)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(withSide, withSide.drop("_side"), "user_id", "ts", "ts", Nil)
+    }
+  }
+
   test("asofJoin: simultaneous right row is visible, later rows are not, no-match is null") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
