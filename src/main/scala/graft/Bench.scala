@@ -132,7 +132,8 @@ object Bench {
     "x03_dedup_minhash", "x07_cosine_topk", "x10_text_stats",
     "x12_token_count", "x14_multimodal_decode", "x15_tfidf",
     "x18_dedup_components", "x19_curation",
-    "x25_contamination_screen", "x27_sequence_pack", "x31_passage_dedup")
+    "x25_contamination_screen", "x27_sequence_pack", "x31_passage_dedup",
+    "x32_bloom_contamination", "x33_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -253,6 +253,134 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  // --- bloom-filter membership pruning ---------------------------------
+  // Spark's own runtime row-level filtering injects exactly this pair
+  // (BloomFilterAggregate + BloomFilterMightContain) around shuffle
+  // joins; here the same native expressions power EXPLICIT membership
+  // pre-filters for pipeline operators where the small side is known
+  // up front. The sketch is a bounded few-MB binary whatever the big
+  // side's size, so "aggregate once, embed as a literal, probe
+  // map-side" is the scale pattern: the big relation never shuffles
+  // rows the bloom already rules out, and since blooms have no false
+  // negatives an exact verify step downstream sees every true match —
+  // output stays EXACTLY equal to the unpruned operator, which is what
+  // keeps these queries oracle-able.
+
+  /** Optimal bloom bit count for `expectedItems` at false-positive
+    * rate `fpp` (the standard -n·ln p/ln²2). Kept under Spark's
+    * default runtime-filter creation cap (64M bits / 8 MB) for the
+    * registered defaults.
+    */
+  private def bloomBits(expectedItems: Long, fpp: Double): Long =
+    math.ceil(-expectedItems.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+
+  /** Aggregate `c`'s values (xxhash64-hashed) into a serialized bloom
+    * filter. One map-side-combining aggregate over the frame, then a
+    * single bounded driver read of the ~MB sketch (the same sanctioned
+    * 1-row roundtrip as the engine's limit-bounded collect) — NOT a
+    * collect of the data. Returns null for an empty frame.
+    */
+  def bloomFilterBytes(df: DataFrame, c: Column,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val agg = new BloomFilterAggregate(
+      GraftExpressionBridge.expression(xxhash64(c)),
+      Literal(expectedItems), Literal(bloomBits(expectedItems, fpp)))
+    val row = df.agg(
+      GraftExpressionBridge.column(agg.toAggregateExpression()).as("bloom"))
+      .head()
+    if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
+  }
+
+  /** Membership probe against a bloom built by [[bloomFilterBytes]]:
+    * true when `c` MIGHT be in the built set (false positives at the
+    * built fpp; never false negatives). The sketch rides the plan as a
+    * literal, so the probe is pure map work on the scan — no join, no
+    * shuffle. A null sketch (empty build side) contains nothing.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    if (bloomBytes == null) lit(false)
+    else {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.types.BinaryType
+      GraftExpressionBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftExpressionBridge.expression(xxhash64(c))))
+    }
+
+  /** [[contaminationScreen]] with a bloom pre-filter on the corpus
+    * side — same output EXACTLY (the bloom only admits false
+    * positives, and the exact verify join removes those; false
+    * negatives are impossible), different scale shape: the corpus's
+    * exploded shingle stream is cut to bloom survivors BEFORE any
+    * join or shuffle. That matters precisely when the benchmark side
+    * outgrows a broadcast (a full eval-suite union, not one dataset):
+    * the exact screen then degrades to a shuffled equi-join moving
+    * EVERY corpus shingle, while this variant shuffles only the
+    * ~contaminated + fpp fraction. The verify join is deliberately
+    * unhinted for that reason (Catalyst still auto-broadcasts it at
+    * small scale).
+    */
+  def bloomContaminationScreen(corpus: DataFrame, bench: DataFrame,
+      n: Int, expectedBenchShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(when(size(tokens) >= n, shingles(n))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val b = sh(bench)
+      .select(col("doc_id").as("b_id"), col("g").as("bg"))
+    val bloom = bloomFilterBytes(b, col("bg"), expectedBenchShingles, fpp)
+    val cands = sh(corpus).filter(bloomMightContain(bloom, col("g")))
+    val hits = cands.as("c").join(b.as("b"),
+        col("c.g") === col("b.bg") && col("c.doc_id") =!= col("b.b_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.g").as("g"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Incremental-ingest exact dedup: classify each `batch` document
+    * against the standing `corpus` WITHOUT reprocessing the corpus —
+    * the delta path of x01's full-corpus dedup, what a pipeline runs
+    * per ingest cycle. Output per batch doc: `dup_in_corpus` (its
+    * normalized text already exists in the corpus), `dup_in_batch`
+    * (an earlier batch doc has the same text), `survivor` (neither).
+    *
+    * Scale shape: the bloom is built over the SMALL side (the batch's
+    * normalized texts) and probed on the corpus scan map-side, so the
+    * only corpus rows that ever reach a shuffle are those that might
+    * match a batch doc — bounded by |batch| + fpp·|corpus| — instead
+    * of a full corpus shuffle per ingest. The batch itself shuffles
+    * once on the normalized key (the in-batch dedup window + the
+    * verify join share it). Exact by the no-false-negative argument
+    * above: the distinct-candidate join confirms every bloom hit.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      expectedBatchDocs: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val bNorm = batch.select(col("doc_id"), normText.as("norm"))
+    val bloom = bloomFilterBytes(bNorm, col("norm"), expectedBatchDocs, fpp)
+    val corpusCand = corpus.select(normText.as("norm"))
+      .filter(bloomMightContain(bloom, col("norm")))
+      .distinct()
+      .withColumn("in_corpus", lit(true))
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    bNorm.withColumn("rn", row_number().over(w))
+      .join(corpusCand, Seq("norm"), "left")
+      .select(col("doc_id"),
+        coalesce(col("in_corpus"), lit(false)).as("dup_in_corpus"),
+        (col("rn") > 1).as("dup_in_batch"),
+        (!coalesce(col("in_corpus"), lit(false)) && col("rn") === 1)
+          .as("survivor"))
+  }
+
   /** Connected components over a near-dup pair graph by iterative
     * min-label propagation: label(v) ← min(label(v), min of neighbor
     * labels) until a fixed point. The component id is the minimum
@@ -562,6 +690,35 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // BLOOM-ACCELERATED contamination screen: identical semantics and
+    // output to x25 (the bloom is a pre-filter with no false
+    // negatives; the exact join removes its false positives), so it
+    // shares x25's oracle verbatim — the point of the variant is the
+    // plan, not the answer: corpus shingles are cut map-side before
+    // any shuffle, the shape that survives a bench set too large to
+    // broadcast.
+    "x32_bloom_contamination" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      bloomContaminationScreen(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+        n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL-INGEST dedup: the 10% slice doc_id % 10 == 9 stands
+    // in for a newly-arrived batch, the rest for the standing corpus;
+    // each batch doc is classified dup-in-corpus / dup-in-batch /
+    // survivor without a full corpus shuffle (bloom built over the
+    // batch, probed on the corpus scan).
+    "x33_incremental_dedup" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      incrementalDedup(
+        d.filter(col("doc_id") % 10 =!= 9).select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 10 === 9).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // PASSAGE-LEVEL exact dedup: the sub-document pass that
     // document-level exact dedup (x01) cannot see, catching
     // boilerplate and copied passages. The passage table feeds both
@@ -648,6 +805,32 @@ object Dedup {
         "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
         "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
         "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
+    // x32 is semantically x25 — the bloom only prunes the plan — so
+    // the oracle is x25's SQL verbatim (exactness through the bloom is
+    // ALSO pinned by ExtSpec's frame-equality test against x25).
+    "x32_bloom_contamination" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, list_reduce(w[i:i+7], (a, b) -> a || ' ' || b) AS g FROM idx), " +
+        "bench AS (SELECT doc_id AS b_id, g FROM sh WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_shared FROM sh " +
+        "JOIN bench ON sh.g = bench.g AND sh.doc_id != bench.b_id GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
+        "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
+    // batch (doc_id % 10 = 9) classified against the standing corpus
+    // on the normalized text; in-batch dups by first-doc_id window
+    "x33_incremental_dedup" ->
+      ("WITH batch AS (SELECT doc_id, LOWER(TRIM(text)) AS norm FROM documents " +
+        "WHERE doc_id % 10 = 9), " +
+        "corpus AS (SELECT DISTINCT LOWER(TRIM(text)) AS norm FROM documents " +
+        "WHERE doc_id % 10 <> 9), " +
+        "b AS (SELECT doc_id, norm, ROW_NUMBER() OVER (" +
+        "PARTITION BY norm ORDER BY doc_id) AS rn FROM batch) " +
+        "SELECT b.doc_id, (c.norm IS NOT NULL) AS dup_in_corpus, " +
+        "(b.rn > 1) AS dup_in_batch, " +
+        "(c.norm IS NULL AND b.rn = 1) AS survivor " +
+        "FROM b LEFT JOIN corpus c USING (norm) ORDER BY b.doc_id"),
     // same 8-word non-overlapping chunking via list slicing; dup =
     // any passage occurring more than once corpus-wide
     "x31_passage_dedup" ->

@@ -396,6 +396,61 @@ class ExtSpec extends SparkSpec {
     assert(out(0L) == ((0L, false)), "benchmark doc self-flagged")
   }
 
+  test("bloom-accelerated contamination screen equals the exact screen frame-for-frame (x32 ≡ x25)") {
+    // the bloom is a pre-filter with no false negatives; the verify
+    // join removes false positives — so the two operators must agree
+    // on every row, not just in aggregate
+    val exact = Dedup.queries("x25_contamination_screen")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val bloomed = Dedup.queries("x32_bloom_contamination")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(exact.nonEmpty)
+    assert(bloomed.sameElements(exact))
+  }
+
+  test("bloom probe has no false negatives and an empty build side contains nothing") {
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => s"item_$i")
+    val df = vals.toDF("v")
+    val bloom = Dedup.bloomFilterBytes(df, col("v"), expectedItems = 4096)
+    // every built value MUST probe true (the exactness argument for
+    // x32/x33 rests on this)
+    val missed = df.filter(!Dedup.bloomMightContain(bloom, col("v"))).count()
+    assert(missed == 0, s"$missed false negatives")
+    // disjoint probes mostly miss (fpp-bounded, generous margin)
+    val fp = (5000 until 7000).map(i => s"other_$i").toDF("v")
+      .filter(Dedup.bloomMightContain(bloom, col("v"))).count()
+    assert(fp < 200, s"false-positive rate implausibly high: $fp/2000")
+    val empty = Dedup.bloomFilterBytes(df.filter(lit(false)), col("v"), 64)
+    assert(df.filter(Dedup.bloomMightContain(empty, col("v"))).count() == 0)
+  }
+
+  test("incrementalDedup classifies corpus-dup, batch-dup and survivor; corpus probe is map-side") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha Text "),  // normalizes onto corpus doc 1
+      (11L, "gamma text"),   // new, first of an in-batch pair
+      (12L, "gamma text"),   // in-batch dup of 11
+      (13L, "delta text")    // clean survivor
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(10L) == ((true, false, false)), s"got $got")
+    assert(got(11L) == ((false, false, true)))
+    assert(got(12L) == ((false, true, false)))
+    assert(got(13L) == ((false, false, true)))
+    // the scale contract: the corpus side is pruned by a map-side
+    // bloom probe, visible in the plan as might_contain. Asserted on
+    // the parquet-backed registered query — over the in-memory frames
+    // above, ConvertToLocalRelation legitimately evaluates the probe
+    // at planning time and leaves only a LocalTableScan behind.
+    val plan = Dedup.queries("x33_incremental_dedup")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"corpus side is not bloom-pruned:\n$plan")
+  }
+
   test("fingerprint windows count matches token count - k + 1 (x13)") {
     val fp = TextAnalysis.queries("x13_fingerprint")(spark, SfDir)
       .select("doc_id", "n_windows", "n_windows_total").collect()

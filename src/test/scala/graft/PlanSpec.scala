@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
   test("banded/bucketed near-dup operators never plan a cartesian product") {
     for (name <- Seq("x03_dedup_minhash", "x04_dedup_simhash",
         "x05_dedup_ngram_jaccard", "x25_contamination_screen",
-        "x31_passage_dedup")) {
+        "x31_passage_dedup", "x32_bloom_contamination",
+        "x33_incremental_dedup")) {
       val plan = Dedup.queries(name)(spark, SfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
