@@ -6,7 +6,7 @@ import graft.queries.{Core, Surface}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.Views
 import graft.streaming.Streams
-import graft.sources.Lake
+import graft.sources.{Lake, Layout}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,16 +15,18 @@ import graft.sources.Lake
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b13          — the reference's tested SQL core (§2.B)
   *  - c01..c45          — arbitrary-SQL surface categories (§2.C)
-  *  - p01               — ELT view-materialization pipeline (A18/B13)
+  *  - p01..p04          — ELT pipelines (A18/B13) + data-layout
+  *                        maintenance (compaction, Z-order)
   *  - s01..s09          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization
-  *  - x01..x30          — LLM-data-pipeline operators (dedup,
-  *                        similarity/ANN, text analysis, TF-IDF,
-  *                        multimodal, curation/composition, PII
-  *                        redaction, contamination screening)
+  *  - x01..x33          — LLM-data-pipeline operators (dedup incl.
+  *                        passage/incremental, similarity/ANN, text
+  *                        analysis, TF-IDF, multimodal, curation/
+  *                        composition, PII redaction, contamination
+  *                        screening incl. bloom-accelerated)
   */
 object SparkEntry {
 
@@ -39,9 +41,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.queries ++ Surface.queries ++ Views.queries ++ Streams.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ Sampling.queries
+    Core.queries ++ Surface.queries ++ Views.queries ++ Layout.queries ++
+      Streams.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (sketch/stream-internal/
@@ -49,7 +51,7 @@ object SparkEntry {
     * covered by a unit test instead.
     */
   def oracleSql: Map[String, String] =
-    Core.oracles ++ Surface.oracles ++ Views.oracles ++ Streams.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ Sampling.oracles
+    Core.oracles ++ Surface.oracles ++ Views.oracles ++ Layout.oracles ++
+      Streams.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles
 }

@@ -397,6 +397,13 @@ object Lake {
     cachedRead(spark, target)
   }
 
+  /** Directory a [[materialize]] call with the same name resolves to —
+    * for callers that operate on the files themselves (e.g. Layout's
+    * listing-driven compaction) rather than the frame.
+    */
+  def materializedPath(spark: SparkSession, sfDir: String, name: String): String =
+    derivedPath(spark, sfDir, name)
+
   /** B2/B3: scan of the hive-partitioned copy; a filter on `date`
     * becomes partition pruning (the reference's manual per-day path
     * construction, benchmark.py:227-240, done by Catalyst instead).

@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout maintenance operators — the lake-side jobs a 100 TB
+  * deployment runs BETWEEN queries so that the queries stay fast:
+  *
+  *  - [[compact]]: small-file compaction. Streaming ingest and
+  *    incremental pipelines fragment a table into thousands of
+  *    KB-sized part files; every scan then pays per-file open/footer
+  *    costs and the driver pays listing. Compaction rewrites the data
+  *    into size-targeted files, re-clustered on a sort key so footer
+  *    min/max stats stay tight (fragment merging that interleaves the
+  *    sort key would silently destroy range-skipping).
+  *  - [[zorderWrite]]: multi-dimensional clustering. A 1-D sort gives
+  *    file-level min/max skipping on ONE column only; interleaving
+  *    the bits of two bucketed dimensions (a Morton/Z-value) gives
+  *    partial skipping on BOTH — the standard OPTIMIZE ZORDER answer
+  *    for "we filter by user AND by time".
+  *
+  * Both are rewrites, not query-time tricks: you pay one pass so that
+  * every later scan reads fewer bytes. Correctness is oracle-checked
+  * (content equality through the rewrite); the layout evidence
+  * (file counts, per-file stat spans) is unit-tested in LayoutSpec.
+  */
+object Layout {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Parquet part files directly under `dir` (non-recursive — both
+    * operators write unpartitioned layouts). Local-FS listing to match
+    * the /tmp lake; an object-store deployment swaps in Hadoop
+    * `FileSystem.listStatus` with identical metadata economics (one
+    * listing, no data read).
+    */
+  def partFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  /** Compact `srcDir`'s part files into ≈`targetFileBytes`-sized files
+    * range-clustered on `sortCol`. The output file count is derived
+    * from the LISTING's total bytes (metadata only — no data read
+    * before the one rewrite pass), so a 10 000-small-file input and a
+    * 10-big-file input with the same bytes produce the same layout.
+    * repartitionByRange + sortWithinPartitions keeps per-file
+    * `sortCol` ranges pairwise disjoint — the property that lets
+    * footer stats skip whole files on range predicates, and exactly
+    * what naive `coalesce` compaction destroys (it concatenates
+    * arbitrary fragments, giving every output file the full span).
+    */
+  def compact(spark: SparkSession, srcDir: String, targetDir: String,
+      sortCol: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val totalBytes = partFiles(srcDir).map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcDir)
+      .repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(targetDir)
+  }
+
+  /** Morton/Z-value of two bucket ids in [0, 2^bits): bit i of `x`
+    * lands at position 2i, bit i of `y` at 2i+1. Pure shift/mask
+    * expression tree — codegen'd, no UDF.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Min-max bucket of a numeric column into [0, 2^bits): order-
+    * preserving, integer arithmetic only. A constant column maps to
+    * bucket 0.
+    */
+  def bucketed(c: Column, mn: Long, mx: Long, bits: Int): Column = {
+    val hi = (1L << bits) - 1
+    if (mx == mn) lit(0L)
+    else ((c.cast("long") - mn) * hi / (mx - mn)).cast("long")
+  }
+
+  /** Rewrite `df` clustered by the Z-value of (`colX`, `colY`) into
+    * `nFiles` files. One 4-value extent aggregate (bounded 1-row
+    * driver read, like the engine's other dimension lookups) sizes the
+    * buckets; the rewrite itself is one range shuffle on the Z-value.
+    * After the write, every file covers a CONTIGUOUS Z-range = a small
+    * rectangle-ish region of the (x, y) plane, so footer min/max on
+    * BOTH columns are narrow — a predicate on either dimension (or
+    * both) skips most files, where a 1-D sort layout can only skip on
+    * its own sort column.
+    */
+  def zorderWrite(spark: SparkSession, df: DataFrame, colX: String,
+      colY: String, targetDir: String, nFiles: Int, bits: Int = 10): Unit = {
+    val ext = df.agg(
+      min(col(colX).cast("long")), max(col(colX).cast("long")),
+      min(col(colY).cast("long")), max(col(colY).cast("long"))).head()
+    require(!ext.isNullAt(0) && !ext.isNullAt(2),
+      s"zorderWrite: empty input or all-NULL $colX/$colY — nothing to cluster")
+    val z = zValue(
+      bucketed(col(colX), ext.getLong(0), ext.getLong(1), bits),
+      bucketed(col(colY), ext.getLong(2), ext.getLong(3), bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(targetDir)
+  }
+
+  /** Fragmented copy of the micros-normalized events table — the
+    * "after six months of incremental ingest" starting state for the
+    * p03 demo: 64 round-robin writers × no clustering = small files
+    * with full-span ts ranges. Built once per source fingerprint.
+    */
+  private[graft] def fragmentedEvents(spark: SparkSession, sfDir: String): String = {
+    Lake.materialize(spark, sfDir, "fragmented_events") {
+      Lake.table(spark, sfDir, "events").repartition(64)
+    }
+    Lake.materializedPath(spark, sfDir, "fragmented_events")
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // SMALL-FILE COMPACTION: fragment events into 64 unclustered part
+    // files (the incremental-ingest failure mode), compact to
+    // size-targeted ts-clustered files, and serve a per-day aggregate
+    // off the compacted copy. The oracle proves content equality
+    // through the rewrite; LayoutSpec pins the layout facts (fewer
+    // files, disjoint per-file ts ranges). Write+read per rep by
+    // design, like p01/s07.
+    "p03_compaction" -> ((spark, sfDir) => {
+      val src = fragmentedEvents(spark, sfDir)
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val target = s"/tmp/graft-views/compacted_events_$hash"
+      compact(spark, src, target, sortCol = "ts",
+        targetFileBytes = 8L * 1024 * 1024)
+      spark.read.parquet(target)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .orderBy(col("day"))
+    }),
+
+    // Z-ORDER CLUSTERING: rewrite events clustered on the Morton value
+    // of (user_id, time) and serve a two-dimensional slice off the
+    // copy. The oracle proves the rewrite lost nothing the predicate
+    // can see; LayoutSpec pins the pruning evidence — per-file min/max
+    // spans on BOTH dimensions shrink, where the ts-sorted copy's
+    // user_id span per file is the full domain. Like p01/s07, each
+    // invocation times rewrite + read by design: it IS a maintenance
+    // job, not a read query.
+    "p04_zorder" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val target = s"/tmp/graft-views/zorder_events_$hash"
+      val e = Lake.table(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      zorderWrite(spark, e.withColumn("us", expr("unix_micros(ts)")),
+        "user_id", "us", target, nFiles = 16)
+      spark.read.parquet(target)
+        .filter(col("user_id").between(100, 120) &&
+          col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-12"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p03_compaction" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n, " +
+        "COUNT(DISTINCT user_id) AS users FROM events GROUP BY 1 ORDER BY 1"),
+    "p04_zorder" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE user_id BETWEEN 100 AND 120 " +
+        "AND ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-12 00:00:00' ORDER BY event_id")
+  )
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Lake, Layout}
+
+/** Layout-maintenance evidence the oracle cannot see: compaction must
+  * actually reduce file counts while preserving range-cluster
+  * disjointness, and Z-order must actually narrow per-file stat spans
+  * on BOTH dimensions (the property that makes footer-stat skipping
+  * work on either predicate).
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def fileSpans(dir: String, c: String): Seq[(Long, Long)] =
+    Layout.partFiles(dir).map(_.getPath).flatMap { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).collect()(0)
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some((r.getLong(0), r.getLong(1)))
+    }
+
+  test("compaction merges small files into size-targeted ts-disjoint files, losslessly") {
+    val src = Layout.fragmentedEvents(spark, SfDir)
+    val before = Layout.partFiles(src)
+    assert(before.size >= 32, s"fragmented copy should be many small files, got ${before.size}")
+    val target = "/tmp/graft-views/layoutspec_compacted"
+    Layout.compact(spark, src, target, "ts", targetFileBytes = 4L * 1024 * 1024)
+    val after = Layout.partFiles(target)
+    assert(after.nonEmpty && after.size < before.size / 4,
+      s"compaction left ${after.size} files from ${before.size}")
+    // lossless: same rows
+    assert(spark.read.parquet(target).count() == spark.read.parquet(src).count())
+    // re-clustered: per-file ts ranges pairwise disjoint (naive
+    // fragment concatenation would give every file the full span)
+    val spans = fileSpans(target, "ts").sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(loB > hiA, s"compacted files overlap on ts: $hiA >= $loB")
+      case _ =>
+    }
+    // the fragmented source is the degenerate contrast: (nearly) every
+    // file spans (nearly) the whole table, so nothing is skippable
+    val srcSpans = fileSpans(src, "ts")
+    val (gLo, gHi) = (srcSpans.map(_._1).min, srcSpans.map(_._2).max)
+    val fullish = srcSpans.count { case (lo, hi) =>
+      (hi - lo).toDouble / math.max(1L, gHi - gLo) > 0.9 }
+    assert(fullish >= srcSpans.size / 2,
+      s"expected full-span fragments in the source, got $fullish/${srcSpans.size}")
+  }
+
+  test("zValue interleaves bits monotonically within each dimension slice") {
+    import spark.implicits._
+    val df = (for { x <- 0L until 8L; y <- 0L until 8L } yield (x, y)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      Layout.zValue(col("x"), col("y"), 3).as("z")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // spot-check the Morton pattern: z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    // z(2,2)=12, z(7,7)=63
+    assert(got((0L, 0L)) == 0L && got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L && got((2L, 2L)) == 12L && got((7L, 7L)) == 63L)
+    // all 64 z-values distinct (bijection on the 8×8 grid)
+    assert(got.values.toSet.size == 64)
+  }
+
+  test("z-ordered copy narrows per-file user_id spans; the ts-sorted copy cannot") {
+    val e = Lake.table(spark, SfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("us", expr("unix_micros(ts)"))
+    // 16 files ⇒ the 4-bit z-prefix gives TWO bits of discrimination
+    // per dimension (expected per-file coverage ≈ 0.25 each); 8 files
+    // would leave user_id at a single bit, right at the 0.5 boundary
+    val target = "/tmp/graft-views/layoutspec_zorder"
+    Layout.zorderWrite(spark, e, "user_id", "us", target, nFiles = 16)
+    assert(spark.read.parquet(target).count() == e.count(), "rewrite lost rows")
+    val files = Layout.partFiles(target)
+    assert(files.size > 2, s"need multiple files for span evidence, got ${files.size}")
+
+    def coverage(spans: Seq[(Long, Long)]): Double = {
+      val (gLo, gHi) = (spans.map(_._1).min, spans.map(_._2).max)
+      spans.map { case (lo, hi) =>
+        (hi - lo).toDouble / math.max(1L, gHi - gLo) }.sum / spans.size
+    }
+    // Z-order: BOTH dimensions' average per-file span is a fraction of
+    // the domain — predicates on either column skip most files via
+    // footer stats
+    val zUser = coverage(fileSpans(target, "user_id"))
+    val zTs = coverage(fileSpans(target, "us"))
+    assert(zUser < 0.6, f"z-order user_id coverage $zUser%.2f — no skipping possible")
+    assert(zTs < 0.6, f"z-order ts coverage $zTs%.2f — no skipping possible")
+    // the 1-D contrast: the ts-range-clustered micros copy is perfect
+    // on ts but blind on user_id (every file spans ~the full domain)
+    val micros = Lake.ensureMicrosEvents(spark, SfDir)
+    val sortedUser = coverage(fileSpans(micros, "user_id"))
+    assert(sortedUser > 0.9,
+      f"expected ~full user_id span per ts-sorted file, got $sortedUser%.2f")
+    assert(zUser < sortedUser / 2,
+      f"z-order should at least halve the user_id span: $zUser%.2f vs $sortedUser%.2f")
+  }
+}
