@@ -82,6 +82,45 @@ object Views {
         .select(date_format(col("date"), "yyyy-MM-dd").as("date"),
           col("event_type"), col("n"))
         .orderBy(col("date"), col("event_type"))
+    }),
+
+    // MERGE-style upsert (incremental aggregate maintenance): a
+    // per-user metrics table built from pre-cutoff history is merged
+    // with the new slice's delta — WHEN MATCHED combine (sum counts,
+    // greatest timestamp), WHEN NOT MATCHED insert — and written back.
+    // Spark OSS parquet has no MERGE INTO statement; the full-outer
+    // join IS its relational body, and the oracle states the exact
+    // correctness contract of incremental view maintenance: the
+    // merged table must equal the full-range batch recompute. Scale
+    // shape: one sort-merge join on the key (zero-exchange with
+    // bucketed layouts, c44's story); deletes would be one more
+    // anti-join branch. Write+read per rep by design, like p01/p02.
+    "p05_merge_upsert" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val target = s"/tmp/graft-views/user_metrics_$hash"
+      val e = Lake.table(spark, sfDir, "events")
+      val cutoff = lit("2024-01-25")
+      def metrics(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+      // base build from history (the standing table)
+      metrics(e.filter(col("ts") < cutoff))
+        .write.mode("overwrite").parquet(target)
+      // merge the delta into the standing table
+      val base = spark.read.parquet(target)
+      val delta = metrics(e.filter(col("ts") >= cutoff))
+        .select(col("user_id"), col("n").as("d_n"), col("last_ts").as("d_last_ts"))
+      val merged = base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+          greatest(
+            coalesce(col("last_ts"), col("d_last_ts")),
+            coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
+      // overwrite-into-the-source guard: materialize the join before
+      // the write truncates the directory it reads from
+      val staged = s"${target}_staged"
+      merged.write.mode("overwrite").parquet(staged)
+      spark.read.parquet(staged).write.mode("overwrite").parquet(target)
+      spark.read.parquet(target).orderBy(col("user_id"))
     })
   )
 
@@ -93,6 +132,11 @@ object Views {
         "ORDER BY trips DESC, pickup_location_id"),
     "p02_incremental_refresh" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, event_type, " +
-        "COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+        "COUNT(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    // incremental maintenance correctness: merged(base, delta) must
+    // equal the full-range batch aggregate
+    "p05_merge_upsert" ->
+      ("SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts FROM events " +
+        "GROUP BY user_id ORDER BY user_id")
   )
 }
