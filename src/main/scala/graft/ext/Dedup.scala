@@ -325,17 +325,45 @@ object Dedup {
     * unhinted for that reason (Catalyst still auto-broadcasts it at
     * small scale).
     */
-  def bloomContaminationScreen(corpus: DataFrame, bench: DataFrame,
-      n: Int, expectedBenchShingles: Long = 1L << 20,
-      fpp: Double = 0.01): DataFrame = {
-    def sh(df: DataFrame) = df.select(col("doc_id"),
+  /** (doc_id, g) rows of `df`'s distinct word n-grams — the shared
+    * shape of both contamination screens' sides.
+    */
+  private def shingleRows(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"),
       explode(when(size(tokens) >= n, shingles(n))
         .otherwise(array().cast("array<string>"))).as("g"))
-    val b = sh(bench)
-      .select(col("doc_id").as("b_id"), col("g").as("bg"))
-    val bloom = bloomFilterBytes(b, col("bg"), expectedBenchShingles, fpp)
-    val cands = sh(corpus).filter(bloomMightContain(bloom, col("g")))
-    val hits = cands.as("c").join(b.as("b"),
+
+  def bloomContaminationScreen(corpus: DataFrame, bench: DataFrame,
+      n: Int, expectedBenchShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame =
+    bloomContaminationScreenFrom(corpus,
+      bloomContaminationBenchShingles(bench, n),
+      n, expectedBenchShingles, fpp)
+
+  /** The (b_id, bg) bench shingle table both
+    * [[bloomContaminationScreenFrom]] consumers read — exposed so
+    * callers can lake-checkpoint it.
+    */
+  def bloomContaminationBenchShingles(bench: DataFrame, n: Int): DataFrame =
+    shingleRows(bench, n).select(col("doc_id").as("b_id"), col("g").as("bg"))
+
+  /** Core of [[bloomContaminationScreen]] over a pre-built
+    * (b_id, bg) bench shingle table. The bench shingles feed TWO
+    * consumers (the bloom aggregate and the verify join), so the
+    * registered query lake-checkpoints them first — like x03's
+    * signature table — which also gives the verify join honest
+    * parquet statistics (auto-broadcast while the bench fits,
+    * shuffled equi-join of bloom survivors when it doesn't; a
+    * raw post-explode frame's inflated size estimate forces the
+    * shuffle path even when tiny).
+    */
+  def bloomContaminationScreenFrom(corpus: DataFrame, benchShingles: DataFrame,
+      n: Int, expectedBenchShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = bloomFilterBytes(benchShingles, col("bg"),
+      expectedBenchShingles, fpp)
+    val cands = shingleRows(corpus, n).filter(bloomMightContain(bloom, col("g")))
+    val hits = cands.as("c").join(benchShingles.as("b"),
         col("c.g") === col("b.bg") && col("c.doc_id") =!= col("b.b_id"))
       .select(col("c.doc_id").as("doc_id"), col("c.g").as("g"))
       .distinct()
@@ -699,10 +727,16 @@ object Dedup {
     // broadcast.
     "x32_bloom_contamination" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      bloomContaminationScreen(
-        d.select(col("doc_id"), col("text")),
-        d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
-        n = 8)
+      // bench shingles feed the bloom aggregate AND the verify join —
+      // checkpoint once per dataset (x03's pattern) so both read a
+      // compact parquet table with honest stats
+      val bench = Lake.materialize(spark, sfDir, "x32_bench_shingles8") {
+        bloomContaminationBenchShingles(
+          d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+          n = 8)
+      }
+      bloomContaminationScreenFrom(
+        d.select(col("doc_id"), col("text")), bench, n = 8)
         .orderBy(col("doc_id"))
     }),
 

@@ -380,6 +380,35 @@ object Surface {
         .orderBy(col("day"))
     }),
 
+    // BATCH SESSIONIZATION (gaps-and-islands) — the batch twin of
+    // s04's streaming session_window, same 30-minute gap rule: a new
+    // session starts where the gap from the previous event exceeds the
+    // threshold; session id = running count of starts. Two stacked
+    // windows over ONE shuffle on user_id (lag and the running sum
+    // share the partitioning; Catalyst reuses the exchange), then the
+    // per-session aggregate — the plan a 100 TB sessionization wants.
+    "c53_sessionize" -> ((spark, sfDir) => {
+      // gap compared in exact integer MICROS on both engines — a
+      // seconds cast truncates and a double epoch rounds, either of
+      // which can flip a boundary row near exactly-30-minutes
+      val gapMicros = 1800L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      t(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"))
+        .withColumn("new_session",
+          when(expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1).over(w)
+            > gapMicros, 1).otherwise(lit(0)))
+        .withColumn("session_seq",
+          sum(col("new_session"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -757,6 +786,18 @@ object Surface {
         "ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE " +
         "WHERE a.event_type = 'error' AND b.event_type = 'purchase' " +
         "GROUP BY 1 ORDER BY 1"),
+    // gaps-and-islands in exact integer micros; explicit ROWS frame
+    // (DuckDB's ORDER BY default is RANGE, which groups ts ties —
+    // same result here, but the frames should match by construction)
+    "c53_sessionize" ->
+      ("WITH l AS (SELECT user_id, ts, CASE WHEN epoch_us(ts) - " +
+        "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) " +
+        "> 1800000000 THEN 1 ELSE 0 END AS ns FROM events), " +
+        "s AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM l) " +
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
+        "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end " +
+        "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

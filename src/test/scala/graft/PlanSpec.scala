@@ -188,10 +188,35 @@ class PlanSpec extends SparkSpec {
       (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
         plan.toString)
     }
-    val onKey = shuffles.filter(_.contains("user_id"))
+    val onKey = shuffles.filter(s =>
+      s.contains("hashpartitioning") && s.contains("user_id"))
     assert(onKey.size == 1,
       s"expected exactly one hash shuffle on user_id, got $shuffles in:\n$planStr")
     // the only other exchange is the final ORDER BY's range partitioning
+    assert(shuffles.size <= 2,
+      s"unexpected extra shuffles $shuffles in:\n$planStr")
+  }
+
+  test("batch sessionization rides one shuffle: lag, running sum and the aggregate share it (c53)") {
+    // lag and the running sum share the window partitioning, and
+    // hashpartitioning(user_id) satisfies the (user_id, session_seq)
+    // aggregate's clustering requirement — so the whole operator is
+    // ONE exchange on user_id plus the final ORDER BY's range
+    // partitioning. A second hash shuffle means the windows or the
+    // aggregate stopped sharing the distribution.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (shuffles, planStr) = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = Surface.queries("c53_sessionize")(spark, SfDir)
+        .queryExecution.executedPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+      (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
+        plan.toString)
+    }
+    assert(shuffles.count(s =>
+        s.contains("hashpartitioning") && s.contains("user_id")) == 1,
+      s"expected one hash shuffle on user_id, got $shuffles in:\n$planStr")
     assert(shuffles.size <= 2,
       s"unexpected extra shuffles $shuffles in:\n$planStr")
   }
