@@ -22,7 +22,7 @@ import graft.sources.{Lake, Layout}
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization
-  *  - x01..x33          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x34          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination

@@ -171,6 +171,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // UNIGRAM LOG-PROBABILITY quality score — the statistical LM-filter
+    // step of corpus curation (next to x10's rule gates): score each
+    // doc by the mean log probability of its tokens under the corpus's
+    // own unigram model; implausible token soup scores far below
+    // natural text. Reuses x15's lake-checkpointed tf table (same
+    // artifact, two operators); the model is just one more
+    // partial-aggregated shuffle on term, and scoring is a
+    // vocabulary-bound equi-join + per-doc aggregate. The per-doc sum
+    // of logs is float work whose accumulation order differs across
+    // engines — ~1e-13 absolute against a 4 dp round, the same
+    // tolerance argument as x07's oracle.
+    "x34_unigram_logprob" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        d.select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      val tot = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+      tf.join(ctf, "term").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).cast("long").as("n_tokens"),
+          round(
+            sum(col("tf") * log(col("ctf").cast("double") / col("n_total")))
+              / sum(col("tf")), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -266,6 +296,16 @@ object TextAnalysis {
         "SELECT doc_id, term, ROUND(tf * LN(CAST(n AS DOUBLE) / df), 4) AS tfidf " +
         "FROM tf JOIN dfreq USING (term), tot " +
         "ORDER BY doc_id, tfidf DESC, term LIMIT 1000"),
+    // corpus-unigram model scoring; same tf/ctf decomposition
+    "x34_unigram_logprob" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf) " +
+        "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+        "ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) / SUM(tf), 4) AS avg_logprob " +
+        "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
     // Structural fingerprint columns only — the hashed variant
     // (hashFingerprint) is engine-specific by construction.
     "x13_fingerprint" ->

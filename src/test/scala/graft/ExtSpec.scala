@@ -451,6 +451,23 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"corpus side is not bloom-pruned:\n$plan")
   }
 
+  test("unigram logprob: scores bounded by the model, token counts exact (x34)") {
+    val n = Lake.table(spark, SfDir, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    val rows = TextAnalysis.queries("x34_unigram_logprob")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val toks = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, nTok, lp) =>
+      assert(nTok == toks(id), s"doc $id token count $nTok vs ${toks(id)}")
+      // every token prob is in [1/N, maxCtf/N] ⊂ (0, 1) → mean log in (ln(1/N), 0)
+      assert(lp < 0 && lp > math.log(1.0 / n) - 1e-6,
+        s"doc $id avg_logprob $lp outside model bounds (N=$n)")
+    }
+  }
+
   test("fingerprint windows count matches token count - k + 1 (x13)") {
     val fp = TextAnalysis.queries("x13_fingerprint")(spark, SfDir)
       .select("doc_id", "n_windows", "n_windows_total").collect()
