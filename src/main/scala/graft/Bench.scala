@@ -224,7 +224,8 @@ object Bench {
     val scalingNames = Seq(
       "flagship", "c02_join_large", "c32_range_join",
       "s07_stream_ingest_partitioned", "x03_dedup_minhash",
-      "x18_dedup_components", "x27_sequence_pack").filter(names.contains)
+      "x18_dedup_components", "x27_sequence_pack",
+      "x33_incremental_dedup").filter(names.contains)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.0)
     // Derive the comparison dir from the PARSED sf token (not a literal

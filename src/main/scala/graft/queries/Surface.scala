@@ -409,6 +409,22 @@ object Surface {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE): the dense calendar
+    // spine — every day between the table's min and max date, zero
+    // rows included — the reporting shape a bare GROUP BY day cannot
+    // produce (it drops empty days). The recursion generates only the
+    // tiny spine (one row per day, bounds carried through to
+    // terminate); the data-sized work is the ordinary grouped scan it
+    // left-joins, so the shape is scale-safe by construction.
+    "c54_recursive_spine" -> sql(
+      "WITH RECURSIVE bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, " +
+        "MAX(CAST(ts AS DATE)) AS hi FROM events), " +
+        "days AS (SELECT lo AS day, hi FROM bounds " +
+        "UNION ALL SELECT date_add(day, 1), hi FROM days WHERE day < hi) " +
+        "SELECT date_format(day, 'yyyy-MM-dd') AS day, COALESCE(n, 0) AS n " +
+        "FROM days LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n " +
+        "FROM events GROUP BY 1) c ON days.day = c.d ORDER BY day"),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -798,6 +814,15 @@ object Surface {
         "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
         "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+    // same recursion; DuckDB's DATE + INTERVAL needs the cast back
+    "c54_recursive_spine" ->
+      ("WITH RECURSIVE bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, " +
+        "MAX(CAST(ts AS DATE)) AS hi FROM events), " +
+        "days(day, hi) AS (SELECT lo, hi FROM bounds " +
+        "UNION ALL SELECT CAST(day + INTERVAL 1 DAY AS DATE), hi FROM days WHERE day < hi) " +
+        "SELECT STRFTIME(day, '%Y-%m-%d') AS day, COALESCE(n, 0) AS n " +
+        "FROM days LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n " +
+        "FROM events GROUP BY 1) c ON days.day = c.d ORDER BY day"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

@@ -74,12 +74,21 @@ object Layout {
 
   /** Min-max bucket of a numeric column into [0, 2^bits): order-
     * preserving, integer arithmetic only. A constant column maps to
-    * bucket 0.
+    * bucket 0. For domains wide enough that `(c - mn) * (2^bits - 1)`
+    * could overflow a long (e.g. clustering on 64-bit hash values),
+    * the multiply is replaced by a quotient bucketing — slightly
+    * uneven bucket widths, same ordering, no overflow.
     */
   def bucketed(c: Column, mn: Long, mx: Long, bits: Int): Column = {
     val hi = (1L << bits) - 1
-    if (mx == mn) lit(0L)
-    else ((c.cast("long") - mn) * hi / (mx - mn)).cast("long")
+    val span = mx - mn
+    if (span <= 0) lit(0L)
+    else if (span <= Long.MaxValue / hi)
+      ((c.cast("long") - mn) * hi / span).cast("long")
+    else {
+      val q = span / hi + 1
+      ((c.cast("long") - mn) / q).cast("long")
+    }
   }
 
   /** Rewrite `df` clustered by the Z-value of (`colX`, `colY`) into

@@ -63,6 +63,19 @@ class LayoutSpec extends SparkSpec {
     assert(got.values.toSet.size == 64)
   }
 
+  test("bucketed stays in [0, 2^bits) and ordered on a near-full-range long domain (no overflow)") {
+    import spark.implicits._
+    val mn = Long.MinValue / 2
+    val mx = Long.MaxValue / 2           // span ≈ Long.MaxValue: multiply path would overflow
+    val vals = Seq(mn, mn / 2, -1L, 0L, 1L, mx / 2, mx)
+    val got = vals.toDF("v")
+      .select(Layout.bucketed(col("v"), mn, mx, 10).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(b => b >= 0 && b < 1024), s"bucket out of range: ${got.toSeq}")
+    assert(got.toSeq == got.sorted.toSeq, s"ordering broken: ${got.toSeq}")
+    assert(got.distinct.length > 3, s"degenerate bucketing: ${got.toSeq}")
+  }
+
   test("z-ordered copy narrows per-file user_id spans; the ts-sorted copy cannot") {
     val e = Lake.table(spark, SfDir, "events")
       .select(col("event_id"), col("user_id"), col("ts"))
