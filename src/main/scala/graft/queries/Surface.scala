@@ -425,6 +425,21 @@ object Surface {
         "FROM days LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n " +
         "FROM events GROUP BY 1) c ON days.day = c.d ORDER BY day"),
 
+    // LATERAL correlated subquery — top-N-per-group phrased the SQL
+    // way (each customer's 2 highest-value orders). Catalyst
+    // decorrelates the LIMITed lateral into a ranked window join, so
+    // the executed plan is the same one-shuffle shape as a manual
+    // row_number ≤ 2 — the surface feature is the point (DuckDB
+    // accepts the identical text). Deterministic tiebreak on
+    // o_orderkey; customers with no orders drop out (inner lateral),
+    // matching both engines' default.
+    "c55_lateral_topn" -> sql(
+      "SELECT c_custkey, o.o_orderkey, o.o_totalprice " +
+        "FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+        "ORDER BY c_custkey, o_orderkey"),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -814,6 +829,13 @@ object Surface {
         "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, " +
         "COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end " +
         "FROM s GROUP BY 1, 2 ORDER BY 1, 2"),
+    // identical text runs on both engines
+    "c55_lateral_topn" ->
+      ("SELECT c_custkey, o.o_orderkey, o.o_totalprice " +
+        "FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
+        "ORDER BY c_custkey, o_orderkey"),
     // same recursion; DuckDB's DATE + INTERVAL needs the cast back
     "c54_recursive_spine" ->
       ("WITH RECURSIVE bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, " +

@@ -221,6 +221,20 @@ class PlanSpec extends SparkSpec {
       s"unexpected extra shuffles $shuffles in:\n$planStr")
   }
 
+  test("LIMITed lateral subquery decorrelates to a ranked join, not a per-row nested loop (c55)") {
+    // A naive execution of LATERAL (... ORDER BY ... LIMIT 2) is one
+    // subquery run per outer row — a nested loop that dies at scale.
+    // Catalyst's DecorrelateInnerQuery must rewrite it into a ranked
+    // window + equi-join.
+    val plan = Surface.queries("c55_lateral_topn")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral did not decorrelate:\n$plan")
+    assert(plan.contains("row_number") || plan.contains("Window"),
+      s"expected the ranked-window rewrite in:\n$plan")
+  }
+
   test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
     val plan = Core.queries("b11_topk_limit")(spark, SfDir)
       .queryExecution.executedPlan.toString
