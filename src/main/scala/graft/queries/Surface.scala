@@ -440,6 +440,74 @@ object Surface {
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o " +
         "ORDER BY c_custkey, o_orderkey"),
 
+    // Correlated EXISTS / NOT EXISTS — the quantified-subquery surface
+    // (c24 covers the scalar form, c55 the LATERAL form). Catalyst
+    // decorrelates both predicates into join operators (semi + anti,
+    // plan-asserted in PlanSpec), so execution is the same one-pass
+    // shape as c04/c05 — never a per-outer-row re-scan of orders.
+    "c56_exists_correlated" -> sql(
+      "SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 250000) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey " +
+        "AND o2.o_orderstatus = 'F') " +
+        "ORDER BY c_custkey"),
+
+    // Array-function battery over a real array column (token arrays):
+    // distinct/sort/slice/intersect/join — the list-manipulation
+    // surface beyond c40's HOF lambdas. All shuffle-free map work;
+    // outputs are scalars so the oracle comparison is
+    // representation-independent.
+    "c57_array_funcs" -> ((spark, sfDir) => {
+      val toks = split(col("text"), " ")
+      val uniq = array_sort(array_distinct(toks))
+      val stop = array(lit("a"), lit("the"), lit("of"), lit("and"), lit("to"))
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          size(uniq).as("n_uniq"),
+          array_min(toks).as("min_tok"),
+          size(array_intersect(uniq, stop)).as("n_stop_kinds"),
+          array_join(slice(uniq, 1, 3), "-").as("first3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Ordered string aggregation (LISTAGG/STRING_AGG): collect_list is
+    // order-nondeterministic by contract, so the deterministic Spark
+    // form is sort-the-array-then-join — one ordinary
+    // partial-aggregatable hash agg, no window, no driver collect.
+    "c58_listagg" -> ((spark, sfDir) =>
+      t(spark, sfDir, "nation")
+        .join(broadcast(t(spark, sfDir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("region"))),
+
+    // UNPIVOT — wide-to-long reshaping (the inverse of c41's PIVOT).
+    // The relational rewrite is a constant-width expand over the
+    // aggregated (tiny) side, never over the raw scan.
+    "c59_unpivot" -> sql(
+      "SELECT flag, metric, val FROM (SELECT l_returnflag AS flag, " +
+        "ROUND(SUM(l_quantity), 2) AS qty, ROUND(SUM(l_extendedprice), 2) AS price " +
+        "FROM lineitem GROUP BY 1) " +
+        "UNPIVOT (val FOR metric IN (qty, price)) ORDER BY flag, metric"),
+
+    // NULL-semantics surface: a null-safe equi-join (<=> / IS NOT
+    // DISTINCT FROM) must MATCH the NULL group a plain equi-join
+    // drops. Keys are made nullable with NULLIF; the dim side is tiny
+    // (distinct event types) so AQE broadcasts it.
+    "c60_nullsafe_join" -> ((spark, sfDir) => {
+      val facts = t(spark, sfDir, "events")
+        .select(expr("nullif(event_type, 'click')").as("k"))
+      val dim = facts.distinct()
+        .select(col("k").as("dk"), coalesce(col("k"), lit("was_click")).as("label"))
+      facts.join(dim, col("k") <=> col("dk"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -845,6 +913,43 @@ object Surface {
         "SELECT STRFTIME(day, '%Y-%m-%d') AS day, COALESCE(n, 0) AS n " +
         "FROM days LEFT JOIN (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n " +
         "FROM events GROUP BY 1) c ON days.day = c.d ORDER BY day"),
+    // identical text runs on both engines
+    "c56_exists_correlated" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 250000) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey " +
+        "AND o2.o_orderstatus = 'F') " +
+        "ORDER BY c_custkey"),
+    // list_* are DuckDB's names for the array_* family; both
+    // intersections run over the already-distinct sorted list so the
+    // count is representation- and order-independent
+    "c57_array_funcs" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq, " +
+        "list_min(string_split(text, ' ')) AS min_tok, " +
+        "CAST(len(list_intersect(list_sort(list_distinct(string_split(text, ' '))), " +
+        "['a', 'the', 'of', 'and', 'to'])) AS INTEGER) AS n_stop_kinds, " +
+        "array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], '-') AS first3 " +
+        "FROM documents ORDER BY doc_id"),
+    "c58_listagg" ->
+      ("SELECT r_name AS region, " +
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations, COUNT(*) AS n_nations " +
+        "FROM nation JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY 1 ORDER BY 1"),
+    // semantically UNPIVOT; spelled as UNION ALL so the oracle does
+    // not depend on the oracle engine's UNPIVOT dialect
+    "c59_unpivot" ->
+      ("WITH a AS (SELECT l_returnflag AS flag, ROUND(SUM(l_quantity), 2) AS qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS price FROM lineitem GROUP BY 1) " +
+        "SELECT flag, 'qty' AS metric, qty AS val FROM a " +
+        "UNION ALL SELECT flag, 'price' AS metric, price AS val FROM a " +
+        "ORDER BY flag, metric"),
+    "c60_nullsafe_join" ->
+      ("WITH f AS (SELECT NULLIF(event_type, 'click') AS k FROM events), " +
+        "d AS (SELECT DISTINCT k AS dk, COALESCE(k, 'was_click') AS label FROM f) " +
+        "SELECT label, COUNT(*) AS n FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.dk " +
+        "GROUP BY 1 ORDER BY 1"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

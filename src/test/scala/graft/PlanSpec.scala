@@ -235,6 +235,19 @@ class PlanSpec extends SparkSpec {
       s"expected the ranked-window rewrite in:\n$plan")
   }
 
+  test("correlated EXISTS/NOT EXISTS decorrelate to semi and anti joins (c56)") {
+    // The quantified predicates must become join operators — a
+    // per-outer-row re-execution of the orders subquery (nested loop)
+    // is the plan shape that dies at scale.
+    val plan = Surface.queries("c56_exists_correlated")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS did not decorrelate:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+  }
+
   test("top-k sort+limit plans TakeOrderedAndProject (B11)") {
     val plan = Core.queries("b11_topk_limit")(spark, SfDir)
       .queryExecution.executedPlan.toString
