@@ -22,11 +22,13 @@ import graft.sources.{Lake, Layout}
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization
-  *  - x01..x34          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x38          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination
-  *                        screening incl. bloom-accelerated)
+  *                        screening incl. bloom-accelerated +
+  *                        removal, RAG chunking, training-order
+  *                        shuffle, quality-gate ensemble)
   */
 object SparkEntry {
 

@@ -753,6 +753,29 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // DECONTAMINATION — the removal step the screen (x25/x32) feeds:
+    // the clean corpus with every flagged document dropped. Scale
+    // shape: the bloom-pruned screen (x32's plan, same checkpointed
+    // bench-shingle artifact) yields the small flagged set; the
+    // removal is ONE left-anti join against it (AQE broadcasts it),
+    // so the corpus passes through a single scan + screen, never a
+    // second full shuffle.
+    "x36_decontaminate" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val bench = Lake.materialize(spark, sfDir, "x32_bench_shingles8") {
+        bloomContaminationBenchShingles(
+          d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+          n = 8)
+      }
+      val flagged = bloomContaminationScreenFrom(
+        d.select(col("doc_id"), col("text")), bench, n = 8)
+        .filter(col("contaminated"))
+        .select(col("doc_id"))
+      d.join(flagged, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PASSAGE-LEVEL exact dedup: the sub-document pass that
     // document-level exact dedup (x01) cannot see, catching
     // boilerplate and copied passages. The passage table feeds both
@@ -865,6 +888,16 @@ object Dedup {
         "(b.rn > 1) AS dup_in_batch, " +
         "(c.norm IS NULL AND b.rn = 1) AS survivor " +
         "FROM b LEFT JOIN corpus c USING (norm) ORDER BY b.doc_id"),
+    // x25's hit derivation, inverted into the surviving corpus
+    "x36_decontaminate" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, list_reduce(w[i:i+7], (a, b) -> a || ' ' || b) AS g FROM idx), " +
+        "bench AS (SELECT doc_id AS b_id, g FROM sh WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT sh.doc_id FROM sh " +
+        "JOIN bench ON sh.g = bench.g AND sh.doc_id != bench.b_id GROUP BY 1) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY d.doc_id"),
     // same 8-word non-overlapping chunking via list slicing; dup =
     // any passage occurring more than once corpus-wide
     "x31_passage_dedup" ->

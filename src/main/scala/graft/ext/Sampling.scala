@@ -114,6 +114,35 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAINING-ORDER GLOBAL SHUFFLE: give every document a
+    // reproducible pseudo-random global position and cut that order
+    // into fixed-size shards — the "shuffle the corpus, then write
+    // training shard files" step. Order key = the Weyl hash
+    // (multiplier coprime to the prime modulus, so it is injective
+    // for id < HashMod: the order is total and deterministic, no RNG
+    // state); position = the distributed prefix scan counting rows in
+    // hash order (NOT a global window — no single-task sort at
+    // scale); shard = position DIV shardSize, making shards
+    // contiguous slices of the shuffled order, exactly the files a
+    // shard writer emits. Payload re-attach is one equi-join on the
+    // unique hash — the same shuffle that would carry the payloads to
+    // the shard writers anyway.
+    "x37_training_shuffle" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val shardSize = 100L
+      val rows = docs(spark, sfDir)
+        .select(sampleHash(col("doc_id")).as("id"), lit("all").as("group"),
+          lit(1L).as("value"))
+        .as[graft.operators.Prefix.ScanRow]
+      graft.operators.Prefix
+        .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
+        .select(col("id").as("h"), (col("running") - 1).as("pos"))
+        .join(docs(spark, sfDir).select(col("doc_id"),
+          sampleHash(col("doc_id")).as("h")), "h")
+        .select(col("doc_id"), expr(s"pos DIV $shardSize").as("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Domain mixing with DATA-DERIVED rates: downsample every language
     // to (approximately) the rarest language's document count — the
     // "equalize the mixture" step, where x20's rates are constants and
@@ -158,6 +187,12 @@ object Sampling {
         "CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens FROM documents) t " +
         "ORDER BY doc_id"),
+    // ROW_NUMBER over the injective hash = the same total order
+    "x37_training_shuffle" ->
+      (s"SELECT doc_id, CAST((rn - 1) // 100 AS BIGINT) AS shard, " +
+        "CAST(rn - 1 AS BIGINT) AS pos FROM (" +
+        s"SELECT doc_id, ROW_NUMBER() OVER (ORDER BY (doc_id * $HashMul) % $HashMod) AS rn " +
+        "FROM documents) t ORDER BY doc_id"),
     "x28_domain_mix" ->
       (s"WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
         "m AS (SELECT MIN(cnt) AS min_cnt FROM c), " +

@@ -201,6 +201,80 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG-STYLE SLIDING-WINDOW CHUNKING: cut each document into
+    // overlapping 32-token chunks on a 24-token stride (8-token
+    // overlap) — the retrieval-indexing twin of x31's non-overlapping
+    // passages. Chunk count = 1 for docs ≤ 32 tokens, else
+    // 1 + ceil((n-32)/24), so every token is covered and the tail
+    // never degenerates into a chunk fully contained in the previous
+    // one. Shuffle-free map work: tokenize ONCE into a projected
+    // column (x31's hoisting rule — a split() inside the lambda would
+    // re-tokenize per chunk), build the chunk structs in-row, inline.
+    "x35_doc_chunk" -> ((spark, sfDir) => {
+      val C = 32; val S = 24
+      docs(spark, sfDir)
+        .withColumn("_toks", tokens)
+        .withColumn("_nc",
+          when(size(col("_toks")) <= C, lit(1))
+            .otherwise(expr(s"1 + (size(_toks) - $C + ${S - 1}) DIV $S")))
+        .select(col("doc_id"), inline(expr(
+          s"transform(sequence(0, _nc - 1), i -> struct(" +
+            s"CAST(i AS BIGINT) AS chunk_id, " +
+            s"size(slice(_toks, i * $S + 1, $C)) AS n_chunk_tokens, " +
+            s"array_join(slice(_toks, i * $S + 1, $C), ' ') AS chunk_text))")))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // QUALITY-GATE ENSEMBLE — the classifier-combination step of
+    // curation: the rule gate (x10's stopword density), the
+    // repetition gate (x26's duplicate-3-gram ratio), and the
+    // statistical LM gate (x34's unigram log-prob) folded into one
+    // per-doc verdict. The LM gate compares the ROUNDED score (4 dp,
+    // x34's oracle convention) against a fixed threshold so the
+    // boolean is as reproducible as the score column itself; the rule
+    // gates divide exact integer counts, deterministic on both
+    // engines. Scale shape: the union of its parts — map-work gates
+    // on the scan plus x34's vocabulary-bound join over the SHARED
+    // lake-checkpointed tf table (one more consumer of the same
+    // artifact), then a doc-keyed equi-join of the two per-doc sides.
+    "x38_quality_ensemble" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val grams3 = transform(sequence(lit(0), size(tokens) - 3),
+        i => concat_ws(" ", element_at(tokens, i + 1),
+          element_at(tokens, i + 2), element_at(tokens, i + 3)))
+      val r3 = when(size(tokens) >= 3,
+        (size(grams3) - size(array_distinct(grams3))).cast("double") /
+          size(grams3)).otherwise(lit(0.0))
+      val stopR = size(filter(tokens, t => isStopword(t))).cast("double") /
+        size(tokens)
+      val rules = d.select(col("doc_id"),
+        (stopR >= 0.05).as("gate_stopword"),
+        (r3 <= 0.02).as("gate_repetition"))
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        d.select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+      val tot = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+      val lm = tf.join(ctf, "term").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(round(
+          sum(col("tf") * log(col("ctf").cast("double") / col("n_total")))
+            / sum(col("tf")), 4).as("avg_logprob"))
+      rules.join(lm, "doc_id")
+        .withColumn("gate_logprob", col("avg_logprob") >= -3.41)
+        .withColumn("n_gates",
+          col("gate_stopword").cast("int") + col("gate_repetition").cast("int") +
+            col("gate_logprob").cast("int"))
+        .withColumn("verdict",
+          when(col("n_gates") === 3, "keep")
+            .when(col("n_gates") === 2, "review").otherwise("drop"))
+        .select(col("doc_id"), col("gate_stopword"), col("gate_repetition"),
+          col("gate_logprob"), col("n_gates"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -306,6 +380,44 @@ object TextAnalysis {
         "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
         "ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) / SUM(tf), 4) AS avg_logprob " +
         "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
+    // same chunk-count rule and 1-based inclusive list slicing
+    "x35_doc_chunk" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "n AS (SELECT doc_id, w, CASE WHEN len(w) <= 32 THEN 1 " +
+        "ELSE 1 + (len(w) - 32 + 23) // 24 END AS nc FROM d), " +
+        "c AS (SELECT doc_id, w, unnest(range(nc)) AS ci FROM n) " +
+        "SELECT doc_id, ci AS chunk_id, " +
+        "CAST(len(w[(ci*24+1):(ci*24+32)]) AS INTEGER) AS n_chunk_tokens, " +
+        "array_to_string(w[(ci*24+1):(ci*24+32)], ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
+    // rule gates on exact count ratios; LM gate on the 4 dp-rounded
+    // score (x34's convention) vs the fixed -3.41 cutoff
+    "x38_quality_ensemble" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf), " +
+        "lm AS (SELECT doc_id, ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) " +
+        "/ SUM(tf), 4) AS lp FROM tf JOIN ctf USING (term), tot GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN " +
+        "list_transform(range(1, len(string_split(text, ' ')) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3 FROM documents), " +
+        "rules AS (SELECT doc_id, " +
+        "CAST(len(list_filter(t, x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(t) >= 0.05 AS gate_stopword, " +
+        "CASE WHEN len(g3) > 0 THEN " +
+        "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END " +
+        "<= 0.02 AS gate_repetition FROM r) " +
+        "SELECT rules.doc_id, gate_stopword, gate_repetition, " +
+        "lp >= -3.41 AS gate_logprob, " +
+        "CAST(gate_stopword AS INTEGER) + CAST(gate_repetition AS INTEGER) + " +
+        "CAST(lp >= -3.41 AS INTEGER) AS n_gates, " +
+        "CASE CAST(gate_stopword AS INTEGER) + CAST(gate_repetition AS INTEGER) + " +
+        "CAST(lp >= -3.41 AS INTEGER) " +
+        "WHEN 3 THEN 'keep' WHEN 2 THEN 'review' ELSE 'drop' END AS verdict " +
+        "FROM rules JOIN lm USING (doc_id) ORDER BY rules.doc_id"),
     // Structural fingerprint columns only — the hashed variant
     // (hashFingerprint) is engine-specific by construction.
     "x13_fingerprint" ->

@@ -504,4 +504,85 @@ class ExtSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(again == fp)
   }
+
+  test("x35 chunking covers every token: count rule, full-width middles, stride-width tail") {
+    val toks = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.queries("x35_doc_chunk")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == toks.keySet, "every doc must produce chunks")
+    chunks.foreach { case (id, cs) =>
+      val n = toks(id)
+      val expect = if (n <= 32) 1 else 1 + (n - 32 + 23) / 24
+      assert(cs.length == expect, s"doc $id: ${cs.length} chunks for $n tokens")
+      assert(cs.map(_._2).sorted.toSeq == (0L until expect).toSeq,
+        s"doc $id: chunk ids not dense")
+      cs.sortBy(_._2).zipWithIndex.foreach { case ((_, ci, w), idx) =>
+        val expectW = math.min(32, n - ci.toInt * 24)
+        assert(w == expectW, s"doc $id chunk $ci: width $w, expected $expectW")
+        assert(idx == ci)
+      }
+    }
+    // overlap sanity on one multi-chunk doc: chunk 1 re-reads tokens
+    // 25..32 of chunk 0 (8-token overlap by construction)
+    val multi = chunks.find(_._2.length >= 2).get._1
+    val texts = TextAnalysis.queries("x35_doc_chunk")(spark, SfDir)
+      .filter(col("doc_id") === multi).orderBy(col("chunk_id"))
+      .select(col("chunk_text")).collect().map(_.getString(0).split(" ").toSeq)
+    assert(texts(0).takeRight(8) == texts(1).take(8),
+      s"chunks 0/1 of doc $multi must overlap by 8 tokens")
+  }
+
+  test("x36 decontamination = documents minus the exact screen's flagged set") {
+    val d = Lake.table(spark, SfDir, "documents")
+    val flagged = Dedup.contaminationScreen(
+      d.select(col("doc_id"), col("text")),
+      d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+      n = 8)
+      .filter(col("contaminated")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "testdata should contain planted contamination")
+    val kept = Dedup.queries("x36_decontaminate")(spark, SfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = d.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == all -- flagged,
+      s"decontaminated set diverges: extra=${kept.intersect(flagged)}, " +
+        s"missing=${(all -- flagged) -- kept}")
+  }
+
+  test("x37 training shuffle: positions are a permutation in hash order, shards are contiguous slices") {
+    val rows = Sampling.queries("x37_training_shuffle")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "positions must be a dense permutation")
+    rows.foreach { case (_, shard, pos) =>
+      assert(shard == pos / 100, s"shard must be pos DIV 100: $shard vs $pos")
+    }
+    // hash order: sorting by the Weyl hash must reproduce pos order
+    val byHash = rows.sortBy { case (id, _, _) =>
+      (id * Sampling.HashMul) % Sampling.HashMod
+    }.map(_._3)
+    assert(byHash.toSeq == (0L until n).toSeq,
+      "pos must rank docs by the sampling hash")
+  }
+
+  test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
+    val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
+      .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getInt(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (gs, gr, gl, n, v) =>
+      val expect = Seq(gs, gr, gl).count(identity)
+      assert(n == expect, s"n_gates $n vs booleans ($gs,$gr,$gl)")
+      val tier = if (n == 3) "keep" else if (n == 2) "review" else "drop"
+      assert(v == tier, s"verdict $v for $n gates")
+    }
+    // the LM gate must actually split the corpus (threshold chosen off
+    // the distribution, not vacuously true/false)
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "gate_logprob should be non-vacuous on the test corpus")
+  }
 }
