@@ -14,14 +14,15 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b13          — the reference's tested SQL core (§2.B)
-  *  - c01..c60          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c62          — arbitrary-SQL surface categories (§2.C)
   *  - p01..p04          — ELT pipelines (A18/B13) + data-layout
   *                        maintenance (compaction, Z-order)
-  *  - s01..s09          — Structured Streaming: tumbling/sliding/
+  *  - s01..s10          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
-  *                        custom-state sessionization
+  *                        custom-state sessionization, foreachBatch
+  *                        incremental upsert
   *  - x01..x38          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/

@@ -343,6 +343,29 @@ object Similarity {
         .orderBy(col("vec_id"))
         .limit(100)),
 
+    // PER-LABEL CENTROIDS — the k-means/IVF building block as a
+    // first-class operator: element-wise mean of the embedding
+    // vectors per label, in long form (label, dim, centroid). Scale
+    // shape: posexplode to (label, dim, v) then ONE hash aggregation
+    // — n·d rows but partial-aggregatable map-side down to
+    // labels·d, so the shuffle is model-sized, not corpus-sized.
+    // The mean is made ORDER-INDEPENDENT: each float casts to an
+    // exact decimal(20,10) (a deterministic function of the value —
+    // no boundary cases, float expansions never terminate at the
+    // scale-10 digit), the decimal SUM is exact under any
+    // accumulation order, and only then does ONE double division +
+    // round happen — a double-avg rounded at 4 dp hash-mismatched at
+    // sf0.1 exactly at a rounding boundary. `+ 0.0` folds -0.0000.
+    "x39_embed_centroids" -> ((spark, sfDir) =>
+      emb(spark, sfDir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          (round(sum(col("v").cast("decimal(20,10)")).cast("double") /
+            count(lit(1)), 4) + lit(0.0)).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .orderBy(col("label"), col("dim"))),
+
     // Brute-force cosine top-k: query = vec_id 0, k = 10. The 1-row
     // query side is broadcast; the corpus side is one scan + TakeOrdered.
     // The native expression consumes the float arrays directly — no
@@ -504,6 +527,15 @@ object Similarity {
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),
+    // order-independent mean: exact decimal sum, ONE double division
+    // (mirrors the Spark arithmetic); 0-based dim matches posexplode
+    "x39_embed_centroids" ->
+      ("SELECT label, CAST(i AS INTEGER) AS dim, " +
+        "ROUND(CAST(SUM(CAST(embedding[i+1] AS DECIMAL(20,10))) AS DOUBLE) " +
+        "/ COUNT(*), 4) + 0 AS centroid, " +
+        "COUNT(*) AS n_vectors FROM (" +
+        "SELECT label, embedding, unnest(range(len(embedding))) AS i FROM embeddings) t " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     // the scale math runs in DOUBLE on both engines (the raw elements
     // are FLOAT — float-precision intermediates would round differently)
     "x22_embed_quantize" ->

@@ -508,6 +508,35 @@ object Surface {
         .orderBy(col("label"))
     }),
 
+    // Time-based trailing RANGE frame: per event, count/sum over the
+    // preceding hour of the SAME user — the per-row sliding-window
+    // analytic (fraud velocity checks, rate limiting). The frame is a
+    // numeric RANGE over exact integer micros (an interval frame on a
+    // float epoch would round near boundaries); one shuffle on
+    // user_id like any per-user window.
+    "c61_window_timerange" -> ((spark, sfDir) => {
+      val hourMicros = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("unix_micros(ts)"))
+        .rangeBetween(-hourMicros, 0)
+      t(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .withColumn("sum_last_hour", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("n_last_hour"),
+          col("sum_last_hour"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rank-distribution window functions (PERCENT_RANK / CUME_DIST):
+    // exact rational arithmetic over a unique total order, so the
+    // doubles are bit-identical across engines.
+    "c62_window_pctrank" -> sql(
+      "SELECT event_id, event_type, " +
+        "PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank, " +
+        "CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume " +
+        "FROM events ORDER BY event_id LIMIT 500"),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -950,6 +979,20 @@ object Surface {
         "d AS (SELECT DISTINCT k AS dk, COALESCE(k, 'was_click') AS label FROM f) " +
         "SELECT label, COUNT(*) AS n FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.dk " +
         "GROUP BY 1 ORDER BY 1"),
+    // numeric RANGE frame over the same integer-micros key
+    "c61_window_timerange" ->
+      ("SELECT event_id, user_id, " +
+        "COUNT(*) OVER w AS n_last_hour, " +
+        "ROUND(SUM(value) OVER w, 2) AS sum_last_hour " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
+    "c62_window_pctrank" ->
+      ("SELECT event_id, event_type, " +
+        "PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank, " +
+        "CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume " +
+        "FROM events ORDER BY event_id LIMIT 500"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

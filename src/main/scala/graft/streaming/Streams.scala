@@ -373,6 +373,63 @@ object Streams {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** s10: foreachBatch incremental UPSERT — the streaming twin of
+    * p05's MERGE: each microbatch's per-user purchase aggregate is
+    * merged into a durable parquet state table (matched rows combine,
+    * unmatched insert). A generation directory per batch keeps the
+    * merge atomic — a batch never overwrites the parquet it is
+    * reading (p05's staged-write guard, made structural). The merged
+    * metrics are a count and a max, both exact under ANY batch
+    * decomposition, so the final state must equal the batch-global
+    * aggregate — which is exactly what the oracle states.
+    * maxFilesPerTrigger=1 forces a multi-batch run (the micros copy
+    * is ≥4 files at every provisioned sf), so the merge path is
+    * genuinely exercised, not skipped via a single trivial batch.
+    * Scale shape: per batch, one delta-sized aggregation plus one
+    * full-outer join against the state table on its key — the same
+    * plan MERGE INTO executes under a table format.
+    */
+  def foreachBatchUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s10_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+      .filter(col("event_type") === "purchase")
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("d_n"), max(col("ts")).as("d_last_ts"))
+        val merged = latest match {
+          case None => agg.select(col("user_id"),
+            col("d_n").as("n_purchases"), col("d_last_ts").as("last_ts"))
+          case Some(prev) =>
+            spark.read.parquet(prev)
+              .join(agg, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("n_purchases"), lit(0L)) +
+                  coalesce(col("d_n"), lit(0L))).as("n_purchases"),
+                greatest(
+                  coalesce(col("last_ts"), col("d_last_ts")),
+                  coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
+        }
+        val gen = s"$base/gen_$batchId"
+        merged.write.mode("overwrite").parquet(gen)
+        latest = Some(gen)
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("s10: stream produced no batches")))
+      .orderBy(col("user_id"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -419,7 +476,9 @@ object Streams {
     "s08_stream_stateful_session" ->
       ((spark, sfDir) => statefulSessions(spark, sfDir)),
     "s09_stream_static_join" ->
-      ((spark, sfDir) => streamStaticJoin(spark, sfDir))
+      ((spark, sfDir) => streamStaticJoin(spark, sfDir)),
+    "s10_stream_upsert" ->
+      ((spark, sfDir) => foreachBatchUpsert(spark, sfDir))
   )
 
   // gaps-and-islands: a session breaks where the inactivity gap is
@@ -481,6 +540,12 @@ object Streams {
     "s09_stream_static_join" ->
       ("SELECT c_mktsegment AS segment, COUNT(*) AS n " +
         "FROM events JOIN customer ON user_id = c_custkey " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1"),
+    // incremental maintenance correctness (p05's contract, streaming
+    // form): the upserted state must equal the batch-global aggregate
+    "s10_stream_upsert" ->
+      ("SELECT user_id, COUNT(*) AS n_purchases, MAX(ts) AS last_ts " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY user_id ORDER BY user_id")
   )
 }

@@ -193,4 +193,26 @@ class StreamingStateSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("s10 foreachBatch upsert runs multi-batch and converges to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Lake
+    val state = graft.streaming.Streams.foreachBatchUpsert(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    // the merge path must actually run: one generation dir per
+    // microbatch, and maxFilesPerTrigger=1 over a >=2-file source
+    // means >=2 generations (gen_0 is insert-only; gen_1+ merge)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s10_$tag")
+      .listFiles().count(_.getName.startsWith("gen_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = Lake.table(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(state == batch,
+      s"upserted state diverges from the batch aggregate: " +
+        s"extra=${state -- batch}, missing=${batch -- state}")
+  }
 }
