@@ -23,7 +23,7 @@ import graft.sources.{Lake, Layout}
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert
-  *  - x01..x38          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x41          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination

@@ -753,6 +753,34 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-AWARE SURVIVOR SELECTION — the dedup policy upgrade a
+    // real curation pipeline runs: within each near-dup component,
+    // keep the highest-QUALITY member (stopword density, the x10
+    // signal; ties break to the lower doc_id), not the arbitrary
+    // min-id representative x18 keeps. Unpaired docs survive by
+    // default. Scale shape: the component table is lake-checkpointed
+    // and tiny relative to the corpus (paired docs only); the quality
+    // rank is a window over components — bounded by component size,
+    // never by corpus size — and the final left join is doc-keyed.
+    "x40_quality_survivor" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val sr = d.select(col("doc_id"),
+        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
+          size(tokens)).as("sr"))
+      val ranked = componentTable(spark, sfDir)
+        .select(col("v").as("doc_id"), col("label").as("component"))
+        .join(sr, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("sr").desc, col("doc_id"))))
+        .select(col("doc_id"), col("component"), col("rn"))
+      d.select(col("doc_id")).join(ranked, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          coalesce(col("rn") === 1, lit(true)).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DECONTAMINATION — the removal step the screen (x25/x32) feeds:
     // the clean corpus with every flagged document dropped. Scale
     // shape: the bloom-pruned screen (x32's plan, same checkpointed
@@ -898,6 +926,19 @@ object Dedup {
         "JOIN bench ON sh.g = bench.g AND sh.doc_id != bench.b_id GROUP BY 1) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         "WHERE d.doc_id NOT IN (SELECT doc_id FROM hits) ORDER BY d.doc_id"),
+    // same components; quality rank = stopword density desc, id asc
+    "x40_quality_survivor" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", comp AS (SELECT v AS doc_id, MIN(l) AS component FROM reach GROUP BY v), " +
+        "q AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS sr FROM documents), " +
+        "r AS (SELECT comp.doc_id, component, ROW_NUMBER() OVER (" +
+        "PARTITION BY component ORDER BY q.sr DESC, comp.doc_id) AS rn " +
+        "FROM comp JOIN q USING (doc_id)) " +
+        "SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS component, " +
+        "COALESCE(r.rn = 1, TRUE) AS is_survivor " +
+        "FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id"),
     // same 8-word non-overlapping chunking via list slicing; dup =
     // any passage occurring more than once corpus-wide
     "x31_passage_dedup" ->

@@ -27,6 +27,14 @@ final case class ImageFeatures(
 
 final case class Asset(doc_id: Long, blob: Array[Byte])
 
+/** Features extracted from a decoded audio payload: sample count from
+  * the container, exact integer energy (sum |sample|), zero-crossing
+  * count, and the mean magnitude (one exact-int division — the only
+  * float, deterministic on both engines).
+  */
+final case class AudioFeatures(doc_id: Long, n_samples: Int, abs_sum: Long,
+    zero_crossings: Int, mean_abs: Double)
+
 /** One sampled frame of a media payload: where it sits in the blob.
   * Structural fields only — integer byte math — so the sampling logic
   * is fully oracle-checkable; per-frame feature extraction plugs into
@@ -145,6 +153,69 @@ object Multimodal {
     }
   }
 
+  /** Real JDK audio codec (javax.sound.sampled, bundled with Java SE —
+    * the audio twin of [[ImageCodec]]): payload bytes become 16-bit
+    * mono PCM samples inside an actual WAV container, and the decode
+    * side parses that container back through AudioSystem. PCM-in-WAV
+    * is lossless, so every decoded feature is an exact function of
+    * the source bytes — hence a full DuckDB oracle.
+    */
+  object AudioCodec {
+    val SampleRate = 8000f
+
+    /** Ingest side: sample i = (byte[2i] − 109)·256 + byte[2i+1],
+      * signed 16-bit little-endian PCM in a WAV container. Centering
+      * on 109 ('m') puts ASCII text on both sides of zero, so the
+      * zero-crossing feature is non-vacuous (an unshifted mapping
+      * leaves every ASCII-built sample on one side).
+      */
+    def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+      import javax.sound.sampled._
+      val n = math.max(1, bytes.length / 2)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val hi = if (bytes.isEmpty) 0 else bytes((2 * i) % bytes.length) & 0xff
+        val lo = if (bytes.isEmpty) 0 else bytes((2 * i + 1) % bytes.length) & 0xff
+        val s = (hi - 109) * 256 + lo
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode side: a REAL WAV parse (AudioSystem reads the RIFF
+      * header and yields the PCM body), then sample-level features:
+      * exact |sample| sum, sign-change count, mean magnitude.
+      */
+    def decode(id: Long, wav: Array[Byte]): AudioFeatures = {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      require(ais.getFormat.getSampleSizeInBits == 16 &&
+        !ais.getFormat.isBigEndian, s"unexpected decoded format: ${ais.getFormat}")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var absSum = 0L
+      var zc = 0
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = (data(2 * i + 1) << 8) | (data(2 * i) & 0xff)
+        absSum += math.abs(s)
+        if (i > 0 && (s < 0) != (prev < 0)) zc += 1
+        prev = s
+        i += 1
+      }
+      AudioFeatures(id, n, absSum, zc, absSum.toDouble / n)
+    }
+  }
+
   /** Deterministic frame sampling: up to `maxFrames` windows of
     * `window` bytes at evenly-strided offsets (integer math only, so
     * the DuckDB oracle can reproduce it from the byte length alone).
@@ -199,6 +270,23 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    // AUDIO pipeline with the real JDK WAV codec — the audio twin of
+    // x14: payload bytes → PCM-in-WAV (media ingest), then an actual
+    // AudioSystem container parse + sample-level feature extraction
+    // (energy, zero crossings) — same shuffle-free typed
+    // mapPartitions shape as the image path.
+    "x41_audio_features" -> ((spark, sfDir) => {
+      import spark.implicits._
+      assertAsciiCorpus(spark, sfDir)
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+        .mapPartitions(_.map(a => Asset(a.doc_id, AudioCodec.encodeWav(a.blob))))
+        .mapPartitions(_.map(a => AudioCodec.decode(a.doc_id, a.blob)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame sampling over the binary payload (video frame-sample
     // plumbing): per-asset flatMap fan-out to frame rows, structural
     // columns only — fully oracle-checked against integer byte math
@@ -237,6 +325,27 @@ object Multimodal {
         "SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height, " +
         "AVG(ord(substr(text, CAST(p % n AS INTEGER) + 1, 1))) AS mean_byte " +
         "FROM u GROUP BY doc_id ORDER BY doc_id"),
+    // x41: lossless PCM-in-WAV roundtrip — sample i reproduces from
+    // the text bytes as (ord(c[2i+1]) - 109)*256 + ord(c[2i+2]);
+    // n_samples = len DIV 2 (the corpus has no 0/1-char docs, which
+    // the ascii/non-empty assert pins); zero crossings via LAG in
+    // sample order; the mean is ONE exact-int division on both sides
+    "x41_audio_features" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) // 2 AS ns FROM documents), " +
+        "u AS (SELECT doc_id, unnest(range(ns)) AS i FROM a), " +
+        "s AS (SELECT u.doc_id, a.ns, i, " +
+        "(ord(substr(text, CAST(2*i+1 AS INTEGER), 1)) - 109) * 256 + " +
+        "ord(substr(text, CAST(2*i+2 AS INTEGER), 1)) AS v " +
+        "FROM u JOIN a USING (doc_id)), " +
+        "z AS (SELECT doc_id, ns, v, CASE WHEN " +
+        "LAG(v) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL AND " +
+        "(v < 0) <> (LAG(v) OVER (PARTITION BY doc_id ORDER BY i) < 0) " +
+        "THEN 1 ELSE 0 END AS zc FROM s) " +
+        "SELECT doc_id, CAST(MIN(ns) AS INTEGER) AS n_samples, " +
+        "CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum, " +
+        "CAST(SUM(zc) AS INTEGER) AS zero_crossings, " +
+        "CAST(SUM(ABS(v)) AS DOUBLE) / MIN(ns) AS mean_abs " +
+        "FROM z GROUP BY doc_id ORDER BY doc_id"),
     "x17_frame_sample" ->
       ("WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
         "f AS (SELECT doc_id, n, LEAST(4, GREATEST(1, n // 256)) AS frames FROM a), " +

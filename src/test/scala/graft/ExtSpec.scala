@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{AudioFeatures, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Lake
 
 /** Semantics tests for the sketch-based (rows-only-checked) LLM
@@ -503,6 +503,22 @@ class ExtSpec extends SparkSpec {
       .select("doc_id", "min_fp", "n_windows").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(again == fp)
+  }
+
+  test("x41 real WAV codec: roundtrip features are exact for known bytes") {
+    import graft.ext.{Multimodal => M}
+    // "ab" → one sample (97-109)*256+98 = -2974
+    val one = M.AudioCodec.decode(0L, M.AudioCodec.encodeWav("ab".getBytes("UTF-8")))
+    assert(one == AudioFeatures(0L, 1, 2974L, 0, 2974.0), s"got $one")
+    // "abzz" → samples -2974 then (122-109)*256+122 = 3450: one crossing
+    val two = M.AudioCodec.decode(1L, M.AudioCodec.encodeWav("abzz".getBytes("UTF-8")))
+    assert(two == AudioFeatures(1L, 2, 2974L + 3450L, 1, (2974.0 + 3450.0) / 2),
+      s"got $two")
+    // the WAV bytes are a real RIFF container, not raw PCM
+    val wav = M.AudioCodec.encodeWav("abzz".getBytes("UTF-8"))
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "encode must produce a real WAV container")
   }
 
   test("x35 chunking covers every token: count rule, full-width middles, stride-width tail") {
