@@ -133,7 +133,8 @@ object Bench {
     "x12_token_count", "x14_multimodal_decode", "x15_tfidf",
     "x18_dedup_components", "x19_curation",
     "x25_contamination_screen", "x27_sequence_pack", "x31_passage_dedup",
-    "x32_bloom_contamination", "x33_incremental_dedup")
+    "x32_bloom_contamination", "x33_incremental_dedup",
+    "x37_training_shuffle", "x39_embed_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -225,7 +226,7 @@ object Bench {
       "flagship", "c02_join_large", "c32_range_join",
       "s07_stream_ingest_partitioned", "x03_dedup_minhash",
       "x18_dedup_components", "x27_sequence_pack",
-      "x33_incremental_dedup").filter(names.contains)
+      "x33_incremental_dedup", "x37_training_shuffle").filter(names.contains)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.0)
     // Derive the comparison dir from the PARSED sf token (not a literal

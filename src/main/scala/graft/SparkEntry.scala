@@ -13,10 +13,11 @@ import graft.sources.{Lake, Layout}
   * Query registry layout (names map to SURVEY §2 rows; QUERIES.md has
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
-  *  - b01..b13          — the reference's tested SQL core (§2.B)
+  *  - b01..b14          — the reference's tested SQL core (§2.B)
   *  - c01..c62          — arbitrary-SQL surface categories (§2.C)
-  *  - p01..p04          — ELT pipelines (A18/B13) + data-layout
-  *                        maintenance (compaction, Z-order)
+  *  - p01..p05          — ELT pipelines (A18/B13), data-layout
+  *                        maintenance (compaction, Z-order), MERGE
+  *                        upsert
   *  - s01..s10          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and

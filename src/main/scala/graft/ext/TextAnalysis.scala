@@ -61,6 +61,31 @@ object TextAnalysis {
           PhonePattern, "<PHONE>"))
   }
 
+  /** Per-doc mean unigram log-probability (x34's score), shared with
+    * the x38 ensemble gate: the corpus's own unigram model over the
+    * lake-checkpointed tf table (one artifact, three consumers with
+    * x15), scored by a vocabulary-bound join + per-doc aggregate.
+    * Rounded at 4 dp — the reproducibility contract both consumers
+    * compare on.
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val tot = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+    tf.join(ctf, "term").crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round(
+          sum(col("tf") * log(col("ctf").cast("double") / col("n_total")))
+            / sum(col("tf")), 4).as("avg_logprob"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Quality scoring: length, token count, avg token length,
@@ -182,24 +207,8 @@ object TextAnalysis {
     // of logs is float work whose accumulation order differs across
     // engines — ~1e-13 absolute against a 4 dp round, the same
     // tolerance argument as x07's oracle.
-    "x34_unigram_logprob" -> ((spark, sfDir) => {
-      val d = docs(spark, sfDir)
-      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
-        d.select(col("doc_id"), explode(tokens).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-      }
-      val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-      val tot = tf.agg(sum(col("tf")).cast("double").as("n_total"))
-      tf.join(ctf, "term").crossJoin(broadcast(tot))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("tf")).cast("long").as("n_tokens"),
-          round(
-            sum(col("tf") * log(col("ctf").cast("double") / col("n_total")))
-              / sum(col("tf")), 4).as("avg_logprob"))
-        .orderBy(col("doc_id"))
-    }),
+    "x34_unigram_logprob" -> ((spark, sfDir) =>
+      unigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
 
     // RAG-STYLE SLIDING-WINDOW CHUNKING: cut each document into
     // overlapping 32-token chunks on a 24-token stride (8-token
@@ -250,18 +259,7 @@ object TextAnalysis {
       val rules = d.select(col("doc_id"),
         (stopR >= 0.05).as("gate_stopword"),
         (r3 <= 0.02).as("gate_repetition"))
-      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
-        d.select(col("doc_id"), explode(tokens).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-      }
-      val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
-      val tot = tf.agg(sum(col("tf")).cast("double").as("n_total"))
-      val lm = tf.join(ctf, "term").crossJoin(broadcast(tot))
-        .groupBy(col("doc_id"))
-        .agg(round(
-          sum(col("tf") * log(col("ctf").cast("double") / col("n_total")))
-            / sum(col("tf")), 4).as("avg_logprob"))
+      val lm = unigramLogProb(spark, sfDir).select(col("doc_id"), col("avg_logprob"))
       rules.join(lm, "doc_id")
         .withColumn("gate_logprob", col("avg_logprob") >= -3.41)
         .withColumn("n_gates",
