@@ -312,6 +312,14 @@ object Dedup {
         GraftExpressionBridge.expression(xxhash64(c))))
     }
 
+  /** (doc_id, g) rows of `df`'s distinct word n-grams — the shared
+    * shape of both contamination screens' sides.
+    */
+  private def shingleRows(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"),
+      explode(when(size(tokens) >= n, shingles(n))
+        .otherwise(array().cast("array<string>"))).as("g"))
+
   /** [[contaminationScreen]] with a bloom pre-filter on the corpus
     * side — same output EXACTLY (the bloom only admits false
     * positives, and the exact verify join removes those; false
@@ -325,14 +333,6 @@ object Dedup {
     * unhinted for that reason (Catalyst still auto-broadcasts it at
     * small scale).
     */
-  /** (doc_id, g) rows of `df`'s distinct word n-grams — the shared
-    * shape of both contamination screens' sides.
-    */
-  private def shingleRows(df: DataFrame, n: Int): DataFrame =
-    df.select(col("doc_id"),
-      explode(when(size(tokens) >= n, shingles(n))
-        .otherwise(array().cast("array<string>"))).as("g"))
-
   def bloomContaminationScreen(corpus: DataFrame, bench: DataFrame,
       n: Int, expectedBenchShingles: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame =
@@ -534,8 +534,7 @@ object Dedup {
     val stats = docs(spark, sfDir).select(
       col("doc_id"), col("lang"), col("source"), col("n_chars"),
       size(tokens).as("n_tokens"),
-      (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
-        size(tokens)).as("stop_ratio"))
+      TextAnalysis.stopwordRatio(tokens).as("stop_ratio"))
     val nonSurvivors = componentTable(spark, sfDir)
       .filter(col("v") =!= col("label"))
       .select(col("v").as("doc_id"))
@@ -765,8 +764,7 @@ object Dedup {
     "x40_quality_survivor" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       val sr = d.select(col("doc_id"),
-        (size(filter(tokens, t => TextAnalysis.isStopword(t))).cast("double") /
-          size(tokens)).as("sr"))
+        TextAnalysis.stopwordRatio(tokens).as("sr"))
       val ranked = componentTable(spark, sfDir)
         .select(col("v").as("doc_id"), col("label").as("component"))
         .join(sr, "doc_id")

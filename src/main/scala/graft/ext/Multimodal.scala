@@ -59,15 +59,18 @@ object Multimodal {
 
   private def assertAsciiCorpus(spark: SparkSession, sfDir: String): Unit =
     if (!asciiChecked.contains(sfDir)) {
+      // < 2 chars (not just empty): x41's oracle computes len DIV 2
+      // samples with no wraparound, so a 1-char doc would emit a Spark
+      // row (encodeWav's max(1, ·) path) that the oracle never groups
       val bad = Lake.table(spark, sfDir, "documents")
-        .filter(length(col("text")) === 0 ||
+        .filter(length(col("text")) < 2 ||
           octet_length(col("text")) =!= length(col("text")))
         .count()
       require(bad == 0,
-        s"$bad documents at $sfDir are empty or non-ASCII; the x14/x23 " +
-          "oracles assume non-empty single-byte text (character index " +
-          "== byte index) — rephrase them over bytes before relaxing " +
-          "this assert")
+        s"$bad documents at $sfDir are shorter than 2 chars or non-ASCII; " +
+          "the x14/x23/x41 oracles assume >=2-char single-byte text " +
+          "(character index == byte index; at least one PCM sample) — " +
+          "rephrase them over bytes before relaxing this assert")
       asciiChecked.add(sfDir)
     }
 

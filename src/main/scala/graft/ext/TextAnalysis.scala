@@ -31,6 +31,28 @@ object TextAnalysis {
   def isStopword(t: Column): Column =
     t.isInCollection(EnStopwords)
 
+  /** Stopword-density ratio of a token array — THE quality signal
+    * shared by x10's stats, x11's language ID, x19's curation gate,
+    * x38's ensemble, and x40's survivor ranking (one definition, so
+    * the gates can never drift apart). Exact integer-count division —
+    * deterministic on both engines.
+    */
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => isStopword(t))).cast("double") / size(toks)
+
+  /** Duplicate positional-3-gram ratio (x26's repetition signal,
+    * shared with x38's ensemble gate); 0.0 for docs under 3 tokens.
+    */
+  def repetitionRatio3(toks: Column): Column = {
+    val grams3 = transform(sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3)))
+    when(size(toks) >= 3,
+      (size(grams3) - size(array_distinct(grams3))).cast("double") /
+        size(grams3))
+      .otherwise(lit(0.0))
+  }
+
   /** BPE-ish token pattern: letter runs, digit runs, or any single
     * non-space symbol.
     */
@@ -99,8 +121,7 @@ object TextAnalysis {
           size(tokens).as("n_tokens"),
           round(length(regexp_replace(col("text"), " ", "")).cast("double") /
             size(tokens), 4).as("avg_token_len"),
-          round(size(filter(tokens, t => isStopword(t))).cast("double") /
-            size(tokens), 4).as("stopword_ratio"))
+          round(stopwordRatio(tokens), 4).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // Language ID: stopword-density heuristic (n-gram/function-word
@@ -109,8 +130,7 @@ object TextAnalysis {
     "x11_lang_id" -> ((spark, sfDir) =>
       docs(spark, sfDir)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
-          (size(filter(tokens, t => isStopword(t))).cast("double") / size(tokens))
-            .as("ratio"))
+          stopwordRatio(tokens).as("ratio"))
         .select(col("doc_id"), col("labeled_lang"),
           when(col("ratio") >= 0.05, "en").otherwise("unknown").as("pred_lang"))
         .orderBy(col("doc_id"))),
@@ -161,11 +181,7 @@ object TextAnalysis {
     // map work over array expressions; the flag uses the UNROUNDED
     // ratio on both engines so rounding can never flip it.
     "x26_repetition" -> ((spark, sfDir) => {
-      val grams3 = transform(sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ", element_at(tokens, i + 1),
-          element_at(tokens, i + 2), element_at(tokens, i + 3)))
-      val r3 = (size(grams3) - size(array_distinct(grams3))).cast("double") /
-        size(grams3)
+      val r3 = repetitionRatio3(tokens)
       val rt = (size(tokens) - size(array_distinct(tokens))).cast("double") /
         size(tokens)
       docs(spark, sfDir)
@@ -248,17 +264,9 @@ object TextAnalysis {
     // artifact), then a doc-keyed equi-join of the two per-doc sides.
     "x38_quality_ensemble" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      val grams3 = transform(sequence(lit(0), size(tokens) - 3),
-        i => concat_ws(" ", element_at(tokens, i + 1),
-          element_at(tokens, i + 2), element_at(tokens, i + 3)))
-      val r3 = when(size(tokens) >= 3,
-        (size(grams3) - size(array_distinct(grams3))).cast("double") /
-          size(grams3)).otherwise(lit(0.0))
-      val stopR = size(filter(tokens, t => isStopword(t))).cast("double") /
-        size(tokens)
       val rules = d.select(col("doc_id"),
-        (stopR >= 0.05).as("gate_stopword"),
-        (r3 <= 0.02).as("gate_repetition"))
+        (stopwordRatio(tokens) >= 0.05).as("gate_stopword"),
+        (repetitionRatio3(tokens) <= 0.02).as("gate_repetition"))
       val lm = unigramLogProb(spark, sfDir).select(col("doc_id"), col("avg_logprob"))
       rules.join(lm, "doc_id")
         .withColumn("gate_logprob", col("avg_logprob") >= -3.41)

@@ -274,7 +274,12 @@ object TemporalJoins {
     // "broadcast" table and dying opaquely. Same loud-contract style
     // as Prefix.runningSum's exchange-reuse guard.
     val domainBins = col("_hi") + k - col("_lo") + 1
-    val checkedExtent = extent.filter(assert_true(
+    // An EMPTY right relation has no bins: _lo/_hi are NULL, domainBins
+    // is NULL, and assert_true(NULL) raises its (misleading) broadcast
+    // message. Drop the null extent instead — the cum table comes out
+    // empty and every left row keeps n_within = 0 through the LEFT
+    // join + coalesce below, which is the documented contract.
+    val checkedExtent = extent.filter(col("_lo").isNotNull).filter(assert_true(
       domainBins <= MaxDomainBins,
       format_string(
         "rangeSuccessorCount: dense bin domain of %d bins (span/binSeconds + k) " +

@@ -97,30 +97,36 @@ object Views {
     // anti-join branch. Write+read per rep by design, like p01/p02.
     "p05_merge_upsert" -> ((spark, sfDir) => {
       val hash = Integer.toHexString(sfDir.hashCode)
-      val target = s"/tmp/graft-views/user_metrics_$hash"
+      val base = s"/tmp/graft-views/user_metrics_$hash"
       val e = Lake.table(spark, sfDir, "events")
       val cutoff = lit("2024-01-25")
       def metrics(df: DataFrame) = df.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
-      // base build from history (the standing table)
+      // clear the whole lineage (incl. any pre-generation-layout files
+      // from older runs of this query) so re-runs are deterministic
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // base generation from history (the standing table)
+      val gen0 = s"$base/gen_0"
       metrics(e.filter(col("ts") < cutoff))
-        .write.mode("overwrite").parquet(target)
-      // merge the delta into the standing table
-      val base = spark.read.parquet(target)
+        .write.mode("overwrite").parquet(gen0)
+      // merge the delta into the NEXT generation — a merge never
+      // overwrites the parquet it is reading (the same structural
+      // guard as s10's foreachBatch upsert, at half the write volume
+      // of a staged-write-then-copy)
+      val standing = spark.read.parquet(gen0)
       val delta = metrics(e.filter(col("ts") >= cutoff))
         .select(col("user_id"), col("n").as("d_n"), col("last_ts").as("d_last_ts"))
-      val merged = base.join(delta, Seq("user_id"), "full_outer")
+      val gen1 = s"$base/gen_1"
+      standing.join(delta, Seq("user_id"), "full_outer")
         .select(col("user_id"),
           (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
           greatest(
             coalesce(col("last_ts"), col("d_last_ts")),
             coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
-      // overwrite-into-the-source guard: materialize the join before
-      // the write truncates the directory it reads from
-      val staged = s"${target}_staged"
-      merged.write.mode("overwrite").parquet(staged)
-      spark.read.parquet(staged).write.mode("overwrite").parquet(target)
-      spark.read.parquet(target).orderBy(col("user_id"))
+        .write.mode("overwrite").parquet(gen1)
+      spark.read.parquet(gen1).orderBy(col("user_id"))
     })
   )
 

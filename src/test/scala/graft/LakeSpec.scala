@@ -53,8 +53,11 @@ class LakeSpec extends SparkSpec {
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
     assert(files.length > 1, s"expected a multi-file clustered copy in $dir")
     val ranges = files.flatMap { f =>
+      // exact integer MICROS, not cast("long") (= seconds): two
+      // distinct-micros events inside one shared second would truncate
+      // to equal bounds and fail the strict check spuriously
       val r = spark.read.parquet(f)
-        .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+        .agg(min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)")))
         .collect()(0)
       // a 0-row part file aggregates to NULL min/max — skip it (it
       // constrains no scan) instead of dying on an unboxing NPE
@@ -64,7 +67,9 @@ class LakeSpec extends SparkSpec {
     assert(ranges.length > 1, "all part files empty — nothing to check")
     ranges.sliding(2).foreach {
       case Array((_, hiA), (loB, _)) =>
-        assert(loB > hiA, s"overlapping file ts ranges: $hiA >= $loB")
+        // >= not >: range partitioning may legitimately split rows
+        // sharing one exact timestamp across a file boundary
+        assert(loB >= hiA, s"overlapping file ts ranges: $hiA > $loB")
       case _ =>
     }
   }

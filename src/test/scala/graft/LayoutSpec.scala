@@ -14,8 +14,15 @@ class LayoutSpec extends SparkSpec {
 
   private def fileSpans(dir: String, c: String): Seq[(Long, Long)] =
     Layout.partFiles(dir).map(_.getPath).flatMap { f =>
-      val r = spark.read.parquet(f)
-        .agg(min(col(c).cast("long")), max(col(c).cast("long"))).collect()(0)
+      val df = spark.read.parquet(f)
+      // timestamps in exact integer MICROS — cast("long") truncates to
+      // seconds, so two distinct-micros events in one shared second
+      // would alias and fail a strict disjointness check spuriously
+      val v =
+        if (df.schema(c).dataType ==
+          org.apache.spark.sql.types.TimestampType) expr(s"unix_micros($c)")
+        else col(c).cast("long")
+      val r = df.agg(min(v), max(v)).collect()(0)
       if (r.isNullAt(0) || r.isNullAt(1)) None
       else Some((r.getLong(0), r.getLong(1)))
     }
@@ -36,7 +43,9 @@ class LayoutSpec extends SparkSpec {
     val spans = fileSpans(target, "ts").sortBy(_._1)
     spans.sliding(2).foreach {
       case Seq((_, hiA), (loB, _)) =>
-        assert(loB > hiA, s"compacted files overlap on ts: $hiA >= $loB")
+        // >= not >: the range partitioner may legitimately split rows
+        // sharing one exact timestamp across a file boundary
+        assert(loB >= hiA, s"compacted files overlap on ts: $hiA > $loB")
       case _ =>
     }
     // the fragmented source is the degenerate contrast: (nearly) every

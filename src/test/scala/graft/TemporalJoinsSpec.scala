@@ -191,6 +191,31 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeSuccessorCount handles empty relations: empty self input and empty right side") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("event_id", "ts")
+    // empty self form: empty output, NOT the broadcast-bound assert
+    // firing on a NULL extent with its misleading binSeconds message
+    assert(TemporalJoins
+      .rangeSuccessorCount(empty, "event_id", "ts", 600L, binSeconds = 30L)
+      .count() == 0)
+    // two-relation form with an empty right side: every left row
+    // survives with n_within = 0 (the documented contract)
+    val left = Seq((0L, base), (1L, base)).toDF("event_id", "ts")
+    val got = TemporalJoins
+      .rangeSuccessorCount(left, empty, "event_id", "ts", "ts",
+        600L, binSeconds = 30L)
+      .select(col("event_id"), col("n_within"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L), s"got $got")
+    // and both empty: empty output
+    assert(TemporalJoins
+      .rangeSuccessorCount(empty, empty, "event_id", "ts", "ts",
+        600L, binSeconds = 30L)
+      .count() == 0)
+  }
+
   test("rangeSuccessorCount enforces the broadcast bin-domain bound with an actionable message") {
     import spark.implicits._
     // Two rows ~50 years apart at 1 s bins: a ~1.6e9-bin dense domain.
