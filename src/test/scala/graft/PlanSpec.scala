@@ -235,6 +235,26 @@ class PlanSpec extends SparkSpec {
       s"expected the ranked-window rewrite in:\n$plan")
   }
 
+  test("time-range window rides one hash shuffle on user_id (c61)") {
+    // both frame aggregates share the window partitioning; only the
+    // final ORDER BY may add a range exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (shuffles, planStr) = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = Surface.queries("c61_window_timerange")(spark, SfDir)
+        .queryExecution.executedPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+      (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
+        plan.toString)
+    }
+    assert(shuffles.count(s =>
+        s.contains("hashpartitioning") && s.contains("user_id")) == 1,
+      s"expected one hash shuffle on user_id, got $shuffles in:\n$planStr")
+    assert(shuffles.size <= 2,
+      s"unexpected extra shuffles $shuffles in:\n$planStr")
+  }
+
   test("correlated EXISTS/NOT EXISTS decorrelate to semi and anti joins (c56)") {
     // The quantified predicates must become join operators — a
     // per-outer-row re-execution of the orders subquery (nested loop)
