@@ -281,6 +281,31 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // CORPUS STATISTICS REPORT — the per-source "dataset card" a
+    // training pipeline publishes next to the data: doc/token volumes,
+    // token-length percentiles, language diversity, and the corpus
+    // stopword rate. Reproducibility discipline: the stopword rate is
+    // total-stopwords / total-tokens — two exact integer sums and ONE
+    // double division — NOT a mean of per-doc double ratios, whose
+    // accumulation order would differ across engines; the percentiles
+    // are exact interpolated quantiles (c42's cross-engine contract).
+    // One partial-aggregatable hash agg; output is sources-sized.
+    "x42_corpus_stats" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("source"), col("lang"),
+          size(tokens).as("n_toks"),
+          size(filter(tokens, t => isStopword(t))).as("n_stop"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("total_tokens"),
+          round(expr("percentile(n_toks, 0.5)"), 4).as("p50_tokens"),
+          round(expr("percentile(n_toks, 0.9)"), 4).as("p90_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("n_stop")).cast("double") /
+            sum(col("n_toks"))).as("stop_rate"))
+        .orderBy(col("source"))),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -424,6 +449,21 @@ object TextAnalysis {
         "CAST(lp >= -3.41 AS INTEGER) " +
         "WHEN 3 THEN 'keep' WHEN 2 THEN 'review' ELSE 'drop' END AS verdict " +
         "FROM rules JOIN lm USING (doc_id) ORDER BY rules.doc_id"),
+    // exact-count rate (one division), interpolated quantiles (c42's
+    // quantile_cont ≡ Spark percentile contract)
+    "x42_corpus_stats" ->
+      ("WITH t AS (SELECT source, lang, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS INTEGER) AS n_stop " +
+        "FROM documents) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_toks) AS BIGINT) AS total_tokens, " +
+        "ROUND(quantile_cont(n_toks, 0.5), 4) AS p50_tokens, " +
+        "ROUND(quantile_cont(n_toks, 0.9), 4) AS p90_tokens, " +
+        "COUNT(DISTINCT lang) AS n_langs, " +
+        "CAST(SUM(n_stop) AS DOUBLE) / SUM(n_toks) AS stop_rate " +
+        "FROM t GROUP BY source ORDER BY source"),
     // Structural fingerprint columns only — the hashed variant
     // (hashFingerprint) is engine-specific by construction.
     "x13_fingerprint" ->

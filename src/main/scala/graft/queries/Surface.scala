@@ -537,6 +537,12 @@ object Surface {
         "CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume " +
         "FROM events ORDER BY event_id LIMIT 500"),
 
+    // GROUP BY ALL — group keys inferred from the non-aggregate
+    // select items; identical text runs on both engines.
+    "c63_group_by_all" -> sql(
+      "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ALL ORDER BY 1, 2"),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -993,6 +999,9 @@ object Surface {
         "PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pct_rank, " +
         "CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cume " +
         "FROM events ORDER BY event_id LIMIT 500"),
+    "c63_group_by_all" ->
+      ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ALL ORDER BY 1, 2"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
