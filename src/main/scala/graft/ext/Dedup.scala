@@ -811,7 +811,19 @@ object Dedup {
     "x31_passage_dedup" -> ((spark, sfDir) =>
       passageDupStats(docs(spark, sfDir),
         checkpoint = ps => Lake.materialize(spark, sfDir, "x31_passages")(ps))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Cross-source passage-overlap matrix (dataset-card provenance
+    // report). Shares x31's lake-checkpointed passage table — repeat
+    // invocations of either query read one parquet artifact.
+    "x43_source_overlap" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val passages = Lake.materialize(spark, sfDir, "x31_passages") {
+        passageTable(d)
+      }
+      sourceOverlap(passages, d.select(col("doc_id"), col("source")))
+        .orderBy(col("source_a"), col("source_b"))
+    })
   )
 
   /** Per-document passage-duplication stats: cut `text` into fixed
@@ -830,23 +842,57 @@ object Dedup {
     */
   def passageDupStats(df: DataFrame, p: Int = 8,
       checkpoint: DataFrame => DataFrame = identity): DataFrame = {
-    // tokenize ONCE into a projected column: HOF lambda bodies are
-    // evaluated per element with no loop-invariant hoisting, so
-    // split() inside the lambda would re-tokenize the whole document
-    // for every chunk (O(words x chunks) per doc)
-    val passages = checkpoint(df
-      .withColumn("_toks", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, (size(_toks) - 1) DIV $p), " +
-            s"i -> array_join(slice(_toks, i * $p + 1, $p), ' '))"))
-          .as("passage")))
+    val passages = checkpoint(passageTable(df, p))
     val occ = passages.groupBy(col("passage"))
       .agg(count(lit(1)).as("n_occ"))
     passages.join(occ, "passage")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+  }
+
+  /** The (doc_id, passage) table behind [[passageDupStats]] and
+    * [[sourceOverlap]]: non-overlapping `p`-word chunks, trailing
+    * short chunk included so every word is accounted for. The
+    * tokenization happens ONCE into a projected column: HOF lambda
+    * bodies are evaluated per element with no loop-invariant
+    * hoisting, so split() inside the lambda would re-tokenize the
+    * whole document for every chunk (O(words x chunks) per doc).
+    */
+  def passageTable(df: DataFrame, p: Int = 8): DataFrame =
+    df.withColumn("_toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, (size(_toks) - 1) DIV $p), " +
+            s"i -> array_join(slice(_toks, i * $p + 1, $p), ' '))"))
+          .as("passage"))
+
+  /** Cross-source passage-overlap matrix — the provenance half of a
+    * dataset card: for every source pair, how many distinct `p`-word
+    * passages they share, and the passage-set Jaccard. The input is
+    * the same passage table x31 checkpoints; `sources` maps doc_id →
+    * source. Scale shape: candidates come from ONE equi-join on the
+    * passage string over the DISTINCT (source, passage) table, so a
+    * passage's join-group is bounded by the number of sources (a
+    * model-sized constant), never by its corpus-wide occurrence
+    * count; the per-source size table is sources-sized and broadcast.
+    * No pair enumeration at document granularity anywhere.
+    */
+  def sourceOverlap(passages: DataFrame, sources: DataFrame): DataFrame = {
+    val sp = passages.join(sources, "doc_id")
+      .select(col("source"), col("passage")).distinct()
+    val sz = broadcast(sp.groupBy(col("source")).agg(count(lit(1)).as("n")))
+    val a = sp.select(col("source").as("source_a"), col("passage"))
+    val b = sp.select(col("source").as("source_b"), col("passage"))
+    a.join(b, "passage")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("source").as("source_a"), col("n").as("_na")), "source_a")
+      .join(sz.select(col("source").as("source_b"), col("n").as("_nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("_na") + col("_nb") - col("n_shared")), 4).as("jaccard"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -947,6 +993,20 @@ object Dedup {
         "SELECT p.doc_id, COUNT(*) AS n_passages, " +
         "CAST(SUM(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages " +
         "FROM p JOIN s USING (passage) GROUP BY 1 ORDER BY 1"),
+    // x31's chunk rule + the distinct (source, passage) self-join;
+    // one exact-integer division for the jaccard
+    "x43_source_overlap" ->
+      ("WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents), " +
+        "c AS (SELECT source, l, unnest(range((len(l)+7)//8)) AS ci FROM d), " +
+        "sp AS (SELECT DISTINCT source, " +
+        "array_to_string(l[(ci*8+1):(ci*8+8)], ' ') AS passage FROM c), " +
+        "sz AS (SELECT source, COUNT(*) AS n FROM sp GROUP BY 1), " +
+        "inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared " +
+        "FROM sp a JOIN sp b ON a.passage = b.passage AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, n_shared, " +
+        "ROUND(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 4) AS jaccard " +
+        "FROM inter JOIN sz za ON za.source = source_a " +
+        "JOIN sz zb ON zb.source = source_b ORDER BY source_a, source_b"),
     // same pair definition as x05, then components by transitive
     // reachability (recursive CTE): component = min reachable doc_id —
     // exactly what min-label propagation converges to

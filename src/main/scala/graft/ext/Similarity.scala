@@ -146,6 +146,44 @@ object Similarity {
       threshold: Double): DataFrame =
     neardupPairsFrom(lshBuckets(df, nBits, nTables), df, threshold)
 
+  /** Sorted-neighborhood (SNM) embedding near-dup — the DETERMINISTIC
+    * blocking method next to the seeded LSH/SimHash family, and
+    * therefore the one whose full output an external engine can
+    * reproduce: sort each label partition by a data-derived key (the
+    * raw first embedding component — exact float pass-through, no
+    * arithmetic), slide a `window`-row neighborhood over that order,
+    * and verify candidates by exact cosine. Near-identical vectors
+    * have near-identical sort keys, so they land adjacent; candidate
+    * volume is exactly n·window by construction (vs LSH's
+    * collision-bound), at the cost of recall for pairs whose first
+    * component disagrees.
+    *
+    * Scale shape: the rank is one window over the label partition;
+    * neighbor pairing is a pure equi-join on (label, rank) against
+    * the exploded forward window — no range-predicate join, no
+    * quadratic label-group blowup. `checkpoint` snapshots the ranked
+    * table once for both join sides.
+    */
+  def snmNeardup(df: DataFrame, window: Int, threshold: Double,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+    val byKey = Window.partitionBy(col("label"))
+      .orderBy(element_at(col("embedding"), 1), col("vec_id"))
+    val ranked = checkpoint(df
+      .select(col("vec_id"), col("label"), col("embedding"),
+        row_number().over(byKey).as("rk")))
+    val probes = ranked.select(col("label"), col("vec_id").as("_va"),
+      col("embedding").as("_ea"),
+      explode(sequence(col("rk") + 1, col("rk") + window)).as("_rk2"))
+    val partners = ranked.select(col("label"), col("rk").as("_rk2"),
+      col("vec_id").as("_vb"), col("embedding").as("_eb"))
+    probes.join(partners, Seq("label", "_rk2"))
+      .withColumn("_cos", cosine(col("_ea"), col("_eb")))
+      .filter(col("_cos") >= threshold)
+      .select(least(col("_va"), col("_vb")).as("vec_a"),
+        greatest(col("_va"), col("_vb")).as("vec_b"),
+        round(col("_cos"), 4).as("cos"))
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path next to
     * LSH: a seeded k-means coarse quantizer partitions the corpus into
     * k disjoint cells; a query probes only its `nprobe` nearest cells
@@ -436,6 +474,16 @@ object Similarity {
         .limit(100)
     }),
 
+    // Sorted-neighborhood near-dup: deterministic blocking (first
+    // embedding component within each label), so unlike x08/x09 the
+    // candidate SET is engine-reproducible and the query carries a
+    // full DuckDB oracle. The ranked table is lake-checkpointed for
+    // its two join sides.
+    "x45_snm_neardup" -> ((spark, sfDir) =>
+      snmNeardup(emb(spark, sfDir), window = 10, threshold = 0.2,
+        checkpoint = r => Lake.materialize(spark, sfDir, "x45_snm_ranked")(r))
+        .orderBy(col("vec_a"), col("vec_b"))),
+
     // Embedding int8 quantization — the storage-reduction step of an
     // embedding lake (4 bytes/dim fp32 → 1 byte/dim + 2 scale floats).
     // Per-vector min-max scale to [0, 255]; shuffle-free map work.
@@ -527,6 +575,22 @@ object Similarity {
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),
+    // deterministic blocking → reproducible candidate set; the cosine
+    // mirrors x07's arithmetic (double widening, 4 dp round)
+    "x45_snm_neardup" ->
+      ("WITH e AS (SELECT vec_id, label, embedding[1] AS k, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "r AS (SELECT vec_id, label, v, ROW_NUMBER() OVER " +
+        "(PARTITION BY label ORDER BY k, vec_id) AS rk FROM e), " +
+        "p AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.v AS av, b.v AS bv " +
+        "FROM r a JOIN r b ON a.label = b.label " +
+        "AND b.rk > a.rk AND b.rk <= a.rk + 10), " +
+        "c AS (SELECT va, vb, " +
+        "list_sum(list_transform(range(1, len(av) + 1), i -> av[i] * bv[i])) / " +
+        "(sqrt(list_sum(list_transform(av, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(bv, x -> x * x)))) AS cos FROM p) " +
+        "SELECT LEAST(va, vb) AS vec_a, GREATEST(va, vb) AS vec_b, " +
+        "ROUND(cos, 4) AS cos FROM c WHERE cos >= 0.2 ORDER BY vec_a, vec_b"),
     // order-independent mean: exact decimal sum, ONE double division
     // (mirrors the Spark arithmetic); 0-based dim matches posexplode
     "x39_embed_centroids" ->

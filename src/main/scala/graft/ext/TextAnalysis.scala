@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Lake
@@ -306,6 +307,36 @@ object TextAnalysis {
             sum(col("n_toks"))).as("stop_rate"))
         .orderBy(col("source"))),
 
+    // VOCABULARY-GROWTH CURVE (Heaps' law) — types vs tokens as the
+    // corpus grows in doc_id order, the diversity diagnostic that
+    // tells a data curator when a source stops contributing new
+    // vocabulary. A token's arrival position is its MIN doc_id (one
+    // hash groupBy over the exploded tokens — partial-aggregatable);
+    // bucketing doc_ids (width 50) collapses the curve to a
+    // model-sized table, so the running sums ride a window over
+    // buckets, never over the corpus: at 100 TB pick a bucket width
+    // that keeps the bucket table in the thousands of rows and the
+    // single-task window stays trivially bounded (the Prefix.scala
+    // discipline — this is its small-domain fast path).
+    "x44_vocab_growth" -> ((spark, sfDir) => {
+      val tok = docs(spark, sfDir)
+        .select(col("doc_id"), explode(tokens).as("token"))
+      val newTypes = tok.groupBy(col("token"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(expr("first_doc DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val tokCounts = tok.groupBy(expr("doc_id DIV 50").as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val byBucket = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCounts.join(newTypes, Seq("bucket"), "left")
+        .na.fill(0L, Seq("new_types"))
+        .select(col("bucket"), col("n_tokens"), col("new_types"),
+          sum(col("new_types")).over(byBucket).as("vocab_size"),
+          sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -464,6 +495,21 @@ object TextAnalysis {
         "COUNT(DISTINCT lang) AS n_langs, " +
         "CAST(SUM(n_stop) AS DOUBLE) / SUM(n_toks) AS stop_rate " +
         "FROM t GROUP BY source ORDER BY source"),
+    // integer-exact counts end to end; the running sums are BIGINT
+    // (DuckDB window SUM widens to HUGEINT — cast back)
+    "x44_vocab_growth" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "fst AS (SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1), " +
+        "newb AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS new_types " +
+        "FROM fst GROUP BY 1), " +
+        "tokb AS (SELECT doc_id // 50 AS bucket, COUNT(*) AS n_tokens " +
+        "FROM tok GROUP BY 1) " +
+        "SELECT t.bucket, t.n_tokens, COALESCE(n.new_types, 0) AS new_types, " +
+        "CAST(SUM(COALESCE(n.new_types, 0)) OVER " +
+        "(ORDER BY t.bucket) AS BIGINT) AS vocab_size, " +
+        "CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens " +
+        "FROM tokb t LEFT JOIN newb n USING (bucket) ORDER BY t.bucket"),
     // Structural fingerprint columns only — the hashed variant
     // (hashFingerprint) is engine-specific by construction.
     "x13_fingerprint" ->

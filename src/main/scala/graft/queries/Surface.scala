@@ -543,6 +543,28 @@ object Surface {
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY ALL ORDER BY 1, 2"),
 
+    // TRY_CAST — error-safe ANSI casts: malformed input → NULL, never
+    // a task failure (the ingest-hardening primitive; ANSI-mode CAST
+    // would kill the job on the first bad row). Inputs chosen so both
+    // engines agree: alpha strings and JSON text are invalid in both,
+    // digit prefixes valid in both.
+    "c64_try_cast" -> sql(
+      "SELECT event_id, TRY_CAST(event_type AS INTEGER) AS et_int, " +
+        "TRY_CAST(SUBSTR(CAST(event_id AS VARCHAR(20)), 1, 2) AS INTEGER) AS id_prefix, " +
+        "TRY_CAST(props AS DOUBLE) AS props_num " +
+        "FROM events ORDER BY event_id LIMIT 200"),
+
+    // Inline VALUES relation — the literal lookup-table join (weights,
+    // rename maps) without a physical table; the optimizer folds it to
+    // a broadcast local relation.
+    "c65_values_join" -> sql(
+      "SELECT e.event_type, v.weight, COUNT(*) AS n, " +
+        "ROUND(SUM(e.value * v.weight), 4) AS wsum " +
+        "FROM events e JOIN (VALUES ('click', CAST(2.0 AS DOUBLE)), " +
+        "('view', CAST(1.0 AS DOUBLE)), ('purchase', CAST(5.0 AS DOUBLE))) " +
+        "AS v(event_type, weight) " +
+        "ON e.event_type = v.event_type GROUP BY 1, 2 ORDER BY 1"),
+
     // CUBE grouping sets (c09 covers ROLLUP).
     "c33_agg_cube" -> sql(
       "SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
@@ -1002,6 +1024,18 @@ object Surface {
     "c63_group_by_all" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY ALL ORDER BY 1, 2"),
+    "c64_try_cast" ->
+      ("SELECT event_id, TRY_CAST(event_type AS INTEGER) AS et_int, " +
+        "TRY_CAST(SUBSTR(CAST(event_id AS VARCHAR(20)), 1, 2) AS INTEGER) AS id_prefix, " +
+        "TRY_CAST(props AS DOUBLE) AS props_num " +
+        "FROM events ORDER BY event_id LIMIT 200"),
+    "c65_values_join" ->
+      ("SELECT e.event_type, v.weight, COUNT(*) AS n, " +
+        "ROUND(SUM(e.value * v.weight), 4) AS wsum " +
+        "FROM events e JOIN (VALUES ('click', CAST(2.0 AS DOUBLE)), " +
+        "('view', CAST(1.0 AS DOUBLE)), ('purchase', CAST(5.0 AS DOUBLE))) " +
+        "AS v(event_type, weight) " +
+        "ON e.event_type = v.event_type GROUP BY 1, 2 ORDER BY 1"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

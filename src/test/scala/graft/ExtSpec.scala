@@ -601,4 +601,69 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._3) && rows.exists(!_._3),
       "gate_logprob should be non-vacuous on the test corpus")
   }
+
+  test("x43 source overlap: distinct shared passages per pair, within-source dups collapse") {
+    import spark.implicits._
+    val p1 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val p2 = (1 to 8).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (0L, p1),              // source A
+      (1L, p1),              // source A again — DISTINCT must collapse
+      (2L, p1 + " " + p2),   // source B shares p1, owns p2
+      (3L, "u1 u2 u3")       // source C, unrelated short passage
+    ).toDF("doc_id", "text")
+    val sources = Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("doc_id", "source")
+    val got = Dedup.sourceOverlap(Dedup.passageTable(corpus), sources)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    // A={p1}, B={p1,p2}, C={u1 u2 u3}: only (A,B) overlap, jaccard 1/2
+    assert(got.toSeq == Seq(("A", "B", 1L, 0.5)), s"got ${got.toSeq}")
+  }
+
+  test("x44 vocab growth: monotone curve whose totals equal the corpus type/token counts") {
+    val rows = TextAnalysis.queries("x44_vocab_growth")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // running sums are monotone and internally consistent
+    rows.sliding(2).foreach {
+      case Array((_, _, _, v1, c1), (_, _, _, v2, c2)) =>
+        assert(v2 >= v1 && c2 > c1, s"non-monotone curve: $v1->$v2, $c1->$c2")
+      case _ =>
+    }
+    assert(rows.last._4 == rows.map(_._3).sum, "vocab_size must sum new_types")
+    assert(rows.last._5 == rows.map(_._2).sum, "cum_tokens must sum n_tokens")
+    // the curve's endpoints equal the corpus-wide truths
+    val corpus = Lake.table(spark, SfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val (types, toks) = (corpus.distinct().count(), corpus.count())
+    assert(rows.last._4 == types, s"final vocab ${rows.last._4} != $types")
+    assert(rows.last._5 == toks, s"final tokens ${rows.last._5} != $toks")
+  }
+
+  test("x45 SNM near-dup: planted near-identical pair recalled, candidate volume window-bounded") {
+    import spark.implicits._
+    // label 0: v0 ≈ v1 (cos ≈ 1, adjacent first components), v2 opposed
+    // (cos < 0); label 1: the same direction as v0 — MUST NOT pair
+    // across labels
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0f, 0f), 0),
+      (1L, Array(0.999f, 0.1001f, 0f, 0f), 0),
+      (2L, Array(-1.0f, 0.5f, 0f, 0f), 0),
+      (3L, Array(1.0f, 0.1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.snmNeardup(vecs, window = 10, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((0L, 1L)),
+      s"expected exactly the planted pair, got ${got.toSeq}")
+    assert(got.head._3 > 0.999, s"planted pair cos ${got.head._3}")
+    // corpus run: candidate volume is n*window by construction, so the
+    // verified output can never exceed it (the SNM scale contract)
+    val e = Lake.table(spark, SfDir, "embeddings")
+    val n = e.count()
+    val pairs = Similarity.snmNeardup(e, window = 10, threshold = 0.2).count()
+    assert(pairs <= n * 10, s"$pairs pairs exceeds n*window = ${n * 10}")
+  }
 }

@@ -64,7 +64,7 @@ class PlanSpec extends SparkSpec {
     for (name <- Seq("x03_dedup_minhash", "x04_dedup_simhash",
         "x05_dedup_ngram_jaccard", "x25_contamination_screen",
         "x31_passage_dedup", "x32_bloom_contamination",
-        "x33_incremental_dedup")) {
+        "x33_incremental_dedup", "x43_source_overlap")) {
       val plan = Dedup.queries(name)(spark, SfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
+  }
+
+  test("SNM near-dup pairs neighbors via a pure (label, rank) equi-join (x45)") {
+    // the forward window is EXPLODED to explicit partner ranks, so the
+    // join carries no range predicate — a rank BETWEEN condition would
+    // degrade to a per-label nested loop
+    val plan = Similarity.queries("x45_snm_neardup")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x45 plans a non-equi join:\n$plan")
   }
 
   test("bucketed co-located join plans no shuffle on the join keys (c44)") {
