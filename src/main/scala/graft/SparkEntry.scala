@@ -14,7 +14,7 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
-  *  - c01..c65          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c66          — arbitrary-SQL surface categories (§2.C)
   *  - p01..p05          — ELT pipelines (A18/B13), data-layout
   *                        maintenance (compaction, Z-order), MERGE
   *                        upsert
@@ -24,7 +24,7 @@ import graft.sources.{Lake, Layout}
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert
-  *  - x01..x45          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x48          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination

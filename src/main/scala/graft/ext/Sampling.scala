@@ -161,6 +161,27 @@ object Sampling {
         .filter(sampleHash(col("doc_id")) < col("thr"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HOT-KEY DIAGNOSTIC — the data-profiling step that DECIDES the
+    // skew strategy (operators/Skew.scala's scaladoc: salt when one
+    // key dominates, trust AQE otherwise): per-key row counts on a
+    // prospective join key, ranked, with each key's ratio to the mean
+    // key load. One partial-aggregatable count, a 1-row broadcast for
+    // the mean (two exact integer sums, ONE double division — order-
+    // independent), TakeOrderedAndProject for the top slice. At 100 TB
+    // this is the cheap pre-join scan that tells you whether the big
+    // join needs c43's salting before you burn the shuffle.
+    "x48_hot_keys" -> ((spark, sfDir) => {
+      val counts = Lake.table(spark, sfDir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val mean = broadcast(counts.agg(
+        (sum(col("n")).cast("double") / count(lit(1))).as("_mean")))
+      counts.crossJoin(mean)
+        .select(col("o_custkey"), col("n"),
+          round(col("n") / col("_mean"), 4).as("skew_ratio"))
+        .orderBy(desc("n"), col("o_custkey"))
+        .limit(20)
     })
   )
 
@@ -199,6 +220,13 @@ object Sampling {
         s"r AS (SELECT lang, ($HashMod * min_cnt) // cnt AS thr FROM c, m) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
-        "ORDER BY d.doc_id")
+        "ORDER BY d.doc_id"),
+    // mean = exact-integer SUM/COUNT in one double division; ties on n
+    // break by key so the top-20 slice is deterministic
+    "x48_hot_keys" ->
+      ("WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), " +
+        "m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n FROM c) " +
+        "SELECT o_custkey, n, ROUND(n / mean_n, 4) AS skew_ratio " +
+        "FROM c, m ORDER BY n DESC, o_custkey LIMIT 20")
   )
 }

@@ -109,6 +109,57 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Per-doc mean BIGRAM log-probability under the corpus's own
+    * add-one-smoothed order-2 model — x46's score, the sequence-aware
+    * step up from [[unigramLogProb]]: word salad with a plausible
+    * unigram profile scores low here because its transitions are
+    * unseen. P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), V = corpus vocab.
+    *
+    * Scale shape: the per-doc bigram-count table (doc_id, w1, w2, bf)
+    * is lake-checkpointed once for its three consumers (corpus bigram
+    * counts, first-word counts, the per-doc join); both model tables
+    * come off it with ONE partial-aggregatable hash agg each, and V
+    * is a 1-row broadcast off the shared tf artifact. Per-doc bigram
+    * MULTIPLICITY rides the integer `bf`, so the double work is one
+    * log per DISTINCT (doc, bigram), not per token.
+    */
+  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val bfd = Lake.materialize(spark, sfDir, "x46_bigrams") {
+      docs(spark, sfDir)
+        .withColumn("_toks", tokens)
+        // single-token docs have no transitions; dropping them BEFORE
+        // the transform keeps sequence() ascending (a descending
+        // sequence(1, 0) would index past the array under ANSI mode)
+        .filter(size(col("_toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(_toks) - 1), " +
+            "i -> struct(element_at(_toks, i) AS w1, " +
+            "element_at(_toks, i + 1) AS w2))")).as("_bg"))
+        .select(col("doc_id"), col("_bg.w1"), col("_bg.w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("bf"))
+    }
+    val cbg = bfd.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("bf")).as("cbg"))
+    val cw1 = bfd.groupBy(col("w1")).agg(sum(col("bf")).as("cw1"))
+    // vocab size off the shared tf table (the x15/x34 artifact)
+    val v = Lake.materialize(spark, sfDir, "tfidf_tf") {
+      docs(spark, sfDir)
+        .select(col("doc_id"), explode(tokens).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }.select(col("term")).distinct().agg(count(lit(1)).as("v"))
+    bfd.join(cbg, Seq("w1", "w2")).join(cw1, "w1")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("bf")).cast("long").as("n_bigrams"),
+        round(
+          sum(col("bf") * log((col("cbg") + lit(1)).cast("double") /
+            (col("cw1") + col("v")).cast("double"))) / sum(col("bf")),
+          4).as("avg_bigram_logprob"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Quality scoring: length, token count, avg token length,
@@ -226,6 +277,10 @@ object TextAnalysis {
     // tolerance argument as x07's oracle.
     "x34_unigram_logprob" -> ((spark, sfDir) =>
       unigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
+
+    // Order-2 LM quality score (see bigramLogProb scaladoc).
+    "x46_bigram_logprob" -> ((spark, sfDir) =>
+      bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
 
     // RAG-STYLE SLIDING-WINDOW CHUNKING: cut each document into
     // overlapping 32-token chunks on a 24-token stride (8-token
@@ -442,6 +497,22 @@ object TextAnalysis {
         "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
         "ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) / SUM(tf), 4) AS avg_logprob " +
         "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
+    // add-one-smoothed conditional probs; the log runs on one DOUBLE
+    // division in both engines (x34's 4 dp tolerance argument)
+    "x46_bigram_logprob" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "bfd AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3), " +
+        "cbg AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS cbg FROM bfd GROUP BY 1, 2), " +
+        "cw1 AS (SELECT w1, CAST(SUM(bf) AS BIGINT) AS cw1 FROM bfd GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT t) AS v FROM " +
+        "(SELECT unnest(w) AS t FROM tok) u) " +
+        "SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams, " +
+        "ROUND(SUM(bf * LN(CAST(cbg + 1 AS DOUBLE) / CAST(cw1 + v AS DOUBLE))) " +
+        "/ SUM(bf), 4) AS avg_bigram_logprob " +
+        "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     // same chunk-count rule and 1-based inclusive list slicing
     "x35_doc_chunk" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

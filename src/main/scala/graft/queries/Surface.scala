@@ -554,6 +554,16 @@ object Surface {
         "TRY_CAST(props AS DOUBLE) AS props_num " +
         "FROM events ORDER BY event_id LIMIT 200"),
 
+    // FILTER clause on aggregates — per-group conditional aggregation
+    // without a self-join or CASE pyramid; stays one hash agg with
+    // map-side partials (the conditions evaluate per-row pre-shuffle).
+    "c66_agg_filter" -> sql(
+      "SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(*) FILTER (WHERE value > 50) AS n_big, " +
+        "ROUND(SUM(value) FILTER (WHERE value > 50), 4) AS sum_big, " +
+        "COUNT(DISTINCT user_id) FILTER (WHERE value <= 50) AS users_small " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+
     // Inline VALUES relation — the literal lookup-table join (weights,
     // rename maps) without a physical table; the optimizer folds it to
     // a broadcast local relation.
@@ -1036,6 +1046,12 @@ object Surface {
         "('view', CAST(1.0 AS DOUBLE)), ('purchase', CAST(5.0 AS DOUBLE))) " +
         "AS v(event_type, weight) " +
         "ON e.event_type = v.event_type GROUP BY 1, 2 ORDER BY 1"),
+    "c66_agg_filter" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(*) FILTER (WHERE value > 50) AS n_big, " +
+        "ROUND(SUM(value) FILTER (WHERE value > 50), 4) AS sum_big, " +
+        "COUNT(DISTINCT user_id) FILTER (WHERE value <= 50) AS users_small " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

@@ -643,6 +643,52 @@ class ExtSpec extends SparkSpec {
     assert(rows.last._5 == toks, s"final tokens ${rows.last._5} != $toks")
   }
 
+  test("x46 bigram LM: multiplicity-exact bigram counts, negative smoothed scores, dup texts tie") {
+    val scores = TextAnalysis.queries("x46_bigram_logprob")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scores.nonEmpty)
+    // n_bigrams carries multiplicity: exactly tokens - 1 per doc
+    val toks = TextAnalysis.queries("x12_token_count")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    scores.foreach { case (id, nbg, lp) =>
+      assert(nbg == toks(id) - 1, s"doc $id: $nbg bigrams vs ${toks(id)} tokens")
+      // smoothed conditional probs are < 1 (V >= 2), so means are < 0
+      assert(lp < 0.0, s"doc $id score $lp not negative")
+    }
+    // exact-duplicate texts must score identically (same transitions);
+    // sf0.001 may not contain a dup group, so check only when one exists
+    Lake.table(spark, SfDir, "documents")
+      .groupBy(lower(trim(col("text")))).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2).select(col("ids"))
+      .limit(1).collect().headOption.map(_.getSeq[Long](0)).foreach { dupPair =>
+        val byId = scores.map(s => s._1 -> s._3).toMap
+        // same multiset of terms; partial-sum order may differ per
+        // group, so allow one rounding step around the 4 dp grid
+        assert(math.abs(byId(dupPair.head) - byId(dupPair(1))) <= 1.0001e-4,
+          s"duplicate docs ${dupPair.take(2)} scored differently")
+      }
+  }
+
+  test("x48 hot keys: ratios against the exact mean, descending deterministic top slice") {
+    val rows = Sampling.queries("x48_hot_keys")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq,
+      "top keys must be in descending count order")
+    val counts = Lake.table(spark, SfDir, "orders")
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val mean = counts.map(_._2).sum.toDouble / counts.length
+    assert(rows.head._2 == counts.map(_._2).max, "head must be the hottest key")
+    rows.foreach { case (_, n, ratio) =>
+      // HALF_UP mirrors Spark's round()
+      val expect = BigDecimal(n / mean)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ratio - expect) < 1e-9,
+        s"ratio $ratio for count $n vs mean $mean")
+    }
+  }
+
   test("x45 SNM near-dup: planted near-identical pair recalled, candidate volume window-bounded") {
     import spark.implicits._
     // label 0: v0 ≈ v1 (cos ≈ 1, adjacent first components), v2 opposed
