@@ -134,7 +134,8 @@ object Bench {
     "x18_dedup_components", "x19_curation",
     "x25_contamination_screen", "x27_sequence_pack", "x31_passage_dedup",
     "x32_bloom_contamination", "x33_incremental_dedup",
-    "x37_training_shuffle", "x39_embed_centroids")
+    "x37_training_shuffle", "x39_embed_centroids",
+    "x43_source_overlap", "x45_snm_neardup", "x46_bigram_logprob")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -226,7 +227,8 @@ object Bench {
       "flagship", "c02_join_large", "c32_range_join",
       "s07_stream_ingest_partitioned", "x03_dedup_minhash",
       "x18_dedup_components", "x27_sequence_pack",
-      "x33_incremental_dedup", "x37_training_shuffle").filter(names.contains)
+      "x33_incremental_dedup", "x37_training_shuffle",
+      "x43_source_overlap", "x46_bigram_logprob").filter(names.contains)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.0)
     // Derive the comparison dir from the PARSED sf token (not a literal

@@ -37,7 +37,14 @@ object Prefix {
     */
   final case class ScanOut(id: Long, group: String, value: Long, running: Long)
 
-  private final case class LocalRun(
+  /** Pass-1 intermediate row. Public (not `private`) deliberately:
+    * whole-stage codegen compiles generated Java that calls this
+    * class's accessors, and Janino cannot resolve methods on a
+    * non-public class — a `private` marker here silently downgrades
+    * every consumer (x21/x27/x37) to interpreted execution with a
+    * CompileException in the logs.
+    */
+  final case class LocalRun(
       id: Long, group: String, value: Long, pid: Int, local_run: Long)
 
   /** Running sum of `value` per `group` in `id` order, computed with

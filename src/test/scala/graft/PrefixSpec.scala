@@ -96,4 +96,20 @@ class PrefixSpec extends SparkSpec {
       assert(e.getMessage.contains("exchange.reuse"))
     }
   }
+
+  test("runningSum stays inside whole-stage codegen (no interpreted fallback)") {
+    import spark.implicits._
+    // LocalRun was once `private`, which Janino cannot compile against
+    // — every consumer silently fell back to interpreted execution
+    // (CompileException in the logs, 2x wall time on x27/x37). With
+    // fallback disabled, any regression of that kind throws instead of
+    // degrading.
+    val rows = (0 until 200).map(i =>
+      ScanRow(i.toLong, if (i % 2 == 0) "a" else "b", (i % 5).toLong))
+    graft.sources.Lake.withConf(spark,
+      "spark.sql.codegen.fallback" -> "false") {
+      val out = Prefix.runningSum(rows.toDS(), 4).collect()
+      assert(out.length == 200)
+    }
+  }
 }
