@@ -15,16 +15,16 @@ import graft.sources.{Lake, Layout}
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
   *  - c01..c66          — arbitrary-SQL surface categories (§2.C)
-  *  - p01..p05          — ELT pipelines (A18/B13), data-layout
+  *  - p01..p07          — ELT pipelines (A18/B13), data-layout
   *                        maintenance (compaction, Z-order), MERGE
-  *                        upsert
+  *                        upsert, snapshot diff, observe() metrics
   *  - s01..s10          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert
-  *  - x01..x48          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x49          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination

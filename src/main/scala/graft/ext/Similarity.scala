@@ -404,6 +404,29 @@ object Similarity {
           count(lit(1)).as("n_vectors"))
         .orderBy(col("label"), col("dim"))),
 
+    // CLUSTER-SEPARATION REPORT: pairwise Euclidean distances between
+    // the per-label centroids — the diagnostic that says whether the
+    // clustering behind IVF/SemDeDup actually separated the corpus
+    // (centroids closer than intra-cluster spread → merge the cells).
+    // Composes x39's registered centroid query (same arithmetic, so
+    // the 4 dp-rounded centroid grid is the deterministic input); the
+    // pairwise join is labels²·dims rows — model-sized at any corpus
+    // scale. The squared terms are exact-grid doubles, so the summed
+    // distance is stable to far beyond the 4 dp output rounding.
+    "x49_centroid_separation" -> ((spark, sfDir) => {
+      val cent = queries("x39_embed_centroids")(spark, sfDir)
+        .select(col("label"), col("dim"), col("centroid"))
+      val a = cent.select(col("label").as("label_a"), col("dim"),
+        col("centroid").as("_ca"))
+      val b = cent.select(col("label").as("label_b"), col("dim"),
+        col("centroid").as("_cb"))
+      a.join(b, "dim")
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(round(sqrt(sum(pow(col("_ca") - col("_cb"), 2))), 4).as("dist"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // Brute-force cosine top-k: query = vec_id 0, k = 10. The 1-row
     // query side is broadcast; the corpus side is one scan + TakeOrdered.
     // The native expression consumes the float arrays directly — no
@@ -599,6 +622,18 @@ object Similarity {
         "/ COUNT(*), 4) + 0 AS centroid, " +
         "COUNT(*) AS n_vectors FROM (" +
         "SELECT label, embedding, unnest(range(len(embedding))) AS i FROM embeddings) t " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+    // x39's centroid CTE feeds the pairwise distance; the 4 dp-rounded
+    // centroid grid makes the input deterministic on both engines
+    "x49_centroid_separation" ->
+      ("WITH cent AS (SELECT label, CAST(i AS INTEGER) AS dim, " +
+        "ROUND(CAST(SUM(CAST(embedding[i+1] AS DECIMAL(20,10))) AS DOUBLE) " +
+        "/ COUNT(*), 4) + 0 AS centroid FROM (" +
+        "SELECT label, embedding, unnest(range(len(embedding))) AS i FROM embeddings) t " +
+        "GROUP BY 1, 2) " +
+        "SELECT a.label AS label_a, b.label AS label_b, " +
+        "ROUND(SQRT(SUM((a.centroid - b.centroid) * (a.centroid - b.centroid))), 4) AS dist " +
+        "FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     // the scale math runs in DOUBLE on both engines (the raw elements
     // are FLOAT — float-precision intermediates would round differently)

@@ -127,6 +127,37 @@ object Views {
             coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
         .write.mode("overwrite").parquet(gen1)
       spark.read.parquet(gen1).orderBy(col("user_id"))
+    }),
+
+    // PIPELINE OBSERVABILITY — Spark's observe()/CollectMetrics API:
+    // row counts, sums and guard-rail counters computed DURING a
+    // pass the pipeline was already making (here: the p01 top-users
+    // aggregation), at zero extra scans — the idiomatic replacement
+    // for a separate metrics query over 100 TB. The CollectMetrics
+    // node cannot be pruned by the optimizer, so the numbers cover
+    // every row the pass consumed; the result relation is the metrics
+    // row itself, which the driver would export to its monitoring.
+    "p07_observe_metrics" -> ((spark, sfDir) => {
+      val obs = new org.apache.spark.sql.Observation()
+      val e = Lake.table(spark, sfDir, "events")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("value")).as("sum_value"),
+          count(when(col("value") > 90, 1)).as("n_high"),
+          count(when(col("user_id").isNull, 1)).as("n_null_user"))
+      // the pass the pipeline already runs (p01's aggregation); foreach
+      // of the small aggregate result drives the full scan through the
+      // CollectMetrics node without collecting event rows
+      e.groupBy(col("user_id")).agg(count(lit(1))).foreach(_ => ())
+      val m = obs.get
+      import spark.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[Double],
+        m("n_high").asInstanceOf[Long],
+        m("n_null_user").asInstanceOf[Long]))
+        .toDF("n_rows", "_raw_sum", "n_high", "n_null_user")
+        .select(col("n_rows"), round(col("_raw_sum"), 4).as("sum_value"),
+          col("n_high"), col("n_null_user"))
     })
   )
 
@@ -143,6 +174,13 @@ object Views {
     // equal the full-range batch aggregate
     "p05_merge_upsert" ->
       ("SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts FROM events " +
-        "GROUP BY user_id ORDER BY user_id")
+        "GROUP BY user_id ORDER BY user_id"),
+    // the observed metrics must equal the plain aggregates over the
+    // same relation (CollectMetrics sees every consumed row)
+    "p07_observe_metrics" ->
+      ("SELECT COUNT(*) AS n_rows, ROUND(SUM(value), 4) AS sum_value, " +
+        "COUNT(CASE WHEN value > 90 THEN 1 END) AS n_high, " +
+        "COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user " +
+        "FROM events")
   )
 }

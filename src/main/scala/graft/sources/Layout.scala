@@ -130,6 +130,38 @@ object Layout {
     Lake.materializedPath(spark, sfDir, "fragmented_events")
   }
 
+  /** Snapshot reconciliation — the lake-ops audit step behind every
+    * MERGE/refresh job (p02/p05/s10): given two versions of a keyed
+    * table, report what changed. Rows are `added` (key only in new),
+    * `removed` (key only in old), or `changed` (key in both, any
+    * compared column differs); identical rows are dropped — the diff
+    * IS the non-identical part. Scale shape: ONE full-outer sort-merge
+    * join on the key (zero-exchange when both generations share a
+    * bucketed layout, c44's story); the comparison is null-safe map
+    * work (`<=>` so NULL vs value reads as a change, not a match).
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(key) +: compareCols.map(c =>
+      col(c).as(s"old_$c")): _*)
+    val n = newDf.select(col(key) +: compareCols.map(c =>
+      col(c).as(s"new_$c")): _*)
+    // presence flags from the compared payload can be NULL for a
+    // present row; tag each side explicitly instead
+    val oTag = o.withColumn("_in_old", lit(true))
+    val nTag = n.withColumn("_in_new", lit(true))
+    val j = oTag.join(nTag, Seq(key), "full_outer")
+    val same = compareCols.map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    j.select(
+      col(key) +:
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .otherwise("changed").as("status") +:
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+      .where(col("_in_old").isNull || col("_in_new").isNull || !same)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // SMALL-FILE COMPACTION: fragment events into 64 unclustered part
@@ -171,6 +203,23 @@ object Layout {
           col("ts") >= lit("2024-01-05") && col("ts") < lit("2024-01-12"))
         .select(col("event_id"), col("user_id"), col("event_type"))
         .orderBy(col("event_id"))
+    }),
+
+    // TABLE DIFF: reconcile the pre-cutoff per-user metrics snapshot
+    // against the full-range recompute — the audit read that certifies
+    // p05's merge (added = users first seen after the cutoff, changed
+    // = users with post-cutoff activity; removed is impossible in an
+    // append-only source, and the unit test plants one to prove the
+    // branch).
+    "p06_table_diff" -> ((spark, sfDir) => {
+      val e = Lake.table(spark, sfDir, "events")
+      def metrics(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      tableDiff(
+        metrics(e.filter(col("ts") < lit("2024-01-25"))),
+        metrics(e),
+        key = "user_id", compareCols = Seq("n"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -182,6 +231,19 @@ object Layout {
       ("SELECT event_id, user_id, event_type FROM events " +
         "WHERE user_id BETWEEN 100 AND 120 " +
         "AND ts >= TIMESTAMP '2024-01-05 00:00:00' " +
-        "AND ts < TIMESTAMP '2024-01-12 00:00:00' ORDER BY event_id")
+        "AND ts < TIMESTAMP '2024-01-12 00:00:00' ORDER BY event_id"),
+    // null-safe comparison: a row is in the diff iff it is one-sided
+    // or any compared column differs
+    "p06_table_diff" ->
+      ("WITH o AS (SELECT user_id, COUNT(*) AS n FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1), " +
+        "nw AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) " +
+        "SELECT COALESCE(o.user_id, nw.user_id) AS user_id, " +
+        "CASE WHEN o.user_id IS NULL THEN 'added' " +
+        "WHEN nw.user_id IS NULL THEN 'removed' ELSE 'changed' END AS status, " +
+        "o.n AS old_n, nw.n AS new_n " +
+        "FROM o FULL JOIN nw ON o.user_id = nw.user_id " +
+        "WHERE o.user_id IS NULL OR nw.user_id IS NULL " +
+        "OR o.n IS DISTINCT FROM nw.n ORDER BY user_id")
   )
 }

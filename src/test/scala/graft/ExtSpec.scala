@@ -689,6 +689,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x49 centroid separation: k-choose-2 pairs, positive distances, matches a direct recompute") {
+    val cent = Similarity.queries("x39_embed_centroids")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val k = cent.keys.map(_._1).toSet.size
+    val dists = Similarity.queries("x49_centroid_separation")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(dists.size == k * (k - 1) / 2, s"${dists.size} pairs for $k labels")
+    dists.foreach { case ((a, b), d) =>
+      assert(a < b && d > 0.0, s"pair ($a,$b) dist $d")
+      // toSeq: a Set would collapse equal squared terms before the sum
+      val dims = cent.keys.filter(_._1 == a).map(_._2).toSeq
+      val direct = math.sqrt(dims.map(i =>
+        math.pow(cent((a, i)) - cent((b, i)), 2)).sum)
+      assert(math.abs(d - direct) < 1e-3,
+        s"($a,$b): $d vs direct $direct")
+    }
+  }
+
+  test("p07 observed metrics equal the plain aggregates over the same relation") {
+    val m = graft.pipeline.Views.queries("p07_observe_metrics")(spark, SfDir)
+      .collect()(0)
+    val direct = Lake.table(spark, SfDir, "events").agg(
+      count(lit(1)), sum(col("value")),
+      count(when(col("value") > 90, 1)),
+      count(when(col("user_id").isNull, 1))).collect()(0)
+    assert(m.getLong(0) == direct.getLong(0))
+    assert(math.abs(m.getDouble(1) - direct.getDouble(1)) < 1e-3)
+    assert(m.getLong(2) == direct.getLong(2) && m.getLong(3) == direct.getLong(3))
+    // guard-rail counters must be non-vacuous on the corpus
+    assert(m.getLong(2) > 0, "n_high should fire on the test corpus")
+  }
+
   test("x45 SNM near-dup: planted near-identical pair recalled, candidate volume window-bounded") {
     import spark.implicits._
     // label 0: v0 ≈ v1 (cos ≈ 1, adjacent first components), v2 opposed

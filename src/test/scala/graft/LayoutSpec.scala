@@ -119,4 +119,23 @@ class LayoutSpec extends SparkSpec {
     assert(zUser < sortedUser / 2,
       f"z-order should at least halve the user_id span: $zUser%.2f vs $sortedUser%.2f")
   }
+
+  test("tableDiff classifies added/removed/changed, drops identical rows, treats NULL as a change (p06)") {
+    import spark.implicits._
+    val old = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(30L)),
+      (4L, None: Option[Long])).toDF("k", "v")
+    val neu = Seq((2L, Option(20L)), (3L, Option(31L)), (4L, Option(40L)),
+      (5L, Option(50L))).toDF("k", "v")
+    val got = Layout.tableDiff(old, neu, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got == Map(
+      1L -> (("removed", Some(10L), None)),
+      3L -> (("changed", Some(30L), Some(31L))),
+      4L -> (("changed", None, Some(40L))), // NULL -> value IS a change
+      5L -> (("added", None, Some(50L)))
+    ), s"got $got")
+    // row 2 (identical) must not appear: the diff is the delta only
+    assert(!got.contains(2L))
+  }
 }
