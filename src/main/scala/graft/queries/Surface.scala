@@ -564,6 +564,20 @@ object Surface {
         "COUNT(DISTINCT user_id) FILTER (WHERE value <= 50) AS users_small " +
         "FROM events GROUP BY 1 ORDER BY 1"),
 
+    // Explicit NULLS FIRST/LAST — engine DEFAULTS differ (Spark sorts
+    // NULL first ascending, DuckDB last), so portable SQL must spell
+    // the placement out; both slices pin one non-default direction.
+    "c67_null_ordering" -> sql(
+      "SELECT * FROM (" +
+        "SELECT 'first' AS mode, event_id, v FROM (" +
+        "SELECT event_id, CASE WHEN value > 50 THEN ROUND(value, 4) END AS v " +
+        "FROM events) t ORDER BY v ASC NULLS FIRST, event_id LIMIT 30) a " +
+        "UNION ALL SELECT * FROM (" +
+        "SELECT 'last' AS mode, event_id, v FROM (" +
+        "SELECT event_id, CASE WHEN value > 50 THEN ROUND(value, 4) END AS v " +
+        "FROM events) t ORDER BY v ASC NULLS LAST, event_id LIMIT 30) b " +
+        "ORDER BY mode, event_id"),
+
     // Inline VALUES relation — the literal lookup-table join (weights,
     // rename maps) without a physical table; the optimizer folds it to
     // a broadcast local relation.
@@ -1052,6 +1066,16 @@ object Surface {
         "ROUND(SUM(value) FILTER (WHERE value > 50), 4) AS sum_big, " +
         "COUNT(DISTINCT user_id) FILTER (WHERE value <= 50) AS users_small " +
         "FROM events GROUP BY 1 ORDER BY 1"),
+    "c67_null_ordering" ->
+      ("SELECT * FROM (" +
+        "SELECT 'first' AS mode, event_id, v FROM (" +
+        "SELECT event_id, CASE WHEN value > 50 THEN ROUND(value, 4) END AS v " +
+        "FROM events) t ORDER BY v ASC NULLS FIRST, event_id LIMIT 30) a " +
+        "UNION ALL SELECT * FROM (" +
+        "SELECT 'last' AS mode, event_id, v FROM (" +
+        "SELECT event_id, CASE WHEN value > 50 THEN ROUND(value, 4) END AS v " +
+        "FROM events) t ORDER BY v ASC NULLS LAST, event_id LIMIT 30) b " +
+        "ORDER BY mode, event_id"),
     "c33_agg_cube" ->
       ("SELECT l_returnflag AS flag, l_linestatus AS status, COUNT(*) AS n " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +

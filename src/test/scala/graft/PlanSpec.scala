@@ -109,6 +109,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("table diff rides one full-outer equi-join, never a nested loop (p06)") {
+    val plan = graft.sources.Layout.queries("p06_table_diff")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"no full-outer join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"p06 plans a non-equi join:\n$plan")
+  }
+
   test("SNM near-dup pairs neighbors via a pure (label, rank) equi-join (x45)") {
     // the forward window is EXPLODED to explicit partner ranks, so the
     // join carries no range predicate — a rank BETWEEN condition would
