@@ -392,6 +392,61 @@ object TextAnalysis {
         .orderBy(col("bucket"))
     }),
 
+    // SHINGLE NOVELTY — fraction of a document's distinct 3-grams
+    // first seen in THAT document (corpus in doc_id order): the
+    // freshness signal a curriculum/ordering pipeline keys on, and
+    // x44's vocabulary-growth idea pushed down to per-document
+    // grain. Scale shape: one hash groupBy for first-arrival (min
+    // doc_id per shingle, partial-aggregatable), one equi-join back —
+    // the right side is UNIQUE per shingle, so no fan-out on
+    // boilerplate shingles; all counts exact integers, one division.
+    "x50_novelty" -> ((spark, sfDir) => {
+      val sh = docs(spark, sfDir)
+        .withColumn("_toks", tokens)
+        .filter(size(col("_toks")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(_toks) - 2), " +
+            "i -> concat_ws(' ', element_at(_toks, i), " +
+            "element_at(_toks, i + 1), element_at(_toks, i + 2)))")))
+          .as("shingle"))
+      val first = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 4)
+            .as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // QUALITY QUARTILE BINNING — the curriculum building block — done
+    // the way that survives 100 TB: quartile BOUNDARIES come from one
+    // percentile aggregate (rounded to a 6 dp grid both engines
+    // share) and are broadcast; assignment is stateless map work. The
+    // naive NTILE(4) OVER (ORDER BY score) would materialize the
+    // whole corpus in a single window task — the exact anti-pattern
+    // Prefix.scala exists to avoid. At 100 TB swap the exact
+    // percentile for approx_percentile: bin boundaries don't need
+    // exactness, the assignment rule doesn't change.
+    "x51_quality_tiles" -> ((spark, sfDir) => {
+      val scored = docs(spark, sfDir)
+        .select(col("doc_id"), stopwordRatio(tokens).as("_r"))
+      val bounds = broadcast(scored.agg(
+        round(expr("percentile(_r, 0.25)"), 6).as("_b1"),
+        round(expr("percentile(_r, 0.5)"), 6).as("_b2"),
+        round(expr("percentile(_r, 0.75)"), 6).as("_b3")))
+      scored.crossJoin(bounds)
+        .select(col("doc_id"), round(col("_r"), 4).as("ratio"),
+          when(col("_r") <= col("_b1"), 1)
+            .when(col("_r") <= col("_b2"), 2)
+            .when(col("_r") <= col("_b3"), 3)
+            .otherwise(4).as("tile"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -581,6 +636,32 @@ object TextAnalysis {
         "(ORDER BY t.bucket) AS BIGINT) AS vocab_size, " +
         "CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens " +
         "FROM tokb t LEFT JOIN newb n USING (bucket) ORDER BY t.bucket"),
+    // x05's shingle CTE + first-arrival min; exact integers, one
+    // division
+    "x50_novelty" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1) " +
+        "SELECT doc_id, COUNT(*) AS n_shingles, " +
+        "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ COUNT(*), 4) AS novelty " +
+        "FROM sh JOIN fst USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
+    // boundaries off the shared quantile contract (c42), rounded to a
+    // 6 dp grid; the ratio itself is one exact division
+    "x51_quality_tiles" ->
+      ("WITH r AS (SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) AS ratio FROM documents), " +
+        "b AS (SELECT ROUND(quantile_cont(ratio, 0.25), 6) AS b1, " +
+        "ROUND(quantile_cont(ratio, 0.5), 6) AS b2, " +
+        "ROUND(quantile_cont(ratio, 0.75), 6) AS b3 FROM r) " +
+        "SELECT doc_id, ROUND(ratio, 4) AS ratio, " +
+        "CASE WHEN ratio <= b1 THEN 1 WHEN ratio <= b2 THEN 2 " +
+        "WHEN ratio <= b3 THEN 3 ELSE 4 END AS tile " +
+        "FROM r, b ORDER BY doc_id"),
     // Structural fingerprint columns only — the hashed variant
     // (hashFingerprint) is engine-specific by construction.
     "x13_fingerprint" ->

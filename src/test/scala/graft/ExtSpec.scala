@@ -721,6 +721,51 @@ class ExtSpec extends SparkSpec {
     assert(m.getLong(2) > 0, "n_high should fire on the test corpus")
   }
 
+  test("x50 novelty: doc 0 is all-novel, novel counts sum to the distinct shingle count") {
+    val rows = TextAnalysis.queries("x50_novelty")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the first document by id can only contain first-seen shingles
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0,
+      s"doc ${first._1}: ${first._3}/${first._2} novel")
+    rows.foreach { case (id, n, novel, rate) =>
+      assert(novel >= 0 && novel <= n && rate >= 0.0 && rate <= 1.0, s"doc $id")
+    }
+    // every distinct shingle is novel in exactly one document
+    val distinctShingles = Lake.table(spark, SfDir, "documents")
+      .withColumn("_toks", split(col("text"), " "))
+      .filter(size(col("_toks")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(1, size(_toks) - 2), " +
+          "i -> concat_ws(' ', element_at(_toks, i), " +
+          "element_at(_toks, i + 1), element_at(_toks, i + 2)))")))
+        .as("s")).select(col("s")).distinct().count()
+    assert(rows.map(_._3).sum == distinctShingles,
+      s"novel sum ${rows.map(_._3).sum} != $distinctShingles distinct shingles")
+  }
+
+  test("x51 quality tiles: quartiles partition the corpus into ordered, roughly equal bins") {
+    val rows = TextAnalysis.queries("x51_quality_tiles")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val byTile = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byTile.keySet.subsetOf(Set(1, 2, 3, 4)), s"tiles ${byTile.keySet}")
+    assert(byTile.keySet == Set(1, 2, 3, 4), s"empty quartile: $byTile")
+    // interpolated-quantile boundaries put ~25% in each bin (ties can
+    // shift a few docs); enforce a loose band, not exact counts
+    val n = rows.length
+    byTile.values.foreach(c =>
+      assert(c > n / 10 && c < n / 2, s"degenerate quartile sizes $byTile"))
+    // tiles must be monotone in the score: max(ratio in tile t) <=
+    // min(ratio in tile t+1) up to the shared boundary
+    val maxByTile = rows.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByTile = rows.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    for (t <- 1 to 3)
+      assert(maxByTile(t) <= minByTile(t + 1) + 1e-9,
+        s"tile $t max ${maxByTile(t)} exceeds tile ${t + 1} min ${minByTile(t + 1)}")
+  }
+
   test("x45 SNM near-dup: planted near-identical pair recalled, candidate volume window-bounded") {
     import spark.implicits._
     // label 0: v0 ≈ v1 (cos ≈ 1, adjacent first components), v2 opposed
