@@ -221,9 +221,19 @@ object Similarity {
         s => s.getField("x")).as("centroid"))
 
   /** Σ (aᵢ−bᵢ)² over two array<double> columns (codegen'd HOF). */
-  def sqDist(a: Column, b: Column): Column =
+  /** Composed-built-ins squared L2 — the differential baseline for the
+    * fused native expression (FunctionsSpec asserts bit-identity).
+    */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 on the hot path (IVF/PQ probe ranking): the fused
+    * single-pass native expression — no zip_with allocation, no lambda
+    * dispatch, identical accumulation order.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.sqL2Native(a, b)
 
   /** PROBE (the per-query step): each query vector probes its `nprobe`
     * nearest cells and reranks those candidates by exact cosine.

@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimEntry)
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -37,14 +37,30 @@ object GraftExtensions {
         CosineSimilarity(args.head, args(1))
       })
 
-  /** Registers `cosine_sim` in an existing session's function registry
-    * (no-op when already present, so every engine bootstrap can call
-    * it unconditionally).
+  /** (name, info, builder) row for `sq_l2_dist` — the fused
+    * [[SquaredL2Distance]] expression (the IVF probe metric).
+    */
+  val sqL2Entry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sq_l2_dist"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "sq_l2_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sq_l2_dist takes exactly 2 arguments, got ${args.length}")
+        SquaredL2Distance(args.head, args(1))
+      })
+
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(cosineSimEntry, sqL2Entry)
+
+  /** Registers the library's native functions in an existing session's
+    * function registry (no-op when already present, so every engine
+    * bootstrap can call it unconditionally).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineSimEntry
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id))
-      registry.registerFunction(id, info, builder)
+    entries.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -30,6 +30,18 @@ object VectorExpressions {
       CosineSimilarity(
         GraftExpressionBridge.expression(a),
         GraftExpressionBridge.expression(b)))
+
+  /** Fused squared-L2 distance Σ(aᵢ−bᵢ)² — the IVF/k-means probe
+    * metric ([[graft.ext.Similarity.sqDist]]'s hot path) as one
+    * allocation-free loop; identical accumulation order to the
+    * composed `aggregate(zip_with(...))` form, so results are
+    * bit-for-bit the same.
+    */
+  def sqL2Native(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      SquaredL2Distance(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
 }
 
 /** Scalar cosine similarity; null-safe on the array level (null array →
@@ -127,6 +139,90 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    } else {
          |      ${ev.value} = $dot / $denom;
          |    }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar squared-L2 distance with [[CosineSimilarity]]'s exact NULL
+  * contract: null array, length mismatch, or any null element → NULL
+  * (a silent 0-distance would make a corrupt vector its own nearest
+  * neighbor in every IVF probe). No zero-denominator case exists —
+  * distance 0.0 is a legitimate value (identical vectors).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq_l2_dist"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left); val rf = isFloat(right)
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val getA = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    final double xi = $getA;
+         |    final double yi = $getB;
+         |    final double d = xi - yi;
+         |    $acc += d * d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
          |  }
          |}
        """.stripMargin

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ext.Similarity
-import graft.functions.VectorExpressions
+import graft.functions.{GraftExtensions, VectorExpressions}
 import graft.sources.Lake
 
 /** Native Catalyst expression semantics: the fused cosine must be
@@ -132,5 +132,54 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception] {
       e.select(VectorExpressions.cosineNative(col("vec_id"), col("embedding"))).collect()
     }
+  }
+
+  test("native sq_l2_dist == HOF form bit-for-bit; codegen == interpreted") {
+    val e = Lake.table(spark, SfDir, "embeddings")
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv")))
+    def both() = e.filter(col("vec_id") =!= 0).join(q)
+      .select(
+        VectorExpressions.sqL2Native(toD(col("embedding")), col("qv")).as("native"),
+        Similarity.sqDistHof(toD(col("embedding")), col("qv")).as("hof"))
+      .collect()
+    val rows = both()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = both()
+      assert(rows.map(_.getDouble(0)).toSeq == interp.map(_.getDouble(0)).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("native sq_l2_dist NULL contract: length mismatch and null element; zero distance is real") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0, 2.0), Array(1.0, 2.0)),         // identical -> 0.0
+      (2L, Array(1.0, 2.0), Array(4.0, 6.0))           // 9 + 16 = 25
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      VectorExpressions.sqL2Native(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 25.0), s"got $got")
+    // length mismatch -> NULL (not a truncated distance)
+    val mism = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+      .select(VectorExpressions.sqL2Native(col("a"), col("b"))).collect()(0)
+    assert(mism.isNullAt(0), "length mismatch must be NULL")
+    // null element -> NULL (not distance-to-zero)
+    val ne = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorExpressions.sqL2Native(col("a"), col("b"))).collect()(0)
+    assert(ne.isNullAt(0), "null element must null the distance")
+  }
+
+  test("sq_l2_dist is callable from SQL alongside cosine_sim (both registration routes)") {
+    GraftExtensions.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT sq_l2_dist(array(1.0D, 2.0D), array(4.0D, 6.0D)) AS d, " +
+        "cosine_sim(array(1.0D), array(1.0D)) AS c").collect()(0)
+    assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 1.0)
   }
 }
