@@ -24,7 +24,7 @@ import graft.sources.{Lake, Layout}
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert
-  *  - x01..x51          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x53          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental, similarity/ANN, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination

@@ -163,6 +163,24 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // TRAIN/VAL/TEST SPLIT — the standard 98/1/1 holdout assignment,
+    // deterministic and reshuffle-free: the same Weyl hash x20/x37
+    // use, cut at exact INTEGER thresholds (no float rates), so any
+    // engine reproduces the assignment and re-runs never move a
+    // document between splits (the property that keeps eval sets
+    // uncontaminated across pipeline versions). Stateless map work;
+    // at 100 TB this is a projection on the scan.
+    "x53_train_split" -> ((spark, sfDir) => {
+      val t1 = HashMod * 98L / 100L
+      val t2 = HashMod * 99L / 100L
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          when(sampleHash(col("doc_id")) < t1, "train")
+            .when(sampleHash(col("doc_id")) < t2, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HOT-KEY DIAGNOSTIC — the data-profiling step that DECIDES the
     // skew strategy (operators/Skew.scala's scaladoc: salt when one
     // key dominates, trust AQE otherwise): per-key row counts on a
@@ -221,6 +239,12 @@ object Sampling {
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
         "ORDER BY d.doc_id"),
+    // exact integer thresholds — both engines cut the same hash
+    "x53_train_split" ->
+      (s"SELECT doc_id, lang, CASE " +
+        s"WHEN (doc_id * $HashMul) % $HashMod < ${HashMod * 98L / 100L} THEN 'train' " +
+        s"WHEN (doc_id * $HashMul) % $HashMod < ${HashMod * 99L / 100L} THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
     // mean = exact-integer SUM/COUNT in one double division; ties on n
     // break by key so the top-20 slice is deterministic
     "x48_hot_keys" ->

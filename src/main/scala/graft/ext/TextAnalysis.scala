@@ -422,6 +422,29 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER-VOCAB COVERAGE — the report that sizes a tokenizer's
+    // vocabulary before training it: what fraction of all token
+    // OCCURRENCES the top-K types cover, at K = 10/100/1000. Each K
+    // is one TakeOrdered(K) over the type-count table (deterministic
+    // count-desc/token-asc tiebreak) + a K-row sum — never a global
+    // cumulative window over the vocabulary, which at 100 TB can be
+    // billions of types. Counts exact; one division per row.
+    "x52_vocab_coverage" -> ((spark, sfDir) => {
+      val counts = docs(spark, sfDir)
+        .select(explode(tokens).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = broadcast(counts.agg(sum(col("cnt")).as("_total")))
+      Seq(10, 100, 1000).map { k =>
+        counts.orderBy(desc("cnt"), col("token")).limit(k)
+          .agg(lit(k).as("k"), sum(col("cnt")).cast("long").as("covered"))
+      }.reduce(_ union _)
+        .crossJoin(total)
+        .select(col("k"), col("covered"),
+          round(col("covered").cast("double") / col("_total"), 6)
+            .as("coverage"))
+        .orderBy(col("k"))
+    }),
+
     // QUALITY QUARTILE BINNING — the curriculum building block — done
     // the way that survives 100 TB: quartile BOUNDARIES come from one
     // percentile aggregate (rounded to a 6 dp grid both engines
@@ -648,6 +671,21 @@ object TextAnalysis {
         "ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
         "/ COUNT(*), 4) AS novelty " +
         "FROM sh JOIN fst USING (shingle) GROUP BY doc_id ORDER BY doc_id"),
+    // top-K slices with the same count-desc/token-asc tiebreak;
+    // exact integer sums, one division
+    "x52_vocab_coverage" ->
+      ("WITH c AS (SELECT token, COUNT(*) AS cnt FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents) u GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c), " +
+        "k10 AS (SELECT 10 AS k, CAST(SUM(cnt) AS BIGINT) AS covered FROM " +
+        "(SELECT cnt FROM c ORDER BY cnt DESC, token LIMIT 10) s), " +
+        "k100 AS (SELECT 100 AS k, CAST(SUM(cnt) AS BIGINT) AS covered FROM " +
+        "(SELECT cnt FROM c ORDER BY cnt DESC, token LIMIT 100) s), " +
+        "k1000 AS (SELECT 1000 AS k, CAST(SUM(cnt) AS BIGINT) AS covered FROM " +
+        "(SELECT cnt FROM c ORDER BY cnt DESC, token LIMIT 1000) s) " +
+        "SELECT k, covered, ROUND(CAST(covered AS DOUBLE) / total, 6) AS coverage " +
+        "FROM (SELECT * FROM k10 UNION ALL SELECT * FROM k100 " +
+        "UNION ALL SELECT * FROM k1000) u, t ORDER BY k"),
     // boundaries off the shared quantile contract (c42), rounded to a
     // 6 dp grid; the ratio itself is one exact division
     "x51_quality_tiles" ->

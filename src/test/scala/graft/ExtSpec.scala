@@ -766,6 +766,42 @@ class ExtSpec extends SparkSpec {
         s"tile $t max ${maxByTile(t)} exceeds tile ${t + 1} min ${minByTile(t + 1)}")
   }
 
+  test("x52 vocab coverage: monotone in K, bounded by 1, exact for a K covering the whole vocab") {
+    val rows = TextAnalysis.queries("x52_vocab_coverage")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(10, 100, 1000))
+    // coverage grows with K and never exceeds 1
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    rows.foreach { case (k, cov, rate) =>
+      assert(cov > 0 && rate > 0.0 && rate <= 1.0, s"K=$k covered=$cov rate=$rate")
+    }
+    // when K >= the whole vocabulary, coverage is exactly total
+    val corpus = Lake.table(spark, SfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val (types, toks) = (corpus.distinct().count(), corpus.count())
+    if (types <= 1000)
+      assert(rows.last._2 == toks, s"K=1000 covers $types types but ${rows.last._2} != $toks")
+  }
+
+  test("x53 train split: deterministic partition of the corpus into ~98/1/1") {
+    val rows = Sampling.queries("x53_train_split")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val n = rows.length
+    assert(n > 0)
+    val bySplit = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")), s"$bySplit")
+    // every doc assigned exactly once (rows are per-doc) and the train
+    // share is near 98% (hash uniformity at small n leaves slack)
+    assert(rows.map(_._1).distinct.length == n)
+    val trainShare = bySplit.getOrElse("train", 0).toDouble / n
+    assert(trainShare > 0.93 && trainShare < 1.0, s"train share $trainShare")
+    // re-running yields the identical assignment (the decontamination
+    // property: eval membership never drifts across runs)
+    val again = Sampling.queries("x53_train_split")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("x45 SNM near-dup: planted near-identical pair recalled, candidate volume window-bounded") {
     import spark.implicits._
     // label 0: v0 ≈ v1 (cos ≈ 1, adjacent first components), v2 opposed
