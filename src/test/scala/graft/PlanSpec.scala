@@ -109,6 +109,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage plans TakeOrdered slices, not a vocabulary-wide window (x52)") {
+    val plan = graft.ext.TextAnalysis.queries("x52_vocab_coverage")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K slice did not plan TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x52 must not run a window over the vocabulary:\n$plan")
+  }
+
   test("table diff rides one full-outer equi-join, never a nested loop (p06)") {
     val plan = graft.sources.Layout.queries("p06_table_diff")(spark, SfDir)
       .queryExecution.executedPlan.toString
