@@ -45,11 +45,22 @@ object Bench {
   final case class QueryStats(name: String, mean: Double, std: Double,
       median: Double, okReps: Int, err: Option[String])
 
-  private def sanitize(msg: String): String = {
-    val m = Option(msg).getOrElse("null")
-    m.replace("\\", "\\\\").replace("\"", "\\\"")
+  /** Bound a captured error message: newlines flattened (the artifact
+    * is one line) and truncated to 200 chars of RAW text. No JSON
+    * escaping here — `QueryStats.err` stores the raw message and
+    * [[jsonEscape]] escapes exactly once at emission time. The old
+    * scheme escaped in both places AND truncated after escaping, so the
+    * cut could split a two-char escape pair and leave a lone trailing
+    * backslash that ate the JSON closing quote — the exact
+    * 'parsed: null' failure the artifact file exists to prevent.
+    */
+  private def clip(msg: String): String =
+    Option(msg).getOrElse("null")
       .replace("\n", " ").replace("\r", " ").take(200)
-  }
+
+  /** The single JSON-escape point for error text. */
+  private def jsonEscape(s: String): String =
+    clip(s).replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Time `run` for `reps` repetitions, excluding failed reps from the
     * stats and capturing the first error. Public and Spark-free so the
@@ -63,7 +74,7 @@ object Bench {
         try { run(); None }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}: ${sanitize(e.getMessage)}")
+          Some(s"${e.getClass.getSimpleName}: ${clip(e.getMessage)}")
         }
       ((System.nanoTime() - t0) / 1e9, err)
     }
@@ -88,7 +99,7 @@ object Bench {
     */
   def errorsJson(stats: Seq[QueryStats]): String =
     stats.collect { case QueryStats(n, _, _, _, _, Some(e)) =>
-      s""""$n":"${sanitize(e)}""""
+      s""""$n":"${jsonEscape(e)}""""
     }.mkString("{", ",", "}")
 
   /** Files actually read by the plan's parquet scans, counted AFTER
@@ -247,7 +258,7 @@ object Bench {
               val ratio = b.median / small.median
               Some(s""""$name":{"small":${fmt(small.median)},"big":${fmt(b.median)},"time_ratio":${fmt(ratio)},"small_mean":${fmt(small.mean)},"big_mean":${fmt(b.mean)}}""")
             case _ =>
-              Some(s""""$name":{"err":"${sanitize(small.err.orElse(big.flatMap(_.err)).getOrElse("unmeasured"))}"}""")
+              Some(s""""$name":{"err":"${jsonEscape(small.err.orElse(big.flatMap(_.err)).getOrElse("unmeasured"))}"}""")
           }
         }.mkString("{", ",", "}")
         val dataRatio =

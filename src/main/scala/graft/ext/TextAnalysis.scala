@@ -447,20 +447,28 @@ object TextAnalysis {
 
     // QUALITY QUARTILE BINNING — the curriculum building block — done
     // the way that survives 100 TB: quartile BOUNDARIES come from one
-    // percentile aggregate (rounded to a 6 dp grid both engines
-    // share) and are broadcast; assignment is stateless map work. The
-    // naive NTILE(4) OVER (ORDER BY score) would materialize the
-    // whole corpus in a single window task — the exact anti-pattern
-    // Prefix.scala exists to avoid. At 100 TB swap the exact
+    // percentile aggregate and are broadcast; assignment is stateless
+    // map work. The naive NTILE(4) OVER (ORDER BY score) would
+    // materialize the whole corpus in a single window task — the exact
+    // anti-pattern Prefix.scala exists to avoid. Boundaries are
+    // DISCRETE percentiles (actual data values — quotients of small
+    // integers, bit-identical on any engine), not interpolated ones:
+    // an interpolated boundary is float arithmetic that two engines
+    // can disagree on by 1 ulp, and a ratio sitting between the two
+    // variants flips quartile (which for a rounded-grid boundary
+    // actually happened in review). For quartiles the SQL-standard
+    // PERCENTILE_DISC rank ceil(q*n)-1 and the index-based
+    // floor(q*(n-1)) coincide for every n, so the oracle's
+    // quantile_disc picks the same element. At 100 TB swap the exact
     // percentile for approx_percentile: bin boundaries don't need
     // exactness, the assignment rule doesn't change.
     "x51_quality_tiles" -> ((spark, sfDir) => {
       val scored = docs(spark, sfDir)
         .select(col("doc_id"), stopwordRatio(tokens).as("_r"))
       val bounds = broadcast(scored.agg(
-        round(expr("percentile(_r, 0.25)"), 6).as("_b1"),
-        round(expr("percentile(_r, 0.5)"), 6).as("_b2"),
-        round(expr("percentile(_r, 0.75)"), 6).as("_b3")))
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY _r)").as("_b1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _r)").as("_b2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY _r)").as("_b3")))
       scored.crossJoin(bounds)
         .select(col("doc_id"), round(col("_r"), 4).as("ratio"),
           when(col("_r") <= col("_b1"), 1)
@@ -686,16 +694,18 @@ object TextAnalysis {
         "SELECT k, covered, ROUND(CAST(covered AS DOUBLE) / total, 6) AS coverage " +
         "FROM (SELECT * FROM k10 UNION ALL SELECT * FROM k100 " +
         "UNION ALL SELECT * FROM k1000) u, t ORDER BY k"),
-    // boundaries off the shared quantile contract (c42), rounded to a
-    // 6 dp grid; the ratio itself is one exact division
+    // discrete quantile boundaries: actual data values (exact integer
+    // quotients), no interpolation arithmetic to diverge on; for
+    // quartiles quantile_disc's index and PERCENTILE_DISC's rank pick
+    // the same element for every n (see the Spark-side comment)
     "x51_quality_tiles" ->
       ("WITH r AS (SELECT doc_id, " +
         "CAST(len(list_filter(string_split(text, ' '), " +
         "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
         "/ len(string_split(text, ' ')) AS ratio FROM documents), " +
-        "b AS (SELECT ROUND(quantile_cont(ratio, 0.25), 6) AS b1, " +
-        "ROUND(quantile_cont(ratio, 0.5), 6) AS b2, " +
-        "ROUND(quantile_cont(ratio, 0.75), 6) AS b3 FROM r) " +
+        "b AS (SELECT quantile_disc(ratio, 0.25) AS b1, " +
+        "quantile_disc(ratio, 0.5) AS b2, " +
+        "quantile_disc(ratio, 0.75) AS b3 FROM r) " +
         "SELECT doc_id, ROUND(ratio, 4) AS ratio, " +
         "CASE WHEN ratio <= b1 THEN 1 WHEN ratio <= b2 THEN 2 " +
         "WHEN ratio <= b3 THEN 3 ELSE 4 END AS tile " +

@@ -139,10 +139,19 @@ object Views {
     // row itself, which the driver would export to its monitoring.
     "p07_observe_metrics" -> ((spark, sfDir) => {
       val obs = new org.apache.spark.sql.Observation()
+      // The sum accumulates through an exact decimal cast (x39's
+      // order-independence pattern): a plain double sum depends on
+      // Spark's partial/tree accumulation order vs DuckDB's sequential
+      // one, and a 4 dp round can land exactly on the divergence. The
+      // decimal(30,10) cast is a deterministic function of each double
+      // (a tie at the scale-10 digit would need a dyadic fraction with
+      // a factor of 5 in the denominator — impossible), the decimal SUM
+      // is exact under any order, and one double conversion + round
+      // happens at the end on both engines.
       val e = Lake.table(spark, sfDir, "events")
         .observe(obs,
           count(lit(1)).as("n_rows"),
-          sum(col("value")).as("sum_value"),
+          sum(col("value").cast("decimal(30,10)")).as("sum_value"),
           count(when(col("value") > 90, 1)).as("n_high"),
           count(when(col("user_id").isNull, 1)).as("n_null_user"))
       // the pass the pipeline already runs (p01's aggregation); foreach
@@ -151,12 +160,16 @@ object Views {
       e.groupBy(col("user_id")).agg(count(lit(1))).foreach(_ => ())
       val m = obs.get
       import spark.implicits._
+      // observed decimal comes back as java.math.BigDecimal; carry it
+      // as its exact string and do the one double round in-plan
       Seq((m("n_rows").asInstanceOf[Long],
-        m("sum_value").asInstanceOf[Double],
+        m("sum_value").toString,
         m("n_high").asInstanceOf[Long],
         m("n_null_user").asInstanceOf[Long]))
         .toDF("n_rows", "_raw_sum", "n_high", "n_null_user")
-        .select(col("n_rows"), round(col("_raw_sum"), 4).as("sum_value"),
+        .select(col("n_rows"),
+          round(col("_raw_sum").cast("decimal(38,10)").cast("double"), 4)
+            .as("sum_value"),
           col("n_high"), col("n_null_user"))
     })
   )
@@ -176,9 +189,13 @@ object Views {
       ("SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts FROM events " +
         "GROUP BY user_id ORDER BY user_id"),
     // the observed metrics must equal the plain aggregates over the
-    // same relation (CollectMetrics sees every consumed row)
+    // same relation (CollectMetrics sees every consumed row); the sum
+    // goes through the same exact decimal accumulation as the Spark
+    // side so neither engine's accumulation order can shift the 4 dp
+    // rounding (x39's order-independence pattern)
     "p07_observe_metrics" ->
-      ("SELECT COUNT(*) AS n_rows, ROUND(SUM(value), 4) AS sum_value, " +
+      ("SELECT COUNT(*) AS n_rows, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value, " +
         "COUNT(CASE WHEN value > 90 THEN 1 END) AS n_high, " +
         "COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user " +
         "FROM events")

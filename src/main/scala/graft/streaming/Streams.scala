@@ -378,10 +378,18 @@ object Streams {
     * merged into a durable parquet state table (matched rows combine,
     * unmatched insert). A generation directory per batch keeps the
     * merge atomic — a batch never overwrites the parquet it is
-    * reading (p05's staged-write guard, made structural). The merged
-    * metrics are a count and a max, both exact under ANY batch
-    * decomposition, so the final state must equal the batch-global
-    * aggregate — which is exactly what the oracle states.
+    * reading (p05's staged-write guard, made structural). Guarantee
+    * scope: ONE invocation (rmDir wipes state at entry; a restarted
+    * invocation recomputes from scratch, it does not resume). WITHIN
+    * an invocation the merge is retry-idempotent: foreachBatch can
+    * redeliver a batch id after a successful write whose checkpoint
+    * commit failed, and a completed gen_<batchId> (its _SUCCESS
+    * marker exists) is then reused, not merged again — without the
+    * guard the redelivery would double-count the delta AND read and
+    * overwrite the same parquet directory. The merged metrics are a
+    * count and a max, both exact under ANY batch decomposition, so
+    * the final state must equal the batch-global aggregate — which is
+    * exactly what the oracle states.
     * maxFilesPerTrigger=1 forces a multi-batch run (the micros copy
     * is ≥4 files at every provisioned sf), so the merge path is
     * genuinely exercised, not skipped via a single trivial batch.
@@ -401,24 +409,33 @@ object Streams {
     @volatile var latest: Option[String] = None
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val agg = batch.groupBy(col("user_id"))
-          .agg(count(lit(1)).as("d_n"), max(col("ts")).as("d_last_ts"))
-        val merged = latest match {
-          case None => agg.select(col("user_id"),
-            col("d_n").as("n_purchases"), col("d_last_ts").as("last_ts"))
-          case Some(prev) =>
-            spark.read.parquet(prev)
-              .join(agg, Seq("user_id"), "full_outer")
-              .select(col("user_id"),
-                (coalesce(col("n_purchases"), lit(0L)) +
-                  coalesce(col("d_n"), lit(0L))).as("n_purchases"),
-                greatest(
-                  coalesce(col("last_ts"), col("d_last_ts")),
-                  coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
-        }
         val gen = s"$base/gen_$batchId"
-        merged.write.mode("overwrite").parquet(gen)
-        latest = Some(gen)
+        // Retry guard (see scaladoc): a redelivered batch whose gen
+        // already completed must reuse it — merging again would
+        // double-count the delta and overwrite the dir being read.
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val agg = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("d_n"), max(col("ts")).as("d_last_ts"))
+          val merged = latest match {
+            case None => agg.select(col("user_id"),
+              col("d_n").as("n_purchases"), col("d_last_ts").as("last_ts"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(agg, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("n_purchases"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n_purchases"),
+                  greatest(
+                    coalesce(col("last_ts"), col("d_last_ts")),
+                    coalesce(col("d_last_ts"), col("last_ts"))).as("last_ts"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
         ()
       }
       .option("checkpointLocation", s"$base/ck")
