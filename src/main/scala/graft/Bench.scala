@@ -146,7 +146,9 @@ object Bench {
     "x25_contamination_screen", "x27_sequence_pack", "x31_passage_dedup",
     "x32_bloom_contamination", "x33_incremental_dedup",
     "x37_training_shuffle", "x39_embed_centroids",
-    "x43_source_overlap", "x45_snm_neardup", "x46_bigram_logprob")
+    "x40_quality_survivor", "x43_source_overlap", "x45_snm_neardup",
+    "x46_bigram_logprob", "x50_novelty", "x51_quality_tiles",
+    "x52_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,6 +209,12 @@ object Bench {
 
     val names = headline.filter(SparkEntry.queries.contains)
     prewarm(names, sfDir)
+    // x31 warm-path evidence for the headline point (VERDICT r8 #1):
+    // the prewarm pass must have left the passage checkpoint built, so
+    // the timed reps below measure checkpoint reads, not rebuilds.
+    val headlineX31Warm =
+      try Lake.isBuilt(spark, sfDir, "x31_passages")
+      catch { case _: Throwable => false }
     val stats = names.map(timeQuery(_, sfDir))
 
     def fmt(d: Double) = f"$d%.4f"
@@ -224,46 +232,89 @@ object Bench {
       if pruned.median > 0
     } yield full.median / pruned.median).getOrElse(0.0)
 
-    // Scaling-curve evidence: the same queries at two scale factors in
-    // ONE run — the direct "would it survive 100×" datapoint next to
-    // the structural file-count metric. time_ratio at-or-below
-    // data_ratio is the pass band; superlinear growth is a
-    // shuffle/skew/driver-bottleneck smell. The set deliberately
-    // includes the risk shapes where superlinearity would first show:
-    // the range join (quadratic candidate volume), the streaming
-    // ingest, and the iterative components operator. "small"/"big"
-    // are medians (the compared numbers); means ride along for the
-    // raw dump.
+    // Scaling-curve evidence: the same queries at THREE scale factors
+    // in ONE run — sf0.01 ("small"), the driver's sfDir ("mid", the
+    // already-timed headline stats), and a derived ~10×-sfDir lake
+    // ("big", Lake.ensureScaledDir — re-keyed unions, never touching
+    // the read-only testdata). Two decades with the same sublinear
+    // slope is the direct "would it survive 100×" evidence next to
+    // the structural file-count metric, and the big point exercises
+    // constants that hide at 600k rows. Per-query ratios at-or-below
+    // the data ratio are the pass band; superlinear growth is a
+    // shuffle/skew/driver-bottleneck smell. The set includes every
+    // risk shape where superlinearity would first show: the range
+    // join (quadratic candidate volume), streaming ingest, iterative
+    // components, the passage/shingle joins (x31/x43/x50), and the
+    // percentile/top-k corpus stats (x51/x52). All compared numbers
+    // are medians; means ride along for the raw dump.
     val scalingNames = Seq(
       "flagship", "c02_join_large", "c32_range_join",
       "s07_stream_ingest_partitioned", "x03_dedup_minhash",
-      "x18_dedup_components", "x27_sequence_pack",
-      "x33_incremental_dedup", "x37_training_shuffle",
-      "x43_source_overlap", "x46_bigram_logprob").filter(names.contains)
+      "x07_cosine_topk", "x18_dedup_components", "x27_sequence_pack",
+      "x31_passage_dedup", "x33_incremental_dedup",
+      "x37_training_shuffle", "x40_quality_survivor",
+      "x43_source_overlap", "x46_bigram_logprob", "x50_novelty",
+      "x51_quality_tiles", "x52_vocab_coverage").filter(names.contains)
     def sfOf(dir: String): Double =
       "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.0)
+    // x31's cross-round regression question (VERDICT r8 #1): record
+    // whether its lake checkpoint was already built when the timed
+    // reps started — the timed path must be the warm
+    // read-the-checkpoint path, not a rebuild inside the reps.
+    def x31Warm(dir: String): Boolean =
+      try Lake.isBuilt(spark, dir, "x31_passages")
+      catch { case _: Throwable => false }
+    // One protocol per point: partitioned-events copy ensured, global
+    // prewarm over the scaling set (builds every lake checkpoint
+    // untimed), then timed reps. Identical to the headline protocol.
+    def timePoint(dir: String): (Map[String, QueryStats], Boolean) = {
+      Lake.ensurePartitionedEvents(spark, dir)
+      prewarm(scalingNames, dir)
+      val warm = x31Warm(dir)
+      (scalingNames.map(n => n -> timeQuery(n, dir)).toMap, warm)
+    }
     // Derive the comparison dir from the PARSED sf token (not a literal
     // string match on "sf0.1") so a run at any scale factor still
     // produces — or visibly skips — the scaling evidence.
     val smallDir = "sf[0-9.]+".r.replaceFirstIn(sfDir, "sf0.01")
+    val bigFactor = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "10").toInt
     val scalingJson =
       if (smallDir != sfDir && new java.io.File(smallDir).isDirectory) {
-        Lake.ensurePartitionedEvents(spark, smallDir)
-        prewarm(scalingNames, smallDir)
-        val entries = scalingNames.flatMap { name =>
-          val small = timeQuery(name, smallDir)
-          val big = stats.find(_.name == name)
-          (small.okReps, big) match {
-            case (ok, Some(b)) if ok > 0 && b.okReps > 0 && small.median > 0 =>
-              val ratio = b.median / small.median
-              Some(s""""$name":{"small":${fmt(small.median)},"big":${fmt(b.median)},"time_ratio":${fmt(ratio)},"small_mean":${fmt(small.mean)},"big_mean":${fmt(b.mean)}}""")
+        val (smallStats, smallWarm) = timePoint(smallDir)
+        val midStats = stats.map(s => s.name -> s).toMap
+        // big point: derived scaled lake; a build/run failure degrades
+        // to a two-point curve with the reason in the artifact, never
+        // a crashed bench.
+        val (bigDirOpt, bigStats, bigWarm) =
+          if (bigFactor <= 1) (None, Map.empty[String, QueryStats], false)
+          else try {
+            val d = Lake.ensureScaledDir(spark, sfDir, bigFactor)
+            val (bs, bw) = timePoint(d)
+            (Some(d), bs, bw)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scaled lake: ${e.getMessage}")
+            (Some(s"FAILED: ${clip(e.getMessage)}"), Map.empty[String, QueryStats], false)
+          }
+        def med(m: Map[String, QueryStats], n: String): Option[Double] =
+          m.get(n).filter(s => s.okReps > 0 && s.median > 0).map(_.median)
+        val entries = scalingNames.map { name =>
+          (med(smallStats, name), med(midStats, name), med(bigStats, name)) match {
+            case (Some(s), Some(m), b) =>
+              val base = s""""small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)}"""
+              val bigPart = b.map(t =>
+                s""","big":${fmt(t)},"ratio_big_over_mid":${fmt(t / m)}""").getOrElse("")
+              s""""$name":{$base$bigPart}"""
             case _ =>
-              Some(s""""$name":{"err":"${jsonEscape(small.err.orElse(big.flatMap(_.err)).getOrElse("unmeasured"))}"}""")
+              val why = Seq(smallStats.get(name), midStats.get(name), bigStats.get(name))
+                .flatten.flatMap(_.err).headOption.getOrElse("unmeasured")
+              s""""$name":{"err":"${jsonEscape(why)}"}"""
           }
         }.mkString("{", ",", "}")
-        val dataRatio =
+        val dataRatioMid =
           if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
-        s""","scaling":{"data_ratio":${fmt(dataRatio)},"small_sf":"$smallDir","queries":$entries}"""
+        val bigMeta = bigDirOpt.map(d =>
+          s""","big_dir":"${jsonEscape(d)}","data_ratio_big_over_mid":$bigFactor""").getOrElse("")
+        s""","scaling":{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir"$bigMeta,"x31_ckpt_warm":{"small":$smallWarm,"mid":$headlineX31Warm,"big":$bigWarm},"queries":$entries}"""
       } else {
         val why =
           if (sfOf(sfDir) == 0.0) s"no_sf_token_in:$sfDir"
@@ -272,16 +323,59 @@ object Bench {
         s""","scaling":{"skipped":"$why"}"""
       }
 
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"median":$medians,"errors":$errors,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$scalingJson}"""
+    // Serving-path latency (the reference's actual product surface is
+    // the HTTP query endpoint, app.py:27-58): 100 sequential POSTs of
+    // the flagship SQL against an in-process HttpFront on an ephemeral
+    // loopback port, after 5 warm requests. p50/p99 are client-side
+    // wall times over the full round trip (serialize → engine.execute
+    // → JSON envelope), so the serving path has a tracked number like
+    // every query does.
+    val httpJson = try {
+      val engine = new graft.engine.SparkEngine(() => spark)
+      val server = graft.server.HttpFront.start(engine, spark, sfDir, port = 0)
+      try {
+        val port = server.getAddress.getPort
+        val url = java.net.URI.create(s"http://127.0.0.1:$port/query").toURL
+        val sqlEsc = graft.queries.Core.flagshipSql
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").replace("\r", " ")
+        val body = s"""{"q":"$sqlEsc","limit":20}""".getBytes("UTF-8")
+        def fire(): Double = {
+          val t0 = System.nanoTime()
+          val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+          c.setRequestMethod("POST"); c.setDoOutput(true)
+          c.getOutputStream.write(body)
+          val code = c.getResponseCode
+          val resp = new String(c.getInputStream.readAllBytes(), "UTF-8")
+          require(code == 200 && resp.contains("\"records\""),
+            s"http $code: ${clip(resp)}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 5).foreach(_ => fire())
+        val times = (1 to 100).map(_ => fire()).sorted
+        s""","http":{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship"}"""
+      } finally server.stop(0)
+    } catch { case e: Throwable =>
+      s""","http":{"err":"${jsonEscape(String.valueOf(e.getMessage))}"}""" }
+
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$means,"sf":"$sfDir","std":$stds,"median":$medians,"errors":$errors,"reps":$reps,"probe_ok":$probeOk,"pruned_vs_full":${fmt(prunedVsFull)},"full_scan_files":$fullFiles,"pruned_scan_files":$prunedFiles$httpJson$scalingJson}"""
     println(line)
-    // Machine-readable copy: both BENCH_r06 and BENCH_r07 carried
-    // "parsed": null because log capture truncated the single long
-    // line behind sbt's [info] noise.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/graft-bench.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] file write: ${e.getMessage}") }
+    // Machine-readable copies: BENCH_r06..r08 all carried
+    // "parsed": null because driver-side log capture truncated the
+    // single long line — so the authoritative artifact is a FILE, and
+    // it lives in the REPO (committed per round), not just /tmp,
+    // which does not survive the round boundary.
+    val outs = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"),
+      "/tmp/graft-bench.json")
+    outs.foreach { out =>
+      try {
+        val p = java.nio.file.Paths.get(out)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] file write $out: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

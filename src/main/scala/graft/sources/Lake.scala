@@ -214,7 +214,12 @@ object Lake {
     val raw = withConf(spark, NanosKey -> "true") {
       spark.read.parquet(s"$sfDir/events.parquet")
     }
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // Derived lakes ([[ensureScaledDir]]) store ts as a real MICROS
+    // TimestampType already — only the provisioned nanos-as-long
+    // layout needs the integer conversion.
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Targets whose _SUCCESS marker this process has already confirmed —
@@ -410,4 +415,72 @@ object Lake {
     */
   def partitionedEvents(spark: SparkSession, sfDir: String): DataFrame =
     cachedRead(spark, ensurePartitionedEvents(spark, sfDir))
+
+  /** Primary/foreign keys shifted when scaling a source dir up: each
+    * extra copy re-keys these columns by `copy * ScaleKeyStride`, so
+    * fact/fact joins (orders↔customer, lineitem↔orders) stay
+    * referentially intact per copy while key cardinality grows with
+    * the data — the shape real corpus growth has (new users, new
+    * docs), as opposed to 10× rows per existing key. Dimension tables
+    * (region/nation/part/supplier) are NOT multiplied: dims grow
+    * slower than facts, and small-dim broadcast joins staying
+    * broadcast-able at scale is exactly the design point to preserve.
+    */
+  private val scaleKeys: Map[String, Seq[String]] = Map(
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey"),
+    "customer" -> Seq("c_custkey"))
+
+  /** Key offset between scaled copies — far above any provisioned id
+    * (ids are dense from 0; sf0.1's largest table is 600k rows) and
+    * long-safe at any plausible factor.
+    */
+  val ScaleKeyStride: Long = 100000000L
+
+  /** Build a `factor`× scaled derivative of `srcSfDir` under the lake
+    * root and return its directory — shaped exactly like a testdata
+    * dir (`<table>.parquet` per table) so every Lake reader, the SQL
+    * registry, and the bench run against it unchanged. Fact tables
+    * are factor re-keyed unions ([[scaleKeys]]); dims pass through
+    * single-copy. Text/embedding payloads repeat verbatim across
+    * copies — for the dedup/similarity operators that is a STRESS
+    * shape (10× corpus where every doc has factor-1 exact near-twins
+    * under re-keyed ids), which is the honest way to scale a dedup
+    * benchmark. `ts` is written as parquet TIMESTAMP_MICROS (the
+    * nanos layout is a quirk of the provisioned files, not a contract
+    * — [[rawEvents]] accepts either). Idempotent per source
+    * fingerprint via the same _SUCCESS gating as every derived copy.
+    */
+  def ensureScaledDir(spark: SparkSession, srcSfDir: String, factor: Int,
+      targetRoot: String = "/tmp/graft-lake"): String = {
+    require(factor >= 1, s"scale factor must be >= 1, got $factor")
+    val slug = srcSfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val fp = fingerprint(spark, srcSfDir)
+    val dir = s"$targetRoot/scaled${factor}x_${slug}_$fp"
+    tableNames.foreach { name =>
+      val target = s"$dir/$name.parquet"
+      ensureBuilt(spark, target, Seq(OutTsKey -> "TIMESTAMP_MICROS")) {
+        val src =
+          if (name == "events") rawEvents(spark, srcSfDir)
+          else spark.read.parquet(s"$srcSfDir/$name.parquet")
+        val out = scaleKeys.get(name) match {
+          case None => src
+          case Some(keys) =>
+            (0 until factor).map { i =>
+              keys.foldLeft(src) { (df, k) =>
+                // preserve the column's stored type (int ids must not
+                // widen to long — readers compare schemas)
+                df.withColumn(k, (col(k) + lit(i * ScaleKeyStride))
+                  .cast(src.schema(k).dataType))
+              }
+            }.reduce(_ union _)
+        }
+        out.write.mode("overwrite").parquet(target)
+      }
+    }
+    dir
+  }
 }

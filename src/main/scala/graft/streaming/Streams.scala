@@ -85,11 +85,16 @@ object Streams {
     // set/restore (Lake.withConf) would be unset again by the time the
     // microbatches run. Deliberately session-global here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Lake.rawSchema(spark, sfDir, "events"))
+    val schema = Lake.rawSchema(spark, sfDir, "events")
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // derived scaled lakes store ts as real MICROS TimestampType;
+    // only the provisioned nanos-as-long layout needs converting
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Event stream over the micros-normalized copy (real TimestampType

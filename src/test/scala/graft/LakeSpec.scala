@@ -123,6 +123,37 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("ensureScaledDir multiplies facts with disjoint re-keyed ids, passes dims through") {
+    val dir = Lake.ensureScaledDir(spark, SfDir, factor = 3)
+    // facts: 3× rows, and keys disjoint across copies so distinct
+    // cardinality scales with the data (growth = new users/docs, not
+    // 3× density per existing key)
+    val srcEvents = Lake.table(spark, SfDir, "events")
+    val bigEvents = Lake.table(spark, dir, "events")
+    assert(bigEvents.count() == 3 * srcEvents.count())
+    assert(bigEvents.select(col("user_id")).distinct().count() ==
+      3 * srcEvents.select(col("user_id")).distinct().count())
+    // null user ids stay null (offset arithmetic must not invent keys)
+    assert(bigEvents.filter(col("user_id").isNull).count() ==
+      3 * srcEvents.filter(col("user_id").isNull).count())
+    // ts round-trips as a real timestamp with the source's span
+    val Array(srcSpan) = srcEvents.agg(min(col("ts")), max(col("ts"))).collect()
+    val Array(bigSpan) = bigEvents.agg(min(col("ts")), max(col("ts"))).collect()
+    assert(srcSpan == bigSpan, s"ts span changed: $srcSpan vs $bigSpan")
+    // copy 2's doc ids sit a full stride band up
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.agg(max(col("doc_id"))).head().getLong(0) >= 2 * Lake.ScaleKeyStride)
+    // fact/fact join stays referentially intact per copy
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val dangling = orders.join(cust,
+      orders("o_custkey") === cust("c_custkey"), "left_anti").count()
+    assert(dangling == 0, s"$dangling orders lost their customer after re-keying")
+    // dims: single copy
+    assert(spark.read.parquet(s"$dir/nation.parquet").count() ==
+      spark.read.parquet(s"$SfDir/nation.parquet").count())
+  }
+
   test("c11 approx_count_distinct is within 5% of exact per event_type") {
     val e = Lake.table(spark, SfDir, "events")
     val approx = e.groupBy(col("event_type"))
