@@ -625,6 +625,37 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MINHASH BANDING+VERIFY, EXACT-ORACLED: x03's candidate sets
+    // can't cross-engine compare because real signatures are
+    // xxhash64-seeded — but the banding/verify MACHINERY can, given
+    // signatures both engines can construct. Synthetic 8-position
+    // signatures from modular arithmetic on doc_id: positions 0-3
+    // are (doc_id%10)*(s+1) — so band 0 (positions 0-3) collides
+    // exactly when doc_id agrees mod 10; positions 4-5 are
+    // (doc_id%3)*(s+1) — agreement adds 2/8 of est-jaccard;
+    // positions 6-7 are doc_id*31+s — unique per doc, so band 1
+    // never collides and candidates are PROVABLY the mod-10 classes
+    // (an unequal-slice xxhash64 bucket collision has probability
+    // ~2^-64). est_jaccard is then (4 + 2·[a≡b mod 3])/8 ∈
+    // {0.5, 0.75}; threshold 0.6 keeps exactly the mod-30-equal
+    // pairs. This runs minhashBands → minhashCandidates →
+    // minhashVerify end-to-end (the same code x03 runs) with a full
+    // DuckDB hash-match oracle on the output.
+    "x57_minhash_verify_exact" -> ((spark, sfDir) => {
+      val numHashes = 8
+      val sigs = docs(spark, sfDir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          array((0 until numHashes).map {
+            case s if s < 4 => (col("doc_id") % 10) * (s + 1)
+            case s if s < 6 => (col("doc_id") % 3) * (s + 1)
+            case s          => col("doc_id") * 31 + s
+          }: _*).cast("array<bigint>").as("sig"))
+      val bands = minhashBands(sigs, numHashes, bands = 2)
+      val cands = minhashCandidates(bands)
+      minhashVerify(cands, sigs, numHashes, threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // SimHash near-dup: 64-bit fingerprints, 4×16-bit banding,
     // Hamming ≤ 8.
     // The fingerprint table is lake-checkpointed like x03's band
@@ -906,7 +937,20 @@ object Dedup {
         "WHERE rn = 1 ORDER BY doc_id"),
     // x03/x04 are sketch-based (xxhash64-seeded) — not reproducible in
     // SQL; they get the driver's rows-only check plus our own unit
-    // tests against x05's exact ground truth.
+    // tests against x05's exact ground truth. x57 closes the gap for
+    // the MACHINERY: engine-constructible signatures make the banding
+    // candidate set and the verify arithmetic exactly oracle-able
+    // (band 0 collides ⇔ doc_id ≡ mod 10; positions 6-7 unique so
+    // band 1 never collides; est_jaccard = (4 + 2·[≡ mod 3])/8).
+    "x57_minhash_verify_exact" ->
+      ("WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM d a JOIN d b " +
+        "ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id), " +
+        "v AS (SELECT doc_a, doc_b, " +
+        "(4 + CASE WHEN doc_a % 3 = doc_b % 3 THEN 2 ELSE 0 END) / 8.0 " +
+        "AS est_jaccard FROM p) " +
+        "SELECT doc_a, doc_b, est_jaccard FROM v " +
+        "WHERE est_jaccard >= 0.6 ORDER BY doc_a, doc_b"),
     "x05_dedup_ngram_jaccard" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +

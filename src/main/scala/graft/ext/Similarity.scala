@@ -368,6 +368,78 @@ object Similarity {
   private val pqSubDimCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** LSH ANN top-k per query from a (materialized) bucket table:
+    * candidates are bucket collisions in any hash table, deduplicated,
+    * then reranked by exact cosine. Shared by the x08 registered query
+    * (topK=3) and the x54 recall report (topK=10).
+    */
+  def lshTopKFrom(buckets: DataFrame, e: DataFrame, queryPred: Column,
+      topK: Int): DataFrame = {
+    val qb = buckets.filter(queryPred)
+      .select(col("tbl"), col("sig"), col("vec_id").as("query_id"))
+    val cands = qb.join(buckets, Seq("tbl", "sig"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    // query vectors: bounded tiny side -> broadcast; neighbor fetch
+    // shuffles the corpus vectors once, keyed by id.
+    val qv = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    cands.join(qv, "query_id").join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact-cosine ground truth: top-k neighbors per query by brute
+    * force — x07's shape generalized to a query batch. The query side
+    * is broadcast (|Q| tiny by construction); the corpus side is one
+    * scan, so computing the truth costs one pass regardless of |Q|.
+    */
+  def bruteTopK(e: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val qv = broadcast(e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec"))
+      .join(qv)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("nvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Recall@k report: per query, how many of the exact top-k the ANN
+    * result recovered. This is the ANN QUALITY REGRESSION GATE as a
+    * first-class query: the planted-recall unit tests pin guarantees
+    * at toy scale, and this row makes a recall drop on the provisioned
+    * corpus visible in the driver's correctness artifact (counts are
+    * deterministic — seeded hyperplanes / seeded k-means, materialized
+    * index). Join shape: truth and ANN are both |Q|·k rows — model-
+    * sized at any corpus scale.
+    */
+  def recallAtK(truth: DataFrame, ann: DataFrame, k: Int): DataFrame = {
+    val hits = truth
+      .join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_recalled"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(k).as("k"),
+        coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
+        round(coalesce(col("n_recalled"), lit(0L)).cast("double") /
+          col("n_true"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Convenience form for in-process corpora (tests). */
   def pqTopK(df: DataFrame, queriesFilter: Column, m: Int, ksub: Int,
       topK: Int): DataFrame = {
@@ -470,26 +542,7 @@ object Similarity {
         s"lsh_buckets_${bits}_$DefaultTables") {
         lshBuckets(e, bits, DefaultTables)
       }
-      val qb = buckets.filter(col("vec_id") < 5)
-        .select(col("tbl"), col("sig"), col("vec_id").as("query_id"))
-      val cands = qb.join(buckets, Seq("tbl", "sig"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"))
-        .distinct()
-      // query vectors: bounded tiny side -> broadcast; neighbor fetch
-      // shuffles the corpus vectors once, keyed by id.
-      val qv = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec")))
-      val nv = e.select(col("vec_id").as("neighbor_id"), col("vec").as("nvec"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(desc("cos"), col("neighbor_id"))
-      cands.join(qv, "query_id").join(nv, "neighbor_id")
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
+      lshTopKFrom(buckets, e, col("vec_id") < 5, topK = 3)
     }),
 
     // Embedding near-dup self-join: same multi-table banding, both
@@ -582,6 +635,58 @@ object Similarity {
         .select(col("vec_id").as("query_id"),
           toDouble(col("embedding")).as("qvec"))
       pqTopKFrom(codes, codebooks, queries, m, sd, topK = 3)
+    }),
+
+    // RECALL@10 REPORTS for the three ANN paths — the quality side of
+    // the speed/quality trade each index makes, tracked per round in
+    // the driver's artifact (rows-only: the ANN candidate sets are
+    // engine-specific, but the counts are deterministic — seeded
+    // hyperplanes/k-means + lake-materialized indexes). Each reuses
+    // the SAME materialized index as its top-k query (identical
+    // Lake.materialize name), so the recall row never triggers a
+    // second fit. Ground truth is the brute-force exact-cosine top-10
+    // (x07's shape over the 5-query batch).
+    "x54_ann_lsh_recall" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      val bits = chooseBits(Lake.rowCount(spark, sfDir, "embeddings"))
+      val buckets = Lake.materialize(spark, sfDir,
+        s"lsh_buckets_${bits}_$DefaultTables") {
+        lshBuckets(e, bits, DefaultTables)
+      }
+      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
+        lshTopKFrom(buckets, e, col("vec_id") < 5, topK = 10), 10)
+    }),
+
+    "x55_ann_ivf_recall" -> ((spark, sfDir) => {
+      val k = 16
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      val assigned = Lake.materialize(spark, sfDir, s"ivf_cells_$k") {
+        ivfFit(e, k)
+      }
+      val centroids = Lake.materialize(spark, sfDir, s"ivf_centroids_$k") {
+        ivfCentroidsOf(assigned)
+      }
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
+        ivfTopKFrom(assigned, centroids, queries, nprobe = 4, topK = 10), 10)
+    }),
+
+    "x56_ann_pq_recall" -> ((spark, sfDir) => {
+      val (m, ksub) = (4, 16)
+      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+      val codebooks = Lake.materialize(spark, sfDir, s"pq_codebooks_${m}_$ksub") {
+        pqFit(e, m, ksub)
+      }
+      val sd = pqSubDimCache.computeIfAbsent(s"$sfDir/$m/$ksub",
+        _ => codebooks.select(size(col("centroid"))).head().getInt(0))
+      val codes = Lake.materialize(spark, sfDir, s"pq_codes_${m}_$ksub") {
+        pqEncode(e, codebooks, m, sd)
+      }
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
+        pqTopKFrom(codes, codebooks, queries, m, sd, topK = 10), 10)
     })
   )
 

@@ -825,4 +825,40 @@ class ExtSpec extends SparkSpec {
     val pairs = Similarity.snmNeardup(e, window = 10, threshold = 0.2).count()
     assert(pairs <= n * 10, s"$pairs pairs exceeds n*window = ${n * 10}")
   }
+
+  test("x57 minhash banding+verify on synthetic sigs: candidates = mod-10 classes, est-jaccard exact") {
+    val rows = Dedup.queries("x57_minhash_verify_exact")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = Lake.table(spark, SfDir, "documents")
+      .filter(col("doc_id") < 300).select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    // band 0 collides ⇔ ≡ mod 10; threshold 0.6 then keeps exactly the
+    // pairs also agreeing mod 3 (est 0.75); everything else est 0.5
+    val expected = (for {
+      a <- ids; b <- ids
+      if a < b && a % 10 == b % 10 && a % 3 == b % 3
+    } yield (a, b)).toSet
+    assert(rows.nonEmpty, "survivor set must be non-empty at every provisioned sf")
+    assert(rows.map(p => (p._1, p._2)).toSet == expected,
+      s"survivors ${rows.length} vs expected ${expected.size}")
+    assert(rows.forall(_._3 == 0.75),
+      "every survivor agrees on exactly 6 of 8 signature positions")
+  }
+
+  test("ANN recall@10 reports: per-query bounds hold and counts are stable across invocations") {
+    for (q <- Seq("x54_ann_lsh_recall", "x55_ann_ivf_recall", "x56_ann_pq_recall")) {
+      def run() = Similarity.queries(q)(spark, SfDir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      val a = run()
+      assert(a.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L), s"$q query ids: ${a.toSeq}")
+      a.foreach { case (qid, k, n, rec) =>
+        assert(k == 10, s"$q $qid k=$k")
+        assert(n >= 0 && n <= 10, s"$q $qid n_recalled=$n out of [0,10]")
+        assert(math.abs(rec - n / 10.0) < 1e-9, s"$q $qid recall $rec vs n_recalled $n")
+      }
+      // seeded hyperplanes/k-means + materialized index ⇒ the driver's
+      // rows-only row is a STABLE regression gate, not noise
+      assert(a.toSeq == run().toSeq, s"$q not deterministic across invocations")
+    }
+  }
 }
