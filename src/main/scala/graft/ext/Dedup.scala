@@ -169,6 +169,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The exploded (doc_id, distinct 3-gram) table — the shared lake
+    * artifact behind x05's exact Jaccard, x30's compose, and x50's
+    * novelty scoring (all materialize it under the same name, so the
+    * tokenize+explode scan runs once per corpus fingerprint no matter
+    * which consumer touches it first). Docs shorter than 3 tokens
+    * contribute no rows (empty shingle array explodes to nothing).
+    */
+  def shingleTable(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(shingles(3)).as("shingle"))
+
   /** Exact n-gram Jaccard via inverted-index join: explode distinct
     * shingles, equi-join on the shingle (the "index"), count
     * intersections per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
@@ -188,8 +198,7 @@ object Dedup {
     // agg, anti-join probe, sizes, both intersection sides) — callers
     // with a lake pass a materializing `checkpoint` so the tokenize +
     // explode scan runs once, not per branch
-    val sh0 = checkpoint(
-      df.select(col("doc_id"), explode(shingles(3)).as("shingle")))
+    val sh0 = checkpoint(shingleTable(df))
     // The cap is a literal in the plan, not a single-row join arm.
     // Callers with a lake pass nDocs from footer metadata (Lake.rowCount)
     // so no count() job runs per invocation; in-memory callers fall back.

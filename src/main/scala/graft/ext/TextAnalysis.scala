@@ -396,26 +396,28 @@ object TextAnalysis {
     // first seen in THAT document (corpus in doc_id order): the
     // freshness signal a curriculum/ordering pipeline keys on, and
     // x44's vocabulary-growth idea pushed down to per-document
-    // grain. Scale shape: one hash groupBy for first-arrival (min
-    // doc_id per shingle, partial-aggregatable), one equi-join back —
-    // the right side is UNIQUE per shingle, so no fan-out on
-    // boilerplate shingles; all counts exact integers, one division.
+    // grain. Scale shape (reworked after the r9 bench flagged this as
+    // the slowest headline query): the shingle table is the SHARED
+    // lake artifact x05 checkpoints (one tokenize+explode per corpus
+    // fingerprint across all consumers), and the old join-back on the
+    // STRING shingle key is gone — n_novel(d) = |{shingles whose
+    // first_doc = d}| comes from re-aggregating the first-arrival
+    // table by doc, so the plan is two partial-aggregatable hash aggs
+    // off one parquet scan plus a doc-keyed join of two doc-sized
+    // sides. Nothing corpus-sized is ever shuffled twice. All counts
+    // exact integers, one division.
     "x50_novelty" -> ((spark, sfDir) => {
-      val sh = docs(spark, sfDir)
-        .withColumn("_toks", tokens)
-        .filter(size(col("_toks")) >= 3)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(_toks) - 2), " +
-            "i -> concat_ws(' ', element_at(_toks, i), " +
-            "element_at(_toks, i + 1), element_at(_toks, i + 2)))")))
-          .as("shingle"))
-      val first = sh.groupBy(col("shingle"))
-        .agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, "shingle")
+      val sh = Lake.materialize(spark, sfDir, "x05_shingles") {
+        Dedup.shingleTable(docs(spark, sfDir))
+      }
+      val perDoc = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val novel = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+        .agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           round(col("n_novel").cast("double") / col("n_shingles"), 4)
             .as("novelty"))
