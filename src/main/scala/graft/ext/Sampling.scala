@@ -163,6 +163,30 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // TEMPERATURE-SCALED DOMAIN MIX (α = 0.5) — the multilingual-LM
+    // sampling rule (mBERT/XLM-R/mT5 exponentiated-count sampling):
+    // admit domain d at rate (min_cnt/cnt_d)^α, flattening the domain
+    // distribution only PARTWAY toward uniform (α = 1 is x28's
+    // equalize-to-min; α = 0 keeps the natural mix). Same stateless
+    // broadcast-threshold shape as x28. Cross-engine exact despite
+    // the fractional power: α = 0.5 makes the rate sqrt(min/cnt), and
+    // double division, sqrt and the HashMod multiply are all
+    // correctly-rounded IEEE-754 ops — both engines compute the
+    // bit-identical threshold before the integer floor.
+    "x59_temperature_mix" -> ((spark, sfDir) => {
+      val c = docs(spark, sfDir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+      val thr = c.crossJoin(broadcast(c.agg(min(col("cnt")).as("min_cnt"))))
+        .select(col("lang"),
+          floor(lit(HashMod.toDouble) *
+            sqrt(col("min_cnt").cast("double") / col("cnt"))).as("thr"))
+      docs(spark, sfDir)
+        .join(broadcast(thr), "lang")
+        .filter(sampleHash(col("doc_id")) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRAIN/VAL/TEST SPLIT — the standard 98/1/1 holdout assignment,
     // deterministic and reshuffle-free: the same Weyl hash x20/x37
     // use, cut at exact INTEGER thresholds (no float rates), so any
@@ -236,6 +260,17 @@ object Sampling {
       (s"WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
         "m AS (SELECT MIN(cnt) AS min_cnt FROM c), " +
         s"r AS (SELECT lang, ($HashMod * min_cnt) // cnt AS thr FROM c, m) " +
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+        s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
+        "ORDER BY d.doc_id"),
+    // the α = 0.5 rate is sqrt(min/cnt): division, sqrt and the
+    // HashMod multiply are correctly-rounded IEEE doubles on both
+    // engines, so the floored integer thresholds agree exactly
+    "x59_temperature_mix" ->
+      (s"WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
+        "m AS (SELECT MIN(cnt) AS min_cnt FROM c), " +
+        s"r AS (SELECT lang, CAST(FLOOR($HashMod * " +
+        "SQRT(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT) AS thr FROM c, m) " +
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
         "ORDER BY d.doc_id"),

@@ -184,6 +184,35 @@ object Similarity {
         round(col("_cos"), 4).as("cos"))
   }
 
+  /** SemDeDup — cluster-bounded embedding-cosine near-dedup (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): within each cluster, drop a vector iff
+    * some LOWER-id member sits within cosine `threshold` of it. The
+    * rule is engine-reproducible because it carries no sequential
+    * greedy state — whether the lower-id witness itself survives is
+    * irrelevant — so the survivor set is a pure function of the
+    * pairwise similarity graph, not of iteration order.
+    *
+    * Scale shape: the pairwise compare is an equi-join on the cluster
+    * key, so the quadratic term is bounded by the LARGEST CLUSTER, not
+    * the corpus — the paper's own design, where clusters come from a
+    * k-means coarse quantizer ([[ivfFit]] here) sized so cells stay
+    * O(corpus/k). The dropped set is id-only (no vector payload
+    * shuffled twice) and applied with a broadcast-able left-anti join.
+    */
+  def semanticDedup(df: DataFrame, clusterCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("_cl"), col("vec_id").as("_va"),
+      col("embedding").as("_ea"))
+    val b = df.select(col(clusterCol).as("_cl"), col("vec_id").as("_vb"),
+      col("embedding").as("_eb"))
+    val dropped = a.join(b, "_cl")
+      .filter(col("_va") < col("_vb") &&
+        cosine(col("_ea"), col("_eb")) >= threshold)
+      .select(col("_vb").as("vec_id")).distinct()
+    df.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** IVF (inverted-file) ANN — the other classic scale path next to
     * LSH: a seeded k-means coarse quantizer partitions the corpus into
     * k disjoint cells; a query probes only its `nprobe` nearest cells
@@ -545,6 +574,17 @@ object Similarity {
       lshTopKFrom(buckets, e, col("vec_id") < 5, topK = 3)
     }),
 
+    // SEMANTIC DEDUP (SemDeDup): drop vectors with a lower-id
+    // in-cluster neighbor at cosine ≥ 0.3. The deterministic `label`
+    // column stands in for the paper's k-means cells so — unlike the
+    // seeded-LSH x09 — the full survivor set carries a DuckDB oracle;
+    // at 100 TB the cluster key swaps to ivfFit's cells and the same
+    // plan holds (quadratic only within a bounded cell).
+    "x58_semantic_dedup" -> ((spark, sfDir) =>
+      semanticDedup(emb(spark, sfDir), "label", threshold = 0.3)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
+
     // Embedding near-dup self-join: same multi-table banding, both
     // sides the full corpus — candidates are bucket collisions only,
     // verified by exact cosine ≥ threshold.
@@ -713,6 +753,21 @@ object Similarity {
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),
+    // deterministic clustering (label) → reproducible survivor set;
+    // the cosine mirrors x07's arithmetic (double widening), and the
+    // threshold compares the unrounded double on both engines (x45's
+    // proven pattern)
+    "x58_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id WHERE " +
+        "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / " +
+        "(sqrt(list_sum(list_transform(a.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.3) " +
+        "SELECT e.vec_id, e.label FROM e " +
+        "WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.vec_id = e.vec_id) " +
+        "ORDER BY e.vec_id"),
     // deterministic blocking → reproducible candidate set; the cosine
     // mirrors x07's arithmetic (double widening, 4 dp round)
     "x45_snm_neardup" ->

@@ -861,4 +861,45 @@ class ExtSpec extends SparkSpec {
       assert(a.toSeq == run().toSeq, s"$q not deterministic across invocations")
     }
   }
+
+  test("x58 semantic dedup: witness-independent drop rule, cluster-bounded compares") {
+    import spark.implicits._
+    // label 0: a=(1,0) keeps; b at 45° to a (cos .7071 ≥ .7) drops with
+    // witness a; c orthogonal to a but at 45° to b — c must STILL drop:
+    // the rule quantifies over lower-id members, not survivors (no
+    // greedy sequential state, the property that makes the survivor
+    // set engine-reproducible). label 1: d identical to a but in
+    // another cluster — never compared, keeps.
+    val e = Seq(
+      (1L, 0, Array(1f, 0f)),
+      (2L, 0, Array(0.7071f, 0.7071f)),
+      (3L, 0, Array(0f, 1f)),
+      (4L, 1, Array(1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val kept = Similarity.semanticDedup(e, "label", threshold = 0.7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"kept $kept")
+  }
+
+  test("x59 temperature mix sits between x28's flat mix and the natural distribution") {
+    val docs = Lake.table(spark, SfDir, "documents")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val cnt = docs.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    val minCnt = cnt.values.min
+    // independent reference: thresholds recomputed with scala.math.sqrt
+    val expected = docs.collect { case (id, l)
+      if (id * Sampling.HashMul) % Sampling.HashMod <
+        math.floor(Sampling.HashMod.toDouble *
+          math.sqrt(minCnt.toDouble / cnt(l))).toLong => id
+    }.toSet
+    val got = Sampling.queries("x59_temperature_mix")(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"mismatch: ${got.size} vs ${expected.size}")
+    // sqrt(r) ≥ r on [0,1] ⇒ every x28-admitted doc is x59-admitted,
+    // and the admitted share per lang is ≥ the flat-mix share
+    val flat = Sampling.queries("x28_domain_mix")(spark, SfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat.subsetOf(got), s"x28 admitted ${flat.size}, not a subset")
+    assert(got.size < docs.length, "temperature mix must subsample the majority domain")
+  }
 }

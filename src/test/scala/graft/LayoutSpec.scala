@@ -48,14 +48,18 @@ class LayoutSpec extends SparkSpec {
         assert(loB >= hiA, s"compacted files overlap on ts: $hiA > $loB")
       case _ =>
     }
-    // the fragmented source is the degenerate contrast: (nearly) every
-    // file spans (nearly) the whole table, so nothing is skippable
+    // the fragmented source is the degenerate contrast: every file
+    // spans most of the table, so nothing is skippable. Assert the
+    // MEAN coverage, not a count over a 0.9 cut: with ~15 random rows
+    // per fragment the per-file span concentrates at (n-1)/(n+1)≈0.87,
+    // so a per-file >0.9 test is a coin flip while the mean over 64
+    // files is tightly ≈0.87
     val srcSpans = fileSpans(src, "ts")
     val (gLo, gHi) = (srcSpans.map(_._1).min, srcSpans.map(_._2).max)
-    val fullish = srcSpans.count { case (lo, hi) =>
-      (hi - lo).toDouble / math.max(1L, gHi - gLo) > 0.9 }
-    assert(fullish >= srcSpans.size / 2,
-      s"expected full-span fragments in the source, got $fullish/${srcSpans.size}")
+    val meanCov = srcSpans.map { case (lo, hi) =>
+      (hi - lo).toDouble / math.max(1L, gHi - gLo) }.sum / srcSpans.size
+    assert(meanCov > 0.6,
+      f"expected wide-span fragments in the source, mean coverage $meanCov%.2f")
   }
 
   test("zValue interleaves bits monotonically within each dimension slice") {

@@ -138,6 +138,17 @@ class PlanSpec extends SparkSpec {
       s"x45 plans a non-equi join:\n$plan")
   }
 
+  test("SemDeDup pairwise compare rides the cluster-key equi-join (x58)") {
+    // the quadratic term must stay bounded by the cluster: the cosine
+    // threshold is a post-join filter on a label equi-join, never a
+    // corpus-wide nested loop
+    val plan = Similarity.queries("x58_semantic_dedup")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x58 plans a non-equi join:\n$plan")
+  }
+
   test("bucketed co-located join plans no shuffle on the join keys (c44)") {
     // At test scale the planner rightly auto-broadcasts the tiny orders
     // side; disable broadcast to exhibit the plan the bucketing exists
