@@ -262,6 +262,49 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Contamination overlap FRACTION — the decision metric behind the
+    * published decontamination rules (GPT-3 App. C / PaLM-style: drop
+    * or clean a training document when more than a threshold share of
+    * its n-grams overlaps an eval set), where [[contaminationScreen]]
+    * (x25) only answers the boolean. Per corpus doc: its distinct
+    * n-gram shingle count, how many of those appear in any benchmark
+    * doc other than itself, their ratio, and the threshold verdict.
+    *
+    * Scale shape: identical to x25 — (doc_id, shingle) rows, benchmark
+    * side broadcast, per-doc hash aggregation; the only addition is
+    * the denominator aggregate, computed on the same exploded scan.
+    * Cross-engine exactness: the fraction is one division of two exact
+    * integers (correctly-rounded IEEE on both engines), and the flag
+    * compares that unrounded quotient against the threshold, so both
+    * engines derive bit-identical doubles before the 4 dp display
+    * round (x43's jaccard discipline).
+    */
+  def contaminationFraction(corpus: DataFrame, bench: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(when(size(tokens) >= n, shingles(n))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val c = sh(corpus)
+    val total = c.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val b = sh(bench)
+      .select(col("doc_id").as("b_id"), col("g").as("bg"))
+    val hits = c.as("c").join(broadcast(b.as("b")),
+        col("c.g") === col("b.bg") && col("c.doc_id") =!= col("b.b_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.g").as("g"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val frac = coalesce(col("n_shared"), lit(0L)).cast("double") /
+      greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+    corpus.select(col("doc_id"))
+      .join(total, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(frac, 4).as("overlap_frac"),
+        (frac >= threshold).as("flagged"))
+  }
+
   // --- bloom-filter membership pruning ---------------------------------
   // Spark's own runtime row-level filtering injects exactly this pair
   // (BloomFilterAggregate + BloomFilterMightContain) around shuffle
@@ -757,6 +800,19 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // CONTAMINATION FRACTION — x25's metric form: the per-doc share of
+    // 8-gram shingles overlapping the benchmark sample, thresholded at
+    // 20% (the published decontamination rules act on this fraction,
+    // not on any-overlap). Same broadcast screen shape as x25.
+    "x60_contamination_fraction" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      contaminationFraction(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")),
+        n = 8, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // BLOOM-ACCELERATED contamination screen: identical semantics and
     // output to x25 (the bloom is a pre-filter with no false
     // negatives; the exact join removes its false positives), so it
@@ -987,6 +1043,25 @@ object Dedup {
         "SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared, " +
         "COALESCE(h.n_shared, 0) > 0 AS contaminated " +
         "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
+    // x25's shingle CTEs plus the per-doc denominator; the fraction is
+    // one exact-integer division and the flag compares the unrounded
+    // quotient (bit-identical on both engines) against the threshold
+    "x60_contamination_fraction" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, list_reduce(w[i:i+7], (a, b) -> a || ' ' || b) AS g FROM idx), " +
+        "tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1), " +
+        "bench AS (SELECT doc_id AS b_id, g FROM sh WHERE doc_id % 20 = 0), " +
+        "hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.g) AS n_shared FROM sh " +
+        "JOIN bench ON sh.g = bench.g AND sh.doc_id != bench.b_id GROUP BY 1) " +
+        "SELECT d.doc_id, COALESCE(t.n_shingles, 0) AS n_shingles, " +
+        "COALESCE(h.n_shared, 0) AS n_shared, " +
+        "ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / " +
+        "GREATEST(COALESCE(t.n_shingles, 0), 1), 4) AS overlap_frac, " +
+        "CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / " +
+        "GREATEST(COALESCE(t.n_shingles, 0), 1) >= 0.2 AS flagged " +
+        "FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id " +
+        "LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
     // x32 is semantically x25 — the bloom only prunes the plan — so
     // the oracle is x25's SQL verbatim (exactness through the bloom is
     // ALSO pinned by ExtSpec's frame-equality test against x25).

@@ -187,6 +187,60 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // LENGTH-BUCKETED BATCHING REPORT — the padding-waste accounting a
+    // pipeline runs when batches pad to a bucket cap instead of
+    // packing (the complement of x27: padding wastes FLOPs, packing
+    // costs cross-doc attention): bucket = token length rounded UP to
+    // the next multiple of 16 (the classic bucketed-batching grid);
+    // per bucket the doc/token volumes, the padded volume n_docs·cap,
+    // and the waste share. Scale shape: one partial-aggregatable hash
+    // agg over map-computed keys; output is grid-sized. The waste
+    // fraction is one division of two exact integer aggregates (x42's
+    // reproducibility discipline — never a mean of per-doc doubles).
+    "x61_length_buckets" -> ((spark, sfDir) => {
+      docs(spark, sfDir)
+        .select(
+          expr("CAST(((size(split(text, ' ')) + 15) DIV 16) * 16 AS BIGINT)")
+            .as("bucket_cap"),
+          size(split(col("text"), " ")).cast("long").as("_nt"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
+        .select(col("bucket_cap"), col("n_docs"), col("n_tokens"),
+          col("padded_tokens"),
+          round(lit(1.0) -
+            col("n_tokens").cast("double") / col("padded_tokens"), 4)
+            .as("waste_frac"))
+        .orderBy(col("bucket_cap"))
+    }),
+
+    // EPOCH ALLOCATION UNDER A TOKEN BUDGET — the data-budgeting table
+    // (source, tokens, allocation, epochs) a pretraining run publishes
+    // next to its mix: a fixed token budget split uniformly across
+    // sources, each source capped at 4 passes over its data (the
+    // repeat-cap from the data-constrained-scaling literature), so
+    // small sources cap out and large ones train sub-epoch. Exactness:
+    // allocation is pure integer arithmetic (LEAST of exact products
+    // and an integer division), epochs is the single double division
+    // over it — bit-identical on both engines before the 4 dp round.
+    // Scale shape: sources-sized aggregate plus a 1-row broadcast
+    // scalar for the source count; trivially broadcastable.
+    "x62_epoch_allocation" -> ((spark, sfDir) => {
+      val budget = 2000000L
+      val perSource = docs(spark, sfDir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("_nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("n_tokens"))
+      perSource
+        .crossJoin(broadcast(perSource.agg(count(lit(1)).as("_s"))))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr(s"LEAST(4 * n_tokens, ${budget}L DIV _s)").as("alloc_tokens"))
+        .withColumn("epochs",
+          round(col("alloc_tokens").cast("double") / col("n_tokens"), 4))
+        .orderBy(col("source"))
+    }),
+
     // TRAIN/VAL/TEST SPLIT — the standard 98/1/1 holdout assignment,
     // deterministic and reshuffle-free: the same Weyl hash x20/x37
     // use, cut at exact INTEGER thresholds (no float rates), so any
@@ -274,6 +328,27 @@ object Sampling {
         "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
         s"JOIN r USING (lang) WHERE (d.doc_id * $HashMul) % $HashMod < r.thr " +
         "ORDER BY d.doc_id"),
+    // bucket caps and token sums are exact integers; the waste share
+    // is the one double division
+    "x61_length_buckets" ->
+      ("WITH t AS (SELECT ((len(string_split(text, ' ')) + 15) // 16) * 16 AS bucket_cap, " +
+        "len(string_split(text, ' ')) AS nt FROM documents) " +
+        "SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap, COUNT(*) AS n_docs, " +
+        "CAST(SUM(nt) AS BIGINT) AS n_tokens, " +
+        "CAST(COUNT(*) * bucket_cap AS BIGINT) AS padded_tokens, " +
+        "ROUND(1.0 - CAST(SUM(nt) AS DOUBLE) / (COUNT(*) * bucket_cap), 4) AS waste_frac " +
+        "FROM t GROUP BY bucket_cap ORDER BY bucket_cap"),
+    // allocation is LEAST(exact product, integer division); epochs is
+    // the single double division over exact integers
+    "x62_epoch_allocation" ->
+      ("WITH t AS (SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "s AS (SELECT COUNT(*) AS ns FROM t) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "CAST(LEAST(4 * n_tokens, 2000000 // ns) AS BIGINT) AS alloc_tokens, " +
+        "ROUND(CAST(LEAST(4 * n_tokens, 2000000 // ns) AS DOUBLE) / n_tokens, 4) AS epochs " +
+        "FROM t, s ORDER BY source"),
     // exact integer thresholds — both engines cut the same hash
     "x53_train_split" ->
       (s"SELECT doc_id, lang, CASE " +
