@@ -33,12 +33,19 @@ object Dedup {
   private val tokens: Column = split(col("text"), " ")
 
   /** Positional k-shingles (k=3) as an array column: for i in
-    * [0, n-k], concat(w[i..i+k-1]). Distinct set per document.
+    * [0, n-k], concat(w[i..i+k-1]). Distinct set per document. A doc
+    * shorter than k tokens has NO shingles — guarded with an explicit
+    * empty-array branch because `sequence(0, -1)` infers step -1 and
+    * yields [0, -1], whose transform then evaluates
+    * `element_at(tokens, 0)` → INVALID_INDEX_OF_ZERO at runtime.
     */
-  private def shingles(k: Int): Column = array_distinct(
-    transform(
-      sequence(lit(0), greatest(size(tokens) - k, lit(-1))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*)))
+  private def shingles(k: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(tokens) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(tokens, i + j + 1)): _*))
+    array_distinct(
+      when(size(tokens) >= k, grams).otherwise(array().cast("array<string>")))
+  }
 
   /** MinHash signatures: numHashes seeded hash functions; signature
     * element s = min over shingles of xxhash64(shingle, s). Computed

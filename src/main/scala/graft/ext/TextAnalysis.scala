@@ -458,10 +458,13 @@ object TextAnalysis {
     // an interpolated boundary is float arithmetic that two engines
     // can disagree on by 1 ulp, and a ratio sitting between the two
     // variants flips quartile (which for a rounded-grid boundary
-    // actually happened in review). For quartiles the SQL-standard
-    // PERCENTILE_DISC rank ceil(q*n)-1 and the index-based
-    // floor(q*(n-1)) coincide for every n, so the oracle's
-    // quantile_disc picks the same element. At 100 TB swap the exact
+    // actually happened in review). Convention caveat: the
+    // SQL-standard PERCENTILE_DISC rank ceil(q*n)-1 and the
+    // index-based floor(q*(n-1)) pick the same element whenever q*n
+    // is integral (e.g. n=7, q=0.75 picks index 5 vs 4) — the
+    // provisioned corpus sizes are multiples of 4, so the oracle's
+    // quantile_disc agrees here; a corpus where 4∤n would need both
+    // sides pinned to one convention. At 100 TB swap the exact
     // percentile for approx_percentile: bin boundaries don't need
     // exactness, the assignment rule doesn't change.
     "x51_quality_tiles" -> ((spark, sfDir) => {

@@ -195,13 +195,27 @@ object Lake {
     if (name == "events") cachedRead(spark, ensureMicrosEvents(spark, sfDir))
     else cachedRead(spark, s"$sfDir/$name.parquet")
 
-  /** The raw events file as stored: parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. We read nanos as raw
-    * longs (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
-    * microsecond TimestampType with integer division — the same
-    * truncation DuckDB applies when it narrows ns → µs, so both
-    * engines see identical values. DIV keeps the arithmetic in 64-bit
-    * integers (a double round-trip would lose precision at 1e18 ns).
+  /** The raw events file under whichever timestamp encoding the
+    * provisioner chose — this is THE ingest choke point that pins
+    * `ts` to TimestampType for every downstream consumer. Three
+    * encodings have been observed across dataset generations:
+    *
+    *  1. parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects
+    *     it outright, so we read nanos as raw longs
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a
+    *     microsecond TimestampType with integer division — the same
+    *     truncation DuckDB applies when it narrows ns → µs, so both
+    *     engines see identical values. DIV keeps the arithmetic in
+    *     64-bit integers (a double round-trip loses precision at
+    *     1e18 ns).
+    *  2. parquet TIMESTAMP(isAdjustedToUTC=false, µs): Spark 4 infers
+    *     TIMESTAMP_NTZ by default, which `unix_micros` rejects
+    *     (DATATYPE_MISMATCH) and `withWatermark` refuses as event
+    *     time. The session time zone is pinned UTC, so
+    *     `cast(TimestampType)` is value-identical (the NTZ wall-clock
+    *     IS the UTC instant) and every oracle hash is preserved.
+    *  3. parquet TIMESTAMP(isAdjustedToUTC=true, µs) — our own
+    *     derived/scaled copies: already TimestampType, pass through.
     *
     * Side-effect-free on session conf: the nanos-as-long conf is
     * scoped here for schema inference only. It must ALSO be set when
@@ -214,13 +228,23 @@ object Lake {
     val raw = withConf(spark, NanosKey -> "true") {
       spark.read.parquet(s"$sfDir/events.parquet")
     }
-    // Derived lakes ([[ensureScaledDir]]) store ts as a real MICROS
-    // TimestampType already — only the provisioned nanos-as-long
-    // layout needs the integer conversion.
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    normalizeTs(raw)
   }
+
+  /** Normalize a frame's `ts` column to TimestampType under the three
+    * source encodings [[rawEvents]] documents. Shared by the batch and
+    * streaming ingest paths so the two can never drift.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session TZ pinned at session build → value-identical
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Targets whose _SUCCESS marker this process has already confirmed —
     * skips the synchronized existence probe on the hot path (at
@@ -259,8 +283,8 @@ object Lake {
     * economics as [[doneTargets]]); failure is ignored, the orphan is
     * only wasted disk.
     */
-  private def retireDerived(spark: SparkSession, sfDir: String,
-      retiredName: String, targetRoot: String): Unit = {
+  private[graft] def retireDerived(spark: SparkSession, sfDir: String,
+      retiredName: String, targetRoot: String = "/tmp/graft-lake"): Unit = {
     val old = derivedPath(spark, sfDir, retiredName, targetRoot)
     if (doneTargets.add(s"retired:$old"))
       try {
@@ -280,14 +304,17 @@ object Lake {
     * each output file covered the full month). `repartitionByRange` +
     * `sortWithinPartitions` gives pairwise-disjoint per-file ts
     * ranges — LakeSpec asserts the disjointness. Idempotent per
-    * source fingerprint; gated on the _SUCCESS marker ("v2" in the
-    * name retires pre-clustering copies in existing lake roots).
+    * source fingerprint; gated on the _SUCCESS marker ("v3" in the
+    * name retires copies built before the NTZ ingest fix — those
+    * carry TIMESTAMP_NTZ in their own footers, so the source-level
+    * cast alone cannot heal an existing lake root).
     */
   def ensureMicrosEvents(
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
-    val target = derivedPath(spark, sfDir, "events_micros_v2", targetRoot)
+    val target = derivedPath(spark, sfDir, "events_micros_v3", targetRoot)
     retireDerived(spark, sfDir, "events_micros", targetRoot)
+    retireDerived(spark, sfDir, "events_micros_v2", targetRoot)
     // MICROS (not INT96): INT96 timestamps don't support parquet
     // predicate pushdown, which is the whole point of this copy.
     ensureBuilt(spark, target,
@@ -349,8 +376,9 @@ object Lake {
   def ensurePartitionedEvents(
       spark: SparkSession, sfDir: String,
       targetRoot: String = "/tmp/graft-lake"): String = {
-    val target = derivedPath(spark, sfDir, "events_by_date_v2", targetRoot)
+    val target = derivedPath(spark, sfDir, "events_by_date_v3", targetRoot)
     retireDerived(spark, sfDir, "events_by_date", targetRoot)
+    retireDerived(spark, sfDir, "events_by_date_v2", targetRoot)
     // Same MICROS rule as ensureMicrosEvents: keep `ts` pushdown-capable
     // in the partitioned copy too.
     ensureBuilt(spark, target, Seq(OutTsKey -> "TIMESTAMP_MICROS")) {
@@ -469,10 +497,24 @@ object Lake {
         val out = scaleKeys.get(name) match {
           case None => src
           case Some(keys) =>
+            // preserve each column's stored type (int ids must not
+            // widen to long — readers compare schemas), which bounds
+            // the factor for int-typed keys: copy i shifts ids by
+            // i*ScaleKeyStride, so the largest shift must still fit
+            // the column. Guarded here rather than silently wrapping
+            // negative at factor >= 22.
+            keys.foreach { k =>
+              if (src.schema(k).dataType ==
+                  org.apache.spark.sql.types.IntegerType)
+                // ids sit in [0, stride), so the last copy's largest
+                // shifted id approaches factor*stride
+                require(factor.toLong * ScaleKeyStride <= Int.MaxValue,
+                  s"scale factor $factor overflows int key $name.$k " +
+                    s"(max ${Int.MaxValue / ScaleKeyStride} for " +
+                    s"stride $ScaleKeyStride)")
+            }
             (0 until factor).map { i =>
               keys.foldLeft(src) { (df, k) =>
-                // preserve the column's stored type (int ids must not
-                // widen to long — readers compare schemas)
                 df.withColumn(k, (col(k) + lit(i * ScaleKeyStride))
                   .cast(src.schema(k).dataType))
               }

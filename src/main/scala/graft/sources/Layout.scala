@@ -121,13 +121,16 @@ object Layout {
   /** Fragmented copy of the micros-normalized events table — the
     * "after six months of incremental ingest" starting state for the
     * p03 demo: 64 round-robin writers × no clustering = small files
-    * with full-span ts ranges. Built once per source fingerprint.
+    * with full-span ts ranges. Built once per source fingerprint
+    * ("v2" retires copies materialized before the NTZ ingest fix —
+    * their own footers carry TIMESTAMP_NTZ).
     */
   private[graft] def fragmentedEvents(spark: SparkSession, sfDir: String): String = {
-    Lake.materialize(spark, sfDir, "fragmented_events") {
+    Lake.retireDerived(spark, sfDir, "fragmented_events")
+    Lake.materialize(spark, sfDir, "fragmented_events_v2") {
       Lake.table(spark, sfDir, "events").repartition(64)
     }
-    Lake.materializedPath(spark, sfDir, "fragmented_events")
+    Lake.materializedPath(spark, sfDir, "fragmented_events_v2")
   }
 
   /** Snapshot reconciliation — the lake-ops audit step behind every

@@ -75,26 +75,26 @@ object Streams {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Raw-file event stream: explicit on-disk schema (ts is raw
-    * nanos-as-long), converted after read exactly like the batch path;
-    * pathGlobFilter selects the events file out of the sf directory.
+  /** Raw-file event stream: explicit on-disk schema (ts as stored —
+    * nanos-as-long, TIMESTAMP_NTZ, or TimestampType depending on the
+    * dataset generation), normalized after read by the SAME choke
+    * point as the batch path (Lake.normalizeTs) so the two can never
+    * drift; pathGlobFilter selects the events file out of the sf
+    * directory.
     */
   private def rawEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // The raw stream scans TIMESTAMP(NANOS) parquet at execution time,
-    // so nanos-as-long must hold for the stream's LIFETIME — a scoped
-    // set/restore (Lake.withConf) would be unset again by the time the
-    // microbatches run. Deliberately session-global here.
+    // A nanos-encoded raw stream scans TIMESTAMP(NANOS) parquet at
+    // execution time, so nanos-as-long must hold for the stream's
+    // LIFETIME — a scoped set/restore (Lake.withConf) would be unset
+    // again by the time the microbatches run. Deliberately
+    // session-global here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Lake.rawSchema(spark, sfDir, "events")
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    // derived scaled lakes store ts as real MICROS TimestampType;
-    // only the provisioned nanos-as-long layout needs converting
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    Lake.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Event stream over the micros-normalized copy (real TimestampType

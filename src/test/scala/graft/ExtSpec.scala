@@ -197,6 +197,29 @@ class ExtSpec extends SparkSpec {
       "hot shingle survived the document-frequency cap")
   }
 
+  test("docs shorter than k tokens flow through shingleTable and x50 without crashing") {
+    import spark.implicits._
+    // regression: sequence(0, size-k) with size < k infers step -1 and
+    // yields [0, -1], whose transform hit element_at(tokens, 0) →
+    // INVALID_INDEX_OF_ZERO once the pre-filter was dropped in the x50
+    // rework. Short docs must contribute zero shingle rows, not throw.
+    val docs = Seq(
+      (1L, "one"), (2L, "two words"), (3L, "exactly three tokens"),
+      (4L, "a longer document with plenty of tokens here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs)
+    val perDoc = sh.groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!perDoc.contains(1L) && !perDoc.contains(2L),
+      s"short docs must produce no shingles, got $perDoc")
+    assert(perDoc(3L) == 1L && perDoc(4L) == 6L, s"wrong shingle counts: $perDoc")
+    // the x50 novelty shape over the same table: short docs are simply
+    // absent (no shingles → no novelty row); long docs score normally
+    val novel = sh.groupBy($"shingle").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").count()
+    assert(novel.collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("IVF ANN stays within the query's cluster on separated planted clusters (x16)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

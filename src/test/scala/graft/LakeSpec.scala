@@ -154,6 +154,40 @@ class LakeSpec extends SparkSpec {
       spark.read.parquet(s"$SfDir/nation.parquet").count())
   }
 
+  test("ts is TimestampType under every source encoding (nanos-long, µs-NTZ, µs-LTZ)") {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    // 1. whatever the provisioner currently ships must come out LTZ —
+    // this is the regression the r10 testdata drift exposed (µs-NTZ
+    // passed through and broke every unix_micros/withWatermark consumer)
+    assert(Lake.table(spark, SfDir, "events").schema("ts").dataType == TimestampType)
+    assert(Lake.rawEvents(spark, SfDir).schema("ts").dataType == TimestampType)
+
+    // 2. synthetic single-table dirs in each encoding the choke point
+    // supports; values must also be IDENTICAL across encodings (the
+    // NTZ→LTZ cast under the pinned-UTC session is a no-op on the
+    // stored micros; the long branch is the nanos-as-long reader shape)
+    val base = Lake.rawEvents(spark, SfDir).select("event_id", "ts").limit(50)
+    val expect = base.select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+    val root = s"/tmp/graft-enc-${java.util.UUID.randomUUID().toString.take(8)}"
+    // µs-LTZ (our own derived-lake layout)
+    Lake.withConf(spark,
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS") {
+      base.write.parquet(s"$root/ltz/events.parquet")
+    }
+    // µs-NTZ (the r10+ provisioned layout)
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.parquet(s"$root/ntz/events.parquet")
+    // nanos-as-long: what the legacy reader yields for TIMESTAMP(NANOS)
+    base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.parquet(s"$root/nanos/events.parquet")
+    Seq("ltz", "ntz", "nanos").foreach { enc =>
+      val got = Lake.rawEvents(spark, s"$root/$enc")
+      assert(got.schema("ts").dataType == TimestampType, s"$enc dtype")
+      val vals = got.select(expr("unix_micros(ts)")).collect().map(_.getLong(0)).sorted
+      assert(vals.sameElements(expect), s"$enc values drifted")
+    }
+  }
+
   test("c11 approx_count_distinct is within 5% of exact per event_type") {
     val e = Lake.table(spark, SfDir, "events")
     val approx = e.groupBy(col("event_type"))
