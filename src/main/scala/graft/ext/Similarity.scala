@@ -679,58 +679,90 @@ object Similarity {
 
     // RECALL@10 REPORTS for the three ANN paths — the quality side of
     // the speed/quality trade each index makes, tracked per round in
-    // the driver's artifact (rows-only: the ANN candidate sets are
-    // engine-specific, but the counts are deterministic — seeded
-    // hyperplanes/k-means + lake-materialized indexes). Each reuses
-    // the SAME materialized index as its top-k query (identical
-    // Lake.materialize name), so the recall row never triggers a
-    // second fit. Ground truth is the brute-force exact-cosine top-10
-    // (x07's shape over the 5-query batch).
-    "x54_ann_lsh_recall" -> ((spark, sfDir) => {
-      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
-      val bits = chooseBits(Lake.rowCount(spark, sfDir, "embeddings"))
-      val buckets = Lake.materialize(spark, sfDir,
-        s"lsh_buckets_${bits}_$DefaultTables") {
-        lshBuckets(e, bits, DefaultTables)
-      }
-      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
-        lshTopKFrom(buckets, e, col("vec_id") < 5, topK = 10), 10)
-    }),
+    // the driver's artifact. Each reuses the SAME materialized index
+    // as its top-k query (identical Lake.materialize name), so the
+    // recall row never triggers a second fit. Ground truth is the
+    // brute-force exact-cosine top-10 (x07's shape over the 5-query
+    // batch). ORACLED against committed id-set fixtures
+    // (RecallFixtures, regenerable via tools.RecallFixture): the ANN
+    // sets are engine-specific (seeded hyperplanes / k-means), so
+    // DuckDB can't recompute them — instead it recomputes the recall
+    // ARITHMETIC from the pinned sets, and the hash compare fires
+    // whenever the live sets drift from the pins (x57's pattern; this
+    // is the regression gate the report exists for).
+    "x54_ann_lsh_recall" -> ((spark, sfDir) =>
+      recallAtK(recallTruth10(spark, sfDir), lshAnn10(spark, sfDir), 10)),
 
-    "x55_ann_ivf_recall" -> ((spark, sfDir) => {
-      val k = 16
-      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
-      val assigned = Lake.materialize(spark, sfDir, s"ivf_cells_$k") {
-        ivfFit(e, k)
-      }
-      val centroids = Lake.materialize(spark, sfDir, s"ivf_centroids_$k") {
-        ivfCentroidsOf(assigned)
-      }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
-        ivfTopKFrom(assigned, centroids, queries, nprobe = 4, topK = 10), 10)
-    }),
+    "x55_ann_ivf_recall" -> ((spark, sfDir) =>
+      recallAtK(recallTruth10(spark, sfDir), ivfAnn10(spark, sfDir), 10)),
 
-    "x56_ann_pq_recall" -> ((spark, sfDir) => {
-      val (m, ksub) = (4, 16)
-      val e = emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
-      val codebooks = Lake.materialize(spark, sfDir, s"pq_codebooks_${m}_$ksub") {
-        pqFit(e, m, ksub)
-      }
-      val sd = pqSubDimCache.computeIfAbsent(s"$sfDir/$m/$ksub",
-        _ => codebooks.select(size(col("centroid"))).head().getInt(0))
-      val codes = Lake.materialize(spark, sfDir, s"pq_codes_${m}_$ksub") {
-        pqEncode(e, codebooks, m, sd)
-      }
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-      recallAtK(bruteTopK(e, col("vec_id") < 5, 10),
-        pqTopKFrom(codes, codebooks, queries, m, sd, topK = 10), 10)
-    })
+    "x56_ann_pq_recall" -> ((spark, sfDir) =>
+      recallAtK(recallTruth10(spark, sfDir), pqAnn10(spark, sfDir), 10))
   )
 
+  /** The embeddings table with `vec` widened to double — the input
+    * every ANN path shares.
+    */
+  private def vecTable(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir).withColumn("vec", toDouble(col("embedding")))
+
+  /** Brute-force exact top-10 ground truth for the 5-query recall
+    * batch. Package-visible (with the three ANN sets below) so
+    * tools.RecallFixture can dump the committed oracle fixtures from
+    * exactly the frames the registered queries consume.
+    */
+  private[graft] def recallTruth10(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTopK(vecTable(spark, sfDir), col("vec_id") < 5, 10)
+
+  private[graft] def lshAnn10(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vecTable(spark, sfDir)
+    val bits = chooseBits(Lake.rowCount(spark, sfDir, "embeddings"))
+    val buckets = Lake.materialize(spark, sfDir,
+      s"lsh_buckets_${bits}_$DefaultTables") {
+      lshBuckets(e, bits, DefaultTables)
+    }
+    lshTopKFrom(buckets, e, col("vec_id") < 5, topK = 10)
+  }
+
+  private[graft] def ivfAnn10(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16
+    val e = vecTable(spark, sfDir)
+    val assigned = Lake.materialize(spark, sfDir, s"ivf_cells_$k") {
+      ivfFit(e, k)
+    }
+    val centroids = Lake.materialize(spark, sfDir, s"ivf_centroids_$k") {
+      ivfCentroidsOf(assigned)
+    }
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    ivfTopKFrom(assigned, centroids, queries, nprobe = 4, topK = 10)
+  }
+
+  private[graft] def pqAnn10(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, ksub) = (4, 16)
+    val e = vecTable(spark, sfDir)
+    val codebooks = Lake.materialize(spark, sfDir, s"pq_codebooks_${m}_$ksub") {
+      pqFit(e, m, ksub)
+    }
+    val sd = pqSubDimCache.computeIfAbsent(s"$sfDir/$m/$ksub",
+      _ => codebooks.select(size(col("centroid"))).head().getInt(0))
+    val codes = Lake.materialize(spark, sfDir, s"pq_codes_${m}_$ksub") {
+      pqEncode(e, codebooks, m, sd)
+    }
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    pqTopKFrom(codes, codebooks, queries, m, sd, topK = 10)
+  }
+
   val oracles: Map[String, String] = Map(
+    // x54-x56: recall arithmetic over the committed id-set fixtures
+    // (RecallFixtures scaladoc has the full design; x57's pattern).
+    // Table-free VALUES SQL, pinned to the sf0.01 correctness-gate
+    // corpus — a live-set drift OR a corpus-generator change
+    // hash-mismatches these, which is the gate firing as designed.
+    "x54_ann_lsh_recall" -> RecallFixtures.oracleSql(RecallFixtures.lsh),
+    "x55_ann_ivf_recall" -> RecallFixtures.oracleSql(RecallFixtures.ivf),
+    "x56_ann_pq_recall" -> RecallFixtures.oracleSql(RecallFixtures.pq),
     // x07 mirrors the native expression's arithmetic exactly — floats
     // widened to double, per-element double products, sqrt(na)*sqrt(nb)
     // denominator — and both engines round to 4 dp before the compared

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ext.Similarity
+
+/** Regenerates the committed ANN-recall oracle fixtures
+  * (graft.ext.RecallFixtures): dumps the exact (query_id, neighbor_id)
+  * id sets of the brute-force ground truth and the three ANN paths at
+  * a given sf dir, formatted as the SQL VALUES rows the x54-x56
+  * oracles embed. Run when the corpus generator legitimately changes
+  * (the testdata is seed-pinned, so across normal re-provisions the
+  * sets are stable and the fixtures act as the recall regression
+  * gate):
+  *
+  *   sbt "runMain graft.tools.RecallFixture /root/testdata/sf0.01"
+  */
+object RecallFixture {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def valuesOf(df: DataFrame): String =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+        .map { case (q, n) => s"($q,$n)" }.mkString(",")
+
+    val sets = Seq(
+      "truth" -> Similarity.recallTruth10(spark, sfDir),
+      "lsh" -> Similarity.lshAnn10(spark, sfDir),
+      "ivf" -> Similarity.ivfAnn10(spark, sfDir),
+      "pq" -> Similarity.pqAnn10(spark, sfDir))
+    sets.foreach { case (name, df) =>
+      println(s"""  val $name = "${valuesOf(df)}"""")
+    }
+    spark.stop()
+  }
+}

@@ -168,6 +168,37 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SelectedBucketsCount"), s"bucketed scan missing in:\n$plan")
   }
 
+  test("c02 survives the broadcast→SMJ cliff: forced non-broadcast plan, identical result") {
+    // At sf0.001 the orders side is broadcast-sized, so the cliff —
+    // the decade where the build side outgrows the broadcast
+    // threshold and the planner falls back to a shuffle join — never
+    // fires on its own. Force it (threshold -1 disables broadcast for
+    // both the static planner and AQE's runtime conversion) and pin
+    // BOTH facts: the executed strategy really is a shuffle-side join,
+    // and the result is bit-identical to the broadcast-side plan. The
+    // bench records the executed strategy per scale point so the real
+    // cliff crossing is visible in the artifact, not inferred.
+    val q = Surface.queries("c02_join_large")
+    val expected = q(spark, SfDir).collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = q(spark, SfDir)
+      val strategy = Bench.joinStrategy(df)
+      assert(strategy.contains("SortMergeJoin") || strategy.contains("ShuffledHashJoin"),
+        s"expected a shuffle join with broadcast disabled, got '$strategy'")
+      assert(q(spark, SfDir).collect().toSeq == expected,
+        "post-cliff plan changed the result")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // and the default plan at this scale is the broadcast side of the
+    // cliff, so the two assertions really bracket both strategies
+    assert(Bench.joinStrategy(q(spark, SfDir)).contains("BroadcastHashJoin"))
+  }
+
   test("AQE splits a planted skewed join partition and matches the plain join (c43's modern path)") {
     // The salted join (c43) is the manual skew fix; modern Spark's
     // answer is AQE's OptimizeSkewedJoin. Plant one hot key, shrink the
