@@ -414,7 +414,36 @@ object Bench {
           }
           (1 to 5).foreach(_ => fire())
           val times = (1 to 100).map(_ => fire()).sorted
-          s"""{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship"}"""
+          // concurrent line (VERDICT r9 #6): 4 parallel clients — the
+          // server pool's width — so the number reflects the pool
+          // actually multiplexing sessions, not one client's
+          // round-trip; qps is completed requests over the window's
+          // wall clock.
+          val (clients, perClient) = (4, 25)
+          val cTimes = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+          val cErrs = new java.util.concurrent.atomic.AtomicInteger(0)
+          val cw0 = System.nanoTime()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+          try {
+            val futures = (1 to clients).map { _ =>
+              pool.submit(new Runnable {
+                def run(): Unit = (1 to perClient).foreach { _ =>
+                  try cTimes.add(fire())
+                  catch { case _: Throwable => cErrs.incrementAndGet() }
+                }
+              })
+            }
+            futures.foreach(_.get())
+          } finally pool.shutdown()
+          val cWall = (System.nanoTime() - cw0) / 1e9
+          val cs = cTimes.toArray(Array.empty[java.lang.Double])
+            .map(_.doubleValue).sorted
+          val concurrent =
+            if (cs.isEmpty) s"""{"err":"all $clients-client requests failed"}"""
+            else s"""{"clients":$clients,"n":${cs.length},"errors":${cErrs.get()},"p50":${
+              fmt(cs(cs.length / 2))},"p99":${fmt(cs(((cs.length - 1) * 99) / 100))},"qps":${
+              fmt(cs.length / cWall)}}"""
+          s"""{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship","concurrent":$concurrent}"""
         } finally server.stop(0)
       } catch { case e: Throwable =>
         s"""{"err":"${jsonEscape(String.valueOf(e.getMessage))}"}""" }
