@@ -697,7 +697,37 @@ object Similarity {
       recallAtK(recallTruth10(spark, sfDir), ivfAnn10(spark, sfDir), 10)),
 
     "x56_ann_pq_recall" -> ((spark, sfDir) =>
-      recallAtK(recallTruth10(spark, sfDir), pqAnn10(spark, sfDir), 10))
+      recallAtK(recallTruth10(spark, sfDir), pqAnn10(spark, sfDir), 10)),
+
+    // K-MEANS LLOYD STEP — the clustering primitive under SemDeDup /
+    // corpus bucketing, exposed as its own verified operator: one
+    // assignment iteration from a deterministic seed (the first K
+    // vectors by vec_id) reporting per-cluster membership and inertia.
+    // Scale shape: the K-row centroid side is BROADCAST, so the corpus
+    // side is one scan → N×K fused native sq-L2 evaluations (no
+    // vector shuffle); the argmin is a partial-aggregatable
+    // min(struct(d, k)) hash agg — NOT a window over the N×K
+    // expansion — and the per-cluster rollup aggregates K rows. Per
+    // -vec distance rounds at 4 dp BEFORE the argmin so a float
+    // accumulation-order wobble on a near-tie resolves to the same
+    // (d, k) choice on both engines (x07's tolerance argument).
+    "x64_kmeans_assign" -> ((spark, sfDir) => {
+      val K = 8
+      val e = emb(spark, sfDir)
+      val cents = broadcast(
+        e.orderBy(col("vec_id")).limit(K)
+          .select(col("vec_id").as("k"), col("embedding").as("c")))
+      e.crossJoin(cents)
+        .select(col("vec_id"), col("k"),
+          round(sqDist(col("embedding"), col("c")), 4).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("k"))).as("m"))
+        .select(col("m.k").as("k"), col("m.d").as("d"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(sum(col("d")), 4).as("inertia"))
+        .orderBy(col("k"))
+    })
   )
 
   /** The embeddings table with `vec` widened to double — the input
@@ -848,6 +878,21 @@ object Similarity {
         "CAST(ROUND((d[1] - mn) / (mx - mn) * 255) AS INTEGER) END AS q_first, " +
         "CAST(list_sum(list_transform(d, v -> CASE WHEN mx = mn THEN 0 ELSE " +
         "CAST(ROUND((v - mn) / (mx - mn) * 255) AS INTEGER) END)) AS BIGINT) AS q_sum " +
-        "FROM m ORDER BY vec_id")
+        "FROM m ORDER BY vec_id"),
+    // seeds = first 8 vec_ids (deterministic on both engines); per-vec
+    // distance rounds at 4 dp BEFORE the argmin, with k as tiebreak,
+    // mirroring the Spark side (x07's tolerance argument); the inertia
+    // sums already-rounded values so its own 4 dp round is stable
+    "x64_kmeans_assign" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a AS (SELECT vec_id, k, d FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1) " +
+        "SELECT k, COUNT(*) AS n_assigned, ROUND(SUM(d), 4) AS inertia " +
+        "FROM a GROUP BY k ORDER BY k")
   )
 }

@@ -118,7 +118,9 @@ object TextAnalysis {
     * Scale shape: the per-doc bigram-count table (doc_id, w1, w2, bf)
     * is lake-checkpointed once for its three consumers (corpus bigram
     * counts, first-word counts, the per-doc join); both model tables
-    * come off it with ONE partial-aggregatable hash agg each, and V
+    * come off it with ONE partial-aggregatable hash agg each, are
+    * pre-joined into a single model-sized lookup so the doc-grain
+    * table shuffles once (not twice) against the model, and V
     * is a 1-row broadcast off the shared tf artifact. Per-doc bigram
     * MULTIPLICITY rides the integer `bf`, so the double work is one
     * log per DISTINCT (doc, bigram), not per token.
@@ -149,7 +151,16 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
     }.select(col("term")).distinct().agg(count(lit(1)).as("v"))
-    bfd.join(cbg, Seq("w1", "w2")).join(cw1, "w1")
+    // Pre-join the two model tables into ONE (w1, w2, cbg, cw1) table:
+    // both sides are model-sized (distinct bigrams / distinct first
+    // words — corpus-vocabulary scale, not doc scale), so this join is
+    // cheap, and the big per-doc table then shuffles ONCE against it
+    // instead of twice (old shape: bfd⋈cbg on (w1,w2) then re-shuffle
+    // on w1 for cw1 — the dominant cost at 10× data, where bfd grows
+    // linearly but the model stays near-constant). AQE turns the model
+    // side into a broadcast when it fits.
+    val model = cbg.join(cw1, "w1")
+    bfd.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(
@@ -499,7 +510,32 @@ object TextAnalysis {
           array_min(col("w")).as("min_window"),
           size(array_distinct(col("w"))).as("n_windows"),
           size(col("w")).as("n_windows_total"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // BPE MERGE-STEP PAIR COUNTING — the inner loop of tokenizer
+    // training (count adjacent symbol pairs, merge the most frequent):
+    // top-100 adjacent character pairs weighted by word frequency.
+    // Scale shape is THE classic tokenizer-trainer trick: aggregate
+    // the corpus to its DISTINCT-WORD frequency table first (billions
+    // of tokens → millions of types — one partial-aggregatable hash
+    // agg), then do all character-level work per distinct word with
+    // the count as a weight. The pair explode runs over vocab-sized
+    // input regardless of corpus size, and the final pair aggregate
+    // is alphabet²-bound. Deterministic top-k tiebreak on (a, b).
+    "x63_bpe_pair_count" -> ((spark, sfDir) => {
+      val wf = docs(spark, sfDir)
+        .select(explode(tokens).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      wf.filter(length(col("w")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(w) - 1), " +
+            "i -> struct(substring(w, i, 1) AS a, " +
+            "substring(w, i + 1, 1) AS b))")).as("_p"))
+        .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+        .agg(sum(col("wf")).as("pair_count"))
+        .orderBy(desc("pair_count"), col("a"), col("b"))
+        .limit(100)
+    })
   )
 
   /** All rolling `k`-token windows of `textCol` as strings; a doc
@@ -726,6 +762,17 @@ object TextAnalysis {
         "SELECT doc_id, list_min(w) AS min_window, " +
         "CAST(len(list_distinct(w)) AS INTEGER) AS n_windows, " +
         "CAST(len(w) AS INTEGER) AS n_windows_total " +
-        "FROM w ORDER BY doc_id")
+        "FROM w ORDER BY doc_id"),
+    // same distinct-word-first decomposition; substr is 1-based and
+    // byte=char on this ASCII corpus in both engines
+    "x63_bpe_pair_count" ->
+      ("WITH wf AS (SELECT token AS w, COUNT(*) AS wf FROM (" +
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1), " +
+        "p AS (SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, wf " +
+        "FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM wf " +
+        "WHERE length(w) >= 2) s) " +
+        "SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count FROM p " +
+        "GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 100")
   )
 }

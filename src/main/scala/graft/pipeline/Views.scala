@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Lake
@@ -171,6 +172,38 @@ object Views {
           round(col("_raw_sum").cast("decimal(38,10)").cast("double"), 4)
             .as("sum_value"),
           col("n_high"), col("n_null_user"))
+    }),
+
+    // SCD TYPE-2 HISTORY BUILD — the lakehouse dimension-versioning
+    // op: collapse each user's event stream into runs of consecutive
+    // identical event_type and emit one row per run with
+    // [valid_from, valid_to) validity and an is_current flag — the
+    // change-data-capture twin of p05's type-1 upsert. Single-shuffle
+    // shape (c53's sessionize pattern): the change-flag lag, the
+    // running run-id sum, the per-run aggregate (grouping keys are a
+    // SUPERSET of the partition key, so HashPartitioning(user_id)
+    // satisfies its distribution) and the valid_to lead all ride ONE
+    // hash exchange on user_id — asserted in PlanSpec. Ordering is
+    // total (ts, event_id), so run numbering is deterministic.
+    "p08_scd2_history" -> ((spark, sfDir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+      Lake.table(spark, sfDir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(byTs).isNull ||
+            lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("chg")).over(byTs))
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from"))
     })
   )
 
@@ -198,6 +231,23 @@ object Views {
         "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_value, " +
         "COUNT(CASE WHEN value > 90 THEN 1 END) AS n_high, " +
         "COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user " +
-        "FROM events")
+        "FROM events"),
+    // identical run decomposition: change flag → running sum → per-run
+    // aggregate → lead; (ts, event_id) is a total order so both
+    // engines number runs identically
+    "p08_scd2_history" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, event_type, " +
+        "CASE WHEN lag(event_type) OVER w IS NULL " +
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "r AS (SELECT user_id, ts, event_type, " +
+        "SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run FROM o), " +
+        "h AS (SELECT user_id, run, event_type, MIN(ts) AS valid_from, " +
+        "COUNT(*) AS n_events FROM r GROUP BY 1, 2, 3) " +
+        "SELECT user_id, event_type, valid_from, " +
+        "lead(valid_from) OVER v AS valid_to, " +
+        "lead(valid_from) OVER v IS NULL AS is_current, n_events " +
+        "FROM h WINDOW v AS (PARTITION BY user_id ORDER BY run) " +
+        "ORDER BY user_id, valid_from")
   )
 }

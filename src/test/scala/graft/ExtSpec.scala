@@ -925,4 +925,85 @@ class ExtSpec extends SparkSpec {
     assert(flat.subsetOf(got), s"x28 admitted ${flat.size}, not a subset")
     assert(got.size < docs.length, "temperature mix must subsample the majority domain")
   }
+
+  test("x63 BPE pair counts equal an in-process word-frequency-weighted recount") {
+    val words = Lake.table(spark, SfDir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val wf = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val pairs = scala.collection.mutable.Map[(String, String), Long]()
+    wf.foreach { case (w, n) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairs(k) = pairs.getOrElse(k, 0L) + n
+      }
+    }
+    val expected = pairs.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(100)
+      .map { case ((a, b), c) => (a, b, c) }
+    val got = TextAnalysis.queries("x63_bpe_pair_count")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"top pairs diverge: got ${got.take(5)} vs ${expected.take(5)}")
+  }
+
+  test("x64 k-means step: every seed anchors its own cluster, counts conserve, assignment is true argmin") {
+    val n = Lake.table(spark, SfDir, "embeddings").count()
+    val rows = Similarity.queries("x64_kmeans_assign")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each seed is distance 0 from its own centroid, so all 8 clusters
+    // are non-empty and the rollup has exactly 8 rows
+    assert(rows.map(_._1).toSeq == (0L until 8L).toSeq, s"clusters ${rows.map(_._1).toSeq}")
+    assert(rows.map(_._2).sum == n, "every vector is assigned exactly once")
+    rows.foreach { case (k, cnt, inertia) =>
+      assert(cnt >= 1 && inertia >= 0.0, s"cluster $k: $cnt, $inertia")
+    }
+    // full in-process argmin recount: per-cluster membership counts
+    // must match the query exactly (same 4 dp round-before-argmin rule)
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val cents = vecs.take(8)
+    val expCnt = vecs.map { case (_, v) =>
+      cents.map { case (k, c) =>
+        val d = BigDecimal(v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (d, k)
+      }.min._2
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotCnt = rows.map(r => r._1 -> r._2).toMap
+    assert(gotCnt == expCnt, s"membership diverges: $gotCnt vs $expCnt")
+  }
+
+  test("p08 SCD2 history: runs partition each user's timeline with one open row") {
+    import java.sql.Timestamp
+    val hist = graft.pipeline.Views.queries("p08_scd2_history")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.get(3)).map(_.asInstanceOf[Timestamp]),
+        r.getBoolean(4), r.getLong(5)))
+    val events = Lake.table(spark, SfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    assert(hist.nonEmpty && events.nonEmpty)
+    // conservation: every event lands in exactly one run
+    assert(hist.map(_._6).sum == events.length.toLong)
+    hist.groupBy(_._1).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_._3.getTime)
+      // exactly one current (open) row per user, and it is the last run
+      assert(rs.count(_._5) == 1, s"user $uid: ${rs.count(_._5)} current rows")
+      assert(sorted.last._5 && sorted.last._4.isEmpty, s"user $uid: last run not open")
+      // half-open intervals chain: valid_to == next run's valid_from,
+      // and consecutive runs really change event_type
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $uid: gap ${a._4} -> ${b._3}")
+          assert(a._2 != b._2, s"user $uid: adjacent runs share type ${a._2}")
+        case _ =>
+      }
+      // recount the runs from raw events: number of type changes + 1
+      val evs = events.filter(_._1 == uid)
+        .sortBy(e => (e._3.getTime, e._2)).map(_._4)
+      val nRuns = 1 + evs.sliding(2).count { case Array(x, y) => x != y; case _ => false }
+      assert(rs.length == nRuns, s"user $uid: ${rs.length} runs vs recount $nRuns")
+    }
+  }
 }

@@ -344,4 +344,29 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
   }
+
+  test("SCD2 history build rides one hash shuffle on user_id (p08)") {
+    // lag + the running run-id sum share the (user_id) window
+    // partitioning; the (user_id, run, event_type) aggregate's
+    // clustering requirement is satisfied by hashpartitioning(user_id)
+    // (superset grouping keys); the valid_to lead re-uses it again —
+    // so the whole SCD2 build is ONE exchange on user_id plus the
+    // final ORDER BY's range partitioning. A second hash shuffle
+    // means one of the four steps stopped sharing the distribution.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (shuffles, planStr) = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = graft.pipeline.Views.queries("p08_scd2_history")(spark, SfDir)
+        .queryExecution.executedPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+      (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
+        plan.toString)
+    }
+    assert(shuffles.count(s =>
+        s.contains("hashpartitioning") && s.contains("user_id")) == 1,
+      s"expected one hash shuffle on user_id, got $shuffles in:\n$planStr")
+    assert(shuffles.size <= 2,
+      s"unexpected extra shuffles $shuffles in:\n$planStr")
+  }
 }
