@@ -278,6 +278,44 @@ object Sampling {
           round(col("n") / col("_mean"), 4).as("skew_ratio"))
         .orderBy(desc("n"), col("o_custkey"))
         .limit(20)
+    }),
+
+    // FIXED-SIZE STRATIFIED SAMPLE — exactly min(50, |stratum|) docs
+    // per language, selected as the 50 smallest sampling hashes (so
+    // re-runs and engines agree bit-for-bit; x20 is the RATE-based
+    // sibling, this is the COUNT-based one a fixed eval-set build
+    // needs). Scale shape: NOT a corpus-wide per-group window — that
+    // materializes each language in one task (x21's straggler
+    // anti-pattern). Instead a threshold prefilter: per-stratum counts
+    // (model-sized) set an oversampled hash cutoff admitting ~4n
+    // expected rows per group (everything, for groups ≤ 4n), the
+    // window then ranks only the bounded candidate set, and an
+    // in-plan assert_true fails loudly if a stratum under-admitted
+    // (shortfall probability e^(-Θ(n)) by Chernoff — but loud beats
+    // silent). The prefilter is a broadcast threshold join, so the
+    // corpus pass is one scan + filter.
+    "x66_fixed_stratified" -> ((spark, sfDir) => {
+      val n = 50
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          sampleHash(col("doc_id")).as("h"))
+      val thr = broadcast(d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("thr",
+          least(lit(HashMod), lit(HashMod) * lit(4L * n) / col("cnt") + lit(1L))))
+      val cand = d.join(thr, "lang").filter(col("h") < col("thr"))
+      val byLang = Window.partitionBy(col("lang"))
+      cand
+        .withColumn("admitted", count(lit(1)).over(byLang))
+        .withColumn("_guard", assert_true(
+          col("admitted") >= least(lit(n.toLong), col("cnt")),
+          lit("stratum under-admitted: raise the oversampling factor")))
+        .withColumn("rk", row_number().over(
+          byLang.orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= n && col("_guard").isNull)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
     })
   )
 
@@ -361,6 +399,14 @@ object Sampling {
       ("WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1), " +
         "m AS (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n FROM c) " +
         "SELECT o_custkey, n, ROUND(n / mean_n, 4) AS skew_ratio " +
-        "FROM c, m ORDER BY n DESC, o_custkey LIMIT 20")
+        "FROM c, m ORDER BY n DESC, o_custkey LIMIT 20"),
+    // the oracle takes the DIRECT per-group top-n (tiny data); the
+    // Spark side's threshold prefilter must be invisible in the result
+    "x66_fixed_stratified" ->
+      (s"WITH d AS (SELECT doc_id, lang, " +
+        s"(doc_id * $HashMul) % $HashMod AS h FROM documents) " +
+        "SELECT lang, doc_id FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 50 " +
+        "ORDER BY lang, doc_id")
   )
 }

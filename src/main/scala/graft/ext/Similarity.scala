@@ -727,6 +727,54 @@ object Similarity {
         .agg(count(lit(1)).as("n_assigned"),
           round(sum(col("d")), 4).as("inertia"))
         .orderBy(col("k"))
+    }),
+
+    // K-MEANS TRAINING LOOP — x64's single Lloyd step iterated: two
+    // full assign→recenter rounds from the deterministic seed,
+    // reporting (iter, cluster, membership, inertia) so the Lloyd
+    // monotonicity (total inertia non-increasing) is itself the
+    // verified output. Per-iteration scale shape is x64's (broadcast
+    // centroids, aggregate argmin); the recenter step joins the
+    // N-row assignment to the dim-grain explode on vec_id (one
+    // shuffle) and re-aggregates to a model-sized (K×dims) table
+    // through x39's exact-decimal mean, whose 4 dp-rounded grid makes
+    // the iteration-2 centroids — and hence its distances — identical
+    // on both engines. At 100 TB each further iteration is the same
+    // two-shuffle pass with the new K-row model re-broadcast;
+    // iterations are data-independent of each other's ordering, so a
+    // driver loop with lake-checkpointed assignments runs it to
+    // convergence.
+    "x65_kmeans_train" -> ((spark, sfDir) => {
+      val K = 8
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      def assign(cents: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("k"),
+            round(sqDist(col("v"), col("c")), 4).as("d"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d"), col("k"))).as("m"))
+          .select(col("vec_id"), col("m.k").as("k"), col("m.d").as("d"))
+      def stats(a: DataFrame, iter: Int): DataFrame =
+        a.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_assigned"),
+            round(sum(col("d")), 4).as("inertia"))
+          .select(lit(iter).cast("int").as("iter"), col("k"),
+            col("n_assigned"), col("inertia"))
+      val seed = e.orderBy(col("vec_id")).limit(K)
+        .select(col("vec_id").as("k"), col("v").as("c"))
+      val a1 = assign(seed)
+      val dims = e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val c2 = a1.join(dims, "vec_id")
+        .groupBy(col("k"), col("dim"))
+        .agg((round(sum(col("x").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 4) + lit(0.0)).as("m"))
+        .groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+        .select(col("k"), expr("transform(s, p -> p.m)").as("c"))
+      stats(a1, 1).unionAll(stats(assign(c2), 2))
+        .orderBy(col("iter"), col("k"))
     })
   )
 
@@ -893,6 +941,36 @@ object Similarity {
         "a AS (SELECT vec_id, k, d FROM d " +
         "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1) " +
         "SELECT k, COUNT(*) AS n_assigned, ROUND(SUM(d), 4) AS inertia " +
-        "FROM a GROUP BY k ORDER BY k")
+        "FROM a GROUP BY k ORDER BY k"),
+    // two Lloyd rounds: iteration 1 is x64's oracle; the recentered
+    // model goes through x39's exact-decimal mean (order-independent
+    // accumulation + one double division + 4 dp round + 0 to kill
+    // -0.0), so both engines feed iteration 2 the same centroid grid
+    "x65_kmeans_train" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c1 AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d1 AS (SELECT e.vec_id, c1.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c1), " +
+        "a1 AS (SELECT vec_id, k, d FROM d1 " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "s1 AS (SELECT CAST(1 AS INTEGER) AS iter, k, COUNT(*) AS n_assigned, " +
+        "ROUND(SUM(d), 4) AS inertia FROM a1 GROUP BY k), " +
+        "ed AS (SELECT vec_id, i AS dim, v[i] AS x FROM (" +
+        "SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e) t), " +
+        "m2 AS (SELECT a1.k, ed.dim, " +
+        "ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS m " +
+        "FROM a1 JOIN ed USING (vec_id) GROUP BY 1, 2), " +
+        "c2 AS (SELECT k, list(m ORDER BY dim) AS cv FROM m2 GROUP BY k), " +
+        "d2 AS (SELECT e.vec_id, c2.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c2), " +
+        "a2 AS (SELECT vec_id, k, d FROM d2 " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "s2 AS (SELECT CAST(2 AS INTEGER) AS iter, k, COUNT(*) AS n_assigned, " +
+        "ROUND(SUM(d), 4) AS inertia FROM a2 GROUP BY k) " +
+        "SELECT iter, k, n_assigned, inertia FROM (" +
+        "SELECT * FROM s1 UNION ALL SELECT * FROM s2) u ORDER BY iter, k")
   )
 }

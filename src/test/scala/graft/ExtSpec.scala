@@ -974,6 +974,50 @@ class ExtSpec extends SparkSpec {
     assert(gotCnt == expCnt, s"membership diverges: $gotCnt vs $expCnt")
   }
 
+  test("x65 k-means training: inertia is Lloyd-monotone and membership conserves per iteration") {
+    val n = Lake.table(spark, SfDir, "embeddings").count()
+    val rows = Similarity.queries("x65_kmeans_train")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byIter = rows.groupBy(_._1)
+    assert(byIter.keySet == Set(1, 2), s"iterations ${byIter.keySet}")
+    // every vector is assigned exactly once in each iteration
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_._3).sum == n, s"iter $it assigns ${rs.map(_._3).sum} of $n")
+      rs.foreach { case (_, k, cnt, in) =>
+        assert(cnt >= 0 && in >= 0.0, s"iter $it cluster $k") }
+    }
+    // Lloyd: recentering to the mean cannot increase total inertia
+    // (the 4 dp rounding perturbs by far less than the decrease)
+    val total1 = byIter(1).map(_._4).sum
+    val total2 = byIter(2).map(_._4).sum
+    assert(total2 <= total1 + 1e-6, s"inertia rose: $total1 -> $total2")
+    // iteration 1 equals x64's single step (same seed, same argmin)
+    val step = Similarity.queries("x64_kmeans_assign")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(byIter(1).map(r => (r._2, r._3, r._4)).toSet == step,
+      "iteration 1 diverges from the x64 single step")
+  }
+
+  test("x66 fixed stratified sample = the n smallest hashes per stratum, exactly") {
+    val n = 50
+    val docs = Lake.table(spark, SfDir, "documents")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs
+      .map { case (id, l) => (l, (id * Sampling.HashMul) % Sampling.HashMod, id) }
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (_, rs) => rs.sortBy(r => (r._2, r._3)).take(n).toSeq }
+      .map(r => (r._1, r._3)).toSet
+    val got = Sampling.queries("x66_fixed_stratified")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected, s"sample diverges: ${got.size} vs ${expected.size}")
+    // exact per-stratum size contract: min(n, |stratum|)
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    docs.groupBy(_._2).foreach { case (l, rs) =>
+      assert(sizes.getOrElse(l, 0) == math.min(n, rs.length), s"stratum $l")
+    }
+  }
+
   test("p08 SCD2 history: runs partition each user's timeline with one open row") {
     import java.sql.Timestamp
     val hist = graft.pipeline.Views.queries("p08_scd2_history")(spark, SfDir)
