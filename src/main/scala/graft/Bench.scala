@@ -444,7 +444,7 @@ object Bench {
               fmt(cs(cs.length / 2))},"p99":${fmt(cs(((cs.length - 1) * 99) / 100))},"qps":${
               fmt(cs.length / cWall)}}"""
           s"""{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship","concurrent":$concurrent}"""
-        } finally server.stop(0)
+        } finally graft.server.HttpFront.stop(server)
       } catch { case e: Throwable =>
         s"""{"err":"${jsonEscape(String.valueOf(e.getMessage))}"}""" }
     checkpoint("http")

@@ -926,8 +926,36 @@ object Dedup {
       }
       sourceOverlap(passages, d.select(col("doc_id"), col("source")))
         .orderBy(col("source_a"), col("source_b"))
-    })
+    }),
+
+    // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
+    // instead of discarding it: per exact-dup cluster (x01's
+    // normalized key) the survivor record carries the union of
+    // sources and languages the duplicate copies arrived from, plus
+    // the widest raw length — the metadata a dataset card needs
+    // ("this text appears in CC and books") that a plain keep-first
+    // dedup throws away. Same single-shuffle hash-groupBy scale shape
+    // as x01; the set-valued columns aggregate per cluster (bounded
+    // by the source/lang alphabets), serialized sorted so the result
+    // is engine-deterministic.
+    "x67_dedup_consolidate" -> ((spark, sfDir) =>
+      consolidate(docs(spark, sfDir)).orderBy(col("keep_id")))
   )
+
+  /** Survivorship merge over exact-dup clusters (x67's body, exposed
+    * so tests can feed planted frames): one survivor row per
+    * normalized text carrying the sorted provenance union.
+    */
+  def consolidate(df: DataFrame): DataFrame =
+    df.groupBy(normText.as("norm"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_dupes"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("keep_id"), col("n_dupes"), col("sources"),
+        col("langs"), col("max_chars"))
 
   /** Per-document passage-duplication stats: cut `text` into fixed
     * `p`-word non-overlapping chunks and count, per document, its
@@ -1187,6 +1215,14 @@ object Dedup {
         "SELECT doc_id, source, n_tokens, " +
         s"(running - n_tokens) // ${Sampling.PackChunkTokens} AS first_chunk, " +
         s"(running - 1) // ${Sampling.PackChunkTokens} AS last_chunk " +
-        "FROM packed ORDER BY doc_id")
+        "FROM packed ORDER BY doc_id"),
+    // provenance union per dup cluster; lists sorted before join so
+    // both engines serialize identically
+    "x67_dedup_consolidate" ->
+      ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes, " +
+        "array_to_string(list_sort(list(DISTINCT source)), ',') AS sources, " +
+        "array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs, " +
+        "MAX(n_chars) AS max_chars FROM documents " +
+        "GROUP BY LOWER(TRIM(text)) ORDER BY keep_id")
   )
 }

@@ -50,9 +50,28 @@ object HttpFront {
     server.createContext("/query", (ex: HttpExchange) => handleQuery(engine, ex))
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, Map("ok" -> true, "warm" -> engine.isWarm)))
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // DAEMON pool threads: HttpServer.stop() does NOT shut down a
+    // caller-supplied executor, so non-daemon workers outlive main and
+    // keep the (forked) JVM alive after an embedding process — a bench
+    // or test — finishes: the process hangs until its harness kills it
+    // (the observed rc-124 mode). Daemon threads make JVM exit
+    // unconditional; [[stop]] additionally shuts the pool down for
+    // embedders that start/stop servers repeatedly.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+      r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t }))
     server.start()
     server
+  }
+
+  /** Stop the server AND its worker pool (see the daemon note in
+    * [[start]]); `HttpServer.stop` alone leaks the executor.
+    */
+  def stop(server: HttpServer, delaySec: Int = 0): Unit = {
+    server.stop(delaySec)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdownNow()
+      case _ =>
+    }
   }
 
   /** Request-body cap: a query is a SQL string, not a data upload —

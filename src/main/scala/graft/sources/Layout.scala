@@ -223,6 +223,43 @@ object Layout {
         metrics(e),
         key = "user_id", compareCols = Seq("n"))
         .orderBy(col("user_id"))
+    }),
+
+    // SCHEMA EVOLUTION — the additive-column lake migration: an old
+    // ingest generation written WITHOUT `value`, a new generation
+    // WITH it, read back as one table via parquet footer merging
+    // (mergeSchema) — old rows surface NULL, no rewrite of historical
+    // data. The aggregate proves the merged read sees every row of
+    // both generations and exactly the new generation's values
+    // (count(value) counts only post-cutoff rows). The value sum runs
+    // through p07's exact-decimal accumulation so neither engine's
+    // order shifts the rounding. At 100 TB the same layout works but
+    // the unified schema comes from a metastore/manifest, not a
+    // footer sweep per query — mergeSchema's per-file footer read is
+    // the part that doesn't scale, the NULL-backfill semantics are.
+    "p09_schema_evolution" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val base = s"/tmp/graft-views/evolved_events_$hash"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Lake.table(spark, sfDir, "events")
+      val cutoff = lit("2024-01-25")
+      e.filter(col("ts") < cutoff)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$base/gen0")
+      e.filter(col("ts") >= cutoff)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen0", s"$base/gen1")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
+            .as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -248,5 +285,14 @@ object Layout {
         "FROM o FULL JOIN nw ON o.user_id = nw.user_id " +
         "WHERE o.user_id IS NULL OR nw.user_id IS NULL " +
         "OR o.n IS DISTINCT FROM nw.n ORDER BY user_id")
+      ,
+    // the merged read must see all rows but only the new generation's
+    // values; the sum mirrors p07's exact-decimal accumulation
+    "p09_schema_evolution" ->
+      ("SELECT event_type, COUNT(*) AS n_rows, " +
+        "COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN value END) AS n_with_value, " +
+        "ROUND(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' " +
+        "THEN CAST(value AS DECIMAL(30,10)) END) AS DOUBLE), 4) AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1")
   )
 }

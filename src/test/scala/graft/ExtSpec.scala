@@ -1018,6 +1018,59 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x67 consolidation: survivor rows carry the dup cluster's provenance union") {
+    val docs = Lake.table(spark, SfDir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase,
+        r.getString(2), r.getString(3), r.getLong(4)))
+    val expected = docs.groupBy(_._2).map { case (_, rs) =>
+      (rs.map(_._1).min, rs.length.toLong,
+        rs.map(_._4).distinct.sorted.mkString(","),
+        rs.map(_._3).distinct.sorted.mkString(","),
+        rs.map(_._5).max)
+    }.toSet
+    val got = graft.ext.Dedup.queries("x67_dedup_consolidate")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got == expected, s"${got.size} clusters vs ${expected.size}")
+    // conservation: every document lands in exactly one survivor row
+    assert(got.toSeq.map(_._2).sum == docs.length.toLong)
+    // planted multi-copy, multi-provenance cluster: the survivor must
+    // union the copies' sources and langs, case/trim-insensitively
+    import spark.implicits._
+    val planted = Seq(
+      (10L, "Same Text", "en", "web", 9L),
+      (11L, "  same text ", "en", "books", 12L),
+      (12L, "same TEXT", "de", "cc", 9L),
+      (20L, "other", "fr", "web", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.Dedup.consolidate(planted)
+      .orderBy(col("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (10L, 3L, "books,cc,web", "de,en", 12L),
+      (20L, 1L, "web", "fr", 5L)), rows.toSeq)
+  }
+
+  test("p09 schema evolution: merged read backfills NULL for the pre-evolution generation") {
+    val out = graft.sources.Layout.queries("p09_schema_evolution")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val e = Lake.table(spark, SfDir, "events")
+    val total = e.count()
+    val post = e.filter(col("ts") >= lit("2024-01-25")).count()
+    assert(out.map(_._2).sum == total, "merged read must see both generations")
+    assert(out.map(_._3).sum == post, "only the evolved generation carries values")
+    assert(out.forall { case (_, n, nv, _) => nv <= n })
+    // the merged frame itself: value is NULL exactly on pre-cutoff rows
+    val hash = Integer.toHexString(SfDir.hashCode)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"/tmp/graft-views/evolved_events_$hash/gen0",
+        s"/tmp/graft-views/evolved_events_$hash/gen1")
+    assert(merged.schema.fieldNames.contains("value"))
+    assert(merged.filter(col("value").isNull).count() == total - post)
+  }
+
   test("p08 SCD2 history: runs partition each user's timeline with one open row") {
     import java.sql.Timestamp
     val hist = graft.pipeline.Views.queries("p08_scd2_history")(spark, SfDir)

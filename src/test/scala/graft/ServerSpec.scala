@@ -20,7 +20,7 @@ class ServerSpec extends SparkSpec {
   private def withServer[T](body: Int => T): T = {
     val server = HttpFront.start(SparkEngine.wrap(spark), spark, SfDir, port = 0)
     try body(server.getAddress.getPort)
-    finally server.stop(0)
+    finally HttpFront.stop(server)
   }
 
   private def post(port: Int, json: String): (Int, String) = {
@@ -80,7 +80,7 @@ class ServerSpec extends SparkSpec {
   test("loopback-only bind by default: the server address is 127.0.0.1") {
     val server = HttpFront.start(SparkEngine.wrap(spark), spark, SfDir, port = 0)
     try assert(server.getAddress.getAddress.isLoopbackAddress)
-    finally server.stop(0)
+    finally HttpFront.stop(server)
   }
 
   test("concurrent requests through the pool return consistent envelopes") {
@@ -140,7 +140,7 @@ class ServerSpec extends SparkSpec {
         assert(node.get("records").get(0).get("n").asLong == expected,
           s"cold-start result mismatch: $body")
       }
-    } finally server.stop(0)
+    } finally HttpFront.stop(server)
   }
 
   test("health probe reports ok and the warm flag flips after first use") {
@@ -155,5 +155,28 @@ class ServerSpec extends SparkSpec {
       post(port, """{"q": "SELECT 1 AS one"}""")
       assert(health().get("warm").asBoolean)  // first execute warmed it
     }
+  }
+
+  test("worker pool threads are daemon and stop() terminates them (rc-124 regression)") {
+    // HttpServer.stop() does not shut down a caller-supplied executor;
+    // with non-daemon workers the embedding JVM (bench, a forked test
+    // run) then never exits — the harness kills it at timeout (rc 124).
+    // Contract: workers are daemon (JVM exit is unconditional) AND
+    // HttpFront.stop shuts the pool down (threads die promptly).
+    import scala.jdk.CollectionConverters._
+    val server = HttpFront.start(SparkEngine.wrap(spark), spark, SfDir, port = 0)
+    val port = server.getAddress.getPort
+    post(port, """{"q": "SELECT 1 AS one"}""") // spin a worker up
+    def workers() = Thread.getAllStackTraces.keySet.asScala
+      .filter(_.getName == "graft-http").toSeq
+    val live = workers()
+    assert(live.nonEmpty, "a worker thread should exist after a request")
+    assert(live.forall(_.isDaemon), "worker threads must be daemon")
+    HttpFront.stop(server)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (workers().exists(_.isAlive) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(workers().forall(!_.isAlive),
+      "stop() must terminate the worker pool")
   }
 }
