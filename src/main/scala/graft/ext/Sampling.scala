@@ -280,6 +280,34 @@ object Sampling {
         .limit(20)
     }),
 
+    // MERGEABLE-SKETCH DISTINCT ROLLUP — the 100 TB distinct-count
+    // architecture as a verified pipeline: per-day HLL sketches of
+    // user_id (the partial a lake would PERSIST next to each
+    // partition), then the total per event_type by UNION-MERGING the
+    // day sketches — no rescan of raw data at rollup time, and the
+    // same partials serve any grain (week, month, all-time) later.
+    // countDistinct re-derives the exact truth in-frame so the report
+    // carries its own error bound; the estimate is engine-specific
+    // (DataSketches HLL_4, lgK 12) hence no SQL oracle — the unit
+    // test pins the ≤2% relative error and run-to-run determinism.
+    "x68_hll_rollup" -> ((spark, sfDir) => {
+      val e = Lake.table(spark, sfDir, "events")
+      val daily = e
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      rolled.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("est_users"),
+          col("exact_users"),
+          round(abs(col("est_users") - col("exact_users")).cast("double") /
+            col("exact_users"), 4).as("rel_err"))
+        .orderBy(col("event_type"))
+    }),
+
     // FIXED-SIZE STRATIFIED SAMPLE — exactly min(50, |stratum|) docs
     // per language, selected as the 50 smallest sampling hashes (so
     // re-runs and engines agree bit-for-bit; x20 is the RATE-based

@@ -185,27 +185,37 @@ object Views {
     // satisfies its distribution) and the valid_to lead all ride ONE
     // hash exchange on user_id — asserted in PlanSpec. Ordering is
     // total (ts, event_id), so run numbering is deterministic.
-    "p08_scd2_history" -> ((spark, sfDir) => {
-      val byTs = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
-      Lake.table(spark, sfDir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-        .withColumn("chg",
-          when(lag(col("event_type"), 1).over(byTs).isNull ||
-            lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
-            .otherwise(0L))
-        .withColumn("run", sum(col("chg")).over(byTs))
-        .groupBy(col("user_id"), col("run"), col("event_type"))
-        .agg(min(col("ts")).as("valid_from"),
-          count(lit(1)).as("n_events"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select(col("user_id"), col("event_type"), col("valid_from"),
-          col("valid_to"), col("is_current"), col("n_events"))
-        .orderBy(col("user_id"), col("valid_from"))
-    })
+    "p08_scd2_history" -> ((spark, sfDir) =>
+      scd2History(Lake.table(spark, sfDir, "events"))
+        .orderBy(col("user_id"), col("valid_from")))
   )
+
+  /** p08's body (shared with the s11 streaming maintainer): collapse
+    * an event frame into SCD2 runs. Input needs (user_id, event_id,
+    * ts, event_type); (ts, event_id) totally orders each key, so run
+    * numbering is a pure function of the key's event SET — which is
+    * what lets s11 recompute a key from any batch decomposition and
+    * land on identical rows.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(byTs))
+      .groupBy(col("user_id"), col("run"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("n_events"))
+  }
 
   val oracles: Map[String, String] = Map(
     "p01_pipeline_topk" ->

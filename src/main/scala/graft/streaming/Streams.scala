@@ -486,7 +486,83 @@ object Streams {
       .orderBy(col("date"))
   }
 
+  /** s11: streaming SCD2 maintenance — p08's type-2 history kept
+    * incrementally correct under batch-at-a-time arrival via
+    * KEY-SCOPED RECOMPUTE: each microbatch (1) lands its raw slice in
+    * an append-only bronze staging area (idempotent per-batch dirs,
+    * s10's retry guard), (2) rebuilds the FULL SCD2 history for ONLY
+    * the user_ids present in the batch — per-key history is bounded,
+    * so the recompute is delta-keyed work, not a table scan — and
+    * (3) swaps those users' rows into the state table (anti-join the
+    * previous generation + union the rebuilt keys, written to a fresh
+    * generation dir so the merge never overwrites what it reads).
+    *
+    * Why recompute instead of patching runs across batch boundaries:
+    * SCD2 rows are NOT mergeable partial aggregates — a batch can
+    * split a run, extend the open run, or arrive out of order, and
+    * patch logic for all three is exactly where IVM bugs live. The
+    * run decomposition is a pure function of each key's event SET
+    * ([[graft.pipeline.Views.scd2History]] scaladoc), so rebuilding a
+    * key from bronze is correct under ANY batch decomposition — which
+    * is precisely what the oracle states: final state ≡ batch p08.
+    * Scale shape per batch: one semi-join of bronze against the
+    * delta's keys (partition-prunable when bronze is key-bucketed),
+    * p08's single-shuffle window/agg over the affected slice, one
+    * anti-join against the state table.
+    */
+  def foreachBatchScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s11_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bronzeSlice = s"$base/bronze/b_$batchId"
+        val gen = s"$base/gen_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          batch.select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"))
+            .write.mode("overwrite").parquet(bronzeSlice)
+          // bronze slices live in per-batch subdirs (idempotent
+          // overwrite targets), not hive partitions — recurse
+          val bronze = spark.read
+            .option("recursiveFileLookup", "true")
+            .parquet(s"$base/bronze")
+          val affectedKeys = spark.read.parquet(bronzeSlice)
+            .select(col("user_id")).distinct()
+          val rebuilt = graft.pipeline.Views.scd2History(
+            bronze.join(affectedKeys, Seq("user_id"), "left_semi"))
+          val merged = latest match {
+            case None => rebuilt
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(affectedKeys, Seq("user_id"), "left_anti")
+                .unionByName(rebuilt)
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("s11: stream produced no batches")))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s11_stream_scd2" -> ((spark, sfDir) => foreachBatchScd2(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -523,6 +599,8 @@ object Streams {
       "ORDER BY user_id, session_start"
 
   val oracles: Map[String, String] = Map(
+    // the IVM contract verbatim: streamed SCD2 state ≡ batch p08
+    "s11_stream_scd2" -> graft.pipeline.Views.oracles("p08_scd2_history"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

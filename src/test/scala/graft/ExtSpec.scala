@@ -1018,6 +1018,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x68 HLL rollup: merged day-sketches estimate within 2% of exact, deterministically") {
+    def run() = Sampling.queries("x68_hll_rollup")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nDays, est, exact, relErr) =>
+      assert(nDays >= 2, s"$et: rollup should merge multiple day partials")
+      assert(exact > 0 && est > 0)
+      assert(relErr <= 0.02,
+        s"$et: estimate $est vs exact $exact (rel_err $relErr)")
+    }
+    // sketch building and union are deterministic — a re-run (fresh
+    // plan, same data) must reproduce the estimates bit-for-bit
+    assert(run().toSeq == rows.toSeq, "estimates must be deterministic")
+  }
+
   test("x67 consolidation: survivor rows carry the dup cluster's provenance union") {
     val docs = Lake.table(spark, SfDir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars").collect()

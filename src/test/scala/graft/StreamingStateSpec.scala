@@ -215,4 +215,26 @@ class StreamingStateSpec extends SparkSpec {
       s"upserted state diverges from the batch aggregate: " +
         s"extra=${state -- batch}, missing=${batch -- state}")
   }
+
+  test("s11 streaming SCD2 runs multi-batch and lands on the batch p08 history exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Lake
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.get(3)).map(_.toString), r.getBoolean(4), r.getLong(5))
+    val streamed = graft.streaming.Streams.foreachBatchScd2(spark, SfDir)
+      .collect().map(key).toSet
+    // key-scoped recompute must survive a REAL batch decomposition:
+    // maxFilesPerTrigger=1 over a >=2-file source means the runs of
+    // users spanning batches were rebuilt at least once
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s11_$tag")
+      .listFiles().count(_.getName.startsWith("gen_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.scd2History(
+      Lake.table(spark, SfDir, "events")).collect().map(key).toSet
+    assert(streamed == batch,
+      s"streamed SCD2 diverges from batch p08: " +
+        s"extra=${(streamed -- batch).take(3)}, missing=${(batch -- streamed).take(3)}")
+  }
 }
