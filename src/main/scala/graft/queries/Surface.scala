@@ -821,7 +821,49 @@ object Surface {
     "c49_join_cross" -> ((spark, sfDir) =>
       t(spark, sfDir, "region").select(col("r_name"))
         .crossJoin(t(spark, sfDir, "nation").select(col("n_name")))
-        .orderBy(col("r_name"), col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // GAP-FILL / RESAMPLE — the time-series densification op feature
+    // pipelines need: per-user daily totals re-gridded onto each
+    // user's full calendar span (sequence() spine, a GENERATED
+    // dimension — no calendar table scan) with missing days carried
+    // forward via last(..., ignoreNulls) — the IGNORE NULLS window
+    // form, which Catalyst evaluates in one pass over the frame.
+    // Distribution story (plan-asserted): the upfront
+    // repartition(user_id) satisfies the (user_id, day) daily
+    // aggregate (superset grouping keys), the span aggregate, the
+    // spine⋈daily equi-join (both sides identically partitioned on
+    // the key prefix) and the fill window — p08's distribution-reuse
+    // pattern stretched across four operators, so NO operator
+    // introduces its own differently-keyed exchange. The self-
+    // referencing DAG (spine derives from daily, then joins it) makes
+    // Spark recompute the daily branch, so the user_id exchange
+    // appears once per branch; at 100 TB you'd lake-checkpoint the
+    // daily grid (x31's pattern) to also collapse the double scan.
+    // Spine rows = Σ per-user day spans, never users ×
+    // global-calendar. The daily sum rides the exact-decimal
+    // accumulation (p07's pattern) so the 4 dp round is
+    // order-independent on both engines.
+    "c68_gap_fill" -> ((spark, sfDir) => {
+      val daily = t(spark, sfDir, "events")
+        .filter(col("user_id") < 100)
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
+          .as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v").as("value_raw"), col("value_filled"))
+        .orderBy(col("user_id"), col("day"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1152,6 +1194,23 @@ object Surface {
       ("SELECT o_orderpriority AS priority, COUNT(*) AS n, " +
         "ROUND(SUM(l_quantity), 2) AS qty_sum " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1"),
+    // same spine + IGNORE NULLS carry-forward; the daily sum mirrors
+    // the exact-decimal accumulation
+    "c68_gap_fill" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE), 4) AS v " +
+        "FROM events WHERE user_id < 100 GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 " +
+        "FROM daily GROUP BY 1), " +
+        "spine AS (SELECT user_id, CAST(unnest(generate_series(" +
+        "CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM span), " +
+        "j AS (SELECT s.user_id, s.day, d.v FROM spine s " +
+        "LEFT JOIN daily d USING (user_id, day)) " +
+        "SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, v AS value_raw, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS value_filled " +
+        "FROM j ORDER BY user_id, day")
   )
 }

@@ -345,6 +345,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
   }
 
+  test("gap-fill hash exchanges are user_id-only: agg, span, join and window all reuse it (c68)") {
+    // Every hash exchange must be the upfront repartition(user_id) —
+    // which appears once per branch of the self-referencing DAG (the
+    // spine derives from daily, then joins it), so ≤2 — and NOTHING
+    // else: a hashpartitioning carrying `day` would mean the
+    // (user_id, day) aggregate or the join stopped riding the
+    // superset-grouping-key reuse; a third hash exchange would mean
+    // the window or span aggregate fell out of the distribution.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (shuffles, planStr) = Lake.withConf(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      val plan = Surface.queries("c68_gap_fill")(spark, SfDir)
+        .queryExecution.executedPlan
+      def walk(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(walk)
+      (walk(plan).collect { case e: ShuffleExchangeLike => e.outputPartitioning.toString },
+        plan.toString)
+    }
+    val hash = shuffles.filter(_.contains("hashpartitioning"))
+    assert(hash.nonEmpty && hash.size <= 2,
+      s"expected 1-2 user_id hash shuffles, got $shuffles in:\n$planStr")
+    assert(hash.forall(s => s.contains("user_id") && !s.contains("day")),
+      s"a non-user_id hash exchange appeared: $shuffles in:\n$planStr")
+    assert(shuffles.size <= hash.size + 1, // + the final ORDER BY range
+      s"unexpected extra shuffles $shuffles in:\n$planStr")
+  }
+
   test("SCD2 history build rides one hash shuffle on user_id (p08)") {
     // lag + the running run-id sum share the (user_id) window
     // partitioning; the (user_id, run, event_type) aggregate's
