@@ -76,9 +76,21 @@ object Bench {
     Option(msg).getOrElse("null")
       .replace("\n", " ").replace("\r", " ").take(200)
 
-  /** The single JSON-escape point for error text. */
-  private def jsonEscape(s: String): String =
-    clip(s).replace("\\", "\\\\").replace("\"", "\\\"")
+  /** The single JSON-escape point for error text: backslash, quote,
+    * and EVERY control char < 0x20 (Verify.q's rule) — a raw tab in a
+    * captured exception message is invalid JSON to strict parsers and
+    * would null the whole artifact parse.
+    */
+  private def jsonEscape(s: String): String = {
+    val b = new StringBuilder
+    clip(s).foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
 
   /** Time `run` for `reps` repetitions, excluding failed reps from the
     * stats and capturing the first error. Public and Spark-free so the
@@ -263,7 +275,7 @@ object Bench {
     val compactKeys = Seq("metric", "value", "unit", "queries", "sf",
       "reps", "probe_ok", "pruned_vs_full", "full_scan_files",
       "pruned_scan_files", "http", "scaling_summary", "load_sentinel",
-      "errors", "phases_complete", "elapsed_sec", "detail")
+      "errors_compact", "phases_complete", "elapsed_sec", "detail")
     def render(keys: Iterable[String]): String =
       keys.flatMap(k => fields.get(k).map(v => s""""$k":$v"""))
         .mkString("{", ",", "}")
@@ -371,6 +383,14 @@ object Bench {
       s""""${s.name}":[${s.raw.map(fmt).mkString(",")}]""")
       .mkString("{", ",", "}")
     fields("errors") = errorsJson(stats)
+    // compact-line variant: a mass-failure round would blow the ~2 KB
+    // stdout budget if the full error map rode the compact line (the
+    // on-disk artifact keeps it); count + first example suffice there
+    val failed = stats.filter(_.err.isDefined)
+    fields("errors_compact") =
+      if (failed.isEmpty) "{}"
+      else s"""{"n":${failed.size},"first":"${jsonEscape(
+        s"${failed.head.name}: ${failed.head.err.get.take(120)}")}"}"""
     fields("value") = fmt(usable.map(_.mean).sum)
     // Median-based: one spiked rep must not move the artifact's
     // headline pruning ratio (see object scaladoc).
@@ -407,7 +427,14 @@ object Bench {
             c.setRequestMethod("POST"); c.setDoOutput(true)
             c.getOutputStream.write(body)
             val code = c.getResponseCode
-            val resp = new String(c.getInputStream.readAllBytes(), "UTF-8")
+            // non-2xx: getInputStream throws — read the error stream
+            // instead so the artifact records the engine's envelope,
+            // not Java's generic IOException text
+            val stream =
+              if (code >= 400) Option(c.getErrorStream)
+              else Option(c.getInputStream)
+            val resp = stream.map(s => new String(s.readAllBytes(), "UTF-8"))
+              .getOrElse("")
             require(code == 200 && resp.contains("\"records\""),
               s"http $code: ${clip(resp)}")
             (System.nanoTime() - t0) / 1e9
@@ -479,10 +506,12 @@ object Bench {
         // identical artifact chain to x03 itself, so after its prewarm
         // these are cheap reads + the one candidate count
         val d = Lake.table(spark, dir, "documents")
-        val sigs = Lake.materialize(spark, dir, "minhash_sigs_32")(
-          graft.ext.Dedup.minhashSignatures(d, 32))
-        val bands = Lake.materialize(spark, dir, "minhash_bands_32_8")(
-          graft.ext.Dedup.minhashBands(sigs, 32, 8))
+        val nh = graft.ext.Dedup.MinhashNumHashes
+        val nb = graft.ext.Dedup.MinhashBandCount
+        val sigs = Lake.materialize(spark, dir, s"minhash_sigs_$nh")(
+          graft.ext.Dedup.minhashSignatures(d, nh))
+        val bands = Lake.materialize(spark, dir, s"minhash_bands_${nh}_$nb")(
+          graft.ext.Dedup.minhashBands(sigs, nh, nb))
         parts += s""""x03_candidate_pairs":${graft.ext.Dedup.minhashCandidates(bands).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x03_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
@@ -523,7 +552,6 @@ object Bench {
     // produces — or visibly skips — the scaling evidence.
     val smallDir = "sf[0-9.]+".r.replaceFirstIn(sfDir, "sf0.01")
     val midStats = stats.map(s => s.name -> s).toMap
-    val midInst = instrumentation(sfDir, scalingNames)
 
     var scalingSkip: Option[String] = None
     if (sfOf(sfDir) == 0.0) scalingSkip = Some(s"no_sf_token_in:$sfDir")
@@ -531,6 +559,12 @@ object Bench {
     else if (!new java.io.File(smallDir).isDirectory)
       scalingSkip = Some(s"missing_small_dir:$smallDir")
     else if (remainingSec < 120) scalingSkip = Some("budget")
+
+    // instrumentation runs uncounted work (candidate counts, a c02
+    // execution for its strategy) — only AFTER the skip decision, so
+    // a budget-skipped scaling phase costs nothing
+    val midInst =
+      if (scalingSkip.isEmpty) instrumentation(sfDir, scalingNames) else "{}"
 
     val (smallStats, smallWarm, smallInst) = scalingSkip match {
       case None => timePoint(smallDir, scalingNames, reps)

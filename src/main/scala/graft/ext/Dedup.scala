@@ -47,6 +47,13 @@ object Dedup {
       when(size(tokens) >= k, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** x03's index shape, shared with Bench's candidate-volume
+    * instrumentation so the benchmarked index and the counted index
+    * can never silently diverge: 32 hashes in 8 bands of 4 rows.
+    */
+  val MinhashNumHashes = 32
+  val MinhashBandCount = 8
+
   /** MinHash signatures: numHashes seeded hash functions; signature
     * element s = min over shingles of xxhash64(shingle, s). Computed
     * as numHashes parallel `min` aggregates over (doc_id, shingle)
@@ -662,7 +669,7 @@ object Dedup {
     // plan (the acceptance criterion, VERDICT round-1 §LLM).
     "x03_dedup_minhash" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
-      val numHashes = 32
+      val numHashes = MinhashNumHashes
       // The signature table feeds three plan branches (banding + both
       // verify sides) — checkpoint it to the lake once per dataset
       // (the 100 TB shape) instead of persist(): no executor-memory
@@ -675,8 +682,9 @@ object Dedup {
       // the band table feeds BOTH candidate-join sides (like x08's LSH
       // buckets) — checkpoint it so each side is a parquet scan instead
       // of recomputing the slice-hash aggregation per plan branch
-      val bands = Lake.materialize(spark, sfDir, s"minhash_bands_${numHashes}_8") {
-        minhashBands(sigs, numHashes, bands = 8)
+      val bands = Lake.materialize(spark, sfDir,
+          s"minhash_bands_${numHashes}_$MinhashBandCount") {
+        minhashBands(sigs, numHashes, bands = MinhashBandCount)
       }
       val cands = minhashCandidates(bands)
       minhashVerify(cands, sigs, numHashes, threshold = 0.5)

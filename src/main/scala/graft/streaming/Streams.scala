@@ -537,14 +537,21 @@ object Streams {
             .option("recursiveFileLookup", "true")
             .parquet(s"$base/bronze")
           val affectedKeys = spark.read.parquet(bronzeSlice)
-            .select(col("user_id")).distinct()
+            .select(col("user_id").as("_ak")).distinct()
+          // NULL-SAFE key joins (<=>): scd2History's window partitions
+          // NULL user_id as a real group, so the rebuild/swap joins
+          // must match it too — a plain equi-join drops NULL keys and
+          // the streamed state would silently diverge from batch p08
+          // the first time the source grows a NULL user_id
           val rebuilt = graft.pipeline.Views.scd2History(
-            bronze.join(affectedKeys, Seq("user_id"), "left_semi"))
+            bronze.join(affectedKeys, col("user_id") <=> col("_ak"),
+              "left_semi"))
           val merged = latest match {
             case None => rebuilt
             case Some(prev) =>
               spark.read.parquet(prev)
-                .join(affectedKeys, Seq("user_id"), "left_anti")
+                .join(affectedKeys, col("user_id") <=> col("_ak"),
+                  "left_anti")
                 .unionByName(rebuilt)
           }
           merged.write.mode("overwrite").parquet(gen)

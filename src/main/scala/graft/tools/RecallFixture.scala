@@ -18,9 +18,19 @@ import graft.ext.Similarity
 object RecallFixture {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // the fixtures pin the gate corpus — a dump from any other sf
+    // would commit sets the sf0.01 oracle run can never match
+    require(sfDir.contains(graft.ext.RecallFixtures.FixtureSf),
+      s"fixtures must be dumped from ${graft.ext.RecallFixtures.FixtureSf} " +
+        s"(the driver's correctness-gate corpus), got $sfDir")
+    // SAME session shape as the Verify gate (SPARK_GRAFT_CPUS, default
+    // 4): ivfFit/pqFit's k-means init sampling and float accumulation
+    // are partitioning-sensitive, so a dump at a different parallelism
+    // can pin candidate sets the gate session won't reproduce
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")

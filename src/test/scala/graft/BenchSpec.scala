@@ -39,6 +39,16 @@ newline"""))
     assert(!json.contains("\n"), "newlines must be sanitized out of the one-line artifact")
     assert(json.contains("\\\"quotes\\\""))
     assert(Bench.errorsJson(Seq(ok)) == "{}")
+    // control chars < 0x20 (e.g. a tab in a codegen error) must come
+    // out as \uXXXX — a raw tab is invalid JSON to strict parsers and
+    // would null the whole artifact parse (the rc-124-era failure)
+    val tabbed = Bench.QueryStats("tabbed", 0.0, 0.0, 0.0, 0,
+      Some("indented\tsource" + 1.toChar + "ctl"))
+    val tjson = Bench.errorsJson(Seq(tabbed))
+    assert(!tjson.exists(_ < 0x20), s"raw control char in: $tjson")
+    assert(tjson.contains("\\u0009") && tjson.contains("\\u0001"))
+    // the whole object must be strict-JSON parseable
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(tjson)
   }
 
   test("median resists a single spiked rep (the r7 artifact failure mode)") {
