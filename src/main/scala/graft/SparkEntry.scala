@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{Core, Surface}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.pipeline.Views
 import graft.streaming.Streams
 import graft.sources.{Lake, Layout}
@@ -47,7 +47,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Core.queries ++ Surface.queries ++ Views.queries ++ Layout.queries ++
       Streams.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Sampling.queries ++
+      Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (sketch/stream-internal/
@@ -57,5 +58,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Core.oracles ++ Surface.oracles ++ Views.oracles ++ Layout.oracles ++
       Streams.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles
+      TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
+      Graph.oracles
 }

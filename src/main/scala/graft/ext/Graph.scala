@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Graph analytics over lake-derived entity graphs — the curation
+  * step that needs *global* structure rather than per-row features
+  * (x18's connected components are the clustering sibling; this file
+  * holds the centrality side).
+  *
+  * The demo graph is the part↔supplier bipartite graph implied by
+  * `lineitem` (an edge per distinct (l_partkey, l_suppkey) pair,
+  * undirected = both directions materialized). In a training-data
+  * pipeline the same operator ranks domains in a crawl's link graph
+  * to weight sampling (the "domain authority" feature quality
+  * classifiers consume).
+  *
+  * Arithmetic is FIXED-POINT INTEGER throughout (ranks scaled by
+  * 10¹², divisions are integer DIV): floating-point power iteration
+  * is order-sensitive under parallel summation, so a double-typed
+  * PageRank can differ run-to-run and engine-to-engine; bigint sums
+  * are exact and associative, which is what makes x69 a full
+  * hash-oracle query instead of a rows-only sketch. The ~1 ulp/node
+  * mass leak per iteration from flooring is deterministic and
+  * identical in both engines.
+  *
+  * Scale shape (100 TB crawl graph):
+  *  - the adjacency (edges + out-degree) is built once and persisted
+  *    to the lake ([[Lake.materialize]]) — iterations re-read a
+  *    compact columnar artifact instead of re-deriving from raw;
+  *  - each iteration is one equi-join (ranks are node-sized, edges
+  *    edge-sized; AQE picks broadcast only while ranks fit) plus one
+  *    partial-aggregatable integer sum keyed by dst — shuffle volume
+  *    is O(edges) longs, never payloads;
+  *  - iteration count is a bounded constant (3), not convergence-
+  *    polled, so the job graph is static and schedulable.
+  */
+object Graph {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Rank scale: 1.0 of probability mass = 10¹² fixed-point units. */
+  val RankScale = 1000000000000L
+
+  /** Damping factor 0.85 expressed as the integer pair (85, 100). */
+  private val DampNum = 85L
+  private val DampDen = 100L
+
+  /** `iters` rounds of fixed-point PageRank over a directed edge list
+    * (`src`, `dst`: any equi-joinable type). Every node must appear as
+    * a `src` (materialize undirected graphs in both directions —
+    * dangling nodes are the caller's contract to close). Returns
+    * (node, rank_fp) with Σ rank_fp ≤ [[RankScale]] (floor leak).
+    */
+  def pageRankFp(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree rides the edge list so the loop's contribution join
+    // is a single equi-join against the rank frame
+    val adj = edges.join(deg, "src")
+    val nNodes = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    // per-node teleport mass (0.15 · RankScale DIV n) and the uniform
+    // start — static per-node frames, built once outside the loop
+    val meta = deg.crossJoin(nNodes)
+      .select(col("src").as("node"),
+        expr(s"${RankScale * 15 / 100}L DIV n_nodes").as("base_fp"))
+    val init = deg.crossJoin(nNodes)
+      .select(col("src").as("node"),
+        expr(s"${RankScale}L DIV n_nodes").as("rank_fp"))
+    // each iteration references the PREVIOUS rank frame exactly once:
+    // lineage depth is linear in iters (the naive shape that both
+    // joins ranks and rebases off it doubles the subtree per round —
+    // 2^iters plan growth). A loop deep enough to outgrow even linear
+    // lineage would lake-checkpoint the rank frame per round
+    // ([[graft.sources.Lake.materialize]]), the streaming-free form
+    // of iterative checkpointing.
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_fp DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      meta.join(contrib.withColumnRenamed("dst", "node"), "node")
+        .select(col("node"),
+          expr(s"base_fp + ($DampNum * in_mass) DIV $DampDen").as("rank_fp"))
+    }
+  }
+
+  /** The part↔supplier adjacency from `lineitem`, both directions. */
+  private def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Lake.table(spark, sfDir, "lineitem")
+      .select(concat(lit("P"), col("l_partkey").cast("string")).as("p"),
+        concat(lit("S"), col("l_suppkey").cast("string")).as("s"))
+      .distinct()
+    pairs.select(col("p").as("src"), col("s").as("dst"))
+      .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // GRAPH CENTRALITY — 3 fixed-point power iterations over the
+    // persisted part↔supplier adjacency; top-20 hubs. Suppliers serve
+    // many parts, so the S-side dominates — the query is the "which
+    // domains anchor the crawl" readout.
+    "x69_pagerank" -> ((spark, sfDir) => {
+      val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v1") {
+        bipartiteEdges(spark, sfDir)
+      }
+      pageRankFp(adj, iters = 3)
+        .orderBy(desc("rank_fp"), col("node"))
+        .limit(20)
+    })
+  )
+
+  // 3 unrolled iterations of the identical integer recurrence; DuckDB
+  // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
+  // DuckDB's HUGEINT sum widening back to BIGINT before compare.
+  val oracles: Map[String, String] = Map(
+    "x69_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"c$out AS (SELECT e.dst AS node, " +
+          s"CAST(SUM(r.rank_fp // r.outdeg) AS BIGINT) AS in_mass " +
+          s"FROM edges e JOIN r$prev r ON e.src = r.node GROUP BY 1), " +
+          s"r$out AS (SELECT d.src AS node, d.outdeg, r0.base_fp, " +
+          s"CAST(r0.base_fp + (85 * c$out.in_mass) // 100 AS BIGINT) AS rank_fp " +
+          s"FROM deg d JOIN c$out ON d.src = c$out.node " +
+          s"JOIN r0 ON d.src = r0.node)"
+      "WITH pairs AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS p, " +
+        "'S' || CAST(l_suppkey AS VARCHAR) AS s FROM lineitem), " +
+        "edges AS (SELECT p AS src, s AS dst FROM pairs " +
+        "UNION ALL SELECT s AS src, p AS dst FROM pairs), " +
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*) AS n_nodes FROM deg), " +
+        "r0 AS (SELECT src AS node, outdeg, " +
+        "CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fp, " +
+        "CAST(150000000000 // n_nodes AS BIGINT) AS base_fp FROM deg, nn), " +
+        iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
+        "SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 20"
+    }
+  )
+}

@@ -344,10 +344,60 @@ object Sampling {
         .filter(col("rk") <= n && col("_guard").isNull)
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // MERGEABLE-HISTOGRAM ROLLUP — x68's persist-the-partial
+    // architecture with an EXACT sketch: per-day fixed-bin counts of
+    // events.value (the partial a lake stores next to each day
+    // partition), rolled up to a corpus histogram by summing bin
+    // counts — no raw rescan, and the same partials serve any later
+    // grain or quantile readout. Bins are floor(value / 25): integer
+    // everywhere, so unlike HLL the rollup takes a full hash oracle.
+    // The cumulative window is over the ROLLED-UP frame (≤ ~20 rows =
+    // one bin per 25 units of range — model-sized by construction),
+    // not the raw data, so the unpartitioned window is a non-issue at
+    // any corpus size. cum_share's one double division is
+    // order-independent; its first bin ≥ 0.5 is the p50 estimate.
+    "x70_hist_rollup" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake.materialize(spark, sfDir, "value_hist_daily_v1") {
+        Lake.table(spark, sfDir, "events")
+          .groupBy(to_date(col("ts")).as("day"),
+            floor(col("value") / lit(25.0)).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"))
+      }
+      val rolled = daily.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n"))
+      val byBin = Window.orderBy(col("bin"))
+      rolled
+        .withColumn("cum_n", sum(col("n")).over(
+          byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          byBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("bin"), (col("bin") * 25.0).as("lo"),
+          ((col("bin") + 1) * 25.0).as("hi"), col("n_days"), col("n"),
+          col("cum_n"),
+          round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"))
+        .orderBy(col("bin"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // same floor-division binning; counts and cum-sums are exact
+    // integers, cum_share is the one double division (CASTs pin
+    // DuckDB's HUGEINT sum widening back to BIGINT)
+    "x70_hist_rollup" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(FLOOR(value / 25.0) AS INT) AS bin, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT bin, COUNT(*) AS n_days, CAST(SUM(n) AS BIGINT) AS n " +
+        "FROM d GROUP BY 1), " +
+        "c AS (SELECT bin, n_days, n, " +
+        "CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n, " +
+        "CAST(SUM(n) OVER () AS BIGINT) AS total FROM r) " +
+        "SELECT bin, bin * 25.0 AS lo, (bin + 1) * 25.0 AS hi, n_days, n, " +
+        "cum_n, ROUND(CAST(cum_n AS DOUBLE) / total, 6) AS cum_share " +
+        "FROM c ORDER BY bin"),
     "x20_stratified_sample" ->
       (s"SELECT doc_id, lang, source, n_chars FROM documents " +
         s"WHERE (doc_id * $HashMul) % $HashMod < " +

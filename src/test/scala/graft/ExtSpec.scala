@@ -1120,4 +1120,67 @@ class ExtSpec extends SparkSpec {
       assert(rs.length == nRuns, s"user $uid: ${rs.length} runs vs recount $nRuns")
     }
   }
+
+  test("fixed-point PageRank: star hub dominates, leaves tie exactly, mass is conserved up to floor leak (x69)") {
+    import spark.implicits._
+    // undirected star: hub 0 — leaves 1..3, both directions materialized
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val ranks = graft.ext.Graph.pageRankFp(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.keySet == Set(0L, 1L, 2L, 3L))
+    val hub = ranks(0L)
+    val leaves = List(ranks(1L), ranks(2L), ranks(3L))
+    // exact determinism: integer arithmetic makes the leaf ranks
+    // IDENTICAL, not merely close
+    assert(leaves.distinct.size == 1, s"leaves differ: $leaves")
+    assert(hub > leaves.head, s"hub $hub not above leaves ${leaves.head}")
+    // mass: sums to RankScale minus a deterministic floor leak
+    // (< 1 unit per division per node per iteration)
+    val total = ranks.values.sum
+    assert(total <= graft.ext.Graph.RankScale)
+    assert(total > graft.ext.Graph.RankScale - 100L, s"leak too large: $total")
+    // hand-rolled recurrence for the hub after one iteration:
+    // each leaf sends floor(rank/1), hub gets base + 85% of 3 leaves
+    val init = graft.ext.Graph.RankScale / 4
+    val base = (graft.ext.Graph.RankScale * 15 / 100) / 4
+    val hub1 = base + (85L * (3 * init)) / 100
+    val leaf1 = base + (85L * (init / 3)) / 100
+    val hub2 = base + (85L * (3 * leaf1)) / 100
+    val leaf2 = base + (85L * (hub1 / 3)) / 100
+    val hub3 = base + (85L * (3 * leaf2)) / 100
+    val leaf3 = base + (85L * (hub2 / 3)) / 100
+    assert(hub == hub3, s"hub $hub != recurrence $hub3")
+    assert(leaves.head == leaf3, s"leaf ${leaves.head} != recurrence $leaf3")
+  }
+
+  test("x69 on the lake graph: every node ranked once, suppliers outrank parts at the top") {
+    val top = graft.ext.Graph.queries("x69_pagerank")(spark, SfDir).collect()
+    assert(top.length == 20)
+    val ranksDesc = top.map(_.getLong(1)).toList
+    assert(ranksDesc == ranksDesc.sorted.reverse, "not rank-ordered")
+    // suppliers aggregate many parts' mass: the top of the list must
+    // be supplier nodes on this bipartite shape
+    assert(top.take(5).forall(_.getString(0).startsWith("S")),
+      s"expected supplier hubs on top, got ${top.take(5).map(_.getString(0)).mkString(",")}")
+  }
+
+  test("histogram rollup: exact bins, boundary lands in the upper bin, cumulative closes at 1.0 (x70)") {
+    val rows = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // bins are the contract: floor(value/25), value at exactly 25.0
+    // belongs to bin 1 — pin the expression the query uses
+    import spark.implicits._
+    val bins = Seq(0.0, 24.999, 25.0, 49.99, 490.02).toDF("value")
+      .select(floor(col("value") / lit(25.0)).cast("int").as("bin"))
+      .collect().map(_.getInt(0)).toList
+    assert(bins == List(0, 0, 1, 1, 19), s"binning drifted: $bins")
+    // rollup invariants: cum_n strictly increasing, final share 1.0,
+    // per-bin n sums to cum_n's last value
+    val cum = rows.map(_.getLong(5)).toList
+    assert(cum == cum.sorted && cum.distinct == cum, "cum_n not strictly increasing")
+    assert(rows.map(_.getLong(4)).sum == cum.last, "bin counts disagree with cumulative total")
+    assert(rows.last.getDouble(6) == 1.0, s"last cum_share ${rows.last.getDouble(6)}")
+  }
 }
