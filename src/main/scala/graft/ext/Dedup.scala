@@ -664,6 +664,33 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // CANONICALIZATION DEDUP — the normalization pass a pipeline runs
+    // BEFORE hashing: case folding, punctuation stripping, whitespace
+    // collapsing. x01's lower+trim misses exactly these variants. The
+    // provisioned corpus is already-canonical word soup, so (x24's
+    // non-vacuity pattern) a deterministically-noised twin of every
+    // doc — upper-cased, comma-injected, ragged-edged, id offset by
+    // 10⁶ — is unioned in first: canonical dedup must collapse every
+    // twin with its original (and planted exact-dup groups merge
+    // across both forms), which raw exact dedup cannot. Same
+    // single-shuffle hash-groupBy shape as x01; the canon expression
+    // is a stateless codegen'd map.
+    "x71_canonical_dedup" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val noised = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), regexp_replace(upper(col("text")), " ", " , "),
+          lit(" !! ")).as("text"))
+      val canon = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      d.unionByName(noised)
+        .groupBy(canon.as("canon"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct(col("text")).as("n_raw_forms"))
+        .select(col("keep_id"), col("n_members"), col("n_raw_forms"))
+        .orderBy(col("keep_id"))
+    }),
+
     // MinHash-LSH near-dup: 32 hashes, 8 bands × 4 rows, est-jaccard
     // verify at 0.5. Banding join only — no crossJoin anywhere in the
     // plan (the acceptance criterion, VERDICT round-1 §LLM).
@@ -1043,6 +1070,18 @@ object Dedup {
         "SELECT doc_id, lang, source, n_chars, ROW_NUMBER() OVER (" +
         "PARTITION BY LOWER(TRIM(text)) ORDER BY doc_id) AS rn FROM documents) t " +
         "WHERE rn = 1 ORDER BY doc_id"),
+    // same noise construction and canon pipeline; DuckDB regexes need
+    // the explicit 'g' flag where Spark's regexp_replace is global
+    "x71_canonical_dedup" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 1000000, " +
+        "'  ' || regexp_replace(UPPER(text), ' ', ' , ', 'g') || ' !! ' " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, text, TRIM(regexp_replace(regexp_replace(" +
+        "LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon FROM u) " +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members, " +
+        "COUNT(DISTINCT text) AS n_raw_forms " +
+        "FROM c GROUP BY canon ORDER BY keep_id"),
     // x03/x04 are sketch-based (xxhash64-seeded) — not reproducible in
     // SQL; they get the driver's rows-only check plus our own unit
     // tests against x05's exact ground truth. x57 closes the gap for

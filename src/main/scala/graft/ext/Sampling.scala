@@ -358,6 +358,28 @@ object Sampling {
     // not the raw data, so the unpartitioned window is a non-issue at
     // any corpus size. cum_share's one double division is
     // order-independent; its first bin ≥ 0.5 is the p50 estimate.
+    // IMPORTANCE RESAMPLING — per-DOC continuous admission weight
+    // (x59 is the per-DOMAIN rate sibling; this is the DSIR shape —
+    // Xie et al. 2023 — with an engine-exact proxy weight): admit doc
+    // i iff h(i) < floor(HashMod · wᵢ), wᵢ = lexical diversity
+    // (distinct/total tokens) ∈ (0, 1], so diverse docs are kept at
+    // proportionally higher rates. The weight is exact integer counts
+    // through ONE double division and ONE multiply (both correctly
+    // rounded IEEE) before the integer floor — both engines cut the
+    // same hash. Stateless map over the corpus: no shuffle, no model
+    // table, embarrassingly parallel at any scale.
+    "x72_importance_resample" -> ((spark, sfDir) => {
+      val toks = split(col("text"), " ")
+      val w = size(array_distinct(toks)).cast("double") / size(toks)
+      docs(spark, sfDir)
+        .select(col("doc_id"), round(w, 4).as("weight"),
+          sampleHash(col("doc_id")).as("_h"),
+          floor(lit(HashMod.toDouble) * w).cast("long").as("_thr"))
+        .filter(col("_h") < col("_thr"))
+        .select(col("doc_id"), col("weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x70_hist_rollup" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Lake.materialize(spark, sfDir, "value_hist_daily_v1") {
@@ -383,6 +405,15 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    // weight from exact integer counts, one division + one multiply
+    // before the floor — the x59 determinism argument verbatim
+    "x72_importance_resample" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tott, " +
+        "len(list_distinct(string_split(text, ' '))) AS dt FROM documents) " +
+        "SELECT doc_id, ROUND(CAST(dt AS DOUBLE) / tott, 4) AS weight FROM t " +
+        s"WHERE (doc_id * $HashMul) % $HashMod < " +
+        s"CAST(FLOOR($HashMod * (CAST(dt AS DOUBLE) / tott)) AS BIGINT) " +
+        "ORDER BY doc_id"),
     // same floor-division binning; counts and cum-sums are exact
     // integers, cum_share is the one double division (CASTs pin
     // DuckDB's HUGEINT sum widening back to BIGINT)

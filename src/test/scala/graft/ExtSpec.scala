@@ -1165,6 +1165,44 @@ class ExtSpec extends SparkSpec {
       s"expected supplier hubs on top, got ${top.take(5).map(_.getString(0)).mkString(",")}")
   }
 
+  test("canonical dedup collapses each noised twin with its original, mirroring x01's group structure doubled (x71)") {
+    val x01 = Dedup.queries("x01_dedup_exact")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val x71 = Dedup.queries("x71_canonical_dedup")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the word-soup corpus has no case/punct variance, so canonical
+    // groups are exactly x01's groups plus each member's noised twin
+    assert(x71.map(_._1).toSet == x01.keySet,
+      "canonical reps diverge from exact-dedup reps")
+    x71.foreach { case (keep, members, rawForms) =>
+      assert(members == 2 * x01(keep),
+        s"group $keep: $members members vs 2x exact ${x01(keep)}")
+      // originals share one raw text per group, twins share another
+      assert(rawForms == 2, s"group $keep: $rawForms raw forms")
+    }
+  }
+
+  test("importance resampling admits exactly the docs whose hash clears the diversity-scaled threshold (x72)") {
+    val docs = Lake.table(spark, SfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val w = toks.distinct.length.toDouble / toks.length
+      val h = (id * 2654435761L) % 2147483647L
+      if (h < math.floor(2147483647L * w).toLong)
+        Some(id -> BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    }.toMap
+    val got = graft.ext.Sampling.queries("x72_importance_resample")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet,
+      s"admission drift: extra ${got.keySet -- expected.keySet}, missing ${expected.keySet -- got.keySet}")
+    assert(got == expected, "weights drifted from in-process recount")
+    // non-vacuous in both directions: some admitted, some rejected
+    assert(got.nonEmpty && got.size < docs.length)
+  }
+
   test("histogram rollup: exact bins, boundary lands in the upper bin, cumulative closes at 1.0 (x70)") {
     val rows = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
       .collect()
