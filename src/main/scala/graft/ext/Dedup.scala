@@ -779,6 +779,22 @@ object Dedup {
           (col("v") === col("label")).as("is_survivor"))
         .orderBy(col("doc_id"))),
 
+    // DUP-CLUSTER PROFILE — the dataset-card histogram over x18's
+    // component table: how many near-dup clusters exist at each size,
+    // and how many docs dedup would remove (size − 1 per cluster).
+    // Two model-sized aggs over the lake-checkpointed component table
+    // (cluster count ≤ paired-doc count ≪ corpus); no new corpus
+    // pass. The removable total is the headline number a curation
+    // run budgets against before committing to the survivor filter.
+    "x73_dup_cluster_profile" -> ((spark, sfDir) =>
+      componentTable(spark, sfDir)
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"),
+          sum(col("cluster_size") - 1).as("n_removable"))
+        .orderBy(col("cluster_size"))),
+
     // CURATION — the end-to-end composition a training-data pipeline
     // actually runs, as one registered operator: quality gates
     // (language ID by stopword density, minimum length) -> near-dup
@@ -1224,6 +1240,15 @@ object Dedup {
       ("WITH RECURSIVE " + ComponentsCteBody +
         " SELECT v AS doc_id, MIN(l) AS component, (v = MIN(l)) AS is_survivor " +
         "FROM reach GROUP BY v ORDER BY doc_id"),
+    // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
+    "x73_dup_cluster_profile" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v), " +
+        "cs AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY 1) " +
+        "SELECT cluster_size, COUNT(*) AS n_clusters, " +
+        "CAST(SUM(cluster_size) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable " +
+        "FROM cs GROUP BY cluster_size ORDER BY cluster_size"),
     // same components, composed with the quality gates: curated corpus
     // = quality-passing docs minus non-survivor near-dups
     "x19_curation" ->

@@ -1165,6 +1165,21 @@ class ExtSpec extends SparkSpec {
       s"expected supplier hubs on top, got ${top.take(5).map(_.getString(0)).mkString(",")}")
   }
 
+  test("dup-cluster profile recounts exactly from x18's component table (x73)") {
+    val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
+      .collect().map(r => r.getLong(1)) // component label per doc
+    val expected = comps.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (size, cs) =>
+        size -> (cs.size.toLong, size * cs.size, (size - 1) * cs.size)
+      }
+    val got = Dedup.queries("x73_dup_cluster_profile")(spark, SfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"profile drift: got $got expected $expected")
+    // paired components are ≥2 by construction
+    assert(got.keys.forall(_ >= 2L))
+  }
+
   test("canonical dedup collapses each noised twin with its original, mirroring x01's group structure doubled (x71)") {
     val x01 = Dedup.queries("x01_dedup_exact")(spark, SfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
