@@ -202,7 +202,10 @@ object Bench {
     "x37_training_shuffle", "x39_embed_centroids",
     "x40_quality_survivor", "x43_source_overlap", "x45_snm_neardup",
     "x46_bigram_logprob", "x50_novelty", "x51_quality_tiles",
-    "x52_vocab_coverage")
+    "x52_vocab_coverage",
+    // session-3 additions: the iterative graph shape and the
+    // persisted-partial rollup (headline grows 35 → 37 queries here)
+    "x69_pagerank", "x70_hist_rollup")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -216,7 +219,7 @@ object Bench {
     "x31_passage_dedup", "x33_incremental_dedup",
     "x37_training_shuffle", "x40_quality_survivor",
     "x43_source_overlap", "x46_bigram_logprob", "x50_novelty",
-    "x51_quality_tiles", "x52_vocab_coverage")
+    "x51_quality_tiles", "x52_vocab_coverage", "x69_pagerank")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
