@@ -396,4 +396,27 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2,
       s"unexpected extra shuffles $shuffles in:\n$planStr")
   }
+
+  test("PageRank iterations are equi-joins with partial-aggregated sums; the only non-equi joins are the broadcast scalar (x69)") {
+    val plan = graft.ext.Graph.queries("x69_pagerank")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // crossJoin appears only as the broadcast 1-row n_nodes scalar —
+    // every BroadcastNestedLoopJoin must be building a broadcast side
+    // (the x48 pattern); the edge-grain work is hash/sort-merge joins
+    assert(plan.contains("Join"), "no joins planned at all")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 8, s"$bnlj nested-loop joins — scalar joins only:\n$plan")
+    // the in-mass sums must partially aggregate map-side
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("histogram rollup's warm path reads only the materialized daily partial, never raw events (x70)") {
+    val df = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("value_hist_daily_v1"),
+      s"rollup not reading the persisted partial:\n$plan")
+    assert(!plan.contains("events_micros") && !plan.contains("events.parquet"),
+      s"rollup rescans raw events:\n$plan")
+  }
 }
