@@ -611,6 +611,35 @@ object Dedup {
         col("n_chars"), col("n_tokens"))
   }
 
+  /** (short_id, long_id, short_chars, long_chars) pairs where the
+    * short doc's text is a word-boundary prefix of the long doc's.
+    * Contract: only docs with ≥ 8 tokens participate (shorter docs
+    * are exact-dedup territory, x01); prefix keys seen on more than
+    * `cap` docs are excluded (the hot-bucket cap — boilerplate
+    * prefixes never enumerate quadratically).
+    */
+  def truncationPairs(df: DataFrame, cap: Long): DataFrame = {
+    val toks = split(col("text"), " ")
+    val keyed = df
+      .filter(size(toks) >= 8)
+      .select(col("doc_id"), col("text"),
+        concat_ws(" ", slice(toks, 1, 8)).as("key8"))
+    val keep = keyed.groupBy(col("key8"))
+      .agg(count(lit(1)).as("kc"))
+      .filter(col("kc") <= cap).select(col("key8"))
+    val capped = keyed.join(keep, "key8")
+    val a = capped.select(col("key8"), col("doc_id").as("long_id"),
+      col("text").as("ta"))
+    val b = capped.select(col("key8"), col("doc_id").as("short_id"),
+      col("text").as("tb"))
+    a.join(b, "key8")
+      .filter(length(col("ta")) > length(col("tb")) &&
+        expr("substring(ta, 1, length(tb)) = tb") &&
+        expr("substring(ta, length(tb) + 1, 1) = ' '"))
+      .select(col("short_id"), col("long_id"),
+        length(col("tb")).as("short_chars"), length(col("ta")).as("long_chars"))
+  }
+
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
     * n-gram near-dup pair definition shared by the x05 and x18 oracles
     * (and Curation's survivor filter). Mirrors [[ngramJaccardPairs]].
@@ -690,6 +719,20 @@ object Dedup {
         .select(col("keep_id"), col("n_members"), col("n_raw_forms"))
         .orderBy(col("keep_id"))
     }),
+
+    // TRUNCATION DEDUP — prefix-containment pairs (doc B is doc A cut
+    // off at a word boundary): the crawl-artifact class that exact
+    // dedup misses (different text) and minhash blurs (jaccard of a
+    // half-length prefix ≈ 0.5, under the x03 threshold). Candidates
+    // come from ONE equi-join on the 8-token prefix key, hot keys
+    // capped with x03's discipline (templated boilerplate prefixes
+    // would otherwise make one key quadratic); the exact containment
+    // check is a stateless substring compare inside the join filter.
+    // The corpus carries natural truncation pairs, so no injection.
+    "x74_truncation_dedup" -> ((spark, sfDir) =>
+      truncationPairs(docs(spark, sfDir),
+        cap = math.max(50L, Lake.rowCount(spark, sfDir, "documents") / 100))
+        .orderBy(col("short_id"), col("long_id"))),
 
     // MinHash-LSH near-dup: 32 hashes, 8 bands × 4 rows, est-jaccard
     // verify at 0.5. Banding join only — no crossJoin anywhere in the
@@ -1240,6 +1283,24 @@ object Dedup {
       ("WITH RECURSIVE " + ComponentsCteBody +
         " SELECT v AS doc_id, MIN(l) AS component, (v = MIN(l)) AS is_survivor " +
         "FROM reach GROUP BY v ORDER BY doc_id"),
+    // same 8-token key, hot-key cap and word-boundary containment
+    // check; substr is 1-based and byte=char on the ASCII corpus
+    "x74_truncation_dedup" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 8), " +
+        "k AS (SELECT doc_id, text, " +
+        "array_to_string((string_split(text, ' '))[1:8], ' ') AS key8 FROM d), " +
+        "tot AS (SELECT COUNT(*) AS n FROM documents), " +
+        "keep AS (SELECT key8 FROM k, tot GROUP BY key8, n " +
+        "HAVING COUNT(*) <= GREATEST(50, n // 100)) " +
+        "SELECT b.doc_id AS short_id, a.doc_id AS long_id, " +
+        "length(b.text) AS short_chars, length(a.text) AS long_chars " +
+        "FROM k a JOIN keep ON a.key8 = keep.key8 " +
+        "JOIN k b ON b.key8 = a.key8 " +
+        "WHERE length(a.text) > length(b.text) " +
+        "AND substr(a.text, 1, length(b.text)) = b.text " +
+        "AND substr(a.text, length(b.text) + 1, 1) = ' ' " +
+        "ORDER BY short_id, long_id"),
     // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
     "x73_dup_cluster_profile" ->
       ("WITH RECURSIVE " + ComponentsCteBody +

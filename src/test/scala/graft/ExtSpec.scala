@@ -1165,6 +1165,24 @@ class ExtSpec extends SparkSpec {
       s"expected supplier hubs on top, got ${top.take(5).map(_.getString(0)).mkString(",")}")
   }
 
+  test("truncation pairs: word-boundary prefixes only, transitive chains enumerate, hot keys capped (x74)") {
+    import spark.implicits._
+    val base = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens, shared key8
+    val corpus = Seq(
+      (1L, base + " tail one two"),       // prefix: 2; is itself a prefix of 3
+      (2L, base),                         // prefix of 1, 3 and 4
+      (3L, base + " tail one two three"),
+      (4L, base + " tailXtra"),           // char-level but NOT word-boundary ext of 1
+      (5L, "short doc only")              // < 8 tokens: out of contract
+    ).toDF("doc_id", "text")
+    val got = Dedup.truncationPairs(corpus, cap = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (2L, 3L), (2L, 4L), (1L, 3L)), s"got $got")
+    // the hot-key cap silences a key shared too widely (loudly
+    // documented contract, x03's discipline)
+    assert(Dedup.truncationPairs(corpus, cap = 1).count() == 0L)
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
