@@ -14,23 +14,28 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
-  *  - c01..c67          — arbitrary-SQL surface categories (§2.C)
-  *  - p01..p07          — ELT pipelines (A18/B13), data-layout
-  *                        maintenance (compaction, Z-order), MERGE
-  *                        upsert, snapshot diff, observe() metrics
-  *  - s01..s10          — Structured Streaming: tumbling/sliding/
+  *  - c01..c68          — arbitrary-SQL surface categories (§2.C)
+  *  - p01..p10          — ELT pipelines (A18/B13), data-layout
+  *                        maintenance (compaction, Z-order, snapshot
+  *                        retention GC, schema evolution), MERGE
+  *                        upsert, snapshot diff, SCD2 history,
+  *                        observe() metrics
+  *  - s01..s11          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
-  *                        incremental upsert
-  *  - x01..x53          — LLM-data-pipeline operators (dedup incl.
-  *                        passage/incremental, similarity/ANN, text
+  *                        incremental upsert, streaming SCD2
+  *  - x01..x74          — LLM-data-pipeline operators (dedup incl.
+  *                        passage/incremental/canonical/truncation,
+  *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/
   *                        composition, PII redaction, contamination
   *                        screening incl. bloom-accelerated +
   *                        removal, RAG chunking, training-order
-  *                        shuffle, quality-gate ensemble)
+  *                        shuffle, quality-gate ensemble, sampling/
+  *                        mixing, k-means, BPE pair counting,
+  *                        PageRank, sketch rollups)
   */
 object SparkEntry {
 

@@ -133,6 +133,31 @@ object Layout {
     Lake.materializedPath(spark, sfDir, "fragmented_events_v2")
   }
 
+  /** Snapshot retention — the vacuum/GC half of lake maintenance
+    * (p03 rewrites live data; this deletes dead generations): keep
+    * the `keep` highest-numbered `v=N` snapshot directories under
+    * `base`, delete the rest, return the versions removed. Pure
+    * listing + directory-grain deletes — metadata-only, no data read,
+    * which is precisely why retention stays O(generations) at 100 TB
+    * while the data grows: the unit of GC is a directory rename/
+    * delete, never a row scan. Local-FS listing to match the /tmp
+    * lake (the [[partFiles]] note applies).
+    */
+  def retainSnapshots(base: String, keep: Int): Seq[Int] = {
+    val d = new java.io.File(base)
+    val versions = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toInt)
+      .sorted
+    val drop = versions.dropRight(keep)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    drop.foreach(v => rm(new java.io.File(s"$base/v=$v")))
+    drop
+  }
+
   /** Snapshot reconciliation — the lake-ops audit step behind every
     * MERGE/refresh job (p02/p05/s10): given two versions of a keyed
     * table, report what changed. Rows are `added` (key only in new),
@@ -260,10 +285,47 @@ object Layout {
           round(sum(col("value").cast("decimal(30,10)")).cast("double"), 4)
             .as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // SNAPSHOT RETENTION — the GC job of a full-export lake: three
+    // cumulative snapshot generations are staged (v=1/2/3, each a
+    // longer prefix of events — the nightly-export layout), retention
+    // keeps the latest 2 at directory grain (metadata-only deletes,
+    // no row ever read by the GC itself), and the readback aggregates
+    // per surviving version. The oracle recomputes v2/v3's aggregates
+    // from raw events: it fails if retention deleted a live row, kept
+    // a dead generation, or the staged snapshots drifted from their
+    // cutoff definitions. Like p03/p09, stage + maintain + read per
+    // rep by design — it IS a maintenance job.
+    "p10_snapshot_retention" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val base = s"/tmp/graft-views/snapshots_$hash"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Lake.table(spark, sfDir, "events")
+      Seq(1 -> "2024-01-10", 2 -> "2024-01-18", 3 -> "2099-01-01").foreach {
+        case (v, cut) => e.filter(col("ts") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/v=$v")
+      }
+      retainSnapshots(base, keep = 2)
+      spark.read.parquet(base)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("v"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the two SURVIVING generations recomputed from raw events
+    "p10_snapshot_retention" ->
+      ("SELECT v, n_events, n_users FROM (" +
+        "SELECT 2 AS v, COUNT(*) AS n_events, " +
+        "COUNT(DISTINCT user_id) AS n_users FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-18' " +
+        "UNION ALL SELECT 3, COUNT(*), COUNT(DISTINCT user_id) " +
+        "FROM events) t ORDER BY v"),
     "p03_compaction" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n, " +
         "COUNT(DISTINCT user_id) AS users FROM events GROUP BY 1 ORDER BY 1"),

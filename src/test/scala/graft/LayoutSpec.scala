@@ -142,4 +142,29 @@ class LayoutSpec extends SparkSpec {
     // row 2 (identical) must not appear: the diff is the delta only
     assert(!got.contains(2L))
   }
+
+  test("snapshot retention deletes exactly the aged generations at directory grain (p10)") {
+    import spark.implicits._
+    val base = "/tmp/graft-test-snapshots"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    for (v <- 1 to 4)
+      Seq.range(0, v * 10).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+        .coalesce(1).write.parquet(s"$base/v=$v")
+    def files(v: Int) = Layout.partFiles(s"$base/v=$v").map(f => (f.getName, f.length()))
+    val keptBefore = Map(3 -> files(3), 4 -> files(4))
+    // keep > present is a no-op
+    assert(Layout.retainSnapshots(base, keep = 9) == Seq.empty)
+    // keep=2 removes exactly v1, v2 and reports them in order
+    assert(Layout.retainSnapshots(base, keep = 2) == Seq(1, 2))
+    assert(!new java.io.File(s"$base/v=1").exists())
+    assert(!new java.io.File(s"$base/v=2").exists())
+    // survivors are byte-identical — GC never touches live data
+    assert(files(3) == keptBefore(3) && files(4) == keptBefore(4))
+    // the partitioned read sees only the survivors
+    val vs = spark.read.parquet(base).select("v").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(vs == Set(3, 4), s"got $vs")
+  }
 }
