@@ -230,7 +230,10 @@ object Bench {
     */
   private val scalingBig = Seq(
     "flagship", "c02_join_large", "c32_range_join",
-    "x03_dedup_minhash", "x31_passage_dedup", "x46_bigram_logprob")
+    "x03_dedup_minhash", "x31_passage_dedup", "x46_bigram_logprob",
+    // the iterative-join shape: its per-iteration cost must track
+    // edges linearly for the 100 TB verdict
+    "x69_pagerank")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
