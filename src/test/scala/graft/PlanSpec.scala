@@ -409,6 +409,12 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 8, s"$bnlj nested-loop joins — scalar joins only:\n$plan")
     // the in-mass sums must partially aggregate map-side
     assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+    // iterations scan the persisted adjacency/meta artifacts — no
+    // degree recompute from raw lineitem inside the loop (the v1
+    // shape that cost 10x the shuffled volume)
+    assert(plan.contains("pr_adjacency_v2") && plan.contains("pr_nodes_v1"),
+      s"loop inputs not served from lake artifacts:\n$plan")
+    assert(!plan.contains("lineitem"), s"loop re-derives from raw lineitem:\n$plan")
   }
 
   test("histogram rollup's warm path reads only the materialized daily partial, never raw events (x70)") {
