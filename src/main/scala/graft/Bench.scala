@@ -535,6 +535,16 @@ object Bench {
           SparkEntry.queries("c02_join_large")(spark, dir))}""""
       } catch { case e: Throwable =>
         parts += s""""c02_join_strategy_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x69_pagerank")) try {
+        // distinct directed edge count: the quantity x69's per-
+        // iteration cost is linear in. Under the N×-replication lake
+        // it SATURATES (part/supplier domains are not re-keyed), so
+        // this field is what makes x69's flat big-point ratio
+        // readable as edge-bound rather than magic.
+        parts += s""""x69_edges":${Lake.materialize(spark, dir,
+          "pr_adjacency_v2")(graft.ext.Graph.adjacencyFor(spark, dir)).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x69_edges_err":"${jsonEscape(e.getMessage)}"""" }
       parts.mkString("{", ",", "}")
     }
 

@@ -103,6 +103,14 @@ object Graph {
     iterate(adj, nodeMeta(adj), iters)
   }
 
+  /** The frame the x69 materialization persists — package-visible so
+    * the bench's edge-count instrumentation counts the SAME artifact
+    * the query runs on (x03's shared-constant discipline: the counted
+    * index can never silently diverge from the benchmarked one).
+    */
+  private[graft] def adjacencyFor(spark: SparkSession, sfDir: String): DataFrame =
+    adjacency(bipartiteEdges(spark, sfDir))
+
   /** The part↔supplier adjacency from `lineitem`, both directions. */
   private def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Lake.table(spark, sfDir, "lineitem")
@@ -124,7 +132,7 @@ object Graph {
       // (the v1 artifact stored bare edges and re-aggregated the
       // degree inside every iteration: 10x the shuffled volume)
       val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v2") {
-        adjacency(bipartiteEdges(spark, sfDir))
+        adjacencyFor(spark, sfDir)
       }
       val meta = Lake.materialize(spark, sfDir, "pr_nodes_v1") {
         nodeMeta(adj)
