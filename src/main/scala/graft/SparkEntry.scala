@@ -20,12 +20,13 @@ import graft.sources.{Lake, Layout}
   *                        retention GC, schema evolution), MERGE
   *                        upsert, snapshot diff, SCD2 history,
   *                        observe() metrics
-  *  - s01..s11          — Structured Streaming: tumbling/sliding/
+  *  - s01..s12          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
-  *                        incremental upsert, streaming SCD2
+  *                        incremental upsert, streaming SCD2 +
+  *                        histogram-partial maintenance
   *  - x01..x74          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text

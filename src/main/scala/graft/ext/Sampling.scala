@@ -47,6 +47,38 @@ object Sampling {
   /** Context-window width (tokens) for packing accounting (x27/x30). */
   val PackChunkTokens = 512L
 
+  /** The (day, bin, n) partial x70 persists per day — also maintained
+    * incrementally by the streaming sibling s12, so the bin
+    * definition lives in one place.
+    */
+  def histDaily(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"),
+      floor(col("value") / lit(25.0)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** x70's rollup readout over a (day, bin, n) partial table: per-bin
+    * totals, cumulative counts, and share — the window runs over the
+    * rolled-up ≤ ~20-row frame, never the data. Shared with s12 so
+    * the streamed maintenance is read out exactly like the batch
+    * build (the IVM contract is then literal frame equality).
+    */
+  def histRollup(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rolled = daily.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n"))
+    val byBin = Window.orderBy(col("bin"))
+    rolled
+      .withColumn("cum_n", sum(col("n")).over(
+        byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        byBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bin"), (col("bin") * 25.0).as("lo"),
+        ((col("bin") + 1) * 25.0).as("hi"), col("n_days"), col("n"),
+        col("cum_n"),
+        round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Stratified (per-language) downsampling: keep en at 50%, every
@@ -381,26 +413,10 @@ object Sampling {
     }),
 
     "x70_hist_rollup" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
       val daily = Lake.materialize(spark, sfDir, "value_hist_daily_v1") {
-        Lake.table(spark, sfDir, "events")
-          .groupBy(to_date(col("ts")).as("day"),
-            floor(col("value") / lit(25.0)).cast("int").as("bin"))
-          .agg(count(lit(1)).as("n"))
+        histDaily(Lake.table(spark, sfDir, "events"))
       }
-      val rolled = daily.groupBy(col("bin"))
-        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n"))
-      val byBin = Window.orderBy(col("bin"))
-      rolled
-        .withColumn("cum_n", sum(col("n")).over(
-          byBin.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("n")).over(
-          byBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("bin"), (col("bin") * 25.0).as("lo"),
-          ((col("bin") + 1) * 25.0).as("hi"), col("n_days"), col("n"),
-          col("cum_n"),
-          round(col("cum_n").cast("double") / col("total"), 6).as("cum_share"))
-        .orderBy(col("bin"))
+      histRollup(daily)
     })
   )
 

@@ -452,6 +452,60 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** s12: streaming maintenance of x70's mergeable-histogram partials
+    * — the persist-the-partial architecture kept fresh incrementally.
+    * Each microbatch's (day, bin) delta counts sum-merge into the
+    * maintained partial table; counts are ADDITIVE, so the merge is a
+    * full-outer coalesce-sum over the model-sized state — no
+    * key-scoped recompute needed (s11's SCD2 is the non-additive
+    * sibling that does need one). The readout rolls the maintained
+    * partials up through the SAME [[graft.ext.Sampling.histRollup]]
+    * the batch build uses, so the oracle (x70's own SQL) asserts
+    * literal streamed-state ≡ batch-rollup equality — the IVM
+    * contract. Generation dirs + the s10 retry guard make redelivered
+    * batches idempotent.
+    */
+  def foreachBatchHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s12_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/gen_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.histDaily(batch.toDF())
+            .withColumnRenamed("n", "d_n")
+          val merged = latest match {
+            case None => delta.select(col("day"), col("bin"), col("d_n").as("n"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("day", "bin"), "full_outer")
+                .select(col("day"), col("bin"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.histRollup(spark.read.parquet(latest.getOrElse(
+      sys.error("s12: stream produced no batches"))))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -570,6 +624,8 @@ object Streams {
 
   val queries: Map[String, Q] = Map(
     "s11_stream_scd2" -> ((spark, sfDir) => foreachBatchScd2(spark, sfDir)),
+    "s12_stream_hist_maintain" ->
+      ((spark, sfDir) => foreachBatchHistogram(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -608,6 +664,9 @@ object Streams {
   val oracles: Map[String, String] = Map(
     // the IVM contract verbatim: streamed SCD2 state ≡ batch p08
     "s11_stream_scd2" -> graft.pipeline.Views.oracles("p08_scd2_history"),
+    // the IVM contract verbatim: streamed histogram state ≡ batch x70
+    "s12_stream_hist_maintain" ->
+      graft.ext.Sampling.oracles("x70_hist_rollup"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

@@ -237,4 +237,21 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed SCD2 diverges from batch p08: " +
         s"extra=${(streamed -- batch).take(3)}, missing=${(batch -- streamed).take(3)}")
   }
+
+  test("streaming histogram maintenance converges to the batch rollup exactly over a real multi-batch run (s12 vs x70)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))
+    val streamed = graft.streaming.Streams.foreachBatchHistogram(spark, SfDir)
+      .collect().map(key)
+    // additive sum-merge must survive a real batch decomposition
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s12_$tag")
+      .listFiles().count(_.getName.startsWith("gen_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed histogram diverges from batch x70:\n$streamed\nvs\n$batch")
+  }
 }
