@@ -158,6 +158,39 @@ object Layout {
     drop
   }
 
+  /** Surgical keyed delete — the right-to-be-forgotten maintenance
+    * job: remove every row of one key from a `partCol`-partitioned
+    * table by rewriting ONLY the partitions containing the key. The
+    * affected-partition list comes from one scan of the victim alone
+    * and is driver-collected — a calendar-bounded, metadata-sized
+    * list, the same decision set a file-pruned DELETE collects —
+    * then each affected partition is rewritten to a staging dir and
+    * swapped in (never overwrite-while-reading). Untouched partitions
+    * stay byte-identical, so delete cost scales with the key's
+    * footprint, never the table. Null-safe predicate: a NULL key row
+    * is never the victim. Returns the affected partition values.
+    */
+  def deleteKey(spark: SparkSession, base: String, keyCol: String,
+      key: Long, partCol: String): Seq[String] = {
+    val affected = spark.read.parquet(base)
+      .filter(col(keyCol) <=> key)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { pv =>
+      val dir = s"$base/$partCol=$pv"
+      val tmp = s"$base/.tmp_delete_$partCol=$pv"
+      spark.read.parquet(dir)
+        .filter(!(col(keyCol) <=> key))
+        .write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(dir))
+    }
+    affected
+  }
+
   /** Snapshot reconciliation — the lake-ops audit step behind every
     * MERGE/refresh job (p02/p05/s10): given two versions of a keyed
     * table, report what changed. Rows are `added` (key only in new),
@@ -314,10 +347,43 @@ object Layout {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("v"))
+    }),
+
+    // SURGICAL KEYED DELETE — GDPR/right-to-be-forgotten as a lake
+    // operation: user 7's rows removed from a date-partitioned copy
+    // by rewriting only the dates they appear in (26 of 30 at
+    // sf0.01 — the remaining partitions stay byte-identical, pinned
+    // by LayoutSpec). The oracle recomputes the per-day profile from
+    // raw events minus the victim: it fails if the delete missed a
+    // row, removed a bystander, or corrupted an untouched partition.
+    // Stage + delete + read per rep by design, like p03/p10.
+    "p11_keyed_delete" -> ((spark, sfDir) => {
+      val victim = 7L
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val base = s"/tmp/graft-views/deletable_events_$hash"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Lake.table(spark, sfDir, "events")
+        .withColumn("date", to_date(col("ts")))
+        .repartition(col("date"))
+        .write.partitionBy("date").parquet(base)
+      deleteKey(spark, base, "user_id", victim, "date")
+      spark.read.parquet(base)
+        .groupBy(date_format(col("date"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // raw events minus the victim, same null-safe exclusion
+    "p11_keyed_delete" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +
+        "COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE user_id IS DISTINCT FROM 7 " +
+        "GROUP BY 1 ORDER BY 1"),
     // the two SURVIVING generations recomputed from raw events
     "p10_snapshot_retention" ->
       ("SELECT v, n_events, n_users FROM (" +

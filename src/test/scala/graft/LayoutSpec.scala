@@ -143,6 +143,35 @@ class LayoutSpec extends SparkSpec {
     assert(!got.contains(2L))
   }
 
+  test("keyed delete rewrites only the victim's partitions, leaves the rest byte-identical (p11)") {
+    import spark.implicits._
+    val base = "/tmp/graft-test-keyed-delete"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    // victim 7 lives in partitions a and b; partition c is untouched;
+    // a NULL key shares partition a and must survive (null-safe)
+    Seq((Option(7L), "a", "x1"), (Option(1L), "a", "x2"),
+      (Option.empty[Long], "a", "x3"), (Option(7L), "b", "x4"),
+      (Option(2L), "c", "x5"), (Option(3L), "c", "x6"))
+      .toDF("user_id", "pt", "payload")
+      .repartition(col("pt"))
+      .write.partitionBy("pt").parquet(base)
+    def files(pt: String) =
+      Layout.partFiles(s"$base/pt=$pt")
+        .map(f => (f.getName, f.length(), f.lastModified()))
+    val cBefore = files("c")
+    val affected = Layout.deleteKey(spark, base, "user_id", 7L, "pt")
+    assert(affected == Seq("a", "b"), s"got $affected")
+    assert(files("c") == cBefore, "untouched partition was rewritten")
+    val rows = spark.read.parquet(base)
+      .select("user_id", "pt", "payload").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (Some(1L), "a", "x2"), (None, "a", "x3"),
+      (Some(2L), "c", "x5"), (Some(3L), "c", "x6")), s"got $rows")
+  }
+
   test("snapshot retention deletes exactly the aged generations at directory grain (p10)") {
     import spark.implicits._
     val base = "/tmp/graft-test-snapshots"
