@@ -863,6 +863,24 @@ object Surface {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("v").as("value_raw"), col("value_filled"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // CONTENT-ADDRESSED HASHING — the cryptographic-digest scalar
+    // surface (md5/sha2 are bit-standardized, so unlike xxhash64 the
+    // digests oracle exactly): per-doc content ids plus a digest-keyed
+    // dup count proving hash-equality ≡ text-equality on this corpus
+    // (the content-addressed ledger key an x01-style dedup persists).
+    // Stateless codegen'd map + one hash-groupBy.
+    "c69_content_hash" -> ((spark, sfDir) => {
+      val d = t(spark, sfDir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("md5_hex"),
+          sha2(col("text"), 256).as("sha256_hex"))
+      val dupes = d.groupBy(col("sha256_hex"))
+        .agg(count(lit(1)).as("n_same_content"))
+      d.join(dupes, "sha256_hex")
+        .select(col("doc_id"), col("md5_hex"), col("sha256_hex"),
+          col("n_same_content"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1211,6 +1229,13 @@ object Surface {
         "SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, v AS value_raw, " +
         "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
         "ROWS UNBOUNDED PRECEDING) AS value_filled " +
-        "FROM j ORDER BY user_id, day")
+        "FROM j ORDER BY user_id, day"),
+    // md5/sha256 are bit-standardized; both engines emit lowercase hex
+    "c69_content_hash" ->
+      ("WITH d AS (SELECT doc_id, md5(text) AS md5_hex, " +
+        "sha256(text) AS sha256_hex FROM documents), " +
+        "g AS (SELECT sha256_hex, COUNT(*) AS n_same_content FROM d GROUP BY 1) " +
+        "SELECT doc_id, md5_hex, d.sha256_hex, n_same_content " +
+        "FROM d JOIN g ON d.sha256_hex = g.sha256_hex ORDER BY doc_id")
   )
 }

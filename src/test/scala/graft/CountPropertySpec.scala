@@ -37,4 +37,46 @@ class CountPropertySpec extends SparkSpec {
     val after = df.collect().take(7).map(_.getInt(0)).toSeq
     assert(planned == after)
   }
+
+  test("fixed-point PageRank is partitioning-invariant and conserves mass on random graphs (x69)") {
+    import spark.implicits._
+    // random connected-ish undirected graphs: node set 0..n-1, each
+    // edge list closed under reversal so every node appears as src
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      extra <- Gen.listOfN(2 * n, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+      slices <- Gen.choose(1, 6)
+    } yield (n, extra.filter(p => p._1 != p._2), slices)
+    for ((n, pairs0, slices) <- samples(gen, 12) if pairs0.nonEmpty) {
+      // spine path 0-1-...-k over the touched nodes keeps everything reachable
+      val touched = pairs0.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val spine = touched.zip(touched.drop(1))
+      val und = (pairs0 ++ spine).flatMap(p => Seq(p, p.swap)).distinct
+      val ranks = graft.ext.Graph.pageRankFp(
+        spark.sparkContext.parallelize(
+          und.map(p => (p._1.toLong, p._2.toLong)), slices).toDF("src", "dst"),
+        iters = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every src-appearing node ranked exactly once
+      assert(ranks.keySet == und.map(_._1.toLong).toSet)
+      // integer mass conservation: total ≤ scale, leak bounded by the
+      // per-division floor loss (≤ 1 unit per edge/node per round)
+      val total = ranks.values.sum
+      // per round: < outdeg units lost per node at the contribution
+      // division (Σ = E), < 1 at the damping division per node, plus
+      // < n at init and < n at the teleport base — 4·(E + n) is a
+      // comfortable envelope for 2 rounds
+      val leakBound = 4L * (und.size + ranks.size + 2)
+      assert(total <= graft.ext.Graph.RankScale, s"mass exceeds scale: $total")
+      assert(total > graft.ext.Graph.RankScale - leakBound,
+        s"leak ${graft.ext.Graph.RankScale - total} exceeds bound $leakBound (graph $und)")
+      // determinism across partitionings: a different slice count must
+      // reproduce the identical rank map (integer sums are associative)
+      val ranks2 = graft.ext.Graph.pageRankFp(
+        spark.sparkContext.parallelize(
+          und.map(p => (p._1.toLong, p._2.toLong)), math.max(1, slices - 1) % 6 + 1)
+          .toDF("src", "dst"), iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ranks == ranks2, "rank map depends on partitioning")
+    }
+  }
 }
