@@ -881,7 +881,19 @@ object Surface {
         .select(col("doc_id"), col("md5_hex"), col("sha256_hex"),
           col("n_same_content"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // PAGINATION — ORDER BY … LIMIT … OFFSET (the keyless page-2
+    // fetch a result API serves; deterministic only over a total
+    // order, hence the unique-key sort). Spark plans the offset into
+    // the limit operator (CollectLimit with skip) — no full
+    // materialization of the skipped prefix on the driver.
+    "c70_offset_pagination" -> ((spark, sfDir) =>
+      t(spark, sfDir, "orders")
+        .orderBy(col("o_orderkey"))
+        .offset(50)
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1236,6 +1248,10 @@ object Surface {
         "sha256(text) AS sha256_hex FROM documents), " +
         "g AS (SELECT sha256_hex, COUNT(*) AS n_same_content FROM d GROUP BY 1) " +
         "SELECT doc_id, md5_hex, d.sha256_hex, n_same_content " +
-        "FROM d JOIN g ON d.sha256_hex = g.sha256_hex ORDER BY doc_id")
+        "FROM d JOIN g ON d.sha256_hex = g.sha256_hex ORDER BY doc_id"),
+    // unique-key total order makes the page engine-independent
+    "c70_offset_pagination" ->
+      ("SELECT o_orderkey, o_custkey, o_orderpriority FROM orders " +
+        "ORDER BY o_orderkey LIMIT 25 OFFSET 50")
   )
 }
