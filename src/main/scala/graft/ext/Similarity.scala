@@ -86,6 +86,20 @@ object Similarity {
       s"((CAST(pmod(xxhash64($table, p, d), 1000003) AS DOUBLE) / 500001.5) - 1.0)) > 0 " +
       s"THEN shiftleft(1, p) ELSE 0 END)")
 
+  /** Engine-reproducible variant of [[lshSignature]] for the x75
+    * oracle gate: the vector quantizes to integers (round(v·1000) —
+    * one exact-rounded IEEE multiply, identical in both engines) and
+    * the hyperplane components come from pure modular arithmetic on
+    * (table, bit, dim), so every bit is the sign of an EXACT integer
+    * dot product — no float accumulation anywhere in the signature.
+    */
+  def intPlaneSignature(vecCol: String, nBits: Int, table: Int): Column =
+    expr(s"aggregate(sequence(0, ${nBits - 1}), 0L, (acc, p) -> acc | " +
+      s"CASE WHEN aggregate(sequence(0, size($vecCol) - 1), 0L, " +
+      s"(s, d) -> s + CAST(round(element_at($vecCol, d + 1) * 1000) AS BIGINT) * " +
+      s"((($table * 7919 + p * 104729 + d * 1000003) % 2003) - 1001)) > 0 " +
+      s"THEN shiftleft(1L, p) ELSE 0L END)")
+
   /** Narrow bucket rows (tbl, sig, vec_id) — one per hash table per
     * vector. Input must have `vec_id` and an array<double> `vec`.
     */
@@ -600,6 +614,28 @@ object Similarity {
         .limit(100)
     }),
 
+    // HYPERPLANE-LSH MACHINERY under a full oracle — x57's pattern
+    // applied to the random-hyperplane family: the production planes
+    // are xxhash64-folded (engine-specific, so x08/x09 stay
+    // no-oracle), but the banding/candidate/verify MACHINERY runs
+    // here on engine-constructible signatures — vectors quantized to
+    // integers (round(v·1000)), planes drawn from pure modular
+    // arithmetic on (table, bit, dim), sign of an exact integer dot
+    // product. The same candidatesFromBuckets → neardupPairsFrom
+    // path x09 runs, now with a DuckDB hash-match oracle end-to-end:
+    // a drift in the banding join, the hot-bucket guard, the pair
+    // dedup or the cosine verify fails the gate.
+    "x75_hyperplane_verify_exact" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir).filter(col("vec_id") < 300)
+        .withColumn("vec", toDouble(col("embedding")))
+      val buckets = e.select(col("vec_id"),
+        posexplode(array((0 until 2).map(t =>
+          intPlaneSignature("vec", nBits = 8, table = t)): _*))
+          .as(Seq("tbl", "sig")))
+      neardupPairsFrom(buckets, e, threshold = 0.2)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Sorted-neighborhood near-dup: deterministic blocking (first
     // embedding component within each label), so unlike x08/x09 the
     // candidate SET is engine-reproducible and the query carries a
@@ -878,6 +914,31 @@ object Similarity {
         "SELECT e.vec_id, e.label FROM e " +
         "WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.vec_id = e.vec_id) " +
         "ORDER BY e.vec_id"),
+    // x57's gap-closing move for the hyperplane family: integer
+    // quantization + modular planes make every signature bit the sign
+    // of an exact integer dot product, reproducible in SQL; the
+    // cosine verify reuses x07's list arithmetic under ROUND 4
+    "x75_hyperplane_verify_exact" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300), " +
+        "q AS (SELECT vec_id, v, list_transform(v, " +
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM e), " +
+        "sig AS (SELECT vec_id, t.tbl AS tbl, " +
+        "CAST(list_sum(list_transform(range(0, 8), p -> " +
+        "CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), d -> " +
+        "qv[d] * (((t.tbl * 7919 + p * 104729 + (d - 1) * 1000003) % 2003) - 1001))) > 0 " +
+        "THEN (1 << p) ELSE 0 END)) AS BIGINT) AS sig " +
+        "FROM q, (SELECT unnest(range(0, 2)) AS tbl) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig " +
+        "AND a.vec_id < b.vec_id), " +
+        "vv AS (SELECT c.vec_a, c.vec_b, ea.v AS va, eb.v AS vb FROM cand c " +
+        "JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b) " +
+        "SELECT * FROM (SELECT vec_a, vec_b, ROUND(" +
+        "list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * vb[i])) / " +
+        "(sqrt(list_sum(list_transform(va, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(vb, x -> x * x)))), 4) AS cos FROM vv) s " +
+        "WHERE cos >= 0.2 ORDER BY vec_a, vec_b"),
     // deterministic blocking → reproducible candidate set; the cosine
     // mirrors x07's arithmetic (double widening, 4 dp round)
     "x45_snm_neardup" ->

@@ -1183,6 +1183,32 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.truncationPairs(corpus, cap = 1).count() == 0L)
   }
 
+  test("hyperplane verify gate: every emitted pair collides in a recomputed integer-plane bucket and clears the cosine bar (x75)") {
+    val rows = Similarity.queries("x75_hyperplane_verify_exact")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "gate query is vacuous on this corpus")
+    assert(rows.forall { case (a, b, c) => a < b && b < 300 && c >= 0.2 })
+    // recompute the signatures in-process from raw embeddings: the
+    // emitted pairs must collide in >= 1 table under the exact
+    // integer recurrence the query claims to run
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .filter(col("vec_id") < 300).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)).toMap
+    def sig(t: Int, q: Seq[Long]): Long =
+      (0 until 8).map { p =>
+        val dot = q.zipWithIndex.map { case (qd, d) =>
+          qd * (((t * 7919 + p * 104729 + d * 1000003) % 2003) - 1001)
+        }.sum
+        if (dot > 0) 1L << p else 0L
+      }.sum
+    rows.foreach { case (a, b, _) =>
+      val collides = (0 until 2).exists(t => sig(t, vecs(a)) == sig(t, vecs(b)))
+      assert(collides, s"pair ($a,$b) emitted without a bucket collision")
+    }
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
