@@ -173,6 +173,32 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    // CHARACTER-ENTROPY QUALITY — Shannon entropy of each doc's
+    // character distribution (the Gopher-family signal that separates
+    // natural text from key-mash/boilerplate: too low = repetitive,
+    // too high = random). Scale shape: the char-grain explode is
+    // map-local and the (doc, char) hash agg combines BEFORE the
+    // shuffle, so shuffled volume is ≤ alphabet-size rows per doc
+    // (~27 here), never character-grain. Cross-engine exactness: one
+    // division + one log2 + one multiply per term (log2 is the one
+    // non-correctly-rounded op — the 6 dp term round absorbs any ulp
+    // skew), terms summed as exact decimals so accumulation order
+    // cannot shift the result, final round 4 dp.
+    "x76_char_entropy" -> ((spark, sfDir) => {
+      val ch = docs(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      val counts = ch.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("nc"))
+      val tot = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))
+      val p = col("nc").cast("double") / col("n")
+      counts.join(tot, "doc_id")
+        .withColumn("t", round(p * log2(p), 6).cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(round((-sum(col("t"))).cast("double"), 4).as("entropy_bits"),
+          count(lit(1)).as("n_distinct_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality scoring: length, token count, avg token length,
     // stopword ratio — the filters a data-curation pipeline keys on.
     "x10_text_stats" -> ((spark, sfDir) =>
@@ -566,6 +592,19 @@ object TextAnalysis {
       .drop("_w")
 
   val oracles: Map[String, String] = Map(
+    // chars via 1-based substr (engine-identical on ASCII); terms
+    // rounded 6 dp then summed as decimals — order-independent
+    "x76_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM (" +
+        "SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i " +
+        "FROM documents) t), " +
+        "c AS (SELECT doc_id, ch, COUNT(*) AS nc FROM ch GROUP BY 1, 2), " +
+        "tt AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n FROM c GROUP BY 1), " +
+        "tm AS (SELECT c.doc_id, CAST(ROUND((CAST(nc AS DOUBLE) / n) * " +
+        "log2(CAST(nc AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS t " +
+        "FROM c JOIN tt USING (doc_id)) " +
+        "SELECT doc_id, ROUND(CAST(-SUM(t) AS DOUBLE), 4) AS entropy_bits, " +
+        "COUNT(*) AS n_distinct_chars FROM tm GROUP BY doc_id ORDER BY doc_id"),
     "x10_text_stats" ->
       ("SELECT doc_id, n_chars, CAST(LENGTH(text) AS INTEGER) AS len, " +
         "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +

@@ -1209,6 +1209,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("character entropy matches an in-process recount exactly and respects the log2(alphabet) bound (x76)") {
+    val got = TextAnalysis.queries("x76_char_entropy")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val texts = Lake.table(spark, SfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (_, (e, k)) =>
+      assert(e >= 0.0 && e <= math.log(k.toDouble) / math.log(2.0) + 1e-4,
+        s"entropy $e outside [0, log2($k)]")
+    }
+    // exact recount on a sample, replicating the term-rounding rule
+    texts.keys.toSeq.sorted.take(5).foreach { id =>
+      val cs = texts(id).groupBy(identity).values.map(_.length).toSeq
+      val n = cs.sum.toDouble
+      val sum = cs.map { nc =>
+        val p = nc / n
+        BigDecimal(p * (math.log(p) / math.log(2.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val expected = BigDecimal(-sum.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == expected && got(id)._2 == cs.size.toLong,
+        s"doc $id: got ${got(id)}, expected ($expected, ${cs.size})")
+    }
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
