@@ -199,6 +199,52 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ZIPF SLOPE — the dataset-card "does this source look like
+    // natural language" check: OLS slope of log2(freq) against
+    // log2(rank) over each source's top-100 word frequencies
+    // (natural text ≈ −1; templated/key-mash corpora flatten or
+    // cliff). Scale shape: the corpus collapses to per-source word
+    // counts first (one partial-aggregatable agg), the rank window
+    // runs over the model-sized top slice only. Exactness: the x76
+    // discipline — per-term 6 dp rounds absorb log2 ulp skew, the
+    // four regression sums accumulate as exact decimals, and the
+    // closed-form slope/intercept are a handful of IEEE ops over
+    // identical inputs.
+    "x77_zipf_slope" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 100
+      val wf = docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      val ranked = wf.withColumn("rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(desc("f"), col("w"))))
+        .filter(col("rank") <= k)
+      val dec = "decimal(18,6)"
+      val x = round(log2(col("rank")), 6)
+      val y = round(log2(col("f")), 6)
+      val sums = ranked
+        .select(col("source"), x.cast(dec).as("x"), y.cast(dec).as("y"),
+          round(x.cast(dec).cast("double") * y.cast(dec).cast("double"), 6)
+            .cast(dec).as("xy"),
+          round(x.cast(dec).cast("double") * x.cast(dec).cast("double"), 6)
+            .cast(dec).as("xx"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"),
+          sum(col("xx")).cast("double").as("sxx"))
+      sums
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .select(col("source"), col("n"),
+          round(col("num") / col("den"), 4).as("zipf_slope"),
+          round((col("sy") - (col("num") / col("den")) * col("sx")) / col("n"), 4)
+            .as("intercept"))
+        .orderBy(col("source"))
+    }),
+
     // Quality scoring: length, token count, avg token length,
     // stopword ratio — the filters a data-curation pipeline keys on.
     "x10_text_stats" -> ((spark, sfDir) =>
@@ -592,6 +638,30 @@ object TextAnalysis {
       .drop("_w")
 
   val oracles: Map[String, String] = Map(
+    // same decimal-grid discipline as x76: every float term snaps to
+    // the 6 dp grid before the exact decimal sums; the closed-form
+    // slope runs the identical op sequence on identical inputs
+    "x77_zipf_slope" ->
+      ("WITH wf AS (SELECT source, w, COUNT(*) AS f FROM (" +
+        "SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT source, f, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY f DESC, w) AS rank FROM wf QUALIFY rank <= 100), " +
+        "tm AS (SELECT source, " +
+        "CAST(ROUND(log2(rank), 6) AS DECIMAL(18,6)) AS x, " +
+        "CAST(ROUND(log2(f), 6) AS DECIMAL(18,6)) AS y FROM r), " +
+        "tm2 AS (SELECT source, x, y, " +
+        "CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6)) AS xy, " +
+        "CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS xx " +
+        "FROM tm), " +
+        "s AS (SELECT source, COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx, " +
+        "CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xy) AS DOUBLE) AS sxy, " +
+        "CAST(SUM(xx) AS DOUBLE) AS sxx FROM tm2 GROUP BY 1), " +
+        "ff AS (SELECT source, n, n * sxy - sx * sy AS num, " +
+        "n * sxx - sx * sx AS den, sy, sx FROM s) " +
+        "SELECT source, n, ROUND(num / den, 4) AS zipf_slope, " +
+        "ROUND((sy - (num / den) * sx) / n, 4) AS intercept " +
+        "FROM ff ORDER BY source"),
     // chars via 1-based substr (engine-identical on ASCII); terms
     // rounded 6 dp then summed as decimals — order-independent
     "x76_char_entropy" ->

@@ -1236,6 +1236,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("zipf slope is negative for every source and matches an in-process OLS recount (x77)") {
+    val got = TextAnalysis.queries("x77_zipf_slope")(spark, SfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (s, (n, slope, _)) =>
+      assert(n <= 100 && slope < 0.0, s"source $s: n=$n slope=$slope")
+    }
+    val src = got.keys.min
+    val words = Lake.table(spark, SfDir, "documents")
+      .filter(col("source") === src)
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val top = words.groupBy(identity).map { case (w, g) => (w, g.length) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(100)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val terms = top.zipWithIndex.map { case ((_, f), i) =>
+      val x = r6(math.log(i + 1.0) / math.log(2.0))
+      val y = r6(math.log(f.toDouble) / math.log(2.0))
+      (x, y, r6(x.toDouble * y.toDouble), r6(x.toDouble * x.toDouble))
+    }
+    val n = terms.size.toDouble
+    val (sx, sy) = (terms.map(_._1).sum.toDouble, terms.map(_._2).sum.toDouble)
+    val (sxy, sxx) = (terms.map(_._3).sum.toDouble, terms.map(_._4).sum.toDouble)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = BigDecimal(num / den).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(src)._2 == slope, s"slope ${got(src)._2} vs recount $slope")
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
