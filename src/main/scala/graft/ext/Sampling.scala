@@ -378,6 +378,42 @@ object Sampling {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // BURSTINESS PROFILE — the bot/machine-traffic signal an
+    // event-stream curation pass filters on: per-user inter-arrival
+    // statistics with the Goh-Barabási burstiness coefficient
+    // B = (σ−μ)/(σ+μ) (≈ −1 metronome/cron, ≈ 0 Poisson, → 1 bursty
+    // human). Exactness: gaps are integer microseconds (lag over the
+    // per-user time order), Σd and Σd² accumulate as exact decimals
+    // (d² overflows bigint at day-scale gaps), variance is the
+    // closed-form integer expression, and only the final sqrt/divide
+    // are float — correctly-rounded IEEE ops on identical inputs.
+    // One window + one partial-aggregatable agg, both on the user_id
+    // distribution.
+    "x78_burstiness" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gaps = Lake.table(spark, sfDir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("d", col("us") - lag(col("us"), 1).over(byUser))
+        .filter(col("d").isNotNull)
+      val dec = "decimal(38,0)"
+      val s = gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("d").cast(dec)).as("s1"),
+          sum((col("d").cast(dec) * col("d").cast(dec)).cast(dec)).as("s2"))
+        .filter(col("n") >= 5)
+      s.withColumn("mu", col("s1").cast("double") / col("n"))
+        .withColumn("sigma", sqrt(
+          (col("n").cast(dec) * col("s2") - col("s1") * col("s1"))
+            .cast("double") / (col("n") * col("n"))))
+        .select(col("user_id"), col("n").as("n_gaps"),
+          round(col("mu") / 1e6, 4).as("mean_gap_s"),
+          round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 4)
+            .as("burstiness"))
+        .orderBy(col("user_id"))
+    }),
+
     // MERGEABLE-HISTOGRAM ROLLUP — x68's persist-the-partial
     // architecture with an EXACT sketch: per-day fixed-bin counts of
     // events.value (the partial a lake stores next to each day
@@ -421,6 +457,22 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-µs gaps under the same (ts, event_id) order; Σd/Σd² as
+    // exact decimals, sqrt/divide are the only float ops
+    "x78_burstiness" ->
+      ("WITH g AS (SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d FROM events), " +
+        "s AS (SELECT user_id, COUNT(*) AS n, " +
+        "SUM(CAST(d AS DECIMAL(38,0))) AS s1, " +
+        "SUM(CAST(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0)) " +
+        "AS DECIMAL(38,0))) AS s2 " +
+        "FROM g WHERE d IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 5), " +
+        "f AS (SELECT user_id, n, CAST(s1 AS DOUBLE) / n AS mu, " +
+        "sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE) / (n * n)) " +
+        "AS sigma FROM s) " +
+        "SELECT user_id, n AS n_gaps, ROUND(mu / 1e6, 4) AS mean_gap_s, " +
+        "ROUND((sigma - mu) / (sigma + mu), 4) AS burstiness " +
+        "FROM f ORDER BY user_id"),
     // weight from exact integer counts, one division + one multiply
     // before the floor — the x59 determinism argument verbatim
     "x72_importance_resample" ->

@@ -1264,6 +1264,30 @@ class ExtSpec extends SparkSpec {
     assert(got(src)._2 == slope, s"slope ${got(src)._2} vs recount $slope")
   }
 
+  test("burstiness stays in [-1, 1) and matches an exact integer recount (x78)") {
+    val got = Sampling.queries("x78_burstiness")(spark, SfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (u, (n, mg, b)) =>
+      assert(n >= 5 && mg > 0 && b >= -1.0 && b < 1.0, s"user $u: ($n, $mg, $b)")
+    }
+    val u = got.keys.min
+    val times = Lake.table(spark, SfDir, "events")
+      .filter(col("user_id") === u)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).map(_._1)
+    val d = times.zip(times.tail).map { case (a, b) => BigInt(b - a) }
+    val n = d.size
+    val s1 = d.sum
+    val s2 = d.map(x => x * x).sum
+    val mu = s1.toDouble / n // BigInt→double then divide? replicate: cast(s1 as double)/n
+    val sigma = math.sqrt((BigInt(n) * s2 - s1 * s1).toDouble / (n.toLong * n))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(u)._1 == n.toLong)
+    assert(got(u)._2 == r4(mu / 1e6), s"${got(u)._2} vs ${r4(mu / 1e6)}")
+    assert(got(u)._3 == r4((sigma - mu) / (sigma + mu)))
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
