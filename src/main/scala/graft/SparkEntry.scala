@@ -27,7 +27,7 @@ import graft.sources.{Lake, Layout}
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert, streaming SCD2 +
   *                        histogram-partial maintenance
-  *  - x01..x78          — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x80          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/

@@ -121,7 +121,57 @@ object Graph {
       .unionAll(pairs.select(col("s").as("src"), col("p").as("dst")))
   }
 
+  /** One majority-vote round: each labeled node sends its label along
+    * its out-edges; every receiver adopts the plurality label with
+    * the deterministic (votes desc, label asc) tiebreak. Votes are
+    * integer counts and the tiebreak total-orders the candidates, so
+    * the result is engine-exact. The per-receiver window runs over
+    * label-grain rows (≤ label-alphabet per node after the combine),
+    * never edge grain.
+    */
+  def voteRound(adj: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDst = Window.partitionBy(col("dst"))
+      .orderBy(desc("votes"), col("label"))
+    adj.join(labels.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(byDst))
+      .filter(col("rk") === 1)
+      .select(col("dst").as("node"), col("label"), col("votes"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // LABEL PROPAGATION — the semi-supervised classification sibling
+    // of x18's components and x69's centrality: supplier nodes seed
+    // their nation, two majority-vote rounds spread it across the
+    // bipartite graph (round 1 labels every part by its dominant
+    // supplier nation; round 2 re-derives each supplier's label from
+    // its parts — a stability probe: seed_agrees=false marks
+    // suppliers whose parts are dominated by ANOTHER nation's
+    // suppliers). In a crawl pipeline the same operator spreads
+    // trusted domain-topic labels across the link graph. Integer
+    // votes + deterministic tiebreak ⇒ full hash oracle for an
+    // iterative graph algorithm, like x69.
+    "x80_label_prop" -> ((spark, sfDir) => {
+      val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v2") {
+        adjacencyFor(spark, sfDir)
+      }
+      val seeds = Lake.table(spark, sfDir, "supplier")
+        .join(Lake.table(spark, sfDir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("S"), col("s_suppkey").cast("string")).as("node"),
+          col("n_name").as("label"))
+      val parts1 = voteRound(adj, seeds).select(col("node"), col("label"))
+      val round2 = voteRound(adj, seeds.unionByName(parts1))
+      round2
+        .join(seeds.select(col("node"), col("label").as("seed_label")),
+          Seq("node"), "left")
+        .select(col("node"), col("label"), col("votes"),
+          col("seed_label").isNotNull.as("is_seed"),
+          when(col("seed_label").isNotNull,
+            col("label") === col("seed_label")).as("seed_agrees"))
+        .orderBy(col("node"))
+    }),
     // GRAPH CENTRALITY — 3 fixed-point power iterations over the
     // persisted part↔supplier adjacency; top-20 hubs. Suppliers serve
     // many parts, so the S-side dominates — the query is the "which
@@ -147,6 +197,28 @@ object Graph {
   // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
   // DuckDB's HUGEINT sum widening back to BIGINT before compare.
   val oracles: Map[String, String] = Map(
+    // integer votes + the (votes desc, label asc) tiebreak replicated
+    // as QUALIFY row_number — two unrolled rounds
+    "x80_label_prop" ->
+      ("WITH pairs AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS p, " +
+        "'S' || CAST(l_suppkey AS VARCHAR) AS s FROM lineitem), " +
+        "edges AS (SELECT p AS src, s AS dst FROM pairs " +
+        "UNION ALL SELECT s AS src, p AS dst FROM pairs), " +
+        "seeds AS (SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node, " +
+        "n_name AS label FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "v1 AS (SELECT e.dst, l.label, COUNT(*) AS votes FROM edges e " +
+        "JOIN seeds l ON e.src = l.node GROUP BY 1, 2), " +
+        "p1 AS (SELECT dst AS node, label FROM v1 " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, label) = 1), " +
+        "l1 AS (SELECT node, label FROM seeds UNION ALL SELECT node, label FROM p1), " +
+        "v2 AS (SELECT e.dst, l.label, COUNT(*) AS votes FROM edges e " +
+        "JOIN l1 l ON e.src = l.node GROUP BY 1, 2), " +
+        "r2 AS (SELECT dst AS node, label, votes FROM v2 " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, label) = 1) " +
+        "SELECT r2.node, r2.label, CAST(r2.votes AS BIGINT) AS votes, " +
+        "s.label IS NOT NULL AS is_seed, " +
+        "CASE WHEN s.label IS NOT NULL THEN r2.label = s.label END AS seed_agrees " +
+        "FROM r2 LEFT JOIN seeds s ON r2.node = s.node ORDER BY r2.node"),
     "x69_pagerank" -> {
       def iter(prev: String, out: String): String =
         s"c$out AS (SELECT e.dst AS node, " +

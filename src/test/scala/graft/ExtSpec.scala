@@ -1288,6 +1288,31 @@ class ExtSpec extends SparkSpec {
     assert(got(u)._3 == r4((sigma - mu) / (sigma + mu)))
   }
 
+  test("label-propagation vote round takes the plurality with the (votes desc, label asc) tiebreak (x80)") {
+    import spark.implicits._
+    // bipartite: P1 — {S1(A), S2(B), S3(B)}, P2 — {S1(A), S2(B)}
+    val und = Seq(("S1", "P1"), ("S2", "P1"), ("S3", "P1"),
+      ("S1", "P2"), ("S2", "P2"))
+    val adj = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(("S1", "A"), ("S2", "B"), ("S3", "B")).toDF("node", "label")
+    val r1 = graft.ext.Graph.voteRound(adj, seeds)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    // P1: plurality B (2 votes); P2: 1-1 tie -> label asc -> A
+    assert(r1("P1") == (("B", 2L)), s"got ${r1("P1")}")
+    assert(r1("P2") == (("A", 1L)), s"got ${r1("P2")}")
+    // suppliers receive nothing in round 1 (their in-neighbors are unlabeled)
+    assert(!r1.contains("S1") && !r1.contains("S2") && !r1.contains("S3"))
+    // full query on the lake graph: every node labeled exactly once,
+    // seed suppliers carry a non-null agreement flag, parts a null one
+    val full = graft.ext.Graph.queries("x80_label_prop")(spark, SfDir).collect()
+    assert(full.map(_.getString(0)).distinct.length == full.length)
+    full.foreach { r =>
+      val isSeed = r.getBoolean(3)
+      assert(r.getString(0).startsWith(if (isSeed) "S" else "P"))
+      assert(isSeed == !r.isNullAt(4))
+    }
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
