@@ -24,6 +24,16 @@ object TextAnalysis {
 
   private val tokens: Column = split(col("text"), " ")
 
+  /** x79's polynomial-hash constants: prime modulus, char cap, and
+    * the precomputed weight table 31^(i-1) mod P — shared between the
+    * Spark expression and the DuckDB oracle so the two literals can
+    * never drift.
+    */
+  val HashP = 1000003L
+  val HashMaxChars = 64
+  val hashWeights: Seq[Long] =
+    Iterator.iterate(1L)(w => w * 31 % HashP).take(HashMaxChars).toSeq
+
   /** English function words — the language-ID signal (shared with the
     * x19 curation pipeline's quality gate).
     */
@@ -197,6 +207,29 @@ object TextAnalysis {
         .agg(round((-sum(col("t"))).cast("double"), 4).as("entropy_bits"),
           count(lit(1)).as("n_distinct_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // FEATURE HASHING — the hashing-trick featurization
+    // (HashingVectorizer / Vowpal Wabbit): each token maps to one of
+    // 64 buckets via an ENGINE-EXACT polynomial hash — Σ ascii(cᵢ) ·
+    // (31^(i-1) mod P) over the first 64 chars, mod P, mod 64 — pure
+    // integer arithmetic with a precomputed weight table, so unlike
+    // xxhash64 featurization the sparse feature matrix takes a full
+    // hash oracle. Stateless map + one (doc, bucket) hash agg with
+    // the combine bounding shuffled volume at ≤64 rows per doc.
+    "x79_hashed_features" -> ((spark, sfDir) => {
+      val wArr = hashWeights.mkString("array(", "L, ", "L)")
+      val h = s"aggregate(sequence(1, least(length(w), $HashMaxChars)), 0L, " +
+        s"(acc, i) -> acc + ascii(substring(w, i, 1)) * element_at($wArr, i))"
+      docs(spark, sfDir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(tokens).as("w"))
+        .filter(length(col("w")) >= 1) // '' would index weight 0
+        .select(col("doc_id"),
+          expr(s"pmod(pmod($h, $HashP), 64)").as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
     }),
 
     // ZIPF SLOPE — the dataset-card "does this source look like
@@ -638,6 +671,19 @@ object TextAnalysis {
       .drop("_w")
 
   val oracles: Map[String, String] = Map(
+    // identical weight table interpolated from the same Scala value;
+    // all-integer arithmetic, CASTs pin DuckDB's HUGEINT widening
+    "x79_hashed_features" -> {
+      val wa = hashWeights.mkString("[", ", ", "]")
+      "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents WHERE doc_id < 100), " +
+        s"h AS (SELECT doc_id, (list_sum(list_transform(" +
+        s"range(1, least(length(w), $HashMaxChars) + 1), " +
+        s"i -> ascii(substr(w, i, 1)) * ($wa)[i])) % $HashP) % 64 AS bucket " +
+        "FROM w WHERE length(w) >= 1) " +
+        "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n " +
+        "FROM h GROUP BY 1, 2 ORDER BY 1, 2"
+    },
     // same decimal-grid discipline as x76: every float term snaps to
     // the 6 dp grid before the exact decimal sums; the closed-form
     // slope runs the identical op sequence on identical inputs

@@ -1313,6 +1313,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("feature hashing buckets match an in-process polynomial recount and conserve token counts (x79)") {
+    val got = TextAnalysis.queries("x79_hashed_features")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    assert(got.keys.forall { case (_, b) => b >= 0 && b < 64 })
+    val texts = Lake.table(spark, SfDir, "documents")
+      .filter(col("doc_id") < 100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = texts.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map { w =>
+        val h = w.take(TextAnalysis.HashMaxChars).zipWithIndex.map {
+          case (c, i) => c.toLong * TextAnalysis.hashWeights(i)
+        }.sum
+        (id, h % TextAnalysis.HashP % 64)
+      }
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    assert(got == expected,
+      s"drift: extra=${(got.keySet -- expected.keySet).take(3)}, missing=${(expected.keySet -- got.keySet).take(3)}")
+  }
+
   test("dup-cluster profile recounts exactly from x18's component table (x73)") {
     val comps = Dedup.queries("x18_dedup_components")(spark, SfDir)
       .collect().map(r => r.getLong(1)) // component label per doc
