@@ -720,6 +720,31 @@ object Dedup {
         .orderBy(col("keep_id"))
     }),
 
+    // BAG-OF-WORDS DEDUP — order-insensitive exact dedup: two docs
+    // with the same token MULTISET are duplicates even when the token
+    // order differs (scraped tables re-serialized in a different
+    // column order, shuffled list pages — the class between x01's
+    // byte-exact and x03's jaccard-approximate). Canonical form =
+    // sorted token array; the shuffle key is its md5, a constant-width
+    // key regardless of doc length (at 100 TB the group-by never
+    // shuffles document text). Non-vacuity (x71's pattern): the corpus
+    // is near-canonical, so a token-REVERSED twin of every doc (id
+    // +2·10⁶) is unioned in — bow dedup must collapse every twin with
+    // its original, which x01's exact hash cannot.
+    "x82_bow_dedup" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val twins = d.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      val bowKey = md5(concat_ws(" ", sort_array(split(col("text"), " "))))
+      d.unionByName(twins)
+        .groupBy(bowKey.as("bow"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct(col("text")).as("n_orderings"))
+        .select(col("keep_id"), col("n_members"), col("n_orderings"))
+        .orderBy(col("keep_id"))
+    }),
+
     // TRUNCATION DEDUP — prefix-containment pairs (doc B is doc A cut
     // off at a word boundary): the crawl-artifact class that exact
     // dedup misses (different text) and minhash blurs (jaccard of a
@@ -1141,6 +1166,19 @@ object Dedup {
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members, " +
         "COUNT(DISTINCT text) AS n_raw_forms " +
         "FROM c GROUP BY canon ORDER BY keep_id"),
+    // same reversed-twin construction; md5-of-sorted-tokens agrees
+    // byte-for-byte (ASCII word soup, binary collation both engines)
+    "x82_bow_dedup" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, " +
+        "array_to_string(list_reverse(string_split(text, ' ')), ' ') " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, text, " +
+        "md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow " +
+        "FROM u) " +
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_members, " +
+        "COUNT(DISTINCT text) AS n_orderings " +
+        "FROM c GROUP BY bow ORDER BY keep_id"),
     // x03/x04 are sketch-based (xxhash64-seeded) — not reproducible in
     // SQL; they get the driver's rows-only check plus our own unit
     // tests against x05's exact ground truth. x57 closes the gap for

@@ -140,7 +140,67 @@ object Graph {
       .select(col("dst").as("node"), col("label"), col("votes"))
   }
 
+  /** Degree-ordered orientation: each undirected edge (u, v) becomes
+    * one arc from the smaller endpoint to the larger under the total
+    * order (degree, node). Every triangle then appears as EXACTLY one
+    * (a→b, a→c, b→c) arc pattern, and — the scale property — the
+    * oriented out-degree is O(√|E|) even on power-law graphs, so the
+    * wedge join below never fans out on a hub the way the naive
+    * all-orderings join does (the standard MapReduce triangle bound).
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"))
+  }
+
+  /** Per-node triangle participation over an undirected edge list:
+    * wedge join (two arcs off one source) closed by a third-arc
+    * equi-join, each triangle counted once by the orientation
+    * invariant, then exploded back to its three corners. Three
+    * equi-joins + one integer count — no windows, no state.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val arcs = orientByDegree(edges)
+    val tri = arcs.select(col("s").as("a"), col("t").as("b"))
+      .join(arcs.select(col("s").as("a"), col("t").as("c")),
+        Seq("a"))
+      .filter(col("b") =!= col("c"))
+      .join(arcs.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // TRIANGLE COUNTING — local clustering density over the part
+    // co-purchase graph (edge = two parts sharing an order; basket
+    // size is bounded, so the pair expansion is a constant factor on
+    // lineitem). In a crawl pipeline the same operator scores how
+    // tightly a domain's neighborhood interlinks — the community-
+    // density feature next to x69's global authority. Exact integer
+    // counts end-to-end ⇒ full hash oracle.
+    "x81_triangle_count" -> ((spark, sfDir) => {
+      val items = Lake.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.as("x")
+        .join(items.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+      triangleCounts(edges)
+        .select(col("node"), col("tri"))
+        .orderBy(desc("tri"), col("node"))
+        .limit(20)
+    }),
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
     // their nation, two majority-vote rounds spread it across the
@@ -197,6 +257,27 @@ object Graph {
   // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
   // DuckDB's HUGEINT sum widening back to BIGINT before compare.
   val oracles: Map[String, String] = Map(
+    // same degree-ordered orientation and three-join closure; COUNTs
+    // cast back to BIGINT against DuckDB's HUGEINT widening
+    "x81_triangle_count" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.u ELSE e.v END AS s, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.v ELSE e.u END AS t " +
+        "FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), " +
+        "tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c " +
+        "FROM arcs e1 JOIN arcs e2 ON e1.s = e2.s AND e1.t <> e2.t " +
+        "JOIN arcs e3 ON e3.s = e1.t AND e3.t = e2.t) " +
+        "SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) " +
+        "GROUP BY node ORDER BY tri DESC, node LIMIT 20"),
     // integer votes + the (votes desc, label asc) tiebreak replicated
     // as QUALIFY row_number — two unrolled rounds
     "x80_label_prop" ->

@@ -569,6 +569,31 @@ object Similarity {
         .limit(10)
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training sibling of x07:
+    // for each anchor (vec_id < 5), the top-3 most-cosine-similar
+    // vectors carrying a DIFFERENT label (confusable-but-wrong
+    // examples; the batch that makes an embedding model's margins).
+    // The 5-row anchor side broadcasts; the corpus side is one scan
+    // through the native cosine expression; per-anchor top-k is a
+    // |Q|-partition window over rounded scores (x07's determinism
+    // contract). At 100 TB the anchor batch stays model-sized, so the
+    // shape is scan + broadcast join + bounded window at any corpus.
+    "x83_hard_negatives" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("embedding").as("qvec")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cos"), col("vec_id"))
+      e.join(q, col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(cosine(col("embedding"), col("qvec")), 4).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("query_id"), col("vec_id"), col("label"), col("cos"))
+        .orderBy(col("query_id"), desc("cos"), col("vec_id"))
+    }),
+
     // ANN via multi-table random-hyperplane LSH: corpus-adaptive
     // signature width, 16 OR-combined tables; queries (vec_id < 5)
     // join candidates through the narrow bucket rows, then rank by
@@ -896,6 +921,22 @@ object Similarity {
         "sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos " +
         "FROM e, q WHERE e.vec_id <> 0 " +
         "ORDER BY cos DESC, e.vec_id LIMIT 10"),
+    // x07's list arithmetic generalized to the 5-anchor batch; the
+    // label<>label join predicate also excludes self-pairs
+    "x83_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv " +
+        "FROM e WHERE vec_id < 5), " +
+        "sel AS (SELECT q.query_id, e.vec_id, e.label, ROUND(" +
+        "list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) / " +
+        "(sqrt(list_sum(list_transform(v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> x * x)))), 4) AS cos " +
+        "FROM e JOIN q ON e.label <> q.qlabel) " +
+        "SELECT query_id, vec_id, label, cos FROM sel " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) <= 3 " +
+        "ORDER BY query_id, cos DESC, vec_id"),
     "x06_embed_stats" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim, " +
         "embedding[1] AS first_component FROM embeddings ORDER BY vec_id LIMIT 100"),

@@ -599,6 +599,40 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ROBUST LENGTH-OUTLIER FLAGGING — |len − median| > 3·MAD, the
+    // quantile-based filter a pipeline uses where mean/stddev would be
+    // dragged by the very outliers it hunts. All comparisons run on a
+    // DOUBLED-INTEGER grid: interpolated medians of integers land on
+    // exact halves, so 2·median and 2·MAD···(×2 again) are exact
+    // BIGINTs and the flag `2·dev2 > 3·m4` is pure integer compare —
+    // no float threshold for two engines to disagree on (x76/x77's
+    // decimal-grid discipline, here with zero float ops at all). Two
+    // scalar aggregates broadcast against one stateless map pass; at
+    // 100 TB both medians swap to approx_percentile unchanged.
+    // Non-vacuity (x71's pattern): the provisioned lengths are
+    // uniform — a distribution whose max deviation sits under 3·MAD
+    // by construction — so an 8×-stretched twin of every 500th doc
+    // (id +3·10⁶) is unioned in; the flag must catch every stretch.
+    "x84_mad_outliers" -> ((spark, sfDir) => {
+      val base = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val stretched = base.filter(col("doc_id") % 500 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", array_repeat(col("text"), 8)).as("text"))
+      val lens = base.unionByName(stretched)
+        .select(col("doc_id"), size(tokens).as("n_toks"))
+      val med = broadcast(lens.agg(
+        (expr("percentile(n_toks, 0.5)") * 2).cast("long").as("_med2")))
+      val dev = lens.crossJoin(med)
+        .select(col("doc_id"), col("n_toks"),
+          abs(col("n_toks") * 2 - col("_med2")).as("dev2"))
+      val mad = broadcast(dev.agg(
+        (expr("percentile(dev2, 0.5)") * 2).cast("long").as("_m4")))
+      dev.crossJoin(mad)
+        .select(col("doc_id"), col("n_toks"), col("dev2"),
+          (col("dev2") * 2 > col("_m4") * 3).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -735,6 +769,21 @@ object TextAnalysis {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    // quantile_cont mirrors percentile's interpolation; the doubled
+    // grid keeps every compared quantity BIGINT
+    "x84_mad_outliers" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 3000000, array_to_string(" +
+        "[text, text, text, text, text, text, text, text], ' ') " +
+        "FROM documents WHERE doc_id % 500 = 0), " +
+        "l AS (SELECT doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_toks FROM u), " +
+        "m AS (SELECT CAST(quantile_cont(n_toks, 0.5) * 2 AS BIGINT) AS med2 FROM l), " +
+        "d AS (SELECT doc_id, n_toks, " +
+        "CAST(ABS(n_toks * 2 - med2) AS BIGINT) AS dev2 FROM l, m), " +
+        "m2 AS (SELECT CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS m4 FROM d) " +
+        "SELECT doc_id, n_toks, dev2, dev2 * 2 > m4 * 3 AS is_outlier " +
+        "FROM d, m2 ORDER BY doc_id"),
     "x26_repetition" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents " +
         "WHERE len(string_split(text, ' ')) >= 3), " +

@@ -1404,4 +1404,82 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum == cum.last, "bin counts disagree with cumulative total")
     assert(rows.last.getDouble(6) == 1.0, s"last cum_share ${rows.last.getDouble(6)}")
   }
+
+  test("triangle counting: K4 minus an edge yields per-node counts (1,2,2,1); lake query bounded and ordered (x81)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {2,3,4}; the missing (1,4) edge kills the rest
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = graft.ext.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), s"got $got")
+    val top = graft.ext.Graph.queries("x81_triangle_count")(spark, SfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    val tris = top.map(_.getLong(1)).toList
+    assert(tris == tris.sortBy(-_), s"not tri-desc ordered: $tris")
+    assert(tris.forall(_ >= 1L))
+  }
+
+  test("bag-of-words dedup: every reversed twin collapses with its original, clusters pair exactly (x82)") {
+    val rows = Dedup.queries("x82_bow_dedup")(spark, SfDir).collect()
+    val nDocs = Lake.table(spark, SfDir, "documents").count()
+    // the keeper is always an original: twins (ids +2e6) share their
+    // original's bag, so no cluster consists of twins alone
+    assert(rows.forall(_.getLong(0) < 2000000L), "a twin survived as keeper")
+    // reversal is a bag-preserving bijection: every bow class gains
+    // exactly one twin per original member -> even sizes, total 2n
+    assert(rows.forall(_.getLong(1) % 2 == 0), "cluster sizes must pair up")
+    assert(rows.map(_.getLong(1)).sum == 2 * nDocs)
+    // at least one cluster records a genuine order-variant
+    assert(rows.exists(_.getLong(2) >= 2L), "no order-variant clusters found")
+  }
+
+  test("hard negatives: exact in-process brute-force recount with the rounded-cos tiebreak (x83)") {
+    val e = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = e.filter(_._1 < 5).sortBy(_._1).flatMap { case (qid, ql, qv) =>
+      e.filter(_._2 != ql)
+        .map { case (vid, l, v) => (qid, vid, l, r4(cos(v, qv))) }
+        .sortBy { case (_, vid, _, c) => (-c, vid) }
+        .take(3)
+    }.toList
+    val got = Similarity.queries("x83_hard_negatives")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toList
+    assert(got == expected)
+  }
+
+  test("MAD outliers: the doubled-integer grid recount matches row for row (x84)") {
+    val base = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // mirror the query's stretched-twin injection: 8x tokens, id +3e6
+    val lens = (base ++ base.filter(_._1 % 500 == 0)
+      .map { case (id, n) => (id + 3000000L, 8 * n + 0) }).sortBy(_._1)
+    // interpolated median of ints doubled = exact integer
+    def med2(sorted: Seq[Long]): Long = {
+      val n = sorted.length
+      if (n % 2 == 1) 2 * sorted(n / 2) else sorted(n / 2 - 1) + sorted(n / 2)
+    }
+    val m2 = med2(lens.map(_._2.toLong).sorted)
+    val dev = lens.map { case (id, n) => (id, n, math.abs(2L * n - m2)) }
+    val m4 = med2(dev.map(_._3).sorted)
+    val expected = dev.map { case (id, n, d) => (id, n, d, 2 * d > 3 * m4) }.toList
+    val got = TextAnalysis.queries("x84_mad_outliers")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toList
+    assert(got == expected)
+    // the stretched twins are the planted outliers: every one must trip
+    assert(expected.filter(_._1 >= 3000000L).forall(_._4), "a stretched twin escaped the flag")
+    assert(expected.exists(_._1 >= 3000000L), "no twins injected")
+  }
 }
