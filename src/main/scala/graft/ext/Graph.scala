@@ -111,6 +111,23 @@ object Graph {
   private[graft] def adjacencyFor(spark: SparkSession, sfDir: String): DataFrame =
     adjacency(bipartiteEdges(spark, sfDir))
 
+  /** Part co-purchase graph: an undirected edge (u < v, one row) per
+    * pair of parts sharing an order. Basket size is bounded (TPC-H ≤7
+    * lineitems/order; a real catalog caps the same way), so the pair
+    * expansion is a constant factor on the fact table, then one
+    * distinct.
+    */
+  private[graft] def coPurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Lake.table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("x")
+      .join(items.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+  }
+
   /** The part↔supplier adjacency from `lineitem`, both directions. */
   private def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Lake.table(spark, sfDir, "lineitem")
@@ -179,6 +196,61 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
   }
 
+  /** Undirected degree per node over (u < v) single-row edges. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  /** One peel round: drop every node whose degree in the CURRENT
+    * arc set is below k, and every arc touching one. Arcs are the
+    * both-directions representation, so one groupBy(src) is the full
+    * degree and the two semi-joins close the edge set.
+    */
+  def peel(arcs: DataFrame, k: Int): DataFrame = {
+    val alive = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= k).select(col("src"))
+    arcs.join(alive, "src")
+      .join(alive.withColumnRenamed("src", "dst"), "dst")
+      .select(col("src"), col("dst"))
+  }
+
+  /** (node, deg, tri, cc) for every node of degree ≥ 2: cc = 2·tri /
+    * (deg·(deg−1)), the one double division over exact integers
+    * rounded to the 4 dp grid.
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame =
+    degrees(edges)
+      .join(triangleCounts(edges).withColumnRenamed("node", "n"),
+        Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .filter(col("deg") >= 2)
+      .withColumn("cc", round(
+        (col("tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 4))
+
+  /** (u, v, cn, jac) per undirected edge: common-neighbor count from
+    * one wedge equi-join grouped to pairs, union size by
+    * inclusion–exclusion over exact degrees.
+    */
+  def linkJaccard(edges: DataFrame): DataFrame = {
+    val arcs = edges.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
+    val common = arcs.as("a")
+      .join(arcs.as("b"), col("a.n") === col("b.n") &&
+        col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val deg = degrees(edges)
+    edges.join(common, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("cn"), lit(0L)).as("cn"))
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jac", round(col("cn").cast("double") /
+        (col("du") + col("dv") - col("cn")).cast("double"), 4))
+      .select(col("u"), col("v"), col("cn"), col("jac"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
@@ -187,20 +259,62 @@ object Graph {
     // tightly a domain's neighborhood interlinks — the community-
     // density feature next to x69's global authority. Exact integer
     // counts end-to-end ⇒ full hash oracle.
-    "x81_triangle_count" -> ((spark, sfDir) => {
-      val items = Lake.table(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = items.as("x")
-        .join(items.as("y"), col("x.ok") === col("y.ok") &&
-          col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("u"), col("y.pk").as("v"))
-        .distinct()
-      triangleCounts(edges)
+    "x81_triangle_count" -> ((spark, sfDir) =>
+      triangleCounts(coPurchaseEdges(spark, sfDir))
         .select(col("node"), col("tri"))
         .orderBy(desc("tri"), col("node"))
-        .limit(20)
+        .limit(20)),
+
+    // LOCAL CLUSTERING COEFFICIENT — cc = 2·tri / (deg·(deg−1)): how
+    // much of a node's neighborhood interlinks (1.0 = clique corner).
+    // In a crawl graph low-cc/high-deg nodes are hub-spam candidates;
+    // high-cc pockets are communities. tri and deg are exact integers;
+    // the single double division over them is IEEE-deterministic
+    // before the 4 dp round (the x59/x72 one-division rule).
+    "x85_clustering_coeff" -> ((spark, sfDir) =>
+      clusteringCoeff(coPurchaseEdges(spark, sfDir))
+        .orderBy(desc("cc"), col("node"))
+        .limit(20)),
+
+    // BOUNDED K-CORE PEEL — two rounds of "drop degree < k nodes"
+    // over the co-purchase graph: the cascade quality filter (a
+    // node's survival depends on its NEIGHBORS surviving, which
+    // per-node degree thresholds can't express). k is the graph's own
+    // p25 initial degree — a DISCRETE quantile (an actual data value,
+    // x51's cross-engine convention) collected as a 1-row scalar, so
+    // the operator self-scales: on the provisioned graphs round 1
+    // removes the thin quartile and round 2 removes far MORE (their
+    // absence strands mid-degree survivors) — amplification that a
+    // static threshold can't show. Bounded rounds keep the job graph
+    // static (x69's discipline); the full decomposition is the same
+    // loop run to emptiness.
+    "x86_kcore_peel" -> ((spark, sfDir) => {
+      val edges = coPurchaseEdges(spark, sfDir)
+      val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      val k = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY d)")
+          .cast("long").as("k"))
+        .head().getLong(0).toInt
+      val e2 = (1 to 2).foldLeft(arcs)((e, _) => peel(e, k))
+      e2.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .orderBy(col("node"))
     }),
+
+    // NEIGHBOR-JACCARD LINK SCORING — for every co-purchase edge
+    // (u, v): |N(u)∩N(v)| / |N(u)∪N(v)| — the link-prediction /
+    // edge-strength feature (dup-cluster edges with high overlap are
+    // "same community" evidence; crawl edges with zero overlap are
+    // long-range or spam). Common neighbors come from ONE wedge
+    // equi-join grouped to (u, v) pairs — never a per-node
+    // neighbor-set materialization — then an equi-join back onto the
+    // edge list; union size is inclusion–exclusion over exact
+    // degrees, one double division, 4 dp.
+    "x87_link_jaccard" -> ((spark, sfDir) =>
+      linkJaccard(coPurchaseEdges(spark, sfDir))
+        .orderBy(desc("jac"), col("u"), col("v"))
+        .limit(20)),
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
     // their nation, two majority-vote rounds spread it across the
@@ -278,6 +392,71 @@ object Graph {
         "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri " +
         "UNION ALL SELECT c FROM tri) " +
         "GROUP BY node ORDER BY tri DESC, node LIMIT 20"),
+    // x81's closure reused; the one double division lands on the 4 dp
+    // grid after exact-integer numerator/denominator
+    "x85_clustering_coeff" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.u ELSE e.v END AS s, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.v ELSE e.u END AS t " +
+        "FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), " +
+        "tri0 AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c " +
+        "FROM arcs e1 JOIN arcs e2 ON e1.s = e2.s AND e1.t <> e2.t " +
+        "JOIN arcs e3 ON e3.s = e1.t AND e3.t = e2.t), " +
+        "tr AS (SELECT node, COUNT(*) AS tri FROM " +
+        "(SELECT a AS node FROM tri0 UNION ALL SELECT b FROM tri0 " +
+        "UNION ALL SELECT c FROM tri0) GROUP BY 1) " +
+        "SELECT d.n AS node, CAST(d.d AS BIGINT) AS deg, " +
+        "CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri, " +
+        "ROUND(CAST(COALESCE(t.tri, 0) * 2 AS DOUBLE) / " +
+        "CAST(d.d * (d.d - 1) AS DOUBLE), 4) AS cc " +
+        "FROM deg d LEFT JOIN tr t ON d.n = t.node WHERE d.d >= 2 " +
+        "ORDER BY cc DESC, node LIMIT 20"),
+    // two unrolled peel rounds, each = degree filter + two
+    // edge-closing joins; k = the discrete p25 initial degree
+    "x86_kcore_peel" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "e0 AS (SELECT u AS src, v AS dst FROM e " +
+        "UNION ALL SELECT v AS src, u AS dst FROM e), " +
+        "kv AS (SELECT CAST(quantile_disc(c, 0.25) AS BIGINT) AS k FROM " +
+        "(SELECT src, COUNT(*) AS c FROM e0 GROUP BY 1)), " +
+        "a1 AS (SELECT src FROM e0 GROUP BY src " +
+        "HAVING COUNT(*) >= (SELECT k FROM kv)), " +
+        "e1 AS (SELECT e0.src, e0.dst FROM e0 JOIN a1 x ON e0.src = x.src " +
+        "JOIN a1 y ON e0.dst = y.src), " +
+        "a2 AS (SELECT src FROM e1 GROUP BY src " +
+        "HAVING COUNT(*) >= (SELECT k FROM kv)), " +
+        "e2 AS (SELECT e1.src, e1.dst FROM e1 JOIN a2 x ON e1.src = x.src " +
+        "JOIN a2 y ON e1.dst = y.src) " +
+        "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e2 " +
+        "GROUP BY 1 ORDER BY node"),
+    // wedge join grouped to pairs, inclusion–exclusion union size
+    "x87_link_jaccard" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "arcs AS (SELECT u AS n, v AS nbr FROM e " +
+        "UNION ALL SELECT v AS n, u AS nbr FROM e), " +
+        "cmn AS (SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS cn " +
+        "FROM arcs a JOIN arcs b ON a.n = b.n AND a.nbr < b.nbr GROUP BY 1, 2), " +
+        "deg AS (SELECT n, COUNT(*) AS deg FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1) " +
+        "SELECT e.u, e.v, CAST(COALESCE(c.cn, 0) AS BIGINT) AS cn, " +
+        "ROUND(CAST(COALESCE(c.cn, 0) AS DOUBLE) / " +
+        "CAST(du.deg + dv.deg - COALESCE(c.cn, 0) AS DOUBLE), 4) AS jac " +
+        "FROM e LEFT JOIN cmn c ON e.u = c.u AND e.v = c.v " +
+        "JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n " +
+        "ORDER BY jac DESC, e.u, e.v LIMIT 20"),
     // integer votes + the (votes desc, label asc) tiebreak replicated
     // as QUALIFY row_number — two unrolled rounds
     "x80_label_prop" ->

@@ -1482,4 +1482,75 @@ class ExtSpec extends SparkSpec {
     assert(expected.filter(_._1 >= 3000000L).forall(_._4), "a stretched twin escaped the flag")
     assert(expected.exists(_._1 >= 3000000L), "no twins injected")
   }
+
+  test("clustering coefficient: clique corners score 1.0, open centers score by wedge count (x85)") {
+    import spark.implicits._
+    // K4 minus (1,4): nodes 1,4 sit on one closed triangle out of one
+    // possible pair -> cc 1.0; nodes 2,3 close 2 of their 3 pairs
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("u", "v")
+    val got = graft.ext.Graph.clusteringCoeff(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((3L, 2L, 0.6667)),
+      3L -> ((3L, 2L, 0.6667)), 4L -> ((2L, 1L, 1.0))), s"got $got")
+    // lake query: cc-desc ordered, every cc on [0,1] and consistent
+    // with its own (tri, deg) columns
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val top = graft.ext.Graph.queries("x85_clustering_coeff")(spark, SfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    val ccs = top.map(_.getDouble(3)).toList
+    assert(ccs == ccs.sortBy(-_))
+    top.foreach { r =>
+      val (deg, tri, cc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(cc >= 0.0 && cc <= 1.0)
+      assert(cc == r4(2.0 * tri / (deg * (deg - 1.0))), s"cc drifted for ${r.getLong(0)}")
+    }
+  }
+
+  test("k-core peel cascades: removing a leaf strands its neighbor next round (x86)") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5; k=2 peel: round 1 drops 5
+    // (deg 1), round 2 drops the now-stranded 4, triangle survives
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val arcs0 = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val e1 = graft.ext.Graph.peel(arcs0, 2)
+    val n1 = e1.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(n1 == Set(1L, 2L, 3L, 4L), s"round 1 kept $n1")
+    val e2 = graft.ext.Graph.peel(e1, 2)
+    val n2 = e2.select("src").distinct().collect().map(_.getLong(0)).toSet
+    assert(n2 == Set(1L, 2L, 3L), s"round 2 kept $n2")
+    // a third round is a fixpoint here
+    assert(graft.ext.Graph.peel(e2, 2).count() == e2.count())
+    // lake query: nonempty survivor set, strictly smaller than the
+    // initial co-purchase node set (the p25 threshold must peel), one
+    // row per node
+    val full = graft.ext.Graph.queries("x86_kcore_peel")(spark, SfDir).collect()
+    assert(full.nonEmpty, "core emptied — p25 peel over-aggressive")
+    val nodes = full.map(_.getLong(0))
+    assert(nodes.distinct.length == nodes.length)
+    val e = graft.ext.Graph.coPurchaseEdges(spark, SfDir)
+    val all = e.select(col("u")).union(e.select(col("v"))).distinct().count()
+    assert(full.length < all, "p25 peel removed nothing")
+  }
+
+  test("link jaccard: square-plus-diagonal scores the diagonal highest (x87)") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1 with diagonal (1,3): the diagonal's endpoints
+    // share BOTH remaining corners -> jac 2/4; every rim edge shares
+    // exactly one neighbor -> 1/4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("u", "v")
+    val got = graft.ext.Graph.linkJaccard(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 0.25)), (2L, 3L) -> ((1L, 0.25)),
+      (3L, 4L) -> ((1L, 0.25)), (1L, 4L) -> ((1L, 0.25)),
+      (1L, 3L) -> ((2L, 0.5))), s"got $got")
+    // lake query: jac-desc ordered, cn never exceeds either endpoint
+    // degree implied by the union bound (jac <= 1)
+    val top = graft.ext.Graph.queries("x87_link_jaccard")(spark, SfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    val jacs = top.map(_.getDouble(3)).toList
+    assert(jacs == jacs.sortBy(-_))
+    assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
+  }
 }
