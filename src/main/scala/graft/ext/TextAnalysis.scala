@@ -633,6 +633,41 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // PMI COLLOCATION MINING — pointwise mutual information of
+    // adjacent token pairs, ln(p(ab) / (p(a)·p(b))): the
+    // multi-word-expression detector feeding tokenizer-vocab and
+    // stop-phrase curricula (x63's BPE counts rank by raw frequency;
+    // PMI ranks by ASSOCIATION, surfacing rare-but-glued pairs).
+    // Computed as ln((c_ab·T²) / (B·c_a·c_b)) — exact BIGINT products
+    // (bounded: c·T² < 2⁶³ through sf0.1's ~20 M-token corpus; the
+    // 100 TB form subtracts logs instead), ONE double division, one
+    // ln, 4 dp (x34's proven cross-engine pattern). Two hash aggs +
+    // two vocab-sized equi-joins; c_ab ≥ 5 prunes the noise tail
+    // before the joins.
+    "x88_pmi_collocations" -> ((spark, sfDir) => {
+      val tok = docs(spark, sfDir)
+        .select(tokens.as("w")).filter(size(col("w")) >= 2)
+      val uni = tok.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val tot = broadcast(uni.agg(sum(col("c")).cast("long").as("n_tok")))
+      val bg = tok.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val btot = broadcast(bg.agg(count(lit(1)).as("n_bg")))
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(tot).crossJoin(btot)
+        .withColumn("pmi", round(log(
+          (col("c_ab") * col("n_tok") * col("n_tok")).cast("double") /
+            (col("n_bg") * col("c_a") * col("c_b")).cast("double")), 4))
+        .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Document fingerprinting: rolling 5-token windows — the winnowing
     // primitive for copy detection. The registered projection compares
     // the STRUCTURAL fingerprint columns (lexicographic min window,
@@ -769,6 +804,25 @@ object TextAnalysis {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    // exact BIGINT products, one division, one LN — x34's pattern;
+    // CASTs pin DuckDB's HUGEINT widening back to BIGINT
+    "x88_pmi_collocations" ->
+      ("WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT unnest(w) AS t FROM tok) GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni), " +
+        "bg AS (SELECT w[i-1] AS w1, w[i] AS w2 FROM " +
+        "(SELECT w, unnest(range(2, len(w) + 1)) AS i FROM tok) t), " +
+        "bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg), " +
+        "ab AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg " +
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 5) " +
+        "SELECT ab.w1, ab.w2, ab.c_ab, " +
+        "ROUND(LN(CAST(ab.c_ab * n_tok * n_tok AS DOUBLE) / " +
+        "CAST(n_bg * ua.c * ub.c AS DOUBLE)), 4) AS pmi " +
+        "FROM ab JOIN uni ua ON ab.w1 = ua.t " +
+        "JOIN uni ub ON ab.w2 = ub.t, tt, bt " +
+        "ORDER BY pmi DESC, w1, w2 LIMIT 20"),
     // quantile_cont mirrors percentile's interpolation; the doubled
     // grid keeps every compared quantity BIGINT
     "x84_mad_outliers" ->

@@ -1483,6 +1483,27 @@ class ExtSpec extends SparkSpec {
     assert(expected.exists(_._1 >= 3000000L), "no twins injected")
   }
 
+  test("PMI collocations: exact in-process recount of counts, formula, and top-20 ordering (x88)") {
+    val ws = Lake.table(spark, SfDir, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .collect().map(_.getSeq[String](0).toArray).filter(_.length >= 2)
+    val uni = ws.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum
+    val bgs = ws.flatMap(w => w.sliding(2).map(p => (p(0), p(1))))
+    val nBg = bgs.length.toLong
+    val ab = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .filter(_._2 >= 5)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ab.toSeq.map { case ((a, b), cab) =>
+      (a, b, cab, r4(math.log(
+        (cab * nTok * nTok).toDouble / (nBg * uni(a) * uni(b)).toDouble)))
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(20).toList
+    val got = TextAnalysis.queries("x88_pmi_collocations")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got == expected)
+    assert(got.nonEmpty, "no pair cleared the c_ab >= 5 floor")
+  }
+
   test("clustering coefficient: clique corners score 1.0, open centers score by wedge count (x85)") {
     import spark.implicits._
     // K4 minus (1,4): nodes 1,4 sit on one closed triangle out of one
