@@ -506,6 +506,82 @@ object Streams {
       sys.error("s12: stream produced no batches"))))
   }
 
+  /** s13: streaming maintenance of a distinct-edge interaction graph
+    * — SET-semantics IVM next to s12's additive partials: each
+    * microbatch's (user, event_type) edges anti-join the maintained
+    * edge set, so only NOVEL edges append and only their degree
+    * deltas merge into the degree table (an edge seen twice must
+    * count once — s12's purely additive merge would overcount here,
+    * which is exactly the semantic distinction this query pins). The
+    * readout is the maintained degree table itself — never a raw
+    * rescan — oracled ≡ batch COUNT(DISTINCT): the graph family's
+    * adjacency/degree artifacts (x69/x81's inputs) kept fresh
+    * incrementally. Per batch at scale: one anti-join of the batch's
+    * distinct edges against the (key-bucketed) edge set, a delta
+    * sized by novelty only, one full-outer merge over the user-sized
+    * degree table. Same per-batch generation dirs + _SUCCESS-marker
+    * replay skip as s11 (idempotent under retry).
+    */
+  def foreachBatchDegrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s13_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[(String, String)] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val genE = s"$base/edges_$batchId"
+        val genD = s"$base/deg_$batchId"
+        // degrees are written LAST, so their marker implies both gens
+        val marker = new org.apache.hadoop.fs.Path(s"$genD/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some((genE, genD))
+        } else {
+          val edges = batch.toDF()
+            .select(col("user_id"), col("event_type")).distinct()
+          val novel = latest match {
+            case None => edges
+            case Some((prevE, _)) =>
+              val seen = spark.read.parquet(prevE)
+              edges.join(seen,
+                edges("user_id") <=> seen("user_id") &&
+                  edges("event_type") <=> seen("event_type"), "left_anti")
+          }
+          val edgesNext = latest match {
+            case None => novel
+            case Some((prevE, _)) =>
+              spark.read.parquet(prevE).unionByName(novel)
+          }
+          edgesNext.write.mode("overwrite").parquet(genE)
+          val delta = novel.groupBy(col("user_id")).agg(count(lit(1)).as("d"))
+          val degNext = latest match {
+            case None => delta.select(col("user_id"), col("d").as("deg"))
+            case Some((_, prevD)) =>
+              spark.read.parquet(prevD)
+                .join(delta, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("deg"), lit(0L)) +
+                    coalesce(col("d"), lit(0L))).as("deg"))
+          }
+          degNext.write.mode("overwrite").parquet(genD)
+          latest = Some((genE, genD))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("s13: stream produced no batches"))._2)
+      .select(col("user_id"), col("deg"))
+      .orderBy(col("user_id"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -626,6 +702,8 @@ object Streams {
     "s11_stream_scd2" -> ((spark, sfDir) => foreachBatchScd2(spark, sfDir)),
     "s12_stream_hist_maintain" ->
       ((spark, sfDir) => foreachBatchHistogram(spark, sfDir)),
+    "s13_stream_degree_maintain" ->
+      ((spark, sfDir) => foreachBatchDegrees(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -667,6 +745,11 @@ object Streams {
     // the IVM contract verbatim: streamed histogram state ≡ batch x70
     "s12_stream_hist_maintain" ->
       graft.ext.Sampling.oracles("x70_hist_rollup"),
+    // set-semantics IVM: the maintained degree table ≡ the batch
+    // distinct count — novelty anti-join, not additive merge
+    "s13_stream_degree_maintain" ->
+      ("SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS deg " +
+        "FROM events GROUP BY 1 ORDER BY user_id"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

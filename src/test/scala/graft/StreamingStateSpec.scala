@@ -254,4 +254,34 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       s"streamed histogram diverges from batch x70:\n$streamed\nvs\n$batch")
   }
+
+  test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // multi-batch decomposition actually exercised
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s13_$tag")
+      .listFiles().count(_.getName.startsWith("deg_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    // ≡ batch COUNT(DISTINCT) — the IVM contract
+    val ev = graft.sources.Lake.table(spark, SfDir, "events")
+    val batch = ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("deg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // the distinction this query pins: an edge recurring across
+    // batches must count ONCE — an additive merge would land at the
+    // raw pair count instead
+    val rawPairs = ev.select(col("user_id"), col("event_type")).count()
+    assert(streamed.values.sum < rawPairs,
+      "degrees equal raw pair volume — set semantics lost")
+    // and the maintained edge artifact is exactly the distinct set
+    val lastGen = new java.io.File(s"/tmp/graft-stream/s13_$tag")
+      .listFiles().filter(_.getName.startsWith("edges_"))
+      .map(_.getName.stripPrefix("edges_").toLong).max
+    val edgeCount = spark.read
+      .parquet(s"/tmp/graft-stream/s13_$tag/edges_$lastGen").count()
+    assert(edgeCount == streamed.values.sum)
+  }
 }
