@@ -42,6 +42,12 @@ final case class AudioFeatures(doc_id: Long, n_samples: Int, abs_sum: Long,
   */
 final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
 
+/** One decoded frame's intensity feature: the exact integer byte sum
+  * over its window — the per-frame statistic the scene-cut detector
+  * (x89) differences.
+  */
+final case class FrameFeature(doc_id: Long, frame_idx: Int, frame_sum: Long)
+
 object Multimodal {
 
   private type Q = (SparkSession, String) => DataFrame
@@ -225,6 +231,26 @@ object Multimodal {
     * This is the video-frame-sample batch shape: per-asset fan-out to
     * per-frame rows inside one partition pass, no shuffle.
     */
+  /** Contiguous fixed-width frames with their exact intensity sums:
+    * frame i covers bytes [window·i, window·(i+1)) (one short frame
+    * when the payload is under a window; the sub-window tail is
+    * dropped, the codec convention). Partition-local imperative work
+    * over the blob — the multimodal execution shape — with integer
+    * output, so the whole feature is oracle-exact.
+    */
+  def frameSums(a: Asset, window: Int): Seq[FrameFeature] = {
+    val n = a.blob.length
+    val frames = math.max(n / window, 1)
+    (0 until frames).map { i =>
+      val off = i * window
+      val len = math.min(window, n - off)
+      var s = 0L
+      var p = off
+      while (p < off + len) { s += (a.blob(p) & 0xff); p += 1 }
+      FrameFeature(a.doc_id, i, s)
+    }
+  }
+
   def sampleFrames(a: Asset, maxFrames: Int, window: Int): Seq[Frame] = {
     val n = a.blob.length
     val frames = math.min(maxFrames, math.max(1, n / window))
@@ -302,6 +328,32 @@ object Multimodal {
         .flatMap(a => sampleFrames(a, maxFrames = 4, window = 256))
         .toDF()
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // SCENE-CUT DETECTION — the clip-boundary step of a video
+    // curation pipeline: per-frame intensity (exact byte sum over
+    // contiguous 64-byte frames, partition-local typed work like
+    // x14's decode), then a per-asset lag window flags frames whose
+    // intensity jumps more than 300 from their predecessor (the p99
+    // of the provisioned corpus — cuts are rare by construction, as
+    // in real footage). Integer feature + integer threshold ⇒ fully
+    // oracled; the declarative cut layer stays in Catalyst, only the
+    // codec-shaped byte scan is imperative.
+    "x89_scene_cuts" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      assertAsciiCorpus(spark, sfDir)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+        .flatMap(a => frameSums(a, window = 64))
+        .toDF()
+        .withColumn("prev", lag(col("frame_sum"), 1).over(w))
+        .withColumn("is_cut", when(col("prev").isNull, lit(false))
+          .otherwise(abs(col("frame_sum") - col("prev")) > 300))
+        .select(col("doc_id"), col("frame_idx"), col("frame_sum"), col("is_cut"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 
@@ -356,6 +408,23 @@ object Multimodal {
         "SELECT doc_id, CAST(i AS INTEGER) AS frame_idx, " +
         "CAST(i * (n // frames) AS INTEGER) AS frame_offset, " +
         "CAST(LEAST(256, n - i * (n // frames)) AS INTEGER) AS frame_len " +
-        "FROM u ORDER BY doc_id, frame_idx")
+        "FROM u ORDER BY doc_id, frame_idx"),
+    // x89: frame sums reproduce from character ordinals (ASCII
+    // contract asserted on the Spark side); the cut layer is the same
+    // lag-window arithmetic
+    "x89_scene_cuts" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "f AS (SELECT doc_id, text, n, GREATEST(n // 64, 1) AS nf FROM a), " +
+        "fr AS (SELECT doc_id, text, n, unnest(range(CAST(nf AS INTEGER))) AS i FROM f), " +
+        "b AS (SELECT doc_id, CAST(i AS INTEGER) AS i, 64 * i AS fo, " +
+        "CASE WHEN n < 64 THEN n ELSE 64 END AS flen, text FROM fr), " +
+        "s AS (SELECT doc_id, i AS frame_idx, " +
+        "CAST(SUM(ord(substr(text, CAST(fo + j.j + 1 AS INTEGER), 1))) AS BIGINT) AS frame_sum " +
+        "FROM b, range(64) j(j) WHERE j.j < flen GROUP BY 1, 2), " +
+        "d AS (SELECT doc_id, frame_idx, frame_sum, " +
+        "LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM s) " +
+        "SELECT doc_id, frame_idx, frame_sum, " +
+        "CASE WHEN prev IS NULL THEN false ELSE ABS(frame_sum - prev) > 300 END AS is_cut " +
+        "FROM d ORDER BY doc_id, frame_idx")
   )
 }

@@ -1483,6 +1483,35 @@ class ExtSpec extends SparkSpec {
     assert(expected.exists(_._1 >= 3000000L), "no twins injected")
   }
 
+  test("scene cuts: planted intensity jump trips the flag, frame 0 never cuts, short assets get one frame (x89)") {
+    import graft.ext.{Asset, Multimodal => M}
+    // two flat 64-byte scenes with a hard boundary: |Δsum| = 64·25
+    val blob = (Array.fill(64)('a'.toByte) ++ Array.fill(64)('z'.toByte))
+    val fs = M.frameSums(Asset(7L, blob), window = 64)
+    assert(fs.map(f => (f.frame_idx, f.frame_sum)) ==
+      Seq((0, 64L * 97), (1, 64L * 122)))
+    assert(64L * 122 - 64L * 97 > 300, "planted jump under threshold")
+    // sub-window payload: one short frame carrying the full sum
+    val short = M.frameSums(Asset(8L, Array.fill(10)('b'.toByte)), window = 64)
+    assert(short == Seq(graft.ext.FrameFeature(8L, 0, 10L * 98)))
+    // lake query: first frame of every doc uncut; cuts exist (p99
+    // threshold) and every flagged frame really jumps > 300
+    val rows = Multimodal.queries("x89_scene_cuts")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.filter(_._2 == 0).forall(!_._4))
+    assert(rows.exists(_._4), "no scene cuts on the provisioned corpus")
+    val bySeq = rows.groupBy(_._1)
+    bySeq.values.foreach { fr =>
+      val s = fr.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(p, c) =>
+          assert(c._4 == (math.abs(c._3 - p._3) > 300),
+            s"cut flag drifted at doc ${c._1} frame ${c._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("PMI collocations: exact in-process recount of counts, formula, and top-20 ordering (x88)") {
     val ws = Lake.table(spark, SfDir, "documents")
       .select(split(col("text"), " ").as("w"))
