@@ -354,6 +354,39 @@ object Multimodal {
           .otherwise(abs(col("frame_sum") - col("prev")) > 300))
         .select(col("doc_id"), col("frame_idx"), col("frame_sum"), col("is_cut"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // SCENE SEGMENTATION — the clip table x89's boundary signal
+    // exists to produce: a running sum over the cut flags assigns each
+    // frame its scene id (gaps-and-islands, the c53 pattern on a
+    // multimodal signal), then one agg rolls frames up to scenes with
+    // start/length and the window-normalized mean intensity (one
+    // division on exact integer sums, 4 dp; normalized per 64-byte
+    // slot — the sub-window single-frame case normalizes by the
+    // nominal window too, a documented codec convention, not a float
+    // hazard). This is the unit a video pipeline dedups, captions,
+    // and samples — per-asset windows only, never a global sort.
+    "x90_scene_segments" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      assertAsciiCorpus(spark, sfDir)
+      val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+        .flatMap(a => frameSums(a, window = 64))
+        .toDF()
+        .withColumn("prev", lag(col("frame_sum"), 1).over(byFrame))
+        .withColumn("cut", when(col("prev").isNull, lit(0))
+          .otherwise((abs(col("frame_sum") - col("prev")) > 300).cast("int")))
+        .withColumn("scene_id", sum(col("cut")).over(
+          byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("scene_id"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          count(lit(1)).as("n_frames"),
+          round(sum(col("frame_sum")).cast("double") /
+            (count(lit(1)) * 64).cast("double"), 4).as("mean_intensity"))
+        .orderBy(col("doc_id"), col("scene_id"))
     })
   )
 
@@ -425,6 +458,31 @@ object Multimodal {
         "LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM s) " +
         "SELECT doc_id, frame_idx, frame_sum, " +
         "CASE WHEN prev IS NULL THEN false ELSE ABS(frame_sum - prev) > 300 END AS is_cut " +
-        "FROM d ORDER BY doc_id, frame_idx")
+        "FROM d ORDER BY doc_id, frame_idx"),
+    // x90: x89's frame/cut arithmetic + the c53 gaps-and-islands
+    // rollup; mean normalized per nominal 64-byte slot on both sides
+    "x90_scene_segments" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "f AS (SELECT doc_id, text, n, GREATEST(n // 64, 1) AS nf FROM a), " +
+        "fr AS (SELECT doc_id, text, n, unnest(range(CAST(nf AS INTEGER))) AS i FROM f), " +
+        "b AS (SELECT doc_id, CAST(i AS INTEGER) AS i, 64 * i AS fo, " +
+        "CASE WHEN n < 64 THEN n ELSE 64 END AS flen, text FROM fr), " +
+        "s AS (SELECT doc_id, i AS frame_idx, " +
+        "CAST(SUM(ord(substr(text, CAST(fo + j.j + 1 AS INTEGER), 1))) AS BIGINT) AS frame_sum " +
+        "FROM b, range(64) j(j) WHERE j.j < flen GROUP BY 1, 2), " +
+        "d AS (SELECT doc_id, frame_idx, frame_sum, " +
+        "LAG(frame_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM s), " +
+        "c AS (SELECT doc_id, frame_idx, frame_sum, " +
+        "CASE WHEN prev IS NULL THEN 0 " +
+        "WHEN ABS(frame_sum - prev) > 300 THEN 1 ELSE 0 END AS cut FROM d), " +
+        "g AS (SELECT doc_id, frame_idx, frame_sum, " +
+        "SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx " +
+        "ROWS UNBOUNDED PRECEDING) AS scene_id FROM c) " +
+        "SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id, " +
+        "CAST(MIN(frame_idx) AS INTEGER) AS start_frame, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_frames, " +
+        "ROUND(CAST(SUM(frame_sum) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE), 4) " +
+        "AS mean_intensity " +
+        "FROM g GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id")
   )
 }

@@ -1512,6 +1512,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("scene segments partition the frame stream: counts rebuild from x89's cut flags exactly (x90)") {
+    val frames = Multimodal.queries("x89_scene_cuts")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val segs = Multimodal.queries("x90_scene_segments")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rebuild segments from the cut stream in-process and compare
+    val expected = frames.groupBy(_._1).toSeq.flatMap { case (doc, fr) =>
+      val s = fr.sortBy(_._2)
+      val ids = s.scanLeft(0L)((acc, f) => acc + (if (f._4) 1 else 0)).tail
+      s.zip(ids).groupBy(_._2).toSeq.map { case (sid, grp) =>
+        val fs = grp.map(_._1)
+        (doc, sid, fs.map(_._2).min, fs.length.toLong,
+          r4(fs.map(_._3).sum.toDouble / (fs.length * 64).toDouble))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(segs.toList == expected.toList)
+    // every doc's scenes tile its frames: Σ n_frames = frame count
+    assert(segs.map(_._4).sum == frames.length)
+    // cuts exist, so some doc has >1 scene
+    assert(segs.groupBy(_._1).values.exists(_.length > 1))
+  }
+
   test("PMI collocations: exact in-process recount of counts, formula, and top-20 ordering (x88)") {
     val ws = Lake.table(spark, SfDir, "documents")
       .select(split(col("text"), " ").as("w"))
