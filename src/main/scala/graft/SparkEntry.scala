@@ -14,20 +14,21 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
-  *  - c01..c70          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c71          — arbitrary-SQL surface categories (§2.C)
   *  - p01..p11          — ELT pipelines (A18/B13), data-layout
   *                        maintenance (compaction, Z-order, snapshot
   *                        retention GC, schema evolution, surgical
   *                        keyed delete), MERGE upsert, snapshot
   *                        diff, SCD2 history, observe() metrics
-  *  - s01..s12          — Structured Streaming: tumbling/sliding/
+  *  - s01..s13          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
   *                        custom-state sessionization, foreachBatch
   *                        incremental upsert, streaming SCD2 +
-  *                        histogram-partial maintenance
-  *  - x01..x80          — LLM-data-pipeline operators (dedup incl.
+  *                        histogram-partial and distinct-edge-degree
+  *                        maintenance
+  *  - x01..x90          — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/
@@ -36,7 +37,9 @@ import graft.sources.{Lake, Layout}
   *                        removal, RAG chunking, training-order
   *                        shuffle, quality-gate ensemble, sampling/
   *                        mixing, k-means, BPE pair counting,
-  *                        PageRank, sketch rollups)
+  *                        graph analytics (PageRank, triangles,
+  *                        k-core, link scoring), PMI collocations,
+  *                        scene cuts/segments, sketch rollups)
   */
 object SparkEntry {
 

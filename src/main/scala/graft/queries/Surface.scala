@@ -211,6 +211,26 @@ object Surface {
         .orderBy(col("o_orderkey"))
         .limit(100)),
 
+    // TIMESTAMP INTERVAL arithmetic (c19 covers DATE-grain functions):
+    // interval shift, field extraction, anchored second diffs and the
+    // integer 15-minute bucket (DIV on non-negative seconds — both
+    // engines truncate identically there; the anchor predates the
+    // whole event range by construction).
+    "c71_interval_arith" -> ((spark, sfDir) =>
+      t(spark, sfDir, "events")
+        .select(
+          col("event_id"),
+          date_format(col("ts") + expr("INTERVAL 90 MINUTE"),
+            "yyyy-MM-dd HH:mm:ss").as("ts_plus90"),
+          hour(col("ts")).as("hh"),
+          minute(col("ts")).as("mi"),
+          expr("timestampdiff(SECOND, TIMESTAMP'2024-01-01 00:00:00', ts)")
+            .as("sec_since"),
+          expr("timestampdiff(SECOND, TIMESTAMP'2024-01-01 00:00:00', ts) DIV 900")
+            .as("bucket15"))
+        .orderBy(col("event_id"))
+        .limit(100)),
+
     "c20_scalar_cond" -> ((spark, sfDir) =>
       t(spark, sfDir, "orders")
         .select(
@@ -969,6 +989,14 @@ object Surface {
         "STRFTIME(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start, " +
         "CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since " +
         "FROM orders ORDER BY o_orderkey LIMIT 100"),
+    "c71_interval_arith" ->
+      ("SELECT event_id, " +
+        "STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS ts_plus90, " +
+        "CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hh, " +
+        "CAST(EXTRACT(minute FROM ts) AS INTEGER) AS mi, " +
+        "CAST(DATE_DIFF('second', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS sec_since, " +
+        "CAST(DATE_DIFF('second', TIMESTAMP '2024-01-01', ts) // 900 AS BIGINT) AS bucket15 " +
+        "FROM events ORDER BY event_id LIMIT 100"),
     "c20_scalar_cond" ->
       ("SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' " +
         "WHEN o_totalprice > 150000 THEN 'mid' ELSE 'small' END AS bucket, " +
