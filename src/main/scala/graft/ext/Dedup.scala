@@ -640,6 +640,46 @@ object Dedup {
         length(col("tb")).as("short_chars"), length(col("ta")).as("long_chars"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs under classic
+    * record-linkage blocking: candidates share a (length, 4-char
+    * prefix) block, hot blocks above `maxBlock` members are dropped
+    * (the x03 hot-key discipline — a templated prefix would otherwise
+    * make one block quadratic), and the O(len·k) banded Levenshtein
+    * runs ONLY inside surviving blocks. This is the typo/OCR-noise
+    * dedup class: a handful of character edits, which token-level
+    * jaccard can't see (one typo still leaves jaccard ≈ 1 — but so
+    * does a whole reordered sentence; edit distance separates them)
+    * and exact hashing misses entirely.
+    *
+    * Scale shape: one groupBy for block sizes, one equi-join on the
+    * block key — candidate volume is Σ C(block,2), bounded by
+    * maxBlock²·n_blocks, never n². The threshold is passed INTO
+    * Spark's 3-arg `levenshtein(l, r, k)`, which abandons the DP row
+    * once the distance cannot come back under k (returns -1) — the
+    * per-candidate cost is O(len·k), not O(len²).
+    */
+  def editDistancePairs(df: DataFrame, threshold: Int, maxBlock: Long): DataFrame = {
+    val keyed = df
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).as("blk_len"),
+        substring(col("text"), 1, 4).as("blk_pre"))
+    val keep = keyed.groupBy(col("blk_len"), col("blk_pre"))
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") <= maxBlock)
+      .select(col("blk_len"), col("blk_pre"))
+    val capped = keyed.join(keep, Seq("blk_len", "blk_pre"))
+    val a = capped.select(col("blk_len"), col("blk_pre"),
+      col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = capped.select(col("blk_len"), col("blk_pre"),
+      col("doc_id").as("id_b"), col("text").as("tb"))
+    a.join(b, Seq("blk_len", "blk_pre"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), threshold))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
     * n-gram near-dup pair definition shared by the x05 and x18 oracles
     * (and Curation's survivor filter). Mirrors [[ngramJaccardPairs]].
@@ -758,6 +798,24 @@ object Dedup {
       truncationPairs(docs(spark, sfDir),
         cap = math.max(50L, Lake.rowCount(spark, sfDir, "documents") / 100))
         .orderBy(col("short_id"), col("long_id"))),
+
+    // EDIT-DISTANCE DEDUP — character-level near-dup (typos, OCR
+    // noise, template fills): blocked Levenshtein with the banded
+    // 3-arg early-exit. Non-vacuity (x71's pattern): the corpus is
+    // word soup with no planted typos, so a 2-char-substituted twin
+    // of every doc (id +3·10⁶, same length, same 4-char prefix — so
+    // it lands in its original's block by construction) is unioned
+    // in; the operator must recover every (orig, twin) pair at
+    // dist ≤ 4, which token-grain dedup cannot even express.
+    "x91_edit_distance_dedup" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 8)
+      val twins = d.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("qq"),
+          expr("substring(text, 7)")).as("text"))
+      editDistancePairs(d.unionByName(twins), threshold = 4, maxBlock = 64L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // MinHash-LSH near-dup: 32 hashes, 8 bands × 4 rows, est-jaccard
     // verify at 0.5. Banding join only — no crossJoin anywhere in the
@@ -1339,6 +1397,27 @@ object Dedup {
         "AND substr(a.text, 1, length(b.text)) = b.text " +
         "AND substr(a.text, length(b.text) + 1, 1) = ' ' " +
         "ORDER BY short_id, long_id"),
+    // same twin construction (substr composition = Spark's overlay at
+    // 5..6); DuckDB's levenshtein is the same unit-cost edit distance
+    // as Spark's, so the kept pairs AND the distances agree exactly —
+    // the threshold lives in the WHERE here vs Spark's banded 3-arg
+    // form, which returns the identical distance for kept pairs
+    "x91_edit_distance_dedup" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8), " +
+        "u AS (SELECT doc_id, text FROM d " +
+        "UNION ALL SELECT doc_id + 3000000, " +
+        "substr(text, 1, 4) || 'qq' || substr(text, 7) FROM d), " +
+        "k AS (SELECT doc_id, text, length(text) AS blk_len, " +
+        "substr(text, 1, 4) AS blk_pre FROM u), " +
+        "keep AS (SELECT blk_len, blk_pre FROM k GROUP BY 1, 2 " +
+        "HAVING COUNT(*) <= 64), " +
+        "f AS (SELECT k.* FROM k JOIN keep USING (blk_len, blk_pre)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist " +
+        "FROM f a JOIN f b ON a.blk_len = b.blk_len " +
+        "AND a.blk_pre = b.blk_pre AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.text, b.text) <= 4 " +
+        "ORDER BY id_a, id_b"),
     // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
     "x73_dup_cluster_profile" ->
       ("WITH RECURSIVE " + ComponentsCteBody +

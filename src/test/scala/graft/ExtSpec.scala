@@ -1183,6 +1183,27 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.truncationPairs(corpus, cap = 1).count() == 0L)
   }
 
+  test("edit-distance pairs: in-threshold typos recalled with exact distances, cross-block pairs invisible, hot blocks capped (x91)") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta" // 35 chars
+    val corpus = Seq(
+      (1L, base),
+      (2L, base.replace("gamma", "gamba")),  // 1 substitution, same len
+      (3L, base.replace("gamma", "gaxba")),  // 2 subs from 1, 1 from 2
+      (4L, base.replace(" zeta", " zetaX")), // len 36: different block
+      (5L, "alph" + base.substring(4).replace("beta gamma", "XXXX YYYYY")), // dist 9 > k
+      (6L, "omega psi")                      // different prefix block
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(corpus, threshold = 4, maxBlock = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same (len, prefix) block and within threshold: exactly 1-2, 1-3,
+    // 2-3 with the true distances; 4 is length-blocked out, 5 is over
+    // threshold (banded DP returns -1), 6 never shares a block
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)), s"got $got")
+    // hot-block cap: a block larger than maxBlock emits nothing
+    assert(Dedup.editDistancePairs(corpus, threshold = 4, maxBlock = 2).count() == 0L)
+  }
+
   test("hyperplane verify gate: every emitted pair collides in a recomputed integer-plane bucket and clears the cosine bar (x75)") {
     val rows = Similarity.queries("x75_hyperplane_verify_exact")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
