@@ -680,6 +680,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Maximal duplicated-SPAN detection — the scalable map-reduce
+    * approximation of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * SLIDING 8-token grams (stride 1, so shift-invariant where x31's
+    * fixed chunk boundaries are not), self-joined on the md5 gram key
+    * (constant-width shuffle key — document text never shuffles),
+    * then adjacent shared grams merge into maximal spans per doc pair
+    * with the classic diagonal trick: a shared gram at positions
+    * (ia, ib) extends a span iff (ia+1, ib+1) is also shared, i.e.
+    * consecutive ia within one (pair, ia−ib) diagonal — plain
+    * gaps-and-islands over the diagonal, no iteration.
+    *
+    * Scale shape: explode to (doc, pos, gram_md5) rows; hot grams
+    * above `cap` occurrences are dropped before the join (x03's
+    * hot-key discipline — corpus-wide boilerplate grams would
+    * otherwise enumerate quadratically), so candidate volume is
+    * Σ C(gram_occ,2) with gram_occ ≤ cap; the island window
+    * partitions by (pair, diagonal) — keys strictly finer than the
+    * join output, no extra skew. Two shuffles total.
+    *
+    * Emits one row per maximal span of ≥ minGrams consecutive shared
+    * grams: (doc_a, doc_b, a_start, b_start, n_tokens) with
+    * n_tokens = run + 7, positions 1-based.
+    */
+  def spanDupPairs(df: DataFrame, cap: Long, minGrams: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = df.filter(size(toks) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - 7),
+          i => md5(concat_ws(" ", slice(toks, i, lit(8)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("ia"), col("col").as("g"))
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("oc"))
+      .filter(col("oc") <= cap).select(col("g"))
+    val gk = grams.join(keep, "g")
+    val pairs = gk.select(col("g"), col("doc_id").as("doc_a"), col("ia"))
+      .join(gk.select(col("g"), col("doc_id").as("doc_b"), col("ia").as("ib")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("ia"))
+    val isl = pairs
+      .withColumn("ni",
+        when(col("ia") - lag(col("ia"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("island", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(min(col("ia")).as("a_start"), min(col("ib")).as("b_start"),
+        count(lit(1)).as("run"))
+      .filter(col("run") >= minGrams)
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        (col("run") + 7).as("n_tokens"))
+  }
+
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
     * n-gram near-dup pair definition shared by the x05 and x18 oracles
     * (and Curation's survivor filter). Mirrors [[ngramJaccardPairs]].
@@ -815,6 +869,24 @@ object Dedup {
           expr("substring(text, 7)")).as("text"))
       editDistancePairs(d.unionByName(twins), threshold = 4, maxBlock = 64L)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SPAN DEDUP — maximal duplicated substrings across documents
+    // (the Lee-et-al. suffix-dedup class): sliding grams + diagonal
+    // islands, shift-INVARIANT where x31's fixed 8-token chunking is
+    // shift-blind. Non-vacuity: a SHIFTED-excerpt twin (tokens 5..34
+    // of every 5th doc, id +4·10⁶) is unioned in — its copied span
+    // starts at token 5 of the original and token 1 of the twin, so
+    // chunk-aligned passage dedup cannot see it, and the operator
+    // must report exactly that offset geometry.
+    "x92_span_dedup" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val twins = d.filter(col("doc_id") % 5 === 0 && size(toks) >= 12)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, 5, 30)).as("text"))
+      spanDupPairs(d.unionByName(twins), cap = 64L, minGrams = 3)
+        .orderBy(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"))
     }),
 
     // MinHash-LSH near-dup: 32 hashes, 8 bands × 4 rows, est-jaccard
@@ -1418,6 +1490,31 @@ object Dedup {
         "AND a.blk_pre = b.blk_pre AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.text, b.text) <= 4 " +
         "ORDER BY id_a, id_b"),
+    // same shifted-excerpt twin construction (list slice 5..34); the
+    // md5 gram keys, diagonal grouping and island arithmetic are all
+    // engine-exact, so spans AND their offsets hash-match
+    "x92_span_dedup" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "u AS (SELECT doc_id, l FROM d " +
+        "UNION ALL SELECT doc_id + 4000000, l[5:34] FROM d " +
+        "WHERE doc_id % 5 = 0 AND len(l) >= 12), " +
+        "g AS (SELECT doc_id, CAST(i AS INTEGER) AS ia, " +
+        "md5(array_to_string(l[i:i+7], ' ')) AS g " +
+        "FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM u " +
+        "WHERE len(l) >= 8)), " +
+        "keep AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= 64), " +
+        "gk AS (SELECT g.* FROM g JOIN keep USING (g)), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ia, b.ia AS ib " +
+        "FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id), " +
+        "m AS (SELECT *, ia - ib AS diag, CASE WHEN ia - LAG(ia) OVER (" +
+        "PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) = 1 " +
+        "THEN 0 ELSE 1 END AS ni FROM p), " +
+        "i2 AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_a, doc_b, diag " +
+        "ORDER BY ia) AS island FROM m) " +
+        "SELECT doc_a, doc_b, MIN(ia) AS a_start, MIN(ib) AS b_start, " +
+        "CAST(COUNT(*) + 7 AS BIGINT) AS n_tokens " +
+        "FROM i2 GROUP BY doc_a, doc_b, diag, island HAVING COUNT(*) >= 3 " +
+        "ORDER BY doc_a, doc_b, a_start, b_start"),
     // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
     "x73_dup_cluster_profile" ->
       ("WITH RECURSIVE " + ComponentsCteBody +

@@ -1204,6 +1204,26 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(corpus, threshold = 4, maxBlock = 2).count() == 0L)
   }
 
+  test("span dedup: shifted excerpt found with exact offsets, full dup spans whole doc, short runs and hot grams silenced (x92)") {
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"t$i")
+    val corpus = Seq(
+      (1L, t.mkString(" ")),                                     // 20 tokens
+      (2L, ("z1 z2 " + t.slice(4, 16).mkString(" ")) + " z3"),   // t5..t16 shifted to pos 3
+      (3L, t.mkString(" ")),                                     // exact dup of 1
+      (4L, t.take(9).mkString(" "))                              // 9-token prefix: run 2 < minGrams
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupPairs(corpus, cap = 64, minGrams = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    // 1-2: A positions 5..9 match B positions 3..7 → span (5, 3, 12);
+    // 1-3: full-length diagonal → (1, 1, 20); 2-3 mirrors 1-2 with the
+    // sides swapped; 1-4 / 3-4 are 2-gram runs, below minGrams
+    assert(got == Set((1L, 2L, 5, 3, 12L), (1L, 3L, 1, 1, 20L), (2L, 3L, 3, 5, 12L)),
+      s"got $got")
+    // hot-gram cap: every shared gram occurs ≥ 2 times, so cap=1 drops all
+    assert(Dedup.spanDupPairs(corpus, cap = 1, minGrams = 3).count() == 0L)
+  }
+
   test("hyperplane verify gate: every emitted pair collides in a recomputed integer-plane bucket and clears the cosine bar (x75)") {
     val rows = Similarity.queries("x75_hyperplane_verify_exact")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
