@@ -175,6 +175,45 @@ object Sampling {
         .orderBy(col("doc_id"))
     }),
 
+    // CURRICULUM INTERLEAVE — deterministic easy-first training order
+    // with domain balance baked into every prefix: docs rank within
+    // their source by (n_chars, doc_id) ascending (the
+    // short-docs-first curriculum), and sources interleave
+    // round-robin, pos = (rank−1)·S + source_index — so the first k·S
+    // curriculum positions hold exactly k docs of each (non-exhausted)
+    // source. x37 is the opposite end of the ordering spectrum
+    // (hash-random); this is the schedule a curriculum trainer
+    // actually replays. Scale shape: the per-source rank comes from
+    // the Prefix two-pass scan over a PACKED order key
+    // (n_chars·2³² + doc_id — rank by the packed long ≡ rank by
+    // (n_chars, doc_id)), NOT a per-source window (one 5 TB source =
+    // one straggler task); the only window runs over the
+    // distinct-source dimension, bounded by the source alphabet, and
+    // S is a broadcast 1-row scalar.
+    "x93_curriculum_interleave" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val rows = d.select(
+          (shiftleft(col("n_chars").cast("long"), 32) + col("doc_id")).as("id"),
+          col("source").as("group"), lit(1L).as("value"))
+        .as[graft.operators.Prefix.ScanRow]
+      val ranked = graft.operators.Prefix
+        .runningSum(rows, spark.sessionState.conf.numShufflePartitions)
+        .select(col("id").bitwiseAND(lit(0xffffffffL)).as("doc_id"),
+          col("group").as("source"), col("running").as("src_rank"))
+      val sIdx = d.select(col("source")).distinct()
+        .select(col("source"),
+          (row_number().over(Window.orderBy(col("source"))) - 1L).as("s_idx"))
+      val withS = broadcast(sIdx.crossJoin(
+        broadcast(sIdx.agg(count(lit(1)).as("n_src")))))
+      ranked.join(withS, "source")
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          ((col("src_rank") - 1) * col("n_src") + col("s_idx")).as("pos"))
+        .orderBy(col("pos"))
+    }),
+
     // Domain mixing with DATA-DERIVED rates: downsample every language
     // to (approximately) the rarest language's document count — the
     // "equalize the mixture" step, where x20's rates are constants and
@@ -525,6 +564,17 @@ object Sampling {
         "CAST(rn - 1 AS BIGINT) AS pos FROM (" +
         s"SELECT doc_id, ROW_NUMBER() OVER (ORDER BY (doc_id * $HashMul) % $HashMod) AS rn " +
         "FROM documents) t ORDER BY doc_id"),
+    // the oracle ranks with a plain per-source window (fine at oracle
+    // scale) — rank by (n_chars, doc_id) ≡ Spark's packed-long scan
+    "x93_curriculum_interleave" ->
+      ("WITH s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS s_idx " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "n AS (SELECT COUNT(*) AS n_src FROM s), " +
+        "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (" +
+        "PARTITION BY source ORDER BY n_chars, doc_id) AS src_rank FROM documents) " +
+        "SELECT r.doc_id, r.source, CAST(src_rank AS BIGINT) AS src_rank, " +
+        "CAST((src_rank - 1) * n_src + s_idx AS BIGINT) AS pos " +
+        "FROM r JOIN s USING (source), n ORDER BY pos"),
     "x28_domain_mix" ->
       (s"WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1), " +
         "m AS (SELECT MIN(cnt) AS min_cnt FROM c), " +

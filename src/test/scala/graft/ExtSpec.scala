@@ -608,6 +608,29 @@ class ExtSpec extends SparkSpec {
       "pos must rank docs by the sampling hash")
   }
 
+  test("x93 curriculum interleave: easy-first within source, every kS-prefix domain-balanced, positions injective") {
+    val rows = Sampling.queries("x93_curriculum_interleave")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).distinct.length == rows.length, "pos must be injective")
+    // within each source, rank order is ascending pos and ascending rank
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq,
+        s"$src: curriculum pos must grow with rank")
+      assert(byRank.map(_._3).toSeq == (1L to rs.length).toSeq,
+        s"$src: ranks must be dense from 1")
+    }
+    // domain balance: while no source is exhausted, each kS-prefix of
+    // the pos order holds exactly k docs per source
+    val nSrc = rows.map(_._2).distinct.length
+    val minSz = rows.groupBy(_._2).values.map(_.length).min
+    val k = math.min(5, minSz)
+    val prefix = rows.sortBy(_._4).take(k * nSrc)
+    val perSrc = prefix.groupBy(_._2).values.map(_.length).toSet
+    assert(perSrc == Set(k), s"kS-prefix must hold k=$k per source, got $perSrc")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
