@@ -187,7 +187,74 @@ object Views {
     // total (ts, event_id), so run numbering is deterministic.
     "p08_scd2_history" -> ((spark, sfDir) =>
       scd2History(Lake.table(spark, sfDir, "events"))
-        .orderBy(col("user_id"), col("valid_from")))
+        .orderBy(col("user_id"), col("valid_from"))),
+
+    // DECLARATIVE DATA-QUALITY EXPECTATIONS (the Deequ-shaped gate a
+    // pipeline runs before publishing a snapshot): a constraint
+    // REPORT — one row per (table, check) with the violation count
+    // and a pass flag — where every single-table check rides ONE
+    // aggregate pass over its table (7 event checks = 1 scan, not 7)
+    // and the cross-table referential checks are two anti-joins.
+    // `value_le_400` is a deliberately drifting expectation on the
+    // provisioned data (max value ≈ 490): the report must carry
+    // failing rows, not just vacuous greens — a DQ gate that can only
+    // say yes is not a gate. Scale shape: nothing here shuffles more
+    // than the anti-join keys; the stack() unpivot runs on 1-row
+    // aggregates.
+    "p12_dq_expectations" -> ((spark, sfDir) => {
+      val ev = Lake.table(spark, sfDir, "events")
+      val dc = Lake.table(spark, sfDir, "documents")
+      val em = Lake.table(spark, sfDir, "embeddings")
+      val evAgg = ev.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("c1"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("c2"),
+        sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+          col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("c3"),
+        sum(when(col("event_type").isNull ||
+          !col("event_type").isin("click", "error", "purchase", "signup", "view"),
+          1L).otherwise(0L)).as("c4"),
+        sum(when(col("value").isNull || col("value") <= 0, 1L)
+          .otherwise(0L)).as("c5"),
+        sum(when(col("value") > 400, 1L).otherwise(0L)).as("c6"),
+        sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+          .otherwise(0L)).as("c7"))
+      val evRows = evAgg.selectExpr(
+        "stack(7, 'event_id_not_null', c1, 'event_id_unique', c2, " +
+          "'ts_in_2024', c3, 'event_type_in_domain', c4, " +
+          "'value_positive', c5, 'value_le_400', c6, " +
+          "'props_has_k', c7) AS (check_name, violations)", "n_rows")
+        .select(lit("events").as("table_name"), col("check_name"),
+          col("violations"), col("n_rows"))
+      val docAgg = dc.agg(count(lit(1)).as("n_rows"))
+      val docRows = dc.select(col("doc_id"))
+        .join(em.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(broadcast(docAgg))
+        .select(lit("documents").as("table_name"),
+          lit("doc_has_embedding").as("check_name"),
+          col("violations"), col("n_rows"))
+      val emAgg = em.agg(count(lit(1)).as("n_rows"),
+        sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("label").isNull, 1L).otherwise(0L)).as("d2"))
+      val emRows = emAgg.selectExpr(
+        "stack(2, 'dim_is_64', d1, 'label_not_null', d2) " +
+          "AS (check_name, violations)", "n_rows")
+        .select(lit("embeddings").as("table_name"), col("check_name"),
+          col("violations"), col("n_rows"))
+      val emOrphan = em.select(col("vec_id"))
+        .join(dc.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .crossJoin(broadcast(emAgg.select(col("n_rows"))))
+        .select(lit("embeddings").as("table_name"),
+          lit("vec_has_document").as("check_name"),
+          col("violations"), col("n_rows"))
+      evRows.unionByName(docRows).unionByName(emRows).unionByName(emOrphan)
+        .select(col("table_name"), col("check_name"), col("violations"),
+          col("n_rows"), (col("violations") === 0L).as("passed"))
+        .orderBy(col("table_name"), col("check_name"))
+    })
   )
 
   /** p08's body (shared with the s11 streaming maintainer): collapse
@@ -231,6 +298,43 @@ object Views {
     "p05_merge_upsert" ->
       ("SELECT user_id, COUNT(*) AS n, MAX(ts) AS last_ts FROM events " +
         "GROUP BY user_id ORDER BY user_id"),
+    // one aggregate row per table expanded by UNION ALL (DuckDB's
+    // stack()); anti-joins as NOT EXISTS; json_extract_string mirrors
+    // get_json_object's missing-key NULL
+    "p12_dq_expectations" ->
+      ("WITH ev AS (SELECT COUNT(*) AS n_rows, " +
+        "COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS c1, " +
+        "COUNT(*) - COUNT(DISTINCT event_id) AS c2, " +
+        "COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01' THEN 1 END) AS c3, " +
+        "COUNT(CASE WHEN event_type IS NULL OR event_type NOT IN " +
+        "('click','error','purchase','signup','view') THEN 1 END) AS c4, " +
+        "COUNT(CASE WHEN value IS NULL OR value <= 0 THEN 1 END) AS c5, " +
+        "COUNT(CASE WHEN value > 400 THEN 1 END) AS c6, " +
+        "COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS c7 " +
+        "FROM events), " +
+        "dn AS (SELECT COUNT(*) AS n_rows FROM documents), " +
+        "en AS (SELECT COUNT(*) AS n_rows FROM embeddings), " +
+        "r AS (" +
+        "SELECT 'events' AS table_name, 'event_id_not_null' AS check_name, c1 AS violations, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'event_id_unique', c2, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'ts_in_2024', c3, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'event_type_in_domain', c4, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'value_positive', c5, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'value_le_400', c6, n_rows FROM ev " +
+        "UNION ALL SELECT 'events', 'props_has_k', c7, n_rows FROM ev " +
+        "UNION ALL SELECT 'documents', 'doc_has_embedding', " +
+        "(SELECT COUNT(*) FROM documents d WHERE NOT EXISTS " +
+        "(SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)), n_rows FROM dn " +
+        "UNION ALL SELECT 'embeddings', 'dim_is_64', " +
+        "(SELECT COUNT(*) FROM embeddings WHERE len(embedding) <> 64), n_rows FROM en " +
+        "UNION ALL SELECT 'embeddings', 'label_not_null', " +
+        "(SELECT COUNT(*) FROM embeddings WHERE label IS NULL), n_rows FROM en " +
+        "UNION ALL SELECT 'embeddings', 'vec_has_document', " +
+        "(SELECT COUNT(*) FROM embeddings e WHERE NOT EXISTS " +
+        "(SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)), n_rows FROM en) " +
+        "SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations, " +
+        "CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed " +
+        "FROM r ORDER BY table_name, check_name"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum
     // goes through the same exact decimal accumulation as the Spark

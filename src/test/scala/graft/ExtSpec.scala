@@ -631,6 +631,23 @@ class ExtSpec extends SparkSpec {
     assert(perSrc == Set(k), s"kS-prefix must hold k=$k per source, got $perSrc")
   }
 
+  test("p12 dq expectations: 11 checks, pass flag consistent, n_rows constant per table, referential checks green") {
+    val rows = graft.pipeline.Views.queries("p12_dq_expectations")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 11, s"expected 11 checks, got ${rows.length}")
+    rows.foreach { case (t, c, v, n, p) =>
+      assert(p == (v == 0L), s"$t/$c: passed flag must mirror violations")
+      assert(v >= 0L && v <= n, s"$t/$c: violations within [0, n_rows]")
+    }
+    // every check against one table reports that table's row count
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"$t: n_rows must be constant")
+    }
+    // provisioned data is referentially intact in both directions
+    val refs = rows.filter(r => r._2 == "doc_has_embedding" || r._2 == "vec_has_document")
+    assert(refs.length == 2 && refs.forall(_._5), "referential checks must pass")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
