@@ -205,22 +205,7 @@ object Views {
       val ev = Lake.table(spark, sfDir, "events")
       val dc = Lake.table(spark, sfDir, "documents")
       val em = Lake.table(spark, sfDir, "embeddings")
-      val evAgg = ev.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("c1"),
-        (count(lit(1)) - countDistinct(col("event_id"))).as("c2"),
-        sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
-          col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
-          .otherwise(0L)).as("c3"),
-        sum(when(col("event_type").isNull ||
-          !col("event_type").isin("click", "error", "purchase", "signup", "view"),
-          1L).otherwise(0L)).as("c4"),
-        sum(when(col("value").isNull || col("value") <= 0, 1L)
-          .otherwise(0L)).as("c5"),
-        sum(when(col("value") > 400, 1L).otherwise(0L)).as("c6"),
-        sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
-          .otherwise(0L)).as("c7"))
-      val evRows = evAgg.selectExpr(
+      val evRows = eventCheckCounters(ev).selectExpr(
         "stack(7, 'event_id_not_null', c1, 'event_id_unique', c2, " +
           "'ts_in_2024', c3, 'event_type_in_domain', c4, " +
           "'value_positive', c5, 'value_le_400', c6, " +
@@ -256,6 +241,31 @@ object Views {
         .orderBy(col("table_name"), col("check_name"))
     })
   )
+
+  /** p12's one-pass event-check aggregate (shared with the s14
+    * streaming maintainer): ONE row with the event row count and the
+    * violation count of every event expectation. c1/c3..c7 are
+    * per-row predicates, so they sum ADDITIVELY across any batch
+    * decomposition — the property s14's incremental merge relies on.
+    * c2 (uniqueness) is count−countDistinct: correct on a full frame
+    * (p12), NOT additive — s14 replaces it with its maintained
+    * id-set novelty count.
+    */
+  def eventCheckCounters(df: DataFrame): DataFrame = df.agg(
+    count(lit(1)).as("n_rows"),
+    sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("c1"),
+    (count(lit(1)) - countDistinct(col("event_id"))).as("c2"),
+    sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+      col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+      .otherwise(0L)).as("c3"),
+    sum(when(col("event_type").isNull ||
+      !col("event_type").isin("click", "error", "purchase", "signup", "view"),
+      1L).otherwise(0L)).as("c4"),
+    sum(when(col("value").isNull || col("value") <= 0, 1L)
+      .otherwise(0L)).as("c5"),
+    sum(when(col("value") > 400, 1L).otherwise(0L)).as("c6"),
+    sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+      .otherwise(0L)).as("c7"))
 
   /** p08's body (shared with the s11 streaming maintainer): collapse
     * an event frame into SCD2 runs. Input needs (user_id, event_id,

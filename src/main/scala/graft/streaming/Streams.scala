@@ -582,6 +582,99 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** s14: streaming maintenance of the p12 data-quality report — the
+    * DQ gate run CONTINUOUSLY at ingest instead of before publish.
+    * Additive checks (not-null, ts range, type domain, positivity,
+    * drift bound, JSON key) are per-row predicates, so each
+    * microbatch's one-pass counters (the SHARED
+    * [[graft.pipeline.Views.eventCheckCounters]] aggregate) merge by
+    * plain addition into a 7-row maintained counter table — s12's
+    * additive IVM on the smallest possible state. Uniqueness is NOT
+    * additive (count−countDistinct): it runs on s13's set-semantics
+    * machinery instead — the batch's distinct ids anti-join the
+    * maintained id set, and the batch's duplicate contribution is
+    * batch_rows − novel_ids, which telescopes to exactly
+    * n_total − distinct_total across any batch decomposition. Readout
+    * is the maintained counter table ≡ the events section of batch
+    * p12 — the IVM contract as frame equality, oracled against the
+    * same SQL. Per batch at scale: one aggregate scan of the batch,
+    * one anti-join against the (key-bucketed) id set, a 7-row merge.
+    */
+  def foreachBatchDq(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s14_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[(String, String)] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val genI = s"$base/ids_$batchId"
+        val genC = s"$base/ctr_$batchId"
+        // counters are written LAST, so their marker implies both gens
+        val marker = new org.apache.hadoop.fs.Path(s"$genC/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some((genI, genC))
+        } else {
+          val b = batch.toDF()
+          val ids = b.select(col("event_id")).distinct()
+          val novel = latest match {
+            case None => ids
+            case Some((prevI, _)) =>
+              val seen = spark.read.parquet(prevI)
+              ids.join(seen,
+                ids("event_id") <=> seen("event_id"), "left_anti")
+          }
+          val idsNext = latest match {
+            case None => novel
+            case Some((prevI, _)) =>
+              spark.read.parquet(prevI).unionByName(novel)
+          }
+          idsNext.write.mode("overwrite").parquet(genI)
+          // one aggregate pass over the batch; uniqueness delta =
+          // batch rows − novel ids (telescopes to n − countDistinct)
+          val delta = graft.pipeline.Views.eventCheckCounters(b)
+            .crossJoin(broadcast(novel.agg(count(lit(1)).as("novel"))))
+            .selectExpr(
+              "stack(7, 'event_id_not_null', c1, " +
+                "'event_id_unique', n_rows - novel, 'ts_in_2024', c3, " +
+                "'event_type_in_domain', c4, 'value_positive', c5, " +
+                "'value_le_400', c6, 'props_has_k', c7) " +
+                "AS (check_name, v)", "n_rows")
+          val ctrNext = latest match {
+            case None =>
+              delta.select(col("check_name"),
+                coalesce(col("v"), lit(0L)).as("violations"),
+                col("n_rows"))
+            case Some((_, prevC)) =>
+              val prev = spark.read.parquet(prevC)
+              prev.join(delta, Seq("check_name"), "full_outer")
+                .select(col("check_name"),
+                  (coalesce(col("violations"), lit(0L)) +
+                    coalesce(col("v"), lit(0L))).as("violations"),
+                  (coalesce(prev("n_rows"), lit(0L)) +
+                    coalesce(delta("n_rows"), lit(0L))).as("n_rows"))
+          }
+          ctrNext.write.mode("overwrite").parquet(genC)
+          latest = Some((genI, genC))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(latest.getOrElse(
+      sys.error("s14: stream produced no batches"))._2)
+      .select(lit("events").as("table_name"), col("check_name"),
+        col("violations"), col("n_rows"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy(col("check_name"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -704,6 +797,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchHistogram(spark, sfDir)),
     "s13_stream_degree_maintain" ->
       ((spark, sfDir) => foreachBatchDegrees(spark, sfDir)),
+    "s14_stream_dq_maintain" ->
+      ((spark, sfDir) => foreachBatchDq(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -750,6 +845,32 @@ object Streams {
     "s13_stream_degree_maintain" ->
       ("SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS deg " +
         "FROM events GROUP BY 1 ORDER BY user_id"),
+    // the IVM contract: maintained counters ≡ the events section of
+    // batch p12 (same one-pass aggregate, uniqueness telescoped
+    // through the maintained id set)
+    "s14_stream_dq_maintain" ->
+      ("WITH ev AS (SELECT COUNT(*) AS n_rows, " +
+        "COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS c1, " +
+        "COUNT(*) - COUNT(DISTINCT event_id) AS c2, " +
+        "COUNT(CASE WHEN ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2025-01-01' THEN 1 END) AS c3, " +
+        "COUNT(CASE WHEN event_type IS NULL OR event_type NOT IN " +
+        "('click','error','purchase','signup','view') THEN 1 END) AS c4, " +
+        "COUNT(CASE WHEN value IS NULL OR value <= 0 THEN 1 END) AS c5, " +
+        "COUNT(CASE WHEN value > 400 THEN 1 END) AS c6, " +
+        "COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS c7 " +
+        "FROM events), " +
+        "r AS (" +
+        "SELECT 'event_id_not_null' AS check_name, c1 AS violations, n_rows FROM ev " +
+        "UNION ALL SELECT 'event_id_unique', c2, n_rows FROM ev " +
+        "UNION ALL SELECT 'ts_in_2024', c3, n_rows FROM ev " +
+        "UNION ALL SELECT 'event_type_in_domain', c4, n_rows FROM ev " +
+        "UNION ALL SELECT 'value_positive', c5, n_rows FROM ev " +
+        "UNION ALL SELECT 'value_le_400', c6, n_rows FROM ev " +
+        "UNION ALL SELECT 'props_has_k', c7, n_rows FROM ev) " +
+        "SELECT 'events' AS table_name, check_name, " +
+        "CAST(violations AS BIGINT) AS violations, " +
+        "CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed " +
+        "FROM r ORDER BY check_name"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

@@ -284,4 +284,23 @@ class StreamingStateSpec extends SparkSpec {
       .parquet(s"/tmp/graft-stream/s13_$tag/edges_$lastGen").count()
     assert(edgeCount == streamed.values.sum)
   }
+
+  test("streaming DQ maintenance equals the batch p12 events section across a multi-batch run (s14)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val streamed = graft.streaming.Streams.foreachBatchDq(spark, SfDir)
+      .collect().map(key)
+    // multi-batch decomposition actually exercised
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s14_$tag")
+      .listFiles().count(_.getName.startsWith("ctr_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    // ≡ the events rows of the batch DQ report — the IVM contract;
+    // in particular the telescoped uniqueness counter must agree with
+    // batch count−countDistinct even though no batch saw all ids
+    val batch = graft.pipeline.Views.queries("p12_dq_expectations")(spark, SfDir)
+      .collect().map(key).filter(_._1 == "events")
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed DQ counters diverge from batch p12:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
 }
