@@ -135,6 +135,46 @@ object Multimodal {
       ImageFeatures(id, w, h, s.toDouble / (w * h))
     }
 
+    /** Perceptual average-hash (aHash) from a REAL PNG decode: 2×2
+      * block sums over the 16×16 raster, each block's bit set iff its
+      * mean clears the whole-image mean — compared in exact integers
+      * (block_sum·64 ≥ total, since 4·64 = 256 pixels), so the hash
+      * is bit-reproducible from the source bytes. Returned as the
+      * 64-char '0'/'1' string in (by, bx) row-major bit order — a
+      * string key sidesteps the sign of a 64-bit literal and shuffles
+      * at constant width. The property that makes this PERCEPTUAL:
+      * adding a constant c to every pixel shifts block_sum·64 and
+      * total by the same 256·c, so global brightness/exposure changes
+      * leave the hash EXACTLY invariant while byte-level hashes all
+      * move.
+      */
+    def aHashBits(png: Array[Byte]): String = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val raster = img.getRaster
+      var total = 0L
+      var y = 0
+      while (y < Side) {
+        var x = 0
+        while (x < Side) { total += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val bits = new java.lang.StringBuilder(64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          val bs = raster.getSample(2 * bx, 2 * by, 0).toLong +
+            raster.getSample(2 * bx + 1, 2 * by, 0) +
+            raster.getSample(2 * bx, 2 * by + 1, 0) +
+            raster.getSample(2 * bx + 1, 2 * by + 1, 0)
+          bits.append(if (bs * 64L >= total) '1' else '0')
+          bx += 1
+        }
+        by += 1
+      }
+      bits.toString
+    }
+
     /** Decode + nearest-neighbor resize to outSide×outSide, features
       * of the RESIZED image. The nearest kernel is the explicit index
       * map src = dst·W/out (floor) — hand-rolled rather than
@@ -387,6 +427,35 @@ object Multimodal {
           round(sum(col("frame_sum")).cast("double") /
             (count(lit(1)) * 64).cast("double"), 4).as("mean_intensity"))
         .orderBy(col("doc_id"), col("scene_id"))
+    }),
+
+    // PERCEPTUAL-HASH DEDUP — near-dup detection for IMAGES, the
+    // multimodal sibling of x01/x91: each payload renders to a real
+    // PNG, decodes through ImageIO, and hashes to the 64-bit aHash
+    // (2×2 block means vs the global mean, exact integers); images
+    // sharing a hash form a perceptual-dup cluster keyed by a
+    // constant-width string — one hash-groupBy shuffle, image bytes
+    // never shuffle. Non-vacuity: a brightness-shifted twin
+    // (every byte +10, id +5·10⁶) re-encodes to a DIFFERENT PNG —
+    // byte-exact dedup sees two files — but aHash is exactly
+    // invariant under a global shift (block_sum·64 and total move by
+    // the same 256·c), so every twin must collapse with its original.
+    "x94_phash_dedup" -> ((spark, sfDir) => {
+      import spark.implicits._
+      assertAsciiCorpus(spark, sfDir)
+      val assets = Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+      val twins = assets.mapPartitions(_.map(a =>
+        Asset(a.doc_id + 5000000L, a.blob.map(b => ((b & 0xff) + 10).toByte))))
+      assets.union(twins)
+        .mapPartitions(_.map(a =>
+          (a.doc_id, ImageCodec.aHashBits(ImageCodec.encodePng(a.blob)))))
+        .toDF("doc_id", "ahash")
+        .groupBy(col("ahash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+        .select(col("keep_id"), col("n_members"), col("ahash"))
+        .orderBy(col("keep_id"))
     })
   )
 
@@ -483,6 +552,26 @@ object Multimodal {
         "CAST(COUNT(*) AS BIGINT) AS n_frames, " +
         "ROUND(CAST(SUM(frame_sum) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE), 4) " +
         "AS mean_intensity " +
-        "FROM g GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id")
+        "FROM g GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id"),
+    // x94: pixel p = byte[p mod n] (+10 for the shifted twin), block
+    // b = (p÷16÷2)·8 + (p mod 16)÷2 — the same (by,bx) bit order the
+    // codec emits; exact-integer threshold block_sum·64 ≥ total
+    "x94_phash_dedup" ->
+      ("WITH d0 AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "u AS (SELECT doc_id, text, n, 0 AS shift FROM d0 " +
+        "UNION ALL SELECT doc_id + 5000000, text, n, 10 FROM d0), " +
+        "px AS (SELECT doc_id, CAST(p AS INTEGER) AS p, " +
+        "ord(substr(text, CAST(p % n AS INTEGER) + 1, 1)) + shift AS v " +
+        "FROM (SELECT doc_id, text, n, shift, unnest(range(256)) AS p FROM u)), " +
+        "tot AS (SELECT doc_id, SUM(v) AS t FROM px GROUP BY 1), " +
+        "blk AS (SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS b, " +
+        "SUM(v) AS bs FROM px GROUP BY 1, 2), " +
+        "bits AS (SELECT blk.doc_id, b, " +
+        "CASE WHEN bs * 64 >= t THEN '1' ELSE '0' END AS bit " +
+        "FROM blk JOIN tot USING (doc_id)), " +
+        "h AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS ahash " +
+        "FROM bits GROUP BY 1) " +
+        "SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_members, " +
+        "ahash FROM h GROUP BY ahash ORDER BY keep_id")
   )
 }

@@ -365,6 +365,25 @@ class ExtSpec extends SparkSpec {
     assert(f2.mean_byte == s.toDouble / 256)
   }
 
+  test("x94 aHash: brightness-shift invariant, structure-sensitive, matches a hand-computed hash") {
+    import graft.ext.{Multimodal => M}
+    def hash(bytes: Array[Byte]) = M.ImageCodec.aHashBits(M.ImageCodec.encodePng(bytes))
+    // payload whose image is top-half 10s / bottom-half 90s: pixels
+    // 0..127 = 10, 128..255 = 90 → blocks rows 0-3 dark, 4-7 bright
+    val half = Array.tabulate(256)(p => if (p < 128) 10.toByte else 90.toByte)
+    assert(hash(half) == "0" * 32 + "1" * 32, "hand-computed block layout")
+    // global brightness shift: every byte +10 → identical hash, while
+    // the encoded PNGs differ (what byte-exact dedup would compare)
+    val shifted = half.map(b => ((b & 0xff) + 10).toByte)
+    assert(hash(shifted) == hash(half), "aHash must ignore exposure shifts")
+    assert(!java.util.Arrays.equals(
+      M.ImageCodec.encodePng(half), M.ImageCodec.encodePng(shifted)),
+      "the twin must be a genuinely different file")
+    // structural change (halves swapped) flips every bit
+    val swapped = Array.tabulate(256)(p => if (p < 128) 90.toByte else 10.toByte)
+    assert(hash(swapped) == "1" * 32 + "0" * 32, "structure must move the hash")
+  }
+
   test("x23 nearest resize samples exactly the even-index pixels") {
     import graft.ext.{ImageFeatures, Multimodal => M}
     // payload [10, 200]: source pixel p = byte[p mod 2], so even pixel
