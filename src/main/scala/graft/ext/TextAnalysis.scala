@@ -119,6 +119,43 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Cross-source LM affinity matrix (x95): mean cross-entropy of
+    * each source's token stream under every OTHER source's add-one
+    * unigram model — the DSIR-style domain-similarity table that
+    * decides which corpora get upweighted toward a target domain.
+    * xent(a,b) = −Σ_w c_a(w)·ln P_b(w) / N_a with
+    * P_b(w) = (c_b(w)+1)/(N_b+V).
+    *
+    * The smoothing DECOMPOSES so absent words never need a join row:
+    * ln P_b = ln(c_b+1) − ln(N_b+V), and c_b = 0 ⇒ ln(c_b+1) = 0 —
+    * so xent(a,b) = ln(N_b+V) − Σ_shared c_a·ln(c_b+1)/N_a, where the
+    * Σ runs only over the words a and b SHARE: one inner equi-join of
+    * the (source, word, count) table with itself on the word, grouped
+    * to S² rows. A naive formulation would outer-join the full
+    * vocab × S² cross — this one shuffles a model-sized table once.
+    * The S×S spine is a broadcast cross of the per-source totals, so
+    * source pairs with no shared vocab still get their
+    * (maximally-distant) row. Float discipline: one double product
+    * per shared word + a 4 dp round (x34's tolerance argument).
+    */
+  def domainAffinity(df: DataFrame): DataFrame = {
+    val c = df.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ns = c.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val v = c.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    val shared = c.select(col("source").as("source_a"), col("w"), col("c").as("ca"))
+      .join(c.select(col("source").as("source_b"), col("w"), col("c").as("cb")), "w")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("ca") * log(col("cb").cast("double") + 1d)).as("s"))
+    ns.select(col("source").as("source_a"), col("n").as("na"))
+      .crossJoin(broadcast(ns.select(col("source").as("source_b"), col("n").as("nb"))))
+      .crossJoin(broadcast(v))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(log((col("nb") + col("v")).cast("double")) -
+          coalesce(col("s"), lit(0d)) / col("na"), 4).as("xent"))
+  }
+
   /** Per-doc mean BIGRAM log-probability under the corpus's own
     * add-one-smoothed order-2 model — x46's score, the sequence-aware
     * step up from [[unigramLogProb]]: word salad with a plausible
@@ -397,6 +434,12 @@ object TextAnalysis {
     // Order-2 LM quality score (see bigramLogProb scaladoc).
     "x46_bigram_logprob" -> ((spark, sfDir) =>
       bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
+
+    // Cross-source domain-affinity matrix (see domainAffinity
+    // scaladoc): S² rows of pairwise LM cross-entropy.
+    "x95_domain_affinity" -> ((spark, sfDir) =>
+      domainAffinity(docs(spark, sfDir).select(col("source"), col("text")))
+        .orderBy(col("source_a"), col("source_b"))),
 
     // RAG-STYLE SLIDING-WINDOW CHUNKING: cut each document into
     // overlapping 32-token chunks on a 24-token stride (8-token
@@ -898,6 +941,22 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same smoothing decomposition: xent(a,b) = ln(Nb+V) −
+    // Σ_shared ca·ln(cb+1)/Na — the inner join covers exactly the
+    // shared-vocab terms, absent words contribute ln(1) = 0
+    "x95_domain_affinity" ->
+      ("WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "c AS (SELECT source, w, COUNT(*) AS c FROM t GROUP BY 1, 2), " +
+        "ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), " +
+        "v AS (SELECT COUNT(DISTINCT w) AS v FROM c), " +
+        "j AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "SUM(a.c * LN(CAST(b.c AS DOUBLE) + 1)) AS s " +
+        "FROM c a JOIN c b USING (w) GROUP BY 1, 2) " +
+        "SELECT na.source AS source_a, nb.source AS source_b, " +
+        "ROUND(LN(CAST(nb.n + v AS DOUBLE)) - COALESCE(s, 0) / na.n, 4) AS xent " +
+        "FROM ns na CROSS JOIN ns nb CROSS JOIN v " +
+        "LEFT JOIN j ON j.source_a = na.source AND j.source_b = nb.source " +
+        "ORDER BY source_a, source_b"),
     // same chunk-count rule and 1-based inclusive list slicing
     "x35_doc_chunk" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

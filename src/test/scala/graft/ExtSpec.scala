@@ -667,6 +667,27 @@ class ExtSpec extends SparkSpec {
     assert(refs.length == 2 && refs.forall(_._5), "referential checks must pass")
   }
 
+  test("x95 domain affinity: S-squared rows, similar sources closer than disjoint ones, disjoint pair maximally distant") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("a", "cat dog cat dog bird"),
+      ("b", "dog cat bird cat dog"),      // same vocab profile as a
+      ("c", "proton neutron quark boson") // disjoint vocabulary
+    ).toDF("source", "text")
+    val got = graft.ext.TextAnalysis.domainAffinity(corpus)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got.size == 9, "expected the full S-squared matrix")
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite && v > 0))
+    // a's stream is cheap under b's model, expensive under c's
+    assert(got(("a", "b")) < got(("a", "c")),
+      s"similar pair must beat disjoint: ${got(("a", "b"))} vs ${got(("a", "c"))}")
+    // no shared vocab ⇒ the sum term vanishes: xent(a,c) = ln(Nc + V)
+    val v = 7 // cat dog bird proton neutron quark boson
+    assert(math.abs(got(("a", "c")) -
+      BigDecimal(math.log(4 + v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      "disjoint pair must reduce to ln(Nb + V)")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
