@@ -239,6 +239,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT pairs over the same capped shingle index
+    * as [[ngramJaccardPairs]]: C(inner, outer) = |S_in ∩ S_out| /
+    * |S_in| — the quote-inclusion / partial-copy detector. A short
+    * doc fully embedded in a long one has Jaccard ≈ |S_in|/|S_out|
+    * (arbitrarily small — invisible to x05's symmetric threshold) and
+    * is only a PREFIX case if the copy starts at token 1 (x74's
+    * contract); containment is ≈ 1 regardless of where the copy sits.
+    * Same one-join shape and hot-shingle cap; both directions of each
+    * unordered pair are tested, so the output is (inner_id, outer_id)
+    * ordered pairs with the inner's coverage fraction.
+    */
+  def containmentPairs(df: DataFrame, threshold: Double,
+      checkpoint: DataFrame => DataFrame = identity,
+      nDocs: Long = -1L): DataFrame = {
+    val sh0 = checkpoint(shingleTable(df))
+    val cap = math.max(50L, (if (nDocs >= 0L) nDocs else df.count()) / 100L)
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+      .filter(col("df_c") > cap).select(col("shingle"))
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val cont = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    val aInB = cont.filter(col("c").cast("double") / col("na") >= threshold)
+      .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+        round(col("c").cast("double") / col("na"), 4).as("containment"))
+    val bInA = cont.filter(col("c").cast("double") / col("nb") >= threshold)
+      .select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+        round(col("c").cast("double") / col("nb"), 4).as("containment"))
+    aInB.unionByName(bInA)
+  }
+
   /** Benchmark-contamination screen: for each corpus document, count
     * the distinct verbatim word n-grams it shares with ANY benchmark
     * document other than itself, and flag it when that count is
@@ -1015,6 +1051,19 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // ASYMMETRIC CONTAINMENT — the partial-copy detector (see
+    // containmentPairs scaladoc); shares x05's lake-checkpointed
+    // shingle artifact, so repeat invocations of either query read
+    // one parquet table. Threshold 0.9: the inner doc's capped
+    // shingle set must be ≥ 90% covered by the outer's. The corpus
+    // carries natural containment pairs (x74's truncation family is
+    // the prefix-positioned subset), so no injection is needed.
+    "x97_containment_dedup" -> ((spark, sfDir) =>
+      containmentPairs(docs(spark, sfDir), threshold = 0.9,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
+        .orderBy(col("inner_id"), col("outer_id"))),
+
     // FULL-PIPELINE COMPOSITION — the capstone: curation (quality
     // gates + near-dup survivor filter, x19) → stratified language
     // mix (x20's deterministic Weyl thresholds) → sequence-packing
@@ -1325,6 +1374,21 @@ object Dedup {
         "AS est_jaccard FROM p) " +
         "SELECT doc_a, doc_b, est_jaccard FROM v " +
         "WHERE est_jaccard >= 0.6 ORDER BY doc_a, doc_b"),
+    // same sh/inter/sz chain as x05 (the CTE body's `pairs` is unused
+    // here); both directions of each unordered pair tested, ratio of
+    // exact counts — one division + 4 dp
+    "x97_containment_dedup" ->
+      ("WITH " + NgramPairsCteBody +
+        ", cont AS (SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb " +
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a " +
+        "JOIN sz sb ON sb.doc_id = doc_b), " +
+        "d AS (SELECT doc_a AS inner_id, doc_b AS outer_id, " +
+        "ROUND(CAST(c AS DOUBLE) / na, 4) AS containment FROM cont " +
+        "WHERE CAST(c AS DOUBLE) / na >= 0.9 " +
+        "UNION ALL SELECT doc_b, doc_a, ROUND(CAST(c AS DOUBLE) / nb, 4) " +
+        "FROM cont WHERE CAST(c AS DOUBLE) / nb >= 0.9) " +
+        "SELECT inner_id, outer_id, containment FROM d " +
+        "ORDER BY inner_id, outer_id"),
     "x05_dedup_ngram_jaccard" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +

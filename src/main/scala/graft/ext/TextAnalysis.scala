@@ -351,6 +351,32 @@ object TextAnalysis {
             .as("bpe_tokens"))
         .orderBy(col("doc_id"))),
 
+    // TOKENIZER FERTILITY — the tokenizer-choice diagnostic a
+    // pretraining pipeline reports per source: how many BPE-ish
+    // tokens the tokenizer spends per word and per byte (fertility
+    // near 1 = vocabulary fits the corpus; high fertility = the
+    // source fragments into sub-word churn and its token budget
+    // buys fewer words). Pure map-side length arithmetic (x12's two
+    // tokenizers) rolled up with ONE partial-aggregated shuffle on
+    // source; exact integer sums, two 4 dp divisions at the end.
+    "x96_tokenizer_fertility" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("source"), length(col("text")).as("chars"),
+          size(tokens).as("ws"),
+          size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("chars").cast("long")).as("n_chars"),
+          sum(col("ws").cast("long")).as("ws_tokens"),
+          sum(col("bpe").cast("long")).as("bpe_tokens"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("ws_tokens"), col("bpe_tokens"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 4)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 4)
+            .as("bytes_per_token"))
+        .orderBy(col("source"))),
+
     // TF-IDF: term frequency per (doc, term) joined with document
     // frequency per term; idf = ln(N/df). Two hash aggregations plus
     // one equi-join on the term — partial-aggregatable all the way, no
@@ -847,6 +873,20 @@ object TextAnalysis {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens " +
         "FROM documents ORDER BY doc_id"),
+    // x12's two tokenizers rolled up per source; integer sums, the
+    // same two divisions at 4 dp
+    "x96_tokenizer_fertility" ->
+      ("WITH d AS (SELECT source, length(text) AS chars, " +
+        "len(string_split(text, ' ')) AS ws, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe " +
+        "FROM documents) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(chars) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(ws) AS BIGINT) AS ws_tokens, " +
+        "CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, " +
+        "ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 4) AS fertility, " +
+        "ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 4) AS bytes_per_token " +
+        "FROM d GROUP BY source ORDER BY source"),
     // exact BIGINT products, one division, one LN — x34's pattern;
     // CASTs pin DuckDB's HUGEINT widening back to BIGINT
     "x88_pmi_collocations" ->

@@ -239,6 +239,49 @@ object Views {
         .select(col("table_name"), col("check_name"), col("violations"),
           col("n_rows"), (col("violations") === 0L).as("passed"))
         .orderBy(col("table_name"), col("check_name"))
+    }),
+
+    // POPULATION-STABILITY-INDEX drift report — the distribution-level
+    // monitor next to p12's row-level expectations: per event_type,
+    // PSI = Σ_buckets (p_cur − p_ref)·ln(p_cur/p_ref) between the
+    // first 12 days (reference window) and the rest (current), over
+    // fixed width-10 value buckets with add-one smoothing on the FULL
+    // 50-bucket spine (so empty buckets are defined and the spine is
+    // engine-identical). PSI < 0.1 = stable, > 0.25 = retrain-grade
+    // drift — the standard ML-ops banding. Scale shape: one
+    // aggregate over (type, half, bucket) — ~type·100 rows — then
+    // spine joins and a per-type rollup; nothing event-sized ever
+    // shuffles twice. Float: 50 ln terms per type summed then
+    // rounded at 4 dp (x34's tolerance argument).
+    "x98_psi_drift" -> ((spark, sfDir) => {
+      val ev = Lake.table(spark, sfDir, "events")
+        .select(col("event_type"),
+          when(col("ts") < lit("2024-01-13").cast("timestamp"), lit("ref"))
+            .otherwise(lit("cur")).as("half"),
+          least(floor(col("value") / 10).cast("long"), lit(49L)).as("bucket"))
+      val cnt = ev.groupBy(col("event_type"), col("half"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(spark.range(0, 50).select(col("id").as("bucket")))
+      val wide = spine
+        .join(cnt.filter(col("half") === "ref")
+          .select(col("event_type"), col("bucket"), col("c").as("cr")),
+          Seq("event_type", "bucket"), "left")
+        .join(cnt.filter(col("half") === "cur")
+          .select(col("event_type"), col("bucket"), col("c").as("cc")),
+          Seq("event_type", "bucket"), "left")
+        .na.fill(0L, Seq("cr", "cc"))
+      val tot = wide.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+      val pc = (col("cc") + 1).cast("double") / (col("nc") + 50).cast("double")
+      val pr = (col("cr") + 1).cast("double") / (col("nr") + 50).cast("double")
+      wide.join(broadcast(tot), "event_type")
+        .groupBy(col("event_type"))
+        .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+          round(sum((pc - pr) * log(pc / pr)), 4).as("psi"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
+          (col("psi") < 0.1).as("stable"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -345,6 +388,29 @@ object Views {
         "SELECT table_name, check_name, CAST(violations AS BIGINT) AS violations, " +
         "CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed " +
         "FROM r ORDER BY table_name, check_name"),
+    // same fixed 50-bucket spine, add-one smoothing and per-type
+    // rollup; COALESCE mirrors na.fill, CASTs pin the double division
+    "x98_psi_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 'ref' ELSE 'cur' END AS half, " +
+        "LEAST(CAST(FLOOR(value / 10) AS BIGINT), 49) AS bucket FROM events), " +
+        "cnt AS (SELECT event_type, half, bucket, COUNT(*) AS c FROM ev GROUP BY 1, 2, 3), " +
+        "spine AS (SELECT DISTINCT event_type, b AS bucket FROM ev, " +
+        "(SELECT unnest(range(50)) AS b)), " +
+        "w AS (SELECT s.event_type, s.bucket, " +
+        "COALESCE(r.c, 0) AS cr, COALESCE(u.c, 0) AS cc FROM spine s " +
+        "LEFT JOIN cnt r ON r.event_type = s.event_type AND r.bucket = s.bucket AND r.half = 'ref' " +
+        "LEFT JOIN cnt u ON u.event_type = s.event_type AND u.bucket = s.bucket AND u.half = 'cur'), " +
+        "tot AS (SELECT event_type, CAST(SUM(cr) AS BIGINT) AS nr, " +
+        "CAST(SUM(cc) AS BIGINT) AS nc FROM w GROUP BY 1), " +
+        "f AS (SELECT w.event_type, nr, nc, " +
+        "(cc + 1) / CAST(nc + 50 AS DOUBLE) AS pc, " +
+        "(cr + 1) / CAST(nr + 50 AS DOUBLE) AS pr " +
+        "FROM w JOIN tot USING (event_type)) " +
+        "SELECT event_type, nr AS n_ref, nc AS n_cur, " +
+        "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) AS psi, " +
+        "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) < 0.1 AS stable " +
+        "FROM f GROUP BY event_type, nr, nc ORDER BY event_type"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum
     // goes through the same exact decimal accumulation as the Spark

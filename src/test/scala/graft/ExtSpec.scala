@@ -688,6 +688,64 @@ class ExtSpec extends SparkSpec {
       "disjoint pair must reduce to ln(Nb + V)")
   }
 
+  test("x96 fertility: BPE fragmentation and byte costs computed from exact sums (handcrafted source)") {
+    import spark.implicits._
+    // "ab1 cd!" → 2 whitespace tokens; BPE-ish regex yields ab|1|cd|! = 4
+    val corpus = Seq(("s1", "ab1 cd!"), ("s1", "xy zz"), ("s2", "plain words here"))
+      .toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    // route through the same aggregate the query runs (source+text only)
+    val got = graft.ext.TextAnalysis.queries("x96_tokenizer_fertility")
+    // direct expectation math on s1: chars 7+5=12, ws 2+2=4, bpe 4+2=6
+    val rows = corpus.select(col("source"), length(col("text")).as("chars"),
+        size(split(col("text"), " ")).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe"))
+      .groupBy(col("source"))
+      .agg(sum("chars").as("c"), sum("ws").as("w"), sum("bpe").as("b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("s1") == ((12L, 4L, 6L)), s"got ${rows("s1")}")
+    assert(rows("s2") == ((16L, 3L, 3L)))
+    // and the registered query over the real corpus: fertility ≥ 1
+    // (the regex never merges across whitespace), ratios consistent
+    val real = got(spark, SfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getDouble(5) >= 1.0, s"${r.getString(0)}: fertility < 1")
+      assert(r.getLong(4) >= r.getLong(3), "bpe_tokens must be >= ws_tokens")
+    }
+  }
+
+  test("x97 containment: mid-document embedding found at 1.0 where jaccard and prefix dedup both miss") {
+    import spark.implicits._
+    val t = (1 to 20).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, t.mkString(" ")),                 // the long doc
+      (2L, t.slice(5, 15).mkString(" ")),    // tokens 6..15: MID-document copy
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9")     // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 2's 8 shingles are all among doc 1's 18 → containment 1.0;
+    // jaccard = 8/18 ≈ 0.44 (under x05's 0.5) and doc 2 is not a
+    // prefix (x74 blind) — exactly the case this operator exists for
+    assert(got == Set((2L, 1L, 1.0)), s"got $got")
+    // symmetric direction correctly absent: 1-in-2 coverage is 8/18
+  }
+
+  test("x98 PSI drift: per-type report with non-negative PSI, stable flag mirrors the 0.1 band, totals partition the table") {
+    val rows = graft.pipeline.Views.queries("x98_psi_drift")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nr, nc, psi, stable) =>
+      assert(psi >= 0.0, s"$t: PSI is a divergence, must be >= 0")
+      assert(stable == (psi < 0.1), s"$t: stable flag must mirror the band")
+      assert(nr > 0 && nc > 0, s"$t: both windows must be populated")
+    }
+    val total = rows.map(r => r._2 + r._3).sum
+    val events = graft.sources.Lake.table(spark, SfDir, "events").count()
+    assert(total == events, "ref + cur must partition the event table")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
