@@ -214,6 +214,42 @@ object Sampling {
         .orderBy(col("pos"))
     }),
 
+    // DATA-RECIPE SOLVER — the token-budget allocation a pretraining
+    // run is configured from: give each language an equal share of
+    // an 80%-of-corpus token budget, CAP any language at what it
+    // actually has, and water-fill the freed budget into the
+    // languages with headroom, proportional to that headroom. Two
+    // unrolled rounds = a static job graph (x69's discipline); all
+    // arithmetic is exact integer (DIV), so the recipe is
+    // reproducible to the token. On the provisioned corpus the
+    // budget binds: the four minority languages cap and their excess
+    // water-fills into en — the report must show both regimes.
+    // Scale shape: everything after the one per-lang aggregate runs
+    // on an alphabet-sized frame with broadcast 1-row scalars.
+    "x99_data_recipe" -> ((spark, sfDir) => {
+      val avail = docs(spark, sfDir)
+        .select(col("lang"), size(split(col("text"), " ")).as("t"))
+        .groupBy(col("lang")).agg(sum(col("t").cast("long")).as("avail"))
+      val tot = avail.agg(sum(col("avail")).as("total"),
+        count(lit(1)).as("s"))
+      val base = avail.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total * 4 DIV 5"))
+        .withColumn("share1", expr("budget DIV s"))
+        .withColumn("alloc1", least(col("avail"), col("share1")))
+      val agg2 = base.agg(sum(col("alloc1")).as("sum1"),
+        sum(col("avail") - col("alloc1")).as("headsum"))
+      base.crossJoin(broadcast(agg2))
+        .withColumn("deficit", col("budget") - col("sum1"))
+        .withColumn("extra", when(col("headsum") > 0,
+          expr("deficit * (avail - alloc1) DIV headsum")).otherwise(lit(0L)))
+        .select(col("lang"), col("avail").as("avail_tokens"),
+          (col("alloc1") + col("extra")).as("alloc_tokens"),
+          (col("avail") <= col("share1")).as("capped"),
+          round((col("alloc1") + col("extra")).cast("double") / col("avail"), 4)
+            .as("fill_ratio"))
+        .orderBy(col("lang"))
+    }),
+
     // Domain mixing with DATA-DERIVED rates: downsample every language
     // to (approximately) the rarest language's document count — the
     // "equalize the mixture" step, where x20's rates are constants and
@@ -564,6 +600,25 @@ object Sampling {
         "CAST(rn - 1 AS BIGINT) AS pos FROM (" +
         s"SELECT doc_id, ROW_NUMBER() OVER (ORDER BY (doc_id * $HashMul) % $HashMod) AS rn " +
         "FROM documents) t ORDER BY doc_id"),
+    // same two unrolled water-fill rounds; // is DuckDB's integral
+    // division (operands positive, so it agrees with Spark's DIV)
+    "x99_data_recipe" ->
+      ("WITH a AS (SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(avail) AS BIGINT) AS total, COUNT(*) AS s FROM a), " +
+        "b AS (SELECT lang, avail, total * 4 // 5 AS budget, " +
+        "(total * 4 // 5) // s AS share1, " +
+        "LEAST(avail, (total * 4 // 5) // s) AS alloc1 FROM a, t), " +
+        "g AS (SELECT CAST(SUM(alloc1) AS BIGINT) AS sum1, " +
+        "CAST(SUM(avail - alloc1) AS BIGINT) AS headsum FROM b) " +
+        "SELECT lang, avail AS avail_tokens, " +
+        "CAST(alloc1 + CASE WHEN headsum > 0 THEN " +
+        "(budget - sum1) * (avail - alloc1) // headsum ELSE 0 END AS BIGINT) " +
+        "AS alloc_tokens, avail <= share1 AS capped, " +
+        "ROUND(CAST(alloc1 + CASE WHEN headsum > 0 THEN " +
+        "(budget - sum1) * (avail - alloc1) // headsum ELSE 0 END AS DOUBLE) " +
+        "/ avail, 4) AS fill_ratio " +
+        "FROM b, g ORDER BY lang"),
     // the oracle ranks with a plain per-source window (fine at oracle
     // scale) — rank by (n_chars, doc_id) ≡ Spark's packed-long scan
     "x93_curriculum_interleave" ->

@@ -746,6 +746,27 @@ class ExtSpec extends SparkSpec {
     assert(total == events, "ref + cur must partition the event table")
   }
 
+  test("x99 data recipe: capped languages take all they have, water-fill conserves the budget, both regimes present") {
+    val rows = Sampling.queries("x99_data_recipe")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val s = rows.length
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail * 4 / 5
+    rows.foreach { case (lang, avail, alloc, capped, fill) =>
+      assert(alloc <= avail, s"$lang: cannot allocate more than exists")
+      if (capped) {
+        assert(alloc == avail && fill == 1.0, s"$lang: a capped language takes everything it has")
+      } else assert(fill < 1.0, s"$lang: uncapped must have headroom left")
+    }
+    // exact-integer water-fill: the floor divisions drop < s tokens
+    val allocated = rows.map(_._3).sum
+    assert(allocated <= budget && budget - allocated < s.toLong * 2,
+      s"budget conservation: $allocated of $budget")
+    // the provisioned skew exercises both regimes
+    assert(rows.exists(_._4) && rows.exists(!_._4), "need capped AND water-filled rows")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
