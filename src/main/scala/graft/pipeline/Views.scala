@@ -253,37 +253,52 @@ object Views {
     // spine joins and a per-type rollup; nothing event-sized ever
     // shuffles twice. Float: 50 ln terms per type summed then
     // rounded at 4 dp (x34's tolerance argument).
-    "x98_psi_drift" -> ((spark, sfDir) => {
-      val ev = Lake.table(spark, sfDir, "events")
-        .select(col("event_type"),
-          when(col("ts") < lit("2024-01-13").cast("timestamp"), lit("ref"))
-            .otherwise(lit("cur")).as("half"),
-          least(floor(col("value") / 10).cast("long"), lit(49L)).as("bucket"))
-      val cnt = ev.groupBy(col("event_type"), col("half"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-      val spine = ev.select(col("event_type")).distinct()
-        .crossJoin(spark.range(0, 50).select(col("id").as("bucket")))
-      val wide = spine
-        .join(cnt.filter(col("half") === "ref")
-          .select(col("event_type"), col("bucket"), col("c").as("cr")),
-          Seq("event_type", "bucket"), "left")
-        .join(cnt.filter(col("half") === "cur")
-          .select(col("event_type"), col("bucket"), col("c").as("cc")),
-          Seq("event_type", "bucket"), "left")
-        .na.fill(0L, Seq("cr", "cc"))
-      val tot = wide.groupBy(col("event_type"))
-        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
-      val pc = (col("cc") + 1).cast("double") / (col("nc") + 50).cast("double")
-      val pr = (col("cr") + 1).cast("double") / (col("nr") + 50).cast("double")
-      wide.join(broadcast(tot), "event_type")
-        .groupBy(col("event_type"))
-        .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
-          round(sum((pc - pr) * log(pc / pr)), 4).as("psi"))
-        .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
-          (col("psi") < 0.1).as("stable"))
-        .orderBy(col("event_type"))
-    })
+    "x98_psi_drift" -> ((spark, sfDir) =>
+      psiReport(spark, psiHalfCounts(Lake.table(spark, sfDir, "events")))
+        .orderBy(col("event_type")))
   )
+
+  /** The (event_type, half, bucket) bucketing x98 and the s15
+    * streaming monitor share: ref = the first 12 days, cur = the
+    * rest, fixed width-10 value buckets clamped to the 50-bucket
+    * spine. Per-(type, half, bucket) counts are ADDITIVE, which is
+    * what lets s15 maintain the cur side incrementally.
+    */
+  def psiHalfCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        when(col("ts") < lit("2024-01-13").cast("timestamp"), lit("ref"))
+          .otherwise(lit("cur")).as("half"),
+        least(floor(col("value") / 10).cast("long"), lit(49L)).as("bucket"))
+      .groupBy(col("event_type"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** x98's report stage (shared with s15): PSI per event_type from a
+    * (event_type, half, bucket, c) count frame, add-one smoothed on
+    * the full 50-bucket spine so empty buckets are defined and the
+    * spine is engine-identical.
+    */
+  def psiReport(spark: SparkSession, cnt: DataFrame): DataFrame = {
+    val spine = cnt.select(col("event_type")).distinct()
+      .crossJoin(spark.range(0, 50).select(col("id").as("bucket")))
+    val wide = spine
+      .join(cnt.filter(col("half") === "ref")
+        .select(col("event_type"), col("bucket"), col("c").as("cr")),
+        Seq("event_type", "bucket"), "left")
+      .join(cnt.filter(col("half") === "cur")
+        .select(col("event_type"), col("bucket"), col("c").as("cc")),
+        Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+    val tot = wide.groupBy(col("event_type"))
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val pc = (col("cc") + 1).cast("double") / (col("nc") + 50).cast("double")
+    val pr = (col("cr") + 1).cast("double") / (col("nr") + 50).cast("double")
+    wide.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        round(sum((pc - pr) * log(pc / pr)), 4).as("psi"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("psi"),
+        (col("psi") < 0.1).as("stable"))
+  }
 
   /** p12's one-pass event-check aggregate (shared with the s14
     * streaming maintainer): ONE row with the event row count and the

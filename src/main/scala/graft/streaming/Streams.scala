@@ -675,6 +675,72 @@ object Streams {
       .orderBy(col("check_name"))
   }
 
+  /** s15: streaming drift monitoring — x98's PSI report with its
+    * CURRENT window maintained incrementally: each microbatch's
+    * current-period events bucket into (event_type, bucket) counts
+    * that merge ADDITIVELY into the maintained histogram (s12's IVM
+    * case on the x98 state — per-(type,bucket) counts are additive
+    * by construction, see [[graft.pipeline.Views.psiHalfCounts]]);
+    * the readout feeds that maintained state plus the static
+    * reference histogram (the s09 stream-static pattern — the
+    * 12-day reference is a frozen batch artifact, not stream state)
+    * through the SHARED [[graft.pipeline.Views.psiReport]] stage.
+    * Oracled ≡ batch x98 — the IVM contract as frame equality: the
+    * drift monitor a pipeline leaves running gives exactly the
+    * report the batch job would compute. Per batch at scale: one
+    * bucket-aggregate of the batch (≤ type·50 rows out), one
+    * full-outer merge over the histogram-sized state.
+    */
+  def foreachBatchPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s15_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/hist_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.pipeline.Views.psiHalfCounts(batch.toDF())
+            .filter(col("half") === "cur")
+            .select(col("event_type"), col("bucket"), col("c"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("event_type", "bucket"), "full_outer")
+                .select(col("event_type"), col("bucket"),
+                  (coalesce(p("c"), lit(0L)) +
+                    coalesce(delta("c"), lit(0L))).as("c"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cur = spark.read.parquet(latest.getOrElse(
+      sys.error("s15: stream produced no batches")))
+      .withColumn("half", lit("cur"))
+    val ref = graft.pipeline.Views
+      .psiHalfCounts(Lake.table(spark, sfDir, "events"))
+      .filter(col("half") === "ref")
+    graft.pipeline.Views.psiReport(spark,
+        cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
+          .unionByName(ref))
+      .orderBy(col("event_type"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -799,6 +865,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchDegrees(spark, sfDir)),
     "s14_stream_dq_maintain" ->
       ((spark, sfDir) => foreachBatchDq(spark, sfDir)),
+    "s15_stream_psi_monitor" ->
+      ((spark, sfDir) => foreachBatchPsi(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -871,6 +939,9 @@ object Streams {
         "CAST(violations AS BIGINT) AS violations, " +
         "CAST(n_rows AS BIGINT) AS n_rows, violations = 0 AS passed " +
         "FROM r ORDER BY check_name"),
+    // the IVM contract verbatim: maintained current histogram + static
+    // reference through the shared report stage ≡ batch x98
+    "s15_stream_psi_monitor" -> graft.pipeline.Views.oracles("x98_psi_drift"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

@@ -303,4 +303,19 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       s"streamed DQ counters diverge from batch p12:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
+
+  test("streaming PSI monitor equals batch x98 across a multi-batch run (s15)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val streamed = graft.streaming.Streams.foreachBatchPsi(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s15_$tag")
+      .listFiles().count(_.getName.startsWith("hist_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x98_psi_drift")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed PSI diverges from batch x98:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
 }
