@@ -569,6 +569,45 @@ object Similarity {
         .limit(10)
     }),
 
+    // QUANTIZED RERANK — exact-integer scoring over GLOBALLY
+    // quantized codes (x22 quantizes per-vector for storage stats;
+    // comparable dot products need one corpus-wide grid): vectors
+    // snap to 0..255 ints on a broadcast (min, max) grid, and the
+    // [[graft.functions.IntDotProduct]] native expression scores
+    // candidates against 3 broadcast query codes in pure long
+    // arithmetic — the ONE vector kernel whose scores hash-oracle
+    // with no rounding contract, because integer sums are
+    // accumulation-order independent (the float kernels all carry a
+    // 4 dp tolerance argument). Top-5 per query via a |Q|-partition
+    // window (x07's determinism contract, vec_id tiebreak). This is
+    // the memory-bound rerank step an int8 ANN deployment runs: 4×
+    // less bandwidth than float32, scan + broadcast join + bounded
+    // window at any corpus size.
+    "x100_quantized_rerank" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val qe = e.crossJoin(bounds)
+        .select(col("vec_id"), col("label"),
+          transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("int")).as("q"))
+      val queries = broadcast(qe.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("q").as("qq")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("score"), col("vec_id"))
+      qe.filter(col("vec_id") >= 3)
+        .join(queries)
+        .select(col("query_id"), col("vec_id"), col("label"),
+          graft.functions.VectorExpressions.dotIntNative(col("q"), col("qq"))
+            .as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id"), col("label"), col("score"))
+        .orderBy(col("query_id"), desc("score"), col("vec_id"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training sibling of x07:
     // for each anchor (vec_id < 5), the top-3 most-cosine-similar
     // vectors carrying a DIFFERENT label (confusable-but-wrong
@@ -911,6 +950,24 @@ object Similarity {
     // catch it. x08/x09/x16/x29 stay rows-only: their candidate SETS
     // depend on engine-specific hash/random projections, not just
     // float rounding.
+    // exact integer scores — no rounding contract at all: the global
+    // grid is two scalar aggregates, per-element quantization is the
+    // same short IEEE chain both engines evaluate identically (x22's
+    // precedent), and every score is a BIGINT sum of int products
+    "x100_quantized_rerank" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, label, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "qq AS (SELECT vec_id AS query_id, qv AS qvec FROM q WHERE vec_id < 3), " +
+        "s AS (SELECT query_id, q.vec_id, q.label, " +
+        "CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qvec[i])) AS BIGINT) AS score " +
+        "FROM q, qq WHERE q.vec_id >= 3), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY score DESC, vec_id) AS rk FROM s) " +
+        "SELECT query_id, vec_id, label, score FROM r WHERE rk <= 5 " +
+        "ORDER BY query_id, score DESC, vec_id"),
     "x07_cosine_topk" ->
       ("WITH e AS (SELECT vec_id, label, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

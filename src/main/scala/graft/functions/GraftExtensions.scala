@@ -49,8 +49,20 @@ object GraftExtensions {
         SquaredL2Distance(args.head, args(1))
       })
 
+  /** (name, info, builder) row for `dot_i` — the exact-integer
+    * [[IntDotProduct]] expression (the quantized-rerank kernel).
+    */
+  val dotIEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_i"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "dot_i"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"dot_i takes exactly 2 arguments, got ${args.length}")
+        IntDotProduct(args.head, args(1))
+      })
+
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(cosineSimEntry, sqL2Entry)
+    Seq(cosineSimEntry, sqL2Entry, dotIEntry)
 
   /** Registers the library's native functions in an existing session's
     * function registry (no-op when already present, so every engine

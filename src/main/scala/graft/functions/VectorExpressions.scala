@@ -42,6 +42,19 @@ object VectorExpressions {
       SquaredL2Distance(
         GraftExpressionBridge.expression(a),
         GraftExpressionBridge.expression(b)))
+
+  /** Fused EXACT integer dot product Σaᵢ·bᵢ over two array<int>
+    * columns — the scoring kernel for QUANTIZED embeddings (x22's
+    * int8-style codes): every product and the sum stay in long
+    * arithmetic, so unlike the float kernels the result is
+    * accumulation-order independent and hash-oracles with no
+    * rounding contract at all.
+    */
+  def dotIntNative(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      IntDotProduct(
+        GraftExpressionBridge.expression(a),
+        GraftExpressionBridge.expression(b)))
 }
 
 /** Scalar cosine similarity; null-safe on the array level (null array →
@@ -223,6 +236,81 @@ case class SquaredL2Distance(left: Expression, right: Expression)
          |  }
          |  if (!${ev.isNull}) {
          |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product over two array<int> columns with the
+  * file's shared NULL contract (null array, length mismatch, or any
+  * null element → NULL). All arithmetic is long: with int inputs the
+  * per-element product is ≤ 2⁶² in magnitude and quantized-code
+  * vectors (0..255, dims ≤ 2³¹) cannot overflow the running sum —
+  * which is what makes this the one vector kernel whose results
+  * hash-oracle EXACTLY, with no rounding contract.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_i"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $dot += (long) $a.getInt($i) * $b.getInt($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
          |  }
          |}
        """.stripMargin

@@ -182,4 +182,33 @@ class FunctionsSpec extends SparkSpec {
         "cosine_sim(array(1.0D), array(1.0D)) AS c").collect()(0)
     assert(r.getDouble(0) == 25.0 && r.getDouble(1) == 1.0)
   }
+
+  test("native dot_i: exact long products, codegen == interpreted, NULL contract, SQL registration") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1, 2, 3), Array(4, 5, 6)),                     // 4+10+18 = 32
+      (2L, Array(255, 255), Array(255, 255)),                   // 130050 — int² territory
+      (3L, Array(Int.MaxValue, 1), Array(Int.MaxValue, 0))      // needs long products
+    ).toDF("id", "a", "b")
+    def run(): Map[Long, Long] = df
+      .select(col("id"), VectorExpressions.dotIntNative(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 32L, 2L -> 130050L,
+      3L -> Int.MaxValue.toLong * Int.MaxValue)
+    assert(run() == expected)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == expected, "interpreted eval must agree with codegen")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // NULL contract: length mismatch and null element
+    val mism = Seq((Array(1, 2), Array(1))).toDF("a", "b")
+      .select(VectorExpressions.dotIntNative(col("a"), col("b"))).collect()(0)
+    assert(mism.isNullAt(0), "length mismatch must be NULL")
+    val ne = Seq((Seq[Integer](1, null), Seq[Integer](1, 2))).toDF("a", "b")
+      .select(VectorExpressions.dotIntNative(col("a"), col("b"))).collect()(0)
+    assert(ne.isNullAt(0), "null element must null the product")
+    // SQL dialect surface
+    GraftExtensions.ensureRegistered(spark)
+    val r = spark.sql("SELECT dot_i(array(1, 2), array(3, 4)) AS d").collect()(0)
+    assert(r.getLong(0) == 11L)
+  }
 }
