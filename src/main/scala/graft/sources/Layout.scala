@@ -191,6 +191,42 @@ object Layout {
     affected
   }
 
+  /** Write-audit-publish (the Iceberg/Netflix WAP pattern): a
+    * snapshot is WRITTEN to an invisible staging directory, the
+    * audit gate runs against the STAGED FILES (what readers would
+    * actually see — auditing the in-memory frame would miss a broken
+    * write), and only a passing snapshot is RENAMED into the
+    * published location — a metadata-only atomic swap, so readers
+    * see the old snapshot or the new one, never a half-write. A
+    * failing audit deletes the staging dir and leaves the published
+    * snapshot untouched: the gate's whole contract is that bad data
+    * is structurally unable to reach consumers. The audit decision
+    * is one driver-collected row off a 1-row aggregate (p07's
+    * precedent) — the data itself never leaves executors.
+    *
+    * Returns true iff the snapshot was published. `audit` maps the
+    * staged frame to a 1-row frame with a boolean `ok` column.
+    */
+  def writeAuditPublish(spark: SparkSession, snapshot: DataFrame,
+      base: String, audit: DataFrame => DataFrame): Boolean = {
+    val stagePath = s"$base/_staging"
+    val pubPath = s"$base/published"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    snapshot.write.mode("overwrite").parquet(stagePath)
+    val staged = spark.read.parquet(stagePath)
+    val ok = audit(staged).collect()(0).getBoolean(0)
+    if (ok) {
+      fs.delete(new org.apache.hadoop.fs.Path(pubPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(stagePath),
+        new org.apache.hadoop.fs.Path(pubPath))
+    } else {
+      fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    }
+    ok
+  }
+
   /** Snapshot reconciliation — the lake-ops audit step behind every
     * MERGE/refresh job (p02/p05/s10): given two versions of a keyed
     * table, report what changed. Rows are `added` (key only in new),
@@ -374,6 +410,34 @@ object Layout {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("day"))
+    }),
+
+    // WRITE-AUDIT-PUBLISH — the publication gate itself (see
+    // writeAuditPublish scaladoc): the daily-rollup snapshot stages,
+    // is audited ON ITS STAGED FILES with p12-style expectations
+    // (non-empty, no null day, positive counts, user cardinality
+    // bounded by event count), and only then swaps into the
+    // published path; the query's result is a read of the PUBLISHED
+    // location — the oracle match proves the gate let exactly the
+    // right data through. The audit-failure path (publish refused,
+    // previous snapshot intact) is pinned by a LayoutSpec test.
+    "p13_wap_publish" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val base = s"/tmp/graft-views/wap_$hash"
+      val snap = Lake.table(spark, sfDir, "events")
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val published = writeAuditPublish(spark, snap, base, staged =>
+        staged.agg((count(lit(1)) > 0 &&
+          sum(when(col("day").isNull, 1L).otherwise(0L)) === 0 &&
+          sum(when(col("n_events") <= 0, 1L).otherwise(0L)) === 0 &&
+          sum(when(col("n_users") > col("n_events"), 1L).otherwise(0L)) === 0)
+          .as("ok")))
+      require(published, "p13: the healthy snapshot must pass its audit")
+      spark.read.parquet(s"$base/published")
+        .orderBy(col("day"), col("event_type"))
     })
   )
 
@@ -384,6 +448,12 @@ object Layout {
         "COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
         "FROM events WHERE user_id IS DISTINCT FROM 7 " +
         "GROUP BY 1 ORDER BY 1"),
+    // the published snapshot ≡ the rollup computed directly from
+    // events — the WAP gate is pass-through for healthy data
+    "p13_wap_publish" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, " +
+        "COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
     // the two SURVIVING generations recomputed from raw events
     "p10_snapshot_retention" ->
       ("SELECT v, n_events, n_users FROM (" +

@@ -196,4 +196,32 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(vs == Set(3, 4), s"got $vs")
   }
+
+  test("write-audit-publish: passing snapshot swaps in atomically, failing audit cannot touch the published data (p13)") {
+    import spark.implicits._
+    import graft.sources.Layout
+    val base = "/tmp/graft-views/wap_spec"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val audit = (staged: org.apache.spark.sql.DataFrame) =>
+      staged.agg((count(lit(1)) > 0 &&
+        sum(when(col("day").isNull, 1L).otherwise(0L)) === 0).as("ok"))
+    // generation 1: healthy snapshot publishes
+    val good = Seq(("2024-01-01", 10L), ("2024-01-02", 20L)).toDF("day", "n")
+    assert(Layout.writeAuditPublish(spark, good, base, audit), "healthy must publish")
+    val pub1 = spark.read.parquet(s"$base/published")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pub1 == Set(("2024-01-01", 10L), ("2024-01-02", 20L)))
+    // generation 2: poisoned snapshot (null day) — audit must refuse,
+    // and generation 1 must remain byte-visible to readers
+    val bad = Seq((null: String, 99L)).toDF("day", "n")
+    assert(!Layout.writeAuditPublish(spark, bad, base, audit), "poisoned must not publish")
+    val pubAfter = spark.read.parquet(s"$base/published")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pubAfter == pub1, "failed audit must leave the published snapshot untouched")
+    // the staging residue is cleaned up either way
+    assert(!new java.io.File(s"$base/_staging").exists(), "staging must not linger")
+  }
 }
