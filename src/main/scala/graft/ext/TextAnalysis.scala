@@ -119,6 +119,57 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** Misra-Gries heavy hitters with an exact verify pass (x101): the
+    * bounded-state answer to "top-k frequent tokens" that a full
+    * token-frequency shuffle cannot give at 100 TB vocabulary scale.
+    *
+    * Pass 1 runs the classic Misra-Gries summary INSIDE each
+    * partition with a fixed counter budget m — O(m) memory per task
+    * regardless of vocabulary size — and emits only the surviving
+    * candidates. The pigeonhole guarantee composes across partitions:
+    * any token with global frequency > N/m must exceed n_p/m in at
+    * least one partition it appears in, so it survives somewhere and
+    * the union of survivors is a SUPERSET of every (N/m)-heavy
+    * token. Pass 2 then computes EXACT counts for candidates only
+    * (a broadcast semi-join — candidate set ≤ m·partitions rows, vs
+    * the full vocabulary) and takes the true top-k.
+    *
+    * The final output is partition-INDEPENDENT even though the
+    * candidate set is not: as long as the guarantee covers the k-th
+    * count (top-k counts > N/m — asserted by the caller's choice of
+    * m), exact counting of any candidate superset yields the same
+    * top-k. That invariant is what the unit test pins under
+    * adversarial partitionings.
+    */
+  def heavyHitters(df: DataFrame, m: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(split(col("text"), " ")).as("t")).as[String]
+    val candidates = toks.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < m) counters(t) = 1L
+        else {
+          // decrement-all: drop every counter by 1, evict zeros
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val v = counters(key) - 1L
+            if (v == 0L) dead += key else counters(key) = v
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("t").distinct()
+    toks.toDF("t")
+      .join(broadcast(candidates), "t")
+      .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("t"))
+      .limit(k)
+      .select(col("t").as("token"), col("freq"))
+  }
+
   /** Cross-source LM affinity matrix (x95): mean cross-entropy of
     * each source's token stream under every OTHER source's add-one
     * unigram model — the DSIR-style domain-similarity table that
@@ -466,6 +517,16 @@ object TextAnalysis {
     "x95_domain_affinity" -> ((spark, sfDir) =>
       domainAffinity(docs(spark, sfDir).select(col("source"), col("text")))
         .orderBy(col("source_a"), col("source_b"))),
+
+    // Bounded-state top-10 frequent tokens (see heavyHitters
+    // scaladoc): m = 200 comfortably covers the corpus vocabulary's
+    // flattest plausible distribution (every token's frequency is
+    // ≈ N/|V| with |V| ≪ 200, so top-10 counts far exceed N/200 and
+    // the Misra-Gries superset guarantee makes the exact pass
+    // partition-independent).
+    "x101_heavy_hitters" -> ((spark, sfDir) =>
+      heavyHitters(docs(spark, sfDir), m = 200, k = 10)
+        .orderBy(desc("freq"), col("token"))),
 
     // RAG-STYLE SLIDING-WINDOW CHUNKING: cut each document into
     // overlapping 32-token chunks on a 24-token stride (8-token
@@ -981,6 +1042,13 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // the oracle is the brute-force ground truth: exact counts over
+    // the FULL vocabulary — matching it is precisely the claim that
+    // the bounded-state candidate pass lost nothing in the top-10
+    "x101_heavy_hitters" ->
+      ("SELECT t AS token, COUNT(*) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "GROUP BY t ORDER BY freq DESC, token LIMIT 10"),
     // same smoothing decomposition: xent(a,b) = ln(Nb+V) −
     // Σ_shared ca·ln(cb+1)/Na — the inner join covers exactly the
     // shared-vocab terms, absent words contribute ln(1) = 0

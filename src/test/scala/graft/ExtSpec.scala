@@ -767,6 +767,25 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4), "need capped AND water-filled rows")
   }
 
+  test("x101 heavy hitters: the guaranteed-regime token survives a tiny budget under every partitioning, with its exact count") {
+    import spark.implicits._
+    // one token above the N/m guarantee line ('hot': 60 > 145/4),
+    // drowned in a distinct-token tail that fires decrement-all
+    // constantly — the adversarial case the pigeonhole argument is
+    // for. Tokens BELOW the line carry no survival promise, so the
+    // pinned contract is exactly k = 1.
+    val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 60).map(i => s"tail$i")
+    for (parts <- Seq(1, 3, 8)) {
+      val corpus = words.toDF("text").repartition(parts)
+      val got = TextAnalysis.heavyHitters(corpus, m = 4, k = 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // pass 2 is exact: the winner carries its TRUE count, not the
+      // decremented sketch residue
+      assert(got == Seq(("hot", 60L)), s"parts=$parts: got $got")
+    }
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
