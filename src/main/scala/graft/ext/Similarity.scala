@@ -608,6 +608,59 @@ object Similarity {
         .orderBy(col("query_id"), desc("score"), col("vec_id"))
     }),
 
+    // MMR DIVERSIFIED RETRIEVAL — the redundancy-aware rerank on top
+    // of x100's exact-integer kernel: greedy maximal-marginal-
+    // relevance picks 3 of the query's top-6 candidates, each round
+    // maximizing 2·MMR = rel − max_sim_to_already_picked (λ = ½
+    // folded into the 2× scale, so every comparison stays in exact
+    // long arithmetic — no float MMR tie ambiguity). Greedy is
+    // inherently sequential, but each round runs over the BOUNDED
+    // candidate frame (top-6 by construction) with the previous
+    // picks broadcast — three unrolled rounds, a static job graph
+    // (x69's discipline), nothing corpus-sized past the first top-k.
+    // The unit this buys a RAG/labeling pipeline: the #2-by-score
+    // near-duplicate of #1 is skipped for something that covers new
+    // ground — visible here as pick ranks ≠ score ranks.
+    "x102_mmr_rerank" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val qe = e.crossJoin(bounds)
+        .select(col("vec_id"),
+          transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("int")).as("q"))
+      val dotI = graft.functions.VectorExpressions.dotIntNative _
+      val query = broadcast(qe.filter(col("vec_id") === 0)
+        .select(col("q").as("qq")))
+      val cands = broadcast(qe.filter(col("vec_id") > 0)
+        .join(query)
+        .select(col("vec_id"), col("q"), dotI(col("q"), col("qq")).as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(6))
+      val p1full = cands.orderBy(desc("rel"), col("vec_id")).limit(1)
+      val p1 = broadcast(p1full
+        .select(col("vec_id").as("p1_id"), col("q").as("p1q")))
+      val r2 = cands.crossJoin(p1).filter(col("vec_id") =!= col("p1_id"))
+        .select(col("vec_id"), col("q"), col("rel"),
+          dotI(col("q"), col("p1q")).as("pen"))
+      val p2full = r2.orderBy((col("rel") - col("pen")).desc, col("vec_id")).limit(1)
+      val p2 = broadcast(p2full
+        .select(col("vec_id").as("p2_id"), col("q").as("p2q")))
+      val r3 = cands.crossJoin(p1).crossJoin(p2)
+        .filter(col("vec_id") =!= col("p1_id") && col("vec_id") =!= col("p2_id"))
+        .select(col("vec_id"), col("rel"),
+          greatest(dotI(col("q"), col("p1q")),
+            dotI(col("q"), col("p2q"))).as("pen"))
+      val p3full = r3.orderBy((col("rel") - col("pen")).desc, col("vec_id")).limit(1)
+      p1full.select(lit(1).as("pick"), col("vec_id"), col("rel"), lit(0L).as("penalty"))
+        .unionByName(p2full.select(lit(2).as("pick"), col("vec_id"),
+          col("rel"), col("pen").as("penalty")))
+        .unionByName(p3full.select(lit(3).as("pick"), col("vec_id"),
+          col("rel"), col("pen").as("penalty")))
+        .orderBy(col("pick"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training sibling of x07:
     // for each anchor (vec_id < 5), the top-3 most-cosine-similar
     // vectors carrying a DIFFERENT label (confusable-but-wrong
@@ -950,6 +1003,32 @@ object Similarity {
     // catch it. x08/x09/x16/x29 stay rows-only: their candidate SETS
     // depend on engine-specific hash/random projections, not just
     // float rounding.
+    // same three unrolled greedy rounds over exact BIGINT scores —
+    // argmax ties break on vec_id identically, so the PICKS match,
+    // not just the score arithmetic
+    "x102_mmr_rerank" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "qry AS (SELECT qv AS qq FROM q WHERE vec_id = 0), " +
+        "c0 AS (SELECT q.vec_id, qv, CAST(list_sum(list_transform(" +
+        "range(1, len(qv) + 1), i -> qv[i] * qq[i])) AS BIGINT) AS rel " +
+        "FROM q, qry WHERE vec_id > 0), " +
+        "cands AS (SELECT * FROM c0 ORDER BY rel DESC, vec_id LIMIT 6), " +
+        "p1 AS (SELECT * FROM cands ORDER BY rel DESC, vec_id LIMIT 1), " +
+        "r2 AS (SELECT c.vec_id, c.qv, c.rel, CAST(list_sum(list_transform(" +
+        "range(1, len(c.qv) + 1), i -> c.qv[i] * p.qv[i])) AS BIGINT) AS pen " +
+        "FROM cands c, p1 p WHERE c.vec_id <> p.vec_id), " +
+        "p2 AS (SELECT * FROM r2 ORDER BY rel - pen DESC, vec_id LIMIT 1), " +
+        "r3 AS (SELECT c.vec_id, c.rel, GREATEST(" +
+        "CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * p1.qv[i])) AS BIGINT), " +
+        "CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * p2.qv[i])) AS BIGINT)) AS pen " +
+        "FROM cands c, p1, p2 WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id), " +
+        "p3 AS (SELECT * FROM r3 ORDER BY rel - pen DESC, vec_id LIMIT 1) " +
+        "SELECT 1 AS pick, vec_id, rel, CAST(0 AS BIGINT) AS penalty FROM p1 " +
+        "UNION ALL SELECT 2, vec_id, rel, pen FROM p2 " +
+        "UNION ALL SELECT 3, vec_id, rel, pen FROM p3 ORDER BY pick"),
     // exact integer scores — no rounding contract at all: the global
     // grid is two scalar aggregates, per-element quantization is the
     // same short IEEE chain both engines evaluate identically (x22's

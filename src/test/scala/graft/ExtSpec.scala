@@ -786,6 +786,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x102 MMR rerank: picks reproduce an independent in-process greedy over the same integer scores") {
+    val got = Similarity.queries("x102_mmr_rerank")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.map(_._2).distinct.length == 3, "picks must be distinct")
+    // independent reference: quantize + greedy MMR in plain Scala
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val mn = vecs.values.flatten.min; val mx = vecs.values.flatten.max
+    def quant(v: Array[Double]): Array[Long] =
+      v.map(x => math.round((x - mn) / (mx - mn) * 255))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val q = quant(vecs(0L))
+    val rel = vecs.view.filterKeys(_ > 0)
+      .map { case (id, v) => id -> dot(quant(v), q) }.toMap
+    val cands = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(6)
+    var picked = List.empty[Long]
+    (1 to 3).foreach { _ =>
+      val best = cands.filterNot(c => picked.contains(c._1))
+        .map { case (id, r) =>
+          val pen = if (picked.isEmpty) 0L
+            else picked.map(p => dot(quant(vecs(id)), quant(vecs(p)))).max
+          (id, r - pen)
+        }.minBy { case (id, m) => (-m, id) }
+      picked = picked :+ best._1
+    }
+    assert(got.map(_._2).toSeq == picked,
+      s"greedy picks diverge: ${got.map(_._2).toSeq} vs $picked")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
