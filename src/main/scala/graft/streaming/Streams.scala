@@ -741,6 +741,76 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** s16: streaming maintenance of a JOIN view — the IVM case s12
+    * (additive agg) and s13 (set semantics) don't cover: BOTH join
+    * sides grow over time. The classic degree-count factorization
+    * makes it incremental without ever re-running the join: for the
+    * per-key equi-join count view
+    * |clicks ⋈ purchases| (user, day) = c_clicks · c_purchases,
+    * each microbatch splits into its click and purchase deltas, each
+    * side's per-(user, day) COUNT table merges additively (two s12
+    * states), and the join view is the PRODUCT of the two maintained
+    * degree tables — one model-sized multiply at readout, never a
+    * replay of event-grain join work. This is the differential-
+    * dataflow/DBSP join rule Δ(A⋈B) materialized through its
+    * aggregate form. Oracled against the literal SQL JOIN (not the
+    * product formula) — the equality IS the claim. Per batch at
+    * scale: one bucket-aggregate of the batch per side + two
+    * key-sized merges; readout one inner join of the degree tables.
+    */
+  def foreachBatchJoinView(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s16_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[(String, String)] = None
+    def sideDelta(b: DataFrame, t: String): DataFrame =
+      b.filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+    def merge(prev: Option[DataFrame], delta: DataFrame): DataFrame =
+      prev match {
+        case None => delta
+        case Some(p) =>
+          p.join(delta, Seq("user_id", "d"), "full_outer")
+            .select(col("user_id"), col("d"),
+              (coalesce(p("c"), lit(0L)) + coalesce(delta("c"), lit(0L))).as("c"))
+      }
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val genA = s"$base/clicks_$batchId"
+        val genB = s"$base/purch_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$genB/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some((genA, genB))
+        } else {
+          val b = batch.toDF()
+          val pa = latest.map(l => spark.read.parquet(l._1))
+          val pb = latest.map(l => spark.read.parquet(l._2))
+          merge(pa, sideDelta(b, "click")).write.mode("overwrite").parquet(genA)
+          merge(pb, sideDelta(b, "purchase")).write.mode("overwrite").parquet(genB)
+          latest = Some((genA, genB))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (ga, gb) = latest.getOrElse(sys.error("s16: stream produced no batches"))
+    val ca = spark.read.parquet(ga).select(col("user_id"), col("d"), col("c").as("nc"))
+    val cb = spark.read.parquet(gb).select(col("user_id"), col("d"), col("c").as("np"))
+    ca.join(cb, Seq("user_id", "d"))
+      .select(col("user_id"),
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        (col("nc") * col("np")).as("n_pairs"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -867,6 +937,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchDq(spark, sfDir)),
     "s15_stream_psi_monitor" ->
       ((spark, sfDir) => foreachBatchPsi(spark, sfDir)),
+    "s16_stream_join_maintain" ->
+      ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -942,6 +1014,16 @@ object Streams {
     // the IVM contract verbatim: maintained current histogram + static
     // reference through the shared report stage ≡ batch x98
     "s15_stream_psi_monitor" -> graft.pipeline.Views.oracles("x98_psi_drift"),
+    // the oracle is the LITERAL event-grain join, not the degree
+    // product — their equality is exactly the factorization claim
+    "s16_stream_join_maintain" ->
+      ("WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events " +
+        "WHERE event_type = 'click'), " +
+        "p AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT c.user_id, STRFTIME(c.d, '%Y-%m-%d') AS day, " +
+        "COUNT(*) AS n_pairs FROM c JOIN p ON c.user_id = p.user_id " +
+        "AND c.d = p.d GROUP BY 1, 2 ORDER BY c.user_id, day"),
     "s07_stream_ingest_partitioned" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS date, COUNT(*) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

@@ -318,4 +318,29 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       s"streamed PSI diverges from batch x98:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
+
+  test("streaming join-view maintenance: degree product equals the literal event-grain join across batches (s16)") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.Streams.foreachBatchJoinView(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s16_$tag")
+      .listFiles().count(_.getName.startsWith("purch_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    // the literal join the factorization replaces
+    val ev = graft.sources.Lake.table(spark, SfDir, "events")
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("d"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("d").as("d2"))
+    val joined = c.join(p, col("user_id") === col("u2") && col("d") === col("d2"))
+      .groupBy(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"), col("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed.toSeq == joined.toSeq,
+      "maintained degree product must equal the event-grain join")
+    // fanout actually exercised: some key must pair more than 1×1
+    assert(streamed.exists(_._3 > 1), "need a key with real join fanout")
+  }
 }
