@@ -275,6 +275,63 @@ object Dedup {
     aInB.unionByName(bInA)
   }
 
+  /** Per-cluster MEDOID election (x103): inside each near-dup
+    * cluster, the survivor should be the most REPRESENTATIVE member,
+    * not an arbitrary one — x18 keeps min-id, x40 keeps
+    * highest-quality; the medoid keeps the doc sharing the most
+    * content with its cluster peers. Weight = Σ over incident
+    * thresholded edges of the shared-shingle count c — an exact
+    * INTEGER, so the argmax needs no float rounding contract at all
+    * (a Σjaccard weight would be an accumulation-ordered float sum).
+    * Per-cluster argmax is a window partitioned by component —
+    * bounded by cluster size, which the hot-shingle cap already
+    * bounds at corpus scale. Shares the x05 shingle artifact and the
+    * x18 component table; emits only real clusters (size ≥ 2).
+    */
+  def clusterMedoids(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val cap = math.max(50L, Lake.rowCount(spark, sfDir, "documents") / 100)
+    val sh0 = Lake.materialize(spark, sfDir, "x05_shingles")(shingleTable(d))
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+      .filter(col("df_c") > cap).select(col("shingle"))
+    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    val wp = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("c"))
+    medoidsFromParts(wp,
+      componentTable(spark, sfDir)
+        .select(col("v").as("doc_id"), col("label").as("component")))
+  }
+
+  /** [[clusterMedoids]]'s election body over explicit frames —
+    * weighted pairs (doc_a, doc_b, c) and a component table
+    * (doc_id, component) — exposed so tests can feed a planted
+    * topology where the medoid is NOT the min-id survivor.
+    */
+  def medoidsFromParts(wp: DataFrame, comps: DataFrame): DataFrame = {
+    val w = wp.select(col("doc_a").as("doc_id"), col("c"))
+      .unionByName(wp.select(col("doc_b").as("doc_id"), col("c")))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("w"))
+    val m = comps.join(w, Seq("doc_id"), "left").na.fill(0L, Seq("w"))
+    val cs = m.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(desc("w"), col("doc_id"))
+    m.join(cs, "component")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("medoid_id"),
+        col("cluster_size"), col("w").as("total_shared"))
+  }
+
   /** Benchmark-contamination screen: for each corpus document, count
     * the distinct verbatim word n-grams it shares with ANY benchmark
     * document other than itself, and flag it when that count is
@@ -1226,6 +1283,12 @@ object Dedup {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // MEDOID ELECTION — the most-representative survivor per near-dup
+    // cluster (see clusterMedoids scaladoc): exact-integer
+    // shared-shingle mass, window bounded by cluster size.
+    "x103_cluster_medoid" -> ((spark, sfDir) =>
+      clusterMedoids(spark, sfDir).orderBy(col("component"))),
+
     // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
     // instead of discarding it: per exact-dup cluster (x01's
     // normalized key) the survivor record carries the union of
@@ -1579,6 +1642,27 @@ object Dedup {
         "CAST(COUNT(*) + 7 AS BIGINT) AS n_tokens " +
         "FROM i2 GROUP BY doc_a, doc_b, diag, island HAVING COUNT(*) >= 3 " +
         "ORDER BY doc_a, doc_b, a_start, b_start"),
+    // same components + weighted pairs re-derived from the shared CTE
+    // chain (inter/sz are in the body; weight = Σ intersection count,
+    // exact BIGINT — no float sum in the argmax)
+    "x103_cluster_medoid" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v), " +
+        "wp AS (SELECT doc_a, doc_b, c FROM inter " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5), " +
+        "w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS w FROM (" +
+        "SELECT doc_a AS doc_id, c FROM wp " +
+        "UNION ALL SELECT doc_b, c FROM wp) GROUP BY 1), " +
+        "m AS (SELECT lab.v AS doc_id, lab.label AS component, " +
+        "COALESCE(w.w, 0) AS w FROM lab LEFT JOIN w ON w.doc_id = lab.v), " +
+        "cs AS (SELECT component, COUNT(*) AS cluster_size FROM m " +
+        "GROUP BY 1 HAVING COUNT(*) >= 2), " +
+        "r AS (SELECT m.doc_id, m.component, m.w, cs.cluster_size, " +
+        "ROW_NUMBER() OVER (PARTITION BY m.component " +
+        "ORDER BY m.w DESC, m.doc_id) AS rk FROM m JOIN cs USING (component)) " +
+        "SELECT component, doc_id AS medoid_id, cluster_size, " +
+        "w AS total_shared FROM r WHERE rk = 1 ORDER BY component"),
     // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
     "x73_dup_cluster_profile" ->
       ("WITH RECURSIVE " + ComponentsCteBody +

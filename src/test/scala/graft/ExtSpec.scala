@@ -818,6 +818,29 @@ class ExtSpec extends SparkSpec {
       s"greedy picks diverge: ${got.map(_._2).toSeq} vs $picked")
   }
 
+  test("x103 medoid election: path cluster elects the middle (not min-id), ties fall to min-id, singletons invisible") {
+    import spark.implicits._
+    // path A(1)—B(2)—C(3): B touches both edges → weight 12 beats
+    // A/C's single edges → the medoid is 2, NOT the min-id survivor
+    // x18 would keep; plus a tied pair (10, 11) → min-id 10 wins; and
+    // an isolated doc 99 that must not appear
+    val wp = Seq((1L, 2L, 7L), (2L, 3L, 5L), (10L, 11L, 4L))
+      .toDF("doc_a", "doc_b", "c")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (99L, 99L))
+      .toDF("doc_id", "component")
+    val got = Dedup.medoidsFromParts(wp, comps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 3L, 12L), (10L, 10L, 2L, 4L)), s"got $got")
+    // the registered query agrees with its own oracle arithmetic on
+    // the real corpus (hash-gated); here pin the output contract
+    val real = Dedup.queries("x103_cluster_medoid")(spark, SfDir).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) >= 2L, "only real clusters")
+      assert(r.getLong(3) > 0L, "a medoid in a real cluster shares content")
+    }
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
