@@ -1289,6 +1289,54 @@ object Dedup {
     "x103_cluster_medoid" -> ((spark, sfDir) =>
       clusterMedoids(spark, sfDir).orderBy(col("component"))),
 
+    // CONTRASTIVE TRIPLET MINING — the dataset-construction step
+    // that turns curation artifacts into training data: for each
+    // near-dup anchor, (anchor, positive, negative) where the
+    // positive is its thresholded near-dup partner (min doc_id for
+    // determinism) and the negative is the HARDEST embedding
+    // neighbor OUTSIDE the anchor's duplicate cluster — confusable
+    // but genuinely different, the triplet an embedding model's
+    // margin is trained on. Composes three existing lake artifacts
+    // (x05 shingle pairs, x18 components, embeddings) with one
+    // broadcast of the model-sized anchor frame against one
+    // embedding scan; per-anchor argmax in a |anchors|-partition
+    // window under x07's rounding/tiebreak contract. Cluster
+    // exclusion is null-safe (a singleton candidate has no label;
+    // IS-DISTINCT-FROM keeps it eligible).
+    "x104_contrastive_triplets" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tkey = "t50"
+      val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
+        ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
+          checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+          nDocs = Lake.rowCount(spark, sfDir, "documents"))
+          .select(col("doc_a"), col("doc_b"))
+      }
+      val comps = componentTable(spark, sfDir)
+        .select(col("v"), col("label"))
+      val ev = Lake.table(spark, sfDir, "embeddings")
+      val anchors = pairs.groupBy(col("doc_a"))
+        .agg(min(col("doc_b")).as("positive_id"))
+      val aFull = broadcast(anchors
+        .join(comps.select(col("v").as("doc_a"), col("label").as("alabel")),
+          Seq("doc_a"), "left")
+        .join(ev.select(col("vec_id").as("doc_a"), col("embedding").as("avec")),
+          "doc_a"))
+      val cand = ev.select(col("vec_id"), col("embedding"))
+        .join(comps.select(col("v").as("vec_id"), col("label").as("clabel")),
+          Seq("vec_id"), "left")
+      val w = Window.partitionBy(col("doc_a")).orderBy(desc("cos"), col("vec_id"))
+      cand.join(aFull,
+          col("vec_id") =!= col("doc_a") && !(col("clabel") <=> col("alabel")))
+        .select(col("doc_a"), col("positive_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("avec")), 4).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_a").as("anchor_id"), col("positive_id"),
+          col("vec_id").as("negative_id"), col("cos").as("neg_cos"))
+        .orderBy(col("anchor_id"))
+    }),
+
     // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
     // instead of discarding it: per exact-dup cluster (x01's
     // normalized key) the survivor record carries the union of
@@ -1663,6 +1711,29 @@ object Dedup {
         "ORDER BY m.w DESC, m.doc_id) AS rk FROM m JOIN cs USING (component)) " +
         "SELECT component, doc_id AS medoid_id, cluster_size, " +
         "w AS total_shared FROM r WHERE rk = 1 ORDER BY component"),
+    // same pair/component chain + x07's cosine formula; cluster
+    // exclusion via IS DISTINCT FROM mirrors the null-safe <=>
+    "x104_contrastive_triplets" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v), " +
+        "anch AS (SELECT doc_a, MIN(doc_b) AS positive_id FROM pairs GROUP BY 1), " +
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "av AS (SELECT a.doc_a, a.positive_id, e.v AS avec, la.label AS alabel " +
+        "FROM anch a JOIN ev e ON e.vec_id = a.doc_a " +
+        "LEFT JOIN lab la ON la.v = a.doc_a), " +
+        "cand AS (SELECT e.vec_id, e.v, lc.label AS clabel FROM ev e " +
+        "LEFT JOIN lab lc ON lc.v = e.vec_id), " +
+        "sc AS (SELECT av.doc_a, av.positive_id, c.vec_id, " +
+        "ROUND(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * avec[i])) / " +
+        "(sqrt(list_sum(list_transform(c.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(avec, x -> x * x)))), 4) AS cos " +
+        "FROM av CROSS JOIN cand c " +
+        "WHERE c.vec_id <> av.doc_a AND c.clabel IS DISTINCT FROM av.alabel), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_a " +
+        "ORDER BY cos DESC, vec_id) AS rk FROM sc) " +
+        "SELECT doc_a AS anchor_id, positive_id, vec_id AS negative_id, " +
+        "cos AS neg_cos FROM r WHERE rk = 1 ORDER BY anchor_id"),
     // x18's labels histogrammed twice (CASTs pin HUGEINT sums)
     "x73_dup_cluster_profile" ->
       ("WITH RECURSIVE " + ComponentsCteBody +

@@ -841,6 +841,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x104 triplets: positive is a thresholded near-dup, negative escapes the cluster, all three distinct") {
+    val trip = Dedup.queries("x104_contrastive_triplets")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(trip.nonEmpty)
+    val pairs = Dedup.queries("x05_dedup_ngram_jaccard")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = Dedup.queries("x18_dedup_components")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    trip.foreach { case (a, p, n, cos) =>
+      assert(a != p && a != n && p != n, s"triplet ($a,$p,$n) must be distinct")
+      assert(pairs.contains((a, p)), s"positive ($a,$p) must be a near-dup pair")
+      (label.get(a), label.get(n)) match {
+        case (Some(la), Some(ln)) =>
+          assert(la != ln, s"negative $n must escape $a's cluster ($la)")
+        case _ => // a candidate outside the component table has no cluster to escape
+      }
+      assert(cos <= 1.0 && cos >= -1.0)
+    }
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
