@@ -688,6 +688,36 @@ object Surface {
         .orderBy(col("event_type"))
     }),
 
+    // CORRUPT-RECORD-TOLERANT INGEST — the PERMISSIVE-mode contract
+    // real crawled JSONL demands: a deterministic corpus dump where
+    // every 50th record is replaced by a broken line, read back with
+    // `_corrupt_record` capture; the report proves (a) no corrupt
+    // line poisons a typed column, (b) no valid line is dropped,
+    // (c) the corrupt lines are COUNTED, not silently skipped —
+    // silent-drop ingest is how a pipeline loses 2% of its corpus
+    // without noticing. The oracle recomputes all three numbers from
+    // the injection rule over the source table — the file never
+    // enters the oracle's world.
+    "c72_corrupt_records" -> ((spark, sfDir) => {
+      val target = s"/tmp/graft-formats/cjson_${Integer.toHexString(sfDir.hashCode)}"
+      t(spark, sfDir, "documents")
+        .select(when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", BROKEN")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(target)
+      spark.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(target)
+        .agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_valid"),
+          count(when(col("_corrupt_record").isNotNull, 1)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars")))
+            .cast("long").as("chars_valid"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1189,6 +1219,13 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // the injection rule recomputed over the source table — every
+    // 50th record was corrupted, the rest must survive typed
+    "c72_corrupt_records" ->
+      ("SELECT CAST(COUNT(CASE WHEN doc_id % 50 <> 0 THEN 1 END) AS BIGINT) AS n_valid, " +
+        "CAST(COUNT(CASE WHEN doc_id % 50 = 0 THEN 1 END) AS BIGINT) AS n_corrupt, " +
+        "CAST(SUM(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT) AS chars_valid " +
+        "FROM documents"),
     // The constructors flatten back to base columns, so the oracle is
     // their scalar equivalent.
     "c37_json_struct" ->

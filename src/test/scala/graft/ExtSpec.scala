@@ -861,6 +861,17 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("c72 corrupt records: every injected line counted, no valid line dropped, totals partition the corpus") {
+    val r = graft.queries.Surface.queries("c72_corrupt_records")(spark, SfDir)
+      .collect()(0)
+    val (nValid, nCorrupt) = (r.getLong(0), r.getLong(1))
+    val docs = Lake.table(spark, SfDir, "documents")
+    val total = docs.count()
+    val expectedCorrupt = docs.filter(col("doc_id") % 50 === 0).count()
+    assert(nCorrupt == expectedCorrupt, "silent drop or miscount of corrupt lines")
+    assert(nValid + nCorrupt == total, "valid + corrupt must partition the dump")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
