@@ -608,6 +608,48 @@ object Similarity {
         .orderBy(col("query_id"), desc("score"), col("vec_id"))
     }),
 
+    // MATRYOSHKA TRUNCATION EVAL — the dimension-budget report an
+    // MRL-style embedding deployment reads before shipping truncated
+    // vectors: for each query, recall@10 of the top-10 ranked by the
+    // FIRST-D-dims cosine against the full-dim top-10, at D = 8, 16,
+    // 64. Each decade is x07's exact machinery (broadcast query,
+    // rounded-cosine + vec_id tiebreak, WindowGroupLimit top-k) over
+    // `slice(embedding, 1, D)` — a zero-copy projection of the same
+    // scan; the three decades are a static union (x69's
+    // bounded-rounds discipline). recall = overlap/10: one exact
+    // integer count and one correctly-rounded division. The report
+    // quantifies exactly what 8× less similarity bandwidth costs.
+    "x105_matryoshka_eval" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      def ranked(dim: Int): DataFrame = {
+        val vcol = slice(col("embedding"), 1, dim)
+        val q = broadcast(e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            slice(col("embedding"), 1, dim).as("qvec")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.filter(col("vec_id") >= 3).join(q)
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(vcol, col("qvec")), 4).as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"))
+      }
+      val full = ranked(64)
+      // a zero-overlap decade must REPORT 0.0, not vanish — the spine
+      // left-join keeps every (query, dim) cell defined
+      val spine = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"))
+      Seq(8, 16, 64).map { d =>
+        val ov = ranked(d).join(full, Seq("query_id", "vec_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("ov"))
+        spine.join(ov, Seq("query_id"), "left")
+          .select(col("query_id"), lit(d).as("dim"),
+            (coalesce(col("ov"), lit(0L)) / 10.0).as("recall10"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("query_id"), col("dim"))
+    }),
+
     // MMR DIVERSIFIED RETRIEVAL — the redundancy-aware rerank on top
     // of x100's exact-integer kernel: greedy maximal-marginal-
     // relevance picks 3 of the query's top-6 candidates, each round
@@ -1003,6 +1045,30 @@ object Similarity {
     // catch it. x08/x09/x16/x29 stay rows-only: their candidate SETS
     // depend on engine-specific hash/random projections, not just
     // float rounding.
+    // one rank CTE per decade (generated below — identical float-op
+    // sequence to the fused native cosine over the same slices),
+    // joined against the full-dim decade for the overlap count
+    "x105_matryoshka_eval" -> {
+      def rkCte(d: Int): String =
+        s"rk$d AS (SELECT query_id, vec_id FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+          s"ROUND(list_sum(list_transform(range(1, ${d + 1}), i -> c.v[i] * q.v[i])) / " +
+          s"(sqrt(list_sum(list_transform(c.v[1:$d], x -> x * x))) * " +
+          s"sqrt(list_sum(list_transform(q.v[1:$d], x -> x * x)))), 4) DESC, c.vec_id) AS rk " +
+          "FROM e c, e q WHERE q.vec_id < 3 AND c.vec_id >= 3) WHERE rk <= 10)"
+      def recallRow(d: Int): String =
+        s"SELECT s.query_id, CAST($d AS INTEGER) AS dim, " +
+          "CAST(COALESCE(o.ov, 0) AS DOUBLE) / 10.0 AS recall10 " +
+          "FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < 3) s " +
+          s"LEFT JOIN (SELECT a.query_id, COUNT(*) AS ov FROM rk$d a " +
+          "JOIN rk64 f USING (query_id, vec_id) GROUP BY 1) o USING (query_id)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        Seq(8, 16, 64).map(rkCte).mkString(", ") + " " +
+        Seq(8, 16, 64).map(recallRow).mkString(" UNION ALL ") +
+        " ORDER BY query_id, dim"
+    },
     // same three unrolled greedy rounds over exact BIGINT scores —
     // argmax ties break on vec_id identically, so the PICKS match,
     // not just the score arithmetic

@@ -872,6 +872,20 @@ class ExtSpec extends SparkSpec {
     assert(nValid + nCorrupt == total, "valid + corrupt must partition the dump")
   }
 
+  test("x105 matryoshka eval: full grid with no silent holes, full-dim recall exactly 1, truncation visibly costs recall") {
+    val rows = Similarity.queries("x105_matryoshka_eval")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // 3 queries × 3 dims — zero-overlap cells must be present as 0.0
+    assert(rows.length == 9, s"expected the full 3×3 grid, got ${rows.length}")
+    rows.foreach { case (q, d, rec) =>
+      assert(rec >= 0.0 && rec <= 1.0, s"q$q d$d: recall out of range")
+      if (d == 64) assert(rec == 1.0, s"q$q: full-dim ranking must recall itself")
+    }
+    // the report's whole point: some truncated decade loses recall
+    assert(rows.exists { case (_, d, rec) => d < 64 && rec < 1.0 },
+      "truncation shows no cost — eval is vacuous on this corpus")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
