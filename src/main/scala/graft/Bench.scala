@@ -205,7 +205,14 @@ object Bench {
     "x52_vocab_coverage",
     // session-3 additions: the iterative graph shape and the
     // persisted-partial rollup (headline grows 35 → 37 queries here)
-    "x69_pagerank", "x70_hist_rollup")
+    "x69_pagerank", "x70_hist_rollup",
+    // session-5 additions (37 → 43): the sliding-gram span join
+    // (shift-invariant dedup — the new quadratic-risk shape), blocked
+    // Levenshtein, the real-codec perceptual hash, the vocabulary
+    // self-join affinity matrix, the one-pass DQ gate, and the
+    // bounded-state heavy hitters
+    "x92_span_dedup", "x91_edit_distance_dedup", "x94_phash_dedup",
+    "x95_domain_affinity", "p12_dq_expectations", "x101_heavy_hitters")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -219,7 +226,10 @@ object Bench {
     "x31_passage_dedup", "x33_incremental_dedup",
     "x37_training_shuffle", "x40_quality_survivor",
     "x43_source_overlap", "x46_bigram_logprob", "x50_novelty",
-    "x51_quality_tiles", "x52_vocab_coverage", "x69_pagerank")
+    "x51_quality_tiles", "x52_vocab_coverage", "x69_pagerank",
+    // the sliding-gram join: stride-1 grams make candidate volume the
+    // scaling question exactly as x03's banding is
+    "x92_span_dedup")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -233,7 +243,10 @@ object Bench {
     "x03_dedup_minhash", "x31_passage_dedup", "x46_bigram_logprob",
     // the iterative-join shape: its per-iteration cost must track
     // edges linearly for the 100 TB verdict
-    "x69_pagerank")
+    "x69_pagerank",
+    // stride-1 gram join under the 10× dup-density stress — the same
+    // open question the x03 candidate curve answers, for spans
+    "x92_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
