@@ -534,6 +534,14 @@ object Bench {
         parts += s""""x03_candidate_pairs":${graft.ext.Dedup.minhashCandidates(bands).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x03_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x92_span_dedup")) try {
+        // the stride-1 gram join's pre-island hit volume — what the
+        // hot-gram cap must bound as duplicate density rises
+        val d = Lake.table(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        parts += s""""x92_candidate_hits":${graft.ext.Dedup.spanCandidatePairs(d, cap = 64L).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x92_candidate_hits_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x31_passage_dedup")) try {
         val d = Lake.table(spark, dir, "documents")
         val ps = Lake.materialize(spark, dir, "x31_passages")(

@@ -798,20 +798,7 @@ object Dedup {
     * n_tokens = run + 7, positions 1-based.
     */
   def spanDupPairs(df: DataFrame, cap: Long, minGrams: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = df.filter(size(toks) >= 8)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(toks) - 7),
-          i => md5(concat_ws(" ", slice(toks, i, lit(8)))))))
-      .select(col("doc_id"), (col("pos") + 1).as("ia"), col("col").as("g"))
-    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("oc"))
-      .filter(col("oc") <= cap).select(col("g"))
-    val gk = grams.join(keep, "g")
-    val pairs = gk.select(col("g"), col("doc_id").as("doc_a"), col("ia"))
-      .join(gk.select(col("g"), col("doc_id").as("doc_b"), col("ia").as("ib")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
-        (col("ia") - col("ib")).as("diag"))
+    val pairs = spanCandidatePairs(df, cap)
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("ia"))
     val isl = pairs
@@ -825,6 +812,28 @@ object Dedup {
       .filter(col("run") >= minGrams)
       .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
         (col("run") + 7).as("n_tokens"))
+  }
+
+  /** x92's gram-join candidate frame BEFORE island merging — split
+    * out so Bench can count per scale decade the exact volume the
+    * hot-gram cap exists to bound (x03's candidate-pair evidence,
+    * for spans): (doc_a, doc_b, ia, ib, diag) shared-gram hits.
+    */
+  def spanCandidatePairs(df: DataFrame, cap: Long): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = df.filter(size(toks) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - 7),
+          i => md5(concat_ws(" ", slice(toks, i, lit(8)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("ia"), col("col").as("g"))
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("oc"))
+      .filter(col("oc") <= cap).select(col("g"))
+    val gk = grams.join(keep, "g")
+    gk.select(col("g"), col("doc_id").as("doc_a"), col("ia"))
+      .join(gk.select(col("g"), col("doc_id").as("doc_b"), col("ia").as("ib")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
   }
 
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact

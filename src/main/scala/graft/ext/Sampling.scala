@@ -528,6 +528,41 @@ object Sampling {
         histDaily(Lake.table(spark, sfDir, "events"))
       }
       histRollup(daily)
+    }),
+
+    // HISTOGRAM QUANTILES — per-day p50/p90/p99 read from x70's
+    // mergeable (day, bin, n) partial by in-bucket linear
+    // interpolation: the bounded-error quantile at 100 TB, where a
+    // true percentile would global-sort each day and
+    // approx_percentile's sketch is engine-specific (c11's
+    // no-oracle fate). Every window runs over a ≤20-row per-day
+    // frame, never events; the interpolation q = lo + w·(t −
+    // cum_prev)/n is one short identical float chain on exact
+    // integer counts, so it hash-oracles at 4 dp. Shares the lake
+    // artifact with x70/s12 — three consumers, one build.
+    "x106_hist_quantiles" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake.materialize(spark, sfDir, "value_hist_daily_v1") {
+        histDaily(Lake.table(spark, sfDir, "events"))
+      }
+      val byDay = Window.partitionBy(col("day")).orderBy(col("bin"))
+      val c = daily
+        .withColumn("cum", sum(col("n")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("cum_prev", col("cum") - col("n"))
+      Seq(0.5, 0.9, 0.99).map { p =>
+        val t = col("total") * p
+        c.filter(col("cum") >= t)
+          .withColumn("rk", row_number().over(byDay))
+          .filter(col("rk") === 1)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            lit(p).as("q"),
+            round(col("bin") * 25.0 +
+              lit(25.0) * (t - col("cum_prev")) / col("n"), 4).as("value"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("day"), col("q"))
     })
   )
 
@@ -600,6 +635,26 @@ object Sampling {
         "CAST(rn - 1 AS BIGINT) AS pos FROM (" +
         s"SELECT doc_id, ROW_NUMBER() OVER (ORDER BY (doc_id * $HashMul) % $HashMod) AS rn " +
         "FROM documents) t ORDER BY doc_id"),
+    // same bin partials, cumulative windows and interpolation chain;
+    // CASTs pin the quantile literals to DOUBLE (DuckDB reads 0.5 as
+    // DECIMAL) and the counts back from HUGEINT
+    "x106_hist_quantiles" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(FLOOR(value / 25.0) AS INTEGER) AS bin, COUNT(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT day, bin, n, " +
+        "SUM(n) OVER (PARTITION BY day ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "SUM(n) OVER (PARTITION BY day) AS total FROM d), " +
+        "c2 AS (SELECT *, cum - n AS cum_prev FROM c), " +
+        "u AS (SELECT *, CAST(0.5 AS DOUBLE) AS q FROM c2 " +
+        "UNION ALL SELECT *, CAST(0.9 AS DOUBLE) FROM c2 " +
+        "UNION ALL SELECT *, CAST(0.99 AS DOUBLE) FROM c2), " +
+        "f AS (SELECT day, bin, n, cum_prev, total, q, " +
+        "ROW_NUMBER() OVER (PARTITION BY day, q ORDER BY bin) AS rk " +
+        "FROM u WHERE cum >= total * q) " +
+        "SELECT STRFTIME(day, '%Y-%m-%d') AS day, q, " +
+        "ROUND(bin * 25.0 + 25.0 * (total * q - cum_prev) / n, 4) AS value " +
+        "FROM f WHERE rk = 1 ORDER BY day, q"),
     // same two unrolled water-fill rounds; // is DuckDB's integral
     // division (operands positive, so it agrees with Spark's DIV)
     "x99_data_recipe" ->

@@ -886,6 +886,32 @@ class ExtSpec extends SparkSpec {
       "truncation shows no cost — eval is vacuous on this corpus")
   }
 
+  test("x106 histogram quantiles: monotone per day, each estimate within one bucket of the exact percentile") {
+    val rows = Sampling.queries("x106_hist_quantiles")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_._1)
+    byDay.values.foreach { qs =>
+      val m = qs.map(q => q._2 -> q._3).toMap
+      assert(m(0.5) <= m(0.9) && m(0.9) <= m(0.99), s"quantiles must be monotone: $m")
+    }
+    // bounded-error contract: the interpolated value sits within the
+    // bucket (width 25) that holds the true rank statistic
+    val exact = Lake.table(spark, SfDir, "events")
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sorted }
+    byDay.foreach { case (day, qs) =>
+      val sorted = exact(day)
+      qs.foreach { case (_, q, est) =>
+        val trueV = sorted(math.min(sorted.length - 1,
+          math.ceil(q * sorted.length).toInt - 1).max(0))
+        assert(math.abs(est - trueV) <= 25.0 + 1e-9,
+          s"$day q$q: est $est vs exact $trueV drifts past one bucket")
+      }
+    }
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
