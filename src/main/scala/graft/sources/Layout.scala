@@ -412,6 +412,35 @@ object Layout {
         .orderBy(col("day"))
     }),
 
+    // TIME-TRAVEL READ — the "query the table AS OF snapshot v"
+    // lakehouse read (p10 is the GC side; this is the consumer
+    // side): three versioned generations live as v=N partition
+    // directories, and an as-of read is a plain filter on the
+    // version column that Catalyst turns into PARTITION PRUNING —
+    // only v=2's files are opened (pinned file-level in LayoutSpec),
+    // so reading any historical snapshot costs that snapshot's
+    // bytes, never the table's history. The oracle recomputes the
+    // v=2 cut from raw events: a pruning bug that leaked v=1/v=3
+    // rows (or dropped v=2 files) hash-fails.
+    "p14_time_travel" -> ((spark, sfDir) => {
+      val hash = Integer.toHexString(sfDir.hashCode)
+      val base = s"/tmp/graft-views/timetravel_$hash"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val e = Lake.table(spark, sfDir, "events")
+      Seq(1 -> "2024-01-10", 2 -> "2024-01-18", 3 -> "2099-01-01").foreach {
+        case (v, cut) => e.filter(col("ts") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/v=$v")
+      }
+      spark.read.parquet(base)
+        .filter(col("v") === 2)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
+    }),
+
     // WRITE-AUDIT-PUBLISH — the publication gate itself (see
     // writeAuditPublish scaladoc): the daily-rollup snapshot stages,
     // is audited ON ITS STAGED FILES with p12-style expectations
@@ -447,6 +476,12 @@ object Layout {
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +
         "COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
         "FROM events WHERE user_id IS DISTINCT FROM 7 " +
+        "GROUP BY 1 ORDER BY 1"),
+    // the v=2 cut recomputed from raw events
+    "p14_time_travel" ->
+      ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +
+        "COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE ts < TIMESTAMP '2024-01-18' " +
         "GROUP BY 1 ORDER BY 1"),
     // the published snapshot ≡ the rollup computed directly from
     // events — the WAP gate is pass-through for healthy data

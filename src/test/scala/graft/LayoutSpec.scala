@@ -224,4 +224,37 @@ class LayoutSpec extends SparkSpec {
     // the staging residue is cleaned up either way
     assert(!new java.io.File(s"$base/_staging").exists(), "staging must not linger")
   }
+
+  test("time-travel read opens only the requested snapshot's files (p14)") {
+    // run the registered query once to (re)build the generations
+    val out = graft.sources.Layout.queries("p14_time_travel")(spark, SfDir)
+    assert(out.count() > 0)
+    val hash = Integer.toHexString(SfDir.hashCode)
+    val base = s"/tmp/graft-views/timetravel_$hash"
+    // the as-of filter must reach the scan as PARTITION PRUNING:
+    // executed-plan file count for v=2 < the full-history count
+    // (inputFiles would lie here — it reports the pre-pruning
+    // relation, so the assert reads the FileSourceScan metrics)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other =>
+          other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+      }
+      scans(plan).map(_.metrics("numFiles").value).sum
+    }
+    val asOf = scannedFiles(spark.read.parquet(base).filter(col("v") === 2))
+    val all = scannedFiles(spark.read.parquet(base))
+    assert(asOf > 0 && asOf < all,
+      s"as-of read must prune to one snapshot's files: $asOf vs $all")
+    // and v=1 (a strict subset of v=2 by construction) differs
+    val n1 = spark.read.parquet(base).filter(col("v") === 1).count()
+    val n2 = spark.read.parquet(base).filter(col("v") === 2).count()
+    assert(n1 < n2, "historical snapshots must actually differ")
+  }
 }
