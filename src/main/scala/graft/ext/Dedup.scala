@@ -1346,6 +1346,32 @@ object Dedup {
         .orderBy(col("anchor_id"))
     }),
 
+    // LEAKAGE-FREE SPLIT — x53's deterministic 98/1/1 holdout with
+    // the guarantee a random doc-grain split cannot give: near-dup
+    // CLUSTERS never straddle the train/eval boundary. The split key
+    // is the x18 component label (cluster min-id; singletons key on
+    // themselves), so every member of a duplicate cluster hashes to
+    // the same side — the eval set can't be contaminated by a
+    // training doc's near-copy, which is the leak that silently
+    // inflates held-out metrics. Same Weyl-hash thresholds as x53
+    // (exact integer, stable under incremental ingest); one
+    // left join against the model-sized component table.
+    "x107_leakage_free_split" -> ((spark, sfDir) => {
+      val t1 = Sampling.HashMod * 98L / 100L
+      val t2 = Sampling.HashMod * 99L / 100L
+      val comps = componentTable(spark, sfDir)
+        .select(col("v").as("doc_id"), col("label"))
+      docs(spark, sfDir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("split_key"))
+        .select(col("doc_id"), col("split_key"),
+          when(Sampling.sampleHash(col("split_key")) < t1, "train")
+            .when(Sampling.sampleHash(col("split_key")) < t2, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
     // instead of discarding it: per exact-dup cluster (x01's
     // normalized key) the survivor record carries the union of
@@ -1720,6 +1746,20 @@ object Dedup {
         "ORDER BY m.w DESC, m.doc_id) AS rk FROM m JOIN cs USING (component)) " +
         "SELECT component, doc_id AS medoid_id, cluster_size, " +
         "w AS total_shared FROM r WHERE rk = 1 ORDER BY component"),
+    // same component labels as split keys + x53's exact Weyl-hash
+    // thresholds (the constants interpolate from the shared Sampling
+    // definitions, so both engines hash the identical integers)
+    "x107_leakage_free_split" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v), " +
+        "k AS (SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS split_key " +
+        "FROM documents d LEFT JOIN lab ON lab.v = d.doc_id) " +
+        "SELECT doc_id, split_key, " +
+        s"CASE WHEN (split_key * ${Sampling.HashMul}) % ${Sampling.HashMod} < " +
+        s"${Sampling.HashMod * 98L / 100L} THEN 'train' " +
+        s"WHEN (split_key * ${Sampling.HashMul}) % ${Sampling.HashMod} < " +
+        s"${Sampling.HashMod * 99L / 100L} THEN 'val' " +
+        "ELSE 'test' END AS split FROM k ORDER BY doc_id"),
     // same pair/component chain + x07's cosine formula; cluster
     // exclusion via IS DISTINCT FROM mirrors the null-safe <=>
     "x104_contrastive_triplets" ->

@@ -912,6 +912,22 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x107 leakage-free split: no near-dup cluster straddles a boundary, covers every doc, ratios near 98/1/1") {
+    val rows = Dedup.queries("x107_leakage_free_split")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val total = Lake.table(spark, SfDir, "documents").count()
+    assert(rows.length == total, "every document must receive a split")
+    // the guarantee: one split per split_key — clusters never straddle
+    rows.groupBy(_._2).foreach { case (key, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $key straddles splits: ${members.map(_._3).distinct.mkString(",")}")
+    }
+    // multi-member clusters actually exercised (else the guarantee is vacuous)
+    assert(rows.groupBy(_._2).values.exists(_.size >= 2), "need a real cluster")
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.9 && frac < 1.0, s"train fraction $frac out of band")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
