@@ -1372,6 +1372,39 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // DEDUP SAVINGS LADDER — the dataset-card headline number: how
+    // many documents/tokens survive at each dedup aggressiveness
+    // level (raw → byte-exact → near-dup cluster), and what each
+    // level saves vs raw. Exact survivors are keep-first per
+    // normalized key (x01/x02's contract); near-dup survivors are
+    // the x18 component representatives (exact dups fold into the
+    // same cluster since identical docs share every shingle, so the
+    // ladder is cumulative). Three 1-row aggregates over one doc
+    // scan + the model-sized component join; savings_pct is one
+    // identical float chain over exact integer token sums.
+    "x108_dedup_savings" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      def level(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+          .select(lit(name).as("level"), col("n_docs"), col("n_tokens"))
+      val wx = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+      val exact = d.withColumn("rn", row_number().over(wx)).filter(col("rn") === 1)
+      val comps = componentTable(spark, sfDir)
+        .select(col("v").as("doc_id"), col("label"))
+      val nearDup = d.join(comps, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+      val rt = broadcast(d.agg(sum(col("tok")).as("rtok")))
+      level("1_raw", d)
+        .unionByName(level("2_exact", exact))
+        .unionByName(level("3_near_dup", nearDup))
+        .crossJoin(rt)
+        .select(col("level"), col("n_docs"), col("n_tokens"),
+          round(lit(100.0) * (lit(1.0) -
+            col("n_tokens").cast("double") / col("rtok")), 4).as("savings_pct"))
+        .orderBy(col("level"))
+    }),
+
     // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
     // instead of discarding it: per exact-dup cluster (x01's
     // normalized key) the survivor record carries the union of
@@ -1746,6 +1779,26 @@ object Dedup {
         "ORDER BY m.w DESC, m.doc_id) AS rk FROM m JOIN cs USING (component)) " +
         "SELECT component, doc_id AS medoid_id, cluster_size, " +
         "w AS total_shared FROM r WHERE rk = 1 ORDER BY component"),
+    // same three survivor definitions; the savings chain
+    // 100·(1 − t/raw) is kept in identical operand order
+    "x108_dedup_savings" ->
+      ("WITH RECURSIVE " + ComponentsCteBody +
+        ", lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v), " +
+        "d AS (SELECT doc_id, text, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), " +
+        "raw AS (SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM d), " +
+        "ex AS (SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens FROM (" +
+        "SELECT doc_id, tok, ROW_NUMBER() OVER (" +
+        "PARTITION BY LOWER(TRIM(text)) ORDER BY doc_id) AS rn FROM d) t WHERE rn = 1), " +
+        "nd AS (SELECT COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens " +
+        "FROM d LEFT JOIN lab ON lab.v = d.doc_id " +
+        "WHERE lab.label IS NULL OR lab.label = d.doc_id), " +
+        "u AS (SELECT '1_raw' AS level, n_docs, n_tokens FROM raw " +
+        "UNION ALL SELECT '2_exact', n_docs, n_tokens FROM ex " +
+        "UNION ALL SELECT '3_near_dup', n_docs, n_tokens FROM nd) " +
+        "SELECT level, u.n_docs, u.n_tokens, " +
+        "ROUND(100.0 * (1.0 - CAST(u.n_tokens AS DOUBLE) / r.n_tokens), 4) AS savings_pct " +
+        "FROM u, raw r ORDER BY level"),
     // same component labels as split keys + x53's exact Weyl-hash
     // thresholds (the constants interpolate from the shared Sampling
     // definitions, so both engines hash the identical integers)

@@ -928,6 +928,24 @@ class ExtSpec extends SparkSpec {
     assert(frac > 0.9 && frac < 1.0, s"train fraction $frac out of band")
   }
 
+  test("x108 dedup savings ladder: monotone levels, raw saves zero, cluster level matches the x18 survivor set") {
+    val rows = Dedup.queries("x108_dedup_savings")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("1_raw", "2_exact", "3_near_dup"))
+    val (rd, rt, rs) = rows("1_raw")
+    val (ed, et, _) = rows("2_exact")
+    val (nd, nt, ns) = rows("3_near_dup")
+    assert(rs == 0.0, "raw saves nothing by definition")
+    assert(ed <= rd && et <= rt, "exact dedup cannot grow the corpus")
+    assert(nd <= ed && nt <= et, "the ladder is cumulative")
+    assert(ns > 0.0, "near-dup level must save on this corpus")
+    // level 3 ≡ x18's survivor set extended to unpaired docs (which
+    // are their own survivors): total − paired + paired_survivors
+    val comp = Dedup.queries("x18_dedup_components")(spark, SfDir).collect()
+    val expected = rd - comp.length + comp.count(_.getBoolean(2))
+    assert(nd == expected, s"cluster level $nd vs expected $expected")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
