@@ -425,4 +425,49 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("events_micros") && !plan.contains("events.parquet"),
       s"rollup rescans raw events:\n$plan")
   }
+
+  test("span dedup is equi-joins + bounded windows — no cartesian, no nested loop anywhere (x92)") {
+    val plan = Dedup.queries("x92_span_dedup")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the gram self-join and the hot-cap anti-join are equi-joins on
+    // the md5 key; document text never reaches a join operator
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in a pure equi-join pipeline:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("edit-distance dedup joins only on block keys; levenshtein runs post-join, never as a join condition loop (x91)") {
+    val plan = Dedup.queries("x91_edit_distance_dedup")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join — the block equi-key was lost:\n$plan")
+    assert(plan.toLowerCase.contains("levenshtein"),
+      s"banded levenshtein missing from the plan:\n$plan")
+  }
+
+  test("quantized rerank broadcasts the scalars and query codes; top-k plans a WindowGroupLimit (x100)") {
+    val plan = Similarity.queries("x100_quantized_rerank")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join where broadcasts suffice:\n$plan")
+    // rank-limit pushdown: the per-query top-k must not materialize a
+    // full sort of every candidate row
+    assert(plan.contains("WindowGroupLimit"),
+      s"no rank-limit pushdown in:\n$plan")
+  }
+
+  test("contrastive triplets broadcast the anchor frame against one embedding scan (x104)") {
+    val plan = Dedup.queries("x104_contrastive_triplets")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the non-equi cluster-exclusion join is legal ONLY as a
+    // broadcast of the model-sized anchor frame
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchor join shape changed:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("x18_ngram_pairs"),
+      s"embedding-grain shuffle join appeared:\n$plan")
+  }
 }
