@@ -1405,6 +1405,31 @@ object Dedup {
         .orderBy(col("level"))
     }),
 
+    // THRESHOLD SENSITIVITY CURVE — the report behind the dedup
+    // config decision: how many near-dup pairs and affected docs
+    // exist at jaccard ≥ 0.5 / 0.7 / 0.9, from ONE pass over the
+    // capped shingle join (the thresholds are filters over the same
+    // jaccard column, not three re-joins). Reading the curve is how
+    // a pipeline picks x05's production threshold: a cliff between
+    // 0.5 and 0.7 means boilerplate-heavy pairs dominate; a flat
+    // curve means true duplicates. Per-threshold affected-doc counts
+    // are exact distinct counts over the (small) pair table.
+    "x109_threshold_curve" -> ((spark, sfDir) => {
+      val wp = ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
+      Seq(0.5, 0.7, 0.9).map { t =>
+        val f = wp.filter(col("jaccard") >= t)
+        val members = f.select(col("doc_a").as("d"))
+          .unionByName(f.select(col("doc_b").as("d")))
+        f.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(
+            members.agg(countDistinct(col("d")).as("n_docs_affected"))))
+          .select(lit(t).as("threshold"), col("n_pairs"), col("n_docs_affected"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("threshold"))
+    }),
+
     // SURVIVORSHIP CONSOLIDATION — dedup that PRESERVES provenance
     // instead of discarding it: per exact-dup cluster (x01's
     // normalized key) the survivor record carries the union of
@@ -1779,6 +1804,22 @@ object Dedup {
         "ORDER BY m.w DESC, m.doc_id) AS rk FROM m JOIN cs USING (component)) " +
         "SELECT component, doc_id AS medoid_id, cluster_size, " +
         "w AS total_shared FROM r WHERE rk = 1 ORDER BY component"),
+    // the shared inter/sz chain with x05's ROUNDED jaccard (the
+    // Spark side thresholds the 4 dp value, so the oracle must too)
+    "x109_threshold_curve" -> {
+      def row(t: String): String =
+        s"SELECT CAST($t AS DOUBLE) AS threshold, " +
+          s"(SELECT CAST(COUNT(*) AS BIGINT) FROM jac WHERE j >= $t) AS n_pairs, " +
+          "(SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (" +
+          s"SELECT doc_a AS d FROM jac WHERE j >= $t " +
+          s"UNION ALL SELECT doc_b FROM jac WHERE j >= $t)) AS n_docs_affected"
+      "WITH " + NgramPairsCteBody +
+        ", jac AS (SELECT doc_a, doc_b, " +
+        "ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS j FROM inter " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
+        Seq("0.5", "0.7", "0.9").map(row).mkString(" UNION ALL ") +
+        " ORDER BY threshold"
+    },
     // same three survivor definitions; the savings chain
     // 100·(1 − t/raw) is kept in identical operand order
     "x108_dedup_savings" ->

@@ -946,6 +946,28 @@ class ExtSpec extends SparkSpec {
     assert(nd == expected, s"cluster level $nd vs expected $expected")
   }
 
+  test("x109 threshold curve: monotone non-increasing, and a planted mid-band pair separates the buckets") {
+    val rows = Dedup.queries("x109_threshold_curve")(spark, SfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.7, 0.9))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq,
+      "pair counts must fall as the threshold rises")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "affected docs must fall as the threshold rises")
+    // planted geometry: a pair at jaccard 7/13 ≈ 0.5385 is counted at
+    // 0.5 but not at 0.7 — the bucketing genuinely separates bands
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.take(9) ++ Seq("z1", "z2", "z3")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(corpus, threshold = 0.5)
+      .collect().map(_.getDouble(2))
+    assert(jac.length == 1 && jac(0) == 0.5385, s"got ${jac.toSeq}")
+    assert(Dedup.ngramJaccardPairs(corpus, threshold = 0.7).count() == 0L)
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
