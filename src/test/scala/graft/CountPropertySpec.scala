@@ -79,4 +79,39 @@ class CountPropertySpec extends SparkSpec {
       assert(ranks == ranks2, "rank map depends on partitioning")
     }
   }
+
+  test("span dedup is shift-invariant on random corpora: an embedded excerpt is found at its exact offsets (x92)") {
+    import spark.implicits._
+    // random host docs over a tiny alphabet (so natural gram noise
+    // exists), a random excerpt window, a random re-embedding offset:
+    // the diagonal-island merge must report the planted span with the
+    // exact (a_start, b_start) geometry, wherever the copy landed
+    val gen = for {
+      hostLen <- Gen.choose(16, 40)
+      host <- Gen.listOfN(hostLen, Gen.oneOf("aa", "bb", "cc", "dd"))
+      exStart <- Gen.choose(1, hostLen - 12)        // 1-based, ≥12 left
+      exLen <- Gen.choose(10, math.min(16, hostLen - exStart + 1))
+      padLen <- Gen.choose(0, 6)
+      pad <- Gen.listOfN(padLen, Gen.oneOf("zz", "yy", "xx"))
+    } yield (host, exStart, exLen, pad)
+    for ((host, exStart, exLen, pad) <- samples(gen, 15)) {
+      val excerpt = host.slice(exStart - 1, exStart - 1 + exLen)
+      val twinText = (pad ++ excerpt).mkString(" ")
+      val corpus = Seq((1L, host.mkString(" ")), (2L, twinText))
+        .toDF("doc_id", "text")
+      val spans = graft.ext.Dedup.spanDupPairs(corpus, cap = 1000, minGrams = 3)
+        .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+      // the planted copy: host position exStart aligns with twin
+      // position padLen+1 for exLen tokens. Random repetition can
+      // extend or merge spans, so the pinned property is COVERAGE on
+      // the right diagonal, not uniqueness: some reported span on
+      // diagonal (exStart − padLen − 1) must contain the excerpt.
+      val diag = exStart - (pad.length + 1)
+      val covering = spans.exists { case (as, bs, n) =>
+        as - bs == diag && as <= exStart && as + n >= exStart + exLen
+      }
+      assert(covering,
+        s"planted span (a=$exStart, b=${pad.length + 1}, len=$exLen) uncovered in ${spans.toSeq}")
+    }
+  }
 }
