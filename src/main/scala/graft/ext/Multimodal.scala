@@ -42,6 +42,11 @@ final case class AudioFeatures(doc_id: Long, n_samples: Int, abs_sum: Long,
   */
 final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_len: Int)
 
+/** One PCM analysis window's exact integer energy (x110): position,
+  * sample count (the tail window may be partial) and Σ|sample|.
+  */
+final case class AudioWindow(doc_id: Long, wi: Int, n_samples: Int, abs_sum: Long)
+
 /** One decoded frame's intensity feature: the exact integer byte sum
   * over its window — the per-frame statistic the scene-cut detector
   * (x89) differences.
@@ -263,6 +268,36 @@ object Multimodal {
       }
       AudioFeatures(id, n, absSum, zc, absSum.toDouble / n)
     }
+
+    /** Per-window exact energies from a REAL WAV parse (x110): the
+      * decoded PCM body split into `win`-sample analysis windows,
+      * each with its exact Σ|sample| — the imperative half of the
+      * silence segmenter; everything downstream is declarative.
+      */
+    def windowEnergies(id: Long, wav: Array[Byte], win: Int): Seq[AudioWindow] = {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(wav))
+      require(ais.getFormat.getSampleSizeInBits == 16 &&
+        !ais.getFormat.isBigEndian, s"unexpected decoded format: ${ais.getFormat}")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+      var wi = 0
+      var i = 0
+      while (i < n) {
+        val end = math.min(i + win, n)
+        var s = 0L
+        var j = i
+        while (j < end) {
+          s += math.abs((data(2 * j + 1) << 8) | (data(2 * j) & 0xff))
+          j += 1
+        }
+        out += AudioWindow(id, wi, end - i, s)
+        wi += 1
+        i = end
+      }
+      out.toSeq
+    }
   }
 
   /** Deterministic frame sampling: up to `maxFrames` windows of
@@ -429,6 +464,42 @@ object Multimodal {
         .orderBy(col("doc_id"), col("scene_id"))
     }),
 
+    // AUDIO SILENCE SEGMENTATION — the VAD-shaped step of an audio
+    // curation pipeline (x89/x90's scene machinery, on sound): the
+    // REAL WAV decode yields 16-sample window energies (typed
+    // partition-local work), a window is "quiet" iff its energy is
+    // below its asset's mean — compared in exact integers
+    // (abs_sum·n_windows < total, no division) — and consecutive
+    // quiet windows merge into segments by gaps-and-islands. The
+    // output is the silence map an audio pipeline cuts and trims by.
+    "x110_audio_silence_segments" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      assertAsciiCorpus(spark, sfDir)
+      val w = Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[Asset]
+        .mapPartitions(_.flatMap(a =>
+          AudioCodec.windowEnergies(a.doc_id, AudioCodec.encodeWav(a.blob), 16)))
+        .toDF()
+      val byAsset = Window.partitionBy(col("doc_id"))
+      val byWi = Window.partitionBy(col("doc_id")).orderBy(col("wi"))
+      w.withColumn("tw", sum(col("abs_sum")).over(byAsset))
+        .withColumn("nw", count(lit(1)).over(byAsset))
+        .filter(col("abs_sum") * col("nw") < col("tw"))
+        .withColumn("ni",
+          when(col("wi") - lag(col("wi"), 1).over(byWi) === 1, 0).otherwise(1))
+        .withColumn("seg", sum(col("ni")).over(
+          byWi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(min(col("wi")).as("start_window"),
+          count(lit(1)).as("n_windows"),
+          sum(col("abs_sum")).as("quiet_energy"))
+        .select(col("doc_id"), col("seg").as("segment_id"),
+          col("start_window"), col("n_windows"), col("quiet_energy"))
+        .orderBy(col("doc_id"), col("segment_id"))
+    }),
+
     // PERCEPTUAL-HASH DEDUP — near-dup detection for IMAGES, the
     // multimodal sibling of x01/x91: each payload renders to a real
     // PNG, decodes through ImageIO, and hashes to the 64-bit aHash
@@ -553,6 +624,29 @@ object Multimodal {
         "ROUND(CAST(SUM(frame_sum) AS DOUBLE) / CAST(COUNT(*) * 64 AS DOUBLE), 4) " +
         "AS mean_intensity " +
         "FROM g GROUP BY doc_id, scene_id ORDER BY doc_id, scene_id"),
+    // x110: x41's ordinal sample reconstruction windowed 16-wide
+    // (i DIV 16), per-asset integer mean compare, the shared
+    // gaps-and-islands rollup; CASTs pin HUGEINT sums
+    "x110_audio_silence_segments" ->
+      ("WITH a AS (SELECT doc_id, text, length(text) // 2 AS ns FROM documents), " +
+        "u AS (SELECT doc_id, text, unnest(range(ns)) AS i FROM a), " +
+        "s AS (SELECT doc_id, CAST(i // 16 AS INTEGER) AS wi, " +
+        "ABS((ord(substr(text, CAST(2 * i + 1 AS INTEGER), 1)) - 109) * 256 + " +
+        "ord(substr(text, CAST(2 * i + 2 AS INTEGER), 1))) AS av FROM u), " +
+        "w AS (SELECT doc_id, wi, COUNT(*) AS n_samples, " +
+        "CAST(SUM(av) AS BIGINT) AS abs_sum FROM s GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, CAST(SUM(abs_sum) AS BIGINT) AS tw, " +
+        "COUNT(*) AS nw FROM w GROUP BY 1), " +
+        "q AS (SELECT w.doc_id, w.wi, w.abs_sum FROM w JOIN t USING (doc_id) " +
+        "WHERE abs_sum * nw < tw), " +
+        "m AS (SELECT *, CASE WHEN wi - LAG(wi) OVER (" +
+        "PARTITION BY doc_id ORDER BY wi) = 1 THEN 0 ELSE 1 END AS ni FROM q), " +
+        "g AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY wi) AS seg FROM m) " +
+        "SELECT doc_id, CAST(seg AS BIGINT) AS segment_id, " +
+        "CAST(MIN(wi) AS INTEGER) AS start_window, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_windows, " +
+        "CAST(SUM(abs_sum) AS BIGINT) AS quiet_energy " +
+        "FROM g GROUP BY doc_id, seg ORDER BY doc_id, segment_id"),
     // x94: pixel p = byte[p mod n] (+10 for the shifted twin), block
     // b = (p÷16÷2)·8 + (p mod 16)÷2 — the same (by,bx) bit order the
     // codec emits; exact-integer threshold block_sum·64 ≥ total

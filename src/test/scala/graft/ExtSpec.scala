@@ -384,6 +384,22 @@ class ExtSpec extends SparkSpec {
     assert(hash(swapped) == "1" * 32 + "0" * 32, "structure must move the hash")
   }
 
+  test("x110 window energies: real WAV roundtrip yields exact per-window sums and the quiet half segments as one island") {
+    import graft.ext.{Multimodal => M}
+    // 64 quiet bytes ('m' → sample (109−109)·256+109 = 109) then 64
+    // loud bytes ('z' → (122−109)·256+122 = 3450): 4 16-sample
+    // windows with energies 16·109, 16·109, 16·3450, 16·3450
+    val bytes = (Array.fill(64)('m'.toByte) ++ Array.fill(64)('z'.toByte))
+    val w = M.AudioCodec.windowEnergies(5L, M.AudioCodec.encodeWav(bytes), 16)
+    assert(w.map(x => (x.wi, x.n_samples, x.abs_sum)) ==
+      Seq((0, 16, 1744L), (1, 16, 1744L), (2, 16, 55200L), (3, 16, 55200L)))
+    // mean-energy gate: 1744·4 < 113888 (quiet), 55200·4 ≥ (loud) —
+    // exactly windows 0-1 pass, and they are consecutive: one island
+    val total = w.map(_.abs_sum).sum
+    val quiet = w.filter(x => x.abs_sum * w.length < total).map(_.wi)
+    assert(quiet == Seq(0, 1), s"got $quiet")
+  }
+
   test("x23 nearest resize samples exactly the even-index pixels") {
     import graft.ext.{ImageFeatures, Multimodal => M}
     // payload [10, 200]: source pixel p = byte[p mod 2], so even pixel
