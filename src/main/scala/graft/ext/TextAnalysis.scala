@@ -119,6 +119,27 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** x111's index-join body over explicit frames — (doc_id, text)
+    * and a 1-row phrase frame carrying a 3-term array column `q` —
+    * exposed so tests can feed overlapping-occurrence corpora.
+    * Occurrences count ALL anchor positions, including overlapping
+    * ones (the inverted-index semantics; a non-overlapping scan
+    * would undercount "a b a b a" for phrase "a b a").
+    */
+  def phraseOccurrences(d: DataFrame, phrase: DataFrame): DataFrame = {
+    val postings = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .crossJoin(phrase)
+    def leg(i: Int): DataFrame = postings
+      .filter(col("term") === element_at(col("q"), i + 1))
+      .select(col("doc_id"), (col("pos") - i).as("base"))
+    leg(0).join(leg(1), Seq("doc_id", "base"))
+      .join(leg(2), Seq("doc_id", "base"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Misra-Gries heavy hitters with an exact verify pass (x101): the
     * bounded-state answer to "top-k frequent tokens" that a full
     * token-frequency shuffle cannot give at 100 TB vocabulary scale.
@@ -517,6 +538,25 @@ object TextAnalysis {
     "x95_domain_affinity" -> ((spark, sfDir) =>
       domainAffinity(docs(spark, sfDir).select(col("source"), col("text")))
         .orderBy(col("source_a"), col("source_b"))),
+
+    // PHRASE SEARCH over a positional inverted index — the serving
+    // pattern of a corpus search system: posting lists (doc, pos,
+    // term) for each phrase term, re-keyed to a common anchor
+    // position (pos − i for the i-th term) and 3-way equi-joined on
+    // (doc, anchor) — occurrences materialize from index lookups,
+    // never a corpus text scan. The query phrase (tokens 3–5 of doc
+    // 0) derives as a 1-row broadcast, so the whole plan is
+    // index-joins against three term-filtered posting projections.
+    // The oracle is deliberately the OTHER algorithm — a sliding
+    // window over each document — so a position-bookkeeping bug
+    // (off-by-one anchors, boundary terms) hash-fails rather than
+    // being shared by both sides.
+    "x111_phrase_search" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val phrase = broadcast(d.filter(col("doc_id") === 0)
+        .select(slice(split(col("text"), " "), 3, 3).as("q")))
+      phraseOccurrences(d, phrase).orderBy(col("doc_id"))
+    }),
 
     // Bounded-state top-10 frequent tokens (see heavyHitters
     // scaladoc): m = 200 comfortably covers the corpus vocabulary's
@@ -1042,6 +1082,17 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // the deliberately-different algorithm: a token window slides
+    // over every doc and string-compares against the phrase
+    "x111_phrase_search" ->
+      ("WITH q AS (SELECT array_to_string((string_split(text, ' '))[3:5], ' ') AS phrase " +
+        "FROM documents WHERE doc_id = 0), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "hits AS (SELECT p.doc_id FROM pos p, q " +
+        "WHERE array_to_string(p.w[i:i+2], ' ') = q.phrase) " +
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences " +
+        "FROM hits GROUP BY 1 ORDER BY 1"),
     // the oracle is the brute-force ground truth: exact counts over
     // the FULL vocabulary — matching it is precisely the claim that
     // the bounded-state candidate pass lost nothing in the top-10

