@@ -59,6 +59,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosineNative(a, b)
 
+  /** x112's exact-integer power iteration over a (vec_id,
+    * qv: array<long>) frame — exposed so tests can plant an
+    * anisotropic cloud and assert the dominant axis wins. See the
+    * x112 registry comment for the overflow/normalization argument.
+    */
+  def principalDirection(q: DataFrame, nRows: Long, dims: Int): DataFrame = {
+    val spark = q.sparkSession
+    val cells = q.select(col("vec_id"), posexplode(col("qv")))
+      .select(col("vec_id"), col("pos").as("i"), col("col").as("qi"))
+    val gbar = cells
+      .join(cells.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
+        "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(expr(s"sum(qi * qj) DIV $nRows").as("g"))
+    def step(v: DataFrame): DataFrame = {
+      val u = gbar.join(v, "j").groupBy(col("i"))
+        .agg(sum(col("g") * col("v")).as("u"))
+      u.crossJoin(broadcast(u.agg(max(col("u")).as("m"))))
+        .select(col("i").as("j"), expr("u * 1000 DIV m").as("v"))
+    }
+    val v0 = spark.range(0, dims).select(col("id").cast("int").as("j"),
+      lit(1000L).as("v"))
+    val v2 = step(step(v0))
+    val num = gbar.join(v2, "j")
+      .join(v2.select(col("j").as("i"), col("v").as("vi")), "i")
+      .agg(sum(col("g") * col("v") * col("vi")).as("num"))
+    val den = v2.agg(sum(col("v") * col("v")).as("den"))
+    v2.select(col("j").as("dim"), col("v").as("loading"))
+      .crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("dim"), col("loading"),
+        round(col("num").cast("double") / col("den"), 4).as("rayleigh"))
+  }
+
   /** Number of hash tables in the OR-construction. More tables buy
     * recall at the target (high) similarity; candidate volume grows
     * linearly with L but stays bucket-bounded per table.
@@ -650,6 +683,36 @@ object Similarity {
         .orderBy(col("query_id"), col("dim"))
     }),
 
+    // PRINCIPAL DIRECTION — the dominant axis of the quantized
+    // embedding cloud by exact-integer POWER ITERATION (x69's
+    // fixed-point discipline applied to linear algebra): the
+    // anisotropy/mean-direction diagnostic behind "are these
+    // embeddings collapsing onto one axis". The Gram matrix
+    // accumulates as Σ qᵢ·qⱼ per (i, j) — d² = 4096 keys with
+    // map-side partial aggregation, so the corpus-sized work is ONE
+    // self-join on the row id and a hash agg, never a d²×n blowup on
+    // the shuffle — then normalizes to Ḡ = G DIV n (entries ≤ 255²
+    // REGARDLESS of corpus size — the integer rescale that makes two
+    // power steps overflow-free at any n). Two unrolled iterations
+    // u = Ḡ·v, v' = u·1000 DIV max(u) re-quantize the iterate to
+    // 0..1000 exactly; the Rayleigh quotient vᵀḠv / vᵀv is an exact
+    // integer ratio with ONE double division at 4 dp. Every number
+    // here is deterministic integer arithmetic — the only float in
+    // the operator is that final division.
+    "x112_principal_direction" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val q = e.crossJoin(bounds)
+        .select(col("vec_id"),
+          transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("long")).as("qv"))
+      principalDirection(q, Lake.rowCount(spark, sfDir, "embeddings"), dims = 64)
+        .orderBy(col("dim"))
+    }),
+
     // MMR DIVERSIFIED RETRIEVAL — the redundancy-aware rerank on top
     // of x100's exact-integer kernel: greedy maximal-marginal-
     // relevance picks 3 of the query's top-6 candidates, each round
@@ -1045,6 +1108,32 @@ object Similarity {
     // catch it. x08/x09/x16/x29 stay rows-only: their candidate SETS
     // depend on engine-specific hash/random projections, not just
     // float rounding.
+    // same quantization grid, normalized integer Gram, two unrolled
+    // power steps with the 1000-grid re-quantization, and the exact
+    // Rayleigh ratio — the only float op on either side is the final
+    // division
+    "x112_principal_direction" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "nn AS (SELECT COUNT(*) AS n FROM q), " +
+        "cells AS (SELECT vec_id, CAST(p AS INTEGER) AS i, qv[p + 1] AS qi " +
+        "FROM q, (SELECT unnest(range(64)) AS p)), " +
+        "gb AS (SELECT a.i, c2.i AS j, " +
+        "CAST(SUM(a.qi * c2.qi) // (SELECT n FROM nn) AS BIGINT) AS g " +
+        "FROM cells a JOIN cells c2 USING (vec_id) GROUP BY 1, 2), " +
+        "u1 AS (SELECT i, CAST(SUM(g * 1000) AS BIGINT) AS u FROM gb GROUP BY 1), " +
+        "v1 AS (SELECT i AS j, CAST(u * 1000 // (SELECT MAX(u) FROM u1) AS BIGINT) AS v FROM u1), " +
+        "u2 AS (SELECT gb.i, CAST(SUM(g * v) AS BIGINT) AS u " +
+        "FROM gb JOIN v1 ON v1.j = gb.j GROUP BY 1), " +
+        "v2 AS (SELECT i AS j, CAST(u * 1000 // (SELECT MAX(u) FROM u2) AS BIGINT) AS v FROM u2), " +
+        "num AS (SELECT CAST(SUM(g * va.v * vb.v) AS BIGINT) AS num " +
+        "FROM gb JOIN v2 va ON va.j = gb.j JOIN v2 vb ON vb.j = gb.i), " +
+        "den AS (SELECT CAST(SUM(v * v) AS BIGINT) AS den FROM v2) " +
+        "SELECT j AS dim, v AS loading, " +
+        "ROUND(CAST(num AS DOUBLE) / den, 4) AS rayleigh " +
+        "FROM v2, num, den ORDER BY dim"),
     // one rank CTE per decade (generated below — identical float-op
     // sequence to the fused native cosine over the same slices),
     // joined against the full-dim decade for the overlap count

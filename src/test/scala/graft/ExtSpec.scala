@@ -1002,6 +1002,29 @@ class ExtSpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getLong(1) >= 1L))
   }
 
+  test("x112 power iteration: a planted dominant axis takes loading 1000, orthogonal noise decays, rayleigh brackets the eigenvalue") {
+    import spark.implicits._
+    // rank-1-ish cloud along dim 1 of 4: every vector ≈ t·e1 with a
+    // small dim-3 perturbation — the dominant eigenvector is e1
+    val q = Seq(
+      (1L, Seq(200L, 2L, 0L, 0L)),
+      (2L, Seq(150L, 0L, 3L, 0L)),
+      (3L, Seq(250L, 1L, 1L, 0L)),
+      (4L, Seq(180L, 0L, 2L, 0L))
+    ).toDF("vec_id", "qv")
+    val rows = Similarity.principalDirection(q, nRows = 4L, dims = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val byDim = rows.map(r => r._1 -> r._2).toMap
+    assert(byDim(0) == 1000L, s"dominant axis must carry full loading: $byDim")
+    assert(byDim(1) < 100L && byDim(2) < 100L && byDim(3) < 100L,
+      s"noise axes must decay: $byDim")
+    // Rayleigh ≈ mean squared projection onto e1 = Σt²/4 in Ḡ units:
+    // Ḡ₀₀ = (200²+150²+250²+180²) DIV 4 = 39 306 — the quotient must
+    // land within the Ḡ₀₀ ± small-perturbation band
+    val ray = rows.head._3
+    assert(ray > 39000 && ray < 40000, s"rayleigh $ray outside the planted band")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
