@@ -539,6 +539,29 @@ object TextAnalysis {
       domainAffinity(docs(spark, sfDir).select(col("source"), col("text")))
         .orderBy(col("source_a"), col("source_b"))),
 
+    // K-ANONYMITY AUDIT — the privacy-risk sibling of x24's PII
+    // redaction: even with explicit identifiers scrubbed, a record
+    // is re-identifiable when its QUASI-IDENTIFIER combination
+    // (here: lang × source × 50-char length bucket) is shared by
+    // fewer than k = 5 documents. The report is the equivalence-
+    // class-size histogram with each size's risk flag — the number a
+    // release review reads before publishing a corpus with metadata
+    // attached. One partial-aggregated groupBy to the class table
+    // (bounded by the quasi-identifier product, never corpus-sized),
+    // one more to the histogram.
+    "x113_k_anonymity" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("lang"), col("source"),
+          expr("n_chars DIV 50").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_docs"))
+        .select(col("class_size"), col("n_classes"),
+          col("n_docs"), (col("class_size") < 5).as("risky"))
+        .orderBy(col("class_size"))),
+
     // PHRASE SEARCH over a positional inverted index — the serving
     // pattern of a corpus search system: posting lists (doc, pos,
     // term) for each phrase term, re-keyed to a common anchor
@@ -1082,6 +1105,14 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same quasi-identifier classes; CASTs pin HUGEINT sums
+    "x113_k_anonymity" ->
+      ("WITH c AS (SELECT lang, source, n_chars // 50 AS len_bucket, " +
+        "COUNT(*) AS class_size FROM documents GROUP BY 1, 2, 3) " +
+        "SELECT class_size, COUNT(*) AS n_classes, " +
+        "CAST(SUM(class_size) AS BIGINT) AS n_docs, " +
+        "class_size < 5 AS risky FROM c GROUP BY class_size " +
+        "ORDER BY class_size"),
     // the deliberately-different algorithm: a token window slides
     // over every doc and string-compares against the phrase
     "x111_phrase_search" ->

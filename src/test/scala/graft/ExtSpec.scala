@@ -1025,6 +1025,20 @@ class ExtSpec extends SparkSpec {
     assert(ray > 39000 && ray < 40000, s"rayleigh $ray outside the planted band")
   }
 
+  test("x113 k-anonymity: histogram partitions the corpus, risk flag mirrors the k=5 bar, risky mass present") {
+    val rows = TextAnalysis.queries("x113_k_anonymity")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (size, nClasses, nDocs, risky) =>
+      assert(nDocs == size * nClasses, "histogram identity: docs = size × classes")
+      assert(risky == (size < 5), "risk flag must mirror the k bar")
+    }
+    val total = Lake.table(spark, SfDir, "documents").count()
+    assert(rows.map(_._3).sum == total, "histogram must partition the corpus")
+    // the audit is non-vacuous on this corpus: risky classes exist
+    assert(rows.exists(_._4), "no risky classes — audit vacuous")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
