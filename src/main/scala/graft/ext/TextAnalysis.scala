@@ -562,6 +562,29 @@ object TextAnalysis {
           col("n_docs"), (col("class_size") < 5).as("risky"))
         .orderBy(col("class_size"))),
 
+    // L-DIVERSITY AUDIT — k-anonymity's necessary complement: a
+    // class can be large (k-safe) yet leak its SENSITIVE attribute
+    // when every member shares it (the homogeneity attack). Here the
+    // quasi-identifiers are (source, length bucket) and the
+    // sensitive attribute is lang: per class, the distinct-lang
+    // count l, reported as an (l, class-size-band) histogram with
+    // the l ≥ 2 bar. A release review reads x113 and this TOGETHER —
+    // classes failing either bar need generalization before the
+    // corpus ships with metadata. Same two bounded aggregations.
+    "x114_l_diversity" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("source"), expr("n_chars DIV 50").as("len_bucket"),
+          col("lang"))
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("lang")).as("l"))
+        .groupBy(col("l"), (col("class_size") >= 5).as("k_safe"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("class_size")).as("n_docs"))
+        .select(col("l"), col("k_safe"), col("n_classes"), col("n_docs"),
+          (col("l") >= 2).as("l_safe"))
+        .orderBy(col("l"), col("k_safe"))),
+
     // PHRASE SEARCH over a positional inverted index — the serving
     // pattern of a corpus search system: posting lists (doc, pos,
     // term) for each phrase term, re-keyed to a common anchor
@@ -1105,6 +1128,14 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same class construction with lang as the sensitive attribute
+    "x114_l_diversity" ->
+      ("WITH c AS (SELECT source, n_chars // 50 AS len_bucket, " +
+        "COUNT(*) AS class_size, COUNT(DISTINCT lang) AS l " +
+        "FROM documents GROUP BY 1, 2) " +
+        "SELECT l, class_size >= 5 AS k_safe, COUNT(*) AS n_classes, " +
+        "CAST(SUM(class_size) AS BIGINT) AS n_docs, l >= 2 AS l_safe " +
+        "FROM c GROUP BY l, class_size >= 5 ORDER BY l, k_safe"),
     // same quasi-identifier classes; CASTs pin HUGEINT sums
     "x113_k_anonymity" ->
       ("WITH c AS (SELECT lang, source, n_chars // 50 AS len_bucket, " +

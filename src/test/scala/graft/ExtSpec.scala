@@ -1039,6 +1039,22 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._4), "no risky classes — audit vacuous")
   }
 
+  test("x114 l-diversity: partitions the corpus, flags mirror the bars, and the homogeneity-attack case is visible") {
+    val rows = TextAnalysis.queries("x114_l_diversity")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, _, _, _, lSafe) =>
+      assert(lSafe == (l >= 2), "l_safe must mirror the l >= 2 bar")
+    }
+    val total = Lake.table(spark, SfDir, "documents").count()
+    assert(rows.map(_._4).sum == total, "histogram must partition the corpus")
+    // the reason this audit exists beside x113: classes that pass the
+    // k bar but fail the l bar (every member shares the sensitive
+    // value) — assert homogeneous classes exist at all, so the l
+    // dimension is non-vacuous on this corpus
+    assert(rows.exists(_._1 == 1L), "no homogeneous classes — l audit vacuous")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
