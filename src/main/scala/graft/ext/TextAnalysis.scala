@@ -119,6 +119,29 @@ object TextAnalysis {
             / sum(col("tf")), 4).as("avg_logprob"))
   }
 
+  /** x115's chunker over an explicit (doc_id, text) frame: one row
+    * per content-defined chunk with its md5 key — exposed so tests
+    * can pin the insertion-resilience property (boundaries attach to
+    * tokens, so a prepended token leaves downstream chunks intact).
+    */
+  def cdcChunkTable(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wArr = hashWeights.mkString("array(", "L, ", "L)")
+    val h = s"aggregate(sequence(1, least(length(w), $HashMaxChars)), 0L, " +
+      s"(acc, i) -> acc + ascii(substring(w, i, 1)) * element_at($wArr, i))"
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("b",
+        when(expr(s"pmod(pmod($h, $HashP), 8)") === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(md5(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")))).as("ck"))
+  }
+
   /** x111's index-join body over explicit frames — (doc_id, text)
     * and a 1-row phrase frame carrying a 3-term array column `q` —
     * exposed so tests can feed overlapping-occurrence corpora.
@@ -538,6 +561,31 @@ object TextAnalysis {
     "x95_domain_affinity" -> ((spark, sfDir) =>
       domainAffinity(docs(spark, sfDir).select(col("source"), col("text")))
         .orderBy(col("source_a"), col("source_b"))),
+
+    // CONTENT-DEFINED CHUNKING — the insertion-resilient chunking
+    // storage/dedup systems use (FastCDC's idea at token grain):
+    // a chunk boundary falls AFTER any token whose content hash ≡ 0
+    // mod 8 (expected chunk ≈ 8 tokens), so boundaries are a pure
+    // function of LOCAL content — prepending a token shifts every
+    // x35-style fixed window but leaves every content-defined
+    // boundary attached to its token. The report is the dedup
+    // payoff: per doc, chunk count and how many of its chunks appear
+    // verbatim in other documents (chunk keys are md5 — constant-
+    // width shuffle). Uses x79's engine-exact polynomial token hash.
+    "x115_cdc_chunks" -> ((spark, sfDir) => {
+      val chunks = cdcChunkTable(docs(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      val shared = chunks.groupBy(col("ck"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("ck"))
+      chunks.join(shared, Seq("ck"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .join(chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_chunks"))
+        .orderBy(col("doc_id"))
+    }),
 
     // K-ANONYMITY AUDIT — the privacy-risk sibling of x24's PII
     // redaction: even with explicit identifiers scrubbed, a record
@@ -1128,6 +1176,29 @@ object TextAnalysis {
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    // same token hash (weights interpolated from the shared Scala
+    // value), boundary rule, lagged running chunk ids and md5 chunk
+    // keys; shared = distinct-doc count > 1 on both sides
+    "x115_cdc_chunks" -> {
+      val wa = hashWeights.mkString("[", ", ", "]")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents), " +
+        "t AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, wl[CAST(i + 1 AS INTEGER)] AS w " +
+        "FROM (SELECT doc_id, wl, unnest(range(len(wl))) AS i FROM tok)), " +
+        s"b AS (SELECT doc_id, pos, w, CASE WHEN (list_sum(list_transform(" +
+        s"range(1, least(length(w), $HashMaxChars) + 1), " +
+        s"i -> ascii(substr(w, i, 1)) * ($wa)[i])) % $HashP) % 8 = 0 " +
+        "THEN 1 ELSE 0 END AS bf FROM t), " +
+        "c AS (SELECT doc_id, pos, w, COALESCE(SUM(bf) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM b), " +
+        "ch AS (SELECT doc_id, chunk_id, " +
+        "md5(string_agg(w, ' ' ORDER BY pos)) AS ck FROM c GROUP BY 1, 2), " +
+        "sh AS (SELECT ck FROM ch GROUP BY ck HAVING COUNT(DISTINCT doc_id) > 1), " +
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+        "CAST(COUNT(CASE WHEN ck IN (SELECT ck FROM sh) THEN 1 END) AS BIGINT) " +
+        "AS n_shared_chunks FROM ch GROUP BY 1) " +
+        "SELECT doc_id, n_chunks, n_shared_chunks FROM agg ORDER BY doc_id"
+    },
     // same class construction with lang as the sensitive attribute
     "x114_l_diversity" ->
       ("WITH c AS (SELECT source, n_chars // 50 AS len_bucket, " +

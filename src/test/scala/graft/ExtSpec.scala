@@ -1055,6 +1055,28 @@ class ExtSpec extends SparkSpec {
     assert(rows.exists(_._1 == 1L), "no homogeneous classes — l audit vacuous")
   }
 
+  test("x115 CDC chunks: a prepended token leaves downstream chunks intact where fixed windows shift everything") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tk$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunkTable(corpus)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined boundaries attach to tokens: at most the FIRST
+    // chunk of doc 1 can differ (it absorbs the insertion); every
+    // later chunk key must reappear verbatim in doc 2
+    assert(a.size >= 3, s"need a multi-chunk doc, got ${a.size}")
+    assert((a -- b).size <= 1,
+      s"insertion broke ${(a -- b).size} of ${a.size} chunks — boundaries not content-defined")
+    // contrast: x35-style fixed 8-token windows share NOTHING after a
+    // 1-token shift (sanity-check the premise, not the operator)
+    val fixedA = base.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    val fixedB = ("inserted " + base).split(" ").grouped(8).map(_.mkString(" ")).toSet
+    assert((fixedA -- fixedB).size >= fixedA.size - 1,
+      "premise broken: fixed windows unexpectedly survived the shift")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
