@@ -139,7 +139,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(md5(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w")))).as("ck"))
+          s => s.getField("w")))).as("ck"),
+        count(lit(1)).as("n_tokens"))
   }
 
   /** x111's index-join body over explicit frames — (doc_id, text)
@@ -585,6 +586,31 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_shared"), lit(0L)).as("n_shared_chunks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // CDC STORAGE SAVINGS — x115's payoff as one number (the
+    // storage-system dedup ratio): keep each distinct chunk ONCE and
+    // the corpus shrinks from total chunk-token mass to
+    // distinct-chunk mass. Distinct mass takes each chunk key's
+    // token count once (min ≡ max — identical content, asserted by
+    // construction via the md5 key); savings is the single-division
+    // 4 dp chain. This is exactly what a dedup ratio means in a
+    // content-addressed store, computed declaratively.
+    "x116_cdc_savings" -> ((spark, sfDir) => {
+      val chunks = cdcChunkTable(docs(spark, sfDir)
+        .select(col("doc_id"), col("text")))
+      val tot = chunks.agg(count(lit(1)).as("n_instances"),
+        sum(col("n_tokens")).as("tokens_total"))
+      val dist = chunks.groupBy(col("ck"))
+        .agg(min(col("n_tokens")).as("t1"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("t1")).as("tokens_distinct"))
+      tot.crossJoin(broadcast(dist))
+        .select(col("n_instances"), col("n_distinct"),
+          col("tokens_total"), col("tokens_distinct"),
+          round(lit(100.0) * (lit(1.0) -
+            col("tokens_distinct").cast("double") / col("tokens_total")), 4)
+            .as("savings_pct"))
     }),
 
     // K-ANONYMITY AUDIT — the privacy-risk sibling of x24's PII
@@ -1198,6 +1224,31 @@ object TextAnalysis {
         "CAST(COUNT(CASE WHEN ck IN (SELECT ck FROM sh) THEN 1 END) AS BIGINT) " +
         "AS n_shared_chunks FROM ch GROUP BY 1) " +
         "SELECT doc_id, n_chunks, n_shared_chunks FROM agg ORDER BY doc_id"
+    },
+    // x115's chunk chain aggregated; distinct mass via min-per-key
+    // (identical content under an md5 key), the x108 savings chain
+    "x116_cdc_savings" -> {
+      val wa = hashWeights.mkString("[", ", ", "]")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents), " +
+        "t AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, wl[CAST(i + 1 AS INTEGER)] AS w " +
+        "FROM (SELECT doc_id, wl, unnest(range(len(wl))) AS i FROM tok)), " +
+        s"b AS (SELECT doc_id, pos, w, CASE WHEN (list_sum(list_transform(" +
+        s"range(1, least(length(w), $HashMaxChars) + 1), " +
+        s"i -> ascii(substr(w, i, 1)) * ($wa)[i])) % $HashP) % 8 = 0 " +
+        "THEN 1 ELSE 0 END AS bf FROM t), " +
+        "c AS (SELECT doc_id, pos, w, COALESCE(SUM(bf) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM b), " +
+        "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS ck, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tokens FROM c GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_instances, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS tokens_total FROM ch), " +
+        "dist AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct, " +
+        "CAST(SUM(t1) AS BIGINT) AS tokens_distinct FROM (" +
+        "SELECT ck, MIN(n_tokens) AS t1 FROM ch GROUP BY 1)) " +
+        "SELECT n_instances, n_distinct, tokens_total, tokens_distinct, " +
+        "ROUND(100.0 * (1.0 - CAST(tokens_distinct AS DOUBLE) / tokens_total), 4) " +
+        "AS savings_pct FROM tot, dist"
     },
     // same class construction with lang as the sensitive attribute
     "x114_l_diversity" ->

@@ -1077,6 +1077,20 @@ class ExtSpec extends SparkSpec {
       "premise broken: fixed windows unexpectedly survived the shift")
   }
 
+  test("x116 CDC savings: token mass conserved, distinct never exceeds instances, chunk-grain dedup non-vacuous") {
+    val r = TextAnalysis.queries("x116_cdc_savings")(spark, SfDir).collect()(0)
+    val (inst, dist, tt, td, pct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(dist <= inst && td <= tt, "a content-addressed store cannot grow data")
+    assert(pct >= 0.0 && pct < 100.0)
+    // the chunk token mass is exactly the corpus token mass — CDC
+    // partitions every document, drops nothing
+    val corpusTokens = Lake.table(spark, SfDir, "documents")
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0).toLong).sum
+    assert(tt == corpusTokens, s"chunking lost tokens: $tt vs $corpusTokens")
+    assert(pct > 0.0, "no cross-chunk duplication found — savings vacuous")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
