@@ -20,7 +20,7 @@ import graft.sources.{Lake, Layout}
   *                        retention GC, schema evolution, surgical
   *                        keyed delete), MERGE upsert, snapshot
   *                        diff, SCD2 history, observe() metrics
-  *  - s01..s16          — Structured Streaming: tumbling/sliding/
+  *  - s01..s17          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,

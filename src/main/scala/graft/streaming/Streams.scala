@@ -811,6 +811,93 @@ object Streams {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** s17: streaming ingest into a CONTENT-ADDRESSED chunk store —
+    * x116's dedup ratio maintained as documents arrive: each
+    * microbatch chunks its documents (CDC boundaries are doc-local,
+    * so every batch's chunk table is complete in isolation — the
+    * embarrassingly-incremental case), batch chunk keys anti-join
+    * the maintained distinct-chunk store so only NOVEL chunks append
+    * (s13's set semantics — a re-ingested chunk stores once), and
+    * the additive instance/token counters ride alongside (s12's
+    * case). The readout recomputes x116's savings report from the
+    * maintained state — oracled ≡ batch x116, the IVM contract. The
+    * corpus streams from an 8-file staging copy so the run genuinely
+    * decomposes into batches.
+    */
+  def foreachBatchCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s17_${tag(sfDir)}"
+    rmDir(spark, base)
+    val staged = s"$base/docs_staged"
+    Lake.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    @volatile var latest: Option[(String, String)] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val genS = s"$base/store_$batchId"
+        val genC = s"$base/ctr_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$genC/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some((genS, genC))
+        } else {
+          val chunks = graft.ext.TextAnalysis.cdcChunkTable(batch.toDF())
+          // within-batch dedup first, then novelty vs the store
+          val batchDistinct = chunks.groupBy(col("ck"))
+            .agg(min(col("n_tokens")).as("n_tokens"))
+          val novel = latest match {
+            case None => batchDistinct
+            case Some((prevS, _)) =>
+              val seen = spark.read.parquet(prevS)
+              batchDistinct.join(seen,
+                batchDistinct("ck") <=> seen("ck"), "left_anti")
+          }
+          val storeNext = latest match {
+            case None => novel
+            case Some((prevS, _)) =>
+              spark.read.parquet(prevS).unionByName(novel)
+          }
+          storeNext.write.mode("overwrite").parquet(genS)
+          val delta = chunks.agg(
+            count(lit(1)).as("d_inst"),
+            sum(col("n_tokens")).as("d_tok"))
+          val ctrNext = latest match {
+            case None =>
+              delta.select(col("d_inst").as("n_instances"),
+                col("d_tok").as("tokens_total"))
+            case Some((_, prevC)) =>
+              val prev = spark.read.parquet(prevC)
+              prev.crossJoin(delta)
+                .select((col("n_instances") + col("d_inst")).as("n_instances"),
+                  (col("tokens_total") + col("d_tok")).as("tokens_total"))
+          }
+          ctrNext.write.mode("overwrite").parquet(genC)
+          latest = Some((genS, genC))
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (store, ctr) = latest.getOrElse(
+      sys.error("s17: stream produced no batches"))
+    val dist = spark.read.parquet(store)
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("n_tokens")).as("tokens_distinct"))
+    spark.read.parquet(ctr).crossJoin(dist)
+      .select(col("n_instances"), col("n_distinct"),
+        col("tokens_total"), col("tokens_distinct"),
+        round(lit(100.0) * (lit(1.0) -
+          col("tokens_distinct").cast("double") / col("tokens_total")), 4)
+          .as("savings_pct"))
+  }
+
   /** s07: streaming ingestion into the partitioned lake — the
     * reference's run_me_first.py ELT step (derive `date`, write
     * hive-partitioned) as a continuous pipeline: raw stream →
@@ -939,6 +1026,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchPsi(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
+    "s17_stream_cdc_maintain" ->
+      ((spark, sfDir) => foreachBatchCdc(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -1014,6 +1103,10 @@ object Streams {
     // the IVM contract verbatim: maintained current histogram + static
     // reference through the shared report stage ≡ batch x98
     "s15_stream_psi_monitor" -> graft.pipeline.Views.oracles("x98_psi_drift"),
+    // the IVM contract verbatim: maintained chunk store + counters
+    // ≡ batch x116's content-addressed dedup report
+    "s17_stream_cdc_maintain" ->
+      graft.ext.TextAnalysis.oracles("x116_cdc_savings"),
     // the oracle is the LITERAL event-grain join, not the degree
     // product — their equality is exactly the factorization claim
     "s16_stream_join_maintain" ->

@@ -343,4 +343,26 @@ class StreamingStateSpec extends SparkSpec {
     // fanout actually exercised: some key must pair more than 1×1
     assert(streamed.exists(_._3 > 1), "need a key with real join fanout")
   }
+
+  test("streaming CDC store equals batch x116 across a multi-batch run; re-ingested chunks store once (s17)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val streamed = graft.streaming.Streams.foreachBatchCdc(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s17_$tag")
+      .listFiles().count(_.getName.startsWith("ctr_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x116_cdc_savings")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed CDC store diverges from batch x116:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    // set semantics: the maintained store is exactly the distinct set
+    val lastGen = new java.io.File(s"/tmp/graft-stream/s17_$tag")
+      .listFiles().filter(_.getName.startsWith("store_"))
+      .map(_.getName.stripPrefix("store_").toLong).max
+    val storeCount = spark.read
+      .parquet(s"/tmp/graft-stream/s17_$tag/store_$lastGen").count()
+    assert(storeCount == streamed(0)._2, "store size must equal n_distinct")
+  }
 }
