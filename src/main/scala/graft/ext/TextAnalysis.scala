@@ -636,6 +636,32 @@ object TextAnalysis {
           col("n_docs"), (col("class_size") < 5).as("risky"))
         .orderBy(col("class_size"))),
 
+    // GENERALIZATION LADDER — the repair step after x113 flags risk:
+    // how much quasi-identifier coarsening (length buckets 50 → 100
+    // → 200) buys how much k-anonymity. Widths are nested multiples,
+    // so every coarser class is a UNION of finer ones — class sizes
+    // only grow, risky mass is provably non-increasing down the
+    // ladder (the monotonicity the unit test pins). A release review
+    // reads the ladder to pick the cheapest generalization clearing
+    // its risk budget. Three bounded aggregations, one per rung.
+    "x117_anonymity_ladder" -> ((spark, sfDir) =>
+      Seq(50, 100, 200).map { wdt =>
+        docs(spark, sfDir)
+          .select(col("lang"), col("source"),
+            expr(s"n_chars DIV $wdt").as("len_bucket"))
+          .groupBy(col("lang"), col("source"), col("len_bucket"))
+          .agg(count(lit(1)).as("class_size"))
+          .agg(count(lit(1)).as("n_classes"),
+            coalesce(sum(when(col("class_size") < 5, col("class_size"))), lit(0L))
+              .as("n_risky_docs"),
+            sum(col("class_size")).as("n_docs"))
+          .select(lit(wdt).as("bucket_width"), col("n_classes"),
+            col("n_risky_docs"),
+            round(lit(100.0) * col("n_risky_docs").cast("double") /
+              col("n_docs"), 4).as("risky_pct"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("bucket_width"))),
+
     // L-DIVERSITY AUDIT — k-anonymity's necessary complement: a
     // class can be large (k-safe) yet leak its SENSITIVE attribute
     // when every member shares it (the homogeneity attack). Here the
@@ -1249,6 +1275,20 @@ object TextAnalysis {
         "SELECT n_instances, n_distinct, tokens_total, tokens_distinct, " +
         "ROUND(100.0 * (1.0 - CAST(tokens_distinct AS DOUBLE) / tokens_total), 4) " +
         "AS savings_pct FROM tot, dist"
+    },
+    // one rung per width, same class construction
+    "x117_anonymity_ladder" -> {
+      def rung(w: Int): String =
+        s"SELECT CAST($w AS INTEGER) AS bucket_width, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_classes, " +
+          "CAST(COALESCE(SUM(CASE WHEN class_size < 5 THEN class_size END), 0) AS BIGINT) " +
+          "AS n_risky_docs, " +
+          "ROUND(100.0 * CAST(COALESCE(SUM(CASE WHEN class_size < 5 THEN class_size END), 0) AS DOUBLE) " +
+          "/ SUM(class_size), 4) AS risky_pct FROM (" +
+          s"SELECT lang, source, n_chars // $w AS b, COUNT(*) AS class_size " +
+          "FROM documents GROUP BY 1, 2, 3)"
+      Seq(50, 100, 200).map(rung).mkString(" UNION ALL ") +
+        " ORDER BY bucket_width"
     },
     // same class construction with lang as the sensitive attribute
     "x114_l_diversity" ->

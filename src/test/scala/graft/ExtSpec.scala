@@ -1091,6 +1091,22 @@ class ExtSpec extends SparkSpec {
     assert(pct > 0.0, "no cross-chunk duplication found — savings vacuous")
   }
 
+  test("x117 generalization ladder: risky mass provably non-increasing down nested widths, consistent with x113 at the base rung") {
+    val rows = TextAnalysis.queries("x117_anonymity_ladder")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(50, 100, 200))
+    // nested multiples ⇒ coarser classes are unions ⇒ monotone
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      s"risky docs must not increase under coarsening: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq,
+      "class count must not increase under coarsening")
+    // the base rung agrees with x113's histogram
+    val x113risky = TextAnalysis.queries("x113_k_anonymity")(spark, SfDir)
+      .collect().filter(_.getBoolean(3)).map(_.getLong(2)).sum
+    assert(rows.head._3 == x113risky,
+      s"base rung ${rows.head._3} vs x113 risky mass $x113risky")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
