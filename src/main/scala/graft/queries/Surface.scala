@@ -32,6 +32,23 @@ object Surface {
     spark.sql(q)
   }
 
+  /** c73's ordered stage chain over an explicit (user_id, event_type,
+    * ts) frame — min ts of each stage AFTER the previous stage's ts,
+    * so out-of-order events never advance the funnel. Exposed so
+    * tests can plant drop-off and out-of-order users.
+    */
+  def funnelStages(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    (s1, s2, s3)
+  }
+
   /** Typed UDAF (Aggregator): root-mean-square of a double column —
     * partial-aggregatable (sum of squares + count merge), so it keeps
     * map-side combine at scale, unlike a collect-based implementation.
@@ -718,6 +735,32 @@ object Surface {
             .cast("long").as("chars_valid"))
     }),
 
+    // FUNNEL ANALYSIS — the ordered-sequence product-analytics
+    // workload (signup → first click AFTER it → first purchase after
+    // THAT): each stage is min-ts-after-previous, so out-of-order
+    // events don't count — the semantics a naive per-type count
+    // gets wrong. Three stage frames chain by equi-join on user
+    // (each one user-sized, monotonically shrinking); the report is
+    // stage populations with step conversion. All timestamps exact;
+    // the conversions are single divisions at 4 dp.
+    "c73_funnel" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val (s1, s2, s3) = funnelStages(ev)
+      val n0 = ev.agg(countDistinct(col("user_id")).as("n")).select(col("n"))
+      def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n")).select(col("n"))
+      val Seq(c0, c1, c2, c3) = Seq(n0, cnt(s1), cnt(s2), cnt(s3))
+        .zipWithIndex.map { case (d, i) => d.select(col("n").as(s"n$i")) }
+      c0.crossJoin(broadcast(c1)).crossJoin(broadcast(c2)).crossJoin(broadcast(c3))
+        .selectExpr(
+          "stack(3, " +
+            "1, 'signup', n1, round(100.0 * cast(n1 as double) / n0, 4), " +
+            "2, 'click_after_signup', n2, round(100.0 * cast(n2 as double) / n1, 4), " +
+            "3, 'purchase_after_click', n3, round(100.0 * cast(n3 as double) / n2, 4)" +
+            ") AS (stage, stage_name, n_users, conversion_pct)")
+        .orderBy(col("stage"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1219,6 +1262,26 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // same min-ts-after-previous stage chain; conversions divide the
+    // PREVIOUS stage, the funnel contract
+    "c73_funnel" ->
+      ("WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e " +
+        "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e " +
+        "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "n AS (SELECT COUNT(DISTINCT user_id) AS n0, " +
+        "(SELECT COUNT(*) FROM s1) AS n1, (SELECT COUNT(*) FROM s2) AS n2, " +
+        "(SELECT COUNT(*) FROM s3) AS n3 FROM events) " +
+        "SELECT 1 AS stage, 'signup' AS stage_name, CAST(n1 AS BIGINT) AS n_users, " +
+        "ROUND(100.0 * CAST(n1 AS DOUBLE) / n0, 4) AS conversion_pct FROM n " +
+        "UNION ALL SELECT 2, 'click_after_signup', CAST(n2 AS BIGINT), " +
+        "ROUND(100.0 * CAST(n2 AS DOUBLE) / n1, 4) FROM n " +
+        "UNION ALL SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT), " +
+        "ROUND(100.0 * CAST(n3 AS DOUBLE) / n2, 4) FROM n ORDER BY stage"),
     // the injection rule recomputed over the source table — every
     // 50th record was corrupted, the rest must survive typed
     "c72_corrupt_records" ->

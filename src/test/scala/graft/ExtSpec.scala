@@ -1107,6 +1107,28 @@ class ExtSpec extends SparkSpec {
       s"base rung ${rows.head._3} vs x113 risky mass $x113risky")
   }
 
+  test("c73 funnel: out-of-order events never advance a stage, drop-offs stop where they stop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: clean signup → click → purchase
+      (1L, "signup", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // u2: purchase BEFORE the click — stage 3 must not count
+      (2L, "signup", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(3)),
+      // u3: click BEFORE signup only — stage 2 must not count
+      (3L, "click", ts(1)), (3L, "signup", ts(2)),
+      // u4: never signs up — invisible to every stage
+      (4L, "click", ts(1)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val (s1, s2, s3) = graft.queries.Surface.funnelStages(ev)
+    assert(s1.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(s2.collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "u3's pre-signup click must not advance the funnel")
+    assert(s3.collect().map(_.getLong(0)).toSet == Set(1L),
+      "u2's pre-click purchase must not complete the funnel")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
