@@ -32,6 +32,24 @@ object Surface {
     spark.sql(q)
   }
 
+  /** c74's retention triangle over an explicit (user_id, wk) frame —
+    * exposed so tests can plant churn patterns the dense provisioned
+    * corpus doesn't exhibit.
+    */
+  def retentionTriangle(ev: DataFrame): DataFrame = {
+    val active = ev.distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("cohort_size"))
+    active.join(cohort, "user_id")
+      .groupBy(col("c0"), (col("wk") - col("c0")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "c0")
+      .select(col("c0").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        round(lit(100.0) * col("n_active").cast("double") /
+          col("cohort_size"), 4).as("retention_pct"))
+  }
+
   /** c73's ordered stage chain over an explicit (user_id, event_type,
     * ts) frame — min ts of each stage AFTER the previous stage's ts,
     * so out-of-order events never advance the funnel. Exposed so
@@ -761,6 +779,20 @@ object Surface {
         .orderBy(col("stage"))
     }),
 
+    // COHORT RETENTION — the second product-analytics flagship
+    // (c73's funnel is the first): users cohort by first-activity
+    // week, and each (cohort, week-offset) cell counts the cohort
+    // members still active — the classic retention triangle. Weeks
+    // are exact integer day-offsets DIV 7 from the epoch start, so
+    // cohort assignment is deterministic; the percentages divide the
+    // COHORT size (not the population). Two user-sized aggregates +
+    // one distinct-activity frame, joined on user.
+    "c74_retention" -> ((spark, sfDir) =>
+      retentionTriangle(t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk")))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1262,6 +1294,19 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // same integer week grid, cohort = min week, offsets vs cohort
+    // size
+    "c74_retention" ->
+      ("WITH a AS (SELECT DISTINCT user_id, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk " +
+        "FROM events), " +
+        "c AS (SELECT user_id, MIN(wk) AS c0 FROM a GROUP BY 1), " +
+        "s AS (SELECT c0, COUNT(*) AS cohort_size FROM c GROUP BY 1), " +
+        "g AS (SELECT c.c0, a.wk - c.c0 AS week_offset, COUNT(*) AS n_active " +
+        "FROM a JOIN c USING (user_id) GROUP BY 1, 2) " +
+        "SELECT g.c0 AS cohort_week, week_offset, n_active, cohort_size, " +
+        "ROUND(100.0 * CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention_pct " +
+        "FROM g JOIN s USING (c0) ORDER BY cohort_week, week_offset"),
     // same min-ts-after-previous stage chain; conversions divide the
     // PREVIOUS stage, the funnel contract
     "c73_funnel" ->

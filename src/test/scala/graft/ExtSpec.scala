@@ -1129,6 +1129,40 @@ class ExtSpec extends SparkSpec {
       "u2's pre-click purchase must not complete the funnel")
   }
 
+  test("c74 retention: offset zero is definitionally 100%, cells never exceed the cohort, churn is visible") {
+    val rows = graft.queries.Surface.queries("c74_retention")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, off, n, size, pct) =>
+      assert(off >= 0, "activity cannot precede the cohort week")
+      assert(n <= size, s"cohort $c offset $off: active exceeds cohort")
+      if (off == 0) assert(pct == 100.0,
+        s"cohort $c: members are active in their own first week by definition")
+    }
+    // cohort sizes partition the user population
+    val users = Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val sizes = rows.filter(_._2 == 0).map(r => r._1 -> r._4).distinct.map(_._2).sum
+    assert(sizes == users, s"cohorts must partition the population: $sizes vs $users")
+    // planted churn (the dense provisioned corpus retains everyone):
+    // cohort week 0 = {u1 full, u2 churns after w0, u3 skips w1 and
+    // returns w2}; cohort week 1 = {u4}
+    import spark.implicits._
+    val planted = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L),
+      (3L, 0L), (3L, 2L),
+      (4L, 1L)
+    ).toDF("user_id", "wk")
+    val tri = graft.queries.Surface.retentionTriangle(planted)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(4)))).toMap
+    assert(tri((0L, 0L)) == ((3L, 100.0)))
+    assert(tri((0L, 1L)) == ((1L, 33.3333)), "only u1 is active in week 1")
+    assert(tri((0L, 2L)) == ((2L, 66.6667)), "u3's return must count (retention, not contiguous streaks)")
+    assert(tri((1L, 0L)) == ((1L, 100.0)))
+    assert(!tri.contains((0L, 3L)), "empty cells are absent, not zero-filled")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
