@@ -28,7 +28,7 @@ import graft.sources.{Lake, Layout}
   *                        incremental upsert, streaming SCD2 +
   *                        histogram-partial and distinct-edge-degree
   *                        maintenance
-  *  - x01..x117         — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x118         — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/

@@ -636,6 +636,33 @@ object TextAnalysis {
           col("n_docs"), (col("class_size") < 5).as("risky"))
         .orderBy(col("class_size"))),
 
+    // BOILERPLATE CHUNK DETECTION — template discovery at CDC-chunk
+    // grain: per source, the chunk recurring across the most
+    // DISTINCT documents (headers, footers, injected notices — the
+    // content a crawl-cleaning pass strips). Chunk keys come from
+    // the shared x115 chunker; the per-source argmax is a window
+    // over the (source, recurring-chunk) frame — already collapsed
+    // to distinct-doc counts, bounded far below the corpus — with
+    // the (count desc, key asc) deterministic tiebreak. Only chunks
+    // seen in ≥ 2 docs of the source qualify (a unique chunk is not
+    // a template).
+    "x118_boilerplate_chunks" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val chunks = cdcChunkTable(d)
+      val withSrc = chunks.join(
+        docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      val counts = withSrc.groupBy(col("source"), col("ck"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("n_docs"), col("ck"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("ck").as("chunk_key"), col("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // GENERALIZATION LADDER — the repair step after x113 flags risk:
     // how much quasi-identifier coarsening (length buckets 50 → 100
     // → 200) buys how much k-anonymity. Widths are nested multiples,
@@ -1275,6 +1302,30 @@ object TextAnalysis {
         "SELECT n_instances, n_distinct, tokens_total, tokens_distinct, " +
         "ROUND(100.0 * (1.0 - CAST(tokens_distinct AS DOUBLE) / tokens_total), 4) " +
         "AS savings_pct FROM tot, dist"
+    },
+    // x115's chunk chain + source join, distinct-doc counts, the
+    // same (count desc, key asc) per-source argmax
+    "x118_boilerplate_chunks" -> {
+      val wa = hashWeights.mkString("[", ", ", "]")
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents), " +
+        "t AS (SELECT doc_id, CAST(i AS INTEGER) AS pos, wl[CAST(i + 1 AS INTEGER)] AS w " +
+        "FROM (SELECT doc_id, wl, unnest(range(len(wl))) AS i FROM tok)), " +
+        s"b AS (SELECT doc_id, pos, w, CASE WHEN (list_sum(list_transform(" +
+        s"range(1, least(length(w), $HashMaxChars) + 1), " +
+        s"i -> ascii(substr(w, i, 1)) * ($wa)[i])) % $HashP) % 8 = 0 " +
+        "THEN 1 ELSE 0 END AS bf FROM t), " +
+        "c AS (SELECT doc_id, pos, w, COALESCE(SUM(bf) OVER (" +
+        "PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id FROM b), " +
+        "ch AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS ck " +
+        "FROM c GROUP BY 1, 2), " +
+        "sc AS (SELECT d.source, ch.ck, COUNT(DISTINCT ch.doc_id) AS n_docs " +
+        "FROM ch JOIN documents d USING (doc_id) GROUP BY 1, 2 " +
+        "HAVING COUNT(DISTINCT ch.doc_id) >= 2), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+        "ORDER BY n_docs DESC, ck) AS rk FROM sc) " +
+        "SELECT source, ck AS chunk_key, CAST(n_docs AS BIGINT) AS n_docs " +
+        "FROM r WHERE rk = 1 ORDER BY source"
     },
     // one rung per width, same class construction
     "x117_anonymity_ladder" -> {

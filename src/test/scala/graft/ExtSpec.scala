@@ -1163,6 +1163,22 @@ class ExtSpec extends SparkSpec {
     assert(!tri.contains((0L, 3L)), "empty cells are absent, not zero-filled")
   }
 
+  test("x118 boilerplate chunks: one winner per source, threshold respected, winner's count verifies against a recount") {
+    val rows = TextAnalysis.queries("x118_boilerplate_chunks")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length, "one winner per source")
+    rows.foreach { case (_, _, n) => assert(n >= 2, "a unique chunk is not a template") }
+    // independent recount of one winner through the shared chunker
+    val (src, ck, n) = rows.head
+    val d = Lake.table(spark, SfDir, "documents")
+    val recount = TextAnalysis.cdcChunkTable(d.select(col("doc_id"), col("text")))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("source") === src && col("ck") === ck)
+      .select(col("doc_id")).distinct().count()
+    assert(recount == n, s"winner count $n vs recount $recount")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
