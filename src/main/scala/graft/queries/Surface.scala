@@ -793,6 +793,32 @@ object Surface {
           expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk")))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // DAU/WAU STICKINESS — the third product-analytics staple after
+    // c73/c74: per day, distinct daily actives over distinct
+    // trailing-7-day actives. Trailing DISTINCT does not decompose
+    // additively (the same user on two days counts once), so the
+    // trailing set rebuilds from the (user, day) distinct frame — a
+    // day-spine × 7-day range join over a frame bounded by
+    // users·days, never raw events; at 100 TB the distinct frame is
+    // the small artifact and events are touched once.
+    "c75_stickiness" -> ((spark, sfDir) => {
+      val dau = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+        .distinct()
+      val days = dau.select(col("d")).distinct()
+      val dauN = dau.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val wauN = days.select(col("d").as("day"))
+        .join(dau, col("d").between(col("day") - 6, col("day")))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dauN.select(col("d").as("day"), col("dau"))
+        .join(wauN, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1294,6 +1320,19 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // same distinct day-grid frame, 7-day trailing window rebuilt by
+    // the identical range join
+    "c75_stickiness" ->
+      ("WITH dau AS (SELECT DISTINCT user_id, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "days AS (SELECT DISTINCT d AS day FROM dau), " +
+        "dn AS (SELECT d AS day, COUNT(*) AS dau FROM dau GROUP BY 1), " +
+        "wn AS (SELECT days.day, COUNT(DISTINCT dau.user_id) AS wau " +
+        "FROM days JOIN dau ON dau.d BETWEEN days.day - 6 AND days.day GROUP BY 1) " +
+        "SELECT CAST(dn.day AS INTEGER) AS day, CAST(dau AS BIGINT) AS dau, " +
+        "CAST(wau AS BIGINT) AS wau, " +
+        "ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness " +
+        "FROM dn JOIN wn USING (day) ORDER BY day"),
     // same integer week grid, cohort = min week, offsets vs cohort
     // size
     "c74_retention" ->

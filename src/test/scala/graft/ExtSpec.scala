@@ -1179,6 +1179,21 @@ class ExtSpec extends SparkSpec {
     assert(recount == n, s"winner count $n vs recount $recount")
   }
 
+  test("c75 stickiness: DAU never exceeds WAU, ratio in (0, 1], trailing window genuinely trails") {
+    val rows = graft.queries.Surface.queries("c75_stickiness")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau, s) =>
+      assert(dau <= wau, s"day $day: a daily active is by definition a weekly active")
+      assert(s > 0.0 && s <= 1.0, s"day $day: stickiness $s out of (0, 1]")
+    }
+    // the window trails: once 7 days exist, WAU must exceed some
+    // single day's DAU somewhere (users rotate), else the trailing
+    // distinct silently degenerated to the daily count
+    assert(rows.exists { case (day, dau, wau, _) => day >= 6 && wau > dau },
+      "trailing WAU never exceeded DAU — window not trailing")
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
