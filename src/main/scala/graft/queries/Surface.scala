@@ -793,6 +793,34 @@ object Surface {
           expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk")))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // USER FEATURE SNAPSHOT — the feature-extraction rollup a churn
+    // model trains on: per user, lifetime activity (events, distinct
+    // active days, first/last day), recency (days idle at the
+    // horizon) and momentum (events in the last 7 days) — ALL from
+    // one partial-aggregated pass with conditional sums; the
+    // distinct-day count rides a pre-collapsed (user, day) frame.
+    // Integer features only — reproducible to the row, the property
+    // that makes training snapshots auditable (x20's argument).
+    "c76_user_features" -> ((spark, sfDir) => {
+      val horizon = 24L // the last provisioned day (2024-01-25)
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val days = ev.distinct().groupBy(col("user_id"))
+        .agg(count(lit(1)).as("active_days"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("d")).as("first_day"), max(col("d")).as("last_day"),
+          sum(when(col("d") >= horizon - 6, 1L).otherwise(0L))
+            .as("events_last7"))
+        .join(days, "user_id")
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          col("first_day"), col("last_day"),
+          (lit(horizon.toInt) - col("last_day")).as("days_idle"),
+          col("events_last7"))
+        .orderBy(col("user_id"))
+    }),
+
     // DAU/WAU STICKINESS — the third product-analytics staple after
     // c73/c74: per day, distinct daily actives over distinct
     // trailing-7-day actives. Trailing DISTINCT does not decompose
@@ -1320,6 +1348,20 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // same day grid, conditional sums and the pre-collapsed
+    // distinct-day frame; INTEGER casts pin the day dtypes
+    "c76_user_features" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS d " +
+        "FROM events), " +
+        "ad AS (SELECT user_id, COUNT(*) AS active_days FROM " +
+        "(SELECT DISTINCT user_id, d FROM e) GROUP BY 1) " +
+        "SELECT e.user_id, COUNT(*) AS n_events, " +
+        "CAST(ANY_VALUE(ad.active_days) AS BIGINT) AS active_days, " +
+        "MIN(d) AS first_day, MAX(d) AS last_day, " +
+        "CAST(24 - MAX(d) AS INTEGER) AS days_idle, " +
+        "CAST(SUM(CASE WHEN d >= 18 THEN 1 ELSE 0 END) AS BIGINT) AS events_last7 " +
+        "FROM e JOIN ad USING (user_id) GROUP BY e.user_id ORDER BY user_id"),
     // same distinct day-grid frame, 7-day trailing window rebuilt by
     // the identical range join
     "c75_stickiness" ->

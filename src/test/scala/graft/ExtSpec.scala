@@ -1194,6 +1194,22 @@ class ExtSpec extends SparkSpec {
       "trailing WAU never exceeded DAU — window not trailing")
   }
 
+  test("c76 user features: internal consistency of every feature column on the real corpus") {
+    val rows = graft.queries.Surface.queries("c76_user_features")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, nEv, aDays, first, last, idle, last7) =>
+      assert(aDays <= nEv, s"u$u: active days cannot exceed events")
+      assert(first <= last, s"u$u: first day after last day")
+      assert(idle == 24 - last, s"u$u: idle must anchor to the horizon")
+      assert(last7 <= nEv, s"u$u: recent events cannot exceed lifetime")
+      assert(aDays >= 1 && aDays <= (last - first + 1),
+        s"u$u: active days outside the lifetime span")
+      if (last >= 18) assert(last7 >= 1, s"u$u: active after day 18 implies recent events")
+    }
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
