@@ -14,7 +14,7 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
-  *  - c01..c76          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c77          — arbitrary-SQL surface categories (§2.C)
   *  - p01..p14          — ELT pipelines (A18/B13), data-layout
   *                        maintenance (compaction, Z-order, snapshot
   *                        retention GC, schema evolution, surgical

@@ -793,6 +793,33 @@ object Surface {
           expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk")))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // POWER-USER CONCENTRATION — the Pareto question ("what share of
+    // traffic do the heaviest users carry"): top-15 users by event
+    // count with exact per-user and cumulative shares. Scale shape:
+    // the top slice comes from TakeOrderedAndProject over the
+    // user-sized count frame (b11's machinery — a global NTILE/rank
+    // window over billions of users would be a one-task straggler,
+    // x51's argument), and the cumulative window runs over the
+    // 15-row result only; the total is a broadcast scalar.
+    "c77_power_users" -> ((spark, sfDir) => {
+      val counts = t(spark, sfDir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val total = counts.agg(sum(col("n_events")).as("total"))
+      val top = counts.orderBy(desc("n_events"), col("user_id")).limit(15)
+      val w = Window.orderBy(desc("n_events"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("n_events"), col("user_id"))))
+        .withColumn("cum_events", sum(col("n_events")).over(w))
+        .select(col("rank"), col("user_id"), col("n_events"),
+          round(lit(100.0) * col("n_events").cast("double") / col("total"), 4)
+            .as("share_pct"),
+          round(lit(100.0) * col("cum_events").cast("double") / col("total"), 4)
+            .as("cum_share_pct"))
+        .orderBy(col("rank"))
+    }),
+
     // USER FEATURE SNAPSHOT — the feature-extraction rollup a churn
     // model trains on: per user, lifetime activity (events, distinct
     // active days, first/last day), recency (days idle at the
@@ -1348,6 +1375,19 @@ object Surface {
     "c36_join_part" ->
       ("SELECT p_brand AS brand, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    // same top slice, tiebreak and bounded cumulative window
+    "c77_power_users" ->
+      ("WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c), " +
+        "top AS (SELECT user_id, n_events, ROW_NUMBER() OVER (" +
+        "ORDER BY n_events DESC, user_id) AS rank FROM c " +
+        "ORDER BY n_events DESC, user_id LIMIT 15) " +
+        "SELECT CAST(rank AS INTEGER) AS rank, user_id, " +
+        "CAST(n_events AS BIGINT) AS n_events, " +
+        "ROUND(100.0 * CAST(n_events AS DOUBLE) / total, 4) AS share_pct, " +
+        "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
+        "FROM top, t ORDER BY rank"),
     // same day grid, conditional sums and the pre-collapsed
     // distinct-day frame; INTEGER casts pin the day dtypes
     "c76_user_features" ->

@@ -1210,6 +1210,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("c77 power users: 15 ranked rows, counts non-increasing, cumulative share monotone and consistent") {
+    val rows = graft.queries.Surface.queries("c77_power_users")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 15)
+    assert(rows.map(_._1).toSeq == (1 to 15).toSeq, "ranks must be dense from 1")
+    val counts = rows.map(_._3)
+    assert(counts.toSeq == counts.sorted.reverse.toSeq, "top slice must be ordered")
+    val cums = rows.map(_._5)
+    assert(cums.toSeq == cums.sorted.toSeq, "cumulative share must be monotone")
+    // cumulative at rank 15 ≈ sum of the individual shares (both are
+    // rounded from slightly different exact values — one bucket of
+    // 4 dp slack per term)
+    assert(math.abs(cums.last - rows.map(_._4).sum) < 0.01,
+      "cumulative diverges from the share sum")
+    assert(cums.last <= 100.0)
+  }
+
   test("x38 ensemble: n_gates sums the booleans, verdict maps tiers, every gate is non-vacuous") {
     val rows = TextAnalysis.queries("x38_quality_ensemble")(spark, SfDir)
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
