@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
+import graft.ext.Sampling
 import graft.sources.Lake
 
 /** SURVEY §2.C — the "arbitrary SQL" capability surface (reference
@@ -874,6 +875,128 @@ object Surface {
         .orderBy(col("day"))
     }),
 
+    // EVENT-SEQUENCE TRANSITION MATRIX — the Markov path analysis
+    // behind "what happens next": for every consecutive event pair in
+    // a user's timeline, the (from, to) transition count and its
+    // row-normalized probability. c73's funnel checks ONE prescribed
+    // path; the transition matrix surfaces every path at once (the
+    // error→error self-loop a reliability review hunts, the
+    // view→purchase edge a merchandiser tunes). Scale shape: one
+    // shuffle on user_id for the lag window (events are user-local,
+    // no global order), then the matrix itself is |event_types|² rows
+    // — bounded regardless of corpus size — so the normalizing totals
+    // broadcast. Counts are exact BIGINTs; probability is one
+    // division at 4 dp.
+    "c78_markov_paths" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("to_type"))
+      val counts = steps.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // RFM SEGMENTATION — the classic customer-value grid: each user
+    // scored 1-4 on Recency (days idle at the data horizon),
+    // Frequency (lifetime events) and Monetary (purchase value in
+    // exact integer cents — FLOOR(value·100), because a float SUM's
+    // accumulation order is engine-dependent but an integer SUM is
+    // not), quartile boundaries via the x51 broadcast-percentile
+    // pattern (never a global NTILE window over billions of users),
+    // rolled up to segment populations. The horizon is the data's
+    // own max day — a 1-row broadcast, not a hardcoded clock. At
+    // 100 TB the user frame is the small artifact; swap the exact
+    // percentile for approx_percentile and nothing else changes.
+    "c79_rfm_segments" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
+          col("event_type"), col("value"))
+      val horizon = broadcast(ev.agg(max(col("d")).as("h")))
+      val money = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("m_cents"))
+      val rfm = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f"), max(col("d")).as("last_d"))
+        .join(money, Seq("user_id"), "left")
+        .crossJoin(horizon)
+        .select(col("user_id"), (col("h") - col("last_d")).cast("long").as("r"),
+          col("f"), coalesce(col("m_cents"), lit(0L)).as("m"))
+      val bCols = Seq("r", "f", "m").flatMap { c =>
+        Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+          expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")
+            .cast("long").as(s"${c}${i + 1}")
+        }
+      }
+      val bounds = broadcast(rfm.agg(bCols.head, bCols.tail: _*))
+      def tile(c: String) =
+        when(col(c) <= col(s"${c}1"), 1).when(col(c) <= col(s"${c}2"), 2)
+          .when(col(c) <= col(s"${c}3"), 3).otherwise(4)
+      rfm.crossJoin(bounds)
+        .select(col("user_id"), tile("r").as("r_tile"),
+          tile("f").as("f_tile"), tile("m").as("m_tile"))
+        .groupBy((col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+          .as("segment"), col("r_tile"), col("f_tile"), col("m_tile"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("segment"))
+    }),
+
+    // A/B EXPERIMENT READOUT — deterministic hash-bucketed arm
+    // assignment (x53's Weyl multiplier on user_id: membership never
+    // drifts across runs or engines — the property randomized
+    // assignment can't give an audit) with the two-proportion
+    // conversion report: per-arm converted-user rates, relative
+    // lift, and the pooled two-proportion z statistic. Every input
+    // to the float chain is an exact integer, and the chain itself
+    // is division/multiply/sqrt only — each IEEE-correctly-rounded,
+    // so both engines produce bit-identical doubles (ln/exp would
+    // not be safe here; sqrt is). Two user-sized distinct frames,
+    // a 5-row aggregate, and a 1×1 broadcast cross — nothing in
+    // this plan grows with event volume except the first scan.
+    // Conversion = a HIGH-VALUE purchase (value ≥ 95): on this dense
+    // corpus every user purchases SOMETHING, which would pool p to
+    // 1.0 and zero the z denominator — the same degeneracy a real
+    // experiment hits when it measures a universal behavior.
+    "c80_ab_lift" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+      val arm = ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "A").otherwise("B").as("arm"))
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 95.0)
+        .select(col("user_id")).distinct()
+        .withColumn("converted", lit(1L))
+      val byArm = arm.join(conv, Seq("user_id"), "left")
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("converted"), lit(0L))).as("c"))
+      val a = byArm.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = byArm.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("c").as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a")
+      val pb = col("conv_b").cast("double") / col("n_b")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
+          round((pa - pb) / pb * 100, 4).as("lift_pct"),
+          round((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+            .as("z_score"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1388,6 +1511,68 @@ object Surface {
         "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
         "FROM top, t ORDER BY rank"),
+    // same lag window (ts, event_id total order), BIGINT-cast totals
+    // (DuckDB widens SUM to HUGEINT), one 4 dp division
+    "c78_markov_paths" ->
+      ("WITH s AS (SELECT user_id, event_type AS from_type, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type " +
+        "FROM events), " +
+        "c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s " +
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.from_type, c.to_type, c.n, " +
+        "ROUND(CAST(c.n AS DOUBLE) / tot, 4) AS p " +
+        "FROM c JOIN t USING (from_type) ORDER BY from_type, to_type"),
+    // same integer-cents monetary sum, quantile_disc boundaries (the
+    // x51 convention argument: both engines' discrete quantile picks
+    // the same element), same segment code rollup
+    "c79_rfm_segments" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d, " +
+        "event_type, value FROM events), " +
+        "h AS (SELECT MAX(d) AS h FROM e), " +
+        "mny AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) " +
+        "AS m_cents FROM e WHERE event_type = 'purchase' GROUP BY 1), " +
+        "rfm AS (SELECT e.user_id, CAST(h.h - MAX(e.d) AS BIGINT) AS r, " +
+        "COUNT(*) AS f, CAST(COALESCE(ANY_VALUE(mny.m_cents), 0) AS BIGINT) AS m " +
+        "FROM e LEFT JOIN mny ON e.user_id = mny.user_id, h " +
+        "GROUP BY e.user_id, h.h), " +
+        "b AS (SELECT quantile_disc(r, 0.25) AS r1, quantile_disc(r, 0.5) AS r2, " +
+        "quantile_disc(r, 0.75) AS r3, quantile_disc(f, 0.25) AS f1, " +
+        "quantile_disc(f, 0.5) AS f2, quantile_disc(f, 0.75) AS f3, " +
+        "quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2, " +
+        "quantile_disc(m, 0.75) AS m3 FROM rfm), " +
+        "tl AS (SELECT user_id, " +
+        "CASE WHEN r <= r1 THEN 1 WHEN r <= r2 THEN 2 WHEN r <= r3 THEN 3 ELSE 4 END AS r_tile, " +
+        "CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2 WHEN f <= f3 THEN 3 ELSE 4 END AS f_tile, " +
+        "CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2 WHEN m <= m3 THEN 3 ELSE 4 END AS m_tile " +
+        "FROM rfm, b) " +
+        "SELECT CAST(r_tile * 100 + f_tile * 10 + m_tile AS INTEGER) AS segment, " +
+        "CAST(r_tile AS INTEGER) AS r_tile, CAST(f_tile AS INTEGER) AS f_tile, " +
+        "CAST(m_tile AS INTEGER) AS m_tile, COUNT(*) AS n_users " +
+        "FROM tl GROUP BY 1, 2, 3, 4 ORDER BY segment"),
+    // same Weyl threshold, same division/multiply/sqrt-only chain
+    // over exact integers — bit-identical IEEE doubles on both sides
+    "c80_ab_lift" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"arm AS (SELECT user_id, CASE WHEN (user_id * ${Sampling.HashMul}) % " +
+        s"${Sampling.HashMod} < ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm FROM u), " +
+        "conv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value >= 95.0), " +
+        "g AS (SELECT arm.arm, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(conv.user_id) AS BIGINT) AS c " +
+        "FROM arm LEFT JOIN conv ON arm.user_id = conv.user_id GROUP BY 1), " +
+        "a AS (SELECT n AS n_a, c AS conv_a FROM g WHERE arm = 'A'), " +
+        "b AS (SELECT n AS n_b, c AS conv_b FROM g WHERE arm = 'B') " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        "ROUND(CAST(conv_a AS DOUBLE) / n_a, 4) AS p_a, " +
+        "ROUND(CAST(conv_b AS DOUBLE) / n_b, 4) AS p_b, " +
+        "ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+        "(CAST(conv_b AS DOUBLE) / n_b) * 100, 4) AS lift_pct, " +
+        "ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b) / " +
+        "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+        "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
     // same day grid, conditional sums and the pre-collapsed
     // distinct-day frame; INTEGER casts pin the day dtypes
     "c76_user_features" ->

@@ -2286,4 +2286,56 @@ class ExtSpec extends SparkSpec {
     assert(jacs == jacs.sortBy(-_))
     assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
   }
+
+  test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
+    val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each user's timeline of k events yields exactly k-1 transitions
+    val ev = Lake.table(spark, SfDir, "events")
+    val nEvents = ev.count()
+    val nUsers = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == nEvents - nUsers,
+      "every consecutive pair must appear exactly once")
+    // probabilities are row-stochastic up to 4 dp rounding residue
+    rows.groupBy(_._1).foreach { case (from, g) =>
+      val mass = g.map(_._4).sum
+      assert(math.abs(mass - 1.0) < 0.001, s"$from row mass $mass")
+    }
+  }
+
+  test("c79 rfm: segments partition the user population, codes agree with their tile columns") {
+    val rows = graft.queries.Surface.queries("c79_rfm_segments")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nUsers = Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_._5).sum == nUsers, "every user lands in exactly one segment")
+    rows.foreach { case (seg, r, f, m, _) =>
+      assert(seg == r * 100 + f * 10 + m, s"segment code $seg vs tiles ($r,$f,$m)")
+      assert(Seq(r, f, m).forall(t => t >= 1 && t <= 4))
+    }
+    // a quartile boundary rule must touch more than one tile per axis
+    assert(rows.map(_._2).distinct.length > 1, "recency tiles degenerate")
+  }
+
+  test("c80 ab lift: arms partition users, z recomputes from the integer counts") {
+    val row = graft.queries.Surface.queries("c80_ab_lift")(spark, SfDir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nUsers = Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(na + nb == nUsers, "assignment must partition the population")
+    assert(ca <= na && cb <= nb)
+    assert(ca > 0 && ca < na, "conversion must be non-degenerate for the z-test")
+    // the published z must be exactly the two-proportion formula over
+    // the published counts (the auditability contract)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    val z4 = BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(7) - z4) < 1e-12,
+      s"z ${r.getDouble(7)} vs recomputed $z4")
+  }
 }
