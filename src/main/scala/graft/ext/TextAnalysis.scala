@@ -94,6 +94,41 @@ object TextAnalysis {
           PhonePattern, "<PHONE>"))
   }
 
+  /** x119's BM25 scorer over an explicit (doc_id, text) frame and a
+    * query term list — exposed so tests can plant tf-saturation,
+    * length-normalization and idf orderings. k1 = 1.2, b = 0.75 are
+    * folded into exact-integer rationals (see the x119 registry
+    * comment for the algebra); every per-(term, doc) score is two
+    * correctly-rounded divisions at 6 dp, and the per-doc sum rounds
+    * at 4 dp. Returns ALL scored docs, unranked — the registry entry
+    * adds the top-k.
+    */
+  def bm25Scores(d: DataFrame, qTerms: Seq[String]): DataFrame =
+    bm25FromTf(d.select(col("doc_id"), explode(tokens).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")), qTerms)
+
+  /** The scorer's body over a prebuilt (doc_id, term, tf) frame — the
+    * registry entry feeds the lake-checkpointed tf artifact here so
+    * the tokenize+aggregate scan never re-runs per consumer.
+    */
+  def bm25FromTf(tf: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val g = broadcast(lens.agg(count(lit(1)).as("n"), sum(col("len")).as("l")))
+    val dfreq = tf.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfreq), "term")
+      .join(lens, "doc_id")
+      .crossJoin(g)
+      .select(col("doc_id"),
+        (round(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1)), 6) *
+          round((col("tf") * col("l") * 22).cast("double") /
+            (col("l") * col("tf") * 10 + col("l") * 3 +
+              col("len") * col("n") * 9), 6)).as("s"))
+      .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("bm25"))
+  }
+
   /** Per-doc mean unigram log-probability (x34's score), shared with
     * the x38 ensemble gate: the corpus's own unigram model over the
     * lake-checkpointed tf table (one artifact, three consumers with
@@ -729,6 +764,36 @@ object TextAnalysis {
       val phrase = broadcast(d.filter(col("doc_id") === 0)
         .select(slice(split(col("text"), " "), 3, 3).as("q")))
       phraseOccurrences(d, phrase).orderBy(col("doc_id"))
+    }),
+
+    // BM25 RANKED RETRIEVAL — the relevance RANKER a search endpoint
+    // orders by, next to x111's boolean phrase match and x15's
+    // TF-IDF feature. Query "join filter vector", k1 = 1.2,
+    // b = 0.75, both folded into exact-integer rationals: with
+    // L = Σ len and N = doc count, the tf normalization
+    // tf·(k1+1)/(tf + k1(1−b) + k1·b·len·N/L) multiplies through by
+    // 10·L into 22·tf·L / (10·L·tf + 3·L + 9·N·len) — ONE correctly-
+    // rounded division over BIGINTs — and the Lucene-shape idf
+    // ln(1 + (N−df+½)/(df+½)) simplifies to ln((2N+2)/(2df+1)):
+    // exact integer arguments, ONE ln (x34/x88's proven cross-engine
+    // pattern; the +1 keeps idf positive where df > N/2, which this
+    // dense corpus hits on every query term). Factors round at 6 dp,
+    // the ≤3 per-doc term scores sum under a 4 dp round, top-10 by
+    // (rounded score, doc_id). Scale shape: the postings join is
+    // bounded by the query's terms — serve-time cost is index
+    // lookups, never a corpus scan — df/len/L ride the shared
+    // lake-checkpointed tf artifact, and the top-10 is
+    // TakeOrderedAndProject, not a global sort.
+    "x119_bm25_topk" -> ((spark, sfDir) => {
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      bm25FromTf(tf, Seq("join", "filter", "vector"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(10)
     }),
 
     // Bounded-state top-10 frequent tokens (see heavyHitters
@@ -1368,6 +1433,25 @@ object TextAnalysis {
         "WHERE array_to_string(p.w[i:i+2], ' ') = q.phrase) " +
         "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences " +
         "FROM hits GROUP BY 1 ORDER BY 1"),
+    // same integer-rational factors, same single ln/division per
+    // factor at 6 dp, same 4 dp summed score and (score, doc_id)
+    // top-10 cut
+    "x119_bm25_topk" ->
+      ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens), " +
+        "q AS (SELECT doc_id, term, tf FROM tf " +
+        "WHERE term IN ('join', 'filter', 'vector')), " +
+        "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q GROUP BY 1), " +
+        "s AS (SELECT q.doc_id, " +
+        "ROUND(LN(CAST(2 * g.n + 2 AS DOUBLE) / (2 * d.df + 1)), 6) * " +
+        "ROUND(CAST(q.tf * g.l * 22 AS DOUBLE) / " +
+        "(g.l * q.tf * 10 + g.l * 3 + lens.len * g.n * 9), 6) AS s " +
+        "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g) " +
+        "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s " +
+        "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"),
     // the oracle is the brute-force ground truth: exact counts over
     // the FULL vocabulary — matching it is precisely the claim that
     // the bounded-state candidate pass lost nothing in the top-10

@@ -2287,6 +2287,28 @@ class ExtSpec extends SparkSpec {
     assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "q q q a a"),           // tf 3, len 5
+      (2L, "q a a a a"),           // tf 1, len 5
+      (3L, "q a a a a a a a a a"), // tf 1, len 10
+      (4L, "r a a a a")            // rare term (df 1 vs q's df 3), tf 1, len 5
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25Scores(d, Seq("q", "r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L), "higher tf must score higher")
+    assert(s(2L) > s(3L), "longer doc with equal tf must score lower")
+    assert(s(4L) > s(2L), "rarer term must outweigh a common one at equal tf and length")
+    // registry surface: a full top-10, strictly ranked, all positive
+    // (the Lucene +1 keeps idf positive even at df > N/2)
+    val top = TextAnalysis.queries("x119_bm25_topk")(spark, SfDir).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1)).toList
+    assert(scores == scores.sortBy((x: Double) => -x))
+    assert(scores.forall(_ > 0.0))
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
