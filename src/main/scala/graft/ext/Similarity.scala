@@ -683,6 +683,58 @@ object Similarity {
         .orderBy(col("query_id"), col("dim"))
     }),
 
+    // RANKED-RETRIEVAL QUALITY METRICS — MRR and nDCG@10 of the
+    // dim-16 truncated ranking against the full-dim top-10 ground
+    // truth: the metrics an embedding-serving review actually quotes
+    // (x105's recall@10 counts set overlap; MRR/nDCG grade WHERE in
+    // the ranking the relevant items landed). Rankings are x07/x105's
+    // exact machinery (rounded cosine + vec_id tiebreak, per-query
+    // WindowGroupLimit over 3 broadcast queries). MRR is an exact
+    // rational (1/first-relevant-rank, one 4 dp division). The DCG
+    // discount 1/log₂(rk+1) = ln2/ln(rk+1) takes only ranks 2..11 as
+    // ln arguments — exact integers through ONE ln each (x34's
+    // pattern), rounded at 6 dp before the ≤10-term sum; IDCG runs
+    // the SAME engine ops over the ideal ranks 1..10, so the final
+    // division normalizes engine-identically at 4 dp. The spine
+    // left-join keeps a zero-overlap query reporting 0s, not
+    // vanishing (x105's rule).
+    "x120_retrieval_metrics" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      def ranked(dim: Int): DataFrame = {
+        val q = broadcast(e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            slice(col("embedding"), 1, dim).as("qvec")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(desc("cos"), col("vec_id"))
+        e.filter(col("vec_id") >= 3).join(q)
+          .select(col("query_id"), col("vec_id"),
+            round(cosine(slice(col("embedding"), 1, dim), col("qvec")), 4)
+              .as("cos"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("query_id"), col("vec_id"), col("rk"))
+      }
+      val truth = ranked(64).select(col("query_id"), col("vec_id"))
+      val hits = ranked(16).join(truth, Seq("query_id", "vec_id"))
+      val byQ = hits.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("rk")).as("first_rank"),
+          sum(round(log(lit(2.0)) / log(col("rk") + 1), 6)).as("dcg_raw"))
+      val idcg = broadcast(spark.range(1, 11)
+        .select(round(log(lit(2.0)) / log(col("id") + 1), 6).as("t"))
+        .agg(sum(col("t")).as("idcg")))
+      val spine = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"))
+      spine.join(byQ, Seq("query_id"), "left").crossJoin(idcg)
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+          round(when(col("first_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rank")), 4).as("mrr"),
+          round(coalesce(col("dcg_raw"), lit(0.0)) / col("idcg"), 4)
+            .as("ndcg10"))
+        .orderBy(col("query_id"))
+    }),
+
     // PRINCIPAL DIRECTION — the dominant axis of the quantized
     // embedding cloud by exact-integer POWER ITERATION (x69's
     // fixed-point discipline applied to linear algebra): the
@@ -1157,6 +1209,35 @@ object Similarity {
         Seq(8, 16, 64).map(rkCte).mkString(", ") + " " +
         Seq(8, 16, 64).map(recallRow).mkString(" UNION ALL ") +
         " ORDER BY query_id, dim"
+    },
+    // same ranking CTEs as x105 (identical float-op sequence), the
+    // same ln2/ln(rk+1) 6 dp discount summed per query, IDCG over the
+    // ideal ranks through the same ops
+    "x120_retrieval_metrics" -> {
+      def rkCte(name: String, d: Int): String =
+        s"$name AS (SELECT query_id, vec_id, rk FROM (" +
+          "SELECT q.vec_id AS query_id, c.vec_id, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY " +
+          s"ROUND(list_sum(list_transform(range(1, ${d + 1}), i -> c.v[i] * q.v[i])) / " +
+          s"(sqrt(list_sum(list_transform(c.v[1:$d], x -> x * x))) * " +
+          s"sqrt(list_sum(list_transform(q.v[1:$d], x -> x * x)))), 4) DESC, c.vec_id) AS rk " +
+          "FROM e c, e q WHERE q.vec_id < 3 AND c.vec_id >= 3) WHERE rk <= 10)"
+      "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        rkCte("rk16", 16) + ", " + rkCte("rk64", 64) + ", " +
+        "h AS (SELECT a.query_id, a.rk FROM rk16 a " +
+        "JOIN rk64 f USING (query_id, vec_id)), " +
+        "bq AS (SELECT query_id, COUNT(*) AS n_hits, MIN(rk) AS first_rank, " +
+        "SUM(ROUND(LN(2) / LN(rk + 1), 6)) AS dcg_raw FROM h GROUP BY 1), " +
+        "idcg AS (SELECT SUM(ROUND(LN(2) / LN(i + 1), 6)) AS idcg FROM " +
+        "(SELECT unnest(range(1, 11)) AS i)), " +
+        "s AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 3) " +
+        "SELECT s.query_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, " +
+        "CAST(COALESCE(first_rank, 0) AS INTEGER) AS first_rank, " +
+        "ROUND(CASE WHEN first_rank IS NULL THEN CAST(0 AS DOUBLE) " +
+        "ELSE CAST(1 AS DOUBLE) / first_rank END, 4) AS mrr, " +
+        "ROUND(CAST(COALESCE(dcg_raw, 0) AS DOUBLE) / idcg, 4) AS ndcg10 " +
+        "FROM s LEFT JOIN bq USING (query_id), idcg ORDER BY query_id"
     },
     // same three unrolled greedy rounds over exact BIGINT scores —
     // argmax ties break on vec_id identically, so the PICKS match,

@@ -2309,6 +2309,31 @@ class ExtSpec extends SparkSpec {
     assert(scores.forall(_ > 0.0))
   }
 
+  test("x120 retrieval metrics: full query grid, bounds hold, hit counts agree with x105's recall") {
+    val rows = Similarity.queries("x120_retrieval_metrics")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), "one row per query, no silent holes")
+    rows.foreach { case (q, hits, fr, mrr, ndcg) =>
+      assert(hits >= 0 && hits <= 10)
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0)
+      if (hits == 0) assert(fr == 0 && mrr == 0.0 && ndcg == 0.0)
+      else {
+        assert(fr >= 1 && fr <= 10)
+        val mrr4 = BigDecimal(1.0 / fr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(mrr == mrr4, s"query $q: mrr $mrr vs 1/$fr")
+      }
+      // a perfect ranking normalizes to exactly 1 (dcg ≡ idcg term-by-term)
+      if (hits == 10 && fr == 1) assert(ndcg == 1.0 || ndcg == 0.9999 || ndcg == 1.0001)
+    }
+    // the set-overlap view must agree with x105's dim-16 recall@10
+    val recall = Similarity.queries("x105_matryoshka_eval")(spark, SfDir)
+      .collect().filter(_.getInt(1) == 16)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (q, hits, _, _, _) =>
+      assert(recall(q) == hits / 10.0, s"query $q: x105 says ${recall(q)}, x120 hits $hits")
+    }
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
