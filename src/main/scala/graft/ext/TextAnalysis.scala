@@ -1117,8 +1117,91 @@ object TextAnalysis {
         .agg(sum(col("wf")).as("pair_count"))
         .orderBy(desc("pair_count"), col("a"), col("b"))
         .limit(100)
-    })
+    }),
+
+    // BPE TRAINING STEPS — x63 counts the FIRST merge candidate; this
+    // runs the actual training loop for two rounds: pick the top
+    // pair, merge it into a new symbol EVERYWHERE (the delimiter-safe
+    // double-pass replace — see bpeApply's scaladoc for why two
+    // passes reproduce BPE's simultaneous non-overlapping merge under
+    // an RE2-compatible pattern), recount over the merged sequences,
+    // pick again. Round 2's counts include pairs touching the new
+    // symbol — the part of tokenizer training x63's static count
+    // cannot see. All work rides the vocab-sized distinct-word
+    // table with frequency weights (x63's decomposition); counts are
+    // exact BIGINTs, ranking ties break on (a, b). The report is
+    // both chosen merges and the round-3 top-10 — the next merge
+    // candidates of the trained-so-far tokenizer.
+    "x121_bpe_train_steps" -> ((spark, sfDir) =>
+      bpeTrainReport(docs(spark, sfDir)
+        .select(explode(tokens).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))))
   )
+
+  /** x121's pair counter over a ('seq', 'wf') frame, where seq is the
+    * '|'-delimited symbol string ("|l|o|w|"): adjacent-symbol pair
+    * counts weighted by word frequency. Input is vocab-sized — all
+    * character-grain work rides the distinct-word table, never the
+    * corpus (x63's decomposition).
+    */
+  def bpePairCounts(seqs: DataFrame): DataFrame =
+    seqs.select(col("wf"),
+      expr("filter(split(seq, '\\\\|'), s -> s <> '')").as("sym"))
+      .filter(size(col("sym")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(sym) - 1), " +
+          "i -> struct(element_at(sym, i) AS a, " +
+          "element_at(sym, i + 1) AS b))")).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(sum(col("wf")).as("pair_count"))
+
+  /** One BPE merge (a 1-row (a, b) frame) applied to every sequence.
+    * The replace must match WHOLE symbols — after round 1 a symbol is
+    * multi-char, and a substring match would merge across symbol
+    * boundaries — and RE2 (the oracle engine's regex) has no
+    * lookbehind, so boundary pipes are consumed by the match itself:
+    * '\|a\|b\|' → '|ab|'. A consumed shared delimiter hides every
+    * second occurrence in a run ("a b a b" matches once), so the
+    * replace runs TWICE; pass 1 leaves surviving occurrences
+    * non-adjacent (their neighbors are merged symbols), pass 2
+    * catches all of them, and no new (a, b) adjacency can form
+    * because the merged symbol "ab" equals neither "a" nor "b" —
+    * two passes reproduce BPE's simultaneous non-overlapping merge
+    * exactly.
+    */
+  def bpeApply(seqs: DataFrame, merge: DataFrame): DataFrame = {
+    val pat = concat(lit("\\|"), col("a"), lit("\\|"), col("b"), lit("\\|"))
+    val rep = concat(lit("|"), col("a"), col("b"), lit("|"))
+    def once(c: Column) = regexp_replace(c, pat, rep)
+    seqs.crossJoin(broadcast(merge.select(col("a"), col("b"))))
+      .select(once(once(col("seq"))).as("seq"), col("wf"))
+  }
+
+  /** x121's two unrolled BPE training rounds over a ('w', 'wf')
+    * distinct-word frequency frame: pick the top pair, merge it
+    * everywhere, recount, repeat; report both chosen merges and the
+    * post-merge top pairs. Exposed so tests can plant cascading
+    * merges ("aaab"-style runs) with known exact counts.
+    */
+  def bpeTrainReport(wf: DataFrame): DataFrame = {
+    val seq0 = wf.select(
+      concat(regexp_replace(col("w"), "(.)", "|$1"), lit("|")).as("seq"),
+      col("wf"))
+    def top1(c: DataFrame) = broadcast(
+      c.orderBy(desc("pair_count"), col("a"), col("b")).limit(1))
+    val c0 = bpePairCounts(seq0)
+    val m1 = top1(c0)
+    val seq1 = bpeApply(seq0, m1)
+    val m2 = top1(bpePairCounts(seq1))
+    val c2 = bpePairCounts(bpeApply(seq1, m2))
+    m1.select(lit(1).as("round"), col("a"), col("b"), col("pair_count"))
+      .unionByName(m2.select(lit(2).as("round"), col("a"), col("b"),
+        col("pair_count")))
+      .unionByName(c2.orderBy(desc("pair_count"), col("a"), col("b"))
+        .limit(10)
+        .select(lit(3).as("round"), col("a"), col("b"), col("pair_count")))
+      .orderBy(col("round"), desc("pair_count"), col("a"), col("b"))
+  }
 
   /** All rolling `k`-token windows of `textCol` as strings; a doc
     * shorter than `k` tokens contributes its whole text as the single
@@ -1608,6 +1691,39 @@ object TextAnalysis {
         "FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM wf " +
         "WHERE length(w) >= 2) s) " +
         "SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count FROM p " +
-        "GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 100")
+        "GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 100"),
+    // same '|'-delimited symbol strings, same double-pass RE2
+    // replace, same (count desc, a, b) argmax per round
+    "x121_bpe_train_steps" -> {
+      def sym(src: String, out: String): String =
+        s"$out AS (SELECT list_filter(string_split(seq, '|'), s -> s <> '') " +
+          s"AS sym, wf FROM $src)"
+      def cnt(src: String, out: String): String =
+        s"$out AS (SELECT sym[i] AS a, sym[i + 1] AS b, " +
+          "CAST(SUM(wf) AS BIGINT) AS pair_count FROM " +
+          s"(SELECT sym, wf, unnest(range(1, len(sym))) AS i FROM $src " +
+          "WHERE len(sym) >= 2) GROUP BY 1, 2)"
+      def apply(src: String, m: String, out: String): String =
+        s"$out AS (SELECT regexp_replace(regexp_replace(seq, " +
+          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g'), " +
+          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g') " +
+          s"AS seq, wf FROM $src, $m)"
+      "WITH wf AS (SELECT w, COUNT(*) AS wf FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "GROUP BY 1), " +
+        "s0 AS (SELECT regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS seq, wf FROM wf), " +
+        sym("s0", "y0") + ", " + cnt("y0", "c0") + ", " +
+        "m1 AS (SELECT a, b, pair_count FROM c0 ORDER BY pair_count DESC, a, b LIMIT 1), " +
+        apply("s0", "m1", "s1") + ", " +
+        sym("s1", "y1") + ", " + cnt("y1", "c1") + ", " +
+        "m2 AS (SELECT a, b, pair_count FROM c1 ORDER BY pair_count DESC, a, b LIMIT 1), " +
+        apply("s1", "m2", "s2") + ", " +
+        sym("s2", "y2") + ", " + cnt("y2", "c2") + " " +
+        "SELECT CAST(1 AS INTEGER) AS round, a, b, pair_count FROM m1 " +
+        "UNION ALL SELECT 2, a, b, pair_count FROM m2 " +
+        "UNION ALL SELECT 3, a, b, pair_count FROM " +
+        "(SELECT * FROM c2 ORDER BY pair_count DESC, a, b LIMIT 10) " +
+        "ORDER BY round, pair_count DESC, a, b"
+    }
   )
 }

@@ -2334,6 +2334,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x121 bpe training: double-pass merge is run-complete, cascaded rounds count exactly") {
+    import spark.implicits._
+    // the adjacent-occurrence trap: "a b a b" shares delimiters, a
+    // single replace pass merges only the first occurrence
+    val run = Seq(("|a|b|a|b|", 1L)).toDF("seq", "wf")
+    val merged = TextAnalysis.bpeApply(run,
+      Seq(("a", "b")).toDF("a", "b")).collect()(0).getString(0)
+    assert(merged == "|ab|ab|", s"got $merged")
+    // planted cascade: aaab ×2, aab ×1 → merge1 (a,a,5); round 2 ties
+    // (a,b)=2 with (aa,a)=2 and must break to (a,b); the merged "aa"
+    // symbol must never be re-split by a substring match
+    val wf = Seq(("aaab", 2L), ("aab", 1L)).toDF("w", "wf")
+    val got = TextAnalysis.bpeTrainReport(wf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 5L), (2, "a", "b", 2L),
+      (3, "aa", "ab", 2L), (3, "aa", "b", 1L)), s"got ${got.toSeq}")
+    // registry surface agrees with x63 on the first merge
+    val first = TextAnalysis.queries("x121_bpe_train_steps")(spark, SfDir)
+      .collect().filter(_.getInt(0) == 1)(0)
+    val x63top = TextAnalysis.queries("x63_bpe_pair_count")(spark, SfDir)
+      .collect()(0)
+    assert(first.getString(1) == x63top.getString(0) &&
+      first.getString(2) == x63top.getString(1) &&
+      first.getLong(3) == x63top.getLong(2),
+      "round-1 merge must be x63's top pair")
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
