@@ -683,6 +683,58 @@ object Similarity {
         .orderBy(col("query_id"), col("dim"))
     }),
 
+    // HYBRID-SEARCH RRF FUSION — the reciprocal-rank-fusion merge of
+    // a lexical and a dense retrieval leg, the standard hybrid-search
+    // serving pattern (rank-based fusion needs no score calibration
+    // between BM25's unbounded scores and cosine's [−1, 1]). Leg 1:
+    // x119's BM25 top-20 for "join filter vector" over the shared
+    // lake-checkpointed tf artifact. Leg 2: x07's exact cosine top-20
+    // for the doc-0 query embedding. Fusion: rrf = Σ 1/(60 + rank) —
+    // each term ONE correctly-rounded division over exact integers at
+    // 6 dp, the two-term sum a single deterministic IEEE add — with a
+    // doc absent from a leg contributing 0 (full-outer join, the
+    // no-silent-holes rule). Scale shape: both legs end in bounded
+    // top-20 frames BEFORE any window runs (c77's rule — rank windows
+    // only ever see ≤20 rows), so fusion cost is independent of
+    // corpus size; the report is the top-10 with both leg ranks
+    // exposed (0 = not retrieved by that leg).
+    "x122_hybrid_rrf" -> ((spark, sfDir) => {
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        Lake.table(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val lex = graft.ext.TextAnalysis
+        .bm25FromTf(tf, Seq("join", "filter", "vector"))
+        .filter(col("doc_id") >= 3)
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(desc("bm25"), col("doc_id"))))
+        .select(col("doc_id"), col("r_lex"))
+      val e = emb(spark, sfDir)
+      val qv = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")))
+      val dense = e.filter(col("vec_id") >= 3).crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          round(cosine(col("embedding"), col("qvec")), 4).as("cos"))
+        .orderBy(desc("cos"), col("doc_id")).limit(20)
+        .withColumn("r_dense", row_number().over(
+          Window.orderBy(desc("cos"), col("doc_id"))))
+        .select(col("doc_id"), col("r_dense"))
+      lex.join(dense, Seq("doc_id"), "outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_dense"), lit(0)).as("r_dense"),
+          round(
+            coalesce(round(lit(1.0) / (col("r_lex") + 60), 6), lit(0.0)) +
+              coalesce(round(lit(1.0) / (col("r_dense") + 60), 6), lit(0.0)),
+            6).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(10)
+    }),
+
     // RANKED-RETRIEVAL QUALITY METRICS — MRR and nDCG@10 of the
     // dim-16 truncated ranking against the full-dim top-10 ground
     // truth: the metrics an embedding-serving review actually quotes
@@ -1210,6 +1262,45 @@ object Similarity {
         Seq(8, 16, 64).map(recallRow).mkString(" UNION ALL ") +
         " ORDER BY query_id, dim"
     },
+    // the x119 BM25 chain and the x105-form cosine chain rebuilt
+    // verbatim, bounded to top-20 each, fused by the same rounded
+    // reciprocal ranks
+    "x122_hybrid_rrf" ->
+      ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens), " +
+        "qt AS (SELECT doc_id, term, tf FROM tf " +
+        "WHERE term IN ('join', 'filter', 'vector')), " +
+        "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY 1), " +
+        "sc AS (SELECT qt.doc_id, " +
+        "ROUND(LN(CAST(2 * g.n + 2 AS DOUBLE) / (2 * d.df + 1)), 6) * " +
+        "ROUND(CAST(qt.tf * g.l * 22 AS DOUBLE) / " +
+        "(g.l * qt.tf * 10 + g.l * 3 + lens.len * g.n * 9), 6) AS s " +
+        "FROM qt JOIN d USING (term) JOIN lens USING (doc_id), g), " +
+        "bm AS (SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM sc GROUP BY 1), " +
+        "lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_lex FROM " +
+        "(SELECT * FROM bm WHERE doc_id >= 3 ORDER BY bm25 DESC, doc_id LIMIT 20)), " +
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "FROM embeddings), " +
+        "qv AS (SELECT v FROM e WHERE vec_id = 0), " +
+        "cosr AS (SELECT c.vec_id AS doc_id, " +
+        "ROUND(list_sum(list_transform(range(1, 65), i -> c.v[i] * q.v[i])) / " +
+        "(sqrt(list_sum(list_transform(c.v[1:64], x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(q.v[1:64], x -> x * x)))), 4) AS cos " +
+        "FROM e c, qv q WHERE c.vec_id >= 3), " +
+        "dense AS (SELECT doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY cos DESC, doc_id) AS INTEGER) AS r_dense FROM " +
+        "(SELECT * FROM cosr ORDER BY cos DESC, doc_id LIMIT 20)), " +
+        "f AS (SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense, " +
+        "COALESCE(ROUND(CAST(1 AS DOUBLE) / (r_lex + 60), 6), 0) + " +
+        "COALESCE(ROUND(CAST(1 AS DOUBLE) / (r_dense + 60), 6), 0) AS rrf " +
+        "FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id) " +
+        "SELECT doc_id, CAST(COALESCE(r_lex, 0) AS INTEGER) AS r_lex, " +
+        "CAST(COALESCE(r_dense, 0) AS INTEGER) AS r_dense, " +
+        "ROUND(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10"),
     // same ranking CTEs as x105 (identical float-op sequence), the
     // same ln2/ln(rk+1) 6 dp discount summed per query, IDCG over the
     // ideal ranks through the same ops

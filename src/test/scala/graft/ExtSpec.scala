@@ -2362,6 +2362,32 @@ class ExtSpec extends SparkSpec {
       "round-1 merge must be x63's top pair")
   }
 
+  test("x122 hybrid rrf: fused ranks recompute, absent legs contribute zero, order is total") {
+    val rows = Similarity.queries("x122_hybrid_rrf")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    val rrfs = rows.map(_._4).toList
+    assert(rrfs == rrfs.sortBy((x: Double) => -x), "fusion order must be total")
+    def term(r: Int): Double =
+      if (r == 0) 0.0
+      else BigDecimal(1.0 / (r + 60)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (doc, rl, rd, rrf) =>
+      assert(rl >= 0 && rl <= 20 && rd >= 0 && rd <= 20)
+      assert(rl > 0 || rd > 0, s"doc $doc retrieved by neither leg")
+      val want = BigDecimal(term(rl) + term(rd))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == want, s"doc $doc: rrf $rrf vs recomputed $want")
+    }
+    // a doc ranked by BOTH legs must outrank one ranked by a single
+    // leg at any rank (2/61 > 1/61 floor argument holds at k = 60,
+    // ranks <= 20)
+    val both = rows.filter(r => r._2 > 0 && r._3 > 0)
+    val single = rows.filter(r => r._2 == 0 || r._3 == 0)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_._4).min > single.map(_._4).max,
+        "dual-leg docs must dominate single-leg docs under RRF at these depths")
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
