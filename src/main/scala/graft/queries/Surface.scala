@@ -997,6 +997,38 @@ object Surface {
             .as("z_score"))
     }),
 
+    // TIME-WEIGHTED AVERAGE — the metrics/sensor staple a plain AVG
+    // gets wrong on irregular samples: each reading holds until the
+    // next one, so it weighs by its holding interval. The entire
+    // aggregation is exact integers — values as FLOOR(value·100)
+    // cents, intervals as exact µs from the lag window — because
+    // Σ v·Δt telescopes to ≤ v_max · span, the weighted sum stays
+    // under 2⁶³ at ANY event count (bounded by time, not volume —
+    // the property that makes this safe at 100 TB where a float SUM's
+    // accumulation order would already have diverged). One user
+    // shuffle for the lead window, one partial-aggregated sum, two
+    // correctly-rounded divisions at the end. Single-reading users
+    // have no holding interval and are excluded (span = 0).
+    "c81_time_weighted_avg" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v_cents"))
+        .withColumn("dt",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          sum(col("v_cents") * col("dt")).as("vw"))
+        .filter(col("span_us") > 0)
+        .select(col("user_id"), col("n_intervals"), col("span_us"),
+          round(col("vw").cast("double") / col("span_us") / 100, 4)
+            .as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1511,6 +1543,18 @@ object Surface {
         "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
         "FROM top, t ORDER BY rank"),
+    // same µs lead window and integer-cents weighting; BIGINT casts
+    // pin the HUGEINT widening, the two divisions mirror exactly
+    "c81_time_weighted_avg" ->
+      ("WITH s AS (SELECT user_id, ts, event_id, " +
+        "CAST(FLOOR(value * 100) AS BIGINT) AS v_cents, " +
+        "epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) " +
+        "- epoch_us(ts) AS dt FROM events) " +
+        "SELECT user_id, COUNT(*) AS n_intervals, " +
+        "CAST(SUM(dt) AS BIGINT) AS span_us, " +
+        "ROUND(CAST(SUM(v_cents * dt) AS DOUBLE) / CAST(SUM(dt) AS BIGINT) / 100, 4) AS twa " +
+        "FROM s WHERE dt IS NOT NULL GROUP BY 1 " +
+        "HAVING SUM(dt) > 0 ORDER BY user_id"),
     // same lag window (ts, event_id total order), BIGINT-cast totals
     // (DuckDB widens SUM to HUGEINT), one 4 dp division
     "c78_markov_paths" ->

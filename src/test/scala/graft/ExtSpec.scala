@@ -2388,6 +2388,25 @@ class ExtSpec extends SparkSpec {
         "dual-leg docs must dominate single-leg docs under RRF at these depths")
   }
 
+  test("c81 twa: intervals telescope to the user's span, the average sits inside the value hull") {
+    val rows = graft.queries.Surface.queries("c81_time_weighted_avg")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ref = Lake.table(spark, SfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.foreach { case (u, nInt, span, twa) =>
+      val (n, refSpan, lo, hi) = ref(u)
+      assert(nInt == n - 1, s"user $u: ${nInt} intervals from $n events")
+      assert(span == refSpan, s"user $u: holding intervals must telescope to the span")
+      // floor-to-cents shifts each weight < 0.01 downward
+      assert(twa >= lo - 0.01 && twa <= hi, s"user $u: twa $twa outside [$lo, $hi]")
+    }
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
