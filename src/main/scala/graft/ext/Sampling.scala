@@ -563,10 +563,82 @@ object Sampling {
               lit(25.0) * (t - col("cum_prev")) / col("n"), 4).as("value"))
       }.reduce(_ unionByName _)
         .orderBy(col("day"), col("q"))
-    })
+    }),
+
+    // LEAKAGE-FREE CHURN TRAINING SET — the point-in-time discipline
+    // every supervised pipeline over event data needs and a naive
+    // join silently violates: FEATURES see only days ≤ 17, the LABEL
+    // ("no purchase in the next 7 days") sees only days 18-24, and a
+    // user born after the cutoff doesn't exist — so no feature can
+    // encode its own label (the temporal leak that inflates offline
+    // AUC and dies in production). c76 computes this feature block at
+    // the full horizon; here the same partial-aggregated pass runs
+    // against the cutoff snapshot, making the builder reproducible
+    // to the row (x20's auditability argument). The label is
+    // purchase-specific because this corpus's users all RETURN every
+    // week — total-activity churn would be vacuously 0 — while
+    // next-week purchase abstention splits the population. All
+    // integer features, one user-shuffle, a distinct-buyer anti-ish
+    // left join for the label.
+    "x123_churn_training_set" -> ((spark, sfDir) =>
+      churnTrainingSet(
+        Lake.table(spark, sfDir, "events")
+          .select(col("user_id"),
+            expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
+            col("event_type")),
+        cutoff = 17, labelDays = 7)
+        .orderBy(col("user_id")))
   )
 
+  /** x123's builder over an explicit (user_id, d, event_type) frame —
+    * exposed so tests can prove the point-in-time property: the
+    * feature columns must be bit-identical whether or not any
+    * post-cutoff events exist in the input.
+    */
+  def churnTrainingSet(ev: DataFrame, cutoff: Int, labelDays: Int): DataFrame = {
+    val pre = ev.filter(col("d") <= cutoff)
+    val days = pre.select(col("user_id"), col("d")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    val feat = pre.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"),
+        sum(when(col("d") >= cutoff - 6, 1L).otherwise(0L)).as("events_last7"))
+      .join(days, "user_id")
+    val buyers = ev.filter(col("event_type") === "purchase" &&
+        col("d") > cutoff && col("d") <= cutoff + labelDays)
+      .select(col("user_id")).distinct()
+      .withColumn("bought", lit(1))
+    feat.join(buyers, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("first_day"), col("last_day"),
+        (lit(cutoff) - col("last_day")).as("days_idle"),
+        col("events_last7"),
+        when(col("bought").isNull, 1).otherwise(0).as("churned"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // same cutoff snapshot for every feature, same purchase-window
+    // distinct-buyer left join for the label; INTEGER/BIGINT casts
+    // pin the c76 dtype convention
+    "x123_churn_training_set" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS d, " +
+        "event_type FROM events), " +
+        "pre AS (SELECT * FROM e WHERE d <= 17), " +
+        "ad AS (SELECT user_id, COUNT(*) AS active_days FROM " +
+        "(SELECT DISTINCT user_id, d FROM pre) GROUP BY 1), " +
+        "f AS (SELECT user_id, COUNT(*) AS n_events, MIN(d) AS first_day, " +
+        "MAX(d) AS last_day, " +
+        "CAST(SUM(CASE WHEN d >= 11 THEN 1 ELSE 0 END) AS BIGINT) AS events_last7 " +
+        "FROM pre GROUP BY 1), " +
+        "b AS (SELECT DISTINCT user_id FROM e " +
+        "WHERE event_type = 'purchase' AND d > 17 AND d <= 24) " +
+        "SELECT f.user_id, f.n_events, CAST(ad.active_days AS BIGINT) AS active_days, " +
+        "f.first_day, f.last_day, CAST(17 - f.last_day AS INTEGER) AS days_idle, " +
+        "f.events_last7, " +
+        "CAST(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS churned " +
+        "FROM f JOIN ad USING (user_id) LEFT JOIN b ON f.user_id = b.user_id " +
+        "ORDER BY user_id"),
     // integer-µs gaps under the same (ts, event_id) order; Σd/Σd² as
     // exact decimals, sqrt/divide are the only float ops
     "x78_burstiness" ->
