@@ -212,7 +212,13 @@ object Bench {
     // self-join affinity matrix, the one-pass DQ gate, and the
     // bounded-state heavy hitters
     "x92_span_dedup", "x91_edit_distance_dedup", "x94_phash_dedup",
-    "x95_domain_affinity", "p12_dq_expectations", "x101_heavy_hitters")
+    "x95_domain_affinity", "p12_dq_expectations", "x101_heavy_hitters",
+    // session-6 additions (43 → 47): the two-leg hybrid retrieval
+    // fusion (BM25 + cosine + RRF in one plan), the iterated
+    // vocab-table BPE merge rounds, and the two event-window shapes
+    // (transition lag matrix, µs holding-interval aggregate)
+    "x122_hybrid_rrf", "x121_bpe_train_steps", "c78_markov_paths",
+    "c81_time_weighted_avg")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming

@@ -114,20 +114,33 @@ object TextAnalysis {
     */
   def bm25FromTf(tf: DataFrame, qTerms: Seq[String]): DataFrame = {
     val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
-    val g = broadcast(lens.agg(count(lit(1)).as("n"), sum(col("len")).as("l")))
-    val dfreq = tf.filter(col("term").isin(qTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("l"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25FromParts(tf, dfreq, lens, g, qTerms)
+  }
+
+  /** The scoring stage proper, over the four index artifacts a search
+    * system actually maintains — postings (doc, term, tf), document
+    * frequencies (term, df), document lengths (doc, len) and the
+    * (n, l) corpus counters. Shared by x119 (which derives the parts
+    * from the batch tf artifact) and s18 (which maintains each part
+    * incrementally and serves from the maintained copies) — the s12
+    * shared-readout pattern, so the streaming result is
+    * hash-identical to the batch one by construction of the stage,
+    * not by coincidence. Serve-time cost: query-term postings only.
+    */
+  def bm25FromParts(tf: DataFrame, dfreq: DataFrame, lens: DataFrame,
+      g: DataFrame, qTerms: Seq[String]): DataFrame =
     tf.filter(col("term").isin(qTerms: _*))
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
       .join(lens, "doc_id")
-      .crossJoin(g)
+      .crossJoin(broadcast(g))
       .select(col("doc_id"),
         (round(log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1)), 6) *
           round((col("tf") * col("l") * 22).cast("double") /
             (col("l") * col("tf") * 10 + col("l") * 3 +
               col("len") * col("n") * 9), 6)).as("s"))
       .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("bm25"))
-  }
 
   /** Per-doc mean unigram log-probability (x34's score), shared with
     * the x38 ensemble gate: the corpus's own unigram model over the

@@ -582,6 +582,99 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** s18: incrementally-maintained BM25 search index — the streaming
+    * side of x119, and the IVM case the s12-s17 family hasn't shown:
+    * FOUR co-maintained artifacts that must stay mutually consistent
+    * (postings, document frequencies, document lengths, the (n, l)
+    * corpus counters). Documents are immutable and batch at file
+    * grain, so no doc straddles batches and every part maintains by
+    * the cheapest possible rule: postings and lengths APPEND (each
+    * doc's rows are complete within its batch), df merges ADDITIVELY
+    * per term, and the counters are a 1-row add. The readout serves
+    * BM25 through the SHARED scoring stage
+    * ([[graft.ext.TextAnalysis.bm25FromParts]]) from the MAINTAINED
+    * parts — query-term postings + the maintained stats, never a
+    * corpus re-scan — and must hash-match batch x119 exactly (the
+    * oracle IS x119's SQL). Per batch at scale: tokenize the batch,
+    * one vocab-bound df merge, two appends, a 1-row counter add —
+    * work ∝ batch size, independent of index size except the df
+    * merge's vocab-bound full-outer join.
+    */
+  def foreachBatchBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s18_${tag(sfDir)}"
+    rmDir(spark, base)
+    // a 4-file docs copy so AvailableNow yields multiple microbatches
+    Lake.materialize(spark, sfDir, "docs_split_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[(String, String, String, String)] = None
+    @volatile var batches = 0
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val genT = s"$base/tf_$batchId"
+        val genL = s"$base/len_$batchId"
+        val genD = s"$base/df_$batchId"
+        val genG = s"$base/g_$batchId"
+        // counters are written LAST, so their marker implies all four
+        val marker = new org.apache.hadoop.fs.Path(s"$genG/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some((genT, genL, genD, genG))
+        } else {
+          val tfB = batch.toDF()
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+          tfB.cache()
+          val lenB = tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+          val dfB = tfB.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          val gB = lenB.agg(count(lit(1)).as("n"), sum(col("len")).as("l"))
+          val (tfNext, lenNext, dfNext, gNext) = latest match {
+            case None => (tfB, lenB, dfB, gB)
+            case Some((pt, pl, pd, pg)) =>
+              (spark.read.parquet(pt).unionByName(tfB),
+                spark.read.parquet(pl).unionByName(lenB),
+                spark.read.parquet(pd)
+                  .withColumnRenamed("df", "df0")
+                  .join(dfB.withColumnRenamed("df", "df1"), Seq("term"), "full_outer")
+                  .select(col("term"),
+                    (coalesce(col("df0"), lit(0L)) +
+                      coalesce(col("df1"), lit(0L))).as("df")),
+                spark.read.parquet(pg)
+                  .withColumnRenamed("n", "n0").withColumnRenamed("l", "l0")
+                  .crossJoin(gB)
+                  .select((col("n0") + col("n")).as("n"),
+                    (col("l0") + col("l")).as("l")))
+          }
+          tfNext.write.mode("overwrite").parquet(genT)
+          lenNext.write.mode("overwrite").parquet(genL)
+          dfNext.write.mode("overwrite").parquet(genD)
+          gNext.write.mode("overwrite").parquet(genG)
+          tfB.unpersist()
+          latest = Some((genT, genL, genD, genG))
+        }
+        batches += 1
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (t, l, d, g) = latest.getOrElse(
+      sys.error("s18: stream produced no batches"))
+    graft.ext.TextAnalysis.bm25FromParts(
+      spark.read.parquet(t), spark.read.parquet(d), spark.read.parquet(l),
+      spark.read.parquet(g), Seq("join", "filter", "vector"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(10)
+  }
+
   /** s14: streaming maintenance of the p12 data-quality report — the
     * DQ gate run CONTINUOUSLY at ingest instead of before publish.
     * Additive checks (not-null, ts range, type domain, positivity,
@@ -1028,6 +1121,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
       ((spark, sfDir) => foreachBatchCdc(spark, sfDir)),
+    "s18_stream_bm25_maintain" ->
+      ((spark, sfDir) => foreachBatchBm25(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -1069,6 +1164,10 @@ object Streams {
     // the IVM contract verbatim: streamed histogram state ≡ batch x70
     "s12_stream_hist_maintain" ->
       graft.ext.Sampling.oracles("x70_hist_rollup"),
+    // the IVM contract verbatim: the BM25 top-10 served from the four
+    // incrementally-maintained index parts ≡ batch x119
+    "s18_stream_bm25_maintain" ->
+      graft.ext.TextAnalysis.oracles("x119_bm25_topk"),
     // set-semantics IVM: the maintained degree table ≡ the batch
     // distinct count — novelty anti-join, not additive merge
     "s13_stream_degree_maintain" ->

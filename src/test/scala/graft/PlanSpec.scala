@@ -470,4 +470,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") || plan.contains("x18_ngram_pairs"),
       s"embedding-grain shuffle join appeared:\n$plan")
   }
+
+  test("bm25 top-k plans TakeOrderedAndProject over the postings join — no cartesian, no global sort (x119)") {
+    val plan = graft.ext.TextAnalysis.queries("x119_bm25_topk")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("hybrid RRF fuses two bounded legs — the only non-equi joins are broadcast scalar/query crosses (x122)") {
+    val plan = Similarity.queries("x122_hybrid_rrf")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // both rank windows must sit above a 20-row limit, never over the
+    // corpus-sized score frames
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
+      s"leg bounding lost:\n$plan")
+  }
+
+  test("event-window analytics shuffle on user_id only (c78/c81)") {
+    for (name <- Seq("c78_markov_paths", "c81_time_weighted_avg")) {
+      val plan = Surface.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(user_id"),
+        s"$name: lag/lead window must partition by user_id:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian in:\n$plan")
+    }
+  }
 }

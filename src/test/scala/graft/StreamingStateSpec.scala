@@ -365,4 +365,29 @@ class StreamingStateSpec extends SparkSpec {
       .parquet(s"/tmp/graft-stream/s17_$tag/store_$lastGen").count()
     assert(storeCount == streamed(0)._2, "store size must equal n_distinct")
   }
+
+  test("streaming BM25 index serves the exact batch ranking across a multi-batch build (s18)") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    val streamed = graft.streaming.Streams.foreachBatchBm25(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s18_$tag")
+      .listFiles().count(_.getName.startsWith("g_"))
+    assert(gens >= 2, s"expected a multi-batch index build, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x119_bm25_topk")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"served ranking diverges from batch x119:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    // the co-maintained stats must agree with the postings they index
+    val lastGen = new java.io.File(s"/tmp/graft-stream/s18_$tag")
+      .listFiles().filter(_.getName.startsWith("g_"))
+      .map(_.getName.stripPrefix("g_").toLong).max
+    val g = spark.read.parquet(s"/tmp/graft-stream/s18_$tag/g_$lastGen")
+      .collect()(0)
+    val lens = spark.read.parquet(s"/tmp/graft-stream/s18_$tag/len_$lastGen")
+    assert(g.getLong(0) == lens.count(), "maintained n vs length table")
+    assert(g.getLong(1) ==
+      lens.agg(org.apache.spark.sql.functions.sum("len")).collect()(0).getLong(0),
+      "maintained l vs summed lengths")
+  }
 }
