@@ -114,4 +114,32 @@ class CountPropertySpec extends SparkSpec {
         s"planted span (a=$exStart, b=${pad.length + 1}, len=$exLen) uncovered in ${spans.toSeq}")
     }
   }
+
+  test("bm25 scores are partitioning- and row-order-invariant on random corpora (x119)") {
+    import spark.implicits._
+    // random word-soup corpora over a tiny alphabet so query terms
+    // collide with document terms often
+    val word = Gen.oneOf("q", "r", "a", "b", "c")
+    val gen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(word).map(_.take(12)))
+      slices <- Gen.choose(1, 6)
+    } yield (docs, slices)
+    var ref: Option[Map[Long, Double]] = None
+    for ((docs, slices) <- samples(gen, 10)) {
+      val rows = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      def score(input: Seq[(Long, String)], sl: Int): Map[Long, Double] =
+        graft.ext.TextAnalysis.bm25Scores(
+          spark.sparkContext.parallelize(input, sl).toDF("doc_id", "text"),
+          Seq("q", "r"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val base = score(rows, 1)
+      // any partitioning, any row order — the 4 dp score is identical
+      // (the partition-independence a 1000-executor run relies on)
+      assert(score(rows, slices) == base, s"partitioning changed scores: $docs")
+      assert(score(rows.reverse, slices) == base, s"row order changed scores: $docs")
+      ref = Some(base)
+    }
+    assert(ref.exists(_.nonEmpty), "generator never produced a scoring corpus")
+  }
 }
