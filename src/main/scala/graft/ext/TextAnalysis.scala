@@ -142,6 +142,32 @@ object TextAnalysis {
               col("len") * col("n") * 9), 6)).as("s"))
       .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("bm25"))
 
+  /** x124's query-likelihood scorer over a prebuilt (doc_id, term,
+    * tf) frame: Dirichlet-smoothed LM retrieval,
+    * score(d) = Σ_t ln((tf·L + µ·ctf) / (L·(len + µ))) with µ = 2000
+    * — exact BIGINT numerator/denominator through ONE ln per (term,
+    * doc) cell at 6 dp, per-doc sums at 4 dp. Unlike BM25, a doc
+    * missing a query term still scores (the smoothing mass), so the
+    * scoring frame is the lens × query-terms SPINE left-joined to the
+    * postings — |docs|·|terms| rows, linear in the corpus.
+    */
+  def qlFromTf(tf: DataFrame, qTerms: Seq[String], mu: Long = 2000L): DataFrame = {
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val big = lens.agg(sum(col("len")).as("l"))
+    val ctf = tf.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    lens.crossJoin(broadcast(ctf))
+      .join(tf.filter(col("term").isin(qTerms: _*)),
+        Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(big))
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("tf"), lit(0L)) * col("l") + lit(mu) * col("ctf"))
+            .cast("double") /
+            (col("l") * (col("len") + lit(mu)))), 6).as("s"))
+      .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("ql"))
+  }
+
   /** Per-doc mean unigram log-probability (x34's score), shared with
     * the x38 ensemble gate: the corpus's own unigram model over the
     * lake-checkpointed tf table (one artifact, three consumers with
@@ -806,6 +832,31 @@ object TextAnalysis {
       }
       bm25FromTf(tf, Seq("join", "filter", "vector"))
         .orderBy(desc("bm25"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // QUERY-LIKELIHOOD RETRIEVAL — the LM-based ranker family next to
+    // x119's BM25 (the two classic probabilistic retrieval models;
+    // real engines ship both): rank by the probability the document's
+    // Dirichlet-smoothed language model generates the query. The
+    // smoothing term is what BM25's shape doesn't exercise — a doc
+    // MISSING a query term still scores µ·ctf/(L·(len+µ)) — so the
+    // scoring frame is the doc-lengths × query-terms spine
+    // left-joined to the postings (x105's no-silent-holes rule at
+    // scoring grain; 3·N rows, linear). Same exactness discipline as
+    // x119: integer rationals through one ln per cell (see
+    // qlFromTf). ctf (collection term frequency), not df, is the
+    // model's corpus statistic — the distinction between the two
+    // rankers' index requirements.
+    "x124_query_likelihood" -> ((spark, sfDir) => {
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      qlFromTf(tf, Seq("join", "filter", "vector"))
+        .orderBy(desc("ql"), col("doc_id"))
         .limit(10)
     }),
 
@@ -1548,6 +1599,24 @@ object TextAnalysis {
         "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g) " +
         "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s " +
         "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    // same lens × terms spine with coalesced absent-term tf, same
+    // integer rational through one ln per cell
+    "x124_query_likelihood" ->
+      ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1), " +
+        "big AS (SELECT CAST(SUM(len) AS BIGINT) AS l FROM lens), " +
+        "q AS (SELECT doc_id, term, tf FROM tf " +
+        "WHERE term IN ('join', 'filter', 'vector')), " +
+        "ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM q GROUP BY 1), " +
+        "s AS (SELECT lens.doc_id, " +
+        "ROUND(LN(CAST(COALESCE(q.tf, 0) * big.l + 2000 * ctf.ctf AS DOUBLE) / " +
+        "(big.l * (lens.len + 2000))), 6) AS s " +
+        "FROM lens CROSS JOIN ctf " +
+        "LEFT JOIN q ON q.doc_id = lens.doc_id AND q.term = ctf.term, big) " +
+        "SELECT doc_id, ROUND(SUM(s), 4) AS ql FROM s " +
+        "GROUP BY 1 ORDER BY ql DESC, doc_id LIMIT 10"),
     // the oracle is the brute-force ground truth: exact counts over
     // the FULL vocabulary — matching it is precisely the claim that
     // the bounded-state candidate pass lost nothing in the top-10

@@ -2443,6 +2443,31 @@ class ExtSpec extends SparkSpec {
     assert(snap.map(_.getInt(7)).forall(c => c == 0 || c == 1))
   }
 
+  test("x124 query likelihood: tf raises, absence penalizes but still scores, length dilutes") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "q q a a"),         // tf 2, len 4
+      (2L, "q a a a"),         // tf 1, len 4
+      (3L, "a a a a"),         // tf 0 — smoothing mass only
+      (4L, "q a a a a a a a")  // tf 1, len 8
+    ).toDF("doc_id", "text")
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val s = TextAnalysis.qlFromTf(tf, Seq("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.keySet == Set(1L, 2L, 3L, 4L),
+      "every doc scores — absent terms smooth, they don't drop rows")
+    assert(s(1L) > s(2L), "higher tf must score higher")
+    assert(s(2L) > s(3L), "a doc containing the term must beat pure smoothing mass")
+    assert(s(2L) > s(4L), "longer doc with equal tf must score lower")
+    assert(s.values.forall(_ < 0.0), "log-probabilities are negative")
+    // registry surface: full top-10, strictly ranked
+    val top = TextAnalysis.queries("x124_query_likelihood")(spark, SfDir).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1)).toList
+    assert(scores == scores.sortBy((x: Double) => -x))
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
