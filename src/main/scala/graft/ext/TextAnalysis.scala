@@ -131,8 +131,25 @@ object TextAnalysis {
     */
   def bm25FromParts(tf: DataFrame, dfreq: DataFrame, lens: DataFrame,
       g: DataFrame, qTerms: Seq[String]): DataFrame =
-    tf.filter(col("term").isin(qTerms: _*))
-      .join(broadcast(dfreq.filter(col("term").isin(qTerms: _*))), "term")
+    bm25Scored(tf.filter(col("term").isin(qTerms: _*)),
+      dfreq.filter(col("term").isin(qTerms: _*)), lens, g)
+
+  /** The same scoring over a DYNAMIC query — a 'term' frame instead
+    * of a literal list (x125's expansion terms come out of a prior
+    * retrieval pass, so they exist only at runtime). df derives from
+    * the joined postings; everything else is bm25FromParts verbatim.
+    */
+  def bm25DynamicFromTf(tf: DataFrame, qterms: DataFrame): DataFrame = {
+    val lens = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+    val g = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("l"))
+    val post = tf.join(broadcast(qterms.select(col("term"))), "term")
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Scored(post, dfreq, lens, g)
+  }
+
+  private def bm25Scored(post: DataFrame, dfreq: DataFrame,
+      lens: DataFrame, g: DataFrame): DataFrame =
+    post.join(broadcast(dfreq), "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(g))
       .select(col("doc_id"),
@@ -857,6 +874,42 @@ object TextAnalysis {
       }
       qlFromTf(tf, Seq("join", "filter", "vector"))
         .orderBy(desc("ql"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // PSEUDO-RELEVANCE-FEEDBACK EXPANSION — the two-stage retrieval
+    // loop every serious search stack runs (RM-style): retrieve
+    // BM25's top-3 for the original query, mine the 2 heaviest
+    // non-query terms from those feedback docs (Σ tf, tiebreak on
+    // term — the deterministic stand-in for RM1's probability
+    // weights), and re-rank with the EXPANDED 5-term query through
+    // the same scorer. The second pass needs a runtime term set, so
+    // it runs the dynamic-query variant (bm25DynamicFromTf — join on
+    // a broadcast term frame instead of a literal isin). Scale
+    // shape: pass 1 is x119's bounded plan, mining is one aggregate
+    // over 3 docs' postings with a TakeOrdered 2-slice, pass 2 is
+    // again postings-bounded — the whole loop never re-scans the
+    // corpus text.
+    "x125_prf_expansion" -> ((spark, sfDir) => {
+      val q0 = Seq("join", "filter", "vector")
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val top3 = bm25FromTf(tf, q0)
+        .orderBy(desc("bm25"), col("doc_id")).limit(3)
+        .select(col("doc_id"))
+      val expansion = tf.join(broadcast(top3), "doc_id")
+        .filter(!col("term").isin(q0: _*))
+        .groupBy(col("term")).agg(sum(col("tf")).as("w"))
+        .orderBy(desc("w"), col("term")).limit(2)
+        .select(col("term"))
+      import spark.implicits._
+      val terms = expansion.unionByName(q0.toDF("term"))
+      bm25DynamicFromTf(tf, terms)
+        .orderBy(desc("bm25"), col("doc_id"))
         .limit(10)
     }),
 
@@ -1599,6 +1652,38 @@ object TextAnalysis {
         "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g) " +
         "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s " +
         "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    // the full two-stage loop in SQL: x119's chain → top-3 → heaviest
+    // non-query terms → the same chain over the expanded term set
+    "x125_prf_expansion" -> {
+      def score(q: String, d: String): String =
+        s"(SELECT $q.doc_id, " +
+          s"ROUND(LN(CAST(2 * g.n + 2 AS DOUBLE) / (2 * $d.df + 1)), 6) * " +
+          s"ROUND(CAST($q.tf * g.l * 22 AS DOUBLE) / " +
+          s"(g.l * $q.tf * 10 + g.l * 3 + lens.len * g.n * 9), 6) AS s " +
+          s"FROM $q JOIN $d USING (term) JOIN lens USING (doc_id), g)"
+      "WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens), " +
+        "q1 AS (SELECT doc_id, term, tf FROM tf " +
+        "WHERE term IN ('join', 'filter', 'vector')), " +
+        "d1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q1 GROUP BY 1), " +
+        "s1 AS " + score("q1", "d1") + ", " +
+        "bm1 AS (SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s1 GROUP BY 1), " +
+        "top3 AS (SELECT doc_id FROM bm1 ORDER BY bm25 DESC, doc_id LIMIT 3), " +
+        "expn AS (SELECT term FROM (SELECT tf.term, CAST(SUM(tf.tf) AS BIGINT) AS w " +
+        "FROM tf JOIN top3 USING (doc_id) " +
+        "WHERE tf.term NOT IN ('join', 'filter', 'vector') " +
+        "GROUP BY 1 ORDER BY w DESC, term LIMIT 2)), " +
+        "terms AS (SELECT term FROM expn UNION ALL " +
+        "SELECT unnest(['join', 'filter', 'vector']) AS term), " +
+        "q2 AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN terms USING (term)), " +
+        "d2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q2 GROUP BY 1), " +
+        "s2 AS " + score("q2", "d2") + " " +
+        "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s2 " +
+        "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"
+    },
     // same lens × terms spine with coalesced absent-term tf, same
     // integer rational through one ln per cell
     "x124_query_likelihood" ->

@@ -2468,6 +2468,37 @@ class ExtSpec extends SparkSpec {
     assert(scores == scores.sortBy((x: Double) => -x))
   }
 
+  test("x125 prf: expansion mines the feedback docs and recalls a doc the original query cannot see") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "q z z"), (2L, "q z z"), (3L, "q y y"),
+      (4L, "z z z") // never matches the original query
+    ).toDF("doc_id", "text")
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val firstPass = TextAnalysis.bm25FromTf(tf, Seq("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(firstPass == Set(1L, 2L, 3L), "pass 1 cannot see doc 4")
+    val top3 = TextAnalysis.bm25FromTf(tf, Seq("q"))
+      .orderBy(desc("bm25"), col("doc_id")).limit(3).select(col("doc_id"))
+    val exp = tf.join(broadcast(top3), "doc_id")
+      .filter(col("term") =!= "q")
+      .groupBy(col("term")).agg(sum(col("tf")).as("w"))
+      .orderBy(desc("w"), col("term")).limit(2).select(col("term"))
+    assert(exp.collect().map(_.getString(0)).toSet == Set("z", "y"),
+      "expansion must pick the heaviest feedback terms")
+    val expanded = TextAnalysis.bm25DynamicFromTf(tf,
+      exp.unionByName(Seq("q").toDF("term")))
+      .collect().map(_.getLong(0)).toSet
+    assert(expanded.contains(4L),
+      "the expanded query must recall the doc the original terms missed")
+    // registry surface: full top-10, strictly ranked
+    val top = TextAnalysis.queries("x125_prf_expansion")(spark, SfDir).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1)).toList
+    assert(scores == scores.sortBy((x: Double) => -x))
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
