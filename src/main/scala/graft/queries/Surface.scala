@@ -51,6 +51,36 @@ object Surface {
           col("cohort_size"), 4).as("retention_pct"))
   }
 
+  /** c79's segmentation stage over the user-grain frame (user_id, f,
+    * last_d, m_cents) — shared with s19, which MAINTAINS that frame
+    * incrementally (count-add / max / sum-add merges) and reads the
+    * segments out through this exact stage, so streaming ≡ batch by
+    * construction. Horizon is the frame's own max day (1-row
+    * broadcast); boundaries via the x51 broadcast-percentile pattern.
+    */
+  def rfmSegments(users: DataFrame): DataFrame = {
+    val horizon = broadcast(users.agg(max(col("last_d")).as("h")))
+    val rfm = users.crossJoin(horizon)
+      .select(col("user_id"), (col("h") - col("last_d")).cast("long").as("r"),
+        col("f"), col("m_cents").as("m"))
+    val bCols = Seq("r", "f", "m").flatMap { c =>
+      Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")
+          .cast("long").as(s"${c}${i + 1}")
+      }
+    }
+    val bounds = broadcast(rfm.agg(bCols.head, bCols.tail: _*))
+    def tile(c: String) =
+      when(col(c) <= col(s"${c}1"), 1).when(col(c) <= col(s"${c}2"), 2)
+        .when(col(c) <= col(s"${c}3"), 3).otherwise(4)
+    rfm.crossJoin(bounds)
+      .select(col("user_id"), tile("r").as("r_tile"),
+        tile("f").as("f_tile"), tile("m").as("m_tile"))
+      .groupBy((col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
+        .as("segment"), col("r_tile"), col("f_tile"), col("m_tile"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** c73's ordered stage chain over an explicit (user_id, event_type,
     * ts) frame — min ts of each stage AFTER the previous stage's ts,
     * so out-of-order events never advance the funnel. Exposed so
@@ -921,33 +951,15 @@ object Surface {
         .select(col("user_id"),
           expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
           col("event_type"), col("value"))
-      val horizon = broadcast(ev.agg(max(col("d")).as("h")))
       val money = ev.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
         .agg(sum(floor(col("value") * 100).cast("long")).as("m_cents"))
-      val rfm = ev.groupBy(col("user_id"))
+      val users = ev.groupBy(col("user_id"))
         .agg(count(lit(1)).as("f"), max(col("d")).as("last_d"))
         .join(money, Seq("user_id"), "left")
-        .crossJoin(horizon)
-        .select(col("user_id"), (col("h") - col("last_d")).cast("long").as("r"),
-          col("f"), coalesce(col("m_cents"), lit(0L)).as("m"))
-      val bCols = Seq("r", "f", "m").flatMap { c =>
-        Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
-          expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")
-            .cast("long").as(s"${c}${i + 1}")
-        }
-      }
-      val bounds = broadcast(rfm.agg(bCols.head, bCols.tail: _*))
-      def tile(c: String) =
-        when(col(c) <= col(s"${c}1"), 1).when(col(c) <= col(s"${c}2"), 2)
-          .when(col(c) <= col(s"${c}3"), 3).otherwise(4)
-      rfm.crossJoin(bounds)
-        .select(col("user_id"), tile("r").as("r_tile"),
-          tile("f").as("f_tile"), tile("m").as("m_tile"))
-        .groupBy((col("r_tile") * 100 + col("f_tile") * 10 + col("m_tile"))
-          .as("segment"), col("r_tile"), col("f_tile"), col("m_tile"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy(col("segment"))
+        .select(col("user_id"), col("f"), col("last_d"),
+          coalesce(col("m_cents"), lit(0L)).as("m_cents"))
+      rfmSegments(users).orderBy(col("segment"))
     }),
 
     // A/B EXPERIMENT READOUT — deterministic hash-bucketed arm

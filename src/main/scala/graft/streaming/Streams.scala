@@ -675,6 +675,77 @@ object Streams {
       .limit(10)
   }
 
+  /** s19: incrementally-maintained RFM segmentation — the IVM case
+    * where the REPORT is not mergeable but its SUFFICIENT STATISTIC
+    * is: quartile boundaries can't merge across batches, so the
+    * maintained artifact is the user-grain frame (f, last_d,
+    * m_cents), whose merges are the three cheapest in the algebra —
+    * count-add, max, sum-add — and the segmentation runs at READOUT
+    * over that user-sized frame through the SHARED
+    * [[graft.queries.Surface.rfmSegments]] stage (c79's exact code
+    * path, so streaming ≡ batch by construction of the stage). The
+    * general lesson this pairing adds to s11-s18: maintain the
+    * smallest mergeable state, not the report. Per batch at scale:
+    * one user-grain aggregate of the batch + a user-frame full-outer
+    * merge; the percentile pass only ever sees users, not events.
+    */
+  def foreachBatchRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s19_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/users_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val ev = batch.toDF()
+            .select(col("user_id"),
+              expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
+              col("event_type"), col("value"))
+          val delta = ev.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("f"), max(col("d")).as("last_d"),
+              sum(when(col("event_type") === "purchase",
+                floor(col("value") * 100).cast("long")).otherwise(0L))
+                .as("m_cents"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .withColumnRenamed("f", "f0")
+                .withColumnRenamed("last_d", "d0")
+                .withColumnRenamed("m_cents", "m0")
+                .join(delta, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("f0"), lit(0L)) +
+                    coalesce(col("f"), lit(0L))).as("f"),
+                  greatest(coalesce(col("d0"), lit(Int.MinValue)),
+                    coalesce(col("last_d"), lit(Int.MinValue))).as("last_d"),
+                  (coalesce(col("m0"), lit(0L)) +
+                    coalesce(col("m_cents"), lit(0L))).as("m_cents"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.queries.Surface.rfmSegments(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s19: stream produced no batches"))))
+      .orderBy(col("segment"))
+  }
+
   /** s14: streaming maintenance of the p12 data-quality report — the
     * DQ gate run CONTINUOUSLY at ingest instead of before publish.
     * Additive checks (not-null, ts range, type domain, positivity,
@@ -1123,6 +1194,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchCdc(spark, sfDir)),
     "s18_stream_bm25_maintain" ->
       ((spark, sfDir) => foreachBatchBm25(spark, sfDir)),
+    "s19_stream_rfm_maintain" ->
+      ((spark, sfDir) => foreachBatchRfm(spark, sfDir)),
     "s01_stream_window" -> ((spark, sfDir) => windowedCounts(spark, sfDir)),
     "s07_stream_ingest_partitioned" ->
       ((spark, sfDir) => streamIngestPartitioned(spark, sfDir)),
@@ -1168,6 +1241,10 @@ object Streams {
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
       graft.ext.TextAnalysis.oracles("x119_bm25_topk"),
+    // the IVM contract verbatim: segments read from the maintained
+    // user-grain sufficient statistic ≡ batch c79
+    "s19_stream_rfm_maintain" ->
+      graft.queries.Surface.oracles("c79_rfm_segments"),
     // set-semantics IVM: the maintained degree table ≡ the batch
     // distinct count — novelty anti-join, not additive merge
     "s13_stream_degree_maintain" ->

@@ -390,4 +390,24 @@ class StreamingStateSpec extends SparkSpec {
       lens.agg(org.apache.spark.sql.functions.sum("len")).collect()(0).getLong(0),
       "maintained l vs summed lengths")
   }
+
+  test("streaming RFM segments equal batch c79: the sufficient statistic merges, the report reads out (s19)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))
+    val streamed = graft.streaming.Streams.foreachBatchRfm(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s19_$tag")
+      .listFiles().count(_.getName.startsWith("users_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.queries.Surface.queries("c79_rfm_segments")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed segments diverge from batch c79:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    // segment populations still partition the user population
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val users = graft.sources.Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(streamed.map(_._5).sum == users)
+  }
 }
