@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -1041,6 +1041,70 @@ object Surface {
         .orderBy(col("user_id"))
     }),
 
+    // CUPED VARIANCE REDUCTION — the adjustment an experimentation
+    // platform applies before reading c80's lift: a user's
+    // pre-experiment activity X (events in days ≤ 14) predicts their
+    // experiment-period outcome Y (purchase cents in days 15-24), so
+    // y_adj = y − θ(x − x̄) with θ = cov(X,Y)/var(X) removes the
+    // predictable variance and shrinks the confidence interval at
+    // the same sample size. Every sufficient statistic (n, Σx, Σy,
+    // Σxy, Σx², Σy², per-arm n/Σx/Σy) is an exact integer from one
+    // partial-aggregated pass; θ, the adjusted means and the
+    // variance-reduction ratio ρ² = cov²/(varX·varY) are then a
+    // division/multiply-only IEEE chain over those integers (the c80
+    // argument: correctly-rounded ops on identical inputs are
+    // bit-identical across engines — the Σy² products are cast to
+    // double BEFORE the n· multiply so no 2⁶³ bound is ever at
+    // risk). X uses the PRE-period only — the same point-in-time
+    // discipline as x123, here so the covariate cannot absorb the
+    // treatment effect itself.
+    "c82_cuped_adjust" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
+          col("event_type"), col("value"))
+      val x = ev.filter(col("d") <= 14)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val y = ev.filter(col("d") > 14 && col("d") <= 24 &&
+          col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      val users = ev.select(col("user_id")).distinct()
+        .join(x, Seq("user_id"), "left").join(y, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
+          coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val g = users.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      def arm(v: String) = users.filter(col("arm") === v)
+        .agg(count(lit(1)).as(s"n_$v"), sum(col("x")).as(s"sx_$v"),
+          sum(col("y")).as(s"sy_$v"))
+      def d(c: Column) = c.cast("double")
+      val covN = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      val varX = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val varY = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      val theta = covN / varX
+      val xbar = d(col("sx")) / col("n")
+      def meanY(v: String) = d(col(s"sy_$v")) / col(s"n_$v")
+      def adj(v: String) =
+        meanY(v) - theta * (d(col(s"sx_$v")) / col(s"n_$v") - xbar)
+      g.crossJoin(broadcast(arm("A"))).crossJoin(broadcast(arm("B")))
+        .select(col("n_A").as("n_a"), col("n_B").as("n_b"),
+          round(meanY("A"), 4).as("mean_y_a"),
+          round(meanY("B"), 4).as("mean_y_b"),
+          round(adj("A"), 4).as("adj_y_a"),
+          round(adj("B"), 4).as("adj_y_b"),
+          round(theta, 6).as("theta"),
+          round(lit(100.0) * covN * covN / (varX * varY), 4)
+            .as("var_reduction_pct"),
+          round(adj("A") - adj("B"), 4).as("adjusted_lift_cents"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1555,6 +1619,47 @@ object Surface {
         "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
         "FROM top, t ORDER BY rank"),
+    // same integer sufficient statistics, same double-cast points and
+    // left-associative multiply/divide chains — bit-identical floats
+    "c82_cuped_adjust" ->
+      (s"WITH e AS (SELECT user_id, " +
+        "CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS d, " +
+        "event_type, value FROM events), " +
+        "xs AS (SELECT user_id, COUNT(*) AS x FROM e WHERE d <= 14 GROUP BY 1), " +
+        "ys AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS y " +
+        "FROM e WHERE d > 14 AND d <= 24 AND event_type = 'purchase' GROUP BY 1), " +
+        "u AS (SELECT du.user_id, " +
+        s"CASE WHEN (du.user_id * ${Sampling.HashMul}) % ${Sampling.HashMod} < " +
+        s"${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "CAST(COALESCE(xs.x, 0) AS BIGINT) AS x, CAST(COALESCE(ys.y, 0) AS BIGINT) AS y " +
+        "FROM (SELECT DISTINCT user_id FROM e) du " +
+        "LEFT JOIN xs USING (user_id) LEFT JOIN ys USING (user_id)), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy FROM u), " +
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(x) AS BIGINT) AS sx_a, " +
+        "CAST(SUM(y) AS BIGINT) AS sy_a FROM u WHERE arm = 'A'), " +
+        "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(x) AS BIGINT) AS sx_b, " +
+        "CAST(SUM(y) AS BIGINT) AS sy_b FROM u WHERE arm = 'B'), " +
+        "t AS (SELECT n_a, n_b, sx_a, sy_a, sx_b, sy_b, n, sx, " +
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx, " +
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary " +
+        "FROM g, a, b) " +
+        "SELECT n_a, n_b, " +
+        "ROUND(CAST(sy_a AS DOUBLE) / n_a, 4) AS mean_y_a, " +
+        "ROUND(CAST(sy_b AS DOUBLE) / n_b, 4) AS mean_y_b, " +
+        "ROUND(CAST(sy_a AS DOUBLE) / n_a - (covn / varx) * " +
+        "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n), 4) AS adj_y_a, " +
+        "ROUND(CAST(sy_b AS DOUBLE) / n_b - (covn / varx) * " +
+        "(CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n), 4) AS adj_y_b, " +
+        "ROUND(covn / varx, 6) AS theta, " +
+        "ROUND(CAST(100 AS DOUBLE) * covn * covn / (varx * vary), 4) AS var_reduction_pct, " +
+        "ROUND((CAST(sy_a AS DOUBLE) / n_a - (covn / varx) * " +
+        "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx AS DOUBLE) / n)) - " +
+        "(CAST(sy_b AS DOUBLE) / n_b - (covn / varx) * " +
+        "(CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n)), 4) AS adjusted_lift_cents " +
+        "FROM t"),
     // same µs lead window and integer-cents weighting; BIGINT casts
     // pin the HUGEINT widening, the two divisions mirror exactly
     "c81_time_weighted_avg" ->

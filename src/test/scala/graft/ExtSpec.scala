@@ -2499,6 +2499,27 @@ class ExtSpec extends SparkSpec {
     assert(scores == scores.sortBy((x: Double) => -x))
   }
 
+  test("c82 cuped: arms partition, adjustment conserves the pooled mean, reduction is a valid ratio") {
+    val r = graft.queries.Surface.queries("c82_cuped_adjust")(spark, SfDir).collect()(0)
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (mya, myb, aja, ajb) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val varRed = r.getDouble(7)
+    val nUsers = Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(na + nb == nUsers, "arms must partition the population")
+    assert(varRed >= 0.0 && varRed <= 100.0, s"rho^2 out of range: $varRed")
+    // CUPED conserves the pooled mean: Σ(x − x̄) = 0, so the weighted
+    // adjusted means equal the weighted raw means (up to 4 dp rounds)
+    val raw = na * mya + nb * myb
+    val adj = na * aja + nb * ajb
+    assert(math.abs(raw - adj) / math.max(math.abs(raw), 1.0) < 1e-4,
+      s"adjustment must not move the pooled mean: raw $raw vs adj $adj")
+    // the adjustment must actually do something on a corpus where
+    // pre-activity predicts spend (both arms shift or theta ~ 0)
+    assert(r.getDouble(6) != 0.0, "theta degenerate at exactly 0")
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
