@@ -185,6 +185,35 @@ object TextAnalysis {
       .groupBy(col("doc_id")).agg(round(sum(col("s")), 4).as("ql"))
   }
 
+  /** x126's best-window selector over a (doc_id, toks) frame: the
+    * `win`-token window with the most query-term hits (earliest start
+    * tiebreak). Candidate windows derive from the HITS — each hit at
+    * position p votes for starts [max(0, p−win+1), min(p, len−win)] —
+    * so enumeration cost is hits·win, never len·win; a 0-hit window
+    * can never win for a doc that reached this stage, so skipping
+    * non-candidate windows is exact. Start positions are 0-based.
+    */
+  def snippetWindows(d: DataFrame, qTerms: Seq[String], win: Int): DataFrame = {
+    val maxStart = greatest(lit(0), size(col("toks")) - win)
+    val counts = d.select(col("doc_id"), col("toks"),
+      posexplode(col("toks")))
+      .filter(col("col").isin(qTerms: _*))
+      .select(col("doc_id"),
+        explode(sequence(greatest(lit(0), col("pos") - (win - 1)),
+          least(col("pos"), maxStart))).as("start"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("n_hits"), col("start"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(d, "doc_id")
+      .select(col("doc_id"), col("start").cast("int").as("start"),
+        col("n_hits"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))
+          .as("snippet"))
+  }
+
   /** Per-doc mean unigram log-probability (x34's score), shared with
     * the x38 ensemble gate: the corpus's own unigram model over the
     * lake-checkpointed tf table (one artifact, three consumers with
@@ -911,6 +940,34 @@ object TextAnalysis {
       bm25DynamicFromTf(tf, terms)
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(10)
+    }),
+
+    // RESULT-SNIPPET GENERATION — the serving-side highlighter that
+    // turns x119's ranked doc_ids into what a user actually sees: for
+    // each of BM25's top-5 docs, the 8-token window with the most
+    // query-term hits (earliest-start tiebreak). The window
+    // enumeration is hit-driven — each posting votes for the ≤8
+    // windows covering it — so cost is hits·8 per served doc, never
+    // doc-length·8, and only the 5 SERVED docs are touched at all
+    // (the serve-time shape: snippets are per-result work, not corpus
+    // work). The oracle is deliberately the OTHER algorithm — a full
+    // per-doc window scan counting term hits in every window — so an
+    // off-by-one in the vote range hash-fails rather than being
+    // shared (x111's adversarial-oracle rule).
+    "x126_snippets" -> ((spark, sfDir) => {
+      val q0 = Seq("join", "filter", "vector")
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      val top5 = bm25FromTf(tf, q0)
+        .orderBy(desc("bm25"), col("doc_id")).limit(5)
+        .select(col("doc_id"))
+      val d = docs(spark, sfDir).join(broadcast(top5), "doc_id")
+        .select(col("doc_id"), tokens.as("toks"))
+      snippetWindows(d, q0, win = 8).orderBy(col("doc_id"))
     }),
 
     // Bounded-state top-10 frequent tokens (see heavyHitters
@@ -1652,6 +1709,35 @@ object TextAnalysis {
         "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g) " +
         "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s " +
         "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    // the deliberately-different algorithm: every window of every
+    // served doc scanned and term-counted directly (vs the Spark
+    // side's hit-driven vote enumeration)
+    "x126_snippets" ->
+      ("WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS l FROM lens), " +
+        "q AS (SELECT doc_id, term, tf FROM tf " +
+        "WHERE term IN ('join', 'filter', 'vector')), " +
+        "d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM q GROUP BY 1), " +
+        "s AS (SELECT q.doc_id, " +
+        "ROUND(LN(CAST(2 * g.n + 2 AS DOUBLE) / (2 * d.df + 1)), 6) * " +
+        "ROUND(CAST(q.tf * g.l * 22 AS DOUBLE) / " +
+        "(g.l * q.tf * 10 + g.l * 3 + lens.len * g.n * 9), 6) AS s " +
+        "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g), " +
+        "bm AS (SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s GROUP BY 1), " +
+        "top5 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 5), " +
+        "tok AS (SELECT documents.doc_id, string_split(text, ' ') AS w " +
+        "FROM documents JOIN top5 ON documents.doc_id = top5.doc_id), " +
+        "win AS (SELECT doc_id, w, " +
+        "unnest(range(1, GREATEST(len(w) - 8, 0) + 2)) AS i FROM tok), " +
+        "h AS (SELECT doc_id, i, w, CAST(len(list_filter(w[i:i+7], " +
+        "t -> t IN ('join', 'filter', 'vector'))) AS BIGINT) AS n_hits FROM win) " +
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS start, n_hits, " +
+        "array_to_string(w[i:i+7], ' ') AS snippet FROM h " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id " +
+        "ORDER BY n_hits DESC, i) = 1 ORDER BY doc_id"),
     // the full two-stage loop in SQL: x119's chain → top-3 → heaviest
     // non-query terms → the same chain over the expanded term set
     "x125_prf_expansion" -> {

@@ -2520,6 +2520,31 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(6) != 0.0, "theta degenerate at exactly 0")
   }
 
+  test("x126 snippets: the densest window wins with earliest-start tiebreak, short docs clamp to one window") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a q b q c d e f g h q q q x y z"), // 3-hit cluster at 10-12
+      (2L, "q b")                              // shorter than the window
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val got = TextAnalysis.snippetWindows(d, Seq("q"), win = 8)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 5, 3L, "d e f g h q q q")),
+      s"densest-cluster window expected, got ${got(0)}")
+    assert(got(1) == ((2L, 0, 1L, "q b")), s"short-doc clamp: ${got(1)}")
+    // registry surface: one snippet per served doc, every snippet
+    // actually contains a query term
+    val top = TextAnalysis.queries("x126_snippets")(spark, SfDir).collect()
+    assert(top.length == 5)
+    top.foreach { r =>
+      assert(r.getLong(2) >= 1)
+      val words = r.getString(3).split(" ").toSet
+      assert(Seq("join", "filter", "vector").exists(words.contains),
+        s"snippet without a query term: ${r.getString(3)}")
+    }
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
