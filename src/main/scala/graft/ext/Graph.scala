@@ -386,6 +386,47 @@ object Graph {
       iterate(adj, meta, iters = 3)
         .orderBy(desc("rank_fp"), col("node"))
         .limit(20)
+    }),
+
+    // ASSOCIATION RULES — the market-basket read of the co-purchase
+    // structure the graph family (x81-x87) treats topologically:
+    // for every ordered rule a→b over parts sharing an order,
+    // support = n(ab)/N, confidence = n(ab)/n(a), and
+    // lift = n(ab)·N / (n(a)·n(b)) — the recommender/merchandising
+    // primitive where lift > 1 separates real affinity from
+    // popularity coincidence. All counts are exact integers off the
+    // distinct (order, part) frame; the pair expansion is basket-
+    // bounded (≤ C(7,2) per order — x81's argument), the min-support
+    // prune (n_ab ≥ 3, the Apriori idea) runs BEFORE the stats
+    // joins, and the three ratios are single correctly-rounded
+    // divisions at 4 dp. Top-20 by (lift, a, b).
+    "x127_association_rules" -> ((spark, sfDir) => {
+      val items = Lake.table(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = broadcast(items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      val pairN = items.as("x")
+        .join(items.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairN.unionByName(pairN.select(col("b").as("a"), col("a").as("b"),
+          col("n_ab")))
+        .join(itemN.select(col("pk").as("a"), col("n_i").as("n_a")), "a")
+        .join(itemN.select(col("pk").as("b"), col("n_i").as("n_b")), "b")
+        .crossJoin(nOrders)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double") / col("n_orders"), 4)
+            .as("support"),
+          round(col("n_ab").cast("double") / col("n_a"), 4)
+            .as("confidence"),
+          round((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")), 4).as("lift"))
+        .orderBy(desc("lift"), col("a"), col("b"))
+        .limit(20)
     })
   )
 
@@ -393,6 +434,23 @@ object Graph {
   // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
   // DuckDB's HUGEINT sum widening back to BIGINT before compare.
   val oracles: Map[String, String] = Map(
+    // same distinct basket frame, same ≥3 support prune before the
+    // stats joins, same three divisions and (lift, a, b) cut
+    "x127_association_rules" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items), " +
+        "itn AS (SELECT pk, COUNT(*) AS n_i FROM items GROUP BY 1), " +
+        "pn AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS n_ab FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 " +
+        "HAVING COUNT(*) >= 3), " +
+        "rules AS (SELECT a, b, n_ab FROM pn " +
+        "UNION ALL SELECT b, a, n_ab FROM pn) " +
+        "SELECT r.a, r.b, r.n_ab, ia.n_i AS n_a, ib.n_i AS n_b, " +
+        "ROUND(CAST(r.n_ab AS DOUBLE) / n_orders, 4) AS support, " +
+        "ROUND(CAST(r.n_ab AS DOUBLE) / ia.n_i, 4) AS confidence, " +
+        "ROUND(CAST(r.n_ab * n_orders AS DOUBLE) / (ia.n_i * ib.n_i), 4) AS lift " +
+        "FROM rules r JOIN itn ia ON r.a = ia.pk JOIN itn ib ON r.b = ib.pk, no " +
+        "ORDER BY lift DESC, r.a, r.b LIMIT 20"),
     // same degree-ordered orientation and three-join closure; COUNTs
     // cast back to BIGINT against DuckDB's HUGEINT widening
     "x81_triangle_count" ->

@@ -2545,6 +2545,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x127 association rules: ratios recompute from the published counts, support floor holds") {
+    val rows = graft.ext.Graph.queries("x127_association_rules")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lifts = rows.map(_._8).toList
+    assert(lifts == lifts.sortBy((x: Double) => -x))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nOrders = Lake.table(spark, SfDir, "lineitem")
+      .select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    rows.foreach { case (a, b, nab, na, nb, sup, conf, lift) =>
+      assert(nab >= 3, "min-support prune violated")
+      assert(nab <= na && nab <= nb, s"rule $a->$b: pair count exceeds item count")
+      assert(conf == r4(nab.toDouble / na), s"rule $a->$b: confidence")
+      assert(sup == r4(nab.toDouble / nOrders), s"rule $a->$b: support")
+      assert(lift == r4(nab.toDouble * nOrders / (na.toDouble * nb)), s"rule $a->$b: lift")
+    }
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
