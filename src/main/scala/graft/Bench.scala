@@ -213,12 +213,15 @@ object Bench {
     // bounded-state heavy hitters
     "x92_span_dedup", "x91_edit_distance_dedup", "x94_phash_dedup",
     "x95_domain_affinity", "p12_dq_expectations", "x101_heavy_hitters",
-    // session-6 additions (43 → 47): the two-leg hybrid retrieval
+    // session-6 additions (43 → 49): the two-leg hybrid retrieval
     // fusion (BM25 + cosine + RRF in one plan), the iterated
-    // vocab-table BPE merge rounds, and the two event-window shapes
-    // (transition lag matrix, µs holding-interval aggregate)
+    // vocab-table BPE merge rounds, the two event-window shapes
+    // (transition lag matrix, µs holding-interval aggregate), the
+    // two-stage PRF retrieval loop, and the basket-bounded
+    // association-rule self-join
     "x122_hybrid_rrf", "x121_bpe_train_steps", "c78_markov_paths",
-    "c81_time_weighted_avg")
+    "c81_time_weighted_avg", "x125_prf_expansion",
+    "x127_association_rules")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming

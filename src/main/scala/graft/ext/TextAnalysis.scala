@@ -970,6 +970,46 @@ object TextAnalysis {
       snippetWindows(d, q0, win = 8).orderBy(col("doc_id"))
     }),
 
+    // TOKENIZER ENCODE — the consumption side of x121's training:
+    // apply the two learned merges to the WHOLE corpus and report,
+    // per source, the sequence-length compression they buy (symbols
+    // before = characters; symbols after = post-merge count) — the
+    // bytes-per-token delta a tokenizer choice is actually judged by
+    // (x96 reports fertility for a FIXED tokenizer; this measures the
+    // trained one). Work stays at vocab grain: merges derive once
+    // from the corpus-level word table, application runs over the
+    // per-(source, word) frequency frame (vocab × sources rows), and
+    // per-source totals are frequency-weighted sums — the corpus
+    // text is scanned once, at tokenize time.
+    "x128_bpe_encode" -> ((spark, sfDir) => {
+      val wf = docs(spark, sfDir)
+        .select(explode(tokens).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      val seq0 = wf.select(col("w"),
+        concat(regexp_replace(col("w"), "(.)", "|$1"), lit("|")).as("seq"),
+        col("wf"))
+      def top1(c: DataFrame) = broadcast(
+        c.orderBy(desc("pair_count"), col("a"), col("b")).limit(1))
+      val m1 = top1(bpePairCounts(seq0))
+      val m2 = top1(bpePairCounts(bpeApply(seq0, m1)))
+      // each DISTINCT word encodes once; sources weight by frequency
+      val wordSym = bpeApply(bpeApply(seq0, m1), m2)
+        .select(col("w"), length(col("w")).as("n_chars"),
+          size(expr("filter(split(seq, '\\\\|'), s -> s <> '')")).as("n_sym"))
+      val bySrc = docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("swf"))
+      bySrc.join(wordSym, "w")
+        .groupBy(col("source"))
+        .agg(sum(col("swf") * col("n_chars")).as("symbols_before"),
+          sum(col("swf") * col("n_sym")).as("symbols_after"))
+        .select(col("source"), col("symbols_before"), col("symbols_after"),
+          round(lit(100.0) * (lit(1.0) -
+            col("symbols_after").cast("double") / col("symbols_before")), 4)
+            .as("compression_pct"))
+        .orderBy(col("source"))
+    }),
+
     // Bounded-state top-10 frequent tokens (see heavyHitters
     // scaladoc): m = 200 comfortably covers the corpus vocabulary's
     // flattest plausible distribution (every token's frequency is
@@ -1348,7 +1388,8 @@ object TextAnalysis {
     val rep = concat(lit("|"), col("a"), col("b"), lit("|"))
     def once(c: Column) = regexp_replace(c, pat, rep)
     seqs.crossJoin(broadcast(merge.select(col("a"), col("b"))))
-      .select(once(once(col("seq"))).as("seq"), col("wf"))
+      .withColumn("seq", once(once(col("seq"))))
+      .drop("a", "b")
   }
 
   /** x121's two unrolled BPE training rounds over a ('w', 'wf')
@@ -1709,6 +1750,41 @@ object TextAnalysis {
         "FROM q JOIN d USING (term) JOIN lens USING (doc_id), g) " +
         "SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM s " +
         "GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10"),
+    // x121's merge derivation with `w` carried through the applies,
+    // then per-word symbol counts frequency-weighted per source
+    "x128_bpe_encode" -> {
+      def cnt(src: String, out: String): String =
+        s"$out AS (SELECT sym[i] AS a, sym[i + 1] AS b, " +
+          "CAST(SUM(wf) AS BIGINT) AS pair_count FROM " +
+          "(SELECT sym, wf, unnest(range(1, len(sym))) AS i FROM " +
+          "(SELECT list_filter(string_split(seq, '|'), s -> s <> '') AS sym, wf " +
+          s"FROM $src) WHERE len(sym) >= 2) GROUP BY 1, 2)"
+      def apply(src: String, m: String, out: String): String =
+        s"$out AS (SELECT w, regexp_replace(regexp_replace(seq, " +
+          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g'), " +
+          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g') " +
+          s"AS seq, wf FROM $src, $m)"
+      "WITH wf AS (SELECT w, COUNT(*) AS wf FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "GROUP BY 1), " +
+        "s0 AS (SELECT w, regexp_replace(w, '(.)', '|\\1', 'g') || '|' AS seq, wf FROM wf), " +
+        cnt("s0", "c0") + ", " +
+        "m1 AS (SELECT a, b FROM c0 ORDER BY pair_count DESC, a, b LIMIT 1), " +
+        apply("s0", "m1", "s1") + ", " + cnt("s1", "c1") + ", " +
+        "m2 AS (SELECT a, b FROM c1 ORDER BY pair_count DESC, a, b LIMIT 1), " +
+        apply("s1", "m2", "s2") + ", " +
+        "ws AS (SELECT w, CAST(length(w) AS BIGINT) AS n_chars, " +
+        "CAST(len(list_filter(string_split(seq, '|'), s -> s <> '')) AS BIGINT) AS n_sym " +
+        "FROM s2), " +
+        "bysrc AS (SELECT source, w2 AS w, COUNT(*) AS swf FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS w2 FROM documents) " +
+        "GROUP BY 1, 2) " +
+        "SELECT source, CAST(SUM(swf * n_chars) AS BIGINT) AS symbols_before, " +
+        "CAST(SUM(swf * n_sym) AS BIGINT) AS symbols_after, " +
+        "ROUND(100.0 * (1.0 - CAST(SUM(swf * n_sym) AS DOUBLE) / " +
+        "CAST(SUM(swf * n_chars) AS BIGINT)), 4) AS compression_pct " +
+        "FROM bysrc JOIN ws USING (w) GROUP BY 1 ORDER BY source"
+    },
     // the deliberately-different algorithm: every window of every
     // served doc scanned and term-counted directly (vs the Spark
     // side's hit-driven vote enumeration)

@@ -2564,6 +2564,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x128 bpe encode: the trained merges strictly compress the corpus, percentages recompute") {
+    val rows = TextAnalysis.queries("x128_bpe_encode")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (src, before, after, pct) =>
+      assert(after <= before, s"$src: encoding must never lengthen")
+      assert(pct == r4(100.0 * (1.0 - after.toDouble / before)), s"$src: pct")
+    }
+    // the corpus-level top pair occurs somewhere, so globally strict
+    assert(rows.map(_._3).sum < rows.map(_._2).sum,
+      "two trained merges must compress the corpus strictly")
+    // symbols_before is exactly the corpus character mass of its source
+    val chars = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), expr(
+        "aggregate(transform(split(text, ' '), w -> length(w)), 0L, (a, x) -> a + x)")
+        .as("c"))
+      .groupBy(col("source")).agg(sum(col("c")).as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, before, _, _) =>
+      assert(before == chars(src), s"$src: symbols_before vs character mass")
+    }
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
