@@ -498,4 +498,28 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian in:\n$plan")
     }
   }
+
+  test("retrieval wave plans stay postings-bounded: no cartesian, top-k via TakeOrdered (x124/x125/x126)") {
+    for (name <- Seq("x124_query_likelihood", "x125_prf_expansion",
+        "x126_snippets")) {
+      val plan = graft.ext.TextAnalysis.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian in:\n$plan")
+    }
+    val ql = graft.ext.TextAnalysis.queries("x124_query_likelihood")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(ql.contains("TakeOrderedAndProject"),
+      s"QL top-10 must not be a full sort:\n$ql")
+  }
+
+  test("association rules join only on basket keys; the support prune sits under the stats joins (x127)") {
+    val df = graft.ext.Graph.queries("x127_association_rules")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("n_orders"),
+      s"only the 1-row totals cross is a legal non-equi join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a full sort:\n$plan")
+  }
 }
