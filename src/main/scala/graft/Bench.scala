@@ -560,6 +560,16 @@ object Bench {
         parts += s""""x31_dup_passages":${occ.filter(col("n") > 1).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x31_passages_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x46_bigram_logprob")) try {
+        // the doc-grain bigram table: the one shuffled side of x46's
+        // model join. Its row count is what the ratio should track —
+        // a big-point wall ratio far above this volume ratio is run
+        // noise, not a plan problem (the r11 run 17↔18 3.4×↔6.0×
+        // spread prompted exactly this field).
+        parts += s""""x46_bigram_rows":${
+          graft.ext.TextAnalysis.bigramTable(spark, dir).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x46_bigram_rows_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("c02_join_large")) try {
         parts += s""""c02_join_strategy":"${joinStrategy(
           SparkEntry.queries("c02_join_large")(spark, dir))}""""

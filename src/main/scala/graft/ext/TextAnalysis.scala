@@ -388,8 +388,12 @@ object TextAnalysis {
     * MULTIPLICITY rides the integer `bf`, so the double work is one
     * log per DISTINCT (doc, bigram), not per token.
     */
-  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
-    val bfd = Lake.materialize(spark, sfDir, "x46_bigrams") {
+  /** x46's lake-checkpointed doc-grain bigram table — also read by
+    * the bench's scaling instrumentation (its row count is the
+    * shuffled volume x46's wall ratio should track).
+    */
+  def bigramTable(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.materialize(spark, sfDir, "x46_bigrams") {
       docs(spark, sfDir)
         .withColumn("_toks", tokens)
         // single-token docs have no transitions; dropping them BEFORE
@@ -404,6 +408,9 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("bf"))
     }
+
+  def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val bfd = bigramTable(spark, sfDir)
     val cbg = bfd.groupBy(col("w1"), col("w2"))
       .agg(sum(col("bf")).as("cbg"))
     val cw1 = bfd.groupBy(col("w1")).agg(sum(col("bf")).as("cw1"))
