@@ -81,6 +81,39 @@ object Surface {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** c83's attribution body over an explicit (user_id, ts, event_id,
+    * event_type, value) frame — exposed so tests can plant the four
+    * attribution cases (in-window touch, no prior touch, expired
+    * touch, latest-of-several touches). A purchase attributes to the
+    * LAST non-purchase event within `windowUs` before it; otherwise
+    * 'direct'.
+    */
+  def lastTouchAttribution(ev: DataFrame, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = ev
+      .withColumn("lnt", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(w))
+      .withColumn("lts", last(
+        when(col("event_type") =!= "purchase", col("ts")),
+        ignoreNulls = true).over(w))
+    val attributed = touched.filter(col("event_type") === "purchase")
+      .select(
+        when(col("lts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("lts")) <= windowUs,
+          col("lnt")).otherwise("direct").as("channel"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+    val tot = attributed.agg(sum(col("n_purchases")).as("tot"))
+    attributed.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+        round(col("n_purchases").cast("double") / col("tot"), 4).as("share"))
+  }
+
   /** c73's ordered stage chain over an explicit (user_id, event_type,
     * ts) frame — min ts of each stage AFTER the previous stage's ts,
     * so out-of-order events never advance the funnel. Exposed so
@@ -1105,6 +1138,24 @@ object Surface {
           round(adj("A") - adj("B"), 4).as("adjusted_lift_cents"))
     }),
 
+    // LAST-TOUCH ATTRIBUTION — the marketing-analytics read of the
+    // event stream (c73 asks "did the path complete"; attribution
+    // asks "which touchpoint gets credit for the money"): each
+    // purchase credits the LAST non-purchase event within 30 minutes
+    // before it, else 'direct'. The carry-forward is c68's
+    // IGNORE-NULLS last_value over the per-user (ts, event_id)
+    // order — one user shuffle, no self-join — and the 30-minute
+    // freshness gate compares exact µs. Revenue rides integer cents
+    // (c79's float-sum argument); the channel report is
+    // |event_types|-bounded with a broadcast total for shares.
+    "c83_attribution" -> ((spark, sfDir) =>
+      lastTouchAttribution(
+        t(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value")),
+        windowUs = 1800000000L)
+        .orderBy(col("channel"))),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1619,6 +1670,28 @@ object Surface {
         "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
         "FROM top, t ORDER BY rank"),
+    // same IGNORE-NULLS carry-forward under the same total order,
+    // same µs freshness gate and integer-cents revenue
+    "c83_attribution" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lnt, " +
+        "last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lts " +
+        "FROM events), " +
+        "p AS (SELECT CASE WHEN lts IS NOT NULL AND " +
+        "epoch_us(ts) - epoch_us(lts) <= 1800000000 THEN lnt " +
+        "ELSE 'direct' END AS channel, " +
+        "CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM e " +
+        "WHERE event_type = 'purchase'), " +
+        "a AS (SELECT channel, COUNT(*) AS n_purchases, " +
+        "CAST(SUM(cents) AS BIGINT) AS revenue_cents FROM p GROUP BY 1), " +
+        "t AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS tot FROM a) " +
+        "SELECT channel, n_purchases, revenue_cents, " +
+        "ROUND(CAST(n_purchases AS DOUBLE) / tot, 4) AS share " +
+        "FROM a, t ORDER BY channel"),
     // same integer sufficient statistics, same double-cast points and
     // left-associative multiply/divide chains — bit-identical floats
     "c82_cuped_adjust" ->

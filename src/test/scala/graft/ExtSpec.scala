@@ -2588,6 +2588,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("c83 attribution: in-window touch credits, stale and missing touches go direct, latest touch wins") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val planted = Seq(
+      (1L, ts(0), 1L, "view", 10.0), (1L, ts(10), 2L, "purchase", 10.0),  // → view
+      (2L, ts(5), 3L, "purchase", 10.0),                                  // no prior → direct
+      (3L, ts(0), 4L, "click", 10.0), (3L, ts(50), 5L, "purchase", 10.0), // stale → direct
+      (4L, ts(0), 6L, "view", 10.0), (4L, ts(5), 7L, "error", 10.0),
+      (4L, ts(10), 8L, "purchase", 10.0)                                  // latest → error
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.queries.Surface
+      .lastTouchAttribution(planted, windowUs = 1800000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set("view", "direct", "error"), s"got $got")
+    assert(got("view") == ((1L, 1000L, 0.25)))
+    assert(got("direct") == ((2L, 2000L, 0.5)), "both no-prior and stale must fall to direct")
+    assert(got("error") == ((1L, 1000L, 0.25)), "the LATEST touch gets the credit, not the first")
+    // registry surface: shares partition 1, purchases partition the corpus
+    val rows = graft.queries.Surface.queries("c83_attribution")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    val nPurch = Lake.table(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum == nPurch, "every purchase attributes exactly once")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.001)
+  }
+
   test("c78 markov: transition mass telescopes to events minus users, rows normalize to 1") {
     val rows = graft.queries.Surface.queries("c78_markov_paths")(spark, SfDir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
