@@ -300,12 +300,20 @@ object Bench {
     // stdout keys: the driver contract fields plus small headline
     // extras — kept under ~2 KB so a tail-only log capture still holds
     // one complete line.
-    val compactKeys = Seq("metric", "value", "unit", "queries", "sf",
+    val compactKeys = Seq("metric", "value", "unit", "queries",
+      "queries_n", "sf",
       "reps", "probe_ok", "pruned_vs_full", "full_scan_files",
       "pruned_scan_files", "http", "scaling_summary", "load_sentinel",
       "errors_compact", "phases_complete", "elapsed_sec", "detail")
-    def render(keys: Iterable[String]): String =
-      keys.flatMap(k => fields.get(k).map(v => s""""$k":$v"""))
+    // The compact stdout line substitutes the TRIMMED query map
+    // (baseline-comparable shapes only): the full 49-entry map pushed
+    // the cumulative line past the driver's tail-capture window, so
+    // the r11 record had rc 0 but parsed:null (VERDICT r11 §2). The
+    // full map lives only in the `detail` artifact.
+    def render(keys: Iterable[String],
+        overrides: Map[String, String] = Map.empty): String =
+      keys.flatMap(k => overrides.get(k).orElse(fields.get(k))
+        .map(v => s""""$k":$v"""))
         .mkString("{", ",", "}")
     val outs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"),
@@ -325,8 +333,10 @@ object Bench {
           System.err.println(s"[bench] file write $out: ${e.getMessage}") }
       }
       // cumulative compact line; the LAST printed line is always the
-      // most complete record
-      println(render(compactKeys))
+      // most complete record. Must stay well under the driver's
+      // tail-capture window (~2 KB) — hence the trimmed query map.
+      println(render(compactKeys,
+        fields.get("queries_stdout").map("queries" -> _).toMap))
     }
 
     // ---- phase 0: sentinel, probe, structural pruning evidence -------
@@ -405,6 +415,15 @@ object Bench {
     def statMap(f: QueryStats => Double): String =
       usable.map(s => s""""${s.name}":${fmt(f(s))}""").mkString("{", ",", "}")
     fields("queries") = statMap(_.mean)
+    fields("queries_n") = usable.size.toString
+    // stdout variant: only the shapes BASELINE.md compares directly
+    // (full map → detail artifact; see compactKeys note)
+    val stdoutSet = Set("flagship", "b02_glob_scan", "b03_pruned_scan",
+      "b09_partial_final", "c02_join_large", "c07_agg_tpch_q1",
+      "c32_range_join", "x03_dedup_minhash", "x31_passage_dedup",
+      "x46_bigram_logprob", "x69_pagerank", "x92_span_dedup")
+    fields("queries_stdout") = usable.filter(s => stdoutSet(s.name))
+      .map(s => s""""${s.name}":${fmt(s.mean)}""").mkString("{", ",", "}")
     fields("std") = statMap(_.std)
     fields("median") = statMap(_.median)
     fields("raw") = usable.map(s =>
@@ -549,6 +568,10 @@ object Bench {
         val d = Lake.table(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         parts += s""""x92_candidate_hits":${graft.ext.Dedup.spanCandidatePairs(d, cap = 64L).count()}"""
+        // the density-adaptive cap actually applied — rises with the
+        // corpus's mean gram multiplicity (VERDICT r11 §3: the fixed
+        // cap silenced the operator at 100× dup density)
+        parts += s""""x92_cap_effective":${graft.ext.Dedup.spanCapEffective(d, cap = 64L)}"""
       } catch { case e: Throwable =>
         parts += s""""x92_candidate_hits_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x31_passage_dedup")) try {
@@ -577,10 +600,12 @@ object Bench {
         parts += s""""c02_join_strategy_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x69_pagerank")) try {
         // distinct directed edge count: the quantity x69's per-
-        // iteration cost is linear in. Under the N×-replication lake
-        // it SATURATES (part/supplier domains are not re-keyed), so
-        // this field is what makes x69's flat big-point ratio
-        // readable as edge-bound rather than magic.
+        // iteration cost is linear in. Since the v2 scaled lake
+        // re-keys l_partkey/l_suppkey per copy (VERDICT r11 §4 — the
+        // v1 lake saturated this at the source's edge count, so graph
+        // ratios were measured on a flat graph), the field should now
+        // grow ~linearly with the factor, making the big-point ratio
+        // a real edges-vs-wall reading.
         parts += s""""x69_edges":${Lake.materialize(spark, dir,
           "pr_adjacency_v2")(graft.ext.Graph.adjacencyFor(spark, dir)).count()}"""
       } catch { case e: Throwable =>
@@ -592,12 +617,12 @@ object Bench {
     // prewarm over the point's query set (builds every lake checkpoint
     // untimed), then timed reps. Identical to the headline protocol.
     def timePoint(dir: String, pointNames: Seq[String],
-        pointReps: Int): (Map[String, QueryStats], Boolean, String) = {
+        repsFor: String => Int): (Map[String, QueryStats], Boolean, String) = {
       Lake.ensurePartitionedEvents(spark, dir)
       prewarm(pointNames, dir)
       val warm = x31Warm(dir)
       val inst = instrumentation(dir, pointNames)
-      (pointNames.map(n => n -> timeQuery(n, dir, pointReps)).toMap, warm, inst)
+      (pointNames.map(n => n -> timeQuery(n, dir, repsFor(n))).toMap, warm, inst)
     }
 
     def med(m: Map[String, QueryStats], n: String): Option[Double] =
@@ -623,7 +648,7 @@ object Bench {
       if (scalingSkip.isEmpty) instrumentation(sfDir, scalingNames) else "{}"
 
     val (smallStats, smallWarm, smallInst) = scalingSkip match {
-      case None => timePoint(smallDir, scalingNames, reps)
+      case None => timePoint(smallDir, scalingNames, _ => reps)
       case Some(_) => (Map.empty[String, QueryStats], false, "{}")
     }
     if (scalingSkip.isEmpty) {
@@ -658,12 +683,22 @@ object Bench {
       // two-point curve with the reason in the artifact — never a
       // crashed bench.
       val bigNames = scalingBig.filter(scalingNames.contains)
+      // Volume-bound joins get >= 3 reps at the big point so the
+      // recorded ratio is a real median — one contended rep defined
+      // the whole r11 scaling verdict for x46 (official 12.77× vs a
+      // 3.2-6.2× in-session band and exactly-linear instrumented join
+      // volume; VERDICT r11 §1). Raw per-rep times ride in the
+      // artifact so an outlier rep is visible rather than decisive.
+      val volumeBound = Set("x46_bigram_logprob", "x03_dedup_minhash",
+        "x92_span_dedup", "c02_join_large")
+      def bigRepsFor(n: String): Int =
+        if (volumeBound(n)) math.max(bigReps, 3) else bigReps
       val (bigDirDesc, bigStats, bigWarm, bigInst) =
         if (remainingSec < 420)
           ("skipped:budget", Map.empty[String, QueryStats], false, "{}")
         else try {
           val d = Lake.ensureScaledDir(spark, sfDir, bigFactor)
-          val (bs, bw, bi) = timePoint(d, bigNames, bigReps)
+          val (bs, bw, bi) = timePoint(d, bigNames, bigRepsFor)
           (d, bs, bw, bi)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaled lake: ${e.getMessage}")
@@ -673,8 +708,11 @@ object Bench {
         (med(smallStats, name), med(midStats, name), med(bigStats, name)) match {
           case (Some(s), Some(m), b) =>
             val base = s""""small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)}"""
-            val bigPart = b.map(t =>
-              s""","big":${fmt(t)},"ratio_big_over_mid":${fmt(t / m)}""").getOrElse("")
+            val bigPart = b.map { t =>
+              val raw = bigStats.get(name).map(_.raw).getOrElse(Seq.empty)
+              s""","big":${fmt(t)},"ratio_big_over_mid":${fmt(t / m)}""" +
+                s""","big_raw":[${raw.map(fmt).mkString(",")}]"""
+            }.getOrElse("")
             s""""$name":{$base$bigPart}"""
           case _ =>
             val why = Seq(smallStats.get(name), midStats.get(name), bigStats.get(name))

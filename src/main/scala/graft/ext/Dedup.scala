@@ -785,17 +785,18 @@ object Dedup {
     * consecutive ia within one (pair, ia−ib) diagonal — plain
     * gaps-and-islands over the diagonal, no iteration.
     *
-    * Scale shape: explode to (doc, pos, gram_md5) rows; hot grams
-    * above `cap` occurrences are dropped before the join (x03's
-    * hot-key discipline — corpus-wide boilerplate grams would
-    * otherwise enumerate quadratically), so candidate volume is
-    * Σ C(gram_occ,2) with gram_occ ≤ cap; the island window
-    * partitions by (pair, diagonal) — keys strictly finer than the
-    * join output, no extra skew. Two shuffles total.
+    * Scale shape: see [[spanCandidatePairs]] — exact-duplicate texts
+    * collapse to one representative first, then hot grams DEGRADE to
+    * their first `cap` occurrences (never silence), with the cap
+    * adapting to the corpus's own gram multiplicity. Candidate volume
+    * is Σ C(min(gram_occ, capEff), 2); the island window partitions
+    * by (pair, diagonal) — keys strictly finer than the join output,
+    * no extra skew.
     *
     * Emits one row per maximal span of ≥ minGrams consecutive shared
     * grams: (doc_a, doc_b, a_start, b_start, n_tokens) with
-    * n_tokens = run + 7, positions 1-based.
+    * n_tokens = run + 7, positions 1-based; doc ids are exact-class
+    * representatives (MIN doc_id per identical text).
     */
   def spanDupPairs(df: DataFrame, cap: Long, minGrams: Int): DataFrame = {
     val pairs = spanCandidatePairs(df, cap)
@@ -818,22 +819,78 @@ object Dedup {
     * out so Bench can count per scale decade the exact volume the
     * hot-gram cap exists to bound (x03's candidate-pair evidence,
     * for spans): (doc_a, doc_b, ia, ib, diag) shared-gram hits.
+    *
+    * Three scale disciplines, applied in order (VERDICT r11 §3: a
+    * fixed drop-the-key cap silently emits ZERO candidates once every
+    * gram in a dense corpus exceeds it — a correctness bug at crawl
+    * scale, where ≥100-wide duplicate classes are guaranteed):
+    *
+    *  1. EXACT-CLASS PRE-COLLAPSE — byte-identical texts reduce to
+    *     their MIN-doc_id representative before any gram work (one
+    *     hash groupBy on the md5(text) constant-width key). A w-wide
+    *     exact class contributes its grams ONCE instead of w times,
+    *     so uniform replication — the dominant duplication mode in a
+    *     real crawl — can never saturate the cap. This is the
+    *     standard production ordering: exact dedup first, near-dup
+    *     machinery on survivors.
+    *  2. MULTIPLICITY-ADAPTIVE CAP — capEff = max(cap, 4 × mean gram
+    *     multiplicity) where the mean is total/distinct gram count of
+    *     the collapsed corpus (exact integers, `DIV`): a corpus whose
+    *     residual near-dup density is pervasively high (every doc a
+    *     variant of few templates) raises its own cap instead of
+    *     dropping everything.
+    *  3. DEGRADE, DON'T DROP — a gram over capEff keeps its FIRST
+    *     capEff occurrences (row_number over (doc_id, ia) — exact and
+    *     deterministic) instead of vanishing: a 10,000-wide
+    *     boilerplate span is still REPORTED among the first capEff
+    *     documents (recoverable transitively via x18 components) at a
+    *     bounded C(capEff, 2) cost, where the old drop-the-key rule
+    *     reported nothing at all.
     */
   def spanCandidatePairs(df: DataFrame, cap: Long): DataFrame = {
+    val reps = df.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select(col("doc_id"), col("text"))
     val toks = split(col("text"), " ")
-    val grams = df.filter(size(toks) >= 8)
+    val grams = reps.filter(size(toks) >= 8)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(toks) - 7),
           i => md5(concat_ws(" ", slice(toks, i, lit(8)))))))
       .select(col("doc_id"), (col("pos") + 1).as("ia"), col("col").as("g"))
-    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("oc"))
-      .filter(col("oc") <= cap).select(col("g"))
-    val gk = grams.join(keep, "g")
+    // one window pass yields both the per-occurrence rank and (via
+    // rk = 1 markers) the exact distinct-gram count — no second
+    // countDistinct shuffle over the gram table
+    val wg = Window.partitionBy(col("g")).orderBy(col("doc_id"), col("ia"))
+    val ranked = grams.withColumn("rk", row_number().over(wg))
+    val stats = ranked.agg(count(lit(1)).as("_tot"),
+      sum(when(col("rk") === 1, 1L).otherwise(0L)).as("_nd"))
+    val gk = ranked.crossJoin(broadcast(stats))
+      .filter(col("rk") <= greatest(lit(cap), lit(4L) * expr("_tot DIV _nd")))
+      .select(col("doc_id"), col("ia"), col("g"))
     gk.select(col("g"), col("doc_id").as("doc_a"), col("ia"))
       .join(gk.select(col("g"), col("doc_id").as("doc_b"), col("ia").as("ib")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"),
         (col("ia") - col("ib")).as("diag"))
+  }
+
+  /** The effective hot-gram cap [[spanCandidatePairs]] would apply to
+    * `df` — instrumentation for the bench's per-decade scaling block
+    * (a rising capEff is the visible evidence that the operator is
+    * adapting to duplicate density instead of silencing). 1-row
+    * aggregate collect — a scalar, not a driver loop.
+    */
+  def spanCapEffective(df: DataFrame, cap: Long): Long = {
+    val reps = df.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val toks = split(col("text"), " ")
+    val r = reps.filter(size(toks) >= 8)
+      .select(explode(transform(sequence(lit(1), size(toks) - 7),
+        i => md5(concat_ws(" ", slice(toks, i, lit(8)))))).as("g"))
+      .agg(count(lit(1)).as("_tot"), countDistinct(col("g")).as("_nd"))
+      .select(greatest(lit(cap), lit(4L) * expr("_tot DIV _nd")))
+      .collect()(0)
+    r.getLong(0)
   }
 
   /** Oracle-side CTE chain ending in `pairs(doc_a, doc_b)` — the exact
@@ -980,7 +1037,11 @@ object Dedup {
     // of every 5th doc, id +4·10⁶) is unioned in — its copied span
     // starts at token 5 of the original and token 1 of the twin, so
     // chunk-aligned passage dedup cannot see it, and the operator
-    // must report exactly that offset geometry.
+    // must report exactly that offset geometry. Reported doc ids are
+    // exact-text-class representatives and hot grams degrade to their
+    // first capEff occurrences (see spanCandidatePairs — the corpus
+    // here has no exact-dup texts and no >64-occurrence grams, so the
+    // gated output is byte-identical to the pre-collapse semantics).
     "x92_span_dedup" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
       val toks = split(col("text"), " ")
@@ -1761,17 +1822,24 @@ object Dedup {
     // same shifted-excerpt twin construction (list slice 5..34); the
     // md5 gram keys, diagonal grouping and island arithmetic are all
     // engine-exact, so spans AND their offsets hash-match
+    // mirrors spanCandidatePairs' three scale disciplines: exact-text
+    // collapse to MIN-doc_id representative, multiplicity-adaptive
+    // cap (integer //), keep-first-capEff occurrences per gram
     "x92_span_dedup" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
         "u AS (SELECT doc_id, l FROM d " +
         "UNION ALL SELECT doc_id + 4000000, l[5:34] FROM d " +
         "WHERE doc_id % 5 = 0 AND len(l) >= 12), " +
+        "uc AS (SELECT MIN(doc_id) AS doc_id, l FROM u GROUP BY l), " +
         "g AS (SELECT doc_id, CAST(i AS INTEGER) AS ia, " +
         "md5(array_to_string(l[i:i+7], ' ')) AS g " +
-        "FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM u " +
+        "FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM uc " +
         "WHERE len(l) >= 8)), " +
-        "keep AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= 64), " +
-        "gk AS (SELECT g.* FROM g JOIN keep USING (g)), " +
+        "gr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g " +
+        "ORDER BY doc_id, ia) AS rk FROM g), " +
+        "cap AS (SELECT GREATEST(64, 4 * (COUNT(*) // " +
+        "SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END))) AS cap FROM gr), " +
+        "gk AS (SELECT doc_id, ia, g FROM gr, cap WHERE rk <= cap.cap), " +
         "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ia, b.ia AS ib " +
         "FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id), " +
         "m AS (SELECT *, ia - ib AS diag, CASE WHEN ia - LAG(ia) OVER (" +

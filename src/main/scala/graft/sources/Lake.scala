@@ -459,7 +459,15 @@ object Lake {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
-    "lineitem" -> Seq("l_orderkey"),
+    // l_partkey/l_suppkey re-keyed per copy so the part–supplier
+    // co-purchase GRAPH grows with the factor (VERDICT r11 §4: a
+    // replicated-but-not-re-keyed lineitem left x69's edge set flat
+    // across every scale decade — graph operators were never measured
+    // on a graph larger than the source's). Scaled lineitem therefore
+    // does NOT reference the single-copy part/supplier dims; no
+    // scaled-dir query does (the big-point set joins lineitem only to
+    // orders, which re-keys in lockstep).
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
     "customer" -> Seq("c_custkey"))
 
   /** Key offset between scaled copies — far above any provisioned id
@@ -487,7 +495,11 @@ object Lake {
     require(factor >= 1, s"scale factor must be >= 1, got $factor")
     val slug = srcSfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val fp = fingerprint(spark, srcSfDir)
-    val dir = s"$targetRoot/scaled${factor}x_${slug}_$fp"
+    // v2: l_partkey/l_suppkey joined the re-key set — the version tag
+    // retires stale pre-v2 scaled copies (same discipline as derived
+    // artifact `_vN` bumps; the _SUCCESS gate would otherwise reuse a
+    // flat-graph copy forever)
+    val dir = s"$targetRoot/scaled${factor}x_v2_${slug}_$fp"
     tableNames.foreach { name =>
       val target = s"$dir/$name.parquet"
       ensureBuilt(spark, target, Seq(OutTsKey -> "TIMESTAMP_MICROS")) {

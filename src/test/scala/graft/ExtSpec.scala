@@ -1823,24 +1823,63 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.editDistancePairs(corpus, threshold = 4, maxBlock = 2).count() == 0L)
   }
 
-  test("span dedup: shifted excerpt found with exact offsets, full dup spans whole doc, short runs and hot grams silenced (x92)") {
+  test("span dedup: shifted excerpt found with exact offsets, exact dups collapse to their representative, short runs below minGrams (x92)") {
     import spark.implicits._
     val t = (1 to 20).map(i => s"t$i")
     val corpus = Seq(
       (1L, t.mkString(" ")),                                     // 20 tokens
       (2L, ("z1 z2 " + t.slice(4, 16).mkString(" ")) + " z3"),   // t5..t16 shifted to pos 3
-      (3L, t.mkString(" ")),                                     // exact dup of 1
+      (3L, t.mkString(" ")),                                     // exact dup of 1 → collapses into 1
       (4L, t.take(9).mkString(" "))                              // 9-token prefix: run 2 < minGrams
     ).toDF("doc_id", "text")
     val got = Dedup.spanDupPairs(corpus, cap = 64, minGrams = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
-    // 1-2: A positions 5..9 match B positions 3..7 → span (5, 3, 12);
-    // 1-3: full-length diagonal → (1, 1, 20); 2-3 mirrors 1-2 with the
-    // sides swapped; 1-4 / 3-4 are 2-gram runs, below minGrams
-    assert(got == Set((1L, 2L, 5, 3, 12L), (1L, 3L, 1, 1, 20L), (2L, 3L, 3, 5, 12L)),
-      s"got $got")
-    // hot-gram cap: every shared gram occurs ≥ 2 times, so cap=1 drops all
-    assert(Dedup.spanDupPairs(corpus, cap = 1, minGrams = 3).count() == 0L)
+    // 1-2: A positions 5..9 match B positions 3..7 → span (5, 3, 12).
+    // 3 is byte-identical to 1: the exact-class pre-collapse reduces
+    // it into representative 1 BEFORE the gram join (its near-dup
+    // relations are carried by the rep), so no pair mentions doc 3.
+    // 1-4 is a 2-gram run, below minGrams.
+    assert(got == Set((1L, 2L, 5, 3, 12L)), s"got $got")
+  }
+
+  test("span dedup degrades, never silences: a 100-wide boilerplate span reports its first capEff docs at bounded cost (x92, VERDICT r11 §3)") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    // 100 DISTINCT docs sharing a 10-token boilerplate head: the 3
+    // fully-boilerplate grams occur 100× (over the base cap 64), the
+    // corpus-wide mean multiplicity stays ~1 (capEff = 64)
+    val corpus = (1 to 100).map(i =>
+      (i.toLong, boiler + " " + (1 to 8).map(j => s"u${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.spanCapEffective(corpus, cap = 64L) == 64L)
+    val got = Dedup.spanDupPairs(corpus, cap = 64, minGrams = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // the old drop-the-key rule emitted ZERO here (every shared gram
+    // over cap); keep-first-capEff reports the span among the first
+    // 64 docs — C(64,2) pairs, each one (1,1,10) span — and stays
+    // silent only beyond the kept rank
+    assert(got.length == 64 * 63 / 2, s"got ${got.length} pairs")
+    assert(got.forall { case (a, b, s1, s2, n) =>
+      a < b && b <= 64L && s1 == 1 && s2 == 1 && n == 10L })
+  }
+
+  test("span dedup adaptive cap: pervasive near-dup density raises capEff so a 100-wide class reports ALL members (x92)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    // 100 near-variants of one 60-token base (unique suffix token):
+    // 5400 gram instances over 153 distinct grams → mean multiplicity
+    // 35 → capEff = 4×35 = 140 ≥ 100, so every occurrence is kept and
+    // the pair (1, 100) exists — the fixed cap 64 would have cut the
+    // class at its 64th member
+    val corpus = (1 to 100).map(i => (i.toLong, s"$base s$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.spanCapEffective(corpus, cap = 64L) == 140L)
+    val got = Dedup.spanDupPairs(corpus, cap = 64, minGrams = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(got.length == 100 * 99 / 2, s"got ${got.length} pairs")
+    // every pair shares the full 53-gram base run: span (1, 1, 60)
+    assert(got.forall { case (_, _, s1, s2, n) => s1 == 1 && s2 == 1 && n == 60L })
+    assert(got.exists { case (a, b, _, _, _) => a == 1L && b == 100L })
   }
 
   test("hyperplane verify gate: every emitted pair collides in a recomputed integer-plane bucket and clears the cosine bar (x75)") {
