@@ -57,14 +57,22 @@ object Graph {
 
   /** Static per-node frame: uniform initial rank and teleport base
     * (0.15 · RankScale DIV n). Built once; the loop only joins it.
+    * The node universe is src ∪ dst, so a DANGLING node (appears only
+    * as a dst — no out-edges) is ranked too, flagged `has_out=false`
+    * for the loop's dangling-mass aggregate, and carries `n_nodes`
+    * so the redistribution share is computable in-row.
     */
   def nodeMeta(adj: DataFrame): DataFrame = {
-    val nodes = adj.select(col("src")).distinct()
+    val srcs = adj.select(col("src")).distinct()
+    val nodes = srcs.unionAll(adj.select(col("dst").as("src"))).distinct()
     val nNodes = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    nodes.crossJoin(nNodes)
+    nodes.join(srcs.withColumn("_has_out", lit(true)), Seq("src"), "left")
+      .crossJoin(nNodes)
       .select(col("src").as("node"),
         expr(s"${RankScale}L DIV n_nodes").as("init_fp"),
-        expr(s"${RankScale * 15 / 100}L DIV n_nodes").as("base_fp"))
+        expr(s"${RankScale * 15 / 100}L DIV n_nodes").as("base_fp"),
+        coalesce(col("_has_out"), lit(false)).as("has_out"),
+        col("n_nodes"))
   }
 
   /** `iters` rounds of the integer recurrence over prebuilt adjacency
@@ -87,16 +95,28 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank_fp DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      meta.join(contrib.withColumnRenamed("dst", "node"), "node")
+      // dangling mass: the rank held by no-out-edge nodes this round,
+      // redistributed uniformly (dm DIV n per node — exact integer,
+      // engine-reproducible). One node-sized aggregate to a 1-row
+      // broadcast scalar per iteration; on a dangling-free graph dm=0
+      // and the recurrence reduces bit-for-bit to the pure edge form.
+      val dm = broadcast(
+        meta.filter(!col("has_out")).select(col("node"))
+          .join(ranks, "node")
+          .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("_dm")))
+      meta.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(dm)
         .select(col("node"),
-          expr(s"base_fp + ($DampNum * in_mass) DIV $DampDen").as("rank_fp"))
+          expr(s"base_fp + ($DampNum * (coalesce(in_mass, 0) + " +
+            s"_dm DIV n_nodes)) DIV $DampDen").as("rank_fp"))
     }
 
   /** Fixed-point PageRank over a directed edge list (`src`, `dst`:
-    * any equi-joinable type). Every node must appear as a `src`
-    * (materialize undirected graphs in both directions — dangling
-    * nodes are the caller's contract to close). Returns
-    * (node, rank_fp) with Σ rank_fp ≤ [[RankScale]] (floor leak).
+    * any equi-joinable type). The node universe is src ∪ dst:
+    * dangling nodes (no out-edges) are ranked, and their mass is
+    * redistributed uniformly each round — no caller contract to
+    * close. Returns (node, rank_fp) with Σ rank_fp ≤ [[RankScale]]
+    * (floor leak).
     */
   def pageRankFp(edges: DataFrame, iters: Int): DataFrame = {
     val adj = adjacency(edges)
@@ -380,7 +400,7 @@ object Graph {
       val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v2") {
         adjacencyFor(spark, sfDir)
       }
-      val meta = Lake.materialize(spark, sfDir, "pr_nodes_v1") {
+      val meta = Lake.materialize(spark, sfDir, "pr_nodes_v2") {
         nodeMeta(adj)
       }
       iterate(adj, meta, iters = 3)

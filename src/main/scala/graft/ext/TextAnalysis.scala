@@ -451,9 +451,13 @@ object TextAnalysis {
     // shuffle, so shuffled volume is ≤ alphabet-size rows per doc
     // (~27 here), never character-grain. Cross-engine exactness: one
     // division + one log2 + one multiply per term (log2 is the one
-    // non-correctly-rounded op — the 6 dp term round absorbs any ulp
-    // skew), terms summed as exact decimals so accumulation order
-    // cannot shift the result, final round 4 dp.
+    // non-correctly-rounded op — the 9 dp term round absorbs any ulp
+    // skew; the r11 dual-scale sweep caught one sf0.1 term sitting
+    // ~1e-13 from a 6 dp half-way point, where a 1-ulp engine skew
+    // flips the rounded digit — the wider grid moves the boundary
+    // ~1e-10 away from any term, three orders past the skew), terms
+    // summed as exact decimals so accumulation order cannot shift the
+    // result, final round 4 dp.
     "x76_char_entropy" -> ((spark, sfDir) => {
       val ch = docs(spark, sfDir)
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
@@ -462,7 +466,7 @@ object TextAnalysis {
       val tot = counts.groupBy(col("doc_id")).agg(sum(col("nc")).as("n"))
       val p = col("nc").cast("double") / col("n")
       counts.join(tot, "doc_id")
-        .withColumn("t", round(p * log2(p), 6).cast("decimal(18,6)"))
+        .withColumn("t", round(p * log2(p), 9).cast("decimal(24,9)"))
         .groupBy(col("doc_id"))
         .agg(round((-sum(col("t"))).cast("double"), 4).as("entropy_bits"),
           count(lit(1)).as("n_distinct_chars"))
@@ -1491,7 +1495,8 @@ object TextAnalysis {
         "ROUND((sy - (num / den) * sx) / n, 4) AS intercept " +
         "FROM ff ORDER BY source"),
     // chars via 1-based substr (engine-identical on ASCII); terms
-    // rounded 6 dp then summed as decimals — order-independent
+    // rounded 9 dp then summed as decimals — order-independent (9 dp,
+    // not 6: see the query-side ulp note)
     "x76_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM (" +
         "SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i " +
@@ -1499,7 +1504,7 @@ object TextAnalysis {
         "c AS (SELECT doc_id, ch, COUNT(*) AS nc FROM ch GROUP BY 1, 2), " +
         "tt AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n FROM c GROUP BY 1), " +
         "tm AS (SELECT c.doc_id, CAST(ROUND((CAST(nc AS DOUBLE) / n) * " +
-        "log2(CAST(nc AS DOUBLE) / n), 6) AS DECIMAL(18,6)) AS t " +
+        "log2(CAST(nc AS DOUBLE) / n), 9) AS DECIMAL(24,9)) AS t " +
         "FROM c JOIN tt USING (doc_id)) " +
         "SELECT doc_id, ROUND(CAST(-SUM(t) AS DOUBLE), 4) AS entropy_bits, " +
         "COUNT(*) AS n_distinct_chars FROM tm GROUP BY doc_id ORDER BY doc_id"),

@@ -1773,6 +1773,36 @@ class ExtSpec extends SparkSpec {
     assert(leaves.head == leaf3, s"leaf ${leaves.head} != recurrence $leaf3")
   }
 
+  test("fixed-point PageRank: a dangling node is ranked and its mass redistributes exactly (VERDICT r11 §7)") {
+    import spark.implicits._
+    // 1→2, 2→1 cycle feeding dangling sink 3 (only ever a dst): the
+    // old contract required the caller to close this; now the node
+    // universe is src ∪ dst and the sink's mass returns uniformly
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val got = graft.ext.Graph.pageRankFp(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"universe ${got.keySet}")
+    // pure-Scala reference of the exact integer recurrence
+    val scale = graft.ext.Graph.RankScale
+    val n = 3L
+    val out = Map(1L -> 2L, 2L -> 1L) // out-degrees; 3 dangling
+    var rank = Seq(1L, 2L, 3L).map(_ -> scale / n).toMap
+    val base = (scale * 15 / 100) / n
+    for (_ <- 1 to 3) {
+      val dm = rank(3L)
+      val in = Map(
+        1L -> rank(2L) / out(2L),
+        2L -> rank(1L) / out(1L),
+        3L -> rank(1L) / out(1L))
+      rank = in.map { case (k, m) => k -> (base + (85L * (m + dm / n)) / 100) }
+    }
+    assert(got == rank, s"got $got vs reference $rank")
+    // mass conservation up to floor leak: without redistribution the
+    // sink would bleed ~28% of total mass by iteration 3
+    val total = got.values.sum
+    assert(total > scale * 97 / 100, s"mass lost: $total of $scale")
+  }
+
   test("x69 on the lake graph: every node ranked once, suppliers outrank parts at the top") {
     val top = graft.ext.Graph.queries("x69_pagerank")(spark, SfDir).collect()
     assert(top.length == 20)

@@ -412,7 +412,7 @@ class PlanSpec extends SparkSpec {
     // iterations scan the persisted adjacency/meta artifacts — no
     // degree recompute from raw lineitem inside the loop (the v1
     // shape that cost 10x the shuffled volume)
-    assert(plan.contains("pr_adjacency_v2") && plan.contains("pr_nodes_v1"),
+    assert(plan.contains("pr_adjacency_v2") && plan.contains("pr_nodes_v2"),
       s"loop inputs not served from lake artifacts:\n$plan")
     assert(!plan.contains("lineitem"), s"loop re-derives from raw lineitem:\n$plan")
   }
