@@ -309,13 +309,17 @@ object Multimodal {
   /** Contiguous fixed-width frames with their exact intensity sums:
     * frame i covers bytes [window·i, window·(i+1)) (one short frame
     * when the payload is under a window; the sub-window tail is
-    * dropped, the codec convention). Partition-local imperative work
-    * over the blob — the multimodal execution shape — with integer
-    * output, so the whole feature is oracle-exact.
+    * dropped, the codec convention). An EMPTY payload yields zero
+    * frames — matching the x89/x90 oracles, whose frame spine
+    * (range WHERE j < flen) vanishes for a zero-length doc; the old
+    * max(n/window, 1) emitted a phantom sum-0 frame that would
+    * hash-fail the gate on an empty document. Partition-local
+    * imperative work over the blob — the multimodal execution shape —
+    * with integer output, so the whole feature is oracle-exact.
     */
   def frameSums(a: Asset, window: Int): Seq[FrameFeature] = {
     val n = a.blob.length
-    val frames = math.max(n / window, 1)
+    val frames = if (n == 0) 0 else math.max(n / window, 1)
     (0 until frames).map { i =>
       val off = i * window
       val len = math.min(window, n - off)

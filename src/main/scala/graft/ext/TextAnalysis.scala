@@ -1391,11 +1391,27 @@ object TextAnalysis {
     * non-adjacent (their neighbors are merged symbols), pass 2
     * catches all of them, and no new (a, b) adjacency can form
     * because the merged symbol "ab" equals neither "a" nor "b" —
-    * two passes reproduce BPE's simultaneous non-overlapping merge
-    * exactly.
+    * two passes reproduce BPE's simultaneous non-overlapping merge.
+    *
+    * KNOWN DEVIATION (shared by both engines, so the oracle is blind
+    * to it): for an ODD-length run of a self-pair (a = b), reference
+    * BPE merges greedily left-to-right — "|a|a|a|a|a|" → [aa, aa, a]
+    * — while the double-pass replace leaves pass 1's survivors where
+    * they fell and merges around them: [aa, a, aa]. Segment COUNTS
+    * match; segment POSITIONS differ, which shifts next-round pair
+    * counts involving the leftover singleton. The provisioned corpus
+    * and both oracles use this exact definition on both engines; a
+    * caller needing reference-BPE byte-compatibility should fold over
+    * the split symbol array instead (an aggregate/reduce over
+    * vocab-grain rows — same scale shape, no regex).
+    *
+    * Symbols are spliced into the pattern under \\Q...\\E literal
+    * quoting (Java regex and RE2 both honor it), so a merge symbol
+    * containing a regex metacharacter cannot corrupt the pattern.
     */
   def bpeApply(seqs: DataFrame, merge: DataFrame): DataFrame = {
-    val pat = concat(lit("\\|"), col("a"), lit("\\|"), col("b"), lit("\\|"))
+    val pat = concat(lit("\\|\\Q"), col("a"), lit("\\E\\|\\Q"), col("b"),
+      lit("\\E\\|"))
     val rep = concat(lit("|"), col("a"), col("b"), lit("|"))
     def once(c: Column) = regexp_replace(c, pat, rep)
     seqs.crossJoin(broadcast(merge.select(col("a"), col("b"))))
@@ -1773,8 +1789,8 @@ object TextAnalysis {
           s"FROM $src) WHERE len(sym) >= 2) GROUP BY 1, 2)"
       def apply(src: String, m: String, out: String): String =
         s"$out AS (SELECT w, regexp_replace(regexp_replace(seq, " +
-          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g'), " +
-          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g') " +
+          s"'\\|\\Q' || $m.a || '\\E\\|\\Q' || $m.b || '\\E\\|', '|' || $m.a || $m.b || '|', 'g'), " +
+          s"'\\|\\Q' || $m.a || '\\E\\|\\Q' || $m.b || '\\E\\|', '|' || $m.a || $m.b || '|', 'g') " +
           s"AS seq, wf FROM $src, $m)"
       "WITH wf AS (SELECT w, COUNT(*) AS wf FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
@@ -2033,8 +2049,9 @@ object TextAnalysis {
         "WHERE length(w) >= 2) s) " +
         "SELECT a, b, CAST(SUM(wf) AS BIGINT) AS pair_count FROM p " +
         "GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 100"),
-    // same '|'-delimited symbol strings, same double-pass RE2
-    // replace, same (count desc, a, b) argmax per round
+    // same '|'-delimited symbol strings, same double-pass \Q-quoted
+    // RE2 replace (incl. bpeApply's documented odd-self-pair-run
+    // deviation), same (count desc, a, b) argmax per round
     "x121_bpe_train_steps" -> {
       def sym(src: String, out: String): String =
         s"$out AS (SELECT list_filter(string_split(seq, '|'), s -> s <> '') " +
@@ -2046,8 +2063,8 @@ object TextAnalysis {
           "WHERE len(sym) >= 2) GROUP BY 1, 2)"
       def apply(src: String, m: String, out: String): String =
         s"$out AS (SELECT regexp_replace(regexp_replace(seq, " +
-          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g'), " +
-          s"'\\|' || $m.a || '\\|' || $m.b || '\\|', '|' || $m.a || $m.b || '|', 'g') " +
+          s"'\\|\\Q' || $m.a || '\\E\\|\\Q' || $m.b || '\\E\\|', '|' || $m.a || $m.b || '|', 'g'), " +
+          s"'\\|\\Q' || $m.a || '\\E\\|\\Q' || $m.b || '\\E\\|', '|' || $m.a || $m.b || '|', 'g') " +
           s"AS seq, wf FROM $src, $m)"
       "WITH wf AS (SELECT w, COUNT(*) AS wf FROM " +
         "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +

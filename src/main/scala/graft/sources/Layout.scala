@@ -184,20 +184,52 @@ object Layout {
       spark.read.parquet(dir)
         .filter(!(col(keyCol) <=> key))
         .write.mode("overwrite").parquet(tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(dir))
+      // retire-then-swap, never delete-then-rename: a crash between
+      // the two steps must leave the previous partition recoverable
+      // (the old delete(dir)+rename left a window where a failed
+      // rename silently destroyed every bystander row — in a GDPR
+      // delete job, exactly the data that must NOT be lost)
+      swapIn(fs, new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(tmp))
     }
     affected
+  }
+
+  /** Crash-safe directory swap: retire `target` aside by rename,
+    * rename `staged` in, then drop the retired copy — each rename's
+    * boolean checked, failing LOUDLY (after restoring the original on
+    * a failed swap-in) instead of silently losing the only copy. The
+    * reader-visible gap is two metadata renames wide; a crash at any
+    * point leaves the previous version on disk (at worst under its
+    * `.retired_` name, recoverable by hand). This is the strongest
+    * swap a raw filesystem offers — a table format with a pointer
+    * file (p14's generation layout) is the fully-atomic upgrade.
+    */
+  private def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      staged: org.apache.hadoop.fs.Path): Unit = {
+    val retired = new org.apache.hadoop.fs.Path(
+      target.getParent, s".retired_${target.getName}")
+    fs.delete(retired, true) // leftover from a prior crashed swap
+    val hadOld = fs.exists(target)
+    if (hadOld)
+      require(fs.rename(target, retired), s"retire failed: $target")
+    if (!fs.rename(staged, target)) {
+      if (hadOld) fs.rename(retired, target) // put the original back
+      throw new IllegalStateException(
+        s"swap-in failed: $staged -> $target (original restored)")
+    }
+    fs.delete(retired, true)
   }
 
   /** Write-audit-publish (the Iceberg/Netflix WAP pattern): a
     * snapshot is WRITTEN to an invisible staging directory, the
     * audit gate runs against the STAGED FILES (what readers would
     * actually see — auditing the in-memory frame would miss a broken
-    * write), and only a passing snapshot is RENAMED into the
-    * published location — a metadata-only atomic swap, so readers
-    * see the old snapshot or the new one, never a half-write. A
+    * write), and only a passing snapshot is swapped into the
+    * published location via [[swapIn]] (retire-by-rename, swap-in,
+    * drop retired — the previous snapshot survives a crash at any
+    * step; the reader-visible gap is two metadata renames wide). A
     * failing audit deletes the staging dir and leaves the published
     * snapshot untouched: the gate's whole contract is that bad data
     * is structurally unable to reach consumers. The audit decision
@@ -218,9 +250,8 @@ object Layout {
     val staged = spark.read.parquet(stagePath)
     val ok = audit(staged).collect()(0).getBoolean(0)
     if (ok) {
-      fs.delete(new org.apache.hadoop.fs.Path(pubPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(stagePath),
-        new org.apache.hadoop.fs.Path(pubPath))
+      swapIn(fs, new org.apache.hadoop.fs.Path(pubPath),
+        new org.apache.hadoop.fs.Path(stagePath))
     } else {
       fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
     }

@@ -755,10 +755,12 @@ object Streams {
     * plain addition into a 7-row maintained counter table — s12's
     * additive IVM on the smallest possible state. Uniqueness is NOT
     * additive (count−countDistinct): it runs on s13's set-semantics
-    * machinery instead — the batch's distinct ids anti-join the
-    * maintained id set, and the batch's duplicate contribution is
-    * batch_rows − novel_ids, which telescopes to exactly
-    * n_total − distinct_total across any batch decomposition. Readout
+    * machinery instead — the batch's distinct NON-NULL ids anti-join
+    * the maintained id set (NULLs never enter the set, matching
+    * COUNT(DISTINCT)'s null-ignoring semantics), and the batch's
+    * duplicate contribution is batch_rows − novel_ids, which
+    * telescopes to exactly n_total − distinct_total across any batch
+    * decomposition. Readout
     * is the maintained counter table ≡ the events section of batch
     * p12 — the IVM contract as frame equality, oracled against the
     * same SQL. Per batch at scale: one aggregate scan of the batch,
@@ -784,13 +786,20 @@ object Streams {
           latest = Some((genI, genC))
         } else {
           val b = batch.toDF()
-          val ids = b.select(col("event_id")).distinct()
+          // NULL ids stay OUT of the novelty set: SQL's
+          // COUNT(*) − COUNT(DISTINCT event_id) counts every NULL row
+          // in n but never in the distinct, so a NULL id is always a
+          // uniqueness violation — keeping NULL as one set member
+          // would under-count by exactly 1 the moment one exists
+          // (c1's not-null check is where NULLs are reported).
+          val ids = b.select(col("event_id"))
+            .filter(col("event_id").isNotNull).distinct()
           val novel = latest match {
             case None => ids
             case Some((prevI, _)) =>
               val seen = spark.read.parquet(prevI)
               ids.join(seen,
-                ids("event_id") <=> seen("event_id"), "left_anti")
+                ids("event_id") === seen("event_id"), "left_anti")
           }
           val idsNext = latest match {
             case None => novel

@@ -2223,6 +2223,9 @@ class ExtSpec extends SparkSpec {
     // sub-window payload: one short frame carrying the full sum
     val short = M.frameSums(Asset(8L, Array.fill(10)('b'.toByte)), window = 64)
     assert(short == Seq(graft.ext.FrameFeature(8L, 0, 10L * 98)))
+    // empty payload: ZERO frames — the oracle's frame spine vanishes
+    // for an empty doc, so a phantom sum-0 frame would hash-fail
+    assert(M.frameSums(Asset(9L, Array.emptyByteArray), window = 64).isEmpty)
     // lake query: first frame of every doc uncut; cuts exist (p99
     // threshold) and every flagged frame really jumps > 300
     val rows = Multimodal.queries("x89_scene_cuts")(spark, SfDir).collect()

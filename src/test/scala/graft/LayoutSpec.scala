@@ -223,6 +223,18 @@ class LayoutSpec extends SparkSpec {
     assert(pubAfter == pub1, "failed audit must leave the published snapshot untouched")
     // the staging residue is cleaned up either way
     assert(!new java.io.File(s"$base/_staging").exists(), "staging must not linger")
+    // generation 3: publish OVER a live snapshot with a stale
+    // .retired_ leftover planted (a prior crashed swap) — the
+    // retire-then-swap must clean the leftover, replace generation 1,
+    // and leave no retired copy behind
+    new java.io.File(s"$base/.retired_published").mkdirs()
+    val next = Seq(("2024-01-03", 30L)).toDF("day", "n")
+    assert(Layout.writeAuditPublish(spark, next, base, audit), "gen-3 must publish")
+    val pub3 = spark.read.parquet(s"$base/published")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pub3 == Set(("2024-01-03", 30L)), s"got $pub3")
+    assert(!new java.io.File(s"$base/.retired_published").exists(),
+      "retired copy must be dropped after a clean swap")
   }
 
   test("time-travel read opens only the requested snapshot's files (p14)") {
