@@ -69,4 +69,13 @@ object SparkEntry {
       Streams.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       TextAnalysis.oracles ++ Multimodal.oracles ++ Sampling.oracles ++
       Graph.oracles
+
+  /** [[oracleSql]] with any sf-keyed fixture entries swapped for the
+    * dump's actual corpus (x54-x56's committed ANN-recall pins are
+    * per-sf — [[graft.ext.RecallFixtures.oracleOverridesFor]]), so a
+    * Verify dump at sf0.1 carries oracle SQL the sweep can actually
+    * match. At the driver's sf0.01 gate this IS oracleSql.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    oracleSql ++ graft.ext.RecallFixtures.oracleOverridesFor(sfDir)
 }

@@ -18,11 +18,14 @@ import graft.ext.Similarity
 object RecallFixture {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    // the fixtures pin the gate corpus — a dump from any other sf
-    // would commit sets the sf0.01 oracle run can never match
-    require(sfDir.contains(graft.ext.RecallFixtures.FixtureSf),
-      s"fixtures must be dumped from ${graft.ext.RecallFixtures.FixtureSf} " +
-        s"(the driver's correctness-gate corpus), got $sfDir")
+    // fixtures are sf-keyed (RecallFixtures.bySf) — dump from any sf
+    // dir and commit under that sf's entry; the printed val suffix
+    // distinguishes the sets ("" for the sf0.01 gate corpus, "01" for
+    // the sf0.1 sweep corpus)
+    val tag = "sf[0-9.]+".r.findAllIn(sfDir).toSeq.lastOption
+      .getOrElse(sys.error(s"no sf token in $sfDir"))
+    val suffix = if (tag == graft.ext.RecallFixtures.FixtureSf) ""
+      else tag.stripPrefix("sf").replace(".", "")
     // SAME session shape as the Verify gate (SPARK_GRAFT_CPUS, default
     // 4): ivfFit/pqFit's k-means init sampling and float accumulation
     // are partitioning-sensitive, so a dump at a different parallelism
@@ -48,7 +51,7 @@ object RecallFixture {
       "ivf" -> Similarity.ivfAnn10(spark, sfDir),
       "pq" -> Similarity.pqAnn10(spark, sfDir))
     sets.foreach { case (name, df) =>
-      println(s"""  val $name = "${valuesOf(df)}"""")
+      println(s"""  val $name$suffix = "${valuesOf(df)}"""")
     }
     spark.stop()
   }
