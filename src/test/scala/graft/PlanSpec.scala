@@ -430,10 +430,16 @@ class PlanSpec extends SparkSpec {
     val plan = Dedup.queries("x92_span_dedup")(spark, SfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-    // the gram self-join and the hot-cap anti-join are equi-joins on
-    // the md5 key; document text never reaches a join operator
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      s"nested-loop join in a pure equi-join pipeline:\n$plan")
+    // the gram self-join rides the md5 equi-key; document text never
+    // reaches a join operator. The only permitted nested-loop joins
+    // are broadcasts of the 1-row adaptive-cap scalar (tot/distinct
+    // stats) — the same broadcast-scalar shape as x69's n_nodes and
+    // p07's observe row — which appears once per self-join SIDE (the
+    // capped-gram subtree is referenced twice); anything beyond those
+    // two means an equi-key was lost.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins (only the 1-row cap " +
+      s"scalar broadcast, once per self-join side, is permitted):\n$plan")
     assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
   }
 
