@@ -48,6 +48,14 @@ object Graph {
   private val DampNum = 85L
   private val DampDen = 100L
 
+  /** HITS fixed-point scale: 10⁶, not 10¹² — each normalization
+    * multiplies a score by the scale before the integer divide, so
+    * the headroom bound is score × scale ≤ Long.Max with score itself
+    * up to scale × max-degree; 10⁶ keeps that product ≤ ~10¹⁶ on any
+    * plausible degree distribution.
+    */
+  val HitsScale = 1000000L
+
   /** Adjacency with the out-degree riding each edge — so the loop's
     * contribution join is a single equi-join against the rank frame
     * and never re-derives the degree aggregate.
@@ -408,6 +416,51 @@ object Graph {
         .limit(20)
     }),
 
+    // HITS HUBS/AUTHORITIES — the second classic link-analysis
+    // centrality, on the DIRECTED part→supplier graph (PageRank x69
+    // runs the undirected both-ways materialization): parts are hubs,
+    // suppliers authorities, and two mutual-reinforcement rounds rank
+    // "the suppliers that serve the best-connected parts" — the
+    // directed-endorsement read a crawl pipeline uses to rank link
+    // TARGETS where PageRank ranks the whole node set. Kleinberg's
+    // L2 normalization is replaced by exact SUM normalization in
+    // [[HitsScale]] fixed point (same eigenvector up to scale on the
+    // dominant direction, and — unlike an engine-ordered float L2 —
+    // integer-exact and associative, so the two-round readout takes a
+    // full hash oracle). Per round: one edge-grain equi-join + one
+    // partial-aggregatable integer sum + a 1-row broadcast total —
+    // x69's per-iteration scale shape exactly.
+    "x129_hits" -> ((spark, sfDir) => {
+      val pairs = Lake.materialize(spark, sfDir, "hits_pairs_v1") {
+        Lake.table(spark, sfDir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+      }
+      val nP = broadcast(pairs.select(col("p")).distinct()
+        .agg(count(lit(1)).as("n_p")))
+      // h0 is uniform (HitsScale DIV n_p), so round-1 authority mass
+      // is outdegree × h0 — summed per edge to stay partial-agg'able
+      val a1 = pairs.crossJoin(nP)
+        .groupBy(col("s"))
+        .agg(sum(expr(s"${HitsScale}L DIV n_p")).as("a1"))
+      def normalize(df: DataFrame, v: String): DataFrame = {
+        val tot = broadcast(df.agg(sum(col(v)).as("_t")))
+        df.crossJoin(tot)
+          .select(df.columns.filterNot(_ == v).map(col) :+
+            expr(s"($v * ${HitsScale}L) DIV _t").as(v): _*)
+      }
+      val a1n = normalize(a1, "a1")
+      val h1 = pairs.join(a1n, "s").groupBy(col("p"))
+        .agg(sum(col("a1")).as("h1"))
+      val h1n = normalize(h1, "h1")
+      val a2 = pairs.join(h1n, "p").groupBy(col("s"))
+        .agg(sum(col("h1")).as("a2"))
+      normalize(a2, "a2")
+        .select(col("s").as("supplier"), col("a2").as("auth_fp"))
+        .orderBy(desc("auth_fp"), col("supplier"))
+        .limit(20)
+    }),
+
     // ASSOCIATION RULES — the market-basket read of the co-purchase
     // structure the graph family (x81-x87) treats topologically:
     // for every ordered rule a→b over parts sharing an order,
@@ -454,6 +507,25 @@ object Graph {
   // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
   // DuckDB's HUGEINT sum widening back to BIGINT before compare.
   val oracles: Map[String, String] = Map(
+    // same directed pair frame, same uniform-h0 shortcut, same
+    // sum-normalization in 10^6 fixed point per round (// ≡ DIV on
+    // non-negative bigints), same (auth desc, supplier) cut
+    "x129_hits" ->
+      ("WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), " +
+        "np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p FROM pairs), " +
+        "a1 AS (SELECT s, CAST(SUM(1000000 // n_p) AS BIGINT) AS a1 " +
+        "FROM pairs, np GROUP BY 1), " +
+        "a1t AS (SELECT CAST(SUM(a1) AS BIGINT) AS t FROM a1), " +
+        "a1n AS (SELECT s, CAST((a1 * 1000000) // t AS BIGINT) AS a1 FROM a1, a1t), " +
+        "h1 AS (SELECT p, CAST(SUM(a1) AS BIGINT) AS h1 " +
+        "FROM pairs JOIN a1n USING (s) GROUP BY 1), " +
+        "h1t AS (SELECT CAST(SUM(h1) AS BIGINT) AS t FROM h1), " +
+        "h1n AS (SELECT p, CAST((h1 * 1000000) // t AS BIGINT) AS h1 FROM h1, h1t), " +
+        "a2 AS (SELECT s, CAST(SUM(h1) AS BIGINT) AS a2 " +
+        "FROM pairs JOIN h1n USING (p) GROUP BY 1), " +
+        "a2t AS (SELECT CAST(SUM(a2) AS BIGINT) AS t FROM a2) " +
+        "SELECT s AS supplier, CAST((a2 * 1000000) // t AS BIGINT) AS auth_fp " +
+        "FROM a2, a2t ORDER BY auth_fp DESC, supplier LIMIT 20"),
     // same distinct basket frame, same ≥3 support prune before the
     // stats joins, same three divisions and (lift, a, b) cut
     "x127_association_rules" ->

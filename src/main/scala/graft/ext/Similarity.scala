@@ -1137,8 +1137,50 @@ object Similarity {
         .select(col("k"), expr("transform(s, p -> p.m)").as("c"))
       stats(a1, 1).unionAll(stats(assign(c2), 2))
         .orderBy(col("iter"), col("k"))
-    })
+    }),
+
+    // GREEDY k-CENTER CORESET — farthest-point diversity selection
+    // (the Gonzalez 2-approximation behind coreset/active-learning
+    // data picks, and the maximal-spread complement of x102's
+    // relevance-tradeoff MMR): seed = lowest vec_id, then k−1 rounds
+    // of "add the point farthest from the selected set". Deterministic
+    // and hash-oracle-able via x64's discipline — per-point distances
+    // round 4 dp BEFORE the argmax and ties break on vec_id. Scale
+    // shape: each round is ONE stateless map over the corpus (least
+    // of the running min-distance and the distance to the newest
+    // 1-row broadcast center) + a TakeOrdered(1) — k bounded passes,
+    // no window over an N×k expansion, no shuffle beyond the top-1
+    // reductions; the running-min column is the standard trick that
+    // keeps round r at O(N) instead of O(N·r).
+    "x130_kcenter_coreset" -> ((spark, sfDir) =>
+      kCenterGreedy(emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v")), k = 5)
+        .orderBy(col("sel_round")))
   )
+
+  /** Greedy k-center over a (vec_id, v: array<double>) frame — see
+    * the x130 registration for semantics and scale shape. Exposed so
+    * tests can plant geometries with known farthest-point orders.
+    */
+  def kCenterGreedy(e: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seed = broadcast(e.orderBy(col("vec_id")).limit(1))
+    var cur = e.crossJoin(seed.select(col("v").as("_c")))
+      .select(col("vec_id"), col("v"),
+        round(sqDist(col("v"), col("_c")), 4).as("d"))
+    var out = seed.select(lit(1).cast("int").as("sel_round"),
+      col("vec_id"), lit(0.0).as("d_sel"))
+    for (r <- 2 to k) {
+      val pick = broadcast(cur.orderBy(desc("d"), col("vec_id")).limit(1))
+      out = out.unionByName(pick.select(lit(r).cast("int").as("sel_round"),
+        col("vec_id"), col("d").as("d_sel")))
+      if (r < k)
+        cur = cur.crossJoin(pick.select(col("v").as("_c")))
+          .select(col("vec_id"), col("v"),
+            least(col("d"), round(sqDist(col("v"), col("_c")), 4)).as("d"))
+    }
+    out
+  }
 
   /** The embeddings table with `vec` widened to double — the input
     * every ANN path shares.
@@ -1203,6 +1245,33 @@ object Similarity {
     "x54_ann_lsh_recall" -> RecallFixtures.oracleSql(RecallFixtures.lsh),
     "x55_ann_ivf_recall" -> RecallFixtures.oracleSql(RecallFixtures.ivf),
     "x56_ann_pq_recall" -> RecallFixtures.oracleSql(RecallFixtures.pq),
+    // same seed, same 4 dp-rounded squared-L2 grid (x64's list
+    // arithmetic — identical accumulation order), same LEAST running
+    // min and (d desc, vec_id) argmax, four unrolled rounds
+    "x130_kcenter_coreset" -> {
+      def sq(src: String, c: String): String =
+        s"ROUND(list_sum(list_transform(range(1, len($src.v) + 1), " +
+          s"i -> ($src.v[i] - $c.v[i]) * ($src.v[i] - $c.v[i]))), 4)"
+      def pStep(src: String, out: String): String =
+        s"$out AS (SELECT vec_id, v, d FROM $src ORDER BY d DESC, vec_id LIMIT 1)"
+      def dStep(prev: String, pick: String, out: String): String =
+        s"$out AS (SELECT $prev.vec_id, $prev.v, " +
+          s"LEAST($prev.d, ${sq(prev, pick)}) AS d FROM $prev, $pick)"
+      "WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1), " +
+        s"d1 AS (SELECT e.vec_id, e.v, ${sq("e", "c1")} AS d FROM e, c1), " +
+        pStep("d1", "p2") + ", " + dStep("d1", "p2", "d2") + ", " +
+        pStep("d2", "p3") + ", " + dStep("d2", "p3", "d3") + ", " +
+        pStep("d3", "p4") + ", " + dStep("d3", "p4", "d4") + ", " +
+        pStep("d4", "p5") + " " +
+        "SELECT CAST(1 AS INTEGER) AS sel_round, vec_id, 0.0 AS d_sel FROM c1 " +
+        "UNION ALL SELECT 2, vec_id, d FROM p2 " +
+        "UNION ALL SELECT 3, vec_id, d FROM p3 " +
+        "UNION ALL SELECT 4, vec_id, d FROM p4 " +
+        "UNION ALL SELECT 5, vec_id, d FROM p5 " +
+        "ORDER BY sel_round"
+    },
     // x07 mirrors the native expression's arithmetic exactly — floats
     // widened to double, per-element double products, sqrt(na)*sqrt(nb)
     // denominator — and both engines round to 4 dp before the compared

@@ -843,6 +843,43 @@ object TextAnalysis {
           (col("l") >= 2).as("l_safe"))
         .orderBy(col("l"), col("k_safe"))),
 
+    // T-CLOSENESS — the third rung of the privacy ladder (x113
+    // k-anonymity: classes big enough; x114 l-diversity: enough
+    // sensitive values per class; t-closeness: the class's sensitive
+    // DISTRIBUTION must stay close to the corpus's, or class
+    // membership itself leaks the attribute even when l is high). For
+    // the categorical sensitive attribute the distance is total
+    // variation, computed EXACTLY in cross-multiplied integers:
+    // Σ_v |c_gv·N − C_v·n_g| over present values plus (N − ΣC_v)·n_g
+    // for the absent ones, divided once by 2·n_g·N (the single float
+    // op) and rounded 4 dp. Scale shape: one cell-grain hash agg over
+    // the corpus, a broadcast value-marginal join, a class-grain agg
+    // — no per-row work beyond the first aggregation.
+    "x131_t_closeness" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).select(col("source"),
+        expr("n_chars DIV 50").as("len_bucket"), col("lang"))
+      val cell = d.groupBy(col("source"), col("len_bucket"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val grp = cell.groupBy(col("source"), col("len_bucket"))
+        .agg(sum(col("c")).as("n_g"))
+      val glob = broadcast(d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("cv")))
+      val tot = broadcast(d.agg(count(lit(1)).as("n")))
+      cell.join(grp, Seq("source", "len_bucket"))
+        .join(glob, "lang").crossJoin(tot)
+        .groupBy(col("source"), col("len_bucket"))
+        .agg(max(col("n_g")).as("n_g"), max(col("n")).as("n"),
+          sum(abs(col("c") * col("n") - col("cv") * col("n_g"))).as("s1"),
+          sum(col("cv")).as("s2"))
+        .select(col("source"), col("len_bucket"),
+          col("n_g").as("class_size"),
+          round((col("s1") + (col("n") - col("s2")) * col("n_g"))
+            .cast("double") /
+            (lit(2L) * col("n_g") * col("n")).cast("double"), 4).as("t"))
+        .withColumn("t_safe", col("t") <= 0.5)
+        .orderBy(col("source"), col("len_bucket"))
+    }),
+
     // PHRASE SEARCH over a positional inverted index — the serving
     // pattern of a corpus search system: posting lists (doc, pos,
     // term) for each phrase term, re-keyed to a common anchor
@@ -1740,6 +1777,27 @@ object TextAnalysis {
         "SELECT l, class_size >= 5 AS k_safe, COUNT(*) AS n_classes, " +
         "CAST(SUM(class_size) AS BIGINT) AS n_docs, l >= 2 AS l_safe " +
         "FROM c GROUP BY l, class_size >= 5 ORDER BY l, k_safe"),
+    // same (source, len_bucket) classes and lang sensitive attribute;
+    // the total-variation numerator stays in cross-multiplied BIGINTs
+    // (absent-value mass folded in as (N − ΣC_v)·n_g), one division +
+    // 4 dp round, t_safe compared on the rounded t in both engines
+    "x131_t_closeness" ->
+      ("WITH d AS (SELECT source, n_chars // 50 AS len_bucket, lang FROM documents), " +
+        "cell AS (SELECT source, len_bucket, lang, COUNT(*) AS c FROM d GROUP BY 1, 2, 3), " +
+        "grp AS (SELECT source, len_bucket, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1, 2), " +
+        "gl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cv FROM d GROUP BY 1), " +
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d), " +
+        "s AS (SELECT cell.source, cell.len_bucket, MAX(n_g) AS n_g, MAX(n) AS n, " +
+        "CAST(SUM(ABS(c * n - cv * n_g)) AS BIGINT) AS s1, " +
+        "CAST(SUM(cv) AS BIGINT) AS s2 " +
+        "FROM cell JOIN grp USING (source, len_bucket) " +
+        "JOIN gl USING (lang), tot GROUP BY 1, 2) " +
+        "SELECT source, len_bucket, n_g AS class_size, " +
+        "ROUND(CAST(s1 + (n - s2) * n_g AS DOUBLE) / " +
+        "CAST(2 * n_g * n AS DOUBLE), 4) AS t, " +
+        "ROUND(CAST(s1 + (n - s2) * n_g AS DOUBLE) / " +
+        "CAST(2 * n_g * n AS DOUBLE), 4) <= 0.5 AS t_safe " +
+        "FROM s ORDER BY source, len_bucket"),
     // same quasi-identifier classes; CASTs pin HUGEINT sums
     "x113_k_anonymity" ->
       ("WITH c AS (SELECT lang, source, n_chars // 50 AS len_bucket, " +

@@ -1803,6 +1803,71 @@ class ExtSpec extends SparkSpec {
     assert(total > scale * 97 / 100, s"mass lost: $total of $scale")
   }
 
+  test("HITS: two sum-normalized integer rounds match an in-process recompute exactly (x129)") {
+    val got = graft.ext.Graph.queries("x129_hits")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // pure-Scala reference of the exact recurrence (Long division is
+    // truncation on non-negatives ≡ DIV)
+    val pairs = graft.sources.Lake.table(spark, SfDir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val S = graft.ext.Graph.HitsScale
+    val h0 = S / pairs.map(_._1).distinct.size
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val t = m.values.sum
+      m.map { case (k, v) => k -> v * S / t }
+    }
+    val a1n = norm(pairs.groupBy(_._2).map { case (s, es) => s -> es.size * h0 })
+    val h1n = norm(pairs.groupBy(_._1).map { case (p, es) =>
+      p -> es.map(e => a1n(e._2)).sum })
+    val a2n = norm(pairs.groupBy(_._2).map { case (s, es) =>
+      s -> es.map(e => h1n(e._1)).sum })
+    val expTop = a2n.toSeq.sortBy { case (s, v) => (-v, s) }.take(20)
+    assert(got == expTop, s"got $got\nexp $expTop")
+    // mass: sum-normalization conserves ≈ HitsScale up to floor leak
+    assert(a2n.values.sum <= S && a2n.values.sum > S - a2n.size)
+  }
+
+  test("greedy k-center: planted line geometry selects farthest-first with both tiebreaks exercised (x130)") {
+    import spark.implicits._
+    def v(x: Double) = Array(x, 0.0)
+    val e = Seq((0L, v(0)), (1L, v(1)), (2L, v(10)), (3L, v(4)),
+      (4L, v(-5)), (5L, v(5)))
+      .toDF("vec_id", "v")
+    val got = graft.ext.Similarity.kCenterGreedy(e, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    // seed 0; then 2 (d=100); then the 25-tie between 4 and 5 breaks
+    // to vec_id 4; then 5 (still 25 to the selected set); then the
+    // 1.0-tie between 1 and 3 breaks to vec_id 1
+    assert(got == Set((1, 0L, 0.0), (2, 2L, 100.0), (3, 4L, 25.0),
+      (4, 5L, 25.0), (5, 1L, 1.0)), s"got $got")
+  }
+
+  test("t-closeness: total-variation distance recomputes exactly from integer marginals (x131)") {
+    val got = graft.ext.TextAnalysis.queries("x131_t_closeness")(spark, SfDir)
+      .collect()
+      .map(r => ((r.getString(0), r.get(1).toString.toLong),
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val d = graft.sources.Lake.table(spark, SfDir, "documents")
+      .select(col("source"), expr("n_chars DIV 50").as("b"), col("lang"))
+      .collect().map(r => (r.getString(0), r.get(1).toString.toLong, r.getString(2)))
+    val n = d.length.toLong
+    val glob = d.groupBy(_._3).map { case (l, xs) => l -> xs.length.toLong }
+    val byClass = d.groupBy(x => (x._1, x._2))
+    assert(got.keySet == byClass.keySet)
+    byClass.foreach { case (key, xs) =>
+      val nG = xs.length.toLong
+      val cells = xs.groupBy(_._3).map { case (l, ys) => l -> ys.length.toLong }
+      val s1 = cells.map { case (l, c) => (c * n - glob(l) * nG).abs }.sum
+      val s2 = cells.keys.map(glob).sum
+      val t = BigDecimal((s1 + (n - s2) * nG).toDouble / (2.0 * nG * n))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (cs, gt, safe) = got(key)
+      assert(cs == nG && math.abs(gt - t) < 1e-9 && safe == (gt <= 0.5),
+        s"$key: got ($cs, $gt, $safe) exp ($nG, $t)")
+    }
+  }
+
   test("x69 on the lake graph: every node ranked once, suppliers outrank parts at the top") {
     val top = graft.ext.Graph.queries("x69_pagerank")(spark, SfDir).collect()
     assert(top.length == 20)
