@@ -221,7 +221,11 @@ object Bench {
     // association-rule self-join
     "x122_hybrid_rrf", "x121_bpe_train_steps", "c78_markov_paths",
     "c81_time_weighted_avg", "x125_prf_expansion",
-    "x127_association_rules")
+    "x127_association_rules",
+    // round-12 additions (49 → 52): the second link-analysis
+    // iteration (HITS), the bounded-pass farthest-point coreset, and
+    // the integer-exact privacy-distribution audit
+    "x129_hits", "x130_kcenter_coreset", "x131_t_closeness")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -238,7 +242,10 @@ object Bench {
     "x51_quality_tiles", "x52_vocab_coverage", "x69_pagerank",
     // the sliding-gram join: stride-1 grams make candidate volume the
     // scaling question exactly as x03's banding is
-    "x92_span_dedup")
+    "x92_span_dedup",
+    // HITS: the second iterative graph shape — meaningful at the big
+    // point now that the v2 scaled lake grows the edge set
+    "x129_hits")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -255,7 +262,9 @@ object Bench {
     "x69_pagerank",
     // stride-1 gram join under the 10× dup-density stress — the same
     // open question the x03 candidate curve answers, for spans
-    "x92_span_dedup")
+    "x92_span_dedup",
+    // HITS shares x69's per-iteration shape on the now-growing graph
+    "x129_hits")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
