@@ -131,6 +131,34 @@ object Graph {
     iterate(adj, nodeMeta(adj), iters)
   }
 
+  /** x129's two HITS rounds over a distinct (p, s) directed pair
+    * frame → (supplier, auth_fp). Exposed so property tests can drive
+    * planted bipartite graphs through the exact Spark machinery.
+    */
+  def hitsTwoRounds(pairs: DataFrame): DataFrame = {
+    val nP = broadcast(pairs.select(col("p")).distinct()
+      .agg(count(lit(1)).as("n_p")))
+    // h0 is uniform (HitsScale DIV n_p), so round-1 authority mass
+    // is outdegree × h0 — summed per edge to stay partial-agg'able
+    val a1 = pairs.crossJoin(nP)
+      .groupBy(col("s"))
+      .agg(sum(expr(s"${HitsScale}L DIV n_p")).as("a1"))
+    def normalize(df: DataFrame, v: String): DataFrame = {
+      val tot = broadcast(df.agg(sum(col(v)).as("_t")))
+      df.crossJoin(tot)
+        .select(df.columns.filterNot(_ == v).map(col) :+
+          expr(s"($v * ${HitsScale}L) DIV _t").as(v): _*)
+    }
+    val a1n = normalize(a1, "a1")
+    val h1 = pairs.join(a1n, "s").groupBy(col("p"))
+      .agg(sum(col("a1")).as("h1"))
+    val h1n = normalize(h1, "h1")
+    val a2 = pairs.join(h1n, "p").groupBy(col("s"))
+      .agg(sum(col("h1")).as("a2"))
+    normalize(a2, "a2")
+      .select(col("s").as("supplier"), col("a2").as("auth_fp"))
+  }
+
   /** The frame the x69 materialization persists — package-visible so
     * the bench's edge-count instrumentation counts the SAME artifact
     * the query runs on (x03's shared-constant discipline: the counted
@@ -430,36 +458,14 @@ object Graph {
     // full hash oracle). Per round: one edge-grain equi-join + one
     // partial-aggregatable integer sum + a 1-row broadcast total —
     // x69's per-iteration scale shape exactly.
-    "x129_hits" -> ((spark, sfDir) => {
-      val pairs = Lake.materialize(spark, sfDir, "hits_pairs_v1") {
+    "x129_hits" -> ((spark, sfDir) =>
+      hitsTwoRounds(Lake.materialize(spark, sfDir, "hits_pairs_v1") {
         Lake.table(spark, sfDir, "lineitem")
           .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
           .distinct()
-      }
-      val nP = broadcast(pairs.select(col("p")).distinct()
-        .agg(count(lit(1)).as("n_p")))
-      // h0 is uniform (HitsScale DIV n_p), so round-1 authority mass
-      // is outdegree × h0 — summed per edge to stay partial-agg'able
-      val a1 = pairs.crossJoin(nP)
-        .groupBy(col("s"))
-        .agg(sum(expr(s"${HitsScale}L DIV n_p")).as("a1"))
-      def normalize(df: DataFrame, v: String): DataFrame = {
-        val tot = broadcast(df.agg(sum(col(v)).as("_t")))
-        df.crossJoin(tot)
-          .select(df.columns.filterNot(_ == v).map(col) :+
-            expr(s"($v * ${HitsScale}L) DIV _t").as(v): _*)
-      }
-      val a1n = normalize(a1, "a1")
-      val h1 = pairs.join(a1n, "s").groupBy(col("p"))
-        .agg(sum(col("a1")).as("h1"))
-      val h1n = normalize(h1, "h1")
-      val a2 = pairs.join(h1n, "p").groupBy(col("s"))
-        .agg(sum(col("h1")).as("a2"))
-      normalize(a2, "a2")
-        .select(col("s").as("supplier"), col("a2").as("auth_fp"))
+      })
         .orderBy(desc("auth_fp"), col("supplier"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // ASSOCIATION RULES — the market-basket read of the co-purchase
     // structure the graph family (x81-x87) treats topologically:

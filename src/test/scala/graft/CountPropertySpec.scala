@@ -94,8 +94,12 @@ class CountPropertySpec extends SparkSpec {
       padLen <- Gen.choose(0, 6)
       pad <- Gen.listOfN(padLen, Gen.oneOf("zz", "yy", "xx"))
     } yield (host, exStart, exLen, pad)
-    for ((host, exStart, exLen, pad) <- samples(gen, 15)) {
+    for ((host, exStart, exLen, pad0) <- samples(gen, 15)) {
       val excerpt = host.slice(exStart - 1, exStart - 1 + exLen)
+      // exact-collapse guard: a full-copy excerpt with no pad would be
+      // byte-identical to the host and (correctly) collapse into it —
+      // force a pad token so the twin is a genuine NEAR-dup
+      val pad = if (pad0.isEmpty && excerpt == host) Seq("zz") else pad0
       val twinText = (pad ++ excerpt).mkString(" ")
       val corpus = Seq((1L, host.mkString(" ")), (2L, twinText))
         .toDF("doc_id", "text")
@@ -112,6 +116,70 @@ class CountPropertySpec extends SparkSpec {
       }
       assert(covering,
         s"planted span (a=$exStart, b=${pad.length + 1}, len=$exLen) uncovered in ${spans.toSeq}")
+    }
+  }
+
+  test("greedy k-center is row-order- and partitioning-invariant on random point sets (x130)") {
+    import spark.implicits._
+    // random integer-grid points (round-4 distances are exact, so the
+    // argmax order is a pure function of the set) under random row
+    // orders and slice counts: the selection sequence must not move
+    val gen = for {
+      n <- Gen.choose(3, 14)
+      pts <- Gen.listOfN(n, Gen.zip(Gen.choose(-8, 8), Gen.choose(-8, 8)))
+      perm <- Gen.choose(0, 5)
+      slices <- Gen.choose(1, 5)
+    } yield (pts.distinct, perm, slices)
+    for ((pts, perm, slices) <- samples(gen, 10) if pts.size >= 3) {
+      val rows = pts.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, Array(x.toDouble, y.toDouble)) }
+      val k = math.min(4, rows.size)
+      def run(rs: Seq[(Long, Array[Double])], sl: Int) =
+        graft.ext.Similarity.kCenterGreedy(
+          spark.sparkContext.parallelize(rs, sl).toDF("vec_id", "v"), k)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      val base = run(rows, slices)
+      val shuffled = new scala.util.Random(perm).shuffle(rows)
+      assert(run(shuffled, math.max(1, (slices % 5) + 1)) == base,
+        s"selection depends on row order/partitioning (pts $pts)")
+      // the seed is always the lowest vec_id at distance 0
+      assert(base.contains((1, 0L, 0.0)))
+    }
+  }
+
+  test("HITS two-round authority map is partitioning-invariant, matches the reference recurrence, conserves normalized mass (x129)") {
+    import spark.implicits._
+    // random bipartite edge sets driven through the real Spark
+    // machinery (hitsTwoRounds) at random slice counts, compared to
+    // the in-process integer recurrence (integer sums associative →
+    // partitioning cannot move the map)
+    val gen = for {
+      es <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 4)))
+      slices <- Gen.choose(1, 5)
+    } yield (es.distinct, slices)
+    for ((es, slices) <- samples(gen, 8)) {
+      val S = graft.ext.Graph.HitsScale
+      val h0 = S / es.map(_._1).distinct.size
+      def norm(m: Map[Int, Long]): Map[Int, Long] = {
+        val t = m.values.sum; m.map { case (k, v) => k -> v * S / t }
+      }
+      val a1n = norm(es.groupBy(_._2).map { case (s, e) => s -> e.size * h0 })
+      val h1n = norm(es.groupBy(_._1).map { case (p, e) =>
+        p -> e.map(x => a1n(x._2)).sum })
+      val a2n = norm(es.groupBy(_._2).map { case (s, e) =>
+        s -> e.map(x => h1n(x._1)).sum })
+      def run(sl: Int): Map[Int, Long] =
+        graft.ext.Graph.hitsTwoRounds(
+          spark.sparkContext.parallelize(
+            es.map(e => (e._1.toLong, e._2.toLong)), sl).toDF("p", "s"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val got = run(slices)
+      assert(got == a2n, s"spark $got vs reference $a2n for $es")
+      assert(run(math.max(1, (slices % 5) + 1)) == got,
+        "authority map depends on partitioning")
+      val total = got.values.sum
+      assert(total <= S && total > S - got.size,
+        s"normalized mass $total outside ($S - ${got.size}, $S] for $es")
     }
   }
 

@@ -417,6 +417,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("lineitem"), s"loop re-derives from raw lineitem:\n$plan")
   }
 
+  test("HITS rounds are equi-joins over the persisted pair artifact; nested loops only broadcast 1-row totals (x129)") {
+    val plan = graft.ext.Graph.queries("x129_hits")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // per round: one edge-grain equi-join + the 1-row normalization
+    // total broadcast (BNLJ). Three normalizations + the n_p scalar,
+    // each appearing once per consuming branch.
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+    assert(plan.contains("hits_pairs_v1"),
+      s"rounds not served from the lake pair artifact:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-20 not planned as TakeOrdered:\n$plan")
+  }
+
+  test("k-center rounds are stateless maps + TakeOrdered(1) picks — no shuffle over the corpus, no cartesian (x130)") {
+    val plan = graft.ext.Similarity.queries("x130_kcenter_coreset")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // every pick is a TakeOrderedAndProject(1) reduction; the only
+    // joins are 1-row broadcast centers
+    assert(plan.contains("TakeOrdered"),
+      s"argmax picks not planned as TakeOrdered reductions:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-sized shuffle join in a broadcast-only pipeline:\n$plan")
+  }
+
+  test("t-closeness is one cell-grain aggregation tree with broadcast marginals — no corpus re-shuffle (x131)") {
+    val plan = graft.ext.TextAnalysis.queries("x131_t_closeness")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+    // the lang marginal and the 1-row total ride broadcasts; the only
+    // sort-merge work permitted is cell-grain (post-aggregation)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"marginals not broadcast:\n$plan")
+  }
+
   test("histogram rollup's warm path reads only the materialized daily partial, never raw events (x70)") {
     val df = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
     val plan = df.queryExecution.executedPlan.toString
