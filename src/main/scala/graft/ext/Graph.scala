@@ -329,6 +329,40 @@ object Graph {
       .select(col("u"), col("v"), col("cn"), col("jac"))
   }
 
+  /** (u, v, cn, aa_fp) per undirected edge: Adamic–Adar link score
+    * Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — x87's jaccard weights every
+    * common neighbor equally, AA discounts promiscuous hubs (a shared
+    * neighbor of degree 500 is weak evidence; one of degree 3 is
+    * strong). Each per-node term is ONE double division + round to an
+    * integer micro-unit (term_fp = round(10⁶/ln deg)) computed on the
+    * ARC frame — arc-sized, before the wedge expansion — so the
+    * per-pair score is an exact associative BIGINT sum of
+    * deterministic per-node constants (the x69 fixed-point rule: no
+    * order-sensitive float accumulation, full hash oracle). Wedge
+    * stream probes the broadcast edge list BEFORE aggregating
+    * (x87's filter-before-count discipline); a deg-1 arc can never
+    * center a wedge, so its guarded 0 term is unreachable — the guard
+    * only keeps ln(1)=0 out of the ANSI division.
+    */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val arcs = edges.select(col("u").as("n"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
+    val terms = arcs.join(deg, "n")
+      .select(col("n"), col("nbr"),
+        when(col("deg") >= 2,
+          round(lit(1000000.0) / log(col("deg").cast("double")), 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("term_fp"))
+    terms.as("a")
+      .join(arcs.as("b"), col("a.n") === col("b.n") &&
+        col("a.nbr") < col("b.nbr"))
+      .select(col("a.nbr").as("u"), col("b.nbr").as("v"), col("a.term_fp"))
+      .join(broadcast(edges), Seq("u", "v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("term_fp")).as("aa_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
@@ -392,6 +426,22 @@ object Graph {
     "x87_link_jaccard" -> ((spark, sfDir) =>
       linkJaccard(coPurchaseEdges(spark, sfDir))
         .orderBy(desc("jac"), col("u"), col("v"))
+        .limit(20)),
+
+    // ADAMIC–ADAR LINK SCORING — x87's hub-discounted sibling: the
+    // same common-neighbor evidence, but each shared neighbor z
+    // contributes 1/ln(deg z) instead of 1 — the link-prediction
+    // weighting that separates "two parts share a niche basket"
+    // (strong) from "two parts share the catalog's most-ordered SKU"
+    // (weak). In a crawl pipeline AA scores candidate edges for graph
+    // densification without letting mega-hubs glue everything to
+    // everything. Per-node terms land on a 10⁶ integer grid BEFORE
+    // the wedge expansion, so the pair score is an exact BIGINT sum —
+    // hash-oracle-able like x69/x129, unlike a float Σ1/ln would be.
+    // Top-20 by (aa_fp, u, v).
+    "x132_adamic_adar" -> ((spark, sfDir) =>
+      adamicAdar(coPurchaseEdges(spark, sfDir))
+        .orderBy(desc("aa_fp"), col("u"), col("v"))
         .limit(20)),
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
@@ -617,6 +667,27 @@ object Graph {
         "JOIN a2 y ON e1.dst = y.src) " +
         "SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e2 " +
         "GROUP BY 1 ORDER BY node"),
+    // per-node micro-unit terms on the arc frame (one division + one
+    // ROUND each — LN over an exact integer degree, x119's ln rule),
+    // then the identical wedge join and exact BIGINT sum
+    "x132_adamic_adar" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT u AS n, v AS nbr FROM e " +
+        "UNION ALL SELECT v AS n, u AS nbr FROM e), " +
+        "trm AS (SELECT a.n, a.nbr, CASE WHEN d.d >= 2 THEN " +
+        "CAST(ROUND(1000000 / LN(CAST(d.d AS DOUBLE)), 0) AS BIGINT) " +
+        "ELSE 0 END AS term_fp FROM arcs a JOIN deg d ON a.n = d.n), " +
+        "w AS (SELECT a.nbr AS u, b.nbr AS v, a.term_fp FROM trm a " +
+        "JOIN arcs b ON a.n = b.n AND a.nbr < b.nbr) " +
+        "SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn, " +
+        "CAST(SUM(w.term_fp) AS BIGINT) AS aa_fp " +
+        "FROM w JOIN e ON w.u = e.u AND w.v = e.v GROUP BY 1, 2 " +
+        "ORDER BY aa_fp DESC, w.u, w.v LIMIT 20"),
     // wedge join grouped to pairs, inclusion–exclusion union size
     "x87_link_jaccard" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +

@@ -255,8 +255,67 @@ object Views {
     // rounded at 4 dp (x34's tolerance argument).
     "x98_psi_drift" -> ((spark, sfDir) =>
       psiReport(spark, psiHalfCounts(Lake.table(spark, sfDir, "events")))
+        .orderBy(col("event_type"))),
+
+    // KOLMOGOROV–SMIRNOV DRIFT — x98's nonparametric sibling: PSI
+    // needs a smoothing constant and a stability band chosen a
+    // priori; the two-sample KS statistic D = sup|F_ref − F_cur|
+    // comes with a distribution-free significance threshold
+    // (c(0.05)=1.358 over √((n+m)/nm)). Same ref/cur halves as x98,
+    // value binned to an integer grid (the binned-ECDF variant —
+    // bounded state at any event count; sup over a step function is
+    // attained at a step, so the observed-bucket frame is exact for
+    // the binned statistic). Everything is exact integers until two
+    // final divisions: cumulative counts are BIGINT window sums over
+    // the ≤500-row per-type bucket frame (x106's bounded-frame rule),
+    // and the sup maximizes the cross-multiplied |cumR·nc − cumC·nr|
+    // — no float ECDF ever materializes, so the readout takes a full
+    // hash oracle.
+    "x133_ks_drift" -> ((spark, sfDir) =>
+      ksReport(Lake.table(spark, sfDir, "events"))
         .orderBy(col("event_type")))
   )
+
+  /** x133's binned two-sample KS report: per event_type, the sup
+    * ECDF distance between the x98 ref window (first 12 days) and the
+    * rest, on a width-1 integer value grid clamped to [0, 499].
+    * Counts → per-type cumulative BIGINT window sums (bucket order is
+    * a total order, so the running sum is engine-exact) → the sup of
+    * the cross-multiplied integer numerator → ONE division to the
+    * 4 dp grid, plus the same-shaped critical-value chain
+    * (division → sqrt → multiply — c80's IEEE-deterministic ops).
+    * Overflow bound: cum·n ≤ N² needs N < 3·10⁹ per type; past that,
+    * pre-aggregate to per-mille cumulative shares (the same grid
+    * trick x69 uses for rank mass).
+    */
+  def ksReport(events: DataFrame): DataFrame = {
+    val b = events.select(col("event_type"),
+        when(col("ts") < lit("2024-01-13").cast("timestamp"), lit(1L))
+          .otherwise(lit(0L)).as("is_ref"),
+        greatest(least(floor(col("value")).cast("long"), lit(499L)),
+          lit(0L)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("is_ref")).as("cr"),
+        sum(lit(1L) - col("is_ref")).as("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    b.select(col("event_type"),
+        sum(col("cr")).over(cum).as("cum_r"),
+        sum(col("cc")).over(cum).as("cum_c"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        max(abs(col("cum_r") * col("nc") - col("cum_c") * col("nr")))
+          .as("d_num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("d_num").cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double"), 4).as("ks"),
+        round(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
+          (col("n_ref") * col("n_cur")).cast("double")), 4).as("d_crit"))
+      .withColumn("drifted", col("ks") > col("d_crit"))
+  }
 
   /** The (event_type, half, bucket) bucketing x98 and the s15
     * streaming monitor share: ref = the first 12 days, cur = the
@@ -426,6 +485,34 @@ object Views {
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) AS psi, " +
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) < 0.1 AS stable " +
         "FROM f GROUP BY event_type, nr, nc ORDER BY event_type"),
+    // same grid, same integer cumulative window sums, same
+    // cross-multiplied sup numerator and two final division chains
+    "x133_ks_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, " +
+        "SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cc) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_c, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b), " +
+        "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, " +
+        "CAST(MAX(ABS(cum_r * nc - cum_c * nr)) AS BIGINT) AS d_num " +
+        "FROM c GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "ROUND(CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 4) AS ks, " +
+        "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
+        "CAST(n_ref * n_cur AS DOUBLE)), 4) AS d_crit, " +
+        "ROUND(CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 4) > " +
+        "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
+        "CAST(n_ref * n_cur AS DOUBLE)), 4) AS drifted " +
+        "FROM a ORDER BY event_type"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum
     // goes through the same exact decimal accumulation as the Spark

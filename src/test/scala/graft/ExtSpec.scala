@@ -2424,6 +2424,67 @@ class ExtSpec extends SparkSpec {
     assert(jacs.forall(j => j >= 0.0 && j <= 1.0))
   }
 
+  test("adamic-adar: hub discount beats raw common-neighbor count on planted geometry (x132)") {
+    import spark.implicits._
+    // square 1-2-3-4-1 with diagonal (1,3): the diagonal shares BOTH
+    // corners (each deg 2 -> term round(1e6/ln2) = 1442695); every rim
+    // edge shares exactly one corner of degree 3 (term 910239) — the
+    // deg-2 witness outweighs the deg-3 one, x87's jac can't see that
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("u", "v")
+    val got = graft.ext.Graph.adamicAdar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val t2 = math.round(1000000.0 / math.log(2.0)) // 1442695
+    val t3 = math.round(1000000.0 / math.log(3.0)) // 910239
+    assert(got == Map(
+      (1L, 2L) -> ((1L, t3)), (2L, 3L) -> ((1L, t3)),
+      (3L, 4L) -> ((1L, t3)), (1L, 4L) -> ((1L, t3)),
+      (1L, 3L) -> ((2L, 2 * t2))), s"got $got")
+    // lake query: aa-desc ordered, every score positive and bounded by
+    // cn * the max per-witness term (witness degree >= 2)
+    val top = graft.ext.Graph.queries("x132_adamic_adar")(spark, SfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    val aas = top.map(_.getLong(3)).toList
+    assert(aas == aas.sortBy(-_))
+    top.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) > 0 &&
+        r.getLong(3) <= r.getLong(2) * t2)
+    }
+  }
+
+  test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
+    val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows.nonEmpty)
+    // recount from the same projection (the bucket/half mapping is
+    // pinned cross-engine by the oracle; this pins the window/sup
+    // machinery against a sequential recompute)
+    val ev = graft.sources.Lake.table(spark, SfDir, "events")
+      .select(col("event_type"),
+        when(col("ts") < lit("2024-01-13").cast("timestamp"), lit(1L))
+          .otherwise(lit(0L)).as("is_ref"),
+        greatest(least(floor(col("value")).cast("long"), lit(499L)), lit(0L)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.keySet == ev.map(_._1).toSet)
+    ev.groupBy(_._1).foreach { case (t, xs) =>
+      val nr = xs.count(_._2 == 1L).toLong
+      val nc = xs.size - nr
+      var (cumR, cumC, dNum) = (0L, 0L, 0L)
+      xs.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (_, bs) =>
+        cumR += bs.count(_._2 == 1L); cumC += bs.count(_._2 == 0L)
+        dNum = math.max(dNum, math.abs(cumR * nc - cumC * nr))
+      }
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ks = r4(dNum.toDouble / (nr * nc).toDouble)
+      val crit = r4(1.358 * math.sqrt((nr + nc).toDouble / (nr * nc).toDouble))
+      val (gnr, gnc, gks, gcrit, gdrift) = rows(t)
+      assert(gnr == nr && gnc == nc, s"$t: totals ($gnr,$gnc) vs ($nr,$nc)")
+      assert(math.abs(gks - ks) < 1e-12 && math.abs(gcrit - crit) < 1e-12,
+        s"$t: ks/crit ($gks,$gcrit) vs ($ks,$crit)")
+      assert(gdrift == (gks > gcrit) && gks >= 0.0 && gks <= 1.0)
+    }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
