@@ -441,6 +441,52 @@ object TextAnalysis {
           4).as("avg_bigram_logprob"))
   }
 
+  /** x135's Gopher-rule report over any (text) frame: per-doc flag
+    * derivation (token/line map arithmetic, shuffle-free) rolled to
+    * one 1-row aggregate of per-rule kill counts + survivors.
+    * Exposed so tests can plant single-rule violators and check the
+    * kill attribution.
+    */
+  def gopherReport(d: DataFrame): DataFrame = {
+    val nStop = EnStopwords.map(w =>
+      when(array_contains(tokens, w), 1).otherwise(0).cast("long"))
+      .reduce(_ + _)
+    val flags = d.select(
+      size(tokens).cast("long").as("n_w"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("tot_len"),
+      size(filter(tokens, w =>
+        instr(w, "#") > 0 || instr(w, "...") > 0)).cast("long").as("n_sym"),
+      size(filter(tokens, w => w.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"),
+      nStop.as("n_stop"),
+      size(split(col("text"), "\n")).cast("long").as("n_lines"),
+      size(filter(split(col("text"), "\n"), l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        .cast("long").as("n_bullet"),
+      size(filter(split(col("text"), "\n"), l => l.endsWith("...")))
+        .cast("long").as("n_ell"))
+      .select(
+        (col("n_w") < 50 || col("n_w") > 100000).as("f_wc"),
+        (!(lit(3) * col("n_w") <= col("tot_len") &&
+          col("tot_len") <= lit(10) * col("n_w"))).as("f_mwl"),
+        (col("n_sym") * 10 > col("n_w")).as("f_sym"),
+        (col("n_bullet") * 10 > col("n_lines") * 9).as("f_bul"),
+        (col("n_ell") * 10 > col("n_lines") * 3).as("f_ell"),
+        (col("n_alpha") * 5 < col("n_w") * 4).as("f_alpha"),
+        (col("n_stop") < 2).as("f_stop"))
+    flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("f_wc").cast("long")).as("fail_word_count"),
+      sum(col("f_mwl").cast("long")).as("fail_mean_word_len"),
+      sum(col("f_sym").cast("long")).as("fail_symbol_ratio"),
+      sum(col("f_bul").cast("long")).as("fail_bullet_lines"),
+      sum(col("f_ell").cast("long")).as("fail_ellipsis_lines"),
+      sum(col("f_alpha").cast("long")).as("fail_alpha_words"),
+      sum(col("f_stop").cast("long")).as("fail_stopwords"),
+      sum((!col("f_wc") && !col("f_mwl") && !col("f_sym") &&
+        !col("f_bul") && !col("f_ell") && !col("f_alpha") &&
+        !col("f_stop")).cast("long")).as("n_pass"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // CHARACTER-ENTROPY QUALITY — Shannon entropy of each doc's
@@ -495,6 +541,59 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"), col("bucket"))
     }),
+
+    // DIFFERENTIALLY-PRIVATE COUNT RELEASE — the publication side of
+    // the privacy ladder (x113/x114/x131 AUDIT a release; this one
+    // MAKES one): per-language doc counts with ε=1 Laplace noise via
+    // the inverse-CDF transform noise = −sign(u−½)·ln(1−2|u−½|)·(Δ/ε),
+    // where u comes from x79's polynomial hash of the cell key mapped
+    // to the odd grid (2h+1)/2P — strictly inside (0,1), so the ln
+    // singularity at u∈{0,1} is unreachable by construction. The
+    // hash-seeded noise makes the release REPRODUCIBLE (auditable,
+    // cross-engine oracle-able); a production release swaps the
+    // public polynomial for a keyed PRF over the same chain — the
+    // plumbing (sensitivity Δ=1 counting query, per-cell independent
+    // draws, one aggregate + alphabet-sized map work) is identical.
+    // Float: one division, one |·|, one ln, one multiply, one add —
+    // c80's deterministic-IEEE-chain rule — then the 2 dp release
+    // grid.
+    "x134_dp_counts" -> ((spark, sfDir) => {
+      val wArr = hashWeights.mkString("array(", "L, ", "L)")
+      val h = s"aggregate(sequence(1, least(length(lang), $HashMaxChars)), " +
+        s"0L, (acc, i) -> acc + ascii(substring(lang, i, 1)) * " +
+        s"element_at($wArr, i))"
+      docs(spark, sfDir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .withColumn("u", expr(
+          s"CAST(2 * pmod($h, $HashP) + 1 AS DOUBLE) / ${2 * HashP}"))
+        .select(col("lang"), lit(1.0).as("eps"),
+          round(col("n").cast("double") +
+            (lit(0.0) - signum(col("u") - lit(0.5))) *
+              log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 2)
+            .as("n_noisy"))
+        .orderBy(col("lang"))
+    }),
+
+    // GOPHER QUALITY RULES — the published Rae et al. heuristic
+    // filter set as a corpus report: word count ∈ [50, 10⁵], mean
+    // word length ∈ [3, 10], symbol-word ratio ≤ 0.1 (# or ...),
+    // bullet-start lines ≤ 90%, ellipsis-end lines ≤ 30%, ≥ 80% of
+    // words alphabetic, ≥ 2 distinct function words. Gopher's own
+    // 8-word stopword list degenerates on this synthetic vocabulary
+    // (only 'the' occurs — 100% kill), so the rule keeps its
+    // published SHAPE but draws from the corpus-appropriate
+    // [[EnStopwords]] — the same shared signal set x10/x11/x19/x38
+    // gate on, so the filters can't drift apart.
+    // Every ratio test is a CROSS-MULTIPLIED integer
+    // compare (3n ≤ Σlen ≤ 10n, 10·sym > n, 5·alpha < 4n …) — no
+    // float ever materializes, so the per-rule kill counts and the
+    // surviving-doc count take a full hash oracle. Per-doc work is
+    // token/line map arithmetic (shuffle-free); the report is one
+    // 1-row aggregate. The corpus is single-line, so the two
+    // line-grain rules are exercised as real plumbing that trivially
+    // passes here and bites on multi-line crawl text.
+    "x135_gopher_rules" -> ((spark, sfDir) =>
+      gopherReport(docs(spark, sfDir))),
 
     // ZIPF SLOPE — the dataset-card "does this source look like
     // natural language" check: OLS slope of log2(freq) against
@@ -1523,6 +1622,58 @@ object TextAnalysis {
         "SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n " +
         "FROM h GROUP BY 1, 2 ORDER BY 1, 2"
     },
+    // same polynomial hash → odd-grid u → inverse-CDF Laplace chain;
+    // the weight table interpolates from the same Scala value
+    "x134_dp_counts" -> {
+      val wa = hashWeights.mkString("[", ", ", "]")
+      // the lambda stays in its own CTE, outside any CAST — DuckDB
+      // 1.0's parser rejects some arithmetic-around-lambda shapes
+      // inside CAST (x79's oracle takes the same layering)
+      "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), " +
+        s"hh AS (SELECT lang, n, list_sum(list_transform(" +
+        s"range(1, least(length(lang), $HashMaxChars) + 1), " +
+        s"i -> ascii(substr(lang, i, 1)) * ($wa)[i])) % $HashP AS h FROM c), " +
+        s"h AS (SELECT lang, n, " +
+        s"CAST(2 * h + 1 AS DOUBLE) / ${2 * HashP} AS u FROM hh) " +
+        "SELECT lang, 1.0 AS eps, " +
+        "ROUND(CAST(n AS DOUBLE) + (0.0 - SIGN(u - 0.5)) * " +
+        "LN(1.0 - 2.0 * ABS(u - 0.5)), 2) AS n_noisy " +
+        "FROM h ORDER BY lang"
+    },
+    // every ratio test cross-multiplied to integers; list functions
+    // mirror the Spark higher-order filters term for term
+    "x135_gopher_rules" ->
+      ("WITH t AS (SELECT string_split(text, ' ') AS w, " +
+        "string_split(text, chr(10)) AS l, " +
+        "CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS tot_len " +
+        "FROM documents), " +
+        "m AS (SELECT CAST(len(w) AS BIGINT) AS n_w, tot_len, " +
+        "CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_sym, " +
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha, " +
+        "CAST(" + EnStopwords.map(w =>
+          s"CASE WHEN list_contains(w, '$w') THEN 1 ELSE 0 END")
+          .mkString(" + ") + " AS BIGINT) AS n_stop, " +
+        "CAST(len(l) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_filter(l, x -> x LIKE '-%' OR x LIKE '*%' OR x LIKE '•%')) AS BIGINT) AS n_bullet, " +
+        "CAST(len(list_filter(l, x -> x LIKE '%...')) AS BIGINT) AS n_ell FROM t), " +
+        "f AS (SELECT (n_w < 50 OR n_w > 100000) AS f_wc, " +
+        "NOT (3 * n_w <= tot_len AND tot_len <= 10 * n_w) AS f_mwl, " +
+        "n_sym * 10 > n_w AS f_sym, " +
+        "n_bullet * 10 > n_lines * 9 AS f_bul, " +
+        "n_ell * 10 > n_lines * 3 AS f_ell, " +
+        "n_alpha * 5 < n_w * 4 AS f_alpha, " +
+        "n_stop < 2 AS f_stop FROM m) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count, " +
+        "CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len, " +
+        "CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio, " +
+        "CAST(SUM(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines, " +
+        "CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines, " +
+        "CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words, " +
+        "CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords, " +
+        "CAST(SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_sym AND " +
+        "NOT f_bul AND NOT f_ell AND NOT f_alpha AND NOT f_stop " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM f"),
     // same decimal-grid discipline as x76: every float term snaps to
     // the 6 dp grid before the exact decimal sums; the closed-form
     // slope runs the identical op sequence on identical inputs

@@ -2485,6 +2485,83 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
+    val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val truth = graft.sources.Lake.table(spark, SfDir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == truth.keySet)
+    val P = TextAnalysis.HashP
+    truth.foreach { case (lang, n) =>
+      val h = lang.take(TextAnalysis.HashMaxChars).zipWithIndex
+        .map { case (c, i) => c.toInt * TextAnalysis.hashWeights(i) }.sum % P
+      val u = (2 * h + 1).toDouble / (2 * P)
+      val noise = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val exp = BigDecimal(n.toDouble + noise)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (eps, noisy) = got(lang)
+      assert(eps == 1.0 && math.abs(noisy - exp) < 1e-9,
+        s"$lang: got $noisy exp $exp")
+      // the odd grid's extreme u gives |noise| <= ln(2P) at eps=1
+      assert(math.abs(noisy - n) <= math.log(2.0 * P) + 0.01)
+    }
+    assert(truth.exists { case (l, n) => math.abs(got(l)._2 - n) > 0.005 },
+      "the mechanism must actually perturb at least one cell")
+  }
+
+  test("x135 gopher rules: planted corpus kill counts match a rule-by-rule recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      "a the " + Seq.fill(60)("word").mkString(" "),              // clean pass
+      "a the word",                                               // too short
+      "a the " + Seq.fill(60)("extraordinarily").mkString(" "),   // mean word len > 10
+      "a the " + (Seq.fill(50)("word") ++ Seq.fill(12)("#tag")).mkString(" "), // symbol ratio
+      "a the " + (Seq.fill(40)("word") ++ Seq.fill(20)("12345")).mkString(" "), // non-alpha words
+      Seq.fill(60)("word").mkString(" "),                         // no stopwords
+      Seq.fill(10)("- a the words words words").mkString("\n"),   // all-bullet lines
+      Seq.fill(10)("a the " + Seq.fill(9)("word").mkString(" ") + " etc...")
+        .mkString("\n"),                                          // all lines end ...
+      ("a the " + Seq.fill(94)("word").mkString(" ") + "\n") * 3 + "a the tail" // multi-line clean
+    ).toDF("text")
+    // independent recompute of the seven published rules
+    case class F(wc: Boolean, mwl: Boolean, sym: Boolean, bul: Boolean,
+      ell: Boolean, alpha: Boolean, stop: Boolean)
+    val fs = docs.collect().map(_.getString(0)).map { t =>
+      val w = t.split(" ", -1)
+      val l = t.split("\n", -1)
+      val totLen = t.replace(" ", "").length.toLong
+      val nW = w.length.toLong
+      F(nW < 50 || nW > 100000,
+        !(3 * nW <= totLen && totLen <= 10 * nW),
+        w.count(x => x.contains("#") || x.contains("...")) * 10 > nW,
+        l.count(x => x.startsWith("-") || x.startsWith("*") || x.startsWith("•")) * 10 > l.length * 9L,
+        l.count(_.endsWith("...")) * 10 > l.length * 3L,
+        w.count(_.exists(_.isLetter)) * 5 < nW * 4,
+        TextAnalysis.EnStopwords.count(w.contains) < 2)
+    }
+    val r = TextAnalysis.gopherReport(docs).collect().head
+    assert(r.getLong(0) == fs.length)
+    assert(r.getLong(1) == fs.count(_.wc), "word count kills")
+    assert(r.getLong(2) == fs.count(_.mwl), "mean word len kills")
+    assert(r.getLong(3) == fs.count(_.sym), "symbol ratio kills")
+    assert(r.getLong(4) == fs.count(_.bul), "bullet line kills")
+    assert(r.getLong(5) == fs.count(_.ell), "ellipsis line kills")
+    assert(r.getLong(6) == fs.count(_.alpha), "alpha word kills")
+    assert(r.getLong(7) == fs.count(_.stop), "stopword kills")
+    assert(r.getLong(8) == fs.count(f =>
+      !f.wc && !f.mwl && !f.sym && !f.bul && !f.ell && !f.alpha && !f.stop))
+    // every planted rule fires somewhere and the clean docs survive
+    assert(fs.count(_.wc) >= 1 && fs.count(_.mwl) >= 1 && fs.count(_.sym) >= 1
+      && fs.count(_.bul) >= 1 && fs.count(_.ell) >= 1
+      && fs.count(_.alpha) >= 1 && fs.count(_.stop) >= 1)
+    assert(r.getLong(8) >= 2)
+    // registry surface: report covers the whole corpus
+    val lake = TextAnalysis.queries("x135_gopher_rules")(spark, SfDir).collect().head
+    val nDocs = graft.sources.Lake.table(spark, SfDir, "documents").count()
+    assert(lake.getLong(0) == nDocs && lake.getLong(8) > 0)
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
