@@ -595,6 +595,30 @@ object TextAnalysis {
     "x135_gopher_rules" -> ((spark, sfDir) =>
       gopherReport(docs(spark, sfDir))),
 
+    // SIMPSON DIVERSITY — the dataset-card "how concentrated is each
+    // source" readout (x28 PRESCRIBES a domain mix; this MEASURES the
+    // achieved one): per source, the Gini–Simpson index 1 −
+    // Σnᵢ(nᵢ−1)/(N(N−1)) over languages — the probability two docs
+    // drawn without replacement differ in language (0 = monolingual
+    // boilerplate, → 1 = evenly multilingual). The unbiased
+    // finite-sample form keeps everything exact-integer (counts and
+    // the pairs-same sum) until ONE division at 4 dp — unlike the
+    // Σpᵢ² plug-in, which would square floats. Two partial-agg'able
+    // groupBys; the cell frame is |source|·|lang|-bounded at any
+    // corpus size.
+    "x136_simpson_diversity" -> ((spark, sfDir) =>
+      docs(spark, sfDir).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("n") * (col("n") - 1)).as("pairs_same"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          round(lit(1.0) - col("pairs_same").cast("double") /
+            (col("n_docs") * (col("n_docs") - 1)).cast("double"), 4)
+            .as("simpson"))
+        .orderBy(col("source"))),
+
     // ZIPF SLOPE — the dataset-card "does this source look like
     // natural language" check: OLS slope of log2(freq) against
     // log2(rank) over each source's top-100 word frequencies
@@ -1674,6 +1698,17 @@ object TextAnalysis {
         "CAST(SUM(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_sym AND " +
         "NOT f_bul AND NOT f_ell AND NOT f_alpha AND NOT f_stop " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_pass FROM f"),
+    // same exact-integer cells and pairs-same sum, one division
+    "x136_simpson_diversity" ->
+      ("WITH c AS (SELECT source, lang, COUNT(*) AS n FROM documents " +
+        "GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs_same FROM c GROUP BY 1) " +
+        "SELECT source, n_docs, n_langs, " +
+        "ROUND(1.0 - CAST(pairs_same AS DOUBLE) / " +
+        "CAST(n_docs * (n_docs - 1) AS DOUBLE), 4) AS simpson " +
+        "FROM s ORDER BY source"),
     // same decimal-grid discipline as x76: every float term snaps to
     // the 6 dp grid before the exact decimal sums; the closed-form
     // slope runs the identical op sequence on identical inputs

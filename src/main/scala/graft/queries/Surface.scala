@@ -51,6 +51,46 @@ object Surface {
           col("cohort_size"), 4).as("retention_pct"))
   }
 
+  /** c84's Kaplan–Meier product-limit estimator over a generic
+    * subject frame (t_day, died): died=true is an observed event at
+    * t, died=false a right-censored subject (left the risk set at t
+    * without the event). Estimator: S(t) = Π(1 − dᵢ/nᵢ) over event
+    * times, computed as exp(Σ ln((nᵢ−dᵢ)/nᵢ)) with each per-time ln
+    * term FLOORED onto a 10⁻⁹ fixed-point grid before the cumulative
+    * integer window sum — float running products/sums are
+    * association-order-sensitive, integer sums are exact, and the
+    * ≤ horizon·10⁻⁹ floor bias vanishes at the 4 dp readout. A time
+    * where everyone at risk dies takes the −80·10⁹ sentinel
+    * (e⁻⁸⁰ → 0.0000) instead of ln(0). Scale shape: the subject frame
+    * is population-grain; all window work runs on the ≤ horizon-row
+    * time frame with 1-row broadcast scalars (x106's bounded-frame
+    * rule).
+    */
+  def kaplanMeier(subj: DataFrame): DataFrame = {
+    val n = broadcast(subj.agg(count(lit(1)).as("n_subj")))
+    val byT = subj.groupBy(col("t_day"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("c"))
+    val prior = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(n)
+      .withColumn("n_risk",
+        col("n_subj") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("term_fp",
+        when(col("n_risk") > col("d"),
+          floor(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * lit(1000000000.0)).cast("long"))
+          .otherwise(lit(-80000000000L)))
+      .withColumn("cum_fp", sum(col("term_fp")).over(cum))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        round(exp(col("cum_fp").cast("double") / lit(1000000000.0)), 4)
+          .as("surv"))
+  }
+
   /** c79's segmentation stage over the user-grain frame (user_id, f,
     * last_d, m_cents) — shared with s19, which MAINTAINS that frame
     * incrementally (count-add / max / sum-add merges) and reads the
@@ -1156,6 +1196,35 @@ object Surface {
         windowUs = 1800000000L)
         .orderBy(col("channel"))),
 
+    // KAPLAN–MEIER SURVIVAL — time-to-conversion beside c74's
+    // retention triangle (retention reports cohort shares at fixed
+    // offsets; KM estimates the time-to-event FUNCTION while
+    // correctly using right-censored subjects — dropping them biases
+    // the curve down, counting them as non-events biases it up; the
+    // product-limit estimator is the standard answer). Subject: one
+    // per user, t = days from first activity to first HIGH-VALUE
+    // purchase (value > 90 — c80's shared conversion definition);
+    // never-converters are censored at their last active day. Report:
+    // per-event-time at-risk count, events, censored, S(t) at 4 dp.
+    // See [[kaplanMeier]] for the fixed-point ln-sum discipline that
+    // makes an inherently multiplicative estimator hash-oracle-able.
+    "c84_kaplan_meier" -> ((spark, sfDir) => {
+      val a = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val life = a.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
+      val conv = a
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .groupBy(col("user_id")).agg(min(col("d")).as("dp"))
+      val subj = life.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("t_day"),
+          col("dp").isNotNull.as("died"))
+      kaplanMeier(subj).orderBy(col("t_day"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -1670,6 +1739,33 @@ object Surface {
         "ROUND(100.0 * CAST(SUM(n_events) OVER (ORDER BY rank " +
         "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total, 4) AS cum_share_pct " +
         "FROM top, t ORDER BY rank"),
+    // same conversion/censoring split, the same floored 1e-9 ln grid
+    // into an exact cumulative window sum, one exp at readout
+    "c84_kaplan_meier" ->
+      ("WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        "subj AS (SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM subj), " +
+        "byt AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c " +
+        "FROM subj GROUP BY 1), " +
+        "r AS (SELECT t_day, d, c, n_subj - COALESCE(SUM(d + c) OVER (" +
+        "ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk " +
+        "FROM byt, nn), " +
+        "tm AS (SELECT t_day, d, c, n_risk, CASE WHEN n_risk > d THEN " +
+        "CAST(FLOOR(LN(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) " +
+        "* 1000000000.0) AS BIGINT) ELSE -80000000000 END AS term_fp FROM r), " +
+        "cm AS (SELECT t_day, d, c, n_risk, " +
+        "CAST(SUM(term_fp) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp " +
+        "FROM tm) " +
+        "SELECT CAST(t_day AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk, " +
+        "d AS n_events, c AS n_censored, " +
+        "ROUND(EXP(CAST(cum_fp AS DOUBLE) / 1000000000.0), 4) AS surv " +
+        "FROM cm WHERE d > 0 ORDER BY t_day"),
     // same IGNORE-NULLS carry-forward under the same total order,
     // same µs freshness gate and integer-cents revenue
     "c83_attribution" ->

@@ -2562,6 +2562,67 @@ class ExtSpec extends SparkSpec {
     assert(lake.getLong(0) == nDocs && lake.getLong(8) > 0)
   }
 
+  test("c84 kaplan-meier: planted subjects reproduce the hand-computed product-limit curve, censoring respected") {
+    import spark.implicits._
+    // events at t=5 (x2), 10, 23; censored at 28 (x2) — they thin the
+    // risk set without being events, the thing KM exists to get
+    // right; a final lone death at 30 exhausts the risk set and must
+    // take the ln(0) sentinel to S=0
+    val subj = Seq(
+      (5L, true), (5L, true), (10L, true), (23L, true),
+      (28L, false), (28L, false), (30L, true)
+    ).toDF("t_day", "died")
+    val got = graft.queries.Surface.kaplanMeier(subj)
+      .orderBy(col("t_day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // S(5)=5/7, S(10)=5/7*4/5, S(23)=...*3/4, S(30)=0 (1/1 dies)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (5L, 7L, 2L, 0L, r4(5.0 / 7)),
+      (10L, 5L, 1L, 0L, r4(4.0 / 7)),
+      (23L, 4L, 1L, 0L, r4(3.0 / 7)),
+      (30L, 1L, 1L, 0L, 0.0)), s"got ${got.toSeq}")
+    // lake surface: survival is a non-increasing (0,1] step function
+    // over a shrinking risk set
+    val lake = graft.queries.Surface.queries("c84_kaplan_meier")(spark, SfDir)
+      .collect().map(r => (r.getLong(1), r.getDouble(4)))
+    assert(lake.nonEmpty)
+    val survs = lake.map(_._2).toList
+    assert(survs == survs.sortBy(-_), "S(t) must be non-increasing")
+    assert(survs.forall(s => s >= 0.0 && s <= 1.0))
+    val risks = lake.map(_._1).toList
+    assert(risks == risks.sortBy(-_), "risk set must shrink over time")
+  }
+
+  test("x136 simpson diversity: monolingual zero, planted two-lang mix exact, lake report partitions the corpus") {
+    import spark.implicits._
+    val planted = (Seq.fill(5)(("mono", "en")) ++
+      Seq.fill(3)(("mix", "en")) ++ Seq.fill(2)(("mix", "fr")))
+      .map { case (s, l) => (s, l, "w") }.toDF("source", "lang", "text")
+    val byS = TextAnalysis.queries("x136_simpson_diversity")
+    // drive the same aggregation shape directly on the planted frame
+    val got = planted.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("n") * (col("n") - 1)).as("pairs_same"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(lit(1.0) - col("pairs_same").cast("double") /
+          (col("n_docs") * (col("n_docs") - 1)).cast("double"), 4).as("simpson"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("mono") == ((5L, 1L, 0.0)), s"got ${got("mono")}")
+    // mix: 1 - (3*2 + 2*1)/(5*4) = 1 - 8/20 = 0.6
+    assert(got("mix") == ((5L, 2L, 0.6)), s"got ${got("mix")}")
+    val lake = byS(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.sources.Lake.table(spark, SfDir, "documents").count()
+    assert(lake.map(_._2).sum == nDocs, "per-source counts partition the corpus")
+    lake.foreach { case (s, n, nl, d) =>
+      assert(d >= 0.0 && d < 1.0, s"$s: simpson in [0,1)")
+      if (nl == 1) assert(d == 0.0, s"$s: monolingual must read 0")
+    }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
