@@ -288,15 +288,33 @@ object Views {
     * pre-aggregate to per-mille cumulative shares (the same grid
     * trick x69 uses for rank mass).
     */
-  def ksReport(events: DataFrame): DataFrame = {
-    val b = events.select(col("event_type"),
-        when(col("ts") < lit("2024-01-13").cast("timestamp"), lit(1L))
-          .otherwise(lit(0L)).as("is_ref"),
+  def ksReport(events: DataFrame): DataFrame =
+    ksReportFromCounts(ksHalfCounts(events))
+
+  /** x133's bucketing stage, shaped like [[psiHalfCounts]] so the s20
+    * streaming monitor can maintain the cur side incrementally: the
+    * per-(type, half, bucket) counts are ADDITIVE across microbatches.
+    * Width-1 grid (finer than PSI's width-10 — KS wants resolution),
+    * same ref/cur cutover.
+    */
+  def ksHalfCounts(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        when(col("ts") < lit("2024-01-13").cast("timestamp"), lit("ref"))
+          .otherwise(lit("cur")).as("half"),
         greatest(least(floor(col("value")).cast("long"), lit(499L)),
           lit(0L)).as("bucket"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(sum(col("is_ref")).as("cr"),
-        sum(lit(1L) - col("is_ref")).as("cc"))
+      .groupBy(col("event_type"), col("half"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** x133's report stage over a (event_type, half, bucket, c) count
+    * frame (shared with s20): pivot to per-bucket ref/cur counts,
+    * cumulative BIGINT window sums, cross-multiplied sup, two final
+    * IEEE chains.
+    */
+  def ksReportFromCounts(cnt: DataFrame): DataFrame = {
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
     val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("event_type"))

@@ -914,6 +914,68 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** s20: x133's KS drift monitor with the CURRENT window maintained
+    * incrementally — s15's pattern on the new statistic: each
+    * microbatch's (type, bucket) counts merge additively into the
+    * maintained cur histogram (s12's IVM case), the ref histogram is
+    * a frozen batch artifact (s09's stream-static shape), and the
+    * readout runs through the SHARED
+    * [[graft.pipeline.Views.ksReportFromCounts]] stage — so the
+    * streamed sup-distance is oracled ≡ batch x133 by construction.
+    * State is ≤ |type|·500 rows at any event volume (the binned-ECDF
+    * bound is exactly what makes KS maintainable; the unbinned
+    * statistic would need every distinct value).
+    */
+  def foreachBatchKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s20_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/hist_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.pipeline.Views.ksHalfCounts(batch.toDF())
+            .filter(col("half") === "cur")
+            .select(col("event_type"), col("bucket"), col("c"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("event_type", "bucket"), "full_outer")
+                .select(col("event_type"), col("bucket"),
+                  (coalesce(p("c"), lit(0L)) +
+                    coalesce(delta("c"), lit(0L))).as("c"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cur = spark.read.parquet(latest.getOrElse(
+      sys.error("s20: stream produced no batches")))
+      .withColumn("half", lit("cur"))
+    val ref = graft.pipeline.Views
+      .ksHalfCounts(Lake.table(spark, sfDir, "events"))
+      .filter(col("half") === "ref")
+    graft.pipeline.Views.ksReportFromCounts(
+        cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
+          .unionByName(ref))
+      .orderBy(col("event_type"))
+  }
+
   /** s16: streaming maintenance of a JOIN view — the IVM case s12
     * (additive agg) and s13 (set semantics) don't cover: BOTH join
     * sides grow over time. The classic degree-count factorization
@@ -1197,6 +1259,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchDq(spark, sfDir)),
     "s15_stream_psi_monitor" ->
       ((spark, sfDir) => foreachBatchPsi(spark, sfDir)),
+    "s20_stream_ks_monitor" ->
+      ((spark, sfDir) => foreachBatchKs(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1288,6 +1352,9 @@ object Streams {
     // the IVM contract verbatim: maintained current histogram + static
     // reference through the shared report stage ≡ batch x98
     "s15_stream_psi_monitor" -> graft.pipeline.Views.oracles("x98_psi_drift"),
+    // the IVM contract verbatim: maintained cur histogram + static
+    // reference through the shared sup-distance stage ≡ batch x133
+    "s20_stream_ks_monitor" -> graft.pipeline.Views.oracles("x133_ks_drift"),
     // the IVM contract verbatim: maintained chunk store + counters
     // ≡ batch x116's content-addressed dedup report
     "s17_stream_cdc_maintain" ->

@@ -319,6 +319,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed PSI diverges from batch x98:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming KS monitor equals batch x133 across a multi-batch run (s20)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))
+    val streamed = graft.streaming.Streams.foreachBatchKs(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s20_$tag")
+      .listFiles().count(_.getName.startsWith("hist_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed KS diverges from batch x133:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming join-view maintenance: degree product equals the literal event-grain join across batches (s16)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchJoinView(spark, SfDir)
