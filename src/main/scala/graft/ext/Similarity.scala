@@ -174,6 +174,31 @@ object Similarity {
   def annCandidatePairs(df: DataFrame, nBits: Int, nTables: Int): DataFrame =
     candidatesFromBuckets(lshBuckets(df, nBits, nTables))
 
+  /** x137's approximate kNN graph over a (vec_id, vec) frame: x75's
+    * engine-constructible int-plane buckets generate collision
+    * candidates, pairs expand to both directions (kNN is per-node),
+    * exact 4 dp-rounded cosine ranks them, and the per-src window
+    * runs over collision-bounded candidate lists — never the corpus.
+    */
+  def knnGraph(e: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
+    val buckets = e.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        intPlaneSignature("vec", nBits, t)): _*))
+        .as(Seq("tbl", "sig")))
+    val pairs = candidatesFromBuckets(buckets)
+    val arcs = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    val scored = arcs
+      .join(e.select(col("vec_id").as("src"), col("vec").as("vs")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("vec").as("vd")), "dst")
+      .select(col("src"), col("dst"),
+        round(cosine(col("vs"), col("vd")), 4).as("cos"))
+    val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+  }
+
   /** Near-dup pairs by exact cosine over the LSH candidates: fetch the
     * two vectors per deduplicated pair, verify cosine ≥ threshold.
     * `df` must have `vec_id` and array<double> `vec`.
@@ -962,6 +987,27 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // APPROXIMATE kNN GRAPH — every node's top-3 cosine neighbors
+    // among its LSH collision candidates: the all-pairs backbone that
+    // graph-based curation consumes (kNN-graph components for
+    // cluster dedup, degree for density weighting, x102/x130-style
+    // diversity seeds) where x07/x08 answer only a fixed query set.
+    // Brute force is O(n²) at any scale; here candidate generation is
+    // x75's engine-constructible int-plane bucketing (so unlike
+    // x08/x09 the whole graph takes a full hash oracle), pairs expand
+    // to both directions (kNN is per-node, not unordered), exact
+    // 4 dp-rounded cosine ranks them, and the per-src window runs
+    // over collision-bounded candidate lists — never the corpus.
+    // Nodes with zero collisions are absent by design (the report is
+    // the graph, not a spine); raising tables/bits buys recall, the
+    // hot-bucket cap keeps degenerate duplicate classes from
+    // quadratic blowup.
+    "x137_knn_graph" -> ((spark, sfDir) =>
+      knnGraph(emb(spark, sfDir).filter(col("vec_id") < 300)
+          .withColumn("vec", toDouble(col("embedding"))),
+        k = 3, nBits = 8, nTables = 2)
+        .orderBy(col("src"), col("rk"))),
+
     // Sorted-neighborhood near-dup: deterministic blocking (first
     // embedding component within each label), so unlike x08/x09 the
     // candidate SET is engine-reproducible and the query carries a
@@ -1512,6 +1558,34 @@ object Similarity {
         "(sqrt(list_sum(list_transform(va, x -> x * x))) * " +
         "sqrt(list_sum(list_transform(vb, x -> x * x)))), 4) AS cos FROM vv) s " +
         "WHERE cos >= 0.2 ORDER BY vec_a, vec_b"),
+    // x75's signature/candidate CTEs verbatim, then both-direction
+    // expansion, the same cosine arithmetic and per-src rank window
+    "x137_knn_graph" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300), " +
+        "q AS (SELECT vec_id, v, list_transform(v, " +
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM e), " +
+        "sig AS (SELECT vec_id, t.tbl AS tbl, " +
+        "CAST(list_sum(list_transform(range(0, 8), p -> " +
+        "CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), d -> " +
+        "qv[d] * (((t.tbl * 7919 + p * 104729 + (d - 1) * 1000003) % 2003) - 1001))) > 0 " +
+        "THEN (1 << p) ELSE 0 END)) AS BIGINT) AS sig " +
+        "FROM q, (SELECT unnest(range(0, 2)) AS tbl) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig " +
+        "AND a.vec_id < b.vec_id), " +
+        "arcs AS (SELECT vec_a AS src, vec_b AS dst FROM cand " +
+        "UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand), " +
+        "sc AS (SELECT a.src, a.dst, ROUND(" +
+        "list_sum(list_transform(range(1, len(es.v) + 1), i -> es.v[i] * ed.v[i])) / " +
+        "(sqrt(list_sum(list_transform(es.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(ed.v, x -> x * x)))), 4) AS cos " +
+        "FROM arcs a JOIN e es ON es.vec_id = a.src " +
+        "JOIN e ed ON ed.vec_id = a.dst) " +
+        "SELECT src, CAST(rk AS INTEGER) AS rk, dst, cos FROM (" +
+        "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
+        "ORDER BY cos DESC, dst) AS rk FROM sc) r " +
+        "WHERE rk <= 3 ORDER BY src, rk"),
     // deterministic blocking → reproducible candidate set; the cosine
     // mirrors x07's arithmetic (double widening, 4 dp round)
     "x45_snm_neardup" ->

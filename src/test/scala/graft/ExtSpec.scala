@@ -2623,6 +2623,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x137 knn graph: planted clusters link within themselves, symmetry of the undirected candidates holds") {
+    import spark.implicits._
+    // two tight clusters along orthogonal axes (plus per-id jitter in
+    // a third dim so vectors are distinct): every node's nearest
+    // neighbors must be its own cluster — orthogonal vectors hash to
+    // different signs on most planes AND score cosine ~0 even when
+    // they collide
+    def v(axis: Int, id: Long) = {
+      val base = Array.fill(8)(0.0)
+      base(axis) = 1.0
+      base(7) = 0.001 * id
+      base
+    }
+    val e = ((0L to 3L).map(i => (i, v(0, i))) ++
+      (10L to 13L).map(i => (i, v(3, i)))).toDF("vec_id", "vec")
+    val got = Similarity.knnGraph(e, k = 3, nBits = 8, nTables = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val cluster = (id: Long) => if (id < 10) 0 else 1
+    got.foreach { case (src, _, dst, cos) =>
+      assert(cluster(src) == cluster(dst),
+        s"$src -> $dst crosses clusters (cos $cos)")
+      assert(cos > 0.99, s"$src -> $dst: intra-cluster cosine must be ~1")
+    }
+    // per-src ranks are dense from 1 and cos non-increasing
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1 to rows.length).toSeq)
+      val coss = byRk.map(_._4).toList
+      assert(coss == coss.sortBy(-_), s"$src: cos must rank descending")
+    }
+    // undirected candidate symmetry: if a lists b among its k, b's
+    // candidate set contains a (it may fall off b's top-k only when
+    // b has more than k candidates — with cluster size 4 and k=3 the
+    // reverse edge must be present)
+    val edges = got.map(r => (r._1, r._3)).toSet
+    edges.foreach { case (a, b) => assert(edges.contains((b, a)),
+      s"missing reverse edge ($b, $a)") }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
