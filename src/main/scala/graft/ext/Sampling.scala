@@ -355,6 +355,47 @@ object Sampling {
     // document between splits (the property that keeps eval sets
     // uncontaminated across pipeline versions). Stateless map work;
     // at 100 TB this is a projection on the scan.
+    // LEAKAGE-FREE TARGET ENCODING — the categorical-feature staple
+    // (encode event_type by its high-value rate) done with the K-fold
+    // exclusion discipline: each fold's encoding derives from the
+    // OTHER folds only, and folds key on the Weyl hash of USER_ID —
+    // not the event — so none of a user's own events can inform the
+    // encoding their fold receives (x123's point-in-time argument,
+    // applied across folds instead of time). Smoothing is add-m to
+    // the fold-excluded global prior with the division DEFERRED:
+    // enc = (pos_ex·n_gex + m·pos_gex) / ((n_ex + m)·n_gex) — exact
+    // BIGINT numerator/denominator, ONE correctly-rounded division at
+    // 4 dp, so the smoothed encoder is hash-oracle-able. Scale shape:
+    // one (type, fold) hash agg (≤ |types|·K cells), broadcast-sized
+    // marginal joins, no per-event work past the first aggregate.
+    "x139_target_encoding" -> ((spark, sfDir) => {
+      val m = 100L
+      val cells = Lake.table(spark, sfDir, "events")
+        .select(col("event_type"),
+          (sampleHash(col("user_id")) % 4).as("fold"),
+          when(col("value") > 90, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("event_type"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val byType = cells.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_t"), sum(col("n_pos")).as("pos_t"))
+      // the prior excludes the WHOLE fold (all types), not just the
+      // cell — fold-f rows of other types are still fold-f rows
+      val byFold = cells.groupBy(col("fold"))
+        .agg(sum(col("n")).as("n_f"), sum(col("n_pos")).as("pos_f"))
+      val global = broadcast(cells.agg(sum(col("n")).as("n_g"),
+        sum(col("n_pos")).as("pos_g")))
+      cells.join(broadcast(byType), "event_type")
+        .join(broadcast(byFold), "fold").crossJoin(global)
+        .select(col("event_type"), col("fold"), col("n"),
+          (col("n_t") - col("n")).as("n_excl"),
+          (col("pos_t") - col("n_pos")).as("pos_excl"),
+          round(((col("pos_t") - col("n_pos")) * (col("n_g") - col("n_f")) +
+            lit(m) * (col("pos_g") - col("pos_f"))).cast("double") /
+            ((col("n_t") - col("n") + lit(m)) *
+              (col("n_g") - col("n_f"))).cast("double"), 4).as("encoding"))
+        .orderBy(col("event_type"), col("fold"))
+    }),
+
     "x53_train_split" -> ((spark, sfDir) => {
       val t1 = HashMod * 98L / 100L
       val t2 = HashMod * 99L / 100L
@@ -797,6 +838,26 @@ object Sampling {
         "ROUND(CAST(LEAST(4 * n_tokens, 2000000 // ns) AS DOUBLE) / n_tokens, 4) AS epochs " +
         "FROM t, s ORDER BY source"),
     // exact integer thresholds — both engines cut the same hash
+    // same user-keyed folds, the same deferred-division smoothing —
+    // exact integer numerator/denominator, one division at 4 dp
+    "x139_target_encoding" ->
+      (s"WITH c AS (SELECT event_type, " +
+        s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_t FROM c GROUP BY 1), " +
+        "f AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_f FROM c GROUP BY 1), " +
+        "g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_g FROM c) " +
+        "SELECT c.event_type, CAST(c.fold AS BIGINT) AS fold, c.n, " +
+        "n_t - c.n AS n_excl, pos_t - c.n_pos AS pos_excl, " +
+        "ROUND(CAST((pos_t - c.n_pos) * (n_g - n_f) + 100 * (pos_g - pos_f) AS DOUBLE) / " +
+        "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE), 4) AS encoding " +
+        "FROM c JOIN t USING (event_type) JOIN f USING (fold), g " +
+        "ORDER BY c.event_type, fold"),
     "x53_train_split" ->
       (s"SELECT doc_id, lang, CASE " +
         s"WHEN (doc_id * $HashMul) % $HashMod < ${HashMod * 98L / 100L} THEN 'train' " +

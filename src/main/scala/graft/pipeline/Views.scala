@@ -273,8 +273,51 @@ object Views {
     // hash oracle.
     "x133_ks_drift" -> ((spark, sfDir) =>
       ksReport(Lake.table(spark, sfDir, "events"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // CUSUM CHANGE-POINT DETECTION — the third drift monitor: x98/
+    // x133 test WHETHER two windows differ; CUSUM localizes WHEN the
+    // level shifted, accumulating small persistent deviations a
+    // per-point threshold never sees. Per event_type over daily
+    // counts: deviations are cross-multiplied to exact integers
+    // (dᵢ = xᵢ·n_days − total — no float mean ever materializes),
+    // S_t = prefix sum, and the one-sided statistics take the
+    // drawup/drawdown form CUSUM⁺ = S_t − min_{i≤t} S_i / CUSUM⁻ =
+    // max_{i≤t} S_i − S_t — running min/max windows replace the
+    // sequential reset recurrence, which is what makes CUSUM
+    // expressible as bounded window algebra instead of a fold. Alarm
+    // = drawup above 2 days' mean mass (S_t − min > 2·total, integer
+    // compare); readout divides by n_days once per row at 2 dp. All
+    // windows run on the ≤31-row per-type day frame.
+    "x138_cusum_anomaly" -> ((spark, sfDir) =>
+      cusumReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"), col("day")))
   )
+
+  /** x138's CUSUM stage over a (event_type, day, x) daily-count
+    * frame — exposed so tests can plant level shifts. See the
+    * registry entry for the drawup/drawdown window form.
+    */
+  def cusumReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("s", sum(col("x") * col("n_days") - col("total")).over(cum))
+      .withColumn("s_min", min(col("s")).over(cum))
+      .withColumn("s_max", max(col("s")).over(cum))
+      .select(col("event_type"), col("day"), col("x"),
+        round((col("s") - col("s_min")).cast("double") /
+          col("n_days").cast("double"), 2).as("cusum_up"),
+        round((col("s_max") - col("s")).cast("double") /
+          col("n_days").cast("double"), 2).as("cusum_dn"),
+        (col("s") - col("s_min") > col("total") * 2).as("alarm"))
+  }
 
   /** x133's binned two-sample KS report: per event_type, the sup
     * ECDF distance between the x98 ref window (first 12 days) and the
@@ -503,6 +546,28 @@ object Views {
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) AS psi, " +
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) < 0.1 AS stable " +
         "FROM f GROUP BY event_type, nr, nc ORDER BY event_type"),
+    // same cross-multiplied deviations, prefix sum and running
+    // min/max drawup form, same integer alarm compare
+    "x138_cusum_anomaly" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days FROM d), " +
+        "s AS (SELECT event_type, day, x, total, n_days, " +
+        "CAST(SUM(x * n_days - total) OVER (PARTITION BY event_type " +
+        "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s FROM w), " +
+        "m AS (SELECT event_type, day, x, total, n_days, s, " +
+        "MIN(s) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS s_min, " +
+        "MAX(s) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS s_max FROM s) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS x, " +
+        "ROUND(CAST(s - s_min AS DOUBLE) / CAST(n_days AS DOUBLE), 2) AS cusum_up, " +
+        "ROUND(CAST(s_max - s AS DOUBLE) / CAST(n_days AS DOUBLE), 2) AS cusum_dn, " +
+        "s - s_min > total * 2 AS alarm " +
+        "FROM m ORDER BY event_type, day"),
     // same grid, same integer cumulative window sums, same
     // cross-multiplied sup numerator and two final division chains
     "x133_ks_drift" ->

@@ -2663,6 +2663,68 @@ class ExtSpec extends SparkSpec {
       s"missing reverse edge ($b, $a)") }
   }
 
+  test("x138 cusum: a planted level shift accumulates to an alarm a per-point threshold never sees") {
+    import spark.implicits._
+    // 10 days at 10 then 10 days at 20: every single day is close to
+    // the overall mean (15), but the drawup accumulates through the
+    // second half and crosses the 2-days'-mass bar on day 16
+    val daily = ((0L to 9L).map(d => ("a", d, 10L)) ++
+      (10L to 19L).map(d => ("a", d, 20L))).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.cusumReport(daily)
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    // exact recompute: total=300, n_days=20, dev = 20x-300
+    var (s, sMin, sMax) = (0L, Long.MaxValue, Long.MinValue)
+    val exp = (0L to 19L).map { d =>
+      val x = if (d < 10) 10L else 20L
+      s += x * 20 - 300
+      sMin = math.min(sMin, s); sMax = math.max(sMax, s)
+      def r2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (d, r2((s - sMin) / 20.0), r2((sMax - s) / 20.0), s - sMin > 600)
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // the alarm fires in the shifted half only, and not on day one of it
+    assert(!exp.take(12).exists(_._4) && exp.drop(16).forall(_._4))
+    // registry surface: bounded day frame, both sides non-negative
+    val lake = graft.pipeline.Views.queries("x138_cusum_anomaly")(spark, SfDir).collect()
+    assert(lake.nonEmpty)
+    lake.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("x139 target encoding: fold-excluded smoothed rates recompute exactly, no fold sees its own rows") {
+    val rows = Sampling.queries("x139_target_encoding")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Lake.table(spark, SfDir, "events")
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect().map(r => (r.getString(0),
+        ((r.getLong(1) * Sampling.HashMul) % Sampling.HashMod) % 4,
+        if (r.getDouble(2) > 90) 1L else 0L))
+    val cells = ev.groupBy(e => (e._1, e._2))
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._3).sum) }
+    assert(rows.keySet == cells.keySet)
+    val nG = ev.size.toLong
+    val posG = ev.map(_._3).sum
+    val byType = ev.groupBy(_._1).map { case (t, xs) => t -> (xs.size.toLong, xs.map(_._3).sum) }
+    val byFold = ev.groupBy(_._2).map { case (f, xs) => f -> (xs.size.toLong, xs.map(_._3).sum) }
+    cells.foreach { case (k @ (t, f), (n, pos)) =>
+      val (nT, posT) = byType(t)
+      val (nF, posF) = byFold(f)
+      val num = (posT - pos) * (nG - nF) + 100L * (posG - posF)
+      val den = (nT - n + 100L) * (nG - nF)
+      val exp = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, gnEx, gposEx, genc) = rows(k)
+      assert(gn == n && gnEx == nT - n && gposEx == posT - pos,
+        s"$k: counts ($gn,$gnEx,$gposEx) vs ($n,${nT - n},${posT - pos})")
+      assert(math.abs(genc - exp) < 1e-12, s"$k: enc $genc vs $exp")
+      assert(genc > 0.0 && genc < 1.0)
+    }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
