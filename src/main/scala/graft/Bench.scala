@@ -225,7 +225,15 @@ object Bench {
     // round-12 additions (49 → 52): the second link-analysis
     // iteration (HITS), the bounded-pass farthest-point coreset, and
     // the integer-exact privacy-distribution audit
-    "x129_hits", "x130_kcenter_coreset", "x131_t_closeness")
+    "x129_hits", "x130_kcenter_coreset", "x131_t_closeness",
+    // round-12 session-7 additions (52 → 56): the hub-discounted
+    // wedge join (x132 — the O(E^1.5) wedge stream is the scaling
+    // risk), the all-pairs kNN graph off LSH collisions (x137 — the
+    // candidate-volume shape for graphs), the survival estimator's
+    // user-shuffle + bounded-window chain (c84), and the binned-ECDF
+    // sup-distance monitor (x133)
+    "x132_adamic_adar", "x137_knn_graph", "c84_kaplan_meier",
+    "x133_ks_drift")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -245,7 +253,10 @@ object Bench {
     "x92_span_dedup",
     // HITS: the second iterative graph shape — meaningful at the big
     // point now that the v2 scaled lake grows the edge set
-    "x129_hits")
+    "x129_hits",
+    // the wedge stream (O(E^1.5) rows against the edge probe) — the
+    // graph-side candidate-volume question x03 answers for shingles
+    "x132_adamic_adar")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -619,6 +630,18 @@ object Bench {
           "pr_adjacency_v2")(graft.ext.Graph.adjacencyFor(spark, dir)).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x69_edges_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x132_adamic_adar")) try {
+        // the wedge-stream volume (O(E^1.5) upper bound) — the
+        // quantity x132's wall should track; like x03's candidate
+        // curve, a wall ratio far above this volume ratio is run
+        // noise, one far below is the broadcast probe working
+        val e = graft.ext.Graph.coPurchaseEdges(spark, dir)
+        val arcs = e.select(col("u").as("n"), col("v").as("nbr"))
+          .unionAll(e.select(col("v").as("n"), col("u").as("nbr")))
+        parts += s""""x132_wedges":${arcs.as("a").join(arcs.as("b"),
+          col("a.n") === col("b.n") && col("a.nbr") < col("b.nbr")).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x132_wedges_err":"${jsonEscape(e.getMessage)}"""" }
       parts.mkString("{", ",", "}")
     }
 

@@ -454,6 +454,52 @@ class PlanSpec extends SparkSpec {
       s"marginals not broadcast:\n$plan")
   }
 
+  test("adamic-adar keeps the wedge pipeline equi-join-only with a broadcast edge probe (x132)") {
+    val plan = graft.ext.Graph.queries("x132_adamic_adar")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x132 plans a non-equi join:\n$plan")
+    // the wedge stream probes the broadcast edge list before the
+    // aggregation (x87's filter-before-count contract)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"edge probe is not a broadcast join:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"top-20 not planned as TakeOrdered:\n$plan")
+  }
+
+  test("drift monitors are pure aggregation + bounded-frame windows — no joins at all (x133/x138)") {
+    for ((mod, name) <- Seq(
+        (graft.pipeline.Views.queries, "x133_ks_drift"),
+        (graft.pipeline.Views.queries, "x138_cusum_anomaly"))) {
+      val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"),
+        s"$name: no partial aggregation in:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join anything:\n$plan")
+      // the event-grain work collapses to the bucket/day frame BEFORE
+      // any window — a Window directly over events would sort the
+      // corpus
+      assert(plan.contains("Window"), s"$name: window stage missing:\n$plan")
+    }
+  }
+
+  test("knn graph joins on bucket signatures and ranks collision-bounded lists — no cartesian (x137)") {
+    val plan = graft.ext.Similarity.queries("x137_knn_graph")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"x137 plans a non-equi join:\n$plan")
+  }
+
+  test("target encoding is one cell aggregate with broadcast marginals (x139)") {
+    val plan = graft.ext.Sampling.queries("x139_target_encoding")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial aggregation in:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"marginals not broadcast:\n$plan")
+  }
+
   test("histogram rollup's warm path reads only the materialized daily partial, never raw events (x70)") {
     val df = graft.ext.Sampling.queries("x70_hist_rollup")(spark, SfDir)
     val plan = df.queryExecution.executedPlan.toString
