@@ -363,6 +363,31 @@ object Graph {
       .agg(count(lit(1)).as("cn"), sum(col("term_fp")).as("aa_fp"))
   }
 
+  /** x140's 2-hop BFS ball from the hub (max degree, id tiebreak)
+    * over (u < v) single-row edges: per-hop frontier size + node-sum
+    * checksum. Each hop is one frontier equi-join + an anti-join
+    * against the visited set.
+    */
+  def bfsReach2(edges: DataFrame): DataFrame = {
+    val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val seed = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("src")).limit(1)
+      .head().getLong(0)
+    val f1 = arcs.filter(col("src") === seed)
+      .select(col("dst").as("node")).distinct()
+    val f2 = arcs.join(f1.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node")).distinct()
+      .join(f1, Seq("node"), "left_anti")
+      .filter(col("node") =!= seed)
+    f1.withColumn("hop", lit(1))
+      .unionByName(f2.withColumn("hop", lit(2)))
+      .unionByName(f1.sparkSession.range(1)
+        .select(lit(seed).as("node"), lit(0).as("hop")))
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
@@ -443,6 +468,21 @@ object Graph {
       adamicAdar(coPurchaseEdges(spark, sfDir))
         .orderBy(desc("aa_fp"), col("u"), col("v"))
         .limit(20)),
+    // BOUNDED BFS REACHABILITY — the traversal primitive next to the
+    // centrality (x69/x129) and counting (x81/x85-x87) families: from
+    // the graph's hub (max degree, id tiebreak), the hop-1 and hop-2
+    // frontiers with per-hop size + node-sum checksum. Each hop is
+    // one frontier equi-join + anti-joins against the visited set —
+    // the BSP BFS step every distributed graph engine runs — and the
+    // hop bound keeps the job graph static (x69's discipline; deeper
+    // reach is the same loop continued, lake-checkpointing the
+    // frontier per round). The seed is ONE driver-collected scalar
+    // off a TakeOrdered(1) — the A3-class contract edge, not a
+    // driver loop. The hub's 2-hop ball on a co-purchase graph is
+    // the "blast radius" read a recommender sanity-checks.
+    "x140_bfs_reach" -> ((spark, sfDir) =>
+      bfsReach2(coPurchaseEdges(spark, sfDir)).orderBy(col("hop"))),
+
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
     // their nation, two majority-vote rounds spread it across the
@@ -706,6 +746,27 @@ object Graph {
         "FROM e LEFT JOIN cmn c ON e.u = c.u AND e.v = c.v " +
         "JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n " +
         "ORDER BY jac DESC, e.u, e.v LIMIT 20"),
+    // same hub seed, frontier joins and visited-set anti-joins
+    "x140_bfs_reach" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "arcs AS (SELECT u AS src, v AS dst FROM e " +
+        "UNION ALL SELECT v AS src, u AS dst FROM e), " +
+        "seed AS (SELECT src FROM (SELECT src, COUNT(*) AS d FROM arcs " +
+        "GROUP BY 1) ORDER BY d DESC, src LIMIT 1), " +
+        "f1 AS (SELECT DISTINCT dst AS node FROM arcs " +
+        "WHERE src = (SELECT src FROM seed)), " +
+        "f2 AS (SELECT DISTINCT a.dst AS node FROM arcs a " +
+        "JOIN f1 ON a.src = f1.node " +
+        "WHERE a.dst NOT IN (SELECT node FROM f1) " +
+        "AND a.dst <> (SELECT src FROM seed)), " +
+        "lab AS (SELECT src AS node, 0 AS hop FROM seed " +
+        "UNION ALL SELECT node, 1 FROM f1 " +
+        "UNION ALL SELECT node, 2 FROM f2) " +
+        "SELECT CAST(hop AS INTEGER) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes, " +
+        "CAST(SUM(node) AS BIGINT) AS node_sum FROM lab GROUP BY 1 ORDER BY 1"),
     // integer votes + the (votes desc, label asc) tiebreak replicated
     // as QUALIFY row_number — two unrolled rounds
     "x80_label_prop" ->

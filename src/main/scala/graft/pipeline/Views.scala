@@ -294,8 +294,44 @@ object Views {
         .groupBy(col("event_type"),
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))
-        .orderBy(col("event_type"), col("day")))
+        .orderBy(col("event_type"), col("day"))),
+
+    // WINSORIZED MEAN — the robust level estimate beside x84's MAD
+    // outlier FLAG: report each type's mean with the tails clamped to
+    // the discrete p05/p95 (actual data values — x51's cross-engine
+    // quantile convention, broadcast as a |type|-row frame), next to
+    // the raw mean so the report shows what the tails were doing.
+    // Both means accumulate as exact DECIMAL(30,10) sums (p07's
+    // order-independence pattern — a double Σ would be association-
+    // order-sensitive) with ONE division each at 4 dp. At 100 TB the
+    // discrete quantile swaps to approx_percentile unchanged (x84's
+    // note); everything after the broadcast is one map + one
+    // partial-agg'able pass.
+    "x141_winsorized_mean" -> ((spark, sfDir) =>
+      winsorizedReport(Lake.table(spark, sfDir, "events")
+        .select(col("event_type"), col("value")))
+        .orderBy(col("event_type")))
   )
+
+  /** x141's winsorized-mean stage over a (event_type, value) frame —
+    * exposed so tests can plant tails with known quantile cuts.
+    */
+  def winsorizedReport(ev: DataFrame): DataFrame = {
+    val bounds = broadcast(ev.groupBy(col("event_type")).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi")))
+    ev.join(bounds, "event_type")
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        greatest(least(col("value"), col("hi")), col("lo")).as("w"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo")), 2).as("lo"),
+        round(min(col("hi")), 2).as("hi"),
+        round(sum(col("value").cast("decimal(30,10)")).cast("double") /
+          count(lit(1)), 4).as("raw_mean"),
+        round(sum(col("w").cast("decimal(30,10)")).cast("double") /
+          count(lit(1)), 4).as("wins_mean"))
+  }
 
   /** x138's CUSUM stage over a (event_type, day, x) daily-count
     * frame — exposed so tests can plant level shifts. See the
@@ -546,6 +582,19 @@ object Views {
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) AS psi, " +
         "ROUND(SUM((pc - pr) * LN(pc / pr)), 4) < 0.1 AS stable " +
         "FROM f GROUP BY event_type, nr, nc ORDER BY event_type"),
+    // same discrete quantile bounds, clamp, and exact decimal
+    // accumulation with one division per mean
+    "x141_winsorized_mean" ->
+      ("WITH b AS (SELECT event_type, quantile_disc(value, 0.05) AS lo, " +
+        "quantile_disc(value, 0.95) AS hi FROM events GROUP BY 1), " +
+        "w AS (SELECT e.event_type, e.value, b.lo, b.hi, " +
+        "GREATEST(LEAST(e.value, b.hi), b.lo) AS w " +
+        "FROM events e JOIN b USING (event_type)) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "ROUND(MIN(lo), 2) AS lo, ROUND(MIN(hi), 2) AS hi, " +
+        "ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS raw_mean, " +
+        "ROUND(CAST(SUM(CAST(w AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 4) AS wins_mean " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
     // same cross-multiplied deviations, prefix sum and running
     // min/max drawup form, same integer alarm compare
     "x138_cusum_anomaly" ->

@@ -2725,6 +2725,47 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x140 bfs: planted star-plus-chain reaches exactly the 2-hop ball from the hub") {
+    import spark.implicits._
+    // hub 1 (deg 3); chain 4-5-6: hop1 = {2,3,4}, hop2 = {5},
+    // node 6 is 3 hops out and must be absent
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val got = graft.ext.Graph.bfsReach2(edges)
+      .orderBy(col("hop")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 1L, 1L), (1, 3L, 9L), (2, 1L, 5L)),
+      s"got ${got.toSeq}")
+    // registry surface: three hops, disjoint frontiers imply the ball
+    // bound n(0)=1 and monotone node sums > 0
+    val lake = graft.ext.Graph.queries("x140_bfs_reach")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(lake.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(lake.head._2 == 1L)
+    lake.foreach { case (_, n, s) => assert(n > 0 && s > 0) }
+  }
+
+  test("x141 winsorized mean: planted uniform tail clamps to the discrete p05/p95 exactly") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i => ("a", i.toDouble)).toDF("event_type", "value")
+    val got = graft.pipeline.Views.winsorizedReport(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // percentile_disc picks actual members: lo=5, hi=95; clamping
+    // moves 1..4 up (+10) and 96..100 down (-15) on a raw sum of 5050
+    assert(got.toSeq == Seq(("a", 100L, 5.0, 95.0, 50.5, 50.45)), s"got ${got.toSeq}")
+    // lake surface: winsorized mean sits inside [lo, hi] and never
+    // drifts far from raw on a tame distribution
+    val lake = graft.pipeline.Views.queries("x141_winsorized_mean")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(lake.nonEmpty)
+    lake.foreach { case (t, lo, hi, raw, wins) =>
+      assert(lo <= hi, s"$t: bounds inverted")
+      assert(wins >= lo - 0.01 && wins <= hi + 0.01, s"$t: mean outside clamp range")
+    }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
