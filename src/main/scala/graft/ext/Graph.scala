@@ -191,6 +191,24 @@ object Graph {
         .distinct()
     }
 
+  /** The degree-oriented arc frame of the co-purchase graph as a lake
+    * artifact: x81/x85/x87/x132 each reference it on THREE join
+    * branches (two wedge legs + the closing probe), so serving it
+    * from a compact parquet — instead of re-deriving the two degree
+    * joins per branch — is the same artifact discipline as x69's
+    * pr_adjacency_v2.
+    */
+  private[graft] def orientedArcsFor(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.materialize(spark, sfDir, "copurchase_arcs_v1") {
+      orientByDegree(coPurchaseEdges(spark, sfDir))
+    }
+
+  /** Node degrees of the co-purchase graph (node-sized artifact). */
+  private[graft] def copurchaseDegFor(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.materialize(spark, sfDir, "copurchase_deg_v1") {
+      degrees(coPurchaseEdges(spark, sfDir))
+    }
+
   /** The part↔supplier adjacency from `lineitem`, both directions. */
   private def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Lake.table(spark, sfDir, "lineitem")
@@ -241,14 +259,16 @@ object Graph {
         when(fwd, col("v")).otherwise(col("u")).as("t"))
   }
 
-  /** Per-node triangle participation over an undirected edge list:
-    * wedge join (two arcs off one source) closed by a third-arc
-    * equi-join, each triangle counted once by the orientation
-    * invariant, then exploded back to its three corners. Three
-    * equi-joins + one integer count — no windows, no state.
+  /** The once-per-triangle (a, b, c) enumeration over a prebuilt
+    * oriented arc frame: wedge join (two arcs off one source) closed
+    * by a third-arc equi-join, each triangle appearing exactly once
+    * by the orientation invariant. Taking the ARC frame (not edges)
+    * lets registered queries serve all three join branches from one
+    * lake-materialized parquet — inline orientation re-derives the
+    * two degree joins per branch, which tripled the wedge stage's
+    * upstream cost in the sf0.1 bench.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val arcs = orientByDegree(edges)
+  def triangleEnum(arcs: DataFrame): DataFrame =
     // the closing probe is |wedges| >> |arcs|: broadcasting the arc
     // list keeps the wedge stream map-side instead of sort-shuffling
     // it (wedges are O(E^1.5) rows; the arc list is O(E)). On a
@@ -256,15 +276,24 @@ object Graph {
     // hint comes off and the same plan degrades gracefully to the
     // partitioned MR-triangle shuffle — the orientation bound is what
     // keeps THAT join's volume polynomial, not the broadcast.
-    val tri = arcs.select(col("s").as("a"), col("t").as("b"))
+    arcs.select(col("s").as("a"), col("t").as("b"))
       .join(arcs.select(col("s").as("a"), col("t").as("c")),
         Seq("a"))
       .filter(col("b") =!= col("c"))
       .join(broadcast(arcs.select(col("s").as("b"), col("t").as("c"))),
         Seq("b", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+
+  /** Per-node triangle participation from a prebuilt oriented arc
+    * frame. Three equi-joins + one integer count — no windows.
+    */
+  def triangleCountsFrom(arcs: DataFrame): DataFrame =
+    triangleEnum(arcs)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-  }
+
+  /** Per-node triangle participation over an undirected edge list. */
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsFrom(orientByDegree(edges))
 
   /** Undirected degree per node over (u < v) single-row edges. */
   def degrees(edges: DataFrame): DataFrame =
@@ -289,8 +318,15 @@ object Graph {
     * rounded to the 4 dp grid.
     */
   def clusteringCoeff(edges: DataFrame): DataFrame =
-    degrees(edges)
-      .join(triangleCounts(edges).withColumnRenamed("node", "n"),
+    clusteringCoeffFrom(degrees(edges),
+      triangleCounts(edges))
+
+  /** [[clusteringCoeff]] over prebuilt degree and per-node triangle
+    * frames (both node-sized).
+    */
+  def clusteringCoeffFrom(deg: DataFrame, tri: DataFrame): DataFrame =
+    deg
+      .join(tri.withColumnRenamed("node", "n"),
         Seq("n"), "left")
       .select(col("n").as("node"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"))
@@ -303,23 +339,26 @@ object Graph {
     * one wedge equi-join grouped to pairs, union size by
     * inclusion–exclusion over exact degrees.
     */
-  def linkJaccard(edges: DataFrame): DataFrame = {
-    val arcs = edges.select(col("u").as("n"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
-    // filter BEFORE counting: the wedge stream (O(E^1.5) rows) is
-    // probed against the broadcast edge list first, so only pairs
-    // that ARE edges reach the aggregation — the count-then-filter
-    // order would shuffle every wedge pair into the groupBy. Same
-    // graceful degradation note as triangleCounts when the edge list
-    // outgrows broadcast.
-    val common = arcs.as("a")
-      .join(arcs.as("b"), col("a.n") === col("b.n") &&
-        col("a.nbr") < col("b.nbr"))
-      .select(col("a.nbr").as("u"), col("b.nbr").as("v"))
-      .join(broadcast(edges), Seq("u", "v"))
+  def linkJaccard(edges: DataFrame): DataFrame =
+    linkJaccardFrom(edges, orientByDegree(edges), degrees(edges))
+
+  /** [[linkJaccard]] from prebuilt oriented-arc/degree frames: a
+    * common neighbor of an edge IS a triangle corner, so the pair
+    * counts come from the once-per-triangle enumeration (oriented
+    * wedge bound) instead of the naive all-arcs wedge stream — on
+    * the sf0.1 co-purchase graph that stream is 295 M ordered rows
+    * vs 82 M oriented ones feeding ~1 M triangles.
+    */
+  def linkJaccardFrom(edges: DataFrame, arcs: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val common = triangleEnum(arcs).select(explode(array(
+        struct(col("a").as("x"), col("b").as("y")),
+        struct(col("a").as("x"), col("c").as("y")),
+        struct(col("b").as("x"), col("c").as("y")))).as("i"))
+      .select(least(col("i.x"), col("i.y")).as("u"),
+        greatest(col("i.x"), col("i.y")).as("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"))
-    val deg = degrees(edges)
     edges.join(common, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("cn"), lit(0L)).as("cn"))
       .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
@@ -333,32 +372,41 @@ object Graph {
     * Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — x87's jaccard weights every
     * common neighbor equally, AA discounts promiscuous hubs (a shared
     * neighbor of degree 500 is weak evidence; one of degree 3 is
-    * strong). Each per-node term is ONE double division + round to an
-    * integer micro-unit (term_fp = round(10⁶/ln deg)) computed on the
-    * ARC frame — arc-sized, before the wedge expansion — so the
-    * per-pair score is an exact associative BIGINT sum of
-    * deterministic per-node constants (the x69 fixed-point rule: no
-    * order-sensitive float accumulation, full hash oracle). Wedge
-    * stream probes the broadcast edge list BEFORE aggregating
-    * (x87's filter-before-count discipline); a deg-1 arc can never
-    * center a wedge, so its guarded 0 term is unreachable — the guard
-    * only keeps ln(1)=0 out of the ANSI division.
+    * strong). A scored (edge, witness) incidence IS a triangle, so
+    * enumeration rides [[orientByDegree]]'s oriented wedge join —
+    * O(Σ outdeg²) with outdeg ∈ O(√E) — instead of the naive
+    * all-arcs wedge stream (Σ deg², 147.8 M rows vs ~4 M triangle
+    * incidences on the sf0.1 co-purchase graph: the first bench
+    * reading of this operator was 13.4 s median on exactly that
+    * stream). Each triangle (a,b,c) explodes into its three (edge,
+    * witness) incidences; witness terms land on the 10⁶ integer grid
+    * (ONE double division + round per incidence — x119's
+    * ln-over-exact-integers rule), so the per-pair score is an exact
+    * associative BIGINT sum (the x69 fixed-point rule: full hash
+    * oracle). A witness always has deg ≥ 2; the guard only keeps
+    * ln(1)=0 out of the ANSI division on degenerate inputs.
     */
-  def adamicAdar(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
-    val arcs = edges.select(col("u").as("n"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("n"), col("u").as("nbr")))
-    val terms = arcs.join(deg, "n")
-      .select(col("n"), col("nbr"),
+  def adamicAdar(edges: DataFrame): DataFrame =
+    adamicAdarFrom(orientByDegree(edges), degrees(edges))
+
+  /** [[adamicAdar]] over prebuilt oriented-arc and degree frames —
+    * the form registered queries use so the three wedge branches read
+    * one lake artifact.
+    */
+  def adamicAdarFrom(arcs: DataFrame, deg: DataFrame): DataFrame = {
+    val inc = triangleEnum(arcs).select(explode(array(
+        struct(col("a").as("x"), col("b").as("y"), col("c").as("z")),
+        struct(col("a").as("x"), col("c").as("y"), col("b").as("z")),
+        struct(col("b").as("x"), col("c").as("y"), col("a").as("z"))))
+        .as("i"))
+      .select(least(col("i.x"), col("i.y")).as("u"),
+        greatest(col("i.x"), col("i.y")).as("v"), col("i.z").as("z"))
+    inc.join(deg.withColumnRenamed("n", "z"), "z")
+      .select(col("u"), col("v"),
         when(col("deg") >= 2,
           round(lit(1000000.0) / log(col("deg").cast("double")), 0)
             .cast("long"))
           .otherwise(lit(0L)).as("term_fp"))
-    terms.as("a")
-      .join(arcs.as("b"), col("a.n") === col("b.n") &&
-        col("a.nbr") < col("b.nbr"))
-      .select(col("a.nbr").as("u"), col("b.nbr").as("v"), col("a.term_fp"))
-      .join(broadcast(edges), Seq("u", "v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"), sum(col("term_fp")).as("aa_fp"))
   }
@@ -397,7 +445,7 @@ object Graph {
     // density feature next to x69's global authority. Exact integer
     // counts end-to-end ⇒ full hash oracle.
     "x81_triangle_count" -> ((spark, sfDir) =>
-      triangleCounts(coPurchaseEdges(spark, sfDir))
+      triangleCountsFrom(orientedArcsFor(spark, sfDir))
         .select(col("node"), col("tri"))
         .orderBy(desc("tri"), col("node"))
         .limit(20)),
@@ -409,7 +457,8 @@ object Graph {
     // the single double division over them is IEEE-deterministic
     // before the 4 dp round (the x59/x72 one-division rule).
     "x85_clustering_coeff" -> ((spark, sfDir) =>
-      clusteringCoeff(coPurchaseEdges(spark, sfDir))
+      clusteringCoeffFrom(copurchaseDegFor(spark, sfDir),
+        triangleCountsFrom(orientedArcsFor(spark, sfDir)))
         .orderBy(desc("cc"), col("node"))
         .limit(20)),
 
@@ -449,7 +498,8 @@ object Graph {
     // edge list; union size is inclusion–exclusion over exact
     // degrees, one double division, 4 dp.
     "x87_link_jaccard" -> ((spark, sfDir) =>
-      linkJaccard(coPurchaseEdges(spark, sfDir))
+      linkJaccardFrom(coPurchaseEdges(spark, sfDir),
+        orientedArcsFor(spark, sfDir), copurchaseDegFor(spark, sfDir))
         .orderBy(desc("jac"), col("u"), col("v"))
         .limit(20)),
 
@@ -465,7 +515,8 @@ object Graph {
     // hash-oracle-able like x69/x129, unlike a float Σ1/ln would be.
     // Top-20 by (aa_fp, u, v).
     "x132_adamic_adar" -> ((spark, sfDir) =>
-      adamicAdar(coPurchaseEdges(spark, sfDir))
+      adamicAdarFrom(orientedArcsFor(spark, sfDir),
+        copurchaseDegFor(spark, sfDir))
         .orderBy(desc("aa_fp"), col("u"), col("v"))
         .limit(20)),
     // BOUNDED BFS REACHABILITY — the traversal primitive next to the
