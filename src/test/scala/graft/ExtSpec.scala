@@ -2766,6 +2766,27 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x142 assortativity: star hits the textbook -1, a regular cycle takes the guarded NULL") {
+    import spark.implicits._
+    def run(edges: org.apache.spark.sql.DataFrame) =
+      graft.ext.Graph.assortativity(edges, graft.ext.Graph.degrees(edges))
+        .collect().head
+    // star K1,3: every arc pairs the deg-3 hub with a deg-1 leaf —
+    // the canonical perfectly-disassortative graph
+    val star = run(Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v"))
+    assert(star.getLong(0) == 6L && star.getDouble(2) == -1.0, s"star: $star")
+    // 4-cycle: all degrees equal -> zero variance -> r undefined; the
+    // guard must surface NULL, not NaN
+    val cyc = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v"))
+    assert(cyc.getLong(0) == 8L && cyc.isNullAt(2), s"cycle: $cyc")
+    // lake surface: one row, r in [-1, 1]
+    val lake = graft.ext.Graph.queries("x142_assortativity")(spark, SfDir)
+      .collect()
+    assert(lake.length == 1)
+    val r = lake.head.getDouble(2)
+    assert(r >= -1.0 && r <= 1.0, s"r out of range: $r")
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(

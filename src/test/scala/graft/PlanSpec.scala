@@ -454,16 +454,19 @@ class PlanSpec extends SparkSpec {
       s"marginals not broadcast:\n$plan")
   }
 
-  test("adamic-adar keeps the wedge pipeline equi-join-only with a broadcast edge probe (x132)") {
+  test("adamic-adar rides the edge-iterator enum: equi-joins only, adjacency broadcast, no wedge-stream join (x132)") {
     val plan = graft.ext.Graph.queries("x132_adamic_adar")(spark, SfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"x132 plans a non-equi join:\n$plan")
-    // the wedge stream probes the broadcast edge list before the
-    // aggregation (x87's filter-before-count contract)
+    // the node-sized adjacency frames join broadcast-side while they
+    // fit; triangle witnesses come from codegen'd array_intersect,
+    // not a materialized wedge-stream join
     assert(plan.contains("BroadcastHashJoin"),
-      s"edge probe is not a broadcast join:\n$plan")
+      s"adjacency joins are not broadcast:\n$plan")
+    assert(plan.contains("array_intersect"),
+      s"witness enumeration is not the codegen intersect:\n$plan")
     assert(plan.contains("TakeOrdered"),
       s"top-20 not planned as TakeOrdered:\n$plan")
   }

@@ -335,6 +335,21 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed KS diverges from batch x133:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = graft.streaming.Streams.foreachBatchSimpson(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s21_$tag")
+      .listFiles().count(_.getName.startsWith("cells_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x136_simpson_diversity")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed diversity diverges from batch x136:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming join-view maintenance: degree product equals the literal event-grain join across batches (s16)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchJoinView(spark, SfDir)
