@@ -1008,6 +1008,28 @@ object Similarity {
         k = 3, nBits = 8, nTables = 2)
         .orderBy(col("src"), col("rk"))),
 
+    // MUTUAL kNN PAIRS — reciprocal nearest neighbors over x137's
+    // graph: (u, v) kept only when v is in u's top-k AND u is in v's
+    // top-k. One-directional kNN edges are asymmetric-by-crowding (a
+    // hub can be "nearest" to everything without anything being
+    // nearest to it); the mutual filter is the standard
+    // high-precision pairing heuristic (RNN clustering, margin-based
+    // bitext mining). One self-join of the ≤ k·N-row graph on the
+    // reversed key — linear in the graph, nothing touches the corpus
+    // again. Inherits x137's full hash oracle.
+    "x143_mutual_knn" -> ((spark, sfDir) => {
+      val g = knnGraph(emb(spark, sfDir).filter(col("vec_id") < 300)
+          .withColumn("vec", toDouble(col("embedding"))),
+        k = 3, nBits = 8, nTables = 2)
+      g.as("x")
+        .join(g.as("y"), col("x.src") === col("y.dst") &&
+          col("x.dst") === col("y.src"))
+        .filter(col("x.src") < col("x.dst"))
+        .select(col("x.src").as("vec_a"), col("x.dst").as("vec_b"),
+          col("x.cos").as("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // Sorted-neighborhood near-dup: deterministic blocking (first
     // embedding component within each label), so unlike x08/x09 the
     // candidate SET is engine-reproducible and the query carries a
@@ -1586,6 +1608,35 @@ object Similarity {
         "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
         "ORDER BY cos DESC, dst) AS rk FROM sc) r " +
         "WHERE rk <= 3 ORDER BY src, rk"),
+    // x137's full rank chain as a CTE, then the reciprocal self-join
+    "x143_mutual_knn" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300), " +
+        "q AS (SELECT vec_id, v, list_transform(v, " +
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM e), " +
+        "sig AS (SELECT vec_id, t.tbl AS tbl, " +
+        "CAST(list_sum(list_transform(range(0, 8), p -> " +
+        "CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), d -> " +
+        "qv[d] * (((t.tbl * 7919 + p * 104729 + (d - 1) * 1000003) % 2003) - 1001))) > 0 " +
+        "THEN (1 << p) ELSE 0 END)) AS BIGINT) AS sig " +
+        "FROM q, (SELECT unnest(range(0, 2)) AS tbl) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig " +
+        "AND a.vec_id < b.vec_id), " +
+        "arcs AS (SELECT vec_a AS src, vec_b AS dst FROM cand " +
+        "UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand), " +
+        "sc AS (SELECT a.src, a.dst, ROUND(" +
+        "list_sum(list_transform(range(1, len(es.v) + 1), i -> es.v[i] * ed.v[i])) / " +
+        "(sqrt(list_sum(list_transform(es.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(ed.v, x -> x * x)))), 4) AS cos " +
+        "FROM arcs a JOIN e es ON es.vec_id = a.src " +
+        "JOIN e ed ON ed.vec_id = a.dst), " +
+        "g AS (SELECT src, dst, cos FROM (" +
+        "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
+        "ORDER BY cos DESC, dst) AS rk FROM sc) r WHERE rk <= 3) " +
+        "SELECT x.src AS vec_a, x.dst AS vec_b, x.cos " +
+        "FROM g x JOIN g y ON x.src = y.dst AND x.dst = y.src " +
+        "WHERE x.src < x.dst ORDER BY vec_a, vec_b"),
     // deterministic blocking → reproducible candidate set; the cosine
     // mirrors x07's arithmetic (double widening, 4 dp round)
     "x45_snm_neardup" ->

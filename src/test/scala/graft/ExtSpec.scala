@@ -2787,6 +2787,35 @@ class ExtSpec extends SparkSpec {
     assert(r >= -1.0 && r <= 1.0, s"r out of range: $r")
   }
 
+  test("x143 mutual knn: crowding asymmetry filtered, survivors symmetric and inside both top-k lists") {
+    import spark.implicits._
+    // cluster {0,1,2,3} on axis0 plus a far outlier 9 on axis3 whose
+    // nearest neighbors are cluster members (cos ~0 but ranked) while
+    // NO cluster member ranks 9 (they have 3 better mates) — the
+    // crowding asymmetry mutual-kNN exists to kill (k=3, cluster of
+    // 4: each member's top-3 is exactly the other three)
+    def v(axis: Int, id: Long) = {
+      val b = Array.fill(8)(0.0); b(axis) = 1.0; b(7) = 0.001 * id; b
+    }
+    val e = ((0L to 3L).map(i => (i, v(0, i))) :+ ((9L, v(3, 9L))))
+      .toDF("vec_id", "vec")
+    val g = Similarity.knnGraph(e, k = 3, nBits = 8, nTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mutual = g.filter { case (a, b) => g.contains((b, a)) && a < b }
+    // every cluster pair survives; any edge touching 9 must be
+    // one-directional and absent from the mutual set
+    val clusterPairs = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)).toSet
+    assert(mutual == clusterPairs, s"mutual $mutual vs $clusterPairs")
+    assert(!mutual.exists(p => p._1 == 9L || p._2 == 9L))
+    // registry surface: symmetric-by-construction pairs, a < b, cos
+    // bounded
+    val lake = Similarity.queries("x143_mutual_knn")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    lake.foreach { case (a, b, c) =>
+      assert(a < b && c >= -1.0001 && c <= 1.0001)
+    }
+  }
+
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {
     import spark.implicits._
     val d = Seq(
