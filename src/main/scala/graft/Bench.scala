@@ -275,7 +275,12 @@ object Bench {
     // open question the x03 candidate curve answers, for spans
     "x92_span_dedup",
     // HITS shares x69's per-iteration shape on the now-growing graph
-    "x129_hits")
+    "x129_hits",
+    // the edge-iterator triangle shape: the re-keyed scaled lake
+    // grows the graph as disjoint copies, so wedge volume (and the
+    // instrumentation field) should read exactly linear — the clean
+    // big-point check that the intersect form stays volume-bound
+    "x132_adamic_adar")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
