@@ -466,6 +466,113 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** x144's personalized node-meta frame: all restart mass sits at
+    * `seed` instead of spreading uniformly — init 1.0 and teleport
+    * 0.15 at the seed (in [[RankScale]] fixed point), 0 elsewhere.
+    * Structurally identical to [[nodeMeta]], so [[iterate]] runs the
+    * personalized recurrence unchanged: PPR is PageRank with a
+    * different teleport vector, and the machinery reflects that.
+    */
+  def pprMeta(adj: DataFrame, seed: Long): DataFrame = {
+    val srcs = adj.select(col("src")).distinct()
+    val nodes = srcs.unionAll(adj.select(col("dst").as("src"))).distinct()
+    val nNodes = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    nodes.join(srcs.withColumn("_has_out", lit(true)), Seq("src"), "left")
+      .crossJoin(nNodes)
+      .select(col("src").as("node"),
+        when(col("src") === seed, lit(RankScale)).otherwise(lit(0L))
+          .as("init_fp"),
+        when(col("src") === seed, lit(RankScale * 15 / 100)).otherwise(lit(0L))
+          .as("base_fp"),
+        coalesce(col("_has_out"), lit(false)).as("has_out"),
+        col("n_nodes"))
+  }
+
+  /** x144's personalized PageRank over (u < v) undirected edges:
+    * `iters` rounds of the integer recurrence with the teleport
+    * pinned to the graph's hub (max degree, id tiebreak — x140's
+    * seed discipline). Exposed for planted-graph recompute tests.
+    */
+  def personalizedPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val adj = adjacency(arcs)
+    val seed = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("src")).limit(1)
+      .head().getLong(0)
+    iterate(adj, pprMeta(adj, seed), iters)
+  }
+
+  /** x145's modularity report over an undirected edge frame (u, v)
+    * and a total community assignment (node, label): per community
+    * e_c (within-community edges), deg_c (endpoint incidences) and
+    * its Newman-modularity contribution q_c = e_c/m − (deg_c/2m)²,
+    * computed as the single exact-BIGINT numerator 4m·e_c − deg_c²
+    * over the shared denominator 4m² with ONE division per row at
+    * 4 dp; the corpus Q is the same numerator summed over the
+    * |communities|-row frame (a bounded window, not a second pass).
+    * Communities with no internal edge keep e_c = 0 via the left
+    * join — their (negative) contribution is real signal.
+    */
+  def modularityReport(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = broadcast(edges.agg(count(lit(1)).as("m")))
+    val within = edges
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .select(col("lu").as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("e_within"))
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .join(labels, "node")
+      .groupBy(col("label")).agg(count(lit(1)).as("deg_sum"))
+    labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .join(deg, Seq("label"), "left")
+      .join(within, Seq("label"), "left")
+      .crossJoin(m)
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_within"), lit(0L)).as("e_within"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"), col("m"))
+      .withColumn("_num",
+        lit(4L) * col("m") * col("e_within") - col("deg_sum") * col("deg_sum"))
+      // `+ 0.0` folds a rounded -0.0000 to 0.0 (x49's convention —
+      // both engines, so the hash can't split on the zero's sign)
+      .withColumn("q_contrib", round(col("_num").cast("double") /
+        (lit(4.0) * col("m") * col("m")), 4) + lit(0.0))
+      .withColumn("q", round(
+        sum(col("_num")).over(Window.partitionBy(lit(1))).cast("double") /
+          (lit(4.0) * col("m") * col("m")), 4) + lit(0.0))
+      .select(col("label"), col("n_nodes"), col("e_within"), col("deg_sum"),
+        col("q_contrib"), col("q"))
+  }
+
+  /** The nation seed labels x80/x145 share: each supplier node seeds
+    * its nation name onto the bipartite graph.
+    */
+  private[graft] def nationSeeds(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.table(spark, sfDir, "supplier")
+      .join(Lake.table(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(concat(lit("S"), col("s_suppkey").cast("string")).as("node"),
+        col("n_name").as("label"))
+
+  /** x80's two vote rounds over the persisted bipartite adjacency —
+    * the (node, label, votes) frame after round 2, labeling every
+    * node (round 1 labels all parts from the supplier seeds; round 2
+    * re-labels everything, since by then every neighbor is labeled).
+    * Shared by x80 (the per-node readout) and x145 (the community
+    * partition whose quality modularity scores).
+    */
+  private[graft] def labelPropRound2(spark: SparkSession, sfDir: String): DataFrame = {
+    val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v2") {
+      adjacencyFor(spark, sfDir)
+    }
+    val seeds = nationSeeds(spark, sfDir)
+    val parts1 = voteRound(adj, seeds).select(col("node"), col("label"))
+    voteRound(adj, seeds.unionByName(parts1))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
@@ -579,6 +686,57 @@ object Graph {
       assortativity(coPurchaseEdges(spark, sfDir),
         copurchaseDegFor(spark, sfDir))),
 
+    // PERSONALIZED PAGERANK — "importance relative to an anchor"
+    // where x69 ranks globally: the teleport vector concentrates at
+    // one seed (the co-purchase hub — x140's seed discipline), so
+    // rank mass measures multi-hop proximity to the anchor, damped
+    // per hop. This is the related-items/trusted-seed read (TrustRank
+    // seeds at known-good domains; a recommender seeds at the anchor
+    // product) — structurally PageRank with a different teleport, and
+    // the implementation says exactly that: [[pprMeta]] swaps the
+    // meta frame, [[iterate]] is reused verbatim, so the per-round
+    // cost (one edge equi-join + one partial-agg'able integer sum) and
+    // the integer-exact hash-oracle property carry over unchanged.
+    // Top-20 readout: the seed's damped neighborhood, which is the
+    // answer a serving layer caches.
+    "x144_personalized_pagerank" -> ((spark, sfDir) => {
+      val adj = Lake.materialize(spark, sfDir, "ppr_adjacency_v1") {
+        val e = coPurchaseEdges(spark, sfDir)
+        adjacency(e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+      }
+      // one driver-collected scalar off the node-sized degree
+      // artifact (the A3-class contract edge, same as x140's seed)
+      val seed = copurchaseDegFor(spark, sfDir)
+        .orderBy(desc("deg"), col("n")).limit(1)
+        .head().getLong(0)
+      iterate(adj, pprMeta(adj, seed), iters = 3)
+        .orderBy(desc("rank_fp"), col("node"))
+        .limit(20)
+    }),
+
+    // MODULARITY — the one-number quality score of a community
+    // PARTITION (x142 fingerprints degree structure; this scores an
+    // assignment): Newman's Q over x80's label-propagation nations on
+    // the bipartite part↔supplier graph — the standard "did label
+    // prop find real structure" check (Q ≈ 0 = no better than random
+    // given the degree sequence). Per-community rows expose which
+    // nations cohere; exact-BIGINT numerators throughout (see
+    // [[modularityReport]]), communities bound the frame at
+    // |nations|, and the only corpus-scale work is the one
+    // edge⋈label join — everything after is label-grain.
+    "x145_modularity" -> ((spark, sfDir) => {
+      val labels = labelPropRound2(spark, sfDir)
+        .select(col("node"), col("label"))
+      val edges = Lake.materialize(spark, sfDir, "hits_pairs_v1") {
+        Lake.table(spark, sfDir, "lineitem")
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+      }.select(concat(lit("P"), col("p").cast("string")).as("u"),
+        concat(lit("S"), col("s").cast("string")).as("v"))
+      modularityReport(edges, labels).orderBy(col("label"))
+    }),
+
     // LABEL PROPAGATION — the semi-supervised classification sibling
     // of x18's components and x69's centrality: supplier nodes seed
     // their nation, two majority-vote rounds spread it across the
@@ -591,17 +749,8 @@ object Graph {
     // votes + deterministic tiebreak ⇒ full hash oracle for an
     // iterative graph algorithm, like x69.
     "x80_label_prop" -> ((spark, sfDir) => {
-      val adj = Lake.materialize(spark, sfDir, "pr_adjacency_v2") {
-        adjacencyFor(spark, sfDir)
-      }
-      val seeds = Lake.table(spark, sfDir, "supplier")
-        .join(Lake.table(spark, sfDir, "nation"),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(concat(lit("S"), col("s_suppkey").cast("string")).as("node"),
-          col("n_name").as("label"))
-      val parts1 = voteRound(adj, seeds).select(col("node"), col("label"))
-      val round2 = voteRound(adj, seeds.unionByName(parts1))
-      round2
+      val seeds = nationSeeds(spark, sfDir)
+      labelPropRound2(spark, sfDir)
         .join(seeds.select(col("node"), col("label").as("seed_label")),
           Seq("node"), "left")
         .select(col("node"), col("label"), col("votes"),
@@ -863,6 +1012,75 @@ object Graph {
         "ROUND(CAST(n_arcs * sxy - sx * sx AS DOUBLE) / " +
         "CAST(n_arcs * sxx - sx * sx AS DOUBLE), 4) END AS assortativity " +
         "FROM s"),
+    // x69's unrolled integer recurrence with the teleport vector
+    // moved to the hub seed (x140's seed CTE); dangling mass is zero
+    // on the symmetric arc set so the pure edge form is exact
+    "x144_personalized_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"c$out AS (SELECT a.dst AS node, " +
+          s"CAST(SUM(r.rank_fp // r.outdeg) AS BIGINT) AS in_mass " +
+          s"FROM arcs a JOIN r$prev r ON a.src = r.node GROUP BY 1), " +
+          s"r$out AS (SELECT r$prev.node, r$prev.outdeg, r$prev.base_fp, " +
+          s"CAST(r$prev.base_fp + (85 * COALESCE(c$out.in_mass, 0)) // 100 " +
+          s"AS BIGINT) AS rank_fp " +
+          s"FROM r$prev LEFT JOIN c$out ON r$prev.node = c$out.node)"
+      "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "arcs AS (SELECT u AS src, v AS dst FROM e " +
+        "UNION ALL SELECT v AS src, u AS dst FROM e), " +
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM arcs GROUP BY 1), " +
+        "seed AS (SELECT src FROM deg ORDER BY outdeg DESC, src LIMIT 1), " +
+        "r0 AS (SELECT d.src AS node, d.outdeg, " +
+        "CASE WHEN d.src = (SELECT src FROM seed) " +
+        "THEN CAST(1000000000000 AS BIGINT) ELSE 0 END AS rank_fp, " +
+        "CASE WHEN d.src = (SELECT src FROM seed) " +
+        "THEN CAST(150000000000 AS BIGINT) ELSE 0 END AS base_fp FROM deg d), " +
+        iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
+        "SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 20"
+    },
+    // x80's label chain re-used verbatim for the partition, then the
+    // exact-BIGINT modularity numerators over the bipartite edge set
+    "x145_modularity" ->
+      ("WITH pairs AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS p, " +
+        "'S' || CAST(l_suppkey AS VARCHAR) AS s FROM lineitem), " +
+        "edges AS (SELECT p AS src, s AS dst FROM pairs " +
+        "UNION ALL SELECT s AS src, p AS dst FROM pairs), " +
+        "seeds AS (SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node, " +
+        "n_name AS label FROM supplier JOIN nation ON s_nationkey = n_nationkey), " +
+        "v1 AS (SELECT e.dst, l.label, COUNT(*) AS votes FROM edges e " +
+        "JOIN seeds l ON e.src = l.node GROUP BY 1, 2), " +
+        "p1 AS (SELECT dst AS node, label FROM v1 " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, label) = 1), " +
+        "l1 AS (SELECT node, label FROM seeds UNION ALL SELECT node, label FROM p1), " +
+        "v2 AS (SELECT e.dst, l.label, COUNT(*) AS votes FROM edges e " +
+        "JOIN l1 l ON e.src = l.node GROUP BY 1, 2), " +
+        "lab AS (SELECT dst AS node, label FROM v2 " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, label) = 1), " +
+        "bip AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS u, " +
+        "'S' || CAST(l_suppkey AS VARCHAR) AS v FROM lineitem), " +
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bip), " +
+        "wi AS (SELECT lu.label, CAST(COUNT(*) AS BIGINT) AS e_within " +
+        "FROM bip JOIN lab lu ON bip.u = lu.node " +
+        "JOIN lab lv ON bip.v = lv.node " +
+        "WHERE lu.label = lv.label GROUP BY 1), " +
+        "dg AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM " +
+        "(SELECT u AS node FROM bip UNION ALL SELECT v AS node FROM bip) nd " +
+        "JOIN lab l ON nd.node = l.node GROUP BY 1), " +
+        "nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM lab GROUP BY 1), " +
+        "sc AS (SELECT nn.label, nn.n_nodes, " +
+        "COALESCE(wi.e_within, 0) AS e_within, " +
+        "COALESCE(dg.deg_sum, 0) AS deg_sum, (SELECT m FROM mm) AS m, " +
+        "4 * (SELECT m FROM mm) * COALESCE(wi.e_within, 0) - " +
+        "COALESCE(dg.deg_sum, 0) * COALESCE(dg.deg_sum, 0) AS num " +
+        "FROM nn LEFT JOIN dg ON nn.label = dg.label " +
+        "LEFT JOIN wi ON nn.label = wi.label) " +
+        "SELECT label, n_nodes, e_within, deg_sum, " +
+        "ROUND(CAST(num AS DOUBLE) / (4.0 * m * m), 4) + 0 AS q_contrib, " +
+        "ROUND(CAST(SUM(num) OVER () AS DOUBLE) / (4.0 * m * m), 4) + 0 AS q " +
+        "FROM sc ORDER BY label"),
     // same hub seed, frontier joins and visited-set anti-joins
     "x140_bfs_reach" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +

@@ -296,6 +296,20 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("day"))),
 
+    // MANN–WHITNEY / AUC DRIFT — the rank-sum member of the drift
+    // family (x98 PSI bins shares, x133 KS takes the sup gap, x138
+    // CUSUM localizes in time; this one reads the LOCATION shift as a
+    // probability): AUC = P(cur draw > ref draw) off the same binned
+    // frame x133 uses, exact-integer 2U through the shared cumulative
+    // windows, z via the conservative untied σ, and the drift flag as
+    // a cross-multiplied 128-bit integer compare — no float ever
+    // decides it (see mwReportFromCounts). ≤500-row per-type frames
+    // after one partial-agg'able count: the 100 TB cost is the one
+    // events scan, same as x133.
+    "x146_mannwhitney_drift" -> ((spark, sfDir) =>
+      mwReportFromCounts(ksHalfCounts(Lake.table(spark, sfDir, "events")))
+        .orderBy(col("event_type"))),
+
     // WINSORIZED MEAN — the robust level estimate beside x84's MAD
     // outlier FLAG: report each type's mean with the tails clamped to
     // the discrete p05/p95 (actual data values — x51's cross-engine
@@ -412,6 +426,55 @@ object Views {
         round(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
           (col("n_ref") * col("n_cur")).cast("double")), 4).as("d_crit"))
       .withColumn("drifted", col("ks") > col("d_crit"))
+  }
+
+  /** x146's Mann–Whitney/AUC drift report over the SAME
+    * (event_type, half, bucket, c) frame x133 bins ([[ksHalfCounts]]
+    * is shared verbatim): where KS takes the sup of the ECDF gap,
+    * rank-sum asks "if I draw one ref and one cur value, how often is
+    * cur larger?" — AUC = U/(n_ref·n_cur), the location-shift
+    * detector that integrates over the whole distribution instead of
+    * peaking at one crossing. On binned data the tie-heavy U doubles
+    * cleanly to the integer 2U = Σ_b cc_b·(2·cumR(<b) + cr_b)
+    * (each ref strictly below a cur counts 2, each tied ref counts
+    * 1), so the statistic is an exact BIGINT off the same cumulative
+    * windows.
+    * The z readout uses the untied normal σ (the conservative
+    * published bound; the tie correction only shrinks σ) in a
+    * division/sqrt-only IEEE chain, and the drift FLAG never touches
+    * a float: 30000·(2U − nm)² > 38416·n·m·(n+m+1) is the
+    * |z| > 1.96 test cross-multiplied into exact 128-bit integers
+    * (DECIMAL(38,0) here, HUGEINT in the oracle).
+    */
+  def mwReportFromCounts(cnt: DataFrame): DataFrame = {
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    b.select(col("event_type"), col("cr"), col("cc"),
+        sum(col("cr")).over(cum).as("cum_r"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        sum(col("cc") * (lit(2L) * (col("cum_r") - col("cr")) + col("cr")))
+          .as("u2"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("u2"),
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_ref") * col("n_cur")), 4).as("auc"),
+        round((col("u2") - col("n_ref") * col("n_cur")).cast("double") /
+          (lit(2.0) * sqrt((col("n_ref") * col("n_cur") *
+            (col("n_ref") + col("n_cur") + lit(1L))).cast("double") /
+            lit(12.0))), 4).as("z"),
+        (lit(30000L).cast("decimal(38,0)") *
+          (col("u2") - col("n_ref") * col("n_cur")).cast("decimal(38,0)") *
+          (col("u2") - col("n_ref") * col("n_cur")).cast("decimal(38,0)") >
+          lit(38416L).cast("decimal(38,0)") *
+            (col("n_ref") * col("n_cur") *
+              (col("n_ref") + col("n_cur") + lit(1L))).cast("decimal(38,0)"))
+          .as("drifted"))
   }
 
   /** The (event_type, half, bucket) bucketing x98 and the s15
@@ -644,6 +707,35 @@ object Views {
         "ROUND(CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 4) > " +
         "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
         "CAST(n_ref * n_cur AS DOUBLE)), 4) AS drifted " +
+        "FROM a ORDER BY event_type"),
+    // x133's bins and cumulative windows re-used; 2U as an exact
+    // integer sum, the untied-σ z chain, and the |z| > 1.96 flag
+    // cross-multiplied into HUGEINT (the Spark side's DECIMAL(38,0))
+    "x146_mannwhitney_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, cr, cc, " +
+        "SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b), " +
+        "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, " +
+        "CAST(SUM(cc * (2 * (cum_r - cr) + cr)) AS BIGINT) AS u2 " +
+        "FROM c GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, u2, " +
+        "ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_ref * n_cur), 4) AS auc, " +
+        "ROUND(CAST(u2 - n_ref * n_cur AS DOUBLE) / " +
+        "(2.0 * SQRT(CAST(n_ref * n_cur * (n_ref + n_cur + 1) AS DOUBLE) " +
+        "/ 12.0)), 4) AS z, " +
+        "30000 * CAST(u2 - n_ref * n_cur AS HUGEINT) * " +
+        "CAST(u2 - n_ref * n_cur AS HUGEINT) > " +
+        "38416 * CAST(n_ref AS HUGEINT) * n_cur * (n_ref + n_cur + 1) " +
+        "AS drifted " +
         "FROM a ORDER BY event_type"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum

@@ -986,6 +986,63 @@ object Streams {
     * stays current as a crawl ingests without ever re-scanning the
     * corpus.
     */
+  /** s22: x138's CUSUM change-point report with the (event_type,
+    * day) daily-count table maintained incrementally — the IVM
+    * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
+    * bins, s20 KS's; CUSUM's sufficient statistic is just as
+    * additive): per-microbatch day-count deltas merge by +, state is
+    * |types|·|days|-bounded at any event volume, and the readout runs
+    * through the shared [[graft.pipeline.Views.cusumReport]] stage —
+    * prefix sums, drawup/drawdown windows and the alarm all derive
+    * from the maintained counts, so streamed ≡ batch x138 by
+    * construction and the alarm stays current as events ingest
+    * without re-scanning history.
+    */
+  def foreachBatchCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s22_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/days_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .groupBy(col("event_type"),
+              expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+            .agg(count(lit(1)).as("x"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("event_type", "day"), "full_outer")
+                .select(col("event_type"), col("day"),
+                  (coalesce(p("x"), lit(0L)) +
+                    coalesce(delta("x"), lit(0L))).as("x"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.pipeline.Views.cusumReport(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s22: stream produced no batches"))))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -1323,6 +1380,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchKs(spark, sfDir)),
     "s21_stream_simpson" ->
       ((spark, sfDir) => foreachBatchSimpson(spark, sfDir)),
+    "s22_stream_cusum" ->
+      ((spark, sfDir) => foreachBatchCusum(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1417,6 +1476,9 @@ object Streams {
     // the IVM contract verbatim: maintained cur histogram + static
     // reference through the shared sup-distance stage ≡ batch x133
     "s20_stream_ks_monitor" -> graft.pipeline.Views.oracles("x133_ks_drift"),
+    // the IVM contract verbatim: the CUSUM report off the maintained
+    // (type, day) count table ≡ batch x138
+    "s22_stream_cusum" -> graft.pipeline.Views.oracles("x138_cusum_anomaly"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

@@ -2485,6 +2485,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x146 mann-whitney: planted separation and ties give the textbook U; the exact flag decides the 1.96 knife-edge") {
+    import spark.implicits._
+    // "sep": ref {1,2,3} / cur {4,5,6} — total separation, 2U = 18,
+    // AUC = 1.0, and z = 9/(2·sqrt(63/12)) = 1.9640 sits just past
+    // 1.96: the cross-multiplied flag must fire on exact integers
+    // (30000·81 = 2,430,000 > 38416·63 = 2,420,208)
+    // "tie": ref {1,2} / cur {2,3} — U = 3.5 via the half-tie, no drift
+    val cnt = Seq(
+      ("sep", "ref", 1L, 1L), ("sep", "ref", 2L, 1L), ("sep", "ref", 3L, 1L),
+      ("sep", "cur", 4L, 1L), ("sep", "cur", 5L, 1L), ("sep", "cur", 6L, 1L),
+      ("tie", "ref", 1L, 1L), ("tie", "ref", 2L, 1L),
+      ("tie", "cur", 2L, 1L), ("tie", "cur", 3L, 1L)
+    ).toDF("event_type", "half", "bucket", "c")
+    val got = graft.pipeline.Views.mwReportFromCounts(cnt)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got("sep") == (3L, 3L, 18L, 1.0, 1.964, true), s"sep: ${got("sep")}")
+    val (tnr, tnc, tu2, tauc, _, tdrift) = got("tie")
+    assert((tnr, tnc, tu2, tauc, tdrift) == (2L, 2L, 7L, 0.875, false),
+      s"tie: ${got("tie")}")
+    // lake surface: per type, AUC in [0,1], u2 inside its hull, and
+    // the flag consistent with the published z at 4 dp away from the
+    // knife edge
+    val lake = graft.pipeline.Views.queries("x146_mannwhitney_drift")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(lake.nonEmpty)
+    lake.foreach { case (t, nr, nc, u2, auc, z, drift) =>
+      assert(u2 >= 0L && u2 <= 2L * nr * nc, s"$t: u2 hull")
+      assert(auc >= 0.0 && auc <= 1.0, s"$t: auc range")
+      if (math.abs(math.abs(z) - 1.96) > 0.001)
+        assert(drift == (math.abs(z) > 1.96), s"$t: flag vs z")
+    }
+  }
+
   test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
     val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -2814,6 +2850,70 @@ class ExtSpec extends SparkSpec {
     lake.foreach { case (a, b, c) =>
       assert(a < b && c >= -1.0001 && c <= 1.0001)
     }
+  }
+
+  test("x144 ppr: planted graph matches the exact integer recurrence; mass conserved through the chain") {
+    import spark.implicits._
+    // hub 1 (deg 3) with leaves 2, 3 and a chain 1-4-5: the seed is
+    // the hub, and node 5 only receives mass via 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = graft.ext.Graph.personalizedPageRank(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // in-process exact recompute of the same fixed-point recurrence
+    val arcs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (4L, 1L), (4L, 5L), (5L, 4L))
+    val outdeg = arcs.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val S = graft.ext.Graph.RankScale
+    var rank: Map[Long, Long] =
+      Map(1L -> S, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L)
+    for (_ <- 1 to 3) {
+      val in = arcs.groupBy(_._2).map { case (dst, as) =>
+        (dst, as.map(a => rank(a._1) / outdeg(a._1)).sum)
+      }
+      rank = rank.keys.map(n =>
+        n -> ((if (n == 1L) S * 15 / 100 else 0L) +
+          85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got == rank, s"got $got expected $rank")
+    // symmetric leaves are exchangeable; mass is conserved up to the
+    // deterministic floor leak; the two-hop node holds damped mass
+    // (on this near-bipartite star mass OSCILLATES between the seed
+    // side and its neighbors per round — no "seed is max" claim holds
+    // at a fixed odd iteration count, and that is correct PPR)
+    assert(got(2L) == got(3L), "exchangeable leaves must tie")
+    assert(got.values.sum <= S && got.values.sum > S * 9 / 10,
+      s"mass conservation: ${got.values.sum}")
+    assert(got(5L) > 0L && got(5L) < got(4L),
+      "two-hop node gets damped mass through the chain")
+    // lake surface: 20 rows, non-increasing ranks, positive head
+    val lake = graft.ext.Graph.queries("x144_personalized_pagerank")(spark, SfDir)
+      .collect().map(_.getLong(1))
+    assert(lake.length == 20 && lake.head > 0L)
+    assert(lake.sliding(2).forall(p => p.head >= p.last), "ranks must be sorted desc")
+  }
+
+  test("x145 modularity: two triangles with a bridge hit the textbook Q; lake q is one consistent number") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"),
+      ("d", "f"), ("e", "f"), ("a", "d")).toDF("u", "v")
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"), ("d", "B"),
+      ("e", "B"), ("f", "B")).toDF("node", "label")
+    val got = graft.ext.Graph.modularityReport(edges, labels)
+      .orderBy(col("label")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    // m = 7; each community: e = 3, deg_sum = 7 →
+    // contrib = (4·7·3 − 49)/(4·49) = 35/196 ≈ 0.1786, Q = 70/196 ≈ 0.3571
+    assert(got.toSeq == Seq(("A", 3L, 3L, 7L, 0.1786, 0.3571),
+      ("B", 3L, 3L, 7L, 0.1786, 0.3571)), s"got ${got.toSeq}")
+    // lake surface: |nations|-bounded, q constant across rows and in
+    // the valid [-0.5, 1] band
+    val lake = graft.ext.Graph.queries("x145_modularity")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(5)))
+    assert(lake.nonEmpty && lake.length <= 25)
+    val qs = lake.map(_._2).distinct
+    assert(qs.length == 1 && qs.head >= -0.5 && qs.head <= 1.0,
+      s"q inconsistent or out of band: ${qs.toSeq}")
   }
 
   test("x119 bm25: tf raises, length normalizes, rarity outweighs at equal tf/len") {

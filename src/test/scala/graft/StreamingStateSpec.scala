@@ -335,6 +335,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed KS diverges from batch x133:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming CUSUM monitor equals batch x138 across a multi-batch run (s22)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))
+    val streamed = graft.streaming.Streams.foreachBatchCusum(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s22_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x138_cusum_anomaly")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed CUSUM diverges from batch x138:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
