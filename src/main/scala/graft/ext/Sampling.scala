@@ -79,6 +79,40 @@ object Sampling {
       .orderBy(col("bin"))
   }
 
+  /** x139's fold-excluded encoding cells with the DEFERRED division
+    * carried as (enc_num, enc_den) — exact BIGINTs, so x139 can
+    * publish the 4 dp encoding and x149 can re-grid the same rational
+    * to its integer confidence without a double-rounding drift
+    * between the two operators. One (type, fold) hash agg + broadcast
+    * marginal joins; ≤ |types|·K rows out.
+    */
+  private[graft] def targetEncodingFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = 100L
+    val cells = Lake.table(spark, sfDir, "events")
+      .select(col("event_type"),
+        (sampleHash(col("user_id")) % 4).as("fold"),
+        when(col("value") > 90, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("event_type"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val byType = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_t"), sum(col("n_pos")).as("pos_t"))
+    // the prior excludes the WHOLE fold (all types), not just the
+    // cell — fold-f rows of other types are still fold-f rows
+    val byFold = cells.groupBy(col("fold"))
+      .agg(sum(col("n")).as("n_f"), sum(col("n_pos")).as("pos_f"))
+    val global = broadcast(cells.agg(sum(col("n")).as("n_g"),
+      sum(col("n_pos")).as("pos_g")))
+    cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byFold), "fold").crossJoin(global)
+      .select(col("event_type"), col("fold"), col("n"),
+        (col("n_t") - col("n")).as("n_excl"),
+        (col("pos_t") - col("n_pos")).as("pos_excl"),
+        ((col("pos_t") - col("n_pos")) * (col("n_g") - col("n_f")) +
+          lit(m) * (col("pos_g") - col("pos_f"))).as("enc_num"),
+        ((col("n_t") - col("n") + lit(m)) *
+          (col("n_g") - col("n_f"))).as("enc_den"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Stratified (per-language) downsampling: keep en at 50%, every
@@ -368,32 +402,59 @@ object Sampling {
     // 4 dp, so the smoothed encoder is hash-oracle-able. Scale shape:
     // one (type, fold) hash agg (≤ |types|·K cells), broadcast-sized
     // marginal joins, no per-event work past the first aggregate.
-    "x139_target_encoding" -> ((spark, sfDir) => {
-      val m = 100L
-      val cells = Lake.table(spark, sfDir, "events")
+    "x139_target_encoding" -> ((spark, sfDir) =>
+      targetEncodingFrame(spark, sfDir)
+        .select(col("event_type"), col("fold"), col("n"),
+          col("n_excl"), col("pos_excl"),
+          round(col("enc_num").cast("double") /
+            col("enc_den").cast("double"), 4).as("encoding"))
+        .orderBy(col("event_type"), col("fold"))),
+
+    // ECE / RELIABILITY DIAGRAM — "is the score a probability?", the
+    // calibration audit every scored-filter pipeline owes its
+    // downstream thresholds (a quality score used as a keep-
+    // probability is only as good as its calibration): x139's
+    // fold-excluded encoding is the model under audit, each event
+    // scores through its OWN (type, fold) cell — the honest
+    // out-of-fold prediction — against the same value > 90 label.
+    // Confidence lands on an exact 10⁻⁴ integer grid via the carried
+    // (enc_num, enc_den) rational (ONE rounded division shared with
+    // x139's published 4 dp value — no double-rounding drift), bins
+    // are width-0.1 with 1.0 folded into the top bin, and per-bin
+    // gap numerators n_pos·10⁴ − Σconf_fp stay BIGINT; ECE = the
+    // |gap|-sum over the ≤10-row bin frame (bounded window), ONE
+    // division at 4 dp. Scale: event-grain work is a broadcast join
+    // against |types|·K cells + one partial-agg'able groupBy(bin).
+    "x149_ece_calibration" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = targetEncodingFrame(spark, sfDir)
+        .select(col("event_type"), col("fold"),
+          round(col("enc_num").cast("double") /
+            col("enc_den").cast("double") * 10000.0, 0)
+            .cast("long").as("enc_fp"))
+      val ev = Lake.table(spark, sfDir, "events")
         .select(col("event_type"),
           (sampleHash(col("user_id")) % 4).as("fold"),
           when(col("value") > 90, 1L).otherwise(0L).as("pos"))
-        .groupBy(col("event_type"), col("fold"))
-        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
-      val byType = cells.groupBy(col("event_type"))
-        .agg(sum(col("n")).as("n_t"), sum(col("n_pos")).as("pos_t"))
-      // the prior excludes the WHOLE fold (all types), not just the
-      // cell — fold-f rows of other types are still fold-f rows
-      val byFold = cells.groupBy(col("fold"))
-        .agg(sum(col("n")).as("n_f"), sum(col("n_pos")).as("pos_f"))
-      val global = broadcast(cells.agg(sum(col("n")).as("n_g"),
-        sum(col("n_pos")).as("pos_g")))
-      cells.join(broadcast(byType), "event_type")
-        .join(broadcast(byFold), "fold").crossJoin(global)
-        .select(col("event_type"), col("fold"), col("n"),
-          (col("n_t") - col("n")).as("n_excl"),
-          (col("pos_t") - col("n_pos")).as("pos_excl"),
-          round(((col("pos_t") - col("n_pos")) * (col("n_g") - col("n_f")) +
-            lit(m) * (col("pos_g") - col("pos_f"))).cast("double") /
-            ((col("n_t") - col("n") + lit(m)) *
-              (col("n_g") - col("n_f"))).cast("double"), 4).as("encoding"))
-        .orderBy(col("event_type"), col("fold"))
+      val whole = Window.partitionBy(lit(1))
+      ev.join(broadcast(cells), Seq("event_type", "fold"))
+        .select(expr("LEAST(enc_fp DIV 1000, 9)").as("bin"),
+          col("enc_fp"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("enc_fp")).as("conf_fp"),
+          sum(col("pos")).as("n_pos"))
+        .withColumn("_gap_num", col("n_pos") * lit(10000L) - col("conf_fp"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("conf_fp").cast("double") /
+            (col("n").cast("double") * lit(10000.0)), 4).as("avg_conf"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+            .as("acc"),
+          round(col("_gap_num").cast("double") /
+            (col("n").cast("double") * lit(10000.0)), 4).as("gap"),
+          round(sum(abs(col("_gap_num"))).over(whole).cast("double") /
+            (sum(col("n")).over(whole).cast("double") * lit(10000.0)), 4)
+            .as("ece"))
+        .orderBy(col("bin"))
     }),
 
     "x53_train_split" -> ((spark, sfDir) => {
@@ -858,6 +919,42 @@ object Sampling {
         "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE), 4) AS encoding " +
         "FROM c JOIN t USING (event_type) JOIN f USING (fold), g " +
         "ORDER BY c.event_type, fold"),
+    // x139's cell chain with the rational re-gridded to the integer
+    // 10^-4 confidence; width-0.1 bins, BIGINT gap numerators, the
+    // |gap|-sum ECE over the bounded bin frame
+    "x149_ece_calibration" ->
+      (s"WITH c AS (SELECT event_type, " +
+        s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_t FROM c GROUP BY 1), " +
+        "f AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_f FROM c GROUP BY 1), " +
+        "g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_g FROM c), " +
+        "cells AS (SELECT c.event_type, c.fold, " +
+        "CAST(ROUND(CAST((pos_t - c.n_pos) * (n_g - n_f) + 100 * (pos_g - pos_f) AS DOUBLE) / " +
+        "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE) * 10000.0) AS BIGINT) AS enc_fp " +
+        "FROM c JOIN t USING (event_type) JOIN f USING (fold), g), " +
+        "ev AS (SELECT e.event_type, " +
+        s"((e.user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CASE WHEN e.value > 90 THEN 1 ELSE 0 END AS pos FROM events e), " +
+        "bb AS (SELECT LEAST(enc_fp // 1000, 9) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(enc_fp) AS BIGINT) AS conf_fp, " +
+        "CAST(SUM(pos) AS BIGINT) AS n_pos " +
+        "FROM ev JOIN cells USING (event_type, fold) GROUP BY 1), " +
+        "sb AS (SELECT bin, n, n_pos, n_pos * 10000 - conf_fp AS gap_num, " +
+        "conf_fp FROM bb) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, " +
+        "ROUND(CAST(conf_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4) AS avg_conf, " +
+        "ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 4) AS acc, " +
+        "ROUND(CAST(gap_num AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4) AS gap, " +
+        "ROUND(CAST(SUM(ABS(gap_num)) OVER () AS DOUBLE) / " +
+        "(CAST(SUM(n) OVER () AS DOUBLE) * 10000.0), 4) AS ece " +
+        "FROM sb ORDER BY bin"),
     "x53_train_split" ->
       (s"SELECT doc_id, lang, CASE " +
         s"WHEN (doc_id * $HashMul) % $HashMod < ${HashMod * 98L / 100L} THEN 'train' " +

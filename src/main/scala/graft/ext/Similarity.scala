@@ -552,7 +552,63 @@ object Similarity {
       m, sd, topK)
   }
 
+  /** x147's isotropy report over a (vec_id, qv: Array[Long]) frame:
+    * the mean pairwise dot product computed by the SUM-VECTOR
+    * identity Σ_{i≠j}⟨qᵢ,qⱼ⟩ = ‖Σqᵢ‖² − Σ‖qᵢ‖² — the N²/2 pairs
+    * collapse to two linear passes and never materialize. Exact
+    * BIGINTs until the two final divisions: ‖Σq‖² from per-dim sums
+    * (a d-row frame after map-side combine), Σ‖q‖² from a per-row
+    * lambda fold. Anisotropy = mean pair dot / mean sq norm — the
+    * "how much of the space is one cone" diagnostic (≈ the average
+    * pairwise cosine when norms concentrate; ≈ 1 = collapsed,
+    * ≈ 0 would need centered components).
+    */
+  def isotropyReport(q: DataFrame): DataFrame = {
+    val dimSums = q.select(posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("s"))
+    val s2 = dimSums.agg(sum(col("s") * col("s")).as("sum_sq"))
+    q.select(aggregate(col("qv"), lit(0L),
+        (acc, v) => acc + v * v).as("nsq"))
+      .agg(sum(col("nsq")).as("total_sq"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(s2))
+      .select(col("n"), col("sum_sq"), col("total_sq"),
+        round((col("sum_sq") - col("total_sq")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double"), 4)
+          .as("mean_pair_dot"),
+        round((col("sum_sq") - col("total_sq")).cast("double") /
+          ((col("n") - lit(1L)) * col("total_sq")).cast("double"), 6)
+          .as("anisotropy"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // EMBEDDING ISOTROPY — the anisotropy/representation-collapse
+    // diagnostic (Ethayarajh's "how contextual are embeddings"
+    // readout; Mu & Viswanath's all-but-the-top motivation) as a
+    // corpus-card number: the mean pairwise dot of all N² vector
+    // pairs — WITHOUT the pairwise join. The sum-vector identity
+    // (see [[isotropyReport]]) does the quadratic work in two linear
+    // passes: per-dim component sums (d-row shuffle after map-side
+    // combine) and a per-row norm fold. The contrast is the point at
+    // 100 TB: x07/x137 bound pairwise work by candidates; this one
+    // ELIMINATES it algebraically — the strongest scale shape in the
+    // similarity family. Components ride x112's shared 0..255
+    // integer grid, so everything to the two final divisions is an
+    // exact BIGINT (overflow headroom: per-dim sums < 255·N — at
+    // N > ~10⁹ the d-row sum frame swaps to DECIMAL(38,0)
+    // accumulation unchanged).
+    "x147_isotropy" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val q = e.crossJoin(bounds)
+        .select(col("vec_id"),
+          transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("long")).as("qv"))
+      isotropyReport(q)
+    }),
 
     // ArrayType surface + exactness anchor: dimension and first
     // component pass through untouched (float-exact vs the oracle).
@@ -1305,6 +1361,28 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // x112's shared quant grid; the sum-vector identity evaluated as
+    // two plain aggregates — the oracle never builds the pair join
+    // either, so both engines prove the algebra, not a sample of it
+    "x147_isotropy" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "cells AS (SELECT CAST(p AS INTEGER) AS d, qv[p + 1] AS x " +
+        "FROM q, (SELECT unnest(range(64)) AS p)), " +
+        "ds AS (SELECT d, CAST(SUM(x) AS BIGINT) AS s FROM cells GROUP BY 1), " +
+        "s2 AS (SELECT CAST(SUM(s * s) AS BIGINT) AS sum_sq FROM ds), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(list_sum(list_transform(qv, x -> x * x))) AS BIGINT) AS total_sq " +
+        "FROM q) " +
+        "SELECT n, sum_sq, total_sq, " +
+        "ROUND(CAST(sum_sq - total_sq AS DOUBLE) / " +
+        "CAST(n * (n - 1) AS DOUBLE), 4) AS mean_pair_dot, " +
+        "ROUND(CAST(sum_sq - total_sq AS DOUBLE) / " +
+        "CAST((n - 1) * total_sq AS DOUBLE), 6) AS anisotropy " +
+        "FROM t, s2"),
     // x54-x56: recall arithmetic over the committed id-set fixtures
     // (RecallFixtures scaladoc has the full design; x57's pattern).
     // Table-free VALUES SQL, pinned to the sf0.01 correctness-gate

@@ -441,6 +441,53 @@ object TextAnalysis {
           4).as("avg_bigram_logprob"))
   }
 
+  /** x148's Kneser–Ney smoothed bigram score (absolute discount
+    * D = 3/4): P(w2|w1) = (c(w1w2) − D)/c(w1) + D·N1+(w1·)/c(w1) ·
+    * N1+(·w2)/N1+(··) — the continuation-count backoff that fixes
+    * add-k's pathology (x46 scores "San Francisco"-style bigrams the
+    * same as any frequent unigram pair; KN asks how many DISTINCT
+    * contexts a word completes). Every doc bigram is observed in the
+    * corpus model by construction (the corpus contains the doc), so
+    * the max(c − D, 0) clamp never binds and the probability is the
+    * single exact rational ((4c − 3)·N + 3·N1f·N1p) / (4·c(w1)·N)
+    * with N = distinct bigrams — BIGINT numerator/denominator, ONE
+    * ln per model row onto x132's 10⁶ integer grid, per-doc scores
+    * as exact BIGINT sums (no float accumulation order anywhere).
+    * Scale shape = x46's: the three continuation tables are all
+    * vocab-sized, pre-joined into one model, and the doc-grain table
+    * shuffles against it ONCE. Overflow: c·N < 2⁶³ holds through
+    * ~10¹⁵ corpus bigrams; past that the numerators swap to
+    * DECIMAL(38,0) unchanged.
+    */
+  def knBigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    knFromBigrams(bigramTable(spark, sfDir))
+
+  /** The KN chain over any (doc_id, w1, w2, bf) doc-grain bigram
+    * frame — exposed so tests can plant corpora with hand-computable
+    * continuation counts.
+    */
+  def knFromBigrams(bfd: DataFrame): DataFrame = {
+    val cbg = bfd.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cbg"))
+    val cw1 = bfd.groupBy(col("w1")).agg(sum(col("bf")).as("cw1"))
+    val n1f = cbg.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+    val n1p = cbg.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val nb = broadcast(cbg.agg(count(lit(1)).as("nbi")))
+    val model = cbg.join(cw1, "w1").join(n1f, "w1").join(n1p, "w2")
+    bfd.join(model, Seq("w1", "w2")).crossJoin(nb)
+      .select(col("doc_id"), col("bf"),
+        round(log(((lit(4L) * col("cbg") - lit(3L)) * col("nbi") +
+          lit(3L) * col("n1f") * col("n1p")).cast("double") /
+          (lit(4L) * col("cw1") * col("nbi")).cast("double")) *
+          lit(1000000.0), 0).cast("long").as("term_fp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf") * col("term_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score_fp").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0)), 4)
+          .as("avg_kn_logprob"))
+  }
+
   /** x136's report stage over a (source, lang, n) count frame —
     * shared with s21, which maintains the cells additively (each
     * microbatch's per-(source, lang) counts merge by +), so the
@@ -819,6 +866,12 @@ object TextAnalysis {
     // Order-2 LM quality score (see bigramLogProb scaladoc).
     "x46_bigram_logprob" -> ((spark, sfDir) =>
       bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
+
+    // KNESER–NEY SMOOTHED BIGRAM — the published-smoothing upgrade of
+    // x46 (see knBigramLogProb scaladoc): continuation counts instead
+    // of add-1, exact-rational probabilities, integer-grid scores.
+    "x148_kneser_ney" -> ((spark, sfDir) =>
+      knBigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
 
     // Cross-source domain-affinity matrix (see domainAffinity
     // scaladoc): S² rows of pairwise LM cross-entropy.
@@ -1877,6 +1930,27 @@ object TextAnalysis {
         "ROUND(SUM(bf * LN(CAST(cbg + 1 AS DOUBLE) / CAST(cw1 + v AS DOUBLE))) " +
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    // x46's bigram CTEs + the three continuation-count tables; the
+    // exact-rational KN probability through one LN per row onto the
+    // 10^6 grid, scores as integer sums
+    "x148_kneser_ney" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "bfd AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3), " +
+        "cbg AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS cbg FROM bfd GROUP BY 1, 2), " +
+        "cw1 AS (SELECT w1, CAST(SUM(bf) AS BIGINT) AS cw1 FROM bfd GROUP BY 1), " +
+        "n1f AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1f FROM cbg GROUP BY 1), " +
+        "n1p AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM cbg GROUP BY 1), " +
+        "nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbi FROM cbg) " +
+        "SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams, " +
+        "ROUND(CAST(SUM(bf * CAST(ROUND(LN(" +
+        "CAST((4 * cbg - 3) * nbi + 3 * n1f * n1p AS DOUBLE) / " +
+        "CAST(4 * cw1 * nbi AS DOUBLE)) * 1000000.0) AS BIGINT)) AS DOUBLE) / " +
+        "(CAST(SUM(bf) AS DOUBLE) * 1000000.0), 4) AS avg_kn_logprob " +
+        "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1) " +
+        "JOIN n1f USING (w1) JOIN n1p USING (w2), nb " +
         "GROUP BY doc_id ORDER BY doc_id"),
     // same token hash (weights interpolated from the shared Scala
     // value), boundary rule, lagged running chunk ids and md5 chunk

@@ -2521,6 +2521,83 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x147 isotropy: the sum-vector identity reproduces the brute-force pair sum exactly") {
+    import spark.implicits._
+    // planted: q1=(1,0), q2=(0,1), q3=(1,1) → ‖Σq‖²=8, Σ‖q‖²=4,
+    // ordered pair sum = 4 over n(n−1)=6
+    val q = Seq((1L, Seq(1L, 0L)), (2L, Seq(0L, 1L)), (3L, Seq(1L, 1L)))
+      .toDF("vec_id", "qv")
+    val got = Similarity.isotropyReport(q).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getDouble(3), got.getDouble(4)) == (3L, 8L, 4L, 0.6667, 0.5),
+      s"got $got")
+    // identity cross-check on a second, asymmetric cloud: brute-force
+    // all ordered pairs in-process and compare to the linear-pass form
+    val vecs = Seq(Seq(3L, 1L, 4L), Seq(1L, 5L, 9L), Seq(2L, 6L, 5L),
+      Seq(3L, 5L, 8L))
+    val brute = (for {
+      a <- vecs; b <- vecs if a != b
+    } yield a.zip(b).map { case (x, y) => x * y }.sum).sum
+    // a == b compares by content; the planted vectors are distinct so
+    // the guard excludes exactly the diagonal
+    val q2 = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "qv")
+    val r2 = Similarity.isotropyReport(q2).collect().head
+    assert(r2.getLong(1) - r2.getLong(2) == brute,
+      s"identity: ${r2.getLong(1)} - ${r2.getLong(2)} vs brute $brute")
+    // lake surface: one row, n = corpus size, all-positive grid keeps
+    // the readouts in (0, 1] territory
+    val lake = Similarity.queries("x147_isotropy")(spark, SfDir).collect()
+    assert(lake.length == 1)
+    val n = graft.sources.Lake.table(spark, SfDir, "embeddings").count()
+    assert(lake.head.getLong(0) == n)
+    val aniso = lake.head.getDouble(4)
+    assert(aniso > 0.0 && aniso <= 1.0, s"anisotropy out of band: $aniso")
+  }
+
+  test("x148 kneser-ney: planted continuation counts hit the hand-computed rationals") {
+    import spark.implicits._
+    // corpus: (the,cat)x2, (the,dog)x1, (san,francisco)x1 →
+    // nbi=3, cw1(the)=3, n1f(the)=2, n1p each 1
+    val bfd = Seq((1L, "the", "cat", 1L), (3L, "the", "cat", 1L),
+      (2L, "the", "dog", 1L), (4L, "san", "francisco", 1L))
+      .toDF("doc_id", "w1", "w2", "bf")
+    val got = TextAnalysis.knFromBigrams(bfd).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // P(cat|the) = 21/36, P(dog|the) = 9/36, P(francisco|san) = 6/12
+    assert(got(1L) == (1L, -0.539), s"doc1 ${got(1L)}")
+    assert(got(2L) == (1L, -1.3863), s"doc2 ${got(2L)}")
+    assert(got(4L) == (1L, -0.6931), s"doc4 ${got(4L)}")
+    // the KN point: same corpus count (1), but the once-seen bigram
+    // whose CONTEXT is unambiguous scores above the one competing
+    // with a frequent continuation
+    assert(got(4L)._2 > got(2L)._2)
+    // lake surface: every doc with >= 2 tokens scored, scores <= 0
+    val lake = TextAnalysis.queries("x148_kneser_ney")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    lake.foreach(r => assert(r.getDouble(2) <= 0.0 && r.getLong(1) > 0L))
+  }
+
+  test("x149 ece: bins partition the events, confidences sit inside their bins, ece is one consistent number") {
+    val lake = Sampling.queries("x149_ece_calibration")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(lake.nonEmpty && lake.length <= 10)
+    val nEvents = graft.sources.Lake.table(spark, SfDir, "events").count()
+    assert(lake.map(_._2).sum == nEvents, "bins must partition the events")
+    val eces = lake.map(_._7).distinct
+    assert(eces.length == 1 && eces.head >= 0.0 && eces.head <= 1.0)
+    lake.foreach { case (bin, n, nPos, conf, acc, gap, _) =>
+      assert(bin >= 0L && bin <= 9L)
+      assert(nPos <= n && acc >= 0.0 && acc <= 1.0)
+      // width-0.1 bins; the top bin also holds 1.0
+      assert(conf >= bin * 0.1 - 1e-4 && conf <= (bin + 1) * 0.1 + 1e-4,
+        s"bin $bin: conf $conf outside its bin")
+      assert(math.abs(gap - (acc - conf)) < 2e-4, s"bin $bin: gap vs acc-conf")
+    }
+  }
+
   test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
     val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
