@@ -924,6 +924,61 @@ object Dedup {
       "reach(v, l) AS (SELECT DISTINCT v, v FROM edges " +
       "UNION SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)"
 
+  /** x150's Fellegi–Sunter scoring stage over a candidate pair frame
+    * (doc_a, doc_b, jaccard) and a field frame (doc_id, lang, source,
+    * len_b): per-field agreement weights w = ln(m/u) (agree) /
+    * ln((1−m)/(1−u)) (disagree), where m = P(agree | match) is
+    * estimated from the high-confidence candidates (jaccard ≥ 0.7 —
+    * the deterministic one-step stand-in for the EM fit) and
+    * u = P(agree | random pair) comes EXACTLY from the field
+    * marginals: u = Σ_v n_v² / N². Both get add-1 smoothing, so every
+    * weight is the ln of a strictly-positive exact BIGINT rational —
+    * no 0/0, no ln(0) sentinel — taken once onto the 10⁶ grid
+    * (x132's discipline); pair scores are exact integer sums.
+    * Overflow: the N²-scaled numerators hold to ~10⁹ docs, then swap
+    * to DECIMAL(38,0) unchanged.
+    */
+  def fellegiSunter(cand: DataFrame, meta: DataFrame): DataFrame = {
+    val pairs = cand
+      .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("source").as("sa"), col("len_b").as("ba")), "doc_a")
+      .join(meta.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("source").as("sb"), col("len_b").as("bb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (col("la") === col("lb")).as("agree_lang"),
+        (col("sa") === col("sb")).as("agree_source"),
+        (col("ba") === col("bb")).as("agree_len"))
+    val mstats = broadcast(pairs.filter(col("jaccard") >= 0.7)
+      .agg(count(lit(1)).as("mn"),
+        coalesce(sum(col("agree_lang").cast("long")), lit(0L)).as("ml"),
+        coalesce(sum(col("agree_source").cast("long")), lit(0L)).as("ms"),
+        coalesce(sum(col("agree_len").cast("long")), lit(0L)).as("mb")))
+    def uOf(c: String) = meta.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")))
+    val ustats = broadcast(uOf("lang").toDF("ul")
+      .crossJoin(uOf("source").toDF("us"))
+      .crossJoin(uOf("len_b").toDF("ub"))
+      .crossJoin(meta.agg(count(lit(1)).as("nn"))))
+    val n2 = col("nn") * col("nn")
+    def grid(x: Column): Column =
+      round(log(x) * lit(1000000.0), 0).cast("long")
+    def wAgree(ma: Column, un: Column): Column =
+      grid(((ma + lit(1L)) * (n2 + lit(2L))).cast("double") /
+        ((col("mn") + lit(2L)) * (un + lit(1L))).cast("double"))
+    def wDis(ma: Column, un: Column): Column =
+      grid(((col("mn") + lit(1L) - ma) * (n2 + lit(2L))).cast("double") /
+        ((col("mn") + lit(2L)) * (n2 + lit(1L) - un)).cast("double"))
+    pairs.crossJoin(mstats).crossJoin(ustats)
+      .select(col("doc_a"), col("doc_b"),
+        col("agree_lang"), col("agree_source"), col("agree_len"),
+        (when(col("agree_lang"), wAgree(col("ml"), col("ul")))
+          .otherwise(wDis(col("ml"), col("ul"))) +
+          when(col("agree_source"), wAgree(col("ms"), col("us")))
+            .otherwise(wDis(col("ms"), col("us"))) +
+          when(col("agree_len"), wAgree(col("mb"), col("ub")))
+            .otherwise(wDis(col("mb"), col("ub")))).as("score_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup, survivor picking: keep the lowest doc_id per
@@ -1177,6 +1232,34 @@ object Dedup {
         checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // FELLEGI–SUNTER RECORD LINKAGE — probabilistic entity resolution
+    // (the 1969 model behind every serious dedup/linkage system) on
+    // top of the x05 blocking chain: candidates come from the capped
+    // shingle join at a RECALL threshold (0.3 — blocking is allowed
+    // to over-generate; that is its job), then each pair is scored by
+    // field-agreement evidence instead of text overlap alone —
+    // ln(m/u) log-likelihood weights where a match on a RARE
+    // configuration (u small) earns more than on a common one, the
+    // exact reason "same language" is weak evidence and "same
+    // length-bucket" strong. m estimates from the jaccard ≥ 0.7
+    // confident subset (deterministic one-step EM stand-in), u
+    // exactly from the field marginals; add-1 smoothing keeps every
+    // weight finite (see [[fellegiSunter]]). Scale: candidates are
+    // the banded x05 volume, stats are 1-row broadcasts, scoring is
+    // map work — the top-20 readout is TakeOrdered, never a global
+    // sort.
+    "x150_record_linkage" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val meta = d.select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars DIV 50").as("len_b"))
+      val cand = ngramJaccardPairs(d, threshold = 0.3,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
+      fellegiSunter(cand, meta)
+        .orderBy(desc("score_fp"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
 
     // ASYMMETRIC CONTAINMENT — the partial-copy detector (see
     // containmentPairs scaladoc); shares x05's lake-checkpointed
@@ -1590,6 +1673,56 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the x05 shingle/cap chain at the 0.3 blocking threshold (the
+    // ROUNDED jaccard compare mirrors the Spark side exactly), field
+    // agreements, the confident-subset m stats, exact-marginal u
+    // stats, and the smoothed ln(m/u) weights on the 10^6 grid
+    "x150_record_linkage" -> {
+      def wA(ma: String, un: String): String =
+        s"CAST(ROUND(LN(CAST(($ma + 1) * (nn * nn + 2) AS DOUBLE) / " +
+          s"CAST((mn + 2) * ($un + 1) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+      def wD(ma: String, un: String): String =
+        s"CAST(ROUND(LN(CAST((mn + 1 - $ma) * (nn * nn + 2) AS DOUBLE) / " +
+          s"CAST((mn + 2) * (nn * nn + 1 - $un) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+        "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+        "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "cand AS (SELECT doc_a, doc_b, " +
+        "ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard " +
+        "FROM inter JOIN sz sa ON sa.doc_id = doc_a " +
+        "JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) >= 0.3), " +
+        "meta AS (SELECT doc_id, lang, source, n_chars // 50 AS len_b FROM documents), " +
+        "p AS (SELECT doc_a, doc_b, jaccard, a.lang = b.lang AS agree_lang, " +
+        "a.source = b.source AS agree_source, a.len_b = b.len_b AS agree_len " +
+        "FROM cand JOIN meta a ON doc_a = a.doc_id " +
+        "JOIN meta b ON doc_b = b.doc_id), " +
+        "ms AS (SELECT CAST(COUNT(*) AS BIGINT) AS mn, " +
+        "CAST(COALESCE(SUM(CASE WHEN agree_lang THEN 1 ELSE 0 END), 0) AS BIGINT) AS ml, " +
+        "CAST(COALESCE(SUM(CASE WHEN agree_source THEN 1 ELSE 0 END), 0) AS BIGINT) AS msrc, " +
+        "CAST(COALESCE(SUM(CASE WHEN agree_len THEN 1 ELSE 0 END), 0) AS BIGINT) AS mb " +
+        "FROM p WHERE jaccard >= 0.7), " +
+        "ul AS (SELECT CAST(SUM(n * n) AS BIGINT) AS ul FROM " +
+        "(SELECT COUNT(*) AS n FROM documents GROUP BY lang)), " +
+        "us AS (SELECT CAST(SUM(n * n) AS BIGINT) AS us FROM " +
+        "(SELECT COUNT(*) AS n FROM documents GROUP BY source)), " +
+        "ub AS (SELECT CAST(SUM(n * n) AS BIGINT) AS ub FROM " +
+        "(SELECT COUNT(*) AS n FROM documents GROUP BY n_chars // 50)), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents) " +
+        "SELECT doc_a, doc_b, agree_lang, agree_source, agree_len, " +
+        s"(CASE WHEN agree_lang THEN ${wA("ml", "ul")} ELSE ${wD("ml", "ul")} END + " +
+        s"CASE WHEN agree_source THEN ${wA("msrc", "us")} ELSE ${wD("msrc", "us")} END + " +
+        s"CASE WHEN agree_len THEN ${wA("mb", "ub")} ELSE ${wD("mb", "ub")} END) AS score_fp " +
+        "FROM p, ms, ul, us, ub, g " +
+        "ORDER BY score_fp DESC, doc_a, doc_b LIMIT 20"
+    },
     "x01_dedup_exact" ->
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes FROM documents " +
         "GROUP BY LOWER(TRIM(text)) ORDER BY keep_id"),

@@ -466,6 +466,47 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** x151's rich-club report over (u < v) edges and a (n, deg)
+    * frame: for k at the degree p50/p75/p90 (discrete quantiles —
+    * actual data values, x51's cross-engine convention, broadcast as
+    * a 3-row spine), φ(k) = 2·E_k / (N_k(N_k−1)) where E_k counts
+    * edges BOTH of whose endpoints have degree > k. The 3-row
+    * crossJoin on edge grain is a deliberate bounded ×3 fan-out (the
+    * percentile-bounds-join pattern); levels whose club is empty stay
+    * in the report via the spine left-joins (e_in = 0, φ NULL for
+    * n < 2) instead of vanishing — the x89-class contract gap this
+    * family learned to avoid. Exact integers to the one division.
+    */
+  def richClub(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val ks = broadcast(deg.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY deg)").as("k50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY deg)").as("k75"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY deg)").as("k90"))
+      // Spark's percentile_disc returns double; the picked value IS
+      // an integer degree, so the cast is exact (and pins the k
+      // column's cross-engine dtype)
+      .selectExpr("stack(3, 'p50', CAST(k50 AS BIGINT), " +
+        "'p75', CAST(k75 AS BIGINT), 'p90', CAST(k90 AS BIGINT)) AS (level, k)"))
+    val ek = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .crossJoin(ks)
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy(col("level"), col("k")).agg(count(lit(1)).as("e_in"))
+    val nk = deg.crossJoin(ks).filter(col("deg") > col("k"))
+      .groupBy(col("level"), col("k")).agg(count(lit(1)).as("n_nodes"))
+    ks.join(nk, Seq("level", "k"), "left")
+      .join(ek, Seq("level", "k"), "left")
+      .select(col("level"), col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"))
+      .withColumn("phi",
+        when(col("n_nodes") >= 2,
+          round((lit(2L) * col("e_in")).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - lit(1L))).cast("double"), 4)))
+      .orderBy(col("level"))
+  }
+
   /** x144's personalized node-meta frame: all restart mass sits at
     * `seed` instead of spreading uniformly — init 1.0 and teleport
     * 0.15 at the seed (in [[RankScale]] fixed point), 0 elsewhere.
@@ -714,6 +755,17 @@ object Graph {
         .orderBy(desc("rank_fp"), col("node"))
         .limit(20)
     }),
+
+    // RICH-CLUB COEFFICIENT — "do the hubs form their own clique?"
+    // beside x142's one-number assortativity: φ(k) = the edge density
+    // among nodes of degree > k at the graph's own p50/p75/p90 degree
+    // cuts. φ rising toward the top decile = a rich-club core (the
+    // crawl's hub cartel); φ flat/falling = hubs bind leaves. See
+    // [[richClub]] for the bounded-spine shape and the empty-club
+    // contract.
+    "x151_rich_club" -> ((spark, sfDir) =>
+      richClub(coPurchaseEdges(spark, sfDir),
+        copurchaseDegFor(spark, sfDir))),
 
     // MODULARITY — the one-number quality score of a community
     // PARTITION (x142 fingerprints degree structure; this scores an
@@ -1040,6 +1092,33 @@ object Graph {
         iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
         "SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 20"
     },
+    // same quantile spine, club filters and one division; empty
+    // clubs survive via the spine LEFT JOINs on both engines
+    "x151_rich_club" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS deg FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "q AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY deg) AS k50, " +
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY deg) AS k75, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY deg) AS k90 FROM deg), " +
+        "ks AS (SELECT 'p50' AS level, k50 AS k FROM q " +
+        "UNION ALL SELECT 'p75', k75 FROM q " +
+        "UNION ALL SELECT 'p90', k90 FROM q), " +
+        "ek AS (SELECT level, k, CAST(COUNT(*) AS BIGINT) AS e_in " +
+        "FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n " +
+        "CROSS JOIN ks WHERE du.deg > ks.k AND dv.deg > ks.k GROUP BY 1, 2), " +
+        "nk AS (SELECT level, k, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM deg CROSS JOIN ks WHERE deg.deg > ks.k GROUP BY 1, 2) " +
+        "SELECT ks.level, CAST(ks.k AS BIGINT) AS k, " +
+        "COALESCE(n_nodes, 0) AS n_nodes, COALESCE(e_in, 0) AS e_in, " +
+        "CASE WHEN COALESCE(n_nodes, 0) >= 2 THEN " +
+        "ROUND(CAST(2 * COALESCE(e_in, 0) AS DOUBLE) / " +
+        "CAST(n_nodes * (n_nodes - 1) AS DOUBLE), 4) END AS phi " +
+        "FROM ks LEFT JOIN nk USING (level, k) LEFT JOIN ek USING (level, k) " +
+        "ORDER BY ks.level"),
     // x80's label chain re-used verbatim for the partition, then the
     // exact-BIGINT modularity numerators over the bipartite edge set
     "x145_modularity" ->

@@ -2598,6 +2598,57 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x150 fellegi-sunter: planted marginals hit the hand-computed ln(m/u) weights") {
+    import spark.implicits._
+    // 4 docs: en/web/0, en/web/0, fr/book/1, en/book/0 → N=4, N²=16,
+    // ul=9+1=10, us=4+4=8, ub=9+1=10; confident subset = {(1,2)} with
+    // all three fields agreeing → mn=1, m*=1
+    val meta = Seq((1L, "en", "web", 0L), (2L, "en", "web", 0L),
+      (3L, "fr", "book", 1L), (4L, "en", "book", 0L))
+      .toDF("doc_id", "lang", "source", "len_b")
+    val cand = Seq((1L, 2L, 0.9), (3L, 4L, 0.3))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.fellegiSunter(cand, meta).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    // wA_lang = ln(2·18/(3·11)) → 87011; wA_source = ln(4/3) → 287682;
+    // wD_lang = ln(6/7) → −154151 (len shares lang's marginal shape)
+    assert(got((1L, 2L)) == (true, true, true, 461704L),
+      s"full-agree pair: ${got((1L, 2L))}")
+    assert(got((3L, 4L)) == (false, true, false, -20620L),
+      s"mixed pair: ${got((3L, 4L))}")
+    // lake surface: descending scores, agreement booleans present
+    val lake = Dedup.queries("x150_record_linkage")(spark, SfDir)
+      .collect().map(_.getLong(5))
+    assert(lake.nonEmpty && lake.length <= 20)
+    assert(lake.sliding(2).forall(p => p.head >= p.last),
+      "scores must be sorted desc")
+  }
+
+  test("x151 rich club: the planted clique-plus-leaves graph isolates the hub clique at p50") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus leaves 5→1, 6→2: degrees [4,4,3,3,1,1] →
+    // k50=3 (club {1,2}, 1 internal edge, φ=1), k75=k90=4 (empty club)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 6L)).toDF("u", "v")
+    val got = graft.ext.Graph.richClub(edges, graft.ext.Graph.degrees(edges))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(got.toSeq == Seq(("p50", 3L, 2L, 1L, Some(1.0)),
+      ("p75", 4L, 0L, 0L, None), ("p90", 4L, 0L, 0L, None)),
+      s"got ${got.toSeq}")
+    // lake surface: the 3-level spine always reports, φ in [0,1]
+    val lake = graft.ext.Graph.queries("x151_rich_club")(spark, SfDir)
+      .collect()
+    assert(lake.length == 3)
+    lake.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val p = r.getDouble(4); assert(p >= 0.0 && p <= 1.0, s"phi $p")
+      }
+    }
+  }
+
   test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
     val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
