@@ -233,7 +233,15 @@ object Bench {
     // user-shuffle + bounded-window chain (c84), and the binned-ECDF
     // sup-distance monitor (x133)
     "x132_adamic_adar", "x137_knn_graph", "c84_kaplan_meier",
-    "x133_ks_drift")
+    "x133_ks_drift",
+    // round-12 session-8 additions (56 → 60): the join-free
+    // sum-vector isotropy pass (x147 — the algebraic elimination of
+    // pairwise work, benched to prove the O(N) claim), the
+    // personalized fixed-point iteration (x144), the KN model build
+    // + one-shuffle doc scoring (x148), and the blocking+scoring
+    // linkage chain over the x05 shingle artifact (x150)
+    "x147_isotropy", "x144_personalized_pagerank", "x148_kneser_ney",
+    "x150_record_linkage")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -256,7 +264,14 @@ object Bench {
     "x129_hits",
     // the wedge stream (O(E^1.5) rows against the edge probe) — the
     // graph-side candidate-volume question x03 answers for shingles
-    "x132_adamic_adar")
+    "x132_adamic_adar",
+    // the join-free isotropy identity: its ratio should read ≈ the
+    // data ratio (pure linear scans) — the control group for the
+    // candidate-volume shapes above
+    "x147_isotropy",
+    // KN shares x46's one-big-shuffle doc⋈model shape with a larger
+    // (4-table) model build — x46's instrumented volume covers both
+    "x148_kneser_ney")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -280,7 +295,13 @@ object Bench {
     // grows the graph as disjoint copies, so wedge volume (and the
     // instrumentation field) should read exactly linear — the clean
     // big-point check that the intersect form stays volume-bound
-    "x132_adamic_adar")
+    "x132_adamic_adar",
+    // the join-free linear control: its big ratio should sit at ≈ the
+    // data ratio with no candidate-volume term at all
+    "x147_isotropy",
+    // x46's doc⋈model shuffle with the 4-table KN model on top — if
+    // the model build ever stops being vocab-bounded it shows here
+    "x148_kneser_ney")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
@@ -728,7 +749,7 @@ object Bench {
       // volume; VERDICT r11 §1). Raw per-rep times ride in the
       // artifact so an outlier rep is visible rather than decisive.
       val volumeBound = Set("x46_bigram_logprob", "x03_dedup_minhash",
-        "x92_span_dedup", "c02_join_large")
+        "x92_span_dedup", "c02_join_large", "x148_kneser_ney")
       def bigRepsFor(n: String): Int =
         if (volumeBound(n)) math.max(bigReps, 3) else bigReps
       val (bigDirDesc, bigStats, bigWarm, bigInst) =

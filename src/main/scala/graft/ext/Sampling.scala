@@ -113,7 +113,35 @@ object Sampling {
           (col("n_g") - col("n_f"))).as("enc_den"))
   }
 
+  /** x157's Efraimidis–Spirakis A-ES keys over a (doc_id, n_chars)
+    * frame: u = (2h+1)/(2·HashMod) on the odd grid (strictly inside
+    * (0,1) — the ln singularity unreachable, x134's trick), key =
+    * ln(u)/w gridded to 10⁻⁹ fixed point so the ranking compare is
+    * an exact integer. Exposed for the in-process recompute test.
+    */
+  def weightedSampleKeys(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("n_chars"),
+      round(log((lit(2.0) * sampleHash(col("doc_id")).cast("double") +
+        lit(1.0)) / lit(2.0 * HashMod)) / col("n_chars").cast("double") *
+        lit(1000000000.0), 0).cast("long").as("key_fp"))
+
   val queries: Map[String, Q] = Map(
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (A-ES) — the Efraimidis–
+    // Spirakis exponential-key trick, THE one-pass distributed
+    // primitive for "sample k docs ∝ token count" (x20/x37 sample by
+    // RATE; training mixes need ∝-size picks without replacement):
+    // each row computes key = u^(1/w) once (here as ln(u)/w — the
+    // same order), and the top-k by key IS a without-replacement
+    // weighted sample. No sequential reservoir state, no second
+    // pass, TakeOrderedAndProject at any corpus size. u derives from
+    // the hash on the odd grid so the sample is deterministic and
+    // reproducible across engines/runs (x53's auditability), and the
+    // 10⁻⁹ fixed-point key makes the selection boundary an integer
+    // compare, not a float tie.
+    "x157_weighted_sample" -> ((spark, sfDir) =>
+      weightedSampleKeys(docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars")))
+        .orderBy(desc("key_fp"), col("doc_id")).limit(20)),
 
     // Stratified (per-language) downsampling: keep en at 50%, every
     // other language at 20% — the rebalancing step of a multilingual
@@ -955,6 +983,14 @@ object Sampling {
         "ROUND(CAST(SUM(ABS(gap_num)) OVER () AS DOUBLE) / " +
         "(CAST(SUM(n) OVER () AS DOUBLE) * 10000.0), 4) AS ece " +
         "FROM sb ORDER BY bin"),
+    // same odd-grid u, the ln(u)/w key on the 10^-9 grid, integer
+    // top-20
+    "x157_weighted_sample" ->
+      (s"SELECT doc_id, n_chars, " +
+        s"CAST(ROUND(LN((2.0 * ((doc_id * $HashMul) % $HashMod) + 1.0) / " +
+        s"${2.0 * HashMod}) / CAST(n_chars AS DOUBLE) * 1000000000.0) " +
+        "AS BIGINT) AS key_fp " +
+        "FROM documents ORDER BY key_fp DESC, doc_id LIMIT 20"),
     "x53_train_split" ->
       (s"SELECT doc_id, lang, CASE " +
         s"WHEN (doc_id * $HashMul) % $HashMod < ${HashMod * 98L / 100L} THEN 'train' " +

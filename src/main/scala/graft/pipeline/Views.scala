@@ -310,6 +310,33 @@ object Views {
       mwReportFromCounts(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("event_type"))),
 
+    // AUTOCORRELATION — the memory/seasonality fingerprint of the
+    // event stream beside the drift monitors (x98/x133/x146 compare
+    // windows, x138 localizes a shift; ACF asks whether the series
+    // REPEATS itself): r₁ near 1 = momentum, negative r₁ = daily
+    // overcorrection, a weekly bump at higher lags = seasonality a
+    // forecast job must model. Exact-integer centered products over
+    // the per-type day frame (see acfReport); at 100 TB the only
+    // corpus-scale work is x138's one events aggregate.
+    "x152_acf" -> ((spark, sfDir) =>
+      acfReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
+    // fraud / instrumentation-bug screen beside p12's rule gates:
+    // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
+    // a uniform or hand-capped value distribution (like this
+    // corpus's) fails loudly, and that verdict IS the operator's
+    // point — the report says whether the value column looks
+    // generated. Digit via the decimal string (no log/power edge
+    // cases), chi-square terms integer-gridded before the 9-row sum
+    // (see benfordReport). One partial-agg'able count at corpus
+    // scale; everything after is a 9-row frame.
+    "x156_benford" -> ((spark, sfDir) =>
+      benfordReport(Lake.table(spark, sfDir, "events").select(col("value")))),
+
     // WINSORIZED MEAN — the robust level estimate beside x84's MAD
     // outlier FLAG: report each type's mean with the tails clamped to
     // the discrete p05/p95 (actual data values — x51's cross-engine
@@ -426,6 +453,81 @@ object Views {
         round(lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double") /
           (col("n_ref") * col("n_cur")).cast("double")), 4).as("d_crit"))
       .withColumn("drifted", col("ks") > col("d_crit"))
+  }
+
+  /** x152's autocorrelation report over a (event_type, day, x)
+    * daily-count frame (x138's input, shared with s22's maintained
+    * state): r_k = Σ c_t·c_{t+k} / Σ c_t² for lags 1..maxLag, with
+    * the centered term cross-multiplied to the exact integer
+    * c_t = x_t·n − T (no float mean — x138's discipline), so both
+    * the lag products and the variance are exact BIGINT sums and the
+    * single division lands on the 4 dp grid. Zero variance (constant
+    * series) guards to NULL. Each lag is one lead() pass over the
+    * ≤31-row per-type day frame; nothing touches event grain after
+    * the first aggregate. Overflow: c² ≤ (x_max·n)² holds to ~10⁹
+    * events/day/type, then DECIMAL(38,0) accumulation unchanged.
+    */
+  def acfReport(daily: DataFrame, maxLag: Int = 3): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val c = daily
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("c", col("x") * col("n_days") - col("total"))
+    val den = c.groupBy(col("event_type"))
+      .agg(min(col("n_days")).as("n_days"),
+        sum(col("c") * col("c")).as("den"))
+    val lags = (1 to maxLag).map { k =>
+      c.withColumn("cl", lead(col("c"), k).over(byDay))
+        .filter(col("cl").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(col("c") * col("cl")).as("num"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    lags.join(den, "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"),
+        when(col("den") =!= 0,
+          round(col("num").cast("double") / col("den").cast("double"), 4))
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** x156's Benford first-digit audit over a value column: observed
+    * leading-digit shares vs the Benford expectation
+    * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
+    * per-digit terms rounded onto a 10⁶ integer grid BEFORE the
+    * 9-row sum — a float Σ over an unordered window frame would be
+    * association-order-sensitive across engines; the grid makes the
+    * statistic exact-integer and associative (x132's discipline
+    * applied to a test statistic). The leading digit derives through
+    * the value's decimal string (substring of the integer part) —
+    * identical semantics in both engines, no log10/power boundary
+    * cases at exact powers of ten.
+    */
+  def benfordReport(values: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(lit(1))
+    val digits = values
+      .filter(col("value") >= 1.0)
+      .select(substring(floor(col("value")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(whole))
+    val p = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    digits
+      .withColumn("_exp", col("n_total").cast("double") * p)
+      .withColumn("_chi_fp",
+        round((col("n").cast("double") - col("_exp")) *
+          (col("n").cast("double") - col("_exp")) / col("_exp") *
+          lit(1000000.0), 0).cast("long"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 4)
+          .as("obs_share"),
+        round(p, 4).as("benford_p"),
+        round(col("_chi_fp").cast("double") / lit(1000000.0), 4)
+          .as("chi_term"),
+        round(sum(col("_chi_fp")).over(whole).cast("double") /
+          lit(1000000.0), 4).as("chi2"))
+      .orderBy(col("digit"))
   }
 
   /** x146's Mann–Whitney/AUC drift report over the SAME
@@ -737,6 +839,49 @@ object Views {
         "38416 * CAST(n_ref AS HUGEINT) * n_cur * (n_ref + n_cur + 1) " +
         "AS drifted " +
         "FROM a ORDER BY event_type"),
+    // x138's centered-integer day frame; one LEAD pass per lag, exact
+    // numerator/denominator, the zero-variance NULL guard
+    "x152_acf" -> {
+      def lagCte(k: Int): String =
+        s"l$k AS (SELECT event_type, CAST(SUM(c * cl) AS BIGINT) AS num, " +
+          s"$k AS lag FROM (SELECT event_type, c, LEAD(c, $k) OVER " +
+          "(PARTITION BY event_type ORDER BY day) AS cl FROM c) " +
+          "WHERE cl IS NOT NULL GROUP BY 1)"
+      "WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM d), " +
+        "c AS (SELECT event_type, day, n_days, x * n_days - total AS c FROM w), " +
+        "den AS (SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days, " +
+        "CAST(SUM(c * c) AS BIGINT) AS den FROM c GROUP BY 1), " +
+        lagCte(1) + ", " + lagCte(2) + ", " + lagCte(3) + ", " +
+        "ll AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 " +
+        "UNION ALL SELECT * FROM l3) " +
+        "SELECT ll.event_type, CAST(lag AS INTEGER) AS lag, den.n_days, " +
+        "CASE WHEN den <> 0 THEN " +
+        "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) END AS acf " +
+        "FROM ll JOIN den USING (event_type) ORDER BY ll.event_type, lag"
+    },
+    // same string-derived digit, Benford expectation and the
+    // integer-gridded chi-square terms summed exactly
+    "x156_benford" ->
+      ("WITH v AS (SELECT CAST(SUBSTR(CAST(CAST(FLOOR(value) AS BIGINT) " +
+        "AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM events WHERE value >= 1.0), " +
+        "d AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1), " +
+        "t AS (SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS n_total FROM d), " +
+        "e AS (SELECT digit, n, n_total, LN(1.0 + 1.0 / digit) / LN(10.0) AS p, " +
+        "CAST(n_total AS DOUBLE) * (LN(1.0 + 1.0 / digit) / LN(10.0)) AS ex FROM t), " +
+        "f AS (SELECT digit, n, n_total, p, " +
+        "CAST(ROUND((CAST(n AS DOUBLE) - ex) * (CAST(n AS DOUBLE) - ex) " +
+        "/ ex * 1000000.0) AS BIGINT) AS chi_fp FROM e) " +
+        "SELECT digit, n, " +
+        "ROUND(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS obs_share, " +
+        "ROUND(p, 4) AS benford_p, " +
+        "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi_term, " +
+        "ROUND(CAST(SUM(chi_fp) OVER () AS DOUBLE) / 1000000.0, 4) AS chi2 " +
+        "FROM f ORDER BY digit"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum
     // goes through the same exact decimal accumulation as the Spark

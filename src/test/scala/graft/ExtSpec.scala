@@ -2649,6 +2649,80 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x152 acf: an alternating series hits the textbook lag signs; a constant series takes the NULL guard") {
+    import spark.implicits._
+    // [1,2,1,2]: c = [-2,2,-2,2], den = 16 → r1 = -12/16, r2 = 8/16,
+    // r3 = -4/16; constant series has zero variance → NULL
+    val daily = Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 1L), ("a", 3, 2L),
+      ("b", 0, 5L), ("b", 1, 5L), ("b", 2, 5L))
+      .toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.acfReport(daily).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("a", 1)) == Some(-0.75) && got(("a", 2)) == Some(0.5) &&
+      got(("a", 3)) == Some(-0.25), s"a: $got")
+    assert(got(("b", 1)).isEmpty && got(("b", 2)).isEmpty,
+      "constant series must guard to NULL")
+    // lake surface: every type reports lags 1..3, acf in [-1, 1]
+    val lake = graft.pipeline.Views.queries("x152_acf")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty && lake.length % 3 == 0)
+    lake.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val a = r.getDouble(3)
+        assert(a >= -1.0001 && a <= 1.0001, s"acf out of range: $a")
+      }
+    }
+  }
+
+  test("x156 benford: planted digits recompute exactly; the grid makes chi2 order-free") {
+    import spark.implicits._
+    val vals = Seq(1.5, 19.0, 100.0, 2.7, 35.0, 0.5).toDF("value")
+    val got = graft.pipeline.Views.benfordReport(vals).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // 0.5 filtered; digits 1×3, 2×1, 3×1 of N=5
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((1, 3L), (2, 1L), (3, 1L)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def p(d: Int) = math.log(1.0 + 1.0 / d) / math.log(10.0)
+    def chiFp(n: Long, N: Long, d: Int): Long = {
+      val ex = N.toDouble * p(d)
+      math.round((n.toDouble - ex) * (n.toDouble - ex) / ex * 1000000.0)
+    }
+    val expChi2 = r4((chiFp(3, 5, 1) + chiFp(1, 5, 2) + chiFp(1, 5, 3)).toDouble / 1000000.0)
+    got.foreach { case (d, n, share, bp, term, chi2) =>
+      assert(share == r4(n.toDouble / 5.0))
+      assert(bp == r4(p(d)), s"digit $d benford_p")
+      assert(term == r4(chiFp(n, 5, d).toDouble / 1000000.0), s"digit $d term")
+      assert(chi2 == expChi2, s"digit $d chi2")
+    }
+    // lake surface: 9 digit rows, shares sum to ~1, one chi2
+    val lake = graft.pipeline.Views.queries("x156_benford")(spark, SfDir)
+      .collect()
+    assert(lake.length == 9)
+    val shareSum = lake.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+    assert(lake.map(_.getDouble(5)).distinct.length == 1)
+  }
+
+  test("x157 weighted sample: the A-ES keys recompute exactly in-process and the top-20 agrees") {
+    val d = graft.sources.Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val exp = d.collect().map { r =>
+      val (id, w) = (r.getLong(0), r.getLong(1))
+      val h = (id * Sampling.HashMul) % Sampling.HashMod
+      val u = (2.0 * h + 1.0) / (2.0 * Sampling.HashMod)
+      (id, w, math.round(math.log(u) / w * 1000000000.0))
+    }
+    val expTop = exp.sortBy { case (id, _, k) => (-k, id) }.take(20).toSeq
+    val got = Sampling.queries("x157_weighted_sample")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expTop, s"top-20 mismatch:\n$got\nvs\n$expTop")
+    // keys are strictly negative (u < 1): the max key belongs to a
+    // heavy doc with a lucky u — both forces visible in the formula
+    assert(got.forall(_._3 < 0L))
+  }
+
   test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
     val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

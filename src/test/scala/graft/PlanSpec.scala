@@ -474,7 +474,8 @@ class PlanSpec extends SparkSpec {
   test("drift monitors are pure aggregation + bounded-frame windows — no joins at all (x133/x138)") {
     for ((mod, name) <- Seq(
         (graft.pipeline.Views.queries, "x133_ks_drift"),
-        (graft.pipeline.Views.queries, "x138_cusum_anomaly"))) {
+        (graft.pipeline.Views.queries, "x138_cusum_anomaly"),
+        (graft.pipeline.Views.queries, "x146_mannwhitney_drift"))) {
       val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
       assert(plan.contains("HashAggregate"),
         s"$name: no partial aggregation in:\n$plan")
@@ -492,6 +493,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"x137 plans a non-equi join:\n$plan")
+  }
+
+  test("isotropy never plans a corpus-grain join — the sum-vector identity leaves only 1-row broadcast crosses (x147)") {
+    val plan = graft.ext.Similarity.queries("x147_isotropy")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastHashJoin"),
+      s"x147 must not join at corpus grain:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial aggregation:\n$plan")
+  }
+
+  test("the new graph/linkage wave plans equi-joins and broadcast scalars only — no cartesian (x144/x145/x148/x149/x150/x151)") {
+    for ((mod, name) <- Seq(
+        (graft.ext.Graph.queries, "x144_personalized_pagerank"),
+        (graft.ext.Graph.queries, "x145_modularity"),
+        (graft.ext.Graph.queries, "x151_rich_club"),
+        (graft.ext.TextAnalysis.queries, "x148_kneser_ney"),
+        (graft.ext.Sampling.queries, "x149_ece_calibration"),
+        (graft.ext.Dedup.queries, "x150_record_linkage"))) {
+      val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: no partial aggregation:\n$plan")
+    }
   }
 
   test("target encoding is one cell aggregate with broadcast marginals (x139)") {
