@@ -143,6 +143,41 @@ object Sampling {
         .select(col("doc_id"), col("n_chars")))
         .orderBy(desc("key_fp"), col("doc_id")).limit(20)),
 
+    // MIX KL-DIVERGENCE — the one-number imbalance score of the
+    // achieved source mix (x28 prescribes a mix, x59 temperature-
+    // adjusts one, x136 reads within-source diversity; this reads
+    // the BETWEEN-source skew): KL(p ‖ uniform) = log S − H(p) ≥ 0,
+    // 0 iff perfectly balanced — the dataset-card number a training
+    // run quotes for "how concentrated is my corpus". Per-source
+    // log-ratio terms ln(n_s·S/N) are each ONE ln of an exact BIGINT
+    // rational onto the 10⁶ grid, the divergence is the exact
+    // integer Σ n_s·term_fp over the |sources|-row frame with one
+    // division at readout — no float accumulation anywhere (x156's
+    // order-free discipline). One partial-agg'able count at corpus
+    // scale.
+    "x158_mix_kl" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      docs(spark, sfDir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_total", sum(col("n_docs")).over(whole))
+        .withColumn("n_sources", count(lit(1)).over(whole))
+        .withColumn("term_fp", round(log(
+          (col("n_docs") * col("n_sources")).cast("double") /
+            col("n_total").cast("double")) * lit(1000000.0), 0)
+          .cast("long"))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs").cast("double") /
+            col("n_total").cast("double"), 4).as("share"),
+          round(col("term_fp").cast("double") / lit(1000000.0), 4)
+            .as("log_ratio"),
+          round(sum(col("n_docs") * col("term_fp")).over(whole)
+            .cast("double") /
+            (col("n_total").cast("double") * lit(1000000.0)), 4)
+            .as("kl_vs_uniform"))
+        .orderBy(col("source"))
+    }),
+
     // Stratified (per-language) downsampling: keep en at 50%, every
     // other language at 20% — the rebalancing step of a multilingual
     // training mix. Scale shape: stateless map work, no shuffle, no
@@ -983,6 +1018,23 @@ object Sampling {
         "ROUND(CAST(SUM(ABS(gap_num)) OVER () AS DOUBLE) / " +
         "(CAST(SUM(n) OVER () AS DOUBLE) * 10000.0), 4) AS ece " +
         "FROM sb ORDER BY bin"),
+    // same exact-rational log-ratio terms on the 10^6 grid and the
+    // integer divergence numerator
+    "x158_mix_kl" ->
+      ("WITH d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM documents GROUP BY 1), " +
+        "t AS (SELECT source, n_docs, " +
+        "CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS n_sources FROM d), " +
+        "f AS (SELECT source, n_docs, n_total, " +
+        "CAST(ROUND(LN(CAST(n_docs * n_sources AS DOUBLE) / " +
+        "CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT) AS term_fp FROM t) " +
+        "SELECT source, n_docs, " +
+        "ROUND(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS share, " +
+        "ROUND(CAST(term_fp AS DOUBLE) / 1000000.0, 4) AS log_ratio, " +
+        "ROUND(CAST(SUM(n_docs * term_fp) OVER () AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * 1000000.0), 4) AS kl_vs_uniform " +
+        "FROM f ORDER BY source"),
     // same odd-grid u, the ln(u)/w key on the 10^-9 grid, integer
     // top-20
     "x157_weighted_sample" ->

@@ -990,6 +990,30 @@ object Surface {
     // — bounded regardless of corpus size — so the normalizing totals
     // broadcast. Counts are exact BIGINTs; probability is one
     // division at 4 dp.
+    // SEQUENTIAL PATTERNS — the order-3 extension of c78's transition
+    // matrix (PrefixSpan's shortest useful case): top ordered
+    // event-type TRIPLES within a user's timeline, the "what path do
+    // users actually take" read that pairwise transitions compose
+    // incorrectly (Markov assumes memorylessness; the triple counts
+    // measure where that assumption breaks). Two lead() columns over
+    // c78's (ts, event_id) total order — still ONE user_id shuffle —
+    // then an |alphabet|³-bounded exact count frame and a
+    // TakeOrdered top-20.
+    "c85_sequential_patterns" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("event_type").as("e1"), col("e2"), col("e3"))
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     "c78_markov_paths" -> ((spark, sfDir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1841,6 +1865,16 @@ object Surface {
         "ROUND(CAST(SUM(v_cents * dt) AS DOUBLE) / CAST(SUM(dt) AS BIGINT) / 100, 4) AS twa " +
         "FROM s WHERE dt IS NOT NULL GROUP BY 1 " +
         "HAVING SUM(dt) > 0 ORDER BY user_id"),
+    // c78's total order with two LEADs; exact triple counts, the
+    // deterministic (n desc, triple) top-20
+    "c85_sequential_patterns" ->
+      ("WITH s AS (SELECT user_id, event_type AS e1, " +
+        "LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, " +
+        "LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 " +
+        "FROM events) " +
+        "SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n FROM s " +
+        "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3 " +
+        "ORDER BY n DESC, e1, e2, e3 LIMIT 20"),
     // same lag window (ts, event_id total order), BIGINT-cast totals
     // (DuckDB widens SUM to HUGEINT), one 4 dp division
     "c78_markov_paths" ->

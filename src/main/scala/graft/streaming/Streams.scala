@@ -986,6 +986,64 @@ object Streams {
     * stays current as a crawl ingests without ever re-scanning the
     * corpus.
     */
+  /** s23: x146's Mann–Whitney/AUC drift report with the current
+    * window's (event_type, bucket) counts maintained incrementally —
+    * the SAME maintained state as s20 (both statistics are functions
+    * of the shared binned-count frame, which is the point: one
+    * maintained artifact serves the whole drift family), read out
+    * through [[graft.pipeline.Views.mwReportFromCounts]] so streamed
+    * ≡ batch x146 by construction.
+    */
+  def foreachBatchMw(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s23_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/hist_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.pipeline.Views.ksHalfCounts(batch.toDF())
+            .filter(col("half") === "cur")
+            .select(col("event_type"), col("bucket"), col("c"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("event_type", "bucket"), "full_outer")
+                .select(col("event_type"), col("bucket"),
+                  (coalesce(p("c"), lit(0L)) +
+                    coalesce(delta("c"), lit(0L))).as("c"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cur = spark.read.parquet(latest.getOrElse(
+      sys.error("s23: stream produced no batches")))
+      .withColumn("half", lit("cur"))
+    val ref = graft.pipeline.Views
+      .ksHalfCounts(Lake.table(spark, sfDir, "events"))
+      .filter(col("half") === "ref")
+    graft.pipeline.Views.mwReportFromCounts(
+        cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
+          .unionByName(ref))
+      .orderBy(col("event_type"))
+  }
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -1382,6 +1440,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchSimpson(spark, sfDir)),
     "s22_stream_cusum" ->
       ((spark, sfDir) => foreachBatchCusum(spark, sfDir)),
+    "s23_stream_mw_monitor" ->
+      ((spark, sfDir) => foreachBatchMw(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1479,6 +1539,10 @@ object Streams {
     // the IVM contract verbatim: the CUSUM report off the maintained
     // (type, day) count table ≡ batch x138
     "s22_stream_cusum" -> graft.pipeline.Views.oracles("x138_cusum_anomaly"),
+    // the IVM contract verbatim: the rank-sum report off the SAME
+    // maintained bin table s20 keeps ≡ batch x146
+    "s23_stream_mw_monitor" ->
+      graft.pipeline.Views.oracles("x146_mannwhitney_drift"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

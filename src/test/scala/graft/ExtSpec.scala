@@ -2723,6 +2723,51 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._3 < 0L))
   }
 
+  test("c85 sequential patterns: triple mass telescopes to sum of max(events_u - 2, 0) and the slice is ranked") {
+    val rows = graft.queries.Surface.queries("c85_sequential_patterns")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._4).sliding(2).forall(p => p.head >= p.last),
+      "support must be non-increasing")
+    // the top-20 can clip the tail, so check the telescoping identity
+    // on the FULL triple frame: every user contributes exactly
+    // max(n_u − 2, 0) triples
+    val perUser = graft.sources.Lake.table(spark, SfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => math.max(r.getLong(1) - 2L, 0L)).sum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tripleMass = graft.sources.Lake.table(spark, SfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull).count()
+    assert(tripleMass == perUser,
+      s"triple mass $tripleMass vs telescoped $perUser")
+  }
+
+  test("x158 mix kl: the divergence recomputes exactly and is zero only for a balanced mix") {
+    val got = Sampling.queries("x158_mix_kl")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // exact in-process recompute of the gridded chain
+    val counts = got.map(g => (g._1, g._2))
+    val n = counts.map(_._2).sum
+    val s = counts.length
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val termFp = counts.map { case (_, c) =>
+      c -> math.round(math.log(c.toDouble * s / n.toDouble) * 1000000.0)
+    }
+    val expKl = r4(termFp.map { case (c, t) => c * t }.sum.toDouble /
+      (n.toDouble * 1000000.0))
+    got.foreach { case (src, c, share, lr, kl) =>
+      assert(share == r4(c.toDouble / n.toDouble), s"$src share")
+      assert(kl == expKl, s"$src kl $kl vs $expKl")
+    }
+    assert(expKl >= 0.0, "KL must be non-negative")
+  }
+
   test("x134 DP counts: hash-seeded Laplace noise recomputes exactly and stays inside the grid's tail bound") {
     val got = TextAnalysis.queries("x134_dp_counts")(spark, SfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

@@ -351,6 +351,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed CUSUM diverges from batch x138:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming Mann-Whitney monitor equals batch x146 across a multi-batch run (s23)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+    val streamed = graft.streaming.Streams.foreachBatchMw(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s23_$tag")
+      .listFiles().count(_.getName.startsWith("hist_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x146_mannwhitney_drift")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed MW diverges from batch x146:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
