@@ -552,6 +552,29 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
 
+    // GINI LENGTH CONCENTRATION — the inequality read of each
+    // source's doc-length distribution (x61 buckets lengths, x136
+    // reads label diversity; Gini answers "does a thin slice of
+    // giant documents carry most of this source's mass" — the
+    // dataset-card number that flags a source whose token count is
+    // dominated by a few mega-docs a dedup or truncation pass would
+    // reshape). Computed on the VALUE-FREQUENCY compressed frame:
+    // G = (2·S₁ − (n+1)·S₀)/(n·S₀) needs the rank-weighted sum S₁,
+    // and the rank-sum of an f-wide tie block at value v is
+    // f·C_prev + f(f+1)/2 regardless of intra-tie order — so the
+    // cumulative window runs over DISTINCT length values per source
+    // (a power-law support, orders smaller than docs), never the doc
+    // frame, and no tiebreak contract exists at all. Everything is
+    // exact BIGINT until ONE division at 6 dp (headroom: S₁ ≤ n·S₀
+    // needs n·S₀ < 9·10¹⁸ — a 10¹²-char source crosses it, where the
+    // mitigation is pre-bucketing lengths to a 10³ grid, x133's
+    // pre-scale fallback). One partial-agg'able pass over documents;
+    // everything after is value-support-sized.
+    "x159_gini_length" -> ((spark, sfDir) =>
+      giniReport(docs(spark, sfDir)
+        .select(col("source"), col("n_chars").as("v")))
+        .orderBy(col("source"))),
+
     // CHARACTER-ENTROPY QUALITY — Shannon entropy of each doc's
     // character distribution (the Gopher-family signal that separates
     // natural text from key-mash/boilerplate: too low = repetitive,
@@ -1694,7 +1717,49 @@ object TextAnalysis {
       .withColumn("n_windows", size(array_distinct(col("_w"))))
       .drop("_w")
 
+  /** x159's Gini stage over a (source, v) non-negative value frame —
+    * exposed so tests can plant distributions with closed-form Gini.
+    * See the registry entry for the tie-block rank-sum identity that
+    * keeps the cumulative window on the value-frequency frame.
+    */
+  def giniReport(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("f"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    freq.withColumn("c_incl", sum(col("f")).over(cum))
+      .withColumn("ranksum",
+        col("v") * (col("f") * (col("c_incl") - col("f")) +
+          expr("f * (f + 1) DIV 2")))
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_docs"),
+        sum(col("v") * col("f")).as("total_chars"),
+        sum(col("ranksum")).as("_s1"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        round((lit(2L) * col("_s1") -
+          (col("n_docs") + 1L) * col("total_chars")).cast("double") /
+          (col("n_docs") * col("total_chars")).cast("double"), 6)
+          .as("gini"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // same value-frequency frame, same tie-block rank-sum identity
+    // (// ≡ DIV on the non-negative f(f+1)), one division at 6 dp;
+    // CASTs pin DuckDB's HUGEINT widening back to BIGINT
+    "x159_gini_length" ->
+      ("WITH f AS (SELECT source, n_chars AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1, 2), " +
+        "c AS (SELECT source, v, f, CAST(SUM(f) OVER (PARTITION BY source " +
+        "ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ci FROM f), " +
+        "r AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(v * f) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(v * (f * (ci - f) + (f * (f + 1)) // 2)) AS BIGINT) AS s1 " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_docs, total_chars, " +
+        "ROUND(CAST(2 * s1 - (n_docs + 1) * total_chars AS DOUBLE) / " +
+        "CAST(n_docs * total_chars AS DOUBLE), 6) AS gini " +
+        "FROM r ORDER BY source"),
     // identical weight table interpolated from the same Scala value;
     // all-integer arithmetic, CASTs pin DuckDB's HUGEINT widening
     "x79_hashed_features" -> {

@@ -351,6 +351,48 @@ object Views {
     "x141_winsorized_mean" -> ((spark, sfDir) =>
       winsorizedReport(Lake.table(spark, sfDir, "events")
         .select(col("event_type"), col("value")))
+        .orderBy(col("event_type"))),
+
+    // THEIL–SEN TREND — the robust slope estimate over the daily
+    // series the level monitors read (x138 localizes a shift, x152
+    // reads memory; this one answers "is volume trending, and how
+    // fast" without OLS's outlier sensitivity — one spiked day drags
+    // a least-squares fit but moves at most half the pairwise-slope
+    // order). All C(n_days, 2) pairwise slopes land on a 10⁻⁶ FLOOR
+    // grid — the quotient 10⁶·Δx/Δd is one IEEE division of
+    // exact-integer-valued doubles (bit-identical across engines)
+    // and floor of an identical double is identical, so the order
+    // key is an exact BIGINT with no rounding-convention edge — and
+    // the estimate is the lower median (element (n+1) DIV 2). Grid
+    // ties cannot move the k-th VALUE, so row_number's arbitrary
+    // tie order is engine-safe. Scale: the only corpus-sized work is
+    // x138's one events aggregate; the pair frame is days²-bounded
+    // (a decade of days ≈ 6.7M pairs per type) and the rank window
+    // runs over that bounded frame, never over events.
+    "x160_theil_sen" -> ((spark, sfDir) =>
+      theilSenReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"))),
+
+    // CHI-SQUARE HOMOGENEITY DRIFT — the categorical member of the
+    // drift family (x98/x133/x146 monitor a VALUE distribution per
+    // type; this asks whether the TYPE MIX itself shifted between
+    // the x98 reference window and the rest — the "did my traffic
+    // composition change" screen that value-level monitors cannot
+    // see). The 2×k statistic uses the cross-multiplied identity
+    // D_t = O_ref·N_cur − O_cur·N_ref, contribution
+    // D_t²/(n_t·N_ref·N_cur): every input to the one double chain is
+    // an exact BIGINT (D ≤ N²/4 needs N < 6·10⁹ — past that,
+    // pre-scale to per-mille shares, x133's documented fallback),
+    // the per-type term lands on x156's 10⁻⁶ integer grid, and the
+    // total is the exact grid sum — no float accumulation, full hash
+    // oracle. df = k−1 with the 0.05 critical value from the fixed
+    // lookup. One partial-agg'able events pass; everything after is
+    // a |types|-row frame.
+    "x161_chisq_drift" -> ((spark, sfDir) =>
+      chisqReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("event_type")))
   )
 
@@ -372,6 +414,71 @@ object Views {
           count(lit(1)), 4).as("raw_mean"),
         round(sum(col("w").cast("decimal(30,10)")).cast("double") /
           count(lit(1)), 4).as("wins_mean"))
+  }
+
+  /** x160's Theil–Sen stage over a (event_type, day, x) daily-count
+    * frame (x138/x152's input) — exposed so tests can plant series
+    * with known slopes. See the registry entry for the floor-grid
+    * determinism argument; the lower-median convention (element
+    * (n+1) DIV 2 of the slope order) matches DuckDB's
+    * quantile_disc(0.5) on the same grid.
+    */
+  def theilSenReport(daily: DataFrame): DataFrame = {
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        floor((col("b.x") - col("a.x")).cast("double") * lit(1000000.0) /
+          (col("b.day") - col("a.day")).cast("double")).as("slope_fp"))
+    val order = Window.partitionBy(col("event_type")).orderBy(col("slope_fp"))
+    val whole = Window.partitionBy(col("event_type"))
+    pairs.withColumn("rn", row_number().over(order))
+      .withColumn("n_pairs", count(lit(1)).over(whole))
+      .filter(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_fp").as("sen_slope_fp"),
+        (col("slope_fp") > 0L).as("rising"))
+  }
+
+  /** x161's chi-square homogeneity stage over a (event_type, half, c)
+    * count frame — [[ksHalfCounts]]'s grain with the value buckets
+    * summed away (the `when` sums collapse them), so the s20-style
+    * additive-count maintenance story carries over unchanged.
+    * Exposed so tests can plant identical/shifted mixes. See the
+    * registry entry for the exact-integer D chain and grid sum.
+    */
+  def chisqReport(cnt: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(lit(1))
+    val t = cnt.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L))
+          .as("o_ref"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("o_cur"))
+      .withColumn("n_ref", sum(col("o_ref")).over(whole))
+      .withColumn("n_cur", sum(col("o_cur")).over(whole))
+      .withColumn("df", count(lit(1)).over(whole) - 1)
+      .withColumn("_d",
+        (col("o_ref") * col("n_cur") - col("o_cur") * col("n_ref"))
+          .cast("double"))
+      .withColumn("_den",
+        (col("o_ref") + col("o_cur")).cast("double") *
+          col("n_ref").cast("double") * col("n_cur").cast("double"))
+      .withColumn("_chi_fp",
+        round(col("_d") * col("_d") / col("_den") * lit(1000000.0), 0)
+          .cast("long"))
+    t.select(col("event_type"), col("o_ref"), col("o_cur"),
+        round(col("_chi_fp").cast("double") / lit(1000000.0), 4)
+          .as("contrib"),
+        round(sum(col("_chi_fp")).over(whole).cast("double") /
+          lit(1000000.0), 4).as("chi2"),
+        col("df"),
+        expr("CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 " +
+          "WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 " +
+          "WHEN 6 THEN 12.592 WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 " +
+          "WHEN 9 THEN 16.919 ELSE CAST(NULL AS DOUBLE) END").as("crit"))
+      .withColumn("drifted", col("chi2") > col("crit"))
   }
 
   /** x138's CUSUM stage over a (event_type, day, x) daily-count
@@ -882,6 +989,57 @@ object Views {
         "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi_term, " +
         "ROUND(CAST(SUM(chi_fp) OVER () AS DOUBLE) / 1000000.0, 4) AS chi2 " +
         "FROM f ORDER BY digit"),
+    // same day frame, same 10^-6 FLOOR grid on the pairwise-slope
+    // quotient (one IEEE division of exact-integer doubles — bit
+    // identical across engines), same lower-median pick; // ≡ DIV on
+    // the non-negative (n_pairs + 1)
+    "x160_theil_sen" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days " +
+        "FROM d GROUP BY 1), " +
+        "p AS (SELECT a.event_type, " +
+        "CAST(FLOOR(CAST(b.x - a.x AS DOUBLE) * 1000000.0 / " +
+        "(b.day - a.day)) AS BIGINT) AS slope_fp " +
+        "FROM d a JOIN d b ON a.event_type = b.event_type " +
+        "AND a.day < b.day), " +
+        "r AS (SELECT event_type, slope_fp, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_fp) AS rn, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs " +
+        "FROM p) " +
+        "SELECT r.event_type, nd.n_days, r.n_pairs, " +
+        "r.slope_fp AS sen_slope_fp, r.slope_fp > 0 AS rising " +
+        "FROM r JOIN nd ON r.event_type = nd.event_type " +
+        "WHERE rn = (n_pairs + 1) // 2 ORDER BY r.event_type"),
+    // same ref/cur cutover as x133, same cross-multiplied D and
+    // 10^-6 term grid as x156; CASTs pin HUGEINT widenings back and
+    // the denominator multiplies left-to-right in double exactly as
+    // the Spark chain does
+    "x161_chisq_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref " +
+        "FROM events), " +
+        "t AS (SELECT event_type, CAST(SUM(is_ref) AS BIGINT) AS o_ref, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS o_cur FROM ev GROUP BY 1), " +
+        "w AS (SELECT event_type, o_ref, o_cur, " +
+        "CAST(SUM(o_ref) OVER () AS BIGINT) AS n_ref, " +
+        "CAST(SUM(o_cur) OVER () AS BIGINT) AS n_cur, " +
+        "CAST(COUNT(*) OVER () - 1 AS BIGINT) AS df FROM t), " +
+        "f AS (SELECT event_type, o_ref, o_cur, df, " +
+        "CAST(ROUND(CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) * " +
+        "CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) / " +
+        "(CAST(o_ref + o_cur AS DOUBLE) * CAST(n_ref AS DOUBLE) * " +
+        "CAST(n_cur AS DOUBLE)) * 1000000.0) AS BIGINT) AS chi_fp FROM w), " +
+        "g AS (SELECT event_type, o_ref, o_cur, df, " +
+        "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS contrib, " +
+        "ROUND(CAST(SUM(chi_fp) OVER () AS DOUBLE) / 1000000.0, 4) AS chi2, " +
+        "CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 " +
+        "WHEN 4 THEN 9.488 WHEN 5 THEN 11.07 WHEN 6 THEN 12.592 " +
+        "WHEN 7 THEN 14.067 WHEN 8 THEN 15.507 WHEN 9 THEN 16.919 " +
+        "ELSE CAST(NULL AS DOUBLE) END AS crit FROM f) " +
+        "SELECT event_type, o_ref, o_cur, contrib, chi2, df, crit, " +
+        "chi2 > crit AS drifted FROM g ORDER BY event_type"),
     // the observed metrics must equal the plain aggregates over the
     // same relation (CollectMetrics sees every consumed row); the sum
     // goes through the same exact decimal accumulation as the Spark

@@ -3542,4 +3542,84 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - z4) < 1e-12,
       s"z ${r.getDouble(7)} vs recomputed $z4")
   }
+
+  test("x159 gini: equal lengths give 0, a one-doc monopoly approaches (n-1)/n, ties need no order contract") {
+    import spark.implicits._
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val planted = (
+      (1 to 10).map(_ => ("equal", 100L)) ++
+      ((1 to 9).map(_ => ("mono", 1L)) :+ ("mono", 901L)) ++
+      Seq(("pair", 10L), ("pair", 30L))).toDF("source", "v")
+    val got = TextAnalysis.giniReport(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("equal") == ((10L, 1000L, 0.0)))
+    // sorted (1x9, 901): S1 = sum(i*1, i=1..9) + 10*901 = 45 + 9010
+    // G = (2*9055 - 11*910) / (10*910)
+    assert(got("mono") == ((10L, 910L, r6((2.0 * 9055 - 11 * 910) / 9100.0))))
+    // two values: G = (2*(10 + 2*30) - 3*40) / (2*40) = 20/80 = 0.25
+    assert(got("pair") == ((2L, 40L, 0.25)))
+    // intra-tie order cannot matter: the equal block's value is exact 0
+    // (numerator cancels), and the lake query stays inside [0, 1)
+    val lake = TextAnalysis.queries("x159_gini_length")(spark, SfDir).collect()
+    assert(lake.nonEmpty)
+    lake.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0,
+        s"${r.getString(0)} gini ${r.getDouble(3)}")
+    }
+  }
+
+  test("x160 theil-sen: exact linear series recovers the slope, one spiked day cannot drag the median") {
+    import spark.implicits._
+    val daily = (
+      (0L to 9L).map(d => ("lin", d, 3L + 5L * d)) ++
+      (0L to 9L).map(d => ("flat", d, 7L)) ++
+      // linear at 2/day with day 5 spiked to 1000: an OLS fit moves
+      // wildly; the pairwise-slope median stays on the grid at 2e6
+      (0L to 9L).map(d => ("spike", d, if (d == 5) 1000L else 2L * d))
+      ).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.theilSenReport(daily).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("lin") == ((10L, 45L, 5000000L, true)))
+    assert(got("flat") == ((10L, 45L, 0L, false)))
+    assert(got("spike")._3 == 2000000L, s"spike median ${got("spike")}")
+    // registry surface: n_pairs is exactly C(n_days, 2) per type
+    val lake = graft.pipeline.Views.queries("x160_theil_sen")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    lake.foreach { r =>
+      val (nd, np) = (r.getLong(1), r.getLong(2))
+      assert(np == nd * (nd - 1) / 2, s"${r.getString(0)}: $np vs C($nd,2)")
+    }
+  }
+
+  test("x161 chisq drift: identical mixes score 0, a planted swap recomputes exactly, lake total is one number") {
+    import spark.implicits._
+    val same = Seq(("A", "ref", 50L), ("A", "cur", 50L),
+      ("B", "ref", 50L), ("B", "cur", 50L)).toDF("event_type", "half", "c")
+    val s = graft.pipeline.Views.chisqReport(same).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getLong(5), r.getBoolean(7)))
+    assert(s.forall(t => t._2 == 0.0 && t._3 == 0.0 && t._4 == 1L && !t._5))
+    // swap: A 80/20, B 20/80 -> D_A = 80*100-20*100 = 6000,
+    // contrib = 6000^2/(100*100*100) = 36.0 each, chi2 = 72 > 3.841
+    val swap = Seq(("A", "ref", 80L), ("A", "cur", 20L),
+      ("B", "ref", 20L), ("B", "cur", 80L)).toDF("event_type", "half", "c")
+    val w = graft.pipeline.Views.chisqReport(swap).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(6), r.getBoolean(7)))
+    assert(w.toSet == Set(("A", 36.0, 72.0, 3.841, true),
+      ("B", 36.0, 72.0, 3.841, true)), w.toSeq.toString)
+    // lake: one consistent chi2/df across rows; contribs sum to it
+    val lake = graft.pipeline.Views.queries("x161_chisq_drift")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    assert(lake.map(_.getDouble(4)).distinct.length == 1)
+    assert(lake.map(_.getLong(5)).distinct.head == lake.length - 1L)
+    val sumContrib = lake.map(_.getDouble(3)).sum
+    // per-term 4 dp rounding can drift the sum by up to k.5e-5
+    assert(math.abs(sumContrib - lake.head.getDouble(4)) < 1e-3,
+      s"contribs $sumContrib vs chi2 ${lake.head.getDouble(4)}")
+  }
 }
