@@ -1263,6 +1263,48 @@ object Similarity {
         .orderBy(col("iter"), col("k"))
     }),
 
+    // SIMPLIFIED SILHOUETTE — the cluster-quality readout over x64's
+    // assignment ("did k-means find real structure, and which
+    // clusters are mushy"): per vector a = distance to its own
+    // centroid, b = distance to the nearest OTHER centroid,
+    // s = (b−a)/max(a,b) — the centroid-based simplification
+    // (Rousseeuw's full silhouette needs all N² point-pair
+    // distances; the simplified form is the standard corpus-scale
+    // substitute and, with argmin assignment, sits in [0, 1) since
+    // b ≥ a by construction). Scale shape is x64's exactly: K-row
+    // broadcast, one corpus scan of fused sq-L2 evaluations, and the
+    // two smallest distances come from an array_sort over the
+    // K-bounded collect_list — never a window over the N×K
+    // expansion. Distances round 4 dp before the sort (x64's
+    // tie discipline), per-vec scores land on a 10⁻⁶ integer grid,
+    // per-cluster means are exact grid sums with ONE division.
+    "x162_silhouette" -> ((spark, sfDir) => {
+      val K = 8
+      val e = emb(spark, sfDir)
+      val cents = broadcast(
+        e.orderBy(col("vec_id")).limit(K)
+          .select(col("vec_id").as("k"), col("embedding").as("c")))
+      e.crossJoin(cents)
+        .select(col("vec_id"), col("k"),
+          round(sqDist(col("embedding"), col("c")), 4).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("d"), col("k")))).as("s"))
+        .select(col("vec_id"), col("s")(0)("k").as("k"),
+          col("s")(0)("d").as("a"), col("s")(1)("d").as("b"))
+        .withColumn("s_fp", when(col("b") > 0.0,
+          round((col("b") - col("a")) / col("b") * lit(1000000.0), 0)
+            .cast("long")).otherwise(0L))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_assigned"),
+          round(sum(col("s_fp")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 4).as("mean_sil"),
+          round(min(col("s_fp")).cast("double") / lit(1000000.0), 4)
+            .as("min_sil"),
+          round(max(col("s_fp")).cast("double") / lit(1000000.0), 4)
+            .as("max_sil"))
+        .orderBy(col("k"))
+    }),
+
     // GREEDY k-CENTER CORESET — farthest-point diversity selection
     // (the Gonzalez 2-approximation behind coreset/active-learning
     // data picks, and the maximal-spread complement of x102's
@@ -1768,6 +1810,30 @@ object Similarity {
     // distance rounds at 4 dp BEFORE the argmin, with k as tiebreak,
     // mirroring the Spark side (x07's tolerance argument); the inertia
     // sums already-rounded values so its own 4 dp round is stable
+    // x64's distance/tiebreak chain with the two smallest kept per
+    // vector (rn <= 2 pivoted), same (b-a)/b grid and one division
+    // per cluster; b >= a by argmin so max(a,b) = b on both engines
+    "x162_silhouette" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "t AS (SELECT vec_id, k, d, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM d " +
+        "QUALIFY rn <= 2), " +
+        "p AS (SELECT vec_id, MAX(CASE WHEN rn = 1 THEN k END) AS k, " +
+        "MAX(CASE WHEN rn = 1 THEN d END) AS a, " +
+        "MAX(CASE WHEN rn = 2 THEN d END) AS b FROM t GROUP BY 1), " +
+        "s AS (SELECT vec_id, k, CASE WHEN b > 0.0 THEN " +
+        "CAST(ROUND((b - a) / b * 1000000.0) AS BIGINT) ELSE 0 END AS s_fp " +
+        "FROM p) " +
+        "SELECT k, COUNT(*) AS n_assigned, " +
+        "ROUND(CAST(SUM(s_fp) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) AS mean_sil, " +
+        "ROUND(CAST(MIN(s_fp) AS DOUBLE) / 1000000.0, 4) AS min_sil, " +
+        "ROUND(CAST(MAX(s_fp) AS DOUBLE) / 1000000.0, 4) AS max_sil " +
+        "FROM s GROUP BY k ORDER BY k"),
     "x64_kmeans_assign" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

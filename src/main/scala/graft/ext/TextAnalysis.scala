@@ -698,6 +698,20 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n")))
         .orderBy(col("source"))),
 
+    // CRAMÉR'S V — the ASSOCIATION read of x136's (source, lang)
+    // cell table (Simpson asks "how mixed is each source"; V asks
+    // "does knowing the source predict the language at all", 0 =
+    // independent to 1 = determined — the dataset-card number that
+    // says whether a language-stratified sample must also stratify
+    // by source). Full-spine contingency chi-square through x161's
+    // exact-BIGINT cross-multiplied identity with terms on the 10⁻⁶
+    // grid, then V = √(χ²/(N·min(R−1, C−1))) — see cramersVReport.
+    // One partial-agg'able docs pass; everything after is R×C-sized.
+    "x163_cramers_v" -> ((spark, sfDir) =>
+      cramersVReport(
+        docs(spark, sfDir).groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n")))),
+
     // ZIPF SLOPE — the dataset-card "does this source look like
     // natural language" check: OLS slope of log2(freq) against
     // log2(rank) over each source's top-100 word frequencies
@@ -1717,6 +1731,46 @@ object TextAnalysis {
       .withColumn("n_windows", size(array_distinct(col("_w"))))
       .drop("_w")
 
+  /** x163's Cramér's V stage over a (source, lang, n) cell frame
+    * (x136's grain) — exposed so tests can plant independent and
+    * perfectly-associated tables. The full R×C spine (bounded
+    * crossJoin of the two distinct frames) restores the zero cells a
+    * contingency chi-square must charge (O = 0 ⇒ term = E — dropping
+    * them understates association); per-cell D = O·N − row·col keeps
+    * the x161 exact-BIGINT discipline (headroom N < 3·10⁹; past
+    * that, pre-scale counts to per-mille — x133's fallback), terms
+    * land on the 10⁻⁶ grid, and V = √(χ²/(N·min(R−1, C−1))) is one
+    * division → sqrt → round chain (c80's IEEE-deterministic ops).
+    */
+  def cramersVReport(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val spine = cells.select(col("source")).distinct()
+      .crossJoin(broadcast(cells.select(col("lang")).distinct()))
+    spine.join(cells, Seq("source", "lang"), "left")
+      .select(col("source"), col("lang"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("n_total", sum(col("n")).over(whole))
+      .withColumn("row_n", sum(col("n")).over(Window.partitionBy(col("source"))))
+      .withColumn("col_n", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("_d",
+        (col("n") * col("n_total") - col("row_n") * col("col_n"))
+          .cast("double"))
+      .withColumn("_den", col("n_total").cast("double") *
+        col("row_n").cast("double") * col("col_n").cast("double"))
+      .withColumn("term_fp",
+        round(col("_d") * col("_d") / col("_den") * lit(1000000.0), 0)
+          .cast("long"))
+      .agg(min(col("n_total")).as("n"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("term_fp")).as("_chi_fp"))
+      .select(col("n"), col("n_sources"), col("n_langs"),
+        round(col("_chi_fp").cast("double") / lit(1000000.0), 4).as("chi2"),
+        round(sqrt(col("_chi_fp").cast("double") / lit(1000000.0) /
+          (col("n") * least(col("n_sources") - 1, col("n_langs") - 1))
+            .cast("double")), 4).as("cramers_v"))
+  }
+
   /** x159's Gini stage over a (source, v) non-negative value frame —
     * exposed so tests can plant distributions with closed-form Gini.
     * See the registry entry for the tie-block rank-sum identity that
@@ -1744,6 +1798,35 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same full R×C spine (zero cells restored), same cross-
+    // multiplied D and 10^-6 term grid, same division→sqrt chain;
+    // CASTs pin HUGEINT widenings back to BIGINT
+    "x163_cramers_v" ->
+      ("WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "s AS (SELECT DISTINCT source FROM cells), " +
+        "l AS (SELECT DISTINCT lang FROM cells), " +
+        "f AS (SELECT s.source, l.lang, COALESCE(c.n, 0) AS n " +
+        "FROM s CROSS JOIN l LEFT JOIN cells c " +
+        "ON c.source = s.source AND c.lang = l.lang), " +
+        "w AS (SELECT source, lang, n, " +
+        "CAST(SUM(n) OVER () AS BIGINT) AS n_total, " +
+        "CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS row_n, " +
+        "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS col_n FROM f), " +
+        "t AS (SELECT n_total, source, lang, " +
+        "CAST(ROUND(CAST(n * n_total - row_n * col_n AS DOUBLE) * " +
+        "CAST(n * n_total - row_n * col_n AS DOUBLE) / " +
+        "(CAST(n_total AS DOUBLE) * CAST(row_n AS DOUBLE) * " +
+        "CAST(col_n AS DOUBLE)) * 1000000.0) AS BIGINT) AS term_fp FROM w), " +
+        "a AS (SELECT CAST(MIN(n_total) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, " +
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(term_fp) AS BIGINT) AS chi_fp FROM t) " +
+        "SELECT n, n_sources, n_langs, " +
+        "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi2, " +
+        "ROUND(SQRT(CAST(chi_fp AS DOUBLE) / 1000000.0 / " +
+        "CAST(n * LEAST(n_sources - 1, n_langs - 1) AS DOUBLE)), 4) " +
+        "AS cramers_v FROM a"),
     // same value-frequency frame, same tie-block rank-sum identity
     // (// ≡ DIV on the non-negative f(f+1)), one division at 6 dp;
     // CASTs pin DuckDB's HUGEINT widening back to BIGINT

@@ -926,8 +926,24 @@ object Streams {
     * bound is exactly what makes KS maintainable; the unbinned
     * statistic would need every distinct value).
     */
-  def foreachBatchKs(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s20_${tag(sfDir)}"
+  def foreachBatchKs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.ksReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s20"))
+      .orderBy(col("event_type"))
+
+  /** The drift family's shared maintenance loop (s20/s23/s24): stream
+    * the events, maintain the CURRENT window's (event_type, bucket)
+    * counts additively per microbatch (generation-marker idempotence:
+    * a replayed batch whose generation already committed is skipped),
+    * and return the maintained cur frame unioned with the frozen
+    * batch-derived ref half — the (event_type, half, bucket, c)
+    * input every family readout stage consumes. One maintained
+    * artifact shape serves KS, Mann–Whitney AND the chi-square mix
+    * monitor; state is ≤ |type|·500 rows at any event volume.
+    */
+  private def maintainedHalfCounts(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val base = s"/tmp/graft-stream/${name}_${tag(sfDir)}"
     rmDir(spark, base)
     val micros = Lake.ensureMicrosEvents(spark, sfDir)
     val stream = spark.readStream
@@ -965,16 +981,25 @@ object Streams {
       .start()
     q.awaitTermination()
     val cur = spark.read.parquet(latest.getOrElse(
-      sys.error("s20: stream produced no batches")))
+      sys.error(s"$name: stream produced no batches")))
       .withColumn("half", lit("cur"))
     val ref = graft.pipeline.Views
       .ksHalfCounts(Lake.table(spark, sfDir, "events"))
       .filter(col("half") === "ref")
-    graft.pipeline.Views.ksReportFromCounts(
-        cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
-          .unionByName(ref))
-      .orderBy(col("event_type"))
+    cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
+      .unionByName(ref)
   }
+
+  /** s24: x161's chi-square mix-drift report off the SAME maintained
+    * bin table s20/s23 keep (the bucket grain sums away inside the
+    * shared [[graft.pipeline.Views.chisqReport]] stage), so streamed
+    * ≡ batch x161 by construction — the third statistic served by
+    * one maintained artifact.
+    */
+  def foreachBatchChisq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.chisqReport(
+        maintainedHalfCounts(spark, sfDir, "s24"))
+      .orderBy(col("event_type"))
 
   /** s21: x136's Simpson diversity with the (source, lang) cell table
     * maintained incrementally — the IVM pattern applied to a
@@ -994,55 +1019,10 @@ object Streams {
     * through [[graft.pipeline.Views.mwReportFromCounts]] so streamed
     * ≡ batch x146 by construction.
     */
-  def foreachBatchMw(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s23_${tag(sfDir)}"
-    rmDir(spark, base)
-    val micros = Lake.ensureMicrosEvents(spark, sfDir)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(micros).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(micros)
-    @volatile var latest: Option[String] = None
-    val q = stream.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val gen = s"$base/hist_$batchId"
-        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(marker)) {
-          latest = Some(gen)
-        } else {
-          val delta = graft.pipeline.Views.ksHalfCounts(batch.toDF())
-            .filter(col("half") === "cur")
-            .select(col("event_type"), col("bucket"), col("c"))
-          val next = latest match {
-            case None => delta
-            case Some(prev) =>
-              val p = spark.read.parquet(prev)
-              p.join(delta, Seq("event_type", "bucket"), "full_outer")
-                .select(col("event_type"), col("bucket"),
-                  (coalesce(p("c"), lit(0L)) +
-                    coalesce(delta("c"), lit(0L))).as("c"))
-          }
-          next.write.mode("overwrite").parquet(gen)
-          latest = Some(gen)
-        }
-        ()
-      }
-      .option("checkpointLocation", s"$base/ck")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val cur = spark.read.parquet(latest.getOrElse(
-      sys.error("s23: stream produced no batches")))
-      .withColumn("half", lit("cur"))
-    val ref = graft.pipeline.Views
-      .ksHalfCounts(Lake.table(spark, sfDir, "events"))
-      .filter(col("half") === "ref")
+  def foreachBatchMw(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.Views.mwReportFromCounts(
-        cur.select(col("event_type"), col("half"), col("bucket"), col("c"))
-          .unionByName(ref))
+        maintainedHalfCounts(spark, sfDir, "s23"))
       .orderBy(col("event_type"))
-  }
 
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
@@ -1442,6 +1422,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchCusum(spark, sfDir)),
     "s23_stream_mw_monitor" ->
       ((spark, sfDir) => foreachBatchMw(spark, sfDir)),
+    "s24_stream_chisq_monitor" ->
+      ((spark, sfDir) => foreachBatchChisq(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1543,6 +1525,11 @@ object Streams {
     // maintained bin table s20 keeps ≡ batch x146
     "s23_stream_mw_monitor" ->
       graft.pipeline.Views.oracles("x146_mannwhitney_drift"),
+    // the IVM contract verbatim: the mix-drift report off the SAME
+    // maintained bin table (buckets sum away in the stage) ≡ batch
+    // x161
+    "s24_stream_chisq_monitor" ->
+      graft.pipeline.Views.oracles("x161_chisq_drift"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

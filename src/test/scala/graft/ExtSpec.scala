@@ -3622,4 +3622,50 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(sumContrib - lake.head.getDouble(4)) < 1e-3,
       s"contribs $sumContrib vs chi2 ${lake.head.getDouble(4)}")
   }
+
+  test("x162 silhouette: the per-cluster grid means recompute exactly from the brute-force two-smallest distances") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = vecs.sortBy(_._1).take(8)
+    val scores = vecs.map { case (_, v) =>
+      val ds = cents.map { case (k, c) =>
+        (r4(v.zip(c).map { case (a, b) =>
+          (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum), k)
+      }.sorted
+      val ((a, k), (b, _)) = (ds(0), ds(1))
+      (k, if (b > 0.0) math.round((b - a) / b * 1000000.0) else 0L)
+    }
+    val exp = scores.groupBy(_._1).map { case (k, xs) =>
+      val fps = xs.map(_._2)
+      k -> (xs.length.toLong, r4(fps.sum.toDouble / (xs.length * 1000000.0)),
+        r4(fps.min / 1000000.0), r4(fps.max / 1000000.0))
+    }
+    val got = Similarity.queries("x162_silhouette")(spark, SfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // the centroid seeds themselves sit at a = 0 -> s = 1 exactly,
+    // so every seed's cluster must report max_sil = 1.0
+    assert(got.values.forall(_._4 == 1.0))
+  }
+
+  test("x163 cramers v: independence scores 0, a diagonal table scores exactly 1, zero cells are charged") {
+    import spark.implicits._
+    val indep = Seq(("A", "x", 20L), ("A", "y", 20L),
+      ("B", "x", 30L), ("B", "y", 30L)).toDF("source", "lang", "n")
+    val i = TextAnalysis.cramersVReport(indep).collect()(0)
+    assert((i.getLong(0), i.getDouble(3), i.getDouble(4)) == ((100L, 0.0, 0.0)))
+    // diagonal 2x2 with zero cells restored: observed and empty cells
+    // each contribute 25 -> chi2 = 100 = N*min(R-1,C-1) -> V = 1
+    val diag = Seq(("A", "x", 50L), ("B", "y", 50L)).toDF("source", "lang", "n")
+    val d = TextAnalysis.cramersVReport(diag).collect()(0)
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getDouble(3),
+      d.getDouble(4)) == ((100L, 2L, 2L, 100.0, 1.0)))
+    // lake readout: one row, V in [0, 1]
+    val lake = TextAnalysis.queries("x163_cramers_v")(spark, SfDir).collect()
+    assert(lake.length == 1)
+    assert(lake(0).getDouble(4) >= 0.0 && lake(0).getDouble(4) <= 1.0)
+  }
 }

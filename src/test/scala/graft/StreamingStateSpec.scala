@@ -367,6 +367,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed MW diverges from batch x146:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming chi-square mix monitor equals batch x161 across a multi-batch run (s24)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))
+    val streamed = graft.streaming.Streams.foreachBatchChisq(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s24_$tag")
+      .listFiles().count(_.getName.startsWith("hist_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x161_chisq_drift")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed chi-square diverges from batch x161:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
