@@ -409,6 +409,24 @@ object TextAnalysis {
         .agg(count(lit(1)).as("bf"))
     }
 
+  /** x164's edge stage: the symmetric content-word co-occurrence
+    * graph off a (w1, w2) bigram frame — length ≥ 5 on both ends
+    * (the deterministic content-word heuristic; stopword-ish short
+    * tokens would otherwise dominate every neighborhood), self-loops
+    * dropped, both directions materialized and deduped. Symmetric by
+    * construction ⇒ dangling-free ⇒ [[Graph.pageRankFp]]'s
+    * redistribution term is provably zero (x144's argument).
+    * Exposed so tests can plant hub-shaped co-occurrence graphs.
+    */
+  def textrankEdges(bg: DataFrame): DataFrame = {
+    val f = bg.filter(length(col("w1")) >= 5 && length(col("w2")) >= 5 &&
+        col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2")).distinct()
+    f.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(f.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+  }
+
   def bigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     val bfd = bigramTable(spark, sfDir)
     val cbg = bfd.groupBy(col("w1"), col("w2"))
@@ -903,6 +921,29 @@ object TextAnalysis {
     // Order-2 LM quality score (see bigramLogProb scaladoc).
     "x46_bigram_logprob" -> ((spark, sfDir) =>
       bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
+
+    // TEXTRANK KEYWORDS — Mihalcea & Tarau's unsupervised keyword
+    // extraction: PageRank over the content-word co-occurrence graph
+    // (words are nodes, adjacency-in-text is an edge), ranking the
+    // words most central to how the corpus's vocabulary hangs
+    // together — the keyword/tag primitive a curation pipeline runs
+    // where no labels exist. Pure composition of shared machinery:
+    // edges derive from x46's lake-persisted bigram artifact (one
+    // corpus pass, already paid), the symmetric edge set is itself
+    // lake-persisted, and [[Graph.pageRankFp]] runs verbatim — the
+    // bounded-iteration integer recurrence under a full hash oracle,
+    // with x69's per-iteration scale shape (equi-join + partial-
+    // agg'able BIGINT sum; dangling mass provably zero on symmetric
+    // edges). Top-20 by (rank desc, word).
+    "x164_textrank" -> ((spark, sfDir) => {
+      val edges = Lake.materialize(spark, sfDir, "textrank_edges_v1") {
+        textrankEdges(bigramTable(spark, sfDir))
+      }
+      Graph.pageRankFp(edges, iters = 3)
+        .orderBy(desc("rank_fp"), col("node"))
+        .limit(20)
+        .select(col("node").as("keyword"), col("rank_fp"))
+    }),
 
     // KNESER–NEY SMOOTHED BIGRAM — the published-smoothing upgrade of
     // x46 (see knBigramLogProb scaladoc): continuation counts instead
@@ -1798,6 +1839,36 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // x46's adjacency-pair CTE + the length/self-loop filter and
+    // symmetric dedupe, then x69's unrolled integer recurrence
+    // verbatim (// ≡ DIV on non-negative bigints; INNER joins are
+    // exact because the symmetric graph leaves no node without
+    // in-mass)
+    "x164_textrank" -> {
+      def iter(prev: String, out: String): String =
+        s"c$out AS (SELECT e.dst AS node, " +
+          s"CAST(SUM(r.rank_fp // r.outdeg) AS BIGINT) AS in_mass " +
+          s"FROM edges e JOIN r$prev r ON e.src = r.node GROUP BY 1), " +
+          s"r$out AS (SELECT d.src AS node, d.outdeg, r0.base_fp, " +
+          s"CAST(r0.base_fp + (85 * c$out.in_mass) // 100 AS BIGINT) AS rank_fp " +
+          s"FROM deg d JOIN c$out ON d.src = c$out.node " +
+          s"JOIN r0 ON d.src = r0.node)"
+      "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "bgf AS (SELECT DISTINCT w1, w2 FROM bg " +
+        "WHERE length(w1) >= 5 AND length(w2) >= 5 AND w1 <> w2), " +
+        "edges AS (SELECT w1 AS src, w2 AS dst FROM bgf " +
+        "UNION SELECT w2, w1 FROM bgf), " +
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1), " +
+        "nn AS (SELECT COUNT(*) AS n_nodes FROM deg), " +
+        "r0 AS (SELECT src AS node, outdeg, " +
+        "CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fp, " +
+        "CAST(150000000000 // n_nodes AS BIGINT) AS base_fp FROM deg, nn), " +
+        iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
+        "SELECT node AS keyword, rank_fp FROM r3 " +
+        "ORDER BY rank_fp DESC, keyword LIMIT 20"
+    },
     // same full R×C spine (zero cells restored), same cross-
     // multiplied D and 10^-6 term grid, same division→sqrt chain;
     // CASTs pin HUGEINT widenings back to BIGINT

@@ -393,7 +393,25 @@ object Views {
     // a |types|-row frame.
     "x161_chisq_drift" -> ((spark, sfDir) =>
       chisqReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // EXPONENTIAL SMOOTHING — the level-tracking forecast primitive
+    // beside the detectors (x138 localizes a shift after the fact;
+    // EWMA is what a serving dashboard plots and alerts against):
+    // per type/day, the α = 1/4 exponentially-weighted mean of the
+    // trailing 8 days. α chosen as an exact binary rational so every
+    // weight is the exact integer 3ᵏ·4⁷⁻ᵏ (see EwmaWeights) —
+    // numerator/denominator are exact BIGINT window sums with ONE
+    // division at 4 dp, fully hash-oracled where a float recurrence
+    // y_t = αx + (1−α)y_{t−1} would compound rounding differently
+    // per engine. The truncated-window form is also what makes it
+    // maintainable: day t needs 8 lags, not the whole history.
+    "x165_ewma_smooth" -> ((spark, sfDir) =>
+      ewmaReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"), col("day")))
   )
 
   /** x141's winsorized-mean stage over a (event_type, value) frame —
@@ -414,6 +432,43 @@ object Views {
           count(lit(1)), 4).as("raw_mean"),
         round(sum(col("w").cast("decimal(30,10)")).cast("double") /
           count(lit(1)), 4).as("wins_mean"))
+  }
+
+  /** x165's exact EWMA weights: α = 1/4 over an 8-day window, scaled
+    * by 4⁸ so every weight α(1−α)ᵏ = 3ᵏ/4ᵏ⁺¹ becomes the exact
+    * integer 3ᵏ·4⁷⁻ᵏ — [16384, 12288, …, 2187], k = 0 (today) .. 7.
+    * Shared with the DuckDB oracle via string interpolation so the
+    * two engines can never disagree on a weight.
+    */
+  private[graft] val EwmaWeights: IndexedSeq[Long] =
+    (0 to 7).map(k => (0 until k).foldLeft(1L)((a, _) => a * 3) *
+      (0 until 7 - k).foldLeft(1L)((a, _) => a * 4))
+
+  /** x165's EWMA stage over a (event_type, day, x) daily-count frame
+    * (x138/x152/x160's input): per day, the exponentially-weighted
+    * mean of the last ≤8 days with the weight mass renormalized to
+    * the lags actually present (day 0 is its own x; day 7+ carries
+    * the full window). Row-lag semantics — on the dense day spine
+    * the daily aggregate produces, row-lag ≡ day-lag. Numerator and
+    * denominator are exact BIGINT sums of [[EwmaWeights]] terms with
+    * ONE division at 4 dp; windows run over the bounded per-type day
+    * frame, corpus-scale work = x138's one events aggregate.
+    */
+  def ewmaReport(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = (1 to 7).map(k => lag(col("x"), k).over(w))
+    val num = lagged.zipWithIndex.map { case (l, i) =>
+      when(l.isNotNull, l * lit(EwmaWeights(i + 1))).otherwise(0L)
+    }.foldLeft(col("x") * lit(EwmaWeights(0)))(_ + _)
+    val den = lagged.zipWithIndex.map { case (l, i) =>
+      when(l.isNotNull, lit(EwmaWeights(i + 1))).otherwise(0L)
+    }.foldLeft(lit(EwmaWeights(0)).cast("long"))(_ + _)
+    daily
+      .withColumn("_num", num)
+      .withColumn("_den", den)
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("_num").cast("double") / col("_den").cast("double"), 4)
+          .as("ewma"))
   }
 
   /** x160's Theil–Sen stage over a (event_type, day, x) daily-count
@@ -1012,6 +1067,27 @@ object Views {
         "r.slope_fp AS sen_slope_fp, r.slope_fp > 0 AS rising " +
         "FROM r JOIN nd ON r.event_type = nd.event_type " +
         "WHERE rn = (n_pairs + 1) // 2 ORDER BY r.event_type"),
+    // same day frame, same interpolated EwmaWeights integers, same
+    // present-lag renormalization and one 4 dp division
+    "x165_ewma_smooth" -> {
+      val w = EwmaWeights
+      val lags = (1 to 7).map(k =>
+        s"LAG(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(", ")
+      val num = (1 to 7).map(k => s"COALESCE(l$k * ${w(k)}, 0)")
+        .mkString(" + ")
+      val den = (1 to 7).map(k =>
+        s"CASE WHEN l$k IS NULL THEN 0 ELSE ${w(k)} END").mkString(" + ")
+      "WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        s"t AS (SELECT event_type, day, x, $lags FROM d) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, " +
+        "CAST(x AS BIGINT) AS x, " +
+        s"ROUND(CAST(x * ${w(0)} + $num AS DOUBLE) / " +
+        s"CAST(${w(0)} + $den AS DOUBLE), 4) AS ewma " +
+        "FROM t ORDER BY event_type, day"
+    },
     // same ref/cur cutover as x133, same cross-multiplied D and
     // 10^-6 term grid as x156; CASTs pin HUGEINT widenings back and
     // the denominator multiplies left-to-right in double exactly as

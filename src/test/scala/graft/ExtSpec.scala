@@ -3668,4 +3668,66 @@ class ExtSpec extends SparkSpec {
     assert(lake.length == 1)
     assert(lake(0).getDouble(4) >= 0.0 && lake(0).getDouble(4) <= 1.0)
   }
+
+  test("x164 textrank: a planted hub outranks chain words, short tokens never enter the graph") {
+    import spark.implicits._
+    val bg = Seq(
+      ("kernel", "module"), ("kernel", "driver"), ("kernel", "sched"),
+      ("kernel", "memory"), ("kernel", "thread"), ("kernel", "locks"),
+      ("module", "driver"), ("the", "kernel"), ("kernel", "ab"))
+      .toDF("w1", "w2")
+    val edges = TextAnalysis.textrankEdges(bg)
+    val nodes = edges.select(col("src")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!nodes.contains("the") && !nodes.contains("ab"),
+      s"short tokens leaked into $nodes")
+    val ranks = graft.ext.Graph.pageRankFp(edges, 3)
+      .orderBy(desc("rank_fp"), col("node")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(ranks.head._1 == "kernel",
+      s"hub not top: ${ranks.toSeq}")
+    // floor leak only ever loses mass: sum <= RankScale
+    assert(ranks.map(_._2).sum <= graft.ext.Graph.RankScale)
+    // lake surface: top-k keywords (the synthetic corpus has only ~15
+    // content words), all content-length, ranks descending
+    val lake = TextAnalysis.queries("x164_textrank")(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(lake.nonEmpty && lake.length <= 20)
+    assert(lake.forall(_._1.length >= 5))
+    assert(lake.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("x165 ewma: constant series is a fixed point, planted steps recompute exactly from the integer weights") {
+    import spark.implicits._
+    val daily = (
+      (0L to 9L).map(d => ("const", d, 10L)) ++
+      (0L to 9L).map(d => ("step", d, if (d < 5) 0L else 100L)))
+      .toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.ewmaReport(daily)
+      .orderBy(col("event_type"), col("day")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = (0 to 7).map(k => math.pow(3, k).toLong *
+      math.pow(4, 7 - k).toLong)
+    val exp = Seq("const", "step").flatMap { t =>
+      (0L to 9L).map { d =>
+        def x(dd: Long) = if (t == "const") 10L else if (dd < 5) 0L else 100L
+        val ks = (0 to 7).filter(k => d - k >= 0)
+        (t, d, r4(ks.map(k => x(d - k) * w(k)).sum.toDouble /
+          ks.map(w(_)).sum.toDouble))
+      }
+    }
+    assert(got.toSeq == exp, s"got ${got.toSeq}\nexp $exp")
+    // the constant series must be an exact fixed point at every day
+    assert(got.filter(_._1 == "const").forall(_._3 == 10.0))
+    // lake surface: smoother never leaves the series' global envelope
+    val lake = graft.pipeline.Views.queries("x165_ewma_smooth")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(lake.nonEmpty)
+    val byType = lake.groupBy(_._1)
+    byType.foreach { case (t, xs) =>
+      val (lo, hi) = (xs.map(_._2).min.toDouble, xs.map(_._2).max.toDouble)
+      assert(xs.forall(e => e._3 >= lo && e._3 <= hi), s"$t ewma escapes envelope")
+    }
+  }
 }

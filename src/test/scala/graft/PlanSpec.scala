@@ -521,6 +521,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the stats wave plans partial aggregation and no cartesian (x159-x165)") {
+    for ((mod, name) <- Seq(
+        (graft.ext.TextAnalysis.queries, "x159_gini_length"),
+        (graft.pipeline.Views.queries, "x160_theil_sen"),
+        (graft.pipeline.Views.queries, "x161_chisq_drift"),
+        (graft.ext.Similarity.queries, "x162_silhouette"),
+        (graft.ext.TextAnalysis.queries, "x163_cramers_v"),
+        (graft.ext.TextAnalysis.queries, "x164_textrank"),
+        (graft.pipeline.Views.queries, "x165_ewma_smooth"))) {
+      val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: no partial aggregation:\n$plan")
+    }
+    // the K-row centroid side of the silhouette scan must broadcast
+    // (x64's contract: the corpus side streams once, unshuffled)
+    val sil = graft.ext.Similarity.queries("x162_silhouette")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(sil.contains("BroadcastExchange") || sil.contains("BroadcastQueryStage"),
+      s"x162 centroids not broadcast:\n$sil")
+  }
+
   test("target encoding is one cell aggregate with broadcast marginals (x139)") {
     val plan = graft.ext.Sampling.queries("x139_target_encoding")(spark, SfDir)
       .queryExecution.executedPlan.toString
