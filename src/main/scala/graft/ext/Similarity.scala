@@ -580,6 +580,42 @@ object Similarity {
           .as("anisotropy"))
   }
 
+  /** x166's clustering stage over a (cx, cy, n) cell-count frame —
+    * exposed so tests can plant lattices with known components.
+    * Dense cells (n ≥ minPts) get id = cx·16 + cy; each emits its 9
+    * neighbor keys (self included, so the min always sees the own
+    * label) and the equi-join on the key yields the 8-neighborhood
+    * edge list; `rounds` rounds of min-label propagation give every
+    * cell the smallest id within its `rounds`-hop neighborhood — a
+    * component labeling whenever cluster grid-diameter ≤ rounds
+    * (true for blob-shaped density; a worst-case snake on the 16×16
+    * lattice needs 30 — callers crank `rounds`; each round is one
+    * cell-grain join). Integer minima are order-free, so the output
+    * is engine-exact whether or not propagation has converged.
+    */
+  def gridClusterReport(cells: DataFrame, minPts: Long, rounds: Int): DataFrame = {
+    val dense = cells.filter(col("n") >= minPts)
+      .withColumn("id", col("cx") * 16 + col("cy"))
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probes = dense.select(col("id"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+        }: _*)).as("p"))
+      .select(col("id"), col("p.nx").as("cx"), col("p.ny").as("cy"))
+    val edges = probes
+      .join(dense.select(col("cx"), col("cy"), col("id").as("nid")),
+        Seq("cx", "cy"))
+      .select(col("id"), col("nid"))
+    val labels = (1 to rounds).foldLeft(
+      dense.select(col("id"), col("id").as("label"))) { (l, _) =>
+      edges.join(l.withColumnRenamed("id", "nid"), "nid")
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    }
+    dense.join(labels, "id")
+      .select(col("cx"), col("cy"), col("n").as("n_points"),
+        col("label").as("cluster"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // EMBEDDING ISOTROPY — the anisotropy/representation-collapse
@@ -608,6 +644,37 @@ object Similarity {
             v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
               .cast("long")).as("qv"))
       isotropyReport(q)
+    }),
+
+    // GRID-DENSITY CLUSTERING — the DBSCAN idea made distributed-
+    // native (x64's k-means needs k up front and splits elongated
+    // blobs; density clustering finds the blob count itself):
+    // project to the first two embedding dims on x112's shared
+    // global grid, quantize to a 16×16 cell lattice, keep cells with
+    // ≥ 5 points (the minPts core-cell rule), and label connected
+    // dense cells by bounded min-label propagation over the
+    // 8-neighborhood. The 100 TB shape is the whole point: points
+    // reduce to cells in ONE partial-agg'able pass, the neighbor
+    // join is an EXPLODED-PROBE equi-join (each dense cell emits its
+    // 9 neighbor keys — banding discipline, never an inequality
+    // join), and every propagation round is a cell-grain join on a
+    // ≤256-row frame. Labels are exact integer minima — engine-
+    // reproducible regardless of convergence — and 8 rounds cover
+    // any blob of grid diameter ≤ 8 (see gridClusterReport).
+    "x166_grid_cluster" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val cells = e.crossJoin(bounds)
+        .select(
+          round((element_at(toDouble(col("embedding")), 1) - col("mn")) /
+            (col("mx") - col("mn")) * 15, 0).cast("long").as("cx"),
+          round((element_at(toDouble(col("embedding")), 2) - col("mn")) /
+            (col("mx") - col("mn")) * 15, 0).cast("long").as("cy"))
+        .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+      gridClusterReport(cells, minPts = 5, rounds = 8)
+        .orderBy(col("cx"), col("cy"))
     }),
 
     // ArrayType surface + exactness anchor: dimension and first
@@ -1406,6 +1473,32 @@ object Similarity {
     // x112's shared quant grid; the sum-vector identity evaluated as
     // two plain aggregates — the oracle never builds the pair join
     // either, so both engines prove the algebra, not a sample of it
+    // same global grid, same 16x16 quantization and minPts rule,
+    // exploded 9-key neighbor probes as a VALUES offset table, and
+    // the identical unrolled min-label rounds (integer minima are
+    // order-free, so non-convergence cannot split the engines)
+    "x166_grid_cluster" -> {
+      def round(prev: Int, out: Int): String =
+        s"l$out AS (SELECT ed.id, MIN(l$prev.label) AS label " +
+          s"FROM ed JOIN l$prev ON ed.nid = l$prev.id GROUP BY 1)"
+      "WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "c AS (SELECT CAST(ROUND((v[1] - mn) / (mx - mn) * 15) AS BIGINT) AS cx, " +
+        "CAST(ROUND((v[2] - mn) / (mx - mn) * 15) AS BIGINT) AS cy, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM e, b GROUP BY 1, 2), " +
+        "d AS (SELECT cx, cy, n, cx * 16 + cy AS id FROM c WHERE n >= 5), " +
+        "o AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1)," +
+        "(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)), " +
+        "ed AS (SELECT p.id AS id, q.id AS nid FROM " +
+        "(SELECT id, cx + dx AS nx, cy + dy AS ny FROM d, o) p " +
+        "JOIN d q ON p.nx = q.cx AND p.ny = q.cy), " +
+        "l0 AS (SELECT id, id AS label FROM d), " +
+        (0 until 8).map(i => round(i, i + 1)).mkString(", ") + " " +
+        "SELECT d.cx, d.cy, d.n AS n_points, " +
+        "CAST(l8.label AS BIGINT) AS cluster " +
+        "FROM d JOIN l8 ON d.id = l8.id ORDER BY cx, cy"
+    },
     "x147_isotropy" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -395,6 +395,34 @@ object Views {
       chisqReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("event_type"))),
 
+    // MANN–KENDALL TREND TEST — x160's significance companion
+    // (Theil–Sen says HOW FAST, MK says WHETHER the monotone trend
+    // is real): the classic nonparametric S-statistic with tie-
+    // corrected variance and continuity-corrected z over the same
+    // per-type day frame; |z| > 1.96 decided by an exact integer
+    // compare, never a float (see mannKendallReport). Corpus-scale
+    // work = the one shared events aggregate.
+    "x167_mann_kendall" -> ((spark, sfDir) =>
+      mannKendallReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"))),
+
+    // DAY-OF-WEEK SEASONALITY INDEX — the calendar decomposition
+    // read beside x152's ACF (ACF detects that a weekly cycle
+    // exists; the index says which days run hot and by how much):
+    // idx = dow-mean over grand-mean as one exact rational per
+    // (type, dow) cell. dow = day mod 7 off the shared integer day
+    // frame — engine-identical arithmetic, no locale-dependent
+    // DAYOFWEEK call on either side.
+    "x168_dow_seasonality" -> ((spark, sfDir) =>
+      dowSeasonalityReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"), col("dow"))),
+
     // EXPONENTIAL SMOOTHING — the level-tracking forecast primitive
     // beside the detectors (x138 localizes a shift after the fact;
     // EWMA is what a serving dashboard plots and alerts against):
@@ -469,6 +497,68 @@ object Views {
       .select(col("event_type"), col("day"), col("x"),
         round(col("_num").cast("double") / col("_den").cast("double"), 4)
           .as("ewma"))
+  }
+
+  /** x167's Mann–Kendall stage over a (event_type, day, x) daily-
+    * count frame — x160's significance twin (Theil–Sen reports the
+    * slope SIZE; MK says whether a monotone trend exists at all):
+    * S = Σ_{i<j} sign(x_j − x_i) is an exact integer off the same
+    * days²-bounded pair frame, 18·Var(S) = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) is exact BIGINT off the tie-group counts, z
+    * uses the standard continuity correction (S ∓ 1), and the trend
+    * FLAG is the cross-multiplied DECIMAL(38,0) compare
+    * 180000·(S∓1)² > 38416·18Var — x146's no-float-decides-it
+    * discipline. Zero-variance series (all days tied) guard to NULL.
+    */
+  def mannKendallReport(daily: DataFrame): DataFrame = {
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum((col("b.x") - col("a.x")).cast("double")).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n_pairs"))
+    val nd = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    nd.join(ties, "event_type").join(pairs, "event_type")
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("_num", col("s") - signum(col("s").cast("double"))
+        .cast("long"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("s"),
+        when(col("var18") > 0L,
+          round(col("_num").cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)), 4)).as("z"),
+        when(col("var18") > 0L,
+          lit(180000L).cast("decimal(38,0)") *
+            col("_num").cast("decimal(38,0)") *
+            col("_num").cast("decimal(38,0)") >
+            lit(38416L).cast("decimal(38,0)") *
+              col("var18").cast("decimal(38,0)")).as("trending"))
+  }
+
+  /** x168's day-of-week seasonality stage over the same daily frame:
+    * idx(dow) = mean(x | dow) / mean(x) as the exact rational
+    * (sum_dow·n_days)/(n_dow·total) with ONE division at 4 dp — the
+    * multiplicative seasonal index a forecast job divides out before
+    * trend fitting (and the companion x152's ACF bump only hints
+    * at). Bounded 7-row-per-type output off two aggregates.
+    */
+  def dowSeasonalityReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("dow", pmod(col("day"), lit(7)))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_dow"), sum(col("x")).as("x_sum"))
+      .withColumn("n_days", sum(col("n_dow")).over(whole))
+      .withColumn("total", sum(col("x_sum")).over(whole))
+      .select(col("event_type"), col("dow"), col("n_dow"), col("x_sum"),
+        round((col("x_sum") * col("n_days")).cast("double") /
+          (col("n_dow") * col("total")).cast("double"), 4).as("idx"))
   }
 
   /** x160's Theil–Sen stage over a (event_type, day, x) daily-count
@@ -1067,6 +1157,50 @@ object Views {
         "r.slope_fp AS sen_slope_fp, r.slope_fp > 0 AS rising " +
         "FROM r JOIN nd ON r.event_type = nd.event_type " +
         "WHERE rn = (n_pairs + 1) // 2 ORDER BY r.event_type"),
+    // same pair frame and tie-group algebra; SIGN sums stay integer,
+    // the flag compares in HUGEINT vs Spark's DECIMAL(38,0), and the
+    // zero-variance guard NULLs both readouts identically
+    "x167_mann_kendall" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT a.event_type, CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM d a JOIN d b " +
+        "ON a.event_type = b.event_type AND a.day < b.day GROUP BY 1), " +
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days " +
+        "FROM d GROUP BY 1), " +
+        "ti AS (SELECT event_type, " +
+        "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term FROM " +
+        "(SELECT event_type, x, COUNT(*) AS t FROM d GROUP BY 1, 2) " +
+        "GROUP BY 1), " +
+        "f AS (SELECT nd.event_type, n_days, n_pairs, s, " +
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18, " +
+        "s - SIGN(s) AS num FROM nd JOIN ti USING (event_type) " +
+        "JOIN p USING (event_type)) " +
+        "SELECT event_type, n_days, n_pairs, s, " +
+        "CASE WHEN var18 > 0 THEN ROUND(CAST(num AS DOUBLE) / " +
+        "SQRT(CAST(var18 AS DOUBLE) / 18.0), 4) END AS z, " +
+        "CASE WHEN var18 > 0 THEN " +
+        "180000 * CAST(num AS HUGEINT) * CAST(num AS HUGEINT) > " +
+        "38416 * CAST(var18 AS HUGEINT) END AS trending " +
+        "FROM f ORDER BY event_type"),
+    // same integer day % 7 grain (no locale-dependent DAYOFWEEK on
+    // either engine), same rational index with one 4 dp division
+    "x168_dow_seasonality" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, day % 7 AS dow, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_dow, " +
+        "CAST(SUM(x) AS BIGINT) AS x_sum FROM d GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, dow, n_dow, x_sum, " +
+        "CAST(SUM(n_dow) OVER (PARTITION BY event_type) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x_sum) OVER (PARTITION BY event_type) AS BIGINT) AS total " +
+        "FROM c) " +
+        "SELECT event_type, dow, n_dow, x_sum, " +
+        "ROUND(CAST(x_sum * n_days AS DOUBLE) / " +
+        "CAST(n_dow * total AS DOUBLE), 4) AS idx " +
+        "FROM w ORDER BY event_type, dow"),
     // same day frame, same interpolated EwmaWeights integers, same
     // present-lag renormalization and one 4 dp division
     "x165_ewma_smooth" -> {

@@ -3730,4 +3730,74 @@ class ExtSpec extends SparkSpec {
       assert(xs.forall(e => e._3 >= lo && e._3 <= hi), s"$t ewma escapes envelope")
     }
   }
+
+  test("x166 grid cluster: planted blobs label to their min cell id, diagonal touch connects, sparse cells drop") {
+    import spark.implicits._
+    val cells = Seq(
+      (0L, 0L, 10L), (0L, 1L, 10L), (1L, 0L, 10L), // L-blob at origin
+      (10L, 10L, 10L), (11L, 11L, 10L),            // diagonal-touch pair
+      (5L, 5L, 2L)                                 // below minPts
+      ).toDF("cx", "cy", "n")
+    val got = Similarity.gridClusterReport(cells, minPts = 5, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(!got.contains((5L, 5L)), "sparse cell survived")
+    assert(got((0L, 0L))._2 == 0L && got((0L, 1L))._2 == 0L &&
+      got((1L, 0L))._2 == 0L, s"origin blob split: $got")
+    assert(got((10L, 10L))._2 == 170L && got((11L, 11L))._2 == 170L,
+      s"diagonal touch not connected: $got")
+    // lake surface: every cell is dense, labels are valid cell ids of
+    // the same report (a cluster label is always a member cell)
+    val lake = Similarity.queries("x166_grid_cluster")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(lake.nonEmpty)
+    assert(lake.forall(_._3 >= 5L))
+    val ids = lake.map(c => c._1 * 16 + c._2).toSet
+    assert(lake.forall(c => ids.contains(c._4)), "label not a member cell")
+  }
+
+  test("x167 mann-kendall: monotone series trends with the exact z, constant series guards to NULL") {
+    import spark.implicits._
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = (
+      (0L to 9L).map(d => ("up", d, d + 1L)) ++
+      (0L to 9L).map(d => ("const", d, 5L))).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.mannKendallReport(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val up = got("up")
+    // all 45 pairs rise: S = 45, no ties -> 18Var = 10*9*25 = 2250
+    assert((up.getLong(1), up.getLong(2), up.getLong(3)) == ((10L, 45L, 45L)))
+    assert(up.getDouble(4) == r4(44.0 / math.sqrt(125.0)))
+    assert(up.getBoolean(5), "monotone series must trend")
+    val c = got("const")
+    assert(c.getLong(3) == 0L && c.isNullAt(4) && c.isNullAt(5),
+      "all-tied series must guard to NULL")
+    // lake surface: z and the exact-integer flag agree at the 1.96 bar
+    val lake = graft.pipeline.Views.queries("x167_mann_kendall")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    lake.filter(r => !r.isNullAt(4)).foreach { r =>
+      assert(r.getBoolean(5) == (math.abs(r.getDouble(4)) > 1.96),
+        s"${r.getString(0)}: flag and z disagree")
+    }
+  }
+
+  test("x168 dow seasonality: planted weekly spike recovers the exact rational indices summing to the identity") {
+    import spark.implicits._
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = (0L to 13L).map(d =>
+      ("w", d, if (d % 7 == 0) 10L else 1L)).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.dowSeasonalityReport(daily)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((2L, 20L, r4(20.0 * 14 / (2 * 32)))))
+    (1L to 6L).foreach(dow =>
+      assert(got(dow) == ((2L, 2L, r4(2.0 * 14 / (2 * 32)))), s"dow $dow"))
+    // weighted identity: sum over dows of (n_dow/n_days)*idx = 1
+    val w = got.values.map { case (nd, _, idx) => nd / 14.0 * idx }.sum
+    assert(math.abs(w - 1.0) < 1e-3, s"weighted indices sum to $w")
+    val lake = graft.pipeline.Views.queries("x168_dow_seasonality")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty && lake.forall(_.getDouble(4) > 0.0))
+  }
 }

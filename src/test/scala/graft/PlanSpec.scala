@@ -521,7 +521,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("the stats wave plans partial aggregation and no cartesian (x159-x165)") {
+  test("the stats wave plans partial aggregation and no cartesian (x159-x168)") {
     for ((mod, name) <- Seq(
         (graft.ext.TextAnalysis.queries, "x159_gini_length"),
         (graft.pipeline.Views.queries, "x160_theil_sen"),
@@ -529,7 +529,10 @@ class PlanSpec extends SparkSpec {
         (graft.ext.Similarity.queries, "x162_silhouette"),
         (graft.ext.TextAnalysis.queries, "x163_cramers_v"),
         (graft.ext.TextAnalysis.queries, "x164_textrank"),
-        (graft.pipeline.Views.queries, "x165_ewma_smooth"))) {
+        (graft.pipeline.Views.queries, "x165_ewma_smooth"),
+        (graft.ext.Similarity.queries, "x166_grid_cluster"),
+        (graft.pipeline.Views.queries, "x167_mann_kendall"),
+        (graft.pipeline.Views.queries, "x168_dow_seasonality"))) {
       val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian:\n$plan")
