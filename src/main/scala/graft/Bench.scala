@@ -241,7 +241,15 @@ object Bench {
     // + one-shuffle doc scoring (x148), and the blocking+scoring
     // linkage chain over the x05 shingle artifact (x150)
     "x147_isotropy", "x144_personalized_pagerank", "x148_kneser_ney",
-    "x150_record_linkage")
+    "x150_record_linkage",
+    // round-12 session-9 additions (60 → 64): PageRank composed over
+    // the vocabulary-sized co-occurrence graph (x164 — model-sized
+    // iteration where x69's is entity-sized), the cell-lattice
+    // density clustering (x166 — the reduce-to-cells-then-iterate
+    // shape), the days²-bounded pairwise-slope median (x160), and
+    // the N×K broadcast silhouette scan (x162)
+    "x164_textrank", "x166_grid_cluster", "x160_theil_sen",
+    "x162_silhouette")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -271,7 +279,12 @@ object Bench {
     "x147_isotropy",
     // KN shares x46's one-big-shuffle doc⋈model shape with a larger
     // (4-table) model build — x46's instrumented volume covers both
-    "x148_kneser_ney")
+    "x148_kneser_ney",
+    // TextRank: the co-occurrence EDGE SET is the scaling question —
+    // it grows with distinct bigrams (vocabulary-shaped, sublinear)
+    // while the corpus pass grows linearly; the ratio reads which
+    // term dominates
+    "x164_textrank")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×

@@ -33,6 +33,39 @@ object Surface {
     spark.sql(q)
   }
 
+  /** c86's matching/estimation stage over a (stratum, arm, conv)
+    * per-user frame — exposed so tests can plant confounded
+    * compositions (the whole point of CEM is that the within-stratum
+    * estimate differs from raw lift under confounding). Off-support
+    * strata pruned, per-stratum effect on the 10⁻⁶ grid, ATT = the
+    * exact-integer treated-weighted sum with one division at 4 dp.
+    */
+  def cemAtt(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    users.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+          .as("conv_c"))
+      .filter(col("n_treat") > 0L && col("n_ctrl") > 0L)
+      .withColumn("effect_fp",
+        round((col("conv_t") * col("n_ctrl") -
+          col("conv_c") * col("n_treat")).cast("double") /
+          (col("n_treat") * col("n_ctrl")).cast("double") *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("nt_total", sum(col("n_treat")).over(whole))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        col("conv_t"), col("conv_c"),
+        round(col("effect_fp").cast("double") / lit(1000000.0), 4)
+          .as("effect"),
+        round(sum(col("n_treat") * col("effect_fp")).over(whole)
+          .cast("double") /
+          (col("nt_total").cast("double") * lit(1000000.0)), 4).as("att"))
+  }
+
   /** c74's retention triangle over an explicit (user_id, wk) frame —
     * exposed so tests can plant churn patterns the dense provisioned
     * corpus doesn't exhibit.
@@ -1106,6 +1139,54 @@ object Surface {
             .as("z_score"))
     }),
 
+    // COARSENED EXACT MATCHING — the observational-causal estimator
+    // beside c80's randomized z-test and c82's CUPED (when arms are
+    // NOT randomized, raw lift confounds with user composition; CEM
+    // compares arms only WITHIN strata of coarsened covariates and
+    // reports the treated-weighted ATT — Iacus/King/Porro's method,
+    // the workhorse of quasi-experiments). Strata = activity
+    // quartile (x51's broadcast discrete-percentile convention) ×
+    // dominant event type (max(struct) plurality, type-desc
+    // tiebreak); c80's arm hash and conversion rule verbatim, so the
+    // three estimators read the same experiment. Off-support strata
+    // (one arm empty) are pruned — THE defining CEM step. Per-
+    // stratum effect = (convT·nC − convC·nT)/(nT·nC) — one exact
+    // rational onto the 10⁻⁶ grid — and ATT = Σ nT·effect_fp /
+    // (NT·10⁶) is x158's exact-integer weighted sum with one
+    // division. Corpus-scale work: two events aggregates; everything
+    // after is user- then strata-grain.
+    "c86_cem_matching" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(spark, sfDir, "events")
+      val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      val cuts = broadcast(perUser.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_ev)").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_ev)").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_ev)").as("q3")))
+      val dom = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("dom_type"))
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 95.0)
+        .select(col("user_id")).distinct()
+        .withColumn("converted", lit(1L))
+      val users = perUser.crossJoin(cuts)
+        .withColumn("bucket", when(col("n_ev") <= col("q1"), 1)
+          .when(col("n_ev") <= col("q2"), 2)
+          .when(col("n_ev") <= col("q3"), 3).otherwise(4))
+        .join(dom, "user_id")
+        .join(conv, Seq("user_id"), "left")
+        .select(
+          concat(col("bucket").cast("string"), lit("|"), col("dom_type"))
+            .as("stratum"),
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
+          coalesce(col("converted"), lit(0L)).as("conv"))
+      cemAtt(users).orderBy(col("stratum"))
+    }),
+
     // TIME-WEIGHTED AVERAGE — the metrics/sensor staple a plain AVG
     // gets wrong on irregular samples: each reading holds until the
     // next one, so it weighs by its holding interval. The entire
@@ -1937,6 +2018,48 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // same quartile cuts (quantile_disc ≡ percentile_disc), same
+    // max(struct) plurality via the (cnt DESC, type DESC) window,
+    // c80's arm hash verbatim, same off-support prune and 10^-6
+    // effect grid with the weighted-integer ATT sum
+    "c86_cem_matching" ->
+      (s"WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev " +
+        "FROM events GROUP BY 1), " +
+        "q AS (SELECT quantile_disc(n_ev, 0.25) AS q1, " +
+        "quantile_disc(n_ev, 0.5) AS q2, " +
+        "quantile_disc(n_ev, 0.75) AS q3 FROM pu), " +
+        "tc AS (SELECT user_id, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "dom AS (SELECT user_id, event_type AS dom_type FROM " +
+        "(SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn " +
+        "FROM tc) WHERE rn = 1), " +
+        "cv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value >= 95.0), " +
+        "u AS (SELECT CAST(CASE WHEN n_ev <= q1 THEN 1 " +
+        "WHEN n_ev <= q2 THEN 2 WHEN n_ev <= q3 THEN 3 ELSE 4 END " +
+        "AS VARCHAR) || '|' || dom_type AS stratum, " +
+        s"CASE WHEN (pu.user_id * ${Sampling.HashMul}) % " +
+        s"${Sampling.HashMod} < ${Sampling.HashMod / 2} " +
+        "THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv " +
+        "FROM pu CROSS JOIN q JOIN dom ON pu.user_id = dom.user_id " +
+        "LEFT JOIN cv ON pu.user_id = cv.user_id), " +
+        "st AS (SELECT stratum, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_treat, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_t, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_c " +
+        "FROM u GROUP BY 1 HAVING n_treat > 0 AND n_ctrl > 0), " +
+        "f AS (SELECT stratum, n_treat, n_ctrl, conv_t, conv_c, " +
+        "CAST(ROUND(CAST(conv_t * n_ctrl - conv_c * n_treat AS DOUBLE) / " +
+        "CAST(n_treat * n_ctrl AS DOUBLE) * 1000000.0) AS BIGINT) AS effect_fp " +
+        "FROM st) " +
+        "SELECT stratum, n_treat, n_ctrl, conv_t, conv_c, " +
+        "ROUND(CAST(effect_fp AS DOUBLE) / 1000000.0, 4) AS effect, " +
+        "ROUND(CAST(SUM(n_treat * effect_fp) OVER () AS DOUBLE) / " +
+        "(CAST(SUM(n_treat) OVER () AS DOUBLE) * 1000000.0), 4) AS att " +
+        "FROM f ORDER BY stratum"),
     // same day grid, conditional sums and the pre-collapsed
     // distinct-day frame; INTEGER casts pin the day dtypes
     "c76_user_features" ->

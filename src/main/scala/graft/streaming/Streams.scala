@@ -1036,8 +1036,23 @@ object Streams {
     * construction and the alarm stays current as events ingest
     * without re-scanning history.
     */
-  def foreachBatchCusum(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s22_${tag(sfDir)}"
+  def foreachBatchCusum(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.cusumReport(
+        maintainedDayCounts(spark, sfDir, "s22"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** The time-series family's shared maintenance loop (s22/s25/s26):
+    * stream the events and maintain the (event_type, day) daily-count
+    * table additively per microbatch (the generation-marker
+    * idempotence of [[maintainedHalfCounts]]). One |types|·|days|-
+    * bounded maintained artifact serves CUSUM, the EWMA smoother AND
+    * the Mann–Kendall trend test — every readout is a pure function
+    * of the day frame, so streamed ≡ batch by construction for all
+    * three.
+    */
+  private def maintainedDayCounts(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val base = s"/tmp/graft-stream/${name}_${tag(sfDir)}"
     rmDir(spark, base)
     val micros = Lake.ensureMicrosEvents(spark, sfDir)
     val stream = spark.readStream
@@ -1075,11 +1090,27 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.pipeline.Views.cusumReport(
-        spark.read.parquet(latest.getOrElse(
-          sys.error("s22: stream produced no batches"))))
-      .orderBy(col("event_type"), col("day"))
+    spark.read.parquet(latest.getOrElse(
+      sys.error(s"$name: stream produced no batches")))
   }
+
+  /** s25: x165's EWMA smoother off the maintained day frame — the
+    * truncated 8-lag window is exactly what makes EWMA maintainable
+    * (the recurrence form would need the whole history replayed).
+    */
+  def foreachBatchEwma(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.ewmaReport(
+        maintainedDayCounts(spark, sfDir, "s25"))
+      .orderBy(col("event_type"), col("day"))
+
+  /** s26: x167's Mann–Kendall trend test off the same maintained day
+    * frame — the pair expansion and tie algebra run over the bounded
+    * maintained state, never the event history.
+    */
+  def foreachBatchMannKendall(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.mannKendallReport(
+        maintainedDayCounts(spark, sfDir, "s26"))
+      .orderBy(col("event_type"))
 
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
@@ -1424,6 +1455,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchMw(spark, sfDir)),
     "s24_stream_chisq_monitor" ->
       ((spark, sfDir) => foreachBatchChisq(spark, sfDir)),
+    "s25_stream_ewma" ->
+      ((spark, sfDir) => foreachBatchEwma(spark, sfDir)),
+    "s26_stream_mann_kendall" ->
+      ((spark, sfDir) => foreachBatchMannKendall(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1530,6 +1565,14 @@ object Streams {
     // x161
     "s24_stream_chisq_monitor" ->
       graft.pipeline.Views.oracles("x161_chisq_drift"),
+    // the IVM contract verbatim: the EWMA smoother off the maintained
+    // day table ≡ batch x165
+    "s25_stream_ewma" ->
+      graft.pipeline.Views.oracles("x165_ewma_smooth"),
+    // the IVM contract verbatim: the Mann–Kendall test off the same
+    // maintained day table ≡ batch x167
+    "s26_stream_mann_kendall" ->
+      graft.pipeline.Views.oracles("x167_mann_kendall"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

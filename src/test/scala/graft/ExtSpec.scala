@@ -3800,4 +3800,29 @@ class ExtSpec extends SparkSpec {
       .collect()
     assert(lake.nonEmpty && lake.forall(_.getDouble(4) > 0.0))
   }
+
+  test("c86 cem: a planted confound is removed by stratification, off-support strata are pruned") {
+    import spark.implicits._
+    // treatment concentrates in the high-activity stratum where
+    // conversion runs hot in BOTH arms: raw lift reads ~0, the
+    // within-stratum ATT reads the true +0.05
+    val users = (
+      (1 to 10).map(i => ("H", "A", if (i <= 8) 1L else 0L)) ++
+      (1 to 10).map(i => ("H", "B", if (i <= 6) 1L else 0L)) ++
+      (1 to 30).map(i => ("L", "A", if (i <= 3) 1L else 0L)) ++
+      (1 to 10).map(i => ("L", "B", if (i <= 1) 1L else 0L)) ++
+      (1 to 5).map(_ => ("onlyT", "A", 1L))).toDF("stratum", "arm", "conv")
+    val got = graft.queries.Surface.cemAtt(users).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(!got.contains("onlyT"), "off-support stratum survived")
+    assert(got("H") == ((10L, 10L, 8L, 6L, 0.2, 0.05)), got("H").toString)
+    assert(got("L") == ((30L, 10L, 3L, 1L, 0.0, 0.05)), got("L").toString)
+    // lake surface: one ATT across rows, effects bounded in [-1, 1]
+    val lake = graft.queries.Surface.queries("c86_cem_matching")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    assert(lake.map(_.getDouble(6)).distinct.length == 1)
+    assert(lake.forall(r => math.abs(r.getDouble(5)) <= 1.0))
+  }
 }

@@ -383,6 +383,38 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed chi-square diverges from batch x161:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming EWMA smoother equals batch x165 across a multi-batch run (s25)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = graft.streaming.Streams.foreachBatchEwma(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s25_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x165_ewma_smooth")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed EWMA diverges from batch x165:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
+  test("streaming Mann-Kendall test equals batch x167 across a multi-batch run (s26)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))
+    val streamed = graft.streaming.Streams.foreachBatchMannKendall(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s26_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x167_mann_kendall")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed MK diverges from batch x167:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
