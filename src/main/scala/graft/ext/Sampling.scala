@@ -488,6 +488,50 @@ object Sampling {
     // |gap|-sum over the ≤10-row bin frame (bounded window), ONE
     // division at 4 dp. Scale: event-grain work is a broadcast join
     // against |types|·K cells + one partial-agg'able groupBy(bin).
+    // CUMULATIVE GAINS / LIFT CURVE — the ranking-quality readout of
+    // x139's out-of-fold scores beside x149's calibration (ECE asks
+    // "is the score a probability"; the gain curve asks "does
+    // ranking by it concentrate the positives" — the campaign-
+    // targeting readout: "the top-x% of traffic by score captures
+    // y% of conversions at z× lift"). The scorer is |types|·|folds|-
+    // discrete, so the curve is exact at SCORE granularity — no
+    // decile NTILE (c79's global-window objection) and no arbitrary
+    // bin boundary: one groupBy onto the ≤20-row distinct-score
+    // frame, cumulative BIGINT windows ordered by score desc, and
+    // per-row capture/share/lift as exact rationals with one
+    // division each at 4 dp. Event-grain work = x149's broadcast
+    // join + one partial-agg'able groupBy.
+    "x169_gain_curve" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = targetEncodingFrame(spark, sfDir)
+        .select(col("event_type"), col("fold"),
+          round(col("enc_num").cast("double") /
+            col("enc_den").cast("double") * 10000.0, 0)
+            .cast("long").as("enc_fp"))
+      val ev = Lake.table(spark, sfDir, "events")
+        .select(col("event_type"),
+          (sampleHash(col("user_id")) % 4).as("fold"),
+          when(col("value") > 90, 1L).otherwise(0L).as("pos"))
+      val cum = Window.partitionBy(lit(1)).orderBy(desc("enc_fp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(lit(1))
+      ev.join(broadcast(cells), Seq("event_type", "fold"))
+        .groupBy(col("enc_fp"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .withColumn("cum_n", sum(col("n")).over(cum))
+        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+        .withColumn("tot_n", sum(col("n")).over(whole))
+        .withColumn("tot_pos", sum(col("n_pos")).over(whole))
+        .select(col("enc_fp").as("score_fp"), col("n"), col("n_pos"),
+          round(col("cum_n").cast("double") / col("tot_n").cast("double"), 4)
+            .as("share"),
+          round(col("cum_pos").cast("double") /
+            col("tot_pos").cast("double"), 4).as("capture"),
+          round((col("cum_pos") * col("tot_n")).cast("double") /
+            (col("cum_n") * col("tot_pos")).cast("double"), 4).as("lift"))
+        .orderBy(desc("score_fp"))
+    }),
+
     "x149_ece_calibration" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val cells = targetEncodingFrame(spark, sfDir)
@@ -985,6 +1029,43 @@ object Sampling {
     // x139's cell chain with the rational re-gridded to the integer
     // 10^-4 confidence; width-0.1 bins, BIGINT gap numerators, the
     // |gap|-sum ECE over the bounded bin frame
+    // x149's cell/scoring CTEs verbatim, then the distinct-score
+    // rollup with cumulative windows ordered by score desc
+    "x169_gain_curve" ->
+      (s"WITH c AS (SELECT event_type, " +
+        s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_t FROM c GROUP BY 1), " +
+        "f AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_f FROM c GROUP BY 1), " +
+        "g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_g FROM c), " +
+        "cells AS (SELECT c.event_type, c.fold, " +
+        "CAST(ROUND(CAST((pos_t - c.n_pos) * (n_g - n_f) + 100 * (pos_g - pos_f) AS DOUBLE) / " +
+        "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE) * 10000.0) AS BIGINT) AS enc_fp " +
+        "FROM c JOIN t USING (event_type) JOIN f USING (fold), g), " +
+        "ev AS (SELECT e.event_type, " +
+        s"((e.user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CASE WHEN e.value > 90 THEN 1 ELSE 0 END AS pos FROM events e), " +
+        "sc AS (SELECT enc_fp, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(pos) AS BIGINT) AS n_pos " +
+        "FROM ev JOIN cells USING (event_type, fold) GROUP BY 1), " +
+        "w AS (SELECT enc_fp, n, n_pos, " +
+        "CAST(SUM(n) OVER (ORDER BY enc_fp DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n, " +
+        "CAST(SUM(n_pos) OVER (ORDER BY enc_fp DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos, " +
+        "CAST(SUM(n) OVER () AS BIGINT) AS tot_n, " +
+        "CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos FROM sc) " +
+        "SELECT enc_fp AS score_fp, n, n_pos, " +
+        "ROUND(CAST(cum_n AS DOUBLE) / CAST(tot_n AS DOUBLE), 4) AS share, " +
+        "ROUND(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 4) AS capture, " +
+        "ROUND(CAST(cum_pos * tot_n AS DOUBLE) / " +
+        "CAST(cum_n * tot_pos AS DOUBLE), 4) AS lift " +
+        "FROM w ORDER BY score_fp DESC"),
     "x149_ece_calibration" ->
       (s"WITH c AS (SELECT event_type, " +
         s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +

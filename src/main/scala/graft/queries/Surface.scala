@@ -66,6 +66,46 @@ object Surface {
           (col("nt_total").cast("double") * lit(1000000.0)), 4).as("att"))
   }
 
+  /** c87's Shapley multi-touch attribution over an (user_id, ts,
+    * event_id, event_type) frame — exposed so tests can plant touch
+    * paths with closed-form splits. Characteristic function: each
+    * purchase is the unanimity game over its set of DISTINCT prior
+    * channels, so the Shapley value credits each touched channel
+    * exactly 1/|set| per purchase (the sum-of-unanimity-games
+    * identity — this IS Shapley, not an ad-hoc "linear" rule);
+    * no-prior purchases credit `direct`. Credits land on a 10⁻⁶
+    * floor grid (10⁶ DIV k — x69's leak-only-loses-mass DIV
+    * discipline). One user-shuffle window pass (c78's shape) builds
+    * the per-purchase distinct-channel set; everything after is
+    * channel-grain.
+    */
+  def shapleyAttribution(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = ev
+      .withColumn("chs", collect_set(
+        when(col("event_type") =!= "purchase", col("event_type"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("chs"), size(col("chs")).as("k"))
+    val credits = purchases
+      .select(
+        explode(when(col("k") > 0, col("chs"))
+          .otherwise(array(lit("direct")))).as("channel"),
+        when(col("k") > 0, expr("1000000 DIV k"))
+          .otherwise(lit(1000000L)).as("credit_fp"))
+    val byCh = credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("credit_fp")).as("credit_fp"))
+    val tot = broadcast(byCh.agg(sum(col("credit_fp")).as("tot")))
+    byCh.crossJoin(tot)
+      .select(col("channel"), col("n_purchases"),
+        round(col("credit_fp").cast("double") / lit(1000000.0), 4)
+          .as("credit"),
+        round(col("credit_fp").cast("double") / col("tot").cast("double"), 4)
+          .as("share"))
+  }
+
   /** c74's retention triangle over an explicit (user_id, wk) frame —
     * exposed so tests can plant churn patterns the dense provisioned
     * corpus doesn't exhibit.
@@ -1187,6 +1227,23 @@ object Surface {
       cemAtt(users).orderBy(col("stratum"))
     }),
 
+    // SHAPLEY MULTI-TOUCH ATTRIBUTION — the game-theoretic split
+    // beside c83's last-touch (last-touch hands the whole conversion
+    // to the final channel; Shapley splits it fairly over every
+    // channel that participated — the two bracket marketing's
+    // attribution argument): each purchase is the unanimity game
+    // over its distinct prior channels, whose Shapley value is
+    // exactly 1/|set| per member (see shapleyAttribution — the
+    // sum-of-unanimity-games identity makes the equal split THE
+    // Shapley value, not a heuristic). Credits on the 10⁻⁶ DIV grid;
+    // one user-shuffle window pass, channel-grain everything after.
+    "c87_shapley_attribution" -> ((spark, sfDir) =>
+      shapleyAttribution(
+        t(spark, sfDir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")))
+        .orderBy(col("channel"))),
+
     // TIME-WEIGHTED AVERAGE — the metrics/sensor staple a plain AVG
     // gets wrong on irregular samples: each reading holds until the
     // next one, so it weighs by its holding interval. The entire
@@ -2018,6 +2075,29 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // the per-purchase prior-channel set built relationally (the
+    // grouped EXISTS join ≡ the window's strict (ts, event_id)
+    // prefix), same DIV grid and one division per readout column
+    "c87_shapley_attribution" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "pt AS (SELECT p.event_id AS pid, t.event_type AS ch " +
+        "FROM p JOIN events t ON t.user_id = p.user_id " +
+        "AND t.event_type <> 'purchase' " +
+        "AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) " +
+        "GROUP BY 1, 2), " +
+        "k AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS k FROM pt GROUP BY 1), " +
+        "cr AS (SELECT pt.ch AS channel, 1000000 // k.k AS credit_fp " +
+        "FROM pt JOIN k ON pt.pid = k.pid " +
+        "UNION ALL SELECT 'direct', 1000000 FROM p " +
+        "LEFT JOIN k ON p.event_id = k.pid WHERE k.pid IS NULL), " +
+        "b AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases, " +
+        "CAST(SUM(credit_fp) AS BIGINT) AS credit_fp FROM cr GROUP BY 1), " +
+        "t2 AS (SELECT CAST(SUM(credit_fp) AS BIGINT) AS tot FROM b) " +
+        "SELECT channel, n_purchases, " +
+        "ROUND(CAST(credit_fp AS DOUBLE) / 1000000.0, 4) AS credit, " +
+        "ROUND(CAST(credit_fp AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS share " +
+        "FROM b, t2 ORDER BY channel"),
     // same quartile cuts (quantile_disc ≡ percentile_disc), same
     // max(struct) plurality via the (cnt DESC, type DESC) window,
     // c80's arm hash verbatim, same off-support prune and 10^-6

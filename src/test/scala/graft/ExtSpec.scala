@@ -3825,4 +3825,58 @@ class ExtSpec extends SparkSpec {
     assert(lake.map(_.getDouble(6)).distinct.length == 1)
     assert(lake.forall(r => math.abs(r.getDouble(5)) <= 1.0))
   }
+
+  test("c87 shapley: planted paths split by unanimity sets, credit mass telescopes to the purchase count") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 101L, "click"), (1L, ts(2), 102L, "view"),
+      (1L, ts(3), 103L, "purchase"),
+      (2L, ts(1), 201L, "click"), (2L, ts(2), 202L, "purchase"),
+      (3L, ts(1), 301L, "purchase"),
+      (4L, ts(1), 401L, "view"), (4L, ts(2), 402L, "purchase"),
+      (4L, ts(3), 403L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.queries.Surface.shapleyAttribution(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got("click") == ((2L, 1.5, 0.3)), got.toString)
+    assert(got("view") == ((3L, 2.5, 0.5)), got.toString)
+    assert(got("direct") == ((1L, 1.0, 0.2)), got.toString)
+    // lake surface: credit mass conserves to the purchase count (the
+    // DIV grid can only leak downward, 1e-6 per k=3 set), shares sum 1
+    val lake = graft.queries.Surface
+      .queries("c87_shapley_attribution")(spark, SfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(lake.nonEmpty)
+    val nPurch = Lake.table(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    val mass = lake.map(_._3).sum
+    assert(mass <= nPurch + 1e-9 && mass > nPurch - 0.01,
+      s"credit mass $mass vs $nPurch purchases")
+    assert(math.abs(lake.map(_._4).sum - 1.0) < 1e-3)
+  }
+
+  test("x169 gain curve: the cumulative columns recompute exactly from the per-score counts and close at 1.0") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Sampling.queries("x169_gain_curve")(spark, SfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).sliding(2).forall(p => p.head > p.last),
+      "scores must be strictly descending")
+    val (totN, totPos) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    var (cn, cp) = (0L, 0L)
+    rows.foreach { case (s, n, np, share, capture, lift) =>
+      cn += n; cp += np
+      assert(share == r4(cn.toDouble / totN), s"share at $s")
+      assert(capture == r4(cp.toDouble / totPos), s"capture at $s")
+      assert(lift == r4((cp.toDouble * totN) / (cn.toDouble * totPos)),
+        s"lift at $s")
+    }
+    assert(rows.last._4 == 1.0 && rows.last._5 == 1.0 && rows.last._6 == 1.0)
+    // NOTE: no "top lift >= 1" assert — the synthetic labels are
+    // nearly flat across cells, so the curve's SHAPE is data, not an
+    // invariant; the exact recompute above is the contract.
+  }
 }
