@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,6 +394,53 @@ object Views {
     "x161_chisq_drift" -> ((spark, sfDir) =>
       chisqReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("event_type"))),
+
+    // COLUMN PROFILE — the Deequ-style table-profiling staple beside
+    // p12's rule gates (p12 checks rules someone wrote; the profile
+    // is what you read to WRITE them — null rates, cardinalities and
+    // ranges per column): one aggregate pass over events emitting
+    // (column, n_rows, n_null, n_distinct, min_fp, max_fp), with
+    // BIGINT range surrogates chosen per type for cross-engine
+    // exactness (ids raw, ts as epoch micros, value as floor-cents,
+    // strings as lengths — never engine-formatted casts). The six
+    // exact COUNT(DISTINCT)s expand the single pass six-fold
+    // (Spark's Expand); at 100 TB each swaps to approx_count_
+    // distinct unchanged — the profile is advisory, and that is the
+    // documented trade.
+    "x170_column_profile" -> ((spark, sfDir) => {
+      val ev = Lake.table(spark, sfDir, "events")
+      def nn(c: Column) = sum(when(c.isNull, 1L).otherwise(0L))
+      val a = ev.agg(
+        count(lit(1)).as("n"),
+        nn(col("event_id")).as("nn1"),
+        countDistinct(col("event_id")).as("nd1"),
+        min(col("event_id")).as("mn1"), max(col("event_id")).as("mx1"),
+        nn(col("ts")).as("nn2"), countDistinct(col("ts")).as("nd2"),
+        min(unix_micros(col("ts"))).as("mn2"),
+        max(unix_micros(col("ts"))).as("mx2"),
+        nn(col("user_id")).as("nn3"),
+        countDistinct(col("user_id")).as("nd3"),
+        min(col("user_id")).as("mn3"), max(col("user_id")).as("mx3"),
+        nn(col("event_type")).as("nn4"),
+        countDistinct(col("event_type")).as("nd4"),
+        min(length(col("event_type"))).cast("long").as("mn4"),
+        max(length(col("event_type"))).cast("long").as("mx4"),
+        nn(col("value")).as("nn5"), countDistinct(col("value")).as("nd5"),
+        min(floor(col("value") * 100).cast("long")).as("mn5"),
+        max(floor(col("value") * 100).cast("long")).as("mx5"),
+        nn(col("props")).as("nn6"), countDistinct(col("props")).as("nd6"),
+        min(length(col("props"))).cast("long").as("mn6"),
+        max(length(col("props"))).cast("long").as("mx6"))
+      a.select(expr("stack(6, " +
+          "'event_id', n, nn1, nd1, mn1, mx1, " +
+          "'ts', n, nn2, nd2, mn2, mx2, " +
+          "'user_id', n, nn3, nd3, mn3, mx3, " +
+          "'event_type', n, nn4, nd4, mn4, mx4, " +
+          "'value', n, nn5, nd5, mn5, mx5, " +
+          "'props', n, nn6, nd6, mn6, mx6) " +
+          "AS (col_name, n_rows, n_null, n_distinct, min_fp, max_fp)"))
+        .orderBy(col("col_name"))
+    }),
 
     // MANN–KENDALL TREND TEST — x160's significance companion
     // (Theil–Sen says HOW FAST, MK says WHETHER the monotone trend
@@ -1157,6 +1204,40 @@ object Views {
         "r.slope_fp AS sen_slope_fp, r.slope_fp > 0 AS rising " +
         "FROM r JOIN nd ON r.event_type = nd.event_type " +
         "WHERE rn = (n_pairs + 1) // 2 ORDER BY r.event_type"),
+    // same one-pass aggregate and BIGINT surrogates (epoch_us ≡
+    // unix_micros, floor-cents, lengths), unpivoted via UNION ALL
+    "x170_column_profile" ->
+      ("WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT) AS nn1, " +
+        "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nd1, " +
+        "MIN(event_id) AS mn1, MAX(event_id) AS mx1, " +
+        "CAST(COUNT(CASE WHEN ts IS NULL THEN 1 END) AS BIGINT) AS nn2, " +
+        "CAST(COUNT(DISTINCT ts) AS BIGINT) AS nd2, " +
+        "CAST(MIN(epoch_us(ts)) AS BIGINT) AS mn2, " +
+        "CAST(MAX(epoch_us(ts)) AS BIGINT) AS mx2, " +
+        "CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS nn3, " +
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd3, " +
+        "MIN(user_id) AS mn3, MAX(user_id) AS mx3, " +
+        "CAST(COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT) AS nn4, " +
+        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd4, " +
+        "CAST(MIN(LENGTH(event_type)) AS BIGINT) AS mn4, " +
+        "CAST(MAX(LENGTH(event_type)) AS BIGINT) AS mx4, " +
+        "CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT) AS nn5, " +
+        "CAST(COUNT(DISTINCT value) AS BIGINT) AS nd5, " +
+        "CAST(MIN(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS mn5, " +
+        "CAST(MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS mx5, " +
+        "CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT) AS nn6, " +
+        "CAST(COUNT(DISTINCT props) AS BIGINT) AS nd6, " +
+        "CAST(MIN(LENGTH(props)) AS BIGINT) AS mn6, " +
+        "CAST(MAX(LENGTH(props)) AS BIGINT) AS mx6 FROM events) " +
+        "SELECT 'event_id' AS col_name, n AS n_rows, nn1 AS n_null, " +
+        "nd1 AS n_distinct, mn1 AS min_fp, mx1 AS max_fp FROM a " +
+        "UNION ALL SELECT 'ts', n, nn2, nd2, mn2, mx2 FROM a " +
+        "UNION ALL SELECT 'user_id', n, nn3, nd3, mn3, mx3 FROM a " +
+        "UNION ALL SELECT 'event_type', n, nn4, nd4, mn4, mx4 FROM a " +
+        "UNION ALL SELECT 'value', n, nn5, nd5, mn5, mx5 FROM a " +
+        "UNION ALL SELECT 'props', n, nn6, nd6, mn6, mx6 FROM a " +
+        "ORDER BY col_name"),
     // same pair frame and tie-group algebra; SIGN sums stay integer,
     // the flag compares in HUGEINT vs Spark's DECIMAL(38,0), and the
     // zero-variance guard NULLs both readouts identically

@@ -33,6 +33,75 @@ object Surface {
     spark.sql(q)
   }
 
+  /** The (stratum, arm, conv) per-user experiment frame c86 and c88
+    * share: strata = activity quartile (x51's discrete-percentile
+    * convention) × dominant event type (max(struct) plurality,
+    * type-desc tiebreak); c80's arm hash and conversion rule
+    * verbatim, so every causal estimator reads the same experiment.
+    */
+  private def cemUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+    val cuts = broadcast(perUser.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_ev)").as("q1"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_ev)").as("q2"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_ev)").as("q3")))
+    val dom = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("dom_type"))
+    val conv = ev.filter(col("event_type") === "purchase" &&
+        col("value") >= 95.0)
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(1L))
+    perUser.crossJoin(cuts)
+      .withColumn("bucket", when(col("n_ev") <= col("q1"), 1)
+        .when(col("n_ev") <= col("q2"), 2)
+        .when(col("n_ev") <= col("q3"), 3).otherwise(4))
+      .join(dom, "user_id")
+      .join(conv, Seq("user_id"), "left")
+      .select(
+        concat(col("bucket").cast("string"), lit("|"), col("dom_type"))
+          .as("stratum"),
+        when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+          Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
+        coalesce(col("converted"), lit(0L)).as("conv"))
+  }
+
+  /** c88's estimation stage over the same (stratum, arm, conv) frame
+    * — exposed so tests can plant designs where IPS and CEM differ.
+    * Per-stratum term = n_s·(convT·nC − convC·nT)/(nT·nC) on the
+    * 10⁻⁶ grid (c86's D scaled by stratum size), ATE = Σ term_fp / N
+    * with one division; positivity-violating strata pruned.
+    */
+  def ipsAte(users: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    users.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+          .as("conv_c"))
+      .filter(col("n_treat") > 0L && col("n_ctrl") > 0L)
+      .withColumn("n_s", col("n_treat") + col("n_ctrl"))
+      .withColumn("term_fp",
+        round((col("n_s") * (col("conv_t") * col("n_ctrl") -
+          col("conv_c") * col("n_treat"))).cast("double") /
+          (col("n_treat") * col("n_ctrl")).cast("double") *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("n_total", sum(col("n_s")).over(whole))
+      .select(col("stratum"), col("n_treat"), col("n_ctrl"),
+        round(col("n_treat").cast("double") / col("n_s").cast("double"), 4)
+          .as("propensity"),
+        round(col("term_fp").cast("double") /
+          (col("n_s").cast("double") * lit(1000000.0)), 4).as("effect"),
+        round(sum(col("term_fp")).over(whole).cast("double") /
+          (col("n_total").cast("double") * lit(1000000.0)), 4).as("ate"))
+  }
+
   /** c86's matching/estimation stage over a (stratum, arm, conv)
     * per-user frame — exposed so tests can plant confounded
     * compositions (the whole point of CEM is that the within-stratum
@@ -1195,37 +1264,24 @@ object Surface {
     // (NT·10⁶) is x158's exact-integer weighted sum with one
     // division. Corpus-scale work: two events aggregates; everything
     // after is user- then strata-grain.
-    "c86_cem_matching" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(spark, sfDir, "events")
-      val perUser = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
-      val cuts = broadcast(perUser.agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_ev)").as("q1"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_ev)").as("q2"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_ev)").as("q3")))
-      val dom = ev.groupBy(col("user_id"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("user_id"))
-        .agg(max(struct(col("cnt"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("m.event_type").as("dom_type"))
-      val conv = ev.filter(col("event_type") === "purchase" &&
-          col("value") >= 95.0)
-        .select(col("user_id")).distinct()
-        .withColumn("converted", lit(1L))
-      val users = perUser.crossJoin(cuts)
-        .withColumn("bucket", when(col("n_ev") <= col("q1"), 1)
-          .when(col("n_ev") <= col("q2"), 2)
-          .when(col("n_ev") <= col("q3"), 3).otherwise(4))
-        .join(dom, "user_id")
-        .join(conv, Seq("user_id"), "left")
-        .select(
-          concat(col("bucket").cast("string"), lit("|"), col("dom_type"))
-            .as("stratum"),
-          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
-            Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
-          coalesce(col("converted"), lit(0L)).as("conv"))
-      cemAtt(users).orderBy(col("stratum"))
-    }),
+    "c86_cem_matching" -> ((spark, sfDir) =>
+      cemAtt(cemUsers(spark, sfDir)).orderBy(col("stratum"))),
+
+    // INVERSE-PROPENSITY WEIGHTING — the third observational
+    // estimator beside c86's matching and c82's CUPED (CEM discards
+    // off-support strata entirely; IPS reweights every on-support
+    // user by 1/P(their arm | their stratum), recovering the ATE
+    // when matching's pruning would bias the estimand): propensity
+    // p_s = nT/(nT+nC) is an exact stratum rational, the per-stratum
+    // IPS term collapses to n_s·(convT·nC − convC·nT)/(nT·nC) — the
+    // same cross-multiplied D as c86 scaled by the stratum size —
+    // on the 10⁻⁶ grid, and ATE = Σ term_fp / N with one division.
+    // Positivity violations (one-arm strata, p ∈ {0,1} → infinite
+    // weights) are pruned exactly like CEM's off-support rule, and
+    // the readout carries the propensity so a reviewer sees how far
+    // from 0.5 the design drifted. Same corpus-scale work as c86.
+    "c88_ips_weighting" -> ((spark, sfDir) =>
+      ipsAte(cemUsers(spark, sfDir)).orderBy(col("stratum"))),
 
     // SHAPLEY MULTI-TOUCH ATTRIBUTION — the game-theoretic split
     // beside c83's last-touch (last-touch hands the whole conversion
@@ -2098,6 +2154,50 @@ object Surface {
         "ROUND(CAST(credit_fp AS DOUBLE) / 1000000.0, 4) AS credit, " +
         "ROUND(CAST(credit_fp AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS share " +
         "FROM b, t2 ORDER BY channel"),
+    // c86's stratum CTEs verbatim through the positivity prune, then
+    // the IPS term (c86's D scaled by stratum size) on the same grid
+    "c88_ips_weighting" ->
+      (s"WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev " +
+        "FROM events GROUP BY 1), " +
+        "q AS (SELECT quantile_disc(n_ev, 0.25) AS q1, " +
+        "quantile_disc(n_ev, 0.5) AS q2, " +
+        "quantile_disc(n_ev, 0.75) AS q3 FROM pu), " +
+        "tc AS (SELECT user_id, event_type, COUNT(*) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "dom AS (SELECT user_id, event_type AS dom_type FROM " +
+        "(SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY cnt DESC, event_type DESC) AS rn " +
+        "FROM tc) WHERE rn = 1), " +
+        "cv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value >= 95.0), " +
+        "u AS (SELECT CAST(CASE WHEN n_ev <= q1 THEN 1 " +
+        "WHEN n_ev <= q2 THEN 2 WHEN n_ev <= q3 THEN 3 ELSE 4 END " +
+        "AS VARCHAR) || '|' || dom_type AS stratum, " +
+        s"CASE WHEN (pu.user_id * ${Sampling.HashMul}) % " +
+        s"${Sampling.HashMod} < ${Sampling.HashMod / 2} " +
+        "THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN cv.user_id IS NULL THEN 0 ELSE 1 END AS conv " +
+        "FROM pu CROSS JOIN q JOIN dom ON pu.user_id = dom.user_id " +
+        "LEFT JOIN cv ON pu.user_id = cv.user_id), " +
+        "st AS (SELECT stratum, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_treat, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_t, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_c " +
+        "FROM u GROUP BY 1 HAVING n_treat > 0 AND n_ctrl > 0), " +
+        "f AS (SELECT stratum, n_treat, n_ctrl, " +
+        "n_treat + n_ctrl AS n_s, " +
+        "CAST(ROUND(CAST((n_treat + n_ctrl) * " +
+        "(conv_t * n_ctrl - conv_c * n_treat) AS DOUBLE) / " +
+        "CAST(n_treat * n_ctrl AS DOUBLE) * 1000000.0) AS BIGINT) AS term_fp " +
+        "FROM st) " +
+        "SELECT stratum, n_treat, n_ctrl, " +
+        "ROUND(CAST(n_treat AS DOUBLE) / CAST(n_s AS DOUBLE), 4) AS propensity, " +
+        "ROUND(CAST(term_fp AS DOUBLE) / " +
+        "(CAST(n_s AS DOUBLE) * 1000000.0), 4) AS effect, " +
+        "ROUND(CAST(SUM(term_fp) OVER () AS DOUBLE) / " +
+        "(CAST(SUM(n_s) OVER () AS DOUBLE) * 1000000.0), 4) AS ate " +
+        "FROM f ORDER BY stratum"),
     // same quartile cuts (quantile_disc ≡ percentile_disc), same
     // max(struct) plurality via the (cnt DESC, type DESC) window,
     // c80's arm hash verbatim, same off-support prune and 10^-6

@@ -3879,4 +3879,53 @@ class ExtSpec extends SparkSpec {
     // nearly flat across cells, so the curve's SHAPE is data, not an
     // invariant; the exact recompute above is the contract.
   }
+
+  test("c88 ips: planted unbalanced propensities recompute exactly and agree with CEM where supports overlap") {
+    import spark.implicits._
+    val users = (
+      (1 to 30).map(i => ("H", "A", if (i <= 15) 1L else 0L)) ++
+      (1 to 10).map(i => ("H", "B", if (i <= 2) 1L else 0L)) ++
+      (1 to 10).map(i => ("L", "A", if (i <= 1) 1L else 0L)) ++
+      (1 to 30).map(i => ("L", "B", if (i <= 3) 1L else 0L)) ++
+      (1 to 5).map(_ => ("onlyT", "A", 1L))).toDF("stratum", "arm", "conv")
+    val got = graft.queries.Surface.ipsAte(users).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(!got.contains("onlyT"), "positivity-violating stratum survived")
+    // H: D = 15*10 - 2*30 = 90, effect = 90/300 = 0.3, p = 0.75
+    assert(got("H") == ((30L, 10L, 0.75, 0.3, 0.15)), got.toString)
+    // L: D = 1*30 - 3*10 = 0 -> effect 0, p = 0.25
+    assert(got("L") == ((10L, 30L, 0.25, 0.0, 0.15)), got.toString)
+    // per-stratum effect is CEM's within-stratum effect (the two
+    // estimators differ only in WEIGHTS), checked on the lake frame
+    val cem = graft.queries.Surface.queries("c86_cem_matching")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val ips = graft.queries.Surface.queries("c88_ips_weighting")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(cem.keySet == ips.keySet)
+    cem.foreach { case (s, e) =>
+      assert(math.abs(ips(s) - e) < 1e-3, s"$s: ips ${ips(s)} vs cem $e") }
+  }
+
+  test("x170 column profile: ids are unique and non-null, surrogates bound the real ranges") {
+    val rows = graft.pipeline.Views.queries("x170_column_profile")(spark, SfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet == Set("event_id", "ts", "user_id", "event_type",
+      "value", "props"))
+    val n = rows("event_id")._1
+    assert(rows.values.forall(_._1 == n), "n_rows must be constant")
+    // primary key contract: unique, non-null
+    assert(rows("event_id")._2 == 0L && rows("event_id")._3 == n)
+    // cross-check one cardinality and one range against direct queries
+    val ev = Lake.table(spark, SfDir, "events")
+    val ndTypes = ev.select(countDistinct(col("event_type")))
+      .collect()(0).getLong(0)
+    assert(rows("event_type")._3 == ndTypes)
+    val Array(mnId, mxId) = ev.agg(min(col("event_id")), max(col("event_id")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    assert(rows("event_id")._4 == mnId && rows("event_id")._5 == mxId)
+    rows.foreach { case (c, t) => assert(t._4 <= t._5, s"$c range inverted") }
+  }
 }
