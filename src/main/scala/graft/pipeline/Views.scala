@@ -470,6 +470,21 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("dow"))),
 
+    // FORECAST BACKTEST — the accountability step behind x165 (a
+    // smoother you never score is a chart, not a forecaster):
+    // rolling-origin one-step-ahead evaluation of the EWMA against
+    // the naive yesterday-baseline, per type, with MAE/MASE exact to
+    // the constant weight-mass denominator and the verdict an exact
+    // integer compare (see forecastBacktestReport). MASE < 1 = the
+    // smoother earns its keep. Corpus-scale work = the one shared
+    // events aggregate.
+    "x171_forecast_backtest" -> ((spark, sfDir) =>
+      forecastBacktestReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"))),
+
     // EXPONENTIAL SMOOTHING — the level-tracking forecast primitive
     // beside the detectors (x138 localizes a shift after the fact;
     // EWMA is what a serving dashboard plots and alerts against):
@@ -606,6 +621,42 @@ object Views {
       .select(col("event_type"), col("dow"), col("n_dow"), col("x_sum"),
         round((col("x_sum") * col("n_days")).cast("double") /
           (col("n_dow") * col("total")).cast("double"), 4).as("idx"))
+  }
+
+  /** x171's backtest stage over the (event_type, day, x) frame:
+    * one-step-ahead EWMA forecast ŷ_t from lags 1..8 (x165's weights
+    * shifted one day — the forecaster never sees the day it
+    * predicts), scored only on full-window days (8 lags present) so
+    * the weight mass D = Σ [[EwmaWeights]] is CONSTANT and the MAE
+    * numerator Σ|x_t·D − N_t| stays a single exact BIGINT — one
+    * division per readout, and the model-vs-naive verdict is the
+    * exact integer compare err_num < D·naive_num (no float decides
+    * it). MASE = err_num/(D·naive_num), the standard scale-free
+    * forecast score (< 1 = beats the naive yesterday-baseline).
+    */
+  def forecastBacktestReport(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val D = EwmaWeights.sum
+    val num = EwmaWeights.zipWithIndex.map { case (wk, j) =>
+      lag(col("x"), j + 1).over(w) * lit(wk)
+    }.reduce(_ + _)
+    daily
+      .withColumn("_n", num)
+      .withColumn("_prev", lag(col("x"), 1).over(w))
+      .filter(col("_n").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("x") * lit(D) - col("_n"))).as("_err_num"),
+        sum(abs(col("x") - col("_prev"))).as("_naive_num"))
+      .select(col("event_type"), col("n_scored"),
+        round(col("_err_num").cast("double") /
+          (col("n_scored") * lit(D)).cast("double"), 4).as("mae_model"),
+        round(col("_naive_num").cast("double") /
+          col("n_scored").cast("double"), 4).as("mae_naive"),
+        when(col("_naive_num") > 0L,
+          round(col("_err_num").cast("double") /
+            (lit(D) * col("_naive_num")).cast("double"), 4)).as("mase"),
+        (col("_err_num") < lit(D) * col("_naive_num")).as("model_wins"))
   }
 
   /** x160's Theil–Sen stage over a (event_type, day, x) daily-count
@@ -1282,6 +1333,37 @@ object Views {
         "ROUND(CAST(x_sum * n_days AS DOUBLE) / " +
         "CAST(n_dow * total AS DOUBLE), 4) AS idx " +
         "FROM w ORDER BY event_type, dow"),
+    // same shifted-lag weights, same full-window filter (a NULL lag
+    // nulls the whole numerator on both engines), same exact-integer
+    // MAE numerators and the D-scaled MASE division
+    "x171_forecast_backtest" -> {
+      val w = EwmaWeights
+      val d = w.sum
+      val lags = (1 to 8).map(k =>
+        s"LAG(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+        .mkString(", ")
+      val num = (1 to 8).map(k => s"l$k * ${w(k - 1)}").mkString(" + ")
+      "WITH dd AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        s"t AS (SELECT event_type, day, x, $lags FROM dd), " +
+        s"f AS (SELECT event_type, x, l1, ($num) AS n FROM t " +
+        "WHERE l8 IS NOT NULL AND l7 IS NOT NULL AND l6 IS NOT NULL " +
+        "AND l5 IS NOT NULL AND l4 IS NOT NULL AND l3 IS NOT NULL " +
+        "AND l2 IS NOT NULL AND l1 IS NOT NULL), " +
+        "a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored, " +
+        s"CAST(SUM(ABS(x * $d - n)) AS BIGINT) AS err_num, " +
+        "CAST(SUM(ABS(x - l1)) AS BIGINT) AS naive_num FROM f GROUP BY 1) " +
+        "SELECT event_type, n_scored, " +
+        s"ROUND(CAST(err_num AS DOUBLE) / CAST(n_scored * $d AS DOUBLE), 4) " +
+        "AS mae_model, " +
+        "ROUND(CAST(naive_num AS DOUBLE) / CAST(n_scored AS DOUBLE), 4) " +
+        "AS mae_naive, " +
+        s"CASE WHEN naive_num > 0 THEN ROUND(CAST(err_num AS DOUBLE) / " +
+        s"CAST($d * naive_num AS DOUBLE), 4) END AS mase, " +
+        s"err_num < $d * naive_num AS model_wins " +
+        "FROM a ORDER BY event_type"
+    },
     // same day frame, same interpolated EwmaWeights integers, same
     // present-lag renormalization and one 4 dp division
     "x165_ewma_smooth" -> {

@@ -1283,6 +1283,39 @@ object Surface {
     "c88_ips_weighting" -> ((spark, sfDir) =>
       ipsAte(cemUsers(spark, sfDir)).orderBy(col("stratum"))),
 
+    // POWER / MINIMUM DETECTABLE EFFECT — the experiment-design
+    // readout beside c80's after-the-fact z-test ("with these arm
+    // sizes and this base rate, what lift COULD this experiment even
+    // see at α=0.05, power=0.8"): MDE = (z_{α/2} + z_{power}) ·
+    // √(p(1−p)(1/n_A + 1/n_B)) with the 2.8016 constant fixed and
+    // the pooled rate off c80's exact arm/conversion counts; one
+    // division→sqrt→multiply chain per readout (c80's IEEE-
+    // deterministic ops). The rel readout divides by the same
+    // unrounded p so the two columns can't drift. Two events
+    // aggregates; 1-row output.
+    "c89_power_mde" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+      val arm = ev.select(col("user_id")).distinct()
+        .select(col("user_id"),
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "A").otherwise("B").as("arm"))
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 95.0)
+        .select(col("user_id")).distinct()
+        .withColumn("converted", lit(1L))
+      val agg = arm.join(conv, Seq("user_id"), "left")
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(coalesce(col("converted"), lit(0L))).as("conv_pool"))
+      val p = col("conv_pool").cast("double") / (col("n_a") + col("n_b"))
+      val mde = lit(2.8016) * sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      agg.select(col("n_a"), col("n_b"), col("conv_pool"),
+        round(p, 4).as("p_pool"),
+        round(mde, 4).as("mde_abs"),
+        round(mde / p, 4).as("mde_rel"))
+    }),
+
     // SHAPLEY MULTI-TOUCH ATTRIBUTION — the game-theoretic split
     // beside c83's last-touch (last-touch hands the whole conversion
     // to the final channel; Shapley splits it fairly over every
@@ -2131,6 +2164,30 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // c80's arm/conversion counts, the fixed 2.8016 constant and the
+    // identical division→sqrt→multiply chain off the unrounded p
+    "c89_power_mde" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"arm AS (SELECT user_id, CASE WHEN (user_id * ${Sampling.HashMul}) % " +
+        s"${Sampling.HashMod} < ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END " +
+        "AS arm FROM u), " +
+        "conv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value >= 95.0), " +
+        "g AS (SELECT " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(COUNT(conv.user_id) AS BIGINT) AS conv_pool " +
+        "FROM arm LEFT JOIN conv ON arm.user_id = conv.user_id) " +
+        "SELECT n_a, n_b, conv_pool, " +
+        "ROUND(CAST(conv_pool AS DOUBLE) / (n_a + n_b), 4) AS p_pool, " +
+        "ROUND(2.8016 * SQRT(CAST(conv_pool AS DOUBLE) / (n_a + n_b) * " +
+        "(1.0 - CAST(conv_pool AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b)), 4) AS mde_abs, " +
+        "ROUND(2.8016 * SQRT(CAST(conv_pool AS DOUBLE) / (n_a + n_b) * " +
+        "(1.0 - CAST(conv_pool AS DOUBLE) / (n_a + n_b)) * " +
+        "(1.0 / n_a + 1.0 / n_b)) / " +
+        "(CAST(conv_pool AS DOUBLE) / (n_a + n_b)), 4) AS mde_rel " +
+        "FROM g"),
     // the per-purchase prior-channel set built relationally (the
     // grouped EXISTS join ≡ the window's strict (ts, event_id)
     // prefix), same DIV grid and one division per readout column

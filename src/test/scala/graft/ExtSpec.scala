@@ -3928,4 +3928,56 @@ class ExtSpec extends SparkSpec {
     assert(rows("event_id")._4 == mnId && rows("event_id")._5 == mxId)
     rows.foreach { case (c, t) => assert(t._4 <= t._5, s"$c range inverted") }
   }
+
+  test("x171 backtest: constant series zeroes both errors, a trending line recomputes exactly and loses to naive") {
+    import spark.implicits._
+    val daily = (
+      (0L to 11L).map(d => ("const", d, 10L)) ++
+      (0L to 11L).map(d => ("lin", d, d))).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.forecastBacktestReport(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val c = got("const")
+    assert((c.getLong(1), c.getDouble(2), c.getDouble(3)) == ((4L, 0.0, 0.0)))
+    assert(c.isNullAt(4) && !c.getBoolean(5),
+      "zero-naive series must NULL the mase")
+    // lin: err per scored day = D + sum(j*w_j) exactly; naive err = 1
+    val w = (0 to 7).map(k => math.pow(3, k).toLong *
+      math.pow(4, 7 - k).toLong)
+    val d0 = w.sum
+    val s1 = w.zipWithIndex.map { case (wk, j) => j * wk }.sum
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l = got("lin")
+    assert(l.getLong(1) == 4L)
+    assert(l.getDouble(2) == r4((d0 + s1).toDouble / d0),
+      s"mae_model ${l.getDouble(2)}")
+    assert(l.getDouble(3) == 1.0)
+    assert(l.getDouble(4) == r4((4.0 * (d0 + s1)) / (d0 * 4.0)))
+    assert(!l.getBoolean(5), "a lagging smoother must lose on a trend")
+    // lake surface: mase consistent with the exact win flag
+    val lake = graft.pipeline.Views
+      .queries("x171_forecast_backtest")(spark, SfDir).collect()
+    assert(lake.nonEmpty)
+    lake.filter(r => !r.isNullAt(4)).foreach { r =>
+      assert(r.getBoolean(5) == (r.getDouble(4) < 1.0) ||
+        math.abs(r.getDouble(4) - 1.0) < 1e-3,
+        s"${r.getString(0)}: win flag vs mase ${r.getDouble(4)}")
+    }
+  }
+
+  test("c89 power mde: the published MDE recomputes from the published counts") {
+    val r = graft.queries.Surface.queries("c89_power_mde")(spark, SfDir)
+      .collect()(0)
+    val (na, nb, conv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(na > 0 && nb > 0 && conv > 0)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = conv.toDouble / (na + nb)
+    val mde = 2.8016 * math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(3) == r4(p))
+    assert(math.abs(r.getDouble(4) - mde) < 1e-4)
+    assert(math.abs(r.getDouble(5) - mde / p) < 1e-3)
+    // arm counts must partition the population (c80's contract)
+    val nUsers = Lake.table(spark, SfDir, "events")
+      .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(na + nb == nUsers)
+  }
 }
