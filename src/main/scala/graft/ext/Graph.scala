@@ -444,6 +444,75 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
   }
 
+  /** x172's power-law MLE over a (n, deg) degree frame: x_min = the
+    * discrete p50 degree (Clauset's cut made deterministic via x51's
+    * quantile convention), α̂ = 1 + n_tail/Σ ln(d/(x_min − ½)) with
+    * the half-shift folded into the exact integer rational
+    * 2d/(2x_min − 1), so each ln takes one exact argument onto the
+    * 10⁻⁶ grid (x34's pattern) and α is ONE division off the exact
+    * grid sum. Exposed so tests can plant closed-form tails.
+    */
+  def powerlawReport(deg: DataFrame): DataFrame = {
+    val dmin = broadcast(deg.agg(
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY deg) " +
+        "AS BIGINT)").as("d_min")))
+    val nAll = broadcast(deg.agg(count(lit(1)).as("n_nodes")))
+    deg.crossJoin(dmin).filter(col("deg") >= col("d_min"))
+      .withColumn("term_fp",
+        round(log((col("deg") * 2).cast("double") /
+          (col("d_min") * 2 - 1).cast("double")) * lit(1000000.0), 0)
+          .cast("long"))
+      .agg(min(col("d_min")).as("d_min"), count(lit(1)).as("n_tail"),
+        max(col("deg")).as("d_max"), sum(col("term_fp")).as("_s"))
+      .crossJoin(nAll)
+      .select(col("n_nodes"), col("d_min"), col("n_tail"), col("d_max"),
+        round(lit(1.0) + (col("n_tail") * lit(1000000L)).cast("double") /
+          col("_s").cast("double"), 4).as("alpha"))
+  }
+
+  /** x173's bounded BFS distance histogram from the hub (max degree,
+    * id tiebreak — x140's seed) over (u < v) edges, 4 hops: per-hop
+    * reached counts, cumulative share of the 4-hop ball, and the
+    * effective diameter = the smallest hop covering ≥ 90% of the
+    * ball (the truncated form of the standard metric — at 100 TB the
+    * horizon stays a bounded constant and each hop is one frontier
+    * equi-join + anti-join, x140's shape iterated).
+    */
+  def bfsDistHist(edges: DataFrame, hops: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    val seed = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), col("src")).limit(1)
+      .head().getLong(0)
+    val seed0 = arcs.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0).as("hop"))
+    val (_, labeled) = (1 to hops).foldLeft(
+      (seed0.select(col("node")), seed0)) { case ((visited, lab), h) =>
+      val frontier = arcs
+        .join(lab.filter(col("hop") === h - 1)
+          .select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+      (visited.unionByName(frontier),
+        lab.unionByName(frontier.withColumn("hop", lit(h))))
+    }
+    val whole = Window.partitionBy(lit(1))
+    val cum = Window.partitionBy(lit(1)).orderBy(col("hop"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+      .withColumn("cum_n", sum(col("n_nodes")).over(cum))
+      .withColumn("ball_n", sum(col("n_nodes")).over(whole))
+      .withColumn("eff_diameter",
+        min(when(col("cum_n") * 10 >= col("ball_n") * 9, col("hop")))
+          .over(whole))
+      .select(col("hop"), col("n_nodes"),
+        round(col("cum_n").cast("double") / col("ball_n").cast("double"), 4)
+          .as("cum_share"),
+        col("eff_diameter"))
+      .orderBy(col("hop"))
+  }
+
   /** x142's degree-assortativity readout over (u < v) edges and a
     * prebuilt (n, deg) frame. See the registry entry for the
     * sufficient-statistic discipline.
@@ -711,6 +780,29 @@ object Graph {
     // the "blast radius" read a recommender sanity-checks.
     "x140_bfs_reach" -> ((spark, sfDir) =>
       bfsReach2(coPurchaseEdges(spark, sfDir)).orderBy(col("hop"))),
+
+    // POWER-LAW EXPONENT — the Clauset-style degree-distribution MLE
+    // beside x142's assortativity (assortativity reads who ATTACHES
+    // to whom; α reads how heavy the hub tail is — α ≈ 2-3 is the
+    // scale-free signature, and the number a crawl-prioritization or
+    // sampling design keys off): x_min = the discrete p50 degree,
+    // α̂ = 1 + n/Σ ln(2d/(2x_min−1)) with every ln over one exact
+    // integer rational onto the 10⁻⁶ grid and ONE division at
+    // readout (see powerlawReport). Node-sized work off the
+    // persisted degree artifact.
+    "x172_powerlaw_alpha" -> ((spark, sfDir) =>
+      powerlawReport(copurchaseDegFor(spark, sfDir))),
+
+    // BFS DISTANCE HISTOGRAM / EFFECTIVE DIAMETER — x140's 2-hop
+    // ball extended to the small-world readout ("how many hops cover
+    // 90% of what's reachable"): 4 bounded frontier rounds from the
+    // hub, per-hop counts, cumulative ball shares and the 90%-ball
+    // effective diameter decided by the exact integer compare
+    // cum·10 ≥ ball·9 (see bfsDistHist; the truncated-horizon form
+    // IS the honest one at 100 TB — each hop is one frontier
+    // equi-join + anti-join, never a full APSP).
+    "x173_bfs_diameter" -> ((spark, sfDir) =>
+      bfsDistHist(coPurchaseEdges(spark, sfDir))),
 
     // DEGREE ASSORTATIVITY — the one-number structural fingerprint
     // the graph family's per-node reads (x69/x81/x85) don't give:
@@ -1161,6 +1253,74 @@ object Graph {
         "ROUND(CAST(SUM(num) OVER () AS DOUBLE) / (4.0 * m * m), 4) + 0 AS q " +
         "FROM sc ORDER BY label"),
     // same hub seed, frontier joins and visited-set anti-joins
+    // same degree frame, p50 cut (quantile_disc ≡ percentile_disc),
+    // the exact-rational ln arguments on the 10^-6 grid and one
+    // division; CASTs pin HUGEINT widenings
+    "x172_powerlaw_alpha" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "q AS (SELECT CAST(quantile_disc(deg, 0.5) AS BIGINT) AS d_min FROM deg), " +
+        "f AS (SELECT deg, d_min, " +
+        "CAST(ROUND(LN(CAST(deg * 2 AS DOUBLE) / " +
+        "CAST(d_min * 2 - 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS term_fp " +
+        "FROM deg, q WHERE deg >= d_min), " +
+        "a AS (SELECT CAST(MIN(d_min) AS BIGINT) AS d_min, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_tail, " +
+        "CAST(MAX(deg) AS BIGINT) AS d_max, " +
+        "CAST(SUM(term_fp) AS BIGINT) AS s FROM f), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg) " +
+        "SELECT n_nodes, d_min, n_tail, d_max, " +
+        "ROUND(1.0 + CAST(n_tail * 1000000 AS DOUBLE) / CAST(s AS DOUBLE), 4) " +
+        "AS alpha FROM a, nn"),
+    // x140's seed/frontier CTEs iterated two hops further; the
+    // effective diameter is the same exact cum*10 >= ball*9 compare
+    "x173_bfs_diameter" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "arcs AS (SELECT u AS src, v AS dst FROM e " +
+        "UNION ALL SELECT v AS src, u AS dst FROM e), " +
+        "seed AS (SELECT src FROM (SELECT src, COUNT(*) AS d FROM arcs " +
+        "GROUP BY 1) ORDER BY d DESC, src LIMIT 1), " +
+        "f1 AS (SELECT DISTINCT dst AS node FROM arcs " +
+        "WHERE src = (SELECT src FROM seed) " +
+        "AND dst <> (SELECT src FROM seed)), " +
+        "f2 AS (SELECT DISTINCT a.dst AS node FROM arcs a " +
+        "JOIN f1 ON a.src = f1.node " +
+        "WHERE a.dst NOT IN (SELECT node FROM f1) " +
+        "AND a.dst <> (SELECT src FROM seed)), " +
+        "f3 AS (SELECT DISTINCT a.dst AS node FROM arcs a " +
+        "JOIN f2 ON a.src = f2.node " +
+        "WHERE a.dst NOT IN (SELECT node FROM f1) " +
+        "AND a.dst NOT IN (SELECT node FROM f2) " +
+        "AND a.dst <> (SELECT src FROM seed)), " +
+        "f4 AS (SELECT DISTINCT a.dst AS node FROM arcs a " +
+        "JOIN f3 ON a.src = f3.node " +
+        "WHERE a.dst NOT IN (SELECT node FROM f1) " +
+        "AND a.dst NOT IN (SELECT node FROM f2) " +
+        "AND a.dst NOT IN (SELECT node FROM f3) " +
+        "AND a.dst <> (SELECT src FROM seed)), " +
+        "lab AS (SELECT src AS node, 0 AS hop FROM seed " +
+        "UNION ALL SELECT node, 1 FROM f1 " +
+        "UNION ALL SELECT node, 2 FROM f2 " +
+        "UNION ALL SELECT node, 3 FROM f3 " +
+        "UNION ALL SELECT node, 4 FROM f4), " +
+        "h AS (SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes " +
+        "FROM lab GROUP BY 1), " +
+        "w AS (SELECT hop, n_nodes, " +
+        "CAST(SUM(n_nodes) OVER (ORDER BY hop " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n, " +
+        "CAST(SUM(n_nodes) OVER () AS BIGINT) AS ball_n FROM h) " +
+        "SELECT CAST(hop AS INTEGER) AS hop, n_nodes, " +
+        "ROUND(CAST(cum_n AS DOUBLE) / CAST(ball_n AS DOUBLE), 4) AS cum_share, " +
+        "CAST(MIN(CASE WHEN cum_n * 10 >= ball_n * 9 THEN hop END) " +
+        "OVER () AS INTEGER) AS eff_diameter " +
+        "FROM w ORDER BY hop"),
     "x140_bfs_reach" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +

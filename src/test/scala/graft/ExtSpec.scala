@@ -3980,4 +3980,44 @@ class ExtSpec extends SparkSpec {
       .select(countDistinct(col("user_id"))).collect()(0).getLong(0)
     assert(na + nb == nUsers)
   }
+
+  test("x172 powerlaw: a planted tail recomputes the MLE exactly from the grid terms") {
+    import spark.implicits._
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deg = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 2L),
+      (14L, 4L), (15L, 8L)).toDF("n", "deg")
+    val r = graft.ext.Graph.powerlawReport(deg).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 2L, 4L, 8L)))
+    val terms = Seq(2L, 2L, 4L, 8L).map(d =>
+      math.round(math.log(d * 2.0 / 3.0) * 1000000.0))
+    assert(r.getDouble(4) == r4(1.0 + 4.0 * 1000000.0 / terms.sum),
+      s"alpha ${r.getDouble(4)}")
+    // lake surface: alpha finite and > 1 (the MLE's lower bound)
+    val lake = graft.ext.Graph.queries("x172_powerlaw_alpha")(spark, SfDir)
+      .collect()(0)
+    assert(lake.getDouble(4) > 1.0 && !lake.getDouble(4).isNaN)
+  }
+
+  test("x173 bfs diameter: a path graph walks one hop per round, a star collapses to diameter 1") {
+    import spark.implicits._
+    // path 0-1-2-3-4-5: seed = node 1 (max degree 2, id tiebreak)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = graft.ext.Graph.bfsDistHist(path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0, 1L), (1, 2L), (2, 1L), (3, 1L), (4, 1L)), got.toSeq.toString)
+    assert(got.forall(_._4 == 4), "path eff diameter must be 4")
+    assert(got.last._3 == 1.0)
+    val star = (1L to 9L).map(l => (0L, l)).toDF("u", "v")
+    val s = graft.ext.Graph.bfsDistHist(star).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    assert(s.toSeq == Seq((0, 1L, 1), (1, 9L, 1)), s.toSeq.toString)
+    // lake surface: shares monotone to 1.0, one eff value
+    val lake = graft.ext.Graph.queries("x173_bfs_diameter")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getInt(3)))
+    assert(lake.nonEmpty && lake.last._2 == 1.0)
+    assert(lake.map(_._3).distinct.length == 1)
+  }
 }
