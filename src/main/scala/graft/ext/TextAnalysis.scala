@@ -409,6 +409,43 @@ object TextAnalysis {
         .agg(count(lit(1)).as("bf"))
     }
 
+  /** x174's MI stage over a (doc_id, term) presence frame and a
+    * (doc_id, source) label frame — exposed so tests can plant
+    * perfectly-informative and uninformative tokens. See the
+    * registry entry for the absent-cell spine and grid discipline.
+    */
+  def tokenMiReport(tf: DataFrame, dsrc: DataFrame): DataFrame = {
+    val nSrc = dsrc.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val nAll = broadcast(dsrc.agg(count(lit(1)).as("n_docs")))
+    val nts = tf.join(dsrc, "doc_id")
+      .groupBy(col("term"), col("source"))
+      .agg(count(lit(1)).as("n_ts"))
+    val nt = nts.groupBy(col("term")).agg(sum(col("n_ts")).as("n_t"))
+    val cells = nt.select(col("term"), col("n_t"))
+      .crossJoin(broadcast(nSrc))
+      .join(nts, Seq("term", "source"), "left")
+      .withColumn("n1", coalesce(col("n_ts"), lit(0L)))
+      .withColumn("n0", col("n_s") - col("n1"))
+      .crossJoin(nAll)
+    val t1 = when(col("n1") > 0L,
+      col("n1") * round(log((col("n1") * col("n_docs")).cast("double") /
+        (col("n_t") * col("n_s")).cast("double")) * lit(1000000.0), 0)
+        .cast("long")).otherwise(0L)
+    val t0 = when(col("n0") > 0L && col("n_docs") > col("n_t"),
+      col("n0") * round(log((col("n0") * col("n_docs")).cast("double") /
+        ((col("n_docs") - col("n_t")) * col("n_s")).cast("double")) *
+        lit(1000000.0), 0).cast("long")).otherwise(0L)
+    cells
+      .withColumn("_c_fp", t1 + t0)
+      .groupBy(col("term"))
+      .agg(min(col("n_t")).as("n_docs_with"),
+        sum(col("_c_fp")).as("_mi_fp"),
+        min(col("n_docs")).as("_n"))
+      .select(col("term"), col("n_docs_with"),
+        round(col("_mi_fp").cast("double") /
+          (col("_n").cast("double") * lit(1000000.0)), 6).as("mi"))
+  }
+
   /** x164's edge stage: the symmetric content-word co-occurrence
     * graph off a (w1, w2) bigram frame — length ≥ 5 on both ends
     * (the deterministic content-word heuristic; stopword-ish short
@@ -921,6 +958,35 @@ object TextAnalysis {
     // Order-2 LM quality score (see bigramLogProb scaladoc).
     "x46_bigram_logprob" -> ((spark, sfDir) =>
       bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
+
+    // MUTUAL-INFORMATION TOKEN RANKING — the supervised feature-
+    // selection staple (sklearn's mutual_info/chi2 ranking; x163
+    // scores ONE pair of columns, this ranks every TOKEN by how much
+    // its presence tells you about the source label — the tokens a
+    // source classifier or a domain-tagging heuristic should key
+    // on): I(token; source) over the 2×|sources| presence table,
+    // INCLUDING the absent cells (n_ts = 0 still contributes
+    // (n_s/N)·ln(N/(N−n_t)) — dropping them understates MI, x163's
+    // zero-cell lesson), via a terms×sources spine left-joined to
+    // the presence counts. Every ln takes one exact BIGINT rational
+    // onto the 10⁻⁶ grid, the per-token MI numerator is the exact
+    // integer Σ count·term_fp, and ONE division lands the readout —
+    // x158's no-float-accumulation discipline. Doc-grain work is the
+    // shared tfidf_tf artifact + one docs join; the spine is
+    // vocabulary×|sources|-sized (model-shaped, not corpus-shaped).
+    // Top-20 by (mi desc, token).
+    "x174_token_mi" -> ((spark, sfDir) => {
+      val tf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }
+      tokenMiReport(tf.select(col("doc_id"), col("term")),
+        docs(spark, sfDir).select(col("doc_id"), col("source")))
+        .orderBy(desc("mi"), col("term"))
+        .limit(20)
+    }),
 
     // TEXTRANK KEYWORDS — Mihalcea & Tarau's unsupervised keyword
     // extraction: PageRank over the content-word co-occurrence graph
@@ -1839,6 +1905,34 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same presence counts off the distinct (doc, term) frame, same
+    // full spine with absent-cell terms, same per-cell ln rationals
+    // on the 10^-6 grid and the count-weighted integer MI numerator
+    "x174_token_mi" ->
+      ("WITH tf AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "ds AS (SELECT doc_id, source FROM documents), " +
+        "nsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM ds GROUP BY 1), " +
+        "nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ds), " +
+        "nts AS (SELECT term, source, CAST(COUNT(*) AS BIGINT) AS n_ts " +
+        "FROM tf JOIN ds USING (doc_id) GROUP BY 1, 2), " +
+        "nt AS (SELECT term, CAST(SUM(n_ts) AS BIGINT) AS n_t FROM nts GROUP BY 1), " +
+        "sp AS (SELECT nt.term, nt.n_t, nsrc.source, nsrc.n_s FROM nt, nsrc), " +
+        "cells AS (SELECT sp.term, sp.n_t, sp.n_s, " +
+        "COALESCE(nts.n_ts, 0) AS n1, sp.n_s - COALESCE(nts.n_ts, 0) AS n0, " +
+        "n_docs FROM sp LEFT JOIN nts " +
+        "ON sp.term = nts.term AND sp.source = nts.source, nall), " +
+        "f AS (SELECT term, n_t, n_docs, " +
+        "(CASE WHEN n1 > 0 THEN n1 * CAST(ROUND(LN(CAST(n1 * n_docs AS DOUBLE) / " +
+        "CAST(n_t * n_s AS DOUBLE)) * 1000000.0) AS BIGINT) ELSE 0 END) + " +
+        "(CASE WHEN n0 > 0 AND n_docs > n_t THEN " +
+        "n0 * CAST(ROUND(LN(CAST(n0 * n_docs AS DOUBLE) / " +
+        "CAST((n_docs - n_t) * n_s AS DOUBLE)) * 1000000.0) AS BIGINT) " +
+        "ELSE 0 END) AS c_fp FROM cells) " +
+        "SELECT term, CAST(MIN(n_t) AS BIGINT) AS n_docs_with, " +
+        "ROUND(CAST(SUM(c_fp) AS DOUBLE) / " +
+        "(CAST(MIN(n_docs) AS DOUBLE) * 1000000.0), 6) AS mi " +
+        "FROM f GROUP BY term ORDER BY mi DESC, term LIMIT 20"),
     // x46's adjacency-pair CTE + the length/self-loop filter and
     // symmetric dedupe, then x69's unrolled integer recurrence
     // verbatim (// ≡ DIV on non-negative bigints; INNER joins are

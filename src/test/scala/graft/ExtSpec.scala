@@ -4020,4 +4020,28 @@ class ExtSpec extends SparkSpec {
     assert(lake.nonEmpty && lake.last._2 == 1.0)
     assert(lake.map(_._3).distinct.length == 1)
   }
+
+  test("x174 token mi: a source-exclusive token scores exactly ln 2, a uniform token scores 0, absent cells count") {
+    import spark.implicits._
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tf = Seq((1L, "alpha"), (1L, "common"), (2L, "alpha"),
+      (2L, "common"), (3L, "beta"), (3L, "common"),
+      (4L, "beta"), (4L, "common")).toDF("doc_id", "term")
+    val dsrc = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("doc_id", "source")
+    val got = TextAnalysis.tokenMiReport(tf, dsrc).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // binary perfect association = ln 2 nats; the absent B-cell's
+    // contribution is half of it — dropping it would halve the score
+    val ln2 = r6(math.round(math.log(2.0) * 1000000.0) / 1000000.0)
+    assert(got("alpha") == ((2L, ln2)), got.toString)
+    assert(got("beta") == ((2L, ln2)), got.toString)
+    assert(got("common") == ((4L, 0.0)), got.toString)
+    // lake surface: MI is non-negative and the slice is ranked
+    val lake = TextAnalysis.queries("x174_token_mi")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(lake.nonEmpty && lake.length <= 20)
+    assert(lake.forall(_._2 >= 0.0))
+    assert(lake.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
 }
