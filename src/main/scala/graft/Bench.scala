@@ -249,7 +249,15 @@ object Bench {
     // shape), the days²-bounded pairwise-slope median (x160), and
     // the N×K broadcast silhouette scan (x162)
     "x164_textrank", "x166_grid_cluster", "x160_theil_sen",
-    "x162_silhouette")
+    "x162_silhouette",
+    // round-12 session-9 second wave (64 → 70): the vocabulary-spine
+    // MI ranking (x174 — model-shaped fan-out over the tf artifact),
+    // the user-shuffle Shapley window pass (c87), the stratum-frame
+    // causal pair (c86 — quartile cuts + plurality window), the
+    // distinct-score gain rollup (x169), the degree-MLE readout off
+    // the persisted artifact (x172), and the 4-hop BFS ball (x173)
+    "x174_token_mi", "c87_shapley_attribution", "c86_cem_matching",
+    "x169_gain_curve", "x172_powerlaw_alpha", "x173_bfs_diameter")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
