@@ -1883,10 +1883,18 @@ object TextAnalysis {
     * See the registry entry for the tie-block rank-sum identity that
     * keeps the cumulative window on the value-frequency frame.
     */
-  def giniReport(d: DataFrame): DataFrame = {
+  def giniReport(d: DataFrame): DataFrame =
+    giniFromFreq(d.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("f")))
+
+  /** x159's report stage over a pre-aggregated (source, v, f)
+    * value-frequency frame — the ADDITIVE sufficient statistic that
+    * lets the s27 streaming monitor maintain a rank statistic
+    * incrementally (row-grain Gini is unmaintainable; the compressed
+    * frequency table merges by + per microbatch).
+    */
+  def giniFromFreq(freq: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = d.groupBy(col("source"), col("v"))
-      .agg(count(lit(1)).as("f"))
     val cum = Window.partitionBy(col("source")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     freq.withColumn("c_incl", sum(col("f")).over(cum))

@@ -470,6 +470,20 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("dow"))),
 
+    // CONTROL CHART — the point-outlier monitor beside x138 (CUSUM
+    // accumulates small persistent shifts; the Shewhart chart flags
+    // the single anomalous day CUSUM deliberately smooths over —
+    // together they're the standard SPC pair): per type/day, the
+    // 3σ verdict by exact integer compare and a z readout (see
+    // controlChartReport). Corpus-scale work = the shared events
+    // aggregate.
+    "x175_control_chart" -> ((spark, sfDir) =>
+      controlChartReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))
+        .orderBy(col("event_type"), col("day"))),
+
     // FORECAST BACKTEST — the accountability step behind x165 (a
     // smoother you never score is a chart, not a forecaster):
     // rolling-origin one-step-ahead evaluation of the EWMA against
@@ -657,6 +671,30 @@ object Views {
           round(col("_err_num").cast("double") /
             (lit(D) * col("_naive_num")).cast("double"), 4)).as("mase"),
         (col("_err_num") < lit(D) * col("_naive_num")).as("model_wins"))
+  }
+
+  /** x175's Shewhart individuals chart over the (event_type, day, x)
+    * frame: day t is an outlier iff |x − μ| > 3σ, decided by the
+    * cross-multiplied exact integer compare (x·n − T)² > 9·(n·Σx² −
+    * T²) — no float mean or variance ever materializes (x138's
+    * discipline applied to the POINT-outlier question CUSUM's
+    * accumulation deliberately smooths over). z = (x·n − T)/√(n·Σx²
+    * − T²) for the readout, one division+sqrt per row at 4 dp,
+    * zero-variance guard to NULL; windows over the bounded per-type
+    * day frame.
+    */
+  def controlChartReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("t", sum(col("x")).over(whole))
+      .withColumn("sxx", sum(col("x") * col("x")).over(whole))
+      .withColumn("_d", col("x") * col("n") - col("t"))
+      .withColumn("_v", col("n") * col("sxx") - col("t") * col("t"))
+      .select(col("event_type"), col("day"), col("x"),
+        when(col("_v") > 0L, round(col("_d").cast("double") /
+          sqrt(col("_v").cast("double")), 4)).as("z"),
+        (col("_d") * col("_d") > lit(9L) * col("_v")).as("outlier"))
   }
 
   /** x160's Theil–Sen stage over a (event_type, day, x) daily-count
@@ -1333,6 +1371,24 @@ object Views {
         "ROUND(CAST(x_sum * n_days AS DOUBLE) / " +
         "CAST(n_dow * total AS DOUBLE), 4) AS idx " +
         "FROM w ORDER BY event_type, dow"),
+    // same cross-multiplied variance identity; the flag is the same
+    // exact integer compare, CASTs pin HUGEINT widenings
+    "x175_control_chart" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, CAST(x AS BIGINT) AS x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS t, " +
+        "CAST(SUM(x * x) OVER (PARTITION BY event_type) AS BIGINT) AS sxx " +
+        "FROM d), " +
+        "f AS (SELECT event_type, day, x, x * n - t AS dd, " +
+        "n * sxx - t * t AS v FROM w) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS day, x, " +
+        "CASE WHEN v > 0 THEN ROUND(CAST(dd AS DOUBLE) / " +
+        "SQRT(CAST(v AS DOUBLE)), 4) END AS z, " +
+        "dd * dd > 9 * v AS outlier " +
+        "FROM f ORDER BY event_type, day"),
     // same shifted-lag weights, same full-window filter (a NULL lag
     // nulls the whole numerator on both engines), same exact-integer
     // MAE numerators and the D-scaled MASE division

@@ -1162,6 +1162,65 @@ object Streams {
       .orderBy(col("source"))
   }
 
+  /** s27: x159's Gini length-concentration report with the
+    * (source, v) VALUE-FREQUENCY table maintained incrementally —
+    * IVM for a RANK statistic: Gini needs the full sorted
+    * distribution, which is unmaintainable at row grain, but the
+    * value-frequency compression IS the sufficient statistic and
+    * merges additively per microbatch (s12's case at value grain);
+    * readout through the shared
+    * [[graft.ext.TextAnalysis.giniFromFreq]] stage, so streamed ≡
+    * batch x159 by construction. State is length-support-sized at
+    * any corpus size.
+    */
+  def foreachBatchGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s27_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_len_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_len_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/freq_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .groupBy(col("source"), col("n_chars").as("v"))
+            .agg(count(lit(1)).as("f"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("source", "v"), "full_outer")
+                .select(col("source"), col("v"),
+                  (coalesce(p("f"), lit(0L)) +
+                    coalesce(delta("f"), lit(0L))).as("f"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.TextAnalysis.giniFromFreq(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s27: stream produced no batches"))))
+      .orderBy(col("source"))
+  }
+
   /** s16: streaming maintenance of a JOIN view — the IVM case s12
     * (additive agg) and s13 (set semantics) don't cover: BOTH join
     * sides grow over time. The classic degree-count factorization
@@ -1459,6 +1518,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchEwma(spark, sfDir)),
     "s26_stream_mann_kendall" ->
       ((spark, sfDir) => foreachBatchMannKendall(spark, sfDir)),
+    "s27_stream_gini" ->
+      ((spark, sfDir) => foreachBatchGini(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1573,6 +1634,11 @@ object Streams {
     // maintained day table ≡ batch x167
     "s26_stream_mann_kendall" ->
       graft.pipeline.Views.oracles("x167_mann_kendall"),
+    // the IVM contract verbatim: the Gini report off the maintained
+    // value-frequency table ≡ batch x159 — a RANK statistic served
+    // incrementally through its additive sufficient statistic
+    "s27_stream_gini" ->
+      graft.ext.TextAnalysis.oracles("x159_gini_length"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

@@ -4044,4 +4044,32 @@ class ExtSpec extends SparkSpec {
     assert(lake.forall(_._2 >= 0.0))
     assert(lake.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("x175 control chart: a planted spike flags by the exact 3-sigma compare, constant series guards to NULL") {
+    import spark.implicits._
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = (
+      ((0L to 9L).map(d => ("o", d, 10L)) :+ (("o", 10L, 120L))) ++
+      (0L to 9L).map(d => ("c", d, 5L))).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.controlChartReport(daily)
+      .orderBy(col("event_type"), col("day")).collect()
+    val o = got.filter(_.getString(0) == "o")
+    // n=11, T=220, sxx=15400 -> v=121000; spike d=1100 -> d^2 > 9v
+    assert(o.count(_.getBoolean(4)) == 1)
+    val spike = o.find(_.getLong(1) == 10L).get
+    assert(spike.getBoolean(4))
+    assert(spike.getDouble(3) == r4(1100.0 / math.sqrt(121000.0)))
+    val c = got.filter(_.getString(0) == "c")
+    assert(c.forall(r => r.isNullAt(3) && !r.getBoolean(4)),
+      "zero-variance series must guard")
+    // lake: the z readout and the exact flag agree at the 3.0 bar
+    val lake = graft.pipeline.Views.queries("x175_control_chart")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty)
+    lake.filter(r => !r.isNullAt(3)).foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 3.0) ||
+        math.abs(math.abs(r.getDouble(3)) - 3.0) < 1e-3,
+        s"${r.getString(0)} day ${r.get(1)}: flag vs z ${r.getDouble(3)}")
+    }
+  }
 }

@@ -415,6 +415,21 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed MK diverges from batch x167:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming Gini monitor equals batch x159 across a multi-batch run (s27)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = graft.streaming.Streams.foreachBatchGini(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s27_$tag")
+      .listFiles().count(_.getName.startsWith("freq_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x159_gini_length")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed Gini diverges from batch x159:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
