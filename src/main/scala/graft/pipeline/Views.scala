@@ -470,6 +470,19 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("dow"))),
 
+    // HOLM STEP-DOWN DRIFT SCREEN — the multiple-testing correction
+    // the drift family needs once it tests EVERY type at once (k
+    // simultaneous α=0.05 screens false-alarm far above 0.05; Holm
+    // controls the family-wise rate with no independence assumption
+    // and dominates plain Bonferroni): x161's per-type χ²₁ stats
+    // ordered desc, tested against the α/(k−i+1) quantile ladder,
+    // with the step-down stop as a prefix-min window (see
+    // holmReport). Same additive ksHalfCounts frame ⇒ the s20-class
+    // maintenance story carries over.
+    "x176_holm_drift" -> ((spark, sfDir) =>
+      holmReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
+        .orderBy(col("rank"))),
+
     // CONTROL CHART — the point-outlier monitor beside x138 (CUSUM
     // accumulates small persistent shifts; the Shewhart chart flags
     // the single anomalous day CUSUM deliberately smooths over —
@@ -671,6 +684,56 @@ object Views {
           round(col("_err_num").cast("double") /
             (lit(D) * col("_naive_num")).cast("double"), 4)).as("mase"),
         (col("_err_num") < lit(D) * col("_naive_num")).as("model_wins"))
+  }
+
+  /** x176's Holm step-down screen over a (event_type, half, c) count
+    * frame: each type's rate-shift statistic is x161's per-type
+    * D²/(n_t·N_ref·N_cur) — a χ²₁ stat under H₀ — and Holm-
+    * Bonferroni turns k simultaneous screens into a family-wise-
+    * error-controlled procedure: order stats desc, test stat_i
+    * against the χ²₁ quantile at α/(k−i+1), and reject only while
+    * every EARLIER test rejected (the step-down stop, expressed as a
+    * prefix-min window over the k-row frame — no sequential fold).
+    * The quantile ladder is a fixed 12-entry literal (χ²₁ at
+    * 0.05/m); stats ride x161's 10⁻⁶ integer grid.
+    */
+  def holmReport(cnt: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(lit(1))
+    val order = Window.partitionBy(lit(1))
+      .orderBy(desc("_chi_fp"), col("event_type"))
+    val prefix = Window.partitionBy(lit(1))
+      .orderBy(desc("_chi_fp"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = cnt.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L))
+          .as("o_ref"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("o_cur"))
+      .withColumn("n_ref", sum(col("o_ref")).over(whole))
+      .withColumn("n_cur", sum(col("o_cur")).over(whole))
+      .withColumn("k", count(lit(1)).over(whole))
+      .withColumn("_d",
+        (col("o_ref") * col("n_cur") - col("o_cur") * col("n_ref"))
+          .cast("double"))
+      .withColumn("_chi_fp",
+        round(col("_d") * col("_d") /
+          ((col("o_ref") + col("o_cur")).cast("double") *
+            col("n_ref").cast("double") * col("n_cur").cast("double")) *
+          lit(1000000.0), 0).cast("long"))
+    t.withColumn("rank", row_number().over(order))
+      .withColumn("m", col("k") - col("rank") + 1)
+      .withColumn("crit", expr("CASE m WHEN 1 THEN 3.841 WHEN 2 THEN 5.024 " +
+        "WHEN 3 THEN 5.731 WHEN 4 THEN 6.239 WHEN 5 THEN 6.635 " +
+        "WHEN 6 THEN 6.96 WHEN 7 THEN 7.237 WHEN 8 THEN 7.477 " +
+        "WHEN 9 THEN 7.689 WHEN 10 THEN 7.879 WHEN 11 THEN 8.048 " +
+        "WHEN 12 THEN 8.2 ELSE CAST(NULL AS DOUBLE) END"))
+      .withColumn("_pass", when(
+        col("_chi_fp").cast("double") > col("crit") * lit(1000000.0), 1L)
+        .otherwise(0L))
+      .withColumn("rejected", min(col("_pass")).over(prefix) === 1L)
+      .select(col("event_type"), col("rank"),
+        round(col("_chi_fp").cast("double") / lit(1000000.0), 4)
+          .as("chi1"),
+        col("crit"), col("rejected"))
   }
 
   /** x175's Shewhart individuals chart over the (event_type, day, x)
@@ -1371,6 +1434,42 @@ object Views {
         "ROUND(CAST(x_sum * n_days AS DOUBLE) / " +
         "CAST(n_dow * total AS DOUBLE), 4) AS idx " +
         "FROM w ORDER BY event_type, dow"),
+    // x161's per-type chi CTEs, the same quantile ladder and the
+    // prefix-min step-down; ties ordered by (chi desc, type) on both
+    // engines
+    "x176_holm_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref " +
+        "FROM events), " +
+        "t AS (SELECT event_type, CAST(SUM(is_ref) AS BIGINT) AS o_ref, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS o_cur FROM ev GROUP BY 1), " +
+        "w AS (SELECT event_type, o_ref, o_cur, " +
+        "CAST(SUM(o_ref) OVER () AS BIGINT) AS n_ref, " +
+        "CAST(SUM(o_cur) OVER () AS BIGINT) AS n_cur, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS k FROM t), " +
+        "f AS (SELECT event_type, k, " +
+        "CAST(ROUND(CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) * " +
+        "CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) / " +
+        "(CAST(o_ref + o_cur AS DOUBLE) * CAST(n_ref AS DOUBLE) * " +
+        "CAST(n_cur AS DOUBLE)) * 1000000.0) AS BIGINT) AS chi_fp FROM w), " +
+        "r AS (SELECT event_type, k, chi_fp, " +
+        "ROW_NUMBER() OVER (ORDER BY chi_fp DESC, event_type) AS rank FROM f), " +
+        "m AS (SELECT event_type, chi_fp, rank, k - rank + 1 AS m FROM r), " +
+        "c AS (SELECT event_type, chi_fp, rank, " +
+        "CASE m WHEN 1 THEN 3.841 WHEN 2 THEN 5.024 WHEN 3 THEN 5.731 " +
+        "WHEN 4 THEN 6.239 WHEN 5 THEN 6.635 WHEN 6 THEN 6.96 " +
+        "WHEN 7 THEN 7.237 WHEN 8 THEN 7.477 WHEN 9 THEN 7.689 " +
+        "WHEN 10 THEN 7.879 WHEN 11 THEN 8.048 WHEN 12 THEN 8.2 " +
+        "ELSE CAST(NULL AS DOUBLE) END AS crit FROM m), " +
+        "p AS (SELECT event_type, chi_fp, rank, crit, " +
+        "CASE WHEN CAST(chi_fp AS DOUBLE) > crit * 1000000.0 " +
+        "THEN 1 ELSE 0 END AS pass FROM c), " +
+        "q AS (SELECT event_type, chi_fp, rank, crit, " +
+        "MIN(pass) OVER (ORDER BY chi_fp DESC, event_type " +
+        "ROWS UNBOUNDED PRECEDING) AS allpass FROM p) " +
+        "SELECT event_type, CAST(rank AS INTEGER) AS rank, " +
+        "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi1, " +
+        "crit, allpass = 1 AS rejected FROM q ORDER BY rank"),
     // same cross-multiplied variance identity; the flag is the same
     // exact integer compare, CASTs pin HUGEINT widenings
     "x175_control_chart" ->

@@ -1112,6 +1112,16 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s26"))
       .orderBy(col("event_type"))
 
+  /** s28: x175's Shewhart chart off the same maintained day frame —
+    * the fourth readout served by one maintained artifact; every
+    * per-day 3σ verdict re-derives from the bounded day table as
+    * counts accrue.
+    */
+  def foreachBatchControlChart(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.controlChartReport(
+        maintainedDayCounts(spark, sfDir, "s28"))
+      .orderBy(col("event_type"), col("day"))
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -1520,6 +1530,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchMannKendall(spark, sfDir)),
     "s27_stream_gini" ->
       ((spark, sfDir) => foreachBatchGini(spark, sfDir)),
+    "s28_stream_control_chart" ->
+      ((spark, sfDir) => foreachBatchControlChart(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1639,6 +1651,10 @@ object Streams {
     // incrementally through its additive sufficient statistic
     "s27_stream_gini" ->
       graft.ext.TextAnalysis.oracles("x159_gini_length"),
+    // the IVM contract verbatim: the Shewhart chart off the same
+    // maintained day table ≡ batch x175
+    "s28_stream_control_chart" ->
+      graft.pipeline.Views.oracles("x175_control_chart"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

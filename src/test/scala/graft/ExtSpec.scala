@@ -4072,4 +4072,45 @@ class ExtSpec extends SparkSpec {
         s"${r.getString(0)} day ${r.get(1)}: flag vs z ${r.getDouble(3)}")
     }
   }
+
+  test("x176 holm: planted shifts recompute through the step-down exactly; the prefix stop holds on the lake frame") {
+    import spark.implicits._
+    // A hugely shifted, C moderately, B flat; halves balance to 1000
+    val cnt = Seq(
+      ("A", "ref", 300L), ("A", "cur", 100L),
+      ("B", "ref", 350L), ("B", "cur", 345L),
+      ("C", "ref", 350L), ("C", "cur", 555L)).toDF("event_type", "half", "c")
+    val got = graft.pipeline.Views.holmReport(cnt).collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // in-process recompute of the whole chain
+    val raw = Map("A" -> (300L, 100L), "B" -> (350L, 345L),
+      "C" -> (350L, 555L))
+    val crits = Map(1 -> 3.841, 2 -> 5.024, 3 -> 5.731)
+    val chi = raw.map { case (t, (or, oc)) =>
+      val d = (or * 1000L - oc * 1000L).toDouble
+      t -> math.round(d * d / ((or + oc).toDouble * 1000.0 * 1000.0) *
+        1000000.0)
+    }
+    val ordered = chi.toSeq.sortBy { case (t, c) => (-c, t) }
+    var alive = true
+    ordered.zipWithIndex.foreach { case ((t, cFp), i) =>
+      val m = 3 - i
+      val pass = cFp.toDouble > crits(m) * 1000000.0
+      alive = alive && pass
+      val (rank, chi1, crit, rejected) = got(t)
+      assert(rank == i + 1 && crit == crits(m) && rejected == alive,
+        s"$t: got ${got(t)}, expected pass=$pass alive=$alive")
+      assert(chi1 == BigDecimal(cFp / 1000000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got("A")._4 && got("C")._4 && !got("B")._4)
+    // lake frame: rejections are a PREFIX of the rank order
+    val lake = graft.pipeline.Views.queries("x176_holm_drift")(spark, SfDir)
+      .collect().map(r => (r.getInt(1), r.getBoolean(4))).sortBy(_._1)
+    assert(lake.nonEmpty)
+    val flags = lake.map(_._2)
+    assert(!flags.sliding(2).exists(p => !p.head && p.last),
+      s"step-down violated: $flags")
+  }
 }

@@ -430,6 +430,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Gini diverges from batch x159:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming control chart equals batch x175 across a multi-batch run (s28)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))
+    val streamed = graft.streaming.Streams
+      .foreachBatchControlChart(spark, SfDir).collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s28_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x175_control_chart")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed chart diverges from batch x175:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
