@@ -646,6 +646,53 @@ object Similarity {
       isotropyReport(q)
     }),
 
+    // EMBEDDING DRIFT — the representation-space member of the drift
+    // family (x98/x133 watch scalar values; this asks whether a NEW
+    // corpus half occupies the same region of embedding space — the
+    // "did the new crawl batch shift my feature distribution" ops
+    // check a retrain decision hangs on): halves by vec_id parity
+    // (deterministic), per-(dim, half) component sums on x112's
+    // shared 0..255 integer grid (exact BIGINT, d-row shuffle after
+    // map-side combine), per-dim mean shift as the exact rational
+    // (s_a·n_b − s_b·n_a)/(n_a·n_b) onto a 10⁻⁴ grid, and the
+    // overall L2 shift = √(Σ shift_fp²)/10⁴ — the squared grid
+    // integers sum exactly, ONE sqrt+division at readout. Top-10
+    // dims by |shift|. x147's linear-pass scale shape: nothing
+    // pairwise, nothing corpus-sized after the one scan.
+    "x177_embedding_drift" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val dims = e.crossJoin(bounds)
+        .select((col("vec_id") % 2 === 0).as("h"),
+          posexplode(transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("long"))).as(Seq("dim", "q")))
+        .groupBy(col("dim"))
+        .agg(sum(when(col("h"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("h"), col("q")).otherwise(0L)).as("s_a"),
+          sum(when(!col("h"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("h"), col("q")).otherwise(0L)).as("s_b"))
+      val whole = Window.partitionBy(lit(1))
+      dims
+        .withColumn("shift_fp",
+          round((col("s_a") * col("n_b") - col("s_b") * col("n_a"))
+            .cast("double") /
+            (col("n_a") * col("n_b")).cast("double") * lit(10000.0), 0)
+            .cast("long"))
+        .withColumn("_l2fp", sum(col("shift_fp") * col("shift_fp"))
+          .over(whole))
+        .select(col("dim"), col("n_a"), col("n_b"),
+          round(col("shift_fp").cast("double") / lit(10000.0), 4)
+            .as("mean_shift"),
+          round(sqrt(col("_l2fp").cast("double")) / lit(10000.0), 4)
+            .as("l2_shift"))
+        .orderBy(abs(col("mean_shift")).desc, col("dim"))
+        .limit(10)
+    }),
+
     // GRID-DENSITY CLUSTERING — the DBSCAN idea made distributed-
     // native (x64's k-means needs k up front and splits elongated
     // blobs; density clustering finds the blob count itself):
@@ -1473,6 +1520,33 @@ object Similarity {
     // x112's shared quant grid; the sum-vector identity evaluated as
     // two plain aggregates — the oracle never builds the pair join
     // either, so both engines prove the algebra, not a sample of it
+    // same parity halves, x112's grid, the exact cross-multiplied
+    // mean-shift rational on the 10^-4 grid and one sqrt at readout
+    "x177_embedding_drift" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "cells AS (SELECT vec_id % 2 = 0 AS h, CAST(p AS INTEGER) AS dim, " +
+        "qv[p + 1] AS q FROM (SELECT vec_id, qv, " +
+        "unnest(range(0, len(qv))) AS p FROM q) t), " +
+        "d AS (SELECT dim, " +
+        "CAST(SUM(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(SUM(CASE WHEN h THEN q ELSE 0 END) AS BIGINT) AS s_a, " +
+        "CAST(SUM(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS n_b, " +
+        "CAST(SUM(CASE WHEN h THEN 0 ELSE q END) AS BIGINT) AS s_b " +
+        "FROM cells GROUP BY 1), " +
+        "f AS (SELECT dim, n_a, n_b, " +
+        "CAST(ROUND(CAST(s_a * n_b - s_b * n_a AS DOUBLE) / " +
+        "CAST(n_a * n_b AS DOUBLE) * 10000.0) AS BIGINT) AS shift_fp FROM d), " +
+        "w AS (SELECT dim, n_a, n_b, shift_fp, " +
+        "CAST(SUM(shift_fp * shift_fp) OVER () AS BIGINT) AS l2fp FROM f) " +
+        "SELECT dim, n_a, n_b, " +
+        "ROUND(CAST(shift_fp AS DOUBLE) / 10000.0, 4) AS mean_shift, " +
+        "ROUND(SQRT(CAST(l2fp AS DOUBLE)) / 10000.0, 4) AS l2_shift " +
+        "FROM w ORDER BY ABS(ROUND(CAST(shift_fp AS DOUBLE) / 10000.0, 4)) " +
+        "DESC, dim LIMIT 10"),
     // same global grid, same 16x16 quantization and minPts rule,
     // exploded 9-key neighbor probes as a VALUES offset table, and
     // the identical unrolled min-label rounds (integer minima are

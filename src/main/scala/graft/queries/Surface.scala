@@ -1039,6 +1039,41 @@ object Surface {
           expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk")))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // COHORT LTV CURVES — the revenue read of c74's retention
+    // triangle (retention counts who CAME BACK; LTV accumulates what
+    // each signup cohort has SPENT by week offset — the payback-
+    // period readout an acquisition budget hangs on): c74's week
+    // grid and min-week cohorts verbatim, purchase value in exact
+    // FLOOR-cents (c79's money convention), per-(cohort, offset)
+    // sums cumulated by a window over the weeks²-bounded cohort
+    // frame, and LTV/user = cum_cents/(size·100) — one division at
+    // 4 dp. Corpus-scale work = two events aggregates.
+    "c90_cohort_ltv" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01') DIV 7").as("wk"),
+          when(col("event_type") === "purchase",
+            floor(col("value") * 100).cast("long")).otherwise(0L)
+            .as("cents"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+      val sizes = cohort.groupBy(col("c0"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val cum = Window.partitionBy(col("c0")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(cohort, "user_id")
+        .groupBy(col("c0"), (col("wk") - col("c0")).as("week_offset"))
+        .agg(sum(col("cents")).as("wk_cents"))
+        .withColumn("cum_cents", sum(col("wk_cents")).over(cum))
+        .join(broadcast(sizes), "c0")
+        .select(col("c0").as("cohort_week"), col("week_offset"),
+          col("cohort_size"), col("wk_cents"), col("cum_cents"),
+          round(col("cum_cents").cast("double") /
+            (col("cohort_size") * lit(100L)).cast("double"), 4)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // POWER-USER CONCENTRATION — the Pareto question ("what share of
     // traffic do the heaviest users carry"): top-15 users by event
     // count with exact per-user and cumulative shares. Scale shape:
@@ -2164,6 +2199,27 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // c74's week/cohort CTEs with floor-cents value, the cumulative
+    // window over the bounded cohort frame and one 4 dp division
+    "c90_cohort_ltv" ->
+      ("WITH ev AS (SELECT user_id, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS wk, " +
+        "CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END AS cents FROM events), " +
+        "c AS (SELECT user_id, MIN(wk) AS c0 FROM ev GROUP BY 1), " +
+        "s AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS cohort_size " +
+        "FROM c GROUP BY 1), " +
+        "g AS (SELECT c.c0, ev.wk - c.c0 AS week_offset, " +
+        "CAST(SUM(cents) AS BIGINT) AS wk_cents " +
+        "FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY 1, 2), " +
+        "w AS (SELECT c0, week_offset, wk_cents, " +
+        "CAST(SUM(wk_cents) OVER (PARTITION BY c0 ORDER BY week_offset " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents FROM g) " +
+        "SELECT w.c0 AS cohort_week, week_offset, cohort_size, " +
+        "wk_cents, cum_cents, " +
+        "ROUND(CAST(cum_cents AS DOUBLE) / " +
+        "CAST(cohort_size * 100 AS DOUBLE), 4) AS ltv_per_user " +
+        "FROM w JOIN s ON w.c0 = s.c0 ORDER BY cohort_week, week_offset"),
     // c80's arm/conversion counts, the fixed 2.8016 constant and the
     // identical division→sqrt→multiply chain off the unrounded p
     "c89_power_mde" ->

@@ -4113,4 +4113,58 @@ class ExtSpec extends SparkSpec {
     assert(!flags.sliding(2).exists(p => !p.head && p.last),
       s"step-down violated: $flags")
   }
+
+  test("x177 embedding drift: the per-dim shifts and l2 recompute exactly from the brute-force grid sums") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val all = vecs.flatMap(_._2.map(_.toDouble))
+    val (mn, mx) = (all.min, all.max)
+    def q(v: Float) = math.round((v.toDouble - mn) / (mx - mn) * 255)
+    val dims = vecs.head._2.indices
+    val shifts = dims.map { d =>
+      val a = vecs.filter(_._1 % 2 == 0).map(v => q(v._2(d)))
+      val b = vecs.filter(_._1 % 2 != 0).map(v => q(v._2(d)))
+      d -> math.round((a.sum * b.length - b.sum * a.length).toDouble /
+        (a.length.toLong * b.length) * 10000.0)
+    }.toMap
+    val l2 = r4(math.sqrt(shifts.values.map(s => s * s).sum.toDouble) / 10000.0)
+    val expTop = shifts.toSeq
+      .sortBy { case (d, s) => (-r4(math.abs(s) / 10000.0), d) }.take(10)
+      .map { case (d, s) => (d, r4(s / 10000.0)) }
+    val got = Similarity.queries("x177_embedding_drift")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expTop,
+      s"got ${got.toSeq}\nexp $expTop")
+    assert(got.forall(_._3 == l2), s"l2 ${got.head._3} vs $l2")
+  }
+
+  test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
+    val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // mass conservation: every purchase cent lands in exactly one
+    // (cohort, offset) cell
+    val total = Lake.table(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(sum(floor(col("value") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum == total,
+      s"cents ${rows.map(_._4).sum} vs corpus $total")
+    // per cohort: cumulative monotone, final cum = cohort sum, ltv
+    // consistent with its own columns
+    rows.groupBy(_._1).foreach { case (c0, xs) =>
+      val s = xs.sortBy(_._2)
+      assert(s.map(_._5).sliding(2).forall(p => p.head <= p.last),
+        s"cohort $c0 cum decreases")
+      assert(s.last._5 == s.map(_._4).sum, s"cohort $c0 cum tail")
+      s.foreach { x =>
+        def r4(v: Double) = BigDecimal(v)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(x._6 == r4(x._5.toDouble / (x._3 * 100.0)), s"ltv at $x")
+      }
+    }
+  }
 }
