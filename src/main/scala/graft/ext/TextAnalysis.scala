@@ -753,6 +753,46 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n")))
         .orderBy(col("source"))),
 
+    // PER-SOURCE LENGTH-DISTRIBUTION KS — "which sources look
+    // different from the rest of the corpus" (x159 scores each
+    // source's internal inequality; this flags the source whose
+    // WHOLE length distribution deviates — the screen that catches a
+    // mis-parsed or truncated feed before it trains): for every
+    // source, two-sample KS of its doc lengths against ALL OTHER
+    // sources, expressed as one (source, half, bucket) count frame —
+    // cur = the source, ref = corpus-minus-source derived by
+    // broadcast-joining the per-bucket totals (no second corpus
+    // pass) — read out through x133's shared `ksReportFromCounts`
+    // stage verbatim (exact cumulative BIGINT windows, cross-
+    // multiplied sup, distribution-free 1.358 threshold). Width-50
+    // length buckets keep per-source state ≤ ~100 rows.
+    "x178_source_length_ks" -> ((spark, sfDir) => {
+      val b = docs(spark, sfDir)
+        .select(col("source"), (col("n_chars") / lit(50)).cast("long")
+          .as("bucket"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_sb"))
+      val tot = b.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+      // full source×bucket spine: a bucket where THIS source has no
+      // docs still carries the rest of the corpus's ref mass there —
+      // dropping it would corrupt the ref ECDF exactly where the
+      // source is most anomalous
+      val spine = b.select(col("source")).distinct()
+        .crossJoin(broadcast(tot))
+      val cnt = spine.join(b, Seq("source", "bucket"), "left")
+        .select(col("source").as("event_type"), col("bucket"),
+          coalesce(col("n_sb"), lit(0L)).as("cur_c"),
+          (col("n_b") - coalesce(col("n_sb"), lit(0L))).as("ref_c"))
+      val shaped = cnt.select(col("event_type"), lit("cur").as("half"),
+          col("bucket"), col("cur_c").as("c"))
+        .unionByName(cnt.select(col("event_type"), lit("ref").as("half"),
+          col("bucket"), col("ref_c").as("c")))
+      graft.pipeline.Views.ksReportFromCounts(shaped)
+        .select(col("event_type").as("source"), col("n_ref"), col("n_cur"),
+          col("ks"), col("d_crit"), col("drifted"))
+        .orderBy(col("source"))
+    }),
+
     // CRAMÉR'S V — the ASSOCIATION read of x136's (source, lang)
     // cell table (Simpson asks "how mixed is each source"; V asks
     // "does knowing the source predict the language at all", 0 =
@@ -1971,6 +2011,39 @@ object TextAnalysis {
         "SELECT node AS keyword, rank_fp FROM r3 " +
         "ORDER BY rank_fp DESC, keyword LIMIT 20"
     },
+    // same width-50 buckets, the same full source×bucket spine (a
+    // zero-cur bucket still carries ref mass), and x133's cumulative
+    // windows / cross-multiplied sup / rounded-threshold compare
+    "x178_source_length_ks" ->
+      ("WITH b AS (SELECT source, n_chars // 50 AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_sb FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT bucket, CAST(SUM(n_sb) AS BIGINT) AS n_b " +
+        "FROM b GROUP BY 1), " +
+        "sp AS (SELECT s.source, t.bucket, t.n_b FROM " +
+        "(SELECT DISTINCT source FROM b) s CROSS JOIN t), " +
+        "x AS (SELECT sp.source, sp.bucket, " +
+        "COALESCE(b.n_sb, 0) AS cc, sp.n_b - COALESCE(b.n_sb, 0) AS cr " +
+        "FROM sp LEFT JOIN b ON sp.source = b.source " +
+        "AND sp.bucket = b.bucket), " +
+        "c AS (SELECT source, " +
+        "SUM(cr) OVER (PARTITION BY source ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cc) OVER (PARTITION BY source ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_c, " +
+        "SUM(cr) OVER (PARTITION BY source) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY source) AS nc FROM x), " +
+        "a AS (SELECT source, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, " +
+        "CAST(MAX(ABS(cum_r * nc - cum_c * nr)) AS BIGINT) AS d_num " +
+        "FROM c GROUP BY 1) " +
+        "SELECT source, n_ref, n_cur, " +
+        "ROUND(CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 4) AS ks, " +
+        "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
+        "CAST(n_ref * n_cur AS DOUBLE)), 4) AS d_crit, " +
+        "ROUND(CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 4) > " +
+        "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
+        "CAST(n_ref * n_cur AS DOUBLE)), 4) AS drifted " +
+        "FROM a ORDER BY source"),
     // same full R×C spine (zero cells restored), same cross-
     // multiplied D and 10^-6 term grid, same division→sqrt chain;
     // CASTs pin HUGEINT widenings back to BIGINT

@@ -4140,6 +4140,31 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._3 == l2), s"l2 ${got.head._3} vs $l2")
   }
 
+  test("x178 source length ks: every source's sup distance recomputes exactly from the bucketed ECDFs") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1) / 50))
+    val buckets = docs.map(_._2).distinct.sorted
+    val got = TextAnalysis.queries("x178_source_length_ks")(spark, SfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(5))).toMap
+    docs.map(_._1).distinct.foreach { src =>
+      val cur = docs.filter(_._1 == src).map(_._2)
+      val ref = docs.filter(_._1 != src).map(_._2)
+      var (cr, cc, dmax) = (0L, 0L, 0L)
+      buckets.foreach { bk =>
+        cr += ref.count(_ == bk); cc += cur.count(_ == bk)
+        dmax = math.max(dmax, math.abs(cr * cur.length - cc * ref.length))
+      }
+      val (nr, nc, ks, drifted) = got(src)
+      assert((nr, nc) == ((ref.length.toLong, cur.length.toLong)), src)
+      assert(ks == r4(dmax.toDouble / (nr * nc)), s"$src ks $ks")
+      val crit = r4(1.358 * math.sqrt((nr + nc).toDouble / (nr * nc)))
+      assert(drifted == (ks > crit), s"$src flag")
+    }
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

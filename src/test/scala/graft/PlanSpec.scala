@@ -547,6 +547,30 @@ class PlanSpec extends SparkSpec {
       s"x162 centroids not broadcast:\n$sil")
   }
 
+  test("the session-9 second wave plans partial aggregation and no cartesian (x169-x178, c86-c90)") {
+    for ((mod, name) <- Seq(
+        (graft.ext.Sampling.queries, "x169_gain_curve"),
+        (graft.pipeline.Views.queries, "x170_column_profile"),
+        (graft.pipeline.Views.queries, "x171_forecast_backtest"),
+        (graft.ext.Graph.queries, "x172_powerlaw_alpha"),
+        (graft.ext.TextAnalysis.queries, "x174_token_mi"),
+        (graft.pipeline.Views.queries, "x175_control_chart"),
+        (graft.pipeline.Views.queries, "x176_holm_drift"),
+        (graft.ext.Similarity.queries, "x177_embedding_drift"),
+        (graft.ext.TextAnalysis.queries, "x178_source_length_ks"),
+        (graft.queries.Surface.queries, "c86_cem_matching"),
+        (graft.queries.Surface.queries, "c87_shapley_attribution"),
+        (graft.queries.Surface.queries, "c88_ips_weighting"),
+        (graft.queries.Surface.queries, "c89_power_mde"),
+        (graft.queries.Surface.queries, "c90_cohort_ltv"))) {
+      val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: no partial aggregation:\n$plan")
+    }
+  }
+
   test("target encoding is one cell aggregate with broadcast marginals (x139)") {
     val plan = graft.ext.Sampling.queries("x139_target_encoding")(spark, SfDir)
       .queryExecution.executedPlan.toString
