@@ -1001,6 +1001,17 @@ object Streams {
         maintainedHalfCounts(spark, sfDir, "s24"))
       .orderBy(col("event_type"))
 
+  /** s29: x176's Holm step-down screen off the same maintained bin
+    * table — the family-wise-error-controlled verdict stays current
+    * as events ingest; the whole correction (ordering, quantile
+    * ladder, prefix stop) re-derives from the bounded maintained
+    * state via the shared [[graft.pipeline.Views.holmReport]] stage.
+    */
+  def foreachBatchHolm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.holmReport(
+        maintainedHalfCounts(spark, sfDir, "s29"))
+      .orderBy(col("rank"))
+
   /** s21: x136's Simpson diversity with the (source, lang) cell table
     * maintained incrementally — the IVM pattern applied to a
     * DIVERSITY statistic: per-microbatch cell counts merge additively
@@ -1532,6 +1543,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchGini(spark, sfDir)),
     "s28_stream_control_chart" ->
       ((spark, sfDir) => foreachBatchControlChart(spark, sfDir)),
+    "s29_stream_holm" ->
+      ((spark, sfDir) => foreachBatchHolm(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1655,6 +1668,10 @@ object Streams {
     // maintained day table ≡ batch x175
     "s28_stream_control_chart" ->
       graft.pipeline.Views.oracles("x175_control_chart"),
+    // the IVM contract verbatim: the Holm screen off the same
+    // maintained bin table ≡ batch x176
+    "s29_stream_holm" ->
+      graft.pipeline.Views.oracles("x176_holm_drift"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

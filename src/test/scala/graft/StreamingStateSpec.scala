@@ -446,6 +446,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed chart diverges from batch x175:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming Holm screen equals batch x176 across a multi-batch run (s29)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getInt(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4))
+    val streamed = graft.streaming.Streams.foreachBatchHolm(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s29_$tag")
+      .listFiles().count(_.getName.startsWith("hist_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x176_holm_drift")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed Holm diverges from batch x176:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
