@@ -488,6 +488,59 @@ object Sampling {
     // |gap|-sum over the ≤10-row bin frame (bounded window), ONE
     // division at 4 dp. Scale: event-grain work is a broadcast join
     // against |types|·K cells + one partial-agg'able groupBy(bin).
+    // MULTINOMIAL DRAWS (sampling WITH replacement) + GOF self-check
+    // — the bootstrap/upsampling primitive x157's without-replacement
+    // keys can't express: 1024 deterministic hash draws land on the
+    // integer cumulative-count intervals of the source mix (u ∈
+    // [0, N) picks the source whose [cum_prev, cum) contains it —
+    // EXACT integer containment on a broadcast |sources|-row interval
+    // table, never a float inverse-CDF), and the readout chi-squares
+    // the achieved counts against the expected mix so the sampler
+    // audits itself (x156's gridded-term discipline; E is the exact
+    // rational M·n_s/N cross-multiplied away). Draw spine is a range,
+    // so the operator is corpus-scan-free apart from the one mix
+    // aggregate.
+    "x179_multinomial_draws" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val draws = 1024L
+      val whole = Window.partitionBy(lit(1))
+      val cum = Window.partitionBy(lit(1)).orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mix = docs(spark, sfDir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("n", sum(col("n_s")).over(whole))
+        .withColumn("hi", sum(col("n_s")).over(cum))
+        .withColumn("lo", col("hi") - col("n_s"))
+      val u = docs(spark, sfDir).sparkSession.range(draws)
+        .select(col("id"), (sampleHash(col("id")) % lit(2000L)).as("u"))
+      // cross-multiplied interval containment: u/2000 ∈ [lo/n, hi/n)
+      // ⟺ u·n ∈ [lo·2000, hi·2000) — exact integers, and the
+      // intervals partition the space so each draw picks EXACTLY one
+      val picked = u.join(broadcast(mix),
+          col("u") * col("n") >= col("lo") * lit(2000L) &&
+            col("u") * col("n") < col("hi") * lit(2000L))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_drawn"))
+      // left join back: a thin source drawn ZERO times still owes its
+      // (0 − E)²/E term — dropping it understates the GOF
+      mix.join(picked, Seq("source"), "left")
+        .withColumn("n_drawn", coalesce(col("n_drawn"), lit(0L)))
+        .withColumn("_chi_fp", round(
+          (col("n_drawn") * col("n") - lit(draws) * col("n_s"))
+            .cast("double") *
+            (col("n_drawn") * col("n") - lit(draws) * col("n_s"))
+              .cast("double") /
+            (lit(draws.toDouble) * col("n_s").cast("double") *
+              col("n").cast("double")), 6).cast("decimal(18,6)"))
+        .select(col("source"), col("n_s"), col("n_drawn"),
+          round(col("n_drawn").cast("double") / lit(draws.toDouble), 4)
+            .as("drawn_share"),
+          round(col("n_s").cast("double") / col("n").cast("double"), 4)
+            .as("expected_share"),
+          round(sum(col("_chi_fp")).over(whole).cast("double"), 4)
+            .as("gof_chi2"))
+        .orderBy(col("source"))
+    }),
+
     // CUMULATIVE GAINS / LIFT CURVE — the ranking-quality readout of
     // x139's out-of-fold scores beside x149's calibration (ECE asks
     // "is the score a probability"; the gain curve asks "does
@@ -1029,6 +1082,34 @@ object Sampling {
     // x139's cell chain with the rational re-gridded to the integer
     // 10^-4 confidence; width-0.1 bins, BIGINT gap numerators, the
     // |gap|-sum ECE over the bounded bin frame
+    // same mix intervals, same cross-multiplied containment join on
+    // the 1024-draw hash spine, same zero-draw left join and gridded
+    // GOF terms
+    "x179_multinomial_draws" ->
+      (s"WITH m AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s " +
+        "FROM documents GROUP BY 1), " +
+        "w AS (SELECT source, n_s, CAST(SUM(n_s) OVER () AS BIGINT) AS n, " +
+        "CAST(SUM(n_s) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS hi FROM m), " +
+        "i AS (SELECT source, n_s, n, hi, hi - n_s AS lo FROM w), " +
+        s"u AS (SELECT ((t.i * ${HashMul}) % ${HashMod}) % 2000 AS u " +
+        "FROM range(1024) t(i)), " +
+        "p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_drawn " +
+        "FROM u JOIN i ON u.u * i.n >= i.lo * 2000 " +
+        "AND u.u * i.n < i.hi * 2000 GROUP BY 1), " +
+        "f AS (SELECT i.source, i.n_s, i.n, " +
+        "COALESCE(p.n_drawn, 0) AS n_drawn " +
+        "FROM i LEFT JOIN p ON i.source = p.source), " +
+        "g AS (SELECT source, n_s, n, n_drawn, " +
+        "CAST(ROUND(CAST(n_drawn * n - 1024 * n_s AS DOUBLE) * " +
+        "CAST(n_drawn * n - 1024 * n_s AS DOUBLE) / " +
+        "(1024.0 * CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)), 6) " +
+        "AS DECIMAL(18,6)) AS chi_fp FROM f) " +
+        "SELECT source, n_s, n_drawn, " +
+        "ROUND(CAST(n_drawn AS DOUBLE) / 1024.0, 4) AS drawn_share, " +
+        "ROUND(CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS expected_share, " +
+        "ROUND(CAST(SUM(chi_fp) OVER () AS DOUBLE), 4) AS gof_chi2 " +
+        "FROM g ORDER BY source"),
     // x149's cell/scoring CTEs verbatim, then the distinct-score
     // rollup with cumulative windows ordered by score desc
     "x169_gain_curve" ->

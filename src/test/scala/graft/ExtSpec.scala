@@ -4165,6 +4165,39 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x179 multinomial draws: the hash draws partition exactly and recompute in-process with the gridded GOF") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mix = Lake.table(spark, SfDir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = mix.map(_._2).sum
+    val his = mix.scanLeft(0L)(_ + _._2).tail
+    val intervals = mix.zip(his).map { case ((s, ns), hi) =>
+      (s, ns, hi - ns, hi) }
+    val drawn = (0L until 1024L).map { i =>
+      val u = ((i * Sampling.HashMul) % Sampling.HashMod) % 2000L
+      intervals.find(t => u * n >= t._3 * 2000L && u * n < t._4 * 2000L)
+        .get._1
+    }.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val expGof = r4(intervals.map { case (s, ns, _, _) =>
+      val o = drawn.getOrElse(s, 0L)
+      val d = (o * n - 1024L * ns).toDouble
+      BigDecimal(d * d / (1024.0 * ns * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum)
+    val got = Sampling.queries("x179_multinomial_draws")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(got.map(_._3).sum == 1024L, "draws must partition exactly")
+    got.foreach { case (s, ns, nd, gof) =>
+      assert(nd == drawn.getOrElse(s, 0L), s"$s drawn $nd")
+      assert(math.abs(gof - expGof) < 1e-3, s"gof $gof vs $expGof")
+    }
+    assert(got.map(_._1).toSet == mix.map(_._1).toSet,
+      "every source reports, drawn or not")
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
