@@ -488,6 +488,46 @@ object Sampling {
     // |gap|-sum over the ≤10-row bin frame (bounded window), ONE
     // division at 4 dp. Scale: event-grain work is a broadcast join
     // against |types|·K cells + one partial-agg'able groupBy(bin).
+    // CLASS-BALANCING UPSAMPLER — the oversampling step of an
+    // imbalanced training mix (x20 DOWNsamples the majority; when
+    // the minority is precious you replicate it instead — the
+    // "repeat the low-resource language k times per epoch" recipe):
+    // per language, integer replication factor max_n DIV n_lang
+    // clamped to [1, 4] (the standard cap — unbounded replication
+    // just memorizes the minority), each doc exploded into rep
+    // copies with a copy index (sequence() — map-local fan-out, no
+    // shuffle), report = per-lang before/after counts and achieved
+    // shares. All exact integers; the readout's two divisions land
+    // on the 4 dp grid. The broadcast factor table is
+    // |langs|-sized; corpus work is the one count + the bounded
+    // explode.
+    "x180_class_upsample" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      val byLang = docs(spark, sfDir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"))
+      val factors = broadcast(byLang
+        .withColumn("max_n", max(col("n_before")).over(whole))
+        .withColumn("rep",
+          greatest(least(expr("max_n DIV n_before"), lit(4L)), lit(1L)))
+        .select(col("lang"), col("n_before"), col("rep")))
+      docs(spark, sfDir).select(col("doc_id"), col("lang"))
+        .join(factors, "lang")
+        .select(col("lang"), col("n_before"), col("rep"),
+          explode(expr("sequence(1, rep)")).as("copy_idx"))
+        .groupBy(col("lang"))
+        .agg(min(col("n_before")).as("n_before"), min(col("rep")).as("rep"),
+          count(lit(1)).as("n_after"))
+        .withColumn("_tb", sum(col("n_before")).over(whole))
+        .withColumn("_ta", sum(col("n_after")).over(whole))
+        .select(col("lang"), col("n_before"), col("rep"), col("n_after"),
+          round(col("n_before").cast("double") / col("_tb").cast("double"), 4)
+            .as("share_before"),
+          round(col("n_after").cast("double") / col("_ta").cast("double"), 4)
+            .as("share_after"))
+        .orderBy(col("lang"))
+    }),
+
     // MULTINOMIAL DRAWS (sampling WITH replacement) + GOF self-check
     // — the bootstrap/upsampling primitive x157's without-replacement
     // keys can't express: 1024 deterministic hash draws land on the
@@ -1082,6 +1122,29 @@ object Sampling {
     // x139's cell chain with the rational re-gridded to the integer
     // 10^-4 confidence; width-0.1 bins, BIGINT gap numerators, the
     // |gap|-sum ECE over the bounded bin frame
+    // same clamped integer factors (// ≡ DIV non-negative), same
+    // per-doc range explode and share divisions
+    "x180_class_upsample" ->
+      ("WITH b AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before " +
+        "FROM documents GROUP BY 1), " +
+        "f AS (SELECT lang, n_before, " +
+        "GREATEST(LEAST((SELECT MAX(n_before) FROM b) // n_before, 4), 1) " +
+        "AS rep FROM b), " +
+        "e AS (SELECT d.lang, f.n_before, f.rep, " +
+        "unnest(range(1, f.rep + 1)) AS copy_idx " +
+        "FROM documents d JOIN f ON d.lang = f.lang), " +
+        "a AS (SELECT lang, CAST(MIN(n_before) AS BIGINT) AS n_before, " +
+        "CAST(MIN(rep) AS BIGINT) AS rep, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_after FROM e GROUP BY 1), " +
+        "w AS (SELECT lang, n_before, rep, n_after, " +
+        "CAST(SUM(n_before) OVER () AS BIGINT) AS tb, " +
+        "CAST(SUM(n_after) OVER () AS BIGINT) AS ta FROM a) " +
+        "SELECT lang, n_before, rep, n_after, " +
+        "ROUND(CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 4) " +
+        "AS share_before, " +
+        "ROUND(CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE), 4) " +
+        "AS share_after " +
+        "FROM w ORDER BY lang"),
     // same mix intervals, same cross-multiplied containment join on
     // the 1024-draw hash spine, same zero-draw left join and gridded
     // GOF terms

@@ -470,6 +470,43 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("dow"))),
 
+    // INTER-EVENT GAP HISTOGRAM — the timing-texture readout the
+    // day-grain family can't see (c53 cuts sessions at ONE gap
+    // threshold; the log₂ histogram shows the whole bimodal
+    // structure that justifies the threshold — burst gaps vs
+    // between-session gaps): consecutive-gap µs per user off one
+    // user-shuffle (ts, event_id) window (c78's shape), log₂ buckets
+    // (floor(log₂) is exact at the power-of-two boundaries — integer
+    // powers are exactly representable and log₂ of them is exact in
+    // both engines; zero gaps take the −1 bucket), bucket lower
+    // bound 2^b exact via pow-and-cast, shares/cumulative off the
+    // ≤~40-row bucket frame.
+    "x181_gap_histogram" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val whole = Window.partitionBy(lit(1))
+      val cum = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Lake.table(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("_prev", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("_prev").isNotNull)
+        .withColumn("gap", unix_micros(col("ts")) - col("_prev"))
+        .withColumn("bucket", when(col("gap") <= 0L, lit(-1L))
+          .otherwise(floor(log2(col("gap").cast("double")))))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("_t", sum(col("n")).over(whole))
+        .select(col("bucket"),
+          pow(lit(2.0), col("bucket").cast("double")).cast("long")
+            .as("lo_us"),
+          col("n"),
+          round(col("n").cast("double") / col("_t").cast("double"), 4)
+            .as("share"),
+          round(sum(col("n")).over(cum).cast("double") /
+            col("_t").cast("double"), 4).as("cum_share"))
+        .orderBy(col("bucket"))
+    }),
+
     // HOLM STEP-DOWN DRIFT SCREEN — the multiple-testing correction
     // the drift family needs once it tests EVERY type at once (k
     // simultaneous α=0.05 screens false-alarm far above 0.05; Holm
@@ -1434,6 +1471,22 @@ object Views {
         "ROUND(CAST(x_sum * n_days AS DOUBLE) / " +
         "CAST(n_dow * total AS DOUBLE), 4) AS idx " +
         "FROM w ORDER BY event_type, dow"),
+    // same (ts, event_id) window, the same floor-log2 buckets (exact
+    // at power-of-two boundaries) and pow-cast lower bounds
+    "x181_gap_histogram" ->
+      ("WITH g AS (SELECT epoch_us(ts) - LAG(epoch_us(ts), 1) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), " +
+        "b AS (SELECT CASE WHEN gap <= 0 THEN -1 " +
+        "ELSE CAST(FLOOR(LOG2(CAST(gap AS DOUBLE))) AS BIGINT) END AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM g WHERE gap IS NOT NULL " +
+        "GROUP BY 1), " +
+        "w AS (SELECT bucket, n, CAST(SUM(n) OVER () AS BIGINT) AS t, " +
+        "CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum FROM b) " +
+        "SELECT bucket, CAST(POW(2.0, bucket) AS BIGINT) AS lo_us, n, " +
+        "ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share, " +
+        "ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS cum_share " +
+        "FROM w ORDER BY bucket"),
     // x161's per-type chi CTEs, the same quantile ladder and the
     // prefix-min step-down; ties ordered by (chi desc, type) on both
     // engines

@@ -4198,6 +4198,42 @@ class ExtSpec extends SparkSpec {
       "every source reports, drawn or not")
   }
 
+  test("x180 upsample: replication factors recompute, copies multiply exactly, shares rebalance toward uniform") {
+    val rows = Sampling.queries("x180_class_upsample")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val maxN = rows.map(_._2).max
+    rows.foreach { case (lang, nb, rep, na, _, _) =>
+      assert(rep == math.max(math.min(maxN / nb, 4L), 1L), s"$lang rep")
+      assert(na == nb * rep, s"$lang copies")
+    }
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-3)
+    // rebalancing direction: the minority's share never decreases
+    val minLang = rows.minBy(_._2)
+    assert(minLang._6 >= minLang._5, s"minority share fell: $minLang")
+  }
+
+  test("x181 gap histogram: gap mass telescopes to events minus users, buckets are exact powers of two") {
+    val rows = graft.pipeline.Views.queries("x181_gap_histogram")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every event except each user's first contributes exactly one gap
+    val ev = Lake.table(spark, SfDir, "events")
+    val n = ev.count()
+    val u = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == n - u,
+      s"gap mass ${rows.map(_._3).sum} vs ${n - u}")
+    rows.foreach { case (b, lo, _, _, _) =>
+      if (b >= 0) assert(lo == (1L << b.toInt), s"bucket $b lo $lo")
+    }
+    assert(rows.map(_._1).sliding(2).forall(p => p.head < p.last))
+    assert(rows.last._5 == 1.0)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
