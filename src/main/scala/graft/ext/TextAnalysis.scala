@@ -753,6 +753,63 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n")))
         .orderBy(col("source"))),
 
+    // N-GRAM COVERAGE CURVE — "how much of the corpus do the top-k
+    // bigrams carry" (x88 scores WHICH collocations are informative;
+    // this measures how CONCENTRATED the phrase mass is — a steep
+    // curve means a boilerplate-heavy corpus where a small stop-
+    // phrase list buys big dedup/cleaning wins): bigram counts off
+    // x46's lake artifact, ranked (count desc, bigram) — an exact
+    // total order — with cumulative mass read at k ∈ {10, 100,
+    // 1000}; shares are exact rationals with one 4 dp division per
+    // row. The rank window runs over the distinct-bigram frame
+    // (vocabulary²-bounded support, model-shaped); corpus work is
+    // the already-paid bigram artifact.
+    "x182_ngram_coverage" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      val order = Window.partitionBy(lit(1))
+        .orderBy(desc("cnt"), col("w1"), col("w2"))
+      val cum = Window.partitionBy(lit(1))
+        .orderBy(desc("cnt"), col("w1"), col("w2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bg = bigramTable(spark, sfDir)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cnt"))
+      bg.withColumn("rk", row_number().over(order))
+        .withColumn("cum", sum(col("cnt")).over(cum))
+        .withColumn("total", sum(col("cnt")).over(whole))
+        .withColumn("n_distinct", count(lit(1)).over(whole))
+        .filter(col("rk").isin(10, 100, 1000))
+        .select(col("rk").as("top_k"), col("n_distinct"), col("total"),
+          col("cum").as("mass_covered"),
+          round(col("cum").cast("double") / col("total").cast("double"), 4)
+            .as("coverage"))
+        .orderBy(col("top_k"))
+    }),
+
+    // HAPAX SHARE — the lexical-richness number beside x77's Zipf
+    // slope (Zipf fits the whole frequency curve; the hapax share
+    // reads its tail: what fraction of each source's VOCABULARY
+    // occurs exactly once — natural text sits near ~half, generated
+    // or template text collapses far below): per-source word counts
+    // off one explode+combine pass, hapax = count(freq = 1), plus
+    // the type-token ratio on the same frame; all exact integers to
+    // the two 4 dp divisions.
+    "x183_hapax_share" -> ((spark, sfDir) => {
+      val wf = docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
+      wf.groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("freq")).as("n_tokens"),
+          sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+          round(col("hapax").cast("double") / col("vocab").cast("double"), 4)
+            .as("hapax_share"),
+          round(col("vocab").cast("double") / col("n_tokens").cast("double"),
+            4).as("type_token_ratio"))
+        .orderBy(col("source"))
+    }),
+
     // PER-SOURCE LENGTH-DISTRIBUTION KS — "which sources look
     // different from the rest of the corpus" (x159 scores each
     // source's internal inequality; this flags the source whose
@@ -2011,6 +2068,40 @@ object TextAnalysis {
         "SELECT node AS keyword, rank_fp FROM r3 " +
         "ORDER BY rank_fp DESC, keyword LIMIT 20"
     },
+    // x46's bigram CTE re-aggregated, the same (cnt desc, w1, w2)
+    // total order and the three snapshot ranks
+    "x182_ngram_coverage" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM bg GROUP BY 1, 2), " +
+        "r AS (SELECT w1, w2, cnt, " +
+        "ROW_NUMBER() OVER (ORDER BY cnt DESC, w1, w2) AS rk, " +
+        "CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w1, w2 " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(SUM(cnt) OVER () AS BIGINT) AS total, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS n_distinct FROM c) " +
+        "SELECT CAST(rk AS INTEGER) AS top_k, n_distinct, total, " +
+        "cum AS mass_covered, " +
+        "ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS coverage " +
+        "FROM r WHERE rk IN (10, 100, 1000) ORDER BY top_k"),
+    // same per-source word-frequency frame and exact hapax/vocab
+    // counts with two 4 dp divisions
+    "x183_hapax_share" ->
+      ("WITH wf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) t GROUP BY 1, 2), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "CAST(SUM(freq) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax " +
+        "FROM wf GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, hapax, " +
+        "ROUND(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 4) " +
+        "AS hapax_share, " +
+        "ROUND(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) " +
+        "AS type_token_ratio " +
+        "FROM a ORDER BY source"),
     // same width-50 buckets, the same full source×bucket spine (a
     // zero-cur bucket still carries ref mass), and x133's cumulative
     // windows / cross-multiplied sup / rounded-threshold compare

@@ -4234,6 +4234,44 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
   }
 
+  test("x182 ngram coverage: snapshots recompute from the exact bigram ranking and the curve is monotone") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bg = TextAnalysis.bigramTable(spark, SfDir)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val ordered = bg.sortBy(t => (-t._3, t._1, t._2)).map(_._3)
+    val total = ordered.sum
+    val got = TextAnalysis.queries("x182_ngram_coverage")(spark, SfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (k, nd, t, mass, cov) =>
+      assert(nd == bg.length.toLong && t == total)
+      assert(mass == ordered.take(k).sum, s"top-$k mass")
+      assert(cov == r4(mass.toDouble / total), s"top-$k coverage")
+    }
+    assert(got.map(_._5).sliding(2).forall(p => p.head <= p.last))
+  }
+
+  test("x183 hapax share: per-source counts recompute exactly and columns are internally consistent") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(w => (r.getString(0), w)))
+    val got = TextAnalysis.queries("x183_hapax_share")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    words.groupBy(_._1).foreach { case (src, ws) =>
+      val freq = ws.groupBy(_._2).map(_._2.size)
+      val (vocab, nTok, hapax) =
+        (freq.size.toLong, ws.length.toLong, freq.count(_ == 1).toLong)
+      val (gv, gn, gh, hs, ttr) = got(src)
+      assert((gv, gn, gh) == ((vocab, nTok, hapax)), s"$src counts")
+      assert(hs == r4(hapax.toDouble / vocab) &&
+        ttr == r4(vocab.toDouble / nTok), s"$src ratios")
+    }
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
