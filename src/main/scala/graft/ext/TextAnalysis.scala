@@ -409,6 +409,17 @@ object TextAnalysis {
         .agg(count(lit(1)).as("bf"))
     }
 
+  /** The x11/x184 shared prediction stage: the stopword-ratio
+    * language-ID heuristic over the documents table — one place, so
+    * the classifier and its evaluation can never drift apart.
+    */
+  private def langIdPred(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        stopwordRatio(tokens).as("ratio"))
+      .select(col("doc_id"), col("labeled_lang"),
+        when(col("ratio") >= 0.05, "en").otherwise("unknown").as("pred_lang"))
+
   /** x174's MI stage over a (doc_id, term) presence frame and a
     * (doc_id, source) label frame — exposed so tests can plant
     * perfectly-informative and uninformative tokens. See the
@@ -928,12 +939,42 @@ object TextAnalysis {
     // family). The decision rule is SQL-expressible, so it gets a full
     // oracle.
     "x11_lang_id" -> ((spark, sfDir) =>
-      docs(spark, sfDir)
-        .select(col("doc_id"), col("lang").as("labeled_lang"),
-          stopwordRatio(tokens).as("ratio"))
-        .select(col("doc_id"), col("labeled_lang"),
-          when(col("ratio") >= 0.05, "en").otherwise("unknown").as("pred_lang"))
-        .orderBy(col("doc_id"))),
+      langIdPred(spark, sfDir).orderBy(col("doc_id"))),
+
+    // CLASSIFIER EVALUATION — confusion matrix + P/R/F1 for the x11
+    // language-ID heuristic against the corpus's gold labels (the
+    // eval family's missing member: x169 grades RANKING, x149
+    // CALIBRATION; this grades the hard DECISIONS a filter actually
+    // makes — the table a cleaning-pipeline review reads before
+    // trusting a heuristic gate): binary en-vs-rest cells from ONE
+    // aggregate over the shared prediction stage, precision/recall/
+    // F1/accuracy as exact rationals (F1 via the 2tp/(2tp+fp+fn)
+    // identity — no rounded-intermediate composition), macro-F1
+    // averaging the two per-class F1 chains before the single 4 dp
+    // round. 1-row output; corpus work = x11's one scan.
+    "x184_langid_eval" -> ((spark, sfDir) => {
+      val cells = langIdPred(spark, sfDir)
+        .select((col("labeled_lang") === "en").as("t"),
+          (col("pred_lang") === "en").as("p"))
+        .agg(sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      val f1p = lit(2.0) * col("tp") /
+        (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")
+      val f1n = lit(2.0) * col("tn") /
+        (lit(2L) * col("tn") + col("fn") + col("fp")).cast("double")
+      cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 4).as("precision"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double"), 4).as("recall"),
+        round(f1p, 4).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 4)
+          .as("accuracy"),
+        round((f1p + f1n) / lit(2.0), 4).as("macro_f1"))
+    }),
 
     // Tokenizer-style counting: whitespace tokens vs BPE-ish regex
     // tokens (the token-budget accounting of a training pipeline).
@@ -2300,6 +2341,29 @@ object TextAnalysis {
         "ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len, " +
         "ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    // x11's prediction CASE verbatim, one cell aggregate, the same
+    // exact-rational metric chains and the unrounded macro average
+    "x184_langid_eval" ->
+      ("WITH p AS (SELECT lang = 'en' AS t, " +
+        "CASE WHEN CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(string_split(text, ' ')) >= 0.05 " +
+        "THEN TRUE ELSE FALSE END AS pr FROM documents), " +
+        "c AS (SELECT " +
+        "CAST(SUM(CASE WHEN t AND pr THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN NOT t AND pr THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN t AND NOT pr THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN NOT t AND NOT pr THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
+        "FROM p) " +
+        "SELECT tp, fp, fn, tn, " +
+        "ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4) AS precision, " +
+        "ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4) AS recall, " +
+        "ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4) AS f1, " +
+        "ROUND(CAST(tp + tn AS DOUBLE) / " +
+        "CAST(tp + fp + fn + tn AS DOUBLE), 4) AS accuracy, " +
+        "ROUND((2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE) + " +
+        "2.0 * tn / CAST(2 * tn + fn + fp AS DOUBLE)) / 2.0, 4) AS macro_f1 " +
+        "FROM c"),
     "x11_lang_id" ->
       ("SELECT doc_id, lang AS labeled_lang, " +
         "CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')) >= 0.05 " +

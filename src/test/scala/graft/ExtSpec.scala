@@ -4272,6 +4272,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x184 langid eval: cells partition the corpus and every metric recomputes from the published counts") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = TextAnalysis.queries("x184_langid_eval")(spark, SfDir)
+      .collect()(0)
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val n = Lake.table(spark, SfDir, "documents").count()
+    assert(tp + fp + fn + tn == n, "cells must partition the corpus")
+    // cross-check the cells against x11's own published predictions
+    val preds = TextAnalysis.queries("x11_lang_id")(spark, SfDir)
+      .collect().map(x => (x.getString(1) == "en", x.getString(2) == "en"))
+    assert(tp == preds.count(p => p._1 && p._2) &&
+      fp == preds.count(p => !p._1 && p._2) &&
+      fn == preds.count(p => p._1 && !p._2) &&
+      tn == preds.count(p => !p._1 && !p._2))
+    val f1p = 2.0 * tp / (2.0 * tp + fp + fn)
+    val f1n = 2.0 * tn / (2.0 * tn + fn + fp)
+    assert(r.getDouble(4) == r4(tp.toDouble / (tp + fp)))
+    assert(r.getDouble(5) == r4(tp.toDouble / (tp + fn)))
+    assert(r.getDouble(6) == r4(f1p))
+    assert(r.getDouble(7) == r4((tp + tn).toDouble / n))
+    assert(r.getDouble(8) == r4((f1p + f1n) / 2.0))
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
