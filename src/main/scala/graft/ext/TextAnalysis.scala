@@ -941,6 +941,44 @@ object TextAnalysis {
     "x11_lang_id" -> ((spark, sfDir) =>
       langIdPred(spark, sfDir).orderBy(col("doc_id"))),
 
+    // THRESHOLD SWEEP — the hyperparameter table behind x11's 0.05
+    // gate (x184 grades the SHIPPED threshold; the sweep shows the
+    // whole precision/recall frontier so the cut is a decision, not
+    // an accident — x109's threshold-curve idea applied to a
+    // classifier): for t ∈ {0.02..0.10 step 0.02}, the predicate
+    // ratio ≥ t cross-multiplies to the EXACT integer compare
+    // n_stop·100 ≥ n_tok·(100t) — no float ratio is ever compared —
+    // off one (n_stop, n_tok, is_en) doc frame crossed with the
+    // 5-row broadcast threshold spine; per-threshold cells in one
+    // aggregate, x184's exact metric chains. Corpus work = one scan.
+    "x185_threshold_sweep" -> ((spark, sfDir) => {
+      val base = docs(spark, sfDir).select(
+        size(filter(tokens, t => isStopword(t))).cast("long").as("n_stop"),
+        size(tokens).cast("long").as("n_tok"),
+        (col("lang") === "en").as("t"))
+      val spine = broadcast(
+        docs(spark, sfDir).sparkSession.range(1, 6)
+          .select((col("id") * 2).as("k")))
+      base.crossJoin(spine)
+        .withColumn("p", col("n_stop") * 100L >= col("n_tok") * col("k"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"))
+        .select(round(col("k").cast("double") / lit(100.0), 2)
+            .as("threshold"),
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          round(when(col("tp") + col("fp") > 0L, col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")), 4).as("precision"),
+          round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 4).as("recall"),
+          round(lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 4)
+            .as("f1"))
+        .orderBy(col("threshold"))
+    }),
+
     // CLASSIFIER EVALUATION — confusion matrix + P/R/F1 for the x11
     // language-ID heuristic against the corpus's gold labels (the
     // eval family's missing member: x169 grades RANKING, x149
@@ -2341,6 +2379,34 @@ object TextAnalysis {
         "ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len, " +
         "ROUND(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio " +
         "FROM documents ORDER BY doc_id"),
+    // same cross-multiplied integer predicate over the same 5-row
+    // threshold spine; the zero-positive precision guard NULLs alike
+    "x185_threshold_sweep" ->
+      ("WITH base AS (SELECT " +
+        "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT) " +
+        "AS n_stop, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+        "lang = 'en' AS t FROM documents), " +
+        "sp AS (SELECT i * 2 AS k FROM range(1, 6) s(i)), " +
+        "c AS (SELECT k, " +
+        "CAST(SUM(CASE WHEN t AND n_stop * 100 >= n_tok * k " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+        "CAST(SUM(CASE WHEN NOT t AND n_stop * 100 >= n_tok * k " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+        "CAST(SUM(CASE WHEN t AND n_stop * 100 < n_tok * k " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS fn, " +
+        "CAST(SUM(CASE WHEN NOT t AND n_stop * 100 < n_tok * k " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS tn " +
+        "FROM base CROSS JOIN sp GROUP BY 1) " +
+        "SELECT ROUND(CAST(k AS DOUBLE) / 100.0, 2) AS threshold, " +
+        "tp, fp, fn, tn, " +
+        "CASE WHEN tp + fp > 0 THEN " +
+        "ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 4) END " +
+        "AS precision, " +
+        "ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 4) AS recall, " +
+        "ROUND(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 4) AS f1 " +
+        "FROM c ORDER BY threshold"),
     // x11's prediction CASE verbatim, one cell aggregate, the same
     // exact-rational metric chains and the unrounded macro average
     "x184_langid_eval" ->

@@ -4296,6 +4296,27 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(8) == r4((f1p + f1n) / 2.0))
   }
 
+  test("x185 threshold sweep: cells partition at every threshold, recall and positives never rise with the cut") {
+    val rows = TextAnalysis.queries("x185_threshold_sweep")(spark, SfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0.02, 0.04, 0.06, 0.08, 0.1))
+    val n = Lake.table(spark, SfDir, "documents").count()
+    rows.foreach { case (t, tp, fp, fn, tn) =>
+      assert(tp + fp + fn + tn == n, s"threshold $t cells") }
+    // raising the cut can only move predictions en -> unknown
+    val recalls = TextAnalysis.queries("x185_threshold_sweep")(spark, SfDir)
+      .collect().map(_.getDouble(6))
+    assert(recalls.sliding(2).forall(p => p.head >= p.last),
+      s"recall must be non-increasing: ${recalls.toSeq}")
+    // raising the cut can only REMOVE positive predictions: tp+fp is
+    // non-increasing, and tp alone is too
+    val pos = rows.map(r => r._2 + r._3)
+    assert(pos.sliding(2).forall(p => p.head >= p.last),
+      s"positives must be non-increasing: ${pos.toSeq}")
+    assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
