@@ -571,6 +571,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the session-9 third wave plans partial aggregation and no cartesian (x179-x185)") {
+    for ((mod, name) <- Seq(
+        (graft.ext.Sampling.queries, "x179_multinomial_draws"),
+        (graft.ext.Sampling.queries, "x180_class_upsample"),
+        (graft.pipeline.Views.queries, "x181_gap_histogram"),
+        (graft.ext.TextAnalysis.queries, "x182_ngram_coverage"),
+        (graft.ext.TextAnalysis.queries, "x183_hapax_share"),
+        (graft.ext.TextAnalysis.queries, "x184_langid_eval"),
+        (graft.ext.TextAnalysis.queries, "x185_threshold_sweep"))) {
+      val plan = mod(name)(spark, SfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian:\n$plan")
+      assert(plan.contains("HashAggregate"),
+        s"$name: no partial aggregation:\n$plan")
+    }
+  }
+
   test("target encoding is one cell aggregate with broadcast marginals (x139)") {
     val plan = graft.ext.Sampling.queries("x139_target_encoding")(spark, SfDir)
       .queryExecution.executedPlan.toString
