@@ -409,6 +409,22 @@ object TextAnalysis {
         .agg(count(lit(1)).as("bf"))
     }
 
+  /** x183's report stage over a (source, w, freq) word-frequency
+    * frame — like [[giniFromFreq]], the frequency table is the
+    * ADDITIVE sufficient statistic that lets s30 maintain a
+    * tail-of-the-distribution statistic incrementally.
+    */
+  def hapaxFromFreq(wf: DataFrame): DataFrame =
+    wf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("freq")).as("n_tokens"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 4)
+          .as("hapax_share"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"),
+          4).as("type_token_ratio"))
+
   /** The x11/x184 shared prediction stage: the stopword-ratio
     * language-ID heuristic over the documents table — one place, so
     * the classifier and its evaluation can never drift apart.
@@ -805,21 +821,11 @@ object TextAnalysis {
     // off one explode+combine pass, hapax = count(freq = 1), plus
     // the type-token ratio on the same frame; all exact integers to
     // the two 4 dp divisions.
-    "x183_hapax_share" -> ((spark, sfDir) => {
-      val wf = docs(spark, sfDir)
+    "x183_hapax_share" -> ((spark, sfDir) =>
+      hapaxFromFreq(docs(spark, sfDir)
         .select(col("source"), explode(tokens).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq"))
-      wf.groupBy(col("source"))
-        .agg(count(lit(1)).as("vocab"),
-          sum(col("freq")).as("n_tokens"),
-          sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("hapax"))
-        .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
-          round(col("hapax").cast("double") / col("vocab").cast("double"), 4)
-            .as("hapax_share"),
-          round(col("vocab").cast("double") / col("n_tokens").cast("double"),
-            4).as("type_token_ratio"))
-        .orderBy(col("source"))
-    }),
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))
+        .orderBy(col("source"))),
 
     // PER-SOURCE LENGTH-DISTRIBUTION KS — "which sources look
     // different from the rest of the corpus" (x159 scores each

@@ -1242,6 +1242,65 @@ object Streams {
       .orderBy(col("source"))
   }
 
+  /** s30: x183's hapax-share report with the (source, w) WORD-
+    * FREQUENCY table maintained incrementally — s27's rank-statistic
+    * IVM argument applied to the frequency TAIL: "occurs exactly
+    * once" is unmaintainable at row grain but is a pure function of
+    * the additive frequency table, which merges by + per microbatch;
+    * readout through the shared
+    * [[graft.ext.TextAnalysis.hapaxFromFreq]] stage ⇒ streamed ≡
+    * batch x183. State is vocabulary-sized.
+    */
+  def foreachBatchHapax(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s30_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_text_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("source"), col("text")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_text_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/freq_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .select(col("source"),
+              explode(split(col("text"), " ")).as("w"))
+            .groupBy(col("source"), col("w"))
+            .agg(count(lit(1)).as("freq"))
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.join(delta, Seq("source", "w"), "full_outer")
+                .select(col("source"), col("w"),
+                  (coalesce(p("freq"), lit(0L)) +
+                    coalesce(delta("freq"), lit(0L))).as("freq"))
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.TextAnalysis.hapaxFromFreq(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s30: stream produced no batches"))))
+      .orderBy(col("source"))
+  }
+
   /** s16: streaming maintenance of a JOIN view — the IVM case s12
     * (additive agg) and s13 (set semantics) don't cover: BOTH join
     * sides grow over time. The classic degree-count factorization
@@ -1545,6 +1604,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchControlChart(spark, sfDir)),
     "s29_stream_holm" ->
       ((spark, sfDir) => foreachBatchHolm(spark, sfDir)),
+    "s30_stream_hapax" ->
+      ((spark, sfDir) => foreachBatchHapax(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1672,6 +1733,11 @@ object Streams {
     // maintained bin table ≡ batch x176
     "s29_stream_holm" ->
       graft.pipeline.Views.oracles("x176_holm_drift"),
+    // the IVM contract verbatim: the hapax report off the maintained
+    // word-frequency table ≡ batch x183 — the frequency TAIL served
+    // through its additive sufficient statistic
+    "s30_stream_hapax" ->
+      graft.ext.TextAnalysis.oracles("x183_hapax_share"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

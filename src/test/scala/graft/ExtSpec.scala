@@ -4317,6 +4317,28 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("c91 outlier users: the flagged set recomputes exactly from the population moments") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val counts = Lake.table(spark, SfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = counts.length.toLong
+    val t = counts.map(_._2).sum
+    val sxx = counts.map(c => c._2 * c._2).sum
+    val v = n * sxx - t * t
+    val expected = counts
+      .map { case (u, c) => (u, c, c * n - t) }
+      .filter { case (_, _, d) => BigInt(d) * BigInt(d) > BigInt(9) * BigInt(v) }
+      .map { case (u, c, d) => (u, c, r4(d.toDouble / math.sqrt(v.toDouble))) }
+      .sortBy(e => (-e._3, e._1)).take(20)
+    val got = graft.queries.Surface.queries("c91_outlier_users")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"got ${got.toSeq}\nexp ${expected.toSeq}")
+    // every survivor is on the heavy side by construction of the data
+    assert(got.forall(_._3 > 3.0))
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

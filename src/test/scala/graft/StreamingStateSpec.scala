@@ -462,6 +462,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Holm diverges from batch x176:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming hapax monitor equals batch x183 across a multi-batch run (s30)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))
+    val streamed = graft.streaming.Streams.foreachBatchHapax(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s30_$tag")
+      .listFiles().count(_.getName.startsWith("freq_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x183_hapax_share")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed hapax diverges from batch x183:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
