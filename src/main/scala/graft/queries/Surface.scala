@@ -1318,6 +1318,38 @@ object Surface {
     "c88_ips_weighting" -> ((spark, sfDir) =>
       ipsAte(cemUsers(spark, sfDir)).orderBy(col("stratum"))),
 
+    // EVENT-TYPE AFFINITY — the behavioral co-occurrence matrix
+    // (c78 reads SEQUENCE: what follows what; this reads OVERLAP:
+    // which behaviors live in the same users regardless of order —
+    // the audience-overlap readout a feature-bundling or cross-sell
+    // decision wants): per unordered type pair, Jaccard of the two
+    // user sets, n12/(n1+n2−n12) as one exact rational at 4 dp. The
+    // (user, type) distinct frame self-joins on user_id with t1 < t2
+    // — per-user fan-out is C(|types|,2)-bounded (x81's basket
+    // argument), and everything after is a \|types\|²-row frame.
+    "c92_type_affinity" -> ((spark, sfDir) => {
+      val ut = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val pairs = ut.as("a").join(ut.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(n1.select(col("event_type").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(n1.select(col("event_type").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // OUTLIER USERS — x175's 3σ verdict at USER grain (the chart
     // flags anomalous DAYS; this flags the bot/scraper-shaped
     // ACCOUNTS whose volume sits outside the population — the abuse
@@ -2228,6 +2260,22 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // same distinct frame, user self-join with the t1 < t2 order and
+    // one exact Jaccard division per pair
+    "c92_type_affinity" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "n1 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM ut GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_both FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_both, " +
+        "ROUND(CAST(n_both AS DOUBLE) / " +
+        "CAST(na.n + nb.n - n_both AS DOUBLE), 4) AS jaccard " +
+        "FROM p JOIN n1 na ON p.type_a = na.event_type " +
+        "JOIN n1 nb ON p.type_b = nb.event_type " +
+        "ORDER BY type_a, type_b"),
     // same broadcast scalar stats and the HUGEINT cross-multiplied
     // 3-sigma filter vs Spark's DECIMAL(38,0)
     "c91_outlier_users" ->

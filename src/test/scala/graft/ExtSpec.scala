@@ -4339,6 +4339,25 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._3 > 3.0))
   }
 
+  test("c92 type affinity: pair jaccards recompute exactly from the distinct user sets") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ut = Lake.table(spark, SfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = ut.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = sets.keys.toSeq.sorted
+    val exp = for {
+      a <- types; b <- types if a < b
+      both = (sets(a) intersect sets(b)).size.toLong if both > 0
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, both,
+      r4(both.toDouble / (sets(a).size + sets(b).size - both)))
+    val got = graft.queries.Surface.queries("c92_type_affinity")(spark, SfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == exp.toSeq, s"got ${got.toSeq}\nexp ${exp.toSeq}")
+    assert(got.forall(g => g._6 > 0.0 && g._6 <= 1.0))
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
