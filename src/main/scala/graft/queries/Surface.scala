@@ -1318,6 +1318,44 @@ object Surface {
     "c88_ips_weighting" -> ((spark, sfDir) =>
       ipsAte(cemUsers(spark, sfDir)).orderBy(col("stratum"))),
 
+    // CONVERSION-LAG HISTOGRAM — the uncensored complement of c84's
+    // survival curve (KM estimates the time-to-event FUNCTION under
+    // censoring; among users who DID convert, this is the simple
+    // log₂-bucketed "how long did it take" histogram a funnel review
+    // reads first): per converting user, µs from first activity to
+    // first high-value purchase (c80's shared conversion rule), x181's
+    // floor-log₂ buckets (zero lag → −1), shares and cumulative over
+    // the ≤~50-row bucket frame. Two partial-agg'able user-grain
+    // aggregates; nothing event-sized shuffles twice.
+    "c93_conversion_lag" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      val cum = Window.partitionBy(lit(1)).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(spark, sfDir, "events")
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"))
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 95.0)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("tc"))
+      conv.join(first, "user_id")
+        .withColumn("lag", col("tc") - col("t0"))
+        .withColumn("bucket", when(col("lag") <= 0L, lit(-1L))
+          .otherwise(floor(log2(col("lag").cast("double")))))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("_t", sum(col("n")).over(whole))
+        .select(col("bucket"),
+          pow(lit(2.0), col("bucket").cast("double")).cast("long")
+            .as("lo_us"),
+          col("n"),
+          round(col("n").cast("double") / col("_t").cast("double"), 4)
+            .as("share"),
+          round(sum(col("n")).over(cum).cast("double") /
+            col("_t").cast("double"), 4).as("cum_share"))
+        .orderBy(col("bucket"))
+    }),
+
     // EVENT-TYPE AFFINITY — the behavioral co-occurrence matrix
     // (c78 reads SEQUENCE: what follows what; this reads OVERLAP:
     // which behaviors live in the same users regardless of order —
@@ -2260,6 +2298,25 @@ object Surface {
         "SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
         "(CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS z_score FROM a, b"),
+    // same first/conversion aggregates (c80's rule), x181's log2
+    // buckets and pow-cast bounds
+    "c93_conversion_lag" ->
+      ("WITH f AS (SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS t0 " +
+        "FROM events GROUP BY 1), " +
+        "c AS (SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS tc " +
+        "FROM events WHERE event_type = 'purchase' AND value >= 95.0 " +
+        "GROUP BY 1), " +
+        "l AS (SELECT c.tc - f.t0 AS lag FROM c JOIN f USING (user_id)), " +
+        "b AS (SELECT CASE WHEN lag <= 0 THEN -1 " +
+        "ELSE CAST(FLOOR(LOG2(CAST(lag AS DOUBLE))) AS BIGINT) END AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1), " +
+        "w AS (SELECT bucket, n, CAST(SUM(n) OVER () AS BIGINT) AS t, " +
+        "CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum FROM b) " +
+        "SELECT bucket, CAST(POW(2.0, bucket) AS BIGINT) AS lo_us, n, " +
+        "ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share, " +
+        "ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS cum_share " +
+        "FROM w ORDER BY bucket"),
     // same distinct frame, user self-join with the t1 < t2 order and
     // one exact Jaccard division per pair
     "c92_type_affinity" ->

@@ -4358,6 +4358,32 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(g => g._6 > 0.0 && g._6 <= 1.0))
   }
 
+  test("c93 conversion lag: lag mass telescopes to the converter count and the histogram recomputes exactly") {
+    val ev = Lake.table(spark, SfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val first = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val convs = ev.filter(e => e._3 == "purchase" && e._4 >= 95.0)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).min }
+    val exp = convs.map { case (u, tc) =>
+      val lag = tc - first(u)
+      if (lag <= 0) -1L else math.floor(math.log(lag.toDouble) /
+        math.log(2.0)).toLong
+    }.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val got = graft.queries.Surface.queries("c93_conversion_lag")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(got.map(_._3).sum == convs.size.toLong,
+      "every converter lands in exactly one bucket")
+    got.foreach { case (b, lo, n, _) =>
+      assert(n == exp(b), s"bucket $b")
+      if (b >= 0) assert(lo == (1L << b.toInt))
+    }
+    assert(got.last._4 == 1.0)
+  }
+
   test("c90 cohort ltv: weekly cents telescope to the corpus purchase total, curves never decrease") {
     val rows = graft.queries.Surface.queries("c90_cohort_ltv")(spark, SfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
