@@ -102,6 +102,31 @@ object Surface {
           (col("n_total").cast("double") * lit(1000000.0)), 4).as("ate"))
   }
 
+  /** c92's affinity stage over a DISTINCT (user_id, event_type)
+    * frame — the set table is exactly what the s31 streaming monitor
+    * maintains by per-batch union-distinct (s13's set-semantics IVM
+    * case), so batch and streamed readouts share this stage.
+    */
+  def typeAffinityFromPairs(ut: DataFrame): DataFrame = {
+    val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(n1.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(n1.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 4)
+          .as("jaccard"))
+  }
+
   /** c86's matching/estimation stage over a (stratum, arm, conv)
     * per-user frame — exposed so tests can plant confounded
     * compositions (the whole point of CEM is that the within-stratum
@@ -1365,28 +1390,10 @@ object Surface {
     // (user, type) distinct frame self-joins on user_id with t1 < t2
     // — per-user fan-out is C(|types|,2)-bounded (x81's basket
     // argument), and everything after is a \|types\|²-row frame.
-    "c92_type_affinity" -> ((spark, sfDir) => {
-      val ut = t(spark, sfDir, "events")
-        .select(col("user_id"), col("event_type")).distinct()
-      val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      val pairs = ut.as("a").join(ut.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.event_type") < col("b.event_type"))
-        .groupBy(col("a.event_type").as("type_a"),
-          col("b.event_type").as("type_b"))
-        .agg(count(lit(1)).as("n_both"))
-      pairs
-        .join(broadcast(n1.select(col("event_type").as("type_a"),
-          col("n").as("n_a"))), "type_a")
-        .join(broadcast(n1.select(col("event_type").as("type_b"),
-          col("n").as("n_b"))), "type_b")
-        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
-          col("n_both"),
-          round(col("n_both").cast("double") /
-            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 4)
-            .as("jaccard"))
-        .orderBy(col("type_a"), col("type_b"))
-    }),
+    "c92_type_affinity" -> ((spark, sfDir) =>
+      typeAffinityFromPairs(t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type")).distinct())
+        .orderBy(col("type_a"), col("type_b"))),
 
     // OUTLIER USERS — x175's 3σ verdict at USER grain (the chart
     // flags anomalous DAYS; this flags the bot/scraper-shaped

@@ -1301,6 +1301,54 @@ object Streams {
       .orderBy(col("source"))
   }
 
+  /** s31: c92's type-affinity matrix with the DISTINCT (user_id,
+    * event_type) set table maintained incrementally — s13's
+    * set-semantics IVM case (counts don't merge by +; membership
+    * merges by union-distinct, which is idempotent and so replay-
+    * safe by construction); readout through the shared
+    * [[graft.queries.Surface.typeAffinityFromPairs]] stage ⇒
+    * streamed ≡ batch c92. State is (users × observed types)-sized —
+    * the same bound the batch distinct pays.
+    */
+  def foreachBatchTypeAffinity(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s31_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/set_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .select(col("user_id"), col("event_type")).distinct()
+          val next = latest match {
+            case None => delta
+            case Some(prev) =>
+              spark.read.parquet(prev).unionByName(delta).distinct()
+          }
+          next.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.queries.Surface.typeAffinityFromPairs(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s31: stream produced no batches"))))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** s16: streaming maintenance of a JOIN view — the IVM case s12
     * (additive agg) and s13 (set semantics) don't cover: BOTH join
     * sides grow over time. The classic degree-count factorization
@@ -1606,6 +1654,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchHolm(spark, sfDir)),
     "s30_stream_hapax" ->
       ((spark, sfDir) => foreachBatchHapax(spark, sfDir)),
+    "s31_stream_type_affinity" ->
+      ((spark, sfDir) => foreachBatchTypeAffinity(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1738,6 +1788,10 @@ object Streams {
     // through its additive sufficient statistic
     "s30_stream_hapax" ->
       graft.ext.TextAnalysis.oracles("x183_hapax_share"),
+    // the IVM contract verbatim: the affinity matrix off the
+    // union-distinct-maintained membership set ≡ batch c92
+    "s31_stream_type_affinity" ->
+      graft.queries.Surface.oracles("c92_type_affinity"),
     // the IVM contract verbatim: maintained cell table through the
     // shared diversity stage ≡ batch x136
     "s21_stream_simpson" ->

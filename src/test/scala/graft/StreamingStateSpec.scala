@@ -478,6 +478,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed hapax diverges from batch x183:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming type affinity equals batch c92 across a multi-batch run (s31)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = graft.streaming.Streams
+      .foreachBatchTypeAffinity(spark, SfDir).collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s31_$tag")
+      .listFiles().count(_.getName.startsWith("set_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.queries.Surface.queries("c92_type_affinity")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed affinity diverges from batch c92:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Simpson diversity equals batch x136 across a multi-batch run (s21)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
