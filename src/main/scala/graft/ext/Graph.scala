@@ -271,24 +271,29 @@ object Graph {
   def triangleEnum(arcs: DataFrame): DataFrame = {
     // edge-iterator form: every triangle is (a→b, a→c, b→c) exactly
     // once under the orientation, so enumerating c ∈ N⁺(a) ∩ N⁺(b)
-    // per arc (a, b) finds each triangle once — as a codegen'd
-    // array_intersect over sorted out-neighbor arrays (bounded by the
-    // oriented-degree O(√E) cap) instead of materializing the
-    // O(Σ od²) wedge stream through a join (82 M rows on the sf0.1
-    // co-purchase graph; the intersect form does the same element
-    // comparisons inside one stage over the E-row arc frame and
-    // benched 3× faster there). The two adjacency joins are
+    // per arc (a, b) finds each triangle once — over sorted
+    // out-neighbor arrays (bounded by the oriented-degree O(√E) cap)
+    // instead of materializing the O(Σ od²) wedge stream through a
+    // join (82 M rows on the sf0.1 co-purchase graph; the intersect
+    // form does the same element comparisons inside one stage over
+    // the E-row arc frame and benched 3× faster there). The
+    // intersection itself is the native two-pointer merge
+    // ([[graft.functions.ArrayExpressions.sortedIntersect]]):
+    // `array_intersect` builds a hash set per ROW — per-arc
+    // allocation and hashing that the sorted inputs make unnecessary,
+    // at wedge-volume frequency. The two adjacency joins are
     // node-sized — broadcast while they fit, SMJ past that. A graph
     // whose oriented degree outgrows array comfort (√E elements at
     // the 100 TB extreme) degrades to the join-based wedge stream;
     // the orientation bound is what keeps either form polynomial.
     val adj = arcs.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+      .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs"))
     arcs
       .join(adj.select(col("s"), col("nbrs").as("na")), "s")
       .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), "t")
       .select(col("s").as("a"), col("t").as("b"),
-        explode(array_intersect(col("na"), col("nb"))).as("c"))
+        explode(graft.functions.ArrayExpressions.sortedIntersect(
+          col("na"), col("nb"))).as("c"))
   }
 
   /** Per-node triangle participation from a prebuilt oriented arc

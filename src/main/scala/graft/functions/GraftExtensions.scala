@@ -61,8 +61,21 @@ object GraftExtensions {
         IntDotProduct(args.head, args(1))
       })
 
+  /** (name, info, builder) row for `sorted_intersect` — the
+    * two-pointer merge [[SortedLongIntersect]] (the triangle-
+    * enumeration kernel).
+    */
+  val sortedIntersectEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"sorted_intersect takes exactly 2 arguments, got ${args.length}")
+        SortedLongIntersect(args.head, args(1))
+      })
+
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(cosineSimEntry, sqL2Entry, dotIEntry)
+    Seq(cosineSimEntry, sqL2Entry, dotIEntry, sortedIntersectEntry)
 
   /** Registers the library's native functions in an existing session's
     * function registry (no-op when already present, so every engine

@@ -211,4 +211,54 @@ class FunctionsSpec extends SparkSpec {
     val r = spark.sql("SELECT dot_i(array(1, 2), array(3, 4)) AS d").collect()(0)
     assert(r.getLong(0) == 11L)
   }
+
+  test("sorted_intersect == array_intersect on sorted distinct inputs (codegen + eval), NULL contract, SQL") {
+    import graft.functions.ArrayExpressions
+    import spark.implicits._
+    // randomized-but-deterministic sorted distinct pairs, including
+    // empty / disjoint / subset / identical shapes
+    val rnd = new scala.util.Random(13)
+    val cases: Seq[(Long, Seq[Long], Seq[Long])] =
+      (Seq(
+        (Seq.empty[Long], Seq(1L, 2L)),
+        (Seq(1L, 2L), Seq.empty[Long]),
+        (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),   // disjoint
+        (Seq(1L, 2L, 3L), Seq(2L, 3L)),       // subset
+        (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))  // identical, negatives
+      ) ++ (1 to 40).map { _ =>
+        def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong)
+          .distinct.sorted
+        (arr(), arr())
+      }).zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    val df = cases.toDF("id", "a", "b")
+    def run(): Map[Long, Seq[Long]] = df
+      .select(col("id"),
+        ArrayExpressions.sortedIntersect(col("a"), col("b")).as("got"),
+        array_intersect(col("a"), col("b")).as("want"))
+      .collect().map { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"id ${r.getLong(0)}: merge ${r.getSeq[Long](1)} != hash ${r.getSeq[Long](2)}")
+        r.getLong(0) -> r.getSeq[Long](1).toSeq
+      }.toMap
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == codegen, "interpreted eval must agree with codegen")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // NULL contract: null array -> NULL; null element -> NULL (corrupt
+    // adjacency must surface, not shrink the intersection)
+    val na = Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
+      .toDF("a", "b")
+      .select(ArrayExpressions.sortedIntersect(col("a"), col("b"))).collect()(0)
+    assert(na.isNullAt(0), "null array must be NULL")
+    val ne = Seq((Seq[java.lang.Long](null, 2L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(ArrayExpressions.sortedIntersect(col("a"), col("b"))).collect()(0)
+    assert(ne.isNullAt(0), "null element must NULL the result")
+    // SQL dialect surface
+    GraftExtensions.ensureRegistered(spark)
+    val r2 = spark.sql(
+      "SELECT sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS s")
+      .collect()(0)
+    assert(r2.getSeq[Long](0) == Seq(3L, 5L))
+  }
 }

@@ -461,12 +461,13 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"x132 plans a non-equi join:\n$plan")
     // the node-sized adjacency frames join broadcast-side while they
-    // fit; triangle witnesses come from codegen'd array_intersect,
-    // not a materialized wedge-stream join
+    // fit; triangle witnesses come from the native two-pointer merge
+    // over sorted adjacency (sorted_intersect), not a hash-set-per-row
+    // array_intersect and not a materialized wedge-stream join
     assert(plan.contains("BroadcastHashJoin"),
       s"adjacency joins are not broadcast:\n$plan")
-    assert(plan.contains("array_intersect"),
-      s"witness enumeration is not the codegen intersect:\n$plan")
+    assert(plan.contains("sorted_intersect"),
+      s"witness enumeration is not the native merge intersect:\n$plan")
     assert(plan.contains("TakeOrdered"),
       s"top-20 not planned as TakeOrdered:\n$plan")
   }
