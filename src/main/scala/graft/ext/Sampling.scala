@@ -86,14 +86,35 @@ object Sampling {
     * between the two operators. One (type, fold) hash agg + broadcast
     * marginal joins; ≤ |types|·K rows out.
     */
-  private[graft] def targetEncodingFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = 100L
-    val cells = Lake.table(spark, sfDir, "events")
+  private[graft] def targetEncodingFrame(spark: SparkSession, sfDir: String): DataFrame =
+    encodeCells(rawScoreCells(spark, sfDir))
+
+  /** The raw (event_type, fold, n, n_pos) label-count cells — the one
+    * fact-table aggregation under the whole x139/x149/x169/x186/x187/
+    * x188 evaluation suite, and the ADDITIVE sufficient statistic the
+    * streaming maintainer (s32) merges per microbatch.
+    */
+  private[graft] def rawScoreCells(spark: SparkSession, sfDir: String): DataFrame =
+    rawScoreCellsOf(Lake.table(spark, sfDir, "events"))
+
+  /** [[rawScoreCells]] over an explicit events frame — the per-batch
+    * delta shape s32 aggregates before its additive merge.
+    */
+  private[graft] def rawScoreCellsOf(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         (sampleHash(col("user_id")) % 4).as("fold"),
         when(col("value") > 90, 1L).otherwise(0L).as("pos"))
       .groupBy(col("event_type"), col("fold"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+
+  /** The fold-excluded encoding over a prebuilt raw cell frame —
+    * [[targetEncodingFrame]]'s math with the fact-table aggregation
+    * factored out, so a maintained cell table (s32) scores through
+    * the IDENTICAL expressions as the batch build.
+    */
+  private[graft] def encodeCells(cells: DataFrame): DataFrame = {
+    val m = 100L
     val byType = cells.groupBy(col("event_type"))
       .agg(sum(col("n")).as("n_t"), sum(col("n_pos")).as("pos_t"))
     // the prior excludes the WHOLE fold (all types), not just the
@@ -104,7 +125,7 @@ object Sampling {
       sum(col("n_pos")).as("pos_g")))
     cells.join(broadcast(byType), "event_type")
       .join(broadcast(byFold), "fold").crossJoin(global)
-      .select(col("event_type"), col("fold"), col("n"),
+      .select(col("event_type"), col("fold"), col("n"), col("n_pos"),
         (col("n_t") - col("n")).as("n_excl"),
         (col("pos_t") - col("n_pos")).as("pos_excl"),
         ((col("pos_t") - col("n_pos")) * (col("n_g") - col("n_f")) +
@@ -112,6 +133,114 @@ object Sampling {
         ((col("n_t") - col("n") + lit(m)) *
           (col("n_g") - col("n_f"))).as("enc_den"))
   }
+
+  /** x186/x187/x188's SCORE CELLS: the fold-excluded encoding cells
+    * carrying the 10⁴-grid out-of-fold score (x149's regrid) plus
+    * each cell's exact (n, n_pos). Because the score is
+    * CELL-CONSTANT, every threshold/ranking metric over the scorer —
+    * ROC, PR, Brier — collapses algebraically from event grain onto
+    * this ≤|types|·K frame: x149/x169's event⋈cells scoring join is
+    * provably redundant for metrics that only need (score, n, n_pos),
+    * so these operators never touch the fact table again after the
+    * one aggregation that builds the cells (the x147
+    * algebraic-elimination discipline — at 100 TB the scorer's whole
+    * evaluation suite costs ONE fact-table pass shared via the cell
+    * frame). Also the exact sufficient statistic s32 maintains
+    * incrementally: cells merge additively per microbatch.
+    */
+  private[graft] def scoreCells(spark: SparkSession, sfDir: String): DataFrame =
+    scoreCellsFrom(rawScoreCells(spark, sfDir))
+
+  /** [[scoreCells]] over a prebuilt raw cell frame (s32's maintained
+    * state reads out through this exact stage).
+    */
+  private[graft] def scoreCellsFrom(cells: DataFrame): DataFrame =
+    encodeCells(cells)
+      .select(
+        round(col("enc_num").cast("double") /
+          col("enc_den").cast("double") * 10000.0, 0)
+          .cast("long").as("enc_fp"),
+        col("n"), col("n_pos"))
+
+  /** x186's readout over a (enc_fp, n, n_pos) cell frame — shared
+    * with the streaming maintainer (s32) so streamed ≡ batch is
+    * literal frame equality. Tie-aware exact AUC: collapsing to
+    * score grain, the Mann–Whitney rank-sum with average ranks is
+    * 2·R⁺ = Σ_g n_pos_g·(2·cum_before_g + n_g + 1) — all BIGINT, so
+    * AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is one exact rational with a
+    * single division at 6 dp. ROC curve points (FPR, TPR at each
+    * distinct score, threshold = score-or-above) ride the same
+    * ≤|distinct scores| frame; every window runs over that
+    * model-sized frame, never the data.
+    */
+  def aucFromScoreCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = cells.groupBy(col("enc_fp"))
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+    val asc = Window.orderBy(col("enc_fp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dsc = Window.orderBy(desc("enc_fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(lit(1))
+    byScore
+      .withColumn("cum_before", coalesce(sum(col("n")).over(asc), lit(0L)))
+      .withColumn("cum_n_d", sum(col("n")).over(dsc))
+      .withColumn("cum_pos_d", sum(col("n_pos")).over(dsc))
+      .withColumn("tot", sum(col("n")).over(whole))
+      .withColumn("tot_pos", sum(col("n_pos")).over(whole))
+      .withColumn("r2_sum", sum(col("n_pos") *
+        (lit(2L) * col("cum_before") + col("n") + lit(1L))).over(whole))
+      .withColumn("u2",
+        col("r2_sum") - col("tot_pos") * (col("tot_pos") + lit(1L)))
+      .select(col("enc_fp").as("score_fp"), col("n"), col("n_pos"),
+        // single-class degenerate frames: the undefined axis (and the
+        // AUC) read NULL, never an ANSI DIVIDE_BY_ZERO crash
+        when(col("tot") > col("tot_pos"),
+          round((col("cum_n_d") - col("cum_pos_d")).cast("double") /
+            (col("tot") - col("tot_pos")).cast("double"), 4)).as("fpr"),
+        when(col("tot_pos") > 0,
+          round(col("cum_pos_d").cast("double") /
+            col("tot_pos").cast("double"), 4)).as("tpr"),
+        when(col("tot_pos") > 0 && col("tot") > col("tot_pos"),
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("tot_pos").cast("double") *
+              (col("tot") - col("tot_pos")).cast("double")), 6))
+          .as("auc"))
+      .orderBy(desc("score_fp"))
+  }
+
+  /** Replicate count for the x189 Poisson bootstrap. */
+  val BootReps = 8
+
+  /** Poisson(1) cumulative-probability thresholds on the [0, HashMod)
+    * integer grid: `PoisCum(k)` = ⌊HashMod · P(X ≤ k)⌋, so a uniform
+    * hash h maps to multiplicity w = min{k : h < PoisCum(k)} (tail
+    * capped at [[PoisTail]] — P(X > 6) ≈ 8·10⁻⁵, and capping bounds
+    * the per-row work a replicate can owe). Evaluated once at class
+    * init from exp(−1) partial sums; both the Spark CASE chain and
+    * the DuckDB oracle interpolate the SAME frozen longs, so the
+    * "random" draw is a pure integer comparison on both engines.
+    */
+  val PoisCum: IndexedSeq[Long] = {
+    var term = math.exp(-1.0) // P(X = k), rolling: e⁻¹/k!
+    var cum = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) term /= k
+      cum += term
+      math.floor(cum * HashMod).toLong
+    }
+  }
+
+  /** Tail multiplicity for hashes past the last threshold. */
+  val PoisTail = 7L
+
+  /** The CASE chain mapping a [0, HashMod) hash to its Poisson(1)
+    * multiplicity via [[PoisCum]].
+    */
+  def poissonWeight(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PoisCum.zipWithIndex.foldRight(lit(PoisTail)) { case ((thr, k), rest) =>
+      when(h < thr, lit(k.toLong)).otherwise(rest)
+    }
 
   /** x157's Efraimidis–Spirakis A-ES keys over a (doc_id, n_chars)
     * frame: u = (2h+1)/(2·HashMod) on the odd grid (strictly inside
@@ -126,6 +255,190 @@ object Sampling {
         lit(1000000000.0), 0).cast("long").as("key_fp"))
 
   val queries: Map[String, Q] = Map(
+    // EXACT ROC-AUC + CURVE — the ranking-quality companion x149/x169
+    // were missing (ECE: "is the score a probability"; gains: "does
+    // the top slice capture conversions"; AUC: "does the scorer rank
+    // a random positive above a random negative"): the tie-aware
+    // Mann–Whitney statistic computed EXACTLY at score granularity.
+    // Scale shape: see [[scoreCells]] — one fact-table aggregation
+    // builds the cells; the rank-sum, ROC points and AUC all live on
+    // the ≤|types|·K cell frame with BIGINT arithmetic and exactly
+    // one division each.
+    "x186_roc_auc" -> ((spark, sfDir) =>
+      aucFromScoreCells(scoreCells(spark, sfDir))),
+
+    // PR-AUC / AVERAGE PRECISION — the class-imbalance-honest twin of
+    // x186 (ROC flatters a scorer when negatives dominate; the
+    // precision-recall curve does not): step-integrated AP =
+    // Σ_g n_pos_g · precision(cut=g) / n⁺ over the same score-grain
+    // frame. precision(cut) is an exact rational regridded once to
+    // 10⁻⁶ (one double division per DISTINCT SCORE — never per row),
+    // so AP is an exact integer dot product with one closing
+    // division; same cell-frame scale shape as x186.
+    "x187_pr_auc" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byScore = scoreCells(spark, sfDir).groupBy(col("enc_fp"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+      val dsc = Window.orderBy(desc("enc_fp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(lit(1))
+      byScore
+        .withColumn("cum_n_d", sum(col("n")).over(dsc))
+        .withColumn("cum_pos_d", sum(col("n_pos")).over(dsc))
+        .withColumn("tot_pos", sum(col("n_pos")).over(whole))
+        .withColumn("prec_fp",
+          round(col("cum_pos_d").cast("double") * 1000000.0 /
+            col("cum_n_d").cast("double"), 0).cast("long"))
+        .withColumn("ap_num", sum(col("n_pos") * col("prec_fp")).over(whole))
+        .select(col("enc_fp").as("score_fp"), col("n"), col("n_pos"),
+          round(col("cum_pos_d").cast("double") /
+            col("tot_pos").cast("double"), 4).as("recall"),
+          round(col("prec_fp").cast("double") / 1000000.0, 4)
+            .as("precision"),
+          round(col("ap_num").cast("double") /
+            (lit(1000000.0) * col("tot_pos").cast("double")), 6)
+            .as("pr_auc"))
+        .orderBy(desc("score_fp"))
+    }),
+
+    // BRIER SCORE + MURPHY DECOMPOSITION — the proper-scoring-rule
+    // view beside x149's ECE (ECE reports |gap| per bin; the Murphy
+    // split says WHERE the score loses: reliability = miscalibration
+    // you could recalibrate away, resolution = discrimination the
+    // scorer actually has, uncertainty = the label's own entropy
+    // floor; Brier ≈ REL − RES + UNC). The event-grain Brier sum
+    // collapses exactly onto the cells — Σ(conf−y)² =
+    // Σ_cells [n·s² − 2·10⁴·s·n_pos + 10⁸·n_pos] on the 10⁻⁸ integer
+    // grid (s = the cell's 10⁴-grid score) — and the per-bin REL/RES
+    // terms are exact rationals regridded once to 10⁻⁹ (one double
+    // expression per BIN). Same one-fact-pass scale shape as x186.
+    "x188_brier_decomp" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = scoreCells(spark, sfDir)
+      val whole = Window.partitionBy(lit(1))
+      val binned = cells
+        .select(expr("LEAST(enc_fp DIV 1000, 9)").as("bin"),
+          col("enc_fp"), col("n"), col("n_pos"),
+          // exact per-cell Brier numerator on the 10^-8 grid
+          (col("n") * col("enc_fp") * col("enc_fp") -
+            lit(20000L) * col("enc_fp") * col("n_pos") +
+            lit(100000000L) * col("n_pos")).as("brier_num"))
+        .groupBy(col("bin"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+          sum(col("enc_fp") * col("n")).as("conf_fp"),
+          sum(col("brier_num")).as("brier_num"))
+      binned
+        .withColumn("tot", sum(col("n")).over(whole))
+        .withColumn("tot_pos", sum(col("n_pos")).over(whole))
+        // REL_k·N = Δ²/(10⁸·n_k) with Δ = conf_fp − 10⁴·n_pos; RES_k·N
+        // = Δr²/(n_k·N²) with Δr = n_pos_k·N − n⁺·n_k — each regridded
+        // to 10⁻⁹ with one double expression per bin
+        .withColumn("rel_fp", round(
+          (col("conf_fp") - lit(10000L) * col("n_pos")).cast("double") *
+            (col("conf_fp") - lit(10000L) * col("n_pos")).cast("double") /
+            (lit(100000000.0) * col("n").cast("double")) * 1000000000.0, 0)
+          .cast("long"))
+        .withColumn("res_fp", round(
+          (col("n_pos") * col("tot") - col("tot_pos") * col("n")).cast("double") *
+            (col("n_pos") * col("tot") - col("tot_pos") * col("n")).cast("double") /
+            (col("n").cast("double") * col("tot").cast("double") *
+              col("tot").cast("double")) * 1000000000.0, 0)
+          .cast("long"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("conf_fp").cast("double") /
+            (col("n").cast("double") * 10000.0), 4).as("avg_conf"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+            .as("acc"),
+          round(sum(col("brier_num")).over(whole).cast("double") /
+            (lit(100000000.0) * sum(col("n")).over(whole).cast("double")), 6)
+            .as("brier"),
+          round(sum(col("rel_fp")).over(whole).cast("double") /
+            (lit(1000000000.0) * col("tot").cast("double")), 6)
+            .as("reliability"),
+          round(sum(col("res_fp")).over(whole).cast("double") /
+            (lit(1000000000.0) * col("tot").cast("double")), 6)
+            .as("resolution"),
+          round(col("tot_pos").cast("double") *
+            (col("tot") - col("tot_pos")).cast("double") /
+            (col("tot").cast("double") * col("tot").cast("double")), 6)
+            .as("uncertainty"))
+        .orderBy(col("bin"))
+    }),
+
+    // POISSON BOOTSTRAP CI — THE distributed bootstrap (resampling n
+    // rows WITH replacement needs global coordination; giving each
+    // row an independent Poisson(1) multiplicity per replicate needs
+    // NONE — the approximation that makes bootstrap a one-pass
+    // map-side operation at any scale): B=8 replicate means of doc
+    // length, each row's replicate weight drawn by inverse-CDF over
+    // the deterministic (doc, replicate) hash, so the "random"
+    // resample is engine-reproducible and fully oracle-checkable.
+    // Scale shape: explode ×8 at doc grain, one partial-aggregatable
+    // groupBy(replicate) — 8 running sums; the CI readout windows
+    // over the 8-row replicate frame.
+    "x189_bootstrap_ci" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(array((0 until BootReps).map(b => lit(b.toLong)): _*))
+            .as("b"))
+        .withColumn("h",
+          (sampleHash(col("doc_id")) + col("b") * lit(1300997L)) *
+            lit(48271L) % lit(HashMod))
+        .withColumn("w", poissonWeight(col("h")))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("sum_chars"))
+        .withColumn("mean_chars",
+          when(col("n_eff") > 0,
+            round(col("sum_chars").cast("double") /
+              col("n_eff").cast("double"), 4)))
+        .select(col("b").as("replicate"), col("n_eff"), col("mean_chars"),
+          min(col("mean_chars")).over(whole).as("ci_lo"),
+          max(col("mean_chars")).over(whole).as("ci_hi"))
+        .orderBy(col("replicate"))
+    }),
+
+    // QUANTILE NORMALIZATION — map every source's length distribution
+    // onto the GLOBAL one (the cross-source comparability transform:
+    // after it, "long for its source" means the same thing
+    // everywhere — microarray normalization's trick applied to corpus
+    // stats): doc at within-source rank r of n_s maps to the global
+    // value at rank ⌈r·N/n_s⌉, all exact integer arithmetic. Scale
+    // shape: the within-source rank is a per-source window (parallel
+    // across sources); the global distribution is NEVER ranked at row
+    // grain — it collapses to the value-frequency table (distinct
+    // lengths, model-sized) whose cumulative bounds broadcast, and
+    // the lookup is a doc⋈interval broadcast join. No global
+    // single-partition pass anywhere.
+    "x191_quantile_normalize" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val n = broadcast(d.agg(count(lit(1)).as("n_tot")))
+      val srcN = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val bySrc = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val byLen = Window.orderBy(col("n_chars"))
+      val cumFreq = d.groupBy(col("n_chars")).agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(
+          byLen.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum_before", coalesce(sum(col("f")).over(
+          byLen.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("n_chars").as("norm_chars"), col("cum"),
+          col("cum_before"))
+      d.join(broadcast(srcN), "source").crossJoin(n)
+        .withColumn("r", row_number().over(bySrc).cast("long"))
+        .withColumn("g_idx",
+          expr("(r * n_tot + n_s - 1) DIV n_s"))
+        .join(broadcast(cumFreq),
+          col("g_idx") > col("cum_before") && col("g_idx") <= col("cum"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (A-ES) — the Efraimidis–
     // Spirakis exponential-key trick, THE one-pass distributed
     // primitive for "sample k docs ∝ token count" (x20/x37 sample by
@@ -918,7 +1231,136 @@ object Sampling {
         when(col("bought").isNull, 1).otherwise(0).as("churned"))
   }
 
+  /** Shared oracle CTE: the fold-excluded encoding cells carrying
+    * (n, n_pos) plus the score-grain rollup `sc` — the SQL twin of
+    * [[scoreCells]] (x149's cells CTE extended with the per-cell
+    * counts x186-x188 aggregate).
+    */
+  private def scoreCellsCte: String =
+    s"WITH c AS (SELECT event_type, " +
+      s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+      "FROM events GROUP BY 1, 2), " +
+      "t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t, " +
+      "CAST(SUM(n_pos) AS BIGINT) AS pos_t FROM c GROUP BY 1), " +
+      "f AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f, " +
+      "CAST(SUM(n_pos) AS BIGINT) AS pos_f FROM c GROUP BY 1), " +
+      "g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, " +
+      "CAST(SUM(n_pos) AS BIGINT) AS pos_g FROM c), " +
+      "cells AS (SELECT c.event_type, c.fold, c.n, c.n_pos, " +
+      "CAST(ROUND(CAST((pos_t - c.n_pos) * (n_g - n_f) + 100 * (pos_g - pos_f) AS DOUBLE) / " +
+      "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE) * 10000.0) AS BIGINT) AS enc_fp " +
+      "FROM c JOIN t USING (event_type) JOIN f USING (fold), g), " +
+      "sc AS (SELECT enc_fp, CAST(SUM(n) AS BIGINT) AS n, " +
+      "CAST(SUM(n_pos) AS BIGINT) AS n_pos FROM cells GROUP BY 1)"
+
   val oracles: Map[String, String] = Map(
+    // same tie-aware BIGINT rank-sum at score grain, one division
+    "x186_roc_auc" ->
+      (scoreCellsCte + ", " +
+        "w AS (SELECT enc_fp, n, n_pos, " +
+        "COALESCE(CAST(SUM(n) OVER (ORDER BY enc_fp ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before, " +
+        "CAST(SUM(n) OVER (ORDER BY enc_fp DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_d, " +
+        "CAST(SUM(n_pos) OVER (ORDER BY enc_fp DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos_d, " +
+        "CAST(SUM(n) OVER () AS BIGINT) AS tot, " +
+        "CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos FROM sc), " +
+        "u AS (SELECT *, CAST(SUM(n_pos * (2 * cum_before + n + 1)) OVER () AS BIGINT) " +
+        "- tot_pos * (tot_pos + 1) AS u2 FROM w) " +
+        "SELECT enc_fp AS score_fp, n, n_pos, " +
+        "CASE WHEN tot > tot_pos THEN " +
+        "ROUND(CAST(cum_n_d - cum_pos_d AS DOUBLE) / CAST(tot - tot_pos AS DOUBLE), 4) END AS fpr, " +
+        "CASE WHEN tot_pos > 0 THEN " +
+        "ROUND(CAST(cum_pos_d AS DOUBLE) / CAST(tot_pos AS DOUBLE), 4) END AS tpr, " +
+        "CASE WHEN tot_pos > 0 AND tot > tot_pos THEN " +
+        "ROUND(CAST(u2 AS DOUBLE) / (2.0 * CAST(tot_pos AS DOUBLE) * " +
+        "CAST(tot - tot_pos AS DOUBLE)), 6) END AS auc " +
+        "FROM u ORDER BY score_fp DESC"),
+    // precision regridded once per distinct score; AP = exact integer
+    // dot product / (10⁶ · n⁺)
+    "x187_pr_auc" ->
+      (scoreCellsCte + ", " +
+        "w AS (SELECT enc_fp, n, n_pos, " +
+        "CAST(SUM(n) OVER (ORDER BY enc_fp DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n_d, " +
+        "CAST(SUM(n_pos) OVER (ORDER BY enc_fp DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos_d, " +
+        "CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos FROM sc), " +
+        "p AS (SELECT *, CAST(ROUND(CAST(cum_pos_d AS DOUBLE) * 1000000.0 / " +
+        "CAST(cum_n_d AS DOUBLE)) AS BIGINT) AS prec_fp FROM w) " +
+        "SELECT enc_fp AS score_fp, n, n_pos, " +
+        "ROUND(CAST(cum_pos_d AS DOUBLE) / CAST(tot_pos AS DOUBLE), 4) AS recall, " +
+        "ROUND(CAST(prec_fp AS DOUBLE) / 1000000.0, 4) AS precision, " +
+        "ROUND(CAST(SUM(n_pos * prec_fp) OVER () AS DOUBLE) / " +
+        "(1000000.0 * CAST(tot_pos AS DOUBLE)), 6) AS pr_auc " +
+        "FROM p ORDER BY score_fp DESC"),
+    // the same 10⁻⁸-grid Brier numerator and 10⁻⁹-grid per-bin
+    // REL/RES terms, each with one double expression per bin
+    "x188_brier_decomp" ->
+      (scoreCellsCte + ", " +
+        "bb AS (SELECT LEAST(enc_fp // 1000, 9) AS bin, " +
+        "CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(n_pos) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(enc_fp * n) AS BIGINT) AS conf_fp, " +
+        "CAST(SUM(n * enc_fp * enc_fp - 20000 * enc_fp * n_pos + 100000000 * n_pos) AS BIGINT) AS brier_num " +
+        "FROM cells GROUP BY 1), " +
+        "w AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tot, " +
+        "CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos FROM bb), " +
+        "r AS (SELECT *, " +
+        "CAST(ROUND(CAST(conf_fp - 10000 * n_pos AS DOUBLE) * " +
+        "CAST(conf_fp - 10000 * n_pos AS DOUBLE) / " +
+        "(100000000.0 * CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS rel_fp, " +
+        "CAST(ROUND(CAST(n_pos * tot - tot_pos * n AS DOUBLE) * " +
+        "CAST(n_pos * tot - tot_pos * n AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) * " +
+        "1000000000.0) AS BIGINT) AS res_fp FROM w) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n, n_pos, " +
+        "ROUND(CAST(conf_fp AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4) AS avg_conf, " +
+        "ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 4) AS acc, " +
+        "ROUND(CAST(SUM(brier_num) OVER () AS DOUBLE) / " +
+        "(100000000.0 * CAST(SUM(n) OVER () AS DOUBLE)), 6) AS brier, " +
+        "ROUND(CAST(SUM(rel_fp) OVER () AS DOUBLE) / " +
+        "(1000000000.0 * CAST(tot AS DOUBLE)), 6) AS reliability, " +
+        "ROUND(CAST(SUM(res_fp) OVER () AS DOUBLE) / " +
+        "(1000000000.0 * CAST(tot AS DOUBLE)), 6) AS resolution, " +
+        "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
+        "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
+        "FROM r ORDER BY bin"),
+    // same within-source ranks, same ceil-index and interval lookup
+    "x191_quantile_normalize" ->
+      ("WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM d), " +
+        "sn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY 1), " +
+        "rk AS (SELECT doc_id, source, n_chars, " +
+        "CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r FROM d), " +
+        "fr AS (SELECT n_chars AS norm_chars, COUNT(*) AS f FROM d GROUP BY 1), " +
+        "cf AS (SELECT norm_chars, " +
+        "CAST(SUM(f) OVER (ORDER BY norm_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "COALESCE(CAST(SUM(f) OVER (ORDER BY norm_chars " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before FROM fr), " +
+        "g AS (SELECT doc_id, source, n_chars, (r * n_tot + n_s - 1) // n_s AS g_idx " +
+        "FROM rk JOIN sn USING (source), nn) " +
+        "SELECT g.doc_id, g.source, g.n_chars, cf.norm_chars " +
+        "FROM g JOIN cf ON g.g_idx > cf.cum_before AND g.g_idx <= cf.cum " +
+        "ORDER BY g.doc_id"),
+    // same frozen Poisson(1) thresholds, same (doc, replicate) hash
+    "x189_bootstrap_ci" ->
+      (s"WITH reps AS (SELECT * FROM (VALUES ${(0 until BootReps)
+        .map(b => s"($b)").mkString(",")}) AS v(b)), " +
+        "r AS (SELECT CAST(reps.b AS BIGINT) AS b, d.n_chars, " +
+        s"(((d.doc_id * $HashMul) % $HashMod) + CAST(reps.b AS BIGINT) * 1300997) " +
+        s"* 48271 % $HashMod AS h " +
+        "FROM documents d CROSS JOIN reps), " +
+        "w AS (SELECT b, n_chars, CASE " +
+        PoisCum.zipWithIndex.map { case (thr, k) =>
+          s"WHEN h < $thr THEN $k "
+        }.mkString +
+        s"ELSE $PoisTail END AS w FROM r), " +
+        "m AS (SELECT b AS replicate, CAST(SUM(w) AS BIGINT) AS n_eff, " +
+        "CAST(SUM(w * n_chars) AS BIGINT) AS sum_chars FROM w GROUP BY 1), " +
+        "mm AS (SELECT replicate, n_eff, CASE WHEN n_eff > 0 THEN " +
+        "ROUND(CAST(sum_chars AS DOUBLE) / CAST(n_eff AS DOUBLE), 4) END AS mean_chars FROM m) " +
+        "SELECT replicate, n_eff, mean_chars, " +
+        "MIN(mean_chars) OVER () AS ci_lo, MAX(mean_chars) OVER () AS ci_hi " +
+        "FROM mm ORDER BY replicate"),
     // same cutoff snapshot for every feature, same purchase-window
     // distinct-buyer left join for the label; INTEGER/BIGINT casts
     // pin the c76 dtype convention

@@ -632,6 +632,58 @@ object TextAnalysis {
         !col("f_stop")).cast("long")).as("n_pass"))
   }
 
+  /** x44's vocabulary-growth curve (types vs tokens as the corpus
+    * grows in doc_id order), bucket width 50 — shared with x190's
+    * Heaps fit so the plotted curve and the fitted exponent read the
+    * SAME frame. A token's arrival position is its MIN doc_id (one
+    * hash groupBy over the exploded tokens — partial-aggregatable);
+    * bucketing collapses the curve to a model-sized table, so the
+    * running sums ride a window over buckets, never the corpus.
+    */
+  private def vocabGrowthCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val newTypes = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCounts = tok.groupBy(expr("doc_id DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        sum(col("new_types")).over(byBucket).as("vocab_size"),
+        sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
+  }
+
+  /** x190's type-growth curve over 3-GRAM SHINGLE types (the shared
+    * x05 lake artifact): per 50-doc bucket, cumulative shingle
+    * occurrences vs cumulative first-seen shingle types — x44's
+    * construction with the shingle table as the token stream. Same
+    * scale shape: two partial-aggregatable hash aggs over the
+    * artifact, windows over the bucket frame only.
+    */
+  private def shingleGrowthCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Lake.materialize(spark, sfDir, "x05_shingles") {
+      Dedup.shingleTable(docs(spark, sfDir))
+    }
+    val newTypes = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCounts = sh.groupBy(expr("doc_id DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCounts.join(newTypes, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("bucket"),
+        sum(col("new_types")).over(byBucket).as("vocab_size"),
+        sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // GINI LENGTH CONCENTRATION — the inequality read of each
@@ -1670,23 +1722,58 @@ object TextAnalysis {
     // that keeps the bucket table in the thousands of rows and the
     // single-task window stays trivially bounded (the Prefix.scala
     // discipline — this is its small-domain fast path).
-    "x44_vocab_growth" -> ((spark, sfDir) => {
-      val tok = docs(spark, sfDir)
-        .select(col("doc_id"), explode(tokens).as("token"))
-      val newTypes = tok.groupBy(col("token"))
-        .agg(min(col("doc_id")).as("first_doc"))
-        .groupBy(expr("first_doc DIV 50").as("bucket"))
-        .agg(count(lit(1)).as("new_types"))
-      val tokCounts = tok.groupBy(expr("doc_id DIV 50").as("bucket"))
-        .agg(count(lit(1)).as("n_tokens"))
-      val byBucket = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tokCounts.join(newTypes, Seq("bucket"), "left")
-        .na.fill(0L, Seq("new_types"))
-        .select(col("bucket"), col("n_tokens"), col("new_types"),
-          sum(col("new_types")).over(byBucket).as("vocab_size"),
-          sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
-        .orderBy(col("bucket"))
+    "x44_vocab_growth" -> ((spark, sfDir) =>
+      vocabGrowthCurve(spark, sfDir).orderBy(col("bucket"))),
+
+    // HEAPS'-LAW FIT — the scaling-law READOUT of the type-growth
+    // curve (x44 plots it; this fits V ≈ K·nᵝ and reports the
+    // exponent — the one number that predicts how much NEW vocabulary
+    // another 10× of this source buys, the curator's
+    // diminishing-returns dial; β the direct analog of x172's
+    // power-law α for Heaps' regime). The fit runs over 3-GRAM
+    // SHINGLE types (the x05 lake artifact), not word types: this
+    // corpus's word vocabulary saturates at 31 types inside the first
+    // bucket (y-variance 0 → the OLS denominator vanishes — the
+    // degenerate case the guards below surface as NULL), while the
+    // ~16k shingle types grow the textbook concave curve; n-gram
+    // types are the standard Heaps domain when the unigram alphabet
+    // is tiny. Log-log OLS: both coordinates land on the 10⁻⁶ ln grid
+    // (ln over exact BIGINT cumulative counts — x158's rule), the
+    // five OLS sums are exact BIGINT aggregates of grid products, and
+    // slope/intercept/R² are fixed scalar expressions over those
+    // sums. Scale shape: two hash aggs over the shared shingle
+    // artifact, then everything runs on the ≤|corpus|/50-row bucket
+    // frame; at 100 TB widen the bucket so the frame stays in the
+    // thousands and the fit is free.
+    "x190_heaps_fit" -> ((spark, sfDir) => {
+      val pts = shingleGrowthCurve(spark, sfDir)
+        .select(
+          round(log(col("cum_tokens").cast("double")) * 1000000.0, 0)
+            .cast("long").as("x_fp"),
+          round(log(col("vocab_size").cast("double")) * 1000000.0, 0)
+            .cast("long").as("y_fp"))
+      pts.agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x_fp")).as("sx"), sum(col("y_fp")).as("sy"),
+        sum(col("x_fp") * col("x_fp")).as("sxx"),
+        sum(col("x_fp") * col("y_fp")).as("sxy"),
+        sum(col("y_fp") * col("y_fp")).as("syy"))
+        .withColumn("dx", col("n_points") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+        .withColumn("dy", col("n_points") * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))
+        .withColumn("cxy", col("n_points") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+        .select(col("n_points"),
+          when(col("dx") =!= 0.0, round(col("cxy") / col("dx"), 6))
+            .as("beta"),
+          when(col("dx") =!= 0.0,
+            round(((col("sy").cast("double") -
+              (col("cxy") / col("dx")) * col("sx").cast("double")) /
+              col("n_points").cast("double")) / 1000000.0, 6)).as("ln_k"),
+          when(col("dx") =!= 0.0 && col("dy") =!= 0.0,
+            round(col("cxy") * col("cxy") / (col("dx") * col("dy")), 6))
+            .as("r2"))
     }),
 
     // SHINGLE NOVELTY — fraction of a document's distinct 3-grams
@@ -2931,6 +3018,41 @@ object TextAnalysis {
         "(ORDER BY t.bucket) AS BIGINT) AS vocab_size, " +
         "CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens " +
         "FROM tokb t LEFT JOIN newb n USING (bucket) ORDER BY t.bucket"),
+    // x05's shingle CTE as the type stream, both log coordinates on
+    // the 10^-6 ln grid, exact BIGINT OLS sums, the same guarded
+    // scalar expressions
+    "x190_heaps_fit" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "fst AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1), " +
+        "newb AS (SELECT first_doc // 50 AS bucket, COUNT(*) AS new_types " +
+        "FROM fst GROUP BY 1), " +
+        "tokb AS (SELECT doc_id // 50 AS bucket, COUNT(*) AS n_tokens " +
+        "FROM sh GROUP BY 1), " +
+        "curve AS (SELECT t.bucket, " +
+        "CAST(SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.bucket) AS BIGINT) AS vocab_size, " +
+        "CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT) AS cum_tokens " +
+        "FROM tokb t LEFT JOIN newb n USING (bucket)), " +
+        "p AS (SELECT " +
+        "CAST(ROUND(LN(CAST(cum_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS x_fp, " +
+        "CAST(ROUND(LN(CAST(vocab_size AS DOUBLE)) * 1000000.0) AS BIGINT) AS y_fp FROM curve), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points, " +
+        "CAST(SUM(x_fp) AS BIGINT) AS sx, CAST(SUM(y_fp) AS BIGINT) AS sy, " +
+        "CAST(SUM(x_fp * x_fp) AS BIGINT) AS sxx, " +
+        "CAST(SUM(x_fp * y_fp) AS BIGINT) AS sxy, " +
+        "CAST(SUM(y_fp * y_fp) AS BIGINT) AS syy FROM p), " +
+        "d AS (SELECT n_points, sx, sy, " +
+        "n_points * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx, " +
+        "n_points * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy, " +
+        "n_points * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cxy FROM s) " +
+        "SELECT n_points, " +
+        "CASE WHEN dx <> 0.0 THEN ROUND(cxy / dx, 6) END AS beta, " +
+        "CASE WHEN dx <> 0.0 THEN ROUND(((CAST(sy AS DOUBLE) - " +
+        "(cxy / dx) * CAST(sx AS DOUBLE)) / CAST(n_points AS DOUBLE)) / 1000000.0, 6) END AS ln_k, " +
+        "CASE WHEN dx <> 0.0 AND dy <> 0.0 THEN " +
+        "ROUND(cxy * cxy / (dx * dy), 6) END AS r2 " +
+        "FROM d"),
     // x05's shingle CTE + first-arrival min; exact integers, one
     // division
     "x50_novelty" ->

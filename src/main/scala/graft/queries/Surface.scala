@@ -258,6 +258,44 @@ object Surface {
           .as("surv"))
   }
 
+  /** c94's Nelson–Aalen estimator over the same (t_day, died) subject
+    * frame as [[kaplanMeier]]: cumulative hazard H(t) = Σ_{tᵢ≤t}
+    * dᵢ/nᵢ — the additive view of the same counting process (KM
+    * multiplies survival factors; NA sums hazard increments, the
+    * better-behaved estimate when per-time event counts are small,
+    * and the natural input for hazard-rate comparisons). Same
+    * fixed-point discipline: each dᵢ/nᵢ is an exact rational
+    * regridded once to 10⁻⁹ (one double division per EVENT TIME), the
+    * cumulative sum is BIGINT, and the Breslow survival readout
+    * exp(−H) rides the frozen grid exactly like KM's exp-of-ln-sum.
+    * Identical scale shape: one subject-grain groupBy, windows over
+    * the ≤|distinct event times| frame.
+    */
+  def nelsonAalen(subj: DataFrame): DataFrame = {
+    val n = broadcast(subj.agg(count(lit(1)).as("n_subj")))
+    val byT = subj.groupBy(col("t_day"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("c"))
+    val prior = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(n)
+      .withColumn("n_risk",
+        col("n_subj") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("term_fp",
+        round(col("d").cast("double") * lit(1000000000.0) /
+          col("n_risk").cast("double"), 0).cast("long"))
+      .withColumn("h_fp", sum(col("term_fp")).over(cum))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"),
+        round(col("h_fp").cast("double") / lit(1000000000.0), 6)
+          .as("cum_hazard"),
+        round(exp(-col("h_fp").cast("double") / lit(1000000000.0)), 4)
+          .as("surv_breslow"))
+  }
+
   /** c79's segmentation stage over the user-grain frame (user_id, f,
     * last_d, m_cents) — shared with s19, which MAINTAINS that frame
     * incrementally (count-add / max / sum-add merges) and reads the
@@ -1617,6 +1655,61 @@ object Surface {
       kaplanMeier(subj).orderBy(col("t_day"))
     }),
 
+    // NELSON–AALEN CUMULATIVE HAZARD — c84's counting process through
+    // the additive estimator (see [[nelsonAalen]]): same subjects,
+    // same censoring, hazard increments instead of survival factors,
+    // with the Breslow S̃(t) = exp(−H) readout beside KM's
+    // product-limit S(t) for direct comparison.
+    "c94_nelson_aalen" -> ((spark, sfDir) => {
+      val a = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val life = a.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
+      val conv = a
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .groupBy(col("user_id")).agg(min(col("d")).as("dp"))
+      val subj = life.join(conv, Seq("user_id"), "left")
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("t_day"),
+          col("dp").isNotNull.as("died"))
+      nelsonAalen(subj).orderBy(col("t_day"))
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    // beside c80's randomized lift and c82's CUPED (when assignment
+    // is NOT randomized over time, the pre-period difference is the
+    // confound; DiD nets it out under the parallel-trends
+    // assumption): 2×2 cells over (c80's hash arm as the treated/
+    // control split) × (pre/post day 13), spend in integer cents
+    // (c79's float-sum rule). Four exact (n, Σcents) cells from ONE
+    // partial-aggregatable fact pass; each cell mean is one double
+    // division, and the DiD contrast is a fixed four-term expression
+    // over those scalars — windows run over the 4-row cell frame.
+    "c95_diff_in_diff" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "treat").otherwise("control").as("grp"),
+          when(expr("datediff(to_date(ts), date'2024-01-01')") < 13,
+            "pre").otherwise("post").as("period"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val cell = ev.groupBy(col("grp"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val whole = Window.partitionBy(lit(1))
+      def m(g: String, p: String) =
+        max(when(col("grp") === g && col("period") === p,
+          col("sum_cents").cast("double") / col("n").cast("double")))
+          .over(whole)
+      cell.select(col("grp"), col("period"), col("n"),
+        round(col("sum_cents").cast("double") / col("n").cast("double"), 4)
+          .as("mean_cents"),
+        round((m("treat", "post") - m("treat", "pre")) -
+          (m("control", "post") - m("control", "pre")), 4).as("did_cents"))
+        .orderBy(col("grp"), col("period"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -2158,6 +2251,56 @@ object Surface {
         "d AS n_events, c AS n_censored, " +
         "ROUND(EXP(CAST(cum_fp AS DOUBLE) / 1000000000.0), 4) AS surv " +
         "FROM cm WHERE d > 0 ORDER BY t_day"),
+    // same subject frame as c84; hazard terms on the same 10^-9 grid
+    "c94_nelson_aalen" ->
+      ("WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        "subj AS (SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subj FROM subj), " +
+        "byt AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c " +
+        "FROM subj GROUP BY 1), " +
+        "r AS (SELECT t_day, d, c, n_subj - COALESCE(SUM(d + c) OVER (" +
+        "ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk " +
+        "FROM byt, nn), " +
+        "tm AS (SELECT t_day, d, c, n_risk, " +
+        "CAST(ROUND(CAST(d AS DOUBLE) * 1000000000.0 / CAST(n_risk AS DOUBLE)) AS BIGINT) AS term_fp FROM r), " +
+        "cm AS (SELECT t_day, d, c, n_risk, " +
+        "CAST(SUM(term_fp) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_fp " +
+        "FROM tm) " +
+        "SELECT CAST(t_day AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk, " +
+        "d AS n_events, c AS n_censored, " +
+        "ROUND(CAST(h_fp AS DOUBLE) / 1000000000.0, 6) AS cum_hazard, " +
+        "ROUND(EXP(-(CAST(h_fp AS DOUBLE) / 1000000000.0)), 4) AS surv_breslow " +
+        "FROM cm WHERE d > 0 ORDER BY t_day"),
+    // same 2x2 exact cells, same cell-mean divisions, same four-term
+    // contrast expression
+    "c95_diff_in_diff" ->
+      (s"WITH e AS (SELECT CASE WHEN ((user_id * ${Sampling.HashMul}) % ${Sampling.HashMod}) " +
+        s"< ${Sampling.HashMod / 2} THEN 'treat' ELSE 'control' END AS grp, " +
+        "CASE WHEN DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) < 13 " +
+        "THEN 'pre' ELSE 'post' END AS period, " +
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
+        "cell AS (SELECT grp, period, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM e GROUP BY 1, 2), " +
+        "mm AS (SELECT *, " +
+        "MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN " +
+        "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) END) OVER () AS m_tp, " +
+        "MAX(CASE WHEN grp = 'treat' AND period = 'pre' THEN " +
+        "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) END) OVER () AS m_tr, " +
+        "MAX(CASE WHEN grp = 'control' AND period = 'post' THEN " +
+        "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) END) OVER () AS m_cp, " +
+        "MAX(CASE WHEN grp = 'control' AND period = 'pre' THEN " +
+        "CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) END) OVER () AS m_cr " +
+        "FROM cell) " +
+        "SELECT grp, period, n, " +
+        "ROUND(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean_cents, " +
+        "ROUND((m_tp - m_tr) - (m_cp - m_cr), 4) AS did_cents " +
+        "FROM mm ORDER BY grp, period"),
     // same IGNORE-NULLS carry-forward under the same total order,
     // same µs freshness gate and integer-cents revenue
     "c83_attribution" ->

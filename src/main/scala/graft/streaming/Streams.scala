@@ -506,6 +506,65 @@ object Streams {
       sys.error("s12: stream produced no batches"))))
   }
 
+  /** s32: x186's exact ROC-AUC with the (event_type, fold) label-count
+    * cells maintained incrementally — IVM for a RANK metric beside
+    * s27's Gini (the rank-sum is unmaintainable at row grain, but the
+    * scorer is cell-constant, so the ≤|types|·K cell table IS the
+    * sufficient statistic and merges ADDITIVELY per microbatch); the
+    * readout re-derives the out-of-fold scores and the tie-aware
+    * Mann–Whitney statistic through the SAME stages as batch x186
+    * ([[graft.ext.Sampling.scoreCellsFrom]] →
+    * [[graft.ext.Sampling.aucFromScoreCells]]), so streamed ≡ batch by
+    * construction — the scorer's ranking quality tracked live as
+    * events arrive, with state that never grows with the corpus.
+    */
+  def foreachBatchAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s32_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cells_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.rawScoreCellsOf(batch.toDF())
+            .withColumnRenamed("n", "d_n")
+            .withColumnRenamed("n_pos", "d_pos")
+          val merged = latest match {
+            case None => delta.select(col("event_type"), col("fold"),
+              col("d_n").as("n"), col("d_pos").as("n_pos"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("event_type", "fold"), "full_outer")
+                .select(col("event_type"), col("fold"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n"),
+                  (coalesce(col("n_pos"), lit(0L)) +
+                    coalesce(col("d_pos"), lit(0L))).as("n_pos"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.aucFromScoreCells(
+      graft.ext.Sampling.scoreCellsFrom(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s32: stream produced no batches")))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1656,6 +1715,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchHapax(spark, sfDir)),
     "s31_stream_type_affinity" ->
       ((spark, sfDir) => foreachBatchTypeAffinity(spark, sfDir)),
+    "s32_stream_auc_maintain" ->
+      ((spark, sfDir) => foreachBatchAuc(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1705,6 +1766,10 @@ object Streams {
     // the IVM contract verbatim: streamed histogram state ≡ batch x70
     "s12_stream_hist_maintain" ->
       graft.ext.Sampling.oracles("x70_hist_rollup"),
+    // the IVM contract verbatim: the AUC read from the maintained
+    // label-count cells ≡ batch x186
+    "s32_stream_auc_maintain" ->
+      graft.ext.Sampling.oracles("x186_roc_auc"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
