@@ -365,6 +365,48 @@ object Sampling {
         .orderBy(col("bin"))
     }),
 
+    // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
+    // map beside x149's diagnosis (ECE says the score is miscalibrated;
+    // isotonic regression produces the monotone score→probability map
+    // that FIXES it without assuming a functional form): the
+    // pool-adjacent-violators solution computed in closed form via the
+    // minimax identity iso(i) = max_{j≤i} min_{k≥j} mean(y over
+    // pooled groups j..k) — pooled means from exact BIGINT prefix
+    // sums, ONE double division per (j,k) pair, min/max exact over the
+    // resulting doubles. Scale shape: the pair expansion is
+    // |distinct scores|² on the CELL frame — score-support-bounded
+    // (≤|types|·K here; a wide-support scorer pre-buckets to a fixed
+    // grid first), never corpus-sized; the fact table is touched once,
+    // by the cell build.
+    "x192_isotonic_calibration" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val asc = Window.orderBy(col("enc_fp"))
+      val cumw = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val idx = scoreCells(spark, sfDir).groupBy(col("enc_fp"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+        .withColumn("i", row_number().over(asc).cast("long"))
+        .withColumn("cn", sum(col("n")).over(cumw))
+        .withColumn("cp", sum(col("n_pos")).over(cumw))
+      val pre = idx.select(col("i").as("j"),
+        (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+      val pairs = pre.join(
+        idx.select(col("i").as("k"), col("cn").as("cnk"), col("cp").as("cpk")),
+        col("j") <= col("k"))
+        .select(col("j"),
+          ((col("cpk") - col("cp0")).cast("double") /
+            (col("cnk") - col("cn0")).cast("double")).as("mean_jk"))
+      val runMax = pairs.groupBy(col("j")).agg(min(col("mean_jk")).as("min_from_j"))
+        .withColumn("iso_raw", max(col("min_from_j")).over(
+          Window.orderBy(col("j"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      idx.join(runMax.select(col("j").as("i"), col("iso_raw")), "i")
+        .select(col("enc_fp").as("score_fp"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 4)
+            .as("raw_rate"),
+          round(col("iso_raw"), 4).as("iso_rate"))
+        .orderBy(col("score_fp"))
+    }),
+
     // POISSON BOOTSTRAP CI — THE distributed bootstrap (resampling n
     // rows WITH replacement needs global coordination; giving each
     // row an independent Poisson(1) multiplicity per replicate needs
@@ -437,6 +479,71 @@ object Sampling {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("norm_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // COVARIATE BALANCE (standardized mean differences) — the
+    // diagnostic a causal pipeline owes BEFORE trusting c80/c95/c86's
+    // contrasts ("was the split actually balanced on pre-treatment
+    // covariates?" — |SMD| ≲ 0.1 is the standard bar): per covariate
+    // (event count, active days, spend cents — all exact user-grain
+    // integers), SMD = (x̄_T − x̄_C) / √((s²_T + s²_C)/2) with sample
+    // variances from exact BIGINT (n, Σx, Σx²) — the final
+    // mean/variance/SMD arithmetic is a fixed double expression over
+    // six exact sums. Scale shape: one fact pass to the user frame,
+    // one user-grain agg to TWO arm rows, then everything is scalar;
+    // the 3-row covariate stack is a union over the 1-row cross of
+    // the arm rows.
+    "x195_smd_balance" -> ((spark, sfDir) => {
+      val ev = Lake.table(spark, sfDir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f"), countDistinct(col("day")).as("a"),
+          sum(col("cents")).as("m"))
+        .select(
+          when((col("user_id") * HashMul) % HashMod < HashMod / 2,
+            "treat").otherwise("control").as("arm"),
+          col("f"), col("a"), col("m"))
+      val g = users.groupBy(col("arm")).agg(
+        count(lit(1)).as("nu"),
+        sum(col("f")).as("sf"), sum(col("f") * col("f")).as("sff"),
+        sum(col("a")).as("sa"), sum(col("a") * col("a")).as("saa"),
+        sum(col("m")).as("sm"), sum(col("m") * col("m")).as("smm"))
+      val tArm = g.filter(col("arm") === "treat")
+        .select(col("nu").as("n_t"), col("sf").as("sf_t"),
+          col("sff").as("sff_t"), col("sa").as("sa_t"),
+          col("saa").as("saa_t"), col("sm").as("sm_t"),
+          col("smm").as("smm_t"))
+      val cArm = g.filter(col("arm") === "control")
+        .select(col("nu").as("n_c"), col("sf").as("sf_c"),
+          col("sff").as("sff_c"), col("sa").as("sa_c"),
+          col("saa").as("saa_c"), col("sm").as("sm_c"),
+          col("smm").as("smm_c"))
+      val one = tArm.crossJoin(broadcast(cArm))
+      def covRow(name: String, s: String, ss: String) =
+        one.select(lit(name).as("covariate"),
+          col("n_t"), col("n_c"),
+          col(s"${s}_t").as("sx_t"), col(s"${ss}_t").as("sxx_t"),
+          col(s"${s}_c").as("sx_c"), col(s"${ss}_c").as("sxx_c"))
+      val stacked = covRow("active_days", "sa", "saa")
+        .unionAll(covRow("events", "sf", "sff"))
+        .unionAll(covRow("spend_cents", "sm", "smm"))
+      def varD(n: String, sx: String, sxx: String) =
+        (col(n).cast("double") * col(sxx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double")) /
+          (col(n).cast("double") * (col(n) - 1).cast("double"))
+      val pooled = (varD("n_t", "sx_t", "sxx_t") +
+        varD("n_c", "sx_c", "sxx_c")) / 2.0
+      stacked.select(col("covariate"), col("n_t"), col("n_c"),
+        round(col("sx_t").cast("double") / col("n_t").cast("double"), 4)
+          .as("mean_t"),
+        round(col("sx_c").cast("double") / col("n_c").cast("double"), 4)
+          .as("mean_c"),
+        when(pooled > 0.0, round(
+          (col("sx_t").cast("double") / col("n_t").cast("double") -
+            col("sx_c").cast("double") / col("n_c").cast("double")) /
+            sqrt(pooled), 4)).as("smd"))
+        .orderBy(col("covariate"))
     }),
 
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (A-ES) — the Efraimidis–
@@ -1324,6 +1431,62 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // same six exact sums per arm, same fixed double SMD expression
+    "x195_smd_balance" ->
+      (s"WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events), " +
+        "u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f, " +
+        "CAST(COUNT(DISTINCT day) AS BIGINT) AS a, " +
+        "CAST(SUM(cents) AS BIGINT) AS m FROM ev GROUP BY 1), " +
+        s"ua AS (SELECT CASE WHEN ((user_id * $HashMul) % $HashMod) < ${HashMod / 2} " +
+        "THEN 'treat' ELSE 'control' END AS arm, f, a, m FROM u), " +
+        "g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS nu, " +
+        "CAST(SUM(f) AS BIGINT) AS sf, CAST(SUM(f * f) AS BIGINT) AS sff, " +
+        "CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(a * a) AS BIGINT) AS saa, " +
+        "CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(m * m) AS BIGINT) AS smm " +
+        "FROM ua GROUP BY 1), " +
+        "t AS (SELECT * FROM g WHERE arm = 'treat'), " +
+        "c AS (SELECT * FROM g WHERE arm = 'control'), " +
+        "rows3 AS (" +
+        "SELECT 'active_days' AS covariate, t.nu AS n_t, c.nu AS n_c, " +
+        "t.sa AS sx_t, t.saa AS sxx_t, c.sa AS sx_c, c.saa AS sxx_c FROM t, c " +
+        "UNION ALL SELECT 'events', t.nu, c.nu, t.sf, t.sff, c.sf, c.sff FROM t, c " +
+        "UNION ALL SELECT 'spend_cents', t.nu, c.nu, t.sm, t.smm, c.sm, c.smm FROM t, c) " +
+        "SELECT covariate, n_t, n_c, " +
+        "ROUND(CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE), 4) AS mean_t, " +
+        "ROUND(CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE), 4) AS mean_c, " +
+        "CASE WHEN ((CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE) - " +
+        "CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE)) / " +
+        "(CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) + " +
+        "(CAST(n_c AS DOUBLE) * CAST(sxx_c AS DOUBLE) - " +
+        "CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE)) / " +
+        "(CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE))) / 2.0 > 0.0 THEN " +
+        "ROUND((CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+        "CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / " +
+        "SQRT(((CAST(n_t AS DOUBLE) * CAST(sxx_t AS DOUBLE) - " +
+        "CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE)) / " +
+        "(CAST(n_t AS DOUBLE) * CAST(n_t - 1 AS DOUBLE)) + " +
+        "(CAST(n_c AS DOUBLE) * CAST(sxx_c AS DOUBLE) - " +
+        "CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE)) / " +
+        "(CAST(n_c AS DOUBLE) * CAST(n_c - 1 AS DOUBLE))) / 2.0), 4) END AS smd " +
+        "FROM rows3 ORDER BY covariate"),
+    // the same minimax identity over the same indexed prefix sums
+    "x192_isotonic_calibration" ->
+      (scoreCellsCte + ", " +
+        "idx AS (SELECT enc_fp, n, n_pos, " +
+        "CAST(ROW_NUMBER() OVER (ORDER BY enc_fp) AS BIGINT) AS i, " +
+        "CAST(SUM(n) OVER (ORDER BY enc_fp ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn, " +
+        "CAST(SUM(n_pos) OVER (ORDER BY enc_fp ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp FROM sc), " +
+        "pre AS (SELECT i AS j, cn - n AS cn0, cp - n_pos AS cp0 FROM idx), " +
+        "pairs AS (SELECT pre.j, " +
+        "CAST(idx.cp - pre.cp0 AS DOUBLE) / CAST(idx.cn - pre.cn0 AS DOUBLE) AS mean_jk " +
+        "FROM pre JOIN idx ON pre.j <= idx.i), " +
+        "mins AS (SELECT j, MIN(mean_jk) AS min_from_j FROM pairs GROUP BY 1), " +
+        "runm AS (SELECT j, MAX(min_from_j) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS iso_raw FROM mins) " +
+        "SELECT idx.enc_fp AS score_fp, idx.n, idx.n_pos, " +
+        "ROUND(CAST(idx.n_pos AS DOUBLE) / CAST(idx.n AS DOUBLE), 4) AS raw_rate, " +
+        "ROUND(iso_raw, 4) AS iso_rate " +
+        "FROM idx JOIN runm ON runm.j = idx.i ORDER BY score_fp"),
     // same within-source ranks, same ceil-index and interval lookup
     "x191_quantile_normalize" ->
       ("WITH d AS (SELECT doc_id, source, n_chars FROM documents), " +

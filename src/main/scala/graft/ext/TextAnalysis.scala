@@ -684,7 +684,73 @@ object TextAnalysis {
         sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
   }
 
+  /** x193/x194's paired rule outcomes over documents: rule A = length
+    * strictly above the global median n_chars, rule B = token count
+    * strictly above ITS global median (both medians exact order
+    * statistics via percentile_disc, broadcast as a 1-row scalar).
+    * One doc pass → the exact 2×2 agreement cells (n11/n10/n01/n00) —
+    * the shared sufficient statistic for every paired-classifier
+    * comparison (McNemar tests marginal difference, kappa scores
+    * agreement beyond chance).
+    */
+  private def ruleAgreementCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens).cast("long").as("n_toks"))
+    val med = broadcast(d.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .as("med_chars"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)")
+        .as("med_toks")))
+    d.crossJoin(med)
+      .select((col("n_chars") > col("med_chars")).as("a"),
+        (col("n_toks") > col("med_toks")).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // McNEMAR'S TEST — do two quality rules DISAGREE in a biased
+    // direction? (x184's confusion matrix evaluates one rule against
+    // truth; McNemar compares two rules against each other on the
+    // same documents, using only the discordant cells — the correct
+    // paired test where an unpaired chi-square would double-count the
+    // agreeing mass): χ² = (b−c)²/(b+c) over the exact discordant
+    // counts. One doc pass (the shared 2×2 cells), scalars after.
+    "x193_mcnemar" -> ((spark, sfDir) =>
+      ruleAgreementCells(spark, sfDir)
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          when(col("n10") + col("n01") > 0, round(
+            (col("n10") - col("n01")).cast("double") *
+              (col("n10") - col("n01")).cast("double") /
+              (col("n10") + col("n01")).cast("double"), 6))
+            .as("chi2"))),
+
+    // COHEN'S KAPPA — chance-corrected agreement of the same two
+    // rules: κ = (pₒ−pₑ)/(1−pₑ) computed as ONE exact integer
+    // rational — numerator n·(n11+n00) − pe_num and denominator
+    // n² − pe_num with pe_num = (n11+n10)(n11+n01) +
+    // (n01+n00)(n10+n00) — so the whole statistic is a single double
+    // division over BIGINTs.
+    "x194_cohens_kappa" -> ((spark, sfDir) =>
+      ruleAgreementCells(spark, sfDir)
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round((col("n11") + col("n00")).cast("double") /
+            col("n").cast("double"), 4).as("po"),
+          round(col("pe_num").cast("double") /
+            (col("n") * col("n")).cast("double"), 4).as("pe"),
+          when(col("n") * col("n") > col("pe_num"), round(
+            (col("n") * (col("n11") + col("n00")) - col("pe_num"))
+              .cast("double") /
+              (col("n") * col("n") - col("pe_num")).cast("double"), 6))
+            .as("kappa"))),
+
 
     // GINI LENGTH CONCENTRATION — the inequality read of each
     // source's doc-length distribution (x61 buckets lengths, x136
@@ -2181,7 +2247,40 @@ object TextAnalysis {
           .as("gini"))
   }
 
+  /** Shared oracle CTE for x193/x194: the exact 2×2 rule-agreement
+    * cells (SQL twin of [[ruleAgreementCells]]).
+    */
+  private def ruleCellsCte: String =
+    "WITH d AS (SELECT doc_id, n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
+      "med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med_chars, " +
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks) AS med_toks FROM d), " +
+      "f AS (SELECT n_chars > med_chars AS a, n_toks > med_toks AS b FROM d, med), " +
+      "cells AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11, " +
+      "CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10, " +
+      "CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01, " +
+      "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
+
   val oracles: Map[String, String] = Map(
+    // same exact discordant-cell statistic
+    "x193_mcnemar" ->
+      (ruleCellsCte + " " +
+        "SELECT n, n11, n10, n01, n00, " +
+        "CASE WHEN n10 + n01 > 0 THEN " +
+        "ROUND(CAST(n10 - n01 AS DOUBLE) * CAST(n10 - n01 AS DOUBLE) / " +
+        "CAST(n10 + n01 AS DOUBLE), 6) END AS chi2 FROM cells"),
+    // same single-rational kappa
+    "x194_cohens_kappa" ->
+      (ruleCellsCte + ", " +
+        "k AS (SELECT *, (n11 + n10) * (n11 + n01) + " +
+        "(n01 + n00) * (n10 + n00) AS pe_num FROM cells) " +
+        "SELECT n, n11, n10, n01, n00, " +
+        "ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS po, " +
+        "ROUND(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 4) AS pe, " +
+        "CASE WHEN n * n > pe_num THEN " +
+        "ROUND(CAST(n * (n11 + n00) - pe_num AS DOUBLE) / " +
+        "CAST(n * n - pe_num AS DOUBLE), 6) END AS kappa FROM k"),
     // same presence counts off the distinct (doc, term) frame, same
     // full spine with absent-cell terms, same per-cell ln rationals
     // on the 10^-6 grid and the count-weighted integer MI numerator

@@ -296,6 +296,42 @@ object Surface {
           .as("surv_breslow"))
   }
 
+  /** c95's 2×2 cell build over an explicit events frame: (grp, period,
+    * n, Σcents) — one partial-aggregatable fact pass, and the ADDITIVE
+    * sufficient statistic s33 merges per microbatch.
+    */
+  def didCellsOf(events: DataFrame): DataFrame =
+    events
+      .select(
+        when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+          Sampling.HashMod / 2, "treat").otherwise("control").as("grp"),
+        when(expr("datediff(to_date(ts), date'2024-01-01')") < 13,
+          "pre").otherwise("post").as("period"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+
+  /** c95's readout over a prebuilt 2×2 cell frame — shared with s33,
+    * which MAINTAINS the cells incrementally (count/sum adds per
+    * microbatch) and reads the contrast out through this exact stage,
+    * so streamed ≡ batch by construction. Each cell mean is one double
+    * division; the DiD contrast is a fixed four-term expression over
+    * those scalars; windows run over the 4-row frame.
+    */
+  def didFromCells(cell: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(lit(1))
+    def m(g: String, p: String) =
+      max(when(col("grp") === g && col("period") === p,
+        col("sum_cents").cast("double") / col("n").cast("double")))
+        .over(whole)
+    cell.select(col("grp"), col("period"), col("n"),
+      round(col("sum_cents").cast("double") / col("n").cast("double"), 4)
+        .as("mean_cents"),
+      round((m("treat", "post") - m("treat", "pre")) -
+        (m("control", "post") - m("control", "pre")), 4).as("did_cents"))
+      .orderBy(col("grp"), col("period"))
+  }
+
   /** c79's segmentation stage over the user-grain frame (user_id, f,
     * last_d, m_cents) — shared with s19, which MAINTAINS that frame
     * incrementally (count-add / max / sum-add merges) and reads the
@@ -1687,28 +1723,8 @@ object Surface {
     // partial-aggregatable fact pass; each cell mean is one double
     // division, and the DiD contrast is a fixed four-term expression
     // over those scalars — windows run over the 4-row cell frame.
-    "c95_diff_in_diff" -> ((spark, sfDir) => {
-      val ev = t(spark, sfDir, "events")
-        .select(
-          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
-            Sampling.HashMod / 2, "treat").otherwise("control").as("grp"),
-          when(expr("datediff(to_date(ts), date'2024-01-01')") < 13,
-            "pre").otherwise("post").as("period"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-      val cell = ev.groupBy(col("grp"), col("period"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
-      val whole = Window.partitionBy(lit(1))
-      def m(g: String, p: String) =
-        max(when(col("grp") === g && col("period") === p,
-          col("sum_cents").cast("double") / col("n").cast("double")))
-          .over(whole)
-      cell.select(col("grp"), col("period"), col("n"),
-        round(col("sum_cents").cast("double") / col("n").cast("double"), 4)
-          .as("mean_cents"),
-        round((m("treat", "post") - m("treat", "pre")) -
-          (m("control", "post") - m("control", "pre")), 4).as("did_cents"))
-        .orderBy(col("grp"), col("period"))
-    }),
+    "c95_diff_in_diff" -> ((spark, sfDir) =>
+      didFromCells(didCellsOf(t(spark, sfDir, "events")))),
 
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.

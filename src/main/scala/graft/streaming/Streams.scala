@@ -565,6 +565,60 @@ object Streams {
           sys.error("s32: stream produced no batches")))))
   }
 
+  /** s33: c95's diff-in-differences with the 2×2 (grp, period) cells
+    * maintained incrementally — the textbook additive IVM (four
+    * counts + four sums), worth pinning as a streaming op because a
+    * LIVE DiD is how an experimentation dashboard actually serves the
+    * estimator; readout through the shared
+    * [[graft.queries.Surface.didFromCells]] stage, so streamed ≡
+    * batch c95 by construction. State is 4 rows forever.
+    */
+  def foreachBatchDid(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s33_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cells_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.queries.Surface.didCellsOf(batch.toDF())
+            .withColumnRenamed("n", "d_n")
+            .withColumnRenamed("sum_cents", "d_sum")
+          val merged = latest match {
+            case None => delta.select(col("grp"), col("period"),
+              col("d_n").as("n"), col("d_sum").as("sum_cents"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("grp", "period"), "full_outer")
+                .select(col("grp"), col("period"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n"),
+                  (coalesce(col("sum_cents"), lit(0L)) +
+                    coalesce(col("d_sum"), lit(0L))).as("sum_cents"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.queries.Surface.didFromCells(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s33: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1717,6 +1771,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchTypeAffinity(spark, sfDir)),
     "s32_stream_auc_maintain" ->
       ((spark, sfDir) => foreachBatchAuc(spark, sfDir)),
+    "s33_stream_did_maintain" ->
+      ((spark, sfDir) => foreachBatchDid(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1770,6 +1826,10 @@ object Streams {
     // label-count cells ≡ batch x186
     "s32_stream_auc_maintain" ->
       graft.ext.Sampling.oracles("x186_roc_auc"),
+    // the IVM contract verbatim: the DiD read from the maintained
+    // 2×2 cells ≡ batch c95
+    "s33_stream_did_maintain" ->
+      graft.queries.Surface.oracles("c95_diff_in_diff"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
