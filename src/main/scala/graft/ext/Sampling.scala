@@ -242,6 +242,61 @@ object Sampling {
       when(h < thr, lit(k.toLong)).otherwise(rest)
     }
 
+  /** x196's sufficient statistic: the ten exact BIGINT sums of the
+    * 2-feature OLS normal equations (y = spend cents, x1 = hour of
+    * day, x2 = day index) — ONE partial-aggregatable fact pass, and
+    * the ADDITIVE single-row statistic s34 merges per microbatch.
+    * This is the "ML at scale = sufficient statistics" shape: the
+    * model fit never touches the data again after this aggregation.
+    */
+  private[graft] def olsSumsOf(events: DataFrame): DataFrame =
+    events.select(
+        round(col("value") * 100, 0).cast("long").as("y"),
+        hour(col("ts")).cast("long").as("x1"),
+        expr("datediff(to_date(ts), date'2024-01-01')").cast("long").as("x2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+
+  /** x196's closed-form solve over the prebuilt sums row — Cramer's
+    * rule on the 3×3 normal matrix, R² via the normal-equation SSE
+    * identity; every expression is a fixed double tree over the ten
+    * exact sums, so the fit is engine-reproducible. Shared with s34
+    * so the streamed fit reads through the identical expressions.
+    */
+  def olsFromSums(s: DataFrame): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1y") * (d("s1") * d("s22") - d("s2") * d("s12")) +
+      d("s2y") * (d("s1") * d("s12") - d("s2") * d("s11"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val sse = d("syy") - (b0 * d("sy") + b1 * d("s1y") + b2 * d("s2y"))
+    val sst = d("syy") - d("sy") * d("sy") / d("n")
+    s.select(col("n"),
+      when(det =!= 0.0, round(b0, 6)).as("b0_cents"),
+      when(det =!= 0.0, round(b1, 6)).as("b1_per_hour"),
+      when(det =!= 0.0, round(b2, 6)).as("b2_per_day"),
+      when(det =!= 0.0 && sst > 0.0, round(lit(1.0) - sse / sst, 6))
+        .as("r2"))
+  }
+
   /** x157's Efraimidis–Spirakis A-ES keys over a (doc_id, n_chars)
     * frame: u = (2h+1)/(2·HashMod) on the odd grid (strictly inside
     * (0,1) — the ln singularity unreachable, x134's trick), key =
@@ -480,6 +535,18 @@ object Sampling {
           col("norm_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // DISTRIBUTED OLS VIA NORMAL EQUATIONS — linear regression as a
+    // lake operator (spend cents on hour-of-day and day index): the
+    // 100 TB shape for closed-form ML is "aggregate the sufficient
+    // statistic, solve off-frame" — X'X and X'y are ten exact BIGINT
+    // sums from ONE partial-aggregatable fact pass ([[olsSumsOf]]),
+    // and the 3×3 Cramer solve + the SSE/SST R² identity are fixed
+    // double expressions over that single row ([[olsFromSums]]).
+    // Gradient descent shuffles the data per step; the normal-
+    // equation statistic shuffles it never.
+    "x196_ols_normal_eq" -> ((spark, sfDir) =>
+      olsFromSums(olsSumsOf(Lake.table(spark, sfDir, "events")))),
 
     // COVARIATE BALANCE (standardized mean differences) — the
     // diagnostic a causal pipeline owes BEFORE trusting c80/c95/c86's
@@ -1431,6 +1498,43 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // same ten exact sums, same Cramer/R² double expression trees
+    "x196_ols_normal_eq" ->
+      ("WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS y, " +
+        "CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1, " +
+        "CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x2 " +
+        "FROM events), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2, " +
+        "CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1 * x1) AS BIGINT) AS s11, " +
+        "CAST(SUM(x1 * x2) AS BIGINT) AS s12, CAST(SUM(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y, " +
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM e), " +
+        "d AS (SELECT *, " +
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) " +
+        "- CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) " +
+        "+ CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det, " +
+        "CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) " +
+        "- CAST(s1y AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s12 AS DOUBLE)) " +
+        "+ CAST(s2y AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s11 AS DOUBLE)) AS det0, " +
+        "CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) " +
+        "- CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) " +
+        "+ CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det1, " +
+        "CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) " +
+        "- CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) " +
+        "+ CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det2 " +
+        "FROM s), " +
+        "b AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d) " +
+        "SELECT n, " +
+        "CASE WHEN det <> 0.0 THEN ROUND(b0, 6) END AS b0_cents, " +
+        "CASE WHEN det <> 0.0 THEN ROUND(b1, 6) END AS b1_per_hour, " +
+        "CASE WHEN det <> 0.0 THEN ROUND(b2, 6) END AS b2_per_day, " +
+        "CASE WHEN det <> 0.0 AND CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN " +
+        "ROUND(1.0 - (CAST(syy AS DOUBLE) - (b0 * CAST(sy AS DOUBLE) + " +
+        "b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))) / " +
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)), 6) END AS r2 FROM b"),
     // same six exact sums per arm, same fixed double SMD expression
     "x195_smd_balance" ->
       (s"WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, " +

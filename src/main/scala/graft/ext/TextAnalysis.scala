@@ -1978,6 +1978,48 @@ object TextAnalysis {
     // ln, 4 dp (x34's proven cross-engine pattern). Two hash aggs +
     // two vocab-sized equi-joins; c_ab ≥ 5 prunes the noise tail
     // before the joins.
+    // DUNNING LOG-LIKELIHOOD COLLOCATIONS (G²) — x88's PMI ranks by
+    // lift and notoriously over-rewards rare pairs; G² weighs the
+    // full 2×2 contingency (pair present/absent × head/tail) with
+    // counts, the standard significance-ranked collocation score.
+    // Marginals are the PROPER start/end bigram-position counts (not
+    // x88's unigram approximation). Each cell contributes
+    // O·(ln O + ln N − ln row − ln col) with every ln over an exact
+    // BIGINT and ONE 10⁻⁶ regrid per cell, so the G² ordering is an
+    // exact integer compare. Scale: one bigram explode + three
+    // partial-aggregatable hash aggs (pair/start/end), then
+    // model-sized joins; top-20 is TakeOrdered.
+    "x197_g2_collocations" -> ((spark, sfDir) => {
+      val tok = docs(spark, sfDir)
+        .select(tokens.as("w")).filter(size(col("w")) >= 2)
+      val bg = tok.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val pair = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k11")).filter(col("k11") >= 5)
+      val sm = bg.groupBy(col("w1")).agg(count(lit(1)).as("s1"))
+      val em = bg.groupBy(col("w2")).agg(count(lit(1)).as("e2"))
+      val nn = broadcast(bg.agg(count(lit(1)).as("nb")))
+      def lnd(c: org.apache.spark.sql.Column) = log(c.cast("double"))
+      def termFp(o: org.apache.spark.sql.Column,
+          row: org.apache.spark.sql.Column,
+          cl: org.apache.spark.sql.Column) =
+        when(o > 0, o * round((lnd(o) + lnd(col("nb")) - lnd(row) - lnd(cl))
+          * 1000000.0, 0).cast("long")).otherwise(0L)
+      pair.join(sm, "w1").join(em, "w2").crossJoin(nn)
+        .withColumn("g2_fp",
+          termFp(col("k11"), col("s1"), col("e2")) +
+            termFp(col("s1") - col("k11"), col("s1"), col("nb") - col("e2")) +
+            termFp(col("e2") - col("k11"), col("nb") - col("s1"), col("e2")) +
+            termFp(col("nb") - col("s1") - col("e2") + col("k11"),
+              col("nb") - col("s1"), col("nb") - col("e2")))
+        .select(col("w1"), col("w2"), col("k11"), col("g2_fp"),
+          round(col("g2_fp").cast("double") * 2.0 / 1000000.0, 4).as("g2"))
+        .orderBy(desc("g2_fp"), col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     "x88_pmi_collocations" -> ((spark, sfDir) => {
       val tok = docs(spark, sfDir)
         .select(tokens.as("w")).filter(size(col("w")) >= 2)
@@ -2263,6 +2305,32 @@ object TextAnalysis {
       "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
 
   val oracles: Map[String, String] = Map(
+    // same proper start/end marginals, same per-cell single regrid,
+    // ordered by the exact fp statistic
+    "x197_g2_collocations" ->
+      ("WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 2), " +
+        "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT w, unnest(range(1, len(w))) AS i FROM tok) u), " +
+        "pair AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11 " +
+        "FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5), " +
+        "sm AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS s1 FROM bg GROUP BY 1), " +
+        "em AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS e2 FROM bg GROUP BY 1), " +
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg), " +
+        "cells AS (SELECT w1, w2, k11, s1, e2, nb, " +
+        "CASE WHEN k11 > 0 THEN k11 * CAST(ROUND((LN(CAST(k11 AS DOUBLE)) + LN(CAST(nb AS DOUBLE)) " +
+        "- LN(CAST(s1 AS DOUBLE)) - LN(CAST(e2 AS DOUBLE))) * 1000000.0) AS BIGINT) ELSE 0 END + " +
+        "CASE WHEN s1 - k11 > 0 THEN (s1 - k11) * CAST(ROUND((LN(CAST(s1 - k11 AS DOUBLE)) + LN(CAST(nb AS DOUBLE)) " +
+        "- LN(CAST(s1 AS DOUBLE)) - LN(CAST(nb - e2 AS DOUBLE))) * 1000000.0) AS BIGINT) ELSE 0 END + " +
+        "CASE WHEN e2 - k11 > 0 THEN (e2 - k11) * CAST(ROUND((LN(CAST(e2 - k11 AS DOUBLE)) + LN(CAST(nb AS DOUBLE)) " +
+        "- LN(CAST(nb - s1 AS DOUBLE)) - LN(CAST(e2 AS DOUBLE))) * 1000000.0) AS BIGINT) ELSE 0 END + " +
+        "CASE WHEN nb - s1 - e2 + k11 > 0 THEN (nb - s1 - e2 + k11) * " +
+        "CAST(ROUND((LN(CAST(nb - s1 - e2 + k11 AS DOUBLE)) + LN(CAST(nb AS DOUBLE)) " +
+        "- LN(CAST(nb - s1 AS DOUBLE)) - LN(CAST(nb - e2 AS DOUBLE))) * 1000000.0) AS BIGINT) ELSE 0 END AS g2_fp " +
+        "FROM pair JOIN sm USING (w1) JOIN em USING (w2), nn) " +
+        "SELECT w1, w2, k11, g2_fp, " +
+        "ROUND(CAST(g2_fp AS DOUBLE) * 2.0 / 1000000.0, 4) AS g2 " +
+        "FROM cells ORDER BY g2_fp DESC, w1, w2 LIMIT 20"),
     // same exact discordant-cell statistic
     "x193_mcnemar" ->
       (ruleCellsCte + " " +

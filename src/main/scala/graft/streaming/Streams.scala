@@ -619,6 +619,58 @@ object Streams {
         sys.error("s33: stream produced no batches"))))
   }
 
+  /** s34: x196's OLS fit with the ten normal-equation sums maintained
+    * incrementally — the purest IVM in the registry: the sufficient
+    * statistic is ONE row of BIGINTs that merges by plain addition
+    * per microbatch, and the Cramer solve reads through the shared
+    * [[graft.ext.Sampling.olsFromSums]] stage, so the streamed
+    * regression ≡ batch x196 by construction. A model retrained
+    * "from scratch" on every arriving batch for the cost of ten
+    * additions.
+    */
+  def foreachBatchOls(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s34_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    val sumCols = Seq("n", "s1", "s2", "sy", "s11", "s12", "s22",
+      "s1y", "s2y", "syy")
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/sums_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.olsSumsOf(batch.toDF())
+          val merged = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+              p.crossJoin(delta.select(
+                sumCols.map(c => col(c).as(s"d_$c")): _*))
+                .select(sumCols.map(c =>
+                  (col(c) + col(s"d_$c")).as(c)): _*)
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.olsFromSums(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s34: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1773,6 +1825,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchAuc(spark, sfDir)),
     "s33_stream_did_maintain" ->
       ((spark, sfDir) => foreachBatchDid(spark, sfDir)),
+    "s34_stream_ols_maintain" ->
+      ((spark, sfDir) => foreachBatchOls(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1830,6 +1884,10 @@ object Streams {
     // 2×2 cells ≡ batch c95
     "s33_stream_did_maintain" ->
       graft.queries.Surface.oracles("c95_diff_in_diff"),
+    // the IVM contract verbatim: the fit solved from the maintained
+    // one-row statistic ≡ batch x196
+    "s34_stream_ols_maintain" ->
+      graft.ext.Sampling.oracles("x196_ols_normal_eq"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->

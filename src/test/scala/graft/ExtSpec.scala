@@ -4544,6 +4544,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x196 olsFromSums: a perfectly linear planted set recovers exact coefficients and r2 = 1") {
+    import spark.implicits._
+    // y = 3 + 2*x1 + 5*x2 on four non-degenerate points
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L))
+      .map { case (x1, x2) => (x1, x2, 3L + 2L * x1 + 5L * x2) }
+    val sums = Seq((
+      pts.size.toLong,
+      pts.map(_._1).sum, pts.map(_._2).sum, pts.map(_._3).sum,
+      pts.map(p => p._1 * p._1).sum, pts.map(p => p._1 * p._2).sum,
+      pts.map(p => p._2 * p._2).sum,
+      pts.map(p => p._1 * p._3).sum, pts.map(p => p._2 * p._3).sum,
+      pts.map(p => p._3 * p._3).sum))
+      .toDF("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+    val r = graft.ext.Sampling.olsFromSums(sums).collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 5.0, s"coefficients off: $r")
+    assert(r.getDouble(4) == 1.0, s"r2 must be exactly 1 on a perfect fit: $r")
+  }
+
+  test("x197 G2 collocations: nonnegative statistic, min-count honored, top-20 bounded") {
+    val rows = graft.ext.TextAnalysis.queries("x197_g2_collocations")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5L, s"min pair count violated: $r")
+      // G2 is nonnegative up to the 1e-6-grid rounding of each cell term
+      assert(r.getDouble(4) > -0.01, s"negative G2: $r")
+    }
+    val fps = rows.map(_.getLong(3))
+    assert(fps.sliding(2).forall(p => p.length < 2 || p.head >= p.last),
+      "rows must be ranked by the exact fp statistic")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
