@@ -263,7 +263,15 @@ object Bench {
     // distinct-score gain rollup (x169), the degree-MLE readout off
     // the persisted artifact (x172), and the 4-hop BFS ball (x173)
     "x174_token_mi", "c87_shapley_attribution", "c86_cem_matching",
-    "x169_gain_curve", "x172_powerlaw_alpha", "x173_bfs_diameter")
+    "x169_gain_curve", "x172_powerlaw_alpha", "x173_bfs_diameter",
+    // round-13 additions (70 → 74): the cell-frame scorer-evaluation
+    // suite (x186 — the fact table is touched exactly once), the
+    // per-source-window + broadcast-interval normalization (x191),
+    // the one-pass sufficient-statistic regression (x196), and the
+    // inverted-index sparse-cosine pair join (x199 — the lexical
+    // candidate-volume shape beside x03's banding)
+    "x186_roc_auc", "x191_quantile_normalize", "x196_ols_normal_eq",
+    "x199_sparse_cosine_pairs")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -298,7 +306,11 @@ object Bench {
     // it grows with distinct bigrams (vocabulary-shaped, sublinear)
     // while the corpus pass grows linearly; the ratio reads which
     // term dominates
-    "x164_textrank")
+    "x164_textrank",
+    // the inverted-index pair join: candidate volume Σ df² under the
+    // df cap — the lexical twin of x03's banding question, with its
+    // own instrumentation field
+    "x199_sparse_cosine_pairs")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -669,6 +681,19 @@ object Bench {
           graft.ext.TextAnalysis.bigramTable(spark, dir).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x46_bigram_rows_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x199_sparse_cosine_pairs")) try {
+        // the inverted-index join's candidate volume Σ df·(df−1)/2
+        // over the [2,100]-gated shingles — the quantity the df cap
+        // bounds, computed from the df aggregate alone (no join)
+        val sh = Lake.materialize(spark, dir, "x05_shingles")(
+          graft.ext.Dedup.shingleTable(Lake.table(spark, dir, "documents")))
+        parts += s""""x199_candidate_pairs":${sh
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 100)
+          .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)))
+          .head().getLong(0)}"""
+      } catch { case e: Throwable =>
+        parts += s""""x199_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("c02_join_large")) try {
         parts += s""""c02_join_strategy":"${joinStrategy(
           SparkEntry.queries("c02_join_large")(spark, dir))}""""

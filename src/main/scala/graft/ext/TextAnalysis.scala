@@ -1259,6 +1259,42 @@ object TextAnalysis {
     "x46_bigram_logprob" -> ((spark, sfDir) =>
       bigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
 
+    // JELINEK-MERCER INTERPOLATED BIGRAM LM — the third classic
+    // smoothing beside x46's add-1 and x148's Kneser-Ney: P(w2|w1) =
+    // λ·c₁₂/c(w1·) + (1−λ)·c(·w2)/N with λ = 4/5, which at λ∈(0,1)
+    // is the mixture a held-out-tuned production LM actually uses
+    // (add-1 over-smooths frequent contexts; KN fixes rare-pair bias;
+    // JM is the tunable baseline between them). λ = 4/5 makes the
+    // probability ONE exact rational (4·c₁₂·N + c₁·c₂)/(5·c₁·N), so
+    // the score is ln(num) − ln(den) with both lns over exact
+    // BIGINTs, regridded once per MODEL row (x148's rule), and
+    // per-doc scores are exact integer sums with one closing
+    // division. Scale shape = x46's: the marginals are model-sized,
+    // pre-joined into one table, and the doc-grain bigram table
+    // shuffles against it ONCE.
+    "x198_jm_bigram_lm" -> ((spark, sfDir) => {
+      val bfd = bigramTable(spark, sfDir)
+      val cbg = bfd.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("bf")).as("cbg"))
+      val cw1 = bfd.groupBy(col("w1")).agg(sum(col("bf")).as("cw1"))
+      val ce2 = bfd.groupBy(col("w2")).agg(sum(col("bf")).as("ce2"))
+      val nb = broadcast(bfd.agg(sum(col("bf")).cast("long").as("nb")))
+      val model = cbg.join(cw1, "w1").join(ce2, "w2").crossJoin(nb)
+        .withColumn("term_fp", round(
+          (log((lit(4L) * col("cbg") * col("nb") +
+            col("cw1") * col("ce2")).cast("double")) -
+            log((lit(5L) * col("cw1") * col("nb")).cast("double"))) *
+            1000000.0, 0).cast("long"))
+        .select(col("w1"), col("w2"), col("term_fp"))
+      bfd.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bf")).cast("long").as("n_bigrams"),
+          round(sum(col("bf") * col("term_fp")).cast("double") /
+            (sum(col("bf")).cast("double") * 1000000.0), 4)
+            .as("avg_jm_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MUTUAL-INFORMATION TOKEN RANKING — the supervised feature-
     // selection staple (sklearn's mutual_info/chi2 ranking; x163
     // scores ONE pair of columns, this ranks every TOKEN by how much
@@ -1978,6 +2014,52 @@ object TextAnalysis {
     // ln, 4 dp (x34's proven cross-engine pattern). Two hash aggs +
     // two vocab-sized equi-joins; c_ab ≥ 5 prunes the noise tail
     // before the joins.
+    // SPARSE TF-IDF COSINE PAIRS — all-pairs document similarity via
+    // the INVERTED-INDEX join (the lexical complement of the
+    // embedding-side x07/x137: no vectors, no LSH — the sparse dot
+    // product IS a self-join on the shared feature): binary-TF
+    // shingle vectors with idf² weights, pair dot = Σ idf² over
+    // shared shingles (exact BIGINT), cosine = dot/√(‖a‖²·‖b‖²) with
+    // one double expression per surviving pair. The df gate
+    // [2, 100] is the candidate-volume bound: df=1 shingles join
+    // nothing, df>100 boilerplate is x92's territory, and the join
+    // fan-out is Σ df² ≤ 100·|postings| — x03's hot-bucket-cap
+    // argument for the lexical index. Norms live in the SAME gated
+    // feature space (standard stopword-filtered cosine). Top-20 by
+    // (4 dp cosine desc, ids).
+    "x199_sparse_cosine_pairs" -> ((spark, sfDir) => {
+      val sh = Lake.materialize(spark, sfDir, "x05_shingles") {
+        Dedup.shingleTable(docs(spark, sfDir))
+      }
+      val nDocs = broadcast(docs(spark, sfDir).agg(count(lit(1)).as("nd")))
+      val w = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 100).crossJoin(nDocs)
+        .withColumn("idf_fp", round(log(col("nd").cast("double") /
+          col("df").cast("double")) * 1000000.0, 0).cast("long"))
+        .select(col("shingle"), (col("idf_fp") * col("idf_fp")).as("w2"))
+      val weighted = sh.join(w, "shingle")
+      val norms = weighted.groupBy(col("doc_id"))
+        .agg(sum(col("w2")).as("norm2"))
+      val dots = weighted.as("a").join(weighted.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.w2").as("w2"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(col("w2")).as("dot2"), count(lit(1)).as("n_shared"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"),
+          col("norm2").as("na2")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"),
+          col("norm2").as("nb2")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("dot2"),
+          round(col("dot2").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 4)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // DUNNING LOG-LIKELIHOOD COLLOCATIONS (G²) — x88's PMI ranks by
     // lift and notoriously over-rewards rare pairs; G² weighs the
     // full 2×2 contingency (pair present/absent × head/tail) with
@@ -2305,6 +2387,30 @@ object TextAnalysis {
       "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
 
   val oracles: Map[String, String] = Map(
+    // x05's shingle CTE, the same df-gated idf² weights, exact BIGINT
+    // dots and the same one-double cosine per pair
+    "x199_sparse_cosine_pairs" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), " +
+        "wt AS (SELECT shingle, CAST(ROUND(LN(CAST(nd AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS idf_fp " +
+        "FROM sh, nd GROUP BY shingle, nd " +
+        "HAVING COUNT(*) >= 2 AND COUNT(*) <= 100), " +
+        "wd AS (SELECT doc_id, sh.shingle, idf_fp * idf_fp AS w2 " +
+        "FROM sh JOIN wt USING (shingle)), " +
+        "norms AS (SELECT doc_id, CAST(SUM(w2) AS BIGINT) AS norm2 FROM wd GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(SUM(a.w2) AS BIGINT) AS dot2, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+        "FROM wd a JOIN wd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, n_shared, dot2, " +
+        "ROUND(CAST(dot2 AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE) * " +
+        "CAST(nb.norm2 AS DOUBLE)), 4) AS cos_sim " +
+        "FROM dots JOIN norms na ON na.doc_id = dots.doc_a " +
+        "JOIN norms nb ON nb.doc_id = dots.doc_b " +
+        "ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 20"),
     // same proper start/end marginals, same per-cell single regrid,
     // ordered by the exact fp statistic
     "x197_g2_collocations" ->
@@ -2805,6 +2911,26 @@ object TextAnalysis {
         "ROUND(SUM(bf * LN(CAST(cbg + 1 AS DOUBLE) / CAST(cw1 + v AS DOUBLE))) " +
         "/ SUM(bf), 4) AS avg_bigram_logprob " +
         "FROM bfd JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    // x46's bigram CTEs + start/end marginals; the exact-rational JM
+    // probability through two LNs per model row onto the 10^6 grid
+    "x198_jm_bigram_lm" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "bfd AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3), " +
+        "cbg AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS cbg FROM bfd GROUP BY 1, 2), " +
+        "cw1 AS (SELECT w1, CAST(SUM(bf) AS BIGINT) AS cw1 FROM bfd GROUP BY 1), " +
+        "ce2 AS (SELECT w2, CAST(SUM(bf) AS BIGINT) AS ce2 FROM bfd GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(bf) AS BIGINT) AS nb FROM bfd), " +
+        "model AS (SELECT w1, w2, " +
+        "CAST(ROUND((LN(CAST(4 * cbg * nb + cw1 * ce2 AS DOUBLE)) - " +
+        "LN(CAST(5 * cw1 * nb AS DOUBLE))) * 1000000.0) AS BIGINT) AS term_fp " +
+        "FROM cbg JOIN cw1 USING (w1) JOIN ce2 USING (w2), nn) " +
+        "SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams, " +
+        "ROUND(CAST(SUM(bf * term_fp) AS DOUBLE) / " +
+        "(CAST(SUM(bf) AS DOUBLE) * 1000000.0), 4) AS avg_jm_logprob " +
+        "FROM bfd JOIN model USING (w1, w2) " +
         "GROUP BY doc_id ORDER BY doc_id"),
     // x46's bigram CTEs + the three continuation-count tables; the
     // exact-rational KN probability through one LN per row onto the

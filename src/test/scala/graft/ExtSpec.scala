@@ -4578,6 +4578,39 @@ class ExtSpec extends SparkSpec {
       "rows must be ranked by the exact fp statistic")
   }
 
+  test("x198 JM bigram LM: proper mixture — scores negative, bigram mass identical to x46's") {
+    val jm = graft.ext.TextAnalysis.queries("x198_jm_bigram_lm")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jm.nonEmpty)
+    jm.foreach { case (id, nbg, lp) =>
+      assert(nbg > 0 && lp < 0.0, s"doc $id: lp $lp must be a log-probability")
+    }
+    // the doc-grain bigram mass is the same table x46 scores
+    val add1 = graft.ext.TextAnalysis.queries("x46_bigram_logprob")(spark, SfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jm.map(t => t._1 -> t._2).toMap == add1,
+      "JM and add-1 must score the identical bigram table")
+    // every observed bigram has c12 >= 1, so the JM mixture sits at or
+    // above the pure unigram floor and the mean log-prob above ln of
+    // the smallest possible mixture: sanity-bound it away from -inf
+    jm.foreach { case (id, _, lp) => assert(lp > -25.0, s"doc $id: $lp") }
+  }
+
+  test("x199 sparse cosine pairs: bounded similarity, ordered output, shared-support evidence") {
+    val rows = graft.ext.TextAnalysis.queries("x199_sparse_cosine_pairs")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), s"pair must be ordered: $r")
+      assert(r.getLong(2) >= 1 && r.getLong(3) > 0, s"shared support: $r")
+      val s = r.getDouble(4)
+      assert(s > 0.0 && s <= 1.0 + 1e-9, s"cosine out of range: $r")
+    }
+    val sims = rows.map(_.getDouble(4))
+    assert(sims.sliding(2).forall(p => p.length < 2 || p.head >= p.last),
+      "rows must be ranked by similarity")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
