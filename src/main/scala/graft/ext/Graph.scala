@@ -131,6 +131,41 @@ object Graph {
     iterate(adj, nodeMeta(adj), iters)
   }
 
+  /** x200's WEIGHTED PageRank over a directed (src, dst, w) arc frame
+    * with integer weights: each round sends rank·w DIV Σw(src) along
+    * every arc — x69's exact fixed-point recurrence with the uniform
+    * out-split replaced by the weight-proportional one (a co-purchase
+    * pair sharing 50 orders should pull 50× the rank mass of a
+    * one-order coincidence). Same integer-exactness argument: every
+    * per-arc contribution is one BIGINT floor-division, sums are
+    * associative, so the readout takes a full hash oracle. Caller
+    * contract: every node appears as a src (symmetric arc frames
+    * satisfy this by construction — no dangling term needed; an
+    * asymmetric caller routes through [[pageRankFp]]'s dangling
+    * machinery instead). Per-iteration scale shape = x69's: one
+    * arc-grain equi-join + one partial-aggregatable BIGINT sum.
+    */
+  def weightedPageRankFp(arcs: DataFrame, iters: Int): DataFrame = {
+    val wsum = arcs.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val adj = arcs.join(wsum, "src")
+    val nodes = adj.select(col("src")).distinct()
+    val nN = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val init = nodes.crossJoin(nN).select(col("src").as("node"),
+      expr(s"${RankScale * 15 / 100}L DIV n_nodes").as("base_fp"),
+      expr(s"${RankScale}L DIV n_nodes").as("rank_fp"))
+    (1 to iters).foldLeft(init) { (ranks, _) =>
+      val contrib = adj
+        .join(ranks.select(col("node").as("src"), col("rank_fp")), "src")
+        .select(col("dst"), expr("(rank_fp * w) DIV wsum").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks.select(col("node"), col("base_fp"))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), col("base_fp"),
+          expr(s"base_fp + ($DampNum * coalesce(in_mass, 0)) DIV $DampDen")
+            .as("rank_fp"))
+    }
+  }
+
   /** x129's two HITS rounds over a distinct (p, s) directed pair
     * frame → (supplier, auth_fp). Exposed so property tests can drive
     * planted bipartite graphs through the exact Spark machinery.
@@ -928,6 +963,34 @@ object Graph {
         .limit(20)
     }),
 
+    // WEIGHTED PAGERANK — x69's centrality with co-purchase
+    // MULTIPLICITY as the edge weight (how many orders share the
+    // pair), so rank mass flows proportionally to evidence strength
+    // instead of treating a 50-order affinity like a one-order
+    // coincidence; see [[weightedPageRankFp]]. The weighted edge
+    // table is its own lake artifact (the distinct-pair artifact the
+    // triangle family shares deliberately drops multiplicity). The
+    // symmetric arc frame makes every node a src — no dangling mass
+    // by construction. Top-20 by (rank desc, node).
+    "x200_weighted_pagerank" -> ((spark, sfDir) => {
+      val ew = Lake.materialize(spark, sfDir, "copurchase_wedges_v1") {
+        val items = Lake.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        items.as("x")
+          .join(items.as("y"), col("x.ok") === col("y.ok") &&
+            col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+      }
+      val arcs = ew.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(ew.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      weightedPageRankFp(arcs, iters = 3)
+        .select(col("node"), col("rank_fp"))
+        .orderBy(desc("rank_fp"), col("node"))
+        .limit(20)
+    }),
+
     // HITS HUBS/AUTHORITIES — the second classic link-analysis
     // centrality, on the DIRECTED part→supplier graph (PageRank x69
     // runs the undirected both-ways materialization): parts are hubs,
@@ -1386,6 +1449,32 @@ object Graph {
         "r0 AS (SELECT src AS node, outdeg, " +
         "CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fp, " +
         "CAST(150000000000 // n_nodes AS BIGINT) AS base_fp FROM deg, nn), " +
+        iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
+        "SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 20"
+    },
+    // x69's unrolled fixed-point iterations with the uniform split
+    // swapped for the weight-proportional one; symmetric arcs mean
+    // every node is a src, so the contribution join is inner-safe
+    "x200_weighted_pagerank" -> {
+      def iter(prev: String, out: String): String =
+        s"c$out AS (SELECT a.dst AS node, " +
+          s"CAST(SUM((r.rank_fp * a.w) // a.wsum) AS BIGINT) AS in_mass " +
+          s"FROM arcs a JOIN r$prev r ON a.src = r.node GROUP BY 1), " +
+          s"r$out AS (SELECT r0.node, r0.base_fp, " +
+          s"CAST(r0.base_fp + (85 * COALESCE(c$out.in_mass, 0)) // 100 AS BIGINT) AS rank_fp " +
+          s"FROM r0 LEFT JOIN c$out ON r0.node = c$out.node)"
+      "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "ew AS (SELECT x.pk AS u, y.pk AS v, CAST(COUNT(*) AS BIGINT) AS w " +
+        "FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2), " +
+        "arcs0 AS (SELECT u AS src, v AS dst, w FROM ew " +
+        "UNION ALL SELECT v AS src, u AS dst, w FROM ew), " +
+        "ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum FROM arcs0 GROUP BY 1), " +
+        "arcs AS (SELECT arcs0.src, arcs0.dst, arcs0.w, ws.wsum " +
+        "FROM arcs0 JOIN ws ON arcs0.src = ws.src), " +
+        "nn AS (SELECT COUNT(*) AS n_nodes FROM ws), " +
+        "r0 AS (SELECT src AS node, " +
+        "CAST(150000000000 // n_nodes AS BIGINT) AS base_fp, " +
+        "CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fp FROM ws, nn), " +
         iter("0", "1") + ", " + iter("1", "2") + ", " + iter("2", "3") + " " +
         "SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 20"
     }

@@ -4611,6 +4611,27 @@ class ExtSpec extends SparkSpec {
       "rows must be ranked by similarity")
   }
 
+  test("x200 weighted pagerank: unit weights reproduce the unweighted recurrence bit-for-bit; skew pulls rank") {
+    import spark.implicits._
+    // symmetric triangle, unit weights: (rank*1) DIV wsum == rank DIV
+    // outdeg, so the weighted recurrence must equal pageRankFp exactly
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val arcs1 = (edges ++ edges.map(e => (e._2, e._1)))
+      .map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w")
+    val unw = graft.ext.Graph.pageRankFp(
+      (edges ++ edges.map(e => (e._2, e._1))).toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wtd = graft.ext.Graph.weightedPageRankFp(arcs1, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(wtd == unw, s"unit-weight ranks diverge: $wtd vs $unw")
+    // skewed weights: node 1 sends 9/10 of its mass to 2, 1/10 to 3
+    val skew = Seq((1L, 2L, 9L), (2L, 1L, 9L), (1L, 3L, 1L),
+      (3L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val sk = graft.ext.Graph.weightedPageRankFp(skew, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sk(2L) > sk(3L), s"weight skew must pull rank toward node 2: $sk")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
