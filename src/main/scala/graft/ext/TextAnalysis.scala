@@ -684,6 +684,52 @@ object TextAnalysis {
         sum(col("n_tokens")).over(byBucket).as("cum_tokens"))
   }
 
+  /** The full (w1, w2, cnt) bigram-count table of an explicit
+    * documents frame — x197's one corpus pass, and the per-batch
+    * delta shape s35 aggregates before its additive merge.
+    */
+  def bigramCountsOf(d: DataFrame): DataFrame =
+    d.select(split(col("text"), " ").as("w")).filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+
+  /** x197's G² readout over a FULL (w1, w2, cnt) bigram-count table
+    * (no min-count pre-filter — the ≥5 gate applies to the REPORTED
+    * pairs only; marginals and N always sum the full table). The
+    * count table is x197's sufficient statistic and merges additively
+    * per microbatch, so s35 maintains it incrementally and reads the
+    * ranking out through this exact stage — streamed ≡ batch by
+    * construction. Marginals/N are one hash agg each off the
+    * model-sized table; everything downstream is model-sized.
+    */
+  def g2FromBigramCounts(cbg: DataFrame): DataFrame = {
+    val pair = cbg.filter(col("cnt") >= 5)
+      .select(col("w1"), col("w2"), col("cnt").as("k11"))
+    val sm = cbg.groupBy(col("w1")).agg(sum(col("cnt")).as("s1"))
+    val em = cbg.groupBy(col("w2")).agg(sum(col("cnt")).as("e2"))
+    val nn = broadcast(cbg.agg(sum(col("cnt")).as("nb")))
+    def lnd(c: org.apache.spark.sql.Column) = log(c.cast("double"))
+    def termFp(o: org.apache.spark.sql.Column,
+        row: org.apache.spark.sql.Column,
+        cl: org.apache.spark.sql.Column) =
+      when(o > 0, o * round((lnd(o) + lnd(col("nb")) - lnd(row) - lnd(cl))
+        * 1000000.0, 0).cast("long")).otherwise(0L)
+    pair.join(sm, "w1").join(em, "w2").crossJoin(nn)
+      .withColumn("g2_fp",
+        termFp(col("k11"), col("s1"), col("e2")) +
+          termFp(col("s1") - col("k11"), col("s1"), col("nb") - col("e2")) +
+          termFp(col("e2") - col("k11"), col("nb") - col("s1"), col("e2")) +
+          termFp(col("nb") - col("s1") - col("e2") + col("k11"),
+            col("nb") - col("s1"), col("nb") - col("e2")))
+      .select(col("w1"), col("w2"), col("k11"), col("g2_fp"),
+        round(col("g2_fp").cast("double") * 2.0 / 1000000.0, 4).as("g2"))
+      .orderBy(desc("g2_fp"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   /** x193/x194's paired rule outcomes over documents: rule A = length
     * strictly above the global median n_chars, rule B = token count
     * strictly above ITS global median (both medians exact order
@@ -2071,36 +2117,8 @@ object TextAnalysis {
     // exact integer compare. Scale: one bigram explode + three
     // partial-aggregatable hash aggs (pair/start/end), then
     // model-sized joins; top-20 is TakeOrdered.
-    "x197_g2_collocations" -> ((spark, sfDir) => {
-      val tok = docs(spark, sfDir)
-        .select(tokens.as("w")).filter(size(col("w")) >= 2)
-      val bg = tok.select(explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val pair = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("k11")).filter(col("k11") >= 5)
-      val sm = bg.groupBy(col("w1")).agg(count(lit(1)).as("s1"))
-      val em = bg.groupBy(col("w2")).agg(count(lit(1)).as("e2"))
-      val nn = broadcast(bg.agg(count(lit(1)).as("nb")))
-      def lnd(c: org.apache.spark.sql.Column) = log(c.cast("double"))
-      def termFp(o: org.apache.spark.sql.Column,
-          row: org.apache.spark.sql.Column,
-          cl: org.apache.spark.sql.Column) =
-        when(o > 0, o * round((lnd(o) + lnd(col("nb")) - lnd(row) - lnd(cl))
-          * 1000000.0, 0).cast("long")).otherwise(0L)
-      pair.join(sm, "w1").join(em, "w2").crossJoin(nn)
-        .withColumn("g2_fp",
-          termFp(col("k11"), col("s1"), col("e2")) +
-            termFp(col("s1") - col("k11"), col("s1"), col("nb") - col("e2")) +
-            termFp(col("e2") - col("k11"), col("nb") - col("s1"), col("e2")) +
-            termFp(col("nb") - col("s1") - col("e2") + col("k11"),
-              col("nb") - col("s1"), col("nb") - col("e2")))
-        .select(col("w1"), col("w2"), col("k11"), col("g2_fp"),
-          round(col("g2_fp").cast("double") * 2.0 / 1000000.0, 4).as("g2"))
-        .orderBy(desc("g2_fp"), col("w1"), col("w2"))
-        .limit(20)
-    }),
+    "x197_g2_collocations" -> ((spark, sfDir) =>
+      g2FromBigramCounts(bigramCountsOf(docs(spark, sfDir)))),
 
     "x88_pmi_collocations" -> ((spark, sfDir) => {
       val tok = docs(spark, sfDir)

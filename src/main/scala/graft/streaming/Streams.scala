@@ -671,6 +671,63 @@ object Streams {
         sys.error("s34: stream produced no batches"))))
   }
 
+  /** s35: x197's G² collocation ranking with the bigram-count model
+    * maintained incrementally — the LM-model IVM beside s18's BM25
+    * index: the full (w1, w2, cnt) table is the sufficient statistic
+    * for the whole 2×2 contingency (marginals and N re-derive from it
+    * by hash aggs), it merges additively per microbatch of documents,
+    * and the ranking reads out through the shared
+    * [[graft.ext.TextAnalysis.g2FromBigramCounts]] stage — streamed ≡
+    * batch x197 by construction. State is distinct-bigram-sized
+    * (vocabulary-shaped, sublinear in the corpus).
+    */
+  def foreachBatchG2(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s35_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_text_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_text_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cbg_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.TextAnalysis.bigramCountsOf(batch.toDF())
+            .withColumnRenamed("cnt", "d_cnt")
+          val merged = latest match {
+            case None => delta.select(col("w1"), col("w2"),
+              col("d_cnt").as("cnt"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("w1", "w2"), "full_outer")
+                .select(col("w1"), col("w2"),
+                  (coalesce(col("cnt"), lit(0L)) +
+                    coalesce(col("d_cnt"), lit(0L))).as("cnt"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.TextAnalysis.g2FromBigramCounts(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s35: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1827,6 +1884,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchDid(spark, sfDir)),
     "s34_stream_ols_maintain" ->
       ((spark, sfDir) => foreachBatchOls(spark, sfDir)),
+    "s35_stream_g2_maintain" ->
+      ((spark, sfDir) => foreachBatchG2(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1888,6 +1947,10 @@ object Streams {
     // one-row statistic ≡ batch x196
     "s34_stream_ols_maintain" ->
       graft.ext.Sampling.oracles("x196_ols_normal_eq"),
+    // the IVM contract verbatim: the ranking read from the maintained
+    // bigram-count model ≡ batch x197
+    "s35_stream_g2_maintain" ->
+      graft.ext.TextAnalysis.oracles("x197_g2_collocations"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
