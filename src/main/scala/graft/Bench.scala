@@ -690,7 +690,7 @@ object Bench {
         parts += s""""x199_candidate_pairs":${sh
           .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= 100)
-          .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)))
+          .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
           .head().getLong(0)}"""
       } catch { case e: Throwable =>
         parts += s""""x199_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }

@@ -420,6 +420,86 @@ object Sampling {
         .orderBy(col("bin"))
     }),
 
+    // SLICED AUC — the scorer's ranking quality PER DAY (the
+    // fairness/monitoring readout: one global AUC hides a slice where
+    // the scorer is broken; the sliced curve is what an eval
+    // dashboard actually tracks): the GLOBAL out-of-fold scorer
+    // evaluated within each day slice, via the same tie-aware BIGINT
+    // rank-sum as x186 with every window PARTITIONED by the slice.
+    // Scale shape: one fact pass to (day, type, fold) cells, a
+    // broadcast join to the scorer's cell frame, windows over the
+    // (day × score)-sized frame only.
+    "x201_auc_by_slice" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = encodeCells(rawScoreCells(spark, sfDir))
+        .select(col("event_type"), col("fold"),
+          round(col("enc_num").cast("double") /
+            col("enc_den").cast("double") * 10000.0, 0)
+            .cast("long").as("enc_fp"))
+      val dcells = Lake.table(spark, sfDir, "events")
+        .select(expr("datediff(to_date(ts), date'2024-01-01')")
+          .cast("long").as("d"),
+          col("event_type"), (sampleHash(col("user_id")) % 4).as("fold"),
+          when(col("value") > 90, 1L).otherwise(0L).as("pos"))
+        .join(broadcast(sc), Seq("event_type", "fold"))
+        .groupBy(col("d"), col("enc_fp"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val asc = Window.partitionBy(col("d")).orderBy(col("enc_fp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dcells
+        .withColumn("cb", coalesce(sum(col("n")).over(asc), lit(0L)))
+        .groupBy(col("d"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"),
+          sum(col("n_pos") * (lit(2L) * col("cb") + col("n") + lit(1L)))
+            .as("r2sum"))
+        .select(col("d"), col("n"), col("n_pos"),
+          when(col("n_pos") > 0 && col("n") > col("n_pos"),
+            round((col("r2sum") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") *
+                (col("n") - col("n_pos")).cast("double")), 6)).as("auc"))
+        .orderBy(col("d"))
+    }),
+
+    // SPEARMAN RANK CORRELATION — monotone association between two
+    // doc measures (length in chars vs length in tokens here), the
+    // outlier-robust complement of a Pearson r: ties get average
+    // ranks, computed WITHOUT any row-grain global sort — the
+    // value-frequency table's cumulative bounds give every distinct
+    // value its doubled average rank 2·cum_before + f + 1 as an exact
+    // BIGINT (x191's trick), docs join the model-sized rank tables by
+    // value, and ρ is Pearson over the exact doubled ranks: five
+    // BIGINT sums, fixed double expressions, one sqrt.
+    "x205_spearman" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d0 = docs(spark, sfDir).select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      def r2ranks(v: String): DataFrame = {
+        val byV = Window.orderBy(col(v))
+        d0.groupBy(col(v)).agg(count(lit(1)).as("f"))
+          .withColumn("cb", coalesce(sum(col("f")).over(
+            byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(v),
+            (lit(2L) * col("cb") + col("f") + lit(1L)).as(s"r2_$v"))
+      }
+      val ranked = d0
+        .join(broadcast(r2ranks("n_chars")), "n_chars")
+        .join(broadcast(r2ranks("n_toks")), "n_toks")
+      def dd(c: String) = col(c).cast("double")
+      ranked.agg(count(lit(1)).as("n"),
+        sum(col("r2_n_chars")).as("sx"), sum(col("r2_n_toks")).as("sy"),
+        sum(col("r2_n_chars") * col("r2_n_chars")).as("sxx"),
+        sum(col("r2_n_chars") * col("r2_n_toks")).as("sxy"),
+        sum(col("r2_n_toks") * col("r2_n_toks")).as("syy"))
+        .select(col("n"),
+          when((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+            (dd("n") * dd("syy") - dd("sy") * dd("sy")) > 0.0,
+            round((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+              sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+                (dd("n") * dd("syy") - dd("sy") * dd("sy"))), 6))
+            .as("rho"))
+    }),
+
     // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
     // map beside x149's diagnosis (ECE says the score is miscalibrated;
     // isotonic regression produces the monotone score→probability map
@@ -1498,6 +1578,51 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // the same day-extended cells and per-slice partitioned rank-sum
+    "x201_auc_by_slice" ->
+      (scoreCellsCte + ", " +
+        "ev2 AS (SELECT DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d, " +
+        s"event_type, ((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CASE WHEN value > 90 THEN 1 ELSE 0 END AS pos FROM events), " +
+        "dcells AS (SELECT d, enc_fp, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(pos) AS BIGINT) AS n_pos " +
+        "FROM ev2 JOIN cells USING (event_type, fold) GROUP BY 1, 2), " +
+        "w AS (SELECT d, enc_fp, n, n_pos, " +
+        "COALESCE(CAST(SUM(n) OVER (PARTITION BY d ORDER BY enc_fp " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM dcells), " +
+        "gd AS (SELECT d, CAST(SUM(n) AS BIGINT) AS n, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(n_pos * (2 * cb + n + 1)) AS BIGINT) AS r2sum FROM w GROUP BY 1) " +
+        "SELECT CAST(d AS BIGINT) AS d, n, n_pos, " +
+        "CASE WHEN n_pos > 0 AND n > n_pos THEN " +
+        "ROUND(CAST(r2sum - n_pos * (n_pos + 1) AS DOUBLE) / " +
+        "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6) END AS auc " +
+        "FROM gd ORDER BY d"),
+    // same value-frequency doubled average ranks, same five sums
+    "x205_spearman" ->
+      ("WITH d0 AS (SELECT doc_id, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
+        "fx AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS f FROM d0 GROUP BY 1), " +
+        "rx AS (SELECT n_chars, 2 * COALESCE(CAST(SUM(f) OVER (ORDER BY n_chars " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + f + 1 AS r2x FROM fx), " +
+        "fy AS (SELECT n_toks, CAST(COUNT(*) AS BIGINT) AS f FROM d0 GROUP BY 1), " +
+        "ry AS (SELECT n_toks, 2 * COALESCE(CAST(SUM(f) OVER (ORDER BY n_toks " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + f + 1 AS r2y FROM fy), " +
+        "j AS (SELECT r2x, r2y FROM d0 JOIN rx USING (n_chars) JOIN ry USING (n_toks)), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy, " +
+        "CAST(SUM(r2x * r2x) AS BIGINT) AS sxx, CAST(SUM(r2x * r2y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(r2y * r2y) AS BIGINT) AS syy FROM j) " +
+        "SELECT n, CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0 THEN " +
+        "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho FROM s"),
     // same ten exact sums, same Cramer/R² double expression trees
     "x196_ols_normal_eq" ->
       ("WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS y, " +

@@ -1726,6 +1726,41 @@ object Surface {
     "c95_diff_in_diff" -> ((spark, sfDir) =>
       didFromCells(didCellsOf(t(spark, sfDir, "events")))),
 
+    // INTERRUPTED TIME SERIES — the single-group causal design beside
+    // c95's two-group DiD (no control group? fit the trend before and
+    // after the intervention and read the LEVEL CHANGE at the break):
+    // one-feature OLS of spend cents on day index per segment (pre /
+    // post day 13), each fit from four exact BIGINT sums (x196's
+    // sufficient-statistic discipline at k=1), slopes/intercepts/the
+    // two fits at the breakpoint as fixed double expressions, and the
+    // level change as a 2-row window contrast. One fact pass total.
+    "c96_interrupted_ts" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(expr("datediff(to_date(ts), date'2024-01-01')")
+          .cast("long").as("x"),
+          round(col("value") * 100, 0).cast("long").as("y"))
+        .withColumn("segment", when(col("x") < 13, "pre").otherwise("post"))
+      val s = ev.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      def dd(c: String) = col(c).cast("double")
+      val den = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+      val slope = (dd("n") * dd("sxy") - dd("sx") * dd("sy")) / den
+      val icept = (dd("sy") - slope * dd("sx")) / dd("n")
+      val fitBreak = icept + slope * 13.0
+      val whole = Window.partitionBy(lit(1))
+      s.select(col("segment"), col("n"),
+        when(den =!= 0.0, round(slope, 6)).as("slope_cents_per_day"),
+        when(den =!= 0.0, round(icept, 4)).as("intercept_cents"),
+        when(den =!= 0.0, round(fitBreak, 4)).as("fit_at_break"),
+        round(max(when(col("segment") === "post" && den =!= 0.0, fitBreak))
+          .over(whole) -
+          max(when(col("segment") === "pre" && den =!= 0.0, fitBreak))
+            .over(whole), 4).as("level_change_cents"))
+        .orderBy(col("segment"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -2293,6 +2328,31 @@ object Surface {
         "ROUND(CAST(h_fp AS DOUBLE) / 1000000000.0, 6) AS cum_hazard, " +
         "ROUND(EXP(-(CAST(h_fp AS DOUBLE) / 1000000000.0)), 4) AS surv_breslow " +
         "FROM cm WHERE d > 0 ORDER BY t_day"),
+    // same per-segment four-sum OLS, same fixed double fit/contrast
+    // expressions at the break
+    "c96_interrupted_ts" ->
+      ("WITH e AS (SELECT CAST(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, " +
+        "CAST(ROUND(value * 100) AS BIGINT) AS y FROM events), " +
+        "seg AS (SELECT CASE WHEN x < 13 THEN 'pre' ELSE 'post' END AS segment, x, y FROM e), " +
+        "s AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy " +
+        "FROM seg GROUP BY 1), " +
+        "f AS (SELECT segment, n, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, " +
+        "sx, sy FROM s), " +
+        "g AS (SELECT segment, n, den, slope, " +
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept FROM f), " +
+        "h AS (SELECT segment, n, den, slope, icept, icept + slope * 13.0 AS fitb FROM g) " +
+        "SELECT segment, n, " +
+        "CASE WHEN den <> 0.0 THEN ROUND(slope, 6) END AS slope_cents_per_day, " +
+        "CASE WHEN den <> 0.0 THEN ROUND(icept, 4) END AS intercept_cents, " +
+        "CASE WHEN den <> 0.0 THEN ROUND(fitb, 4) END AS fit_at_break, " +
+        "ROUND(MAX(CASE WHEN segment = 'post' AND den <> 0.0 THEN fitb END) OVER () - " +
+        "MAX(CASE WHEN segment = 'pre' AND den <> 0.0 THEN fitb END) OVER (), 4) AS level_change_cents " +
+        "FROM h ORDER BY segment"),
     // same 2x2 exact cells, same cell-mean divisions, same four-term
     // contrast expression
     "c95_diff_in_diff" ->

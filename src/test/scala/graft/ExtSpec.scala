@@ -4632,6 +4632,70 @@ class ExtSpec extends SparkSpec {
     assert(sk(2L) > sk(3L), s"weight skew must pull rank toward node 2: $sk")
   }
 
+  test("x201 sliced AUC: per-day counts conserve the corpus, AUC bounded, defined where both classes exist") {
+    val rows = graft.ext.Sampling.queries("x201_auc_by_slice")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = Lake.table(spark, SfDir, "events").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "day slices must partition the event stream")
+    rows.foreach { r =>
+      val (n, np) = (r.getLong(1), r.getLong(2))
+      if (np > 0 && n > np) {
+        assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0,
+          s"AUC out of range: $r")
+      } else assert(r.isNullAt(3), s"single-class day must read NULL: $r")
+    }
+  }
+
+  test("x205 spearman: chars-vs-tokens ranks correlate strongly positively; planted inversions read -1") {
+    import spark.implicits._
+    val r = graft.ext.Sampling.queries("x205_spearman")(spark, SfDir)
+      .collect()(0)
+    assert(r.getLong(0) > 0 && !r.isNullAt(1))
+    assert(r.getDouble(1) > 0.5,
+      s"doc char length and token count must rank-correlate: $r")
+    // planted perfect inversion through the same doubled-rank math
+    val inv = Seq((1L, 1L, 30L), (2L, 2L, 20L), (3L, 3L, 10L))
+      .toDF("doc_id", "a", "b")
+    def r2(v: String) = {
+      val byV = org.apache.spark.sql.expressions.Window.orderBy(col(v))
+      inv.groupBy(col(v)).agg(count(lit(1)).as("f"))
+        .withColumn("cb", coalesce(sum(col("f")).over(byV.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col(v), (lit(2L) * col("cb") + col("f") + lit(1L)).as(s"r2_$v"))
+    }
+    val j = inv.join(r2("a"), "a").join(r2("b"), "b")
+      .agg(count(lit(1)).as("n"), sum(col("r2_a")).as("sx"),
+        sum(col("r2_b")).as("sy"),
+        sum(col("r2_a") * col("r2_a")).as("sxx"),
+        sum(col("r2_a") * col("r2_b")).as("sxy"),
+        sum(col("r2_b") * col("r2_b")).as("syy")).collect()(0)
+    val (n, sx, sy, sxx, sxy, syy) = (j.getLong(0).toDouble, j.getLong(1).toDouble,
+      j.getLong(2).toDouble, j.getLong(3).toDouble, j.getLong(4).toDouble,
+      j.getLong(5).toDouble)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(rho - (-1.0)) < 1e-12, s"inversion must read -1: $rho")
+  }
+
+  test("c96 interrupted time series: two segments, contrast consistent with its own fits") {
+    val rows = graft.queries.Surface.queries("c96_interrupted_ts")(spark, SfDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("post", "pre"))
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val contrast = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == contrast),
+      "level change must be the same scalar on both rows")
+    // consistency only up to the 4 dp rounding of the reported fits
+    assert(math.abs(contrast - r4(byName("post").getDouble(4) -
+      byName("pre").getDouble(4))) <= 0.0002,
+      s"contrast inconsistent with the two reported fits: $rows")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
