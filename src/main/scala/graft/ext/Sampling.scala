@@ -209,8 +209,60 @@ object Sampling {
       .orderBy(desc("score_fp"))
   }
 
+  /** x205's sufficient statistic: the JOINT (n_chars, n_toks) value-
+    * pair frequency table of a documents frame — everything Spearman
+    * needs (both marginal frequency tables, hence both tie-averaged
+    * rank maps, and all five weighted rank sums) re-derives from it,
+    * and it merges ADDITIVELY per microbatch (s36's maintained
+    * state). Support-sized (distinct value pairs), never doc-sized.
+    */
+  private[graft] def spearmanJointOf(d: DataFrame): DataFrame =
+    d.select(col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("n_chars"), col("n_toks"))
+      .agg(count(lit(1)).as("f"))
+
+  /** x205's readout over a prebuilt joint frequency table — shared
+    * with s36 so streamed ≡ batch is literal frame equality. Doubled
+    * tie-averaged ranks 2·cum_before + f + 1 per DISTINCT value from
+    * the marginal cumulative bounds (exact BIGINTs, no row-grain
+    * global sort), then Pearson over the f-weighted exact ranks: five
+    * BIGINT sums, fixed double expressions, one sqrt.
+    */
+  def spearmanFromJoint(joint: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r2ranks(v: String): DataFrame = {
+      val byV = Window.orderBy(col(v))
+      joint.groupBy(col(v)).agg(sum(col("f")).as("fm"))
+        .withColumn("cb", coalesce(sum(col("fm")).over(
+          byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(v),
+          (lit(2L) * col("cb") + col("fm") + lit(1L)).as(s"r2_$v"))
+    }
+    def dd(c: String) = col(c).cast("double")
+    joint
+      .join(broadcast(r2ranks("n_chars")), "n_chars")
+      .join(broadcast(r2ranks("n_toks")), "n_toks")
+      .agg(sum(col("f")).as("n"),
+        sum(col("f") * col("r2_n_chars")).as("sx"),
+        sum(col("f") * col("r2_n_toks")).as("sy"),
+        sum(col("f") * col("r2_n_chars") * col("r2_n_chars")).as("sxx"),
+        sum(col("f") * col("r2_n_chars") * col("r2_n_toks")).as("sxy"),
+        sum(col("f") * col("r2_n_toks") * col("r2_n_toks")).as("syy"))
+      .select(col("n"),
+        when((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+          (dd("n") * dd("syy") - dd("sy") * dd("sy")) > 0.0,
+          round((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+            sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+              (dd("n") * dd("syy") - dd("sy") * dd("sy"))), 6))
+          .as("rho"))
+  }
+
   /** Replicate count for the x189 Poisson bootstrap. */
   val BootReps = 8
+
+  /** Permutation count for the x206 randomization test. */
+  val PermReps = 32
 
   /** Poisson(1) cumulative-probability thresholds on the [0, HashMod)
     * integer grid: `PoisCum(k)` = ⌊HashMod · P(X ≤ k)⌋, so a uniform
@@ -420,6 +472,62 @@ object Sampling {
         .orderBy(col("bin"))
     }),
 
+    // PERMUTATION TEST — the assumption-free significance readout for
+    // c80's A/B lift (the z-test assumes normality; the randomization
+    // test just asks "how often does a RANDOM relabeling beat the
+    // observed split?"): 32 deterministic-hash relabelings of the
+    // user arms, each replicate's conversion-rate difference compared
+    // to the observed one by exact integer CROSS-MULTIPLICATION
+    // (|X_b|·D_obs ≥ |X_obs|·D_b with X = c_A·n_B − c_B·n_A and
+    // D = n_A·n_B — no float ever enters the decision), so the
+    // p-value is engine-reproducible to the bit. Scale shape: one
+    // user-grain frame, explode ×32, one partial-aggregatable
+    // groupBy(replicate) — the permutation test as a single pass. A
+    // replicate with an empty arm (D_b = 0) counts as not-extreme;
+    // add-one p-value convention.
+    "x206_permutation_test" -> ((spark, sfDir) => {
+      val ev = Lake.table(spark, sfDir, "events")
+      val conv = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 95.0)
+        .select(col("user_id")).distinct().withColumn("cv", lit(1L))
+      val u = ev.select(col("user_id")).distinct()
+        .join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), coalesce(col("cv"), lit(0L)).as("cv"))
+      val obs = broadcast(u.select(
+          when(sampleHash(col("user_id")) < lit(HashMod / 2), 1L)
+            .otherwise(0L).as("a"), col("cv"))
+        .agg(sum(col("a")).as("na_o"), sum(col("a") * col("cv")).as("ca_o"),
+          count(lit(1)).as("nu"), sum(col("cv")).as("c_tot")))
+      u.select(col("user_id"), col("cv"),
+          explode(array((0 until PermReps).map(b => lit(b.toLong)): _*))
+            .as("b"))
+        .withColumn("h",
+          (sampleHash(col("user_id")) + col("b") * lit(1300997L)) *
+            lit(48271L) % lit(HashMod))
+        .withColumn("a", when(col("h") < lit(HashMod / 2), 1L).otherwise(0L))
+        .groupBy(col("b"))
+        .agg(sum(col("a")).as("na"), sum(col("a") * col("cv")).as("ca"),
+          count(lit(1)).as("nu_b"), sum(col("cv")).as("c_b"))
+        .crossJoin(obs)
+        .withColumn("x_b", col("ca") * (col("nu_b") - col("na")) -
+          (col("c_b") - col("ca")) * col("na"))
+        .withColumn("d_b", col("na") * (col("nu_b") - col("na")))
+        .withColumn("x_o", col("ca_o") * (col("nu") - col("na_o")) -
+          (col("c_tot") - col("ca_o")) * col("na_o"))
+        .withColumn("d_o", col("na_o") * (col("nu") - col("na_o")))
+        .withColumn("extreme",
+          when(col("d_b") > 0 &&
+            abs(col("x_b")) * col("d_o") >= abs(col("x_o")) * col("d_b"),
+            1L).otherwise(0L))
+        .agg(max(col("nu")).as("n_users"),
+          count(lit(1)).as("n_perms"),
+          sum(col("extreme")).as("n_extreme"),
+          round(max(col("x_o").cast("double") / col("d_o").cast("double")),
+            6).as("obs_diff"),
+          round((sum(col("extreme")) + lit(1L)).cast("double") /
+            (count(lit(1)) + lit(1L)).cast("double"), 4).as("p_value"))
+    }),
+
     // SLICED AUC — the scorer's ranking quality PER DAY (the
     // fairness/monitoring readout: one global AUC hides a slice where
     // the scorer is broken; the sliced curve is what an eval
@@ -470,35 +578,8 @@ object Sampling {
     // BIGINT (x191's trick), docs join the model-sized rank tables by
     // value, and ρ is Pearson over the exact doubled ranks: five
     // BIGINT sums, fixed double expressions, one sqrt.
-    "x205_spearman" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d0 = docs(spark, sfDir).select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), " ")).cast("long").as("n_toks"))
-      def r2ranks(v: String): DataFrame = {
-        val byV = Window.orderBy(col(v))
-        d0.groupBy(col(v)).agg(count(lit(1)).as("f"))
-          .withColumn("cb", coalesce(sum(col("f")).over(
-            byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col(v),
-            (lit(2L) * col("cb") + col("f") + lit(1L)).as(s"r2_$v"))
-      }
-      val ranked = d0
-        .join(broadcast(r2ranks("n_chars")), "n_chars")
-        .join(broadcast(r2ranks("n_toks")), "n_toks")
-      def dd(c: String) = col(c).cast("double")
-      ranked.agg(count(lit(1)).as("n"),
-        sum(col("r2_n_chars")).as("sx"), sum(col("r2_n_toks")).as("sy"),
-        sum(col("r2_n_chars") * col("r2_n_chars")).as("sxx"),
-        sum(col("r2_n_chars") * col("r2_n_toks")).as("sxy"),
-        sum(col("r2_n_toks") * col("r2_n_toks")).as("syy"))
-        .select(col("n"),
-          when((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
-            (dd("n") * dd("syy") - dd("sy") * dd("sy")) > 0.0,
-            round((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
-              sqrt((dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
-                (dd("n") * dd("syy") - dd("sy") * dd("sy"))), 6))
-            .as("rho"))
-    }),
+    "x205_spearman" -> ((spark, sfDir) =>
+      spearmanFromJoint(spearmanJointOf(docs(spark, sfDir)))),
 
     // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
     // map beside x149's diagnosis (ECE says the score is miscalibrated;
@@ -1578,6 +1659,35 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // same hash relabelings, same exact cross-multiplied decision
+    "x206_permutation_test" ->
+      (s"WITH conv AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND value >= 95.0), " +
+        "u AS (SELECT e.user_id, CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS cv " +
+        "FROM (SELECT DISTINCT user_id FROM events) e LEFT JOIN conv c USING (user_id)), " +
+        "obs AS (SELECT CAST(SUM(a) AS BIGINT) AS na_o, CAST(SUM(a * cv) AS BIGINT) AS ca_o, " +
+        "CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(cv) AS BIGINT) AS c_tot FROM " +
+        s"(SELECT CASE WHEN ((user_id * $HashMul) % $HashMod) < ${HashMod / 2} " +
+        "THEN 1 ELSE 0 END AS a, cv FROM u) t), " +
+        s"reps AS (SELECT * FROM (VALUES ${(0 until PermReps)
+          .map(b => s"($b)").mkString(",")}) v(b)), " +
+        "r AS (SELECT CAST(reps.b AS BIGINT) AS b, u.cv, " +
+        s"CASE WHEN (((u.user_id * $HashMul) % $HashMod) + " +
+        s"CAST(reps.b AS BIGINT) * 1300997) * 48271 % $HashMod < ${HashMod / 2} " +
+        "THEN 1 ELSE 0 END AS a FROM u CROSS JOIN reps), " +
+        "g2 AS (SELECT b, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(a * cv) AS BIGINT) AS ca, " +
+        "CAST(COUNT(*) AS BIGINT) AS nu_b, CAST(SUM(cv) AS BIGINT) AS c_b FROM r GROUP BY 1), " +
+        "x AS (SELECT g2.*, obs.*, ca * (nu_b - na) - (c_b - ca) * na AS x_b, " +
+        "na * (nu_b - na) AS d_b, " +
+        "ca_o * (nu - na_o) - (c_tot - ca_o) * na_o AS x_o, " +
+        "na_o * (nu - na_o) AS d_o FROM g2, obs), " +
+        "e AS (SELECT *, CASE WHEN d_b > 0 AND ABS(x_b) * d_o >= ABS(x_o) * d_b " +
+        "THEN 1 ELSE 0 END AS extreme FROM x) " +
+        "SELECT MAX(nu) AS n_users, CAST(COUNT(*) AS BIGINT) AS n_perms, " +
+        "CAST(SUM(extreme) AS BIGINT) AS n_extreme, " +
+        "ROUND(MAX(CAST(x_o AS DOUBLE) / CAST(d_o AS DOUBLE)), 6) AS obs_diff, " +
+        "ROUND(CAST(SUM(extreme) + 1 AS DOUBLE) / CAST(COUNT(*) + 1 AS DOUBLE), 4) AS p_value " +
+        "FROM e"),
     // the same day-extended cells and per-slice partitioned rank-sum
     "x201_auc_by_slice" ->
       (scoreCellsCte + ", " +

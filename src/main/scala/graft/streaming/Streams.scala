@@ -728,6 +728,62 @@ object Streams {
         sys.error("s35: stream produced no batches"))))
   }
 
+  /** s36: x205's Spearman ρ with the joint (n_chars, n_toks) value-
+    * pair frequency table maintained incrementally — rank-statistic
+    * IVM beside s27's Gini: per-doc ranks are unmaintainable, but the
+    * joint frequency table re-derives both marginals, both
+    * tie-averaged rank maps, and all five weighted sums, and it
+    * merges additively per microbatch; readout through the shared
+    * [[graft.ext.Sampling.spearmanFromJoint]] stage, so streamed ≡
+    * batch x205 by construction. State is value-pair-support-sized.
+    */
+  def foreachBatchSpearman(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s36_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_lentext_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("n_chars"), col("text")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_lentext_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/joint_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.spearmanJointOf(batch.toDF())
+            .withColumnRenamed("f", "d_f")
+          val merged = latest match {
+            case None => delta.select(col("n_chars"), col("n_toks"),
+              col("d_f").as("f"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("n_chars", "n_toks"), "full_outer")
+                .select(col("n_chars"), col("n_toks"),
+                  (coalesce(col("f"), lit(0L)) +
+                    coalesce(col("d_f"), lit(0L))).as("f"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.spearmanFromJoint(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s36: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1886,6 +1942,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchOls(spark, sfDir)),
     "s35_stream_g2_maintain" ->
       ((spark, sfDir) => foreachBatchG2(spark, sfDir)),
+    "s36_stream_spearman_maintain" ->
+      ((spark, sfDir) => foreachBatchSpearman(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -1951,6 +2009,10 @@ object Streams {
     // bigram-count model ≡ batch x197
     "s35_stream_g2_maintain" ->
       graft.ext.TextAnalysis.oracles("x197_g2_collocations"),
+    // the IVM contract verbatim: the rho read from the maintained
+    // joint frequency table ≡ batch x205
+    "s36_stream_spearman_maintain" ->
+      graft.ext.Sampling.oracles("x205_spearman"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->

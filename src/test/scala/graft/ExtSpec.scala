@@ -4696,6 +4696,20 @@ class ExtSpec extends SparkSpec {
       s"contrast inconsistent with the two reported fits: $rows")
   }
 
+  test("x206 permutation test: exact decision arithmetic, sane p-value, observed split reproduced") {
+    val r = graft.ext.Sampling.queries("x206_permutation_test")(spark, SfDir)
+      .collect()(0)
+    val (nUsers, nPerms, nExtreme, p) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+    assert(nPerms == graft.ext.Sampling.PermReps.toLong)
+    assert(nExtreme >= 0 && nExtreme <= nPerms)
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p == r4((nExtreme + 1).toDouble / (nPerms + 1).toDouble),
+      s"p-value must be the add-one ratio of its own counts: $r")
+    assert(nUsers > 0 && p > 0.0 && p <= 1.0)
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
