@@ -520,6 +520,16 @@ object Views {
       holmReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("rank"))),
 
+    // BENJAMINI–HOCHBERG DRIFT SCREEN — the FDR twin of x176's Holm
+    // FWER screen over the identical per-type statistics (see
+    // [[bhReport]]: Holm asks "no false alarm at all", BH asks "few
+    // false alarms among the flagged" — the triage dial). Same one
+    // events aggregate; the step-up logic and the frozen inverse-χ²
+    // critical table live on the ≤k-row frame.
+    "x207_bh_drift" -> ((spark, sfDir) =>
+      bhReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))
+        .orderBy(col("rank"))),
+
     // CONTROL CHART — the point-outlier monitor beside x138 (CUSUM
     // accumulates small persistent shifts; the Shewhart chart flags
     // the single anomalous day CUSUM deliberately smooths over —
@@ -734,14 +744,13 @@ object Views {
     * The quantile ladder is a fixed 12-entry literal (χ²₁ at
     * 0.05/m); stats ride x161's 10⁻⁶ integer grid.
     */
-  def holmReport(cnt: DataFrame): DataFrame = {
+  /** The per-type half-vs-half chi-square frame under x176/x207: the
+    * 10⁻⁶-regridded one-df statistic per event_type plus the family
+    * size k — the shared stage both multiple-testing screens rank.
+    */
+  private def halfChiFrame(cnt: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
-    val order = Window.partitionBy(lit(1))
-      .orderBy(desc("_chi_fp"), col("event_type"))
-    val prefix = Window.partitionBy(lit(1))
-      .orderBy(desc("_chi_fp"), col("event_type"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val t = cnt.groupBy(col("event_type"))
+    cnt.groupBy(col("event_type"))
       .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L))
           .as("o_ref"),
         sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("o_cur"))
@@ -756,6 +765,15 @@ object Views {
           ((col("o_ref") + col("o_cur")).cast("double") *
             col("n_ref").cast("double") * col("n_cur").cast("double")) *
           lit(1000000.0), 0).cast("long"))
+  }
+
+  def holmReport(cnt: DataFrame): DataFrame = {
+    val order = Window.partitionBy(lit(1))
+      .orderBy(desc("_chi_fp"), col("event_type"))
+    val prefix = Window.partitionBy(lit(1))
+      .orderBy(desc("_chi_fp"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = halfChiFrame(cnt)
     t.withColumn("rank", row_number().over(order))
       .withColumn("m", col("k") - col("rank") + 1)
       .withColumn("crit", expr("CASE m WHEN 1 THEN 3.841 WHEN 2 THEN 5.024 " +
@@ -771,6 +789,89 @@ object Views {
         round(col("_chi_fp").cast("double") / lit(1000000.0), 4)
           .as("chi1"),
         col("crit"), col("rejected"))
+  }
+
+  /** Φ⁻¹ by Acklam's rational approximation (relative error < 1.15e-9
+    * — far inside the 3 dp the frozen critical table carries). Used
+    * ONCE, at class init, to freeze the BH critical values; the same
+    * frozen doubles interpolate into the oracle SQL, so both engines
+    * compare against literally identical constants.
+    */
+  private def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** χ²₁ upper-α critical value: (Φ⁻¹(1 − α/2))², frozen to 4 dp so
+    * the table literal is short and identical on both engines.
+    */
+  private def chi1Crit(alpha: Double): Double = {
+    val z = invNorm(1.0 - alpha / 2.0)
+    math.rint(z * z * 10000.0) / 10000.0
+  }
+
+  /** The frozen BH critical table as a SQL CASE over (k, rank):
+    * crit(k, i) = χ²₁ at level α·i/k with α = 0.05 — the chi-scale
+    * form of "p₍ᵢ₎ ≤ α·i/m", usable by both the Column plan and the
+    * DuckDB oracle without any CDF in either engine. Families up to
+    * k = 12 (Holm's table bound); larger families read NULL and the
+    * screen abstains loudly rather than mis-thresholding.
+    */
+  private[graft] lazy val bhCritCaseSql: String = {
+    val cases = for { m <- 1 to 12; i <- 1 to m } yield
+      s"WHEN k = $m AND rank = $i THEN ${chi1Crit(0.05 * i / m)}"
+    "CASE " + cases.mkString(" ") + " ELSE CAST(NULL AS DOUBLE) END"
+  }
+
+  /** x207's Benjamini–Hochberg step-up over the same per-type
+    * half-vs-half chi-squares as x176's Holm step-down (Holm controls
+    * FWER — "no false alarm at all"; BH controls FDR — "few false
+    * alarms among the flagged", the right dial when a drift screen
+    * feeds triage rather than a circuit breaker): ranks by statistic
+    * descending (= p ascending), i* = max{i : χ²₍ᵢ₎ ≥ crit(k, i)},
+    * reject ranks ≤ i*. The suffix/threshold logic is two windows
+    * over the ≤k-row frame; the critical values are the frozen
+    * [[bhCritCaseSql]] table.
+    */
+  def bhReport(cnt: DataFrame): DataFrame = {
+    val order = Window.partitionBy(lit(1))
+      .orderBy(desc("_chi_fp"), col("event_type"))
+    val whole = Window.partitionBy(lit(1))
+    halfChiFrame(cnt)
+      .withColumn("rank", row_number().over(order))
+      .withColumn("crit", expr(bhCritCaseSql))
+      .withColumn("_pass", when(
+        col("_chi_fp").cast("double") >= col("crit") * lit(1000000.0), 1L)
+        .otherwise(0L))
+      .withColumn("_istar",
+        max(col("_pass") * col("rank")).over(whole))
+      .select(col("event_type"), col("rank"),
+        round(col("_chi_fp").cast("double") / lit(1000000.0), 4)
+          .as("chi1"),
+        col("crit"), (col("rank") <= col("_istar")).as("rejected"))
   }
 
   /** x175's Shewhart individuals chart over the (event_type, day, x)
@@ -1523,6 +1624,34 @@ object Views {
         "SELECT event_type, CAST(rank AS INTEGER) AS rank, " +
         "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi1, " +
         "crit, allpass = 1 AS rejected FROM q ORDER BY rank"),
+    // x176's chi CTEs + the frozen BH table and the step-up suffix max
+    "x207_bh_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref " +
+        "FROM events), " +
+        "t AS (SELECT event_type, CAST(SUM(is_ref) AS BIGINT) AS o_ref, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS o_cur FROM ev GROUP BY 1), " +
+        "w AS (SELECT event_type, o_ref, o_cur, " +
+        "CAST(SUM(o_ref) OVER () AS BIGINT) AS n_ref, " +
+        "CAST(SUM(o_cur) OVER () AS BIGINT) AS n_cur, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS k FROM t), " +
+        "f AS (SELECT event_type, k, " +
+        "CAST(ROUND(CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) * " +
+        "CAST(o_ref * n_cur - o_cur * n_ref AS DOUBLE) / " +
+        "(CAST(o_ref + o_cur AS DOUBLE) * CAST(n_ref AS DOUBLE) * " +
+        "CAST(n_cur AS DOUBLE)) * 1000000.0) AS BIGINT) AS chi_fp FROM w), " +
+        "r AS (SELECT event_type, k, chi_fp, " +
+        "ROW_NUMBER() OVER (ORDER BY chi_fp DESC, event_type) AS rank FROM f), " +
+        "c AS (SELECT event_type, chi_fp, rank, " +
+        bhCritCaseSql + " AS crit FROM r), " +
+        "p AS (SELECT event_type, chi_fp, rank, crit, " +
+        "CASE WHEN CAST(chi_fp AS DOUBLE) >= crit * 1000000.0 " +
+        "THEN 1 ELSE 0 END AS pass FROM c), " +
+        "q AS (SELECT event_type, chi_fp, rank, crit, " +
+        "MAX(pass * rank) OVER () AS istar FROM p) " +
+        "SELECT event_type, CAST(rank AS INTEGER) AS rank, " +
+        "ROUND(CAST(chi_fp AS DOUBLE) / 1000000.0, 4) AS chi1, " +
+        "crit, rank <= istar AS rejected FROM q ORDER BY rank"),
     // same cross-multiplied variance identity; the flag is the same
     // exact integer compare, CASTs pin HUGEINT widenings
     "x175_control_chart" ->

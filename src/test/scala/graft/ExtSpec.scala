@@ -4710,6 +4710,39 @@ class ExtSpec extends SparkSpec {
     assert(nUsers > 0 && p > 0.0 && p <= 1.0)
   }
 
+  test("c97 logrank: arms partition the subjects, events conserve, chi2 nonnegative") {
+    val r = graft.queries.Surface.queries("c97_logrank")(spark, SfDir)
+      .collect()(0)
+    val users = Lake.table(spark, SfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users,
+      s"arms must partition the user base: $r vs $users")
+    val converters = Lake.table(spark, SfDir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 90)
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(2) + r.getLong(3) == converters,
+      s"events must conserve the converter count: $r vs $converters")
+    if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0, s"chi2 negative: $r")
+  }
+
+  test("x207 BH rejects a superset of Holm's rejections on the same statistics") {
+    def rejected(name: String): Set[String] =
+      graft.pipeline.Views.queries(name)(spark, SfDir)
+        .collect().filter(_.getBoolean(4)).map(_.getString(0)).toSet
+    val holm = rejected("x176_holm_drift")
+    val bh = rejected("x207_bh_drift")
+    assert(holm.subsetOf(bh),
+      s"step-down FWER rejections must be contained in step-up FDR's: " +
+        s"holm=$holm bh=$bh")
+    // critical values: monotone increasing as rank rises is FALSE for
+    // BH (level grows with i, so crit shrinks) — pin the direction
+    val crits = graft.pipeline.Views.queries("x207_bh_drift")(spark, SfDir)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).sortBy(_._1)
+    assert(crits.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p.head >= p.last),
+      s"BH critical values must shrink with rank: ${crits.toSeq}")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
