@@ -14,13 +14,13 @@ import graft.sources.{Lake, Layout}
   * the full inventory):
   *  - flagship / a01_*  — engine entry points (§2.A A1/A7, §7.2)
   *  - b01..b14          — the reference's tested SQL core (§2.B)
-  *  - c01..c84          — arbitrary-SQL surface categories (§2.C)
+  *  - c01..c97          — arbitrary-SQL surface categories (§2.C)
   *  - p01..p14          — ELT pipelines (A18/B13), data-layout
   *                        maintenance (compaction, Z-order, snapshot
   *                        retention GC, schema evolution, surgical
   *                        keyed delete), MERGE upsert, snapshot
   *                        diff, SCD2 history, observe() metrics
-  *  - s01..s20          — Structured Streaming: tumbling/sliding/
+  *  - s01..s37          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
@@ -28,7 +28,7 @@ import graft.sources.{Lake, Layout}
   *                        incremental upsert, streaming SCD2 +
   *                        histogram-partial and distinct-edge-degree
   *                        maintenance
-  *  - x01..x136         — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x207         — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/

@@ -784,6 +784,75 @@ object Streams {
         sys.error("s36: stream produced no batches"))))
   }
 
+  /** s37: c84's Kaplan–Meier curve with the SUBJECT TABLE maintained
+    * incrementally — survival-analysis IVM: the per-user sufficient
+    * statistic is (first day, last day, first conversion day), which
+    * merges by min/max/min-of-non-null per microbatch (s19's
+    * user-grain merge discipline); the readout rebuilds the
+    * (t_day, died) subjects and runs the shared
+    * [[graft.queries.Surface.kaplanMeier]] estimator, so streamed ≡
+    * batch c84 by construction. State is user-sized; censoring
+    * updates are automatic (a user's last-active day simply advances
+    * until a conversion arrives).
+    */
+  def foreachBatchSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s37_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/subj_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val b = batch.toDF()
+            .select(col("user_id"), col("event_type"), col("value"),
+              expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+          val delta = b.groupBy(col("user_id"))
+            .agg(min(col("d")).as("d0"), max(col("d")).as("dl"),
+              min(when(col("event_type") === "purchase" &&
+                col("value") > 90, col("d"))).as("dp"))
+          val merged = latest match {
+            case None => delta
+            case Some(prev) =>
+              val p = spark.read.parquet(prev)
+                .withColumnRenamed("d0", "p_d0")
+                .withColumnRenamed("dl", "p_dl")
+                .withColumnRenamed("dp", "p_dp")
+              p.join(delta, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  least(coalesce(col("p_d0"), col("d0")),
+                    coalesce(col("d0"), col("p_d0"))).as("d0"),
+                  greatest(coalesce(col("p_dl"), col("dl")),
+                    coalesce(col("dl"), col("p_dl"))).as("dl"),
+                  least(coalesce(col("p_dp"), col("dp")),
+                    coalesce(col("dp"), col("p_dp"))).as("dp"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val subj = spark.read.parquet(latest.getOrElse(
+        sys.error("s37: stream produced no batches")))
+      .select(
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("dl") - col("d0")).as("t_day"),
+        col("dp").isNotNull.as("died"))
+    graft.queries.Surface.kaplanMeier(subj).orderBy(col("t_day"))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -1944,6 +2013,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchG2(spark, sfDir)),
     "s36_stream_spearman_maintain" ->
       ((spark, sfDir) => foreachBatchSpearman(spark, sfDir)),
+    "s37_stream_survival_maintain" ->
+      ((spark, sfDir) => foreachBatchSurvival(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2013,6 +2084,10 @@ object Streams {
     // joint frequency table ≡ batch x205
     "s36_stream_spearman_maintain" ->
       graft.ext.Sampling.oracles("x205_spearman"),
+    // the IVM contract verbatim: the KM curve rebuilt from the
+    // maintained per-user (d0, dl, dp) statistic ≡ batch c84
+    "s37_stream_survival_maintain" ->
+      graft.queries.Surface.oracles("c84_kaplan_meier"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
