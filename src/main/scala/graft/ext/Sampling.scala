@@ -472,6 +472,95 @@ object Sampling {
         .orderBy(col("bin"))
     }),
 
+    // DeLONG AUC STANDARD ERROR — x186's point estimate made
+    // decision-grade (an AUC without its SE can't be compared across
+    // models or gated in CI): DeLong's estimator from PLACEMENT
+    // values, which collapse exactly onto the score-grain frame — a
+    // positive at score s has placement (negatives below + ½ ties),
+    // carried as the exact BIGINT pl2 = 2·cum_neg_before + neg_at_s;
+    // S10/S01 are weighted variances of the placements, so SE² =
+    // S10/n₁ + S01/n₀ is a fixed double expression over five BIGINT
+    // sums. Same one-fact-pass shape as x186; z tests AUC against
+    // the 0.5 coin-flip null.
+    "x208_delong_auc_se" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byScore = scoreCells(spark, sfDir).groupBy(col("enc_fp"))
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+      val asc = Window.orderBy(col("enc_fp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy(lit(1))
+      val g = byScore
+        .withColumn("cnb", coalesce(sum(col("n_neg")).over(asc), lit(0L)))
+        .withColumn("cpb", coalesce(sum(col("n_pos")).over(asc), lit(0L)))
+        // doubled placements: positives against negatives and the
+        // transpose (for a negative, positives ABOVE it count)
+        .withColumn("pl2p", lit(2L) * col("cnb") + col("n_neg"))
+        .withColumn("pl2n", lit(2L) * col("cpb") + col("n_pos"))
+        .agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("n1"),
+          sum(col("n_neg")).as("n0"),
+          sum(col("n_pos") * col("pl2p")).as("sp"),
+          sum(col("n_pos") * col("pl2p") * col("pl2p")).as("spp"),
+          sum(col("n_neg") * col("pl2n")).as("sn"),
+          sum(col("n_neg") * col("pl2n") * col("pl2n")).as("snn"))
+      def dd(c: String) = col(c).cast("double")
+      // AUC from the positive placements: A = sp/(2·n1·n0)
+      val a = dd("sp") / (lit(2.0) * dd("n1") * dd("n0"))
+      // S10 = (Σ w·pl² /(4n0²) − n1·A²)/(n1−1); S01 mirrored with the
+      // complement placements (negatives' placements among positives,
+      // whose mean is 1−A)
+      val s10 = (dd("spp") / (lit(4.0) * dd("n0") * dd("n0")) -
+        dd("n1") * a * a) / (dd("n1") - 1.0)
+      val aN = lit(1.0) - (dd("sn") / (lit(2.0) * dd("n1") * dd("n0")))
+      val s01 = (dd("snn") / (lit(4.0) * dd("n1") * dd("n1")) -
+        dd("n0") * (lit(1.0) - aN) * (lit(1.0) - aN)) / (dd("n0") - 1.0)
+      val se2 = s10 / dd("n1") + s01 / dd("n0")
+      g.select(col("nt").as("n"), col("n1").as("n_pos"),
+        when(col("n1") > 1 && col("n0") > 1, round(a, 6)).as("auc"),
+        when(col("n1") > 1 && col("n0") > 1 && se2 > 0.0,
+          round(sqrt(se2), 6)).as("se"),
+        when(col("n1") > 1 && col("n0") > 1 && se2 > 0.0,
+          round((a - 0.5) / sqrt(se2), 4)).as("z_vs_coin"))
+    }),
+
+    // MAHALANOBIS OUTLIERS — the MULTIVARIATE outlier screen beside
+    // x84's per-column MAD (a user can be unremarkable on every
+    // marginal and still be a joint outlier — huge spend on few
+    // events): md² over the (event count, spend cents) user frame
+    // with the 2×2 covariance inverted in CLOSED FORM from exact
+    // BIGINT sums — centered coordinates carried as the exact
+    // integers Dx = n·x − Σx, so md² = (n−1)·(v_yy·Dx² −
+    // 2·v_xy·Dx·Dy + v_xx·Dy²)/(n·detV) is one fixed double
+    // expression per user over broadcast scalars. One fact pass, one
+    // user-grain agg, TakeOrdered top-20 by (md² desc, user).
+    "x209_mahalanobis_outliers" -> ((spark, sfDir) => {
+      val u = Lake.table(spark, sfDir, "events")
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("f"), sum(col("cents")).as("m"))
+      val s = broadcast(u.agg(count(lit(1)).as("n"),
+        sum(col("f")).as("sx"), sum(col("m")).as("sy"),
+        sum(col("f") * col("f")).as("sxx"),
+        sum(col("f") * col("m")).as("sxy"),
+        sum(col("m") * col("m")).as("syy")))
+      def dd(c: String) = col(c).cast("double")
+      val vxx = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+      val vxy = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+      val vyy = dd("n") * dd("syy") - dd("sy") * dd("sy")
+      val det = vxx * vyy - vxy * vxy
+      val dx = (col("n") * col("f") - col("sx")).cast("double")
+      val dy = (col("n") * col("m") - col("sy")).cast("double")
+      u.crossJoin(s)
+        .select(col("user_id"), col("f").as("n_events"),
+          col("m").as("spend_cents"),
+          when(det > 0.0, round((dd("n") - 1.0) *
+            (vyy * dx * dx - lit(2.0) * vxy * dx * dy + vxx * dy * dy) /
+            (dd("n") * det), 4)).as("md2"))
+        .orderBy(desc("md2"), col("user_id"))
+        .limit(20)
+    }),
+
     // PERMUTATION TEST — the assumption-free significance readout for
     // c80's A/B lift (the z-test assumes normality; the randomization
     // test just asks "how often does a RANDOM relabeling beat the
@@ -1659,6 +1748,57 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // same exact centered integers and closed-form 2x2 inverse
+    "x209_mahalanobis_outliers" ->
+      ("WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f, " +
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m " +
+        "FROM events GROUP BY 1), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(f) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sy, " +
+        "CAST(SUM(f * f) AS BIGINT) AS sxx, CAST(SUM(f * m) AS BIGINT) AS sxy, " +
+        "CAST(SUM(m * m) AS BIGINT) AS syy FROM u), " +
+        "v AS (SELECT *, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxx, " +
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy, " +
+        "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyy FROM s), " +
+        "d AS (SELECT *, vxx * vyy - vxy * vxy AS det FROM v) " +
+        "SELECT user_id, f AS n_events, m AS spend_cents, " +
+        "CASE WHEN det > 0.0 THEN ROUND((CAST(n AS DOUBLE) - 1.0) * " +
+        "(vyy * CAST(n * f - sx AS DOUBLE) * CAST(n * f - sx AS DOUBLE) - " +
+        "2.0 * vxy * CAST(n * f - sx AS DOUBLE) * CAST(n * m - sy AS DOUBLE) + " +
+        "vxx * CAST(n * m - sy AS DOUBLE) * CAST(n * m - sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * det), 4) END AS md2 " +
+        "FROM u, d ORDER BY md2 DESC, user_id LIMIT 20"),
+    // same doubled placements at score grain, same five sums and
+    // fixed double variance expressions
+    "x208_delong_auc_se" ->
+      (scoreCellsCte + ", " +
+        "b AS (SELECT enc_fp, n, n_pos, n - n_pos AS n_neg FROM sc), " +
+        "w AS (SELECT *, " +
+        "COALESCE(CAST(SUM(n_neg) OVER (ORDER BY enc_fp " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cnb, " +
+        "COALESCE(CAST(SUM(n_pos) OVER (ORDER BY enc_fp " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cpb FROM b), " +
+        "p AS (SELECT *, 2 * cnb + n_neg AS pl2p, 2 * cpb + n_pos AS pl2n FROM w), " +
+        "s AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS n1, CAST(SUM(n_neg) AS BIGINT) AS n0, " +
+        "CAST(SUM(n_pos * pl2p) AS BIGINT) AS sp, " +
+        "CAST(SUM(n_pos * pl2p * pl2p) AS BIGINT) AS spp, " +
+        "CAST(SUM(n_neg * pl2n) AS BIGINT) AS sn, " +
+        "CAST(SUM(n_neg * pl2n * pl2n) AS BIGINT) AS snn FROM p), " +
+        "fd AS (SELECT *, CAST(sp AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS a, " +
+        "1.0 - (CAST(sn AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) AS an FROM s), " +
+        "v AS (SELECT *, " +
+        "(CAST(spp AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) - " +
+        "CAST(n1 AS DOUBLE) * a * a) / (CAST(n1 AS DOUBLE) - 1.0) AS s10, " +
+        "(CAST(snn AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) - " +
+        "CAST(n0 AS DOUBLE) * (1.0 - an) * (1.0 - an)) / (CAST(n0 AS DOUBLE) - 1.0) AS s01 FROM fd), " +
+        "z AS (SELECT *, s10 / CAST(n1 AS DOUBLE) + s01 / CAST(n0 AS DOUBLE) AS se2 FROM v) " +
+        "SELECT nt AS n, n1 AS n_pos, " +
+        "CASE WHEN n1 > 1 AND n0 > 1 THEN ROUND(a, 6) END AS auc, " +
+        "CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0.0 THEN ROUND(SQRT(se2), 6) END AS se, " +
+        "CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0.0 THEN ROUND((a - 0.5) / SQRT(se2), 4) END AS z_vs_coin " +
+        "FROM z"),
     // same hash relabelings, same exact cross-multiplied decision
     "x206_permutation_test" ->
       (s"WITH conv AS (SELECT DISTINCT user_id FROM events " +

@@ -758,7 +758,58 @@ object TextAnalysis {
         sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
   }
 
+  /** x210's RBO persistence parameter and its frozen depth weights
+    * (1−p)·p^(d−1): computed once and interpolated verbatim into both
+    * the Column plan and the oracle SQL, so the geometric weighting
+    * is literal-identical on both engines.
+    */
+  private val RboP = 0.9
+  private[graft] lazy val rboWeightCaseSql: String =
+    "CASE d " + (1 to 20).map(d =>
+      s"WHEN $d THEN ${(1.0 - RboP) * math.pow(RboP, d - 1)}")
+      .mkString(" ") + " ELSE 0.0 END"
+
   val queries: Map[String, Q] = Map(
+    // RANK-BIASED OVERLAP DRIFT — do two corpus halves RANK their
+    // vocabulary the same way? (x133/x178 compare distributions;
+    // ranking drift is what breaks cached top-k artifacts — BM25
+    // cutoffs, collocation tables, boilerplate lists — even when the
+    // distribution tests stay quiet): Webber's RBO@20 (p = 0.9,
+    // truncated — no extrapolation) between the top-20 shingle
+    // rankings of the even- and odd-doc halves. Per-depth prefix
+    // overlap is EXACT — a matched shingle enters at depth
+    // max(rank_a, rank_b), so overlap(d) is a count over the ≤20-row
+    // match frame — and the geometric weights are frozen literals,
+    // leaving one double term per depth. Everything after the two
+    // half-corpus hash aggs is ≤20 rows.
+    "x210_rbo_drift" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sh = Lake.materialize(spark, sfDir, "x05_shingles") {
+        Dedup.shingleTable(docs(spark, sfDir))
+      }
+      def top(par: Int): DataFrame = {
+        val w = Window.orderBy(desc("cnt"), col("shingle"))
+        sh.filter(col("doc_id") % 2 === par)
+          .groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select(col("shingle"), col("rk"))
+      }
+      val matches = top(0).as("a")
+        .join(top(1).withColumnRenamed("rk", "rk_b"), "shingle")
+        .select(greatest(col("rk"), col("rk_b")).as("mrk"))
+      val whole = Window.partitionBy(lit(1))
+      spark.range(1, 21).select(col("id").as("d"))
+        .join(broadcast(matches), col("mrk") <= col("d"), "left")
+        .groupBy(col("d")).agg(count(col("mrk")).as("overlap"))
+        .withColumn("w", expr(rboWeightCaseSql))
+        .select(col("d"), col("overlap"),
+          round(col("overlap").cast("double") / col("d").cast("double"), 4)
+            .as("agreement"),
+          round(sum(col("overlap").cast("double") * col("w") /
+            col("d").cast("double")).over(whole), 6).as("rbo"))
+        .orderBy(col("d"))
+    }),
     // McNEMAR'S TEST — do two quality rules DISAGREE in a biased
     // direction? (x184's confusion matrix evaluates one rule against
     // truth; McNemar compares two rules against each other on the
@@ -2405,6 +2456,27 @@ object TextAnalysis {
       "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
 
   val oracles: Map[String, String] = Map(
+    // x05's shingle CTE per half, the same exact prefix-entry depths
+    // and frozen geometric weights
+    "x210_rbo_drift" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "t0 AS (SELECT shingle, COUNT(*) AS cnt FROM sh WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "r0 AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, shingle) AS BIGINT) AS rk FROM t0), " +
+        "ta AS (SELECT shingle, rk FROM r0 WHERE rk <= 20), " +
+        "t1 AS (SELECT shingle, COUNT(*) AS cnt FROM sh WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "r1 AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, shingle) AS BIGINT) AS rk_b FROM t1), " +
+        "tb AS (SELECT shingle, rk_b FROM r1 WHERE rk_b <= 20), " +
+        "m AS (SELECT GREATEST(ta.rk, tb.rk_b) AS mrk FROM ta JOIN tb USING (shingle)), " +
+        "ds AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 21)), " +
+        "ov AS (SELECT d, CAST(COUNT(mrk) AS BIGINT) AS overlap " +
+        "FROM ds LEFT JOIN m ON mrk <= d GROUP BY 1), " +
+        "wt AS (SELECT d, overlap, " + rboWeightCaseSql + " AS w FROM ov) " +
+        "SELECT d, overlap, " +
+        "ROUND(CAST(overlap AS DOUBLE) / CAST(d AS DOUBLE), 4) AS agreement, " +
+        "ROUND(SUM(CAST(overlap AS DOUBLE) * w / CAST(d AS DOUBLE)) OVER (), 6) AS rbo " +
+        "FROM wt ORDER BY d"),
     // x05's shingle CTE, the same df-gated idf² weights, exact BIGINT
     // dots and the same one-double cosine per pair
     "x199_sparse_cosine_pairs" ->

@@ -4743,6 +4743,41 @@ class ExtSpec extends SparkSpec {
       s"BH critical values must shrink with rank: ${crits.toSeq}")
   }
 
+  test("x208 DeLong: the point estimate agrees with x186's AUC; SE positive and small") {
+    val d = graft.ext.Sampling.queries("x208_delong_auc_se")(spark, SfDir)
+      .collect()(0)
+    val aucRows = graft.ext.Sampling.queries("x186_roc_auc")(spark, SfDir)
+      .collect()
+    assert(!d.isNullAt(2) && !aucRows.head.isNullAt(5))
+    assert(d.getDouble(2) == aucRows.head.getDouble(5),
+      s"DeLong point estimate must equal x186's AUC: $d vs ${aucRows.head}")
+    assert(d.getDouble(3) > 0.0 && d.getDouble(3) < 0.5,
+      s"SE out of plausible band: $d")
+  }
+
+  test("x209 mahalanobis: top-20 ranked descending, nonnegative distances") {
+    val rows = graft.ext.Sampling.queries("x209_mahalanobis_outliers")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0, s"$r"))
+    val md = rows.map(_.getDouble(3))
+    assert(md.sliding(2).forall(p => p.length < 2 || p.head >= p.last))
+  }
+
+  test("x210 RBO: 20 depth rows, monotone prefix overlap, statistic in [0, 1]") {
+    val rows = graft.ext.TextAnalysis.queries("x210_rbo_drift")(spark, SfDir)
+      .collect()
+    assert(rows.length == 20)
+    val ov = rows.map(_.getLong(1))
+    assert(ov.sliding(2).forall(p => p.length < 2 || p.head <= p.last),
+      "prefix overlap cannot shrink with depth")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), s"overlap exceeds depth: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9,
+        s"rbo out of range: $r")
+    }
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
