@@ -258,6 +258,47 @@ object Sampling {
           .as("rho"))
   }
 
+  /** x209's user-feature frame (user_id, f = event count, m = spend
+    * cents) — both columns merge ADDITIVELY per microbatch, so s38
+    * maintains this table incrementally (s19's user-grain merge
+    * shape).
+    */
+  private[graft] def mahalanobisUsersOf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"), sum(col("cents")).as("m"))
+
+  /** x209's readout over a prebuilt user-feature frame — shared with
+    * s38 so streamed ≡ batch is literal frame equality. Exact
+    * centered integers Dx = n·x − Σx, the 2×2 covariance inverted in
+    * closed form from six exact sums, one fixed double md²
+    * expression per user, TakeOrdered top-20.
+    */
+  def mahalanobisFromUsers(u: DataFrame): DataFrame = {
+    val s = broadcast(u.agg(count(lit(1)).as("n"),
+      sum(col("f")).as("sx"), sum(col("m")).as("sy"),
+      sum(col("f") * col("f")).as("sxx"),
+      sum(col("f") * col("m")).as("sxy"),
+      sum(col("m") * col("m")).as("syy")))
+    def dd(c: String) = col(c).cast("double")
+    val vxx = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+    val vxy = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    val vyy = dd("n") * dd("syy") - dd("sy") * dd("sy")
+    val det = vxx * vyy - vxy * vxy
+    val dx = (col("n") * col("f") - col("sx")).cast("double")
+    val dy = (col("n") * col("m") - col("sy")).cast("double")
+    u.crossJoin(s)
+      .select(col("user_id"), col("f").as("n_events"),
+        col("m").as("spend_cents"),
+        when(det > 0.0, round((dd("n") - 1.0) *
+          (vyy * dx * dx - lit(2.0) * vxy * dx * dy + vxx * dy * dy) /
+          (dd("n") * det), 4)).as("md2"))
+      .orderBy(desc("md2"), col("user_id"))
+      .limit(20)
+  }
+
   /** Replicate count for the x189 Poisson bootstrap. */
   val BootReps = 8
 
@@ -533,33 +574,10 @@ object Sampling {
     // 2·v_xy·Dx·Dy + v_xx·Dy²)/(n·detV) is one fixed double
     // expression per user over broadcast scalars. One fact pass, one
     // user-grain agg, TakeOrdered top-20 by (md² desc, user).
-    "x209_mahalanobis_outliers" -> ((spark, sfDir) => {
-      val u = Lake.table(spark, sfDir, "events")
-        .select(col("user_id"),
-          round(col("value") * 100, 0).cast("long").as("cents"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("f"), sum(col("cents")).as("m"))
-      val s = broadcast(u.agg(count(lit(1)).as("n"),
-        sum(col("f")).as("sx"), sum(col("m")).as("sy"),
-        sum(col("f") * col("f")).as("sxx"),
-        sum(col("f") * col("m")).as("sxy"),
-        sum(col("m") * col("m")).as("syy")))
-      def dd(c: String) = col(c).cast("double")
-      val vxx = dd("n") * dd("sxx") - dd("sx") * dd("sx")
-      val vxy = dd("n") * dd("sxy") - dd("sx") * dd("sy")
-      val vyy = dd("n") * dd("syy") - dd("sy") * dd("sy")
-      val det = vxx * vyy - vxy * vxy
-      val dx = (col("n") * col("f") - col("sx")).cast("double")
-      val dy = (col("n") * col("m") - col("sy")).cast("double")
-      u.crossJoin(s)
-        .select(col("user_id"), col("f").as("n_events"),
-          col("m").as("spend_cents"),
-          when(det > 0.0, round((dd("n") - 1.0) *
-            (vyy * dx * dx - lit(2.0) * vxy * dx * dy + vxx * dy * dy) /
-            (dd("n") * det), 4)).as("md2"))
-        .orderBy(desc("md2"), col("user_id"))
-        .limit(20)
-    }),
+    "x209_mahalanobis_outliers" -> ((spark, sfDir) =>
+      mahalanobisFromUsers(mahalanobisUsersOf(
+        Lake.table(spark, sfDir, "events")))),
+
 
     // PERMUTATION TEST — the assumption-free significance readout for
     // c80's A/B lift (the z-test assumes normality; the randomization

@@ -853,6 +853,62 @@ object Streams {
     graft.queries.Surface.kaplanMeier(subj).orderBy(col("t_day"))
   }
 
+  /** s38: x209's multivariate outlier screen with the user-feature
+    * table maintained incrementally — both features (event count,
+    * spend cents) merge by plain addition per microbatch, and the
+    * readout re-derives the covariance scalars and top-20 distances
+    * through the shared
+    * [[graft.ext.Sampling.mahalanobisFromUsers]] stage, so streamed ≡
+    * batch x209 by construction. The covariance itself re-fits on
+    * every batch from the maintained sums — the screen's definition
+    * of "outlier" tracks the corpus as it grows.
+    */
+  def foreachBatchMahalanobis(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s38_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/users_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.mahalanobisUsersOf(batch.toDF())
+            .withColumnRenamed("f", "d_f")
+            .withColumnRenamed("m", "d_m")
+          val merged = latest match {
+            case None => delta.select(col("user_id"),
+              col("d_f").as("f"), col("d_m").as("m"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("f"), lit(0L)) +
+                    coalesce(col("d_f"), lit(0L))).as("f"),
+                  (coalesce(col("m"), lit(0L)) +
+                    coalesce(col("d_m"), lit(0L))).as("m"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.mahalanobisFromUsers(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s38: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -2015,6 +2071,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchSpearman(spark, sfDir)),
     "s37_stream_survival_maintain" ->
       ((spark, sfDir) => foreachBatchSurvival(spark, sfDir)),
+    "s38_stream_mahalanobis_maintain" ->
+      ((spark, sfDir) => foreachBatchMahalanobis(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2088,6 +2146,10 @@ object Streams {
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->
       graft.queries.Surface.oracles("c84_kaplan_meier"),
+    // the IVM contract verbatim: the outlier screen re-fit from the
+    // maintained user sums ≡ batch x209
+    "s38_stream_mahalanobis_maintain" ->
+      graft.ext.Sampling.oracles("x209_mahalanobis_outliers"),
     // the IVM contract verbatim: the BM25 top-10 served from the four
     // incrementally-maintained index parts ≡ batch x119
     "s18_stream_bm25_maintain" ->
