@@ -95,7 +95,16 @@ object Sampling {
     * streaming maintainer (s32) merges per microbatch.
     */
   private[graft] def rawScoreCells(spark: SparkSession, sfDir: String): DataFrame =
-    rawScoreCellsOf(Lake.table(spark, sfDir, "events"))
+    // lake-checkpointed: encodeCells fans the cells into FOUR plan
+    // branches (cells + type/fold/global marginals), and an
+    // unmaterialized cell build re-scans the fact table once per
+    // branch — the r13 PlanSpec pin caught exactly that (4 events
+    // scans). The artifact makes "one fact pass" physically true:
+    // the build runs once per corpus fingerprint, every branch reads
+    // a ≤|types|·K-row parquet.
+    Lake.materialize(spark, sfDir, "score_cells_v1") {
+      rawScoreCellsOf(Lake.table(spark, sfDir, "events"))
+    }
 
   /** [[rawScoreCells]] over an explicit events frame — the per-batch
     * delta shape s32 aggregates before its additive merge.

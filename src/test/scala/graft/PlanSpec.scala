@@ -709,4 +709,62 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 must not be a full sort:\n$plan")
   }
+
+  test("r13 scorer-evaluation suite touches the fact table exactly once and never plans a cartesian (x186/x187/x188/x208)") {
+    for (name <- Seq("x186_roc_auc", "x187_pr_auc", "x188_brier_decomp",
+        "x208_delong_auc_se")) {
+      val plan = graft.ext.Sampling.queries(name)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: cartesian in:\n$plan")
+      assert(plan.contains("HashAggregate"), s"$name: no partial agg:\n$plan")
+      // the fact table is NEVER scanned by the metric itself: the
+      // cell build is lake-checkpointed, so every plan branch reads
+      // the ≤|types|·K-row score_cells artifact
+      val factScans = plan.linesIterator
+        .filter(_.contains("FileScan parquet"))
+        .count(l => l.contains("events") && !l.contains("score_cells"))
+      assert(factScans == 0,
+        s"$name: the metric must read the cell artifact, not the fact table ($factScans fact scans):\n$plan")
+    }
+  }
+
+  test("r13 closed-form fits are pure aggregation trees — OLS has no join at all (x196/x190)") {
+    val ols = graft.ext.Sampling.queries("x196_ols_normal_eq")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ols.contains("Join"), s"x196 must not join anything:\n$ols")
+    assert(ols.contains("HashAggregate"), s"x196: no partial agg:\n$ols")
+    val heaps = graft.ext.TextAnalysis.queries("x190_heaps_fit")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!heaps.contains("CartesianProduct"), s"x190: cartesian in:\n$heaps")
+  }
+
+  test("sparse cosine joins only on the shingle key with the df gate below the self-join (x199)") {
+    val plan = graft.ext.TextAnalysis.queries("x199_sparse_cosine_pairs")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a full sort:\n$plan")
+    // the non-equi doc_a < doc_b rides the shingle equi-join as a
+    // post-condition, never as the join itself
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("nd"),
+      s"only the 1-row corpus-size cross is a legal non-equi join:\n$plan")
+  }
+
+  test("the permutation test is one exploded pass: generate + aggregate, no corpus-grain join (x206)") {
+    val plan = graft.ext.Sampling.queries("x206_permutation_test")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"replicates must fan out via Generate:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no partial agg:\n$plan")
+  }
+
+  test("mahalanobis ranks through TakeOrdered over one user-grain aggregation (x209)") {
+    val plan = graft.ext.Sampling.queries("x209_mahalanobis_outliers")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must not be a full sort:\n$plan")
+  }
 }
