@@ -1577,6 +1577,36 @@ object Sampling {
     // rounded IEEE) before the integer floor — both engines cut the
     // same hash. Stateless map over the corpus: no shuffle, no model
     // table, embarrassingly parallel at any scale.
+    // EFFECTIVE SAMPLE SIZE — the health gauge every weighted
+    // estimator owes (x72 admits docs ∝ lexical diversity; x59/x157
+    // weight by source/size: if a few huge weights dominate, the
+    // weighted estimate rides a handful of documents no matter how
+    // many rows survived): Kish's ESS = (Σw)²/Σw² per source over
+    // x72's diversity weights. Each weight regrids once to the 10⁻⁶
+    // integer grid (the grid CANCELS in the ratio, so ESS is the
+    // exact statistic of the gridded weights), both sums are exact
+    // BIGINTs, and ESS/ratio are fixed double expressions per source
+    // row. One doc pass, one hash agg.
+    "x211_ess_weights" -> ((spark, sfDir) => {
+      val toks = split(col("text"), " ")
+      docs(spark, sfDir)
+        .select(col("source"),
+          round(size(array_distinct(toks)).cast("double") * 1000000.0 /
+            size(toks).cast("double"), 0).cast("long").as("w_fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w_fp")).as("sw"),
+          sum(col("w_fp") * col("w_fp")).as("sww"))
+        .select(col("source"), col("n_docs"),
+          when(col("sww") > 0, round(
+            col("sw").cast("double") * col("sw").cast("double") /
+              col("sww").cast("double"), 4)).as("ess"),
+          when(col("sww") > 0, round(
+            col("sw").cast("double") * col("sw").cast("double") /
+              (col("sww").cast("double") * col("n_docs").cast("double")), 4))
+            .as("ess_ratio"))
+        .orderBy(col("source"))
+    }),
+
     "x72_importance_resample" -> ((spark, sfDir) => {
       val toks = split(col("text"), " ")
       val w = size(array_distinct(toks)).cast("double") / size(toks)
@@ -1775,6 +1805,20 @@ object Sampling {
         "ROUND(CAST(tot_pos AS DOUBLE) * CAST(tot - tot_pos AS DOUBLE) / " +
         "(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS uncertainty " +
         "FROM r ORDER BY bin"),
+    // same 10^-6 weight regrid, exact sums, grid-cancelling ratio
+    "x211_ess_weights" ->
+      ("WITH t AS (SELECT source, " +
+        "CAST(ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) * 1000000.0 / " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE)) AS BIGINT) AS w_fp FROM documents), " +
+        "s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(w_fp) AS BIGINT) AS sw, CAST(SUM(w_fp * w_fp) AS BIGINT) AS sww " +
+        "FROM t GROUP BY 1) " +
+        "SELECT source, n_docs, " +
+        "CASE WHEN sww > 0 THEN ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / " +
+        "CAST(sww AS DOUBLE), 4) END AS ess, " +
+        "CASE WHEN sww > 0 THEN ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / " +
+        "(CAST(sww AS DOUBLE) * CAST(n_docs AS DOUBLE)), 4) END AS ess_ratio " +
+        "FROM s ORDER BY source"),
     // same exact centered integers and closed-form 2x2 inverse
     "x209_mahalanobis_outliers" ->
       ("WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f, " +

@@ -4778,6 +4778,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x211 ESS: bounded by n, equals n exactly under equal weights") {
+    val rows = graft.ext.Sampling.queries("x211_ess_weights")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ess, ratio) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(ess > 0.0 && ess <= n + 1e-6, s"ESS must sit in (0, n]: $r")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-6, s"ratio out of range: $r")
+    }
+    // Kish identity: equal weights give ESS = n exactly — the gridded
+    // ratio (k·w)²·n/(n·(k·w)²) cancels to n
+    import spark.implicits._
+    val eq = Seq(("s", 5L), ("s", 5L), ("s", 5L))
+      .toDF("source", "w_fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w_fp")).as("sw"),
+        sum(col("w_fp") * col("w_fp")).as("sww"))
+      .select((col("sw").cast("double") * col("sw").cast("double") /
+        col("sww").cast("double")).as("ess"))
+      .collect()(0).getDouble(0)
+    assert(eq == 3.0, s"equal weights must give ESS = n: $eq")
+  }
+
   test("x191 quantile normalization: single source is the identity; small planted case exact") {
     import spark.implicits._
     import graft.ext.Sampling
