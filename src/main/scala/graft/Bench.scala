@@ -289,6 +289,12 @@ object Bench {
     // the sliding-gram join: stride-1 grams make candidate volume the
     // scaling question exactly as x03's banding is
     "x92_span_dedup",
+    // round-14 additions (VERDICT r13 #5): the three now-heaviest
+    // headline shapes without decade evidence — the seeded fixed-point
+    // iteration, the 4-hop frontier BFS, and the blocking+scoring
+    // linkage chain
+    "x144_personalized_pagerank", "x173_bfs_diameter",
+    "x150_record_linkage",
     // HITS: the second iterative graph shape — meaningful at the big
     // point now that the v2 scaled lake grows the edge set
     "x129_hits",
@@ -340,7 +346,16 @@ object Bench {
     "x147_isotropy",
     // x46's doc⋈model shuffle with the 4-table KN model on top — if
     // the model build ever stops being vocab-bounded it shows here
-    "x148_kneser_ney")
+    "x148_kneser_ney",
+    // VERDICT r13 #3: the inverted-index pair join's Σ df·(df−1)/2
+    // candidate volume is quadratic in df below the [2,100] gate —
+    // the big point (with the instrumented candidate field) is the
+    // evidence class that closed x03/x92 for this lexical twin
+    "x199_sparse_cosine_pairs",
+    // VERDICT r13 #5: decade evidence for the three heavy shapes that
+    // joined the headline in r12/r13 without big-point coverage
+    "x144_personalized_pagerank", "x173_bfs_diameter",
+    "x150_record_linkage")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
@@ -497,6 +512,35 @@ object Bench {
     def x31Warm(dir: String): Boolean =
       try Lake.isBuilt(spark, dir, "x31_passages")
       catch { case _: Throwable => false }
+
+    // HEADLINE SENTINEL GATE (VERDICT r13 #1/#2): the headline phase
+    // writes the driver's ≤2× contract number, and three rounds
+    // running it started in the process's most load-contended window
+    // (r13: sentinel 3.39 at headline time vs 0.33 idle → flagship
+    // 2.72 s official vs 0.117 s re-timed in the same artifact).
+    // Defer timing until the fixed-work sentinel reads near the idle
+    // floor; bounded retries, then proceed anyway with the window's
+    // own sentinel — and a contended flag — stamped in the artifact
+    // so machine load can never again masquerade as a regression.
+    val sentinelIdleMax = sys.env.get("SPARK_GRAFT_SENTINEL_IDLE_MAX")
+      .flatMap(_.toDoubleOption).getOrElse(0.9)
+    var headlineSent = sentinel()
+    var gateAttempts = 0
+    while (headlineSent > sentinelIdleMax && gateAttempts < 10 &&
+        remainingSec > 420) {
+      gateAttempts += 1
+      System.err.println(f"[bench] headline gate: sentinel $headlineSent%.2f" +
+        f" > $sentinelIdleMax%.2f idle max, deferring (attempt $gateAttempts)")
+      Thread.sleep(20000L)
+      headlineSent = sentinel()
+    }
+    val headlineContended = headlineSent > sentinelIdleMax
+    def sentinelJson(extra: String = ""): String =
+      s"""{"start":${fmt(sentinelStart)},"headline":${fmt(headlineSent)},""" +
+        s""""headline_gate_attempts":$gateAttempts,""" +
+        s""""headline_contended":$headlineContended$extra}"""
+    fields("load_sentinel") = sentinelJson()
+
     val stats = names.map(timeQuery(_, sfDir, reps))
 
     val usable = stats.filter(_.okReps > 0)
@@ -746,6 +790,12 @@ object Bench {
 
     def med(m: Map[String, QueryStats], n: String): Option[Double] =
       m.get(n).filter(s => s.okReps > 0 && s.median > 0).map(_.median)
+    // per-rep raws for EVERY scaling point (VERDICT r13 #3: small/mid
+    // recorded only medians, so a contended rep or cold-artifact
+    // rebuild inside a timed rep — the x129 10.94 s mid anomaly —
+    // could not be distinguished from a real regression)
+    def rawJson(m: Map[String, QueryStats], n: String): String =
+      m.get(n).map(_.raw.map(fmt).mkString("[", ",", "]")).getOrElse("[]")
 
     // Derive the comparison dir from the PARSED sf token (not a literal
     // string match on "sf0.1") so a run at any scale factor still
@@ -781,7 +831,8 @@ object Bench {
       val entries = scalingNames.map { name =>
         (med(smallStats, name), med(midStats, name)) match {
           case (Some(s), Some(m)) =>
-            s""""$name":{"small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)}}"""
+            s""""$name":{"small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)},""" +
+              s""""small_raw":${rawJson(smallStats, name)},"mid_raw":${rawJson(midStats, name)}}"""
           case _ =>
             val why = Seq(smallStats.get(name), midStats.get(name))
               .flatten.flatMap(_.err).headOption.getOrElse("unmeasured")
@@ -815,7 +866,8 @@ object Bench {
       // volume; VERDICT r11 §1). Raw per-rep times ride in the
       // artifact so an outlier rep is visible rather than decisive.
       val volumeBound = Set("x46_bigram_logprob", "x03_dedup_minhash",
-        "x92_span_dedup", "c02_join_large", "x148_kneser_ney")
+        "x92_span_dedup", "c02_join_large", "x148_kneser_ney",
+        "x199_sparse_cosine_pairs")
       def bigRepsFor(n: String): Int =
         if (volumeBound(n)) math.max(bigReps, 3) else bigReps
       val (bigDirDesc, bigStats, bigWarm, bigInst, bigSent) =
@@ -832,11 +884,11 @@ object Bench {
       val entries = scalingNames.map { name =>
         (med(smallStats, name), med(midStats, name), med(bigStats, name)) match {
           case (Some(s), Some(m), b) =>
-            val base = s""""small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)}"""
+            val base = s""""small":${fmt(s)},"mid":${fmt(m)},"ratio_mid_over_small":${fmt(m / s)},""" +
+              s""""small_raw":${rawJson(smallStats, name)},"mid_raw":${rawJson(midStats, name)}"""
             val bigPart = b.map { t =>
-              val raw = bigStats.get(name).map(_.raw).getOrElse(Seq.empty)
               s""","big":${fmt(t)},"ratio_big_over_mid":${fmt(t / m)}""" +
-                s""","big_raw":[${raw.map(fmt).mkString(",")}]"""
+                s""","big_raw":${rawJson(bigStats, name)}"""
             }.getOrElse("")
             s""""$name":{$base$bigPart}"""
           case _ =>
@@ -858,8 +910,7 @@ object Bench {
           fmt(if (maxMid.isEmpty) 0.0 else maxMid.max)},"big_n":${bigNames.size},"max_ratio_big_over_mid":${
           fmt(if (maxBig.isEmpty) 0.0 else maxBig.max)}}"""
     }
-    fields("load_sentinel") =
-      s"""{"start":${fmt(sentinelStart)},"end":${fmt(sentinel())}}"""
+    fields("load_sentinel") = sentinelJson(s""","end":${fmt(sentinel())}""")
     checkpoint("scaling_big")
 
     spark.stop()
