@@ -529,9 +529,10 @@ object Sampling {
     // positive at score s has placement (negatives below + ½ ties),
     // carried as the exact BIGINT pl2 = 2·cum_neg_before + neg_at_s;
     // S10/S01 are weighted variances of the placements, so SE² =
-    // S10/n₁ + S01/n₀ is a fixed double expression over five BIGINT
-    // sums. Same one-fact-pass shape as x186; z tests AUC against
-    // the 0.5 coin-flip null.
+    // S10/n₁ + S01/n₀ is a fixed double expression over exact integer
+    // sums (BIGINT counts; DECIMAL(38,0) placement moments — see the
+    // agg below for the overflow bound). Same one-fact-pass shape as
+    // x186; z tests AUC against the 0.5 coin-flip null.
     "x208_delong_auc_se" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val byScore = scoreCells(spark, sfDir).groupBy(col("enc_fp"))
@@ -549,10 +550,17 @@ object Sampling {
         .withColumn("pl2n", lit(2L) * col("cpb") + col("n_pos"))
         .agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("n1"),
           sum(col("n_neg")).as("n0"),
-          sum(col("n_pos") * col("pl2p")).as("sp"),
-          sum(col("n_pos") * col("pl2p") * col("pl2p")).as("spp"),
-          sum(col("n_neg") * col("pl2n")).as("sn"),
-          sum(col("n_neg") * col("pl2n") * col("pl2n")).as("snn"))
+          // the placement moments grow ~n² (sp/sn) and ~n³ (spp/snn) —
+          // BIGINT would overflow near 2.6 M events (spp ≈ 4n³), so
+          // they accumulate as exact DECIMAL(38,0) (DuckDB twin:
+          // HUGEINT), good to n ≈ 2.9e12 events; they only ever feed
+          // the double variance expressions below
+          sum(col("n_pos").cast("decimal(38,0)") * col("pl2p")).as("sp"),
+          sum(col("n_pos").cast("decimal(38,0)") * col("pl2p") * col("pl2p"))
+            .as("spp"),
+          sum(col("n_neg").cast("decimal(38,0)") * col("pl2n")).as("sn"),
+          sum(col("n_neg").cast("decimal(38,0)") * col("pl2n") * col("pl2n"))
+            .as("snn"))
       def dd(c: String) = col(c).cast("double")
       // AUC from the positive placements: A = sp/(2·n1·n0)
       val a = dd("sp") / (lit(2.0) * dd("n1") * dd("n0"))
@@ -617,9 +625,21 @@ object Sampling {
       u.select(col("user_id"), col("cv"),
           explode(array((0 until PermReps).map(b => lit(b.toLong)): _*))
             .as("b"))
-        .withColumn("h",
-          (sampleHash(col("user_id")) + col("b") * lit(1300997L)) *
-            lit(48271L) % lit(HashMod))
+        // replicate-seeded mix: two multiply–xorshift rounds
+        // (splitmix-style) so the 32 relabelings are pairwise
+        // decorrelated — a single affine scramble (h + b·c)·m % M
+        // makes every replicate an affine image of one base hash,
+        // weakening the permutation null (ADVICE r13). Every
+        // intermediate stays < 2⁴⁸, so the identical integer chain
+        // freezes into the DuckDB oracle with no overflow risk.
+        .withColumn("m1",
+          (sampleHash(col("user_id")) + col("b") * lit(1300997L)) %
+            lit(HashMod))
+        .withColumn("m2", col("m1") * lit(69621L) % lit(HashMod))
+        .withColumn("m3", col("m2").bitwiseXOR(expr("m2 DIV 2048")))
+        .withColumn("m4", col("m3") * lit(48271L) % lit(HashMod))
+        .withColumn("m5", col("m4").bitwiseXOR(expr("m4 DIV 1024")))
+        .withColumn("h", col("m5") % lit(HashMod))
         .withColumn("a", when(col("h") < lit(HashMod / 2), 1L).otherwise(0L))
         .groupBy(col("b"))
         .agg(sum(col("a")).as("na"), sum(col("a") * col("cv")).as("ca"),
@@ -1853,10 +1873,10 @@ object Sampling {
         "p AS (SELECT *, 2 * cnb + n_neg AS pl2p, 2 * cpb + n_pos AS pl2n FROM w), " +
         "s AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, " +
         "CAST(SUM(n_pos) AS BIGINT) AS n1, CAST(SUM(n_neg) AS BIGINT) AS n0, " +
-        "CAST(SUM(n_pos * pl2p) AS BIGINT) AS sp, " +
-        "CAST(SUM(n_pos * pl2p * pl2p) AS BIGINT) AS spp, " +
-        "CAST(SUM(n_neg * pl2n) AS BIGINT) AS sn, " +
-        "CAST(SUM(n_neg * pl2n * pl2n) AS BIGINT) AS snn FROM p), " +
+        "SUM(CAST(n_pos AS HUGEINT) * pl2p) AS sp, " +
+        "SUM(CAST(n_pos AS HUGEINT) * pl2p * pl2p) AS spp, " +
+        "SUM(CAST(n_neg AS HUGEINT) * pl2n) AS sn, " +
+        "SUM(CAST(n_neg AS HUGEINT) * pl2n * pl2n) AS snn FROM p), " +
         "fd AS (SELECT *, CAST(sp AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS a, " +
         "1.0 - (CAST(sn AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))) AS an FROM s), " +
         "v AS (SELECT *, " +
@@ -1882,10 +1902,15 @@ object Sampling {
         "THEN 1 ELSE 0 END AS a, cv FROM u) t), " +
         s"reps AS (SELECT * FROM (VALUES ${(0 until PermReps)
           .map(b => s"($b)").mkString(",")}) v(b)), " +
-        "r AS (SELECT CAST(reps.b AS BIGINT) AS b, u.cv, " +
-        s"CASE WHEN (((u.user_id * $HashMul) % $HashMod) + " +
-        s"CAST(reps.b AS BIGINT) * 1300997) * 48271 % $HashMod < ${HashMod / 2} " +
-        "THEN 1 ELSE 0 END AS a FROM u CROSS JOIN reps), " +
+        "r0 AS (SELECT CAST(reps.b AS BIGINT) AS b, u.cv, " +
+        s"(((u.user_id * $HashMul) % $HashMod) + " +
+        s"CAST(reps.b AS BIGINT) * 1300997) % $HashMod AS m1 " +
+        "FROM u CROSS JOIN reps), " +
+        s"r1 AS (SELECT b, cv, (m1 * 69621) % $HashMod AS m2 FROM r0), " +
+        "r2 AS (SELECT b, cv, xor(m2, m2 // 2048) AS m3 FROM r1), " +
+        s"r3 AS (SELECT b, cv, (m3 * 48271) % $HashMod AS m4 FROM r2), " +
+        s"r AS (SELECT b, cv, CASE WHEN (xor(m4, m4 // 1024) % $HashMod) " +
+        s"< ${HashMod / 2} THEN 1 ELSE 0 END AS a FROM r3), " +
         "g2 AS (SELECT b, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(a * cv) AS BIGINT) AS ca, " +
         "CAST(COUNT(*) AS BIGINT) AS nu_b, CAST(SUM(cv) AS BIGINT) AS c_b FROM r GROUP BY 1), " +
         "x AS (SELECT g2.*, obs.*, ca * (nu_b - na) - (c_b - ca) * na AS x_b, " +

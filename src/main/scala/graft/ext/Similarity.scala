@@ -1277,6 +1277,112 @@ object Similarity {
       pqTopKFrom(codes, codebooks, queries, m, sd, topK = 3)
     }),
 
+    // IVF PROBE MECHANICS, EXACT TWIN (VERDICT r13 #6) — x16's
+    // probe-then-rerank machinery promoted from rows-only to a full
+    // cross-engine hash oracle by swapping the trained k-means
+    // quantizer for the deterministic first-K seed (x64's
+    // discipline): cell assignment, probe selection, and rerank are
+    // then pure rounded-grid arithmetic DuckDB recomputes verbatim.
+    // The plan shape IS x16's: K-row broadcast for the assignment
+    // argmin (one corpus scan, partial-agg'able min(struct)), a
+    // |Q|·K broadcast probe selection (nprobe=2 of 8 cells — real
+    // pruning: ~3/4 of the corpus never reranked), the candidate
+    // equi-join on the disjoint cell key, and a |Q|-partition
+    // bounded window for the top-3. Distances round 4 dp BEFORE
+    // every argmin/rank (ties break on cell/neighbor id), so the
+    // probe SET — not just the scores — is engine-identical.
+    "x212_ivf_probe_exact" -> ((spark, sfDir) => {
+      val (k, nprobe) = (8, 2)
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = broadcast(e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("k"), col("v").as("cv")))
+      val assigned = e.crossJoin(cents)
+        .select(col("vec_id"), col("v"), col("k"),
+          round(sqDist(col("v"), col("cv")), 4).as("d"))
+        .groupBy(col("vec_id"))
+        // all rows of a group carry the same v, so first() is
+        // deterministic here — it saves re-joining the corpus for
+        // the vector payload
+        .agg(min(struct(col("d"), col("k"))).getField("k").as("cell"),
+          first(col("v")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qvec"))
+      val cw = Window.partitionBy(col("query_id"))
+        .orderBy(col("cd"), col("k"))
+      val probes = q.crossJoin(cents)
+        .select(col("query_id"), col("qvec"), col("k"),
+          round(sqDist(col("qvec"), col("cv")), 4).as("cd"))
+        .withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("k").as("cell"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cos"), col("neighbor_id"))
+      broadcast(probes).join(assigned, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("qvec"), col("v")), 4).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PQ ADC MECHANICS, EXACT TWIN (VERDICT r13 #6) — x29's
+    // encode-then-ADC machinery under the same seed-quantizer
+    // promotion: per-subspace codebooks are the first-8 vectors'
+    // slices, so encoding (argmin over the 10⁻⁴-grid sub-distances)
+    // and the per-query additive distance table are exact integer
+    // arithmetic on both engines. The ADC sum runs over FIXED-POINT
+    // longs (sum order across the m=4 subspace terms is then
+    // irrelevant — double addition would be order-sensitive), which
+    // is also the production trick: int distance tables are what a
+    // SIMD ADC kernel scans. Plan shape IS x29's: broadcast
+    // codebooks into the subspace explode, partial-agg argmin
+    // encode, broadcast distance table into the code scan, bounded
+    // top-3 window.
+    "x213_pq_adc_exact" -> ((spark, sfDir) => {
+      val m = 4
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val sd = pqSubDimCache.computeIfAbsent(s"$sfDir/exact/$m",
+        _ => e.select(size(col("v"))).head().getInt(0) / m).toInt
+      val subs = e.select(col("vec_id"), posexplode(
+        array((0 until m).map(s =>
+          slice(col("v"), s * sd + 1, sd)): _*)).as(Seq("sub", "sv")))
+      val cb = broadcast(e.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("code"), posexplode(
+          array((0 until m).map(s =>
+            slice(col("v"), s * sd + 1, sd)): _*)).as(Seq("sub", "centroid"))))
+      def gridDist(a: Column, b: Column): Column =
+        round(sqDist(a, b) * 10000, 0).cast("long")
+      val enc = subs.join(cb, "sub")
+        .select(col("vec_id"), col("sub"),
+          struct(gridDist(col("sv"), col("centroid")).as("d_fp"),
+            col("code").as("code")).as("sc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(col("sc")).getField("code").as("code"))
+      val dt = subs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+        .join(cb, "sub")
+        .select(col("query_id"), col("sub"), col("code"),
+          gridDist(col("sv"), col("centroid")).as("pd_fp"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_fp"), col("neighbor_id"))
+      enc.join(broadcast(dt), Seq("sub", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("pd_fp")).as("adc_fp"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("adc_fp"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_fp").cast("double") / 10000.0, 4).as("adc"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // RECALL@10 REPORTS for the three ANN paths — the quality side of
     // the speed/quality trade each index makes, tracked per round in
     // the driver's artifact. Each reuses the SAME materialized index
@@ -2041,6 +2147,62 @@ object Similarity {
         "s2 AS (SELECT CAST(2 AS INTEGER) AS iter, k, COUNT(*) AS n_assigned, " +
         "ROUND(SUM(d), 4) AS inertia FROM a2 GROUP BY k) " +
         "SELECT iter, k, n_assigned, inertia FROM (" +
-        "SELECT * FROM s1 UNION ALL SELECT * FROM s2) u ORDER BY iter, k")
+        "SELECT * FROM s1 UNION ALL SELECT * FROM s2) u ORDER BY iter, k"),
+    // x16's probe/rerank chain on the first-8 seed quantizer: same
+    // 4 dp-rounded distances before every argmin/rank, same
+    // cell/neighbor tiebreaks, nprobe=2 QUALIFY probe selection
+    "x212_ivf_probe_exact" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, e.v, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a AS (SELECT vec_id, v, k AS cell FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "pd AS (SELECT q.query_id, q.qv, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(qv) + 1), i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))), 4) AS cd " +
+        "FROM q, c), " +
+        "p AS (SELECT query_id, qv, k AS cell FROM pd " +
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cd, k) <= 2), " +
+        "s AS (SELECT p.query_id, a.vec_id AS neighbor_id, ROUND(" +
+        "list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / " +
+        "(sqrt(list_sum(list_transform(qv, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(v, x -> x * x)))), 4) AS cos " +
+        "FROM p JOIN a USING (cell) WHERE p.query_id <> a.vec_id), " +
+        "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s) " +
+        "SELECT query_id, neighbor_id, cos, rank FROM r " +
+        "WHERE rank <= 3 ORDER BY query_id, rank"),
+    // x29's encode/ADC chain on the first-8 seed codebooks: the
+    // 10⁻⁴-grid fixed-point sub-distances make the encode argmin and
+    // the additive per-query sums exact integers on both engines
+    "x213_pq_adc_exact" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "p AS (SELECT vec_id, s, list_slice(v, s * sd + 1, (s + 1) * sd) AS sv " +
+        "FROM (SELECT vec_id, v, len(v) // 4 AS sd, " +
+        "unnest(range(0, 4)) AS s FROM e) t), " +
+        "cb AS (SELECT p.vec_id AS code, p.s AS sub, p.sv AS centroid FROM p " +
+        "WHERE p.vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)), " +
+        "d AS (SELECT p.vec_id, p.s AS sub, cb.code, " +
+        "CAST(ROUND(list_sum(list_transform(range(1, len(sv) + 1), " +
+        "i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))) * 10000) AS BIGINT) AS d_fp " +
+        "FROM p JOIN cb ON p.s = cb.sub), " +
+        "enc AS (SELECT vec_id, sub, code FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d_fp, code) = 1), " +
+        "qd AS (SELECT vec_id AS query_id, sub, code, d_fp AS pd_fp FROM d " +
+        "WHERE vec_id < 5), " +
+        "adc AS (SELECT qd.query_id, enc.vec_id AS neighbor_id, " +
+        "CAST(SUM(qd.pd_fp) AS BIGINT) AS adc_fp " +
+        "FROM enc JOIN qd ON enc.sub = qd.sub AND enc.code = qd.code " +
+        "WHERE qd.query_id <> enc.vec_id GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, neighbor_id, adc_fp, " +
+        "CAST(row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY adc_fp, neighbor_id) AS INTEGER) AS rank FROM adc) " +
+        "SELECT query_id, neighbor_id, " +
+        "ROUND(CAST(adc_fp AS DOUBLE) / 10000.0, 4) AS adc, rank FROM r " +
+        "WHERE rank <= 3 ORDER BY query_id, rank")
   )
 }

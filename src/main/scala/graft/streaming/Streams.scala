@@ -69,6 +69,23 @@ object Streams {
       spanChecked.add(sfDir)
     }
 
+  /** Every maintainer invocation starts by wiping its state dir —
+    * the RUN-FROM-SCRATCH contract: a registered query must be a pure
+    * function of the source dataset (the oracle compare depends on
+    * it), so cross-invocation resume is deliberately not supported.
+    * Accordingly the foreachBatch maintainers set NO explicit
+    * checkpointLocation (Spark gives the foreach sink a temp one):
+    * an on-disk checkpoint under the wiped base was vestigial and
+    * implied a resume path that the in-memory `latest` cursor — which
+    * restarts as None — never actually honored. WITHIN a run,
+    * at-least-once redelivery is still handled by the per-generation
+    * `_SUCCESS` markers (a replayed batchId short-circuits to its
+    * already-committed generation). The two real FILE-sink paths
+    * (the s07 partitioned ingest and the shared runToParquetSink
+    * helper) keep explicit checkpoints — the parquet sink requires
+    * one — and wipe both sink and checkpoint per invocation under
+    * the same contract.
+    */
   private def rmDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -443,7 +460,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -498,7 +514,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -555,7 +570,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -610,7 +624,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -662,7 +675,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -719,7 +731,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -775,7 +786,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -840,7 +850,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -900,7 +909,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -975,7 +983,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1065,7 +1072,6 @@ object Streams {
         batches += 1
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1139,7 +1145,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1239,7 +1244,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1301,7 +1305,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1379,7 +1382,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1500,7 +1502,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1576,7 +1577,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1635,7 +1635,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1694,7 +1693,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1742,7 +1740,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1808,7 +1805,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -1892,7 +1888,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -2016,7 +2011,6 @@ object Streams {
         }
         ()
       }
-      .option("checkpointLocation", s"$base/ck")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

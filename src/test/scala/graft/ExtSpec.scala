@@ -266,6 +266,57 @@ class ExtSpec extends SparkSpec {
       assert(rs.map(_.getInt(2)).toSeq.sorted == (1 to rs.length)))
   }
 
+  test("x212 exact IVF twin: neighbors come only from the query's nprobe probed seed cells") {
+    val e = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    // independent re-derivation of the seed quantizer with the
+    // composed-builtins distance (the query runs the fused native
+    // kernel): assignment argmin and per-query probe set
+    val cents = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("k"), col("v").as("cv"))
+    def d4(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(Similarity.sqDistHof(a, b), 4)
+    val cellOf = e.crossJoin(cents)
+      .select(col("vec_id"), col("k"), d4(col("v"), col("cv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("k"))).getField("k").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = e.filter(col("vec_id") < 5).crossJoin(cents)
+      .select(col("vec_id"), col("k"), d4(col("v"), col("cv")).as("d"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (r.getDouble(2), r.getLong(1)))
+          .take(2).map(_.getLong(1)).toSet
+      }
+    val res = Similarity.queries("x212_ivf_probe_exact")(spark, SfDir).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 5, s"expected 5 queries, got ${byQuery.keySet}")
+    byQuery.values.foreach(rs =>
+      assert(rs.map(_.getInt(3)).toSeq.sorted == (1 to rs.length)))
+    res.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(n != q, s"self-neighbor for $q")
+      assert(probed(q).contains(cellOf(n)),
+        s"neighbor $n (cell ${cellOf(n)}) outside query $q's probe set ${probed(q)}")
+    }
+  }
+
+  test("x213 exact PQ twin: dense ranks, ADC ascending within query, no self-neighbor") {
+    val res = Similarity.queries("x213_pq_adc_exact")(spark, SfDir).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size == 5, s"expected 5 queries, got ${byQuery.keySet}")
+    byQuery.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getInt(3))
+      assert(ordered.map(_.getInt(3)).toSeq == (1 to rs.length),
+        s"ranks not dense for $q")
+      val adcs = ordered.map(_.getDouble(2)).toSeq
+      assert(adcs == adcs.sorted, s"ADC must ascend with rank for $q: $adcs")
+      assert(adcs.forall(_ >= 0.0), s"negative ADC for $q: $adcs")
+      assert(ordered.forall(_.getLong(1) != q), s"self-neighbor for $q")
+    }
+  }
+
   test("PQ codes are m small ints per vector with codebook-bounded values (x29)") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
