@@ -20,7 +20,7 @@ import graft.sources.{Lake, Layout}
   *                        retention GC, schema evolution, surgical
   *                        keyed delete), MERGE upsert, snapshot
   *                        diff, SCD2 history, observe() metrics
-  *  - s01..s37          — Structured Streaming: tumbling/sliding/
+  *  - s01..s39          — Structured Streaming: tumbling/sliding/
   *                        session windows, append-mode file sink,
   *                        streaming dedup, stream-stream and
   *                        stream-static joins, partitioned ingest,
@@ -28,7 +28,7 @@ import graft.sources.{Lake, Layout}
   *                        incremental upsert, streaming SCD2 +
   *                        histogram-partial and distinct-edge-degree
   *                        maintenance
-  *  - x01..x207         — LLM-data-pipeline operators (dedup incl.
+  *  - x01..x215         — LLM-data-pipeline operators (dedup incl.
   *                        passage/incremental/canonical/truncation,
   *                        similarity/ANN + recall gates, text
   *                        analysis, TF-IDF, multimodal, curation/

@@ -171,6 +171,78 @@ object Sampling {
           .cast("long").as("enc_fp"),
         col("n"), col("n_pos"))
 
+  /** [[scoreCellsFrom]] KEEPING the fold key — x214's split-conformal
+    * calibration needs to address fold 0's cells separately from the
+    * evaluation folds, which the score-grain rollup erases.
+    */
+  private[graft] def foldScoreCellsFrom(cells: DataFrame): DataFrame =
+    encodeCells(cells)
+      .select(col("fold"),
+        round(col("enc_num").cast("double") /
+          col("enc_den").cast("double") * 10000.0, 0)
+          .cast("long").as("enc_fp"),
+        col("n"), col("n_pos"))
+
+  /** x214's readout over a (fold, enc_fp, n, n_pos) cell frame —
+    * split-conformal prediction at α = 0.1 (Vovk's inductive
+    * conformal; Angelopoulos & Bates 2022 tutorial form). Fold 0 is
+    * the calibration split: each calibration example's nonconformity
+    * is 1 − p̂(true label), which on the 10⁴ score grid is the exact
+    * integer 10000 − enc_fp for a positive and enc_fp for a negative
+    * — so the conformal quantile q̂ (the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * nonconformity, the finite-sample-corrected rank) is pure BIGINT
+    * rank arithmetic over a ≤2·|cells| value frame, and the
+    * evaluation-fold readout (empirical coverage, which the
+    * exchangeability theorem lower-bounds by 1−α in expectation, and
+    * mean prediction-set size, the efficiency price) is one weighted
+    * aggregate over the cells — the fact table contributes exactly
+    * the one pass that built the cell artifact. k > n_cal degrades
+    * to q̂ = 10001 (= +∞: every set is {0,1}), never a crash.
+    */
+  private[graft] def conformalFromFoldCells(fc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nc = fc.filter(col("fold") === 0)
+      .select(explode(array(
+        struct((lit(10000L) - col("enc_fp")).as("v"), col("n_pos").as("w")),
+        struct(col("enc_fp").as("v"),
+          (col("n") - col("n_pos")).as("w")))).as("e"))
+      .select(col("e.v").as("v"), col("e.w").as("w"))
+      .filter(col("w") > 0)
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val nCal = broadcast(nc.agg(
+      coalesce(sum(col("w")), lit(0L)).as("n_cal")))
+    val asc = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = broadcast(
+      nc.withColumn("cum", sum(col("w")).over(asc))
+        .crossJoin(nCal)
+        .agg(coalesce(min(when(
+          col("cum") >= expr("(9 * (n_cal + 1) + 9) DIV 10"), col("v"))),
+          lit(10001L)).as("q_fp")))
+    fc.filter(col("fold") =!= 0).crossJoin(qhat)
+      .select(col("n"),
+        (when(lit(10000L) - col("enc_fp") <= col("q_fp"), col("n_pos"))
+          .otherwise(0L) +
+          when(col("enc_fp") <= col("q_fp"), col("n") - col("n_pos"))
+            .otherwise(0L)).as("cov_w"),
+        ((when(lit(10000L) - col("enc_fp") <= col("q_fp"), 1L).otherwise(0L) +
+          when(col("enc_fp") <= col("q_fp"), 1L).otherwise(0L)) *
+          col("n")).as("size_w"))
+      // global agg (not groupBy) so an empty evaluation split still
+      // yields the one readout row, with null-guarded ratios
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_eval"),
+        sum(col("cov_w")).as("n_covered"),
+        sum(col("size_w")).as("size_sum"))
+      .crossJoin(qhat).crossJoin(nCal)
+      .select(col("n_cal"), col("q_fp"), col("n_eval"),
+        when(col("n_eval") > 0,
+          round(col("n_covered").cast("double") /
+            col("n_eval").cast("double"), 4)).as("coverage"),
+        when(col("n_eval") > 0,
+          round(col("size_sum").cast("double") /
+            col("n_eval").cast("double"), 4)).as("avg_set_size"))
+  }
+
   /** x186's readout over a (enc_fp, n, n_pos) cell frame — shared
     * with the streaming maintainer (s32) so streamed ≡ batch is
     * literal frame equality. Tie-aware exact AUC: collapsing to
@@ -580,6 +652,20 @@ object Sampling {
         when(col("n1") > 1 && col("n0") > 1 && se2 > 0.0,
           round((a - 0.5) / sqrt(se2), 4)).as("z_vs_coin"))
     }),
+
+    // SPLIT-CONFORMAL PREDICTION — the distribution-free uncertainty
+    // layer over the scorer (x186 says how well it RANKS; conformal
+    // says what you may CLAIM per prediction with finite-sample
+    // coverage ≥ 1−α under exchangeability — the deployment gate a
+    // selective-prediction pipeline actually ships): fold 0
+    // calibrates the nonconformity quantile, folds 1-3 audit
+    // coverage and prediction-set size. Everything runs on the
+    // score-cells artifact — the fact table contributes exactly the
+    // ONE pass that built the cells; the quantile is BIGINT rank
+    // arithmetic on a ≤2·|cells| value frame (see
+    // [[conformalFromFoldCells]]).
+    "x214_conformal_split" -> ((spark, sfDir) =>
+      conformalFromFoldCells(foldScoreCellsFrom(rawScoreCells(spark, sfDir)))),
 
     // MAHALANOBIS OUTLIERS — the MULTIVARIATE outlier screen beside
     // x84's per-column MAD (a user can be unremarkable on every
@@ -1890,6 +1976,33 @@ object Sampling {
         "CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0.0 THEN ROUND(SQRT(se2), 6) END AS se, " +
         "CASE WHEN n1 > 1 AND n0 > 1 AND se2 > 0.0 THEN ROUND((a - 0.5) / SQRT(se2), 4) END AS z_vs_coin " +
         "FROM z"),
+    // same calibration/eval split over the shared cells CTE, same
+    // integer nonconformity grid, same finite-sample rank k
+    "x214_conformal_split" ->
+      (scoreCellsCte + ", " +
+        "cal AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM (" +
+        "SELECT 10000 - enc_fp AS v, n_pos AS w FROM cells WHERE fold = 0 " +
+        "UNION ALL " +
+        "SELECT enc_fp AS v, n - n_pos AS w FROM cells WHERE fold = 0) u " +
+        "WHERE w > 0 GROUP BY 1), " +
+        "ncal AS (SELECT COALESCE(CAST(SUM(w) AS BIGINT), 0) AS n_cal FROM cal), " +
+        "cm AS (SELECT v, SUM(w) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cal), " +
+        "q AS (SELECT COALESCE(MIN(CASE WHEN cum >= " +
+        "(9 * (n_cal + 1) + 9) // 10 THEN v END), 10001) AS q_fp " +
+        "FROM cm, ncal), " +
+        "ev AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_eval, " +
+        "CAST(SUM(CASE WHEN 10000 - enc_fp <= q_fp THEN n_pos ELSE 0 END + " +
+        "CASE WHEN enc_fp <= q_fp THEN n - n_pos ELSE 0 END) AS BIGINT) AS n_covered, " +
+        "CAST(SUM((CASE WHEN 10000 - enc_fp <= q_fp THEN 1 ELSE 0 END + " +
+        "CASE WHEN enc_fp <= q_fp THEN 1 ELSE 0 END) * n) AS BIGINT) AS size_sum " +
+        "FROM cells, q WHERE fold <> 0) " +
+        "SELECT n_cal, q_fp, n_eval, " +
+        "CASE WHEN n_eval > 0 THEN " +
+        "ROUND(CAST(n_covered AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) END AS coverage, " +
+        "CASE WHEN n_eval > 0 THEN " +
+        "ROUND(CAST(size_sum AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) END AS avg_set_size " +
+        "FROM ev, q, ncal"),
     // same hash relabelings, same exact cross-multiplied decision
     "x206_permutation_test" ->
       (s"WITH conv AS (SELECT DISTINCT user_id FROM events " +

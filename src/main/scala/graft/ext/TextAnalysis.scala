@@ -848,6 +848,39 @@ object TextAnalysis {
               (col("n") * col("n") - col("pe_num")).cast("double"), 6))
             .as("kappa"))),
 
+    // KRIPPENDORFF'S ALPHA — chance-corrected agreement of THREE
+    // raters (x194's kappa is inherently two-rater; alpha is what a
+    // labeling pipeline reports once a third annotator/scorer joins):
+    // raters here are the three median-split quality rules (chars,
+    // tokens, distinct types — the third a genuinely different
+    // lexical-diversity signal). For m=3 binary nominal raters with
+    // no missing data, the coincidence algebra collapses to one
+    // exact integer rational: per doc with k positive votes the
+    // DOUBLED disagreeing coincidences are 2k(3−k), so
+    // α = 1 − (n−1)·Σ2k(3−k) / (4·n₁·n₀) with n = 3N pairable
+    // values and n₁ total positive votes — a single double division
+    // over BIGINTs (the 2-category case of 1 − (n−1)Do_pairs/Σn_cn_k).
+    // Scale shape: one doc pass against three broadcast order
+    // statistics, one global aggregate; degenerate all-same-vote
+    // corpora read NULL, never a division crash.
+    "x215_krippendorff_alpha" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens).cast("long").as("n_toks"),
+          size(array_distinct(tokens)).cast("long").as("n_types"))
+      val med = broadcast(d.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .as("mc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)")
+          .as("mt"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_types)")
+          .as("my")))
+      krippendorffFromVotes(d.crossJoin(med)
+        .select((when(col("n_chars") > col("mc"), 1L).otherwise(0L) +
+          when(col("n_toks") > col("mt"), 1L).otherwise(0L) +
+          when(col("n_types") > col("my"), 1L).otherwise(0L)).as("k")))
+    }),
+
 
     // GINI LENGTH CONCENTRATION — the inequality read of each
     // source's doc-length distribution (x61 buckets lengths, x136
@@ -2440,6 +2473,28 @@ object TextAnalysis {
           .as("gini"))
   }
 
+  /** x215's readout over a per-unit positive-vote-count frame `k`
+    * (m = 3 binary raters, no missing data) — exposed so tests can
+    * plant vote patterns with hand-computed alphas. See the x215
+    * registration for the integer collapse.
+    */
+  private[graft] def krippendorffFromVotes(votes: DataFrame): DataFrame =
+    votes
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("k")), lit(0L)).as("n_pos_votes"),
+        coalesce(sum(lit(2L) * col("k") * (lit(3L) - col("k"))), lit(0L))
+          .as("d_obs"))
+      .select(col("n_docs"), (col("n_docs") * 3).as("n_values"),
+        col("n_pos_votes"), col("d_obs"),
+        when(col("n_pos_votes") > 0 &&
+            col("n_pos_votes") < col("n_docs") * 3,
+          round(lit(1.0) -
+            (col("n_docs") * 3 - 1).cast("double") *
+              col("d_obs").cast("double") /
+              (lit(4.0) * col("n_pos_votes").cast("double") *
+                (col("n_docs") * 3 - col("n_pos_votes")).cast("double")), 6))
+          .as("alpha"))
+
   /** Shared oracle CTE for x193/x194: the exact 2×2 rule-agreement
     * cells (SQL twin of [[ruleAgreementCells]]).
     */
@@ -2456,6 +2511,28 @@ object TextAnalysis {
       "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
 
   val oracles: Map[String, String] = Map(
+    // same three median-split raters, same doubled-coincidence
+    // integer collapse, one double division
+    "x215_krippendorff_alpha" ->
+      ("WITH d AS (SELECT doc_id, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types " +
+        "FROM documents), " +
+        "med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS mc, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks) AS mt, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_types) AS my FROM d), " +
+        "v AS (SELECT (CASE WHEN n_chars > mc THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_toks > mt THEN 1 ELSE 0 END + " +
+        "CASE WHEN n_types > my THEN 1 ELSE 0 END) AS k FROM d, med), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "COALESCE(CAST(SUM(k) AS BIGINT), 0) AS n_pos_votes, " +
+        "COALESCE(CAST(SUM(2 * k * (3 - k)) AS BIGINT), 0) AS d_obs FROM v) " +
+        "SELECT n_docs, n_docs * 3 AS n_values, n_pos_votes, d_obs, " +
+        "CASE WHEN n_pos_votes > 0 AND n_pos_votes < n_docs * 3 THEN " +
+        "ROUND(1.0 - CAST(n_docs * 3 - 1 AS DOUBLE) * CAST(d_obs AS DOUBLE) / " +
+        "(4.0 * CAST(n_pos_votes AS DOUBLE) * " +
+        "CAST(n_docs * 3 - n_pos_votes AS DOUBLE)), 6) END AS alpha " +
+        "FROM s"),
     // x05's shingle CTE per half, the same exact prefix-entry depths
     // and frozen geometric weights
     "x210_rbo_drift" ->

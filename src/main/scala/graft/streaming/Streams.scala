@@ -579,6 +579,65 @@ object Streams {
           sys.error("s32: stream produced no batches")))))
   }
 
+  /** s39: x214's split-conformal readout over s32's SAME maintained
+    * (event_type, fold) label-count cell state — conformal coverage
+    * tracked LIVE as events arrive (the deployment monitor a
+    * selective-prediction service actually watches: does the shipped
+    * q̂ still cover at 1−α as the distribution moves?). The cell
+    * table is the one additive sufficient statistic; the readout
+    * re-derives calibration quantile + evaluation coverage through
+    * the IDENTICAL stages as batch x214
+    * ([[graft.ext.Sampling.foldScoreCellsFrom]] →
+    * [[graft.ext.Sampling.conformalFromFoldCells]]), so streamed ≡
+    * batch by construction, with state that never grows with the
+    * corpus.
+    */
+  def foreachBatchConformal(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s39_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cells_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.rawScoreCellsOf(batch.toDF())
+            .withColumnRenamed("n", "d_n")
+            .withColumnRenamed("n_pos", "d_pos")
+          val merged = latest match {
+            case None => delta.select(col("event_type"), col("fold"),
+              col("d_n").as("n"), col("d_pos").as("n_pos"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("event_type", "fold"), "full_outer")
+                .select(col("event_type"), col("fold"),
+                  (coalesce(col("n"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n"),
+                  (coalesce(col("n_pos"), lit(0L)) +
+                    coalesce(col("d_pos"), lit(0L))).as("n_pos"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.conformalFromFoldCells(
+      graft.ext.Sampling.foldScoreCellsFrom(
+        spark.read.parquet(latest.getOrElse(
+          sys.error("s39: stream produced no batches")))))
+  }
+
   /** s33: c95's diff-in-differences with the 2×2 (grp, period) cells
     * maintained incrementally — the textbook additive IVM (four
     * counts + four sums), worth pinning as a streaming op because a
@@ -2067,6 +2126,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchSurvival(spark, sfDir)),
     "s38_stream_mahalanobis_maintain" ->
       ((spark, sfDir) => foreachBatchMahalanobis(spark, sfDir)),
+    "s39_stream_conformal_maintain" ->
+      ((spark, sfDir) => foreachBatchConformal(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2120,6 +2181,10 @@ object Streams {
     // label-count cells ≡ batch x186
     "s32_stream_auc_maintain" ->
       graft.ext.Sampling.oracles("x186_roc_auc"),
+    // the IVM contract verbatim: the conformal readout from the same
+    // maintained cells ≡ batch x214
+    "s39_stream_conformal_maintain" ->
+      graft.ext.Sampling.oracles("x214_conformal_split"),
     // the IVM contract verbatim: the DiD read from the maintained
     // 2×2 cells ≡ batch c95
     "s33_stream_did_maintain" ->

@@ -4806,6 +4806,55 @@ class ExtSpec extends SparkSpec {
       s"SE out of plausible band: $d")
   }
 
+  test("x214 split-conformal: planted cells reproduce the hand-computed quantile, coverage, and set size") {
+    import spark.implicits._
+    // calibration (fold 0): 10 positives at score 0.9 (nonconformity
+    // 1000) and 10 negatives at score 0.2 (nonconformity 2000);
+    // n_cal = 20 -> k = ceil(0.9 * 21) = 19 -> q̂ = 2000.
+    // eval (fold 1): 4 positives at 0.9 -> nc 1000 <= 2000 covered,
+    // set {1} (neg side 9000 > 2000); 2 examples at 0.5 (1 pos,
+    // 1 neg) -> nc 5000 > 2000 uncovered, empty set.
+    val fc = Seq(
+      (0L, 9000L, 10L, 10L),
+      (0L, 2000L, 10L, 0L),
+      (1L, 9000L, 4L, 4L),
+      (1L, 5000L, 2L, 1L)
+    ).toDF("fold", "enc_fp", "n", "n_pos")
+    val r = graft.ext.Sampling.conformalFromFoldCells(fc).collect()(0)
+    assert(r.getLong(0) == 20L, s"n_cal: $r")
+    assert(r.getLong(1) == 2000L, s"q_fp: $r")
+    assert(r.getLong(2) == 6L, s"n_eval: $r")
+    assert(r.getDouble(3) == 0.6667, s"coverage: $r")
+    assert(r.getDouble(4) == 0.6667, s"avg_set_size: $r")
+  }
+
+  test("x214 split-conformal: empty calibration degrades to q̂ = +inf with full coverage, never a crash") {
+    import spark.implicits._
+    val fc = Seq((1L, 7000L, 3L, 2L), (2L, 4000L, 2L, 0L))
+      .toDF("fold", "enc_fp", "n", "n_pos")
+    val r = graft.ext.Sampling.conformalFromFoldCells(fc).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 10001L, s"degenerate: $r")
+    assert(r.getDouble(3) == 1.0, s"q=inf must cover everything: $r")
+    assert(r.getDouble(4) == 2.0, s"q=inf set is always {0,1}: $r")
+  }
+
+  test("x215 krippendorff: perfect agreement gives alpha 1; a planted mixed pattern matches the hand computation") {
+    import spark.implicits._
+    val perfect = Seq(3L, 3L, 0L, 0L, 0L).toDF("k")
+    val p = graft.ext.TextAnalysis.krippendorffFromVotes(perfect).collect()(0)
+    assert(p.getDouble(4) == 1.0, s"perfect agreement must score 1: $p")
+    // votes k = [3, 2, 1, 0]: d_obs = 0+4+4+0 = 8, n = 12, n1 = 6,
+    // n0 = 6 -> alpha = 1 - 11*8/(4*36) = 1 - 0.611111 = 0.388889
+    val mixed = Seq(3L, 2L, 1L, 0L).toDF("k")
+    val m = graft.ext.TextAnalysis.krippendorffFromVotes(mixed).collect()(0)
+    assert(m.getLong(3) == 8L, s"doubled disagreements: $m")
+    assert(m.getDouble(4) == 0.388889, s"hand-computed alpha: $m")
+    // degenerate all-same-vote corpus: NULL, never a crash
+    val degen = Seq(0L, 0L).toDF("k")
+    assert(graft.ext.TextAnalysis.krippendorffFromVotes(degen)
+      .collect()(0).isNullAt(4))
+  }
+
   test("x209 mahalanobis: top-20 ranked descending, nonnegative distances") {
     val rows = graft.ext.Sampling.queries("x209_mahalanobis_outliers")(spark, SfDir)
       .collect()

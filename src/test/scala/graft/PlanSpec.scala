@@ -710,9 +710,9 @@ class PlanSpec extends SparkSpec {
       s"top-20 must not be a full sort:\n$plan")
   }
 
-  test("r13 scorer-evaluation suite touches the fact table exactly once and never plans a cartesian (x186/x187/x188/x208)") {
+  test("r13 scorer-evaluation suite touches the fact table exactly once and never plans a cartesian (x186/x187/x188/x208/x214)") {
     for (name <- Seq("x186_roc_auc", "x187_pr_auc", "x188_brier_decomp",
-        "x208_delong_auc_se")) {
+        "x208_delong_auc_se", "x214_conformal_split")) {
       val plan = graft.ext.Sampling.queries(name)(spark, SfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name: cartesian in:\n$plan")
