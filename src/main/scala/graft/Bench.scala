@@ -453,6 +453,14 @@ object Bench {
       spark.range(20000000L).select(max(xxhash64(col("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // One untimed warm-up before the recorded start reading: the
+    // FIRST Spark job in a fresh JVM pays codegen/JIT (~3.3 s on an
+    // idle machine, r14 measurement), so a raw first reading is
+    // JIT-contaminated and reads as machine load when it isn't — the
+    // r12/r13 "sentinel 3.4 at start" records mixed the two. After
+    // the warm-up, `start` is a clean load reading comparable to the
+    // per-phase ones.
+    sentinel()
     val sentinelStart = sentinel()
 
     // Materialize the partitioned copy once so rep 1 of the pruned/full
@@ -591,6 +599,10 @@ object Bench {
     fields("http") =
       if (remainingSec < 60) """{"skipped":"budget"}"""
       else try {
+        // the serving phase carries its own window's load reading too
+        // (r13's http p50/p99 were headline-window contaminated and
+        // unprovably so — every timed phase now stamps its sentinel)
+        val httpSent = sentinel()
         val engine = new graft.engine.SparkEngine(() => spark)
         val server = graft.server.HttpFront.start(engine, spark, sfDir, port = 0)
         try {
@@ -649,7 +661,7 @@ object Bench {
             else s"""{"clients":$clients,"n":${cs.length},"errors":${cErrs.get()},"p50":${
               fmt(cs(cs.length / 2))},"p99":${fmt(cs(((cs.length - 1) * 99) / 100))},"qps":${
               fmt(cs.length / cWall)}}"""
-          s"""{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship","concurrent":$concurrent}"""
+          s"""{"n":100,"p50":${fmt(times(49))},"p99":${fmt(times(98))},"query":"flagship","sentinel":${fmt(httpSent)},"concurrent":$concurrent}"""
         } finally graft.server.HttpFront.stop(server)
       } catch { case e: Throwable =>
         s"""{"err":"${jsonEscape(String.valueOf(e.getMessage))}"}""" }
@@ -725,6 +737,19 @@ object Bench {
           graft.ext.TextAnalysis.bigramTable(spark, dir).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x46_bigram_rows_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x150_record_linkage")) try {
+        // the canonical-grain Σ df·(df−1)/2 the capped shingle index
+        // shuffles after the exact-text collapse — the volume the
+        // r14 collapse fix bounds (pre-collapse, the cap ∝ corpus
+        // size admitted k× the df at k× replication: 22× wall at
+        // 10× data in the first r14 official run)
+        val d = Lake.table(spark, dir, "documents")
+        val sh = Lake.materialize(spark, dir, "x05_shingles")(
+          graft.ext.Dedup.shingleTable(d))
+        parts += s""""x150_candidate_pairs":${graft.ext.Dedup
+          .jaccardCandidateVolume(d, sh, Lake.rowCount(spark, dir, "documents"))}"""
+      } catch { case e: Throwable =>
+        parts += s""""x150_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x199_sparse_cosine_pairs")) try {
         // the inverted-index join's candidate volume Σ df·(df−1)/2
         // over the [2,100]-gated shingles — the quantity the df cap

@@ -204,6 +204,19 @@ object Dedup {
     * the exact Jaccard of the *capped* shingle sets (sizes are computed
     * after the cap, so numerator and denominator agree), which is the
     * standard stopword-filtered similarity a dedup pipeline wants.
+    *
+    * EXACT-TEXT PRE-COLLAPSE (x92's lesson, applied here after BENCH
+    * r14 measured x150 at 22× wall for 10× data): identical texts
+    * have identical post-gate shingle sets, so the quadratic index
+    * join runs at CANONICAL grain — the corpus's distinct-text
+    * geometry, invariant to replication density — and replica pairs
+    * re-expand afterwards through output-linear equi-joins. The
+    * hot cap (∝ corpus size) otherwise admits k× the df at k×
+    * replication, growing the join volume ~k². Output is
+    * byte-identical to the doc-grain join: cross-group Jaccard is
+    * canonical-pair-constant, and a within-group replica pair scores
+    * exactly 1 whenever its gated set is non-empty (and is absent,
+    * matching the doc-grain 0/0 behavior, when the set is empty).
     */
   def ngramJaccardPairs(df: DataFrame, threshold: Double,
       checkpoint: DataFrame => DataFrame = identity,
@@ -222,21 +235,72 @@ object Dedup {
       .select(col("shingle"))
     // anti-join against the (tiny) hot list — AQE broadcasts it
     val sh = sh0.join(hot, Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val canonMap = canonicalMap(df)
+    val shC = sh.join(
+      canonMap.filter(col("doc_id") === col("canon")).select(col("doc_id")),
+      "doc_id")
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shC.select(col("doc_id").as("ca"), col("shingle"))
+      .join(shC.select(col("doc_id").as("cb"), col("shingle")), "shingle")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb"))
       .agg(count(lit(1)).as("c"))
-    // sizes is one row per doc — small here, but unbounded at corpus
-    // scale, so no broadcast hint: let AQE pick broadcast vs shuffle.
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    // sizes is one row per canonical — small here, but unbounded at
+    // corpus scale, so no broadcast hint: let AQE pick.
+    val jacC = inter
+      .join(sizes.select(col("doc_id").as("ca"), col("n").as("na")), "ca")
+      .join(sizes.select(col("doc_id").as("cb"), col("n").as("nb")), "cb")
+      .select(col("ca"), col("cb"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // cross-group expansion: one output row per (replica-of-ca,
+    // replica-of-cb); member ids interleave across groups, so the
+    // pair reorders by id
+    val cross = jacC
+      .join(canonMap.select(col("canon").as("ca"), col("doc_id").as("ida")), "ca")
+      .join(canonMap.select(col("canon").as("cb"), col("doc_id").as("idb")), "cb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    // within-group: every replica pair of a canonical whose gated set
+    // is non-empty is an exact duplicate → jaccard 1
+    val members = canonMap
+      .join(sizes.select(col("doc_id").as("canon")), "canon")
+    val within = members.select(col("canon"), col("doc_id").as("doc_a"))
+      .join(members.select(col("canon"), col("doc_id").as("doc_b")), "canon")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(within)
+  }
+
+  /** Canonical-grain candidate volume Σ df·(df−1)/2 of the capped
+    * shingle index — the row count [[ngramJaccardPairs]]'s pair join
+    * actually shuffles after the exact-text collapse. Bench
+    * instrumentation (x150's scaling block): computed from the df
+    * aggregate alone, no join.
+    */
+  def jaccardCandidateVolume(df: DataFrame, sh0: DataFrame,
+      nDocs: Long): Long = {
+    val cap = math.max(50L, nDocs / 100L)
+    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+      .filter(col("df_c") > cap).select(col("shingle"))
+    sh0.join(hot, Seq("shingle"), "left_anti")
+      .join(canonicalMap(df).filter(col("doc_id") === col("canon"))
+        .select(col("doc_id")), "doc_id")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("dfc"))
+      .agg(coalesce(sum(expr("dfc * (dfc - 1) DIV 2")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** doc_id → canonical (min doc_id sharing the exact text) — the
+    * collapse key for [[ngramJaccardPairs]]/[[containmentPairs]].
+    */
+  private def canonicalMap(df: DataFrame): DataFrame = {
+    val wk = Window.partitionBy(col("_k"))
+    df.select(col("doc_id"), md5(col("text")).as("_k"))
+      .withColumn("canon", min(col("doc_id")).over(wk))
+      .select(col("doc_id"), col("canon"))
   }
 
   /** Asymmetric CONTAINMENT pairs over the same capped shingle index
@@ -258,21 +322,41 @@ object Dedup {
     val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
       .filter(col("df_c") > cap).select(col("shingle"))
     val sh = sh0.join(hot, Seq("shingle"), "left_anti")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+    // same exact-text pre-collapse as [[ngramJaccardPairs]]:
+    // containment is canonical-pair-constant (c, na, nb all depend
+    // only on the gated shingle SETS), roles expand group-to-group,
+    // and within-group replica pairs are containment 1 both ways
+    // whenever the gated set is non-empty
+    val canonMap = canonicalMap(df)
+    val shC = sh.join(
+      canonMap.filter(col("doc_id") === col("canon")).select(col("doc_id")),
+      "doc_id")
+    val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shC.select(col("doc_id").as("ca"), col("shingle"))
+      .join(shC.select(col("doc_id").as("cb"), col("shingle")), "shingle")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("c"))
     val cont = inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sizes.select(col("doc_id").as("ca"), col("n").as("na")), "ca")
+      .join(sizes.select(col("doc_id").as("cb"), col("n").as("nb")), "cb")
     val aInB = cont.filter(col("c").cast("double") / col("na") >= threshold)
-      .select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+      .select(col("ca").as("ci"), col("cb").as("co"),
         round(col("c").cast("double") / col("na"), 4).as("containment"))
     val bInA = cont.filter(col("c").cast("double") / col("nb") >= threshold)
-      .select(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+      .select(col("cb").as("ci"), col("ca").as("co"),
         round(col("c").cast("double") / col("nb"), 4).as("containment"))
-    aInB.unionByName(bInA)
+    val cross = aInB.unionByName(bInA)
+      .join(canonMap.select(col("canon").as("ci"), col("doc_id").as("inner_id")), "ci")
+      .join(canonMap.select(col("canon").as("co"), col("doc_id").as("outer_id")), "co")
+      .select(col("inner_id"), col("outer_id"), col("containment"))
+    val members = canonMap
+      .join(sizes.select(col("doc_id").as("canon")), "canon")
+    val within = members.select(col("canon"), col("doc_id").as("inner_id"))
+      .join(members.select(col("canon"), col("doc_id").as("outer_id")), "canon")
+      .filter(col("inner_id") =!= col("outer_id"))
+      .select(col("inner_id"), col("outer_id"), lit(1.0).as("containment"))
+      .filter(lit(1.0) >= lit(threshold))
+    cross.unionByName(within)
   }
 
   /** Per-cluster MEDOID election (x103): inside each near-dup
