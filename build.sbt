@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB contract machine: 8g put local[32]
+  // one borderline allocation from OOM at the bench's 10x big point
+  // (x132's per-thread collect_list adjacency killed one of two
+  // otherwise-identical r14 runs; a single forked JVM never competes
+  // for the heap, so the larger max is strictly safer)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -22,6 +22,39 @@ class ExtSpec extends SparkSpec {
       s"LSH recall too low: ${recalled.size}/${exact.size}; missed ${exact -- sketch}")
   }
 
+  test("ngramJaccardPairs: exact-text collapse is byte-identical to the doc-grain join on a replicated corpus (x05/x150)") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i k"), // near-dup of doc 0
+      (2L, "z y x w v u t s r q"))
+    // replicate every text 3x under fresh ids — the scaled-lake
+    // duplicate-density stress the collapse exists for
+    val corpus = (base ++ base.map { case (id, t) => (id + 10L, t) }
+      ++ base.map { case (id, t) => (id + 20L, t) }).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(corpus, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive doc-grain reference: same (inactive at 9 docs) cap, same
+    // set arithmetic, computed in-process
+    val sets = Dedup.shingleTable(corpus).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      c = (sets(a) intersect sets(b)).size if c >= 1
+      j = r4(c.toDouble / (sets(a).size + sets(b).size - c)) if j >= 0.3
+    } yield (a, b, j)).toSet
+    assert(got == expected,
+      s"collapse changed semantics: extra=${got -- expected} missing=${expected -- got}")
+    // replicas of the near-dup pair must carry the canonical jaccard,
+    // and replica-replica pairs exactly 1.0
+    assert(got.exists { case (a, b, j) => a == 0L && b == 11L && j < 1.0 })
+    assert(got.contains((0L, 10L, 1.0)) && got.contains((10L, 20L, 1.0)))
+  }
+
   test("passage dedup counts chunk duplication exactly: short docs, cross-doc and within-doc repeats (x31)") {
     import spark.implicits._
     val w = (1 to 16).map(i => s"w$i")
