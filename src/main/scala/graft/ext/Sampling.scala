@@ -339,6 +339,85 @@ object Sampling {
           .as("rho"))
   }
 
+  /** Bin count per axis for the x216 Kendall dominance grid — frozen
+    * into both engines' plans (the τ_b below is the EXACT statistic of
+    * the binned variables, the same grid discipline as x149's 10⁴
+    * score grid).
+    */
+  val KendallBins = 64L
+
+  /** x216's Kendall τ_b over a prebuilt joint (n_chars, n_toks, f)
+    * value-pair frequency table — x205's Spearman sufficient statistic
+    * reused verbatim, so s40 maintains NOTHING new (the streamed joint
+    * s36 already merges additively feeds this readout unchanged).
+    *
+    * Spearman is linear in the rank maps, but Kendall genuinely needs
+    * the 2-D DOMINANCE counts (pairs concordant on both axes), which
+    * no marginal decomposition gives. The scale answer: bin both axes
+    * to a [[KendallBins]]² dense grid — bin = v·B DIV (max+1), exact
+    * integer arithmetic on both engines — and compute concordant/
+    * discordant mass by 2-D prefix sums over the CONSTANT-size grid:
+    * g(x,y) = Σ_{y'≤y} f, P(x,y) = Σ_{x'≤x} g (two windows over B²
+    * rows), then per cell conc_w = P(x−1,y−1) and disc_w = cum_x(x−1)
+    * − P(x−1,y), so C = Σ f·conc_w and D = Σ f·disc_w are one
+    * broadcast join over the grid frame. Everything after the joint's
+    * one fact-table aggregation is O(B²) regardless of corpus size.
+    * Ties come off the binned marginals: T_x = Σ f_x(f_x−1)/2, and
+    * τ_b = (C−D)/√((n₀−T_x)(n₀−T_y)) with n₀ = n(n−1)/2 — all BIGINT
+    * (exact to n ≈ 4·10⁹; past that the pair counts move to
+    * DECIMAL(38,0)) until the one double division + sqrt at 6 dp.
+    * Degenerate single-bin axes read τ_b = NULL, never a crash.
+    */
+  def kendallFromJoint(joint: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = joint.sparkSession
+    val b = KendallBins
+    val mx = broadcast(joint.agg(max(col("n_chars")).as("mc"),
+      max(col("n_toks")).as("mt")))
+    val cells = joint.crossJoin(mx)
+      .select(expr(s"(n_chars * $b) DIV (mc + 1)").as("bx"),
+        expr(s"(n_toks * $b) DIV (mt + 1)").as("by"), col("f"))
+      .groupBy(col("bx"), col("by")).agg(sum(col("f")).as("f"))
+    val grid = spark.range(0, b).select(col("id").as("bx"))
+      .crossJoin(spark.range(0, b).select(col("id").as("by")))
+      .join(cells, Seq("bx", "by"), "left")
+      .select(col("bx"), col("by"), coalesce(col("f"), lit(0L)).as("f"))
+    val byYinX = Window.partitionBy(col("bx")).orderBy(col("by"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byXinY = Window.partitionBy(col("by")).orderBy(col("bx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = grid
+      .withColumn("gy", sum(col("f")).over(byYinX))
+      .withColumn("p", sum(col("gy")).over(byXinY))
+      .withColumn("pxm1y", coalesce(lag(col("p"), 1).over(
+        Window.partitionBy(col("by")).orderBy(col("bx"))), lit(0L)))
+      .withColumn("pxm1ym1", coalesce(lag(col("pxm1y"), 1).over(
+        Window.partitionBy(col("bx")).orderBy(col("by"))), lit(0L)))
+    val margx = grid.groupBy(col("bx")).agg(sum(col("f")).as("fx"))
+      .withColumn("cumx", sum(col("fx")).over(Window.orderBy(col("bx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val margy = grid.groupBy(col("by")).agg(sum(col("f")).as("fy"))
+    val cd = pref.join(broadcast(margx), "bx")
+      .agg(coalesce(sum(col("f")), lit(0L)).as("n"),
+        coalesce(sum(col("f") * col("pxm1ym1")), lit(0L)).as("n_conc"),
+        coalesce(sum(col("f") *
+          (col("cumx") - col("fx") - col("pxm1y"))), lit(0L)).as("n_disc"))
+    val tx = broadcast(margx.agg(coalesce(
+      sum(expr("(fx * (fx - 1)) DIV 2")), lit(0L)).as("tie_x_pairs")))
+    val ty = broadcast(margy.agg(coalesce(
+      sum(expr("(fy * (fy - 1)) DIV 2")), lit(0L)).as("tie_y_pairs")))
+    def dd(c: String) = col(c).cast("double")
+    cd.crossJoin(tx).crossJoin(ty)
+      .withColumn("n0", expr("(n * (n - 1)) DIV 2"))
+      .select(col("n"), col("n_conc"), col("n_disc"),
+        col("tie_x_pairs"), col("tie_y_pairs"),
+        when(col("n0") > col("tie_x_pairs") &&
+            col("n0") > col("tie_y_pairs"),
+          round((dd("n_conc") - dd("n_disc")) /
+            sqrt((dd("n0") - dd("tie_x_pairs")) *
+              (dd("n0") - dd("tie_y_pairs"))), 6)).as("tau_b"))
+  }
+
   /** x209's user-feature frame (user_id, f = event count, m = spend
     * cents) — both columns merge ADDITIVELY per microbatch, so s38
     * maintains this table incrementally (s19's user-grain merge
@@ -802,6 +881,18 @@ object Sampling {
     // BIGINT sums, fixed double expressions, one sqrt.
     "x205_spearman" -> ((spark, sfDir) =>
       spearmanFromJoint(spearmanJointOf(docs(spark, sfDir)))),
+
+    // KENDALL τ_b — the pairwise-concordance complement of x205's
+    // Spearman (ρ correlates the rank VALUES; τ_b reads the
+    // probability a random doc pair orders the same way on both
+    // measures — the statistic behind "agreement of two rankers" and
+    // robust to ρ's sensitivity to rank distance): exact τ_b of the
+    // 64-binned (n_chars, n_toks) via 2-D prefix sums over a
+    // constant-size dominance grid. Reads the SAME joint frequency
+    // table as x205/s36 — see [[kendallFromJoint]] for the grid
+    // algebra and the n ≈ 4·10⁹ BIGINT bound.
+    "x216_kendall_tau_b" -> ((spark, sfDir) =>
+      kendallFromJoint(spearmanJointOf(docs(spark, sfDir)))),
 
     // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
     // map beside x149's diagnosis (ECE says the score is miscalibrated;
@@ -2082,6 +2173,41 @@ object Sampling {
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
         "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
         "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho FROM s"),
+    // same 64-bin grid, same two 2-D prefix windows over the dense
+    // grid, same exact pair algebra and one double division + sqrt
+    "x216_kendall_tau_b" ->
+      ("WITH j AS (SELECT n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
+        "mx AS (SELECT MAX(n_chars) AS mc, MAX(n_toks) AS mt FROM j), " +
+        s"cells AS (SELECT (n_chars * $KendallBins) // (mc + 1) AS bx, " +
+        s"(n_toks * $KendallBins) // (mt + 1) AS by, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM j, mx GROUP BY 1, 2), " +
+        s"grid AS (SELECT gx.range AS bx, gy.range AS by " +
+        s"FROM range(0, $KendallBins) gx, range(0, $KendallBins) gy), " +
+        "g0 AS (SELECT grid.bx, grid.by, COALESCE(f, 0) AS f " +
+        "FROM grid LEFT JOIN cells ON grid.bx = cells.bx AND grid.by = cells.by), " +
+        "g1 AS (SELECT bx, by, f, CAST(SUM(f) OVER (PARTITION BY bx ORDER BY by " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gy FROM g0), " +
+        "g2 AS (SELECT bx, by, f, CAST(SUM(gy) OVER (PARTITION BY by ORDER BY bx " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p FROM g1), " +
+        "g3 AS (SELECT bx, by, f, COALESCE(LAG(p) OVER (PARTITION BY by ORDER BY bx), 0) AS pxm1y FROM g2), " +
+        "g4 AS (SELECT bx, by, f, pxm1y, " +
+        "COALESCE(LAG(pxm1y) OVER (PARTITION BY bx ORDER BY by), 0) AS pxm1ym1 FROM g3), " +
+        "margx AS (SELECT bx, CAST(SUM(f) AS BIGINT) AS fx FROM g0 GROUP BY 1), " +
+        "mcum AS (SELECT bx, fx, CAST(SUM(fx) OVER (ORDER BY bx " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx FROM margx), " +
+        "margy AS (SELECT by, CAST(SUM(f) AS BIGINT) AS fy FROM g0 GROUP BY 1), " +
+        "cd AS (SELECT CAST(SUM(g4.f) AS BIGINT) AS n, " +
+        "CAST(SUM(g4.f * g4.pxm1ym1) AS BIGINT) AS n_conc, " +
+        "CAST(SUM(g4.f * (mcum.cumx - mcum.fx - g4.pxm1y)) AS BIGINT) AS n_disc " +
+        "FROM g4 JOIN mcum USING (bx)), " +
+        "tx AS (SELECT CAST(SUM((fx * (fx - 1)) // 2) AS BIGINT) AS tie_x_pairs FROM margx), " +
+        "ty AS (SELECT CAST(SUM((fy * (fy - 1)) // 2) AS BIGINT) AS tie_y_pairs FROM margy) " +
+        "SELECT n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, " +
+        "CASE WHEN (n * (n - 1)) // 2 > tie_x_pairs AND (n * (n - 1)) // 2 > tie_y_pairs THEN " +
+        "ROUND((CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE)) / " +
+        "SQRT((CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_x_pairs AS DOUBLE)) * " +
+        "(CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_y_pairs AS DOUBLE))), 6) END AS tau_b " +
+        "FROM cd, tx, ty"),
     // same ten exact sums, same Cramer/R² double expression trees
     "x196_ols_normal_eq" ->
       ("WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS y, " +

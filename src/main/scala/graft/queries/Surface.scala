@@ -296,6 +296,66 @@ object Surface {
           .as("surv_breslow"))
   }
 
+  /** Dense-grid extents for [[cIndexFromSubjects]] — frozen into both
+    * engines' plans. t_day ∈ [0, 365] by construction (the event
+    * fixture spans one calendar year, and t_day is a within-window
+    * day difference); score ∈ [0, 63] by the caller's cap.
+    */
+  val CIndexDays = 366L
+  val CIndexScoreSlots = 64L
+
+  /** c98's Harrell c-index over a (t_day: long, died: boolean,
+    * s: long) subject frame with s already on the [0,
+    * [[CIndexScoreSlots]]) axis. Pair semantics (the standard
+    * "permissible pairs"): (i, j) is comparable iff died_i and
+    * t_i < t_j — strict, so a subject censored AT an event time is
+    * (correctly) not claimed to have outlived it; concordant iff
+    * s_i > s_j (higher score ⇒ earlier event), score ties ½.
+    *
+    * The quadratic pair set collapses onto a [[CIndexDays]]×
+    * [[CIndexScoreSlots]] dense cell grid: with St(t,s) = Σ_{t'>t}
+    * n_all(t',s) (suffix window over t within s), the later-time mass
+    * splits by score relation via one prefix window over s within t
+    * (A = Σ_{s'<s} St) and the per-t total (L = Σ_s' St), so
+    * concordant = Σ n_died·A, tied = Σ n_died·St, discordant =
+    * Σ n_died·(L − A − St) — three windows over the constant-size
+    * grid, everything BIGINT until the one double division at 6 dp
+    * (exact to n ≈ 4·10⁹ subjects; past that the pair counts move to
+    * DECIMAL(38,0)). No comparable pairs ⇒ c_index = NULL.
+    */
+  def cIndexFromSubjects(subj: DataFrame): DataFrame = {
+    val spark = subj.sparkSession
+    val cells = subj.groupBy(col("t_day").as("t"), col("s"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("died"), 1L).otherwise(0L)).as("n_died"))
+    val grid = spark.range(0, CIndexDays).select(col("id").as("t"))
+      .crossJoin(spark.range(0, CIndexScoreSlots).select(col("id").as("s")))
+      .join(cells, Seq("t", "s"), "left")
+      .select(col("t"), col("s"),
+        coalesce(col("n_all"), lit(0L)).as("n_all"),
+        coalesce(col("n_died"), lit(0L)).as("n_died"))
+    val laterInS = Window.partitionBy(col("s")).orderBy(col("t"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val lowerInT = Window.partitionBy(col("t")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allInT = Window.partitionBy(col("t"))
+    grid
+      .withColumn("st", coalesce(sum(col("n_all")).over(laterInS), lit(0L)))
+      .withColumn("aw", coalesce(sum(col("st")).over(lowerInT), lit(0L)))
+      .withColumn("lt", sum(col("st")).over(allInT))
+      .agg(coalesce(sum(col("n_all")), lit(0L)).as("n_subjects"),
+        coalesce(sum(col("n_died") * col("aw")), lit(0L)).as("n_conc"),
+        coalesce(sum(col("n_died") *
+          (col("lt") - col("aw") - col("st"))), lit(0L)).as("n_disc"),
+        coalesce(sum(col("n_died") * col("st")), lit(0L)).as("n_tied"))
+      .select(col("n_subjects"), col("n_conc"), col("n_disc"), col("n_tied"),
+        when(col("n_conc") + col("n_disc") + col("n_tied") > 0,
+          round((col("n_conc").cast("double") +
+            lit(0.5) * col("n_tied").cast("double")) /
+            (col("n_conc") + col("n_disc") + col("n_tied")).cast("double"), 6))
+          .as("c_index"))
+  }
+
   /** c95's 2×2 cell build over an explicit events frame: (grp, period,
     * n, Σcents) — one partial-aggregatable fact pass, and the ADDITIVE
     * sufficient statistic s33 merges per microbatch.
@@ -1713,6 +1773,45 @@ object Surface {
       nelsonAalen(subj).orderBy(col("t_day"))
     }),
 
+    // HARRELL'S C-INDEX — does a BASELINE risk score rank
+    // time-to-conversion correctly? (c84/c94 estimate the curve, c97
+    // compares two arms; the c-index grades a continuous scorer the
+    // way x186's AUC grades a classifier, but censoring-correct: only
+    // pairs whose ordering the data actually reveals count.) Score:
+    // first-active-day event count (known at baseline — no
+    // post-baseline leakage), capped to a 64-slot axis. A pair is
+    // comparable iff the earlier subject CONVERTED strictly before
+    // the other's observed time; concordant iff that earlier
+    // converter carried the higher score, score ties count ½. The
+    // quadratic pair set is never materialized: subjects collapse to
+    // (t_day, score) cells on a 366×64 dense grid (t_day is bounded
+    // by the one-year event window), suffix sums over t within score
+    // give the later-time mass, prefix sums over score within t split
+    // it by score relation — three windows over the CONSTANT-size
+    // grid, so the whole statistic costs one subject aggregation
+    // regardless of corpus size, all BIGINT until one double division.
+    "c98_c_index" -> ((spark, sfDir) => {
+      val a = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val life = a.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
+      val conv = a
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .groupBy(col("user_id")).agg(min(col("d")).as("dp"))
+      val risk = a.join(life.select(col("user_id"), col("d0")), "user_id")
+        .filter(col("d") === col("d0"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("s_cnt"))
+      val subj = life.join(conv, Seq("user_id"), "left")
+        .join(risk, Seq("user_id"))
+        .select(
+          when(col("dp").isNotNull, col("dp") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("t_day"),
+          col("dp").isNotNull.as("died"),
+          least(col("s_cnt"), lit(63L)).as("s"))
+      cIndexFromSubjects(subj)
+    }),
+
     // DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
     // beside c80's randomized lift and c82's CUPED (when assignment
     // is NOT randomized over time, the pre-period difference is the
@@ -2399,6 +2498,42 @@ object Surface {
         "ROUND(CAST(h_fp AS DOUBLE) / 1000000000.0, 6) AS cum_hazard, " +
         "ROUND(EXP(-(CAST(h_fp AS DOUBLE) / 1000000000.0)), 4) AS surv_breslow " +
         "FROM cm WHERE d > 0 ORDER BY t_day"),
+    // same subject frame as c84 plus the first-day risk score; same
+    // dense grid, same three windows, same exact pair algebra
+    "c98_c_index" ->
+      ("WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        "risk AS (SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS s_cnt " +
+        "FROM a JOIN life ON a.user_id = life.user_id AND a.d = life.d0 GROUP BY 1), " +
+        "subj AS (SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died, LEAST(s_cnt, 63) AS s " +
+        "FROM life LEFT JOIN conv USING (user_id) JOIN risk USING (user_id)), " +
+        "cells AS (SELECT t_day AS t, s, CAST(COUNT(*) AS BIGINT) AS n_all, " +
+        "CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS n_died " +
+        "FROM subj GROUP BY 1, 2), " +
+        s"grid AS (SELECT gt.range AS t, gs.range AS s " +
+        s"FROM range(0, $CIndexDays) gt, range(0, $CIndexScoreSlots) gs), " +
+        "g0 AS (SELECT grid.t, grid.s, COALESCE(n_all, 0) AS n_all, " +
+        "COALESCE(n_died, 0) AS n_died " +
+        "FROM grid LEFT JOIN cells ON grid.t = cells.t AND grid.s = cells.s), " +
+        "g1 AS (SELECT t, s, n_all, n_died, COALESCE(CAST(SUM(n_all) OVER (" +
+        "PARTITION BY s ORDER BY t ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) " +
+        "AS BIGINT), 0) AS st FROM g0), " +
+        "g2 AS (SELECT t, s, n_all, n_died, st, COALESCE(CAST(SUM(st) OVER (" +
+        "PARTITION BY t ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS BIGINT), 0) AS aw, CAST(SUM(st) OVER (PARTITION BY t) AS BIGINT) AS lt FROM g1), " +
+        "agg AS (SELECT COALESCE(CAST(SUM(n_all) AS BIGINT), 0) AS n_subjects, " +
+        "COALESCE(CAST(SUM(n_died * aw) AS BIGINT), 0) AS n_conc, " +
+        "COALESCE(CAST(SUM(n_died * (lt - aw - st)) AS BIGINT), 0) AS n_disc, " +
+        "COALESCE(CAST(SUM(n_died * st) AS BIGINT), 0) AS n_tied FROM g2) " +
+        "SELECT n_subjects, n_conc, n_disc, n_tied, " +
+        "CASE WHEN n_conc + n_disc + n_tied > 0 THEN " +
+        "ROUND((CAST(n_conc AS DOUBLE) + 0.5 * CAST(n_tied AS DOUBLE)) / " +
+        "CAST(n_conc + n_disc + n_tied AS DOUBLE), 6) END AS c_index " +
+        "FROM agg"),
     // c84's subject frame with the c80 arm split; same spine/at-risk
     // windows, same per-time 10^-9 regrids, same closing expression
     "c97_logrank" ->

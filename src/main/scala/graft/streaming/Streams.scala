@@ -807,8 +807,33 @@ object Streams {
     * [[graft.ext.Sampling.spearmanFromJoint]] stage, so streamed ≡
     * batch x205 by construction. State is value-pair-support-sized.
     */
-  def foreachBatchSpearman(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s36_${tag(sfDir)}"
+  def foreachBatchSpearman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling.spearmanFromJoint(maintainDocJoint(spark, sfDir, "s36"))
+
+  /** s40: x216's Kendall τ_b over the SAME maintained joint frequency
+    * table as s36 — the readout-sharing face of the IVM contract: one
+    * maintained artifact (the additive (n_chars, n_toks, f) table)
+    * serves BOTH rank statistics, because each is a pure function of
+    * the joint. No new state, no new merge: only
+    * [[graft.ext.Sampling.kendallFromJoint]]'s constant-size dominance
+    * grid runs over the maintained table, so streamed ≡ batch x216 by
+    * construction and the marginal cost of the second statistic is
+    * the O(B²) readout.
+    */
+  def foreachBatchKendall(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling.kendallFromJoint(maintainDocJoint(spark, sfDir, "s40"))
+
+  /** The s36/s40 shared maintenance loop: stream the split documents
+    * lake, aggregate each microbatch to its joint (n_chars, n_toks)
+    * delta, and full-outer-merge into the running value-pair frequency
+    * table (additive — the one sufficient statistic both rank
+    * statistics re-derive from). Run-from-scratch per invocation (the
+    * rmDir wipes prior generations — the explicit contract; resuming
+    * across JVMs would re-read generation files from disk instead).
+    */
+  private def maintainDocJoint(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val base = s"/tmp/graft-stream/${name}_${tag(sfDir)}"
     rmDir(spark, base)
     Lake.materialize(spark, sfDir, "docs_split_lentext_v1") {
       Lake.table(spark, sfDir, "documents")
@@ -848,9 +873,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.ext.Sampling.spearmanFromJoint(
-      spark.read.parquet(latest.getOrElse(
-        sys.error("s36: stream produced no batches"))))
+    spark.read.parquet(latest.getOrElse(
+      sys.error(s"$name: stream produced no batches")))
   }
 
   /** s37: c84's Kaplan–Meier curve with the SUBJECT TABLE maintained
@@ -2128,6 +2152,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchMahalanobis(spark, sfDir)),
     "s39_stream_conformal_maintain" ->
       ((spark, sfDir) => foreachBatchConformal(spark, sfDir)),
+    "s40_stream_kendall_maintain" ->
+      ((spark, sfDir) => foreachBatchKendall(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2201,6 +2227,10 @@ object Streams {
     // joint frequency table ≡ batch x205
     "s36_stream_spearman_maintain" ->
       graft.ext.Sampling.oracles("x205_spearman"),
+    // the readout-sharing face of the same contract: tau_b read from
+    // the SAME maintained joint ≡ batch x216
+    "s40_stream_kendall_maintain" ->
+      graft.ext.Sampling.oracles("x216_kendall_tau_b"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

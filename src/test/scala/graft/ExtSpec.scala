@@ -4764,6 +4764,83 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rho - (-1.0)) < 1e-12, s"inversion must read -1: $rho")
   }
 
+  test("x216 kendall tau_b: planted joints read +1/-1/0 exactly, pair classes partition n0, corpus agrees with spearman's sign") {
+    import spark.implicits._
+    def kb(rows: Seq[(Long, Long, Long)]) =
+      graft.ext.Sampling.kendallFromJoint(
+        rows.toDF("n_chars", "n_toks", "f")).collect()(0)
+    // perfect concordance, with multiplicities exercising the
+    // f-weighted cell algebra: C = 2*3 = 6, ties 4+4, n0 = 10
+    val conc = kb(Seq((1L, 1L, 2L), (2L, 2L, 3L)))
+    assert(conc.getLong(0) == 5 && conc.getLong(1) == 6 &&
+      conc.getLong(2) == 0 && conc.getLong(3) == 4 && conc.getLong(4) == 4,
+      s"concordant joint miscounted: $conc")
+    assert(conc.getDouble(5) == 1.0, s"tau_b must read +1: $conc")
+    // perfect inversion
+    val inv = kb(Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 1L, 1L)))
+    assert(inv.getDouble(5) == -1.0 && inv.getLong(1) == 0 &&
+      inv.getLong(2) == 3, s"inversion must read -1: $inv")
+    // balanced 2x2 square: C = D = 1, Tx = Ty = 2 -> tau_b = 0
+    val sq = kb(Seq((1L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 1L), (2L, 2L, 1L)))
+    assert(sq.getDouble(5) == 0.0 && sq.getLong(1) == 1 && sq.getLong(2) == 1,
+      s"tied square must read 0: $sq")
+    // degenerate single-bin x axis: denominator collapses -> NULL
+    val degen = kb(Seq((1L, 1L, 2L), (1L, 2L, 3L)))
+    assert(degen.isNullAt(5), s"single-bin axis must read NULL: $degen")
+    // real corpus: pair classes partition n0 (C + D + Tx + Ty - Txy,
+    // with Txy recomputed from the binned cells), sign agrees with rho
+    val r = graft.ext.Sampling.queries("x216_kendall_tau_b")(spark, SfDir)
+      .collect()(0)
+    val (n, c, d, tx, ty) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    val joint = graft.ext.Sampling.spearmanJointOf(
+      Lake.table(spark, SfDir, "documents"))
+    val mx = joint.agg(max(col("n_chars")), max(col("n_toks"))).collect()(0)
+    val txy = joint
+      .select(expr(s"(n_chars * ${graft.ext.Sampling.KendallBins}) DIV ${mx.getLong(0) + 1}").as("bx"),
+        expr(s"(n_toks * ${graft.ext.Sampling.KendallBins}) DIV ${mx.getLong(1) + 1}").as("by"),
+        col("f"))
+      .groupBy(col("bx"), col("by")).agg(sum(col("f")).as("f"))
+      .agg(sum(expr("(f * (f - 1)) DIV 2"))).collect()(0).getLong(0)
+    assert(n * (n - 1) / 2 == c + d + tx + ty - txy,
+      s"pair classes must partition n0: n=$n c=$c d=$d tx=$tx ty=$ty txy=$txy")
+    assert(r.getDouble(5) > 0.5,
+      s"chars and tokens must rank-concordantly on the corpus: $r")
+  }
+
+  test("c98 c-index: hand-computed pair classes on planted subjects, corpus readout sane") {
+    import spark.implicits._
+    def ci(rows: Seq[(Long, Boolean, Long)]) =
+      graft.queries.Surface.cIndexFromSubjects(
+        rows.toDF("t_day", "died", "s")).collect()(0)
+    // comparable pairs: (A,B)+(A,C)+(B,C) concordant, (A,D) score-tied,
+    // (B,D) same-time -> NOT comparable: c = (3 + 0.5)/4
+    val base = Seq((1L, true, 5L), (2L, true, 3L), (3L, false, 1L),
+      (2L, false, 5L))
+    val r1 = ci(base)
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 3 &&
+      r1.getLong(2) == 0 && r1.getLong(3) == 1, s"pair classes: $r1")
+    assert(r1.getDouble(4) == 0.875, s"c-index must read 0.875: $r1")
+    // a bad early converter with the LOWEST score flips 4 pairs to
+    // discordant: c = (3 + 0.5)/8
+    val r2 = ci(base :+ ((0L, true, 0L)))
+    assert(r2.getLong(1) == 3 && r2.getLong(2) == 4 && r2.getLong(3) == 1,
+      s"pair classes with planted discordance: $r2")
+    assert(r2.getDouble(4) == 0.4375, s"c-index must read 0.4375: $r2")
+    // censored-only corpus: no comparable pairs -> NULL, never a crash
+    val r3 = ci(Seq((1L, false, 2L), (2L, false, 3L)))
+    assert(r3.isNullAt(4) && r3.getLong(0) == 2, s"all-censored: $r3")
+    // real corpus: every user is a subject, the index is a probability
+    val r = graft.queries.Surface.queries("c98_c_index")(spark, SfDir)
+      .collect()(0)
+    val users = Lake.table(spark, SfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.getLong(0) == users,
+      s"every user must be a subject: ${r.getLong(0)} vs $users")
+    assert(!r.isNullAt(4) && r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0,
+      s"c-index out of range: $r")
+  }
+
   test("c96 interrupted time series: two segments, contrast consistent with its own fits") {
     val rows = graft.queries.Surface.queries("c96_interrupted_ts")(spark, SfDir)
       .collect()

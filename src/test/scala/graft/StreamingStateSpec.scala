@@ -255,6 +255,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed histogram diverges from batch x70:\n$streamed\nvs\n$batch")
   }
 
+  test("streaming kendall maintenance converges to batch x216 exactly over a real multi-batch run (s40)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))
+    val streamed = graft.streaming.Streams.foreachBatchKendall(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s40_$tag")
+      .listFiles().count(_.getName.startsWith("joint_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x216_kendall_tau_b")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed tau_b diverges from batch x216:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
