@@ -418,6 +418,151 @@ object Sampling {
               (dd("n0") - dd("tie_y_pairs"))), 6)).as("tau_b"))
   }
 
+  /** x217's Kruskal–Wallis H over a (grp, v, f) grouped value-
+    * frequency table: the k-group generalization of x146's two-sample
+    * rank test (MW asks "did THIS source shift vs THAT"; KW asks "do
+    * the k sources share one location at all" — the screen you run
+    * BEFORE k·(k−1)/2 pairwise MW tests). Global tie-averaged ranks
+    * come off the value histogram exactly as x205's doubled ranks
+    * (2·cum_before + f + 1 per DISTINCT value — no row-grain sort),
+    * each group's rank sum is one BIGINT Σ f·r2 (exact to n ≈ 2·10⁹;
+    * the square that would overflow is taken in DOUBLE per group),
+    * and H = 3/(n(n+1))·Σ_g r2sum_g²/n_g − 3(n+1) in doubled-rank
+    * units, with the tie correction 1 − Σ(f³−f)/(n³−n) accumulated as
+    * DECIMAL(38,0) (x208's HUGEINT discipline — f³ leaves BIGINT near
+    * f ≈ 2·10⁶). Scale shape: ONE fact-table aggregation builds the
+    * cells; every window runs over the value-support / k-row frames.
+    * Returns one row per group (n, rank mean) with the shared H,
+    * tie-corrected H, and group count; a single-group or single-value
+    * frame reads NULL H, never a crash.
+    */
+  def kruskalWallisFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.orderBy(col("v"))
+    val ranks = cells.groupBy(col("v")).agg(sum(col("f")).as("fm"))
+      .withColumn("cb", coalesce(sum(col("fm")).over(
+        byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), col("fm"),
+        (lit(2L) * col("cb") + col("fm") + lit(1L)).as("r2"))
+    val grps = cells.join(broadcast(ranks.select(col("v"), col("r2"))), "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("f")).as("n_g"), sum(col("f") * col("r2")).as("r2sum"))
+    val ties = broadcast(ranks.agg(
+      coalesce(sum(col("fm").cast("decimal(38,0)") * col("fm") * col("fm") -
+        col("fm")), lit(java.math.BigDecimal.ZERO)).as("tie_mass"),
+      count(lit(1)).as("n_values")))
+    def dd(c: String) = col(c).cast("double")
+    val whole = Window.partitionBy(lit(1))
+    grps.crossJoin(ties)
+      .withColumn("n", sum(col("n_g")).over(whole))
+      .withColumn("k_groups", count(lit(1)).over(whole))
+      .withColumn("h_raw",
+        when(col("n") > 1 && col("k_groups") > 1,
+          sum(dd("r2sum") * dd("r2sum") / dd("n_g")).over(whole) *
+            lit(3.0) / (dd("n") * (dd("n") + 1.0)) -
+            lit(3.0) * (dd("n") + 1.0)))
+      .withColumn("ct", lit(1.0) -
+        col("tie_mass").cast("double") /
+          (dd("n") * dd("n") * dd("n") - dd("n")))
+      .select(col("grp"), col("n_g"),
+        round(dd("r2sum") / (lit(2.0) * dd("n_g")), 4).as("mean_rank"),
+        col("k_groups"),
+        round(col("h_raw"), 6).as("h"),
+        when(col("ct") > 0.0, round(col("h_raw") / col("ct"), 6))
+          .as("h_tie_corrected"))
+      .orderBy(col("grp"))
+  }
+
+  /** x218's Count-Min geometry: d hash rows × w slots, with FROZEN
+    * universal-hash coefficients h_r(k) = ((a_r·(k mod P) + b_r)
+    * mod P) mod w over the Mersenne prime P = 2³¹−1 — plain modular
+    * arithmetic (the x20 discipline), so the sketch is bit-identical
+    * on both engines and, uniquely among the repo's sketches, takes a
+    * FULL cross-engine hash oracle (x68 HLL / x03 minhash hang off
+    * engine-private xxhash64 and cannot). The k mod P pre-reduction
+    * keeps a_r·k < 2⁶³ for any BIGINT key.
+    */
+  val CmsP = 2147483647L
+  val CmsW = 256L
+  val CmsHashes: Seq[(Long, Long)] =
+    Seq((1103515245L, 12345L), (1588635695L, 98765L),
+      (784588716L, 55555L), (999999937L, 7777L))
+
+  /** x218's Count-Min readout over a (k: long ≥ 0, c: long) exact
+    * key-count table: the d×w counter grid is Σ c per (row, slot) —
+    * a 1,024-row ADDITIVE state (the point of CMS at 100 TB: the
+    * sketch is mergeable partial-agg state of constant size, and
+    * feeding it the pre-aggregated key counts is identical to
+    * feeding the raw stream because the counters are linear).
+    * Estimate = min over rows of the hit counter (Cormode–
+    * Muthukrishnan; overestimate-only, bounded by ε = e/w of the
+    * total mass w.h.p.), read back for the true top-20 keys via one
+    * broadcast join of the constant-size grid, so the report shows
+    * estimate vs truth vs overcount per heavy key.
+    */
+  def cmsHeavyFromCounts(counts: DataFrame): DataFrame = {
+    val slots = CmsHashes.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r.toLong).as("r"),
+        expr(s"(($a * (k % $CmsP) + $b) % $CmsP) % $CmsW").as("slot"))
+    }
+    val hashed = counts.select(col("k"), col("c"),
+      explode(array(slots: _*)).as("h"))
+      .select(col("k"), col("c"), col("h.r").as("r"), col("h.slot").as("slot"))
+    val grid = hashed.groupBy(col("r"), col("slot"))
+      .agg(sum(col("c")).as("counter"))
+    val top = counts.orderBy(desc("c"), col("k")).limit(20)
+    top.select(col("k"), col("c"),
+      explode(array(slots: _*)).as("h"))
+      .select(col("k"), col("c"), col("h.r").as("r"), col("h.slot").as("slot"))
+      .join(broadcast(grid), Seq("r", "slot"))
+      .groupBy(col("k"), col("c"))
+      .agg(min(col("counter")).as("cms_est"))
+      .select(col("k").as("user_id"), col("c").as("true_cnt"),
+        col("cms_est"), (col("cms_est") - col("c")).as("overcount"))
+      .orderBy(desc("true_cnt"), col("user_id"))
+  }
+
+  /** x219's KMV slot count. */
+  val KmvK = 64L
+
+  /** x219's K-minimum-values distinct sketch over a (grp, k: long)
+    * distinct-element frame, beside its own exact control: hash each
+    * element onto [0, P) with the SAME frozen modular arithmetic as
+    * x218 (first (a,b) pair), keep each group's K smallest hashes,
+    * and estimate |distinct| = (K−1)·P / h_(K) (Bar-Yossef et al.'s
+    * unbiased form). Production state is a K-slot min-set per group
+    * (mergeable by min-union — constant size, the 100 TB shape); the
+    * report computes the exact distinct count anyway (that's the
+    * operator's point — grading the sketch), so the window rank over
+    * the distinct-element frame costs the same class of work as the
+    * control it grades. Groups with < K elements fall back to the
+    * exact count (est = n, the sketch is lossless there).
+    */
+  def kmvDistinctFromElements(elems: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (a, b) = CmsHashes.head
+    val hashed = elems.distinct()
+      .select(col("grp"),
+        expr(s"($a * (k % $CmsP) + $b) % $CmsP").as("h"))
+    val byH = Window.partitionBy(col("grp")).orderBy(col("h"))
+    val mins = hashed.withColumn("rk", row_number().over(byH))
+      .filter(col("rk") <= KmvK)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
+    val exact = elems.distinct().groupBy(col("grp"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    def dd(c: String) = col(c).cast("double")
+    mins.join(exact, "grp")
+      .select(col("grp"), col("exact_distinct"),
+        when(col("n_seen") < KmvK, col("exact_distinct"))
+          .otherwise(round((lit(KmvK) - 1.0) * lit(CmsP.toDouble) /
+            dd("h_k"), 0).cast("long")).as("kmv_est"))
+      .withColumn("rel_err",
+        round(abs(col("kmv_est") - col("exact_distinct")).cast("double") /
+          col("exact_distinct").cast("double"), 4))
+      .orderBy(col("grp"))
+  }
+
   /** x209's user-feature frame (user_id, f = event count, m = spend
     * cents) — both columns merge ADDITIVELY per microbatch, so s38
     * maintains this table incrementally (s19's user-grain merge
@@ -893,6 +1038,41 @@ object Sampling {
     // algebra and the n ≈ 4·10⁹ BIGINT bound.
     "x216_kendall_tau_b" -> ((spark, sfDir) =>
       kendallFromJoint(spearmanJointOf(docs(spark, sfDir)))),
+
+    // KRUSKAL–WALLIS — do the k sources share one doc-length
+    // location at all? The omnibus screen before pairwise rank tests
+    // (x146 is the 2-sample member; running it k²/2 times without
+    // this gate is the multiple-comparison mistake x176/x207
+    // correct). Groups = source, values = n_chars, over the
+    // (source, n_chars) cell table's exact doubled ranks — see
+    // [[kruskalWallisFromCells]].
+    "x217_kruskal_wallis" -> ((spark, sfDir) =>
+      kruskalWallisFromCells(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
+
+    // COUNT-MIN HEAVY KEYS — x101's Misra–Gries answers "which keys
+    // are heavy"; CMS answers "how heavy is ANY key" from 1,024
+    // additive counters (the point-query sketch a 100 TB pipeline
+    // keeps per shard and merges by +). Frozen modular hashes make
+    // it the repo's first FULLY-ORACLED sketch — see
+    // [[cmsHeavyFromCounts]]. Keys = event user_ids.
+    "x218_cms_heavy" -> ((spark, sfDir) =>
+      cmsHeavyFromCounts(
+        Lake.table(spark, sfDir, "events")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c")))),
+
+    // KMV DISTINCT — the mergeable distinct-count sketch beside its
+    // exact control (x68's HLL rollup is engine-hash-bound and
+    // rows-only; KMV on the frozen modular hash is fully oracled):
+    // per event_type, estimate the distinct user count from the 64
+    // smallest hash values and report the relative error against the
+    // exact count — see [[kmvDistinctFromElements]].
+    "x219_kmv_distinct" -> ((spark, sfDir) =>
+      kmvDistinctFromElements(
+        Lake.table(spark, sfDir, "events")
+          .select(col("event_type").as("grp"), col("user_id").as("k")))),
 
     // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
     // map beside x149's diagnosis (ECE says the score is miscalibrated;
@@ -2173,6 +2353,63 @@ object Sampling {
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
         "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
         "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho FROM s"),
+    // same frozen (a_r, b_r) modular hash grid, same additive
+    // counters, same min-over-rows point estimate for the true top-20
+    "x218_cms_heavy" -> {
+      val rows = CmsHashes.zipWithIndex.map { case ((a, b), r) =>
+        s"SELECT k, c, $r AS r, (($a * (k % $CmsP) + $b) % $CmsP) % $CmsW AS slot FROM counts"
+      }.mkString(" UNION ALL ")
+      "WITH counts AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM events GROUP BY 1), " +
+        s"hashed AS ($rows), " +
+        "grid AS (SELECT r, slot, CAST(SUM(c) AS BIGINT) AS counter FROM hashed GROUP BY 1, 2), " +
+        "top AS (SELECT k, c FROM counts ORDER BY c DESC, k LIMIT 20), " +
+        "th AS (SELECT h.k, h.c, h.r, h.slot FROM hashed h JOIN top USING (k, c)), " +
+        "est AS (SELECT th.k, th.c, CAST(MIN(counter) AS BIGINT) AS cms_est " +
+        "FROM th JOIN grid USING (r, slot) GROUP BY 1, 2) " +
+        "SELECT k AS user_id, c AS true_cnt, cms_est, cms_est - c AS overcount " +
+        "FROM est ORDER BY true_cnt DESC, user_id"
+    },
+    // same frozen first-pair hash, same K smallest per group, same
+    // (K-1)*P/h_K estimator with the exact-count fallback
+    "x219_kmv_distinct" -> {
+      val (a, b) = CmsHashes.head
+      "WITH el AS (SELECT DISTINCT event_type AS grp, user_id AS k FROM events), " +
+        s"hashed AS (SELECT grp, ($a * (k % $CmsP) + $b) % $CmsP AS h FROM el), " +
+        "rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hashed), " +
+        s"mins AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS h_k " +
+        s"FROM rk WHERE rk <= $KmvK GROUP BY 1), " +
+        "exact AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM el GROUP BY 1), " +
+        s"est AS (SELECT grp, exact_distinct, CASE WHEN n_seen < $KmvK THEN exact_distinct " +
+        s"ELSE CAST(ROUND(($KmvK - 1.0) * ${CmsP.toDouble} / CAST(h_k AS DOUBLE), 0) AS BIGINT) END AS kmv_est " +
+        "FROM mins JOIN exact USING (grp)) " +
+        "SELECT grp, exact_distinct, kmv_est, " +
+        "ROUND(CAST(ABS(kmv_est - exact_distinct) AS DOUBLE) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err " +
+        "FROM est ORDER BY grp"
+    },
+    // same doubled-rank histogram, same per-group BIGINT rank sums,
+    // same double H expression and HUGEINT tie mass
+    "x217_kruskal_wallis" ->
+      ("WITH cells AS (SELECT source AS grp, n_chars AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1, 2), " +
+        "hist AS (SELECT v, CAST(SUM(f) AS BIGINT) AS fm FROM cells GROUP BY 1), " +
+        "ranks AS (SELECT v, fm, 2 * COALESCE(CAST(SUM(fm) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) + fm + 1 AS r2 FROM hist), " +
+        "grps AS (SELECT grp, CAST(SUM(f) AS BIGINT) AS n_g, " +
+        "CAST(SUM(f * r2) AS BIGINT) AS r2sum FROM cells JOIN ranks USING (v) GROUP BY 1), " +
+        "ties AS (SELECT COALESCE(CAST(SUM(CAST(fm AS HUGEINT) * fm * fm - fm) AS HUGEINT), 0) AS tie_mass FROM hist), " +
+        "tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, " +
+        "CAST(COUNT(*) AS BIGINT) AS k_groups, " +
+        "SUM(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE)) AS ssq FROM grps), " +
+        "h AS (SELECT n, k_groups, CASE WHEN n > 1 AND k_groups > 1 THEN " +
+        "ssq * 3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) - " +
+        "3.0 * (CAST(n AS DOUBLE) + 1.0) END AS h_raw, " +
+        "1.0 - CAST(tie_mass AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS ct FROM tot, ties) " +
+        "SELECT grp, n_g, ROUND(CAST(r2sum AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)), 4) AS mean_rank, " +
+        "k_groups, ROUND(h_raw, 6) AS h, " +
+        "CASE WHEN ct > 0.0 THEN ROUND(h_raw / ct, 6) END AS h_tie_corrected " +
+        "FROM grps, h ORDER BY grp"),
     // same 64-bin grid, same two 2-D prefix windows over the dense
     // grid, same exact pair algebra and one double division + sqrt
     "x216_kendall_tau_b" ->

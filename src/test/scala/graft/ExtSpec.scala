@@ -4808,6 +4808,96 @@ class ExtSpec extends SparkSpec {
       s"chars and tokens must rank-concordantly on the corpus: $r")
   }
 
+  test("x217 kruskal-wallis: textbook two-group H, tie correction, degenerate NULL") {
+    import spark.implicits._
+    def kw(rows: Seq[(String, Long, Long)]) =
+      graft.ext.Sampling.kruskalWallisFromCells(
+        rows.toDF("grp", "v", "f")).collect()
+    // A = {1,2}, B = {3,4}: R_A = 3, R_B = 7, H = 2.4 (no ties)
+    val r1 = kw(Seq(("A", 1L, 1L), ("A", 2L, 1L), ("B", 3L, 1L), ("B", 4L, 1L)))
+    assert(r1.map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(r1.forall(_.getDouble(4) == 2.4), s"untied H must read 2.4: ${r1.toSeq}")
+    assert(r1.forall(r => r.getDouble(5) == 2.4),
+      s"no ties -> corrected H equals H: ${r1.toSeq}")
+    assert(r1.head.getDouble(2) == 1.5 && r1.last.getDouble(2) == 3.5,
+      s"mean ranks: ${r1.toSeq}")
+    // A = {1,1}, B = {2,2}: same H, tie mass 12/60 -> H_c = 2.4/0.8 = 3
+    val r2 = kw(Seq(("A", 1L, 2L), ("B", 2L, 2L)))
+    assert(r2.forall(_.getDouble(4) == 2.4) && r2.forall(_.getDouble(5) == 3.0),
+      s"tie-corrected H must read 3.0: ${r2.toSeq}")
+    // single group: H undefined, never a crash
+    val r3 = kw(Seq(("A", 1L, 2L), ("A", 2L, 3L)))
+    assert(r3.length == 1 && r3.head.isNullAt(4), s"single group: ${r3.toSeq}")
+    // corpus: one row per source, H >= 0
+    val rows = graft.ext.Sampling.queries("x217_kruskal_wallis")(spark, SfDir)
+      .collect()
+    val nSrc = Lake.table(spark, SfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSrc && rows.forall(_.getDouble(4) >= 0.0),
+      s"corpus KW: ${rows.take(3).toSeq}")
+  }
+
+  test("x218 count-min: sketch matches an in-process simulation exactly, overestimate-only") {
+    import spark.implicits._
+    val counts = Seq((3L, 10L), (17L, 7L), (99L, 7L), (1234567L, 3L),
+      (2L, 1L), (40L, 1L), (41L, 1L), (42L, 1L))
+    val got = graft.ext.Sampling.cmsHeavyFromCounts(counts.toDF("k", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in-process reference: same frozen hashes, same additive counters
+    val p = graft.ext.Sampling.CmsP
+    val w = graft.ext.Sampling.CmsW
+    def slots(k: Long) = graft.ext.Sampling.CmsHashes.map { case (a, b) =>
+      ((a * (k % p) + b) % p) % w
+    }
+    val grid = scala.collection.mutable.Map[(Int, Long), Long]()
+    counts.foreach { case (k, c) =>
+      slots(k).zipWithIndex.foreach { case (s, r) =>
+        grid((r, s)) = grid.getOrElse((r, s), 0L) + c
+      }
+    }
+    val expected = counts.sortBy { case (k, c) => (-c, k) }.map { case (k, c) =>
+      (k, c, slots(k).zipWithIndex.map { case (s, r) => grid((r, s)) }.min)
+    }
+    assert(got.toSeq == expected, s"\n$got\nvs\n$expected")
+    assert(got.forall { case (_, c, est) => est >= c },
+      "CMS must never underestimate")
+    // corpus: top-20 heavy users, overcount >= 0 on every row
+    val corpus = graft.ext.Sampling.queries("x218_cms_heavy")(spark, SfDir)
+      .collect()
+    val nUsers = Lake.table(spark, SfDir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(corpus.length == math.min(20L, nUsers) &&
+      corpus.forall(_.getLong(3) >= 0L),
+      s"corpus CMS: ${corpus.take(3).toSeq}")
+  }
+
+  test("x219 kmv: small groups are lossless, big groups match the closed-form estimator exactly") {
+    import spark.implicits._
+    val small = (1L to 3L).map(("tiny", _))
+    val big = (1L to 1000L).map(("big", _))
+    val got = graft.ext.Sampling.kmvDistinctFromElements(
+      (small ++ big).toDF("grp", "k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("tiny") == ((3L, 3L)), s"sub-K group must be exact: $got")
+    // closed-form reference for the big group
+    val p = graft.ext.Sampling.CmsP
+    val (a, b) = graft.ext.Sampling.CmsHashes.head
+    val hk = (1L to 1000L).map(k => (a * (k % p) + b) % p).sorted
+      .apply(graft.ext.Sampling.KmvK.toInt - 1)
+    val expected = math.round((graft.ext.Sampling.KmvK - 1.0) * p.toDouble / hk)
+    assert(got("big") == ((1000L, expected)),
+      s"estimator must match closed form: $got vs $expected")
+    assert(math.abs(expected - 1000.0) / 1000.0 < 0.5,
+      s"estimate implausibly far on uniform keys: $expected")
+    // corpus: one row per event_type, error bounded
+    val corpus = graft.ext.Sampling.queries("x219_kmv_distinct")(spark, SfDir)
+      .collect()
+    val nTypes = Lake.table(spark, SfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(corpus.length == nTypes && corpus.forall(_.getDouble(3) < 0.6),
+      s"corpus KMV: ${corpus.toSeq}")
+  }
+
   test("c98 c-index: hand-computed pair classes on planted subjects, corpus readout sane") {
     import spark.implicits._
     def ci(rows: Seq[(Long, Boolean, Long)]) =
