@@ -723,7 +723,64 @@ object Graph {
     voteRound(adj, seeds.unionByName(parts1))
   }
 
+  /** x220's truncated Katz centrality over a directed (src, dst) arc
+    * frame: katz(v) = Σ_{l=1..3} β^l · walks_l(v) with β = 1/2 and
+    * walks_l(v) the EXACT number of length-l walks ending at v —
+    * x69's vector-iteration shape (each hop is one arc⋈vector
+    * equi-join + a partial-agg'able BIGINT sum, NEVER a path
+    * materialization), but counting walk mass from a uniform source
+    * instead of conserving probability mass: Katz rewards being
+    * reachable by MANY short walks, PageRank splits each node's vote.
+    * β^l = 2^{-l} keeps everything integer: the readout numerator is
+    * 4·w₁ + 2·w₂ + w₃ over the fixed denominator 8, so the whole
+    * statistic is BIGINT until one exact /8.0 at 4 dp — full hash
+    * oracle. Truncation at 3 hops is the operator's definition here
+    * (β·λ_max < 1 convergence is a property of the INFINITE series;
+    * bounded-hop Katz is the standard batch form and keeps the job
+    * graph static — x69's iteration discipline).
+    */
+  def katzTruncatedFp(arcs: DataFrame): DataFrame = {
+    val nodes = arcs.select(col("src").as("node")).distinct()
+    def hop(v: DataFrame): DataFrame = arcs
+      .join(v.withColumnRenamed("node", "src"), "src")
+      .groupBy(col("dst")).agg(sum(col("x")).as("x"))
+      .withColumnRenamed("dst", "node")
+    val w1 = hop(nodes.withColumn("x", lit(1L)))
+    val w2 = hop(w1)
+    val w3 = hop(w2)
+    def named(df: DataFrame, c: String) =
+      df.select(col("node"), col("x").as(c))
+    nodes
+      .join(named(w1, "w1"), Seq("node"), "left")
+      .join(named(w2, "w2"), Seq("node"), "left")
+      .join(named(w3, "w3"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("w1"), lit(0L)).as("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+      .withColumn("katz_fp",
+        lit(4L) * col("w1") + lit(2L) * col("w2") + col("w3"))
+      .select(col("node"), col("w1"), col("w2"), col("w3"),
+        round(col("katz_fp").cast("double") / lit(8.0), 4).as("katz"))
+      .orderBy(desc("katz"), col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    // TRUNCATED KATZ CENTRALITY — the walk-count complement of x69's
+    // PageRank over the same co-purchase graph (PageRank conserves a
+    // probability mass, so a hub's vote splits; Katz counts
+    // attenuated WALKS, so being in many short loops compounds — the
+    // reachability-centrality a recommender uses to rank catalog
+    // anchors). Exact integer walk counts per hop ⇒ full hash
+    // oracle; see [[katzTruncatedFp]].
+    "x220_katz_centrality" -> ((spark, sfDir) => {
+      val e = coPurchaseEdges(spark, sfDir)
+      katzTruncatedFp(
+        e.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+    }),
+
     // TRIANGLE COUNTING — local clustering density over the part
     // co-purchase graph (edge = two parts sharing an order; basket
     // size is bounded, so the pair expansion is a constant factor on
@@ -1098,6 +1155,28 @@ object Graph {
         "ORDER BY lift DESC, r.a, r.b LIMIT 20"),
     // same degree-ordered orientation and three-join closure; COUNTs
     // cast back to BIGINT against DuckDB's HUGEINT widening
+    // same symmetric arc frame, same three vector hops with exact
+    // BIGINT walk counts, same 4/2/1-over-8 fixed-point readout
+    "x220_katz_centrality" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "arcs AS (SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e), " +
+        "nodes AS (SELECT DISTINCT s AS node FROM arcs), " +
+        "w1 AS (SELECT t AS node, CAST(COUNT(*) AS BIGINT) AS x FROM arcs GROUP BY 1), " +
+        "w2 AS (SELECT a.t AS node, CAST(SUM(w1.x) AS BIGINT) AS x " +
+        "FROM arcs a JOIN w1 ON a.s = w1.node GROUP BY 1), " +
+        "w3 AS (SELECT a.t AS node, CAST(SUM(w2.x) AS BIGINT) AS x " +
+        "FROM arcs a JOIN w2 ON a.s = w2.node GROUP BY 1), " +
+        "k AS (SELECT nodes.node, COALESCE(w1.x, 0) AS w1, " +
+        "COALESCE(w2.x, 0) AS w2, COALESCE(w3.x, 0) AS w3 " +
+        "FROM nodes LEFT JOIN w1 ON nodes.node = w1.node " +
+        "LEFT JOIN w2 ON nodes.node = w2.node " +
+        "LEFT JOIN w3 ON nodes.node = w3.node) " +
+        "SELECT node, w1, w2, w3, " +
+        "ROUND(CAST(4 * w1 + 2 * w2 + w3 AS DOUBLE) / 8.0, 4) AS katz " +
+        "FROM k ORDER BY katz DESC, node LIMIT 20"),
     "x81_triangle_count" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +

@@ -763,6 +763,13 @@ object TextAnalysis {
     * the Column plan and the oracle SQL, so the geometric weighting
     * is literal-identical on both engines.
     */
+  /** x222's frozen ln 2 on the 10⁶ term grid — the q-side term of
+    * every vocabulary word a source never uses (q/m = 2 exactly
+    * there), so the absent mass collapses to this constant times the
+    * absent count. Interpolated verbatim into both engines.
+    */
+  private[graft] val Ln2Fp: Long = math.round(math.log(2.0) * 1e6)
+
   private val RboP = 0.9
   private[graft] lazy val rboWeightCaseSql: String =
     "CASE d " + (1 to 20).map(d =>
@@ -881,6 +888,123 @@ object TextAnalysis {
           when(col("n_types") > col("my"), 1L).otherwise(0L)).as("k")))
     }),
 
+
+    // FLESCH–KINCAID READABILITY — the per-source reading-grade
+    // number beside x10's raw stats and x135's Gopher gates (quality
+    // rules threshold counts; readability converts the same counts
+    // into the grade-level a dataset card quotes): syllables are
+    // vowel-group runs per token (≥1 — the standard heuristic; the
+    // corpus is punctuation-free so sentences are the fixed 15-token
+    // chunking ⌈words/15⌉, stated as the operator's convention).
+    // Per-doc counts are exact integers from one codegen'd
+    // higher-order-function pass (no explode — the per-token loop
+    // stays inside the row), per-source sums are three BIGINTs, and
+    // grade = 0.39·W/S + 11.8·Y/W − 15.59 plus reading ease are fixed
+    // double expressions over them at 4 dp. One doc pass, |sources|
+    // rows out.
+    "x221_readability" -> ((spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("source"),
+          size(tokens).cast("long").as("w"),
+          expr("aggregate(transform(split(text, ' '), t -> " +
+            "greatest(1, size(filter(split(t, '[^aeiou]+'), " +
+            "s -> s != '')))), 0L, (acc, v) -> acc + v)").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(expr("(w + 14) DIV 15")).as("n_sentences"),
+          sum(col("y")).as("n_syllables"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          round(lit(0.39) * col("n_words").cast("double") /
+            col("n_sentences").cast("double") +
+            lit(11.8) * col("n_syllables").cast("double") /
+              col("n_words").cast("double") - lit(15.59), 4)
+            .as("fk_grade"),
+          round(lit(206.835) - lit(1.015) * col("n_words").cast("double") /
+            col("n_sentences").cast("double") -
+            lit(84.6) * col("n_syllables").cast("double") /
+              col("n_words").cast("double"), 4).as("reading_ease"))
+        .orderBy(col("source"))),
+
+    // JENSEN–SHANNON SOURCE DIVERGENCE — how far each source's TOKEN
+    // distribution sits from the corpus blend (x158 reads doc-count
+    // imbalance; this reads lexical domain shift — the number a
+    // mixture-reweighting job ranks sources by, symmetric and
+    // bounded [0, ln 2] unlike KL, and finite even where a source
+    // misses vocabulary): JSD(p‖q) = ½Σp·ln(p/m) + ½Σq·ln(q/m) with
+    // m the even blend. Every log ratio is ln of one exact count
+    // rational (p/m = 2·c_s·n/(c_s·n + c·n_s), q/m with the same
+    // denominator) floored onto the 10⁶ grid per PRESENT (source,
+    // word) row, and both sums are exact BIGINT Σ count·term_fp with
+    // one division at readout (x158's order-free discipline;
+    // Σ|c·term| < 2⁶³ to ~10¹² tokens). The q-side mass of words a
+    // source NEVER uses needs no dense vocab×sources frame: absent
+    // words all carry q/m = 2 exactly, so their term is the one
+    // frozen constant [[Ln2Fp]] times the absent count n − Σ_present
+    // c — algebraically identical to the dense sum, without the
+    // cross join. Scale: one token explode feeds both count tables;
+    // everything after is support-sized.
+    "x222_js_divergence" -> ((spark, sfDir) => {
+      val sw = docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_s"))
+      val cw = sw.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
+      val ns = sw.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val n = broadcast(cw.agg(sum(col("c")).as("n")))
+      def dd(c: Column) = c.cast("double")
+      sw.join(cw, "w").join(broadcast(ns), "source").crossJoin(n)
+        .withColumn("den",
+          dd(col("c_s")) * dd(col("n")) + dd(col("c")) * dd(col("n_s")))
+        .withColumn("p_term_fp",
+          round(log(lit(2.0) * dd(col("c_s")) * dd(col("n")) / col("den")) *
+            lit(1000000.0), 0).cast("long"))
+        .withColumn("q_term_fp",
+          round(log(lit(2.0) * dd(col("c")) * dd(col("n_s")) / col("den")) *
+            lit(1000000.0), 0).cast("long"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("c_s") * col("p_term_fp")).as("p_num"),
+          sum(col("c") * col("q_term_fp")).as("q_present_num"),
+          sum(col("c")).as("c_present"),
+          max(col("n")).as("n"))
+        .select(col("source"), col("n_tokens"),
+          round((dd(col("p_num")) / dd(col("n_tokens")) +
+            (dd(col("q_present_num")) + lit(Ln2Fp.toDouble) *
+              (dd(col("n")) - dd(col("c_present")))) / dd(col("n"))) /
+            lit(2000000.0), 4).as("jsd"))
+        .orderBy(col("source"))
+    }),
+
+    // MINIMAL-SPAN PROXIMITY SEARCH — positional retrieval beside
+    // x111's exact phrase match and x119's BM25 (phrase requires
+    // adjacency, BM25 ignores positions entirely; proximity ranks
+    // docs by how CLOSE the query terms co-occur — the classic
+    // two-term span scorer): for the frozen query {key, stream}, the
+    // minimal |pos₁ − pos₂| over all occurrence pairs is achieved at
+    // CONSECUTIVE cross-term positions in the merged position list,
+    // so one lag window per doc over the two terms' positions finds
+    // it in O(tf) — the quadratic alignment join is never built.
+    // Docs carrying both terms rank by (span asc, doc_id); exact
+    // integers end-to-end.
+    "x223_min_span_proximity" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      docs(spark, sfDir)
+        .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "tok")))
+        .filter(col("tok") === "key" || col("tok") === "stream")
+        .withColumn("prev_tok", lag(col("tok"), 1).over(byPos))
+        .withColumn("prev_pos", lag(col("pos"), 1).over(byPos))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("tok") === "key", 1L).otherwise(0L)).as("tf_key"),
+          sum(when(col("tok") === "stream", 1L).otherwise(0L))
+            .as("tf_stream"),
+          min(when(col("tok") =!= col("prev_tok"),
+            (col("pos") - col("prev_pos")).cast("long") + 1L))
+            .as("min_span"))
+        .filter(col("min_span").isNotNull)
+        .orderBy(col("min_span"), col("doc_id"))
+        .limit(20)
+    }),
 
     // GINI LENGTH CONCENTRATION — the inequality read of each
     // source's doc-length distribution (x61 buckets lengths, x136
@@ -2511,6 +2635,64 @@ object TextAnalysis {
       "CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00 FROM f)"
 
   val oracles: Map[String, String] = Map(
+    // same vowel-group syllable heuristic, same 15-token sentence
+    // convention, same per-source BIGINT sums and double formulas
+    "x221_readability" ->
+      ("WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+        "per AS (SELECT source, CAST(len(w) AS BIGINT) AS words, " +
+        "CAST(list_sum(list_transform(w, t -> GREATEST(1, " +
+        "len(list_filter(string_split_regex(t, '[^aeiou]+'), s -> s <> ''))))) AS BIGINT) AS syls " +
+        "FROM d), " +
+        "agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(words) AS BIGINT) AS n_words, " +
+        "CAST(SUM((words + 14) // 15) AS BIGINT) AS n_sentences, " +
+        "CAST(SUM(syls) AS BIGINT) AS n_syllables FROM per GROUP BY 1) " +
+        "SELECT source, n_docs, n_words, n_sentences, n_syllables, " +
+        "ROUND(0.39 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) + " +
+        "11.8 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) - 15.59, 4) AS fk_grade, " +
+        "ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) - " +
+        "84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS reading_ease " +
+        "FROM agg ORDER BY source"),
+    // same present-pair 10^6 log-ratio grid, same frozen ln2 absent
+    // mass, same integer sums with one readout division
+    "x222_js_divergence" ->
+      ("WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_s FROM tok GROUP BY 1, 2), " +
+        "cw AS (SELECT w, CAST(SUM(c_s) AS BIGINT) AS c FROM sw GROUP BY 1), " +
+        "ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM sw GROUP BY 1), " +
+        "nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw), " +
+        "terms AS (SELECT source, c_s, c, n_s, n, " +
+        "CAST(c_s AS DOUBLE) * CAST(n AS DOUBLE) + CAST(c AS DOUBLE) * CAST(n_s AS DOUBLE) AS den " +
+        "FROM sw JOIN cw USING (w) JOIN ns USING (source), nn), " +
+        "fp AS (SELECT source, c_s, c, n_s, n, " +
+        "CAST(ROUND(LN(2.0 * CAST(c_s AS DOUBLE) * CAST(n AS DOUBLE) / den) * 1000000.0, 0) AS BIGINT) AS p_term_fp, " +
+        "CAST(ROUND(LN(2.0 * CAST(c AS DOUBLE) * CAST(n_s AS DOUBLE) / den) * 1000000.0, 0) AS BIGINT) AS q_term_fp " +
+        "FROM terms), " +
+        "agg AS (SELECT source, MAX(n_s) AS n_tokens, " +
+        "CAST(SUM(c_s * p_term_fp) AS BIGINT) AS p_num, " +
+        "CAST(SUM(c * q_term_fp) AS BIGINT) AS q_present_num, " +
+        "CAST(SUM(c) AS BIGINT) AS c_present, MAX(n) AS n FROM fp GROUP BY 1) " +
+        "SELECT source, n_tokens, " +
+        "ROUND((CAST(p_num AS DOUBLE) / CAST(n_tokens AS DOUBLE) + " +
+        s"(CAST(q_present_num AS DOUBLE) + $Ln2Fp.0 * " +
+        "(CAST(n AS DOUBLE) - CAST(c_present AS DOUBLE))) / CAST(n AS DOUBLE)) / 2000000.0, 4) AS jsd " +
+        "FROM agg ORDER BY source"),
+    // same two-term position merge: cross-term lag gaps, min per doc
+    "x223_min_span_proximity" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok), " +
+        "pos AS (SELECT doc_id, i AS pos, w[i] AS tok FROM idx " +
+        "WHERE w[i] IN ('key', 'stream')), " +
+        "lg AS (SELECT doc_id, pos, tok, " +
+        "LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_tok, " +
+        "LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos FROM pos), " +
+        "agg AS (SELECT doc_id, " +
+        "CAST(SUM(CASE WHEN tok = 'key' THEN 1 ELSE 0 END) AS BIGINT) AS tf_key, " +
+        "CAST(SUM(CASE WHEN tok = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS tf_stream, " +
+        "CAST(MIN(CASE WHEN tok <> prev_tok THEN pos - prev_pos + 1 END) AS BIGINT) AS min_span " +
+        "FROM lg GROUP BY 1) " +
+        "SELECT doc_id, tf_key, tf_stream, min_span FROM agg " +
+        "WHERE min_span IS NOT NULL ORDER BY min_span, doc_id LIMIT 20"),
     // same three median-split raters, same doubled-coincidence
     // integer collapse, one double division
     "x215_krippendorff_alpha" ->

@@ -4808,6 +4808,113 @@ class ExtSpec extends SparkSpec {
       s"chars and tokens must rank-concordantly on the corpus: $r")
   }
 
+  test("x221 readability: syllable heuristic on planted words, per-source readout consistent") {
+    import spark.implicits._
+    // vowel-group counts: table=2, stream=1, aa=1, b=min 1 -> 5
+    val syl = Seq("table stream aa b").toDF("text")
+      .select(expr("aggregate(transform(split(text, ' '), t -> " +
+        "greatest(1, size(filter(split(t, '[^aeiou]+'), " +
+        "s -> s != '')))), 0L, (acc, v) -> acc + v)"))
+      .collect()(0).getLong(0)
+    assert(syl == 5L, s"planted syllable count: $syl")
+    val rows = graft.ext.TextAnalysis.queries("x221_readability")(spark, SfDir)
+      .collect()
+    val nSrc = Lake.table(spark, SfDir, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSrc)
+    rows.foreach { r =>
+      val (w, s, y) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(y >= w, s"every word has >= 1 syllable: $r")
+      assert(s >= 1 && s <= w, s"sentence chunking out of range: $r")
+      def r4(v: Double) = BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) ==
+        r4(0.39 * w.toDouble / s + 11.8 * y.toDouble / w - 15.59),
+        s"grade inconsistent with its own counts: $r")
+    }
+  }
+
+  test("x222 jsd: matches an in-process reference per source, bounded by ln 2") {
+    val texts = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toSeq)
+    val cs = texts.flatMap { case (s, ws) => ws.map(s -> _) }
+      .groupBy(identity).map { case ((s, w), g) => (s, w) -> g.size.toLong }
+    val cw = cs.groupBy(_._1._2).map { case (w, g) => w -> g.values.sum }
+    val ns = cs.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val n = cw.values.sum
+    val ln2fp = graft.ext.TextAnalysis.Ln2Fp
+    def fp(x: Double) = math.round(math.log(x) * 1e6)
+    val expected = ns.map { case (src, nS) =>
+      val present = cs.filter(_._1._1 == src)
+      val pNum = present.map { case ((_, w), cS) =>
+        val den = cS.toDouble * n + cw(w).toDouble * nS
+        cS * fp(2.0 * cS * n / den)
+      }.sum
+      val qPresentNum = present.map { case ((_, w), cS) =>
+        val den = cS.toDouble * n + cw(w).toDouble * nS
+        cw(w) * fp(2.0 * cw(w) * nS / den)
+      }.sum
+      val cPresent = present.keys.toSeq.map(k => cw(k._2)).sum
+      val jsd = (pNum.toDouble / nS +
+        (qPresentNum.toDouble + ln2fp.toDouble * (n - cPresent)) / n) / 2e6
+      src -> BigDecimal(jsd).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val got = graft.ext.TextAnalysis.queries("x222_js_divergence")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expected, s"\n$got\nvs\n$expected")
+    assert(got.values.forall(v => v >= 0.0 && v <= 0.6932),
+      s"JSD out of [0, ln2]: $got")
+  }
+
+  test("x223 min-span: matches an in-process positional reference exactly") {
+    val texts = Lake.table(spark, SfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val expected = texts.flatMap { case (id, ws) =>
+      val pos = ws.zipWithIndex.filter(p => p._1 == "key" || p._1 == "stream")
+      val gaps = pos.sliding(2).collect {
+        case Seq((t1, p1), (t2, p2)) if t1 != t2 => (p2 - p1 + 1).toLong
+      }.toSeq
+      if (gaps.isEmpty) None
+      else Some((id, pos.count(_._1 == "key").toLong,
+        pos.count(_._1 == "stream").toLong, gaps.min))
+    }.sortBy { case (id, _, _, sp) => (sp, id) }.take(20)
+    val got = graft.ext.TextAnalysis
+      .queries("x223_min_span_proximity")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected.toSeq, s"\n$got\nvs\n$expected")
+    assert(got.nonEmpty, "fixture should contain co-occurring query terms")
+  }
+
+  test("x220 katz: hand-computed walk counts on a path graph, corpus top-20 sane") {
+    import spark.implicits._
+    // path 1-2-3: w1 = in-degree (1,2,1), w2 = (2,2,2), w3 = (2,4,2)
+    val arcs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = graft.ext.Graph.katzTruncatedFp(arcs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((2L, 2L, 2L, 4L, 2.0),
+      (1L, 1L, 2L, 2L, 1.25), (3L, 1L, 2L, 2L, 1.25)),
+      s"path-graph katz: ${got.toSeq}")
+    // corpus: 20 rows, walk counts consistent (w2 > 0 wherever w1 > 0
+    // on a symmetric graph), katz matches its own components
+    val rows = graft.ext.Graph.queries("x220_katz_centrality")(spark, SfDir)
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getDouble(4) ==
+        BigDecimal((4 * r.getLong(1) + 2 * r.getLong(2) + r.getLong(3)) / 8.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"katz readout inconsistent with walk counts: $r")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0,
+        s"top-20 node with zero short walks: $r")
+    }
+  }
+
   test("x217 kruskal-wallis: textbook two-group H, tie correction, degenerate NULL") {
     import spark.implicits._
     def kw(rows: Seq[(String, Long, Long)]) =
