@@ -1210,6 +1210,64 @@ object Similarity {
         checkpoint = r => Lake.materialize(spark, sfDir, "x45_snm_ranked")(r))
         .orderBy(col("vec_a"), col("vec_b"))),
 
+    // LINEAR CKA — does quantization preserve the embedding GEOMETRY?
+    // (x22 shrinks the bytes, x105 grades truncation by per-query
+    // rank agreement; centered-kernel-alignment grades the whole
+    // similarity STRUCTURE in one number — the standard
+    // representation-comparison statistic, here between the fp
+    // embeddings and their coarse-grid twin.) Linear CKA =
+    // ‖Cxy‖²_F / (‖Cxx‖_F·‖Cyy‖_F) over d×d centered cross-
+    // covariances — never the n×n Gram: features grid to exact ints
+    // (x on the 10⁻³ grid, the quantized twin y on 10⁻²), the three
+    // moment matrices come from ONE vec_id-co-partitioned self-join
+    // of the feature table partial-aggregated to d² cells (at 100 TB
+    // a typed per-partition outer-product aggregator produces the
+    // same d² frame in one pass; the join form is the declarative
+    // twin), centering is the exact integer identity n·S − s·sᵀ, and
+    // the three squared Frobenius norms accumulate as DECIMAL(38,0)
+    // (x208's discipline — the squares leave BIGINT). One double
+    // division + sqrt at 6 dp; degenerate constant features read
+    // NULL. CKA = 1 ⇔ the quantized space is a rotation/scale of the
+    // original; the readout quantifies what the 10× coarser grid
+    // costs.
+    "x224_linear_cka" -> ((spark, sfDir) => {
+      val feats = emb(spark, sfDir)
+        .select(col("vec_id"),
+          posexplode(toDouble(col("embedding"))).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"),
+          round(col("v") * 1000, 0).cast("long").as("x"),
+          round(col("v") * 100, 0).cast("long").as("y"))
+      val marg = marginFor(feats)
+      val meta = broadcast(emb(spark, sfDir)
+        .agg(count(lit(1)).as("n"),
+          max(size(col("embedding"))).cast("long").as("dim")))
+      val cross = feats.as("a")
+        .join(feats.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.x") * col("b.x")).as("sxx"),
+          sum(col("a.x") * col("b.y")).as("sxy"),
+          sum(col("a.y") * col("b.y")).as("syy"))
+      def sq(c: Column) = c.cast("decimal(38,0)") * c.cast("decimal(38,0)")
+      val norms = cross
+        .join(broadcast(marg.select(col("i"), col("sx").as("sx_i"),
+          col("sy").as("sy_i"))), "i")
+        .join(broadcast(marg.select(col("i").as("j"), col("sx").as("sx_j"),
+          col("sy").as("sy_j"))), "j")
+        .crossJoin(meta)
+        .select(
+          (col("n") * col("sxx") - col("sx_i") * col("sx_j")).as("cxx"),
+          (col("n") * col("sxy") - col("sx_i") * col("sy_j")).as("cxy"),
+          (col("n") * col("syy") - col("sy_i") * col("sy_j")).as("cyy"))
+        .agg(sum(sq(col("cxx"))).as("nxx"), sum(sq(col("cxy"))).as("nxy"),
+          sum(sq(col("cyy"))).as("nyy"))
+      norms.crossJoin(meta)
+        .select(col("n").as("n_vectors"), col("dim"),
+          when(col("nxx") > 0 && col("nyy") > 0,
+            round(col("nxy").cast("double") /
+              sqrt(col("nxx").cast("double") * col("nyy").cast("double")),
+              6)).as("cka"))
+    }),
+
     // Embedding int8 quantization — the storage-reduction step of an
     // embedding lake (4 bytes/dim fp32 → 1 byte/dim + 2 scale floats).
     // Per-vector min-max scale to [0, 255]; shuffle-free map work.
@@ -1622,7 +1680,42 @@ object Similarity {
     pqTopKFrom(codes, codebooks, queries, m, sd, topK = 10)
   }
 
+  /** x224's per-feature marginal sums (exact BIGINTs) — factored so
+    * the unit test can drive planted feature frames through the same
+    * stage.
+    */
+  private[graft] def marginFor(feats: DataFrame): DataFrame =
+    feats.groupBy(col("i"))
+      .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+
   val oracles: Map[String, String] = Map(
+    // same 10^-3 / 10^-2 feature grids, same vec_id self-join moment
+    // matrices, same integer centering and HUGEINT Frobenius norms
+    "x224_linear_cka" ->
+      ("WITH f AS (SELECT vec_id, i, " +
+        "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS x, " +
+        "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100, 0) AS BIGINT) AS y " +
+        "FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i " +
+        "FROM embeddings)), " +
+        "marg AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx, " +
+        "CAST(SUM(y) AS BIGINT) AS sy FROM f GROUP BY 1), " +
+        "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(MAX(len(embedding)) AS BIGINT) AS dim FROM embeddings), " +
+        "cr AS (SELECT a.i AS i, b.i AS j, " +
+        "CAST(SUM(a.x * b.x) AS BIGINT) AS sxx, " +
+        "CAST(SUM(a.x * b.y) AS BIGINT) AS sxy, " +
+        "CAST(SUM(a.y * b.y) AS BIGINT) AS syy " +
+        "FROM f a JOIN f b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+        "c AS (SELECT CAST(n * sxx - ma.sx * mb.sx AS HUGEINT) AS cxx, " +
+        "CAST(n * sxy - ma.sx * mb.sy AS HUGEINT) AS cxy, " +
+        "CAST(n * syy - ma.sy * mb.sy AS HUGEINT) AS cyy " +
+        "FROM cr JOIN marg ma ON cr.i = ma.i JOIN marg mb ON cr.j = mb.i, meta), " +
+        "s AS (SELECT SUM(cxx * cxx) AS nxx, SUM(cxy * cxy) AS nxy, " +
+        "SUM(cyy * cyy) AS nyy FROM c) " +
+        "SELECT (SELECT n FROM meta) AS n_vectors, (SELECT dim FROM meta) AS dim, " +
+        "CASE WHEN nxx > 0 AND nyy > 0 THEN " +
+        "ROUND(CAST(nxy AS DOUBLE) / SQRT(CAST(nxx AS DOUBLE) * CAST(nyy AS DOUBLE)), 6) END AS cka " +
+        "FROM s"),
     // x112's shared quant grid; the sum-vector identity evaluated as
     // two plain aggregates — the oracle never builds the pair join
     // either, so both engines prove the algebra, not a sample of it

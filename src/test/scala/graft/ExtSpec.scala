@@ -4889,6 +4889,39 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain co-occurring query terms")
   }
 
+  test("x224 linear cka: matches an exact BigInt reference, reads near 1 for the coarse-grid twin") {
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val xs = vecs.map(_.map(v => math.round(v * 1000)))
+    val ys = vecs.map(_.map(v => math.round(v * 100)))
+    def moment(a: Array[Array[Long]], b: Array[Array[Long]]) =
+      Array.tabulate(d, d)((i, j) =>
+        BigInt((0 until n).map(r => a(r)(i) * b(r)(j)).sum))
+    val (sxx, sxy, syy) = (moment(xs, xs), moment(xs, ys), moment(ys, ys))
+    val sx = Array.tabulate(d)(i => BigInt(xs.map(_(i)).sum))
+    val sy = Array.tabulate(d)(i => BigInt(ys.map(_(i)).sum))
+    def frob(s: Array[Array[BigInt]], ma: Array[BigInt], mb: Array[BigInt]) =
+      (for (i <- 0 until d; j <- 0 until d) yield {
+        val c = BigInt(n) * s(i)(j) - ma(i) * mb(j)
+        c * c
+      }).sum
+    val (nxx, nxy, nyy) =
+      (frob(sxx, sx, sx), frob(sxy, sx, sy), frob(syy, sy, sy))
+    val expected = BigDecimal(nxy.toDouble /
+      math.sqrt(nxx.toDouble * nyy.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.ext.Similarity.queries("x224_linear_cka")(spark, SfDir)
+      .collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == d, s"meta: $r")
+    assert(r.getDouble(2) == expected,
+      s"cka must match the exact reference: ${r.getDouble(2)} vs $expected")
+    assert(r.getDouble(2) > 0.9 && r.getDouble(2) <= 1.0,
+      s"coarse-grid twin should preserve geometry: $r")
+  }
+
   test("x220 katz: hand-computed walk counts on a path graph, corpus top-20 sane") {
     import spark.implicits._
     // path 1-2-3: w1 = in-degree (1,2,1), w2 = (2,2,2), w3 = (2,4,2)
