@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Lake
@@ -500,19 +500,38 @@ object Sampling {
     * broadcast join of the constant-size grid, so the report shows
     * estimate vs truth vs overcount per heavy key.
     */
-  def cmsHeavyFromCounts(counts: DataFrame): DataFrame = {
-    val slots = CmsHashes.zipWithIndex.map { case ((a, b), r) =>
+  def cmsHeavyFromCounts(counts: DataFrame): DataFrame =
+    cmsReadout(cmsGridOf(counts), counts)
+
+  /** The d×w hash expressions as (r, slot) struct columns over a `k`
+    * key column — shared by the grid build and the point-query
+    * readout so the two sides can never disagree on the hashing.
+    */
+  private def cmsSlots: Seq[Column] =
+    CmsHashes.zipWithIndex.map { case ((a, b), r) =>
       struct(lit(r.toLong).as("r"),
         expr(s"(($a * (k % $CmsP) + $b) % $CmsP) % $CmsW").as("slot"))
     }
-    val hashed = counts.select(col("k"), col("c"),
-      explode(array(slots: _*)).as("h"))
-      .select(col("k"), col("c"), col("h.r").as("r"), col("h.slot").as("slot"))
-    val grid = hashed.groupBy(col("r"), col("slot"))
+
+  /** The CMS counter grid of a (k, c) key-count frame: Σ c per
+    * (row, slot) — d·w rows, and LINEAR in the input, so a streamed
+    * per-batch delta grid merged by + equals the batch grid exactly
+    * (s41's maintained state).
+    */
+  private[graft] def cmsGridOf(counts: DataFrame): DataFrame =
+    counts.select(col("k"), col("c"), explode(array(cmsSlots: _*)).as("h"))
+      .select(col("c"), col("h.r").as("r"), col("h.slot").as("slot"))
+      .groupBy(col("r"), col("slot"))
       .agg(sum(col("c")).as("counter"))
-    val top = counts.orderBy(desc("c"), col("k")).limit(20)
-    top.select(col("k"), col("c"),
-      explode(array(slots: _*)).as("h"))
+
+  /** The x218 point-query readout over a prebuilt counter grid —
+    * shared with s41 so streamed ≡ batch is literal frame equality:
+    * estimate = min over rows of the hit counter, graded against the
+    * exact counts for the true top-20 keys.
+    */
+  private[graft] def cmsReadout(grid: DataFrame, counts: DataFrame): DataFrame =
+    counts.orderBy(desc("c"), col("k")).limit(20)
+      .select(col("k"), col("c"), explode(array(cmsSlots: _*)).as("h"))
       .select(col("k"), col("c"), col("h.r").as("r"), col("h.slot").as("slot"))
       .join(broadcast(grid), Seq("r", "slot"))
       .groupBy(col("k"), col("c"))
@@ -520,7 +539,6 @@ object Sampling {
       .select(col("k").as("user_id"), col("c").as("true_cnt"),
         col("cms_est"), (col("cms_est") - col("c")).as("overcount"))
       .orderBy(desc("true_cnt"), col("user_id"))
-  }
 
   /** x219's KMV slot count. */
   val KmvK = 64L

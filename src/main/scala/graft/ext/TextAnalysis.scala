@@ -1006,6 +1006,51 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // COCHRAN'S Q — do the THREE quality raters admit documents at
+    // the same RATE? (x215's alpha reads agreement per document;
+    // Q is the k-related-samples test that one rater is
+    // systematically stricter — the marginal-homogeneity question
+    // McNemar answers for two raters, generalized.) Same three
+    // median-split raters as x215; Q = (m−1)·[m·ΣC_j² − (ΣC_j)²] /
+    // [m·ΣR_i − ΣR_i²] with C_j the per-rater positive totals and
+    // R_i the per-doc vote count — the denominator Σ R(3−R) is
+    // exactly half x215's doubled disagreement mass, so the two
+    // statistics share their sufficient statistics. One doc pass
+    // against broadcast medians, five BIGINT sums (exact to
+    // n ≈ 1.7·10⁹ docs — x194's square bound), one double division
+    // at 6 dp; an all-unanimous corpus reads NULL, never a crash.
+    "x226_cochran_q" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"),
+          size(tokens).cast("long").as("n_toks"),
+          size(array_distinct(tokens)).cast("long").as("n_types"))
+      val med = broadcast(d.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .as("mc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks)")
+          .as("mt"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_types)")
+          .as("my")))
+      d.crossJoin(med)
+        .select(
+          when(col("n_chars") > col("mc"), 1L).otherwise(0L).as("v1"),
+          when(col("n_toks") > col("mt"), 1L).otherwise(0L).as("v2"),
+          when(col("n_types") > col("my"), 1L).otherwise(0L).as("v3"))
+        .withColumn("r", col("v1") + col("v2") + col("v3"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("v1")).as("c1"), sum(col("v2")).as("c2"),
+          sum(col("v3")).as("c3"),
+          sum(col("r")).as("sr"), sum(col("r") * col("r")).as("sr2"))
+        .select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+          when(lit(3L) * col("sr") - col("sr2") > 0, round(
+            lit(2.0) * (lit(3L) * (col("c1") * col("c1") +
+              col("c2") * col("c2") + col("c3") * col("c3")) -
+              (col("c1") + col("c2") + col("c3")) *
+                (col("c1") + col("c2") + col("c3"))).cast("double") /
+              (lit(3L) * col("sr") - col("sr2")).cast("double"), 6))
+            .as("q"))
+    }),
+
     // GINI LENGTH CONCENTRATION — the inequality read of each
     // source's doc-length distribution (x61 buckets lengths, x136
     // reads label diversity; Gini answers "does a thin slice of
@@ -2693,6 +2738,28 @@ object TextAnalysis {
         "FROM lg GROUP BY 1) " +
         "SELECT doc_id, tf_key, tf_stream, min_span FROM agg " +
         "WHERE min_span IS NOT NULL ORDER BY min_span, doc_id LIMIT 20"),
+    // same three raters, same five integer sums, same Q expression
+    "x226_cochran_q" ->
+      ("WITH d AS (SELECT doc_id, n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types " +
+        "FROM documents), " +
+        "med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS mc, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_toks) AS mt, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY n_types) AS my FROM d), " +
+        "v AS (SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS v1, " +
+        "CASE WHEN n_toks > mt THEN 1 ELSE 0 END AS v2, " +
+        "CASE WHEN n_types > my THEN 1 ELSE 0 END AS v3 FROM d, med), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(v1) AS BIGINT) AS c1, CAST(SUM(v2) AS BIGINT) AS c2, " +
+        "CAST(SUM(v3) AS BIGINT) AS c3, " +
+        "CAST(SUM(v1 + v2 + v3) AS BIGINT) AS sr, " +
+        "CAST(SUM((v1 + v2 + v3) * (v1 + v2 + v3)) AS BIGINT) AS sr2 FROM v) " +
+        "SELECT n_docs, c1, c2, c3, " +
+        "CASE WHEN 3 * sr - sr2 > 0 THEN " +
+        "ROUND(2.0 * CAST(3 * (c1 * c1 + c2 * c2 + c3 * c3) - " +
+        "(c1 + c2 + c3) * (c1 + c2 + c3) AS DOUBLE) / " +
+        "CAST(3 * sr - sr2 AS DOUBLE), 6) END AS q FROM s"),
     // same three median-split raters, same doubled-coincidence
     // integer collapse, one double division
     "x215_krippendorff_alpha" ->

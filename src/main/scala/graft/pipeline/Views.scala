@@ -296,6 +296,16 @@ object Views {
         .agg(count(lit(1)).as("x")))
         .orderBy(col("event_type"), col("day"))),
 
+    // BINARY-SEGMENTATION CHANGEPOINT — where did each type's daily
+    // level SHIFT? The localizer beside x138's CUSUM alarm; argmax
+    // decided on an exact integer key, never a double — see
+    // [[binsegReport]].
+    "x225_binseg_changepoint" -> ((spark, sfDir) =>
+      binsegReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // MANN–WHITNEY / AUC DRIFT — the rank-sum member of the drift
     // family (x98 PSI bins shares, x133 KS takes the sup gap, x138
     // CUSUM localizes in time; this one reads the LOCATION shift as a
@@ -985,6 +995,52 @@ object Views {
         (col("s") - col("s_min") > col("total") * 2).as("alarm"))
   }
 
+  /** x225's one-split binary segmentation over a (event_type, day, x)
+    * daily-count frame — the changepoint LOCALIZER beside x138's
+    * CUSUM alarm (CUSUM says "a persistent shift happened"; binseg
+    * says WHERE, as the split maximizing the between-segment variance
+    * reduction — the first step of the classic recursive
+    * segmentation). For a split after day t the reduction is
+    * gain(t) = (n_r·Σx_l − n_l·Σx_r)² / (n·n_l·n_r): prefix sums give
+    * every candidate in one window pass, the numerator a = n_r·Σx_l −
+    * n_l·Σx_r is an exact BIGINT, and the ARGMAX is decided on the
+    * exact integer key ⌊a²/(n_l·n_r)⌋ (a² as DECIMAL(38,0); the
+    * subtract-remainder form makes the decimal division an exact
+    * integer, matching DuckDB's HUGEINT floor division bit for bit)
+    * with day-ascending tiebreak — no double ever picks the split.
+    * All windows run on the ≤31-row per-type day frame; the one
+    * corpus-scale pass is the daily aggregation the caller feeds in.
+    */
+  def binsegReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = daily
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("sx", sum(col("x")).over(whole))
+      .withColumn("n_l", count(lit(1)).over(cum))
+      .withColumn("sx_l", sum(col("x")).over(cum))
+      .filter(col("n_l") < col("n"))
+      .withColumn("n_r", col("n") - col("n_l"))
+      .withColumn("sx_r", col("sx") - col("sx_l"))
+      .withColumn("ad", col("n_r") * col("sx_l") - col("n_l") * col("sx_r"))
+      .withColumn("num", expr("CAST(ad AS DECIMAL(38,0)) * ad"))
+      .withColumn("key",
+        expr("CAST((num - num % (n_l * n_r)) / (n_l * n_r) AS DECIMAL(38,0))"))
+    val best = Window.partitionBy(col("event_type"))
+      .orderBy(desc("key"), col("day"))
+    def dd(c: String) = col(c).cast("double")
+    cand.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_after_day"),
+        col("n_l"), col("n_r"),
+        round(dd("sx_l") / dd("n_l"), 4).as("mean_l"),
+        round(dd("sx_r") / dd("n_r"), 4).as("mean_r"),
+        round(dd("ad") * dd("ad") /
+          (dd("n") * dd("n_l") * dd("n_r")), 4).as("gain"))
+      .orderBy(col("event_type"))
+  }
+
   /** x133's binned two-sample KS report: per event_type, the sup
     * ECDF distance between the x98 ref window (first 12 days) and the
     * rest, on a width-1 integer value grid clamped to [0, 499].
@@ -1399,6 +1455,31 @@ object Views {
         "ROUND(1.358 * SQRT(CAST(n_ref + n_cur AS DOUBLE) / " +
         "CAST(n_ref * n_cur AS DOUBLE)), 4) AS drifted " +
         "FROM a ORDER BY event_type"),
+    // same prefix-sum candidates, same HUGEINT floor-division argmax
+    // key with day-ascending tiebreak, same double readout
+    "x225_binseg_changepoint" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_l, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sx_l FROM daily), " +
+        "cand AS (SELECT event_type, day, n, n_l, n - n_l AS n_r, sx_l, " +
+        "sx - sx_l AS sx_r, (n - n_l) * sx_l - n_l * (sx - sx_l) AS ad " +
+        "FROM w WHERE n_l < n), " +
+        "k AS (SELECT *, (CAST(ad AS HUGEINT) * ad) // (n_l * n_r) AS key FROM cand), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY key DESC, day) AS rk FROM k) " +
+        "SELECT event_type, CAST(day AS BIGINT) AS split_after_day, n_l, n_r, " +
+        "ROUND(CAST(sx_l AS DOUBLE) / CAST(n_l AS DOUBLE), 4) AS mean_l, " +
+        "ROUND(CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE), 4) AS mean_r, " +
+        "ROUND(CAST(ad AS DOUBLE) * CAST(ad AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n_l AS DOUBLE) * CAST(n_r AS DOUBLE)), 4) AS gain " +
+        "FROM r WHERE rk = 1 ORDER BY event_type"),
     // x133's bins and cumulative windows re-used; 2U as an exact
     // integer sum, the untied-σ z chain, and the |z| > 1.96 flag
     // cross-multiplied into HUGEINT (the Spark side's DECIMAL(38,0))

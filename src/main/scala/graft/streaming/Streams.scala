@@ -1000,6 +1000,63 @@ object Streams {
         sys.error("s38: stream produced no batches"))))
   }
 
+  /** s41: x218's Count-Min counter grid maintained incrementally —
+    * sketch-state IVM: the d×w grid is LINEAR in its input (Σ c per
+    * hashed slot), so the per-microbatch delta grid merged by + IS
+    * the batch grid, bit for bit — the mergeability that makes CMS
+    * the per-shard sketch at 100 TB, exercised as an actual stream.
+    * State is the constant 1,024-row counter table (the smallest
+    * maintained artifact in the suite); the readout grades the
+    * maintained sketch against the exact key counts through the
+    * shared [[graft.ext.Sampling.cmsReadout]] stage, so streamed ≡
+    * batch x218 by construction and the oracle is reused verbatim.
+    */
+  def foreachBatchCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s41_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/grid_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.cmsGridOf(
+            batch.toDF().groupBy(col("user_id").as("k"))
+              .agg(count(lit(1)).as("c")))
+            .withColumnRenamed("counter", "d_counter")
+          val merged = latest match {
+            case None => delta.select(col("r"), col("slot"),
+              col("d_counter").as("counter"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("r", "slot"), "full_outer")
+                .select(col("r"), col("slot"),
+                  (coalesce(col("counter"), lit(0L)) +
+                    coalesce(col("d_counter"), lit(0L))).as("counter"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.cmsReadout(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s41: stream produced no batches"))),
+      Lake.table(spark, sfDir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c")))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -2154,6 +2211,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchConformal(spark, sfDir)),
     "s40_stream_kendall_maintain" ->
       ((spark, sfDir) => foreachBatchKendall(spark, sfDir)),
+    "s41_stream_cms_maintain" ->
+      ((spark, sfDir) => foreachBatchCms(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2231,6 +2290,10 @@ object Streams {
     // the SAME maintained joint ≡ batch x216
     "s40_stream_kendall_maintain" ->
       graft.ext.Sampling.oracles("x216_kendall_tau_b"),
+    // the IVM contract verbatim: the point-query report served from
+    // the additively-maintained counter grid ≡ batch x218
+    "s41_stream_cms_maintain" ->
+      graft.ext.Sampling.oracles("x218_cms_heavy"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

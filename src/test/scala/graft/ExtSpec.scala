@@ -4889,6 +4889,72 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain co-occurring query terms")
   }
 
+  test("x225 binseg: planted level shift localized exactly, argmax key integer-decided") {
+    import spark.implicits._
+    // level 10 for 3 days then 50 for 3 days: split after day 2,
+    // gain = 360^2 / (6*3*3) = 2400
+    val daily = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 10L),
+      ("a", 3L, 50L), ("a", 4L, 50L), ("a", 5L, 50L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.binsegReport(daily).collect()
+    assert(r.length == 1)
+    val b = r.head
+    assert(b.getLong(1) == 2L && b.getLong(2) == 3L && b.getLong(3) == 3L,
+      s"split location: $b")
+    assert(b.getDouble(4) == 10.0 && b.getDouble(5) == 50.0 &&
+      b.getDouble(6) == 2400.0, s"split readout: $b")
+    // flat series: every candidate keys to 0, tiebreak picks day 0
+    val flat = Seq(("f", 0L, 7L), ("f", 1L, 7L), ("f", 2L, 7L))
+      .toDF("event_type", "day", "x")
+    val fr = graft.pipeline.Views.binsegReport(flat).collect().head
+    assert(fr.getLong(1) == 0L && fr.getDouble(6) == 0.0,
+      s"flat series must tiebreak to the first day: $fr")
+    // corpus: one row per type, means bracket the gain direction
+    val rows = graft.pipeline.Views
+      .queries("x225_binseg_changepoint")(spark, SfDir).collect()
+    val nTypes = Lake.table(spark, SfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == nTypes && rows.forall(_.getDouble(6) >= 0.0),
+      s"corpus binseg: ${rows.toSeq}")
+  }
+
+  test("x226 cochran q: matches an in-process reference, shares sufficient statistics with x215") {
+    val d = Lake.table(spark, SfDir, "documents")
+      .select(col("n_chars"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        (r.getLong(0), toks.length.toLong, toks.distinct.length.toLong)
+      }
+    def med(xs: Seq[Long]) = xs.sorted.apply((xs.length - 1) / 2)
+    val (mc, mt, my) = (med(d.map(_._1).toSeq), med(d.map(_._2).toSeq),
+      med(d.map(_._3).toSeq))
+    val votes = d.map { case (a, b, c) =>
+      (if (a > mc) 1L else 0L, if (b > mt) 1L else 0L,
+        if (c > my) 1L else 0L)
+    }
+    val (c1, c2, c3) = (votes.map(_._1).sum, votes.map(_._2).sum,
+      votes.map(_._3).sum)
+    val rs = votes.map(v => v._1 + v._2 + v._3)
+    val (sr, sr2) = (rs.sum, rs.map(r => r * r).sum)
+    val den = 3 * sr - sr2
+    val expected = BigDecimal(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) -
+      (c1 + c2 + c3) * (c1 + c2 + c3)).toDouble / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = graft.ext.TextAnalysis.queries("x226_cochran_q")(spark, SfDir)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((c1, c2, c3)),
+      s"per-rater totals: $r vs ($c1, $c2, $c3)")
+    assert(r.getDouble(4) == expected, s"Q: ${r.getDouble(4)} vs $expected")
+    // the shared sufficient statistic: Q's denominator is exactly half
+    // x215's doubled disagreement mass
+    val alpha = graft.ext.TextAnalysis
+      .queries("x215_krippendorff_alpha")(spark, SfDir).collect()(0)
+    assert(alpha.getLong(3) == 2 * den,
+      s"d_obs must equal 2*(3*sr - sr2): ${alpha.getLong(3)} vs ${2 * den}")
+    assert(alpha.getLong(2) == c1 + c2 + c3,
+      "positive-vote totals must agree across the two operators")
+  }
+
   test("x224 linear cka: matches an exact BigInt reference, reads near 1 for the coarse-grid twin") {
     val vecs = Lake.table(spark, SfDir, "embeddings")
       .select(col("embedding")).collect()

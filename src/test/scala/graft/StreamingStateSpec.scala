@@ -271,6 +271,21 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed tau_b diverges from batch x216:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming cms maintenance: additively-merged counter grid serves batch x218 exactly (s41)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = graft.streaming.Streams.foreachBatchCms(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s41_$tag")
+      .listFiles().count(_.getName.startsWith("grid_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x218_cms_heavy")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed CMS diverges from batch x218:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
