@@ -556,19 +556,46 @@ object Sampling {
     * control it grades. Groups with < K elements fall back to the
     * exact count (est = n, the sketch is lossless there).
     */
-  def kmvDistinctFromElements(elems: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def kmvDistinctFromElements(elems: DataFrame): DataFrame =
+    kmvReadout(kmvMinHashesOf(elems),
+      elems.distinct().groupBy(col("grp"))
+        .agg(count(lit(1)).as("exact_distinct")))
+
+  /** x219's per-group K-minimum state over a (grp, k) element frame:
+    * the K smallest distinct hash values — s42's maintained artifact.
+    * Merge semantics are MIN-UNION (union the slates, distinct,
+    * re-rank, keep K): KMV(A ∪ B) = min-K(minK(A) ∪ minK(B)) exactly,
+    * the third merge discipline in the maintainer suite beside
+    * additive (s41's counters) and set (s13's edges).
+    */
+  private[graft] def kmvMinHashesOf(elems: DataFrame): DataFrame = {
     val (a, b) = CmsHashes.head
-    val hashed = elems.distinct()
+    kmvTrim(elems.distinct()
       .select(col("grp"),
-        expr(s"($a * (k % $CmsP) + $b) % $CmsP").as("h"))
+        expr(s"($a * (k % $CmsP) + $b) % $CmsP").as("h")))
+  }
+
+  /** Keep each group's K smallest distinct hashes of a (grp, h)
+    * frame — the min-union merge step shared by the batch build and
+    * s42's per-batch maintenance.
+    */
+  private[graft] def kmvTrim(hashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byH = Window.partitionBy(col("grp")).orderBy(col("h"))
-    val mins = hashed.withColumn("rk", row_number().over(byH))
+    hashes.distinct()
+      .withColumn("rk", row_number().over(byH))
       .filter(col("rk") <= KmvK)
-      .groupBy(col("grp"))
+      .select(col("grp"), col("h"))
+  }
+
+  /** The x219 readout over a prebuilt min-hash state and an exact
+    * control frame — shared with s42 so streamed ≡ batch is literal
+    * frame equality.
+    */
+  private[graft] def kmvReadout(minHashes: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val mins = minHashes.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"))
-    val exact = elems.distinct().groupBy(col("grp"))
-      .agg(count(lit(1)).as("exact_distinct"))
     def dd(c: String) = col(c).cast("double")
     mins.join(exact, "grp")
       .select(col("grp"), col("exact_distinct"),

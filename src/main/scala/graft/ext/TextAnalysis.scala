@@ -1006,6 +1006,74 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // MATTHEWS CORRELATION — the one-number grade of rule agreement
+    // that survives class imbalance (x193 reads the discordance
+    // DIRECTION, x194 the chance-corrected rate; MCC is the
+    // phi-coefficient of the same 2×2 cells — the balanced-accuracy
+    // number a rule card quotes when positives are rare): MCC =
+    // (n11·n00 − n10·n01) / √((n11+n10)(n11+n01)(n00+n10)(n00+n01)),
+    // the numerator one exact BIGINT cross product (to n ≈ 3·10⁹ —
+    // x194's square bound), the four marginals exact, one double
+    // sqrt + division at 6 dp. Any empty marginal reads NULL. Shares
+    // the x193/x194 cell build — one doc pass serves all three.
+    "x227_mcc" -> ((spark, sfDir) =>
+      ruleAgreementCells(spark, sfDir)
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          when((col("n11") + col("n10")) * (col("n11") + col("n01")) *
+              (col("n00") + col("n10")) * (col("n00") + col("n01")) > 0,
+            round((col("n11") * col("n00") - col("n10") * col("n01"))
+              .cast("double") /
+              sqrt(((col("n11") + col("n10")) * (col("n11") + col("n01")))
+                .cast("double") *
+                ((col("n00") + col("n10")) * (col("n00") + col("n01")))
+                  .cast("double")), 6)).as("mcc"))),
+
+    // THEIL'S U — the ENTROPY read of the (source, lang) association
+    // beside x163's Cramér's V (V is symmetric chi-square geometry;
+    // U(lang|source) answers the operational question "what fraction
+    // of language uncertainty does knowing the source REMOVE", the
+    // asymmetric number that says whether source-stratified sampling
+    // already controls language): U = I(source;lang)/H(lang), both
+    // numerator and denominator as exact integer sums of count ×
+    // 10⁻⁶-gridded ln terms (x158's order-free discipline — the /n
+    // normalizations cancel in the ratio, so no float accumulates),
+    // one division at 6 dp. Degenerate single-language corpora read
+    // NULL. One docs pass; everything after is R×C-sized.
+    "x228_theil_u" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val whole = Window.partitionBy(lit(1))
+      val cells = docs(spark, sfDir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(whole))
+        .withColumn("row_n", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("col_n", sum(col("c")).over(
+          Window.partitionBy(col("lang"))))
+      def dd(c: Column) = c.cast("double")
+      val mi = cells
+        .withColumn("mi_fp", round(log(dd(col("c")) * dd(col("n")) /
+          (dd(col("row_n")) * dd(col("col_n")))) * lit(1000000.0), 0)
+          .cast("long"))
+        .agg(max(col("n")).as("n"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("c") * col("mi_fp")).as("mi_num"))
+      val hl = docs(spark, sfDir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("c_l"))
+        .withColumn("n", sum(col("c_l")).over(whole))
+        .withColumn("h_fp", round(log(dd(col("c_l")) / dd(col("n"))) *
+          lit(1000000.0), 0).cast("long"))
+        .agg(coalesce(-sum(col("c_l") * col("h_fp")), lit(0L)).as("h_num"))
+      mi.crossJoin(broadcast(hl))
+        .select(col("n"), col("n_langs"),
+          round(dd(col("h_num")) / (dd(col("n")) * lit(1000000.0)), 4)
+            .as("h_lang"),
+          round(dd(col("mi_num")) / (dd(col("n")) * lit(1000000.0)), 4)
+            .as("mutual_info"),
+          when(col("h_num") > 0,
+            round(dd(col("mi_num")) / dd(col("h_num")), 6)).as("theil_u"))
+    }),
+
     // COCHRAN'S Q — do the THREE quality raters admit documents at
     // the same RATE? (x215's alpha reads agreement per document;
     // Q is the k-related-samples test that one rater is
@@ -2738,6 +2806,36 @@ object TextAnalysis {
         "FROM lg GROUP BY 1) " +
         "SELECT doc_id, tf_key, tf_stream, min_span FROM agg " +
         "WHERE min_span IS NOT NULL ORDER BY min_span, doc_id LIMIT 20"),
+    // same shared 2x2 cells, same exact cross product, one sqrt
+    "x227_mcc" ->
+      (ruleCellsCte +
+        " SELECT n, n11, n10, n01, n00, " +
+        "CASE WHEN (n11 + n10) * (n11 + n01) * (n00 + n10) * (n00 + n01) > 0 THEN " +
+        "ROUND(CAST(n11 * n00 - n10 * n01 AS DOUBLE) / " +
+        "SQRT(CAST((n11 + n10) * (n11 + n01) AS DOUBLE) * " +
+        "CAST((n00 + n10) * (n00 + n01) AS DOUBLE)), 6) END AS mcc FROM cells"),
+    // same 10^-6 ln grids for both integer sums, same cancelling /n,
+    // one ratio division
+    "x228_theil_u" ->
+      ("WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1, 2), " +
+        "w AS (SELECT source, lang, c, CAST(SUM(c) OVER () AS BIGINT) AS n, " +
+        "CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS row_n, " +
+        "CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS col_n FROM cells), " +
+        "mi AS (SELECT MAX(n) AS n, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) / " +
+        "(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE))) * 1000000.0, 0) AS BIGINT)) " +
+        "AS BIGINT) AS mi_num FROM w), " +
+        "lc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_l FROM documents GROUP BY 1), " +
+        "lw AS (SELECT lang, c_l, CAST(SUM(c_l) OVER () AS BIGINT) AS n FROM lc), " +
+        "hl AS (SELECT COALESCE(-CAST(SUM(c_l * CAST(ROUND(LN(CAST(c_l AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)) AS BIGINT), 0) AS h_num FROM lw) " +
+        "SELECT n, n_langs, " +
+        "ROUND(CAST(h_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 4) AS h_lang, " +
+        "ROUND(CAST(mi_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 4) AS mutual_info, " +
+        "CASE WHEN h_num > 0 THEN " +
+        "ROUND(CAST(mi_num AS DOUBLE) / CAST(h_num AS DOUBLE), 6) END AS theil_u " +
+        "FROM mi, hl"),
     // same three raters, same five integer sums, same Q expression
     "x226_cochran_q" ->
       ("WITH d AS (SELECT doc_id, n_chars, " +

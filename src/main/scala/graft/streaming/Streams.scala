@@ -1057,6 +1057,61 @@ object Streams {
         .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("c")))
   }
 
+  /** s42: x219's KMV min-hash slates maintained incrementally — the
+    * MIN-UNION merge discipline (the third in the suite: s41 merges
+    * counters by +, s13 merges edges by set-union; KMV merges by
+    * "union the K-smallest slates, keep the K smallest"), which is
+    * exactly why KMV is the cross-shard distinct sketch: minK(A∪B) =
+    * minK(minK(A) ∪ minK(B)), so per-shard slates of constant size
+    * compose to the global answer with no rescan. State is ≤ K rows
+    * per group; the readout grades the maintained slate against the
+    * exact distinct count through the shared
+    * [[graft.ext.Sampling.kmvReadout]] stage, so streamed ≡ batch
+    * x219 by construction and the oracle is reused verbatim.
+    */
+  def foreachBatchKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s42_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/slate_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.kmvMinHashesOf(
+            batch.toDF().select(col("event_type").as("grp"),
+              col("user_id").as("k")))
+          val merged = latest match {
+            case None => delta
+            case Some(prev) =>
+              graft.ext.Sampling.kmvTrim(
+                spark.read.parquet(prev).unionAll(delta))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.kmvReadout(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s42: stream produced no batches"))),
+      Lake.table(spark, sfDir, "events")
+        .select(col("event_type").as("grp"), col("user_id").as("k"))
+        .distinct().groupBy(col("grp"))
+        .agg(count(lit(1)).as("exact_distinct")))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -2213,6 +2268,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchKendall(spark, sfDir)),
     "s41_stream_cms_maintain" ->
       ((spark, sfDir) => foreachBatchCms(spark, sfDir)),
+    "s42_stream_kmv_maintain" ->
+      ((spark, sfDir) => foreachBatchKmv(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2294,6 +2351,10 @@ object Streams {
     // the additively-maintained counter grid ≡ batch x218
     "s41_stream_cms_maintain" ->
       graft.ext.Sampling.oracles("x218_cms_heavy"),
+    // the IVM contract verbatim: the distinct estimate served from
+    // the min-union-maintained K-smallest slates ≡ batch x219
+    "s42_stream_kmv_maintain" ->
+      graft.ext.Sampling.oracles("x219_kmv_distinct"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -4889,6 +4889,50 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain co-occurring query terms")
   }
 
+  test("x227 mcc: consistent with x193's shared cells, matches the phi formula exactly") {
+    val m = graft.ext.TextAnalysis.queries("x193_mcnemar")(spark, SfDir)
+      .collect()(0)
+    val r = graft.ext.TextAnalysis.queries("x227_mcc")(spark, SfDir)
+      .collect()(0)
+    // one cell build serves x193/x194/x227: the 2x2 must be identical
+    assert((0 to 4).forall(i => m.getLong(i) == r.getLong(i)),
+      s"cells diverge: $m vs $r")
+    val (n11, n10, n01, n00) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val expected = BigDecimal((n11 * n00 - n10 * n01).toDouble /
+      math.sqrt(((n11 + n10) * (n11 + n01)).toDouble *
+        ((n00 + n10) * (n00 + n01)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expected, s"mcc: ${r.getDouble(5)} vs $expected")
+    assert(r.getDouble(5) > 0.0,
+      "length and token-count rules must correlate positively")
+  }
+
+  test("x228 theil u: matches an in-process entropy reference, bounded by [0, 1]") {
+    val cells = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = cells.length.toLong
+    val byCell = cells.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val rowN = byCell.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val colN = byCell.groupBy(_._1._2).map { case (l, g) => l -> g.values.sum }
+    def fp(x: Double) = math.round(math.log(x) * 1e6)
+    val miNum = byCell.toSeq.map { case ((s, l), c) =>
+      c * fp(c.toDouble * n / (rowN(s).toDouble * colN(l).toDouble))
+    }.sum
+    val hNum = -colN.values.toSeq.map(c => c * fp(c.toDouble / n)).sum
+    def r(v: Double, s: Int) = BigDecimal(v)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = graft.ext.TextAnalysis.queries("x228_theil_u")(spark, SfDir)
+      .collect()(0)
+    assert(row.getLong(0) == n && row.getLong(1) == colN.size.toLong)
+    assert(row.getDouble(2) == r(hNum.toDouble / (n * 1e6), 4), s"h: $row")
+    assert(row.getDouble(3) == r(miNum.toDouble / (n * 1e6), 4), s"mi: $row")
+    assert(row.getDouble(4) == r(miNum.toDouble / hNum, 6), s"u: $row")
+    assert(row.getDouble(4) >= -0.001 && row.getDouble(4) <= 1.0,
+      s"U out of range: $row")
+  }
+
   test("x225 binseg: planted level shift localized exactly, argmax key integer-decided") {
     import spark.implicits._
     // level 10 for 3 days then 50 for 3 days: split after day 2,

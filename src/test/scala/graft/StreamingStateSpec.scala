@@ -286,6 +286,21 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed CMS diverges from batch x218:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming kmv maintenance: min-union-merged slates serve batch x219 exactly (s42)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = graft.streaming.Streams.foreachBatchKmv(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s42_$tag")
+      .listFiles().count(_.getName.startsWith("slate_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x219_kmv_distinct")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed KMV diverges from batch x219:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
