@@ -271,7 +271,12 @@ object Bench {
     // inverted-index sparse-cosine pair join (x199 — the lexical
     // candidate-volume shape beside x03's banding)
     "x186_roc_auc", "x191_quantile_normalize", "x196_ols_normal_eq",
-    "x199_sparse_cosine_pairs")
+    "x199_sparse_cosine_pairs",
+    // round-14 session-2 additions (74 → 77): the d²-cell Gram
+    // self-join (x224 — the feature-pair fan-out shape), the
+    // three-hop walk-count vector iteration (x220), and the
+    // vocabulary-support divergence pass (x222)
+    "x224_linear_cka", "x220_katz_centrality", "x222_js_divergence")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
