@@ -48,13 +48,17 @@ object Graph {
   private val DampNum = 85L
   private val DampDen = 100L
 
-  /** HITS fixed-point scale: 10⁶, not 10¹² — each normalization
-    * multiplies a score by the scale before the integer divide, so
-    * the headroom bound is score × scale ≤ Long.Max with score itself
-    * up to scale × max-degree; 10⁶ keeps that product ≤ ~10¹⁶ on any
-    * plausible degree distribution.
+  /** HITS fixed-point scale: 10¹² (= [[RankScale]]). The r14 100×
+    * probe retired the old 10⁶ scale: a sum-normalized distribution
+    * over more nodes than the scale has units floors EVERY share to
+    * zero (the 100× lake has 2·10⁷ parts), which read back as a
+    * divide-by-zero in the next normalization. 10¹² gives per-node
+    * resolution to 10¹² nodes; the normalize products v × scale (v up
+    * to max-degree × scale) leave BIGINT, so [[hitsTwoRounds]]
+    * computes each floor division exactly in DECIMAL(38,0) — the
+    * x225 subtract-remainder form, ≡ DuckDB's HUGEINT `//`.
     */
-  val HitsScale = 1000000L
+  val HitsScale = 1000000000000L
 
   /** Adjacency with the out-degree riding each edge — so the loop's
     * contribution join is a single equi-join against the rank frame
@@ -171,18 +175,25 @@ object Graph {
     * planted bipartite graphs through the exact Spark machinery.
     */
   def hitsTwoRounds(pairs: DataFrame): DataFrame = {
-    val nP = broadcast(pairs.select(col("p")).distinct()
-      .agg(count(lit(1)).as("n_p")))
-    // h0 is uniform (HitsScale DIV n_p), so round-1 authority mass
-    // is outdegree × h0 — summed per edge to stay partial-agg'able
-    val a1 = pairs.crossJoin(nP)
+    // h0 is uniform, and the very next step sum-normalizes — so the
+    // uniform CONSTANT is irrelevant and h0 = 1 is the right choice:
+    // round-1 authority mass is the exact in-degree. (The r14 100×
+    // probe caught the previous h0 = HitsScale DIV n_p flooring to
+    // ZERO once the graph passes HitsScale nodes — an exact count has
+    // no cliff at any scale.)
+    val a1 = pairs
       .groupBy(col("s"))
-      .agg(sum(expr(s"${HitsScale}L DIV n_p")).as("a1"))
+      .agg(count(lit(1)).as("a1"))
+    // exact floor division in DECIMAL(38,0) (x225's subtract-remainder
+    // form, ≡ HUGEINT // in the oracle): the v·scale product leaves
+    // BIGINT once scores carry degree × scale mass
     def normalize(df: DataFrame, v: String): DataFrame = {
       val tot = broadcast(df.agg(sum(col(v)).as("_t")))
       df.crossJoin(tot)
         .select(df.columns.filterNot(_ == v).map(col) :+
-          expr(s"($v * ${HitsScale}L) DIV _t").as(v): _*)
+          expr(s"CAST(((CAST($v AS DECIMAL(38,0)) * ${HitsScale}L) - " +
+            s"(CAST($v AS DECIMAL(38,0)) * ${HitsScale}L) % _t) / _t " +
+            "AS BIGINT)").as(v): _*)
     }
     val a1n = normalize(a1, "a1")
     val h1 = pairs.join(a1n, "s").groupBy(col("p"))
@@ -1117,24 +1128,25 @@ object Graph {
   // `//` and Spark `DIV` agree on non-negative bigints, and CASTs pin
   // DuckDB's HUGEINT sum widening back to BIGINT before compare.
   val oracles: Map[String, String] = Map(
-    // same directed pair frame, same uniform-h0 shortcut, same
-    // sum-normalization in 10^6 fixed point per round (// ≡ DIV on
-    // non-negative bigints), same (auth desc, supplier) cut
+    // same directed pair frame, same h0 = 1 exact in-degree start
+    // (the uniform constant cancels in the immediate normalization),
+    // same sum-normalization in 10^12 fixed point per round (HUGEINT
+    // // ≡ the Spark side's DECIMAL(38,0) exact floor division), same
+    // (auth desc, supplier) cut
     "x129_hits" ->
       ("WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), " +
-        "np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_p FROM pairs), " +
-        "a1 AS (SELECT s, CAST(SUM(1000000 // n_p) AS BIGINT) AS a1 " +
-        "FROM pairs, np GROUP BY 1), " +
+        "a1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS a1 " +
+        "FROM pairs GROUP BY 1), " +
         "a1t AS (SELECT CAST(SUM(a1) AS BIGINT) AS t FROM a1), " +
-        "a1n AS (SELECT s, CAST((a1 * 1000000) // t AS BIGINT) AS a1 FROM a1, a1t), " +
+        s"a1n AS (SELECT s, CAST((CAST(a1 AS HUGEINT) * $HitsScale) // t AS BIGINT) AS a1 FROM a1, a1t), " +
         "h1 AS (SELECT p, CAST(SUM(a1) AS BIGINT) AS h1 " +
         "FROM pairs JOIN a1n USING (s) GROUP BY 1), " +
         "h1t AS (SELECT CAST(SUM(h1) AS BIGINT) AS t FROM h1), " +
-        "h1n AS (SELECT p, CAST((h1 * 1000000) // t AS BIGINT) AS h1 FROM h1, h1t), " +
+        s"h1n AS (SELECT p, CAST((CAST(h1 AS HUGEINT) * $HitsScale) // t AS BIGINT) AS h1 FROM h1, h1t), " +
         "a2 AS (SELECT s, CAST(SUM(h1) AS BIGINT) AS a2 " +
         "FROM pairs JOIN h1n USING (p) GROUP BY 1), " +
         "a2t AS (SELECT CAST(SUM(a2) AS BIGINT) AS t FROM a2) " +
-        "SELECT s AS supplier, CAST((a2 * 1000000) // t AS BIGINT) AS auth_fp " +
+        s"SELECT s AS supplier, CAST((CAST(a2 AS HUGEINT) * $HitsScale) // t AS BIGINT) AS auth_fp " +
         "FROM a2, a2t ORDER BY auth_fp DESC, supplier LIMIT 20"),
     // same distinct basket frame, same ≥3 support prune before the
     // stats joins, same three divisions and (lift, a, b) cut

@@ -1097,6 +1097,55 @@ object Sampling {
           .select(col("source").as("grp"), col("n_chars").as("v"))
           .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
 
+    // BROWN–FORSYTHE VARIANCE HOMOGENEITY — do the k sources share
+    // one doc-length SPREAD? The scale complement of x217's location
+    // test (KW reads the medians apart; Brown–Forsythe reads the
+    // dispersions apart — the robust Levene variant, one-way ANOVA F
+    // on |x − median_g|, median-centered so heavy tails don't fake a
+    // variance difference): per-group medians are discrete
+    // percentile_disc data values (x51's convention), the absolute
+    // deviations are exact BIGINTs, the three per-group moment sums
+    // are exact, and F = [(N−k)/(k−1)]·(SB − SZ²/N)/(SZZ − SB) with
+    // SB = Σ sz_g²/n_g taken as one double term per group (the
+    // square leaves BIGINT near n ≈ 3·10⁶·group-mean — x217's
+    // documented bound). One docs pass + one broadcast median join;
+    // windows over the k-row group frame; degenerate single-group /
+    // zero-within frames read NULL.
+    "x229_brown_forsythe" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(spark, sfDir).select(col("source"), col("n_chars"))
+      // percentile_disc picks an actual data value but Spark types it
+      // DOUBLE — pin it back to BIGINT so the deviations stay exact
+      val meds = d.groupBy(col("source"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("med"))
+      val g = d.join(broadcast(meds), "source")
+        .select(col("source"), col("med"),
+          abs(col("n_chars") - col("med")).as("z"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_g"), max(col("med")).as("med_chars"),
+          sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"))
+      def dd(c: String) = col(c).cast("double")
+      val whole = Window.partitionBy(lit(1))
+      g.withColumn("n", sum(col("n_g")).over(whole))
+        .withColumn("k_groups", count(lit(1)).over(whole))
+        .withColumn("sb", sum(dd("sz") * dd("sz") / dd("n_g")).over(whole))
+        .withColumn("sz_tot", sum(col("sz")).over(whole))
+        .withColumn("szz_tot", sum(col("szz")).over(whole))
+        .withColumn("between",
+          col("sb") - dd("sz_tot") * dd("sz_tot") / dd("n"))
+        .withColumn("within", dd("szz_tot") - col("sb"))
+        .select(col("source"), col("n_g"), col("med_chars"),
+          round(dd("sz") / dd("n_g"), 4).as("mean_abs_dev"),
+          col("k_groups"),
+          when(col("k_groups") > 1 && col("n") > col("k_groups") &&
+              col("within") > 0.0,
+            round((col("between") / (dd("k_groups") - 1.0)) /
+              (col("within") / (dd("n") - dd("k_groups"))), 6))
+            .as("f_stat"))
+        .orderBy(col("source"))
+    }),
+
     // COUNT-MIN HEAVY KEYS — x101's Misra–Gries answers "which keys
     // are heavy"; CMS answers "how heavy is ANY key" from 1,024
     // additive counters (the point-query sketch a 100 TB pipeline
@@ -2398,6 +2447,26 @@ object Sampling {
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
         "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
         "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END AS rho FROM s"),
+    // same discrete per-group medians, same exact deviation moments,
+    // same per-group double squares and F expression
+    "x229_brown_forsythe" ->
+      ("WITH d AS (SELECT source, n_chars FROM documents), " +
+        "meds AS (SELECT source, percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med " +
+        "FROM d GROUP BY 1), " +
+        "z AS (SELECT d.source, med, ABS(n_chars - med) AS z FROM d JOIN meds USING (source)), " +
+        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g, MAX(med) AS med_chars, " +
+        "CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(z * z) AS BIGINT) AS szz FROM z GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k_groups, " +
+        "SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE)) AS sb, " +
+        "CAST(SUM(sz) AS BIGINT) AS sz_tot, CAST(SUM(szz) AS BIGINT) AS szz_tot FROM g), " +
+        "f AS (SELECT n, k_groups, sb - CAST(sz_tot AS DOUBLE) * CAST(sz_tot AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) AS between_ss, CAST(szz_tot AS DOUBLE) - sb AS within_ss FROM tot) " +
+        "SELECT source, n_g, med_chars, " +
+        "ROUND(CAST(sz AS DOUBLE) / CAST(n_g AS DOUBLE), 4) AS mean_abs_dev, k_groups, " +
+        "CASE WHEN k_groups > 1 AND n > k_groups AND within_ss > 0.0 THEN " +
+        "ROUND((between_ss / (CAST(k_groups AS DOUBLE) - 1.0)) / " +
+        "(within_ss / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6) END AS f_stat " +
+        "FROM g, f ORDER BY source"),
     // same frozen (a_r, b_r) modular hash grid, same additive
     // counters, same min-over-rows point estimate for the true top-20
     "x218_cms_heavy" -> {

@@ -1039,40 +1039,10 @@ object TextAnalysis {
     // normalizations cancel in the ratio, so no float accumulates),
     // one division at 6 dp. Degenerate single-language corpora read
     // NULL. One docs pass; everything after is R×C-sized.
-    "x228_theil_u" -> ((spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val whole = Window.partitionBy(lit(1))
-      val cells = docs(spark, sfDir)
+    "x228_theil_u" -> ((spark, sfDir) =>
+      theilUFromCells(docs(spark, sfDir)
         .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("n", sum(col("c")).over(whole))
-        .withColumn("row_n", sum(col("c")).over(
-          Window.partitionBy(col("source"))))
-        .withColumn("col_n", sum(col("c")).over(
-          Window.partitionBy(col("lang"))))
-      def dd(c: Column) = c.cast("double")
-      val mi = cells
-        .withColumn("mi_fp", round(log(dd(col("c")) * dd(col("n")) /
-          (dd(col("row_n")) * dd(col("col_n")))) * lit(1000000.0), 0)
-          .cast("long"))
-        .agg(max(col("n")).as("n"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("c") * col("mi_fp")).as("mi_num"))
-      val hl = docs(spark, sfDir).groupBy(col("lang"))
-        .agg(count(lit(1)).as("c_l"))
-        .withColumn("n", sum(col("c_l")).over(whole))
-        .withColumn("h_fp", round(log(dd(col("c_l")) / dd(col("n"))) *
-          lit(1000000.0), 0).cast("long"))
-        .agg(coalesce(-sum(col("c_l") * col("h_fp")), lit(0L)).as("h_num"))
-      mi.crossJoin(broadcast(hl))
-        .select(col("n"), col("n_langs"),
-          round(dd(col("h_num")) / (dd(col("n")) * lit(1000000.0)), 4)
-            .as("h_lang"),
-          round(dd(col("mi_num")) / (dd(col("n")) * lit(1000000.0)), 4)
-            .as("mutual_info"),
-          when(col("h_num") > 0,
-            round(dd(col("mi_num")) / dd(col("h_num")), 6)).as("theil_u"))
-    }),
+        .agg(count(lit(1)).as("c")))),
 
     // COCHRAN'S Q — do the THREE quality raters admit documents at
     // the same RATE? (x215's alpha reads agreement per document;
@@ -2731,6 +2701,46 @@ object TextAnalysis {
               (lit(4.0) * col("n_pos_votes").cast("double") *
                 (col("n_docs") * 3 - col("n_pos_votes")).cast("double")), 6))
           .as("alpha"))
+
+  /** x228's Theil U readout over a prebuilt (source, lang, c)
+    * contingency cell table — shared with s43 so streamed ≡ batch is
+    * literal frame equality (both marginals and the grand total
+    * re-derive from the cells, which merge ADDITIVELY per
+    * microbatch). See the registry entry for the cancelling-/n
+    * integer-grid argument.
+    */
+  private[graft] def theilUFromCells(cellsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy(lit(1))
+    val cells = cellsIn
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("row_n", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("col_n", sum(col("c")).over(
+        Window.partitionBy(col("lang"))))
+    def dd(c: Column) = c.cast("double")
+    val mi = cells
+      .withColumn("mi_fp", round(log(dd(col("c")) * dd(col("n")) /
+        (dd(col("row_n")) * dd(col("col_n")))) * lit(1000000.0), 0)
+        .cast("long"))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("c") * col("mi_fp")).as("mi_num"))
+    val hl = cellsIn.groupBy(col("lang"))
+      .agg(sum(col("c")).as("c_l"))
+      .withColumn("n", sum(col("c_l")).over(whole))
+      .withColumn("h_fp", round(log(dd(col("c_l")) / dd(col("n"))) *
+        lit(1000000.0), 0).cast("long"))
+      .agg(coalesce(-sum(col("c_l") * col("h_fp")), lit(0L)).as("h_num"))
+    mi.crossJoin(broadcast(hl))
+      .select(col("n"), col("n_langs"),
+        round(dd(col("h_num")) / (dd(col("n")) * lit(1000000.0)), 4)
+          .as("h_lang"),
+        round(dd(col("mi_num")) / (dd(col("n")) * lit(1000000.0)), 4)
+          .as("mutual_info"),
+        when(col("h_num") > 0,
+          round(dd(col("mi_num")) / dd(col("h_num")), 6)).as("theil_u"))
+  }
 
   /** Shared oracle CTE for x193/x194: the exact 2×2 rule-agreement
     * cells (SQL twin of [[ruleAgreementCells]]).

@@ -1112,6 +1112,62 @@ object Streams {
         .agg(count(lit(1)).as("exact_distinct")))
   }
 
+  /** s43: x228's Theil U with the (source, lang) contingency cell
+    * table maintained incrementally — s21 already streams the same
+    * metadata split for Simpson diversity; this maintainer keeps the
+    * full R×C cell table (additive per microbatch) and reads the
+    * asymmetric association through the shared
+    * [[graft.ext.TextAnalysis.theilUFromCells]] stage: both
+    * marginals and the grand total re-derive from the cells, so
+    * streamed ≡ batch x228 by construction and the oracle is reused
+    * verbatim. State is R×C-sized.
+    */
+  def foreachBatchTheilU(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s43_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_meta_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("source"), col("lang")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_meta_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/cells_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF().groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("d_c"))
+          val merged = latest match {
+            case None => delta.select(col("source"), col("lang"),
+              col("d_c").as("c"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("source", "lang"), "full_outer")
+                .select(col("source"), col("lang"),
+                  (coalesce(col("c"), lit(0L)) +
+                    coalesce(col("d_c"), lit(0L))).as("c"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.TextAnalysis.theilUFromCells(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s43: stream produced no batches"))))
+  }
+
   /** s13: streaming maintenance of a distinct-edge interaction graph
     * — SET-semantics IVM next to s12's additive partials: each
     * microbatch's (user, event_type) edges anti-join the maintained
@@ -2270,6 +2326,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchCms(spark, sfDir)),
     "s42_stream_kmv_maintain" ->
       ((spark, sfDir) => foreachBatchKmv(spark, sfDir)),
+    "s43_stream_theil_u_maintain" ->
+      ((spark, sfDir) => foreachBatchTheilU(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2355,6 +2413,10 @@ object Streams {
     // the min-union-maintained K-smallest slates ≡ batch x219
     "s42_stream_kmv_maintain" ->
       graft.ext.Sampling.oracles("x219_kmv_distinct"),
+    // the IVM contract verbatim: the entropy association read from
+    // the additively-maintained contingency cells ≡ batch x228
+    "s43_stream_theil_u_maintain" ->
+      graft.ext.TextAnalysis.oracles("x228_theil_u"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

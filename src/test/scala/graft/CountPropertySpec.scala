@@ -159,9 +159,13 @@ class CountPropertySpec extends SparkSpec {
     } yield (es.distinct, slices)
     for ((es, slices) <- samples(gen, 8)) {
       val S = graft.ext.Graph.HitsScale
-      val h0 = S / es.map(_._1).distinct.size
+      // h0 = 1: the uniform start is normalized away immediately, so
+      // round-1 authority is the exact in-degree (no scale cliff)
+      val h0 = 1L
       def norm(m: Map[Int, Long]): Map[Int, Long] = {
-        val t = m.values.sum; m.map { case (k, v) => k -> v * S / t }
+        // BigInt: v * S leaves Long once scores carry degree x scale
+        val t = m.values.sum
+        m.map { case (k, v) => k -> (BigInt(v) * S / t).toLong }
       }
       val a1n = norm(es.groupBy(_._2).map { case (s, e) => s -> e.size * h0 })
       val h1n = norm(es.groupBy(_._1).map { case (p, e) =>

@@ -1896,10 +1896,12 @@ class ExtSpec extends SparkSpec {
       .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val S = graft.ext.Graph.HitsScale
-    val h0 = S / pairs.map(_._1).distinct.size
+    // h0 = 1 (normalized away immediately); BigInt floor division
+    // because v * S leaves Long at the 10^12 scale
+    val h0 = 1L
     def norm(m: Map[Long, Long]): Map[Long, Long] = {
       val t = m.values.sum
-      m.map { case (k, v) => k -> v * S / t }
+      m.map { case (k, v) => k -> (BigInt(v) * S / t).toLong }
     }
     val a1n = norm(pairs.groupBy(_._2).map { case (s, es) => s -> es.size * h0 })
     val h1n = norm(pairs.groupBy(_._1).map { case (p, es) =>
@@ -4931,6 +4933,40 @@ class ExtSpec extends SparkSpec {
     assert(row.getDouble(4) == r(miNum.toDouble / hNum, 6), s"u: $row")
     assert(row.getDouble(4) >= -0.001 && row.getDouble(4) <= 1.0,
       s"U out of range: $row")
+  }
+
+  test("x229 brown-forsythe: matches an in-process reference off discrete medians") {
+    val d = Lake.table(spark, SfDir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    def med(xs: Seq[Long]) = xs.sorted.apply((xs.length - 1) / 2)
+    val groups = d.groupBy(_._1).map { case (s, g) =>
+      val vals = g.map(_._2).toSeq
+      val m = med(vals)
+      val zs = vals.map(v => math.abs(v - m))
+      (s, vals.length.toLong, m, zs.sum, zs.map(z => z * z).sum)
+    }.toSeq.sortBy(_._1)
+    val n = groups.map(_._2).sum
+    val k = groups.length
+    val sb = groups.map(g => g._4.toDouble * g._4 / g._2).sum
+    val szTot = groups.map(_._4).sum
+    val szzTot = groups.map(_._5).sum
+    val between = sb - szTot.toDouble * szTot / n
+    val within = szzTot.toDouble - sb
+    val expectedF = BigDecimal((between / (k - 1.0)) /
+      (within / (n.toDouble - k)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.ext.Sampling.queries("x229_brown_forsythe")(spark, SfDir)
+      .collect()
+    assert(rows.length == k)
+    rows.zip(groups).foreach { case (r, (s, nG, m, sz, _)) =>
+      assert(r.getString(0) == s && r.getLong(1) == nG &&
+        r.getLong(2) == m, s"group stats: $r vs ($s, $nG, $m)")
+      assert(r.getDouble(3) == BigDecimal(sz.toDouble / nG)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"mean abs dev: $r")
+      assert(r.getDouble(5) == expectedF, s"F: ${r.getDouble(5)} vs $expectedF")
+    }
   }
 
   test("x225 binseg: planted level shift localized exactly, argmax key integer-decided") {

@@ -301,6 +301,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed KMV diverges from batch x219:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming theil-u maintenance: additively-merged contingency cells serve batch x228 exactly (s43)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    val streamed = graft.streaming.Streams.foreachBatchTheilU(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s43_$tag")
+      .listFiles().count(_.getName.startsWith("cells_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.TextAnalysis.queries("x228_theil_u")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed Theil U diverges from batch x228:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
