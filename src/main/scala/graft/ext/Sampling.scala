@@ -608,6 +608,188 @@ object Sampling {
       .orderBy(col("grp"))
   }
 
+  /** x230's register count (m = 64) and Flajolet's published bias
+    * constant α₆₄ ≈ 0.709 — both frozen into the Spark plan and the
+    * DuckDB oracle, so the estimate is pure deterministic arithmetic.
+    */
+  val HllM = 64L
+  val HllAlpha = 0.709
+
+  /** x230's HyperLogLog over a (grp, k: long) element frame, beside
+    * its exact control — the register-max distinct sketch x68 keeps
+    * on engine-private xxhash64 (rows-only there), rebuilt on the
+    * frozen modular hash so it takes a FULL cross-engine oracle, the
+    * same promotion x218/x219 gave CMS/KMV. Hash h splits into a
+    * register index j = h mod 64 and a 25-bit payload w = h div 64;
+    * the register keeps the max rank (leading-zero count + 1 of w in
+    * the 25-bit field, via the PORTABLE bit-length identity rank =
+    * 26 − len(bin(w)), w = 0 ↦ 26 — Spark and DuckDB both define
+    * bin() as the minimal binary string, verified identical), and
+    * the estimate is α·m²/Σ2^(−M_j) with Flajolet's linear-counting
+    * fallback m·ln(m/V) when E ≤ 2.5m and V registers are empty.
+    * Σ2^(−M_j) is a ≤64-term sum of binary fractions ≥ 2⁻²⁶ — exact
+    * in a double regardless of association order, so the division is
+    * the only rounding site on either engine. Duplicate elements are
+    * harmless by construction (max is idempotent), so the build skips
+    * the distinct() the exact control needs. Production state is the
+    * 64-register max table per group, mergeable by MAX-UNION — the
+    * fourth merge discipline in the sketch suite (s41 +, s42
+    * min-union, s13 set-union), exercised as a stream by s44.
+    */
+  def hllDistinctFromElements(elems: DataFrame): DataFrame =
+    hllReadout(hllRegistersOf(elems),
+      elems.distinct().groupBy(col("grp"))
+        .agg(count(lit(1)).as("exact_distinct")))
+
+  /** x230's per-group register maxima (grp, j, m_j) — s44's maintained
+    * artifact. Merge semantics are MAX-UNION: HLL(A ∪ B) registers =
+    * elementwise max of HLL(A) and HLL(B), exactly.
+    *
+    * The affine hash is strengthened by the frozen xor-shift-multiply
+    * chain [[mixHash]] (x206's decorrelation discipline): a bare
+    * 2-universal affine map of SEQUENTIAL keys — and corpus ids are
+    * sequential — is an arithmetic progression mod P whose
+    * leading-zero statistics are far from geometric (measured 92%
+    * HLL overestimate on 1..500); the mix restores the ±13%
+    * textbook band. Both engines apply the identical chain.
+    */
+  private[graft] def hllRegistersOf(elems: DataFrame): DataFrame = {
+    val (a, b) = CmsHashes(1)
+    mixHash(elems.select(col("grp"),
+        expr(s"($a * (k % $CmsP) + $b) % $CmsP").as("h0")))
+      .select(col("grp"), (col("hm") % HllM).as("j"),
+        expr(s"hm DIV $HllM").as("w"))
+      .select(col("grp"), col("j"),
+        when(col("w") === 0L, lit(26L))
+          .otherwise(lit(26L) - length(bin(col("w"))).cast("long"))
+          .as("rank"))
+      .groupBy(col("grp"), col("j"))
+      .agg(max(col("rank")).as("m_j"))
+  }
+
+  /** The frozen xor-shift-multiply strengthening chain over an `h0`
+    * affine-hash column, appending `hm` ∈ [0, 2³¹): h1 = h0·48271
+    * mod P, h2 = h1 ⊕ (h1 div 2048), h3 = h2·69621 mod P, hm = h3 ⊕
+    * (h3 div 1024) — the multiply-xor-shift alternation that breaks
+    * the arithmetic-progression structure an affine map leaves on
+    * sequential keys (x206's relabeling fix, hoisted here for x230/
+    * x231). Every step is exact BIGINT (products < 2⁴⁸); the DuckDB
+    * twin is [[mixHashSqlCtes]].
+    */
+  private def mixHash(withH0: DataFrame): DataFrame =
+    withH0
+      .withColumn("h1", col("h0") * lit(48271L) % lit(CmsP))
+      .withColumn("h2", col("h1").bitwiseXOR(expr("h1 DIV 2048")))
+      .withColumn("h3", col("h2") * lit(69621L) % lit(CmsP))
+      .withColumn("hm", col("h3").bitwiseXOR(expr("h3 DIV 1024")))
+
+  /** The DuckDB CTE chain equivalent to [[mixHash]]: given a CTE
+    * `src` with an h0 column (plus carried columns `cols`), emits
+    * `m1, m2, m3, mx` where `mx` carries the mixed hash as `hm`.
+    */
+  private def mixHashSqlCtes(src: String, cols: String): String =
+    s"m1 AS (SELECT $cols, (h0 * 48271) % $CmsP AS h1 FROM $src), " +
+      s"m2 AS (SELECT $cols, xor(h1, h1 // 2048) AS h2 FROM m1), " +
+      s"m3 AS (SELECT $cols, (h2 * 69621) % $CmsP AS h3 FROM m2), " +
+      s"mx AS (SELECT $cols, xor(h3, h3 // 1024) AS hm FROM m3)"
+
+  /** The x230 readout over a prebuilt register table and an exact
+    * control frame — shared with s44 so streamed ≡ batch is literal
+    * frame equality. Empty registers contribute 2⁰ to the harmonic
+    * sum (64 − n_regs hit registers appear nowhere in the table).
+    */
+  private[graft] def hllReadout(regs: DataFrame, exact: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    regs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(pow(lit(0.5), col("m_j"))).as("z_hit"))
+      .select(col("grp"), (lit(HllM) - col("n_regs")).as("v_zero"),
+        (col("z_hit") + (lit(HllM) - col("n_regs")).cast("double")).as("z"))
+      .join(exact, "grp")
+      .withColumn("est_raw",
+        lit(HllAlpha) * lit((HllM * HllM).toDouble) / col("z"))
+      .select(col("grp"), col("exact_distinct"), col("v_zero"),
+        when(col("est_raw") <= lit(2.5 * HllM) && col("v_zero") > 0L,
+          round(lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / dd("v_zero")), 0))
+          .otherwise(round(col("est_raw"), 0)).cast("long").as("hll_est"))
+      .withColumn("rel_err",
+        round(abs(col("hll_est") - col("exact_distinct")).cast("double") /
+          dd("exact_distinct"), 4))
+      .orderBy(col("grp"))
+  }
+
+  /** x231's replicate count and the four extra frozen (a, b) affine
+    * pairs that extend [[CmsHashes]] to eight independent sign hashes
+    * (2-universal like the CMS rows; the classical AMS bound assumes
+    * 4-wise independence — the weaker family trades a looser variance
+    * bound for the exact cross-engine determinism this suite is
+    * built on).
+    */
+  val AmsReps = 8
+  val AmsHashes: Seq[(Long, Long)] = CmsHashes ++ Seq(
+    (1223106847L, 31337L), (1431655765L, 271828L),
+    (1073807359L, 141421L), (1321528399L, 577215L))
+
+  /** x231's AMS/Tug-of-War second-moment sketch over a (grp, k, c)
+    * exact key-count frame, beside its exact control: each of the 8
+    * replicates assigns every key a frozen ±1 sign (hash < P/2 ↦ +1)
+    * and keeps the signed sum Z_r = Σ s_r(k)·c_k; E[Z_r²] = F₂ =
+    * Σ c_k², so the estimate is the mean of the 8 squares. The
+    * sketch state is 8 BIGINTs per group and LINEAR in the input —
+    * the third additive merge in the sketch suite (counters, cells,
+    * now signed sums), exercised as a stream by s45. |Z_r| ≤ Σ c_k =
+    * the group's event count, so Z² stays in BIGINT to ~3·10⁹ events
+    * per group; past that the squares move to DECIMAL(38,0). F₂ is
+    * the self-join size / skew statistic (Σ over keys of pair count)
+    * a 100 TB planner wants per join column without a shuffle: one
+    * map pass, 8·|groups| longs of state.
+    */
+  def amsF2FromCounts(counts: DataFrame): DataFrame =
+    amsReadout(amsSumsOf(counts),
+      counts.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("f2_exact")))
+
+  /** x231's per-group signed sums (grp, r, z) — s45's maintained
+    * artifact; merges by + (the sums are linear in the counts). The
+    * per-replicate sign reads the [[mixHash]]-strengthened hash, not
+    * the bare affine map: sign runs of an affine progression on
+    * sequential keys are thousands long (measured est/exact ≈ 24 on
+    * 1..2000), while the mixed signs land the estimator inside its
+    * theoretical √(2/8) ≈ 50% band.
+    */
+  private[graft] def amsSumsOf(counts: DataFrame): DataFrame = {
+    val h0s = AmsHashes.zipWithIndex.map { case ((a, b), r) =>
+      struct(lit(r.toLong).as("r"),
+        expr(s"($a * (k % $CmsP) + $b) % $CmsP").as("h0"))
+    }
+    mixHash(counts
+        .select(col("grp"), col("c"), explode(array(h0s: _*)).as("h"))
+        .select(col("grp"), col("c"), col("h.r").as("r"),
+          col("h.h0").as("h0")))
+      .groupBy(col("grp"), col("r"))
+      .agg(sum(when(col("hm") < lit(CmsP / 2), lit(1L))
+        .otherwise(lit(-1L)) * col("c")).as("z"))
+  }
+
+  /** The x231 readout over prebuilt signed sums and an exact control
+    * — shared with s45 so streamed ≡ batch is literal frame equality.
+    */
+  private[graft] def amsReadout(sums: DataFrame, exact: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    sums.groupBy(col("grp"))
+      .agg((sum(col("z") * col("z")).cast("double") /
+        lit(AmsReps.toDouble)).as("est_raw"))
+      .join(exact, "grp")
+      .select(col("grp"), col("n_keys"), col("f2_exact"),
+        round(col("est_raw"), 0).cast("long").as("f2_est"))
+      .withColumn("rel_err",
+        round(abs(col("f2_est") - col("f2_exact")).cast("double") /
+          dd("f2_exact"), 4))
+      .orderBy(col("grp"))
+  }
+
   /** x209's user-feature frame (user_id, f = event count, m = spend
     * cents) — both columns merge ADDITIVELY per microbatch, so s38
     * maintains this table incrementally (s19's user-grain merge
@@ -1167,6 +1349,31 @@ object Sampling {
       kmvDistinctFromElements(
         Lake.table(spark, sfDir, "events")
           .select(col("event_type").as("grp"), col("user_id").as("k")))),
+
+    // HYPERLOGLOG DISTINCT (frozen-hash twin) — the register-max
+    // distinct sketch itself, fully oracled: x68's HLL rollup grades
+    // Spark's native approx_count_distinct merge (engine-hash-bound,
+    // rows-only); this one rebuilds HLL on the frozen modular hash so
+    // DuckDB reproduces every register and the estimate bit-for-bit.
+    // Same (event_type, user_id) frame as x219, so the report reads
+    // KMV and HLL side by side on identical groups — see
+    // [[hllDistinctFromElements]] for the register/rank arithmetic.
+    "x230_hll_frozen" -> ((spark, sfDir) =>
+      hllDistinctFromElements(
+        Lake.table(spark, sfDir, "events")
+          .select(col("event_type").as("grp"), col("user_id").as("k")))),
+
+    // AMS F2 SKETCH — the second-frequency-moment estimator (self-join
+    // size / skew mass Σ c_k² per join column) from 8 frozen ±1 signed
+    // sums — the one-pass answer to "how skewed is this key" that a
+    // 100 TB planner wants before choosing a join strategy, graded
+    // against its exact control — see [[amsF2FromCounts]]. Keys =
+    // per-type user event counts.
+    "x231_ams_f2" -> ((spark, sfDir) =>
+      amsF2FromCounts(
+        Lake.table(spark, sfDir, "events")
+          .groupBy(col("event_type").as("grp"), col("user_id").as("k"))
+          .agg(count(lit(1)).as("c")))),
 
     // ISOTONIC CALIBRATION (PAV fit) — the nonparametric recalibration
     // map beside x149's diagnosis (ECE says the score is miscalibrated;
@@ -2500,6 +2707,55 @@ object Sampling {
         "SELECT grp, exact_distinct, kmv_est, " +
         "ROUND(CAST(ABS(kmv_est - exact_distinct) AS DOUBLE) / CAST(exact_distinct AS DOUBLE), 4) AS rel_err " +
         "FROM est ORDER BY grp"
+    },
+    // same frozen second-pair hash, same j/w register split, same
+    // bin()-length rank, same harmonic sum with the empty-register
+    // mass and the linear-counting fallback
+    "x230_hll_frozen" -> {
+      val (a, b) = CmsHashes(1)
+      "WITH el AS (SELECT DISTINCT event_type AS grp, user_id AS k FROM events), " +
+        s"hashed0 AS (SELECT grp, ($a * (k % $CmsP) + $b) % $CmsP AS h0 FROM el), " +
+        mixHashSqlCtes("hashed0", "grp") + ", " +
+        s"rw AS (SELECT grp, hm % $HllM AS j, hm // $HllM AS w FROM mx), " +
+        "rk AS (SELECT grp, j, CASE WHEN w = 0 THEN 26 " +
+        "ELSE 26 - length(bin(w)) END AS rank FROM rw), " +
+        "regs AS (SELECT grp, j, CAST(MAX(rank) AS BIGINT) AS m_j FROM rk GROUP BY 1, 2), " +
+        "z AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_regs, " +
+        "SUM(POWER(0.5, m_j)) AS z_hit FROM regs GROUP BY 1), " +
+        "ex AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM el GROUP BY 1), " +
+        s"e AS (SELECT z.grp, exact_distinct, $HllM - n_regs AS v_zero, " +
+        s"z_hit + CAST($HllM - n_regs AS DOUBLE) AS zz FROM z JOIN ex USING (grp)), " +
+        s"est AS (SELECT grp, exact_distinct, v_zero, " +
+        s"$HllAlpha * ${(HllM * HllM).toDouble} / zz AS est_raw FROM e), " +
+        s"fin AS (SELECT grp, exact_distinct, v_zero, " +
+        s"CAST(CASE WHEN est_raw <= ${2.5 * HllM} AND v_zero > 0 " +
+        s"THEN ROUND(${HllM.toDouble} * LN(${HllM.toDouble} / CAST(v_zero AS DOUBLE)), 0) " +
+        "ELSE ROUND(est_raw, 0) END AS BIGINT) AS hll_est FROM est) " +
+        "SELECT grp, exact_distinct, v_zero, hll_est, " +
+        "ROUND(CAST(ABS(hll_est - exact_distinct) AS DOUBLE) / " +
+        "CAST(exact_distinct AS DOUBLE), 4) AS rel_err FROM fin ORDER BY grp"
+    },
+    // same eight frozen sign hashes, same signed sums, same
+    // mean-of-squares estimate beside the exact F2
+    "x231_ams_f2" -> {
+      val rows = AmsHashes.zipWithIndex.map { case ((a, b), r) =>
+        s"SELECT grp, c, $r AS r, ($a * (k % $CmsP) + $b) % $CmsP AS h0 FROM counts"
+      }.mkString(" UNION ALL ")
+      "WITH counts AS (SELECT event_type AS grp, user_id AS k, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        s"signed0 AS ($rows), " +
+        mixHashSqlCtes("signed0", "grp, c, r") + ", " +
+        s"sums AS (SELECT grp, r, CAST(SUM(CASE WHEN hm < ${CmsP / 2} " +
+        "THEN 1 ELSE -1 END * c) AS BIGINT) AS z FROM mx GROUP BY 1, 2), " +
+        s"est AS (SELECT grp, CAST(SUM(z * z) AS DOUBLE) / ${AmsReps.toDouble} AS est_raw " +
+        "FROM sums GROUP BY 1), " +
+        "ex AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+        "CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM counts GROUP BY 1), " +
+        "fin AS (SELECT est.grp, n_keys, f2_exact, " +
+        "CAST(ROUND(est_raw, 0) AS BIGINT) AS f2_est FROM est JOIN ex USING (grp)) " +
+        "SELECT grp, n_keys, f2_exact, f2_est, " +
+        "ROUND(CAST(ABS(f2_est - f2_exact) AS DOUBLE) / CAST(f2_exact AS DOUBLE), 4) AS rel_err " +
+        "FROM fin ORDER BY grp"
     },
     // same doubled-rank histogram, same per-group BIGINT rank sums,
     // same double H expression and HUGEINT tie mass

@@ -1112,6 +1112,128 @@ object Streams {
         .agg(count(lit(1)).as("exact_distinct")))
   }
 
+  /** s44: x230's HyperLogLog registers maintained incrementally — the
+    * MAX-UNION merge discipline, the fourth in the suite (s41 merges
+    * counters by +, s42 slates by min-union, s13 edges by set-union;
+    * HLL merges by elementwise register max): HLL(A ∪ B) =
+    * max(HLL(A), HLL(B)) per register, exactly — which is why HLL is
+    * THE cross-shard distinct sketch at 100 TB: 64 bytes per group
+    * per shard, composed with no rescan. State is ≤ 64 rows per
+    * group; the readout grades the maintained registers against the
+    * exact distinct count through the shared
+    * [[graft.ext.Sampling.hllReadout]] stage, so streamed ≡ batch
+    * x230 by construction and the oracle is reused verbatim.
+    */
+  def foreachBatchHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s44_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/regs_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.hllRegistersOf(
+            batch.toDF().select(col("event_type").as("grp"),
+              col("user_id").as("k")))
+            .withColumnRenamed("m_j", "d_m_j")
+          val merged = latest match {
+            case None => delta.select(col("grp"), col("j"),
+              col("d_m_j").as("m_j"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("grp", "j"), "full_outer")
+                .select(col("grp"), col("j"),
+                  greatest(coalesce(col("m_j"), lit(0L)),
+                    coalesce(col("d_m_j"), lit(0L))).as("m_j"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.hllReadout(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s44: stream produced no batches"))),
+      Lake.table(spark, sfDir, "events")
+        .select(col("event_type").as("grp"), col("user_id").as("k"))
+        .distinct().groupBy(col("grp"))
+        .agg(count(lit(1)).as("exact_distinct")))
+  }
+
+  /** s45: x231's AMS signed sums maintained incrementally — additive
+    * sketch-state IVM like s41's counters, but the linearity is
+    * subtler and worth exercising: the per-batch delta is the signed
+    * sum of the batch's OWN key counts, and because each key's sign
+    * is a frozen function of the key, Σ_batches s(k)·c_batch(k) =
+    * s(k)·Σ_batches c_batch(k) — the sums commute with the merge, so
+    * + IS the correct composition. State is 8 rows per group; the
+    * readout grades the maintained sums against the exact F₂ through
+    * the shared [[graft.ext.Sampling.amsReadout]] stage, so streamed
+    * ≡ batch x231 by construction and the oracle is reused verbatim.
+    */
+  def foreachBatchAms(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s45_${tag(sfDir)}"
+    rmDir(spark, base)
+    val micros = Lake.ensureMicrosEvents(spark, sfDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(micros).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(micros)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/sums_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = graft.ext.Sampling.amsSumsOf(
+            batch.toDF()
+              .groupBy(col("event_type").as("grp"), col("user_id").as("k"))
+              .agg(count(lit(1)).as("c")))
+            .withColumnRenamed("z", "d_z")
+          val merged = latest match {
+            case None => delta.select(col("grp"), col("r"),
+              col("d_z").as("z"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("grp", "r"), "full_outer")
+                .select(col("grp"), col("r"),
+                  (coalesce(col("z"), lit(0L)) +
+                    coalesce(col("d_z"), lit(0L))).as("z"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.amsReadout(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s45: stream produced no batches"))),
+      Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type").as("grp"), col("user_id").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c") * col("c")).as("f2_exact")))
+  }
+
   /** s43: x228's Theil U with the (source, lang) contingency cell
     * table maintained incrementally — s21 already streams the same
     * metadata split for Simpson diversity; this maintainer keeps the
@@ -2328,6 +2450,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchKmv(spark, sfDir)),
     "s43_stream_theil_u_maintain" ->
       ((spark, sfDir) => foreachBatchTheilU(spark, sfDir)),
+    "s44_stream_hll_maintain" ->
+      ((spark, sfDir) => foreachBatchHll(spark, sfDir)),
+    "s45_stream_ams_maintain" ->
+      ((spark, sfDir) => foreachBatchAms(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2417,6 +2543,14 @@ object Streams {
     // the additively-maintained contingency cells ≡ batch x228
     "s43_stream_theil_u_maintain" ->
       graft.ext.TextAnalysis.oracles("x228_theil_u"),
+    // the IVM contract verbatim: the distinct estimate served from
+    // the max-union-maintained register table ≡ batch x230
+    "s44_stream_hll_maintain" ->
+      graft.ext.Sampling.oracles("x230_hll_frozen"),
+    // the IVM contract verbatim: the F2 estimate served from the
+    // additively-maintained signed sums ≡ batch x231
+    "s45_stream_ams_maintain" ->
+      graft.ext.Sampling.oracles("x231_ams_f2"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

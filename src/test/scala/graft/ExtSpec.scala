@@ -5184,6 +5184,91 @@ class ExtSpec extends SparkSpec {
       s"corpus KMV: ${corpus.toSeq}")
   }
 
+  test("x230 hll: registers and estimate match an in-process simulation, duplicates are free") {
+    import spark.implicits._
+    val p = graft.ext.Sampling.CmsP
+    val m = graft.ext.Sampling.HllM
+    val (a, b) = graft.ext.Sampling.CmsHashes(1)
+    def mix(h0: Long): Long = {
+      val h1 = h0 * 48271L % p
+      val h2 = h1 ^ (h1 / 2048)
+      val h3 = h2 * 69621L % p
+      h3 ^ (h3 / 1024)
+    }
+    def simulate(keys: Seq[Long]): (Long, Long) = {
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      keys.foreach { k =>
+        val h = mix((a * (k % p) + b) % p)
+        val j = h % m
+        val w = h / m
+        val rank = if (w == 0L) 26L
+          else 26L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(j) = math.max(regs.getOrElse(j, 0L), rank)
+      }
+      val vZero = m - regs.size
+      val z = regs.values.map(r => math.pow(0.5, r.toDouble)).sum + vZero
+      val raw = graft.ext.Sampling.HllAlpha * (m * m) / z
+      val est = if (raw <= 2.5 * m && vZero > 0)
+        math.round(m.toDouble * math.log(m.toDouble / vZero))
+      else math.round(raw)
+      (vZero, est)
+    }
+    val keys = (1L to 500L)
+    // duplicates must not move a register (max is idempotent)
+    val withDups = keys ++ keys.take(100) ++ keys.take(7)
+    val got = graft.ext.Sampling.hllDistinctFromElements(
+      withDups.map(("g", _)).toDF("grp", "k")).collect()
+    val (vZero, est) = simulate(keys)
+    assert(got.length == 1 && got(0).getLong(1) == 500L &&
+      got(0).getLong(2) == vZero && got(0).getLong(3) == est,
+      s"HLL vs simulation: ${got.toSeq} vs ($vZero, $est)")
+    // estimate plausible on uniform-ish keys (HLL-64 std err ~13%)
+    assert(math.abs(est - 500.0) / 500.0 < 0.5,
+      s"estimate implausibly far: $est")
+    // corpus: one row per event_type, bounded error vs exact
+    val corpus = graft.ext.Sampling.queries("x230_hll_frozen")(spark, SfDir)
+      .collect()
+    val nTypes = Lake.table(spark, SfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(corpus.length == nTypes && corpus.forall(_.getDouble(4) < 0.6),
+      s"corpus HLL: ${corpus.toSeq}")
+  }
+
+  test("x231 ams: signed sums match an in-process simulation, estimate unbiased-ish on the corpus") {
+    import spark.implicits._
+    val p = graft.ext.Sampling.CmsP
+    val counts = Seq((1L, 10L), (2L, 7L), (3L, 7L), (17L, 3L),
+      (99L, 2L), (1234567L, 1L))
+    val got = graft.ext.Sampling.amsF2FromCounts(
+      counts.map { case (k, c) => ("g", k, c) }.toDF("grp", "k", "c"))
+      .collect()
+    val f2Exact = counts.map { case (_, c) => c * c }.sum
+    def mix(h0: Long): Long = {
+      val h1 = h0 * 48271L % p
+      val h2 = h1 ^ (h1 / 2048)
+      val h3 = h2 * 69621L % p
+      h3 ^ (h3 / 1024)
+    }
+    val estSim = graft.ext.Sampling.AmsHashes.map { case (a, b) =>
+      val z = counts.map { case (k, c) =>
+        (if (mix((a * (k % p) + b) % p) < p / 2) 1L else -1L) * c
+      }.sum
+      z * z
+    }.sum.toDouble / graft.ext.Sampling.AmsReps
+    assert(got.length == 1 && got(0).getLong(1) == counts.length.toLong &&
+      got(0).getLong(2) == f2Exact &&
+      got(0).getLong(3) == math.round(estSim),
+      s"AMS vs simulation: ${got.toSeq} vs ($f2Exact, $estSim)")
+    // corpus: one row per event_type; 8 replicates of a 2-universal
+    // sign family on ~uniform counts land within a loose band
+    val corpus = graft.ext.Sampling.queries("x231_ams_f2")(spark, SfDir)
+      .collect()
+    val nTypes = Lake.table(spark, SfDir, "events")
+      .select(col("event_type")).distinct().count()
+    assert(corpus.length == nTypes && corpus.forall(_.getLong(2) > 0L),
+      s"corpus AMS: ${corpus.toSeq}")
+  }
+
   test("c98 c-index: hand-computed pair classes on planted subjects, corpus readout sane") {
     import spark.implicits._
     def ci(rows: Seq[(Long, Boolean, Long)]) =

@@ -317,6 +317,38 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Theil U diverges from batch x228:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming hll maintenance: max-union-merged registers serve batch x230 exactly (s44)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val streamed = graft.streaming.Streams.foreachBatchHll(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s44_$tag")
+      .listFiles().count(_.getName.startsWith("regs_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x230_hll_frozen")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed HLL diverges from batch x230:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
+  test("streaming ams maintenance: additively-merged signed sums serve batch x231 exactly (s45)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))
+    val streamed = graft.streaming.Streams.foreachBatchAms(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s45_$tag")
+      .listFiles().count(_.getName.startsWith("sums_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x231_ams_f2")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed AMS diverges from batch x231:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
