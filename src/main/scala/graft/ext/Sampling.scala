@@ -369,6 +369,44 @@ object Sampling {
     * Degenerate single-bin axes read τ_b = NULL, never a crash.
     */
   def kendallFromJoint(joint: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    kendallGridStats(joint)
+      .select(col("n"), col("n_conc"), col("n_disc"),
+        col("tie_x_pairs"), col("tie_y_pairs"),
+        when(col("n0") > col("tie_x_pairs") &&
+            col("n0") > col("tie_y_pairs"),
+          round((dd("n_conc") - dd("n_disc")) /
+            sqrt((dd("n0") - dd("tie_x_pairs")) *
+              (dd("n0") - dd("tie_y_pairs"))), 6)).as("tau_b"))
+  }
+
+  /** x233's Somers' D over the same dominance grid — the ASYMMETRIC
+    * concordance statistic (Kendall's τ_b treats the two variables
+    * symmetrically; Somers' D conditions on one: D_y|x = (C−D)/(n₀−T_x)
+    * reads "of the pairs untied on x, what excess fraction order the
+    * same way on y" — the Gini-like rank accuracy behind c98's
+    * c-index, which equals (D_score|outcome + 1)/2). Both directions
+    * from the ONE grid pass x216 already proved; the readout adds two
+    * divisions. Shares [[kendallGridStats]] so the pair algebra can
+    * never diverge between the two operators.
+    */
+  def somersDFromJoint(joint: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    kendallGridStats(joint)
+      .select(col("n"), col("n_conc"), col("n_disc"),
+        when(col("n0") > col("tie_x_pairs"),
+          round((dd("n_conc") - dd("n_disc")) /
+            (dd("n0") - dd("tie_x_pairs")), 6)).as("d_y_given_x"),
+        when(col("n0") > col("tie_y_pairs"),
+          round((dd("n_conc") - dd("n_disc")) /
+            (dd("n0") - dd("tie_y_pairs")), 6)).as("d_x_given_y"))
+  }
+
+  /** The shared dominance-grid sufficient statistic under x216/x233:
+    * one row (n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, n0) — the
+    * grid algebra documented on [[kendallFromJoint]].
+    */
+  private def kendallGridStats(joint: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = joint.sparkSession
     val b = KendallBins
@@ -406,16 +444,8 @@ object Sampling {
       sum(expr("(fx * (fx - 1)) DIV 2")), lit(0L)).as("tie_x_pairs")))
     val ty = broadcast(margy.agg(coalesce(
       sum(expr("(fy * (fy - 1)) DIV 2")), lit(0L)).as("tie_y_pairs")))
-    def dd(c: String) = col(c).cast("double")
     cd.crossJoin(tx).crossJoin(ty)
       .withColumn("n0", expr("(n * (n - 1)) DIV 2"))
-      .select(col("n"), col("n_conc"), col("n_disc"),
-        col("tie_x_pairs"), col("tie_y_pairs"),
-        when(col("n0") > col("tie_x_pairs") &&
-            col("n0") > col("tie_y_pairs"),
-          round((dd("n_conc") - dd("n_disc")) /
-            sqrt((dd("n0") - dd("tie_x_pairs")) *
-              (dd("n0") - dd("tie_y_pairs"))), 6)).as("tau_b"))
   }
 
   /** x217's Kruskal–Wallis H over a (grp, v, f) grouped value-
@@ -472,6 +502,119 @@ object Sampling {
           .as("h_tie_corrected"))
       .orderBy(col("grp"))
   }
+
+  /** x232's Cliff's delta over a (grp ∈ {a, b}, v, f) two-group
+    * value-frequency table — the ORDINAL effect size the rank tests
+    * leave out (x146/x217 say WHETHER the groups differ; δ =
+    * P(x>y) − P(x<y) says by HOW MUCH, insensitive to any monotone
+    * transform of v — the robust complement of x235's Cohen's d):
+    * #(x>y) = Σ_v f_a(v)·cum_b(<v) off one prefix window over the
+    * shared value support, ties = Σ f_a·f_b, and #(x<y) falls out of
+    * the exact identity lt = n_a·n_b − gt − ties — no second pass.
+    * All BIGINT (n_a·n_b exact to n ≈ 3·10⁹ per group), one double
+    * division at 6 dp. Support-sized after one fact aggregation.
+    */
+  def cliffsDeltaFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wide = cells.groupBy(col("v"))
+      .agg(sum(when(col("grp") === "a", col("f")).otherwise(0L)).as("fa"),
+        sum(when(col("grp") === "b", col("f")).otherwise(0L)).as("fb"))
+    val byV = Window.orderBy(col("v"))
+    def dd(c: String) = col(c).cast("double")
+    wide
+      .withColumn("cumb", coalesce(sum(col("fb")).over(
+        byV.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("fa")).as("n_a"), sum(col("fb")).as("n_b"),
+        sum(col("fa") * col("cumb")).as("n_gt"),
+        sum(col("fa") * col("fb")).as("n_ties"))
+      .select(col("n_a"), col("n_b"), col("n_gt"),
+        (col("n_a") * col("n_b") - col("n_gt") - col("n_ties"))
+          .as("n_lt"), col("n_ties"))
+      .select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
+        col("n_ties"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round((dd("n_gt") - dd("n_lt")) / (dd("n_a") * dd("n_b")), 6))
+          .as("delta"))
+  }
+
+  /** x234's classic one-way ANOVA F across a (grp, n_g, s, ss) exact
+    * per-group moment frame (n, Σv, Σv²) — the parametric complement
+    * of x217 (location via ranks) and x229 (spread via robust
+    * deviations): SB = Σ s_g²/n_g − S²/N between, SW = Σss − Σ s_g²/n_g
+    * within, F = (SB/(k−1))/(SW/(N−k)), η² = SB/(SB+SW) as the effect
+    * size. Same per-group-double-squares discipline as x229 (the
+    * square leaves BIGINT near n_g·mean ≈ 3·10⁶); windows run over the
+    * k-row group frame only. Degenerate frames read NULL, not a crash.
+    */
+  def anovaFFromMoments(g: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd(c: String) = col(c).cast("double")
+    val whole = Window.partitionBy(lit(1))
+    g.withColumn("n", sum(col("n_g")).over(whole))
+      .withColumn("k_groups", count(lit(1)).over(whole))
+      .withColumn("sb_hit", sum(dd("s") * dd("s") / dd("n_g")).over(whole))
+      .withColumn("s_tot", sum(col("s")).over(whole))
+      .withColumn("ss_tot", sum(col("ss")).over(whole))
+      .withColumn("between",
+        col("sb_hit") - dd("s_tot") * dd("s_tot") / dd("n"))
+      .withColumn("within", dd("ss_tot") - col("sb_hit"))
+      .select(col("grp"), col("n_g"),
+        round(dd("s") / dd("n_g"), 4).as("mean_v"), col("k_groups"),
+        when(col("k_groups") > 1 && col("n") > col("k_groups") &&
+            col("within") > 0.0,
+          round((col("between") / (dd("k_groups") - 1.0)) /
+            (col("within") / (dd("n") - dd("k_groups"))), 6)).as("f_stat"),
+        when(col("between") + col("within") > 0.0,
+          round(col("between") / (col("between") + col("within")), 6))
+          .as("eta_sq"))
+      .orderBy(col("grp"))
+  }
+
+  /** x235's Welch two-sample t over the same (grp ∈ {a, b}, v)
+    * split as x232 — the unequal-variance mean comparison (Student's
+    * pooled t assumes one variance; Welch's t is the default that
+    * doesn't), from six exact sums: v_g = (n_g·ss_g − s_g²)/(n_g·
+    * (n_g−1)), t = (m_a−m_b)/√(v_a/n_a + v_b/n_b), the
+    * Welch–Satterthwaite df, and Cohen's d on the pooled sd as the
+    * parametric effect size x232's δ complements. One fact pass,
+    * fixed double expressions, NULL on degenerate frames.
+    */
+  def welchTFromMoments(g: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    val a = g.filter(col("grp") === "a")
+      .select(col("n_g").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = g.filter(col("grp") === "b")
+      .select(col("n_g").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    val va = (dd("n_a") * dd("ss_a") - dd("s_a") * dd("s_a")) /
+      (dd("n_a") * (dd("n_a") - 1.0))
+    val vb = (dd("n_b") * dd("ss_b") - dd("s_b") * dd("s_b")) /
+      (dd("n_b") * (dd("n_b") - 1.0))
+    val sea = va / dd("n_a")
+    val seb = vb / dd("n_b")
+    val md = dd("s_a") / dd("n_a") - dd("s_b") / dd("n_b")
+    val pooled = ((dd("n_a") - 1.0) * va + (dd("n_b") - 1.0) * vb) /
+      (dd("n_a") + dd("n_b") - 2.0)
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"),
+        round(dd("s_a") / dd("n_a"), 4).as("mean_a"),
+        round(dd("s_b") / dd("n_b"), 4).as("mean_b"),
+        when(col("n_a") > 1L && col("n_b") > 1L && sea + seb > 0.0,
+          round(md / sqrt(sea + seb), 6)).as("t_stat"),
+        when(col("n_a") > 1L && col("n_b") > 1L && sea + seb > 0.0,
+          round((sea + seb) * (sea + seb) /
+            (sea * sea / (dd("n_a") - 1.0) +
+              seb * seb / (dd("n_b") - 1.0)), 2)).as("df"),
+        when(col("n_a") > 1L && col("n_b") > 1L && pooled > 0.0,
+          round(md / sqrt(pooled), 6)).as("cohens_d"))
+  }
+
+  /** The (grp ∈ {a, b}, v) en-vs-other doc-length split under x232/
+    * x235 — one definition so the effect-size pair can never disagree
+    * on the population.
+    */
+  private[graft] def enOtherSplit(d: DataFrame): DataFrame =
+    d.select(when(col("lang") === "en", "a").otherwise("b").as("grp"),
+      col("n_chars").as("v"))
 
   /** x218's Count-Min geometry: d hash rows × w slots, with FROZEN
     * universal-hash coefficients h_r(k) = ((a_r·(k mod P) + b_r)
@@ -1349,6 +1492,47 @@ object Sampling {
       kmvDistinctFromElements(
         Lake.table(spark, sfDir, "events")
           .select(col("event_type").as("grp"), col("user_id").as("k")))),
+
+    // CLIFF'S DELTA — ordinal effect size of the en-vs-other doc
+    // length gap: the "how much" beside the rank tests' "whether",
+    // invariant to any monotone transform — see
+    // [[cliffsDeltaFromCells]]. One fact aggregation; support-sized
+    // after.
+    "x232_cliffs_delta" -> ((spark, sfDir) =>
+      cliffsDeltaFromCells(
+        enOtherSplit(docs(spark, sfDir))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
+
+    // SOMERS' D — the asymmetric concordance statistic off the SAME
+    // dominance grid as x216 (D_y|x conditions on the untied-on-x
+    // pairs — the rank accuracy behind c98's c-index); shares
+    // [[kendallGridStats]], so the grid algebra is pinned identical.
+    "x233_somers_d" -> ((spark, sfDir) =>
+      somersDFromJoint(spearmanJointOf(docs(spark, sfDir)))),
+
+    // ONE-WAY ANOVA F — the classic parametric location omnibus
+    // beside x217's rank version and x229's spread version: do the
+    // k sources share one MEAN doc length? Raw exact moments per
+    // group, per-group double squares, η² effect size — see
+    // [[anovaFFromMoments]].
+    "x234_anova_f" -> ((spark, sfDir) =>
+      anovaFFromMoments(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("ss")))),
+
+    // WELCH'S T — the unequal-variance two-sample mean test on the
+    // same en-vs-other split as x232, with Welch–Satterthwaite df
+    // and Cohen's d — the parametric effect size beside x232's
+    // ordinal δ — see [[welchTFromMoments]].
+    "x235_welch_t" -> ((spark, sfDir) =>
+      welchTFromMoments(
+        enOtherSplit(docs(spark, sfDir))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("ss")))),
 
     // HYPERLOGLOG DISTINCT (frozen-hash twin) — the register-max
     // distinct sketch itself, fully oracled: x68's HLL rollup grades
@@ -2414,6 +2598,39 @@ object Sampling {
       "sc AS (SELECT enc_fp, CAST(SUM(n) AS BIGINT) AS n, " +
       "CAST(SUM(n_pos) AS BIGINT) AS n_pos FROM cells GROUP BY 1)"
 
+  /** The shared x216/x233 dominance-grid CTE chain (the DuckDB twin
+    * of [[kendallGridStats]]): ends at `cd, tx, ty` so each oracle
+    * appends only its final readout SELECT — one pair algebra, two
+    * statistics, pinned identical on both engines.
+    */
+  private val kendallGridCte: String =
+    "WITH j AS (SELECT n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
+      "mx AS (SELECT MAX(n_chars) AS mc, MAX(n_toks) AS mt FROM j), " +
+      s"cells AS (SELECT (n_chars * $KendallBins) // (mc + 1) AS bx, " +
+      s"(n_toks * $KendallBins) // (mt + 1) AS by, " +
+      "CAST(COUNT(*) AS BIGINT) AS f FROM j, mx GROUP BY 1, 2), " +
+      s"grid AS (SELECT gx.range AS bx, gy.range AS by " +
+      s"FROM range(0, $KendallBins) gx, range(0, $KendallBins) gy), " +
+      "g0 AS (SELECT grid.bx, grid.by, COALESCE(f, 0) AS f " +
+      "FROM grid LEFT JOIN cells ON grid.bx = cells.bx AND grid.by = cells.by), " +
+      "g1 AS (SELECT bx, by, f, CAST(SUM(f) OVER (PARTITION BY bx ORDER BY by " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gy FROM g0), " +
+      "g2 AS (SELECT bx, by, f, CAST(SUM(gy) OVER (PARTITION BY by ORDER BY bx " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p FROM g1), " +
+      "g3 AS (SELECT bx, by, f, COALESCE(LAG(p) OVER (PARTITION BY by ORDER BY bx), 0) AS pxm1y FROM g2), " +
+      "g4 AS (SELECT bx, by, f, pxm1y, " +
+      "COALESCE(LAG(pxm1y) OVER (PARTITION BY bx ORDER BY by), 0) AS pxm1ym1 FROM g3), " +
+      "margx AS (SELECT bx, CAST(SUM(f) AS BIGINT) AS fx FROM g0 GROUP BY 1), " +
+      "mcum AS (SELECT bx, fx, CAST(SUM(fx) OVER (ORDER BY bx " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx FROM margx), " +
+      "margy AS (SELECT by, CAST(SUM(f) AS BIGINT) AS fy FROM g0 GROUP BY 1), " +
+      "cd AS (SELECT CAST(SUM(g4.f) AS BIGINT) AS n, " +
+      "CAST(SUM(g4.f * g4.pxm1ym1) AS BIGINT) AS n_conc, " +
+      "CAST(SUM(g4.f * (mcum.cumx - mcum.fx - g4.pxm1y)) AS BIGINT) AS n_disc " +
+      "FROM g4 JOIN mcum USING (bx)), " +
+      "tx AS (SELECT CAST(SUM((fx * (fx - 1)) // 2) AS BIGINT) AS tie_x_pairs FROM margx), " +
+      "ty AS (SELECT CAST(SUM((fy * (fy - 1)) // 2) AS BIGINT) AS tie_y_pairs FROM margy)"
+
   val oracles: Map[String, String] = Map(
     // same tie-aware BIGINT rank-sum at score grain, one division
     "x186_roc_auc" ->
@@ -2783,38 +3000,88 @@ object Sampling {
     // same 64-bin grid, same two 2-D prefix windows over the dense
     // grid, same exact pair algebra and one double division + sqrt
     "x216_kendall_tau_b" ->
-      ("WITH j AS (SELECT n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents), " +
-        "mx AS (SELECT MAX(n_chars) AS mc, MAX(n_toks) AS mt FROM j), " +
-        s"cells AS (SELECT (n_chars * $KendallBins) // (mc + 1) AS bx, " +
-        s"(n_toks * $KendallBins) // (mt + 1) AS by, " +
-        "CAST(COUNT(*) AS BIGINT) AS f FROM j, mx GROUP BY 1, 2), " +
-        s"grid AS (SELECT gx.range AS bx, gy.range AS by " +
-        s"FROM range(0, $KendallBins) gx, range(0, $KendallBins) gy), " +
-        "g0 AS (SELECT grid.bx, grid.by, COALESCE(f, 0) AS f " +
-        "FROM grid LEFT JOIN cells ON grid.bx = cells.bx AND grid.by = cells.by), " +
-        "g1 AS (SELECT bx, by, f, CAST(SUM(f) OVER (PARTITION BY bx ORDER BY by " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gy FROM g0), " +
-        "g2 AS (SELECT bx, by, f, CAST(SUM(gy) OVER (PARTITION BY by ORDER BY bx " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p FROM g1), " +
-        "g3 AS (SELECT bx, by, f, COALESCE(LAG(p) OVER (PARTITION BY by ORDER BY bx), 0) AS pxm1y FROM g2), " +
-        "g4 AS (SELECT bx, by, f, pxm1y, " +
-        "COALESCE(LAG(pxm1y) OVER (PARTITION BY bx ORDER BY by), 0) AS pxm1ym1 FROM g3), " +
-        "margx AS (SELECT bx, CAST(SUM(f) AS BIGINT) AS fx FROM g0 GROUP BY 1), " +
-        "mcum AS (SELECT bx, fx, CAST(SUM(fx) OVER (ORDER BY bx " +
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx FROM margx), " +
-        "margy AS (SELECT by, CAST(SUM(f) AS BIGINT) AS fy FROM g0 GROUP BY 1), " +
-        "cd AS (SELECT CAST(SUM(g4.f) AS BIGINT) AS n, " +
-        "CAST(SUM(g4.f * g4.pxm1ym1) AS BIGINT) AS n_conc, " +
-        "CAST(SUM(g4.f * (mcum.cumx - mcum.fx - g4.pxm1y)) AS BIGINT) AS n_disc " +
-        "FROM g4 JOIN mcum USING (bx)), " +
-        "tx AS (SELECT CAST(SUM((fx * (fx - 1)) // 2) AS BIGINT) AS tie_x_pairs FROM margx), " +
-        "ty AS (SELECT CAST(SUM((fy * (fy - 1)) // 2) AS BIGINT) AS tie_y_pairs FROM margy) " +
-        "SELECT n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, " +
+      (kendallGridCte +
+        " SELECT n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, " +
         "CASE WHEN (n * (n - 1)) // 2 > tie_x_pairs AND (n * (n - 1)) // 2 > tie_y_pairs THEN " +
         "ROUND((CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE)) / " +
         "SQRT((CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_x_pairs AS DOUBLE)) * " +
         "(CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_y_pairs AS DOUBLE))), 6) END AS tau_b " +
         "FROM cd, tx, ty"),
+    // the same shared dominance-grid CTE, two asymmetric divisions
+    "x233_somers_d" ->
+      (kendallGridCte +
+        " SELECT n, n_conc, n_disc, " +
+        "CASE WHEN (n * (n - 1)) // 2 > tie_x_pairs THEN " +
+        "ROUND((CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE)) / " +
+        "(CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_x_pairs AS DOUBLE)), 6) END AS d_y_given_x, " +
+        "CASE WHEN (n * (n - 1)) // 2 > tie_y_pairs THEN " +
+        "ROUND((CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE)) / " +
+        "(CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_y_pairs AS DOUBLE)), 6) END AS d_x_given_y " +
+        "FROM cd, tx, ty"),
+    // same wide value-frequency frame, same one prefix window, same
+    // lt identity and one double division
+    "x232_cliffs_delta" ->
+      ("WITH d AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp, " +
+        "n_chars AS v FROM documents), " +
+        "cells AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS f FROM d GROUP BY 1, 2), " +
+        "wide AS (SELECT v, CAST(SUM(CASE WHEN grp = 'a' THEN f ELSE 0 END) AS BIGINT) AS fa, " +
+        "CAST(SUM(CASE WHEN grp = 'b' THEN f ELSE 0 END) AS BIGINT) AS fb FROM cells GROUP BY 1), " +
+        "pre AS (SELECT v, fa, fb, COALESCE(CAST(SUM(fb) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumb FROM wide), " +
+        "s AS (SELECT CAST(SUM(fa) AS BIGINT) AS n_a, CAST(SUM(fb) AS BIGINT) AS n_b, " +
+        "CAST(SUM(fa * cumb) AS BIGINT) AS n_gt, CAST(SUM(fa * fb) AS BIGINT) AS n_ties FROM pre), " +
+        "e AS (SELECT n_a, n_b, n_gt, n_a * n_b - n_gt - n_ties AS n_lt, n_ties FROM s) " +
+        "SELECT n_a, n_b, n_gt, n_lt, n_ties, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+        "ROUND((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE)) / " +
+        "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END AS delta FROM e"),
+    // same exact per-group moments, same per-group double squares,
+    // same F and eta-squared expressions
+    "x234_anova_f" ->
+      ("WITH g AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS s, " +
+        "CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss FROM documents GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k_groups, " +
+        "SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)) AS sb_hit, " +
+        "CAST(SUM(s) AS BIGINT) AS s_tot, CAST(SUM(ss) AS BIGINT) AS ss_tot FROM g), " +
+        "f AS (SELECT n, k_groups, " +
+        "sb_hit - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n AS DOUBLE) AS between_ss, " +
+        "CAST(ss_tot AS DOUBLE) - sb_hit AS within_ss FROM tot) " +
+        "SELECT grp, n_g, ROUND(CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE), 4) AS mean_v, k_groups, " +
+        "CASE WHEN k_groups > 1 AND n > k_groups AND within_ss > 0.0 THEN " +
+        "ROUND((between_ss / (CAST(k_groups AS DOUBLE) - 1.0)) / " +
+        "(within_ss / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6) END AS f_stat, " +
+        "CASE WHEN between_ss + within_ss > 0.0 THEN " +
+        "ROUND(between_ss / (between_ss + within_ss), 6) END AS eta_sq " +
+        "FROM g, f ORDER BY grp"),
+    // same six exact sums, same Welch variance/df/Cohen's-d doubles
+    "x235_welch_t" ->
+      ("WITH d AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp, " +
+        "n_chars AS v FROM documents), " +
+        "g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g, CAST(SUM(v) AS BIGINT) AS s, " +
+        "CAST(SUM(v * v) AS BIGINT) AS ss FROM d GROUP BY 1), " +
+        "a AS (SELECT n_g AS n_a, s AS s_a, ss AS ss_a FROM g WHERE grp = 'a'), " +
+        "b AS (SELECT n_g AS n_b, s AS s_b, ss AS ss_b FROM g WHERE grp = 'b'), " +
+        "v AS (SELECT *, " +
+        "(CAST(n_a AS DOUBLE) * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / " +
+        "(CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS va, " +
+        "(CAST(n_b AS DOUBLE) * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / " +
+        "(CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS vb, " +
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS md " +
+        "FROM a, b), " +
+        "e AS (SELECT *, va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb, " +
+        "((CAST(n_a AS DOUBLE) - 1.0) * va + (CAST(n_b AS DOUBLE) - 1.0) * vb) / " +
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS pooled FROM v) " +
+        "SELECT n_a, n_b, " +
+        "ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 4) AS mean_a, " +
+        "ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 4) AS mean_b, " +
+        "CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN " +
+        "ROUND(md / SQRT(sea + seb), 6) END AS t_stat, " +
+        "CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0.0 THEN " +
+        "ROUND((sea + seb) * (sea + seb) / " +
+        "(sea * sea / (CAST(n_a AS DOUBLE) - 1.0) + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 2) END AS df, " +
+        "CASE WHEN n_a > 1 AND n_b > 1 AND pooled > 0.0 THEN " +
+        "ROUND(md / SQRT(pooled), 6) END AS cohens_d FROM e"),
     // same ten exact sums, same Cramer/R² double expression trees
     "x196_ols_normal_eq" ->
       ("WITH e AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS y, " +

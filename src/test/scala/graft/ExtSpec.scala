@@ -5184,6 +5184,76 @@ class ExtSpec extends SparkSpec {
       s"corpus KMV: ${corpus.toSeq}")
   }
 
+  test("x232 cliff's delta: hand-computed pair classes, lt falls out of the identity") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,4}: gt = 1 (3>2), lt = 4, ties = 1 (2=2)
+    val cells = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L),
+      ("b", 2L, 1L), ("b", 4L, 1L))
+    val r = graft.ext.Sampling.cliffsDeltaFromCells(
+      cells.toDF("grp", "v", "f")).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 1L, 4L, 1L)), s"pair classes: $r")
+    assert(r.getDouble(5) == -0.5, s"delta must read (1-4)/6: $r")
+    // corpus: delta in [-1, 1]
+    val c = graft.ext.Sampling.queries("x232_cliffs_delta")(spark, SfDir)
+      .collect()(0)
+    assert(math.abs(c.getDouble(5)) <= 1.0, s"corpus delta: $c")
+  }
+
+  test("x233 somers' d: perfectly ordered/anti-ordered joints read ±1, corpus agrees with x216's grid") {
+    import spark.implicits._
+    val ordered = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L))
+    val r1 = graft.ext.Sampling.somersDFromJoint(
+      ordered.toDF("n_chars", "n_toks", "f")).collect()(0)
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 1.0,
+      s"ordered joint must read D = 1 both ways: $r1")
+    val anti = Seq((1L, 3L, 1L), (2L, 2L, 1L), (3L, 1L, 1L))
+    val r2 = graft.ext.Sampling.somersDFromJoint(
+      anti.toDF("n_chars", "n_toks", "f")).collect()(0)
+    assert(r2.getDouble(3) == -1.0 && r2.getDouble(4) == -1.0,
+      s"anti-ordered joint must read D = -1 both ways: $r2")
+    // corpus: same (C, D) masses as x216 — the shared-grid contract
+    val d = graft.ext.Sampling.queries("x233_somers_d")(spark, SfDir)
+      .collect()(0)
+    val t = graft.ext.Sampling.queries("x216_kendall_tau_b")(spark, SfDir)
+      .collect()(0)
+    assert(d.getLong(0) == t.getLong(0) && d.getLong(1) == t.getLong(1) &&
+      d.getLong(2) == t.getLong(2),
+      s"x233 and x216 must read one grid: $d vs $t")
+  }
+
+  test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
+    import spark.implicits._
+    // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
+    val g = Seq(("a", 2L, 4L, 10L), ("b", 2L, 12L, 74L))
+    val rows = graft.ext.Sampling.anovaFFromMoments(
+      g.toDF("grp", "n_g", "s", "ss")).collect()
+    assert(rows.length == 2 && rows(0).getDouble(4) == 8.0 &&
+      rows(0).getDouble(5) == 0.8, s"ANOVA fixture: ${rows.toSeq}")
+    assert(rows(0).getDouble(2) == 2.0 && rows(1).getDouble(2) == 6.0,
+      s"group means: ${rows.toSeq}")
+    // corpus: one row per source, F shared across rows
+    val c = graft.ext.Sampling.queries("x234_anova_f")(spark, SfDir)
+      .collect()
+    assert(c.map(_.getDouble(4)).distinct.length == 1,
+      s"F must be one shared statistic: ${c.toSeq}")
+  }
+
+  test("x235 welch t: textbook fixture reads t = -2.828427, df = 2") {
+    import spark.implicits._
+    val g = Seq(("a", 2L, 4L, 10L), ("b", 2L, 12L, 74L))
+    val r = graft.ext.Sampling.welchTFromMoments(
+      g.toDF("grp", "n_g", "s", "ss")).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getDouble(2) == 2.0 && r.getDouble(3) == 6.0, s"moments: $r")
+    assert(r.getDouble(4) == -2.828427 && r.getDouble(5) == 2.0 &&
+      r.getDouble(6) == -2.828427, s"t/df/d: $r")
+    // corpus: en-vs-other split populated on both sides
+    val c = graft.ext.Sampling.queries("x235_welch_t")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(0) > 0L && c.getLong(1) > 0L, s"corpus split: $c")
+  }
+
   test("x230 hll: registers and estimate match an in-process simulation, duplicates are free") {
     import spark.implicits._
     val p = graft.ext.Sampling.CmsP
