@@ -334,6 +334,26 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // LJUNG–BOX WHITENESS — are the first three daily-count
+    // autocorrelations JOINTLY zero? The aggregate screen over
+    // x152's per-lag report, against the frozen χ²₃ critical value
+    // — see [[ljungBoxReport]].
+    "x236_ljung_box" -> ((spark, sfDir) =>
+      ljungBoxReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // WALD–WOLFOWITZ RUNS — is the daily series RANDOM around its
+    // median, or does it cluster into regimes / oscillate? The
+    // randomness complement of x167's trend test — see
+    // [[runsTestReport]].
+    "x237_runs_test" -> ((spark, sfDir) =>
+      runsTestReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
     // fraud / instrumentation-bug screen beside p12's rule gates:
     // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
@@ -1137,6 +1157,99 @@ object Views {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** x236's Ljung–Box portmanteau Q over the same centered-integer
+    * day frame as x152 — the AGGREGATE whiteness test (x152 reports
+    * each ρ_k; Ljung–Box asks whether the first K of them are JOINTLY
+    * zero — the standard "is there any autocorrelation left"
+    * screen): Q = n(n+2)·Σ_{k≤K} ρ_k²/(n−k) with each ρ_k = num_k/den
+    * carried as its exact BIGINT numerator/denominator pair and the
+    * K = 3 terms summed in ONE FIXED double expression (num1²/... +
+    * num2²/... + num3²/...), never a float aggregation whose
+    * association order could differ across engines. The verdict
+    * column compares Q against the frozen χ²₃ 95% critical value
+    * 7.814728. Work shape: one fact aggregation to the day frame;
+    * everything after is |types|·K-sized.
+    */
+  def ljungBoxReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val c = daily
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("c", col("x") * col("n_days") - col("total"))
+    val den = c.groupBy(col("event_type"))
+      .agg(min(col("n_days")).as("n_days"),
+        sum(col("c") * col("c")).as("den"))
+    val nums = (1 to 3).map { k =>
+      c.withColumn("cl", lead(col("c"), k).over(byDay))
+        .filter(col("cl").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(col("c") * col("cl")).as("num"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    val wide = nums.groupBy(col("event_type"))
+      .agg(sum(when(col("lag") === 1, col("num")).otherwise(0L)).as("n1"),
+        sum(when(col("lag") === 2, col("num")).otherwise(0L)).as("n2"),
+        sum(when(col("lag") === 3, col("num")).otherwise(0L)).as("n3"))
+    def dd(c: String) = col(c).cast("double")
+    val dn = dd("n_days")
+    val d2 = dd("den") * dd("den")
+    val q = dn * (dn + 2.0) *
+      (dd("n1") * dd("n1") / (d2 * (dn - 1.0)) +
+        dd("n2") * dd("n2") / (d2 * (dn - 2.0)) +
+        dd("n3") * dd("n3") / (d2 * (dn - 3.0)))
+    wide.join(den, "event_type")
+      .select(col("event_type"), col("n_days"),
+        when(col("den") =!= 0L && col("n_days") > 3L, round(q, 6))
+          .as("q_lb"),
+        when(col("den") =!= 0L && col("n_days") > 3L, q > 7.814728)
+          .as("autocorrelated"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x237's Wald–Wolfowitz runs test over the per-type day frame —
+    * the nonparametric randomness screen the drift family lacks
+    * (x167's Mann–Kendall reads a TREND; the runs test reads
+    * CLUSTERING of any kind: too few runs = regime persistence, too
+    * many = oscillation): days at exactly the discrete median are
+    * dropped (the standard dichotomization), signs are x > median,
+    * R = 1 + Σ[sign flips] off one lag window, and z = (R − μ)/σ
+    * with the classical moments μ = 2n₁n₂/(n₁+n₂) + 1. Exact
+    * integers until the one fixed double expression; degenerate
+    * one-sided frames read NULL. Same scale shape as x236.
+    */
+  def runsTestReport(daily: DataFrame): DataFrame = {
+    val meds = daily.groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as("med"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signed = daily.join(broadcast(meds), "event_type")
+      .filter(col("x") =!= col("med"))
+      .select(col("event_type"), col("day"),
+        when(col("x") > col("med"), 1L).otherwise(0L).as("s"))
+      .withColumn("flip",
+        when(lag(col("s"), 1).over(byDay).isNull, 0L)
+          .when(lag(col("s"), 1).over(byDay) =!= col("s"), 1L)
+          .otherwise(0L))
+    def dd(c: String) = col(c).cast("double")
+    val mu = lit(2.0) * dd("n_pos") * dd("n_neg") /
+      (dd("n_pos") + dd("n_neg")) + lit(1.0)
+    val sig2 = lit(2.0) * dd("n_pos") * dd("n_neg") *
+      (lit(2.0) * dd("n_pos") * dd("n_neg") - dd("n_pos") - dd("n_neg")) /
+      ((dd("n_pos") + dd("n_neg")) * (dd("n_pos") + dd("n_neg")) *
+        (dd("n_pos") + dd("n_neg") - 1.0))
+    signed.groupBy(col("event_type"))
+      .agg(sum(col("s")).as("n_pos"),
+        sum(lit(1L) - col("s")).as("n_neg"),
+        (sum(col("flip")) + lit(1L)).as("n_runs"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        col("n_runs"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L &&
+            col("n_pos") + col("n_neg") > 1L && sig2 > 0.0,
+          round((dd("n_runs") - mu) / sqrt(sig2), 6)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -1534,6 +1647,74 @@ object Views {
         "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) END AS acf " +
         "FROM ll JOIN den USING (event_type) ORDER BY ll.event_type, lag"
     },
+    // x152's centered day frame, the three exact num/den pairs
+    // pivoted wide, ONE fixed double Q expression, frozen critical
+    // value
+    "x236_ljung_box" -> {
+      def lagCte(k: Int): String =
+        s"l$k AS (SELECT event_type, CAST(SUM(c * cl) AS BIGINT) AS num, " +
+          s"$k AS lag FROM (SELECT event_type, c, LEAD(c, $k) OVER " +
+          "(PARTITION BY event_type ORDER BY day) AS cl FROM c) " +
+          "WHERE cl IS NOT NULL GROUP BY 1)"
+      "WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM d), " +
+        "c AS (SELECT event_type, day, n_days, x * n_days - total AS c FROM w), " +
+        "den AS (SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days, " +
+        "CAST(SUM(c * c) AS BIGINT) AS den FROM c GROUP BY 1), " +
+        lagCte(1) + ", " + lagCte(2) + ", " + lagCte(3) + ", " +
+        "ll AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3), " +
+        "wide AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN lag = 1 THEN num ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN lag = 2 THEN num ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN lag = 3 THEN num ELSE 0 END) AS BIGINT) AS n3 " +
+        "FROM ll GROUP BY 1), " +
+        "q AS (SELECT wide.event_type, den.n_days, den.den, " +
+        "CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) * " +
+        "(CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) / " +
+        "(CAST(den AS DOUBLE) * CAST(den AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)) + " +
+        "CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+        "(CAST(den AS DOUBLE) * CAST(den AS DOUBLE) * (CAST(n_days AS DOUBLE) - 2.0)) + " +
+        "CAST(n3 AS DOUBLE) * CAST(n3 AS DOUBLE) / " +
+        "(CAST(den AS DOUBLE) * CAST(den AS DOUBLE) * (CAST(n_days AS DOUBLE) - 3.0))) AS qv " +
+        "FROM wide JOIN den USING (event_type)) " +
+        "SELECT event_type, n_days, " +
+        "CASE WHEN den <> 0 AND n_days > 3 THEN ROUND(qv, 6) END AS q_lb, " +
+        "CASE WHEN den <> 0 AND n_days > 3 THEN qv > 7.814728 END AS autocorrelated " +
+        "FROM q ORDER BY event_type"
+    },
+    // same discrete median dichotomization, same flip-count runs,
+    // same classical moment expression
+    "x237_runs_test" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "meds AS (SELECT event_type, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med " +
+        "FROM d GROUP BY 1), " +
+        "s AS (SELECT d.event_type, day, CASE WHEN x > med THEN 1 ELSE 0 END AS s " +
+        "FROM d JOIN meds USING (event_type) WHERE x <> med), " +
+        "f AS (SELECT event_type, s, CASE WHEN LAG(s) OVER " +
+        "(PARTITION BY event_type ORDER BY day) IS NULL THEN 0 " +
+        "WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY day) <> s THEN 1 " +
+        "ELSE 0 END AS flip FROM s), " +
+        "g AS (SELECT event_type, CAST(SUM(s) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(1 - s) AS BIGINT) AS n_neg, " +
+        "CAST(SUM(flip) + 1 AS BIGINT) AS n_runs FROM f GROUP BY 1), " +
+        "m AS (SELECT *, 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / " +
+        "(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0 AS mu, " +
+        "2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * " +
+        "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) - " +
+        "CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)) / " +
+        "((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) * " +
+        "(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) * " +
+        "(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0)) AS sig2 FROM g) " +
+        "SELECT event_type, n_pos, n_neg, n_runs, " +
+        "CASE WHEN n_pos > 0 AND n_neg > 0 AND n_pos + n_neg > 1 AND sig2 > 0.0 THEN " +
+        "ROUND((CAST(n_runs AS DOUBLE) - mu) / SQRT(sig2), 6) END AS z " +
+        "FROM m ORDER BY event_type"),
     // same string-derived digit, Benford expectation and the
     // integer-gridded chi-square terms summed exactly
     "x156_benford" ->

@@ -2735,6 +2735,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x236 ljung-box: alternating series reads Q = 16 exactly-ish; constant series guards NULL") {
+    import spark.implicits._
+    // [1,2,1,2,1,2]: c = ±3, den = 54, num = (-45, 36, -27) →
+    // Q = 6·8·(2025/(54²·5) + 1296/(54²·4) + 729/(54²·3)) = 16
+    val daily = Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 1L),
+      ("a", 3, 2L), ("a", 4, 1L), ("a", 5, 2L),
+      ("b", 0, 5L), ("b", 1, 5L), ("b", 2, 5L), ("b", 3, 5L),
+      ("b", 4, 5L)).toDF("event_type", "day", "x")
+    val got = graft.pipeline.Views.ljungBoxReport(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("a").getDouble(2) - 16.0) < 1e-4 &&
+      got("a").getBoolean(3), s"alternating Q: ${got("a")}")
+    assert(got("b").isNullAt(2) && got("b").isNullAt(3),
+      s"zero-variance series must guard to NULL: ${got("b")}")
+    // lake: one row per type, Q >= 0
+    val lake = graft.pipeline.Views.queries("x236_ljung_box")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty &&
+      lake.forall(r => r.isNullAt(2) || r.getDouble(2) >= 0.0),
+      s"lake Q: ${lake.toSeq}")
+  }
+
+  test("x237 runs test: hand-counted runs on a planted series, median days dropped") {
+    import spark.implicits._
+    // values [1,5,2,6,3,7], disc median 3 dropped → signs 0,1,0,1,1:
+    // runs = 4, n_pos = 3, n_neg = 2, z = (4-3.4)/sqrt(0.84)
+    val daily = Seq(("a", 0, 1L), ("a", 1, 5L), ("a", 2, 2L),
+      ("a", 3, 6L), ("a", 4, 3L), ("a", 5, 7L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.runsTestReport(daily).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 4L,
+      s"runs classes: $r")
+    assert(math.abs(r.getDouble(4) - 0.654654) < 1e-6, s"z: $r")
+    // lake: every type reports, runs >= 1
+    val lake = graft.pipeline.Views.queries("x237_runs_test")(spark, SfDir)
+      .collect()
+    assert(lake.nonEmpty && lake.forall(_.getLong(3) >= 1L),
+      s"lake runs: ${lake.toSeq}")
+  }
+
   test("x152 acf: an alternating series hits the textbook lag signs; a constant series takes the NULL guard") {
     import spark.implicits._
     // [1,2,1,2]: c = [-2,2,-2,2], den = 16 → r1 = -12/16, r2 = 8/16,
