@@ -274,6 +274,59 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** x239's BLEU-2 over a prebuilt candidate-pair frame — the MT/
+    * generation-eval metric applied where a 100 TB pipeline actually
+    * needs it: GRADING near-duplicate pairs (jaccard says the
+    * shingle SETS overlap; BLEU says how much of the candidate's
+    * token stream is copied, order-sensitively, with the brevity
+    * penalty punishing truncated paraphrases — the number a dedup
+    * tuning pass reads to pick its threshold). Clipped modified
+    * precisions p_n = Σ_g min(cnt_ref(g), cnt_cand(g))/|cand grams|
+    * for n = 1, 2, BP = e^(1−r/c) when the candidate is shorter, and
+    * BLEU-2 = BP·√(p₁·p₂). Everything is exact-integer joins of the
+    * bounded pair set against per-doc gram-count tables (pairs are
+    * the x05 verified volume — broadcastable; the gram tables are
+    * corpus-sized but touched by equi-join only); the single exp/
+    * sqrt runs on one fixed double expression at 6 dp.
+    */
+  def bleuOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val uni = d.select(col("doc_id"), explode(toks).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+    val bi = d.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
+    def clipped(grams: DataFrame, name: String) = p
+      .join(grams.select(col("doc_id").as("doc_a"), col("g"),
+        col("c").as("c_ref")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g"),
+        col("c").as("c_cand")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("c_ref"), col("c_cand"))).as(name))
+    def dd(c: String) = col(c).cast("double")
+    val bp = when(col("len_b") < col("len_a"),
+      exp(lit(1.0) - dd("len_a") / dd("len_b"))).otherwise(lit(1.0))
+    p.join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")),
+        "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")),
+        "doc_b")
+      .join(clipped(uni, "c1"), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(bi, "c2"), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        coalesce(col("c1"), lit(0L)).as("clip1"),
+        coalesce(col("c2"), lit(0L)).as("clip2"))
+      .withColumn("bleu2",
+        when(col("len_b") > 1L,
+          round(bp * sqrt((dd("clip1") / dd("len_b")) *
+            (dd("clip2") / (dd("len_b") - 1.0))), 6)))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Canonical-grain candidate volume Σ df·(df−1)/2 of the capped
     * shingle index — the row count [[ngramJaccardPairs]]'s pair join
     * actually shuffles after the exact-text collapse. Bench
@@ -1317,6 +1370,19 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // BLEU-2 PAIR GRADING — score the x05 verified near-dup pairs by
+    // order-sensitive token copying with the brevity penalty (the
+    // number that separates "same shingle bag" from "same prose",
+    // which is what a dedup threshold-tuning pass actually reads) —
+    // see [[bleuOnPairs]]. Shares x05's lake-checkpointed shingle
+    // artifact through the same candidate call.
+    "x239_bleu_pairs" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      bleuOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+    }),
+
     // FELLEGI–SUNTER RECORD LINKAGE — probabilistic entity resolution
     // (the 1969 model behind every serious dedup/linkage system) on
     // top of the x05 blocking chain: candidates come from the capped
@@ -1871,6 +1937,47 @@ object Dedup {
         "FROM cont WHERE CAST(c AS DOUBLE) / nb >= 0.9) " +
         "SELECT inner_id, outer_id, containment FROM d " +
         "ORDER BY inner_id, outer_id"),
+    // x05's candidate CTE verbatim, then exact clipped gram-count
+    // joins and one fixed BP·sqrt expression
+    "x239_bleu_pairs" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+        "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+        "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5), " +
+        "uni AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(w) AS g FROM tok) t GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM uni GROUP BY 1), " +
+        "bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t0) t GROUP BY 1, 2), " +
+        "c1 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip1 " +
+        "FROM pairs p JOIN uni a ON a.doc_id = p.doc_a " +
+        "JOIN uni b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "c2 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip2 " +
+        "FROM pairs p JOIN bi a ON a.doc_id = p.doc_a " +
+        "JOIN bi b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "f AS (SELECT p.doc_a, p.doc_b, la.len AS len_a, lb.len AS len_b, " +
+        "COALESCE(c1.clip1, 0) AS clip1, COALESCE(c2.clip2, 0) AS clip2 " +
+        "FROM pairs p JOIN lens la ON la.doc_id = p.doc_a " +
+        "JOIN lens lb ON lb.doc_id = p.doc_b " +
+        "LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b " +
+        "LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b) " +
+        "SELECT doc_a, doc_b, len_a, len_b, clip1, clip2, " +
+        "CASE WHEN len_b > 1 THEN " +
+        "ROUND((CASE WHEN len_b < len_a THEN " +
+        "EXP(1.0 - CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE)) ELSE 1.0 END) * " +
+        "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
+        "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) END AS bleu2 " +
+        "FROM f ORDER BY doc_a, doc_b"),
     "x05_dedup_ngram_jaccard" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +

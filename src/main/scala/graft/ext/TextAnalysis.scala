@@ -425,6 +425,29 @@ object TextAnalysis {
         round(col("vocab").cast("double") / col("n_tokens").cast("double"),
           4).as("type_token_ratio"))
 
+  /** x238's Yule's K over the same (source, w, freq) word-frequency
+    * frame as x183 — the LENGTH-INVARIANT repetitiveness
+    * characteristic (TTR and the hapax share shrink mechanically as
+    * a corpus grows; K = 10⁴·(Σf² − N)/N² is, to first order, the
+    * probability two random tokens repeat a word, scaled — stable
+    * across corpus sizes, which is why stylometry uses it): natural
+    * prose sits ~60-200, templated/boilerplate text reads far
+    * higher. Σf² is x231's F₂ statistic on words — same skew mass,
+    * different lens. Exact BIGINTs to the one double division; Σf²
+    * leaves BIGINT only past ~3·10⁹ occurrences of a single word.
+    */
+  def yulesKFromFreq(wf: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    wf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("freq")).as("n_tokens"),
+        sum(col("freq") * col("freq")).as("s2"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        when(col("n_tokens") > 0L,
+          round(lit(10000.0) * (dd("s2") - dd("n_tokens")) /
+            (dd("n_tokens") * dd("n_tokens")), 4)).as("yules_k"))
+      .orderBy(col("source"))
+  }
+
   /** The x11/x184 shared prediction stage: the stopword-ratio
     * language-ID heuristic over the documents table — one place, so
     * the classifier and its evaluation can never drift apart.
@@ -1281,6 +1304,15 @@ object TextAnalysis {
         .select(col("source"), explode(tokens).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))
         .orderBy(col("source"))),
+
+    // YULE'S K — the length-invariant repetitiveness number beside
+    // x183's corpus-size-dependent TTR/hapax pair, off the SAME
+    // word-frequency frame (one more readout of s30's maintained
+    // artifact class) — see [[yulesKFromFreq]].
+    "x238_yules_k" -> ((spark, sfDir) =>
+      yulesKFromFreq(docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))),
 
     // PER-SOURCE LENGTH-DISTRIBUTION KS — "which sources look
     // different from the rest of the corpus" (x159 scores each
@@ -3055,6 +3087,20 @@ object TextAnalysis {
         "cum AS mass_covered, " +
         "ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS coverage " +
         "FROM r WHERE rk IN (10, 100, 1000) ORDER BY top_k"),
+    // same word-frequency frame, same exact second moment, one
+    // double division
+    "x238_yules_k" ->
+      ("WITH wf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) t GROUP BY 1, 2), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "CAST(SUM(freq) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(freq * freq) AS BIGINT) AS s2 FROM wf GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "ROUND(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / " +
+        "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 4) END AS yules_k " +
+        "FROM a ORDER BY source"),
     // same per-source word-frequency frame and exact hapax/vocab
     // counts with two 4 dp divisions
     "x183_hapax_share" ->

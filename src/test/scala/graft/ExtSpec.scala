@@ -2735,6 +2735,56 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x238 yule's k: hand-computed frequency spectrum, K invariant under corpus doubling") {
+    import spark.implicits._
+    // "a a a b": freqs {3, 1} → S2 = 10, N = 4, K = 10⁴·6/16 = 3750
+    val wf = Seq(("s", "a", 3L), ("s", "b", 1L))
+    val r = graft.ext.TextAnalysis.yulesKFromFreq(
+      wf.toDF("source", "w", "freq")).collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L &&
+      r.getDouble(3) == 3750.0, s"K fixture: $r")
+    // doubling every frequency: {6,2} → S2 = 40, N = 8,
+    // K = 10⁴·32/64 = 5000 — K drifts toward its large-N limit
+    // (10⁴·S2/N² = 6250 for this spectrum) instead of halving the
+    // way TTR does (0.5 → 0.25)
+    val doubled = graft.ext.TextAnalysis.yulesKFromFreq(
+      wf.map { case (s, w, f) => (s, w, f * 2) }.toDF("source", "w", "freq"))
+      .collect()(0)
+    assert(doubled.getDouble(3) == 5000.0, s"doubled-freq K: $doubled")
+    // corpus: one row per source, K >= 0 on natural-ish text
+    val c = graft.ext.TextAnalysis.queries("x238_yules_k")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(_.getDouble(3) >= 0.0), s"corpus K: ${c.toSeq}")
+  }
+
+  test("x239 bleu: textbook clipped precisions and brevity penalty on a planted pair") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"),
+      (2L, "the cat sat on mat")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = graft.ext.Dedup.bleuOnPairs(d, pairs).collect()(0)
+    // clip1 = 5 (the:1 cat sat on mat), clip2 = 3 (the cat, cat sat,
+    // sat on); BP = e^(1-6/5); bleu = BP·sqrt(1·0.75)
+    assert(r.getLong(2) == 6L && r.getLong(3) == 5L &&
+      r.getLong(4) == 5L && r.getLong(5) == 3L, s"clip counts: $r")
+    val expect = math.exp(1.0 - 6.0 / 5.0) * math.sqrt(1.0 * 0.75)
+    assert(math.abs(r.getDouble(6) - expect) < 1e-6, s"bleu: $r vs $expect")
+    // identical texts read BLEU 1 exactly
+    val same = graft.ext.Dedup.bleuOnPairs(
+      Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text"),
+      Seq((1L, 2L)).toDF("doc_a", "doc_b")).collect()(0)
+    assert(same.getDouble(6) == 1.0, s"identical pair: $same")
+    // corpus: every x05 pair graded, bleu in [0, 1]
+    val c = graft.ext.Dedup.queries("x239_bleu_pairs")(spark, SfDir)
+      .collect()
+    val n05 = graft.ext.Dedup.queries("x05_dedup_ngram_jaccard")(spark, SfDir)
+      .count()
+    assert(c.length.toLong == n05 &&
+      c.forall(r => r.isNullAt(6) ||
+        (r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0 + 1e-9)),
+      s"corpus bleu rows ${c.length} vs x05 $n05")
+  }
+
   test("x236 ljung-box: alternating series reads Q = 16 exactly-ish; constant series guards NULL") {
     import spark.implicits._
     // [1,2,1,2,1,2]: c = ±3, den = 54, num = (-45, 36, -27) →
