@@ -372,6 +372,46 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** x240's bounded k-truss peel over a prebuilt oriented arc frame —
+    * the EDGE-grain cohesion filter beside x86's node-grain k-core
+    * (a degree-k node can still sit on zero triangles; the k-truss
+    * keeps an edge only while ≥ k−2 triangles SUPPORT it, so it
+    * extracts the community-grade subgraph k-core lets through):
+    * each round computes per-edge support from [[triangleEnum]]'s
+    * once-per-triangle stream (each triangle's three arcs are
+    * exactly (a,b), (a,c), (b,c) under the orientation — the support
+    * aggregation is one union + count, no new join shape) and drops
+    * arcs below k−2. Two bounded rounds (the x86/x140 fixed-round
+    * discipline: each is a full Spark job; convergence detection
+    * would gate on a driver-side count per round, which the bounded
+    * form avoids — and the orientation stays valid on every subset
+    * because it is a fixed total order). The report is the per-round
+    * (edges_in, edges_kept) contraction; `checkpoint` materializes
+    * the round-1 survivor set so the second round's lineage doesn't
+    * re-run the first enumeration per count branch.
+    */
+  def trussRounds(arcs0: DataFrame, k: Int,
+      checkpoint: DataFrame => DataFrame = identity): DataFrame = {
+    def kept(arcs: DataFrame): DataFrame = {
+      val tri = triangleEnum(arcs)
+      val sup = tri.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(tri.select(col("a").as("s"), col("c").as("t")))
+        .unionAll(tri.select(col("b").as("s"), col("c").as("t")))
+        .groupBy(col("s"), col("t")).agg(count(lit(1)).as("sup"))
+      arcs.join(sup, Seq("s", "t"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("s"), col("t"))
+    }
+    val a1 = checkpoint(kept(arcs0))
+    val a2 = kept(a1)
+    def row(r: Int, in: DataFrame, out: DataFrame) =
+      in.agg(count(lit(1)).as("edges_in"))
+        .crossJoin(out.agg(count(lit(1)).as("edges_kept")))
+        .select(lit(r).as("round"), lit(k).as("k"),
+          col("edges_in"), col("edges_kept"))
+    row(1, arcs0, a1).unionByName(row(2, a1, a2)).orderBy(col("round"))
+  }
+
   /** (node, deg, tri, cc) for every node of degree ≥ 2: cc = 2·tri /
     * (deg·(deg−1)), the one double division over exact integers
     * rounded to the 4 dp grid.
@@ -805,6 +845,15 @@ object Graph {
         .orderBy(desc("tri"), col("node"))
         .limit(20)),
 
+    // BOUNDED 4-TRUSS PEEL — the edge-grain cohesion cascade beside
+    // x86's node-grain k-core: keep an edge only while >= 2
+    // triangles support it, two bounded rounds over the SAME
+    // materialized oriented arcs as x81/x132 — see [[trussRounds]].
+    "x240_ktruss" -> ((spark, sfDir) =>
+      trussRounds(orientedArcsFor(spark, sfDir), k = 4,
+        checkpoint = a1 =>
+          Lake.materialize(spark, sfDir, "truss_r1_arcs_v1")(a1))),
+
     // LOCAL CLUSTERING COEFFICIENT — cc = 2·tri / (deg·(deg−1)): how
     // much of a node's neighborhood interlinks (1.0 = clique corner).
     // In a crawl graph low-cc/high-deg nodes are hub-spam candidates;
@@ -1189,6 +1238,40 @@ object Graph {
         "SELECT node, w1, w2, w3, " +
         "ROUND(CAST(4 * w1 + 2 * w2 + w3 AS DOUBLE) / 8.0, 4) AS katz " +
         "FROM k ORDER BY katz DESC, node LIMIT 20"),
+    // x81's orientation + triangle closure, the three-arc support
+    // union, and two unrolled peel rounds
+    "x240_ktruss" -> {
+      def tri(src: String, name: String): String =
+        s"$name AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c " +
+          s"FROM $src e1 JOIN $src e2 ON e1.s = e2.s AND e1.t <> e2.t " +
+          s"JOIN $src e3 ON e3.s = e1.t AND e3.t = e2.t)"
+      def round(triName: String, src: String, supName: String,
+          outName: String): String =
+        s"$supName AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS sup FROM " +
+          s"(SELECT a AS s, b AS t FROM $triName " +
+          s"UNION ALL SELECT a, c FROM $triName " +
+          s"UNION ALL SELECT b, c FROM $triName) GROUP BY 1, 2), " +
+          s"$outName AS (SELECT $src.s, $src.t FROM $src " +
+          s"LEFT JOIN $supName USING (s, t) WHERE COALESCE(sup, 0) >= 2)"
+      "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.u ELSE e.v END AS s, " +
+        "CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "THEN e.v ELSE e.u END AS t " +
+        "FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), " +
+        tri("arcs", "tri1") + ", " + round("tri1", "arcs", "sup1", "a1") + ", " +
+        tri("a1", "tri2") + ", " + round("tri2", "a1", "sup2", "a2") + " " +
+        "SELECT 1 AS round, 4 AS k, " +
+        "CAST((SELECT COUNT(*) FROM arcs) AS BIGINT) AS edges_in, " +
+        "CAST((SELECT COUNT(*) FROM a1) AS BIGINT) AS edges_kept " +
+        "UNION ALL SELECT 2, 4, CAST((SELECT COUNT(*) FROM a1) AS BIGINT), " +
+        "CAST((SELECT COUNT(*) FROM a2) AS BIGINT) ORDER BY round"
+    },
     "x81_triangle_count" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +

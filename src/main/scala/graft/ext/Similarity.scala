@@ -180,6 +180,28 @@ object Similarity {
     * exact 4 dp-rounded cosine ranks them, and the per-src window
     * runs over collision-bounded candidate lists — never the corpus.
     */
+  /** x241's skewness-of-k-occurrence readout over a zero-filled
+    * in-degree frame (one `d` column): four exact BIGINT moments,
+    * one fixed double g₁ = m₃/m₂^1.5 expression at 6 dp. Exposed for
+    * the hand-moment unit fixture.
+    */
+  def hubnessFromInDegrees(ind: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    val mu = dd("s1") / dd("n")
+    val m2 = dd("s2") / dd("n") - mu * mu
+    val m3 = dd("s3") / dd("n") -
+      lit(3.0) * mu * dd("s2") / dd("n") + lit(2.0) * mu * mu * mu
+    ind.agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        max(col("d")).as("max_in_deg"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_antihubs"))
+      .select(col("n").as("n_nodes"), col("n_antihubs"),
+        col("max_in_deg"),
+        when(col("n") > 0L && m2 > 0.0,
+          round(m3 / (m2 * sqrt(m2)), 6)).as("skew_g1"))
+  }
+
   def knnGraph(e: DataFrame, k: Int, nBits: Int, nTables: Int): DataFrame = {
     val buckets = e.select(col("vec_id"),
       posexplode(array((0 until nTables).map(t =>
@@ -1178,9 +1200,33 @@ object Similarity {
         k = 3, nBits = 8, nTables = 2)
         .orderBy(col("src"), col("rk"))),
 
-    // MUTUAL kNN PAIRS — reciprocal nearest neighbors over x137's
-    // graph: (u, v) kept only when v is in u's top-k AND u is in v's
-    // top-k. One-directional kNN edges are asymmetric-by-crowding (a
+    // kNN HUBNESS — the high-dimensional pathology audit over x137's
+    // graph: in high dimensions the k-occurrence (in-degree)
+    // distribution of a kNN graph skews right — a few "hub" vectors
+    // appear in everyone's neighbor list while antihubs appear in
+    // none — and hub-dominated neighborhoods silently degrade every
+    // kNN-based pipeline stage (x58 SemDeDup, x83 hard negatives,
+    // x143's mutual filter exists precisely to cut hubs out). The
+    // report is the standard skewness-of-k-occurrence diagnostic
+    // (Radovanović et al.): zero-filled in-degrees over ALL nodes,
+    // four exact BIGINT moments, one fixed double g₁ expression.
+    // Inherits x137's full hash oracle; nothing touches the corpus
+    // beyond the graph build.
+    "x241_hubness" -> ((spark, sfDir) => {
+      val nodes = emb(spark, sfDir).filter(col("vec_id") < 300)
+        .select(col("vec_id"))
+      val g = knnGraph(emb(spark, sfDir).filter(col("vec_id") < 300)
+          .withColumn("vec", toDouble(col("embedding"))),
+        k = 3, nBits = 8, nTables = 2)
+      hubnessFromInDegrees(nodes.join(
+        g.groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("d0")),
+        Seq("vec_id"), "left")
+        .select(coalesce(col("d0"), lit(0L)).as("d")))
+    }),
+
+    // MUTUAL kNN PAIRS (x143) — reciprocal nearest neighbors over
+    // x137's graph: (u, v) kept only when v is in u's top-k AND u is
+    // in v's top-k. One-directional kNN edges are asymmetric-by-crowding (a
     // hub can be "nearest" to everything without anything being
     // nearest to it); the mutual filter is the standard
     // high-precision pairing heuristic (RNN clustering, margin-based
@@ -2094,6 +2140,50 @@ object Similarity {
         "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
         "ORDER BY cos DESC, dst) AS rk FROM sc) r " +
         "WHERE rk <= 3 ORDER BY src, rk"),
+    // x137's full rank chain as a CTE, then zero-filled in-degrees
+    // and one fixed skewness expression over four exact moments
+    "x241_hubness" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300), " +
+        "q AS (SELECT vec_id, v, list_transform(v, " +
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM e), " +
+        "sig AS (SELECT vec_id, t.tbl AS tbl, " +
+        "CAST(list_sum(list_transform(range(0, 8), p -> " +
+        "CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), d -> " +
+        "qv[d] * (((t.tbl * 7919 + p * 104729 + (d - 1) * 1000003) % 2003) - 1001))) > 0 " +
+        "THEN (1 << p) ELSE 0 END)) AS BIGINT) AS sig " +
+        "FROM q, (SELECT unnest(range(0, 2)) AS tbl) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig " +
+        "AND a.vec_id < b.vec_id), " +
+        "arcs AS (SELECT vec_a AS src, vec_b AS dst FROM cand " +
+        "UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand), " +
+        "sc AS (SELECT a.src, a.dst, ROUND(" +
+        "list_sum(list_transform(range(1, len(es.v) + 1), i -> es.v[i] * ed.v[i])) / " +
+        "(sqrt(list_sum(list_transform(es.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(ed.v, x -> x * x)))), 4) AS cos " +
+        "FROM arcs a JOIN e es ON es.vec_id = a.src " +
+        "JOIN e ed ON ed.vec_id = a.dst), " +
+        "g AS (SELECT src, dst FROM (" +
+        "SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src " +
+        "ORDER BY cos DESC, dst) AS rk FROM sc) r WHERE rk <= 3), " +
+        "ind AS (SELECT e.vec_id, COALESCE(gd.d0, 0) AS d FROM e " +
+        "LEFT JOIN (SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS d0 " +
+        "FROM g GROUP BY 1) gd USING (vec_id)), " +
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(d) AS BIGINT) AS s1, " +
+        "CAST(SUM(d * d) AS BIGINT) AS s2, CAST(SUM(d * d * d) AS BIGINT) AS s3, " +
+        "CAST(MAX(d) AS BIGINT) AS max_in_deg, " +
+        "CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs FROM ind), " +
+        "m AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, " +
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2, " +
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+        "3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) + " +
+        "2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3 FROM s) " +
+        "SELECT n AS n_nodes, n_antihubs, max_in_deg, " +
+        "CASE WHEN n > 0 AND m2 > 0.0 THEN ROUND(m3 / (m2 * SQRT(m2)), 6) END AS skew_g1 " +
+        "FROM m"),
     // x137's full rank chain as a CTE, then the reciprocal self-join
     "x143_mutual_knn" ->
       ("WITH e AS (SELECT vec_id, list_transform(embedding, " +

@@ -2735,6 +2735,44 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x240 k-truss: a K4 survives, a pendant triangle peels in round 1") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge in 2 triangles → survives 4-truss;
+    // triangle {4,5,6}: support 1 per edge → peeled in round 1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val got = graft.ext.Graph.trussRounds(
+      graft.ext.Graph.orientByDegree(edges), k = 4).collect()
+    assert(got.length == 2, s"two rounds expected: ${got.toSeq}")
+    assert(got(0).getLong(2) == 9L && got(0).getLong(3) == 6L,
+      s"round 1 must peel the pendant triangle: ${got(0)}")
+    assert(got(1).getLong(2) == 6L && got(1).getLong(3) == 6L,
+      s"round 2 must be a fixed point on K4: ${got(1)}")
+    // corpus: monotone contraction, k recorded
+    val c = graft.ext.Graph.queries("x240_ktruss")(spark, SfDir).collect()
+    assert(c.length == 2 && c.forall(r => r.getLong(3) <= r.getLong(2)) &&
+      c(1).getLong(2) == c(0).getLong(3), s"corpus truss: ${c.toSeq}")
+  }
+
+  test("x241 hubness: hand-computed moments on a planted in-degree multiset") {
+    import spark.implicits._
+    // d = [0,0,3,1]: mu = 1, m2 = 1.5, m3 = 1.5, g1 = 1/sqrt(1.5)
+    val r = graft.ext.Similarity.hubnessFromInDegrees(
+      Seq(0L, 0L, 3L, 1L).toDF("d")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 3L,
+      s"moments: $r")
+    assert(math.abs(r.getDouble(3) - 1.0 / math.sqrt(1.5)) < 1e-6,
+      s"g1: $r")
+    // corpus: every vec_id < 300 counted (zero-filled), sum of
+    // in-degrees = number of graph edges
+    val c = graft.ext.Similarity.queries("x241_hubness")(spark, SfDir)
+      .collect()(0)
+    val nNodes = graft.sources.Lake.table(spark, SfDir, "embeddings")
+      .filter(col("vec_id") < 300).count()
+    assert(c.getLong(0) == nNodes && c.getLong(1) >= 0L,
+      s"corpus hubness: $c vs $nNodes nodes")
+  }
+
   test("x238 yule's k: hand-computed frequency spectrum, K invariant under corpus doubling") {
     import spark.implicits._
     // "a a a b": freqs {3, 1} → S2 = 10, N = 4, K = 10⁴·6/16 = 3750
