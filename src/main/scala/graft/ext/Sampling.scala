@@ -402,9 +402,25 @@ object Sampling {
             (dd("n0") - dd("tie_y_pairs")), 6)).as("d_x_given_y"))
   }
 
-  /** The shared dominance-grid sufficient statistic under x216/x233:
-    * one row (n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, n0) — the
-    * grid algebra documented on [[kendallFromJoint]].
+  /** x242's Goodman–Kruskal γ — the third readout of the ONE
+    * dominance grid (τ_b penalizes ties on either axis; Somers' D on
+    * one; γ ignores ties entirely: (C−D)/(C+D), the association
+    * among the pairs that actually order — the natural statistic for
+    * coarsely-binned ordinal scales where ties dominate). Shares
+    * [[kendallGridStats]] with x216/x233.
+    */
+  def gammaFromJoint(joint: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    kendallGridStats(joint)
+      .select(col("n"), col("n_conc"), col("n_disc"),
+        when(col("n_conc") + col("n_disc") > 0L,
+          round((dd("n_conc") - dd("n_disc")) /
+            (dd("n_conc") + dd("n_disc")), 6)).as("gamma"))
+  }
+
+  /** The shared dominance-grid sufficient statistic under x216/x233/
+    * x242: one row (n, n_conc, n_disc, tie_x_pairs, tie_y_pairs, n0)
+    * — the grid algebra documented on [[kendallFromJoint]].
     */
   private def kendallGridStats(joint: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -615,6 +631,51 @@ object Sampling {
   private[graft] def enOtherSplit(d: DataFrame): DataFrame =
     d.select(when(col("lang") === "en", "a").otherwise("b").as("grp"),
       col("n_chars").as("v"))
+
+  /** x243's per-source 1-Wasserstein (earth-mover) distance to the
+    * corpus length distribution — the drift number with UNITS (KS
+    * reads the worst single gap, PSI a binned log score; W₁ = ∫|F_g −
+    * F| reads "how many characters would each document have to move",
+    * which is the number a mixing policy can actually budget):
+    * over the discrete shared support, W₁ = Σ_i |F_g(v_i) −
+    * F(v_i)|·(v_{i+1} − v_i), carried as the exact integer mass
+    * |cum_g·n − cum·n_g|·gap accumulated in DECIMAL(38,0) (the
+    * x217 HUGEINT discipline — the numerator reaches ~10¹⁵ per term)
+    * with ONE double division by n_g·n at the end. Work shape: one
+    * fact aggregation to (source, v, f) cells; the spine is
+    * |support|·|sources| rows, windows run there, never row grain.
+    */
+  def wassersteinFromCells(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val support = cells.select(col("v")).distinct()
+    val sources = cells.select(col("grp")).distinct()
+    val glob = cells.groupBy(col("v")).agg(sum(col("f")).as("fg"))
+    val byV = Window.orderBy(col("v"))
+    val bySrcV = Window.partitionBy(col("grp")).orderBy(col("v"))
+    val spine = sources.crossJoin(support)
+      .join(cells, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), coalesce(col("f"), lit(0L)).as("f"))
+      .join(glob.withColumn("gap",
+          coalesce(lead(col("v"), 1).over(byV) - col("v"), lit(0L)))
+          .withColumn("cum", sum(col("fg")).over(
+            byV.rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+        "v")
+      .withColumn("cum_g", sum(col("f")).over(
+        bySrcV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def dd(c: String) = col(c).cast("double")
+    val totals = cells.groupBy(col("grp")).agg(sum(col("f")).as("n_g"))
+      .crossJoin(broadcast(cells.agg(sum(col("f")).as("n"))))
+    spine.join(broadcast(totals), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n")).as("n"),
+        sum(abs(col("cum_g") * col("n") - col("cum") * col("n_g"))
+          .cast("decimal(38,0)") * col("gap")).as("mass"))
+      .select(col("grp").as("source"), col("n_g"),
+        when(col("n_g") > 0L && col("n") > 0L,
+          round(col("mass").cast("double") / (dd("n_g") * dd("n")), 6))
+          .as("w1_chars"))
+      .orderBy(col("source"))
+  }
 
   /** x218's Count-Min geometry: d hash rows × w slots, with FROZEN
     * universal-hash coefficients h_r(k) = ((a_r·(k mod P) + b_r)
@@ -1509,6 +1570,23 @@ object Sampling {
     // [[kendallGridStats]], so the grid algebra is pinned identical.
     "x233_somers_d" -> ((spark, sfDir) =>
       somersDFromJoint(spearmanJointOf(docs(spark, sfDir)))),
+
+    // GOODMAN–KRUSKAL GAMMA — the tie-ignoring third reading of the
+    // ONE dominance grid (τ_b, D, γ now all served by
+    // [[kendallGridStats]] — three statistics, one grid pass) — see
+    // [[gammaFromJoint]].
+    "x242_gk_gamma" -> ((spark, sfDir) =>
+      gammaFromJoint(spearmanJointOf(docs(spark, sfDir)))),
+
+    // 1-WASSERSTEIN SOURCE DRIFT — how many characters would each
+    // source's length distribution have to MOVE to match the corpus
+    // (the drift number with units, beside KS's sup-gap and PSI's
+    // log score) — see [[wassersteinFromCells]].
+    "x243_wasserstein" -> ((spark, sfDir) =>
+      wassersteinFromCells(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
 
     // ONE-WAY ANOVA F — the classic parametric location omnibus
     // beside x217's rank version and x229's spread version: do the
@@ -3007,6 +3085,39 @@ object Sampling {
         "SQRT((CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_x_pairs AS DOUBLE)) * " +
         "(CAST((n * (n - 1)) // 2 AS DOUBLE) - CAST(tie_y_pairs AS DOUBLE))), 6) END AS tau_b " +
         "FROM cd, tx, ty"),
+    // the same shared dominance-grid CTE, the tie-free division
+    "x242_gk_gamma" ->
+      (kendallGridCte +
+        " SELECT n, n_conc, n_disc, " +
+        "CASE WHEN n_conc + n_disc > 0 THEN " +
+        "ROUND((CAST(n_conc AS DOUBLE) - CAST(n_disc AS DOUBLE)) / " +
+        "(CAST(n_conc AS DOUBLE) + CAST(n_disc AS DOUBLE)), 6) END AS gamma " +
+        "FROM cd, tx, ty"),
+    // same shared support spine, same exact HUGEINT mass, one double
+    // division per source
+    "x243_wasserstein" ->
+      ("WITH cells AS (SELECT source AS grp, n_chars AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1, 2), " +
+        "sup AS (SELECT DISTINCT v FROM cells), " +
+        "srcs AS (SELECT DISTINCT grp FROM cells), " +
+        "gtot AS (SELECT v, CAST(SUM(f) AS BIGINT) AS fg FROM cells GROUP BY 1), " +
+        "gg AS (SELECT v, fg, COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap, " +
+        "CAST(SUM(fg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM gtot), " +
+        "spine AS (SELECT srcs.grp, sup.v, COALESCE(cells.f, 0) AS f " +
+        "FROM srcs CROSS JOIN sup LEFT JOIN cells " +
+        "ON cells.grp = srcs.grp AND cells.v = sup.v), " +
+        "sc AS (SELECT spine.grp, spine.v, gg.gap, gg.cum, " +
+        "CAST(SUM(f) OVER (PARTITION BY spine.grp ORDER BY spine.v " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g FROM spine JOIN gg USING (v)), " +
+        "tot AS (SELECT grp, CAST(SUM(f) AS BIGINT) AS n_g, " +
+        "(SELECT CAST(SUM(f) AS BIGINT) FROM cells) AS n FROM cells GROUP BY 1), " +
+        "m AS (SELECT sc.grp, MAX(n_g) AS n_g, MAX(n) AS n, " +
+        "SUM(CAST(ABS(cum_g * n - cum * n_g) AS HUGEINT) * gap) AS mass " +
+        "FROM sc JOIN tot ON tot.grp = sc.grp GROUP BY 1) " +
+        "SELECT grp AS source, n_g, " +
+        "CASE WHEN n_g > 0 AND n > 0 THEN " +
+        "ROUND(CAST(mass AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)), 6) END AS w1_chars " +
+        "FROM m ORDER BY source"),
     // the same shared dominance-grid CTE, two asymmetric divisions
     "x233_somers_d" ->
       (kendallGridCte +

@@ -354,6 +354,16 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // COX–STUART TREND — the n/2-comparison sign screen beside
+    // x167's all-pairs Mann–Kendall: is the second half of each
+    // type's daily series systematically above its first half? —
+    // see [[coxStuartReport]].
+    "x244_cox_stuart" -> ((spark, sfDir) =>
+      coxStuartReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
     // fraud / instrumentation-bug screen beside p12's rule gates:
     // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
@@ -1250,6 +1260,41 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x244's Cox–Stuart trend test over the per-type day frame — the
+    * sign-test complement of x167's Mann–Kendall (MK reads all n²/2
+    * pair orderings; Cox–Stuart pairs each first-half day with its
+    * second-half partner x_i vs x_{i+⌈n/2⌉} — n/2 comparisons, the
+    * cheap screen you run per slice before the heavier trend fit):
+    * middle day dropped when n is odd, zero differences dropped (the
+    * standard conditioning), z = (pos − neg)/√(pos + neg). One rank
+    * window + one self-join at day grain; exact integers to the one
+    * double expression.
+    */
+  def coxStuartReport(daily: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val rk = daily
+      .withColumn("rk", row_number().over(byDay))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("c", expr("(n_days + 1) DIV 2"))
+    val pairs = rk.filter(col("rk") <= col("n_days") - col("c"))
+      .select(col("event_type"), col("rk"), col("x").as("x1"),
+        col("n_days"), col("c"))
+      .join(rk.select(col("event_type"), (col("rk") - col("c")).as("rk"),
+        col("x").as("x2")), Seq("event_type", "rk"))
+      .filter(col("x1") =!= col("x2"))
+    def dd(c: String) = col(c).cast("double")
+    pairs.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(when(col("x2") > col("x1"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("x2") < col("x1"), 1L).otherwise(0L)).as("n_neg"))
+      .select(col("event_type"), col("n_days"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") + col("n_neg") > 0L,
+          round((dd("n_pos") - dd("n_neg")) /
+            sqrt(dd("n_pos") + dd("n_neg")), 6)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -1686,6 +1731,27 @@ object Views {
         "CASE WHEN den <> 0 AND n_days > 3 THEN qv > 7.814728 END AS autocorrelated " +
         "FROM q ORDER BY event_type"
     },
+    // same rank pairing with the middle day dropped, same zero-diff
+    // conditioning and sign z
+    "x244_cox_stuart" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days FROM d), " +
+        "p AS (SELECT a.event_type, a.n_days, a.x AS x1, b.x AS x2 " +
+        "FROM rk a JOIN rk b ON b.event_type = a.event_type " +
+        "AND b.rk = a.rk + (a.n_days + 1) // 2 " +
+        "WHERE a.rk <= a.n_days - (a.n_days + 1) // 2 AND a.x <> b.x), " +
+        "g AS (SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days, " +
+        "CAST(SUM(CASE WHEN x2 > x1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(SUM(CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg FROM p GROUP BY 1) " +
+        "SELECT event_type, n_days, n_pos, n_neg, " +
+        "CASE WHEN n_pos + n_neg > 0 THEN " +
+        "ROUND((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)) / " +
+        "SQRT(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)), 6) END AS z " +
+        "FROM g ORDER BY event_type"),
     // same discrete median dichotomization, same flip-count runs,
     // same classical moment expression
     "x237_runs_test" ->

@@ -1234,6 +1234,68 @@ object Streams {
           sum(col("c") * col("c")).as("f2_exact")))
   }
 
+  /** s46: x234's per-group ANOVA moments (n_g, Σv, Σv²) maintained
+    * incrementally — the textbook sufficient-statistic IVM (the
+    * whole one-way ANOVA lives in 3 numbers per group, all additive),
+    * read out through the shared
+    * [[graft.ext.Sampling.anovaFFromMoments]] stage so streamed ≡
+    * batch x234 by construction and the oracle is reused verbatim.
+    * State is k rows of 3 BIGINTs — the smallest per-group artifact
+    * in the suite.
+    */
+  def foreachBatchAnova(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = s"/tmp/graft-stream/s46_${tag(sfDir)}"
+    rmDir(spark, base)
+    Lake.materialize(spark, sfDir, "docs_split_len_v1") {
+      Lake.table(spark, sfDir, "documents")
+        .select(col("source"), col("n_chars")).repartition(4)
+    }
+    val srcPath = Lake.materializedPath(spark, sfDir, "docs_split_len_v1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcPath).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcPath)
+    @volatile var latest: Option[String] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val gen = s"$base/moments_$batchId"
+        val marker = new org.apache.hadoop.fs.Path(s"$gen/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          latest = Some(gen)
+        } else {
+          val delta = batch.toDF()
+            .select(col("source").as("grp"), col("n_chars").as("v"))
+            .groupBy(col("grp"))
+            .agg(count(lit(1)).as("d_n"), sum(col("v")).as("d_s"),
+              sum(col("v") * col("v")).as("d_ss"))
+          val merged = latest match {
+            case None => delta.select(col("grp"), col("d_n").as("n_g"),
+              col("d_s").as("s"), col("d_ss").as("ss"))
+            case Some(prev) =>
+              spark.read.parquet(prev)
+                .join(delta, Seq("grp"), "full_outer")
+                .select(col("grp"),
+                  (coalesce(col("n_g"), lit(0L)) +
+                    coalesce(col("d_n"), lit(0L))).as("n_g"),
+                  (coalesce(col("s"), lit(0L)) +
+                    coalesce(col("d_s"), lit(0L))).as("s"),
+                  (coalesce(col("ss"), lit(0L)) +
+                    coalesce(col("d_ss"), lit(0L))).as("ss"))
+          }
+          merged.write.mode("overwrite").parquet(gen)
+          latest = Some(gen)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ext.Sampling.anovaFFromMoments(
+      spark.read.parquet(latest.getOrElse(
+        sys.error("s46: stream produced no batches"))))
+  }
+
   /** s43: x228's Theil U with the (source, lang) contingency cell
     * table maintained incrementally — s21 already streams the same
     * metadata split for Simpson diversity; this maintainer keeps the
@@ -2454,6 +2516,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchHll(spark, sfDir)),
     "s45_stream_ams_maintain" ->
       ((spark, sfDir) => foreachBatchAms(spark, sfDir)),
+    "s46_stream_anova_maintain" ->
+      ((spark, sfDir) => foreachBatchAnova(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2551,6 +2615,10 @@ object Streams {
     // additively-maintained signed sums ≡ batch x231
     "s45_stream_ams_maintain" ->
       graft.ext.Sampling.oracles("x231_ams_f2"),
+    // the IVM contract verbatim: the ANOVA F solved from the
+    // additively-maintained per-group moments ≡ batch x234
+    "s46_stream_anova_maintain" ->
+      graft.ext.Sampling.oracles("x234_anova_f"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

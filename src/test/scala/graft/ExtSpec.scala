@@ -5350,6 +5350,63 @@ class ExtSpec extends SparkSpec {
       s"x233 and x216 must read one grid: $d vs $t")
   }
 
+  test("x242 gk gamma: tie-free joints read gamma = tau, corpus shares the x216 grid") {
+    import spark.implicits._
+    // perfectly ordered: C = 3, D = 0 → gamma = 1
+    val ordered = Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L))
+    val r = graft.ext.Sampling.gammaFromJoint(
+      ordered.toDF("n_chars", "n_toks", "f")).collect()(0)
+    assert(r.getDouble(3) == 1.0, s"ordered gamma: $r")
+    // corpus: same (C, D) masses as x216, gamma >= tau_b in
+    // magnitude (gamma's denominator drops the tie mass)
+    val g = graft.ext.Sampling.queries("x242_gk_gamma")(spark, SfDir)
+      .collect()(0)
+    val t = graft.ext.Sampling.queries("x216_kendall_tau_b")(spark, SfDir)
+      .collect()(0)
+    assert(g.getLong(1) == t.getLong(1) && g.getLong(2) == t.getLong(2),
+      s"x242 and x216 must read one grid: $g vs $t")
+    assert(math.abs(g.getDouble(3)) >= math.abs(t.getDouble(5)) - 1e-9,
+      s"|gamma| >= |tau_b|: $g vs $t")
+  }
+
+  test("x243 wasserstein: hand-computed mass on a two-source fixture, self-distance is zero-ish") {
+    import spark.implicits._
+    // source a = {0, 10}, source b = {10, 10}: support {0, 10},
+    // F_a(0) = 1/2, F(0) = 1/4, gap = 10 → W1_a = |1/2 - 1/4|·10 =
+    // 2.5; W1_b = |0 - 1/4|·10 = 2.5
+    val cells = Seq(("a", 0L, 1L), ("a", 10L, 1L), ("b", 10L, 2L))
+    val got = graft.ext.Sampling.wassersteinFromCells(
+      cells.toDF("grp", "v", "f")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") == 2.5 && got("b") == 2.5, s"W1 fixture: $got")
+    // a single-source corpus has W1 = 0 against itself
+    val self = graft.ext.Sampling.wassersteinFromCells(
+      Seq(("a", 1L, 3L), ("a", 7L, 2L)).toDF("grp", "v", "f")).collect()(0)
+    assert(self.getDouble(2) == 0.0, s"self W1: $self")
+    // corpus: every source reported, W1 >= 0
+    val c = graft.ext.Sampling.queries("x243_wasserstein")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(_.getDouble(2) >= 0.0),
+      s"corpus W1: ${c.toSeq}")
+  }
+
+  test("x244 cox-stuart: planted monotone series reads all-positive pairs, middle day dropped") {
+    import spark.implicits._
+    // 5 days ascending: c = 3, pairs (d1,d4), (d2,d5) — both up
+    val daily = Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 3L),
+      ("a", 3, 4L), ("a", 4, 5L)).toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.coxStuartReport(daily).collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L && r.getLong(3) == 0L,
+      s"pairs: $r")
+    assert(math.abs(r.getDouble(4) - 2.0 / math.sqrt(2.0)) < 1e-6,
+      s"z: $r")
+    // corpus: z finite per type
+    val c = graft.pipeline.Views.queries("x244_cox_stuart")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(4) ||
+      !r.getDouble(4).isNaN), s"corpus cox-stuart: ${c.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8

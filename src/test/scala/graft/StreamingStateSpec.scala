@@ -349,6 +349,23 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed AMS diverges from batch x231:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming anova maintenance: additively-merged group moments serve batch x234 exactly (s46)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5))
+    val streamed = graft.streaming.Streams.foreachBatchAnova(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s46_$tag")
+      .listFiles().count(_.getName.startsWith("moments_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.ext.Sampling.queries("x234_anova_f")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq.toString == batch.toSeq.toString,
+      s"streamed ANOVA diverges from batch x234:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming degree maintenance is set-semantics: novelty anti-join, not additive merge (s13)") {
     import org.apache.spark.sql.functions._
     val streamed = graft.streaming.Streams.foreachBatchDegrees(spark, SfDir)
