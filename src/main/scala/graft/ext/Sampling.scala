@@ -586,6 +586,43 @@ object Sampling {
       .orderBy(col("grp"))
   }
 
+  /** x246's Bartlett test across the same (grp, n_g, s, ss) exact
+    * moment frame as x234 — the parametric k-group VARIANCE omnibus
+    * (x229's Brown–Forsythe answers the same question robustly; the
+    * Bartlett statistic is the likelihood-ratio classic that is also
+    * far more sensitive to non-normality — running both is the
+    * textbook practice): s_g² = (n_g·ss − s²)/(n_g(n_g−1)) exactly
+    * from the moments, Sp² = Σ(n_g−1)s_g²/(N−k),
+    * χ² = [(N−k)·ln Sp² − Σ(n_g−1)·ln s_g²] / C with the Bartlett
+    * correction C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1)). One k-row
+    * aggregate after the fact pass; frozen double expressions; any
+    * degenerate group (n_g ≤ 1 or zero variance) reads NULL.
+    */
+  def bartlettFromMoments(g: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    g.withColumn("var_g",
+        (dd("n_g") * dd("ss") - dd("s") * dd("s")) /
+          (dd("n_g") * (dd("n_g") - 1.0)))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k_groups"),
+        min(col("n_g")).as("min_n"), min(col("var_g")).as("min_var"),
+        sum((dd("n_g") - 1.0) * col("var_g")).as("pool_num"),
+        sum(when(col("var_g") > 0.0,
+          (dd("n_g") - 1.0) * log(col("var_g")))).as("sum_ln"),
+        sum(lit(1.0) / (dd("n_g") - 1.0)).as("sum_inv"))
+      .select(col("n"), col("k_groups"),
+        when(col("n") > col("k_groups"),
+          round(col("pool_num") / (dd("n") - dd("k_groups")), 4))
+          .as("pooled_var"),
+        when(col("k_groups") > 1L && col("min_n") > 1L &&
+            col("min_var") > 0.0 && col("n") > col("k_groups"),
+          round(((dd("n") - dd("k_groups")) *
+            log(col("pool_num") / (dd("n") - dd("k_groups"))) -
+            col("sum_ln")) /
+            (lit(1.0) + (col("sum_inv") -
+              lit(1.0) / (dd("n") - dd("k_groups"))) /
+              (lit(3.0) * (dd("k_groups") - 1.0))), 6)).as("chi2"))
+  }
+
   /** x235's Welch two-sample t over the same (grp ∈ {a, b}, v)
     * split as x232 — the unequal-variance mean comparison (Student's
     * pooled t assumes one variance; Welch's t is the default that
@@ -1595,6 +1632,18 @@ object Sampling {
     // [[anovaFFromMoments]].
     "x234_anova_f" -> ((spark, sfDir) =>
       anovaFFromMoments(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("ss")))),
+
+    // BARTLETT'S TEST — the likelihood-ratio k-group variance
+    // omnibus on the SAME moment frame as x234 (x229 answers it
+    // robustly; Bartlett is the sensitive parametric classic) —
+    // see [[bartlettFromMoments]].
+    "x246_bartlett" -> ((spark, sfDir) =>
+      bartlettFromMoments(
         docs(spark, sfDir)
           .select(col("source").as("grp"), col("n_chars").as("v"))
           .groupBy(col("grp"))
@@ -3165,6 +3214,29 @@ object Sampling {
         "CASE WHEN between_ss + within_ss > 0.0 THEN " +
         "ROUND(between_ss / (between_ss + within_ss), 6) END AS eta_sq " +
         "FROM g, f ORDER BY grp"),
+    // same exact per-group moment variances, same pooled/ln/correction
+    // expressions
+    "x246_bartlett" ->
+      ("WITH g AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS s, " +
+        "CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss FROM documents GROUP BY 1), " +
+        "v AS (SELECT n_g, (CAST(n_g AS DOUBLE) * CAST(ss AS DOUBLE) - " +
+        "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+        "(CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1.0)) AS var_g FROM g), " +
+        "t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k_groups, " +
+        "CAST(MIN(n_g) AS BIGINT) AS min_n, MIN(var_g) AS min_var, " +
+        "SUM((CAST(n_g AS DOUBLE) - 1.0) * var_g) AS pool_num, " +
+        "SUM(CASE WHEN var_g > 0.0 THEN (CAST(n_g AS DOUBLE) - 1.0) * LN(var_g) END) AS sum_ln, " +
+        "SUM(1.0 / (CAST(n_g AS DOUBLE) - 1.0)) AS sum_inv FROM v) " +
+        "SELECT n, k_groups, " +
+        "CASE WHEN n > k_groups THEN " +
+        "ROUND(pool_num / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)), 4) END AS pooled_var, " +
+        "CASE WHEN k_groups > 1 AND min_n > 1 AND min_var > 0.0 AND n > k_groups THEN " +
+        "ROUND(((CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)) * " +
+        "LN(pool_num / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) - sum_ln) / " +
+        "(1.0 + (sum_inv - 1.0 / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))) / " +
+        "(3.0 * (CAST(k_groups AS DOUBLE) - 1.0))), 6) END AS chi2 " +
+        "FROM t"),
     // same six exact sums, same Welch variance/df/Cohen's-d doubles
     "x235_welch_t" ->
       ("WITH d AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp, " +

@@ -364,6 +364,19 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // FRIEDMAN TEST + KENDALL'S W — the repeated-measures rank
+    // omnibus over the day×type grid (x234's ANOVA compares GROUP
+    // MEANS pooling days; Friedman blocks BY day and asks whether
+    // the event types keep one rank order across blocks — the
+    // within-block design that removes day-level traffic shifts),
+    // with Kendall's W = χ²/(n(k−1)) as its concordance effect
+    // size — see [[friedmanReport]].
+    "x245_friedman" -> ((spark, sfDir) =>
+      friedmanReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
     // fraud / instrumentation-bug screen beside p12's rule gates:
     // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
@@ -1295,6 +1308,59 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x245's Friedman test over the (event_type, day, x) daily-count
+    * cells — blocks are DAYS, treatments are EVENT TYPES, so the
+    * statistic reads rank-order consistency net of day-level traffic
+    * (the within-block design; x234's between-group ANOVA pools the
+    * day effect into its error term). Missing (type, day) cells are
+    * true zero counts, so the complete day×type spine is built
+    * first (x243's spine discipline). Ranks are within-block
+    * midranks carried as the exact INTEGER doubled rank r2 =
+    * 2·rank + t − 1 (midrank·2; ties make midranks half-integral),
+    * under which Conover's tie-robust statistic is division-free
+    * until the end: T = (k−1)·Σ_j(R2_j − n(k+1))² / (A2 − nk(k+1)²)
+    * with A2 = Σ r2² — exactly 4×/4× the textbook rank sums.
+    * Kendall's W = T/(n(k−1)) is the readout's concordance effect
+    * size. Work shape: one fact aggregation to day×type cells; the
+    * spine (days·k rows) is where every window runs. Fully-tied
+    * grids (A2 = nk(k+1)²) read NULL, not a crash.
+    */
+  def friedmanReport(daily: DataFrame): DataFrame = {
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val spine = types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val byDay = Window.partitionBy(col("day")).orderBy(col("x"))
+    val tieGrp = Window.partitionBy(col("day"), col("x"))
+    val ranked = spine.withColumn("r2",
+      lit(2L) * rank().over(byDay) + count(lit(1)).over(tieGrp) - lit(1L))
+    val byType = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("r2")).as("r2_sum"),
+        sum(col("r2") * col("r2")).as("r2_sq"))
+    def dd(c: Column) = c.cast("double")
+    val whole = Window.partitionBy(lit(1))
+    byType
+      .withColumn("k", count(lit(1)).over(whole))
+      .withColumn("dev", col("r2_sum") - col("n") * (col("k") + 1L))
+      .agg(max(col("n")).as("n_days"), max(col("k")).as("k_types"),
+        sum(col("r2_sq")).as("a2"),
+        sum(col("dev") * col("dev")).as("num"))
+      .select(col("n_days"), col("k_types"),
+        when(col("a2") > col("n_days") * col("k_types") *
+            (col("k_types") + 1L) * (col("k_types") + 1L),
+          round(dd(col("k_types") - 1L) * dd(col("num")) /
+            dd(col("a2") - col("n_days") * col("k_types") *
+              (col("k_types") + 1L) * (col("k_types") + 1L)), 6))
+          .as("chi2_f"))
+      .withColumn("kendall_w",
+        when(col("chi2_f").isNotNull && col("n_days") > 0L &&
+            col("k_types") > 1L,
+          round(col("chi2_f") /
+            (dd(col("n_days")) * dd(col("k_types") - 1L)), 6)))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -1752,6 +1818,37 @@ object Views {
         "ROUND((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)) / " +
         "SQRT(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)), 6) END AS z " +
         "FROM g ORDER BY event_type"),
+    // same zero-filled day×type spine, same doubled midranks, same
+    // division-free Conover statistic and W readout
+    "x245_friedman" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "days AS (SELECT DISTINCT day FROM d), " +
+        "tps AS (SELECT DISTINCT event_type FROM d), " +
+        "spine AS (SELECT tps.event_type, days.day, COALESCE(d.x, 0) AS x " +
+        "FROM tps CROSS JOIN days LEFT JOIN d " +
+        "ON d.event_type = tps.event_type AND d.day = days.day), " +
+        "r AS (SELECT event_type, " +
+        "2 * RANK() OVER (PARTITION BY day ORDER BY x) + " +
+        "COUNT(*) OVER (PARTITION BY day, x) - 1 AS r2 FROM spine), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(r2) AS BIGINT) AS r2_sum, " +
+        "CAST(SUM(r2 * r2) AS BIGINT) AS r2_sq FROM r GROUP BY 1), " +
+        "w AS (SELECT n, r2_sum, r2_sq, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS k FROM g), " +
+        "t AS (SELECT MAX(n) AS n_days, MAX(k) AS k_types, " +
+        "CAST(SUM(r2_sq) AS BIGINT) AS a2, " +
+        "CAST(SUM((r2_sum - n * (k + 1)) * (r2_sum - n * (k + 1))) AS BIGINT) AS num FROM w), " +
+        "f AS (SELECT n_days, k_types, " +
+        "CASE WHEN a2 > n_days * k_types * (k_types + 1) * (k_types + 1) THEN " +
+        "ROUND(CAST(k_types - 1 AS DOUBLE) * CAST(num AS DOUBLE) / " +
+        "CAST(a2 - n_days * k_types * (k_types + 1) * (k_types + 1) AS DOUBLE), 6) " +
+        "END AS chi2_f FROM t) " +
+        "SELECT n_days, k_types, chi2_f, " +
+        "CASE WHEN chi2_f IS NOT NULL AND n_days > 0 AND k_types > 1 THEN " +
+        "ROUND(chi2_f / (CAST(n_days AS DOUBLE) * CAST(k_types - 1 AS DOUBLE)), 6) " +
+        "END AS kendall_w FROM f"),
     // same discrete median dichotomization, same flip-count runs,
     // same classical moment expression
     "x237_runs_test" ->

@@ -5407,6 +5407,47 @@ class ExtSpec extends SparkSpec {
       !r.getDouble(4).isNaN), s"corpus cox-stuart: ${c.toSeq}")
   }
 
+  test("x245 friedman: perfect concordance reads chi2 = 2n, W = 1; ties midranked") {
+    import spark.implicits._
+    // 3 days x 3 types, identical rank order every day -> the
+    // textbook no-tie maximum: chi2 = n(k-1) = 6, W = 1
+    val daily = Seq(
+      ("a", 0, 10L), ("b", 0, 20L), ("c", 0, 30L),
+      ("a", 1, 11L), ("b", 1, 21L), ("c", 1, 31L),
+      ("a", 2, 12L), ("b", 2, 22L), ("c", 2, 32L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.friedmanReport(daily).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, s"grid: $r")
+    assert(r.getDouble(2) == 6.0 && r.getDouble(3) == 1.0, s"stat: $r")
+    // one fully-tied day contributes midranks, shrinking chi2 below
+    // the max but keeping it defined
+    val tied = daily.union(Seq(("a", 3, 5L), ("b", 3, 5L), ("c", 3, 5L))
+      .toDF("event_type", "day", "x"))
+    val t = graft.pipeline.Views.friedmanReport(tied).collect()(0)
+    assert(t.getLong(0) == 4L && t.getDouble(2) > 0.0 &&
+      t.getDouble(2) < 8.0 && t.getDouble(3) < 1.0, s"tied: $t")
+    // corpus: single row, defined statistic
+    val c = graft.pipeline.Views.queries("x245_friedman")(spark, SfDir)
+      .collect()
+    assert(c.length == 1 && !c(0).isNullAt(2) &&
+      c(0).getDouble(2) >= 0.0, s"corpus friedman: ${c.toSeq}")
+  }
+
+  test("x246 bartlett: two-group fixture reads pooled 2.5, chi2 = 0.714059") {
+    import spark.implicits._
+    // a = {1,2,3} (var 1), b = {2,4,6} (var 4):
+    // chi2 = (4 ln 2.5 - 2 ln 4) / (1 + (1 - 1/4)/3) = 0.714059
+    val g = Seq(("a", 3L, 6L, 14L), ("b", 3L, 12L, 56L))
+      .toDF("grp", "n_g", "s", "ss")
+    val r = graft.ext.Sampling.bartlettFromMoments(g).collect()(0)
+    assert(r.getDouble(2) == 2.5, s"pooled: $r")
+    assert(math.abs(r.getDouble(3) - 0.714059) < 1e-6, s"chi2: $r")
+    // corpus: defined, non-negative
+    val c = graft.ext.Sampling.queries("x246_bartlett")(spark, SfDir)
+      .collect()(0)
+    assert(!c.isNullAt(3) && c.getDouble(3) >= 0.0, s"corpus bartlett: $c")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
