@@ -682,14 +682,23 @@ object Sampling {
     * fact aggregation to (source, v, f) cells; the spine is
     * |support|·|sources| rows, windows run there, never row grain.
     */
-  def wassersteinFromCells(cells: DataFrame): DataFrame = {
+  /** The shared per-group ECDF spine under x243/x248: from (grp, v, f)
+    * cells, the complete group×support grid carrying (grp, v, f, gap
+    * to the next support value, global prefix mass `cum`, group
+    * prefix mass `cum_g`, group total `n_g`, corpus total `n`) — all
+    * exact BIGINTs. Work shape: the spine is |support|·|groups| rows;
+    * every window runs there, never at row grain.
+    */
+  private def ecdfSpine(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val support = cells.select(col("v")).distinct()
     val sources = cells.select(col("grp")).distinct()
     val glob = cells.groupBy(col("v")).agg(sum(col("f")).as("fg"))
     val byV = Window.orderBy(col("v"))
     val bySrcV = Window.partitionBy(col("grp")).orderBy(col("v"))
-    val spine = sources.crossJoin(support)
+    val totals = cells.groupBy(col("grp")).agg(sum(col("f")).as("n_g"))
+      .crossJoin(broadcast(cells.agg(sum(col("f")).as("n"))))
+    sources.crossJoin(support)
       .join(cells, Seq("grp", "v"), "left")
       .select(col("grp"), col("v"), coalesce(col("f"), lit(0L)).as("f"))
       .join(glob.withColumn("gap",
@@ -699,10 +708,86 @@ object Sampling {
         "v")
       .withColumn("cum_g", sum(col("f")).over(
         bySrcV.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "grp")
+  }
+
+  /** x248's per-source ENERGY DISTANCE to its complement — the
+    * whole-distribution two-sample statistic beside x243's W₁ (W₁
+    * reads total transport; energy distance D² = 2E|X−Y| − E|X−X'| −
+    * E|Y−Y'| is zero IFF the distributions are equal and powers the
+    * modern energy two-sample test): over the discrete support, each
+    * expectation is an exact integral of ECDF products — E|X−X'| =
+    * 2∫F(1−F), E|X−Y| = ∫[F_X(1−F_Y) + F_Y(1−F_X)] — accumulated as
+    * exact integer masses gap·cum·(n−cum) in DECIMAL(38,0) (the
+    * x217/x243 HUGEINT discipline: cum² reaches ~10¹⁵ at the scaled
+    * lake) with three double divisions at the end. Same
+    * [[ecdfSpine]] as x243; the complement masses are derived, not
+    * re-scanned (cum_c = cum − cum_g).
+    */
+  def energyDistanceFromCells(cells: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ecdfSpine(cells)
+      .withColumn("cum_c", col("cum") - col("cum_g"))
+      .withColumn("n_c", col("n") - col("n_g"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_c")).as("n_c"),
+        sum(dec(col("gap")) * dec(col("cum_g") * (col("n_c") - col("cum_c")) +
+          col("cum_c") * (col("n_g") - col("cum_g")))).as("m_xy"),
+        sum(dec(col("gap")) * dec(col("cum_g") * (col("n_g") - col("cum_g"))))
+          .as("m_xx"),
+        sum(dec(col("gap")) * dec(col("cum_c") * (col("n_c") - col("cum_c"))))
+          .as("m_yy"))
+      .select(col("grp").as("source"), col("n_g"), col("n_c"),
+        when(col("n_g") > 0L && col("n_c") > 0L,
+          round(lit(2.0) * dd(col("m_xy")) / (dd(col("n_g")) * dd(col("n_c"))) -
+            lit(2.0) * dd(col("m_xx")) / (dd(col("n_g")) * dd(col("n_g"))) -
+            lit(2.0) * dd(col("m_yy")) / (dd(col("n_c")) * dd(col("n_c"))), 6))
+          .as("energy_d2"))
+      .orderBy(col("source"))
+  }
+
+  /** x247's inequality profile of the per-user event-count
+    * distribution — the three classic indices a traffic-concentration
+    * audit reads together (x159's Gini is the length-inequality
+    * sibling): Theil T = Σ f·x·ln(x)/total − ln(μ) (the
+    * decomposable entropy index), Atkinson(ε=1) = 1 − geomean/μ,
+    * and the Hoover/Robin-Hood share = Σ f·|x·n − total| /
+    * (2·n·total) — the fraction of events that would have to move to
+    * equalize users. All three read off ONE (x, f) count-of-counts
+    * cell frame (bounded by the distinct per-user counts, hundreds of
+    * cells, never user grain), with the Hoover numerator exact
+    * BIGINT and the ln sums at cell grain.
+    */
+  def inequalityFromCells(cells: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val tot = cells.agg(sum(col("f")).as("n_users"),
+      sum(col("f") * col("x")).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .agg(max(col("n_users")).as("n_users"), max(col("total")).as("total"),
+        count(lit(1)).as("n_cells"),
+        sum(dd(col("f")) * dd(col("x")) * log(dd(col("x")))).as("sxlx"),
+        sum(dd(col("f")) * log(dd(col("x")))).as("slx"),
+        sum((col("f") * abs(col("x") * col("n_users") - col("total")))
+          .cast("decimal(38,0)")).as("hnum"))
+      .withColumn("mu", dd(col("total")) / dd(col("n_users")))
+      .select(col("n_users"), col("total"), col("n_cells"),
+        round(col("mu"), 4).as("mu"),
+        when(col("total") > 0L,
+          round(col("sxlx") / dd(col("total")) - log(col("mu")), 6))
+          .as("theil_t"),
+        when(col("total") > 0L,
+          round(lit(1.0) - exp(col("slx") / dd(col("n_users"))) / col("mu"), 6))
+          .as("atkinson_1"),
+        when(col("total") > 0L && col("n_users") > 0L,
+          round(dd(col("hnum")) /
+            (lit(2.0) * dd(col("n_users")) * dd(col("total"))), 6))
+          .as("hoover"))
+  }
+
+  def wassersteinFromCells(cells: DataFrame): DataFrame = {
     def dd(c: String) = col(c).cast("double")
-    val totals = cells.groupBy(col("grp")).agg(sum(col("f")).as("n_g"))
-      .crossJoin(broadcast(cells.agg(sum(col("f")).as("n"))))
-    spine.join(broadcast(totals), "grp")
+    ecdfSpine(cells)
       .groupBy(col("grp"))
       .agg(max(col("n_g")).as("n_g"), max(col("n")).as("n"),
         sum(abs(col("cum_g") * col("n") - col("cum") * col("n_g"))
@@ -1621,6 +1706,26 @@ object Sampling {
     // log score) — see [[wassersteinFromCells]].
     "x243_wasserstein" -> ((spark, sfDir) =>
       wassersteinFromCells(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
+
+    // INEQUALITY PROFILE — Theil T, Atkinson(1), and the Hoover
+    // share of the per-user event-count distribution, read together
+    // off ONE count-of-counts cell frame (x159's Gini is the
+    // doc-length sibling) — see [[inequalityFromCells]].
+    "x247_theil_inequality" -> ((spark, sfDir) =>
+      inequalityFromCells(
+        Lake.table(spark, sfDir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("f")))),
+
+    // ENERGY DISTANCE — each source's whole-distribution D² against
+    // its complement over doc length, the zero-iff-equal two-sample
+    // statistic beside x243's W₁ transport — see
+    // [[energyDistanceFromCells]].
+    "x248_energy_distance" -> ((spark, sfDir) =>
+      energyDistanceFromCells(
         docs(spark, sfDir)
           .select(col("source").as("grp"), col("n_chars").as("v"))
           .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
@@ -3214,6 +3319,59 @@ object Sampling {
         "CASE WHEN between_ss + within_ss > 0.0 THEN " +
         "ROUND(between_ss / (between_ss + within_ss), 6) END AS eta_sq " +
         "FROM g, f ORDER BY grp"),
+    // same count-of-counts cells, same cell-grain ln sums, same exact
+    // Hoover numerator
+    "x247_theil_inequality" ->
+      ("WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), " +
+        "cells AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS f FROM u GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_users, " +
+        "CAST(SUM(f * x) AS BIGINT) AS total FROM cells), " +
+        "a AS (SELECT MAX(n_users) AS n_users, MAX(total) AS total, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_cells, " +
+        "SUM(CAST(f AS DOUBLE) * CAST(x AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS sxlx, " +
+        "SUM(CAST(f AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS slx, " +
+        "SUM(CAST(f * ABS(x * n_users - total) AS HUGEINT)) AS hnum " +
+        "FROM cells, tot), " +
+        "m AS (SELECT a.*, CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE) AS mu FROM a) " +
+        "SELECT n_users, total, n_cells, ROUND(mu, 4) AS mu, " +
+        "CASE WHEN total > 0 THEN ROUND(sxlx / CAST(total AS DOUBLE) - LN(mu), 6) END AS theil_t, " +
+        "CASE WHEN total > 0 THEN " +
+        "ROUND(1.0 - EXP(slx / CAST(n_users AS DOUBLE)) / mu, 6) END AS atkinson_1, " +
+        "CASE WHEN total > 0 AND n_users > 0 THEN " +
+        "ROUND(CAST(hnum AS DOUBLE) / (2.0 * CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)), 6) " +
+        "END AS hoover FROM m"),
+    // same ECDF spine as x243, same exact integer masses, same three
+    // divisions
+    "x248_energy_distance" ->
+      ("WITH cells AS (SELECT source AS grp, n_chars AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1, 2), " +
+        "sup AS (SELECT DISTINCT v FROM cells), " +
+        "srcs AS (SELECT DISTINCT grp FROM cells), " +
+        "gtot AS (SELECT v, CAST(SUM(f) AS BIGINT) AS fg FROM cells GROUP BY 1), " +
+        "gg AS (SELECT v, fg, COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS gap, " +
+        "CAST(SUM(fg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM gtot), " +
+        "spine AS (SELECT srcs.grp, sup.v, COALESCE(cells.f, 0) AS f " +
+        "FROM srcs CROSS JOIN sup LEFT JOIN cells " +
+        "ON cells.grp = srcs.grp AND cells.v = sup.v), " +
+        "sc AS (SELECT spine.grp, spine.v, gg.gap, gg.cum, " +
+        "CAST(SUM(f) OVER (PARTITION BY spine.grp ORDER BY spine.v " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g FROM spine JOIN gg USING (v)), " +
+        "tt AS (SELECT grp, CAST(SUM(f) AS BIGINT) AS n_g, " +
+        "(SELECT CAST(SUM(f) AS BIGINT) FROM cells) AS n FROM cells GROUP BY 1), " +
+        "cc AS (SELECT sc.grp, gap, cum_g, cum - cum_g AS cum_c, n_g, n - n_g AS n_c " +
+        "FROM sc JOIN tt ON tt.grp = sc.grp), " +
+        "m AS (SELECT grp, MAX(n_g) AS n_g, MAX(n_c) AS n_c, " +
+        "SUM(CAST(gap AS HUGEINT) * CAST(cum_g * (n_c - cum_c) + cum_c * (n_g - cum_g) AS HUGEINT)) AS m_xy, " +
+        "SUM(CAST(gap AS HUGEINT) * CAST(cum_g * (n_g - cum_g) AS HUGEINT)) AS m_xx, " +
+        "SUM(CAST(gap AS HUGEINT) * CAST(cum_c * (n_c - cum_c) AS HUGEINT)) AS m_yy " +
+        "FROM cc GROUP BY 1) " +
+        "SELECT grp AS source, n_g, n_c, " +
+        "CASE WHEN n_g > 0 AND n_c > 0 THEN " +
+        "ROUND(2.0 * CAST(m_xy AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(n_c AS DOUBLE)) - " +
+        "2.0 * CAST(m_xx AS DOUBLE) / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE)) - " +
+        "2.0 * CAST(m_yy AS DOUBLE) / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) " +
+        "END AS energy_d2 " +
+        "FROM m ORDER BY source"),
     // same exact per-group moment variances, same pooled/ln/correction
     // expressions
     "x246_bartlett" ->

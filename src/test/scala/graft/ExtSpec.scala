@@ -5448,6 +5448,47 @@ class ExtSpec extends SparkSpec {
     assert(!c.isNullAt(3) && c.getDouble(3) >= 0.0, s"corpus bartlett: $c")
   }
 
+  test("x247 inequality: hand-computed Theil/Atkinson/Hoover on a 4-user fixture") {
+    import spark.implicits._
+    // counts {1,1,2,4}: mu = 2, Theil = 0.25 ln 2 = 0.173287,
+    // Atkinson(1) = 1 - 2^0.75/2 = 0.159104, Hoover = 16/64 = 0.25
+    val cells = Seq((1L, 2L), (2L, 1L), (4L, 1L)).toDF("x", "f")
+    val r = graft.ext.Sampling.inequalityFromCells(cells).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L, s"totals: $r")
+    assert(math.abs(r.getDouble(4) - 0.173287) < 1e-6, s"theil: $r")
+    assert(math.abs(r.getDouble(5) - 0.159104) < 1e-6, s"atkinson: $r")
+    assert(r.getDouble(6) == 0.25, s"hoover: $r")
+    // perfectly equal corpus reads zero on all three
+    val eq = graft.ext.Sampling.inequalityFromCells(
+      Seq((3L, 5L)).toDF("x", "f")).collect()(0)
+    assert(eq.getDouble(4) == 0.0 && eq.getDouble(5) == 0.0 &&
+      eq.getDouble(6) == 0.0, s"equal: $eq")
+    // corpus: all three defined and non-negative
+    val c = graft.ext.Sampling.queries("x247_theil_inequality")(spark, SfDir)
+      .collect()(0)
+    assert(c.getDouble(4) >= 0.0 && c.getDouble(5) >= 0.0 &&
+      c.getDouble(6) >= 0.0, s"corpus inequality: $c")
+  }
+
+  test("x248 energy distance: point masses read 2|a-b|, identical groups read zero") {
+    import spark.implicits._
+    // a = delta(0), b = delta(10): D2 = 2 E|X-Y| = 20 for both sides
+    val pm = graft.ext.Sampling.energyDistanceFromCells(
+      Seq(("a", 0L, 1L), ("b", 10L, 1L)).toDF("grp", "v", "f")).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(pm("a") == 20.0 && pm("b") == 20.0, s"point masses: $pm")
+    // identical two-point distributions: D2 = 0 exactly
+    val idn = graft.ext.Sampling.energyDistanceFromCells(
+      Seq(("a", 0L, 1L), ("a", 10L, 1L), ("b", 0L, 1L), ("b", 10L, 1L))
+        .toDF("grp", "v", "f")).collect()
+    assert(idn.forall(_.getDouble(3) == 0.0), s"identical: ${idn.toSeq}")
+    // corpus: every source reported, D2 >= 0
+    val c = graft.ext.Sampling.queries("x248_energy_distance")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(_.getDouble(3) >= -1e-9),
+      s"corpus energy: ${c.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
