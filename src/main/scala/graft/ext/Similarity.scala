@@ -1629,6 +1629,123 @@ object Similarity {
         .orderBy(col("k"))
     }),
 
+    // CALINSKI–HARABASZ INDEX — the variance-ratio cluster validity
+    // readout over x64's assignment, beside x162's silhouette (CH
+    // reads the GLOBAL between/within variance ratio; silhouette
+    // reads per-point margin): the ANOVA decomposition per
+    // dimension, summed — B = Σ_kd S²/n_k − Σ_d G_d²/N,
+    // W = ΣΣx² − Σ_kd S²/n_k, CH = (B/(k−1))/(W/(N−k)). Per-(k,dim)
+    // sums accumulate in exact DECIMAL (x65's order-independent
+    // discipline) and become doubles only at the bounded K×dims cell
+    // grain; no vector shuffle beyond the one dim-grain aggregation.
+    "x249_ch_index" -> ((spark, sfDir) => {
+      val K = 8
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = broadcast(e.orderBy(col("vec_id")).limit(K)
+        .select(col("vec_id").as("k"), col("v").as("c")))
+      val a1 = e.crossJoin(cents)
+        .select(col("vec_id"), col("k"),
+          round(sqDist(col("v"), col("c")), 4).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("k"))).as("m"))
+        .select(col("vec_id"), col("m.k").as("k"))
+      val dims = e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val cells = a1.join(dims, "vec_id")
+        .groupBy(col("k"), col("dim"))
+        .agg(sum(col("x").cast("decimal(20,10)")).cast("double").as("s"),
+          count(lit(1)).as("n_k"))
+      val bh = cells.agg(
+        sum(col("s") * col("s") / col("n_k").cast("double")).as("b_hit"))
+      val gq = cells.groupBy(col("dim")).agg(sum(col("s")).as("g"))
+        .agg(sum(col("g") * col("g")).as("gsq"))
+      val tot = dims.agg(
+        sum(col("x").cast("decimal(18,9)") * col("x").cast("decimal(18,9)"))
+          .cast("double").as("totss"))
+      val nr = a1.agg(count(lit(1)).as("n"),
+        countDistinct(col("k")).as("k_clusters"))
+      def dd(c: Column) = c.cast("double")
+      nr.crossJoin(bh).crossJoin(gq).crossJoin(tot)
+        .withColumn("between_raw", col("b_hit") - col("gsq") / dd(col("n")))
+        .withColumn("within_raw", col("totss") - col("b_hit"))
+        .select(col("n"), col("k_clusters"),
+          round(col("between_raw"), 4).as("between_ss"),
+          round(col("within_raw"), 4).as("within_ss"),
+          when(col("k_clusters") > 1L && col("n") > col("k_clusters") &&
+              col("within_raw") > 0.0,
+            round((col("between_raw") / (dd(col("k_clusters")) - 1.0)) /
+              (col("within_raw") / (dd(col("n")) - dd(col("k_clusters")))),
+              6)).as("ch"))
+    }),
+
+    // DAVIES–BOULDIN INDEX — the worst-neighbor cluster validity
+    // readout over the same assignment (CH is a global ratio; DB
+    // charges each cluster its most-confusable peer): σ_k = RMS
+    // distance to the 4 dp-gridded recentered mean (the x65 m2
+    // grid, so every downstream double is deterministic),
+    // R_ij = (σ_i + σ_j)/‖m̃_i − m̃_j‖ over the K² pair grain,
+    // DB = mean_i max_j R_ij. Ratios land on the 10⁻⁶ integer grid
+    // before the max/mean (x162's discipline) so the index is an
+    // exact integer sum until its one final division.
+    "x250_davies_bouldin" -> ((spark, sfDir) => {
+      val K = 8
+      val e = emb(spark, sfDir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = broadcast(e.orderBy(col("vec_id")).limit(K)
+        .select(col("vec_id").as("k"), col("v").as("c")))
+      val a1 = e.crossJoin(cents)
+        .select(col("vec_id"), col("k"),
+          round(sqDist(col("v"), col("c")), 4).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("k"))).as("m"))
+        .select(col("vec_id"), col("m.k").as("k"))
+      val dims = e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      val m2 = a1.join(dims, "vec_id")
+        .groupBy(col("k"), col("dim"))
+        .agg((round(sum(col("x").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 4) + lit(0.0)).as("m"),
+          sum(col("x").cast("decimal(20,10)")).cast("double").as("s"))
+      val c2 = m2.groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pm"),
+          array_sort(collect_list(struct(col("dim"), col("s")))).as("ps"))
+        .select(col("k"), expr("transform(pm, p -> p.m)").as("cv"),
+          expr("transform(ps, p -> p.s)").as("sv"))
+      val ssk = a1.join(dims, "vec_id")
+        .groupBy(col("k"))
+        .agg(sum(col("x").cast("decimal(18,9)") * col("x").cast("decimal(18,9)"))
+          .cast("double").as("ss"))
+      val nk = a1.groupBy(col("k")).agg(count(lit(1)).as("n_assigned"))
+      def dd(c: Column) = c.cast("double")
+      val sig = c2.join(ssk, "k").join(nk, "k")
+        .select(col("k"), col("n_assigned"), col("cv"),
+          round(sqrt(greatest(lit(0.0),
+            (col("ss") - lit(2.0) * dot(col("cv"), col("sv")) +
+              dd(col("n_assigned")) * dot(col("cv"), col("cv"))) /
+              dd(col("n_assigned")))), 4).as("sigma"))
+      val whole = Window.partitionBy(lit(1))
+      sig.as("i").join(sig.as("j"), col("i.k") =!= col("j.k"))
+        .withColumn("d2", sqDist(col("i.cv"), col("j.cv")))
+        .filter(col("d2") > 0.0)
+        .select(col("i.k").as("k"), col("i.n_assigned").as("n_assigned"),
+          col("i.sigma").as("sigma"),
+          (round((col("i.sigma") + col("j.sigma")) /
+            sqrt(col("d2")) * lit(1000000.0), 0))
+            .cast("long").as("r_fp"))
+        .groupBy(col("k"))
+        .agg(max(col("n_assigned")).as("n_assigned"),
+          max(col("sigma")).as("sigma"), max(col("r_fp")).as("r_max_fp"))
+        .withColumn("r_max",
+          col("r_max_fp").cast("double") / lit(1000000.0))
+        .withColumn("db_index",
+          round(sum(col("r_max_fp")).over(whole).cast("double") /
+            (count(lit(1)).over(whole) * lit(1000000.0)), 6))
+        .select(col("k"), col("n_assigned"), col("sigma"), col("r_max"),
+          col("db_index"))
+        .orderBy(col("k"))
+    }),
+
     // GREEDY k-CENTER CORESET — farthest-point diversity selection
     // (the Gonzalez 2-approximation behind coreset/active-learning
     // data picks, and the maximal-spread complement of x102's
@@ -2331,6 +2448,76 @@ object Similarity {
         "ROUND(SUM(d), 4) AS inertia FROM a2 GROUP BY k) " +
         "SELECT iter, k, n_assigned, inertia FROM (" +
         "SELECT * FROM s1 UNION ALL SELECT * FROM s2) u ORDER BY iter, k"),
+    // same argmin assignment, same exact-decimal per-(k,dim) sums,
+    // same per-dimension ANOVA decomposition and variance ratio
+    "x249_ch_index" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a1 AS (SELECT vec_id, k FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "ed AS (SELECT vec_id, i AS dim, v[i] AS x FROM (" +
+        "SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e) t), " +
+        "cells AS (SELECT a1.k, ed.dim, " +
+        "CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_k FROM a1 JOIN ed USING (vec_id) GROUP BY 1, 2), " +
+        "bh AS (SELECT SUM(s * s / CAST(n_k AS DOUBLE)) AS b_hit FROM cells), " +
+        "gq AS (SELECT SUM(g * g) AS gsq FROM (" +
+        "SELECT dim, SUM(s) AS g FROM cells GROUP BY 1) t), " +
+        "tot AS (SELECT CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS totss FROM ed), " +
+        "nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(COUNT(DISTINCT k) AS BIGINT) AS k_clusters FROM a1), " +
+        "f AS (SELECT n, k_clusters, b_hit - gsq / CAST(n AS DOUBLE) AS between_raw, " +
+        "totss - b_hit AS within_raw FROM nr, bh, gq, tot) " +
+        "SELECT n, k_clusters, ROUND(between_raw, 4) AS between_ss, " +
+        "ROUND(within_raw, 4) AS within_ss, " +
+        "CASE WHEN k_clusters > 1 AND n > k_clusters AND within_raw > 0.0 THEN " +
+        "ROUND((between_raw / (CAST(k_clusters AS DOUBLE) - 1.0)) / " +
+        "(within_raw / (CAST(n AS DOUBLE) - CAST(k_clusters AS DOUBLE))), 6) END AS ch " +
+        "FROM f"),
+    // same 4 dp-gridded recentered means, same RMS sigma, same
+    // 10^-6-grid worst-neighbor ratios
+    "x250_davies_bouldin" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a1 AS (SELECT vec_id, k FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "ed AS (SELECT vec_id, i AS dim, v[i] AS x FROM (" +
+        "SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e) t), " +
+        "m2 AS (SELECT a1.k, ed.dim, " +
+        "ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 4) + 0 AS m, " +
+        "CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) AS s " +
+        "FROM a1 JOIN ed USING (vec_id) GROUP BY 1, 2), " +
+        "c2 AS (SELECT k, list(m ORDER BY dim) AS cv, list(s ORDER BY dim) AS sv FROM m2 GROUP BY k), " +
+        "ssk AS (SELECT a1.k, " +
+        "CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS ss " +
+        "FROM a1 JOIN ed USING (vec_id) GROUP BY 1), " +
+        "nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM a1 GROUP BY 1), " +
+        "sg AS (SELECT c2.k, nk.n_assigned, cv, " +
+        "ROUND(SQRT(GREATEST(0.0, (ss - 2.0 * list_sum(list_transform(" +
+        "range(1, len(cv) + 1), i -> cv[i] * sv[i])) + " +
+        "CAST(n_assigned AS DOUBLE) * list_sum(list_transform(cv, x -> x * x))) / " +
+        "CAST(n_assigned AS DOUBLE))), 4) AS sigma " +
+        "FROM c2 JOIN ssk ON ssk.k = c2.k JOIN nk ON nk.k = c2.k), " +
+        "p AS (SELECT k, n_assigned, sigma, " +
+        "CAST(ROUND(sig_sum / SQRT(d2) * 1000000.0, 0) AS BIGINT) AS r_fp " +
+        "FROM (SELECT i.k, i.n_assigned, i.sigma, i.sigma + j.sigma AS sig_sum, " +
+        "list_sum(list_transform(" +
+        "range(1, len(i.cv) + 1), q -> (i.cv[q] - j.cv[q]) * (i.cv[q] - j.cv[q]))) AS d2 " +
+        "FROM sg i, sg j WHERE i.k <> j.k) t WHERE d2 > 0.0), " +
+        "g AS (SELECT k, MAX(n_assigned) AS n_assigned, MAX(sigma) AS sigma, " +
+        "MAX(r_fp) AS r_max_fp FROM p GROUP BY 1) " +
+        "SELECT k, n_assigned, sigma, CAST(r_max_fp AS DOUBLE) / 1000000.0 AS r_max, " +
+        "ROUND(CAST(SUM(r_max_fp) OVER () AS DOUBLE) / " +
+        "(COUNT(*) OVER () * 1000000.0), 6) AS db_index " +
+        "FROM g ORDER BY k"),
     // x16's probe/rerank chain on the first-8 seed quantizer: same
     // 4 dp-rounded distances before every argmin/rank, same
     // cell/neighbor tiebreaks, nprobe=2 QUALIFY probe selection

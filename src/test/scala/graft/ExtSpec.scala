@@ -3865,6 +3865,45 @@ class ExtSpec extends SparkSpec {
     assert(got.values.forall(_._4 == 1.0))
   }
 
+  test("x249 ch index: between+within recompose the brute-force total scatter, CH recomputes from the row") {
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    // brute-force total scatter about the global mean
+    val n = vecs.length
+    val dims = vecs(0)._2.length
+    val gm = (0 until dims).map(d => vecs.map(_._2(d)).sum / n)
+    val totScatter = vecs.map(_._2.zip(gm).map { case (x, m) =>
+      (x - m) * (x - m) }.sum).sum
+    val row = Similarity.queries("x249_ch_index")(spark, SfDir).collect()(0)
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == 8L, s"shape: $row")
+    val (b, w, ch) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(math.abs(b + w - totScatter) < 1e-3 * totScatter,
+      s"decomposition: b=$b w=$w tot=$totScatter")
+    assert(math.abs(ch - (b / 7.0) / (w / (n - 8.0))) < 1e-3 * ch,
+      s"ch recompute: $row")
+    assert(b > 0.0 && w > 0.0 && ch > 0.0, s"positive: $row")
+    r4(0.0) // keep the helper used
+    ()
+  }
+
+  test("x250 davies-bouldin: per-cluster rows carry one shared index equal to the mean worst-neighbor ratio") {
+    val rows = Similarity.queries("x250_davies_bouldin")(spark, SfDir)
+      .collect()
+    assert(rows.length == 8, s"clusters: ${rows.length}")
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(3) > 0.0),
+      s"sigma/rmax: ${rows.toSeq}")
+    val dbs = rows.map(_.getDouble(4)).distinct
+    assert(dbs.length == 1, s"db must be shared: ${dbs.toSeq}")
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(dbs(0) - mean) < 2e-6, s"db=${dbs(0)} mean=$mean")
+    // sigma is an RMS about the gridded mean: bounded above by the
+    // max pairwise distance scale, sanity-positive for real clusters
+    assert(rows.map(_.getLong(1)).sum == Lake.table(spark, SfDir,
+      "embeddings").count(), s"membership total: ${rows.toSeq}")
+  }
+
   test("x163 cramers v: independence scores 0, a diagonal table scores exactly 1, zero cells are charged") {
     import spark.implicits._
     val indep = Seq(("A", "x", 20L), ("A", "y", 20L),
