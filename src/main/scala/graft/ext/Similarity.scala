@@ -638,6 +638,96 @@ object Similarity {
         col("label").as("cluster"))
   }
 
+  /** The shared K×L contingency under x251/x252: x64's argmin
+    * k-means assignment crossed with the corpus `label` column —
+    * one bounded cell frame (u = cluster, v = label, n_uv) off the
+    * same broadcast-centroid scan as x64.
+    */
+  private def kmeansLabelContingency(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val K = 8
+    val e = emb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+    val cents = broadcast(e.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id").as("k"), col("v").as("c")))
+    e.crossJoin(cents)
+      .select(col("vec_id"), col("label"), col("k"),
+        round(sqDist(col("v"), col("c")), 4).as("d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("d"), col("k"))).as("m"))
+      .select(col("m.k").as("u"), col("label").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_uv"))
+  }
+
+  /** x251's adjusted Rand index over a (u, v, n_uv) contingency-cell
+    * frame between two labelings — the chance-corrected pair-counting
+    * agreement (the raw Rand index rewards any split; ARI subtracts
+    * the expected agreement of independent labelings): with
+    * sumC = Σ_uv C(n_uv,2), sumA/sumB the margin pair counts, and
+    * E = sumA·sumB/C(n,2), ARI = (sumC − E)/((sumA+sumB)/2 − E).
+    * All pair counts are exact BIGINTs off the bounded cell frame;
+    * the one overflow risk — sumA·sumB ≈ n⁴/4 — accumulates in
+    * DECIMAL(38,0) (safe past n = 10⁹) before the one double
+    * division. Degenerate den = 0 (both labelings trivial) reads
+    * NULL.
+    */
+  def ariFromContingency(ct: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cellStats = ct.agg(sum(col("n_uv")).as("n"),
+      sum(expr("n_uv * (n_uv - 1) DIV 2")).as("sum_c"))
+    val rowStats = ct.groupBy(col("u")).agg(sum(col("n_uv")).as("a_u"))
+      .agg(count(lit(1)).as("k_u"),
+        sum(expr("a_u * (a_u - 1) DIV 2")).as("sum_a"))
+    val colStats = ct.groupBy(col("v")).agg(sum(col("n_uv")).as("b_v"))
+      .agg(count(lit(1)).as("k_v"),
+        sum(expr("b_v * (b_v - 1) DIV 2")).as("sum_b"))
+    cellStats.crossJoin(rowStats).crossJoin(colStats)
+      .withColumn("e_pairs",
+        (col("sum_a").cast("decimal(38,0)") *
+          col("sum_b").cast("decimal(38,0)")).cast("double") /
+          dd(expr("n * (n - 1) DIV 2")))
+      .withColumn("den",
+        (dd(col("sum_a")) + dd(col("sum_b"))) / 2.0 - col("e_pairs"))
+      .select(col("n"), col("k_u"), col("k_v"),
+        when(abs(col("den")) > 0.0,
+          round((dd(col("sum_c")) - col("e_pairs")) / col("den"), 6))
+          .as("ari"))
+  }
+
+  /** x252's normalized mutual information over the same contingency
+    * cells — the information-theoretic agreement beside x251's
+    * pair-counting one: I = Σ_uv (n_uv/n)·ln(n·n_uv/(a_u·b_v)),
+    * H_U = ln n − Σ_u a_u·ln a_u / n (and H_V alike),
+    * NMI = 2I/(H_U + H_V) — the arithmetic-mean normalization.
+    * Margins join back to the bounded cell frame; every ln runs at
+    * cell grain, exact integers underneath.
+    */
+  def nmiFromContingency(ct: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val n1 = ct.agg(sum(col("n_uv")).as("n"))
+    val rows = ct.groupBy(col("u")).agg(sum(col("n_uv")).as("a_u"))
+    val cols = ct.groupBy(col("v")).agg(sum(col("n_uv")).as("b_v"))
+    val iSum = ct.join(broadcast(rows), "u").join(broadcast(cols), "v")
+      .crossJoin(broadcast(n1))
+      .agg(sum(dd(col("n_uv")) *
+        log(dd(col("n")) * dd(col("n_uv")) /
+          (dd(col("a_u")) * dd(col("b_v"))))).as("i_raw"))
+    val hu = rows.agg(sum(dd(col("a_u")) * log(dd(col("a_u")))).as("su"),
+      count(lit(1)).as("k_u"))
+    val hv = cols.agg(sum(dd(col("b_v")) * log(dd(col("b_v")))).as("sv"),
+      count(lit(1)).as("k_v"))
+    n1.crossJoin(iSum).crossJoin(hu).crossJoin(hv)
+      .withColumn("i_val", col("i_raw") / dd(col("n")))
+      .withColumn("h_u", log(dd(col("n"))) - col("su") / dd(col("n")))
+      .withColumn("h_v", log(dd(col("n"))) - col("sv") / dd(col("n")))
+      .select(col("n"), col("k_u"), col("k_v"),
+        round(col("i_val"), 6).as("mutual_info"),
+        when(col("h_u") + col("h_v") > 0.0,
+          round(lit(2.0) * col("i_val") / (col("h_u") + col("h_v")), 6))
+          .as("nmi"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // EMBEDDING ISOTROPY — the anisotropy/representation-collapse
@@ -1746,6 +1836,20 @@ object Similarity {
         .orderBy(col("k"))
     }),
 
+    // ADJUSTED RAND INDEX — did k-means recover the label classes?
+    // The chance-corrected pair-counting agreement between x64's
+    // argmin assignment and the `label` column, off the bounded
+    // K×L contingency cells — see [[ariFromContingency]].
+    "x251_adjusted_rand" -> ((spark, sfDir) =>
+      ariFromContingency(kmeansLabelContingency(spark, sfDir))),
+
+    // NORMALIZED MUTUAL INFORMATION — the information-theoretic
+    // reading of the same K×L contingency (ARI counts pairs; NMI
+    // reads shared bits, the measure robust to cluster-count
+    // mismatch) — see [[nmiFromContingency]].
+    "x252_nmi" -> ((spark, sfDir) =>
+      nmiFromContingency(kmeansLabelContingency(spark, sfDir))),
+
     // GREEDY k-CENTER CORESET — farthest-point diversity selection
     // (the Gonzalez 2-approximation behind coreset/active-learning
     // data picks, and the maximal-spread complement of x102's
@@ -2518,6 +2622,63 @@ object Similarity {
         "ROUND(CAST(SUM(r_max_fp) OVER () AS DOUBLE) / " +
         "(COUNT(*) OVER () * 1000000.0), 6) AS db_index " +
         "FROM g ORDER BY k"),
+    // same argmin-vs-label contingency, same exact pair counts with
+    // the HUGEINT margin product, same one double division
+    "x251_adjusted_rand" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, e.label, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a1 AS (SELECT vec_id, label, k FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "ct AS (SELECT k AS u, label AS vl, CAST(COUNT(*) AS BIGINT) AS n_uv " +
+        "FROM a1 GROUP BY 1, 2), " +
+        "cs AS (SELECT CAST(SUM(n_uv) AS BIGINT) AS n, " +
+        "CAST(SUM(n_uv * (n_uv - 1) // 2) AS BIGINT) AS sum_c FROM ct), " +
+        "rs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_u, " +
+        "CAST(SUM(a_u * (a_u - 1) // 2) AS BIGINT) AS sum_a FROM (" +
+        "SELECT u, CAST(SUM(n_uv) AS BIGINT) AS a_u FROM ct GROUP BY 1) t), " +
+        "ks AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_v, " +
+        "CAST(SUM(b_v * (b_v - 1) // 2) AS BIGINT) AS sum_b FROM (" +
+        "SELECT vl, CAST(SUM(n_uv) AS BIGINT) AS b_v FROM ct GROUP BY 1) t), " +
+        "f AS (SELECT n, k_u, k_v, sum_c, sum_a, sum_b, " +
+        "CAST(CAST(sum_a AS HUGEINT) * CAST(sum_b AS HUGEINT) AS DOUBLE) / " +
+        "CAST(n * (n - 1) // 2 AS DOUBLE) AS e_pairs FROM cs, rs, ks), " +
+        "g AS (SELECT n, k_u, k_v, sum_c, e_pairs, " +
+        "(CAST(sum_a AS DOUBLE) + CAST(sum_b AS DOUBLE)) / 2.0 - e_pairs AS den FROM f) " +
+        "SELECT n, k_u, k_v, CASE WHEN ABS(den) > 0.0 THEN " +
+        "ROUND((CAST(sum_c AS DOUBLE) - e_pairs) / den, 6) END AS ari FROM g"),
+    // same contingency, same cell-grain ln terms, same arithmetic-
+    // mean normalization
+    "x252_nmi" ->
+      ("WITH e AS (SELECT vec_id, label, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "c AS (SELECT vec_id AS k, v AS cv FROM e ORDER BY vec_id LIMIT 8), " +
+        "d AS (SELECT e.vec_id, e.label, c.k, ROUND(list_sum(list_transform(" +
+        "range(1, len(v) + 1), i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 4) AS d " +
+        "FROM e, c), " +
+        "a1 AS (SELECT vec_id, label, k FROM d " +
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, k) = 1), " +
+        "ct AS (SELECT k AS u, label AS vl, CAST(COUNT(*) AS BIGINT) AS n_uv " +
+        "FROM a1 GROUP BY 1, 2), " +
+        "n1 AS (SELECT CAST(SUM(n_uv) AS BIGINT) AS n FROM ct), " +
+        "r AS (SELECT u, CAST(SUM(n_uv) AS BIGINT) AS a_u FROM ct GROUP BY 1), " +
+        "cl AS (SELECT vl, CAST(SUM(n_uv) AS BIGINT) AS b_v FROM ct GROUP BY 1), " +
+        "im AS (SELECT SUM(CAST(n_uv AS DOUBLE) * LN(CAST(n AS DOUBLE) * " +
+        "CAST(n_uv AS DOUBLE) / (CAST(a_u AS DOUBLE) * CAST(b_v AS DOUBLE)))) AS i_raw " +
+        "FROM ct JOIN r USING (u) JOIN cl USING (vl), n1), " +
+        "hu AS (SELECT SUM(CAST(a_u AS DOUBLE) * LN(CAST(a_u AS DOUBLE))) AS su, " +
+        "CAST(COUNT(*) AS BIGINT) AS k_u FROM r), " +
+        "hv AS (SELECT SUM(CAST(b_v AS DOUBLE) * LN(CAST(b_v AS DOUBLE))) AS sv, " +
+        "CAST(COUNT(*) AS BIGINT) AS k_v FROM cl), " +
+        "f AS (SELECT n, k_u, k_v, i_raw / CAST(n AS DOUBLE) AS i_val, " +
+        "LN(CAST(n AS DOUBLE)) - su / CAST(n AS DOUBLE) AS h_u, " +
+        "LN(CAST(n AS DOUBLE)) - sv / CAST(n AS DOUBLE) AS h_v FROM n1, im, hu, hv) " +
+        "SELECT n, k_u, k_v, ROUND(i_val, 6) AS mutual_info, " +
+        "CASE WHEN h_u + h_v > 0.0 THEN " +
+        "ROUND(2.0 * i_val / (h_u + h_v), 6) END AS nmi FROM f"),
     // x16's probe/rerank chain on the first-8 seed quantizer: same
     // 4 dp-rounded distances before every argmin/rank, same
     // cell/neighbor tiebreaks, nprobe=2 QUALIFY probe selection

@@ -3904,6 +3904,37 @@ class ExtSpec extends SparkSpec {
       "embeddings").count(), s"membership total: ${rows.toSeq}")
   }
 
+  test("x251 adjusted rand: identical labelings read 1, independent ones read -1/98 on the 2x2 fixture") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a", 3L), ("b", "b", 3L)).toDF("u", "v", "n_uv")
+    val p = Similarity.ariFromContingency(perfect).collect()(0)
+    assert(p.getDouble(3) == 1.0, s"perfect ari: $p")
+    // 2x2 independent, 25 per cell: ARI = -12.626/1237.374 = -0.010204
+    val indep = Seq(("a", "x", 25L), ("a", "y", 25L),
+      ("b", "x", 25L), ("b", "y", 25L)).toDF("u", "v", "n_uv")
+    val i = Similarity.ariFromContingency(indep).collect()(0)
+    assert(math.abs(i.getDouble(3) - (-0.010204)) < 1e-6, s"indep ari: $i")
+    val c = Similarity.queries("x251_adjusted_rand")(spark, SfDir)
+      .collect()(0)
+    assert(!c.isNullAt(3) && c.getDouble(3) >= -1.0 &&
+      c.getDouble(3) <= 1.0, s"corpus ari: $c")
+  }
+
+  test("x252 nmi: identical labelings read 1 with I = ln 2, independent ones read 0") {
+    import spark.implicits._
+    val perfect = Seq(("a", "a", 3L), ("b", "b", 3L)).toDF("u", "v", "n_uv")
+    val p = Similarity.nmiFromContingency(perfect).collect()(0)
+    assert(math.abs(p.getDouble(3) - 0.693147) < 1e-6 &&
+      p.getDouble(4) == 1.0, s"perfect nmi: $p")
+    val indep = Seq(("a", "x", 25L), ("a", "y", 25L),
+      ("b", "x", 25L), ("b", "y", 25L)).toDF("u", "v", "n_uv")
+    val i = Similarity.nmiFromContingency(indep).collect()(0)
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, s"indep nmi: $i")
+    val c = Similarity.queries("x252_nmi")(spark, SfDir).collect()(0)
+    assert(!c.isNullAt(4) && c.getDouble(4) >= 0.0 &&
+      c.getDouble(4) <= 1.000001, s"corpus nmi: $c")
+  }
+
   test("x163 cramers v: independence scores 0, a diagonal table scores exactly 1, zero cells are charged") {
     import spark.implicits._
     val indep = Seq(("A", "x", 20L), ("A", "y", 20L),
