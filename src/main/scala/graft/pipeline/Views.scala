@@ -377,6 +377,41 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // DURBIN–WATSON — residual autocorrelation AFTER the per-type
+    // trend line is removed (x236 reads the raw series; DW is the
+    // regression diagnostic) — see [[durbinWatsonReport]].
+    "x253_durbin_watson" -> ((spark, sfDir) =>
+      durbinWatsonReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // CHOW STRUCTURAL BREAK — two-regression F at the series
+    // midpoint (x225 finds the best split; Chow tests THE split) —
+    // see [[chowReport]].
+    "x254_chow_break" -> ((spark, sfDir) =>
+      chowReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // PETTITT CHANGEPOINT — the rank-based distribution-free
+    // changepoint locator with its closed-form significance —
+    // see [[pettittReport]].
+    "x255_pettitt" -> ((spark, sfDir) =>
+      pettittReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // KUIPER DOW UNIFORMITY — the rotation-invariant weekly-cycle
+    // test beside x168's seasonal indices — see [[kuiperDowReport]].
+    "x256_kuiper_dow" -> ((spark, sfDir) =>
+      kuiperDowReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
     // fraud / instrumentation-bug screen beside p12's rule gates:
     // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
@@ -1361,6 +1396,193 @@ object Views {
             (dd(col("n_days")) * dd(col("k_types") - 1L)), 6)))
   }
 
+  /** x253's Durbin–Watson statistic over each type's daily series —
+    * the residual-autocorrelation readout of the x196-style OLS fit
+    * (x236's Ljung–Box asks "is the raw series white"; DW asks "after
+    * the trend line is removed, do errors still drag" — the classic
+    * regression-diagnostic pairing): slope/intercept from five exact
+    * BIGINT sums, residuals e_t at day grain, DW = Σ(e_t −
+    * e_{t−1})²/Σe_t² via one lag window over the bounded day frame.
+    * DW ≈ 2 is white; → 0 positive drag; → 4 alternation.
+    */
+  def durbinWatsonReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("x")).as("sy"), sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("x")).as("sxy"))
+      .withColumn("den", dd(col("n")) * dd(col("sxx")) -
+        dd(col("sx")) * dd(col("sx")))
+      .filter(col("den") > 0.0)
+      .withColumn("b", (dd(col("n")) * dd(col("sxy")) -
+        dd(col("sx")) * dd(col("sy"))) / col("den"))
+      .withColumn("a", (dd(col("sy")) - col("b") * dd(col("sx"))) /
+        dd(col("n")))
+      .select(col("event_type"), col("n"), col("a"), col("b"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(m, "event_type")
+      .withColumn("e", dd(col("x")) - col("a") - col("b") * dd(col("day")))
+      .withColumn("e_lag", lag(col("e"), 1).over(byDay))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("e") * col("e")).as("sse"),
+        sum(when(col("e_lag").isNotNull,
+          (col("e") - col("e_lag")) * (col("e") - col("e_lag"))))
+          .as("ssd"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sse"), 4).as("sse"),
+        when(col("sse") > 0.0, round(col("ssd") / col("sse"), 6)).as("dw"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x254's Chow structural-break F at each type's series midpoint —
+    * "did the data-generating line CHANGE halfway through the
+    * window?" (x225's binseg finds the best split; Chow tests a
+    * FIXED split with the classic two-regression F): segments by
+    * within-type day rank (first ⌈n/2⌉ days vs the rest), each
+    * segment's SSR from its five exact sums via SSR = Syy_c −
+    * Sxy_c²/Sxx_c, F = ((SSR_p − SSR₁ − SSR₂)/2)/((SSR₁+SSR₂)/(n−4)).
+    * One rank window + three k-row moment aggregations, doubles only
+    * in the final expressions.
+    */
+  def chowReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val rk = daily
+      .withColumn("rk", row_number().over(byDay))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("seg", when(col("rk") <= (col("n_days") + 1L) / 2L,
+        lit(1)).otherwise(lit(2)))
+    def mom(df: DataFrame, grp: Seq[Column]): DataFrame =
+      df.groupBy(grp: _*)
+        .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("x")).as("sy"), sum(col("day") * col("day")).as("sxx"),
+          sum(col("day") * col("x")).as("sxy"),
+          sum(col("x") * col("x")).as("syy"))
+    def ssr(p: String) = {
+      val (n, sx, sy, sxx, sxy, syy) =
+        (dd(col(s"${p}n")), dd(col(s"${p}sx")), dd(col(s"${p}sy")),
+          dd(col(s"${p}sxx")), dd(col(s"${p}sxy")), dd(col(s"${p}syy")))
+      val sxxc = sxx - sx * sx / n
+      val sxyc = sxy - sx * sy / n
+      val syyc = syy - sy * sy / n
+      when(sxxc > 0.0, syyc - sxyc * sxyc / sxxc).otherwise(syyc)
+    }
+    val pooled = mom(rk, Seq(col("event_type")))
+    val segs = mom(rk, Seq(col("event_type"), col("seg")))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("seg") === 1, col("n"))).as("n1"),
+        sum(when(col("seg") === 1, col("sx"))).as("s1sx"),
+        sum(when(col("seg") === 1, col("sy"))).as("s1sy"),
+        sum(when(col("seg") === 1, col("sxx"))).as("s1sxx"),
+        sum(when(col("seg") === 1, col("sxy"))).as("s1sxy"),
+        sum(when(col("seg") === 1, col("syy"))).as("s1syy"),
+        sum(when(col("seg") === 2, col("n"))).as("n2"),
+        sum(when(col("seg") === 2, col("sx"))).as("s2sx"),
+        sum(when(col("seg") === 2, col("sy"))).as("s2sy"),
+        sum(when(col("seg") === 2, col("sxx"))).as("s2sxx"),
+        sum(when(col("seg") === 2, col("sxy"))).as("s2sxy"),
+        sum(when(col("seg") === 2, col("syy"))).as("s2syy"))
+    pooled
+      .withColumnRenamed("n", "pn").withColumnRenamed("sx", "psx")
+      .withColumnRenamed("sy", "psy").withColumnRenamed("sxx", "psxx")
+      .withColumnRenamed("sxy", "psxy").withColumnRenamed("syy", "psyy")
+      .join(segs.withColumnRenamed("n1", "s1n")
+        .withColumnRenamed("n2", "s2n"), "event_type")
+      .withColumn("ssr_p", ssr("p"))
+      .withColumn("ssr_1", ssr("s1"))
+      .withColumn("ssr_2", ssr("s2"))
+      .select(col("event_type"), col("pn").as("n_days"),
+        round(col("ssr_p"), 4).as("ssr_pooled"),
+        round(col("ssr_1") + col("ssr_2"), 4).as("ssr_split"),
+        when(col("pn") > 4L && col("ssr_1") + col("ssr_2") > 0.0 &&
+            col("s1n") > 2L && col("s2n") > 2L,
+          round(((col("ssr_p") - col("ssr_1") - col("ssr_2")) / 2.0) /
+            ((col("ssr_1") + col("ssr_2")) / (dd(col("pn")) - 4.0)), 6))
+          .as("f_chow"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x255's Pettitt changepoint over the same daily frame — the
+    * rank-based single-changepoint locator (x225's binseg splits on
+    * mean shift in value space; Pettitt is its distribution-free
+    * twin, the standard hydrology/monitoring pick): with doubled
+    * midranks r2 (exact integers under ties), U_t = Σ_{i≤t} r2_i −
+    * t(n+1) is exactly 2× the classic Mann–Whitney-style statistic,
+    * K = max_t |U_t| (t < n), changepoint = its earliest day, and
+    * the approximate significance p ≈ 2exp(−6K²/(n³+n²)) — one exp
+    * over exact integers (K here carries the 2× doubling, absorbed
+    * by using 4K²_classic = K²_doubled ... the exponent uses
+    * (K/2)²·6·4 = 6K²/4 — kept explicit below). Rank + prefix
+    * windows at day grain only.
+    */
+  def pettittReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val tieGrp = Window.partitionBy(col("event_type"), col("x"))
+    val whole = Window.partitionBy(col("event_type"))
+    val u = daily
+      .withColumn("r2", lit(2L) * rank().over(byVal) +
+        count(lit(1)).over(tieGrp) - lit(1L))
+      .withColumn("t", row_number().over(byDay))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("u_t", sum(col("r2")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("t") * (col("n_days") + 1L))
+      .filter(col("t") < col("n_days"))
+    u.withColumn("k_abs", abs(col("u_t")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(struct(col("k_abs"), (-col("day")).as("nd"))).as("m"))
+      .select(col("event_type"), col("n_days"),
+        col("m.k_abs").as("k2_stat"), (-col("m.nd")).as("cp_day"),
+        // K_classic = K2/2; p = 2 exp(-6 K² / (n³+n²))
+        round(lit(2.0) * exp(lit(-6.0) *
+          (dd(col("m.k_abs")) / 2.0) * (dd(col("m.k_abs")) / 2.0) /
+          (dd(col("n_days")) * dd(col("n_days")) * dd(col("n_days")) +
+            dd(col("n_days")) * dd(col("n_days")))), 6).as("p_approx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x256's Kuiper uniformity test of each type's day-of-week mix —
+    * the cyclic-statistic complement of x168's seasonal indices (KS
+    * on a circle is origin-dependent; Kuiper's V = D⁺ + D⁻ is
+    * rotation-invariant, the right test for weekly cycles): over the
+    * zero-filled 7-cell dow frame, D⁺/D⁻ numerators are exact
+    * integers max(±(7·cum_i − (i+1)·n)) and V = (D⁺ + D⁻)/(7n) with
+    * ONE division. Bounded 7-row-per-type frame off one aggregation.
+    */
+  def kuiperDowReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val types = daily.select(col("event_type")).distinct()
+    val dows = types.sparkSession.range(0, 7)
+      .select(col("id").cast("int").as("dow"))
+    val cells = daily
+      .withColumn("dow", pmod(col("day"), lit(7)).cast("int"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("x")).as("c"))
+    val byDow = Window.partitionBy(col("event_type")).orderBy(col("dow"))
+    val whole = Window.partitionBy(col("event_type"))
+    types.crossJoin(dows)
+      .join(cells, Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("dow"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        byDow.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(whole))
+      .withColumn("dev", lit(7L) * col("cum") - (col("dow") + 1L) * col("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("dev")).as("dp_num"),
+        max(-col("dev")).as("dm_num"))
+      .select(col("event_type"), col("n"),
+        when(col("n") > 0L,
+          round((dd(col("dp_num")) + dd(col("dm_num"))) /
+            (lit(7.0) * dd(col("n"))), 6)).as("v_stat"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -1849,6 +2071,122 @@ object Views {
         "CASE WHEN chi2_f IS NOT NULL AND n_days > 0 AND k_types > 1 THEN " +
         "ROUND(chi2_f / (CAST(n_days AS DOUBLE) * CAST(k_types - 1 AS DOUBLE)), 6) " +
         "END AS kendall_w FROM f"),
+    // same exact OLS moments, same residual lag window
+    "x253_durbin_watson" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy, " +
+        "CAST(SUM(day * day) AS BIGINT) AS sxx, " +
+        "CAST(SUM(day * x) AS BIGINT) AS sxy FROM d GROUP BY 1), " +
+        "f AS (SELECT event_type, n, sx, sy, sxy, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM m), " +
+        "g AS (SELECT event_type, n, sx, sy, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den AS b FROM f WHERE den > 0.0), " +
+        "h AS (SELECT event_type, n, b, " +
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a FROM g), " +
+        "e AS (SELECT d.event_type, d.day, h.n, " +
+        "CAST(d.x AS DOUBLE) - h.a - h.b * CAST(d.day AS DOUBLE) AS e " +
+        "FROM d JOIN h USING (event_type)), " +
+        "l AS (SELECT event_type, n, e, " +
+        "LAG(e) OVER (PARTITION BY event_type ORDER BY day) AS e_lag FROM e), " +
+        "q AS (SELECT event_type, MAX(n) AS n_days, SUM(e * e) AS sse, " +
+        "SUM(CASE WHEN e_lag IS NOT NULL THEN (e - e_lag) * (e - e_lag) END) AS ssd " +
+        "FROM l GROUP BY 1) " +
+        "SELECT event_type, n_days, ROUND(sse, 4) AS sse, " +
+        "CASE WHEN sse > 0.0 THEN ROUND(ssd / sse, 6) END AS dw " +
+        "FROM q ORDER BY event_type"),
+    // same rank-midpoint split, same centered-moment SSRs, same F
+    "x254_chow_break" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT event_type, day, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rk, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days FROM d), " +
+        "s AS (SELECT event_type, day, x, " +
+        "CASE WHEN rk <= (n_days + 1) // 2 THEN 1 ELSE 2 END AS seg FROM rk), " +
+        "pm AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy, " +
+        "CAST(SUM(day * day) AS BIGINT) AS sxx, CAST(SUM(day * x) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS syy FROM s GROUP BY 1), " +
+        "sm AS (SELECT event_type, seg, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy, " +
+        "CAST(SUM(day * day) AS BIGINT) AS sxx, CAST(SUM(day * x) AS BIGINT) AS sxy, " +
+        "CAST(SUM(x * x) AS BIGINT) AS syy FROM s GROUP BY 1, 2), " +
+        "smr AS (SELECT event_type, n, " +
+        "CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0 " +
+        "THEN (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "ELSE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) END AS ssr " +
+        "FROM sm), " +
+        "ag AS (SELECT event_type, SUM(ssr) AS ssr_split, CAST(MIN(n) AS BIGINT) AS min_n " +
+        "FROM smr GROUP BY 1), " +
+        "pr AS (SELECT event_type, n AS pn, " +
+        "CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0 " +
+        "THEN (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "ELSE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) END AS ssr_p " +
+        "FROM pm) " +
+        "SELECT pr.event_type, pn AS n_days, ROUND(ssr_p, 4) AS ssr_pooled, " +
+        "ROUND(ssr_split, 4) AS ssr_split, " +
+        "CASE WHEN pn > 4 AND ssr_split > 0.0 AND min_n > 2 THEN " +
+        "ROUND(((ssr_p - ssr_split) / 2.0) / (ssr_split / (CAST(pn AS DOUBLE) - 4.0)), 6) " +
+        "END AS f_chow FROM pr JOIN ag ON ag.event_type = pr.event_type " +
+        "ORDER BY pr.event_type"),
+    // same doubled midranks, same prefix-sum U_t, same earliest-day
+    // argmax and closed-form p
+    "x255_pettitt" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, day, " +
+        "2 * RANK() OVER (PARTITION BY event_type ORDER BY x) + " +
+        "COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days FROM d), " +
+        "u AS (SELECT event_type, day, n_days, t, " +
+        "CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) - t * (n_days + 1) AS BIGINT) AS u_t FROM r), " +
+        "w AS (SELECT event_type, n_days, ABS(u_t) AS k_abs, day FROM u WHERE t < n_days), " +
+        "g AS (SELECT event_type, MAX(n_days) AS n_days, MAX(k_abs) AS k2 FROM w GROUP BY 1), " +
+        "cp AS (SELECT w.event_type, MIN(w.day) AS cp_day FROM w JOIN g " +
+        "ON g.event_type = w.event_type AND w.k_abs = g.k2 GROUP BY 1) " +
+        "SELECT g.event_type, n_days, k2 AS k2_stat, cp_day, " +
+        "ROUND(2.0 * EXP(-6.0 * (CAST(k2 AS DOUBLE) / 2.0) * (CAST(k2 AS DOUBLE) / 2.0) / " +
+        "(CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) + " +
+        "CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))), 6) AS p_approx " +
+        "FROM g JOIN cp ON cp.event_type = g.event_type ORDER BY g.event_type"),
+    // same zero-filled 7-cell dow spine, same exact deviation
+    // numerators, one division
+    "x256_kuiper_dow" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "tp AS (SELECT DISTINCT event_type FROM d), " +
+        "dws AS (SELECT UNNEST(range(0, 7)) AS dow), " +
+        "cells AS (SELECT event_type, day % 7 AS dow, CAST(SUM(x) AS BIGINT) AS c " +
+        "FROM d GROUP BY 1, 2), " +
+        "sp AS (SELECT tp.event_type, dws.dow, COALESCE(cells.c, 0) AS c " +
+        "FROM tp CROSS JOIN dws LEFT JOIN cells " +
+        "ON cells.event_type = tp.event_type AND cells.dow = dws.dow), " +
+        "q AS (SELECT event_type, dow, " +
+        "CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY dow " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM sp), " +
+        "v AS (SELECT event_type, n, 7 * cum - (dow + 1) * n AS dev FROM q), " +
+        "g AS (SELECT event_type, MAX(n) AS n, MAX(dev) AS dp_num, " +
+        "MAX(-dev) AS dm_num FROM v GROUP BY 1) " +
+        "SELECT event_type, n, CASE WHEN n > 0 THEN " +
+        "ROUND((CAST(dp_num AS DOUBLE) + CAST(dm_num AS DOUBLE)) / " +
+        "(7.0 * CAST(n AS DOUBLE)), 6) END AS v_stat FROM g ORDER BY event_type"),
     // same discrete median dichotomization, same flip-count runs,
     // same classical moment expression
     "x237_runs_test" ->

@@ -5559,6 +5559,74 @@ class ExtSpec extends SparkSpec {
       s"corpus energy: ${c.toSeq}")
   }
 
+  test("x253 durbin-watson: alternating residuals read dw = 3.4 on the hand fixture") {
+    import spark.implicits._
+    // (0,1),(1,0),(2,1),(3,0): b = -0.2, a = 0.8, residuals
+    // {0.2,-0.6,0.6,-0.2}: sse = 0.8, ssd = 2.72 -> dw = 3.4
+    val daily = Seq(("a", 0, 1L), ("a", 1, 0L), ("a", 2, 1L), ("a", 3, 0L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.durbinWatsonReport(daily).collect()(0)
+    assert(r.getDouble(2) == 0.8 && r.getDouble(3) == 3.4, s"dw: $r")
+    // a perfect line has zero residuals -> dw NULL, not a crash
+    val line = Seq(("a", 0, 0L), ("a", 1, 2L), ("a", 2, 4L))
+      .toDF("event_type", "day", "x")
+    val l = graft.pipeline.Views.durbinWatsonReport(line).collect()(0)
+    assert(l.getDouble(2) == 0.0 && l.isNullAt(3), s"line: $l")
+    val c = graft.pipeline.Views.queries("x253_durbin_watson")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(3) ||
+      (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 4.0)), s"corpus dw: ${c.toSeq}")
+  }
+
+  test("x254 chow break: a planted level shift reads F = 190.43, split SSRs recompose") {
+    import spark.implicits._
+    // seg1 = {0,1,2} on y=x (SSR 0), seg2 = {13,14,16} (SSR 1/6),
+    // pooled SSR 31.90476 -> F = 190.428571
+    val daily = Seq(("a", 0, 0L), ("a", 1, 1L), ("a", 2, 2L),
+      ("a", 3, 13L), ("a", 4, 14L), ("a", 5, 16L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.chowReport(daily).collect()(0)
+    assert(math.abs(r.getDouble(2) - 31.9048) < 1e-4, s"ssr_p: $r")
+    assert(math.abs(r.getDouble(3) - 0.1667) < 1e-4, s"ssr_split: $r")
+    assert(math.abs(r.getDouble(4) - 190.428571) < 1e-3, s"f: $r")
+    val c = graft.pipeline.Views.queries("x254_chow_break")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(4) || r.getDouble(4) >= 0.0),
+      s"corpus chow: ${c.toSeq}")
+  }
+
+  test("x255 pettitt: a planted step locates the changepoint at the step with K2 = 9") {
+    import spark.implicits._
+    val daily = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L),
+      ("a", 3, 9L), ("a", 4, 9L), ("a", 5, 9L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.pettittReport(daily).collect()(0)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 9L && r.getInt(3) == 2,
+      s"pettitt: $r")
+    val expP = BigDecimal(2.0 * math.exp(-6.0 * 4.5 * 4.5 / 252.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expP, s"p: $r vs $expP")
+    val c = graft.pipeline.Views.queries("x255_pettitt")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.getLong(2) >= 0L &&
+      r.getDouble(4) >= 0.0), s"corpus pettitt: ${c.toSeq}")
+  }
+
+  test("x256 kuiper dow: uniform week reads 0, one-day concentration reads 6/7") {
+    import spark.implicits._
+    val uniform = (0 to 6).map(d => ("a", d, 10L))
+      .toDF("event_type", "day", "x")
+    val u = graft.pipeline.Views.kuiperDowReport(uniform).collect()(0)
+    assert(u.getDouble(2) == 0.0, s"uniform: $u")
+    val conc = Seq(("a", 0, 7L)).toDF("event_type", "day", "x")
+    val k = graft.pipeline.Views.kuiperDowReport(conc).collect()(0)
+    assert(math.abs(k.getDouble(2) - 0.857143) < 1e-6, s"concentrated: $k")
+    val c = graft.pipeline.Views.queries("x256_kuiper_dow")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.getDouble(2) >= 0.0 &&
+      r.getDouble(2) <= 1.0), s"corpus kuiper: ${c.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
