@@ -510,6 +510,32 @@ object Graph {
       .agg(count(lit(1)).as("cn"), sum(col("term_fp")).as("aa_fp"))
   }
 
+  /** x257's resource-allocation index over the same (edge, witness)
+    * incidence stream as x132 — the harder hub discount (AA divides
+    * by ln deg; RA by deg itself — Zhou/Lü/Zhang's variant that wins
+    * on dense co-occurrence graphs where even ln barely tames hubs):
+    * Σ_{z ∈ N(u)∩N(v)} 1/deg(z), witness terms on the 10⁶ grid, the
+    * per-pair score an exact BIGINT sum. Same O(Σ od²) oriented
+    * enumeration, same one lake artifact.
+    */
+  def resourceAllocFrom(arcs: DataFrame, deg: DataFrame): DataFrame = {
+    val inc = triangleEnum(arcs).select(explode(array(
+        struct(col("a").as("x"), col("b").as("y"), col("c").as("z")),
+        struct(col("a").as("x"), col("c").as("y"), col("b").as("z")),
+        struct(col("b").as("x"), col("c").as("y"), col("a").as("z"))))
+        .as("i"))
+      .select(least(col("i.x"), col("i.y")).as("u"),
+        greatest(col("i.x"), col("i.y")).as("v"), col("i.z").as("z"))
+    inc.join(deg.withColumnRenamed("n", "z"), "z")
+      .select(col("u"), col("v"),
+        when(col("deg") > 0,
+          round(lit(1000000.0) / col("deg").cast("double"), 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("term_fp"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"), sum(col("term_fp")).as("ra_fp"))
+  }
+
   /** x140's 2-hop BFS ball from the hub (max degree, id tiebreak)
     * over (u < v) single-row edges: per-hop frontier size + node-sum
     * checksum. Each hop is one frontier equi-join + an anti-join
@@ -922,6 +948,16 @@ object Graph {
       adamicAdarFrom(orientedArcsFor(spark, sfDir),
         copurchaseDegFor(spark, sfDir))
         .orderBy(desc("aa_fp"), col("u"), col("v"))
+        .limit(20)),
+
+    // RESOURCE ALLOCATION — the 1/deg hub discount on the SAME
+    // triangle incidence stream and lake artifacts as x132 (three
+    // link predictors, one enumeration: x87 Jaccard, x132 AA, x257
+    // RA) — see [[resourceAllocFrom]].
+    "x257_resource_alloc" -> ((spark, sfDir) =>
+      resourceAllocFrom(orientedArcsFor(spark, sfDir),
+        copurchaseDegFor(spark, sfDir))
+        .orderBy(desc("ra_fp"), col("u"), col("v"))
         .limit(20)),
     // BOUNDED BFS REACHABILITY — the traversal primitive next to the
     // centrality (x69/x129) and counting (x81/x85-x87) families: from
@@ -1359,6 +1395,25 @@ object Graph {
         "CAST(SUM(w.term_fp) AS BIGINT) AS aa_fp " +
         "FROM w JOIN e ON w.u = e.u AND w.v = e.v GROUP BY 1, 2 " +
         "ORDER BY aa_fp DESC, w.u, w.v LIMIT 20"),
+    // x132's incidence oracle with the 1/deg witness term
+    "x257_resource_alloc" ->
+      ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
+        "FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x " +
+        "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
+        "deg AS (SELECT n, COUNT(*) AS d FROM " +
+        "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
+        "arcs AS (SELECT u AS n, v AS nbr FROM e " +
+        "UNION ALL SELECT v AS n, u AS nbr FROM e), " +
+        "trm AS (SELECT a.n, a.nbr, CASE WHEN d.d > 0 THEN " +
+        "CAST(ROUND(1000000 / CAST(d.d AS DOUBLE), 0) AS BIGINT) " +
+        "ELSE 0 END AS term_fp FROM arcs a JOIN deg d ON a.n = d.n), " +
+        "w AS (SELECT a.nbr AS u, b.nbr AS v, a.term_fp FROM trm a " +
+        "JOIN arcs b ON a.n = b.n AND a.nbr < b.nbr) " +
+        "SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn, " +
+        "CAST(SUM(w.term_fp) AS BIGINT) AS ra_fp " +
+        "FROM w JOIN e ON w.u = e.u AND w.v = e.v GROUP BY 1, 2 " +
+        "ORDER BY ra_fp DESC, w.u, w.v LIMIT 20"),
     // wedge join grouped to pairs, inclusion–exclusion union size
     "x87_link_jaccard" ->
       ("WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +

@@ -2537,6 +2537,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x257 resource allocation: 1/deg terms on the same planted square-with-diagonal (vs x132)") {
+    import spark.implicits._
+    // same geometry as the x132 fixture: diagonal (1,3) has two
+    // deg-2 witnesses (term 500000); rim edges one deg-3 witness
+    // (term 333333) — RA separates them harder than AA does
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("u", "v")
+    val got = graft.ext.Graph.resourceAllocFrom(
+      graft.ext.Graph.orientByDegree(edges), graft.ext.Graph.degrees(edges))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((1L, 333333L)), (2L, 3L) -> ((1L, 333333L)),
+      (3L, 4L) -> ((1L, 333333L)), (1L, 4L) -> ((1L, 333333L)),
+      (1L, 3L) -> ((2L, 1000000L))), s"got $got")
+    // corpus: ra-desc ordered; every witness has deg >= 2, so each
+    // term <= 500000 and ra_fp <= cn * 500000
+    val top = graft.ext.Graph.queries("x257_resource_alloc")(spark, SfDir).collect()
+    assert(top.nonEmpty && top.length <= 20)
+    val ras = top.map(_.getLong(3)).toList
+    assert(ras == ras.sortBy(-_))
+    top.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) > 0 &&
+        r.getLong(3) <= r.getLong(2) * 500000L)
+    }
+  }
+
   test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
     val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
       .collect().map(r => (r.getString(0),
