@@ -1972,6 +1972,36 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s28"))
       .orderBy(col("event_type"), col("day"))
 
+  /** s47: x245's Friedman omnibus off the same maintained day frame —
+    * the within-block rank test is a pure readout of the additive
+    * (type, day) cell state: the zero-filled spine, midranks, and
+    * the division-free Conover statistic all run over the bounded
+    * maintained table, never the event history.
+    */
+  def foreachBatchFriedman(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.friedmanReport(
+      maintainedDayCounts(spark, sfDir, "s47"))
+
+  /** s48: x255's Pettitt changepoint off the same maintained day
+    * frame — rank-based changepoint location as IVM: the doubled
+    * midranks and prefix-sum U_t recompute per refresh over the
+    * day-grain state (the only scale the statistic ever needs).
+    */
+  def foreachBatchPettitt(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.pettittReport(
+        maintainedDayCounts(spark, sfDir, "s48"))
+      .orderBy(col("event_type"))
+
+  /** s49: x256's Kuiper day-of-week uniformity off the same
+    * maintained day frame — the cyclic drift monitor a streaming
+    * traffic pipeline re-reads after every merge; the 7-cell dow
+    * rollup folds the maintained days, exact integers throughout.
+    */
+  def foreachBatchKuiper(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.kuiperDowReport(
+        maintainedDayCounts(spark, sfDir, "s49"))
+      .orderBy(col("event_type"))
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -2518,6 +2548,12 @@ object Streams {
       ((spark, sfDir) => foreachBatchAms(spark, sfDir)),
     "s46_stream_anova_maintain" ->
       ((spark, sfDir) => foreachBatchAnova(spark, sfDir)),
+    "s47_stream_friedman_maintain" ->
+      ((spark, sfDir) => foreachBatchFriedman(spark, sfDir)),
+    "s48_stream_pettitt_maintain" ->
+      ((spark, sfDir) => foreachBatchPettitt(spark, sfDir)),
+    "s49_stream_kuiper_maintain" ->
+      ((spark, sfDir) => foreachBatchKuiper(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2619,6 +2655,18 @@ object Streams {
     // additively-maintained per-group moments ≡ batch x234
     "s46_stream_anova_maintain" ->
       graft.ext.Sampling.oracles("x234_anova_f"),
+    // the IVM contract verbatim: the Friedman/W readout of the
+    // maintained day cells ≡ batch x245
+    "s47_stream_friedman_maintain" ->
+      graft.pipeline.Views.oracles("x245_friedman"),
+    // the IVM contract verbatim: Pettitt over the maintained day
+    // cells ≡ batch x255
+    "s48_stream_pettitt_maintain" ->
+      graft.pipeline.Views.oracles("x255_pettitt"),
+    // the IVM contract verbatim: Kuiper dow over the maintained day
+    // cells ≡ batch x256
+    "s49_stream_kuiper_maintain" ->
+      graft.pipeline.Views.oracles("x256_kuiper_dow"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -526,6 +526,43 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed MK diverges from batch x167:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
   }
 
+  test("streaming Friedman equals batch x245 across a multi-batch run (s47)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val streamed = graft.streaming.Streams.foreachBatchFriedman(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s47_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x245_friedman")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed Friedman diverges from batch x245:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
+  test("streaming Pettitt equals batch x255, streaming Kuiper equals batch x256 (s48/s49)") {
+    def keyP(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4))
+    val sp = graft.streaming.Streams.foreachBatchPettitt(spark, SfDir)
+      .collect().map(keyP)
+    val bp = graft.pipeline.Views.queries("x255_pettitt")(spark, SfDir)
+      .collect().map(keyP)
+    assert(sp.toSeq == bp.toSeq,
+      s"streamed Pettitt diverges:\n${sp.toSeq}\nvs\n${bp.toSeq}")
+    def keyK(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val sk = graft.streaming.Streams.foreachBatchKuiper(spark, SfDir)
+      .collect().map(keyK)
+    val bk = graft.pipeline.Views.queries("x256_kuiper_dow")(spark, SfDir)
+      .collect().map(keyK)
+    assert(sk.toSeq == bk.toSeq,
+      s"streamed Kuiper diverges:\n${sk.toSeq}\nvs\n${bk.toSeq}")
+  }
+
   test("streaming Gini monitor equals batch x159 across a multi-batch run (s27)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
