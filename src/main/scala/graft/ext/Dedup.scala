@@ -327,6 +327,50 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** x259's chrF2 over the same verified near-dup pairs as x239 —
+    * the TOKENIZATION-FREE grading of the pair (BLEU-2 collapses
+    * when whitespace or punctuation shifts; chrF's character
+    * 3-gram F-score is the MT-eval standard exactly because it
+    * doesn't): per doc the char-trigram multiset (one map-side
+    * sliding window, the x76 char-grain volume class), per pair the
+    * clipped-min intersection I, P = I/|hyp grams|, R = I/|ref
+    * grams|, chrF2 = 5PR/(4P + R) (β = 2 — recall-weighted, the
+    * published default). Exact integer counts to the final fixed
+    * double expression; zero-overlap pairs read 0, not NULL.
+    */
+  def chrfOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val tri = d.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val tots = tri.groupBy(col("doc_id")).agg(sum(col("c")).as("n3"))
+    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
+    val inter = p
+      .join(tri.select(col("doc_id").as("doc_a"), col("g"),
+        col("c").as("c_a")), Seq("doc_a"))
+      .join(tri.select(col("doc_id").as("doc_b"), col("g"),
+        col("c").as("c_b")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("i3"))
+    def dd(c: String) = col(c).cast("double")
+    val pr = dd("i3") / dd("n3_b")
+    val rc = dd("i3") / dd("n3_a")
+    p.join(tots.select(col("doc_id").as("doc_a"), col("n3").as("n3_a")),
+        "doc_a")
+      .join(tots.select(col("doc_id").as("doc_b"), col("n3").as("n3_b")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n3_a"), col("n3_b"),
+        coalesce(col("i3"), lit(0L)).as("i3"))
+      .withColumn("chrf2",
+        when(col("n3_a") > 0L && col("n3_b") > 0L,
+          when(lit(4.0) * pr + rc > 0.0,
+            round(lit(5.0) * pr * rc / (lit(4.0) * pr + rc), 6))
+            .otherwise(lit(0.0))))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Canonical-grain candidate volume Σ df·(df−1)/2 of the capped
     * shingle index — the row count [[ngramJaccardPairs]]'s pair join
     * actually shuffles after the exact-text collapse. Bench
@@ -1383,6 +1427,17 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
+    // CHRF2 PAIR GRADING — the tokenization-free character-F twin
+    // of x239 on the same verified pairs and the same shingle
+    // artifact (BLEU-2 and chrF2 disagreeing on a pair is the
+    // classic whitespace-corruption signature) — see [[chrfOnPairs]].
+    "x259_chrf_pairs" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      chrfOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+    }),
+
     // FELLEGI–SUNTER RECORD LINKAGE — probabilistic entity resolution
     // (the 1969 model behind every serious dedup/linkage system) on
     // top of the x05 blocking chain: candidates come from the capped
@@ -1977,6 +2032,43 @@ object Dedup {
         "EXP(1.0 - CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE)) ELSE 1.0 END) * " +
         "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
         "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) END AS bleu2 " +
+        "FROM f ORDER BY doc_a, doc_b"),
+    // x239's candidate CTEs with the char-trigram multiset and the
+    // beta=2 F expression
+    "x259_chrf_pairs" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+        "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+        "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5), " +
+        "tri AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, substring(text, i, 3) AS g FROM " +
+        "(SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i " +
+        "FROM documents WHERE length(text) >= 3) t0) t GROUP BY 1, 2), " +
+        "tts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3 FROM tri GROUP BY 1), " +
+        "it AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i3 " +
+        "FROM pairs p JOIN tri a ON a.doc_id = p.doc_a " +
+        "JOIN tri b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "f AS (SELECT p.doc_a, p.doc_b, ta.n3 AS n3_a, tb.n3 AS n3_b, " +
+        "COALESCE(it.i3, 0) AS i3 FROM pairs p " +
+        "JOIN tts ta ON ta.doc_id = p.doc_a JOIN tts tb ON tb.doc_id = p.doc_b " +
+        "LEFT JOIN it ON it.doc_a = p.doc_a AND it.doc_b = p.doc_b) " +
+        "SELECT doc_a, doc_b, n3_a, n3_b, i3, " +
+        "CASE WHEN n3_a > 0 AND n3_b > 0 THEN " +
+        "CASE WHEN 4.0 * (CAST(i3 AS DOUBLE) / CAST(n3_b AS DOUBLE)) + " +
+        "CAST(i3 AS DOUBLE) / CAST(n3_a AS DOUBLE) > 0.0 THEN " +
+        "ROUND(5.0 * (CAST(i3 AS DOUBLE) / CAST(n3_b AS DOUBLE)) * " +
+        "(CAST(i3 AS DOUBLE) / CAST(n3_a AS DOUBLE)) / " +
+        "(4.0 * (CAST(i3 AS DOUBLE) / CAST(n3_b AS DOUBLE)) + " +
+        "CAST(i3 AS DOUBLE) / CAST(n3_a AS DOUBLE)), 6) ELSE 0.0 END END AS chrf2 " +
         "FROM f ORDER BY doc_a, doc_b"),
     "x05_dedup_ngram_jaccard" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +

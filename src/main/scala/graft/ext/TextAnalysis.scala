@@ -448,6 +448,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** x258's lexical-richness profile over the same (source, w, freq)
+    * word-frequency frame as x183/x238 — the four classical
+    * vocabulary-growth constants read together (TTR and hapax share
+    * are size-dependent; these are the standard normalizations):
+    * Herdan's C = ln V/ln N, Guiraud's R = V/√N, Sichel's S = V₂/V
+    * (the dislegomena share, nearly size-constant for natural text),
+    * and Honoré's H = 100·ln N/(1 − V₁/V) (hapax-adjusted richness,
+    * NULL when every type is a hapax). Exact integer counts off the
+    * one frequency frame; ln/√ over exact arguments only.
+    */
+  def lexicalRichnessFromFreq(wf: DataFrame): DataFrame = {
+    def dd(c: String) = col(c).cast("double")
+    wf.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("freq")).as("n_tokens"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("v2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("v1"),
+        col("v2"),
+        when(col("n_tokens") > 1L,
+          round(log(dd("vocab")) / log(dd("n_tokens")), 6)).as("herdan_c"),
+        when(col("n_tokens") > 0L,
+          round(dd("vocab") / sqrt(dd("n_tokens")), 6)).as("guiraud_r"),
+        when(col("vocab") > 0L,
+          round(dd("v2") / dd("vocab"), 6)).as("sichel_s"),
+        when(col("v1") < col("vocab") && col("n_tokens") > 1L,
+          round(lit(100.0) * log(dd("n_tokens")) /
+            (lit(1.0) - dd("v1") / dd("vocab")), 4)).as("honore_h"))
+      .orderBy(col("source"))
+  }
+
   /** The x11/x184 shared prediction stage: the stopword-ratio
     * language-ID heuristic over the documents table — one place, so
     * the classifier and its evaluation can never drift apart.
@@ -1311,6 +1341,15 @@ object TextAnalysis {
     // artifact class) — see [[yulesKFromFreq]].
     "x238_yules_k" -> ((spark, sfDir) =>
       yulesKFromFreq(docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))),
+
+    // LEXICAL RICHNESS PROFILE — Herdan's C, Guiraud's R, Sichel's
+    // S, and Honoré's H off the SAME word-frequency frame as
+    // x183/x238 (one artifact, six readouts across the family) —
+    // see [[lexicalRichnessFromFreq]].
+    "x258_lexical_richness" -> ((spark, sfDir) =>
+      lexicalRichnessFromFreq(docs(spark, sfDir)
         .select(col("source"), explode(tokens).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))),
 
@@ -3087,6 +3126,28 @@ object TextAnalysis {
         "cum AS mass_covered, " +
         "ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 4) AS coverage " +
         "FROM r WHERE rk IN (10, 100, 1000) ORDER BY top_k"),
+    // same word-frequency frame, same exact V/V1/V2/N counts, same
+    // ln/sqrt normalizations
+    "x258_lexical_richness" ->
+      ("WITH wf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) t GROUP BY 1, 2), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, " +
+        "CAST(SUM(freq) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1, " +
+        "CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2 " +
+        "FROM wf GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, v1, v2, " +
+        "CASE WHEN n_tokens > 1 THEN " +
+        "ROUND(LN(CAST(vocab AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)), 6) END AS herdan_c, " +
+        "CASE WHEN n_tokens > 0 THEN " +
+        "ROUND(CAST(vocab AS DOUBLE) / SQRT(CAST(n_tokens AS DOUBLE)), 6) END AS guiraud_r, " +
+        "CASE WHEN vocab > 0 THEN " +
+        "ROUND(CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) END AS sichel_s, " +
+        "CASE WHEN v1 < vocab AND n_tokens > 1 THEN " +
+        "ROUND(100.0 * LN(CAST(n_tokens AS DOUBLE)) / " +
+        "(1.0 - CAST(v1 AS DOUBLE) / CAST(vocab AS DOUBLE)), 4) END AS honore_h " +
+        "FROM a ORDER BY source"),
     // same word-frequency frame, same exact second moment, one
     // double division
     "x238_yules_k" ->

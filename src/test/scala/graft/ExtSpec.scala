@@ -2562,6 +2562,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x258 lexical richness: hand-computed constants on a 4-type fixture, all-hapax guards honore") {
+    import spark.implicits._
+    // freqs {1,1,2,3}: V=4, N=7, V1=2, V2=1 -> C = ln4/ln7 =
+    // 0.712414..., R = 4/sqrt(7), S = 0.25, H = 100 ln7 / 0.5
+    val wf = Seq(("a", "w1", 1L), ("a", "w2", 1L), ("a", "w3", 2L),
+      ("a", "w4", 3L)).toDF("source", "w", "freq")
+    val r = graft.ext.TextAnalysis.lexicalRichnessFromFreq(wf).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 7L &&
+      r.getLong(3) == 2L && r.getLong(4) == 1L, s"counts: $r")
+    assert(math.abs(r.getDouble(5) - math.log(4.0) / math.log(7.0)) < 1e-6,
+      s"herdan: $r")
+    assert(math.abs(r.getDouble(6) - 4.0 / math.sqrt(7.0)) < 1e-6,
+      s"guiraud: $r")
+    assert(r.getDouble(7) == 0.25, s"sichel: $r")
+    assert(math.abs(r.getDouble(8) - 200.0 * math.log(7.0)) < 1e-3,
+      s"honore: $r")
+    // all-hapax source: H undefined (v1 = vocab), C/R/S still read
+    val hap = graft.ext.TextAnalysis.lexicalRichnessFromFreq(
+      Seq(("b", "w1", 1L), ("b", "w2", 1L)).toDF("source", "w", "freq"))
+      .collect()(0)
+    assert(hap.isNullAt(8) && !hap.isNullAt(5), s"hapax: $hap")
+    val c = graft.ext.TextAnalysis.queries("x258_lexical_richness")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.getDouble(5) > 0.0 &&
+      r.getDouble(5) < 1.0), s"corpus richness: ${c.toSeq}")
+  }
+
+  test("x259 chrf pairs: identical texts read 1, disjoint trigrams read 0, corpus pairs match x239's keys") {
+    import spark.implicits._
+    val d = Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "abcd"), (4L, "abXd"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = graft.ext.Dedup.chrfOnPairs(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got((1L, 2L)) == 1.0 && got((3L, 4L)) == 0.0, s"fixture: $got")
+    val c = graft.ext.Dedup.queries("x259_chrf_pairs")(spark, SfDir)
+      .collect()
+    val bleuKeys = graft.ext.Dedup.queries("x239_bleu_pairs")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSet == bleuKeys,
+      "chrF must grade exactly the x239 pair set")
+    assert(c.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0),
+      s"corpus chrf range")
+  }
+
   test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
     val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
       .collect().map(r => (r.getString(0),
