@@ -623,6 +623,48 @@ object Sampling {
               (lit(3.0) * (dd("k_groups") - 1.0))), 6)).as("chi2"))
   }
 
+  /** x261's Mood's median test over a (grp, v) frame — the bluntest
+    * k-group location omnibus (x217's Kruskal–Wallis uses the full
+    * rank information; Mood's test only asks "what share of each
+    * group sits above the GRAND median", which makes it the robust
+    * screen for heavily censored or ordinal-ish values): m = the
+    * discrete p50 (x172's percentile_disc convention), per-group
+    * above-counts a_g exact, χ² = Σ_g[(a_g − E_hi)²/E_hi +
+    * ((n_g − a_g) − E_lo)²/E_lo] over the k×2 expected table. One
+    * fact pass + one k-row readout; degenerate splits (everything
+    * on one side) read NULL.
+    */
+  def moodsMedian(d: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val med = broadcast(d.agg(expr(
+      "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)")
+      .as("m")))
+    val g = d.crossJoin(med)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("v") > col("m"), 1L).otherwise(0L)).as("a_g"),
+        max(col("m")).as("m"))
+    val tot = g.agg(sum(col("n_g")).as("n"), sum(col("a_g")).as("a"),
+      count(lit(1)).as("k_groups"), max(col("m")).as("median"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("e_hi", dd(col("n_g")) * dd(col("a")) / dd(col("n")))
+      .withColumn("e_lo", dd(col("n_g")) * (dd(col("n")) - dd(col("a"))) /
+        dd(col("n")))
+      .withColumn("term",
+        (dd(col("a_g")) - col("e_hi")) * (dd(col("a_g")) - col("e_hi")) /
+          col("e_hi") +
+          ((dd(col("n_g")) - dd(col("a_g"))) - col("e_lo")) *
+            ((dd(col("n_g")) - dd(col("a_g"))) - col("e_lo")) / col("e_lo"))
+      .groupBy()
+      .agg(max(col("n")).as("n"), max(col("k_groups")).as("k_groups"),
+        max(col("median")).as("median"), max(col("a")).as("n_above"),
+        sum(col("term")).as("chi2_raw"))
+      .select(col("n"), col("k_groups"), col("median"), col("n_above"),
+        when(col("n_above") > 0L && col("n_above") < col("n") &&
+            col("k_groups") > 1L,
+          round(col("chi2_raw"), 6)).as("chi2"))
+  }
+
   /** x235's Welch two-sample t over the same (grp ∈ {a, b}, v)
     * split as x232 — the unequal-variance mean comparison (Student's
     * pooled t assumes one variance; Welch's t is the default that
@@ -1742,6 +1784,13 @@ object Sampling {
           .groupBy(col("grp"))
           .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
             sum(col("v") * col("v")).as("ss")))),
+
+    // MOOD'S MEDIAN TEST — the above-the-grand-median k-group
+    // screen beside x217's full-rank KW and x234's parametric F —
+    // see [[moodsMedian]].
+    "x261_moods_median" -> ((spark, sfDir) =>
+      moodsMedian(docs(spark, sfDir)
+        .select(col("source").as("grp"), col("n_chars").as("v")))),
 
     // BARTLETT'S TEST — the likelihood-ratio k-group variance
     // omnibus on the SAME moment frame as x234 (x229 answers it
@@ -3372,6 +3421,30 @@ object Sampling {
         "2.0 * CAST(m_yy AS DOUBLE) / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) " +
         "END AS energy_d2 " +
         "FROM m ORDER BY source"),
+    // same discrete grand median, same exact above-counts, same k×2
+    // chi-square
+    "x261_moods_median" ->
+      ("WITH d AS (SELECT source AS grp, n_chars AS v FROM documents), " +
+        "md AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS m FROM d), " +
+        "g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g, " +
+        "CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS a_g " +
+        "FROM d, md GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(a_g) AS BIGINT) AS a, " +
+        "CAST(COUNT(*) AS BIGINT) AS k_groups FROM g), " +
+        "t AS (SELECT g.grp, " +
+        "(CAST(a_g AS DOUBLE) - CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(a_g AS DOUBLE) - CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+        "(CAST(n_g AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE)) + " +
+        "((CAST(n_g AS DOUBLE) - CAST(a_g AS DOUBLE)) - " +
+        "CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE)) / CAST(n AS DOUBLE)) * " +
+        "((CAST(n_g AS DOUBLE) - CAST(a_g AS DOUBLE)) - " +
+        "CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE)) / CAST(n AS DOUBLE)) / " +
+        "(CAST(n_g AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(a AS DOUBLE)) / CAST(n AS DOUBLE)) AS term " +
+        "FROM g, tot) " +
+        "SELECT n, k_groups, m AS median, a AS n_above, " +
+        "CASE WHEN a > 0 AND a < n AND k_groups > 1 THEN " +
+        "ROUND(SUM(term), 6) END AS chi2 " +
+        "FROM t, tot, md GROUP BY n, k_groups, m, a"),
     // same exact per-group moment variances, same pooled/ln/correction
     // expressions
     "x246_bartlett" ->

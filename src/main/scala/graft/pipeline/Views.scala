@@ -412,6 +412,15 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // PAGE'S TREND TEST — the ordered-alternative Friedman over
+    // weeks×dow: does traffic ramp monotonically across the week? —
+    // see [[pageTrendReport]].
+    "x260_page_trend" -> ((spark, sfDir) =>
+      pageTrendReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // BENFORD FIRST-DIGIT AUDIT — the classic synthetic-data /
     // fraud / instrumentation-bug screen beside p12's rule gates:
     // organically-generated magnitudes follow p_d = log₁₀(1 + 1/d);
@@ -1583,6 +1592,48 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x260's Page trend test — the ORDERED-alternative companion of
+    * x245 (Friedman asks "do treatments differ at all"; Page asks
+    * "do they increase in a KNOWN order"), with the natural ordering
+    * this corpus actually has: treatments = day-of-week 0..6, blocks
+    * = calendar weeks, so the statistic reads a monotone
+    * within-week traffic ramp. L = Σ_j j·R_j off the same doubled
+    * midranks as x245 (L2 = Σ(dow+1)·r2 = 2L exact), z from the
+    * classic moments E = n·k(k+1)²/4, Var = n·k²(k+1)(k²−1)/144.
+    * Zero-filled week×dow spine; windows at spine grain only.
+    */
+  def pageTrendReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cells = daily
+      .withColumn("week", expr("day DIV 7"))
+      .withColumn("dow", pmod(col("day"), lit(7)).cast("int"))
+      .groupBy(col("event_type"), col("week"), col("dow"))
+      .agg(sum(col("x")).as("v"))
+    val keys = cells.select(col("event_type"), col("week")).distinct()
+    val dows = keys.sparkSession.range(0, 7)
+      .select(col("id").cast("int").as("dow"))
+    val spine = keys.crossJoin(dows)
+      .join(cells, Seq("event_type", "week", "dow"), "left")
+      .select(col("event_type"), col("week"), col("dow"),
+        coalesce(col("v"), lit(0L)).as("v"))
+    val byBlock = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("v"))
+    val tieGrp = Window.partitionBy(col("event_type"), col("week"), col("v"))
+    spine
+      .withColumn("r2", lit(2L) * rank().over(byBlock) +
+        count(lit(1)).over(tieGrp) - lit(1L))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("week")).as("n_weeks"),
+        sum((col("dow") + 1L) * col("r2")).as("l2_stat"))
+      .select(col("event_type"), col("n_weeks"), col("l2_stat"),
+        when(col("n_weeks") > 0L,
+          round((dd(col("l2_stat")) / 2.0 -
+            dd(col("n_weeks")) * lit(112.0)) /
+            sqrt(dd(col("n_weeks")) * lit(49.0 * 8.0 * 48.0 / 144.0)), 6))
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -2039,6 +2090,30 @@ object Views {
         "CASE WHEN n_pos + n_neg > 0 THEN " +
         "ROUND((CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)) / " +
         "SQRT(CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)), 6) END AS z " +
+        "FROM g ORDER BY event_type"),
+    // same zero-filled week×dow spine, same doubled midranks, same
+    // classic L moments
+    "x260_page_trend" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "cells AS (SELECT event_type, day // 7 AS week, day % 7 AS dow, " +
+        "CAST(SUM(x) AS BIGINT) AS v FROM d GROUP BY 1, 2, 3), " +
+        "keys AS (SELECT DISTINCT event_type, week FROM cells), " +
+        "dws AS (SELECT UNNEST(range(0, 7)) AS dow), " +
+        "spine AS (SELECT keys.event_type, keys.week, dws.dow, " +
+        "COALESCE(cells.v, 0) AS v FROM keys CROSS JOIN dws " +
+        "LEFT JOIN cells ON cells.event_type = keys.event_type " +
+        "AND cells.week = keys.week AND cells.dow = dws.dow), " +
+        "r AS (SELECT event_type, week, dow, " +
+        "2 * RANK() OVER (PARTITION BY event_type, week ORDER BY v) + " +
+        "COUNT(*) OVER (PARTITION BY event_type, week, v) - 1 AS r2 FROM spine), " +
+        "g AS (SELECT event_type, CAST(COUNT(DISTINCT week) AS BIGINT) AS n_weeks, " +
+        "CAST(SUM((dow + 1) * r2) AS BIGINT) AS l2_stat FROM r GROUP BY 1) " +
+        "SELECT event_type, n_weeks, l2_stat, " +
+        "CASE WHEN n_weeks > 0 THEN " +
+        "ROUND((CAST(l2_stat AS DOUBLE) / 2.0 - CAST(n_weeks AS DOUBLE) * 112.0) / " +
+        "SQRT(CAST(n_weeks AS DOUBLE) * (49.0 * 8.0 * 48.0 / 144.0)), 6) END AS z " +
         "FROM g ORDER BY event_type"),
     // same zero-filled day×type spine, same doubled midranks, same
     // division-free Conover statistic and W readout

@@ -5697,6 +5697,48 @@ class ExtSpec extends SparkSpec {
       r.getDouble(2) <= 1.0), s"corpus kuiper: ${c.toSeq}")
   }
 
+  test("x260 page trend: a monotone week ramp reads L = 140n and z = 28 sqrt(n)/sigma") {
+    import spark.implicits._
+    // 2 full weeks, counts ascending in dow: L = 280, E = 224,
+    // Var = 261.333 -> z = 56/16.1658 = 3.464102
+    val daily = (0 until 14).map(d => ("a", d, (10 + d % 7).toLong))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.pageTrendReport(daily).collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 560L, s"page: $r")
+    val expZ = BigDecimal(56.0 / math.sqrt(2.0 * 49.0 * 8.0 * 48.0 / 144.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expZ, s"z: $r vs $expZ")
+    // a flat week reads all-tied midranks: L2 = 2n * sum(j+1)*4 =
+    // 112n doubled -> z = 0
+    val flat = (0 until 7).map(d => ("a", d, 5L))
+      .toDF("event_type", "day", "x")
+    val f = graft.pipeline.Views.pageTrendReport(flat).collect()(0)
+    assert(f.getDouble(3) == 0.0, s"flat z: $f")
+    val c = graft.pipeline.Views.queries("x260_page_trend")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => !r.isNullAt(3)), s"corpus page: ${c.toSeq}")
+  }
+
+  test("x261 moods median: split groups read chi2 = 6 on the hand fixture") {
+    import spark.implicits._
+    // a = {1,2,3} (0 above median 3), b = {4,5,6} (3 above):
+    // E = 1.5 per cell -> chi2 = 4 * 1.5 = 6
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("grp", "v")
+    val r = graft.ext.Sampling.moodsMedian(d).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L &&
+      r.getLong(2) == 3L && r.getLong(3) == 3L, s"counts: $r")
+    assert(r.getDouble(4) == 6.0, s"chi2: $r")
+    // identical groups read chi2 = 0
+    val same = Seq(("a", 1L), ("a", 9L), ("b", 1L), ("b", 9L))
+      .toDF("grp", "v")
+    val s = graft.ext.Sampling.moodsMedian(same).collect()(0)
+    assert(s.getDouble(4) == 0.0, s"same: $s")
+    val c = graft.ext.Sampling.queries("x261_moods_median")(spark, SfDir)
+      .collect()(0)
+    assert(!c.isNullAt(4) && c.getDouble(4) >= 0.0, s"corpus moods: $c")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
