@@ -1314,6 +1314,43 @@ object Similarity {
         .select(coalesce(col("d0"), lit(0L)).as("d")))
     }),
 
+    // LOCAL INTRINSIC DIMENSIONALITY — the Levina–Bickel/Amsaleg MLE
+    // over x137's kNN graph: per point LID = −k/Σ ln(d_i/d_k) with
+    // angular distance d = 1 − cos off the 4 dp cosine grid (zero
+    // distances drop from the sum; flat neighborhoods — Σ = 0 — read
+    // NULL). High LID marks the points where ANN recall and dedup
+    // thresholds degrade first (the x241 hubness pathology's local
+    // twin). Per-label summary on the 10⁻⁶ grid; nothing beyond the
+    // existing bounded graph build.
+    "x262_intrinsic_dim" -> ((spark, sfDir) => {
+      val g = knnGraph(emb(spark, sfDir).filter(col("vec_id") < 300)
+          .withColumn("vec", toDouble(col("embedding"))),
+        k = 3, nBits = 8, nTables = 2)
+      val w = Window.partitionBy(col("src"))
+      val lid = g.select(col("src"), (lit(1.0) - col("cos")).as("dist"))
+        .withColumn("dmax", max(col("dist")).over(w))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("kk"), max(col("dmax")).as("dmax"),
+          sum(when(col("dist") > 0.0, log(col("dist") / col("dmax"))))
+            .as("slog"))
+        .select(col("src"),
+          when(col("dmax") > 0.0 && col("slog") < 0.0,
+            round(-col("kk").cast("double") / col("slog") * lit(1000000.0),
+              0).cast("long")).as("lid_fp"))
+        .filter(col("lid_fp").isNotNull)
+      lid.join(emb(spark, sfDir).select(col("vec_id").as("src"),
+          col("label")), "src")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("lid_fp")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 4).as("mean_lid"),
+          round(min(col("lid_fp")).cast("double") / lit(1000000.0), 4)
+            .as("min_lid"),
+          round(max(col("lid_fp")).cast("double") / lit(1000000.0), 4)
+            .as("max_lid"))
+        .orderBy(col("label"))
+    }),
+
     // MUTUAL kNN PAIRS (x143) — reciprocal nearest neighbors over
     // x137's graph: (u, v) kept only when v is in u's top-k AND u is
     // in v's top-k. One-directional kNN edges are asymmetric-by-crowding (a
@@ -2361,6 +2398,43 @@ object Similarity {
         "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
         "ORDER BY cos DESC, dst) AS rk FROM sc) r " +
         "WHERE rk <= 3 ORDER BY src, rk"),
+    // x137's full rank chain as a CTE, then the per-point MLE and
+    // the 10^-6-grid per-label summary
+    "x262_intrinsic_dim" ->
+      ("WITH e AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 300), " +
+        "q AS (SELECT vec_id, v, list_transform(v, " +
+        "x -> CAST(round(x * 1000) AS BIGINT)) AS qv FROM e), " +
+        "sig AS (SELECT vec_id, t.tbl AS tbl, " +
+        "CAST(list_sum(list_transform(range(0, 8), p -> " +
+        "CASE WHEN list_sum(list_transform(range(1, len(qv) + 1), d -> " +
+        "qv[d] * (((t.tbl * 7919 + p * 104729 + (d - 1) * 1000003) % 2003) - 1001))) > 0 " +
+        "THEN (1 << p) ELSE 0 END)) AS BIGINT) AS sig " +
+        "FROM q, (SELECT unnest(range(0, 2)) AS tbl) t), " +
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b " +
+        "FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig " +
+        "AND a.vec_id < b.vec_id), " +
+        "arcs AS (SELECT vec_a AS src, vec_b AS dst FROM cand " +
+        "UNION ALL SELECT vec_b AS src, vec_a AS dst FROM cand), " +
+        "sc AS (SELECT a.src, a.dst, ROUND(" +
+        "list_sum(list_transform(range(1, len(es.v) + 1), i -> es.v[i] * ed.v[i])) / " +
+        "(sqrt(list_sum(list_transform(es.v, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(ed.v, x -> x * x)))), 4) AS cos " +
+        "FROM arcs a JOIN e es ON es.vec_id = a.src " +
+        "JOIN e ed ON ed.vec_id = a.dst), " +
+        "g AS (SELECT src, 1.0 - cos AS dist FROM (" +
+        "SELECT src, dst, cos, ROW_NUMBER() OVER (PARTITION BY src " +
+        "ORDER BY cos DESC, dst) AS rk FROM sc) r WHERE rk <= 3), " +
+        "dm AS (SELECT src, dist, MAX(dist) OVER (PARTITION BY src) AS dmax FROM g), " +
+        "pl AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS kk, MAX(dmax) AS dmax, " +
+        "SUM(CASE WHEN dist > 0.0 THEN LN(dist / dmax) END) AS slog FROM dm GROUP BY 1), " +
+        "lid AS (SELECT src, CAST(ROUND(-CAST(kk AS DOUBLE) / slog * 1000000.0, 0) AS BIGINT) AS lid_fp " +
+        "FROM pl WHERE dmax > 0.0 AND slog < 0.0) " +
+        "SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_pts, " +
+        "ROUND(CAST(SUM(lid_fp) AS DOUBLE) / (COUNT(*) * 1000000.0), 4) AS mean_lid, " +
+        "ROUND(CAST(MIN(lid_fp) AS DOUBLE) / 1000000.0, 4) AS min_lid, " +
+        "ROUND(CAST(MAX(lid_fp) AS DOUBLE) / 1000000.0, 4) AS max_lid " +
+        "FROM lid JOIN e ON e.vec_id = lid.src GROUP BY 1 ORDER BY 1"),
     // x137's full rank chain as a CTE, then zero-filled in-degrees
     // and one fixed skewness expression over four exact moments
     "x241_hubness" ->

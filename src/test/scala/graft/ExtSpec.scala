@@ -4005,6 +4005,18 @@ class ExtSpec extends SparkSpec {
       c.getDouble(4) <= 1.000001, s"corpus nmi: $c")
   }
 
+  test("x262 intrinsic dim: per-label LID summaries are positive and ordered min <= mean <= max") {
+    val rows = Similarity.queries("x262_intrinsic_dim")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty, "no LID rows")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"n_pts: $r")
+      assert(r.getDouble(2) > 0.0, s"mean LID must be positive: $r")
+      assert(r.getDouble(3) <= r.getDouble(2) + 1e-9 &&
+        r.getDouble(2) <= r.getDouble(4) + 1e-9, s"ordering: $r")
+    }
+  }
+
   test("x163 cramers v: independence scores 0, a diagonal table scores exactly 1, zero cells are charged") {
     import spark.implicits._
     val indep = Seq(("A", "x", 20L), ("A", "y", 20L),
