@@ -378,6 +378,52 @@ object Surface {
     * division; the DiD contrast is a fixed four-term expression over
     * those scalars; windows run over the 4-row frame.
     */
+  /** The shared two-arm survival risk table under c97/c99: per pooled
+    * event day, arm event counts (d_A, d_B), exact at-risk counts
+    * from cumulative-prior windows over the bounded time spine,
+    * nt/dt totals, and the arm sizes — everything a censoring-correct
+    * two-arm comparison reads. One fact pass; every window runs at
+    * the ≤|distinct event times| grain.
+    */
+  private def survivalRiskSpine(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val a = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+    val life = a.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
+    val conv = a
+      .filter(col("event_type") === "purchase" && col("value") > 90)
+      .groupBy(col("user_id")).agg(min(col("d")).as("dp"))
+    val subj = life.join(conv, Seq("user_id"), "left")
+      .select(
+        when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+          Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("dl") - col("d0")).as("t_day"),
+        col("dp").isNotNull.as("died"))
+    def byT(arm: String) = subj.filter(col("arm") === arm)
+      .groupBy(col("t_day"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as(s"d_$arm"),
+        sum(when(col("died"), 0L).otherwise(1L)).as(s"c_$arm"))
+    val nArm = broadcast(subj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy().pivot("arm", Seq("A", "B")).agg(first(col("n")))
+      .select(col("A").as("n_a0"), col("B").as("n_b0")))
+    val prior = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT("A").join(byT("B"), Seq("t_day"), "full_outer")
+      .na.fill(0L, Seq("d_A", "c_A", "d_B", "c_B"))
+      .crossJoin(nArm)
+      .withColumn("risk_a", col("n_a0") -
+        coalesce(sum(col("d_A") + col("c_A")).over(prior), lit(0L)))
+      .withColumn("risk_b", col("n_b0") -
+        coalesce(sum(col("d_B") + col("c_B")).over(prior), lit(0L)))
+      .filter(col("d_A") + col("d_B") > 0)
+      .withColumn("nt", col("risk_a") + col("risk_b"))
+      .withColumn("dt", col("d_A") + col("d_B"))
+  }
+
   def didFromCells(cell: DataFrame): DataFrame = {
     val whole = Window.partitionBy(lit(1))
     def m(g: String, p: String) =
@@ -1837,41 +1883,7 @@ object Surface {
     // ONE V double expression regridded to 10⁻⁹, so the statistic is
     // a fixed expression over two BIGINT sums. One fact pass total.
     "c97_logrank" -> ((spark, sfDir) => {
-      val a = t(spark, sfDir, "events")
-        .select(col("user_id"), col("event_type"), col("value"),
-          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
-      val life = a.groupBy(col("user_id"))
-        .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
-      val conv = a
-        .filter(col("event_type") === "purchase" && col("value") > 90)
-        .groupBy(col("user_id")).agg(min(col("d")).as("dp"))
-      val subj = life.join(conv, Seq("user_id"), "left")
-        .select(
-          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
-            Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
-          when(col("dp").isNotNull, col("dp") - col("d0"))
-            .otherwise(col("dl") - col("d0")).as("t_day"),
-          col("dp").isNotNull.as("died"))
-      def byT(arm: String) = subj.filter(col("arm") === arm)
-        .groupBy(col("t_day"))
-        .agg(sum(when(col("died"), 1L).otherwise(0L)).as(s"d_$arm"),
-          sum(when(col("died"), 0L).otherwise(1L)).as(s"c_$arm"))
-      val nArm = broadcast(subj.groupBy(col("arm"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy().pivot("arm", Seq("A", "B")).agg(first(col("n")))
-        .select(col("A").as("n_a0"), col("B").as("n_b0")))
-      val prior = Window.orderBy(col("t_day"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val spine = byT("A").join(byT("B"), Seq("t_day"), "full_outer")
-        .na.fill(0L, Seq("d_A", "c_A", "d_B", "c_B"))
-        .crossJoin(nArm)
-        .withColumn("risk_a", col("n_a0") -
-          coalesce(sum(col("d_A") + col("c_A")).over(prior), lit(0L)))
-        .withColumn("risk_b", col("n_b0") -
-          coalesce(sum(col("d_B") + col("c_B")).over(prior), lit(0L)))
-        .filter(col("d_A") + col("d_B") > 0)
-        .withColumn("nt", col("risk_a") + col("risk_b"))
-        .withColumn("dt", col("d_A") + col("d_B"))
+      val spine = survivalRiskSpine(spark, sfDir)
         .withColumn("oe_fp", round(
           (col("d_A") * col("nt") - col("dt") * col("risk_a"))
             .cast("double") / col("nt").cast("double") *
@@ -1894,6 +1906,34 @@ object Surface {
             col("oe_sum_fp").cast("double") * col("oe_sum_fp").cast("double") /
               (lit(1000000000.0) * col("v_sum_fp").cast("double")), 6))
             .as("chi2"))
+    }),
+
+    // MANTEL–HAENSZEL HAZARD RATIO — c97 answers "DO the arms
+    // differ"; this estimates BY HOW MUCH, without fitting a Cox
+    // model: over the SAME risk spine, HR_MH = Σ(d_A·riskB/n_t) /
+    // Σ(d_B·riskA/n_t) — the closed-form stratified odds estimator
+    // that equals the Cox MLE to first order. Each per-time term
+    // regrids to 10⁻⁹ (c97's discipline), the ratio is ONE division
+    // over two exact sums, and ln HR rides along for CI work.
+    "c99_mantel_haenszel_hr" -> ((spark, sfDir) => {
+      val spine = survivalRiskSpine(spark, sfDir)
+        .withColumn("num_fp", round(
+          (col("d_A") * col("risk_b")).cast("double") /
+            col("nt").cast("double") * 1000000000.0, 0).cast("long"))
+        .withColumn("den_fp", round(
+          (col("d_B") * col("risk_a")).cast("double") /
+            col("nt").cast("double") * 1000000000.0, 0).cast("long"))
+      spine.agg(
+        max(col("n_a0")).as("n_a"), max(col("n_b0")).as("n_b"),
+        sum(col("d_A")).as("events_a"), sum(col("d_B")).as("events_b"),
+        sum(col("num_fp")).as("num_sum_fp"), sum(col("den_fp")).as("den_sum_fp"))
+        .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+          when(col("den_sum_fp") > 0L,
+            round(col("num_sum_fp").cast("double") /
+              col("den_sum_fp").cast("double"), 6)).as("hr_mh"),
+          when(col("den_sum_fp") > 0L && col("num_sum_fp") > 0L,
+            round(log(col("num_sum_fp").cast("double") /
+              col("den_sum_fp").cast("double")), 6)).as("ln_hr"))
     }),
 
     // INTERRUPTED TIME SERIES — the single-group causal design beside
@@ -2579,6 +2619,50 @@ object Surface {
         "CASE WHEN SUM(v_fp) > 0 THEN " +
         "ROUND(CAST(SUM(oe_fp) AS DOUBLE) * CAST(SUM(oe_fp) AS DOUBLE) / " +
         "(1000000000.0 * CAST(SUM(v_fp) AS DOUBLE)), 6) END AS chi2 FROM g3"),
+    // c97's risk-table CTEs with the per-time MH terms on the same
+    // 10^-9 grid, one ratio
+    "c99_mantel_haenszel_hr" ->
+      (s"WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        s"subj AS (SELECT CASE WHEN ((user_id * ${Sampling.HashMul}) % ${Sampling.HashMod}) " +
+        s"< ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "na AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a0, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b0 FROM subj), " +
+        "ta AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_a, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_a " +
+        "FROM subj WHERE arm = 'A' GROUP BY 1), " +
+        "tb AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_b, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_b " +
+        "FROM subj WHERE arm = 'B' GROUP BY 1), " +
+        "sp AS (SELECT COALESCE(ta.t_day, tb.t_day) AS t_day, " +
+        "COALESCE(d_a, 0) AS d_a, COALESCE(c_a, 0) AS c_a, " +
+        "COALESCE(d_b, 0) AS d_b, COALESCE(c_b, 0) AS c_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.t_day = tb.t_day), " +
+        "r AS (SELECT sp.*, n_a0, n_b0, " +
+        "n_a0 - COALESCE(CAST(SUM(d_a + c_a) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_a, " +
+        "n_b0 - COALESCE(CAST(SUM(d_b + c_b) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_b " +
+        "FROM sp, na), " +
+        "f AS (SELECT *, risk_a + risk_b AS nt, d_a + d_b AS dt FROM r " +
+        "WHERE d_a + d_b > 0), " +
+        "g3 AS (SELECT *, " +
+        "CAST(ROUND(CAST(d_a * risk_b AS DOUBLE) / CAST(nt AS DOUBLE) " +
+        "* 1000000000.0) AS BIGINT) AS num_fp, " +
+        "CAST(ROUND(CAST(d_b * risk_a AS DOUBLE) / CAST(nt AS DOUBLE) " +
+        "* 1000000000.0) AS BIGINT) AS den_fp FROM f) " +
+        "SELECT MAX(n_a0) AS n_a, MAX(n_b0) AS n_b, " +
+        "CAST(SUM(d_a) AS BIGINT) AS events_a, CAST(SUM(d_b) AS BIGINT) AS events_b, " +
+        "CASE WHEN SUM(den_fp) > 0 THEN " +
+        "ROUND(CAST(SUM(num_fp) AS DOUBLE) / CAST(SUM(den_fp) AS DOUBLE), 6) END AS hr_mh, " +
+        "CASE WHEN SUM(den_fp) > 0 AND SUM(num_fp) > 0 THEN " +
+        "ROUND(LN(CAST(SUM(num_fp) AS DOUBLE) / CAST(SUM(den_fp) AS DOUBLE)), 6) END AS ln_hr " +
+        "FROM g3"),
     // same per-segment four-sum OLS, same fixed double fit/contrast
     // expressions at the break
     "c96_interrupted_ts" ->

@@ -1243,8 +1243,25 @@ object Streams {
     * State is k rows of 3 BIGINTs — the smallest per-group artifact
     * in the suite.
     */
-  def foreachBatchAnova(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s46_${tag(sfDir)}"
+  def foreachBatchAnova(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling.anovaFFromMoments(
+      maintainedGroupMoments(spark, sfDir, "s46"))
+
+  /** s50: x246's Bartlett variance test off the same maintained
+    * per-group (n, Σv, Σv²) moments as s46 — one additive state, two
+    * classical readouts (the mean omnibus and the variance omnibus),
+    * each equal to its batch twin by construction.
+    */
+  def foreachBatchBartlett(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.Sampling.bartlettFromMoments(
+      maintainedGroupMoments(spark, sfDir, "s50"))
+
+  /** The shared per-group moment maintainer under s46/s50 — k rows of
+    * 3 BIGINTs, the smallest per-group artifact in the suite.
+    */
+  private def maintainedGroupMoments(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val base = s"/tmp/graft-stream/${name}_${tag(sfDir)}"
     rmDir(spark, base)
     Lake.materialize(spark, sfDir, "docs_split_len_v1") {
       Lake.table(spark, sfDir, "documents")
@@ -1291,9 +1308,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.ext.Sampling.anovaFFromMoments(
-      spark.read.parquet(latest.getOrElse(
-        sys.error("s46: stream produced no batches"))))
+    spark.read.parquet(latest.getOrElse(
+      sys.error(s"$name: stream produced no batches")))
   }
 
   /** s43: x228's Theil U with the (source, lang) contingency cell
@@ -2118,8 +2134,28 @@ object Streams {
     * [[graft.ext.TextAnalysis.hapaxFromFreq]] stage ⇒ streamed ≡
     * batch x183. State is vocabulary-sized.
     */
-  def foreachBatchHapax(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = s"/tmp/graft-stream/s30_${tag(sfDir)}"
+  def foreachBatchHapax(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.TextAnalysis.hapaxFromFreq(
+        maintainedWordFreq(spark, sfDir, "s30"))
+      .orderBy(col("source"))
+
+  /** s51: x258's lexical-richness profile off the same maintained
+    * word-frequency state as s30 — Herdan/Guiraud/Sichel/Honoré are
+    * all pure functions of the additive (source, w, freq) table, so
+    * the profile re-reads exactly per merge.
+    */
+  def foreachBatchRichness(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.TextAnalysis.lexicalRichnessFromFreq(
+      maintainedWordFreq(spark, sfDir, "s51"))
+
+  /** The shared word-frequency maintainer under s30/s51: the
+    * (source, w, freq) table merged additively per microbatch over a
+    * 4-file documents split — the vocabulary-sized sufficient
+    * statistic every frequency-tail readout shares.
+    */
+  private def maintainedWordFreq(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val base = s"/tmp/graft-stream/${name}_${tag(sfDir)}"
     rmDir(spark, base)
     Lake.materialize(spark, sfDir, "docs_split_text_v1") {
       Lake.table(spark, sfDir, "documents")
@@ -2161,10 +2197,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.ext.TextAnalysis.hapaxFromFreq(
-        spark.read.parquet(latest.getOrElse(
-          sys.error("s30: stream produced no batches"))))
-      .orderBy(col("source"))
+    spark.read.parquet(latest.getOrElse(
+      sys.error(s"$name: stream produced no batches")))
   }
 
   /** s31: c92's type-affinity matrix with the DISTINCT (user_id,
@@ -2554,6 +2588,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchPettitt(spark, sfDir)),
     "s49_stream_kuiper_maintain" ->
       ((spark, sfDir) => foreachBatchKuiper(spark, sfDir)),
+    "s50_stream_bartlett_maintain" ->
+      ((spark, sfDir) => foreachBatchBartlett(spark, sfDir)),
+    "s51_stream_richness_maintain" ->
+      ((spark, sfDir) => foreachBatchRichness(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2667,6 +2705,14 @@ object Streams {
     // cells ≡ batch x256
     "s49_stream_kuiper_maintain" ->
       graft.pipeline.Views.oracles("x256_kuiper_dow"),
+    // the IVM contract verbatim: Bartlett's chi2 solved from the
+    // same maintained moments as s46 ≡ batch x246
+    "s50_stream_bartlett_maintain" ->
+      graft.ext.Sampling.oracles("x246_bartlett"),
+    // the IVM contract verbatim: the richness constants off the
+    // maintained word-frequency table ≡ batch x258
+    "s51_stream_richness_maintain" ->
+      graft.ext.TextAnalysis.oracles("x258_lexical_richness"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

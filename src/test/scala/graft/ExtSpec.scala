@@ -5931,6 +5931,20 @@ class ExtSpec extends SparkSpec {
     assert(nUsers > 0 && p > 0.0 && p <= 1.0)
   }
 
+  test("c99 mantel-haenszel: arm bookkeeping matches c97, ln_hr recomputes from hr") {
+    val hr = graft.queries.Surface.queries("c99_mantel_haenszel_hr")(spark, SfDir)
+      .collect()(0)
+    val lr = graft.queries.Surface.queries("c97_logrank")(spark, SfDir)
+      .collect()(0)
+    // same risk spine -> identical arm sizes and event totals
+    assert(hr.getLong(0) == lr.getLong(0) && hr.getLong(1) == lr.getLong(1) &&
+      hr.getLong(2) == lr.getLong(2) && hr.getLong(3) == lr.getLong(3),
+      s"spine bookkeeping: $hr vs $lr")
+    assert(hr.getDouble(4) > 0.0, s"hr: $hr")
+    assert(math.abs(hr.getDouble(5) - math.log(hr.getDouble(4))) < 1e-4,
+      s"ln_hr consistency: $hr")
+  }
+
   test("c97 logrank: arms partition the subjects, events conserve, chi2 nonnegative") {
     val r = graft.queries.Surface.queries("c97_logrank")(spark, SfDir)
       .collect()(0)

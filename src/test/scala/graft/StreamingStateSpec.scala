@@ -563,6 +563,27 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Kuiper diverges:\n${sk.toSeq}\nvs\n${bk.toSeq}")
   }
 
+  test("streaming Bartlett equals batch x246, streaming richness equals batch x258 (s50/s51)") {
+    def keyB(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val sb = graft.streaming.Streams.foreachBatchBartlett(spark, SfDir)
+      .collect().map(keyB)
+    val bb = graft.ext.Sampling.queries("x246_bartlett")(spark, SfDir)
+      .collect().map(keyB)
+    assert(sb.toSeq == bb.toSeq,
+      s"streamed Bartlett diverges:\n${sb.toSeq}\nvs\n${bb.toSeq}")
+    def keyR(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)))
+    val sr = graft.streaming.Streams.foreachBatchRichness(spark, SfDir)
+      .collect().map(keyR)
+    val br = graft.ext.TextAnalysis.queries("x258_lexical_richness")(spark, SfDir)
+      .collect().map(keyR)
+    assert(sr.toSeq == br.toSeq,
+      s"streamed richness diverges:\n${sr.toSeq}\nvs\n${br.toSeq}")
+  }
+
   test("streaming Gini monitor equals batch x159 across a multi-batch run (s27)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
