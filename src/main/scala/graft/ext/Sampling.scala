@@ -623,6 +623,79 @@ object Sampling {
               (lit(3.0) * (dd("k_groups") - 1.0))), 6)).as("chi2"))
   }
 
+  /** x263's two-sample Hodges–Lehmann shift estimator over two
+    * (v, f) count-cell frames — x146's Mann–Whitney TESTS whether the
+    * en/other length distributions differ; HL ESTIMATES the shift as
+    * the weighted median of all n_a·n_b cross differences, computed
+    * WITHOUT materializing pairs: the cell cross product (support_a ×
+    * support_b rows, saturating as the corpus grows) grouped to
+    * difference cells with exact BIGINT weights fa·fb, then the
+    * discrete lower weighted median (x51's quantile convention) via
+    * one prefix window. Robust, exactly reproducible, one number a
+    * mixing policy can subtract.
+    */
+  def hlShiftFromCells(cellsA: DataFrame, cellsB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val diffs = cellsA.select(col("v").as("va"), col("f").as("fa"))
+      .crossJoin(cellsB.select(col("v").as("vb"), col("f").as("fb")))
+      .groupBy((col("va") - col("vb")).as("d"))
+      .agg(sum(col("fa") * col("fb")).as("w"))
+    val byD = Window.orderBy(col("d"))
+    val whole = Window.partitionBy(lit(1))
+    diffs
+      .withColumn("cum", sum(col("w")).over(
+        byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("w")).over(whole))
+      .withColumn("n_cells", count(lit(1)).over(whole))
+      .filter(col("cum") * 2L >= col("total"))
+      .orderBy(col("d"))
+      .limit(1)
+      .select(col("total").as("n_pairs"), col("n_cells"),
+        col("d").as("hl_shift"))
+  }
+
+  /** x264's discrete distribution-distance profile of each source's
+    * length distribution against its complement — the three bounded
+    * [0, 1] distances read together beside the unbounded transports
+    * (x243 W₁, x248 energy): TVD = ½Σ|p−q| (the worst-case
+    * event-probability gap), Bhattacharyya BC = Σ√(pq), and
+    * Hellinger² = 1 − BC. The |p−q| mass is the exact integer
+    * |f_g·n_c − f_c·n_g| (DECIMAL(38,0) against the n_g·n_c cross
+    * scale) with ONE division; BC's per-cell √ runs at cell grain
+    * over exact rationals. Same complement-from-totals derivation as
+    * x248 — no second corpus pass.
+    */
+  def distProfileFromCells(cells: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val glob = cells.groupBy(col("v")).agg(sum(col("f")).as("fg"))
+    val totals = cells.groupBy(col("grp")).agg(sum(col("f")).as("n_g"))
+      .crossJoin(broadcast(cells.agg(sum(col("f")).as("n"))))
+    cells.join(glob, "v")
+      .join(broadcast(totals), "grp")
+      .select(col("grp"), col("n_g"), (col("n") - col("n_g")).as("n_c"),
+        col("f").as("f_g"), (col("fg") - col("f")).as("f_c"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_c")).as("n_c"),
+        sum(abs(col("f_g") * col("n_c") - col("f_c") * col("n_g"))
+          .cast("decimal(38,0)")).as("tv_mass"),
+        // complement mass living OUTSIDE this source's support — its
+        // |p−q| contribution is q alone, added in closed form
+        sum(col("f_c")).as("fc_in"),
+        sum(sqrt((dd(col("f_g")) * dd(col("f_c"))))).as("bc_raw"))
+      .select(col("grp").as("source"), col("n_g"), col("n_c"),
+        when(col("n_g") > 0L && col("n_c") > 0L,
+          round((dd(col("tv_mass")) +
+            dd(col("n_g")) * (dd(col("n_c")) - dd(col("fc_in")))) /
+            (lit(2.0) * dd(col("n_g")) * dd(col("n_c"))), 6)).as("tvd"),
+        when(col("n_g") > 0L && col("n_c") > 0L,
+          round(col("bc_raw") / sqrt(dd(col("n_g")) * dd(col("n_c"))), 6))
+          .as("bhattacharyya"),
+        when(col("n_g") > 0L && col("n_c") > 0L,
+          round(lit(1.0) - col("bc_raw") /
+            sqrt(dd(col("n_g")) * dd(col("n_c"))), 6)).as("hellinger_sq"))
+      .orderBy(col("source"))
+  }
+
   /** x261's Mood's median test over a (grp, v) frame — the bluntest
     * k-group location omnibus (x217's Kruskal–Wallis uses the full
     * rank information; Mood's test only asks "what share of each
@@ -1784,6 +1857,28 @@ object Sampling {
           .groupBy(col("grp"))
           .agg(count(lit(1)).as("n_g"), sum(col("v")).as("s"),
             sum(col("v") * col("v")).as("ss")))),
+
+    // HODGES–LEHMANN SHIFT — the robust estimate of HOW MUCH longer
+    // en docs run than the rest (x146 tests the difference; x235
+    // reads the mean gap; HL is the median-of-differences the
+    // outliers can't move), off cross-difference cells — see
+    // [[hlShiftFromCells]].
+    "x263_hl_shift" -> ((spark, sfDir) => {
+      val split = enOtherSplit(docs(spark, sfDir))
+      def cellsOf(g: String) = split.filter(col("grp") === g)
+        .groupBy(col("v")).agg(count(lit(1)).as("f"))
+      hlShiftFromCells(cellsOf("a"), cellsOf("b"))
+    }),
+
+    // DISTRIBUTION-DISTANCE PROFILE — TVD, Bhattacharyya, and
+    // squared Hellinger of each source's length distribution vs its
+    // complement, the bounded [0,1] trio beside x243/x248's
+    // transports — see [[distProfileFromCells]].
+    "x264_dist_profile" -> ((spark, sfDir) =>
+      distProfileFromCells(
+        docs(spark, sfDir)
+          .select(col("source").as("grp"), col("n_chars").as("v"))
+          .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("f")))),
 
     // MOOD'S MEDIAN TEST — the above-the-grand-median k-group
     // screen beside x217's full-rank KW and x234's parametric F —
@@ -3421,6 +3516,47 @@ object Sampling {
         "2.0 * CAST(m_yy AS DOUBLE) / (CAST(n_c AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) " +
         "END AS energy_d2 " +
         "FROM m ORDER BY source"),
+    // same cross-difference cells, same exact weights, same discrete
+    // lower weighted median
+    "x263_hl_shift" ->
+      ("WITH d AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp, " +
+        "n_chars AS v FROM documents), " +
+        "ca AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM d WHERE grp = 'a' GROUP BY 1), " +
+        "cb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS f FROM d WHERE grp = 'b' GROUP BY 1), " +
+        "df AS (SELECT ca.v - cb.v AS dd, CAST(SUM(ca.f * cb.f) AS BIGINT) AS w " +
+        "FROM ca CROSS JOIN cb GROUP BY 1), " +
+        "q AS (SELECT dd, CAST(SUM(w) OVER (ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "CAST(SUM(w) OVER () AS BIGINT) AS total, " +
+        "CAST(COUNT(*) OVER () AS BIGINT) AS n_cells FROM df) " +
+        "SELECT total AS n_pairs, n_cells, dd AS hl_shift FROM q " +
+        "WHERE cum * 2 >= total ORDER BY dd LIMIT 1"),
+    // same in-support exact TV mass + closed-form outside term, same
+    // cell-grain BC roots
+    "x264_dist_profile" ->
+      ("WITH cells AS (SELECT source AS grp, n_chars AS v, " +
+        "CAST(COUNT(*) AS BIGINT) AS f FROM documents GROUP BY 1, 2), " +
+        "gtot AS (SELECT v, CAST(SUM(f) AS BIGINT) AS fg FROM cells GROUP BY 1), " +
+        "tt AS (SELECT grp, CAST(SUM(f) AS BIGINT) AS n_g, " +
+        "(SELECT CAST(SUM(f) AS BIGINT) FROM cells) AS n FROM cells GROUP BY 1), " +
+        "j AS (SELECT cells.grp, tt.n_g, tt.n - tt.n_g AS n_c, " +
+        "cells.f AS f_g, gtot.fg - cells.f AS f_c " +
+        "FROM cells JOIN gtot USING (v) JOIN tt ON tt.grp = cells.grp), " +
+        "g AS (SELECT grp, MAX(n_g) AS n_g, MAX(n_c) AS n_c, " +
+        "SUM(CAST(ABS(f_g * n_c - f_c * n_g) AS HUGEINT)) AS tv_mass, " +
+        "CAST(SUM(f_c) AS BIGINT) AS fc_in, " +
+        "SUM(SQRT(CAST(f_g AS DOUBLE) * CAST(f_c AS DOUBLE))) AS bc_raw " +
+        "FROM j GROUP BY 1) " +
+        "SELECT grp AS source, n_g, n_c, " +
+        "CASE WHEN n_g > 0 AND n_c > 0 THEN " +
+        "ROUND((CAST(tv_mass AS DOUBLE) + CAST(n_g AS DOUBLE) * " +
+        "(CAST(n_c AS DOUBLE) - CAST(fc_in AS DOUBLE))) / " +
+        "(2.0 * CAST(n_g AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) END AS tvd, " +
+        "CASE WHEN n_g > 0 AND n_c > 0 THEN " +
+        "ROUND(bc_raw / SQRT(CAST(n_g AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) END AS bhattacharyya, " +
+        "CASE WHEN n_g > 0 AND n_c > 0 THEN " +
+        "ROUND(1.0 - bc_raw / SQRT(CAST(n_g AS DOUBLE) * CAST(n_c AS DOUBLE)), 6) " +
+        "END AS hellinger_sq " +
+        "FROM g ORDER BY source"),
     // same discrete grand median, same exact above-counts, same k×2
     // chi-square
     "x261_moods_median" ->

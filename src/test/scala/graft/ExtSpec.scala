@@ -5751,6 +5751,42 @@ class ExtSpec extends SparkSpec {
     assert(!c.isNullAt(4) && c.getDouble(4) >= 0.0, s"corpus moods: $c")
   }
 
+  test("x263 hl shift: identical samples read 0, a planted +10 shift reads -10 for a-b") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("v", "f")
+    val same = graft.ext.Sampling.hlShiftFromCells(a, a).collect()(0)
+    assert(same.getLong(0) == 9L && same.getLong(2) == 0L, s"same: $same")
+    val b = Seq((11L, 1L), (12L, 1L), (13L, 1L)).toDF("v", "f")
+    val sh = graft.ext.Sampling.hlShiftFromCells(a, b).collect()(0)
+    assert(sh.getLong(2) == -10L, s"shift: $sh")
+    val c = graft.ext.Sampling.queries("x263_hl_shift")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(0) > 0L, s"corpus hl: $c")
+  }
+
+  test("x264 dist profile: identical halves read (0, 1, 0), disjoint supports read (1, 0, 1)") {
+    import spark.implicits._
+    val idn = graft.ext.Sampling.distProfileFromCells(
+      Seq(("a", 0L, 1L), ("a", 10L, 1L), ("b", 0L, 1L), ("b", 10L, 1L))
+        .toDF("grp", "v", "f")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    assert(idn("a") == ((0.0, 1.0, 0.0)) && idn("b") == ((0.0, 1.0, 0.0)),
+      s"identical: $idn")
+    val dis = graft.ext.Sampling.distProfileFromCells(
+      Seq(("a", 0L, 2L), ("b", 10L, 3L)).toDF("grp", "v", "f")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))).toMap
+    assert(dis("a") == ((1.0, 0.0, 1.0)) && dis("b") == ((1.0, 0.0, 1.0)),
+      s"disjoint: $dis")
+    // corpus: all three bounded in [0, 1], every source reported
+    val c = graft.ext.Sampling.queries("x264_dist_profile")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.getDouble(3) >= 0.0 &&
+      r.getDouble(3) <= 1.0 && r.getDouble(4) >= 0.0 &&
+      r.getDouble(4) <= 1.0), s"corpus profile: ${c.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
