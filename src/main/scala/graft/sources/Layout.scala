@@ -443,6 +443,30 @@ object Layout {
         .orderBy(col("day"))
     }),
 
+    // PARTITION-SKEW AUDIT — the pre-backfill ops read every
+    // partition-maintenance job runs first: per-partition row counts
+    // of the hive-partitioned lake copy rolled to ONE skew row
+    // (max/mean, the straggler-task predictor at 1000 executors).
+    // The Spark side reads the PARTITIONED copy through partition
+    // discovery — so a partitioning bug that dropped or duplicated a
+    // date directory hash-fails against the oracle's recount from
+    // the raw table. Exact integer counts; two fixed divisions.
+    "p15_partition_audit" -> ((spark, sfDir) => {
+      val part = spark.read.parquet(
+        Lake.ensurePartitionedEvents(spark, sfDir))
+      val perDay = part
+        .groupBy(date_format(col("date"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      def dd(c: String) = col(c).cast("double")
+      perDay.agg(count(lit(1)).as("n_partitions"), sum(col("n")).as("total"),
+        max(col("n")).as("max_rows"), min(col("n")).as("min_rows"))
+        .select(col("n_partitions"), col("total"), col("max_rows"),
+          col("min_rows"),
+          when(col("total") > 0L && col("n_partitions") > 0L,
+            round(dd("max_rows") * dd("n_partitions") / dd("total"), 4))
+            .as("skew_ratio"))
+    }),
+
     // TIME-TRAVEL READ — the "query the table AS OF snapshot v"
     // lakehouse read (p10 is the GC side; this is the consumer
     // side): three versioned generations live as v=N partition
@@ -502,6 +526,18 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    // recount from the raw table: the partitioned copy must carry
+    // exactly the per-day masses the source does
+    "p15_partition_audit" ->
+      ("WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions, " +
+        "CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS max_rows, " +
+        "CAST(MIN(n) AS BIGINT) AS min_rows FROM d) " +
+        "SELECT n_partitions, total, max_rows, min_rows, " +
+        "CASE WHEN total > 0 AND n_partitions > 0 THEN " +
+        "ROUND(CAST(max_rows AS DOUBLE) * CAST(n_partitions AS DOUBLE) / " +
+        "CAST(total AS DOUBLE), 4) END AS skew_ratio FROM g"),
     // raw events minus the victim, same null-safe exclusion
     "p11_keyed_delete" ->
       ("SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day, " +

@@ -237,6 +237,16 @@ class LayoutSpec extends SparkSpec {
       "retired copy must be dropped after a clean swap")
   }
 
+  test("partition audit conserves total mass and reads skew >= 1 (p15)") {
+    val r = graft.sources.Layout.queries("p15_partition_audit")(spark, SfDir)
+      .collect()(0)
+    val total = graft.sources.Lake.table(spark, SfDir, "events").count()
+    assert(r.getLong(1) == total, s"mass conservation: $r vs $total")
+    assert(r.getLong(0) > 1L, s"multiple partitions expected: $r")
+    assert(r.getLong(2) >= r.getLong(3), s"max >= min: $r")
+    assert(r.getDouble(4) >= 1.0, s"skew ratio is bounded below by 1: $r")
+  }
+
   test("time-travel read opens only the requested snapshot's files (p14)") {
     // run the registered query once to (re)build the generations
     val out = graft.sources.Layout.queries("p14_time_travel")(spark, SfDir)
