@@ -276,7 +276,13 @@ object Bench {
     // self-join (x224 — the feature-pair fan-out shape), the
     // three-hop walk-count vector iteration (x220), and the
     // vocabulary-support divergence pass (x222)
-    "x224_linear_cka", "x220_katz_centrality", "x222_js_divergence")
+    "x224_linear_cka", "x220_katz_centrality", "x222_js_divergence",
+    // round-14 session-3 additions (77 → 79): the group×support ECDF
+    // spine with three integral masses (x248 — the spine grows with
+    // the value support, not the corpus), and the char-trigram
+    // multiset pair join over the x05 candidates (x259 — the
+    // char-grain volume class on the pair-bounded join)
+    "x248_energy_distance", "x259_chrf_pairs")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -321,7 +327,15 @@ object Bench {
     // the inverted-index pair join: candidate volume Σ df² under the
     // df cap — the lexical twin of x03's banding question, with its
     // own instrumentation field
-    "x199_sparse_cosine_pairs")
+    "x199_sparse_cosine_pairs",
+    // the ECDF-spine shape: its scaling question is whether the
+    // support (not the corpus) stays the window grain — the ratio
+    // should read ≈ the one fact-aggregation pass, near-linear
+    "x248_energy_distance",
+    // the char-trigram pair grading: gram volume is chars-linear and
+    // the pair join is candidate-bounded — x259's ratio should track
+    // x05's candidate curve, not corpus²
+    "x259_chrf_pairs")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×

@@ -101,6 +101,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("chrF pair grading joins grams per candidate pair — broadcast pairs, no cartesian (x259)") {
+    val plan = Dedup.queries("x259_chrf_pairs")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"x259 plans a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"x259's pair side is not broadcast:\n$plan")
+  }
+
+  test("energy distance runs its windows on the group-support spine, never row grain (x248)") {
+    val plan = graft.ext.Sampling.queries("x248_energy_distance")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"x248 plans a cartesian:\n$plan")
+    // the sources×support spine build is a bounded broadcast cross —
+    // every nested-loop in this plan must be that Cross BuildRight
+    // broadcast, never an inner/filtering nested loop over the fact
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("Cross") && l.contains("BuildRight"),
+        s"x248 plans a non-broadcast nested loop: $l"))
+  }
+
   test("ANN LSH joins on the bucket signature, not all pairs (x08/x09)") {
     for (name <- Seq("x08_ann_lsh", "x09_embed_neardup")) {
       val plan = Similarity.queries(name)(spark, SfDir)
