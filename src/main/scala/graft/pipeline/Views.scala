@@ -412,6 +412,25 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // QUADE TEST — the spread-weighted Friedman on the same
+    // day×type grid (high-signal days count more) — see
+    // [[quadeReport]].
+    "x265_quade" -> ((spark, sfDir) =>
+      quadeReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // PARTIAL AUTOCORRELATION — the AR-order readout beside x152's
+    // ACF and x236's joint whiteness: lag-k association with the
+    // shorter lags netted out, via the unrolled Durbin–Levinson
+    // chain over exact integer moments — see [[pacfReport]].
+    "x266_pacf" -> ((spark, sfDir) =>
+      pacfReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // PAGE'S TREND TEST — the ordered-alternative Friedman over
     // weeks×dow: does traffic ramp monotonically across the week? —
     // see [[pageTrendReport]].
@@ -1274,6 +1293,67 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x266's partial autocorrelations at lags 1-3 over the same
+    * centered-integer day frame as x152/x236 — PACF is what an AR
+    * ORDER decision actually reads (ACF at lag 3 can be large purely
+    * through lag-1 propagation; φ33 nets the shorter lags out): the
+    * exact BIGINT num_k/den pairs feed the Durbin–Levinson recursion
+    * unrolled to the FIXED three-level expression chain (φ11 = ρ1,
+    * φ22 = (ρ2−ρ1²)/(1−ρ1²), a21 = ρ1(1−φ22), φ33 = (ρ3 − a21ρ2 −
+    * φ22ρ1)/(1 − a21ρ1 − φ22ρ2)) — never an iterative float solve.
+    * Zero variance or a singular level-k denominator reads NULL from
+    * that level on.
+    */
+  def pacfReport(daily: DataFrame): DataFrame = {
+    val whole = Window.partitionBy(col("event_type"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val c = daily
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("x")).over(whole))
+      .withColumn("c", col("x") * col("n_days") - col("total"))
+    val den = c.groupBy(col("event_type"))
+      .agg(min(col("n_days")).as("n_days"),
+        sum(col("c") * col("c")).as("den"))
+    val nums = (1 to 3).map { k =>
+      c.withColumn("cl", lead(col("c"), k).over(byDay))
+        .filter(col("cl").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(col("c") * col("cl")).as("num"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    val wide = nums.groupBy(col("event_type"))
+      .agg(sum(when(col("lag") === 1, col("num")).otherwise(0L)).as("n1"),
+        sum(when(col("lag") === 2, col("num")).otherwise(0L)).as("n2"),
+        sum(when(col("lag") === 3, col("num")).otherwise(0L)).as("n3"))
+    def dd(c: String) = col(c).cast("double")
+    // NaN-propagating safe denominator: a zero-variance series turns
+    // every downstream ratio NaN, every guard false, every output
+    // NULL — without tripping the ANSI divide-by-zero inside the
+    // guard expressions themselves
+    val sden = when(col("den") =!= 0L, dd("den"))
+      .otherwise(lit(Double.NaN))
+    val r1 = dd("n1") / sden
+    val r2 = dd("n2") / sden
+    val r3 = dd("n3") / sden
+    val p22denRaw = lit(1.0) - r1 * r1
+    val p22den = when(abs(p22denRaw) > 0.0, p22denRaw)
+      .otherwise(lit(Double.NaN))
+    val p22 = (r2 - r1 * r1) / p22den
+    val a21 = r1 * (lit(1.0) - p22)
+    val p33denRaw = lit(1.0) - a21 * r1 - p22 * r2
+    val p33den = when(abs(p33denRaw) > 0.0, p33denRaw)
+      .otherwise(lit(Double.NaN))
+    val p33 = (r3 - a21 * r2 - p22 * r1) / p33den
+    wide.join(den, "event_type")
+      .select(col("event_type"), col("n_days"),
+        when(col("den") =!= 0L, round(r1, 6)).as("pacf1"),
+        when(col("den") =!= 0L && abs(p22denRaw) > 0.0, round(p22, 6))
+          .as("pacf2"),
+        when(col("den") =!= 0L && abs(p22denRaw) > 0.0 &&
+          abs(p33denRaw) > 0.0, round(p33, 6)).as("pacf3"))
+      .orderBy(col("event_type"))
+  }
+
   /** x237's Wald–Wolfowitz runs test over the per-type day frame —
     * the nonparametric randomness screen the drift family lacks
     * (x167's Mann–Kendall reads a TREND; the runs test reads
@@ -1632,6 +1712,51 @@ object Views {
             sqrt(dd(col("n_weeks")) * lit(49.0 * 8.0 * 48.0 / 144.0)), 6))
           .as("z"))
       .orderBy(col("event_type"))
+  }
+
+  /** x265's Quade test over the same day×type grid as x245 — the
+    * weighted Friedman (Friedman throws away block MAGNITUDE; Quade
+    * weights each day by the rank of its within-day spread, so
+    * high-signal days count more — the more powerful choice at small
+    * k): with doubled midranks r2 and doubled range-rank weights q2,
+    * S4_ij = q2·(r2 − (k+1)) = 4·S_ij exactly, and the statistic is
+    * division-free integers to the end: F = (n−1)·ΣT_j² /
+    * (n·ΣS4² − ΣT_j²) with T_j = Σ_i S4_ij. Zero-spread grids (every
+    * day internally tied) read NULL.
+    */
+  def quadeReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val days = daily.select(col("day")).distinct()
+    val types = daily.select(col("event_type")).distinct()
+    val spine = types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val byDay = Window.partitionBy(col("day")).orderBy(col("x"))
+    val tieG = Window.partitionBy(col("day"), col("x"))
+    val ranked = spine
+      .withColumn("r2", lit(2L) * rank().over(byDay) +
+        count(lit(1)).over(tieG) - lit(1L))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val ranges = spine.groupBy(col("day"))
+      .agg((max(col("x")) - min(col("x"))).as("rng"))
+    val byRng = Window.orderBy(col("rng"))
+    val tieR = Window.partitionBy(col("rng"))
+    val weights = ranges.withColumn("q2",
+      lit(2L) * rank().over(byRng) + count(lit(1)).over(tieR) - lit(1L))
+    val s4 = ranked.join(weights.select(col("day"), col("q2")), "day")
+      .withColumn("s4", col("q2") * (col("r2") - (col("k") + 1L)))
+    val byType = s4.groupBy(col("event_type"))
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n"),
+        sum(col("s4")).as("t4"), sum(col("s4") * col("s4")).as("a4"))
+    byType
+      .agg(max(col("n")).as("n_days"), max(col("k")).as("k_types"),
+        sum(col("a4")).as("a4"), sum(col("t4") * col("t4")).as("b4num"))
+      .select(col("n_days"), col("k_types"),
+        when(col("n_days") > 1L &&
+            col("n_days") * col("a4") - col("b4num") > 0L,
+          round(dd(col("n_days") - 1L) * dd(col("b4num")) /
+            dd(col("n_days") * col("a4") - col("b4num")), 6)).as("f_quade"))
   }
 
   /** x156's Benford first-digit audit over a value column: observed
@@ -2034,6 +2159,76 @@ object Views {
     // x152's centered day frame, the three exact num/den pairs
     // pivoted wide, ONE fixed double Q expression, frozen critical
     // value
+    // same zero-filled grid, same doubled midranks and range-rank
+    // weights, same division-free integer statistic
+    "x265_quade" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "days AS (SELECT DISTINCT day FROM d), " +
+        "tps AS (SELECT DISTINCT event_type FROM d), " +
+        "spine AS (SELECT tps.event_type, days.day, COALESCE(d.x, 0) AS x " +
+        "FROM tps CROSS JOIN days LEFT JOIN d " +
+        "ON d.event_type = tps.event_type AND d.day = days.day), " +
+        "r AS (SELECT event_type, day, " +
+        "2 * RANK() OVER (PARTITION BY day ORDER BY x) + " +
+        "COUNT(*) OVER (PARTITION BY day, x) - 1 AS r2, " +
+        "CAST(COUNT(*) OVER (PARTITION BY day) AS BIGINT) AS k FROM spine), " +
+        "rg AS (SELECT day, MAX(x) - MIN(x) AS rng FROM spine GROUP BY 1), " +
+        "wt AS (SELECT day, 2 * RANK() OVER (ORDER BY rng) + " +
+        "COUNT(*) OVER (PARTITION BY rng) - 1 AS q2 FROM rg), " +
+        "s4 AS (SELECT r.event_type, wt.q2 * (r.r2 - (r.k + 1)) AS s4, r.k " +
+        "FROM r JOIN wt USING (day)), " +
+        "bt AS (SELECT event_type, CAST(MAX(k) AS BIGINT) AS k, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s4) AS BIGINT) AS t4, " +
+        "CAST(SUM(s4 * s4) AS BIGINT) AS a4 FROM s4 GROUP BY 1), " +
+        "g AS (SELECT CAST(MAX(n) AS BIGINT) AS n_days, " +
+        "CAST(MAX(k) AS BIGINT) AS k_types, CAST(SUM(a4) AS BIGINT) AS a4, " +
+        "CAST(SUM(t4 * t4) AS BIGINT) AS b4num FROM bt) " +
+        "SELECT n_days, k_types, " +
+        "CASE WHEN n_days > 1 AND n_days * a4 - b4num > 0 THEN " +
+        "ROUND(CAST(n_days - 1 AS DOUBLE) * CAST(b4num AS DOUBLE) / " +
+        "CAST(n_days * a4 - b4num AS DOUBLE), 6) END AS f_quade FROM g"),
+    // same centered-integer lag moments, same unrolled three-level
+    // Durbin–Levinson chain
+    "x266_pacf" -> {
+      def lagCte(k: Int): String =
+        s"l$k AS (SELECT event_type, CAST(SUM(c * cl) AS BIGINT) AS num, " +
+          s"$k AS lag FROM (SELECT event_type, c, LEAD(c, $k) OVER " +
+          "(PARTITION BY event_type ORDER BY day) AS cl FROM c) " +
+          "WHERE cl IS NOT NULL GROUP BY 1)"
+      "WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "COUNT(*) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM d), " +
+        "c AS (SELECT event_type, day, n_days, x * n_days - total AS c FROM w), " +
+        "den AS (SELECT event_type, CAST(MIN(n_days) AS BIGINT) AS n_days, " +
+        "CAST(SUM(c * c) AS BIGINT) AS den FROM c GROUP BY 1), " +
+        lagCte(1) + ", " + lagCte(2) + ", " + lagCte(3) + ", " +
+        "ll AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3), " +
+        "wide AS (SELECT event_type, " +
+        "CAST(SUM(CASE WHEN lag = 1 THEN num ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(SUM(CASE WHEN lag = 2 THEN num ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(SUM(CASE WHEN lag = 3 THEN num ELSE 0 END) AS BIGINT) AS n3 " +
+        "FROM ll GROUP BY 1), " +
+        "r AS (SELECT wide.event_type, den.n_days, den.den, " +
+        "CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1, " +
+        "CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2, " +
+        "CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3 " +
+        "FROM wide JOIN den USING (event_type)), " +
+        "p2 AS (SELECT *, 1.0 - r1 * r1 AS p22den, " +
+        "(r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM r), " +
+        "p3 AS (SELECT *, r1 * (1.0 - p22) AS a21, " +
+        "1.0 - r1 * (1.0 - p22) * r1 - p22 * r2 AS p33den FROM p2) " +
+        "SELECT event_type, n_days, " +
+        "CASE WHEN den <> 0 THEN ROUND(r1, 6) END AS pacf1, " +
+        "CASE WHEN den <> 0 AND ABS(p22den) > 0.0 THEN ROUND(p22, 6) END AS pacf2, " +
+        "CASE WHEN den <> 0 AND ABS(p22den) > 0.0 AND ABS(p33den) > 0.0 THEN " +
+        "ROUND((r3 - a21 * r2 - p22 * r1) / p33den, 6) END AS pacf3 " +
+        "FROM p3 ORDER BY event_type"
+    },
     "x236_ljung_box" -> {
       def lagCte(k: Int): String =
         s"l$k AS (SELECT event_type, CAST(SUM(c * cl) AS BIGINT) AS num, " +

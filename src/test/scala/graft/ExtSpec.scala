@@ -5787,6 +5787,50 @@ class ExtSpec extends SparkSpec {
       r.getDouble(4) <= 1.0), s"corpus profile: ${c.toSeq}")
   }
 
+  test("x265 quade: hand-computed F = 1.9 on a 3x3 grid with a fully-tied day") {
+    import spark.implicits._
+    // day ranges {6,7,0} -> weights {2,3,1}; S table gives A = 26,
+    // B = 38/3 -> F = 2*38/40 = 1.9 exactly
+    val daily = Seq(("a", 0, 3L), ("b", 0, 1L), ("c", 0, 7L),
+      ("a", 1, 2L), ("b", 1, 5L), ("c", 1, 9L),
+      ("a", 2, 4L), ("b", 2, 4L), ("c", 2, 4L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.quadeReport(daily).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, s"grid: $r")
+    assert(r.getDouble(2) == 1.9, s"f_quade: $r")
+    // an all-tied grid reads NULL, not a crash
+    val flat = Seq(("a", 0, 5L), ("b", 0, 5L), ("a", 1, 5L), ("b", 1, 5L))
+      .toDF("event_type", "day", "x")
+    val f = graft.pipeline.Views.quadeReport(flat).collect()(0)
+    assert(f.isNullAt(2), s"flat: $f")
+    val c = graft.pipeline.Views.queries("x265_quade")(spark, SfDir)
+      .collect()(0)
+    assert(!c.isNullAt(2) && c.getDouble(2) >= 0.0, s"corpus quade: $c")
+  }
+
+  test("x266 pacf: alternating series reads (-0.75, -0.142857, 0.166667); constant series is NULL") {
+    import spark.implicits._
+    val daily = Seq(("a", 0, 1L), ("a", 1, 3L), ("a", 2, 1L), ("a", 3, 3L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.pacfReport(daily).collect()(0)
+    assert(r.getDouble(2) == -0.75, s"pacf1: $r")
+    assert(math.abs(r.getDouble(3) - (-0.142857)) < 1e-6, s"pacf2: $r")
+    assert(math.abs(r.getDouble(4) - 0.166667) < 1e-6, s"pacf3: $r")
+    val const = Seq(("a", 0, 5L), ("a", 1, 5L), ("a", 2, 5L), ("a", 3, 5L))
+      .toDF("event_type", "day", "x")
+    val k = graft.pipeline.Views.pacfReport(const).collect()(0)
+    assert(k.isNullAt(2) && k.isNullAt(3) && k.isNullAt(4), s"const: $k")
+    // corpus: pacf1 must equal x152's lag-1 acf to grid resolution
+    val p = graft.pipeline.Views.queries("x266_pacf")(spark, SfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val a = graft.pipeline.Views.queries("x152_acf")(spark, SfDir)
+      .collect().filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    p.foreach { case (ty, v) =>
+      assert(math.abs(v - a(ty)) < 1e-4, s"pacf1 vs acf1 for $ty: $v vs ${a(ty)}")
+    }
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
