@@ -1438,6 +1438,77 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
+    // LSH S-CURVE CALIBRATION — the threshold-tuning diagnostic the
+    // whole minhash family hangs on: over a deterministic 200-doc
+    // sample, EVERY overlapping pair's exact Jaccard is binned and
+    // compared against the empirical banding collision rate and the
+    // theoretical S-curve 1−(1−s^r)^b (r=2 rows, b=4 bands). The
+    // minhash here is the fully-oracle-able twin: shingles map to
+    // dense integer ids (one bounded vocabulary window), each hash is
+    // a frozen affine map mod 2³¹−1, band keys are exact 62-bit
+    // packs — no engine hash anywhere, so the whole curve
+    // hash-matches DuckDB. Theory evaluates by repeated
+    // multiplication (never pow — libm-divergence-proof). Reading
+    // the table tells you which Jaccard band the banding parameters
+    // actually recall — the number a dedup-threshold review wants.
+    "x267_lsh_s_curve" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 2147483647L
+      val d = docs(spark, sfDir).filter(col("doc_id") < 200)
+      val sh = shingleTable(d).distinct()
+      // bounded single-partition window: the SAMPLE vocabulary only
+      val ids = sh.select(col("shingle")).distinct()
+        .withColumn("sid",
+          row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+      val sidTab = sh.join(ids, "shingle").select(col("doc_id"), col("sid"))
+      val sigCols = (0 until 8).map { s =>
+        val a = (1103515245L * (s + 1)) % P
+        val b = 12345L * (s + 1)
+        min((col("sid") * a + b) % P).as(s"h$s")
+      }
+      val sigs = sidTab.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+      val bandRows = sigs.select(col("doc_id"),
+          explode(array((0 until 4).map { j =>
+            struct(lit(j).as("band"),
+              (col(s"h${2 * j}") * lit(2147483648L) + col(s"h${2 * j + 1}"))
+                .as("bk"))
+          }: _*)).as("p"))
+        .select(col("doc_id"), col("p.band").as("band"), col("p.bk").as("bk"))
+      val cands = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      def dd(c: Column) = c.cast("double")
+      inter
+        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          "doc_a")
+        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          "doc_b")
+        .withColumn("jac", dd(col("c")) / dd(col("na") + col("nb") - col("c")))
+        .join(cands.withColumn("is_cand", lit(1L)),
+          Seq("doc_a", "doc_b"), "left")
+        .withColumn("bin",
+          least(floor(col("jac") * 10).cast("int"), lit(9)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"))
+        .withColumn("s_mid", (col("bin").cast("double") + 0.5) / 10.0)
+        .withColumn("t1", lit(1.0) - col("s_mid") * col("s_mid"))
+        .select(col("bin"), col("n_pairs"), col("n_cand"),
+          round(dd(col("n_cand")) / dd(col("n_pairs")), 4).as("cand_rate"),
+          round(lit(1.0) -
+            col("t1") * col("t1") * col("t1") * col("t1"), 4).as("p_theory"))
+        .orderBy(col("bin"))
+    }),
+
     // FELLEGI–SUNTER RECORD LINKAGE — probabilistic entity resolution
     // (the 1969 model behind every serious dedup/linkage system) on
     // top of the x05 blocking chain: candidates come from the capped
@@ -2033,6 +2104,53 @@ object Dedup {
         "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
         "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) END AS bleu2 " +
         "FROM f ORDER BY doc_a, doc_b"),
+    // same dense shingle ids, same frozen affine minhash and 62-bit
+    // band packs, same exact-Jaccard bins and multiplication-only
+    // theory curve
+    "x267_lsh_s_curve" -> {
+      val P = 2147483647L
+      def af(s: Int) = (1103515245L * (s + 1)) % P
+      def bf(s: Int) = 12345L * (s + 1)
+      val sigSel = (0 until 8)
+        .map(s => s"MIN((sid * ${af(s)} + ${bf(s)}) % $P) AS h$s")
+        .mkString(", ")
+      val bandSel = (0 until 4)
+        .map(j => s"SELECT doc_id, $j AS band, " +
+          s"h${2 * j} * 2147483648 + h${2 * j + 1} AS bk FROM sig")
+        .mkString(" UNION ALL ")
+      "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM d), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "ids AS (SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid " +
+        "FROM (SELECT DISTINCT shingle FROM sh) t), " +
+        "st AS (SELECT doc_id, sid FROM sh JOIN ids USING (shingle)), " +
+        s"sig AS (SELECT doc_id, $sigSel FROM st GROUP BY 1), " +
+        s"bnd AS ($bandSel), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk " +
+        "AND a.doc_id < b.doc_id), " +
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+        "CAST(COUNT(*) AS BIGINT) AS c FROM sh x JOIN sh y " +
+        "ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "pr AS (SELECT inter.doc_a, inter.doc_b, " +
+        "CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac, " +
+        "CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand " +
+        "FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a " +
+        "JOIN sz sb ON sb.doc_id = inter.doc_b " +
+        "LEFT JOIN cand ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b), " +
+        "bb AS (SELECT LEAST(CAST(FLOOR(jac * 10) AS INTEGER), 9) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(is_cand) AS BIGINT) AS n_cand " +
+        "FROM pr GROUP BY 1), " +
+        "f AS (SELECT bin, n_pairs, n_cand, " +
+        "(CAST(bin AS DOUBLE) + 0.5) / 10.0 AS s_mid FROM bb), " +
+        "g AS (SELECT bin, n_pairs, n_cand, 1.0 - s_mid * s_mid AS t1 FROM f) " +
+        "SELECT bin, n_pairs, n_cand, " +
+        "ROUND(CAST(n_cand AS DOUBLE) / CAST(n_pairs AS DOUBLE), 4) AS cand_rate, " +
+        "ROUND(1.0 - t1 * t1 * t1 * t1, 4) AS p_theory " +
+        "FROM g ORDER BY bin"
+    },
     // x239's candidate CTEs with the char-trigram multiset and the
     // beta=2 F expression
     "x259_chrf_pairs" ->

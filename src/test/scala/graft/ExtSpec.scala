@@ -2607,6 +2607,28 @@ class ExtSpec extends SparkSpec {
       s"corpus chrf range")
   }
 
+  test("x267 lsh s-curve: rates bounded, theory anchored at the bin centers, recall rises with jaccard") {
+    val rows = graft.ext.Dedup.queries("x267_lsh_s_curve")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty, "no s-curve bins")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"cand <= pairs: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"rate: $r")
+      // theory recomputes from the bin center by multiplication
+      val s = (r.getInt(0) + 0.5) / 10.0
+      val t = 1.0 - s * s
+      val exp = BigDecimal(1.0 - t * t * t * t)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == exp, s"theory: $r vs $exp")
+    }
+    // empirically the curve must RISE: the top populated bin recalls
+    // at least as well as the bottom one
+    val first = rows.head
+    val last = rows.last
+    assert(last.getDouble(3) >= first.getDouble(3),
+      s"monotone ends: ${first} vs ${last}")
+  }
+
   test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
     val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
       .collect().map(r => (r.getString(0),
