@@ -412,6 +412,16 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // TREND/SEASONAL STRENGTH — the decomposition one-number readout
+    // ("does this series need seasonal terms?") via classical MA-7
+    // decomposition and Hyndman's strength measures — see
+    // [[stlStrengthReport]].
+    "x268_stl_strength" -> ((spark, sfDir) =>
+      stlStrengthReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // QUADE TEST — the spread-weighted Friedman on the same
     // day×type grid (high-signal days count more) — see
     // [[quadeReport]].
@@ -1759,6 +1769,57 @@ object Views {
             dd(col("n_days") * col("a4") - col("b4num")), 6)).as("f_quade"))
   }
 
+  /** x268's trend/seasonal strength over the per-type daily series —
+    * Hyndman's decomposition-strength readout (the one-number answer
+    * to "is this series mostly trend, mostly weekly cycle, or mostly
+    * noise", which decides whether a forecast job needs seasonal
+    * terms at all): classical additive decomposition with a centered
+    * 7-day moving average as trend (only days with the full ±3
+    * window participate — the standard edge trim), dow means of the
+    * detrended series as the seasonal component, and
+    * F_T = max(0, 1 − Var(R)/Var(S+R)), F_S = max(0, 1 −
+    * Var(R)/Var(D)) where D = detrended, R = D − seasonal. Exact
+    * integer counts feed the moving average as the rational Σ/7;
+    * variances are double sums over the bounded day frame.
+    */
+  def stlStrengthReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("w7", count(lit(1)).over(byDay))
+      .withColumn("trend", sum(col("x")).over(byDay).cast("double") / 7.0)
+      .filter(col("w7") === 7L)
+      .withColumn("detr", dd(col("x")) - col("trend"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val seas = t.groupBy(col("event_type"), col("dow"))
+      .agg((sum(col("detr")) / count(lit(1))).as("s_dow"))
+    def varExpr(n: Column, s: Column, ss: Column): Column =
+      (ss - s * s / n) / n
+    t.join(seas, Seq("event_type", "dow"))
+      .withColumn("resid", col("detr") - col("s_dow"))
+      // deseasonalized = x − S = trend + resid: the series F_T reads
+      .withColumn("deseas", dd(col("x")) - col("s_dow"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("detr")).as("sd"), sum(col("detr") * col("detr")).as("sdd"),
+        sum(col("resid")).as("sr"), sum(col("resid") * col("resid")).as("srr"),
+        sum(col("deseas")).as("ssr"),
+        sum(col("deseas") * col("deseas")).as("ssrr"))
+      .withColumn("n", dd(col("n_days")))
+      .withColumn("var_d", varExpr(col("n"), col("sd"), col("sdd")))
+      .withColumn("var_r", varExpr(col("n"), col("sr"), col("srr")))
+      .withColumn("var_sr", varExpr(col("n"), col("ssr"), col("ssrr")))
+      .select(col("event_type"), col("n_days"),
+        when(col("var_sr") > 0.0,
+          round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_sr")),
+            6)).as("trend_strength"),
+        when(col("var_d") > 0.0,
+          round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_d")),
+            6)).as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -2159,6 +2220,41 @@ object Views {
     // x152's centered day frame, the three exact num/den pairs
     // pivoted wide, ONE fixed double Q expression, frozen critical
     // value
+    // same centered MA-7 trim, same dow seasonal means, same
+    // strength variance ratios
+    "x268_stl_strength" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, day, x, " +
+        "COUNT(*) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7, " +
+        "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0 AS trend " +
+        "FROM d), " +
+        "tt AS (SELECT event_type, day, x, " +
+        "CAST(x AS DOUBLE) - trend AS detr, day % 7 AS dow " +
+        "FROM t WHERE w7 = 7), " +
+        "seas AS (SELECT event_type, dow, SUM(detr) / COUNT(*) AS s_dow " +
+        "FROM tt GROUP BY 1, 2), " +
+        "j AS (SELECT tt.event_type, tt.detr, tt.detr - seas.s_dow AS resid, " +
+        "CAST(tt.x AS DOUBLE) - seas.s_dow AS deseas " +
+        "FROM tt JOIN seas ON seas.event_type = tt.event_type AND seas.dow = tt.dow), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "SUM(detr) AS sd, SUM(detr * detr) AS sdd, " +
+        "SUM(resid) AS sr, SUM(resid * resid) AS srr, " +
+        "SUM(deseas) AS ssr, SUM(deseas * deseas) AS ssrr FROM j GROUP BY 1), " +
+        "v AS (SELECT event_type, n_days, " +
+        "(sdd - sd * sd / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS var_d, " +
+        "(srr - sr * sr / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS var_r, " +
+        "(ssrr - ssr * ssr / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE) AS var_sr " +
+        "FROM g) " +
+        "SELECT event_type, n_days, " +
+        "CASE WHEN var_sr > 0.0 THEN " +
+        "ROUND(GREATEST(0.0, 1.0 - var_r / var_sr), 6) END AS trend_strength, " +
+        "CASE WHEN var_d > 0.0 THEN " +
+        "ROUND(GREATEST(0.0, 1.0 - var_r / var_d), 6) END AS seasonal_strength " +
+        "FROM v ORDER BY event_type"),
     // same zero-filled grid, same doubled midranks and range-rank
     // weights, same division-free integer statistic
     "x265_quade" ->

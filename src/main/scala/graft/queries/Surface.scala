@@ -1936,6 +1936,54 @@ object Surface {
               col("den_sum_fp").cast("double")), 6)).as("ln_hr"))
     }),
 
+    // QINI UPLIFT CURVE — the causal twin of x169's gain curve:
+    // x169 ranks by score and reads captured POSITIVES; Qini ranks
+    // by score and reads INCREMENTAL conversions of the treated arm
+    // over the control at each decile — the targeting readout an
+    // uplift model ships with. Users get c82's pre-period activity
+    // as the score (leakage-free by construction), c80's hash arm,
+    // and the survival family's post-period conversion outcome;
+    // deciles are one deterministic ntile window (score desc, id
+    // tiebreak), each decile's increment is conv_t − conv_c·n_t/n_c
+    // in ONE division, and the cumulative curve is a 10-row window.
+    "c100_qini_curve" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"),
+          col("event_type"), col("value"))
+      val score = ev.filter(col("d") <= 14)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      val conv = ev.filter(col("d") > 14 && col("d") <= 24 &&
+          col("event_type") === "purchase" && col("value") > 90)
+        .groupBy(col("user_id")).agg(max(lit(1L)).as("conv"))
+      val users = ev.select(col("user_id")).distinct()
+        .join(score, Seq("user_id"), "left")
+        .join(conv, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when((col("user_id") * Sampling.HashMul) % Sampling.HashMod <
+            Sampling.HashMod / 2, "A").otherwise("B").as("arm"),
+          coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("conv"), lit(0L)).as("conv"))
+      val dec = users.withColumn("decile",
+        ntile(10).over(Window.orderBy(desc("x"), col("user_id"))))
+      def dd(c: Column) = c.cast("double")
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.groupBy(col("decile"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+            .as("conv_t"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+            .as("conv_c"))
+        .withColumn("qini",
+          when(col("n_c") > 0L,
+            round(dd(col("conv_t")) -
+              dd(col("conv_c")) * dd(col("n_t")) / dd(col("n_c")), 4)))
+        .withColumn("cum_qini", round(sum(col("qini")).over(cum), 4))
+        .orderBy(col("decile"))
+    }),
+
     // INTERRUPTED TIME SERIES — the single-group causal design beside
     // c95's two-group DiD (no control group? fit the trend before and
     // after the intervention and read the LEVEL CHANGE at the break):
@@ -2663,6 +2711,36 @@ object Surface {
         "CASE WHEN SUM(den_fp) > 0 AND SUM(num_fp) > 0 THEN " +
         "ROUND(LN(CAST(SUM(num_fp) AS DOUBLE) / CAST(SUM(den_fp) AS DOUBLE)), 6) END AS ln_hr " +
         "FROM g3"),
+    // same leakage-free score/arm/outcome frame, same deterministic
+    // ntile deciles, same one-division increments and running curve
+    "c100_qini_curve" ->
+      (s"WITH ev AS (SELECT user_id, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d, " +
+        "event_type, value FROM events), " +
+        "sc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM ev " +
+        "WHERE d <= 14 GROUP BY 1), " +
+        "cv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS conv FROM ev " +
+        "WHERE d > 14 AND d <= 24 AND event_type = 'purchase' AND value > 90), " +
+        s"u AS (SELECT t.user_id, CASE WHEN ((t.user_id * ${Sampling.HashMul}) % " +
+        s"${Sampling.HashMod}) < ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "COALESCE(sc.x, 0) AS x, COALESCE(cv.conv, 0) AS conv " +
+        "FROM (SELECT DISTINCT user_id FROM ev) t " +
+        "LEFT JOIN sc ON sc.user_id = t.user_id " +
+        "LEFT JOIN cv ON cv.user_id = t.user_id), " +
+        "dc AS (SELECT *, CAST(NTILE(10) OVER (ORDER BY x DESC, user_id) AS INTEGER) AS decile FROM u), " +
+        "g AS (SELECT decile, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_t, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS conv_c " +
+        "FROM dc GROUP BY 1), " +
+        "q AS (SELECT decile, n_t, conv_t, n_c, conv_c, " +
+        "CASE WHEN n_c > 0 THEN ROUND(CAST(conv_t AS DOUBLE) - " +
+        "CAST(conv_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE), 4) " +
+        "END AS qini FROM g) " +
+        "SELECT decile, n_t, conv_t, n_c, conv_c, qini, " +
+        "ROUND(SUM(qini) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 4) AS cum_qini " +
+        "FROM q ORDER BY decile"),
     // same per-segment four-sum OLS, same fixed double fit/contrast
     // expressions at the break
     "c96_interrupted_ts" ->

@@ -5853,6 +5853,51 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x268 stl strength: pure cycle reads seasonal 1, pure line reads trend 1") {
+    import spark.implicits._
+    // 3 exact weekly cycles, no trend: resid = 0 -> F_S = 1; the
+    // deseasonalized series is constant -> F_T guards NULL
+    val pat = Seq(5L, 9L, 3L, 7L, 2L, 8L, 4L)
+    val cyc = (0 until 21).map(d => ("a", d, pat(d % 7)))
+      .toDF("event_type", "day", "x")
+    val c = graft.pipeline.Views.stlStrengthReport(cyc).collect()(0)
+    assert(c.getDouble(3) == 1.0 && c.isNullAt(2), s"cycle: $c")
+    // a pure line: detrending leaves nothing -> F_S guards NULL,
+    // F_T reads 1
+    val line = (0 until 21).map(d => ("a", d, d.toLong))
+      .toDF("event_type", "day", "x")
+    val l = graft.pipeline.Views.stlStrengthReport(line).collect()(0)
+    assert(l.getDouble(2) == 1.0 && l.isNullAt(3), s"line: $l")
+    val corpus = graft.pipeline.Views.queries("x268_stl_strength")(spark, SfDir)
+      .collect()
+    assert(corpus.nonEmpty && corpus.forall(r =>
+      (r.isNullAt(2) || (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)) &&
+      (r.isNullAt(3) || (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))),
+      s"corpus stl: ${corpus.toSeq}")
+  }
+
+  test("c100 qini curve: ten deciles partition the users, running curve is consistent") {
+    val rows = graft.queries.Surface.queries("c100_qini_curve")(spark, SfDir)
+      .collect()
+    assert(rows.length == 10 &&
+      rows.map(_.getInt(0)).toSeq == (1 to 10), s"deciles: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) > 0L, s"decile coverage: $r")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3),
+        s"conv bounds: $r")
+      // the increment is NULL exactly when the control side is empty
+      assert(r.isNullAt(5) == (r.getLong(3) == 0L), s"null contract: $r")
+    }
+    // the cumulative curve recomputes from the per-decile increments
+    // (SUM skips NULL increments in both engines)
+    val cum = rows.scanLeft(0.0)((a, r) =>
+      a + (if (r.isNullAt(5)) 0.0 else r.getDouble(5))).tail
+    rows.zip(cum).foreach { case (r, e) =>
+      if (!r.isNullAt(6))
+        assert(math.abs(r.getDouble(6) - e) < 1e-3, s"cum recompute: $r vs $e")
+    }
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
