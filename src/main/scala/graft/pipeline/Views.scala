@@ -412,6 +412,23 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // INDEX OF DISPERSION — "is daily traffic Poisson?" with the
+    // classical dispersion chi-square — see [[dispersionReport]].
+    "x269_dispersion" -> ((spark, sfDir) =>
+      dispersionReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // BREUSCH–PAGAN — residual-variance drift on the x253 fit: the
+    // heteroskedasticity half of the regression diagnostics — see
+    // [[breuschPaganReport]].
+    "x270_breusch_pagan" -> ((spark, sfDir) =>
+      breuschPaganReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // TREND/SEASONAL STRENGTH — the decomposition one-number readout
     // ("does this series need seasonal terms?") via classical MA-7
     // decomposition and Hyndman's strength measures — see
@@ -1820,6 +1837,80 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x269's index-of-dispersion report per type — "is daily traffic
+    * Poisson?" (the first question a capacity or anomaly model asks:
+    * Poisson arrivals ⇒ Var = Mean; overdispersion ⇒ burst/clumping,
+    * the negative-binomial regime every alerting threshold must be
+    * widened for): D = s²/x̄ off exact integer moments, and the
+    * Poisson dispersion statistic Σ(x−x̄)²/x̄ = (n−1)·D, χ²_{n−1}
+    * under the null — carried as the exact cross-multiplied rational
+    * (n·Σx² − (Σx)²)/(Σx) with one division.
+    */
+  def dispersionReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round(dd(col("sx")) / dd(col("n_days")), 4).as("mean_x"),
+        when(col("sx") > 0L && col("n_days") > 1L,
+          round((dd(col("n_days")) * dd(col("sxx")) -
+            dd(col("sx")) * dd(col("sx"))) /
+            ((dd(col("n_days")) - 1.0) * dd(col("sx"))), 6)).as("dispersion"),
+        when(col("sx") > 0L && col("n_days") > 1L,
+          round((dd(col("n_days")) * dd(col("sxx")) -
+            dd(col("sx")) * dd(col("sx"))) / dd(col("sx")), 6))
+          .as("chi2_poisson"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x270's Breusch–Pagan LM test over the same per-type OLS fit as
+    * x253 — the heteroskedasticity half of the regression-diagnostic
+    * pair (x253's DW reads residual AUTOCORRELATION; BP asks whether
+    * residual VARIANCE drifts with the regressor — the signature of
+    * a level-dependent noise process that invalidates the fit's
+    * standard errors): LM = n·R² of e² regressed on day, with R²
+    * from five exact-expression sums over the bounded day frame and
+    * e from the x253 closed-form fit. χ²₁ under the null.
+    */
+  def breuschPaganReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+        sum(col("x")).as("sy"), sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("x")).as("sxy"))
+      .withColumn("den", dd(col("n")) * dd(col("sxx")) -
+        dd(col("sx")) * dd(col("sx")))
+      .filter(col("den") > 0.0)
+      .withColumn("b", (dd(col("n")) * dd(col("sxy")) -
+        dd(col("sx")) * dd(col("sy"))) / col("den"))
+      .withColumn("a", (dd(col("sy")) - col("b") * dd(col("sx"))) /
+        dd(col("n")))
+      .select(col("event_type"), col("n"), col("a"), col("b"))
+    daily.join(m, "event_type")
+      .withColumn("e2",
+        (dd(col("x")) - col("a") - col("b") * dd(col("day"))) *
+          (dd(col("x")) - col("a") - col("b") * dd(col("day"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        sum(dd(col("day"))).as("gx"), sum(col("e2")).as("gy"),
+        sum(dd(col("day")) * dd(col("day"))).as("gxx"),
+        sum(dd(col("day")) * col("e2")).as("gxy"),
+        sum(col("e2") * col("e2")).as("gyy"))
+      .withColumn("nn", col("n_days").cast("double"))
+      .withColumn("cov_n", col("nn") * col("gxy") - col("gx") * col("gy"))
+      .withColumn("vx_n", col("nn") * col("gxx") - col("gx") * col("gx"))
+      .withColumn("vy_n", col("nn") * col("gyy") - col("gy") * col("gy"))
+      .select(col("event_type"), col("n_days"),
+        when(col("vx_n") > 0.0 && col("vy_n") > 0.0,
+          round(col("nn") * col("cov_n") * col("cov_n") /
+            (col("vx_n") * col("vy_n")), 6)).as("lm_bp"),
+        when(col("vx_n") > 0.0 && col("vy_n") > 0.0,
+          round(col("nn") * col("cov_n") * col("cov_n") /
+            (col("vx_n") * col("vy_n")), 6) > 3.841459).as("heteroskedastic"))
+      .orderBy(col("event_type"))
+  }
+
   /** x156's Benford first-digit audit over a value column: observed
     * leading-digit shares vs the Benford expectation
     * p_d = ln(1 + 1/d)/ln(10), with the chi-square statistic's
@@ -2220,6 +2311,59 @@ object Views {
     // x152's centered day frame, the three exact num/den pairs
     // pivoted wide, ONE fixed double Q expression, frozen critical
     // value
+    // same exact integer moments, same cross-multiplied rational
+    "x269_dispersion" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx " +
+        "FROM d GROUP BY 1) " +
+        "SELECT event_type, n_days, " +
+        "ROUND(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS mean_x, " +
+        "CASE WHEN sx > 0 AND n_days > 1 THEN " +
+        "ROUND((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "((CAST(n_days AS DOUBLE) - 1.0) * CAST(sx AS DOUBLE)), 6) END AS dispersion, " +
+        "CASE WHEN sx > 0 AND n_days > 1 THEN " +
+        "ROUND((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(sx AS DOUBLE), 6) " +
+        "END AS chi2_poisson FROM g ORDER BY event_type"),
+    // same closed-form fit, same e2-on-day auxiliary R2 and LM
+    "x270_breusch_pagan" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(x) AS BIGINT) AS sy, " +
+        "CAST(SUM(day * day) AS BIGINT) AS sxx, " +
+        "CAST(SUM(day * x) AS BIGINT) AS sxy FROM d GROUP BY 1), " +
+        "f AS (SELECT event_type, n, sx, sy, sxy, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den FROM m), " +
+        "h AS (SELECT event_type, n, " +
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den AS b, sx, sy " +
+        "FROM f WHERE den > 0.0), " +
+        "hh AS (SELECT event_type, n, b, " +
+        "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a FROM h), " +
+        "e AS (SELECT d.event_type, hh.n, CAST(d.day AS DOUBLE) AS gx0, " +
+        "(CAST(d.x AS DOUBLE) - hh.a - hh.b * CAST(d.day AS DOUBLE)) * " +
+        "(CAST(d.x AS DOUBLE) - hh.a - hh.b * CAST(d.day AS DOUBLE)) AS e2 " +
+        "FROM d JOIN hh ON hh.event_type = d.event_type), " +
+        "g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days, " +
+        "SUM(gx0) AS gx, SUM(e2) AS gy, SUM(gx0 * gx0) AS gxx, " +
+        "SUM(gx0 * e2) AS gxy, SUM(e2 * e2) AS gyy FROM e GROUP BY 1), " +
+        "v AS (SELECT event_type, n_days, CAST(n_days AS DOUBLE) AS nn, " +
+        "CAST(n_days AS DOUBLE) * gxy - gx * gy AS cov_n, " +
+        "CAST(n_days AS DOUBLE) * gxx - gx * gx AS vx_n, " +
+        "CAST(n_days AS DOUBLE) * gyy - gy * gy AS vy_n FROM g) " +
+        "SELECT event_type, n_days, " +
+        "CASE WHEN vx_n > 0.0 AND vy_n > 0.0 THEN " +
+        "ROUND(nn * cov_n * cov_n / (vx_n * vy_n), 6) END AS lm_bp, " +
+        "CASE WHEN vx_n > 0.0 AND vy_n > 0.0 THEN " +
+        "ROUND(nn * cov_n * cov_n / (vx_n * vy_n), 6) > 3.841459 " +
+        "END AS heteroskedastic FROM v ORDER BY event_type"),
     // same centered MA-7 trim, same dow seasonal means, same
     // strength variance ratios
     "x268_stl_strength" ->

@@ -5898,6 +5898,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x269 dispersion: a constant series reads D = 0, a planted burst overdisperses") {
+    import spark.implicits._
+    val const = (0 until 5).map(d => ("a", d, 10L))
+      .toDF("event_type", "day", "x")
+    val c = graft.pipeline.Views.dispersionReport(const).collect()(0)
+    assert(c.getDouble(2) == 10.0 && c.getDouble(3) == 0.0 &&
+      c.getDouble(4) == 0.0, s"const: $c")
+    // {1,1,1,1,16}: mean 4, s2 = (5*260-400)/(4*20) = 900/80 = 11.25
+    val burst = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L),
+      ("a", 3, 1L), ("a", 4, 16L)).toDF("event_type", "day", "x")
+    val b = graft.pipeline.Views.dispersionReport(burst).collect()(0)
+    assert(b.getDouble(3) == 11.25 && b.getDouble(4) == 45.0, s"burst: $b")
+    val corpus = graft.pipeline.Views.queries("x269_dispersion")(spark, SfDir)
+      .collect()
+    assert(corpus.nonEmpty && corpus.forall(_.getDouble(3) >= 0.0),
+      s"corpus dispersion: ${corpus.toSeq}")
+  }
+
+  test("x270 breusch-pagan: homoskedastic line reads LM ~ 0, fanning residuals trip the flag") {
+    import spark.implicits._
+    // symmetric residuals of constant magnitude: e2 constant -> R2 = 0
+    val homo = Seq(("a", 0, 9L), ("a", 1, 11L), ("a", 2, 9L), ("a", 3, 11L),
+      ("a", 4, 9L), ("a", 5, 11L)).toDF("event_type", "day", "x")
+    val h = graft.pipeline.Views.breuschPaganReport(homo).collect()(0)
+    assert(!h.isNullAt(2) && h.getDouble(2) < 1.5 && !h.getBoolean(3),
+      s"homo: $h")
+    // residual magnitude growing with day: e2 on day correlates hard
+    val fan = Seq(("a", 0, 10L), ("a", 1, 10L), ("a", 2, 11L), ("a", 3, 9L),
+      ("a", 4, 16L), ("a", 5, 4L)).toDF("event_type", "day", "x")
+    val f = graft.pipeline.Views.breuschPaganReport(fan).collect()(0)
+    assert(f.getDouble(2) > h.getDouble(2), s"fan must exceed homo: $f vs $h")
+    val corpus = graft.pipeline.Views.queries("x270_breusch_pagan")(spark, SfDir)
+      .collect()
+    assert(corpus.nonEmpty && corpus.forall(r => r.isNullAt(2) ||
+      r.getDouble(2) >= 0.0), s"corpus bp: ${corpus.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
