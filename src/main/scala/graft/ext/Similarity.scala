@@ -1887,6 +1887,46 @@ object Similarity {
     "x252_nmi" -> ((spark, sfDir) =>
       nmiFromContingency(kmeansLabelContingency(spark, sfDir))),
 
+    // WEIGHTED-JACCARD TOP-K — the min/max-ratio similarity over
+    // x112's shared 0..255 integer grid (the measure consistent-
+    // weighted-sampling sketches estimate; for non-negative feature
+    // vectors it is often the better dedup kernel than cosine, which
+    // hub-heavy magnitudes dominate): WJ(a,b) = Σmin(aᵢ,bᵢ)/Σmax —
+    // both sums EXACT BIGINTs off one fused zip pass, so the score
+    // is one division and the whole top-3 readout hash-matches with
+    // no grid rounding at all. Scale shape: 5 broadcast query rows ×
+    // one corpus scan, row_number over the per-query candidate set.
+    "x271_weighted_jaccard_topk" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val q = e.crossJoin(bounds)
+        .select(col("vec_id"),
+          transform(toDouble(col("embedding")),
+            v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+              .cast("long")).as("qv"))
+      val queries = broadcast(q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("a")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(desc("wj"), col("neighbor_id"))
+      queries.join(q.select(col("vec_id").as("neighbor_id"),
+          col("qv").as("b")), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => least(x, y)),
+            lit(0L), (acc, v) => acc + v).as("mins"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => greatest(x, y)),
+            lit(0L), (acc, v) => acc + v).as("maxs"))
+        .withColumn("wj", when(col("maxs") > 0L,
+          round(col("mins").cast("double") / col("maxs").cast("double"), 6))
+          .otherwise(lit(0.0)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("mins"),
+          col("maxs"), col("wj"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // GREEDY k-CENTER CORESET — farthest-point diversity selection
     // (the Gonzalez 2-approximation behind coreset/active-learning
     // data picks, and the maximal-spread complement of x102's
@@ -2753,6 +2793,29 @@ object Similarity {
         "SELECT n, k_u, k_v, ROUND(i_val, 6) AS mutual_info, " +
         "CASE WHEN h_u + h_v > 0.0 THEN " +
         "ROUND(2.0 * i_val / (h_u + h_v), 6) END AS nmi FROM f"),
+    // same 0..255 grid, same exact min/max integer sums, same
+    // rank/tiebreak chain
+    "x271_weighted_jaccard_topk" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "bounds AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(round((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv " +
+        "FROM e, bounds), " +
+        "qq AS (SELECT vec_id AS query_id, qv AS a FROM q WHERE vec_id < 5), " +
+        "s AS (SELECT qq.query_id, q.vec_id AS neighbor_id, " +
+        "CAST(list_sum(list_transform(range(1, len(a) + 1), " +
+        "i -> LEAST(a[i], qv[i]))) AS BIGINT) AS mins, " +
+        "CAST(list_sum(list_transform(range(1, len(a) + 1), " +
+        "i -> GREATEST(a[i], qv[i]))) AS BIGINT) AS maxs " +
+        "FROM qq, q WHERE qq.query_id <> q.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, mins, maxs, " +
+        "CASE WHEN maxs > 0 THEN ROUND(CAST(mins AS DOUBLE) / CAST(maxs AS DOUBLE), 6) " +
+        "ELSE 0.0 END AS wj FROM s), " +
+        "k AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY wj DESC, neighbor_id) AS INTEGER) AS rank FROM r) " +
+        "SELECT query_id, neighbor_id, mins, maxs, wj, rank FROM k " +
+        "WHERE rank <= 3 ORDER BY query_id, rank"),
     // x16's probe/rerank chain on the first-8 seed quantizer: same
     // 4 dp-rounded distances before every argmin/rank, same
     // cell/neighbor tiebreaks, nprobe=2 QUALIFY probe selection

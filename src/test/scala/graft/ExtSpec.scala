@@ -4039,6 +4039,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x271 weighted jaccard: top-3 matches an exact integer brute-force recount") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Lake.table(spark, SfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val mn = vecs.flatMap(_._2).min
+    val mx = vecs.flatMap(_._2).max
+    val grid = vecs.map { case (id, v) =>
+      id -> v.map(x => math.round((x - mn) / (mx - mn) * 255.0))
+    }.toMap
+    val exp = (0L until 5L).flatMap { qid =>
+      val a = grid(qid)
+      grid.toSeq.filter(_._1 != qid).map { case (nid, b) =>
+        val mins = a.zip(b).map { case (x, y) => math.min(x, y) }.sum
+        val maxs = a.zip(b).map { case (x, y) => math.max(x, y) }.sum
+        (qid, nid, mins, maxs, if (maxs > 0) r6(mins.toDouble / maxs) else 0.0)
+      }.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case (t, i) => (t._1, t._2, t._3, t._4, t._5, i + 1) }
+    }.toSet
+    val got = Similarity.queries("x271_weighted_jaccard_topk")(spark, SfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(got == exp, s"got ${got.toSeq.sorted}\nexp ${exp.toSeq.sorted}")
+  }
+
   test("x163 cramers v: independence scores 0, a diagonal table scores exactly 1, zero cells are charged") {
     import spark.implicits._
     val indep = Seq(("A", "x", 20L), ("A", "y", 20L),
