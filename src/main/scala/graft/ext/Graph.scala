@@ -1277,17 +1277,21 @@ object Graph {
     // x81's orientation + triangle closure, the three-arc support
     // union, and two unrolled peel rounds
     "x240_ktruss" -> {
+      // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by
+      // default, so round 2's three references to a1 would each
+      // re-expand the whole round-1 triangle chain — measured >79 GB
+      // of temp spill at sf0.1 vs 18 s with the chain pinned
       def tri(src: String, name: String): String =
-        s"$name AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c " +
+        s"$name AS MATERIALIZED (SELECT e1.s AS a, e1.t AS b, e2.t AS c " +
           s"FROM $src e1 JOIN $src e2 ON e1.s = e2.s AND e1.t <> e2.t " +
           s"JOIN $src e3 ON e3.s = e1.t AND e3.t = e2.t)"
       def round(triName: String, src: String, supName: String,
           outName: String): String =
-        s"$supName AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS sup FROM " +
+        s"$supName AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS sup FROM " +
           s"(SELECT a AS s, b AS t FROM $triName " +
           s"UNION ALL SELECT a, c FROM $triName " +
           s"UNION ALL SELECT b, c FROM $triName) GROUP BY 1, 2), " +
-          s"$outName AS (SELECT $src.s, $src.t FROM $src " +
+          s"$outName AS MATERIALIZED (SELECT $src.s, $src.t FROM $src " +
           s"LEFT JOIN $supName USING (s, t) WHERE COALESCE(sup, 0) >= 2)"
       "WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk " +
         "FROM lineitem), " +
@@ -1295,7 +1299,7 @@ object Graph {
         "JOIN items y ON x.ok = y.ok AND x.pk < y.pk), " +
         "deg AS (SELECT n, COUNT(*) AS d FROM " +
         "(SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1), " +
-        "arcs AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
+        "arcs AS MATERIALIZED (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
         "THEN e.u ELSE e.v END AS s, " +
         "CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) " +
         "THEN e.v ELSE e.u END AS t " +
