@@ -374,7 +374,12 @@ object Bench {
     // VERDICT r13 #5: decade evidence for the three heavy shapes that
     // joined the headline in r12/r13 without big-point coverage
     "x144_personalized_pagerank", "x173_bfs_diameter",
-    "x150_record_linkage")
+    "x150_record_linkage",
+    // session-4 shapes, first probed at the big point via
+    // graft.tools.Time (x248 3.6x — support-bound; x259 1.62x —
+    // candidate-bound); carried here so every official run keeps the
+    // decade evidence fresh
+    "x248_energy_distance", "x259_chrf_pairs")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
