@@ -478,6 +478,36 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** x272's KR-20 reliability over a (a, b, c) three-item 0/1 frame —
+    * Cronbach's alpha specialized to binary items, the measurement-
+    * theory question the x38 gate ensemble begs: do the three
+    * quality gates measure ONE underlying quality trait (α → 1), or
+    * three unrelated things (α → 0, and a majority-vote verdict is
+    * then noise-prone)? ρ = (k/(k−1))·(1 − Σ s_i(n−s_i) /
+    * (n·Σt² − (Σt)²)) with t the per-doc gate total — ALL exact
+    * BIGINTs to one division. Zero total-score variance reads NULL.
+    */
+  def kr20FromItems(items: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    items
+      .withColumn("t", col("a") + col("b") + col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"), sum(col("c")).as("sc"),
+        sum(col("t")).as("st"), sum(col("t") * col("t")).as("stt"))
+      .withColumn("num",
+        col("sa") * (col("n") - col("sa")) +
+          col("sb") * (col("n") - col("sb")) +
+          col("sc") * (col("n") - col("sc")))
+      .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+      .select(col("n").as("n_docs"),
+        round(dd(col("sa")) / dd(col("n")), 4).as("p_a"),
+        round(dd(col("sb")) / dd(col("n")), 4).as("p_b"),
+        round(dd(col("sc")) / dd(col("n")), 4).as("p_c"),
+        when(col("den") > 0L,
+          round(lit(1.5) * (lit(1.0) - dd(col("num")) / dd(col("den"))), 6))
+          .as("kr20"))
+  }
+
   /** The x11/x184 shared prediction stage: the stopword-ratio
     * language-ID heuristic over the documents table — one place, so
     * the classifier and its evaluation can never drift apart.
@@ -2196,6 +2226,20 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // KR-20 GATE RELIABILITY — do x38's three quality gates measure
+    // one trait? Cronbach's alpha for binary items over the same
+    // gate frame, exact integers to one division — see
+    // [[kr20FromItems]].
+    "x272_kr20_alpha" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val rules = d.select(col("doc_id"),
+        (stopwordRatio(tokens) >= 0.05).cast("long").as("a"),
+        (repetitionRatio3(tokens) <= 0.02).cast("long").as("b"))
+      val lm = unigramLogProb(spark, sfDir).select(col("doc_id"),
+        (col("avg_logprob") >= -3.41).cast("long").as("c"))
+      kr20FromItems(rules.join(lm, "doc_id"))
+    }),
+
     // CORPUS STATISTICS REPORT — the per-source "dataset card" a
     // training pipeline publishes next to the data: doc/token volumes,
     // token-length percentiles, language diversity, and the corpus
@@ -3912,6 +3956,41 @@ object TextAnalysis {
         "CAST(lp >= -3.41 AS INTEGER) " +
         "WHEN 3 THEN 'keep' WHEN 2 THEN 'review' ELSE 'drop' END AS verdict " +
         "FROM rules JOIN lm USING (doc_id) ORDER BY rules.doc_id"),
+    // x38's gate CTEs with the exact-integer KR-20 readout
+    "x272_kr20_alpha" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf), " +
+        "lm AS (SELECT doc_id, ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) " +
+        "/ SUM(tf), 4) AS lp FROM tf JOIN ctf USING (term), tot GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN " +
+        "list_transform(range(1, len(string_split(text, ' ')) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3 FROM documents), " +
+        "items AS (SELECT r.doc_id, " +
+        "CAST(CAST(len(list_filter(t, x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(t) >= 0.05 AS BIGINT) AS a, " +
+        "CAST((CASE WHEN len(g3) > 0 THEN " +
+        "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END) " +
+        "<= 0.02 AS BIGINT) AS b, " +
+        "CAST(lp >= -3.41 AS BIGINT) AS c " +
+        "FROM r JOIN lm USING (doc_id)), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a) AS BIGINT) AS sa, " +
+        "CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(c) AS BIGINT) AS sc, " +
+        "CAST(SUM(a + b + c) AS BIGINT) AS st, " +
+        "CAST(SUM((a + b + c) * (a + b + c)) AS BIGINT) AS stt FROM items), " +
+        "f AS (SELECT n, sa, sb, sc, " +
+        "sa * (n - sa) + sb * (n - sb) + sc * (n - sc) AS num, " +
+        "n * stt - st * st AS den FROM g) " +
+        "SELECT n AS n_docs, " +
+        "ROUND(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE), 4) AS p_a, " +
+        "ROUND(CAST(sb AS DOUBLE) / CAST(n AS DOUBLE), 4) AS p_b, " +
+        "ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 4) AS p_c, " +
+        "CASE WHEN den > 0 THEN " +
+        "ROUND(1.5 * (1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6) END AS kr20 " +
+        "FROM f"),
     // exact-count rate (one division), interpolated quantiles (c42's
     // quantile_cont ≡ Spark percentile contract)
     "x42_corpus_stats" ->

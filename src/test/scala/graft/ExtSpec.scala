@@ -2629,6 +2629,28 @@ class ExtSpec extends SparkSpec {
       s"monotone ends: ${first} vs ${last}")
   }
 
+  test("x272 kr20: perfectly correlated gates read 1, zero-covariance gates read 0") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("a", "b", "c")
+    val p = graft.ext.TextAnalysis.kr20FromItems(perfect).collect()(0)
+    assert(p.getDouble(4) == 1.0, s"perfect: $p")
+    // pairwise-balanced items with constant-ish totals: num = den
+    val zero = Seq((1L, 1L, 0L), (1L, 0L, 1L), (0L, 1L, 1L), (0L, 0L, 0L))
+      .toDF("a", "b", "c")
+    val z = graft.ext.TextAnalysis.kr20FromItems(zero).collect()(0)
+    assert(z.getDouble(4) == 0.0, s"zero: $z")
+    // constant totals -> zero variance -> NULL guard
+    val const = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L))
+      .toDF("a", "b", "c")
+    val k = graft.ext.TextAnalysis.kr20FromItems(const).collect()(0)
+    assert(k.isNullAt(4), s"const: $k")
+    val c = graft.ext.TextAnalysis.queries("x272_kr20_alpha")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(0) > 0L && (!c.isNullAt(4)) &&
+      c.getDouble(4) <= 1.0, s"corpus kr20: $c")
+  }
+
   test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
     val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
       .collect().map(r => (r.getString(0),
