@@ -508,6 +508,66 @@ object TextAnalysis {
           .as("kr20"))
   }
 
+  /** x273's Fleiss' kappa over the same three-item 0/1 frame as
+    * x272 — chance-corrected multi-rater agreement (x194's Cohen κ
+    * handles TWO raters; Fleiss generalizes — and against x272 it
+    * answers a different question: KR-20 reads internal consistency
+    * of a scale, Fleiss reads vote agreement net of base rates):
+    * with t the per-doc yes-vote total, P_i = [t(t−1) +
+    * (3−t)(2−t)]/6 exactly, P̄ from the 4-cell count-of-totals
+    * frame, P_e = p₁² + p₀², κ = (P̄ − P_e)/(1 − P_e). Exact
+    * integers to three divisions; P_e = 1 (unanimous base rate)
+    * reads NULL.
+    */
+  def fleissKappaFromItems(items: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    items
+      .withColumn("t", col("a") + col("b") + col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * (col("t") - 1L) +
+          (lit(3L) - col("t")) * (lit(2L) - col("t"))).as("agree6"))
+      .withColumn("p_yes", dd(col("st")) / (lit(3.0) * dd(col("n"))))
+      .withColumn("p_bar", dd(col("agree6")) / (lit(6.0) * dd(col("n"))))
+      .withColumn("p_e", col("p_yes") * col("p_yes") +
+        (lit(1.0) - col("p_yes")) * (lit(1.0) - col("p_yes")))
+      .select(col("n").as("n_docs"), round(col("p_yes"), 4).as("p_yes"),
+        round(col("p_bar"), 6).as("p_bar"),
+        when(col("p_e") < 1.0,
+          round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 6))
+          .as("fleiss_kappa"))
+  }
+
+  /** x274's Shannon diversity partition of the corpus vocabulary —
+    * Jost's α/β/γ decomposition over the per-source word-frequency
+    * cells (the corpus-mix number beside x136's Simpson index and
+    * x158's pairwise KL: how much of the pooled vocabulary entropy
+    * is WITHIN sources vs BETWEEN them): γ = H(pooled), α =
+    * Σ w_g·H(source g) token-weighted, β = γ − α, and the effective
+    * between-source turnover exp(β) ∈ [1, #sources]. Every ln runs
+    * at vocabulary-cell grain over exact integer counts.
+    */
+  def diversityPartitionFromFreq(wf: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val tot = wf.agg(sum(col("freq")).as("n"))
+    val gamma = wf.groupBy(col("w")).agg(sum(col("freq")).as("fw"))
+      .crossJoin(broadcast(tot))
+      .agg((log(max(col("n")).cast("double")) -
+        sum(dd(col("fw")) * log(dd(col("fw")))) /
+          max(col("n")).cast("double")).as("gamma_h"))
+    val alpha = wf.groupBy(col("source"))
+      .agg(sum(col("freq")).as("n_g"),
+        sum(dd(col("freq")) * log(dd(col("freq")))).as("sfl"))
+      .crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k_sources"),
+        sum((dd(col("n_g")) * log(dd(col("n_g"))) - col("sfl")) /
+          dd(col("n"))).as("alpha_h"))
+    gamma.crossJoin(alpha)
+      .select(col("k_sources"), round(col("gamma_h"), 6).as("gamma_h"),
+        round(col("alpha_h"), 6).as("alpha_h"),
+        round(col("gamma_h") - col("alpha_h"), 6).as("beta_h"),
+        round(exp(col("gamma_h") - col("alpha_h")), 4).as("turnover"))
+  }
+
   /** The x11/x184 shared prediction stage: the stopword-ratio
     * language-ID heuristic over the documents table — one place, so
     * the classifier and its evaluation can never drift apart.
@@ -2240,6 +2300,27 @@ object TextAnalysis {
       kr20FromItems(rules.join(lm, "doc_id"))
     }),
 
+    // FLEISS' KAPPA — chance-corrected agreement of the three gate
+    // votes (the multi-rater complement of x194's two-rater κ and
+    // x272's scale-consistency α) — see [[fleissKappaFromItems]].
+    "x273_fleiss_kappa" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val rules = d.select(col("doc_id"),
+        (stopwordRatio(tokens) >= 0.05).cast("long").as("a"),
+        (repetitionRatio3(tokens) <= 0.02).cast("long").as("b"))
+      val lm = unigramLogProb(spark, sfDir).select(col("doc_id"),
+        (col("avg_logprob") >= -3.41).cast("long").as("c"))
+      fleissKappaFromItems(rules.join(lm, "doc_id"))
+    }),
+
+    // SHANNON DIVERSITY PARTITION — Jost's α/β/γ vocabulary
+    // decomposition with the effective between-source turnover —
+    // see [[diversityPartitionFromFreq]].
+    "x274_diversity_partition" -> ((spark, sfDir) =>
+      diversityPartitionFromFreq(docs(spark, sfDir)
+        .select(col("source"), explode(tokens).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("freq")))),
+
     // CORPUS STATISTICS REPORT — the per-source "dataset card" a
     // training pipeline publishes next to the data: doc/token volumes,
     // token-length percentiles, language diversity, and the corpus
@@ -3956,6 +4037,53 @@ object TextAnalysis {
         "CAST(lp >= -3.41 AS INTEGER) " +
         "WHEN 3 THEN 'keep' WHEN 2 THEN 'review' ELSE 'drop' END AS verdict " +
         "FROM rules JOIN lm USING (doc_id) ORDER BY rules.doc_id"),
+    // x38's gate CTEs with the exact Fleiss P-bar/P-e chain
+    "x273_fleiss_kappa" ->
+      ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t " +
+        "GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_total FROM tf), " +
+        "lm AS (SELECT doc_id, ROUND(SUM(tf * LN(CAST(ctf AS DOUBLE) / n_total)) " +
+        "/ SUM(tf), 4) AS lp FROM tf JOIN ctf USING (term), tot GROUP BY doc_id), " +
+        "r AS (SELECT doc_id, string_split(text, ' ') AS t, " +
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN " +
+        "list_transform(range(1, len(string_split(text, ' ')) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3 FROM documents), " +
+        "items AS (SELECT r.doc_id, " +
+        "CAST(CAST(len(list_filter(t, x -> x IN ('a', 'the', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) " +
+        "/ len(t) >= 0.05 AS BIGINT) + " +
+        "CAST((CASE WHEN len(g3) > 0 THEN " +
+        "CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END) " +
+        "<= 0.02 AS BIGINT) + " +
+        "CAST(lp >= -3.41 AS BIGINT) AS tt " +
+        "FROM r JOIN lm USING (doc_id)), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(tt) AS BIGINT) AS st, " +
+        "CAST(SUM(tt * (tt - 1) + (3 - tt) * (2 - tt)) AS BIGINT) AS agree6 FROM items), " +
+        "f AS (SELECT n, CAST(st AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS p_yes, " +
+        "CAST(agree6 AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)) AS p_bar FROM g), " +
+        "h AS (SELECT n, p_yes, p_bar, " +
+        "p_yes * p_yes + (1.0 - p_yes) * (1.0 - p_yes) AS p_e FROM f) " +
+        "SELECT n AS n_docs, ROUND(p_yes, 4) AS p_yes, ROUND(p_bar, 6) AS p_bar, " +
+        "CASE WHEN p_e < 1.0 THEN ROUND((p_bar - p_e) / (1.0 - p_e), 6) END AS fleiss_kappa " +
+        "FROM h"),
+    // same vocabulary cells, same token-weighted entropy partition
+    "x274_diversity_partition" ->
+      ("WITH wf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) t GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM wf), " +
+        "gm AS (SELECT LN(CAST(MAX(n) AS DOUBLE)) - " +
+        "SUM(CAST(fw AS DOUBLE) * LN(CAST(fw AS DOUBLE))) / CAST(MAX(n) AS DOUBLE) AS gamma_h " +
+        "FROM (SELECT w, CAST(SUM(freq) AS BIGINT) AS fw FROM wf GROUP BY 1) v, tot), " +
+        "al AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_sources, " +
+        "SUM((CAST(n_g AS DOUBLE) * LN(CAST(n_g AS DOUBLE)) - sfl) / CAST(n AS DOUBLE)) AS alpha_h " +
+        "FROM (SELECT source, CAST(SUM(freq) AS BIGINT) AS n_g, " +
+        "SUM(CAST(freq AS DOUBLE) * LN(CAST(freq AS DOUBLE))) AS sfl " +
+        "FROM wf GROUP BY 1) s, tot) " +
+        "SELECT k_sources, ROUND(gamma_h, 6) AS gamma_h, ROUND(alpha_h, 6) AS alpha_h, " +
+        "ROUND(gamma_h - alpha_h, 6) AS beta_h, " +
+        "ROUND(EXP(gamma_h - alpha_h), 4) AS turnover FROM gm, al"),
     // x38's gate CTEs with the exact-integer KR-20 readout
     "x272_kr20_alpha" ->
       ("WITH tf AS (SELECT doc_id, token AS term, COUNT(*) AS tf FROM (" +

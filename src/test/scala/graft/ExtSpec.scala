@@ -2651,6 +2651,43 @@ class ExtSpec extends SparkSpec {
       c.getDouble(4) <= 1.0, s"corpus kr20: $c")
   }
 
+  test("x273 fleiss kappa: unanimous votes read 1, split votes read below 0") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1L, 1L), (0L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("a", "b", "c")
+    val p = graft.ext.TextAnalysis.fleissKappaFromItems(perfect).collect()(0)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0, s"perfect: $p")
+    // every doc splits 2-1: P_i = 1/3 for all, P_e = 1/2 at p = 1/2
+    val split = Seq((1L, 1L, 0L), (0L, 0L, 1L)).toDF("a", "b", "c")
+    val s = graft.ext.TextAnalysis.fleissKappaFromItems(split).collect()(0)
+    assert(math.abs(s.getDouble(2) - 1.0 / 3.0) < 1e-6 &&
+      s.getDouble(3) < 0.0, s"split: $s")
+    val c = graft.ext.TextAnalysis.queries("x273_fleiss_kappa")(spark, SfDir)
+      .collect()(0)
+    assert(!c.isNullAt(3) && c.getDouble(3) <= 1.0, s"corpus fleiss: $c")
+  }
+
+  test("x274 diversity partition: disjoint equal sources read beta = ln 2 and turnover 2") {
+    import spark.implicits._
+    val wf = Seq(("a", "w1", 1L), ("a", "w2", 1L),
+      ("b", "w3", 1L), ("b", "w4", 1L)).toDF("source", "w", "freq")
+    val r = graft.ext.TextAnalysis.diversityPartitionFromFreq(wf).collect()(0)
+    assert(math.abs(r.getDouble(1) - math.log(4.0)) < 1e-6, s"gamma: $r")
+    assert(math.abs(r.getDouble(2) - math.log(2.0)) < 1e-6, s"alpha: $r")
+    assert(math.abs(r.getDouble(3) - math.log(2.0)) < 1e-6 &&
+      r.getDouble(4) == 2.0, s"beta/turnover: $r")
+    // one source: beta = 0, turnover 1
+    val one = graft.ext.TextAnalysis.diversityPartitionFromFreq(
+      Seq(("a", "w1", 2L), ("a", "w2", 1L)).toDF("source", "w", "freq"))
+      .collect()(0)
+    assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 1.0, s"one: $one")
+    val c = graft.ext.TextAnalysis.queries("x274_diversity_partition")(spark, SfDir)
+      .collect()(0)
+    assert(c.getDouble(3) >= 0.0 &&
+      c.getDouble(4) >= 1.0 && c.getDouble(4) <= c.getLong(0).toDouble,
+      s"corpus diversity: $c")
+  }
+
   test("x133 KS drift: sup distance matches an exact in-process recount, critical-value chain agrees") {
     val rows = graft.pipeline.Views.queries("x133_ks_drift")(spark, SfDir)
       .collect().map(r => (r.getString(0),
