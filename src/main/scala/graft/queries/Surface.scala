@@ -1984,6 +1984,52 @@ object Surface {
         .orderBy(col("decile"))
     }),
 
+    // RESTRICTED MEAN SURVIVAL TIME — the effect-size completion of
+    // the survival family (c97 tests, c99 estimates a RATIO; RMST
+    // reads the absolute "mean conversion-free days within the first
+    // τ = 20" per arm and their difference — the number a hazard
+    // ratio can't give when hazards cross): per-arm KM products as
+    // exp(Σ ln((risk−d)/risk)) over the bounded time spine
+    // (cumulative ln-sum window in day order — deterministic
+    // sequential accumulation), RMST = Σ S(t_i)·clip(gap, τ) with
+    // the leading [0, t₁) interval at S = 1. A risk set ever hitting
+    // zero reads NULL (the guard, not a crash).
+    "c101_rmst" -> ((spark, sfDir) => {
+      val tau = 20.0
+      def dd(c: Column) = c.cast("double")
+      val byT = Window.orderBy(col("t_day"))
+      val cumIncl = byT.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val spine = survivalRiskSpine(spark, sfDir)
+        .withColumn("ln_a", when(col("risk_a") > col("d_A"),
+          log((dd(col("risk_a")) - dd(col("d_A"))) / dd(col("risk_a")))))
+        .withColumn("ln_b", when(col("risk_b") > col("d_B"),
+          log((dd(col("risk_b")) - dd(col("d_B"))) / dd(col("risk_b")))))
+        .withColumn("s_a", exp(sum(col("ln_a")).over(cumIncl)))
+        .withColumn("s_b", exp(sum(col("ln_b")).over(cumIncl)))
+        .withColumn("zero_risk", max(when(col("risk_a") <= col("d_A") ||
+          col("risk_b") <= col("d_B"), 1L).otherwise(0L))
+          .over(Window.partitionBy(lit(1))))
+        .withColumn("t_next",
+          coalesce(lead(col("t_day"), 1).over(byT), lit(Int.MaxValue)))
+        // interval [t_i, t_{i+1}) clipped to [0, tau]
+        .withColumn("gap", greatest(lit(0.0),
+          least(dd(col("t_next")), lit(tau)) - dd(col("t_day"))))
+      val head = spine.agg(min(col("t_day")).as("t1"))
+        .select(least(dd(col("t1")), lit(tau)).as("head_gap"))
+      spine.agg(max(col("zero_risk")).as("zr"),
+          sum(col("s_a") * col("gap")).as("area_a"),
+          sum(col("s_b") * col("gap")).as("area_b"))
+        .crossJoin(broadcast(head))
+        .select(lit(20).as("tau"),
+          when(col("zr") === 0L,
+            round(col("head_gap") + col("area_a"), 4)).as("rmst_a"),
+          when(col("zr") === 0L,
+            round(col("head_gap") + col("area_b"), 4)).as("rmst_b"),
+          when(col("zr") === 0L,
+            round(col("area_a") - col("area_b"), 4)).as("rmst_diff"))
+    }),
+
     // INTERRUPTED TIME SERIES — the single-group causal design beside
     // c95's two-group DiD (no control group? fit the trend before and
     // after the intervention and read the LEVEL CHANGE at the break):
@@ -2741,6 +2787,57 @@ object Surface {
         "SELECT decile, n_t, conv_t, n_c, conv_c, qini, " +
         "ROUND(SUM(qini) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 4) AS cum_qini " +
         "FROM q ORDER BY decile"),
+    // c97's risk-table CTEs, per-arm ln-sum KM products, the same
+    // clipped-interval integral
+    "c101_rmst" ->
+      (s"WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        s"subj AS (SELECT CASE WHEN ((user_id * ${Sampling.HashMul}) % ${Sampling.HashMod}) " +
+        s"< ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "na AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a0, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b0 FROM subj), " +
+        "ta AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_a, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_a " +
+        "FROM subj WHERE arm = 'A' GROUP BY 1), " +
+        "tb AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_b, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_b " +
+        "FROM subj WHERE arm = 'B' GROUP BY 1), " +
+        "sp AS (SELECT COALESCE(ta.t_day, tb.t_day) AS t_day, " +
+        "COALESCE(d_a, 0) AS d_a, COALESCE(c_a, 0) AS c_a, " +
+        "COALESCE(d_b, 0) AS d_b, COALESCE(c_b, 0) AS c_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.t_day = tb.t_day), " +
+        "r AS (SELECT sp.*, n_a0, n_b0, " +
+        "n_a0 - COALESCE(CAST(SUM(d_a + c_a) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_a, " +
+        "n_b0 - COALESCE(CAST(SUM(d_b + c_b) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_b " +
+        "FROM sp, na), " +
+        "f AS (SELECT * FROM r WHERE d_a + d_b > 0), " +
+        "w AS (SELECT t_day, risk_a, d_a, risk_b, d_b, " +
+        "CASE WHEN risk_a > d_a THEN LN((CAST(risk_a AS DOUBLE) - CAST(d_a AS DOUBLE)) / " +
+        "CAST(risk_a AS DOUBLE)) END AS ln_a, " +
+        "CASE WHEN risk_b > d_b THEN LN((CAST(risk_b AS DOUBLE) - CAST(d_b AS DOUBLE)) / " +
+        "CAST(risk_b AS DOUBLE)) END AS ln_b FROM f), " +
+        "s AS (SELECT t_day, risk_a, d_a, risk_b, d_b, " +
+        "EXP(SUM(ln_a) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING)) AS s_a, " +
+        "EXP(SUM(ln_b) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING)) AS s_b, " +
+        "MAX(CASE WHEN risk_a <= d_a OR risk_b <= d_b THEN 1 ELSE 0 END) OVER () AS zr, " +
+        "COALESCE(LEAD(t_day) OVER (ORDER BY t_day), 2147483647) AS t_next FROM w), " +
+        "g AS (SELECT zr, s_a, s_b, GREATEST(0.0, " +
+        "LEAST(CAST(t_next AS DOUBLE), 20.0) - CAST(t_day AS DOUBLE)) AS gap FROM s), " +
+        "hd AS (SELECT LEAST(CAST(MIN(t_day) AS DOUBLE), 20.0) AS head_gap FROM f), " +
+        "z AS (SELECT MAX(zr) AS zr, SUM(s_a * gap) AS area_a, " +
+        "SUM(s_b * gap) AS area_b FROM g) " +
+        "SELECT 20 AS tau, " +
+        "CASE WHEN zr = 0 THEN ROUND(head_gap + area_a, 4) END AS rmst_a, " +
+        "CASE WHEN zr = 0 THEN ROUND(head_gap + area_b, 4) END AS rmst_b, " +
+        "CASE WHEN zr = 0 THEN ROUND(area_a - area_b, 4) END AS rmst_diff " +
+        "FROM z, hd"),
     // same per-segment four-sum OLS, same fixed double fit/contrast
     // expressions at the break
     "c96_interrupted_ts" ->

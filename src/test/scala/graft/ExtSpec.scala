@@ -6213,6 +6213,17 @@ class ExtSpec extends SparkSpec {
       s"ln_hr consistency: $hr")
   }
 
+  test("c101 rmst: both arms bounded by tau, diff consistent with the arm means") {
+    val r = graft.queries.Surface.queries("c101_rmst")(spark, SfDir)
+      .collect()(0)
+    assert(r.getInt(0) == 20, s"tau: $r")
+    assert(!r.isNullAt(1) && !r.isNullAt(2), s"arms defined: $r")
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 20.0 &&
+      r.getDouble(2) > 0.0 && r.getDouble(2) <= 20.0, s"bounds: $r")
+    assert(math.abs(r.getDouble(3) - (r.getDouble(1) - r.getDouble(2))) < 1e-3,
+      s"diff recompute: $r")
+  }
+
   test("c97 logrank: arms partition the subjects, events conserve, chi2 nonnegative") {
     val r = graft.queries.Surface.queries("c97_logrank")(spark, SfDir)
       .collect()(0)
