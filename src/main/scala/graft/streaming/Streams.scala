@@ -2018,6 +2018,16 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s49"))
       .orderBy(col("event_type"))
 
+  /** s52: x269's Poisson dispersion screen off the same maintained
+    * day frame — the streaming burstiness monitor: D = s²/x̄
+    * re-reads from the additive (type, day) counts after every
+    * merge, so an overdispersion alarm fires as the cells accrue.
+    */
+  def foreachBatchDispersion(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.dispersionReport(
+        maintainedDayCounts(spark, sfDir, "s52"))
+      .orderBy(col("event_type"))
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -2592,6 +2602,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchBartlett(spark, sfDir)),
     "s51_stream_richness_maintain" ->
       ((spark, sfDir) => foreachBatchRichness(spark, sfDir)),
+    "s52_stream_dispersion_maintain" ->
+      ((spark, sfDir) => foreachBatchDispersion(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2713,6 +2725,10 @@ object Streams {
     // maintained word-frequency table ≡ batch x258
     "s51_stream_richness_maintain" ->
       graft.ext.TextAnalysis.oracles("x258_lexical_richness"),
+    // the IVM contract verbatim: dispersion over the maintained day
+    // cells ≡ batch x269
+    "s52_stream_dispersion_maintain" ->
+      graft.pipeline.Views.oracles("x269_dispersion"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -584,6 +584,22 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed richness diverges:\n${sr.toSeq}\nvs\n${br.toSeq}")
   }
 
+  test("streaming dispersion equals batch x269 across a multi-batch run (s52)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    val streamed = graft.streaming.Streams.foreachBatchDispersion(spark, SfDir)
+      .collect().map(key)
+    val tag = Integer.toHexString(SfDir.hashCode)
+    val gens = new java.io.File(s"/tmp/graft-stream/s52_$tag")
+      .listFiles().count(_.getName.startsWith("days_"))
+    assert(gens >= 2, s"expected a multi-batch run, got $gens generation(s)")
+    val batch = graft.pipeline.Views.queries("x269_dispersion")(spark, SfDir)
+      .collect().map(key)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed dispersion diverges from batch x269:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+  }
+
   test("streaming Gini monitor equals batch x159 across a multi-batch run (s27)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
