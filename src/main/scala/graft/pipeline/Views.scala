@@ -412,6 +412,15 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // SEASONAL MANN–KENDALL — the trend test that nets the weekly
+    // cycle out by comparing within dow strata only (Hirsch–Slack)
+    // — see [[seasonalMannKendallReport]].
+    "x275_seasonal_mk" -> ((spark, sfDir) =>
+      seasonalMannKendallReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // INDEX OF DISPERSION — "is daily traffic Poisson?" with the
     // classical dispersion chi-square — see [[dispersionReport]].
     "x269_dispersion" -> ((spark, sfDir) =>
@@ -818,6 +827,47 @@ object Views {
             col("_num").cast("decimal(38,0)") >
             lit(38416L).cast("decimal(38,0)") *
               col("var18").cast("decimal(38,0)")).as("trending"))
+  }
+
+  /** x275's seasonal Mann–Kendall (Hirsch–Slack) over the same daily
+    * frame — the trend test a weekly-cyclic series actually needs:
+    * plain MK (x167) compares Mondays against Sundays and reads the
+    * cycle as noise (or worse, as trend); the seasonal form compares
+    * days only WITHIN their dow stratum and sums the per-stratum
+    * statistics: S = Σ_dow S_dow (exact integer off the
+    * stratum-keyed pair join), 18·Var = Σ_dow [n_s(n_s−1)(2n_s+5) −
+    * tie terms], z with the x167 continuity correction. The pair
+    * frame shrinks 7× versus x167's (only within-stratum pairs
+    * exist) — cheaper AND more powerful on cyclic data.
+    */
+  def seasonalMannKendallReport(daily: DataFrame): DataFrame = {
+    val d = daily.withColumn("dow", pmod(col("day"), lit(7)))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.dow") === col("b.dow") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum((col("b.x") - col("a.x")).cast("double")).cast("long"))
+          .as("s"),
+        count(lit(1)).as("n_pairs"))
+    val nd = d.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_s"))
+    val ties = d.groupBy(col("event_type"), col("dow"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    val varsum = nd.join(ties, Seq("event_type", "dow"))
+      .withColumn("v18",
+        expr("n_s * (n_s - 1) * (2 * n_s + 5) - tie_term"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("v18")).as("var18"), count(lit(1)).as("n_strata"))
+    varsum.join(pairs, "event_type")
+      .withColumn("_num", col("s") - signum(col("s").cast("double"))
+        .cast("long"))
+      .select(col("event_type"), col("n_strata"), col("n_pairs"), col("s"),
+        when(col("var18") > 0L,
+          round(col("_num").cast("double") /
+            sqrt(col("var18").cast("double") / lit(18.0)), 4)).as("z"))
+      .orderBy(col("event_type"))
   }
 
   /** x168's day-of-week seasonality stage over the same daily frame:
@@ -2311,6 +2361,36 @@ object Views {
     // x152's centered day frame, the three exact num/den pairs
     // pivoted wide, ONE fixed double Q expression, frozen critical
     // value
+    // same stratum-keyed pair join, same per-stratum tie algebra,
+    // same continuity-corrected z
+    "x275_seasonal_mk" ->
+      ("WITH d0 AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "d AS (SELECT event_type, day, day % 7 AS dow, x FROM d0), " +
+        "p AS (SELECT a.event_type, " +
+        "CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs " +
+        "FROM d a JOIN d b ON b.event_type = a.event_type " +
+        "AND b.dow = a.dow AND a.day < b.day GROUP BY 1), " +
+        "nd AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_s " +
+        "FROM d GROUP BY 1, 2), " +
+        "tt AS (SELECT event_type, dow, " +
+        "CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term FROM (" +
+        "SELECT event_type, dow, x, CAST(COUNT(*) AS BIGINT) AS t " +
+        "FROM d GROUP BY 1, 2, 3) q GROUP BY 1, 2), " +
+        "v AS (SELECT nd.event_type, " +
+        "CAST(SUM(n_s * (n_s - 1) * (2 * n_s + 5) - tie_term) AS BIGINT) AS var18, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_strata " +
+        "FROM nd JOIN tt ON tt.event_type = nd.event_type AND tt.dow = nd.dow " +
+        "GROUP BY 1), " +
+        "f AS (SELECT v.event_type, n_strata, n_pairs, s, var18, " +
+        "s - CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS num " +
+        "FROM v JOIN p ON p.event_type = v.event_type) " +
+        "SELECT event_type, n_strata, n_pairs, s, " +
+        "CASE WHEN var18 > 0 THEN " +
+        "ROUND(CAST(num AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0), 4) END AS z " +
+        "FROM f ORDER BY event_type"),
     // same exact integer moments, same cross-multiplied rational
     "x269_dispersion" ->
       ("WITH d AS (SELECT event_type, " +

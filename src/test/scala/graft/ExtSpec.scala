@@ -6019,6 +6019,26 @@ class ExtSpec extends SparkSpec {
       r.getDouble(2) >= 0.0), s"corpus bp: ${corpus.toSeq}")
   }
 
+  test("x275 seasonal mk: a pure weekly cycle reads S = 0 while a within-dow ramp reads all-positive pairs") {
+    import spark.implicits._
+    // pure cycle, no trend: every within-dow pair is a tie -> S = 0
+    val pat = Seq(5L, 9L, 3L, 7L, 2L, 8L, 4L)
+    val cyc = (0 until 21).map(d => ("a", d, pat(d % 7)))
+      .toDF("event_type", "day", "x")
+    val c = graft.pipeline.Views.seasonalMannKendallReport(cyc).collect()(0)
+    assert(c.getLong(1) == 7L && c.getLong(3) == 0L, s"cycle: $c")
+    // cycle + within-dow growth: all 21 within-stratum pairs positive
+    val ramp = (0 until 21).map(d => ("a", d, pat(d % 7) + 10L * (d / 7)))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.seasonalMannKendallReport(ramp).collect()(0)
+    assert(r.getLong(2) == 21L && r.getLong(3) == 21L, s"ramp: $r")
+    assert(r.getDouble(4) > 3.0, s"ramp z: $r")
+    val corpus = graft.pipeline.Views.queries("x275_seasonal_mk")(spark, SfDir)
+      .collect()
+    assert(corpus.nonEmpty && corpus.forall(r => r.isNullAt(4) ||
+      !r.getDouble(4).isNaN), s"corpus smk: ${corpus.toSeq}")
+  }
+
   test("x234 anova f: textbook two-group fixture reads F = 8, eta2 = 0.8") {
     import spark.implicits._
     // a = {1,3}, b = {5,7}: SB = 16, SW = 4, F = (16/1)/(4/2) = 8
