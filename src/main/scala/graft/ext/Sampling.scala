@@ -872,7 +872,9 @@ object Sampling {
     * equalize users. All three read off ONE (x, f) count-of-counts
     * cell frame (bounded by the distinct per-user counts, hundreds of
     * cells, never user grain), with the Hoover numerator exact
-    * BIGINT and the ln sums at cell grain.
+    * DECIMAL(38,0) — operands widened before the multiply, since
+    * x·n_users alone can exceed Long at corpus scale — and the ln
+    * sums at cell grain.
     */
   def inequalityFromCells(cells: DataFrame): DataFrame = {
     def dd(c: Column) = c.cast("double")
@@ -883,8 +885,12 @@ object Sampling {
         count(lit(1)).as("n_cells"),
         sum(dd(col("f")) * dd(col("x")) * log(dd(col("x")))).as("sxlx"),
         sum(dd(col("f")) * log(dd(col("x")))).as("slx"),
-        sum((col("f") * abs(col("x") * col("n_users") - col("total")))
-          .cast("decimal(38,0)")).as("hnum"))
+        // operands cast to decimal(38,0) BEFORE the multiply: x·n and
+        // f·|…| can exceed Long range at corpus scale, and Spark
+        // would wrap silently where DuckDB raises
+        sum(col("f").cast("decimal(38,0)") *
+          abs(col("x").cast("decimal(38,0)") * col("n_users") -
+            col("total"))).as("hnum"))
       .withColumn("mu", dd(col("total")) / dd(col("n_users")))
       .select(col("n_users"), col("total"), col("n_cells"),
         round(col("mu"), 4).as("mu"),
@@ -3474,7 +3480,7 @@ object Sampling {
         "CAST(COUNT(*) AS BIGINT) AS n_cells, " +
         "SUM(CAST(f AS DOUBLE) * CAST(x AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS sxlx, " +
         "SUM(CAST(f AS DOUBLE) * LN(CAST(x AS DOUBLE))) AS slx, " +
-        "SUM(CAST(f * ABS(x * n_users - total) AS HUGEINT)) AS hnum " +
+        "SUM(CAST(f AS HUGEINT) * ABS(CAST(x AS HUGEINT) * n_users - total)) AS hnum " +
         "FROM cells, tot), " +
         "m AS (SELECT a.*, CAST(total AS DOUBLE) / CAST(n_users AS DOUBLE) AS mu FROM a) " +
         "SELECT n_users, total, n_cells, ROUND(mu, 4) AS mu, " +

@@ -1674,14 +1674,14 @@ object Views {
     * rank-based single-changepoint locator (x225's binseg splits on
     * mean shift in value space; Pettitt is its distribution-free
     * twin, the standard hydrology/monitoring pick): with doubled
-    * midranks r2 (exact integers under ties), U_t = Σ_{i≤t} r2_i −
-    * t(n+1) is exactly 2× the classic Mann–Whitney-style statistic,
-    * K = max_t |U_t| (t < n), changepoint = its earliest day, and
-    * the approximate significance p ≈ 2exp(−6K²/(n³+n²)) — one exp
-    * over exact integers (K here carries the 2× doubling, absorbed
-    * by using 4K²_classic = K²_doubled ... the exponent uses
-    * (K/2)²·6·4 = 6K²/4 — kept explicit below). Rank + prefix
-    * windows at day grain only.
+    * midranks r2 = 2·rank (exact integers under ties), U_t =
+    * Σ_{i≤t} r2_i − t(n+1) = 2Σr_i − t(n+1), which is exactly the
+    * CLASSIC Pettitt U_t (no residual doubling — the 2× lives
+    * inside the identity, not on top of it). K = max_t |U_t|
+    * (t < n), changepoint = its earliest day, and the approximate
+    * significance p ≈ 2exp(−6K²/(n³+n²)) with K used directly —
+    * one exp over exact integers. Rank + prefix windows at day
+    * grain only.
     */
   def pettittReport(daily: DataFrame): DataFrame = {
     def dd(c: Column) = c.cast("double")
@@ -1703,10 +1703,10 @@ object Views {
       .agg(max(col("n_days")).as("n_days"),
         max(struct(col("k_abs"), (-col("day")).as("nd"))).as("m"))
       .select(col("event_type"), col("n_days"),
-        col("m.k_abs").as("k2_stat"), (-col("m.nd")).as("cp_day"),
-        // K_classic = K2/2; p = 2 exp(-6 K² / (n³+n²))
+        col("m.k_abs").as("k_stat"), (-col("m.nd")).as("cp_day"),
+        // k_abs is already the classic K; p = 2 exp(-6 K² / (n³+n²))
         round(lit(2.0) * exp(lit(-6.0) *
-          (dd(col("m.k_abs")) / 2.0) * (dd(col("m.k_abs")) / 2.0) /
+          dd(col("m.k_abs")) * dd(col("m.k_abs")) /
           (dd(col("n_days")) * dd(col("n_days")) * dd(col("n_days")) +
             dd(col("n_days")) * dd(col("n_days")))), 6).as("p_approx"))
       .orderBy(col("event_type"))
@@ -1842,7 +1842,10 @@ object Views {
     * noise", which decides whether a forecast job needs seasonal
     * terms at all): classical additive decomposition with a centered
     * 7-day moving average as trend (only days with the full ±3
-    * window participate — the standard edge trim), dow means of the
+    * window AND a contiguous ±3-day calendar span participate — the
+    * standard edge trim, plus a span guard so a gap in the daily
+    * series can't silently widen the "7-day" window beyond 7
+    * calendar days while w7 still reads 7), dow means of the
     * detrended series as the seasonal component, and
     * F_T = max(0, 1 − Var(R)/Var(S+R)), F_S = max(0, 1 −
     * Var(R)/Var(D)) where D = detrended, R = D − seasonal. Exact
@@ -1855,8 +1858,10 @@ object Views {
       .rowsBetween(-3, 3)
     val t = daily
       .withColumn("w7", count(lit(1)).over(byDay))
+      .withColumn("span", max(col("day")).over(byDay) -
+        min(col("day")).over(byDay))
       .withColumn("trend", sum(col("x")).over(byDay).cast("double") / 7.0)
-      .filter(col("w7") === 7L)
+      .filter(col("w7") === 7L && col("span") === 6L)
       .withColumn("detr", dd(col("x")) - col("trend"))
       .withColumn("dow", pmod(col("day"), lit(7)))
     val seas = t.groupBy(col("event_type"), col("dow"))
@@ -2453,12 +2458,16 @@ object Views {
         "t AS (SELECT event_type, day, x, " +
         "COUNT(*) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w7, " +
+        "MAX(day) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) - " +
+        "MIN(day) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS span, " +
         "CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0 AS trend " +
         "FROM d), " +
         "tt AS (SELECT event_type, day, x, " +
         "CAST(x AS DOUBLE) - trend AS detr, day % 7 AS dow " +
-        "FROM t WHERE w7 = 7), " +
+        "FROM t WHERE w7 = 7 AND span = 6), " +
         "seas AS (SELECT event_type, dow, SUM(detr) / COUNT(*) AS s_dow " +
         "FROM tt GROUP BY 1, 2), " +
         "j AS (SELECT tt.event_type, tt.detr, tt.detr - seas.s_dow AS resid, " +
@@ -2749,8 +2758,8 @@ object Views {
         "g AS (SELECT event_type, MAX(n_days) AS n_days, MAX(k_abs) AS k2 FROM w GROUP BY 1), " +
         "cp AS (SELECT w.event_type, MIN(w.day) AS cp_day FROM w JOIN g " +
         "ON g.event_type = w.event_type AND w.k_abs = g.k2 GROUP BY 1) " +
-        "SELECT g.event_type, n_days, k2 AS k2_stat, cp_day, " +
-        "ROUND(2.0 * EXP(-6.0 * (CAST(k2 AS DOUBLE) / 2.0) * (CAST(k2 AS DOUBLE) / 2.0) / " +
+        "SELECT g.event_type, n_days, k2 AS k_stat, cp_day, " +
+        "ROUND(2.0 * EXP(-6.0 * CAST(k2 AS DOUBLE) * CAST(k2 AS DOUBLE) / " +
         "(CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) + " +
         "CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))), 6) AS p_approx " +
         "FROM g JOIN cp ON cp.event_type = g.event_type ORDER BY g.event_type"),

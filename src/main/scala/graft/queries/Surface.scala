@@ -1944,8 +1944,12 @@ object Surface {
     // as the score (leakage-free by construction), c80's hash arm,
     // and the survival family's post-period conversion outcome;
     // deciles are one deterministic ntile window (score desc, id
-    // tiebreak), each decile's increment is conv_t − conv_c·n_t/n_c
-    // in ONE division, and the cumulative curve is a 10-row window.
+    // tiebreak), each decile's LOCAL increment is conv_t −
+    // conv_c·n_t/n_c in ONE division, and the cumulative curve is
+    // the canonical Q(φ) = conv_t(≤φ) − conv_c(≤φ)·N_t(≤φ)/N_c(≤φ)
+    // derived from cumulative arm totals (NOT a sum of per-decile
+    // increments, which would drift when hash-arm shares fluctuate
+    // across deciles) — four 10-row prefix windows, one division.
     "c100_qini_curve" -> ((spark, sfDir) => {
       val ev = t(spark, sfDir, "events")
         .select(col("user_id"),
@@ -1980,7 +1984,16 @@ object Surface {
           when(col("n_c") > 0L,
             round(dd(col("conv_t")) -
               dd(col("conv_c")) * dd(col("n_t")) / dd(col("n_c")), 4)))
-        .withColumn("cum_qini", round(sum(col("qini")).over(cum), 4))
+        .withColumn("c_n_t", sum(col("n_t")).over(cum))
+        .withColumn("c_conv_t", sum(col("conv_t")).over(cum))
+        .withColumn("c_n_c", sum(col("n_c")).over(cum))
+        .withColumn("c_conv_c", sum(col("conv_c")).over(cum))
+        .withColumn("cum_qini",
+          when(col("c_n_c") > 0L,
+            round(dd(col("c_conv_t")) -
+              dd(col("c_conv_c")) * dd(col("c_n_t")) / dd(col("c_n_c")), 4)))
+        .select(col("decile"), col("n_t"), col("conv_t"), col("n_c"),
+          col("conv_c"), col("qini"), col("cum_qini"))
         .orderBy(col("decile"))
     }),
 
@@ -2783,10 +2796,16 @@ object Surface {
         "q AS (SELECT decile, n_t, conv_t, n_c, conv_c, " +
         "CASE WHEN n_c > 0 THEN ROUND(CAST(conv_t AS DOUBLE) - " +
         "CAST(conv_c AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n_c AS DOUBLE), 4) " +
-        "END AS qini FROM g) " +
+        "END AS qini, " +
+        "CAST(SUM(n_t) OVER w AS BIGINT) AS c_n_t, " +
+        "CAST(SUM(conv_t) OVER w AS BIGINT) AS c_conv_t, " +
+        "CAST(SUM(n_c) OVER w AS BIGINT) AS c_n_c, " +
+        "CAST(SUM(conv_c) OVER w AS BIGINT) AS c_conv_c " +
+        "FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)) " +
         "SELECT decile, n_t, conv_t, n_c, conv_c, qini, " +
-        "ROUND(SUM(qini) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 4) AS cum_qini " +
-        "FROM q ORDER BY decile"),
+        "CASE WHEN c_n_c > 0 THEN ROUND(CAST(c_conv_t AS DOUBLE) - " +
+        "CAST(c_conv_c AS DOUBLE) * CAST(c_n_t AS DOUBLE) / CAST(c_n_c AS DOUBLE), 4) " +
+        "END AS cum_qini FROM q ORDER BY decile"),
     // c97's risk-table CTEs, per-arm ln-sum KM products, the same
     // clipped-interval integral
     "c101_rmst" ->

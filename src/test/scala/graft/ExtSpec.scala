@@ -5783,7 +5783,7 @@ class ExtSpec extends SparkSpec {
       s"corpus chow: ${c.toSeq}")
   }
 
-  test("x255 pettitt: a planted step locates the changepoint at the step with K2 = 9") {
+  test("x255 pettitt: a planted step locates the changepoint at the step with K = 9") {
     import spark.implicits._
     val daily = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L),
       ("a", 3, 9L), ("a", 4, 9L), ("a", 5, 9L))
@@ -5791,7 +5791,7 @@ class ExtSpec extends SparkSpec {
     val r = graft.pipeline.Views.pettittReport(daily).collect()(0)
     assert(r.getLong(1) == 6L && r.getLong(2) == 9L && r.getInt(3) == 2,
       s"pettitt: $r")
-    val expP = BigDecimal(2.0 * math.exp(-6.0 * 4.5 * 4.5 / 252.0))
+    val expP = BigDecimal(2.0 * math.exp(-6.0 * 81.0 / 252.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(4) == expP, s"p: $r vs $expP")
     val c = graft.pipeline.Views.queries("x255_pettitt")(spark, SfDir)
@@ -5952,6 +5952,13 @@ class ExtSpec extends SparkSpec {
       .toDF("event_type", "day", "x")
     val l = graft.pipeline.Views.stlStrengthReport(line).collect()(0)
     assert(l.getDouble(2) == 1.0 && l.isNullAt(3), s"line: $l")
+    // a 1-day hole: any center whose ±3-row window straddles it has 7
+    // ROWS but an 8-day calendar span — the span guard must drop it.
+    // days {0..9, 11..21}: full-window centers are 3..6 and 14..18 → 9
+    val holed = ((0 until 22).filterNot(_ == 10))
+      .map(d => ("a", d, pat(d % 7))).toDF("event_type", "day", "x")
+    val h = graft.pipeline.Views.stlStrengthReport(holed).collect()(0)
+    assert(h.getLong(1) == 9L, s"gap guard: $h")
     val corpus = graft.pipeline.Views.queries("x268_stl_strength")(spark, SfDir)
       .collect()
     assert(corpus.nonEmpty && corpus.forall(r =>
@@ -5972,13 +5979,16 @@ class ExtSpec extends SparkSpec {
       // the increment is NULL exactly when the control side is empty
       assert(r.isNullAt(5) == (r.getLong(3) == 0L), s"null contract: $r")
     }
-    // the cumulative curve recomputes from the per-decile increments
-    // (SUM skips NULL increments in both engines)
-    val cum = rows.scanLeft(0.0)((a, r) =>
-      a + (if (r.isNullAt(5)) 0.0 else r.getDouble(5))).tail
-    rows.zip(cum).foreach { case (r, e) =>
-      if (!r.isNullAt(6))
+    // the cumulative curve recomputes from CUMULATIVE arm totals —
+    // the canonical Q(φ) = conv_t(≤φ) − conv_c(≤φ)·N_t(≤φ)/N_c(≤φ)
+    var (cnt, cct, cnc, ccc) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      cnt += r.getLong(1); cct += r.getLong(2)
+      cnc += r.getLong(3); ccc += r.getLong(4)
+      if (!r.isNullAt(6)) {
+        val e = cct.toDouble - ccc.toDouble * cnt.toDouble / cnc.toDouble
         assert(math.abs(r.getDouble(6) - e) < 1e-3, s"cum recompute: $r vs $e")
+      }
     }
   }
 
