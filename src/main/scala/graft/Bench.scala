@@ -103,7 +103,21 @@ object Bench {
     * failure contract is unit-testable with a deliberately-throwing
     * thunk (BenchSpec).
     */
-  def measure(name: String, reps: Int)(run: () => Unit): QueryStats = {
+  def measure(name: String, reps: Int, warmFirst: Boolean = false)(
+      run: () => Unit): QueryStats = {
+    // Per-query untimed warm rep (VERDICT r14 #2): heavy shapes whose
+    // artifacts/caches decay between the GLOBAL prewarm pass and their
+    // own timed reps (~70 queries later in the headline) recorded
+    // monotonically-decaying triples (x132 [14.0, 11.2, 4.4] vs a
+    // 4.4 s steady state). One warm run immediately before the timed
+    // reps restores steady state; protocol-faithful per the
+    // reference's warm-Lambda discipline (benchmark.py:49-65 times
+    // the warm mode separately from the cold one).
+    if (warmFirst) {
+      try run()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warm rep: ${e.getMessage}") }
+    }
     val results = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       val err =
@@ -328,6 +342,12 @@ object Bench {
     // df cap — the lexical twin of x03's banding question, with its
     // own instrumentation field
     "x199_sparse_cosine_pairs",
+    // round-15 additions (VERDICT r14 #5): the remaining non-trivial
+    // headline shapes without decade evidence — the frequent-pair
+    // lattice, the banded edit-distance join, the iterative BPE merge
+    // loop, and the Katz fixed-point iteration
+    "x127_association_rules", "x91_edit_distance_dedup",
+    "x121_bpe_train_steps", "x220_katz_centrality",
     // the ECDF-spine shape: its scaling question is whether the
     // support (not the corpus) stays the window grain — the ratio
     // should read ≈ the one fact-aggregation pass, near-linear
@@ -379,7 +399,29 @@ object Bench {
     // graft.tools.Time (x248 3.6x — support-bound; x259 1.62x —
     // candidate-bound); carried here so every official run keeps the
     // decade evidence fresh
-    "x248_energy_distance", "x259_chrf_pairs")
+    "x248_energy_distance", "x259_chrf_pairs",
+    // VERDICT r14 #1: x164's scaling-mid point owned the recorded
+    // max_ratio with no big bound — the vocabulary-shaped edge set
+    // (instrumented as x164_edges) is the term the big ratio reads
+    "x164_textrank",
+    // VERDICT r14 #5: the banded edit-distance join is the heaviest
+    // of the four new scaling shapes — candidate-bounded like x03
+    "x91_edit_distance_dedup")
+
+  /** Heavy shapes that get ONE untimed per-query warm rep immediately
+    * before their timed reps, in every timed phase (VERDICT r14 #2):
+    * the global prewarm leaves their artifacts warm, but by the time
+    * their own reps run (up to ~70 queries later) page-cache/JIT state
+    * has decayed and the recorded median sits 1.5-3× above steady
+    * state. The set is declared (and stamped in the artifact as
+    * `heavy_warm`) so the protocol difference is auditable.
+    */
+  private val heavyWarm = Set(
+    "x132_adamic_adar", "x144_personalized_pagerank",
+    "x173_bfs_diameter", "x92_span_dedup", "x69_pagerank",
+    "p01_pipeline_topk", "x129_hits", "x164_textrank",
+    "x31_passage_dedup", "x03_dedup_minhash", "x148_kneser_ney",
+    "x150_record_linkage", "x91_edit_distance_dedup")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
@@ -533,17 +575,51 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $n prewarm@$dir: ${e.getMessage}") }
       }
-    def timeQuery(name: String, dir: String, n: Int): QueryStats =
-      measure(name, n)(() => { SparkEntry.queries(name)(spark, dir).count(); () })
+    // Post-hoc contention stamp (VERDICT r14 #1): the per-point
+    // sentinel is read BEFORE the prewarm pass, so machine load during
+    // a specific query's timed reps — minutes later — was unmeasured,
+    // and an anomalous triple (x164-mid [29.7, 40.9, 15.6] under an
+    // "idle" point sentinel) could not be attributed in-artifact. Any
+    // non-trivial query whose rep spread exceeds 2.5× now gets a
+    // sentinel read IMMEDIATELY after its reps, stamped per
+    // query@point, so load during the anomalous window is recorded
+    // rather than inferred.
+    val spreadSentinels =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeQuery(name: String, dir: String, n: Int): QueryStats = {
+      val s = measure(name, n, warmFirst = heavyWarm(name))(
+        () => { SparkEntry.queries(name)(spark, dir).count(); () })
+      if (s.okReps > 1 && s.raw.min > 0.5 &&
+          s.raw.max / s.raw.min > 2.5) {
+        val sent = sentinel()
+        spreadSentinels(s"$name@${dir.split('/').last}") = fmt(sent)
+        System.err.println(f"[bench] $name@$dir rep spread ${
+          s.raw.max / s.raw.min}%.1fx (raw ${s.raw.map(fmt).mkString(",")
+          }), post-rep sentinel $sent%.2f")
+        fields("spread_sentinels") = spreadSentinels
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      }
+      s
+    }
+    fields("heavy_warm") =
+      heavyWarm.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
 
     val names = headline.filter(SparkEntry.queries.contains)
     prewarm(names, sfDir)
-    // x31 warm-path evidence (VERDICT r8 #1): the prewarm pass must
-    // have left the passage checkpoint built, so the timed reps below
-    // measure checkpoint reads, not rebuilds.
-    def x31Warm(dir: String): Boolean =
-      try Lake.isBuilt(spark, dir, "x31_passages")
-      catch { case _: Throwable => false }
+    // Checkpoint warm-path evidence (VERDICT r8 #1, extended r15 to
+    // x164 per VERDICT r14 #1): the prewarm pass must have left these
+    // lake checkpoints built, so the timed reps below measure
+    // checkpoint reads, not rebuilds — recorded per point as a JSON
+    // object so a slow point with ckpt_warm=true DISPROVES the
+    // rebuild-inside-timed-reps hypothesis in the artifact itself.
+    def ckptWarm(dir: String): String =
+      Seq("x31" -> "x31_passages", "x164" -> "textrank_edges_v1")
+        .map { case (k, n) =>
+          val b = try Lake.isBuilt(spark, dir, n)
+            catch { case _: Throwable => false }
+          s""""$k":$b"""
+        }.mkString("{", ",", "}")
+    def x31Warm(dir: String): String = ckptWarm(dir)
 
     // HEADLINE SENTINEL GATE (VERDICT r13 #1/#2): the headline phase
     // writes the driver's ≤2× contract number, and three rounds
@@ -787,6 +863,17 @@ object Bench {
           .head().getLong(0)}"""
       } catch { case e: Throwable =>
         parts += s""""x199_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x164_textrank")) try {
+        // the symmetric content-word co-occurrence edge set x164's
+        // fixed-point iteration is linear in — vocabulary-shaped
+        // (distinct long-token bigrams), so its growth should flatten
+        // as the corpus outgrows its vocabulary; the wall ratio reads
+        // against THIS field, not the corpus ratio
+        parts += s""""x164_edges":${Lake.materialize(spark, dir,
+          "textrank_edges_v1")(graft.ext.TextAnalysis.textrankEdges(
+            graft.ext.TextAnalysis.bigramTable(spark, dir))).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x164_edges_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("c02_join_large")) try {
         parts += s""""c02_join_strategy":"${joinStrategy(
           SparkEntry.queries("c02_join_large")(spark, dir))}""""
@@ -824,7 +911,7 @@ object Bench {
     // prewarm over the point's query set (builds every lake checkpoint
     // untimed), then timed reps. Identical to the headline protocol.
     def timePoint(dir: String, pointNames: Seq[String],
-        repsFor: String => Int): (Map[String, QueryStats], Boolean, String, Double) = {
+        repsFor: String => Int): (Map[String, QueryStats], String, String, Double) = {
       // per-point load sentinel: every compared point carries the
       // machine-load reading of ITS OWN measurement window, so a
       // cross-point ratio taken under asymmetric load is visible in
@@ -860,7 +947,7 @@ object Bench {
 
     val (smallStats, smallWarm, smallInst, smallSent) = scalingSkip match {
       case None => timePoint(smallDir, scalingNames, _ => reps)
-      case Some(_) => (Map.empty[String, QueryStats], false, "{}", 0.0)
+      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0)
     }
     // The mid point is RE-TIMED here, adjacent to the small point,
     // instead of reusing the headline-phase stats: the headline pass
@@ -873,7 +960,7 @@ object Bench {
     // homogeneous and auditable.
     val (midStats, midWarm, midInst, midSent) = scalingSkip match {
       case None => timePoint(sfDir, scalingNames, _ => reps)
-      case Some(_) => (Map.empty[String, QueryStats], false, "{}", 0.0)
+      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0)
     }
     if (scalingSkip.isEmpty) {
       // small+mid two-point record first; the big point extends it
@@ -891,7 +978,7 @@ object Bench {
       val dataRatioMid =
         if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
       fields("scaling") =
-        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)}},"x31_ckpt_warm":{"small":$smallWarm,"mid":$midWarm},"instrumentation":{"small":$smallInst,"mid":$midInst},"queries":$entries}"""
+        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)}},"ckpt_warm":{"small":$smallWarm,"mid":$midWarm},"instrumentation":{"small":$smallInst,"mid":$midInst},"queries":$entries}"""
       val maxMid = scalingNames.flatMap(n =>
         for { s <- med(smallStats, n); m <- med(midStats, n) } yield m / s)
       fields("scaling_summary") = s"""{"n":${scalingNames.size},"max_ratio_mid_over_small":${
@@ -921,14 +1008,14 @@ object Bench {
         if (volumeBound(n)) math.max(bigReps, 3) else bigReps
       val (bigDirDesc, bigStats, bigWarm, bigInst, bigSent) =
         if (remainingSec < 420)
-          ("skipped:budget", Map.empty[String, QueryStats], false, "{}", 0.0)
+          ("skipped:budget", Map.empty[String, QueryStats], "{}", "{}", 0.0)
         else try {
           val d = Lake.ensureScaledDir(spark, sfDir, bigFactor)
           val (bs, bw, bi, bsent) = timePoint(d, bigNames, bigRepsFor)
           (d, bs, bw, bi, bsent)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaled lake: ${e.getMessage}")
-          (s"FAILED: ${clip(e.getMessage)}", Map.empty[String, QueryStats], false, "{}", 0.0)
+          (s"FAILED: ${clip(e.getMessage)}", Map.empty[String, QueryStats], "{}", "{}", 0.0)
         }
       val entries = scalingNames.map { name =>
         (med(smallStats, name), med(midStats, name), med(bigStats, name)) match {
@@ -949,7 +1036,7 @@ object Bench {
       val dataRatioMid =
         if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
       fields("scaling") =
-        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","big_dir":"${jsonEscape(bigDirDesc)}","data_ratio_big_over_mid":$bigFactor,"big_reps":$bigReps,"big_queries":"${bigNames.mkString(",")}","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)},"big":${fmt(bigSent)}},"x31_ckpt_warm":{"small":$smallWarm,"mid":$midWarm,"big":$bigWarm},"instrumentation":{"small":$smallInst,"mid":$midInst,"big":$bigInst},"queries":$entries}"""
+        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","big_dir":"${jsonEscape(bigDirDesc)}","data_ratio_big_over_mid":$bigFactor,"big_reps":$bigReps,"big_queries":"${bigNames.mkString(",")}","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)},"big":${fmt(bigSent)}},"ckpt_warm":{"small":$smallWarm,"mid":$midWarm,"big":$bigWarm},"instrumentation":{"small":$smallInst,"mid":$midInst,"big":$bigInst},"queries":$entries}"""
       val maxMid = scalingNames.flatMap(n =>
         for { s <- med(smallStats, n); m <- med(midStats, n) } yield m / s)
       val maxBig = bigNames.flatMap(n =>

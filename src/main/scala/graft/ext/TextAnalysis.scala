@@ -1149,6 +1149,46 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // MATTR — Covington & McFall's moving-average type-token ratio
+    // per source (x258's richness indices are length-confounded: raw
+    // TTR falls with doc length by Heaps' law, so cross-source TTR
+    // comparisons read LENGTH, not vocabulary; MATTR fixes the
+    // denominator by averaging the TTR of fixed 50-token windows at
+    // stride 25): each token joins its ≤2 covering windows via a
+    // closed-form window-index range (the quadratic tokens×windows
+    // join is never built — per-token fanout is the constant W/S, so
+    // the frame stays 2× token mass at any corpus size), per-window
+    // distinct-type counts, then MATTR = Σ types / (50 · windows) as
+    // ONE exact-rational division per source. Docs shorter than one
+    // window contribute nothing — the standard MATTR edge rule.
+    "x280_mattr" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      val tok = d.select(col("doc_id"),
+        posexplode(tokens).as(Seq("p", "tok")))
+      val nDoc = tok.groupBy(col("doc_id"))
+        .agg((max(col("p")) + 1L).as("n_tok"))
+      val wins = tok
+        .withColumn("k", explode(expr(
+          "sequence(CASE WHEN p < 50 THEN 0L ELSE (p - 50) DIV 25 + 1 END, " +
+            "p DIV 25)")))
+        .join(nDoc, "doc_id")
+        .filter(col("k") * 25 + 50 <= col("n_tok"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg(countDistinct(col("tok")).as("types"))
+      d.select(col("doc_id"), col("source"))
+        .join(wins.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nw"), sum(col("types")).as("ts")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_windows"),
+          sum(col("ts")).as("types_sum"))
+        .select(col("source"), col("n_docs"), col("n_windows"),
+          round(col("types_sum").cast("double") /
+            (lit(50.0) * col("n_windows").cast("double")), 6).as("mattr"))
+        .orderBy(col("source"))
+    }),
+
     // MATTHEWS CORRELATION — the one-number grade of rule agreement
     // that survives class imbalance (x193 reads the discordance
     // DIRECTION, x194 the chance-corrected rate; MCC is the
@@ -3012,6 +3052,26 @@ object TextAnalysis {
         "FROM lg GROUP BY 1) " +
         "SELECT doc_id, tf_key, tf_stream, min_span FROM agg " +
         "WHERE min_span IS NOT NULL ORDER BY min_span, doc_id LIMIT 20"),
+    // same closed-form window-index range (p >= 50 keeps the integer
+    // division nonnegative, so // and DIV agree), same one-division
+    // rational per source
+    "x280_mattr" ->
+      ("WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM tok0), " +
+        "tok AS (SELECT doc_id, i - 1 AS p, w[i] AS t FROM idx), " +
+        "nd AS (SELECT doc_id, CAST(MAX(p) + 1 AS BIGINT) AS n_tok FROM tok GROUP BY 1), " +
+        "ks AS (SELECT doc_id, p, t, " +
+        "unnest(range(CASE WHEN p < 50 THEN 0 ELSE (p - 50) // 25 + 1 END, p // 25 + 1)) AS k " +
+        "FROM tok), " +
+        "wins AS (SELECT ks.doc_id, k, CAST(COUNT(DISTINCT t) AS BIGINT) AS types " +
+        "FROM ks JOIN nd ON nd.doc_id = ks.doc_id " +
+        "WHERE k * 25 + 50 <= n_tok GROUP BY 1, 2), " +
+        "pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw, " +
+        "CAST(SUM(types) AS BIGINT) AS ts FROM wins GROUP BY 1) " +
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(nw) AS BIGINT) AS n_windows, " +
+        "ROUND(CAST(SUM(ts) AS DOUBLE) / (50.0 * CAST(SUM(nw) AS DOUBLE)), 6) AS mattr " +
+        "FROM documents d JOIN pd ON pd.doc_id = d.doc_id GROUP BY 1 ORDER BY 1"),
     // same shared 2x2 cells, same exact cross product, one sqrt
     "x227_mcc" ->
       (ruleCellsCte +

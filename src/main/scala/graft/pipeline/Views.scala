@@ -421,6 +421,40 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // TURNING-POINT TEST — local-extrema randomness screen over the
+    // daily series — see [[turningPointReport]].
+    "x276_turning_points" -> ((spark, sfDir) =>
+      turningPointReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // BARTELS RANK VON NEUMANN — the distribution-free serial-
+    // randomness ratio beside x253's DW — see [[bartelsRankReport]].
+    "x277_bartels_rvn" -> ((spark, sfDir) =>
+      bartelsRankReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // JONCKHEERE–TERPSTRA — ordered-alternative shift across event
+    // types with no blocking — see [[jonckheereReport]].
+    "x278_jonckheere" -> ((spark, sfDir) =>
+      jonckheereReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // COCHRAN–ARMITAGE — weekly conversion-rate trend as a
+    // dose-response test — see [[cochranArmitageReport]].
+    "x279_ca_trend" -> ((spark, sfDir) =>
+      cochranArmitageReport(Lake.table(spark, sfDir, "events")
+        .groupBy(expr(
+          "datediff(to_date(ts), date'2024-01-01') DIV 7").as("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase" &&
+            col("value") > 90, 1L).otherwise(0L)).as("x")))),
+
     // INDEX OF DISPERSION — "is daily traffic Poisson?" with the
     // classical dispersion chi-square — see [[dispersionReport]].
     "x269_dispersion" -> ((spark, sfDir) =>
@@ -868,6 +902,155 @@ object Views {
           round(col("_num").cast("double") /
             sqrt(col("var18").cast("double") / lit(18.0)), 4)).as("z"))
       .orderBy(col("event_type"))
+  }
+
+  /** x276's turning-point randomness test over the same daily frame —
+    * the cheapest classical "is this series random?" screen (x237's
+    * runs test reads signs vs the median; turning points read LOCAL
+    * extrema, catching oscillation/smoothness departures the runs
+    * test misses): an interior day is a turning point when it is a
+    * strict local max or min among its two neighbors; under
+    * randomness E[T] = 2(n−2)/3 and Var(T) = (16n−29)/90, so
+    * z = (T − E)/√Var in one closed form over exact integer counts.
+    * Ties break the strictness and simply don't count — the
+    * conservative convention. Two bounded lag/lead windows at day
+    * grain, one aggregate.
+    */
+  def turningPointReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("xp", lag(col("x"), 1).over(byDay))
+      .withColumn("xn", lead(col("x"), 1).over(byDay))
+      .withColumn("tp", when(col("xp").isNotNull && col("xn").isNotNull &&
+        ((col("x") > col("xp") && col("x") > col("xn")) ||
+          (col("x") < col("xp") && col("x") < col("xn"))), 1L)
+        .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("tp")).as("t_points"))
+      .select(col("event_type"), col("n_days"), col("t_points"),
+        when(col("n_days") >= 3L,
+          round((dd(col("t_points")) -
+            lit(2.0) * dd(col("n_days") - 2L) / 3.0) /
+            sqrt((lit(16.0) * dd(col("n_days")) - 29.0) / 90.0), 6))
+          .as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x277's Bartels rank von Neumann ratio over the same daily frame
+    * — the rank-based serial-randomness test (x253's DW reads
+    * residual autocorrelation in VALUE space under a fitted line;
+    * Bartels is its distribution-free twin on ranks, valid with no
+    * model at all): with doubled midranks r2 (exact under ties,
+    * Σr2 = n(n+1) so mean(r2) = n+1 exactly), RVN =
+    * Σ(r2_i − r2_{i+1})² / Σ(r2_i − (n+1))² — both sums exact
+    * integers, the doubling cancels, ONE division. RVN ≈ 2 under
+    * randomness; z_approx uses the large-sample Var ≈ 4/n. Rank +
+    * one lead window at day grain.
+    */
+  def bartelsRankReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byVal = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val tieGrp = Window.partitionBy(col("event_type"), col("x"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("r2", lit(2L) * rank().over(byVal) +
+        count(lit(1)).over(tieGrp) - lit(1L))
+      .withColumn("rn", lead(col("r2"), 1).over(byDay))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        sum(when(col("rn").isNotNull,
+          (col("r2") - col("rn")) * (col("r2") - col("rn"))))
+          .as("num2"),
+        sum((col("r2") - (col("n_days") + 1L)) *
+          (col("r2") - (col("n_days") + 1L))).as("den2"))
+      .select(col("event_type"), col("n_days"), col("num2"), col("den2"),
+        when(col("den2") > 0L,
+          round(dd(col("num2")) / dd(col("den2")), 6)).as("rvn"),
+        when(col("den2") > 0L && col("n_days") >= 10L,
+          round((dd(col("num2")) / dd(col("den2")) - 2.0) /
+            sqrt(lit(4.0) / dd(col("n_days"))), 6)).as("z_approx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x278's Jonckheere–Terpstra ordered-alternative test across the
+    * event types (ordered lexically as the exposure order) — the
+    * independent-groups complement of x260's Page test (Page needs
+    * the day×type BLOCK design; JT asks whether the per-day volume
+    * distributions shift monotonically across ordered groups with no
+    * blocking): 2U = Σ_{a<b} Σ f_a·f_b·(2·[x_a<x_b] + [x_a=x_b])
+    * over the per-group count-of-counts cells (exact integer, ties
+    * at half weight), E[2U] = Σ_{a<b} n_a·n_b, Var(U) =
+    * (N²(2N+3) − Σ n_g²(2n_g+3))/72 (the classical no-tie form), z
+    * with doubled-statistic scaling. The cell-pair join is bounded
+    * by (Σ_g cells_g)² — support grain, never day grain.
+    */
+  def jonckheereReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val cells = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("f"))
+    val u2 = cells.as("a").join(cells.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .agg(coalesce(sum(col("a.f") * col("b.f") *
+        (lit(2L) * when(col("a.x") < col("b.x"), 1L).otherwise(0L) +
+          when(col("a.x") === col("b.x"), 1L).otherwise(0L))), lit(0L))
+        .as("u2"))
+    val sizes = cells.groupBy(col("event_type"))
+      .agg(sum(col("f")).as("n_g"))
+    val tot = sizes.agg(count(lit(1)).as("k_groups"),
+      sum(col("n_g")).as("n_total"),
+      sum(col("n_g") * col("n_g")).as("sq"),
+      sum(col("n_g") * col("n_g") * (lit(2L) * col("n_g") + 3L))
+        .as("sq3"),
+      // E[2U] = Σ_{a<b} n_a·n_b = (N² − Σn_g²)/2 — N²−Σn² counts
+      // ordered pairs, i.e. each unordered group pair twice; integer
+      // DIV (the difference is always even), not double division
+      expr("(SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) DIV 2").as("e2"))
+    u2.crossJoin(tot)
+      .select(col("k_groups"), col("n_total"), col("u2"), col("e2"),
+        when(col("n_total") > 2L,
+          round((dd(col("u2")) - dd(col("e2"))) /
+            sqrt(lit(4.0) *
+              (dd(col("n_total")) * dd(col("n_total")) *
+                (lit(2.0) * dd(col("n_total")) + 3.0) - dd(col("sq3"))) /
+              72.0), 6)).as("z"))
+  }
+
+  /** x279's Cochran–Armitage trend test of the weekly conversion
+    * rate — "is the purchase-conversion share trending across weeks?"
+    * as a dose-response test with week index as the score (x167
+    * tests the VOLUME series for trend; CA tests a PROPORTION with
+    * binomial variance, the clinical/AB standard for ordered
+    * exposure): per week i, trials n_i (events) and successes x_i
+    * (purchase & value > 90); T = Σ s_i·(x_i·N − n_i·X) is an exact
+    * integer in DECIMAL(38,0) (operands widened before the multiply
+    * — x247's overflow lesson), and χ² = T²·N / (X·(N−X)·(N·Σn_i s_i²
+    * − (Σn_i s_i)²)) lands in ONE division. Week-grain cells only.
+    */
+  def cochranArmitageReport(weekly: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tot = weekly.agg(count(lit(1)).as("n_weeks"),
+      sum(col("n")).as("n_total"), sum(col("x")).as("x_total"),
+      sum(col("n") * col("s")).as("ns"),
+      sum(col("n") * col("s") * col("s")).as("nss"))
+    weekly.crossJoin(broadcast(tot))
+      .agg(max(col("n_weeks")).as("n_weeks"),
+        max(col("n_total")).as("n_total"),
+        max(col("x_total")).as("x_total"),
+        sum(dec(col("s")) * (dec(col("x")) * col("n_total") -
+          dec(col("n")) * col("x_total"))).as("t_num"),
+        max(dec(col("n_total")) * col("nss") -
+          dec(col("ns")) * col("ns")).as("s_var"))
+      .select(col("n_weeks"), col("n_total"), col("x_total"),
+        col("t_num").cast("long").as("t_num"),
+        when(col("x_total") > 0L && col("x_total") < col("n_total") &&
+            col("s_var") > 0L,
+          round((dec(col("t_num")) * dec(col("t_num")) *
+            col("n_total")).cast("double") /
+            (dec(col("x_total")) * (dec(col("n_total")) - col("x_total")) *
+              col("s_var")).cast("double"), 6)).as("chi2"))
   }
 
   /** x168's day-of-week seasonality stage over the same daily frame:
@@ -2396,6 +2579,87 @@ object Views {
         "CASE WHEN var18 > 0 THEN " +
         "ROUND(CAST(num AS DOUBLE) / SQRT(CAST(var18 AS DOUBLE) / 18.0), 4) END AS z " +
         "FROM f ORDER BY event_type"),
+    // same lag/lead neighbor windows, same closed-form moments
+    "x276_turning_points" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, day, x, " +
+        "LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS xp, " +
+        "LEAD(x) OVER (PARTITION BY event_type ORDER BY day) AS xn FROM d), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(SUM(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL AND " +
+        "((x > xp AND x > xn) OR (x < xp AND x < xn)) THEN 1 ELSE 0 END) AS BIGINT) AS t_points " +
+        "FROM t GROUP BY 1) " +
+        "SELECT event_type, n_days, t_points, " +
+        "CASE WHEN n_days >= 3 THEN " +
+        "ROUND((CAST(t_points AS DOUBLE) - 2.0 * CAST(n_days - 2 AS DOUBLE) / 3.0) / " +
+        "SQRT((16.0 * CAST(n_days AS DOUBLE) - 29.0) / 90.0), 6) END AS z " +
+        "FROM g ORDER BY event_type"),
+    // same doubled midranks (mean r2 = n+1 exactly), same one-division
+    // exact-integer ratio
+    "x277_bartels_rvn" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT event_type, day, " +
+        "2 * RANK() OVER (PARTITION BY event_type ORDER BY x) + " +
+        "COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2, " +
+        "CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days FROM d), " +
+        "l AS (SELECT event_type, n_days, r2, " +
+        "LEAD(r2) OVER (PARTITION BY event_type ORDER BY day) AS rn FROM r), " +
+        "g AS (SELECT event_type, MAX(n_days) AS n_days, " +
+        "CAST(SUM(CASE WHEN rn IS NOT NULL THEN (r2 - rn) * (r2 - rn) END) AS BIGINT) AS num2, " +
+        "CAST(SUM((r2 - (n_days + 1)) * (r2 - (n_days + 1))) AS BIGINT) AS den2 " +
+        "FROM l GROUP BY 1) " +
+        "SELECT event_type, n_days, num2, den2, " +
+        "CASE WHEN den2 > 0 THEN ROUND(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE), 6) END AS rvn, " +
+        "CASE WHEN den2 > 0 AND n_days >= 10 THEN " +
+        "ROUND((CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE) - 2.0) / " +
+        "SQRT(4.0 / CAST(n_days AS DOUBLE)), 6) END AS z_approx " +
+        "FROM g ORDER BY event_type"),
+    // same count-of-counts cells, same half-weighted ties, same
+    // classical variance
+    "x278_jonckheere" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "cells AS (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS f FROM d GROUP BY 1, 2), " +
+        "u AS (SELECT CAST(COALESCE(SUM(a.f * b.f * " +
+        "(2 * (CASE WHEN a.x < b.x THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN a.x = b.x THEN 1 ELSE 0 END))), 0) AS BIGINT) AS u2 " +
+        "FROM cells a JOIN cells b ON a.event_type < b.event_type), " +
+        "sz AS (SELECT event_type, CAST(SUM(f) AS BIGINT) AS n_g FROM cells GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups, " +
+        "CAST(SUM(n_g) AS BIGINT) AS n_total, " +
+        "CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sq3, " +
+        "CAST((SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) // 2 AS BIGINT) AS e2 FROM sz) " +
+        "SELECT k_groups, n_total, u2, e2, " +
+        "CASE WHEN n_total > 2 THEN " +
+        "ROUND((CAST(u2 AS DOUBLE) - CAST(e2 AS DOUBLE)) / " +
+        "SQRT(4.0 * (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * " +
+        "(2.0 * CAST(n_total AS DOUBLE) + 3.0) - CAST(sq3 AS DOUBLE)) / 72.0), 6) END AS z " +
+        "FROM u CROSS JOIN t"),
+    // same week cells, HUGEINT operands widened before the multiply,
+    // one division
+    "x279_ca_trend" ->
+      ("WITH w AS (SELECT " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks, " +
+        "CAST(SUM(n) AS BIGINT) AS n_total, CAST(SUM(x) AS BIGINT) AS x_total, " +
+        "CAST(SUM(n * s) AS BIGINT) AS ns, CAST(SUM(n * s * s) AS BIGINT) AS nss FROM w), " +
+        "g AS (SELECT MAX(n_weeks) AS n_weeks, MAX(n_total) AS n_total, MAX(x_total) AS x_total, " +
+        "SUM(CAST(s AS HUGEINT) * (CAST(x AS HUGEINT) * n_total - CAST(n AS HUGEINT) * x_total)) AS t_num, " +
+        "MAX(CAST(n_total AS HUGEINT) * nss - CAST(ns AS HUGEINT) * ns) AS s_var " +
+        "FROM w CROSS JOIN t) " +
+        "SELECT n_weeks, n_total, x_total, CAST(t_num AS BIGINT) AS t_num, " +
+        "CASE WHEN x_total > 0 AND x_total < n_total AND s_var > 0 THEN " +
+        "ROUND(CAST(CAST(t_num AS HUGEINT) * t_num * n_total AS DOUBLE) / " +
+        "CAST(CAST(x_total AS HUGEINT) * (n_total - x_total) * s_var AS DOUBLE), 6) END AS chi2 " +
+        "FROM g"),
     // same exact integer moments, same cross-multiplied rational
     "x269_dispersion" ->
       ("WITH d AS (SELECT event_type, " +

@@ -2043,6 +2043,61 @@ object Surface {
             round(col("area_a") - col("area_b"), 4)).as("rmst_diff"))
     }),
 
+    // GEHAN–WILCOXON WEIGHTED LOG-RANK — the early-difference test of
+    // the survival family (c97's log-rank weights every event time
+    // equally, so late-time noise dilutes an early separation; Gehan
+    // weights each time by the at-risk total n_t, the censoring-aware
+    // generalization of Wilcoxon): over the SAME risk spine, the
+    // weighted O−E term n_t·(d_A − d_t·r_A/n_t) collapses to the
+    // EXACT INTEGER n_t·d_A − d_t·r_A (no fixed-point grid needed —
+    // the weight cancels the one division c97 must round), and the
+    // weighted variance term d_t·r_A·r_B·(n_t−d_t)/(n_t−1) lands in
+    // DECIMAL(38,0) via the x225 subtract-remainder floor division
+    // (exact in both engines; floor error ≤ 1 per spine row against
+    // ~10¹²-scale terms). χ² = W²/Var in ONE final division.
+    "c102_gehan_wilcoxon" -> ((spark, sfDir) => {
+      val spine = survivalRiskSpine(spark, sfDir)
+        .withColumn("w_t",
+          col("nt") * col("d_A") - col("dt") * col("risk_a"))
+        .withColumn("v_num", expr(
+          "CAST(dt AS DECIMAL(38,0)) * risk_a * risk_b * (nt - dt)"))
+        .withColumn("v_t", when(col("nt") > 1L, expr(
+          "CAST((v_num - v_num % CAST(nt - 1 AS DECIMAL(38,0))) / " +
+            "CAST(nt - 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+      spine.agg(count(lit(1)).as("n_times"),
+          sum(col("d_A")).as("events_a"), sum(col("d_B")).as("events_b"),
+          sum(col("w_t")).as("w_stat"), sum(col("v_t")).as("var_w"))
+        .select(col("n_times"), col("events_a"), col("events_b"),
+          col("w_stat"),
+          when(col("var_w") > 0,
+            round((col("w_stat").cast("decimal(38,0)") * col("w_stat"))
+              .cast("double") / col("var_w").cast("double"), 6))
+            .as("chi2"))
+    }),
+
+    // E-VALUE — VanderWeele & Ding's sensitivity readout for c99's
+    // hazard ratio: the minimum strength of association an UNMEASURED
+    // confounder would need with both arm and outcome to explain the
+    // observed HR away (the modern observational-causal reporting
+    // standard; a hash-arm split is randomized, making this the
+    // calibration example). RR* = max(HR, 1/HR) on c99's readout,
+    // E = RR* + √(RR*·(RR*−1)) — pure scalar algebra on the 1-row
+    // MH frame, no new fact pass.
+    "c103_evalue" -> ((spark, sfDir) => {
+      def dd(c: Column) = c.cast("double")
+      queries("c99_mantel_haenszel_hr")(spark, sfDir)
+        .select(col("hr_mh"),
+          when(col("hr_mh").isNotNull && col("hr_mh") > 0.0,
+            greatest(col("hr_mh"), lit(1.0) / dd(col("hr_mh"))))
+            .as("rr_star"))
+        .select(col("hr_mh"), round(col("rr_star"), 6).as("rr_star"),
+          when(col("rr_star") >= 1.0,
+            round(col("rr_star") +
+              sqrt(col("rr_star") * (col("rr_star") - 1.0)), 6))
+            .as("evalue"))
+    }),
+
     // INTERRUPTED TIME SERIES — the single-group causal design beside
     // c95's two-group DiD (no control group? fit the trend before and
     // after the intervention and read the LEVEL CHANGE at the break):
@@ -2857,6 +2912,93 @@ object Surface {
         "CASE WHEN zr = 0 THEN ROUND(head_gap + area_b, 4) END AS rmst_b, " +
         "CASE WHEN zr = 0 THEN ROUND(area_a - area_b, 4) END AS rmst_diff " +
         "FROM z, hd"),
+    // c97's risk-table CTEs; the n_t weight cancels the division so
+    // W is an exact BIGINT, variance terms in HUGEINT floor division
+    "c102_gehan_wilcoxon" ->
+      (s"WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        s"subj AS (SELECT CASE WHEN ((user_id * ${Sampling.HashMul}) % ${Sampling.HashMod}) " +
+        s"< ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "na AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a0, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b0 FROM subj), " +
+        "ta AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_a, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_a " +
+        "FROM subj WHERE arm = 'A' GROUP BY 1), " +
+        "tb AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_b, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_b " +
+        "FROM subj WHERE arm = 'B' GROUP BY 1), " +
+        "sp AS (SELECT COALESCE(ta.t_day, tb.t_day) AS t_day, " +
+        "COALESCE(d_a, 0) AS d_a, COALESCE(c_a, 0) AS c_a, " +
+        "COALESCE(d_b, 0) AS d_b, COALESCE(c_b, 0) AS c_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.t_day = tb.t_day), " +
+        "r AS (SELECT sp.*, n_a0, n_b0, " +
+        "n_a0 - COALESCE(CAST(SUM(d_a + c_a) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_a, " +
+        "n_b0 - COALESCE(CAST(SUM(d_b + c_b) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_b " +
+        "FROM sp, na), " +
+        "f AS (SELECT *, risk_a + risk_b AS nt, d_a + d_b AS dt FROM r " +
+        "WHERE d_a + d_b > 0), " +
+        "g AS (SELECT *, nt * d_a - dt * risk_a AS w_t, " +
+        "CASE WHEN nt > 1 THEN " +
+        "(CAST(dt AS HUGEINT) * risk_a * risk_b * (nt - dt)) // CAST(nt - 1 AS HUGEINT) " +
+        "ELSE CAST(0 AS HUGEINT) END AS v_t FROM f) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_times, " +
+        "CAST(SUM(d_a) AS BIGINT) AS events_a, CAST(SUM(d_b) AS BIGINT) AS events_b, " +
+        "CAST(SUM(w_t) AS BIGINT) AS w_stat, " +
+        "CASE WHEN SUM(v_t) > 0 THEN " +
+        "ROUND(CAST(CAST(SUM(w_t) AS HUGEINT) * SUM(w_t) AS DOUBLE) / " +
+        "CAST(SUM(v_t) AS DOUBLE), 6) END AS chi2 FROM g"),
+    // c99's MH chain wrapped; E-value off the 6-dp hr_mh readout in
+    // both engines (same rounding point, same scalar algebra)
+    "c103_evalue" ->
+      (s"WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dp FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        s"subj AS (SELECT CASE WHEN ((user_id * ${Sampling.HashMul}) % ${Sampling.HashMod}) " +
+        s"< ${Sampling.HashMod / 2} THEN 'A' ELSE 'B' END AS arm, " +
+        "CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dl - d0 END AS t_day, " +
+        "dp IS NOT NULL AS died FROM life LEFT JOIN conv USING (user_id)), " +
+        "na AS (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a0, " +
+        "CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b0 FROM subj), " +
+        "ta AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_a, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_a " +
+        "FROM subj WHERE arm = 'A' GROUP BY 1), " +
+        "tb AS (SELECT t_day, CAST(SUM(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d_b, " +
+        "CAST(SUM(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c_b " +
+        "FROM subj WHERE arm = 'B' GROUP BY 1), " +
+        "sp AS (SELECT COALESCE(ta.t_day, tb.t_day) AS t_day, " +
+        "COALESCE(d_a, 0) AS d_a, COALESCE(c_a, 0) AS c_a, " +
+        "COALESCE(d_b, 0) AS d_b, COALESCE(c_b, 0) AS c_b " +
+        "FROM ta FULL OUTER JOIN tb ON ta.t_day = tb.t_day), " +
+        "r AS (SELECT sp.*, n_a0, n_b0, " +
+        "n_a0 - COALESCE(CAST(SUM(d_a + c_a) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_a, " +
+        "n_b0 - COALESCE(CAST(SUM(d_b + c_b) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS risk_b " +
+        "FROM sp, na), " +
+        "f AS (SELECT *, risk_a + risk_b AS nt, d_a + d_b AS dt FROM r " +
+        "WHERE d_a + d_b > 0), " +
+        "g3 AS (SELECT *, " +
+        "CAST(ROUND(CAST(d_a * risk_b AS DOUBLE) / CAST(nt AS DOUBLE) " +
+        "* 1000000000.0) AS BIGINT) AS num_fp, " +
+        "CAST(ROUND(CAST(d_b * risk_a AS DOUBLE) / CAST(nt AS DOUBLE) " +
+        "* 1000000000.0) AS BIGINT) AS den_fp FROM f), " +
+        "base AS (SELECT CASE WHEN SUM(den_fp) > 0 THEN " +
+        "ROUND(CAST(SUM(num_fp) AS DOUBLE) / CAST(SUM(den_fp) AS DOUBLE), 6) END AS hr_mh " +
+        "FROM g3), " +
+        "e AS (SELECT hr_mh, CASE WHEN hr_mh IS NOT NULL AND hr_mh > 0.0 THEN " +
+        "GREATEST(hr_mh, 1.0 / hr_mh) END AS rr FROM base) " +
+        "SELECT hr_mh, ROUND(rr, 6) AS rr_star, " +
+        "CASE WHEN rr >= 1.0 THEN ROUND(rr + SQRT(rr * (rr - 1.0)), 6) END AS evalue " +
+        "FROM e"),
     // same per-segment four-sum OLS, same fixed double fit/contrast
     // expressions at the break
     "c96_interrupted_ts" ->

@@ -2028,6 +2028,26 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s52"))
       .orderBy(col("event_type"))
 
+  /** s53: x276's turning-point randomness screen off the same
+    * maintained day frame — local-extrema oscillation monitoring as
+    * IVM: the lag/lead neighbor windows and closed-form moments
+    * recompute per refresh over the bounded day-grain state.
+    */
+  def foreachBatchTurningPoints(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.turningPointReport(
+        maintainedDayCounts(spark, sfDir, "s53"))
+      .orderBy(col("event_type"))
+
+  /** s54: x277's Bartels rank von Neumann ratio off the same
+    * maintained day frame — the distribution-free serial-randomness
+    * monitor as IVM: doubled midranks and the exact-integer ratio
+    * re-read from the additive (type, day) cells after every merge.
+    */
+  def foreachBatchBartels(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.bartelsRankReport(
+        maintainedDayCounts(spark, sfDir, "s54"))
+      .orderBy(col("event_type"))
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -2604,6 +2624,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchRichness(spark, sfDir)),
     "s52_stream_dispersion_maintain" ->
       ((spark, sfDir) => foreachBatchDispersion(spark, sfDir)),
+    "s53_stream_turning_maintain" ->
+      ((spark, sfDir) => foreachBatchTurningPoints(spark, sfDir)),
+    "s54_stream_bartels_maintain" ->
+      ((spark, sfDir) => foreachBatchBartels(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2729,6 +2753,14 @@ object Streams {
     // cells ≡ batch x269
     "s52_stream_dispersion_maintain" ->
       graft.pipeline.Views.oracles("x269_dispersion"),
+    // the IVM contract verbatim: turning points over the maintained
+    // day cells ≡ batch x276
+    "s53_stream_turning_maintain" ->
+      graft.pipeline.Views.oracles("x276_turning_points"),
+    // the IVM contract verbatim: Bartels RVN over the maintained day
+    // cells ≡ batch x277
+    "s54_stream_bartels_maintain" ->
+      graft.pipeline.Views.oracles("x277_bartels_rvn"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

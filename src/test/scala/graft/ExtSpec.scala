@@ -6441,4 +6441,109 @@ class ExtSpec extends SparkSpec {
         p.length < 2 || p.head <= p.last), s"$src rank order broken")
     }
   }
+  test("x276 turning points: oscillating series counts every interior extremum, monotone counts none") {
+    import spark.implicits._
+    val osc = Seq(("a", 0, 1L), ("a", 1, 3L), ("a", 2, 2L),
+      ("a", 3, 5L), ("a", 4, 4L)).toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.turningPointReport(osc).collect()(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L, s"osc: $r")
+    val expZ = BigDecimal((3.0 - 2.0 * 3.0 / 3.0) /
+        math.sqrt((16.0 * 5.0 - 29.0) / 90.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == expZ, s"z: $r vs $expZ")
+    val mono = (0 until 5).map(d => ("a", d, (d + 1).toLong))
+      .toDF("event_type", "day", "x")
+    val m = graft.pipeline.Views.turningPointReport(mono).collect()(0)
+    assert(m.getLong(2) == 0L, s"mono: $m")
+    val c = graft.pipeline.Views.queries("x276_turning_points")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.getLong(2) <= r.getLong(1) - 2),
+      s"corpus tp: ${c.toSeq}")
+  }
+
+  test("x277 bartels RVN: trend reads 0.4, alternation reads 2.6 - exact rationals") {
+    import spark.implicits._
+    val trend = (0 until 5).map(d => ("a", d, (d + 1).toLong))
+      .toDF("event_type", "day", "x")
+    val t = graft.pipeline.Views.bartelsRankReport(trend).collect()(0)
+    // r2 = 2,4,6,8,10: num2 = 4*4 = 16, den2 = 16+4+0+4+16 = 40
+    assert(t.getLong(2) == 16L && t.getLong(3) == 40L &&
+      t.getDouble(4) == 0.4, s"trend: $t")
+    val alt = Seq(("a", 0, 1L), ("a", 1, 5L), ("a", 2, 2L),
+      ("a", 3, 6L), ("a", 4, 3L)).toDF("event_type", "day", "x")
+    val a = graft.pipeline.Views.bartelsRankReport(alt).collect()(0)
+    // r2 = 2,8,4,10,6: num2 = 36+16+36+16 = 104, den2 = 40
+    assert(a.getLong(2) == 104L && a.getDouble(4) == 2.6, s"alt: $a")
+    val c = graft.pipeline.Views.queries("x277_bartels_rvn")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(4) || r.getDouble(4) >= 0.0),
+      s"corpus rvn: ${c.toSeq}")
+  }
+
+  test("x278 jonckheere: fully ordered groups read the maximum 2U with the classical z") {
+    import spark.implicits._
+    val d = Seq(("a", 0, 1L), ("a", 1, 2L), ("b", 0, 3L), ("b", 1, 4L),
+      ("c", 0, 5L), ("c", 1, 6L)).toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.jonckheereReport(d).collect()(0)
+    // every cross-group pair is ordered: u2 = 2 * 12 = 24; e2 = 12
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L &&
+      r.getLong(2) == 24L && r.getLong(3) == 12L, s"jt: $r")
+    val expZ = BigDecimal((24.0 - 12.0) / math.sqrt(4.0 *
+        (6.0 * 6.0 * (2.0 * 6.0 + 3.0) - 84.0) / 72.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expZ, s"z: $r vs $expZ")
+    val c = graft.pipeline.Views.queries("x278_jonckheere")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(1) > 0L && c.getLong(2) >= 0L, s"corpus jt: $c")
+  }
+
+  test("x279 cochran-armitage: a linear dose-response fixture solves chi2 = 1.25 exactly") {
+    import spark.implicits._
+    val w = Seq((0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 3L))
+      .toDF("s", "n", "x")
+    val r = graft.pipeline.Views.cochranArmitageReport(w).collect()(0)
+    // T = 0 + (2*30 - 10*6) + 2*(3*30 - 10*6) = 60; s_var = 30*50 - 900 = 600
+    // chi2 = 60^2 * 30 / (6 * 24 * 600) = 1.25
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L && r.getLong(2) == 6L &&
+      r.getLong(3) == 60L && r.getDouble(4) == 1.25, s"ca: $r")
+    val c = graft.pipeline.Views.queries("x279_ca_trend")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(1) > 0L && (c.isNullAt(4) || c.getDouble(4) >= 0.0),
+      s"corpus ca: $c")
+  }
+
+  test("c102 gehan-wilcoxon: exact-integer W on the shared risk spine, chi2 consistent") {
+    val r = graft.queries.Surface.queries("c102_gehan_wilcoxon")(spark, SfDir)
+      .collect()(0)
+    assert(r.getLong(0) > 0L && r.getLong(1) + r.getLong(2) > 0L,
+      s"gehan spine: $r")
+    // chi2 is W^2/Var: nonnegative whenever defined
+    assert(r.isNullAt(4) || r.getDouble(4) >= 0.0, s"gehan chi2: $r")
+  }
+
+  test("c103 e-value: E >= RR* >= 1 and the closed form recomputes from hr_mh") {
+    val r = graft.queries.Surface.queries("c103_evalue")(spark, SfDir)
+      .collect()(0)
+    if (!r.isNullAt(0)) {
+      val hr = r.getDouble(0)
+      val rr = math.max(hr, 1.0 / hr)
+      assert(r.getDouble(1) == BigDecimal(rr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"rr: $r")
+      val expE = BigDecimal(rr + math.sqrt(rr * (rr - 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == expE && r.getDouble(2) >= r.getDouble(1),
+        s"evalue: $r vs $expE")
+    }
+  }
+
+  test("x280 mattr: per-source moving-average TTR lands in (0, 1] over >= one window per doc") {
+    val rows = graft.ext.TextAnalysis.queries("x280_mattr")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty, "no sources produced a MATTR window")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"windows < docs: $r")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, s"mattr range: $r")
+    }
+  }
+
 }

@@ -563,6 +563,28 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Kuiper diverges:\n${sk.toSeq}\nvs\n${bk.toSeq}")
   }
 
+  test("streaming turning points equals batch x276, streaming Bartels equals batch x277 (s53/s54)") {
+    def keyT(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val st = graft.streaming.Streams.foreachBatchTurningPoints(spark, SfDir)
+      .collect().map(keyT)
+    val bt = graft.pipeline.Views.queries("x276_turning_points")(spark, SfDir)
+      .collect().map(keyT)
+    assert(st.toSeq == bt.toSeq,
+      s"streamed turning points diverge:\n${st.toSeq}\nvs\n${bt.toSeq}")
+    def keyB(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    val sb = graft.streaming.Streams.foreachBatchBartels(spark, SfDir)
+      .collect().map(keyB)
+    val bb = graft.pipeline.Views.queries("x277_bartels_rvn")(spark, SfDir)
+      .collect().map(keyB)
+    assert(sb.toSeq == bb.toSeq,
+      s"streamed Bartels diverges:\n${sb.toSeq}\nvs\n${bb.toSeq}")
+  }
+
   test("streaming Bartlett equals batch x246, streaming richness equals batch x258 (s50/s51)") {
     def keyB(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
