@@ -863,6 +863,16 @@ object Bench {
           .head().getLong(0)}"""
       } catch { case e: Throwable =>
         parts += s""""x199_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x91_edit_distance_dedup")) try {
+        // Σ C(block,2) over the capped (len, prefix) blocks AFTER the
+        // exact-text collapse — replication-invariant (the r15 fix:
+        // pre-collapse, k× replicated copies grew candidates ~k² and
+        // the big point read 15.4× at 10× data)
+        parts += s""""x91_candidate_pairs":${graft.ext.Dedup
+          .editCandidateVolume(graft.ext.Dedup.editDistanceInput(spark, dir),
+            maxBlock = 64L)}"""
+      } catch { case e: Throwable =>
+        parts += s""""x91_candidate_pairs_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x164_textrank")) try {
         // the symmetric content-word co-occurrence edge set x164's
         // fixed-point iteration is linear in — vocabulary-shaped

@@ -320,6 +320,19 @@ object Views {
       mwReportFromCounts(ksHalfCounts(Lake.table(spark, sfDir, "events")))
         .orderBy(col("event_type"))),
 
+    // CRAMÉR–VON MISES DRIFT — the squared-integrated ECDF gap on
+    // the same half/bucket frame: sees any distributional change,
+    // crossing or not — see [[cvmReportFromCounts]].
+    "x281_cvm_drift" -> ((spark, sfDir) =>
+      cvmReportFromCounts(ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
+    // MOOD SCALE + LEPAGE COMBO — the tail-weighted squared-rank
+    // scale test x146's location AUC is blind to, plus the combined
+    // location–scale χ²₂ — see [[moodScaleReportFromCounts]].
+    "x282_mood_scale" -> ((spark, sfDir) =>
+      moodScaleReportFromCounts(
+        ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
     // AUTOCORRELATION — the memory/seasonality fingerprint of the
     // event stream beside the drift monitors (x98/x133/x146 compare
     // windows, x138 localizes a shift; ACF asks whether the series
@@ -2236,6 +2249,124 @@ object Views {
           .as("drifted"))
   }
 
+  /** x281's Cramér–von Mises drift report over the SAME
+    * (event_type, half, bucket, c) frame as x133/x146: KS reads the
+    * sup of the ECDF gap (one crossing decides it), MW integrates
+    * the SIGNED gap (a symmetric scale change cancels to zero); CvM
+    * integrates the SQUARED gap over every pooled observation, so it
+    * sees any distributional difference, crossing or not —
+    * T = n_r·n_c/N² · Σ_b f_b·(F_r(b) − F_c(b))². Per bucket the gap
+    * is the exact integer cross-multiple d_b = cumR·n_c − cumC·n_r,
+    * each term lands as the exact DECIMAL(38,0) floor division
+    * f_b·d_b²/(n_r·n_c) (subtract-remainder form, ≡ HUGEINT // —
+    * floor error ≤ 1 per bucket against ~10²⁶-scale terms), and ONE
+    * final division by N² produces T. Same cumulative windows, same
+    * ≤500-row frames.
+    */
+  def cvmReportFromCounts(cnt: DataFrame): DataFrame = {
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    b.select(col("event_type"), col("cr"), col("cc"),
+        sum(col("cr")).over(cum).as("cum_r"),
+        sum(col("cc")).over(cum).as("cum_c"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .withColumn("d", expr(
+        "CAST(cum_r AS DECIMAL(38,0)) * nc - CAST(cum_c AS DECIMAL(38,0)) * nr"))
+      // d²/(n_r·n_c) floored FIRST (bounded by n_r·n_c), THEN × f —
+      // keeps every intermediate under ~10²⁶ where f·d² would blow
+      // past DECIMAL(38,0) at ~10⁹ rows per side
+      .withColumn("t_num", expr(
+        "(cr + cc) * CAST((d * d - (d * d) % " +
+          "(CAST(nr AS DECIMAL(38,0)) * nc)) / " +
+          "(CAST(nr AS DECIMAL(38,0)) * nc) AS DECIMAL(38,0))"))
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        sum(col("t_num")).as("t_sum"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(col("t_sum").cast("double") /
+            ((col("n_ref") + col("n_cur")).cast("double") *
+              (col("n_ref") + col("n_cur")).cast("double")), 6))
+          .as("cvm_t"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x282's Mood scale test (+ the Lepage-type combined readout)
+    * over the SAME half/bucket frame: x146 detects a LOCATION shift
+    * — a variance change with the same center slips right past it
+    * (AUC stays ½); Mood's squared-rank scores a_i = (i − (N+1)/2)²
+    * weight the tails, catching exactly that. Quadrupled scores
+    * (2i − (N+1))² make every block sum an exact integer: a tie
+    * block occupying pooled positions [lo, hi] contributes
+    * S4 = 4(P(hi)−P(lo−1)) − 4c(T(hi)−T(lo−1)) + f·c² with
+    * c = N+1, T(k) = k(k+1)/2, P(k) = k(k+1)(2k+1)/6 — no per-
+    * observation branching, no midrank approximation (the naive
+    * midrank-squared shortcut is WRONG for blocks straddling the
+    * center; the block sum is exact for every block). The cur arm
+    * takes cc/f of each block's sum via DECIMAL(38,0) floor
+    * division, z uses the classical moments E[M4] = n_c(N²−1)/3,
+    * Var[M4] = 4·n_r·n_c(N+1)(N²−4)/45 (untied σ — conservative,
+    * x146's convention), and the combined location–scale readout is
+    * the Lepage-type χ²₂ = z_MW² + z_scale² off x146's published z.
+    */
+  def moodScaleReportFromCounts(cnt: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+      .withColumn("f", col("cr") + col("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = b.select(col("event_type"), col("cr"), col("cc"), col("f"),
+        sum(col("f")).over(cum).as("hi"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .withColumn("lo", col("hi") - col("f") + 1L)
+      .withColumn("nn", col("nr") + col("nc"))
+      // S4 over the block [lo, hi] with c = N+1: the pyramidal
+      // difference is divisible by 6 (the /6 is exact, re-cast to
+      // scale 0), the triangular difference fits a BIGINT and its /2
+      // is exact integer DIV
+      .withColumn("s4", expr(
+        "CAST(4 AS DECIMAL(38,0)) * " +
+          "CAST((CAST(hi AS DECIMAL(38,0)) * (hi + 1) * (2 * hi + 1) - " +
+          "CAST(lo - 1 AS DECIMAL(38,0)) * lo * (2 * lo - 1)) / 6 " +
+          "AS DECIMAL(38,0)) - " +
+          "CAST(nn + 1 AS DECIMAL(38,0)) * " +
+          "(4 * ((hi * (hi + 1) - (lo - 1) * lo) DIV 2)) + " +
+          "CAST(f AS DECIMAL(38,0)) * (nn + 1) * (nn + 1)"))
+      .withColumn("m4_t", when(col("f") > 0L, expr(
+        "CAST((cc * s4 - (cc * s4) % CAST(f AS DECIMAL(38,0))) / " +
+          "CAST(f AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val mood = scored.groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        min(col("nn")).as("nn"), sum(col("m4_t")).as("m4"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("m4").cast("long").as("m4"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L && col("nn") > 2L,
+          round((col("m4").cast("double") -
+            dd(col("n_cur")) * (dd(col("nn")) * dd(col("nn")) - 1.0) / 3.0) /
+            sqrt(lit(4.0) * dd(col("n_ref")) * dd(col("n_cur")) *
+              (dd(col("nn")) + 1.0) *
+              (dd(col("nn")) * dd(col("nn")) - 4.0) / 45.0), 4))
+          .as("z_scale"))
+    mood.join(mwReportFromCounts(cnt)
+        .select(col("event_type"), col("z")), "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"), col("m4"),
+        col("z_scale"),
+        when(col("z_scale").isNotNull,
+          round(col("z") * col("z") + col("z_scale") * col("z_scale"), 4))
+          .as("lepage_chi2"))
+      .orderBy(col("event_type"))
+  }
+
   /** The (event_type, half, bucket) bucketing x98 and the s15
     * streaming monitor share: ref = the first 12 days, cur = the
     * rest, fixed width-10 value buckets clamped to the 50-bucket
@@ -2521,6 +2652,84 @@ object Views {
         "38416 * CAST(n_ref AS HUGEINT) * n_cur * (n_ref + n_cur + 1) " +
         "AS drifted " +
         "FROM a ORDER BY event_type"),
+    // x146's half/bucket chain; d²/(n_r·n_c) floored first (HUGEINT
+    // // ≡ the subtract-remainder form on nonnegative d²), one final
+    // division by N²
+    "x281_cvm_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, cr, cc, " +
+        "SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cc) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_c, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b), " +
+        "q AS (SELECT event_type, nr, nc, (cr + cc) * " +
+        "((CAST(cum_r AS HUGEINT) * nc - CAST(cum_c AS HUGEINT) * nr) * " +
+        "(CAST(cum_r AS HUGEINT) * nc - CAST(cum_c AS HUGEINT) * nr) // " +
+        "(CAST(nr AS HUGEINT) * nc)) AS t_num FROM c), " +
+        "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, SUM(t_num) AS t_sum FROM q GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 THEN " +
+        "ROUND(CAST(t_sum AS DOUBLE) / " +
+        "(CAST(n_ref + n_cur AS DOUBLE) * (n_ref + n_cur)), 6) END AS cvm_t " +
+        "FROM a ORDER BY event_type"),
+    // same half/bucket chain; exact block score sums (// 6 and // 2
+    // are exact — the differences are divisible), same floor-divided
+    // cur share, same classical moments, x146's z squared in
+    "x282_mood_scale" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "b2 AS (SELECT *, cr + cc AS f FROM b), " +
+        "c AS (SELECT event_type, bucket, cr, cc, f, " +
+        "SUM(f) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS hi, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b2), " +
+        "s AS (SELECT event_type, cr, cc, f, hi, hi - f + 1 AS lo, " +
+        "nr, nc, nr + nc AS nn FROM c), " +
+        "k AS (SELECT event_type, nr, nc, nn, " +
+        "(cc * (4 * ((CAST(hi AS HUGEINT) * (hi + 1) * (2 * hi + 1) - " +
+        "CAST(lo - 1 AS HUGEINT) * lo * (2 * lo - 1)) // 6) - " +
+        "CAST(nn + 1 AS HUGEINT) * (4 * ((hi * (hi + 1) - (lo - 1) * lo) // 2)) + " +
+        "CAST(f AS HUGEINT) * (nn + 1) * (nn + 1))) // CAST(f AS HUGEINT) AS m4_t " +
+        "FROM s), " +
+        "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, CAST(MIN(nn) AS BIGINT) AS nn, " +
+        "SUM(m4_t) AS m4 FROM k GROUP BY 1), " +
+        "zz AS (SELECT event_type, n_ref, n_cur, CAST(m4 AS BIGINT) AS m4, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN " +
+        "ROUND((CAST(m4 AS DOUBLE) - CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 1.0) / 3.0) / " +
+        "SQRT(4.0 * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * " +
+        "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0) / 45.0), 4) END AS z_scale " +
+        "FROM a), " +
+        "m0 AS (SELECT event_type, cr, cc, " +
+        "SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b2), " +
+        "m1 AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, " +
+        "CAST(SUM(cc * (2 * (cum_r - cr) + cr)) AS BIGINT) AS u2 FROM m0 GROUP BY 1), " +
+        "m AS (SELECT event_type, ROUND(CAST(u2 - n_ref * n_cur AS DOUBLE) / " +
+        "(2.0 * SQRT(CAST(n_ref * n_cur * (n_ref + n_cur + 1) AS DOUBLE) " +
+        "/ 12.0)), 4) AS z FROM m1) " +
+        "SELECT zz.event_type, n_ref, n_cur, m4, z_scale, " +
+        "CASE WHEN z_scale IS NOT NULL THEN " +
+        "ROUND(m.z * m.z + z_scale * z_scale, 4) END AS lepage_chi2 " +
+        "FROM zz JOIN m ON m.event_type = zz.event_type ORDER BY zz.event_type"),
     // x138's centered-integer day frame; one LEAD pass per lag, exact
     // numerator/denominator, the zero-variance NULL guard
     "x152_acf" -> {

@@ -1891,6 +1891,27 @@ object Streams {
         maintainedHalfCounts(spark, sfDir, "s23"))
       .orderBy(col("event_type"))
 
+  /** s55: x281's Cramér–von Mises drift monitor off the same
+    * maintained half/bucket state as s20/s23 — the squared-
+    * integrated ECDF gap re-read after every merge; one maintained
+    * binned-count artifact now serves KS, MW, χ², PSI, CvM and the
+    * Mood/Lepage scale readout.
+    */
+  def foreachBatchCvm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.cvmReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s55"))
+      .orderBy(col("event_type"))
+
+  /** s56: x282's Mood scale + Lepage combo off the same maintained
+    * half/bucket state — the scale half of the drift family as IVM:
+    * block score sums and both z's recompute from the bounded
+    * maintained counts, never the event history.
+    */
+  def foreachBatchMoodScale(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.moodScaleReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s56"))
+      .orderBy(col("event_type"))
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -2628,6 +2649,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchTurningPoints(spark, sfDir)),
     "s54_stream_bartels_maintain" ->
       ((spark, sfDir) => foreachBatchBartels(spark, sfDir)),
+    "s55_stream_cvm_monitor" ->
+      ((spark, sfDir) => foreachBatchCvm(spark, sfDir)),
+    "s56_stream_mood_scale_monitor" ->
+      ((spark, sfDir) => foreachBatchMoodScale(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2761,6 +2786,14 @@ object Streams {
     // cells ≡ batch x277
     "s54_stream_bartels_maintain" ->
       graft.pipeline.Views.oracles("x277_bartels_rvn"),
+    // the IVM contract verbatim: CvM over the maintained half/bucket
+    // counts ≡ batch x281
+    "s55_stream_cvm_monitor" ->
+      graft.pipeline.Views.oracles("x281_cvm_drift"),
+    // the IVM contract verbatim: Mood scale + Lepage combo over the
+    // same maintained counts ≡ batch x282
+    "s56_stream_mood_scale_monitor" ->
+      graft.pipeline.Views.oracles("x282_mood_scale"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -6546,4 +6546,48 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x281 CvM drift: identical halves read 0, a clean shift reads 0.75 exactly") {
+    import spark.implicits._
+    val same = Seq(("a", "ref", 1L, 2L), ("a", "ref", 2L, 2L),
+      ("a", "cur", 1L, 2L), ("a", "cur", 2L, 2L))
+      .toDF("event_type", "half", "bucket", "c")
+    val s0 = graft.pipeline.Views.cvmReportFromCounts(same).collect()(0)
+    assert(s0.getLong(1) == 4L && s0.getLong(2) == 4L &&
+      s0.getDouble(3) == 0.0, s"same: $s0")
+    val shift = Seq(("a", "ref", 1L, 2L), ("a", "ref", 2L, 2L),
+      ("a", "cur", 3L, 2L), ("a", "cur", 4L, 2L))
+      .toDF("event_type", "half", "bucket", "c")
+    val s1 = graft.pipeline.Views.cvmReportFromCounts(shift).collect()(0)
+    // T = (4*4/64) * (2*.25 + 2*1 + 2*.25) = 0.75
+    assert(s1.getDouble(3) == 0.75, s"shift: $s1")
+    val c = graft.pipeline.Views.queries("x281_cvm_drift")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(3) || r.getDouble(3) >= 0.0),
+      s"corpus cvm: ${c.toSeq}")
+  }
+
+  test("x282 mood scale: a pure spread change scores the tails, straddling block exact") {
+    import spark.implicits._
+    // ref = 4 center obs, cur = 4 tail obs: same median, wider scale.
+    // Block [3,6] straddles the center: exact S4 = 20 where the naive
+    // midrank-squared shortcut reads 0 - the block-sum formula is the test.
+    val d = Seq(("a", "cur", 1L, 2L), ("a", "ref", 2L, 4L),
+      ("a", "cur", 3L, 2L)).toDF("event_type", "half", "bucket", "c")
+    val r = graft.pipeline.Views.moodScaleReportFromCounts(d).collect()(0)
+    // M4 = 74 + 0 + 74 = 148; E = 4*63/3 = 84; Var = 768
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L &&
+      r.getLong(3) == 148L, s"m4: $r")
+    val expZ = BigDecimal((148.0 - 84.0) / math.sqrt(768.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expZ, s"z_scale: $r vs $expZ")
+    // MW z is 0 on this symmetric shift, so the combo is z_scale^2
+    val expCombo = BigDecimal(expZ * expZ)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expCombo, s"lepage: $r vs $expCombo")
+    val c = graft.pipeline.Views.queries("x282_mood_scale")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(5) || r.getDouble(5) >= 0.0),
+      s"corpus mood: ${c.toSeq}")
+  }
+
 }

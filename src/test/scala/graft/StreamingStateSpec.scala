@@ -585,6 +585,28 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Bartels diverges:\n${sb.toSeq}\nvs\n${bb.toSeq}")
   }
 
+  test("streaming CvM equals batch x281, streaming Mood scale equals batch x282 (s55/s56)") {
+    def keyC(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val sc = graft.streaming.Streams.foreachBatchCvm(spark, SfDir)
+      .collect().map(keyC)
+    val bc = graft.pipeline.Views.queries("x281_cvm_drift")(spark, SfDir)
+      .collect().map(keyC)
+    assert(sc.toSeq == bc.toSeq,
+      s"streamed CvM diverges:\n${sc.toSeq}\nvs\n${bc.toSeq}")
+    def keyM(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    val sm = graft.streaming.Streams.foreachBatchMoodScale(spark, SfDir)
+      .collect().map(keyM)
+    val bm = graft.pipeline.Views.queries("x282_mood_scale")(spark, SfDir)
+      .collect().map(keyM)
+    assert(sm.toSeq == bm.toSeq,
+      s"streamed Mood scale diverges:\n${sm.toSeq}\nvs\n${bm.toSeq}")
+  }
+
   test("streaming Bartlett equals batch x246, streaming richness equals batch x258 (s50/s51)") {
     def keyB(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
