@@ -327,6 +327,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** x285's ROUGE-1/2 over the same verified pair frame as x239 —
+    * the RECALL-oriented complement (BLEU asks how much of the
+    * candidate is copied FROM the reference; ROUGE asks how much of
+    * the reference is COVERED — the summarization-eval convention,
+    * and the side a contamination reviewer actually cares about:
+    * "how much of doc A survives inside doc B"). Clipped n-gram
+    * overlap I_n (the same min(cnt_a, cnt_b) intersection as BLEU's
+    * numerator), P = I/|cand grams|, R = I/|ref grams|,
+    * F1 = 2PR/(P+R) for n = 1, 2. Identical scale shape to
+    * [[bleuOnPairs]]: broadcast pair set, equi-joins against the
+    * per-doc gram-count tables, exact integers to one fixed double
+    * expression per column.
+    */
+  def rougeOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val uni = d.select(col("doc_id"), explode(toks).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+    val bi = d.select(col("doc_id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
+    def clipped(grams: DataFrame, name: String) = p
+      .join(grams.select(col("doc_id").as("doc_a"), col("g"),
+        col("c").as("c_ref")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g"),
+        col("c").as("c_cand")), Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("c_ref"), col("c_cand"))).as(name))
+    def dd(c: String) = col(c).cast("double")
+    def f1(i: String, refDen: Column, candDen: Column) =
+      when(refDen > 0.0 && candDen > 0.0 && col(i) > 0L,
+        round(lit(2.0) * (dd(i) / candDen) * (dd(i) / refDen) /
+          (dd(i) / candDen + dd(i) / refDen), 6)).otherwise(lit(0.0))
+    p.join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")),
+        "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")),
+        "doc_b")
+      .join(clipped(uni, "i1"), Seq("doc_a", "doc_b"), "left")
+      .join(clipped(bi, "i2"), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("i1"), lit(0L)).as("i1"),
+        coalesce(col("i2"), lit(0L)).as("i2"),
+        col("len_a"), col("len_b"))
+      .withColumn("rouge1_r",
+        when(col("len_a") > 0L, round(dd("i1") / dd("len_a"), 6)))
+      .withColumn("rouge1_f", f1("i1", dd("len_a"), dd("len_b")))
+      .withColumn("rouge2_f", f1("i2",
+        dd("len_a") - 1.0, dd("len_b") - 1.0))
+      .select(col("doc_a"), col("doc_b"), col("i1"), col("i2"),
+        col("rouge1_r"), col("rouge1_f"), col("rouge2_f"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** x259's chrF2 over the same verified near-dup pairs as x239 —
     * the TOKENIZATION-FREE grading of the pair (BLEU-2 collapses
     * when whitespace or punctuation shifts; chrF's character
@@ -1467,6 +1524,18 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
+    // ROUGE-1/2 PAIR GRADING — the recall side of the x239/x259
+    // grading trio on the same verified pairs (BLEU: how much of the
+    // candidate is copied; ROUGE: how much of the REFERENCE is
+    // covered — the contamination-review direction) — see
+    // [[rougeOnPairs]].
+    "x285_rouge_pairs" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir)
+      rougeOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
+        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+    }),
+
     // CHRF2 PAIR GRADING — the tokenization-free character-F twin
     // of x239 on the same verified pairs and the same shingle
     // artifact (BLEU-2 and chrF2 disagreeing on a pair is the
@@ -2143,6 +2212,53 @@ object Dedup {
         "EXP(1.0 - CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE)) ELSE 1.0 END) * " +
         "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
         "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) END AS bleu2 " +
+        "FROM f ORDER BY doc_a, doc_b"),
+    // x239's pair/gram chain verbatim; the final select reads the
+    // recall/F side with the same clipped intersections
+    "x285_rouge_pairs" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tok), " +
+        "sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx), " +
+        "tot AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "keep AS (SELECT shingle FROM sh0, tot GROUP BY shingle, n_docs " +
+        "HAVING COUNT(*) <= GREATEST(50, n_docs // 100)), " +
+        "sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT doc_a, doc_b FROM inter " +
+        "JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+        "WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5), " +
+        "uni AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(w) AS g FROM tok) t GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM uni GROUP BY 1), " +
+        "bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t0) t GROUP BY 1, 2), " +
+        "c1 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i1 " +
+        "FROM pairs p JOIN uni a ON a.doc_id = p.doc_a " +
+        "JOIN uni b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "c2 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS i2 " +
+        "FROM pairs p JOIN bi a ON a.doc_id = p.doc_a " +
+        "JOIN bi b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "f AS (SELECT p.doc_a, p.doc_b, COALESCE(c1.i1, 0) AS i1, " +
+        "COALESCE(c2.i2, 0) AS i2, la.len AS len_a, lb.len AS len_b " +
+        "FROM pairs p JOIN lens la ON la.doc_id = p.doc_a " +
+        "JOIN lens lb ON lb.doc_id = p.doc_b " +
+        "LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b " +
+        "LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b) " +
+        "SELECT doc_a, doc_b, i1, i2, " +
+        "CASE WHEN len_a > 0 THEN ROUND(CAST(i1 AS DOUBLE) / CAST(len_a AS DOUBLE), 6) END AS rouge1_r, " +
+        "CASE WHEN CAST(len_a AS DOUBLE) > 0.0 AND CAST(len_b AS DOUBLE) > 0.0 AND i1 > 0 THEN " +
+        "ROUND(2.0 * (CAST(i1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
+        "(CAST(i1 AS DOUBLE) / CAST(len_a AS DOUBLE)) / " +
+        "(CAST(i1 AS DOUBLE) / CAST(len_b AS DOUBLE) + " +
+        "CAST(i1 AS DOUBLE) / CAST(len_a AS DOUBLE)), 6) ELSE 0.0 END AS rouge1_f, " +
+        "CASE WHEN CAST(len_a AS DOUBLE) - 1.0 > 0.0 AND CAST(len_b AS DOUBLE) - 1.0 > 0.0 AND i2 > 0 THEN " +
+        "ROUND(2.0 * (CAST(i2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0)) * " +
+        "(CAST(i2 AS DOUBLE) / (CAST(len_a AS DOUBLE) - 1.0)) / " +
+        "(CAST(i2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0) + " +
+        "CAST(i2 AS DOUBLE) / (CAST(len_a AS DOUBLE) - 1.0)), 6) ELSE 0.0 END AS rouge2_f " +
         "FROM f ORDER BY doc_a, doc_b"),
     // same dense shingle ids, same frozen affine minhash and 62-bit
     // band packs, same exact-Jaccard bins and multiplication-only

@@ -2633,6 +2633,50 @@ object Sampling {
         .orderBy(desc("score_fp"))
     }),
 
+    // HOSMER–LEMESHOW — the calibration hypothesis TEST beside
+    // x149's ECE effect size (ECE reports the average |gap|; HL asks
+    // whether the observed/expected gaps across the ten probability
+    // bins are jointly consistent with binomial noise — the
+    // goodness-of-fit number a model-risk review quotes, χ²_{g−2}
+    // under the null): over the SAME x149 cell/bin chain, each bin's
+    // term is the exact-integer rational
+    // (O·10⁴ − conf)²·n / (conf·(n·10⁴ − conf)) landed on the 10⁻⁶
+    // fp grid per bin (order-free integer sum — the c97 discipline),
+    // degenerate bins (E = 0 or E = n) excluded and counted. One
+    // division per bin plus the final rescale.
+    "x283_hosmer_lemeshow" -> ((spark, sfDir) => {
+      val cells = targetEncodingFrame(spark, sfDir)
+        .select(col("event_type"), col("fold"),
+          round(col("enc_num").cast("double") /
+            col("enc_den").cast("double") * 10000.0, 0)
+            .cast("long").as("enc_fp"))
+      val ev = Lake.table(spark, sfDir, "events")
+        .select(col("event_type"),
+          (sampleHash(col("user_id")) % 4).as("fold"),
+          when(col("value") > 90, 1L).otherwise(0L).as("pos"))
+      val bins = ev.join(broadcast(cells), Seq("event_type", "fold"))
+        .select(expr("LEAST(enc_fp DIV 1000, 9)").as("bin"),
+          col("enc_fp"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("enc_fp")).as("conf_fp"),
+          sum(col("pos")).as("n_pos"))
+        .withColumn("usable",
+          col("conf_fp") > 0L && col("n") * 10000L > col("conf_fp"))
+        .withColumn("term_fp", when(col("usable"),
+          round(expr("CAST(n_pos * 10000 - conf_fp AS DECIMAL(38,0)) * " +
+            "(n_pos * 10000 - conf_fp) * n").cast("double") /
+            expr("CAST(conf_fp AS DECIMAL(38,0)) * " +
+              "(n * 10000 - conf_fp)").cast("double") * 1000000.0, 0)
+            .cast("long")).otherwise(0L))
+      bins.agg(count(lit(1)).as("n_bins"),
+          sum(when(col("usable"), 1L).otherwise(0L)).as("n_used"),
+          sum(col("term_fp")).as("hl_fp"))
+        .select(col("n_bins"), col("n_used"),
+          (col("n_used") - 2L).as("df"),
+          when(col("n_used") > 2L,
+            round(col("hl_fp").cast("double") / 1000000.0, 4)).as("hl_chi2"))
+    }),
+
     "x149_ece_calibration" -> ((spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val cells = targetEncodingFrame(spark, sfDir)
@@ -4059,6 +4103,45 @@ object Sampling {
         "ROUND(CAST(cum_pos * tot_n AS DOUBLE) / " +
         "CAST(cum_n * tot_pos AS DOUBLE), 4) AS lift " +
         "FROM w ORDER BY score_fp DESC"),
+    // x149's cell/bin chain; per-bin exact-integer rational on the
+    // 10^-6 fp grid, degenerate bins excluded and counted
+    "x283_hosmer_lemeshow" ->
+      (s"WITH c AS (SELECT event_type, " +
+        s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_t, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_t FROM c GROUP BY 1), " +
+        "f AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS n_f, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_f FROM c GROUP BY 1), " +
+        "g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_g, " +
+        "CAST(SUM(n_pos) AS BIGINT) AS pos_g FROM c), " +
+        "cells AS (SELECT c.event_type, c.fold, " +
+        "CAST(ROUND(CAST((pos_t - c.n_pos) * (n_g - n_f) + 100 * (pos_g - pos_f) AS DOUBLE) / " +
+        "CAST((n_t - c.n + 100) * (n_g - n_f) AS DOUBLE) * 10000.0) AS BIGINT) AS enc_fp " +
+        "FROM c JOIN t USING (event_type) JOIN f USING (fold), g), " +
+        "ev AS (SELECT e.event_type, " +
+        s"((e.user_id * $HashMul) % $HashMod) % 4 AS fold, " +
+        "CASE WHEN e.value > 90 THEN 1 ELSE 0 END AS pos FROM events e), " +
+        "bb AS (SELECT LEAST(enc_fp // 1000, 9) AS bin, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(enc_fp) AS BIGINT) AS conf_fp, " +
+        "CAST(SUM(pos) AS BIGINT) AS n_pos " +
+        "FROM ev JOIN cells USING (event_type, fold) GROUP BY 1), " +
+        "tm AS (SELECT bin, n, conf_fp, n_pos, " +
+        "conf_fp > 0 AND n * 10000 > conf_fp AS usable, " +
+        "CASE WHEN conf_fp > 0 AND n * 10000 > conf_fp THEN " +
+        "CAST(ROUND(CAST(CAST(n_pos * 10000 - conf_fp AS HUGEINT) * " +
+        "(n_pos * 10000 - conf_fp) * n AS DOUBLE) / " +
+        "CAST(CAST(conf_fp AS HUGEINT) * (n * 10000 - conf_fp) AS DOUBLE) " +
+        "* 1000000.0) AS BIGINT) ELSE 0 END AS term_fp FROM bb) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, " +
+        "CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) AS BIGINT) AS n_used, " +
+        "CAST(SUM(CASE WHEN usable THEN 1 ELSE 0 END) - 2 AS BIGINT) AS df, " +
+        "CASE WHEN SUM(CASE WHEN usable THEN 1 ELSE 0 END) > 2 THEN " +
+        "ROUND(CAST(SUM(term_fp) AS DOUBLE) / 1000000.0, 4) END AS hl_chi2 " +
+        "FROM tm"),
     "x149_ece_calibration" ->
       (s"WITH c AS (SELECT event_type, " +
         s"((user_id * $HashMul) % $HashMod) % 4 AS fold, " +

@@ -468,6 +468,23 @@ object Views {
           sum(when(col("event_type") === "purchase" &&
             col("value") > 90, 1L).otherwise(0L)).as("x")))),
 
+    // GRUBBS OUTLIER TEST — the max-studentized-deviate screen of
+    // the daily series — see [[grubbsReport]].
+    "x284_grubbs" -> ((spark, sfDir) =>
+      grubbsReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // HURST R/S — the long-memory exponent of the daily series via
+    // rescaled-range analysis at w ∈ {7, 14, 28} — see
+    // [[hurstRsReport]].
+    "x286_hurst_rs" -> ((spark, sfDir) =>
+      hurstRsReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // INDEX OF DISPERSION — "is daily traffic Poisson?" with the
     // classical dispersion chi-square — see [[dispersionReport]].
     "x269_dispersion" -> ((spark, sfDir) =>
@@ -1064,6 +1081,104 @@ object Views {
             col("n_total")).cast("double") /
             (dec(col("x_total")) * (dec(col("n_total")) - col("x_total")) *
               col("s_var")).cast("double"), 6)).as("chi2"))
+  }
+
+  /** x284's Grubbs statistic over the same daily frame — the
+    * single-outlier screen for the day series (x141 winsorizes, x84
+    * flags by MAD; Grubbs is the classical max-studentized-deviate
+    * test an anomaly review quotes): G = max|x − x̄|/s with the
+    * sample sd, carried as the exact integer deviation
+    * max|x·n − Σx| and ONE closed-form sqrt:
+    * G = dev·√((n−1)/(n·(n·Σx² − (Σx)²))). Peak day tie-breaks
+    * earliest. Two bounded aggregates at day grain.
+    */
+  def grubbsReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    daily.join(m, "event_type")
+      .withColumn("dev", abs(col("x") * col("n") - col("sx")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("sx")).as("sx"),
+        max(col("sxx")).as("sxx"),
+        max(struct(col("dev"), (-col("day")).as("nd"))).as("m"))
+      .select(col("event_type"), col("n_days"),
+        col("m.dev").as("dev_num"), (-col("m.nd")).as("peak_day"),
+        when(col("n_days") > 2L &&
+            col("n_days") * col("sxx") - col("sx") * col("sx") > 0L,
+          round(dd(col("m.dev")) *
+            sqrt((dd(col("n_days")) - 1.0) /
+              (dd(col("n_days")) *
+                (dd(col("n_days")) * dd(col("sxx")) -
+                  dd(col("sx")) * dd(col("sx"))))), 6)).as("g_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x286's Hurst exponent by rescaled-range analysis over the same
+    * daily frame — the long-memory readout beside x152's ACF and
+    * x269's dispersion (H ≈ 0.5 = no memory, H > 0.5 = persistent
+    * trends, H < 0.5 = mean-reverting — the number that says whether
+    * daily traffic "remembers"): the series splits into consecutive
+    * full blocks of w ∈ {7, 14, 28} days (row-indexed, so gaps don't
+    * stretch blocks), each block's range of cumulative deviations is
+    * the exact integer (max − min) of w·cum − j·Σx, S is the
+    * population sd, and R/S = range_num/√(w·Σx² − (Σx)²) — exact
+    * integers to one sqrt per block. H = the 3-point least-squares
+    * slope of mean ln(R/S) against ln w (NULL unless all three
+    * sizes produce ≥1 valid block). Everything at day grain.
+    */
+  def hurstRsReport(daily: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily.withColumn("t", row_number().over(byDay) - 1L)
+    def rsOf(w: Int): DataFrame = {
+      val blkW = Window.partitionBy(col("event_type"), col("blk"))
+      val rows = idx.withColumn("blk", expr(s"t DIV $w"))
+        .withColumn("j", expr(s"t % $w") + 1L)
+        .withColumn("bn", count(lit(1)).over(blkW))
+        .filter(col("bn") === w.toLong)
+        .withColumn("cum", sum(col("x")).over(Window
+          .partitionBy(col("event_type"), col("blk")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sx", sum(col("x")).over(blkW))
+        .withColumn("sxx", sum(col("x") * col("x")).over(blkW))
+        .withColumn("z", lit(w.toLong) * col("cum") - col("j") * col("sx"))
+      rows.groupBy(col("event_type"), col("blk"))
+        .agg(max(col("z")).as("zmax"), min(col("z")).as("zmin"),
+          max(col("sx")).as("sx"), max(col("sxx")).as("sxx"))
+        .withColumn("svar", lit(w.toLong) * col("sxx") - col("sx") * col("sx"))
+        .filter(col("svar") > 0L && col("zmax") > col("zmin"))
+        // per-block ln(R/S) lands on the 10⁻⁶ fp grid BEFORE the
+        // mean: the integer sum is order-free where a double sum
+        // across partials is not (the c97 fixed-point discipline)
+        .select(col("event_type"),
+          round((log((col("zmax") - col("zmin")).cast("double")) -
+            log(sqrt(col("svar").cast("double")))) * 1000000.0, 0)
+            .cast("long").as("ln_rs_fp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"nb$w"),
+          (sum(col("ln_rs_fp")).cast("double") /
+            (count(lit(1)).cast("double") * 1000000.0)).as(s"rs$w"))
+    }
+    rsOf(7).join(rsOf(14), Seq("event_type"), "full_outer")
+      .join(rsOf(28), Seq("event_type"), "full_outer")
+      .withColumn("h_est",
+        when(col("rs7").isNotNull && col("rs14").isNotNull &&
+            col("rs28").isNotNull,
+          // the sizes are geometric (ln-equally spaced by ln 2), so
+          // the 3-point least-squares slope collapses exactly to
+          // (rs28 − rs7)/(2 ln 2) — frozen constant, engine-identical
+          round((col("rs28") - col("rs7")) / lit(1.3862943611198906), 6)))
+      .select(col("event_type"),
+        coalesce(col("nb7"), lit(0L)).as("nb7"),
+        coalesce(col("nb14"), lit(0L)).as("nb14"),
+        coalesce(col("nb28"), lit(0L)).as("nb28"),
+        round(col("rs7"), 6).as("ln_rs7"),
+        round(col("rs14"), 6).as("ln_rs14"),
+        round(col("rs28"), 6).as("ln_rs28"),
+        col("h_est"))
+      .orderBy(col("event_type"))
   }
 
   /** x168's day-of-week seasonality stage over the same daily frame:
@@ -2869,6 +2984,66 @@ object Views {
         "ROUND(CAST(CAST(t_num AS HUGEINT) * t_num * n_total AS DOUBLE) / " +
         "CAST(CAST(x_total AS HUGEINT) * (n_total - x_total) * s_var AS DOUBLE), 6) END AS chi2 " +
         "FROM g"),
+    // same two-aggregate chain, same exact integer deviation and
+    // single closed-form sqrt
+    "x284_grubbs" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx " +
+        "FROM d GROUP BY 1), " +
+        "j AS (SELECT d.event_type, d.day, ABS(d.x * m.n - m.sx) AS dev, " +
+        "m.n, m.sx, m.sxx FROM d JOIN m USING (event_type)), " +
+        "g AS (SELECT event_type, MAX(n) AS n_days, MAX(sx) AS sx, " +
+        "MAX(sxx) AS sxx, MAX(dev) AS dev_num FROM j GROUP BY 1), " +
+        "cp AS (SELECT j.event_type, MIN(j.day) AS peak_day FROM j JOIN g " +
+        "ON g.event_type = j.event_type AND j.dev = g.dev_num GROUP BY 1) " +
+        "SELECT g.event_type, n_days, dev_num, peak_day, " +
+        "CASE WHEN n_days > 2 AND n_days * sxx - sx * sx > 0 THEN " +
+        "ROUND(CAST(dev_num AS DOUBLE) * SQRT((CAST(n_days AS DOUBLE) - 1.0) / " +
+        "(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))), 6) END AS g_stat " +
+        "FROM g JOIN cp ON cp.event_type = g.event_type ORDER BY g.event_type"),
+    // same row-indexed full blocks, same exact integer ranges and
+    // per-block 10^-6 fp grid, same frozen 2·ln2 slope constant
+    "x286_hurst_rs" -> {
+      def wCtes(w: Int): String =
+        s"b$w AS (SELECT event_type, t // $w AS blk, day, x, " +
+          s"t % $w + 1 AS j FROM idx), " +
+          s"f$w AS (SELECT event_type, blk FROM b$w GROUP BY 1, 2 " +
+          s"HAVING COUNT(*) = $w), " +
+          s"r$w AS (SELECT b.event_type, b.blk, b.j, " +
+          "SUM(x) OVER (PARTITION BY b.event_type, b.blk ORDER BY day " +
+          "ROWS UNBOUNDED PRECEDING) AS cum, " +
+          "SUM(x) OVER (PARTITION BY b.event_type, b.blk) AS sx, " +
+          "SUM(x * x) OVER (PARTITION BY b.event_type, b.blk) AS sxx " +
+          s"FROM b$w b JOIN f$w USING (event_type, blk)), " +
+          s"z$w AS (SELECT event_type, blk, " +
+          s"MAX($w * cum - j * sx) AS zmax, MIN($w * cum - j * sx) AS zmin, " +
+          s"MAX(sx) AS sx, MAX(sxx) AS sxx FROM r$w GROUP BY 1, 2), " +
+          s"s$w AS (SELECT event_type, " +
+          "CAST(ROUND((LN(CAST(zmax - zmin AS DOUBLE)) - " +
+          s"LN(SQRT(CAST($w * sxx - sx * sx AS DOUBLE)))) * 1000000.0) AS BIGINT) AS fp " +
+          s"FROM z$w WHERE $w * sxx - sx * sx > 0 AND zmax > zmin), " +
+          s"g$w AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb$w, " +
+          s"CAST(SUM(fp) AS DOUBLE) / (COUNT(*) * 1000000.0) AS rs$w " +
+          s"FROM s$w GROUP BY 1)"
+      "WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "idx AS (SELECT event_type, day, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1 AS t FROM d), " +
+        wCtes(7) + ", " + wCtes(14) + ", " + wCtes(28) + " " +
+        "SELECT COALESCE(g7.event_type, g14.event_type, g28.event_type) AS event_type, " +
+        "COALESCE(nb7, 0) AS nb7, COALESCE(nb14, 0) AS nb14, COALESCE(nb28, 0) AS nb28, " +
+        "ROUND(rs7, 6) AS ln_rs7, ROUND(rs14, 6) AS ln_rs14, ROUND(rs28, 6) AS ln_rs28, " +
+        "CASE WHEN rs7 IS NOT NULL AND rs14 IS NOT NULL AND rs28 IS NOT NULL THEN " +
+        "ROUND((rs28 - rs7) / 1.3862943611198906, 6) END AS h_est " +
+        "FROM g7 FULL OUTER JOIN g14 ON g14.event_type = g7.event_type " +
+        "FULL OUTER JOIN g28 ON g28.event_type = COALESCE(g7.event_type, g14.event_type) " +
+        "ORDER BY event_type"
+    },
     // same exact integer moments, same cross-multiplied rational
     "x269_dispersion" ->
       ("WITH d AS (SELECT event_type, " +

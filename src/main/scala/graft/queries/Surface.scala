@@ -2098,6 +2098,71 @@ object Surface {
             .as("evalue"))
     }),
 
+    // CUMULATIVE INCIDENCE (AALEN–JOHANSEN) — competing risks done
+    // right (c84's KM treats "the other event" as censoring, which
+    // OVERSTATES each cause's incidence — the 1−KM bias every
+    // competing-risks paper opens with): first qualifying purchase
+    // (cause 1) competes with first error (cause 2), ties break to
+    // purchase (documented priority); CIF_k(t) = Σ_{u≤t}
+    // S(u⁻)·d_k(u)/r(u) with S the ALL-CAUSE KM via c101's
+    // deterministic ln-sum windows, the risk set from exact
+    // cumulative-prior counts (censored drops included), and the
+    // readout per event day. Bounded time-spine rows; one fact pass.
+    "c104_cumulative_incidence" -> ((spark, sfDir) => {
+      def dd(c: Column) = c.cast("double")
+      val a = t(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("d"))
+      val life = a.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("dl"))
+      val conv = a
+        .filter(col("event_type") === "purchase" && col("value") > 90)
+        .groupBy(col("user_id")).agg(min(col("d")).as("dc"))
+      val err = a.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("d")).as("de"))
+      val firstConv = col("dc").isNotNull &&
+        (col("de").isNull || col("dc") <= col("de"))
+      val subj = life.join(conv, Seq("user_id"), "left")
+        .join(err, Seq("user_id"), "left")
+        .select(
+          when(firstConv, col("dc") - col("d0"))
+            .when(col("de").isNotNull, col("de") - col("d0"))
+            .otherwise(col("dl") - col("d0")).as("t_day"),
+          when(firstConv, 1).when(col("de").isNotNull, 2)
+            .otherwise(0).as("cause"))
+      val nTot = broadcast(subj.agg(count(lit(1)).as("n0")))
+      val prior = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cumIncl = Window.orderBy(col("t_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      subj.groupBy(col("t_day"))
+        .agg(sum(when(col("cause") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("cause") === 2, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("cause") === 0, 1L).otherwise(0L)).as("cns"))
+        .crossJoin(nTot)
+        .withColumn("risk", col("n0") - coalesce(
+          sum(col("d1") + col("d2") + col("cns")).over(prior), lit(0L)))
+        .filter(col("d1") + col("d2") > 0)
+        .withColumn("dt", col("d1") + col("d2"))
+        .withColumn("zero_risk",
+          max(when(col("risk") <= col("dt"), 1L).otherwise(0L))
+            .over(Window.partitionBy(lit(1))))
+        .withColumn("ln_s", when(col("risk") > col("dt"),
+          log((dd(col("risk")) - dd(col("dt"))) / dd(col("risk")))))
+        .withColumn("s_minus",
+          exp(coalesce(sum(col("ln_s")).over(prior), lit(0.0))))
+        .withColumn("cif1", sum(col("s_minus") * dd(col("d1")) /
+          dd(col("risk"))).over(cumIncl))
+        .withColumn("cif2", sum(col("s_minus") * dd(col("d2")) /
+          dd(col("risk"))).over(cumIncl))
+        .select(col("t_day"), col("risk"), col("d1"), col("d2"),
+          when(col("zero_risk") === 0L, round(col("cif1"), 4))
+            .as("cif_conv"),
+          when(col("zero_risk") === 0L, round(col("cif2"), 4))
+            .as("cif_err"))
+        .orderBy(col("t_day"))
+    }),
+
     // INTERRUPTED TIME SERIES — the single-group causal design beside
     // c95's two-group DiD (no control group? fit the trend before and
     // after the intervention and read the LEVEL CHANGE at the break):
@@ -2999,6 +3064,47 @@ object Surface {
         "SELECT hr_mh, ROUND(rr, 6) AS rr_star, " +
         "CASE WHEN rr >= 1.0 THEN ROUND(rr + SQRT(rr * (rr - 1.0)), 6) END AS evalue " +
         "FROM e"),
+    // the c97 lifetime CTEs with cause classification (purchase
+    // priority on ties), all-cause ln-sum KM left limits, exact
+    // cumulative-prior risk sets, sequential window sums
+    "c104_cumulative_incidence" ->
+      ("WITH a AS (SELECT user_id, event_type, value, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d FROM events), " +
+        "life AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS dl FROM a GROUP BY 1), " +
+        "conv AS (SELECT user_id, MIN(d) AS dc FROM a " +
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1), " +
+        "err AS (SELECT user_id, MIN(d) AS de FROM a " +
+        "WHERE event_type = 'error' GROUP BY 1), " +
+        "subj AS (SELECT " +
+        "CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de) THEN dc - d0 " +
+        "WHEN de IS NOT NULL THEN de - d0 ELSE dl - d0 END AS t_day, " +
+        "CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de) THEN 1 " +
+        "WHEN de IS NOT NULL THEN 2 ELSE 0 END AS cause " +
+        "FROM life LEFT JOIN conv USING (user_id) LEFT JOIN err USING (user_id)), " +
+        "n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM subj), " +
+        "bt AS (SELECT t_day, " +
+        "CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1, " +
+        "CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2, " +
+        "CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cns " +
+        "FROM subj GROUP BY 1), " +
+        "r AS (SELECT bt.*, n0, n0 - COALESCE(CAST(SUM(d1 + d2 + cns) OVER " +
+        "(ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS BIGINT), 0) AS risk FROM bt, n0), " +
+        "e AS (SELECT *, d1 + d2 AS dt FROM r WHERE d1 + d2 > 0), " +
+        "w AS (SELECT *, MAX(CASE WHEN risk <= dt THEN 1 ELSE 0 END) OVER () AS zr, " +
+        "CASE WHEN risk > dt THEN LN((CAST(risk AS DOUBLE) - CAST(dt AS DOUBLE)) / " +
+        "CAST(risk AS DOUBLE)) END AS ln_s FROM e), " +
+        "s AS (SELECT *, EXP(COALESCE(SUM(ln_s) OVER (ORDER BY t_day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS s_minus FROM w), " +
+        "cc AS (SELECT *, " +
+        "SUM(s_minus * CAST(d1 AS DOUBLE) / CAST(risk AS DOUBLE)) OVER " +
+        "(ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cif1, " +
+        "SUM(s_minus * CAST(d2 AS DOUBLE) / CAST(risk AS DOUBLE)) OVER " +
+        "(ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cif2 FROM s) " +
+        "SELECT t_day, risk, d1, d2, " +
+        "CASE WHEN zr = 0 THEN ROUND(cif1, 4) END AS cif_conv, " +
+        "CASE WHEN zr = 0 THEN ROUND(cif2, 4) END AS cif_err " +
+        "FROM cc ORDER BY t_day"),
     // same per-segment four-sum OLS, same fixed double fit/contrast
     // expressions at the break
     "c96_interrupted_ts" ->

@@ -6590,4 +6590,78 @@ class ExtSpec extends SparkSpec {
       s"corpus mood: ${c.toSeq}")
   }
 
+  test("x284 grubbs: a planted spike is the peak with the closed-form G") {
+    import spark.implicits._
+    val d = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L), ("a", 3, 1L),
+      ("a", 4, 9L)).toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.grubbsReport(d).collect()(0)
+    // n=5, sx=13, sxx=85: dev = |9*5-13| = 32 at day 4
+    assert(r.getLong(1) == 5L && r.getLong(2) == 32L && r.getInt(3) == 4,
+      s"grubbs: $r")
+    val expG = BigDecimal(32.0 * math.sqrt(4.0 / (5.0 * 256.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == expG, s"g: $r vs $expG")
+    val c = graft.pipeline.Views.queries("x284_grubbs")(spark, SfDir).collect()
+    assert(c.nonEmpty && c.forall(r => r.isNullAt(4) || r.getDouble(4) >= 0.0),
+      s"corpus grubbs: ${c.toSeq}")
+  }
+
+  test("x286 hurst R/S: a 28-day trend reads full blocks and a persistent H") {
+    import spark.implicits._
+    val d = (0 until 28).map(i => ("a", i, (i + 1).toLong))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.hurstRsReport(d).collect()(0)
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 1L,
+      s"blocks: $r")
+    // pure trend: strongly persistent
+    assert(!r.isNullAt(7) && r.getDouble(7) > 0.7 && r.getDouble(7) < 1.3,
+      s"h: $r")
+    // H recomputes from the published ln(R/S) means (rounded cols)
+    val recomputed = (r.getDouble(6) - r.getDouble(4)) / 1.3862943611198906
+    assert(math.abs(r.getDouble(7) - recomputed) < 1e-4, s"h recompute: $r")
+    val c = graft.pipeline.Views.queries("x286_hurst_rs")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty, "corpus hurst empty")
+  }
+
+  test("x285 rouge pairs: hand-computed recall and F on a planted containment pair") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"), (2L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = graft.ext.Dedup.rougeOnPairs(d, pairs).collect()(0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 2L, s"overlaps: $r")
+    assert(r.getDouble(4) == 0.5, s"rouge1_r: $r")
+    assert(r.getDouble(5) == 0.666667, s"rouge1_f: $r")
+    assert(r.getDouble(6) == 0.571429, s"rouge2_f: $r")
+    val c = graft.ext.Dedup.queries("x285_rouge_pairs")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(x => x.getDouble(4) >= 0.0 &&
+      x.getDouble(4) <= 1.0), s"corpus rouge: ${c.take(3).toSeq}")
+  }
+
+  test("x283 hosmer-lemeshow: ten bins, df = used - 2, nonnegative chi2") {
+    val r = graft.ext.Sampling.queries("x283_hosmer_lemeshow")(spark, SfDir)
+      .collect()(0)
+    assert(r.getLong(0) >= 1L && r.getLong(1) <= r.getLong(0), s"bins: $r")
+    assert(r.getLong(2) == r.getLong(1) - 2L, s"df: $r")
+    assert(r.isNullAt(3) || r.getDouble(3) >= 0.0, s"hl: $r")
+  }
+
+  test("c104 cumulative incidence: CIFs are monotone, bounded, and sum below 1") {
+    val rows = graft.queries.Surface.queries("c104_cumulative_incidence")(
+      spark, SfDir).collect()
+    assert(rows.nonEmpty, "no event days")
+    var (p1, p2) = (0.0, 0.0)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"risk: $r")
+      if (!r.isNullAt(4) && !r.isNullAt(5)) {
+        val (c1, c2) = (r.getDouble(4), r.getDouble(5))
+        assert(c1 + 1e-9 >= p1 && c2 + 1e-9 >= p2, s"monotone: $r")
+        assert(c1 + c2 <= 1.0 + 1e-6, s"bounded: $r")
+        p1 = c1; p2 = c2
+      }
+    }
+  }
+
 }
