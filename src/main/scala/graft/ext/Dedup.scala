@@ -1524,6 +1524,36 @@ object Dedup {
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
+    // SELF-BLEU — corpus DIVERSITY as one number (Texygen's
+    // generation-eval metric, equally meaningful for training data:
+    // a crawl slice whose docs BLEU-match each other is template
+    // spam even when no pair crosses a dedup threshold; x239 grades
+    // verified pairs, Self-BLEU grades the corpus): over the
+    // deterministic 200-doc sample (x267's sampling rule), every
+    // ordered pair (ref, cand) scores BLEU-2 through the SAME
+    // [[bleuOnPairs]] machinery, and the mean rides the 10⁻⁶ fp grid
+    // (per-pair rounding → exact integer sum — order-free). The pair
+    // set is sample²-bounded (~40k), never corpus².
+    "x288_self_bleu" -> ((spark, sfDir) => {
+      val d = docs(spark, sfDir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val ids = d.select(col("doc_id"))
+      val pairs = ids.as("a").join(ids.as("b"),
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      bleuOnPairs(d, pairs)
+        .select(when(col("bleu2").isNotNull,
+          round(col("bleu2") * 1000000.0, 0).cast("long")).as("b_fp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("b_fp").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          coalesce(sum(col("b_fp")), lit(0L)).as("s_fp"))
+        .select(col("n_pairs"), col("n_scored"),
+          when(col("n_scored") > 0L,
+            round(col("s_fp").cast("double") /
+              (col("n_scored").cast("double") * 1000000.0), 6))
+            .as("self_bleu"))
+    }),
+
     // ROUGE-1/2 PAIR GRADING — the recall side of the x239/x259
     // grading trio on the same verified pairs (BLEU: how much of the
     // candidate is copied; ROUGE: how much of the REFERENCE is
@@ -2213,6 +2243,44 @@ object Dedup {
         "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
         "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) END AS bleu2 " +
         "FROM f ORDER BY doc_a, doc_b"),
+    // x239's gram/len CTEs on the 200-doc sample with the explicit
+    // ordered-pair cross; per-pair BLEU on the 10^-6 fp grid, one
+    // integer-summed mean
+    "x288_self_bleu" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM d), " +
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM d a JOIN d b ON a.doc_id <> b.doc_id), " +
+        "uni AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(w) AS g FROM tok) t GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS len FROM uni GROUP BY 1), " +
+        "bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t0) t GROUP BY 1, 2), " +
+        "c1 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip1 " +
+        "FROM pairs p JOIN uni a ON a.doc_id = p.doc_a " +
+        "JOIN uni b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "c2 AS (SELECT p.doc_a, p.doc_b, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS clip2 " +
+        "FROM pairs p JOIN bi a ON a.doc_id = p.doc_a " +
+        "JOIN bi b ON b.doc_id = p.doc_b AND b.g = a.g GROUP BY 1, 2), " +
+        "f AS (SELECT p.doc_a, p.doc_b, la.len AS len_a, lb.len AS len_b, " +
+        "COALESCE(c1.clip1, 0) AS clip1, COALESCE(c2.clip2, 0) AS clip2 " +
+        "FROM pairs p JOIN lens la ON la.doc_id = p.doc_a " +
+        "JOIN lens lb ON lb.doc_id = p.doc_b " +
+        "LEFT JOIN c1 ON c1.doc_a = p.doc_a AND c1.doc_b = p.doc_b " +
+        "LEFT JOIN c2 ON c2.doc_a = p.doc_a AND c2.doc_b = p.doc_b), " +
+        "s AS (SELECT CASE WHEN len_b > 1 THEN " +
+        "CAST(ROUND(ROUND((CASE WHEN len_b < len_a THEN " +
+        "EXP(1.0 - CAST(len_a AS DOUBLE) / CAST(len_b AS DOUBLE)) ELSE 1.0 END) * " +
+        "SQRT((CAST(clip1 AS DOUBLE) / CAST(len_b AS DOUBLE)) * " +
+        "(CAST(clip2 AS DOUBLE) / (CAST(len_b AS DOUBLE) - 1.0))), 6) * 1000000.0) " +
+        "AS BIGINT) END AS b_fp FROM f) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+        "CAST(SUM(CASE WHEN b_fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored, " +
+        "CASE WHEN SUM(CASE WHEN b_fp IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN " +
+        "ROUND(CAST(COALESCE(SUM(b_fp), 0) AS DOUBLE) / " +
+        "(CAST(SUM(CASE WHEN b_fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0), 6) " +
+        "END AS self_bleu FROM s"),
     // x239's pair/gram chain verbatim; the final select reads the
     // recall/F side with the same clipped intersections
     "x285_rouge_pairs" ->

@@ -758,6 +758,45 @@ object Similarity {
       isotropyReport(q)
     }),
 
+    // PARTICIPATION RATIO — the effective dimensionality of the
+    // embedding cloud from per-coordinate variances (x147 reads the
+    // MEAN of the cloud — anisotropy of the center; x262's LID reads
+    // local neighborhood growth; PR_diag = (Σ var_d)²/Σ var_d² reads
+    // how many coordinates CARRY the variance — d means perfectly
+    // spread, ≪ d means a few dominant axes, the "is my embedding
+    // collapsed" card number): on x112's shared 0..255 grid each
+    // per-dim variance numerator v_d = n·Σq² − (Σq)² is an exact
+    // BIGINT, and the n² denominators CANCEL in the ratio, so
+    // PR = (Σ v_d)²/(Σ v_d²) is exact integers to ONE division
+    // (DECIMAL(38,0) squares; at n ≳ 10⁹ the Σv² term needs the
+    // family's documented decimal-widening swap). d-row frame after
+    // one map-side-combined scan — x147's linear scale shape.
+    "x287_participation_ratio" -> ((spark, sfDir) => {
+      val e = emb(spark, sfDir)
+      val bounds = broadcast(e.agg(
+        min(array_min(toDouble(col("embedding")))).as("mn"),
+        max(array_max(toDouble(col("embedding")))).as("mx")))
+      val dims = e.crossJoin(bounds)
+        .select(posexplode(transform(toDouble(col("embedding")),
+          v => round((v - col("mn")) / (col("mx") - col("mn")) * 255, 0)
+            .cast("long"))).as(Seq("dim", "q")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .withColumn("v", col("n") * col("ss") - col("s") * col("s"))
+      dims.agg(count(lit(1)).as("n_dims"), max(col("n")).as("n_vecs"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+        .select(col("n_vecs"), col("n_dims"),
+          when(col("svv") > 0,
+            round((col("sv") * col("sv")).cast("double") /
+              col("svv").cast("double"), 4)).as("pr"),
+          when(col("svv") > 0 && col("n_dims") > 0,
+            round((col("sv") * col("sv")).cast("double") /
+              (col("svv").cast("double") * col("n_dims").cast("double")),
+              6)).as("pr_norm"))
+    }),
+
     // EMBEDDING DRIFT — the representation-space member of the drift
     // family (x98/x133 watch scalar values; this asks whether a NEW
     // corpus half occupies the same region of embedding space — the
@@ -2065,6 +2104,31 @@ object Similarity {
     // either, so both engines prove the algebra, not a sample of it
     // same parity halves, x112's grid, the exact cross-multiplied
     // mean-shift rational on the 10^-4 grid and one sqrt at readout
+    // same 0..255 grid; n² cancels so PR is exact integers to one
+    // division (HUGEINT squares)
+    "x287_participation_ratio" ->
+      ("WITH e AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT MIN(list_min(v)) AS mn, MAX(list_max(v)) AS mx FROM e), " +
+        "q AS (SELECT vec_id, list_transform(v, " +
+        "x -> CAST(ROUND((x - mn) / (mx - mn) * 255) AS BIGINT)) AS qv FROM e, b), " +
+        "cells AS (SELECT CAST(p AS INTEGER) AS dim, qv[p + 1] AS q " +
+        "FROM (SELECT vec_id, qv, unnest(range(0, len(qv))) AS p FROM q) t), " +
+        "d AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss " +
+        "FROM cells GROUP BY 1), " +
+        "v AS (SELECT dim, n, n * ss - s * s AS v FROM d), " +
+        "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, " +
+        "CAST(MAX(n) AS BIGINT) AS n_vecs, " +
+        "CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sv, " +
+        "CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv FROM v) " +
+        "SELECT n_vecs, n_dims, " +
+        "CASE WHEN svv > 0 THEN " +
+        "ROUND(CAST(sv * sv AS DOUBLE) / CAST(svv AS DOUBLE), 4) END AS pr, " +
+        "CASE WHEN svv > 0 AND n_dims > 0 THEN " +
+        "ROUND(CAST(sv * sv AS DOUBLE) / " +
+        "(CAST(svv AS DOUBLE) * CAST(n_dims AS DOUBLE)), 6) END AS pr_norm " +
+        "FROM g"),
     "x177_embedding_drift" ->
       ("WITH e AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -1891,6 +1891,70 @@ object TextAnalysis {
     "x148_kneser_ney" -> ((spark, sfDir) =>
       knBigramLogProb(spark, sfDir).orderBy(col("doc_id"))),
 
+    // BIGRAM CONDITIONAL ENTROPY — the corpus's entropy RATE beside
+    // x76's character entropy (x76 reads symbol diversity; H(w₂|w₁)
+    // reads how PREDICTABLE the next word is given the last — the
+    // redundancy/templatedness number an LM-data card quotes, and
+    // the quantity perplexity exponentiates): off x46's lake-
+    // persisted bigram artifact, H = Σ (c₁₂/N)·ln(c₁/c₁₂) with each
+    // ln-difference regridded once per MODEL row (x148's rule) and
+    // multiplied by the exact integer c₁₂ — order-free integer sums,
+    // ONE closing division. Model-sized frames only after the
+    // already-paid corpus pass.
+    "x289_bigram_entropy" -> ((spark, sfDir) => {
+      def dd(c: Column) = c.cast("double")
+      val cbg = bigramTable(spark, sfDir)
+        .groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("c12"))
+      val cw1 = cbg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      cbg.join(cw1, "w1")
+        .withColumn("t_fp", col("c12") *
+          round((log(dd(col("c1"))) - log(dd(col("c12")))) * 1000000.0, 0)
+            .cast("long"))
+        .agg(count(lit(1)).as("n_bigram_types"),
+          sum(col("c12")).as("n_events"), sum(col("t_fp")).as("h_fp"))
+        .select(col("n_bigram_types"), col("n_events"),
+          when(col("n_events") > 0L,
+            round(col("h_fp").cast("double") /
+              (col("n_events").cast("double") * 1000000.0), 4))
+            .as("h_cond_nats"))
+    }),
+
+    // GOOD–TURING UNSEEN MASS — "how much probability should the LM
+    // reserve for words it has never seen?" (the leave-one-out
+    // estimate under every classic smoother; also the corpus-growth
+    // readout beside x44/x190 — a high N₁/N says the vocabulary is
+    // nowhere near saturated): off the shared tf artifact's
+    // count-of-counts, P₀ = N₁/N exactly, plus the first two
+    // Good–Turing adjusted counts r* = (r+1)·N_{r+1}/N_r — pure
+    // exact-integer rationals, one division each, vocabulary-sized
+    // frames.
+    "x290_good_turing" -> ((spark, sfDir) => {
+      def dd(c: Column) = c.cast("double")
+      val wf = Lake.materialize(spark, sfDir, "tfidf_tf") {
+        docs(spark, sfDir)
+          .select(col("doc_id"), explode(tokens).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+      }.groupBy(col("term")).agg(sum(col("tf")).as("r"))
+      val noc = wf.groupBy(col("r")).agg(count(lit(1)).as("nr"))
+      noc.agg(
+          sum(col("r") * col("nr")).as("n_tokens"),
+          sum(col("nr")).as("vocab"),
+          coalesce(sum(when(col("r") === 1L, col("nr"))), lit(0L)).as("n1"),
+          coalesce(sum(when(col("r") === 2L, col("nr"))), lit(0L)).as("n2"),
+          coalesce(sum(when(col("r") === 3L, col("nr"))), lit(0L)).as("n3"))
+        .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+          col("n3"),
+          when(col("n_tokens") > 0L,
+            round(dd(col("n1")) / dd(col("n_tokens")), 6)).as("p_unseen"),
+          when(col("n1") > 0L,
+            round(lit(2.0) * dd(col("n2")) / dd(col("n1")), 4))
+            .as("r1_star"),
+          when(col("n2") > 0L,
+            round(lit(3.0) * dd(col("n3")) / dd(col("n2")), 4))
+            .as("r2_star"))
+    }),
+
     // Cross-source domain-affinity matrix (see domainAffinity
     // scaladoc): S² rows of pairwise LM cross-entropy.
     "x95_domain_affinity" -> ((spark, sfDir) =>
@@ -3714,6 +3778,45 @@ object TextAnalysis {
         "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
     // add-one-smoothed conditional probs; the log runs on one DOUBLE
     // division in both engines (x34's 4 dp tolerance argument)
+    // x46's bigram chain; per-model-row regridded ln difference
+    // times the exact c12, one closing division
+    "x289_bigram_entropy" ->
+      ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM " +
+        "(SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok) t), " +
+        "cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), " +
+        "cw1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cbg GROUP BY 1), " +
+        "tm AS (SELECT c12, c12 * CAST(ROUND((LN(CAST(c1 AS DOUBLE)) - " +
+        "LN(CAST(c12 AS DOUBLE))) * 1000000.0) AS BIGINT) AS t_fp " +
+        "FROM cbg JOIN cw1 USING (w1)) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_bigram_types, " +
+        "CAST(SUM(c12) AS BIGINT) AS n_events, " +
+        "CASE WHEN SUM(c12) > 0 THEN " +
+        "ROUND(CAST(SUM(t_fp) AS DOUBLE) / (CAST(SUM(c12) AS DOUBLE) * 1000000.0), 4) " +
+        "END AS h_cond_nats FROM tm"),
+    // the shared tf chain's count-of-counts; exact rationals, one
+    // division each
+    "x290_good_turing" ->
+      ("WITH tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u " +
+        "GROUP BY 1, 2), " +
+        "wf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS r FROM tf GROUP BY 1), " +
+        "noc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM wf GROUP BY 1) " +
+        "SELECT CAST(SUM(nr) AS BIGINT) AS vocab, " +
+        "CAST(SUM(r * nr) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT) AS n1, " +
+        "CAST(COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT) AS n2, " +
+        "CAST(COALESCE(SUM(CASE WHEN r = 3 THEN nr END), 0) AS BIGINT) AS n3, " +
+        "CASE WHEN SUM(r * nr) > 0 THEN " +
+        "ROUND(CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS DOUBLE) / " +
+        "CAST(SUM(r * nr) AS DOUBLE), 6) END AS p_unseen, " +
+        "CASE WHEN COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) > 0 THEN " +
+        "ROUND(2.0 * CAST(COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) AS DOUBLE) / " +
+        "CAST(COALESCE(SUM(CASE WHEN r = 1 THEN nr END), 0) AS DOUBLE), 4) END AS r1_star, " +
+        "CASE WHEN COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) > 0 THEN " +
+        "ROUND(3.0 * CAST(COALESCE(SUM(CASE WHEN r = 3 THEN nr END), 0) AS DOUBLE) / " +
+        "CAST(COALESCE(SUM(CASE WHEN r = 2 THEN nr END), 0) AS DOUBLE), 4) END AS r2_star " +
+        "FROM noc"),
     "x46_bigram_logprob" ->
       ("WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM " +

@@ -2069,6 +2069,25 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s54"))
       .orderBy(col("event_type"))
 
+  /** s57: x284's Grubbs outlier screen off the same maintained day
+    * frame — the spike monitor as IVM: exact integer deviations and
+    * the closed-form G re-read from the additive (type, day) cells.
+    */
+  def foreachBatchGrubbs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.grubbsReport(
+        maintainedDayCounts(spark, sfDir, "s57"))
+      .orderBy(col("event_type"))
+
+  /** s58: x286's Hurst R/S long-memory readout off the same
+    * maintained day frame — block ranges, fp-grid ln(R/S), and the
+    * frozen-constant slope all recompute from the bounded day-grain
+    * state after every merge.
+    */
+  def foreachBatchHurst(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.hurstRsReport(
+        maintainedDayCounts(spark, sfDir, "s58"))
+      .orderBy(col("event_type"))
+
   def foreachBatchSimpson(spark: SparkSession, sfDir: String): DataFrame = {
     val base = s"/tmp/graft-stream/s21_${tag(sfDir)}"
     rmDir(spark, base)
@@ -2653,6 +2672,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchCvm(spark, sfDir)),
     "s56_stream_mood_scale_monitor" ->
       ((spark, sfDir) => foreachBatchMoodScale(spark, sfDir)),
+    "s57_stream_grubbs_maintain" ->
+      ((spark, sfDir) => foreachBatchGrubbs(spark, sfDir)),
+    "s58_stream_hurst_maintain" ->
+      ((spark, sfDir) => foreachBatchHurst(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2794,6 +2817,14 @@ object Streams {
     // same maintained counts ≡ batch x282
     "s56_stream_mood_scale_monitor" ->
       graft.pipeline.Views.oracles("x282_mood_scale"),
+    // the IVM contract verbatim: Grubbs over the maintained day
+    // cells ≡ batch x284
+    "s57_stream_grubbs_maintain" ->
+      graft.pipeline.Views.oracles("x284_grubbs"),
+    // the IVM contract verbatim: Hurst R/S over the maintained day
+    // cells ≡ batch x286
+    "s58_stream_hurst_maintain" ->
+      graft.pipeline.Views.oracles("x286_hurst_rs"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

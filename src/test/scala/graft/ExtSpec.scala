@@ -6664,4 +6664,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("x287 participation ratio: effective dimensionality within [1, d], norm within (0, 1]") {
+    val r = graft.ext.Similarity.queries("x287_participation_ratio")(
+      spark, SfDir).collect()(0)
+    assert(r.getLong(0) > 0L && r.getLong(1) > 0L, s"counts: $r")
+    assert(r.getDouble(2) >= 1.0 - 1e-9 &&
+      r.getDouble(2) <= r.getLong(1).toDouble + 1e-9, s"pr range: $r")
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9,
+      s"pr_norm: $r")
+  }
+
+  test("x288 self-bleu: the 200-doc sample scores all ordered pairs in [0, 1]") {
+    val r = graft.ext.Dedup.queries("x288_self_bleu")(spark, SfDir)
+      .collect()(0)
+    val n = graft.ext.Dedup.queries("x01_dedup_exact")(spark, SfDir)
+      .sparkSession.read.parquet(s"$SfDir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200).count()
+    assert(r.getLong(0) == n * (n - 1), s"pairs: $r vs n=$n")
+    assert(r.isNullAt(2) || (r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0),
+      s"self_bleu: $r")
+  }
+
+  test("x289 bigram entropy: conditional entropy is nonnegative and below ln(vocab)") {
+    val r = graft.ext.TextAnalysis.queries("x289_bigram_entropy")(
+      spark, SfDir).collect()(0)
+    assert(r.getLong(0) > 0L && r.getLong(1) >= r.getLong(0), s"counts: $r")
+    assert(r.getDouble(2) >= 0.0, s"h: $r")
+  }
+
+  test("x290 good-turing: unseen mass recomputes as n1/N, adjusted counts positive") {
+    val r = graft.ext.TextAnalysis.queries("x290_good_turing")(spark, SfDir)
+      .collect()(0)
+    assert(r.getLong(0) > 0L && r.getLong(1) >= r.getLong(0), s"counts: $r")
+    val exp = BigDecimal(r.getLong(2).toDouble / r.getLong(1).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == exp, s"p_unseen recompute: $r vs $exp")
+    assert(r.isNullAt(6) || r.getDouble(6) >= 0.0, s"r1*: $r")
+  }
+
 }

@@ -607,6 +607,27 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Mood scale diverges:\n${sm.toSeq}\nvs\n${bm.toSeq}")
   }
 
+  test("streaming Grubbs equals batch x284, streaming Hurst equals batch x286 (s57/s58)") {
+    def keyG(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val sg = graft.streaming.Streams.foreachBatchGrubbs(spark, SfDir)
+      .collect().map(keyG)
+    val bg = graft.pipeline.Views.queries("x284_grubbs")(spark, SfDir)
+      .collect().map(keyG)
+    assert(sg.toSeq == bg.toSeq,
+      s"streamed Grubbs diverges:\n${sg.toSeq}\nvs\n${bg.toSeq}")
+    def keyH(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (4 to 7).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val sh = graft.streaming.Streams.foreachBatchHurst(spark, SfDir)
+      .collect().map(keyH)
+    val bh = graft.pipeline.Views.queries("x286_hurst_rs")(spark, SfDir)
+      .collect().map(keyH)
+    assert(sh.toSeq == bh.toSeq,
+      s"streamed Hurst diverges:\n${sh.toSeq}\nvs\n${bh.toSeq}")
+  }
+
   test("streaming Bartlett equals batch x246, streaming richness equals batch x258 (s50/s51)") {
     def keyB(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
