@@ -296,7 +296,13 @@ object Bench {
     // the value support, not the corpus), and the char-trigram
     // multiset pair join over the x05 candidates (x259 — the
     // char-grain volume class on the pair-bounded join)
-    "x248_energy_distance", "x259_chrf_pairs")
+    "x248_energy_distance", "x259_chrf_pairs",
+    // round-15 additions (79 → 81): the ordered-pair gram join over
+    // the bounded 200-doc sample (x288 — sample²-bounded BY DESIGN,
+    // the control shape whose wall should stay FLAT as the corpus
+    // grows), and the recall-side pair grading on the x239 candidate
+    // set (x285 — candidate-bound, the same volume class as x259)
+    "x288_self_bleu", "x285_rouge_pairs")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -348,6 +354,10 @@ object Bench {
     // loop, and the Katz fixed-point iteration
     "x127_association_rules", "x91_edit_distance_dedup",
     "x121_bpe_train_steps", "x220_katz_centrality",
+    // round-15 session-2: the sample-bounded control (its ratio
+    // should read ≈ 1 at ANY data ratio — the design claim made
+    // measurable) and the candidate-bound recall grading
+    "x288_self_bleu", "x285_rouge_pairs",
     // the ECDF-spine shape: its scaling question is whether the
     // support (not the corpus) stays the window grain — the ratio
     // should read ≈ the one fact-aggregation pass, near-linear
