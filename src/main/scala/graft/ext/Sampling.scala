@@ -1797,6 +1797,74 @@ object Sampling {
         Lake.table(spark, sfDir, "events")
           .select(col("event_type").as("grp"), col("user_id").as("k")))),
 
+    // KMV SET OPERATIONS — the mergeability payoff x219 only
+    // implies: two groups' K-minimum states answer |A ∪ B| (min-union
+    // of the slates, then the same (K−1)·P/h_K estimator) and |A ∩ B|
+    // (ρ = the share of the union's min-K lying in BOTH groups'
+    // slates — correct because any union-top-K hash from A
+    // necessarily sits in A's own top K — times the union estimate:
+    // Beyer et al.'s KMV intersection). Every event-type pair is
+    // graded against its exact control; per-pair state is 2K hashes,
+    // the ONLY corpus-grain work is the exact control's distinct
+    // aggregation, and the frozen modular hash keeps the whole
+    // readout DuckDB-exact.
+    "x292_kmv_setops" -> ((spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      def dd(c: Column) = c.cast("double")
+      val elems = Lake.table(spark, sfDir, "events")
+        .select(col("event_type").as("grp"), col("user_id").as("k"))
+        .distinct()
+      val mh = kmvMinHashesOf(elems)
+      val types = mh.select(col("grp")).distinct()
+      val pairs = types.as("a").join(types.as("b"),
+          col("a.grp") < col("b.grp"))
+        .select(col("a.grp").as("ga"), col("b.grp").as("gb"))
+      val ua = pairs.join(mh.select(col("grp").as("ga"), col("h")), "ga")
+      val ub = pairs.join(mh.select(col("grp").as("gb"), col("h")), "gb")
+      val byH = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+      val uTop = ua.select(col("ga"), col("gb"), col("h"))
+        .unionByName(ub.select(col("ga"), col("gb"), col("h")))
+        .distinct()
+        .withColumn("rk", row_number().over(byH))
+        .filter(col("rk") <= KmvK)
+      val inA = mh.select(col("grp").as("ga"), col("h"),
+        lit(1L).as("in_a"))
+      val inB = mh.select(col("grp").as("gb"), col("h"),
+        lit(1L).as("in_b"))
+      val marked = uTop
+        .join(inA, Seq("ga", "h"), "left")
+        .join(inB, Seq("gb", "h"), "left")
+      val est = marked.groupBy(col("ga"), col("gb"))
+        .agg(count(lit(1)).as("n_seen"), max(col("h")).as("h_k"),
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+            .otherwise(0L)).as("n_both"))
+      val exactA = elems.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val exactI = elems.select(col("grp").as("ga"), col("k"))
+        .join(elems.select(col("grp").as("gb"), col("k")), "k")
+        .filter(col("ga") < col("gb"))
+        .groupBy(col("ga"), col("gb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      est
+        .join(exactA.select(col("grp").as("ga"), col("n").as("n_a")), "ga")
+        .join(exactA.select(col("grp").as("gb"), col("n").as("n_b")), "gb")
+        .join(exactI, Seq("ga", "gb"), "left")
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .withColumn("exact_union",
+          col("n_a") + col("n_b") - col("exact_inter"))
+        .withColumn("union_est",
+          when(col("n_seen") < KmvK, col("exact_union"))
+            .otherwise(round((lit(KmvK) - 1.0) * lit(CmsP.toDouble) /
+              dd(col("h_k")), 0).cast("long")))
+        .withColumn("inter_est",
+          round(dd(col("n_both")) * dd(col("union_est")) /
+            dd(col("n_seen")), 0).cast("long"))
+        .select(col("ga"), col("gb"), col("exact_union"),
+          col("exact_inter"), col("union_est"), col("inter_est"),
+          round(dd(col("n_both")) / dd(col("n_seen")), 4)
+            .as("jaccard_est"))
+        .orderBy(col("ga"), col("gb"))
+    }),
+
     // CLIFF'S DELTA — ordinal effect size of the en-vs-other doc
     // length gap: the "how much" beside the rank tests' "whether",
     // invariant to any monotone transform — see
@@ -3336,6 +3404,45 @@ object Sampling {
     },
     // same frozen first-pair hash, same K smallest per group, same
     // (K-1)*P/h_K estimator with the exact-count fallback
+    // x219's frozen hash and slates; min-union top-K per pair, the
+    // membership-share intersection, exact controls via one user-
+    // grain equi-join
+    "x292_kmv_setops" -> {
+      val (a, b) = CmsHashes.head
+      "WITH el AS (SELECT DISTINCT event_type AS grp, user_id AS k FROM events), " +
+        s"hashed AS (SELECT DISTINCT grp, ($a * (k % $CmsP) + $b) % $CmsP AS h FROM el), " +
+        "rk AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hashed), " +
+        s"mh AS (SELECT grp, h FROM rk WHERE rk <= $KmvK), " +
+        "tp AS (SELECT DISTINCT grp FROM mh), " +
+        "pairs AS (SELECT a.grp AS ga, b.grp AS gb FROM tp a JOIN tp b ON a.grp < b.grp), " +
+        "uh AS (SELECT ga, gb, h FROM pairs JOIN mh ON mh.grp = pairs.ga " +
+        "UNION SELECT ga, gb, h FROM pairs JOIN mh ON mh.grp = pairs.gb), " +
+        "urk AS (SELECT ga, gb, h, ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rk FROM uh), " +
+        s"ut AS (SELECT ga, gb, h FROM urk WHERE rk <= $KmvK), " +
+        "mk AS (SELECT ut.ga, ut.gb, ut.h, " +
+        "CASE WHEN ia.h IS NOT NULL THEN 1 ELSE 0 END AS in_a, " +
+        "CASE WHEN ib.h IS NOT NULL THEN 1 ELSE 0 END AS in_b " +
+        "FROM ut LEFT JOIN mh ia ON ia.grp = ut.ga AND ia.h = ut.h " +
+        "LEFT JOIN mh ib ON ib.grp = ut.gb AND ib.h = ut.h), " +
+        "est AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS h_k, " +
+        "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
+        "FROM mk GROUP BY 1, 2), " +
+        "ea AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM el GROUP BY 1), " +
+        "ei AS (SELECT x.grp AS ga, y.grp AS gb, CAST(COUNT(*) AS BIGINT) AS exact_inter " +
+        "FROM el x JOIN el y ON y.k = x.k AND x.grp < y.grp GROUP BY 1, 2), " +
+        "f AS (SELECT est.ga, est.gb, n_seen, h_k, n_both, na.n AS n_a, nb.n AS n_b, " +
+        "COALESCE(ei.exact_inter, 0) AS exact_inter " +
+        "FROM est JOIN ea na ON na.grp = est.ga JOIN ea nb ON nb.grp = est.gb " +
+        "LEFT JOIN ei ON ei.ga = est.ga AND ei.gb = est.gb), " +
+        "g AS (SELECT ga, gb, n_a + n_b - exact_inter AS exact_union, exact_inter, " +
+        s"n_seen, n_both, CASE WHEN n_seen < $KmvK THEN n_a + n_b - exact_inter " +
+        s"ELSE CAST(ROUND(($KmvK - 1.0) * ${CmsP.toDouble} / CAST(h_k AS DOUBLE), 0) AS BIGINT) END AS union_est " +
+        "FROM f) " +
+        "SELECT ga, gb, CAST(exact_union AS BIGINT) AS exact_union, exact_inter, union_est, " +
+        "CAST(ROUND(CAST(n_both AS DOUBLE) * CAST(union_est AS DOUBLE) / CAST(n_seen AS DOUBLE), 0) AS BIGINT) AS inter_est, " +
+        "ROUND(CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE), 4) AS jaccard_est " +
+        "FROM g ORDER BY ga, gb"
+    },
     "x219_kmv_distinct" -> {
       val (a, b) = CmsHashes.head
       "WITH el AS (SELECT DISTINCT event_type AS grp, user_id AS k FROM events), " +

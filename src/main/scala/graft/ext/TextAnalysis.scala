@@ -409,6 +409,33 @@ object TextAnalysis {
         .agg(count(lit(1)).as("bf"))
     }
 
+  /** x290's report stage over a per-term total-count frame (one row
+    * per term, column `r`) — split out so s59 can serve the SAME
+    * readout from the maintained word-frequency state (Σ over
+    * sources of the additive per-source counts IS the term total,
+    * so streamed ≡ batch by construction).
+    */
+  def goodTuringFromTermCounts(wf: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    wf.groupBy(col("r")).agg(count(lit(1)).as("nr"))
+      .agg(
+        sum(col("r") * col("nr")).as("n_tokens"),
+        sum(col("nr")).as("vocab"),
+        coalesce(sum(when(col("r") === 1L, col("nr"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("r") === 2L, col("nr"))), lit(0L)).as("n2"),
+        coalesce(sum(when(col("r") === 3L, col("nr"))), lit(0L)).as("n3"))
+      .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+        col("n3"),
+        when(col("n_tokens") > 0L,
+          round(dd(col("n1")) / dd(col("n_tokens")), 6)).as("p_unseen"),
+        when(col("n1") > 0L,
+          round(lit(2.0) * dd(col("n2")) / dd(col("n1")), 4))
+          .as("r1_star"),
+        when(col("n2") > 0L,
+          round(lit(3.0) * dd(col("n3")) / dd(col("n2")), 4))
+          .as("r2_star"))
+  }
+
   /** x183's report stage over a (source, w, freq) word-frequency
     * frame — like [[giniFromFreq]], the frequency table is the
     * ADDITIVE sufficient statistic that lets s30 maintain a
@@ -1189,6 +1216,45 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // LUHN CHECKSUM SCREEN — the PII class x24's patterns can't
+    // separate: a 16-digit token is only a CREDIT CARD candidate if
+    // its Luhn mod-10 checksum validates (the industry pre-filter
+    // that cuts digit-soup false positives by ~10×). Tokens of 13-19
+    // digits run the checksum as one higher-order aggregate over
+    // reversed digit positions — pure integer arithmetic, stateless
+    // map work on the scan, no shuffle before the per-source rollup.
+    // Non-vacuity (x71's pattern): the corpus is word soup with no
+    // card-shaped tokens, so one valid (4532015112830366) and one
+    // off-by-one invalid twin are planted; the screen must accept
+    // exactly the valid one.
+    "x291_luhn_screen" -> ((spark, sfDir) => {
+      val planted = spark.sql(
+        "SELECT * FROM VALUES " +
+          "(5000001, 'planted', 'card 4532015112830366 leaked'), " +
+          "(5000002, 'planted', 'card 4532015112830367 mistyped') " +
+          "AS t(doc_id, source, text)")
+      val cand = docs(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(planted
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("source"), col("text")))
+        .select(col("doc_id"), col("source"), explode(tokens).as("t"))
+        .filter(col("t").rlike("^[0-9]{13,19}$"))
+      val digit = "CAST(substring(t, length(t) - i + 1, 1) AS INT)"
+      cand.withColumn("luhn_sum", expr(
+          s"aggregate(sequence(1, length(t)), 0, (acc, i) -> acc + " +
+            s"CASE WHEN i % 2 = 1 THEN $digit " +
+            s"ELSE CASE WHEN $digit * 2 > 9 THEN $digit * 2 - 9 " +
+            s"ELSE $digit * 2 END END)"))
+        .withColumn("valid", col("luhn_sum") % 10 === 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_luhn_valid"),
+          countDistinct(when(col("valid"), col("doc_id")))
+            .as("n_docs_flagged"))
+        .orderBy(col("source"))
+    }),
+
     // MATTHEWS CORRELATION — the one-number grade of rule agreement
     // that survives class imbalance (x193 reads the discordance
     // DIRECTION, x194 the chance-corrected rate; MCC is the
@@ -1928,32 +1994,14 @@ object TextAnalysis {
     // Good–Turing adjusted counts r* = (r+1)·N_{r+1}/N_r — pure
     // exact-integer rationals, one division each, vocabulary-sized
     // frames.
-    "x290_good_turing" -> ((spark, sfDir) => {
-      def dd(c: Column) = c.cast("double")
-      val wf = Lake.materialize(spark, sfDir, "tfidf_tf") {
-        docs(spark, sfDir)
-          .select(col("doc_id"), explode(tokens).as("term"))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-      }.groupBy(col("term")).agg(sum(col("tf")).as("r"))
-      val noc = wf.groupBy(col("r")).agg(count(lit(1)).as("nr"))
-      noc.agg(
-          sum(col("r") * col("nr")).as("n_tokens"),
-          sum(col("nr")).as("vocab"),
-          coalesce(sum(when(col("r") === 1L, col("nr"))), lit(0L)).as("n1"),
-          coalesce(sum(when(col("r") === 2L, col("nr"))), lit(0L)).as("n2"),
-          coalesce(sum(when(col("r") === 3L, col("nr"))), lit(0L)).as("n3"))
-        .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
-          col("n3"),
-          when(col("n_tokens") > 0L,
-            round(dd(col("n1")) / dd(col("n_tokens")), 6)).as("p_unseen"),
-          when(col("n1") > 0L,
-            round(lit(2.0) * dd(col("n2")) / dd(col("n1")), 4))
-            .as("r1_star"),
-          when(col("n2") > 0L,
-            round(lit(3.0) * dd(col("n3")) / dd(col("n2")), 4))
-            .as("r2_star"))
-    }),
+    "x290_good_turing" -> ((spark, sfDir) =>
+      goodTuringFromTermCounts(
+        Lake.materialize(spark, sfDir, "tfidf_tf") {
+          docs(spark, sfDir)
+            .select(col("doc_id"), explode(tokens).as("term"))
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+        }.groupBy(col("term")).agg(sum(col("tf")).as("r")))),
 
     // Cross-source domain-affinity matrix (see domainAffinity
     // scaladoc): S² rows of pairwise LM cross-entropy.
@@ -3778,6 +3826,26 @@ object TextAnalysis {
         "FROM tf JOIN ctf USING (term), tot GROUP BY doc_id ORDER BY doc_id"),
     // add-one-smoothed conditional probs; the log runs on one DOUBLE
     // division in both engines (x34's 4 dp tolerance argument)
+    // same planted twins, same digit-position checksum as one list
+    // fold, same per-source rollup
+    "x291_luhn_screen" ->
+      ("WITH base AS (SELECT doc_id, source, text FROM documents " +
+        "UNION ALL SELECT CAST(doc_id AS BIGINT), source, text FROM (VALUES " +
+        "(5000001, 'planted', 'card 4532015112830366 leaked'), " +
+        "(5000002, 'planted', 'card 4532015112830367 mistyped')) t(doc_id, source, text)), " +
+        "cand AS (SELECT doc_id, source, tk AS t FROM " +
+        "(SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk FROM base) u " +
+        "WHERE regexp_matches(tk, '^[0-9]{13,19}$')), " +
+        "sc AS (SELECT doc_id, source, list_sum(list_transform(range(1, length(t) + 1), i -> " +
+        "CASE WHEN i % 2 = 1 THEN CAST(substring(t, length(t) - CAST(i AS INT) + 1, 1) AS INT) " +
+        "ELSE CASE WHEN CAST(substring(t, length(t) - CAST(i AS INT) + 1, 1) AS INT) * 2 > 9 " +
+        "THEN CAST(substring(t, length(t) - CAST(i AS INT) + 1, 1) AS INT) * 2 - 9 " +
+        "ELSE CAST(substring(t, length(t) - CAST(i AS INT) + 1, 1) AS INT) * 2 END END)) AS s " +
+        "FROM cand) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates, " +
+        "CAST(SUM(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid, " +
+        "CAST(COUNT(DISTINCT CASE WHEN s % 10 = 0 THEN doc_id END) AS BIGINT) AS n_docs_flagged " +
+        "FROM sc GROUP BY 1 ORDER BY 1"),
     // x46's bigram chain; per-model-row regridded ln difference
     // times the exact c12, one closing division
     "x289_bigram_entropy" ->

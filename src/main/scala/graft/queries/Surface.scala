@@ -2198,6 +2198,78 @@ object Surface {
         .orderBy(col("segment"))
     }),
 
+    // TPC-H Q3 (shipping priority) — the canonical 3-way
+    // customer⋈orders⋈lineitem revenue top-k, the published join
+    // benchmark shape §2.C's join row should carry verbatim: filters
+    // push into all three scans, the dimension side broadcasts, and
+    // revenue Σ price·(1−discount) is carried as the EXACT integer
+    // cents·(10⁴−discount_bp) so the group sums (and the top-10
+    // ordering) are engine-identical — no float accumulation order
+    // anywhere near the LIMIT cut. Ordering ties break by date, key.
+    "c105_tpch_q3" -> ((spark, sfDir) => {
+      val cust = t(spark, sfDir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") < lit("1996-03-15").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+        .select(col("l_orderkey"), expr(
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+          .as("rev_fp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev_fp")).as("rev_fp"))
+        .orderBy(desc("rev_fp"), col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          round(col("rev_fp").cast("double") / 1000000.0, 2).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    // TPC-H Q5 (local supplier volume) — the 6-way
+    // region⋈nation⋈customer⋈orders⋈lineitem⋈supplier star join with
+    // the c_nationkey = s_nationkey locality constraint: three
+    // dimension legs broadcast, the two fact legs equi-join, and the
+    // same exact-integer revenue discipline as c105 keeps the
+    // per-nation sums and DESC ordering engine-identical.
+    "c106_tpch_q5" -> ((spark, sfDir) => {
+      val asia = t(spark, sfDir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val nat = t(spark, sfDir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(spark, sfDir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), expr(
+          "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+          .as("rev_fp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_fp")).as("rev_fp"))
+        .orderBy(desc("rev_fp"), col("n_name"))
+        .select(col("n_name"),
+          round(col("rev_fp").cast("double") / 1000000.0, 2).as("revenue"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -3064,6 +3136,38 @@ object Surface {
         "SELECT hr_mh, ROUND(rr, 6) AS rr_star, " +
         "CASE WHEN rr >= 1.0 THEN ROUND(rr + SQRT(rr * (rr - 1.0)), 6) END AS evalue " +
         "FROM e"),
+    // same exact-integer cents·(10^4 − bp) revenue, same tiebreak
+    "c105_tpch_q3" ->
+      ("WITH li AS (SELECT l_orderkey, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp " +
+        "FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-03-15'), " +
+        "g AS (SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, " +
+        "o_orderpriority, CAST(SUM(rev_fp) AS BIGINT) AS rev_fp " +
+        "FROM customer JOIN orders ON o_custkey = c_custkey " +
+        "JOIN li ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-03-15' " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT l_orderkey, ROUND(CAST(rev_fp AS DOUBLE) / 1000000.0, 2) AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM g ORDER BY rev_fp DESC, o_orderdate, l_orderkey LIMIT 10"),
+    // same star joins and locality constraint, same exact revenue
+    "c106_tpch_q5" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp " +
+        "FROM lineitem), " +
+        "g AS (SELECT n_name, CAST(SUM(rev_fp) AS BIGINT) AS rev_fp " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN supplier ON s_nationkey = n_nationkey " +
+        "JOIN li ON l_suppkey = s_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1) " +
+        "SELECT n_name, ROUND(CAST(rev_fp AS DOUBLE) / 1000000.0, 2) AS revenue " +
+        "FROM g ORDER BY rev_fp DESC, n_name"),
     // the c97 lifetime CTEs with cause classification (purchase
     // priority on ties), all-cause ln-sum KM left limits, exact
     // cumulative-prior risk sets, sequential window sums

@@ -2218,6 +2218,17 @@ object Streams {
     graft.ext.TextAnalysis.lexicalRichnessFromFreq(
       maintainedWordFreq(spark, sfDir, "s51"))
 
+  /** s59: x290's Good–Turing unseen-mass readout off the same
+    * maintained word-frequency state as s30/s51 — Σ over sources of
+    * the additive per-source counts IS the per-term total, so the
+    * count-of-counts (and every adjusted count) re-reads exactly
+    * after each merge; streamed ≡ batch by construction.
+    */
+  def foreachBatchGoodTuring(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ext.TextAnalysis.goodTuringFromTermCounts(
+      maintainedWordFreq(spark, sfDir, "s59")
+        .groupBy(col("w")).agg(sum(col("freq")).as("r")))
+
   /** The shared word-frequency maintainer under s30/s51: the
     * (source, w, freq) table merged additively per microbatch over a
     * 4-file documents split — the vocabulary-sized sufficient
@@ -2676,6 +2687,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchGrubbs(spark, sfDir)),
     "s58_stream_hurst_maintain" ->
       ((spark, sfDir) => foreachBatchHurst(spark, sfDir)),
+    "s59_stream_good_turing_maintain" ->
+      ((spark, sfDir) => foreachBatchGoodTuring(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2825,6 +2838,10 @@ object Streams {
     // cells ≡ batch x286
     "s58_stream_hurst_maintain" ->
       graft.pipeline.Views.oracles("x286_hurst_rs"),
+    // the IVM contract verbatim: Good–Turing over the maintained
+    // word-frequency totals ≡ batch x290
+    "s59_stream_good_turing_maintain" ->
+      graft.ext.TextAnalysis.oracles("x290_good_turing"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -6702,4 +6702,42 @@ class ExtSpec extends SparkSpec {
     assert(r.isNullAt(6) || r.getDouble(6) >= 0.0, s"r1*: $r")
   }
 
+  test("c105/c106 TPC-H Q3/Q5: top-k revenue ordering exact and descending") {
+    val q3 = graft.queries.Surface.queries("c105_tpch_q3")(spark, SfDir)
+      .collect()
+    assert(q3.nonEmpty && q3.length <= 10, s"q3 rows: ${q3.length}")
+    val revs = q3.map(_.getDouble(1))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p.head >= p.last - 1e-9),
+      s"q3 not descending: ${revs.toSeq}")
+    val q5 = graft.queries.Surface.queries("c106_tpch_q5")(spark, SfDir)
+      .collect()
+    assert(q5.nonEmpty, "q5 empty")
+    val r5 = q5.map(_.getDouble(1))
+    assert(r5.sliding(2).forall(p => p.length < 2 || p.head >= p.last - 1e-9),
+      s"q5 not descending: ${r5.toSeq}")
+  }
+
+  test("x291 luhn screen: the planted valid card is accepted, its off-by-one twin rejected") {
+    val rows = graft.ext.TextAnalysis.queries("x291_luhn_screen")(spark, SfDir)
+      .collect()
+    val planted = rows.find(_.getString(0) == "planted")
+    assert(planted.isDefined, s"planted source missing: ${rows.toSeq}")
+    val p = planted.get
+    assert(p.getLong(1) == 2L && p.getLong(2) == 1L && p.getLong(3) == 1L,
+      s"luhn: $p")
+  }
+
+  test("x292 kmv set ops: estimates track the exact controls within sketch error") {
+    val rows = graft.ext.Sampling.queries("x292_kmv_setops")(spark, SfDir)
+      .collect()
+    assert(rows.nonEmpty, "no type pairs")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), s"union < inter: $r")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, s"jaccard: $r")
+      val relU = math.abs(r.getLong(4) - r.getLong(2)).toDouble /
+        math.max(1L, r.getLong(2))
+      assert(relU < 0.5, s"union est off by ${relU}: $r")
+    }
+  }
+
 }

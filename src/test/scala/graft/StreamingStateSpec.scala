@@ -607,6 +607,18 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Mood scale diverges:\n${sm.toSeq}\nvs\n${bm.toSeq}")
   }
 
+  test("streaming Good-Turing equals batch x290 (s59)") {
+    def key(r: org.apache.spark.sql.Row) =
+      ((0 to 4).map(r.getLong),
+        (5 to 7).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val sg = graft.streaming.Streams.foreachBatchGoodTuring(spark, SfDir)
+      .collect().map(key)
+    val bg = graft.ext.TextAnalysis.queries("x290_good_turing")(spark, SfDir)
+      .collect().map(key)
+    assert(sg.toSeq == bg.toSeq,
+      s"streamed Good-Turing diverges:\n${sg.toSeq}\nvs\n${bg.toSeq}")
+  }
+
   test("streaming Grubbs equals batch x284, streaming Hurst equals batch x286 (s57/s58)") {
     def keyG(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
