@@ -431,7 +431,12 @@ object Bench {
     "x173_bfs_diameter", "x92_span_dedup", "x69_pagerank",
     "p01_pipeline_topk", "x129_hits", "x164_textrank",
     "x31_passage_dedup", "x03_dedup_minhash", "x148_kneser_ney",
-    "x150_record_linkage", "x91_edit_distance_dedup")
+    "x150_record_linkage", "x91_edit_distance_dedup",
+    // r15 session-2: the three iterative shapes whose first timed
+    // rep pays plan codegen visibly (x220 raw [3.02, 1.46, 1.16]
+    // under an idle post-rep sentinel — decay, not load)
+    "x220_katz_centrality", "x127_association_rules",
+    "x121_bpe_train_steps")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
