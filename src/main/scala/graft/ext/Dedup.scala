@@ -2566,8 +2566,14 @@ object Dedup {
         "u AS (SELECT doc_id, text FROM d " +
         "UNION ALL SELECT doc_id + 3000000, " +
         "substr(text, 1, 4) || 'qq' || substr(text, 7) FROM d), " +
+        // the r15 exact-text pre-collapse, mirrored: identical texts
+        // reduce to their MIN-doc_id representative BEFORE blocking
+        // (sf0.1 carries real exact-dup texts, so this is semantic,
+        // not cosmetic)
+        "r AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text " +
+        "FROM u GROUP BY md5(text)), " +
         "k AS (SELECT doc_id, text, length(text) AS blk_len, " +
-        "substr(text, 1, 4) AS blk_pre FROM u), " +
+        "substr(text, 1, 4) AS blk_pre FROM r), " +
         "keep AS (SELECT blk_len, blk_pre FROM k GROUP BY 1, 2 " +
         "HAVING COUNT(*) <= 64), " +
         "f AS (SELECT k.* FROM k JOIN keep USING (blk_len, blk_pre)) " +
