@@ -2069,6 +2069,15 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s54"))
       .orderBy(col("event_type"))
 
+  /** s60: x278's Jonckheere–Terpstra ordered-alternative test off
+    * the same maintained day frame — the count-of-counts cells,
+    * half-weight ties, and classical variance all re-read from the
+    * bounded (type, day) state after every merge.
+    */
+  def foreachBatchJonckheere(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.jonckheereReport(
+      maintainedDayCounts(spark, sfDir, "s60"))
+
   /** s57: x284's Grubbs outlier screen off the same maintained day
     * frame — the spike monitor as IVM: exact integer deviations and
     * the closed-form G re-read from the additive (type, day) cells.
@@ -2689,6 +2698,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchHurst(spark, sfDir)),
     "s59_stream_good_turing_maintain" ->
       ((spark, sfDir) => foreachBatchGoodTuring(spark, sfDir)),
+    "s60_stream_jonckheere_maintain" ->
+      ((spark, sfDir) => foreachBatchJonckheere(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2842,6 +2853,10 @@ object Streams {
     // word-frequency totals ≡ batch x290
     "s59_stream_good_turing_maintain" ->
       graft.ext.TextAnalysis.oracles("x290_good_turing"),
+    // the IVM contract verbatim: JT over the maintained day cells
+    // ≡ batch x278
+    "s60_stream_jonckheere_maintain" ->
+      graft.pipeline.Views.oracles("x278_jonckheere"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -607,6 +607,18 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Mood scale diverges:\n${sm.toSeq}\nvs\n${bm.toSeq}")
   }
 
+  test("streaming Jonckheere equals batch x278 (s60)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val sj = graft.streaming.Streams.foreachBatchJonckheere(spark, SfDir)
+      .collect().map(key)
+    val bj = graft.pipeline.Views.queries("x278_jonckheere")(spark, SfDir)
+      .collect().map(key)
+    assert(sj.toSeq == bj.toSeq,
+      s"streamed JT diverges:\n${sj.toSeq}\nvs\n${bj.toSeq}")
+  }
+
   test("streaming Good-Turing equals batch x290 (s59)") {
     def key(r: org.apache.spark.sql.Row) =
       ((0 to 4).map(r.getLong),
