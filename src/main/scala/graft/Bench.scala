@@ -110,9 +110,13 @@ object Bench {
     // own timed reps (~70 queries later in the headline) recorded
     // monotonically-decaying triples (x132 [14.0, 11.2, 4.4] vs a
     // 4.4 s steady state). One warm run immediately before the timed
-    // reps restores steady state; protocol-faithful per the
-    // reference's warm-Lambda discipline (benchmark.py:49-65 times
-    // the warm mode separately from the cold one).
+    // reps restores steady state. The reference's own protocol note
+    // is weaker but pointing the same way: benchmark.py's docstring
+    // advises re-running the script because the first (cold) run "may
+    // be slower than the others" — it never times a cold rep as the
+    // steady-state number. Either way the change is declared: every
+    // query that takes the warm rep is stamped in the artifact's
+    // heavy_warm field, so the JSON says exactly what was timed.
     if (warmFirst) {
       try run()
       catch { case e: Throwable =>

@@ -1046,7 +1046,13 @@ object Sampling {
     def dd(c: String) = col(c).cast("double")
     mins.join(exact, "grp")
       .select(col("grp"), col("exact_distinct"),
-        when(col("n_seen") < KmvK, col("exact_distinct"))
+        // sub-K fallback reads the SKETCH's own state (n_seen), never
+        // the exact control: a non-full slate means the sketch saw
+        // every distinct hash, so n_seen IS its estimate. Equal to
+        // exact_distinct under the injective frozen hash, but the
+        // estimator column must never depend on the control path —
+        // a future hash with collisions would silently hide them.
+        when(col("n_seen") < KmvK, col("n_seen"))
           .otherwise(round((lit(KmvK) - 1.0) * lit(CmsP.toDouble) /
             dd("h_k"), 0).cast("long")).as("kmv_est"))
       .withColumn("rel_err",
@@ -1852,7 +1858,9 @@ object Sampling {
         .withColumn("exact_union",
           col("n_a") + col("n_b") - col("exact_inter"))
         .withColumn("union_est",
-          when(col("n_seen") < KmvK, col("exact_union"))
+          // x219's provenance rule: the sub-K fallback is the
+          // sketch's own n_seen, never the exact_union control
+          when(col("n_seen") < KmvK, col("n_seen"))
             .otherwise(round((lit(KmvK) - 1.0) * lit(CmsP.toDouble) /
               dd(col("h_k")), 0).cast("long")))
         .withColumn("inter_est",
@@ -3435,7 +3443,7 @@ object Sampling {
         "FROM est JOIN ea na ON na.grp = est.ga JOIN ea nb ON nb.grp = est.gb " +
         "LEFT JOIN ei ON ei.ga = est.ga AND ei.gb = est.gb), " +
         "g AS (SELECT ga, gb, n_a + n_b - exact_inter AS exact_union, exact_inter, " +
-        s"n_seen, n_both, CASE WHEN n_seen < $KmvK THEN n_a + n_b - exact_inter " +
+        s"n_seen, n_both, CASE WHEN n_seen < $KmvK THEN n_seen " +
         s"ELSE CAST(ROUND(($KmvK - 1.0) * ${CmsP.toDouble} / CAST(h_k AS DOUBLE), 0) AS BIGINT) END AS union_est " +
         "FROM f) " +
         "SELECT ga, gb, CAST(exact_union AS BIGINT) AS exact_union, exact_inter, union_est, " +
@@ -3451,7 +3459,7 @@ object Sampling {
         s"mins AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_seen, MAX(h) AS h_k " +
         s"FROM rk WHERE rk <= $KmvK GROUP BY 1), " +
         "exact AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM el GROUP BY 1), " +
-        s"est AS (SELECT grp, exact_distinct, CASE WHEN n_seen < $KmvK THEN exact_distinct " +
+        s"est AS (SELECT grp, exact_distinct, CASE WHEN n_seen < $KmvK THEN n_seen " +
         s"ELSE CAST(ROUND(($KmvK - 1.0) * ${CmsP.toDouble} / CAST(h_k AS DOUBLE), 0) AS BIGINT) END AS kmv_est " +
         "FROM mins JOIN exact USING (grp)) " +
         "SELECT grp, exact_distinct, kmv_est, " +

@@ -765,12 +765,22 @@ object Similarity {
     // how many coordinates CARRY the variance — d means perfectly
     // spread, ≪ d means a few dominant axes, the "is my embedding
     // collapsed" card number): on x112's shared 0..255 grid each
-    // per-dim variance numerator v_d = n·Σq² − (Σq)² is an exact
-    // BIGINT, and the n² denominators CANCEL in the ratio, so
-    // PR = (Σ v_d)²/(Σ v_d²) is exact integers to ONE division
-    // (DECIMAL(38,0) squares; at n ≳ 10⁹ the Σv² term needs the
-    // family's documented decimal-widening swap). d-row frame after
-    // one map-side-combined scan — x147's linear scale shape.
+    // per-dim variance numerator v_d = n·Σq² − (Σq)² is exact, and
+    // the n² denominators CANCEL in the ratio, so
+    // PR = (Σ v_d)²/(Σ v_d²) is exact integers to ONE division.
+    // Overflow discipline (the Hoover/x247 fix pattern): the n·Σq²
+    // product is widened to DECIMAL(38,0)/HUGEINT BEFORE the
+    // multiply — as a BIGINT it would wrap silently on Spark (and
+    // raise on DuckDB) at worst-case n ≈ 1.2×10⁷ vectors
+    // (n·Σq² ≤ n²·255²). Post-widening the binding term is the
+    // Σv_d² readout square, inside 38 digits to worst-case
+    // n ≈ 7×10⁶ on a maximally-spread grid (v_d ≤ n²·(255/2)²) and
+    // var-dependently far beyond for real clouds (var ≈ 100 →
+    // n ≈ 1.7×10⁸); past that, decimal overflow is LOUD (NULL pr on
+    // Spark, raise on DuckDB — never a silent wrong number) and the
+    // family's documented swap is a coarser grid or double readout.
+    // d-row frame after one map-side-combined scan — x147's linear
+    // scale shape.
     "x287_participation_ratio" -> ((spark, sfDir) => {
       val e = emb(spark, sfDir)
       val bounds = broadcast(e.agg(
@@ -783,10 +793,11 @@ object Similarity {
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
           sum(col("q") * col("q")).as("ss"))
-        .withColumn("v", col("n") * col("ss") - col("s") * col("s"))
+        .withColumn("v", col("n").cast("decimal(38,0)") * col("ss") -
+          col("s").cast("decimal(38,0)") * col("s"))
       dims.agg(count(lit(1)).as("n_dims"), max(col("n")).as("n_vecs"),
-          sum(col("v").cast("decimal(38,0)")).as("sv"),
-          sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+          sum(col("v")).as("sv"),
+          sum(col("v") * col("v")).as("svv"))
         .select(col("n_vecs"), col("n_dims"),
           when(col("svv") > 0,
             round((col("sv") * col("sv")).cast("double") /
@@ -2117,7 +2128,8 @@ object Similarity {
         "d AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss " +
         "FROM cells GROUP BY 1), " +
-        "v AS (SELECT dim, n, n * ss - s * s AS v FROM d), " +
+        "v AS (SELECT dim, n, CAST(n AS HUGEINT) * ss - " +
+        "CAST(s AS HUGEINT) * s AS v FROM d), " +
         "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, " +
         "CAST(MAX(n) AS BIGINT) AS n_vecs, " +
         "CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sv, " +

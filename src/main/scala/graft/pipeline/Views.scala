@@ -1012,9 +1012,21 @@ object Views {
     * distributions shift monotonically across ordered groups with no
     * blocking): 2U = Σ_{a<b} Σ f_a·f_b·(2·[x_a<x_b] + [x_a=x_b])
     * over the per-group count-of-counts cells (exact integer, ties
-    * at half weight), E[2U] = Σ_{a<b} n_a·n_b, Var(U) =
-    * (N²(2N+3) − Σ n_g²(2n_g+3))/72 (the classical no-tie form), z
-    * with doubled-statistic scaling. The cell-pair join is bounded
+    * at half weight), E[2U] = Σ_{a<b} n_a·n_b, and the TIE-CORRECTED
+    * null variance (Hollander & Wolfe 1999 §6.2 — the form clinfun
+    * and PMCMRplus implement; the per-day count data is tied by
+    * construction, so the classical no-tie form mis-scales z):
+    * Var(U) = [N(N−1)(2N+5) − Σ_g n_g(n_g−1)(2n_g+5)
+    *           − Σ_j t_j(t_j−1)(2t_j+5)]/72
+    *        + [Σ n_g(n_g−1)(n_g−2)]·[Σ t_j(t_j−1)(t_j−2)]
+    *           / (36·N(N−1)(N−2))
+    *        + [Σ n_g(n_g−1)]·[Σ t_j(t_j−1)] / (8·N(N−1))
+    * with t_j the pooled tie-group sizes; when every t_j = 1 the tie
+    * sums vanish and the expression reduces algebraically to the
+    * classical (N²(2N+3) − Σ n_g²(2n_g+3))/72. All six correction
+    * sums are exact BIGINTs at day grain (cubic in day counts —
+    * Long-safe past a million days, i.e. forever for a daily frame);
+    * z uses doubled-statistic scaling. The cell-pair join is bounded
     * by (Σ_g cells_g)² — support grain, never day grain.
     */
   def jonckheereReport(daily: DataFrame): DataFrame = {
@@ -1031,21 +1043,34 @@ object Views {
       .agg(sum(col("f")).as("n_g"))
     val tot = sizes.agg(count(lit(1)).as("k_groups"),
       sum(col("n_g")).as("n_total"),
-      sum(col("n_g") * col("n_g")).as("sq"),
-      sum(col("n_g") * col("n_g") * (lit(2L) * col("n_g") + 3L))
-        .as("sq3"),
+      sum(col("n_g") * (col("n_g") - 1L)).as("sn1"),
+      sum(col("n_g") * (col("n_g") - 1L) * (col("n_g") - 2L)).as("sn2"),
+      sum(col("n_g") * (col("n_g") - 1L) * (lit(2L) * col("n_g") + 5L))
+        .as("sn3"),
       // E[2U] = Σ_{a<b} n_a·n_b = (N² − Σn_g²)/2 — N²−Σn² counts
       // ordered pairs, i.e. each unordered group pair twice; integer
       // DIV (the difference is always even), not double division
       expr("(SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) DIV 2").as("e2"))
-    u2.crossJoin(tot)
+    // pooled tie-group sizes t_j: the same value observed anywhere in
+    // the pooled sample ties; the three correction sums are exact
+    val ties = cells.groupBy(col("x")).agg(sum(col("f")).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L)), lit(0L)).as("st1"),
+        coalesce(sum(col("t") * (col("t") - 1L) * (col("t") - 2L)),
+          lit(0L)).as("st2"),
+        coalesce(sum(col("t") * (col("t") - 1L) *
+          (lit(2L) * col("t") + 5L)), lit(0L)).as("st3"))
+    val n = dd(col("n_total"))
+    val varJ =
+      (n * (n - 1.0) * (lit(2.0) * n + 5.0) -
+        dd(col("sn3")) - dd(col("st3"))) / 72.0 +
+        dd(col("sn2")) * dd(col("st2")) /
+          (lit(36.0) * n * (n - 1.0) * (n - 2.0)) +
+        dd(col("sn1")) * dd(col("st1")) / (lit(8.0) * n * (n - 1.0))
+    u2.crossJoin(tot).crossJoin(ties)
       .select(col("k_groups"), col("n_total"), col("u2"), col("e2"),
-        when(col("n_total") > 2L,
+        when(col("n_total") > 2L && varJ > 0.0,
           round((dd(col("u2")) - dd(col("e2"))) /
-            sqrt(lit(4.0) *
-              (dd(col("n_total")) * dd(col("n_total")) *
-                (lit(2.0) * dd(col("n_total")) + 3.0) - dd(col("sq3"))) /
-              72.0), 6)).as("z"))
+            sqrt(lit(4.0) * varJ), 6)).as("z"))
   }
 
   /** x279's Cochran–Armitage trend test of the weekly conversion
@@ -2464,7 +2489,15 @@ object Views {
       .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
         min(col("nn")).as("nn"), sum(col("m4_t")).as("m4"))
       .select(col("event_type"), col("n_ref"), col("n_cur"),
-        col("m4").cast("long").as("m4"),
+        // published as STRING, not BIGINT: M4 ~ N³/6 for N pooled
+        // events per type exceeds Long at roughly 4×10⁶ events —
+        // about one decade above the gated sf0.1 scale — and a
+        // BIGINT readout would wrap silently on Spark where DuckDB's
+        // CAST raises. The internal DECIMAL(38,0) sum stays exact;
+        // stringifying it is the one readout both engines carry
+        // losslessly at any lake size (HUGEINT/DECIMAL degrade to
+        // float64 through the oracle's pandas bridge).
+        col("m4").cast("string").as("m4"),
         when(col("n_ref") > 0L && col("n_cur") > 0L && col("nn") > 2L,
           round((col("m4").cast("double") -
             dd(col("n_cur")) * (dd(col("nn")) * dd(col("nn")) - 1.0) / 3.0) /
@@ -2822,7 +2855,7 @@ object Views {
         "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
         "CAST(MIN(nc) AS BIGINT) AS n_cur, CAST(MIN(nn) AS BIGINT) AS nn, " +
         "SUM(m4_t) AS m4 FROM k GROUP BY 1), " +
-        "zz AS (SELECT event_type, n_ref, n_cur, CAST(m4 AS BIGINT) AS m4, " +
+        "zz AS (SELECT event_type, n_ref, n_cur, CAST(m4 AS VARCHAR) AS m4, " +
         "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN " +
         "ROUND((CAST(m4 AS DOUBLE) - CAST(n_cur AS DOUBLE) * " +
         "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 1.0) / 3.0) / " +
@@ -2956,14 +2989,29 @@ object Views {
         "sz AS (SELECT event_type, CAST(SUM(f) AS BIGINT) AS n_g FROM cells GROUP BY 1), " +
         "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups, " +
         "CAST(SUM(n_g) AS BIGINT) AS n_total, " +
-        "CAST(SUM(n_g * n_g * (2 * n_g + 3)) AS BIGINT) AS sq3, " +
-        "CAST((SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) // 2 AS BIGINT) AS e2 FROM sz) " +
+        "CAST(SUM(n_g * (n_g - 1)) AS BIGINT) AS sn1, " +
+        "CAST(SUM(n_g * (n_g - 1) * (n_g - 2)) AS BIGINT) AS sn2, " +
+        "CAST(SUM(n_g * (n_g - 1) * (2 * n_g + 5)) AS BIGINT) AS sn3, " +
+        "CAST((SUM(n_g) * SUM(n_g) - SUM(n_g * n_g)) // 2 AS BIGINT) AS e2 FROM sz), " +
+        "tg AS (SELECT x, CAST(SUM(f) AS BIGINT) AS tt FROM cells GROUP BY 1), " +
+        "ts AS (SELECT CAST(COALESCE(SUM(tt * (tt - 1)), 0) AS BIGINT) AS st1, " +
+        "CAST(COALESCE(SUM(tt * (tt - 1) * (tt - 2)), 0) AS BIGINT) AS st2, " +
+        "CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT) AS st3 FROM tg), " +
+        "v AS (SELECT k_groups, n_total, u2, e2, " +
+        "(CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0) * " +
+        "(2.0 * CAST(n_total AS DOUBLE) + 5.0) - " +
+        "CAST(sn3 AS DOUBLE) - CAST(st3 AS DOUBLE)) / 72.0 + " +
+        "CAST(sn2 AS DOUBLE) * CAST(st2 AS DOUBLE) / " +
+        "(36.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0) * " +
+        "(CAST(n_total AS DOUBLE) - 2.0)) + " +
+        "CAST(sn1 AS DOUBLE) * CAST(st1 AS DOUBLE) / " +
+        "(8.0 * CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) - 1.0)) AS var_j " +
+        "FROM u CROSS JOIN t CROSS JOIN ts) " +
         "SELECT k_groups, n_total, u2, e2, " +
-        "CASE WHEN n_total > 2 THEN " +
+        "CASE WHEN n_total > 2 AND var_j > 0.0 THEN " +
         "ROUND((CAST(u2 AS DOUBLE) - CAST(e2 AS DOUBLE)) / " +
-        "SQRT(4.0 * (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * " +
-        "(2.0 * CAST(n_total AS DOUBLE) + 3.0) - CAST(sq3 AS DOUBLE)) / 72.0), 6) END AS z " +
-        "FROM u CROSS JOIN t"),
+        "SQRT(4.0 * var_j), 6) END AS z " +
+        "FROM v"),
     // same week cells, HUGEINT operands widened before the multiply,
     // one division
     "x279_ca_trend" ->

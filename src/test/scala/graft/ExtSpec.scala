@@ -5570,6 +5570,21 @@ class ExtSpec extends SparkSpec {
       s"corpus KMV: ${corpus.toSeq}")
   }
 
+  test("x219 kmv sub-K fallback is computed sketch-side, never from the exact control") {
+    import spark.implicits._
+    // Plant a readout where the sketch state and the exact control
+    // DISAGREE (impossible under the injective frozen hash, possible
+    // under a colliding one): a 3-hash slate beside a control that
+    // claims 999 distincts. A provenance-correct estimator must
+    // publish the sketch's own n_seen (3) — an estimator that read
+    // the control would silently hide hash collisions.
+    val state = Seq(("g", 10L), ("g", 20L), ("g", 30L)).toDF("grp", "h")
+    val control = Seq(("g", 999L)).toDF("grp", "exact_distinct")
+    val r = graft.ext.Sampling.kmvReadout(state, control).collect()(0)
+    assert(r.getLong(1) == 999L && r.getLong(2) == 3L,
+      s"sub-K estimate must come from the sketch state: $r")
+  }
+
   test("x232 cliff's delta: hand-computed pair classes, lt falls out of the identity") {
     import spark.implicits._
     // a = {1,2,3}, b = {2,4}: gt = 1 (3>2), lt = 4, ties = 1 (2=2)
@@ -6485,16 +6500,39 @@ class ExtSpec extends SparkSpec {
     val d = Seq(("a", 0, 1L), ("a", 1, 2L), ("b", 0, 3L), ("b", 1, 4L),
       ("c", 0, 5L), ("c", 1, 6L)).toDF("event_type", "day", "x")
     val r = graft.pipeline.Views.jonckheereReport(d).collect()(0)
-    // every cross-group pair is ordered: u2 = 2 * 12 = 24; e2 = 12
+    // every cross-group pair is ordered: u2 = 2 * 12 = 24; e2 = 12.
+    // No ties, so the tie-corrected variance reduces to the classical
+    // form: VarJ = (6*5*17 - 3*2*1*9)/72 = 456/72 = 19/3
     assert(r.getLong(0) == 3L && r.getLong(1) == 6L &&
       r.getLong(2) == 24L && r.getLong(3) == 12L, s"jt: $r")
-    val expZ = BigDecimal((24.0 - 12.0) / math.sqrt(4.0 *
-        (6.0 * 6.0 * (2.0 * 6.0 + 3.0) - 84.0) / 72.0))
+    val expZ = BigDecimal((24.0 - 12.0) /
+        math.sqrt(4.0 * (456.0 / 72.0)))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(4) == expZ, s"z: $r vs $expZ")
     val c = graft.pipeline.Views.queries("x278_jonckheere")(spark, SfDir)
       .collect()(0)
     assert(c.getLong(1) > 0L && c.getLong(2) >= 0L, s"corpus jt: $c")
+  }
+
+  test("x278 jonckheere heavy ties: Hollander-Wolfe tie-corrected variance, hand-computed") {
+    import spark.implicits._
+    // a = {1,1,2}, b = {1,2,2}, c = {2,3,3}: 2U = 12 + 17 + 16 = 45,
+    // E[2U] = (81 - 27)/2 = 27. Tie-group sizes pooled: t(1)=3,
+    // t(2)=4, t(3)=2 → st1=20, st2=30, st3=240; groups n_g=3 each →
+    // sn1=18, sn2=18, sn3=198. Var(U) =
+    //   (9·8·23 − 198 − 240)/72 + 18·30/(36·9·8·7) + 18·20/(8·9·8)
+    // = 1218/72 + 540/18144 + 360/576 = 17.5714286 (H&W 1999 §6.2
+    // tie form); z = 18/√(4·VarU) = 2.147034. The classical no-tie
+    // form would read VarU = 20.25 and z = 2.0 — the tie mass
+    // UNDERSTATES |z| here, which is why the correction matters.
+    val d = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 2L),
+      ("b", 0, 1L), ("b", 1, 2L), ("b", 2, 2L),
+      ("c", 0, 2L), ("c", 1, 3L), ("c", 2, 3L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.jonckheereReport(d).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L &&
+      r.getLong(2) == 45L && r.getLong(3) == 27L, s"jt tied: $r")
+    assert(r.getDouble(4) == 2.147034, s"tie-corrected z: $r")
   }
 
   test("x279 cochran-armitage: a linear dose-response fixture solves chi2 = 1.25 exactly") {
@@ -6575,8 +6613,10 @@ class ExtSpec extends SparkSpec {
       ("a", "cur", 3L, 2L)).toDF("event_type", "half", "bucket", "c")
     val r = graft.pipeline.Views.moodScaleReportFromCounts(d).collect()(0)
     // M4 = 74 + 0 + 74 = 148; E = 4*63/3 = 84; Var = 768
+    // (m4 publishes as a string: the DECIMAL(38,0) sum stringified so
+    // the readout never wraps a BIGINT at lake scale)
     assert(r.getLong(1) == 4L && r.getLong(2) == 4L &&
-      r.getLong(3) == 148L, s"m4: $r")
+      r.getString(3) == "148", s"m4: $r")
     val expZ = BigDecimal((148.0 - 84.0) / math.sqrt(768.0))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(4) == expZ, s"z_scale: $r vs $expZ")
