@@ -306,7 +306,14 @@ object Bench {
     // the control shape whose wall should stay FLAT as the corpus
     // grows), and the recall-side pair grading on the x239 candidate
     // set (x285 — candidate-bound, the same volume class as x259)
-    "x288_self_bleu", "x285_rouge_pairs")
+    "x288_self_bleu", "x285_rouge_pairs",
+    // round-16 additions (81 → 85): the four canonical TPC-H
+    // join/subquery plan classes — the decorrelated scalar-average
+    // threshold (c107 Q17), the HAVING-subquery semi-join top-k
+    // (c108 Q18), the chained existential semi/anti pair (c109 Q21),
+    // and the lapsed-customer anti-join + broadcast scalar threshold
+    // (c110 Q22)
+    "c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21", "c110_tpch_q22")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming

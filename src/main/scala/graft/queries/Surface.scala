@@ -2270,6 +2270,135 @@ object Surface {
           round(col("rev_fp").cast("double") / 1000000.0, 2).as("revenue"))
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue) — the per-group
+    // CORRELATED SCALAR-AVERAGE plan class: the canonical correlated
+    // subquery (l_quantity < 0.2·avg(l_quantity) over the same part)
+    // decorrelates into a per-part aggregate joined back onto the
+    // fact scan — the part filter bounds that aggregate to dimension
+    // size, so it broadcasts. The 0.2·avg threshold is carried
+    // EXACTLY as the integer cross-multiplication 5·qty·cnt < Σqty
+    // (quantities are integral), so the qualifying-line set — and
+    // with it the cents-summed revenue — is engine-identical with no
+    // float threshold anywhere. The synthetic part table carries no
+    // p_container; p_type stands in for the second filter leg.
+    "c107_tpch_q17" -> ((spark, sfDir) => {
+      val pq = t(spark, sfDir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+        .select(col("p_partkey"))
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            .as("price_c"))
+      val pa = li.join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      li.join(broadcast(pa), Seq("l_partkey"))
+        .filter(lit(5L) * col("qty") * col("cnt") < col("sq"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("price_c")).cast("double") / 100.0 / 7.0, 2)
+            .as("avg_yearly"))
+    }),
+
+    // TPC-H Q18 (large-volume customers) — HAVING-over-subquery
+    // top-k: the IN (GROUP BY … HAVING Σqty > 300) subquery becomes
+    // a semi-join against the rare big-order key set (AQE broadcasts
+    // it), then the 3-way join re-aggregates per order for the
+    // top-100 cut. Quantities stay integral BIGINTs end to end; the
+    // ordering key is the 2-dec totalprice with date+key tiebreaks.
+    "c108_tpch_q18" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+      val big = li.groupBy(col("l_orderkey")).agg(sum(col("qty")).as("oq"))
+        .filter(col("oq") > 300L).select(col("l_orderkey").as("bk"))
+      val ord = t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+      val cust = t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      li.join(big, col("l_orderkey") === col("bk"))
+        .join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("qty")).as("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting) — the CHAINED
+    // EXISTS / NOT EXISTS existential plan class: per faulty line l1
+    // of a finished order, EXISTS another supplier's line in the
+    // same order (left-semi with the non-equi suppkey<>) and NOT
+    // EXISTS another supplier's FAULTY line (left-anti, same shape).
+    // Both probes shuffle on the same l_orderkey the driving join
+    // already used. The synthetic lineitem has no commit/receipt
+    // dates, so the canonical "received late" marker is replaced by
+    // the lineitem-local fault predicate l_tax > l_discount — same
+    // correlation structure, same decorrelated semi/anti plans.
+    "c109_tpch_q21" -> ((spark, sfDir) => {
+      val f = t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_tax") > col("l_discount")).as("fault"))
+      val l1 = f.filter(col("fault"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val nat = t(spark, sfDir, "nation")
+        .filter(col("n_name") === "NATION_7").select(col("n_nationkey"))
+      val sup = t(spark, sfDir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val l2 = f.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = f.filter(col("fault"))
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(l2, col("k2") === col("l_orderkey") &&
+          col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("k3") === col("l_orderkey") &&
+          col("s3") =!= col("l_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q22 (global sales opportunity) — NOT EXISTS plus a
+    // substring-code IN list plus a scalar-average subquery, all in
+    // one shape: the average-balance threshold is a 1-row broadcast
+    // compared EXACTLY by integer cross-multiplication
+    // (bal·n > Σbal in cents — no float average), and the "has no
+    // orders" anti-join is adapted to "no orders since 2001-01-01"
+    // (lapsed customers) because the synthetic lake gives every
+    // customer at least one order — same decorrelated anti-join
+    // plan, live result at every scale. The country code is the
+    // fixed-width tail of c_name (the synthetic schema has no
+    // c_phone).
+    "c110_tpch_q22" -> ((spark, sfDir) => {
+      val c = t(spark, sfDir, "customer")
+        .select(substring(col("c_name"), 17, 2).as("cntrycode"),
+          col("c_custkey"),
+          expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("bal_c"))
+        .filter(col("cntrycode").isin(
+          "13", "31", "23", "29", "30", "18", "17"))
+      val avgpos = c.filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n"))
+      val recent = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgpos))
+        .filter(col("bal_c").cast("decimal(38,0)") * col("n") > col("s"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("bal_c")).cast("double") / 100.0, 2)
+            .as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -3168,6 +3297,67 @@ object Surface {
         "GROUP BY 1) " +
         "SELECT n_name, ROUND(CAST(rev_fp AS DOUBLE) / 1000000.0, 2) AS revenue " +
         "FROM g ORDER BY rev_fp DESC, n_name"),
+    // same decorrelated per-part aggregate, same exact integer
+    // cross-multiplied 0.2·avg threshold, same cents revenue
+    "c107_tpch_q17" ->
+      ("WITH pq AS (SELECT p_partkey FROM part " +
+        "WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'), " +
+        "li AS (SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), " +
+        "pa AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sq, " +
+        "CAST(COUNT(*) AS BIGINT) AS cnt " +
+        "FROM li JOIN pq ON l_partkey = p_partkey GROUP BY 1) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "ROUND(CAST(SUM(price_c) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly " +
+        "FROM li JOIN pa USING (l_partkey) WHERE 5 * qty * cnt < sq"),
+    // same big-order semi-join reduction, same integral quantities,
+    // same totalprice/date/key ordering
+    "c108_tpch_q18" ->
+      ("WITH li AS (SELECT l_orderkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty " +
+        "FROM lineitem), " +
+        "big AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING SUM(qty) > 300), " +
+        "s AS (SELECT c_name, c_custkey, o_orderkey, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, " +
+        "ROUND(o_totalprice, 2) AS o_totalprice, " +
+        "CAST(SUM(qty) AS BIGINT) AS total_qty " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN li ON o_orderkey = li.l_orderkey " +
+        "JOIN big ON big.l_orderkey = o_orderkey GROUP BY 1, 2, 3, 4, 5) " +
+        "SELECT * FROM s ORDER BY o_totalprice DESC, o_orderdate, o_orderkey " +
+        "LIMIT 100"),
+    // same chained EXISTS / NOT EXISTS correlation on (orderkey,
+    // suppkey<>), same lineitem-local fault predicate
+    "c109_tpch_q21" ->
+      ("WITH f AS (SELECT l_orderkey, l_suppkey, l_tax > l_discount AS fault " +
+        "FROM lineitem), " +
+        "l1 AS (SELECT l_orderkey, l_suppkey FROM f WHERE fault), " +
+        "ord AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'), " +
+        "sup AS (SELECT s_suppkey, s_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7') " +
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait " +
+        "FROM l1 JOIN ord ON l1.l_orderkey = o_orderkey " +
+        "JOIN sup ON s_suppkey = l1.l_suppkey " +
+        "WHERE EXISTS (SELECT 1 FROM f l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM f l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.fault) " +
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100"),
+    // same substring-code IN list, same exact cross-multiplied
+    // balance threshold, same lapsed-customer anti-join
+    "c110_tpch_q22" ->
+      ("WITH c AS (SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey, " +
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer), " +
+        "sel AS (SELECT * FROM c WHERE cntrycode IN " +
+        "('13', '31', '23', '29', '30', '18', '17')), " +
+        "avgpos AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS s, " +
+        "CAST(COUNT(*) AS BIGINT) AS n FROM sel WHERE bal_c > 0), " +
+        "q AS (SELECT cntrycode, bal_c FROM sel, avgpos " +
+        "WHERE CAST(bal_c AS HUGEINT) * n > s " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2001-01-01')) " +
+        "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, " +
+        "ROUND(CAST(SUM(bal_c) AS DOUBLE) / 100.0, 2) AS totacctbal " +
+        "FROM q GROUP BY 1 ORDER BY 1"),
     // the c97 lifetime CTEs with cause classification (purchase
     // priority on ties), all-cause ln-sum KM left limits, exact
     // cumulative-prior risk sets, sequential window sums

@@ -798,6 +798,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H Q17/Q18/Q21/Q22 plan hash joins only — no cartesian, broadcast where pinned (c107-c110)") {
+    Seq("c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21",
+      "c110_tpch_q22").foreach { q =>
+      val plan = graft.queries.Surface.queries(q)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q no broadcast leg:\n$plan")
+    }
+    // Q21's existential chain must decorrelate to one semi and one
+    // anti hash join, never a per-row subquery
+    val q21 = graft.queries.Surface.queries("c109_tpch_q21")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(q21.contains("LeftSemi"), s"q21 EXISTS not a semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"q21 NOT EXISTS not an anti join:\n$q21")
+    // Q22's lapsed-customer NOT EXISTS likewise plans as an anti join
+    val q22 = graft.queries.Surface.queries("c110_tpch_q22")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS not an anti join:\n$q22")
+  }
+
   test("pair-grading joins ride the broadcast candidate set, never all pairs (x285/x288)") {
     Seq("x285_rouge_pairs" -> graft.ext.Dedup.queries("x285_rouge_pairs"),
       "x288_self_bleu" -> graft.ext.Dedup.queries("x288_self_bleu"))
