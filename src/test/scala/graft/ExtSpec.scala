@@ -2537,6 +2537,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("triangle enumeration degrades to the join wedge stream on hub graphs, identically (x132)") {
+    import spark.implicits._
+    // synthetic hub: node 0 touches 1..12, the rim closes 1-2-…-12-1,
+    // plus chords (1,3) and (5,7) — triangles both through and off
+    // the hub, so the two enumeration forms have real work to agree
+    // on. The hub's oriented degree is what the gate measures.
+    val rim = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1L))
+    val edges = ((1L to 12L).map((0L, _)) ++ rim ++
+      Seq((1L, 3L), (5L, 7L))).toDF("u", "v")
+    val arcs = graft.ext.Graph.orientByDegree(edges)
+    val (maxOd, wedges) = graft.ext.Graph.wedgeStats(arcs)
+    assert(maxOd >= 3L && wedges > 0L, s"gate inputs: $maxOd, $wedges")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaArrays = setOf(graft.ext.Graph.triangleEnumArrays(arcs))
+    val viaJoin = setOf(graft.ext.Graph.triangleEnumJoin(arcs))
+    assert(viaArrays.nonEmpty && viaArrays == viaJoin,
+      s"forms diverge:\narrays $viaArrays\njoin   $viaJoin")
+    // the measured gate routes a hub past the degree cap down the
+    // join path (no per-node array state in the plan) and a tame
+    // graph down the array path
+    val degraded = graft.ext.Graph.triangleEnum(arcs,
+      maxArrayDegree = 2L, maxArrayWedges = Long.MaxValue)
+    assert(!degraded.queryExecution.executedPlan.toString
+      .contains("collect_list"), "gate did not take the join path")
+    assert(setOf(degraded) == viaArrays, "degraded path diverges")
+    val fast = graft.ext.Graph.triangleEnum(arcs,
+      maxArrayDegree = 65536L, maxArrayWedges = Long.MaxValue)
+    assert(fast.queryExecution.executedPlan.toString
+      .contains("collect_list"), "gate did not take the array path")
+    // wedge-volume leg of the gate: a tiny wedge cap also degrades
+    val byVolume = graft.ext.Graph.triangleEnum(arcs,
+      maxArrayDegree = 65536L, maxArrayWedges = 1L)
+    assert(!byVolume.queryExecution.executedPlan.toString
+      .contains("collect_list"), "wedge cap did not take the join path")
+  }
+
   test("x257 resource allocation: 1/deg terms on the same planted square-with-diagonal (vs x132)") {
     import spark.implicits._
     // same geometry as the x132 fixture: diagonal (1,3) has two
