@@ -307,13 +307,23 @@ object Bench {
     // grows), and the recall-side pair grading on the x239 candidate
     // set (x285 — candidate-bound, the same volume class as x259)
     "x288_self_bleu", "x285_rouge_pairs",
-    // round-16 additions (81 → 85): the four canonical TPC-H
-    // join/subquery plan classes — the decorrelated scalar-average
-    // threshold (c107 Q17), the HAVING-subquery semi-join top-k
-    // (c108 Q18), the chained existential semi/anti pair (c109 Q21),
-    // and the lapsed-customer anti-join + broadcast scalar threshold
-    // (c110 Q22)
-    "c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21", "c110_tpch_q22")
+    // round-16 additions (81 → 94): the canonical TPC-H plan classes
+    // — the decorrelated scalar-average threshold (c107 Q17), the
+    // HAVING-subquery semi-join top-k (c108 Q18), the chained
+    // existential semi/anti pair (c109 Q21), the lapsed-customer
+    // anti-join + broadcast scalar threshold (c110 Q22), and the
+    // second wave completing every partsupp-free published query:
+    // the both-relation correlated EXISTS (c111 Q4), the pure
+    // pushdown scan-agg (c112 Q6), the symmetric nation disjunction
+    // (c113 Q7), the 7-relation conditional share (c114 Q8), the
+    // exact-revenue top-20 (c115 Q10), the filter-in-ON outer
+    // count-of-counts (c116 Q13), the promo share (c117 Q14), the
+    // exact-equality argmax (c118 Q15), and the OR-residual hash
+    // join (c119 Q19)
+    "c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21", "c110_tpch_q22",
+    "c111_tpch_q4", "c112_tpch_q6", "c113_tpch_q7", "c114_tpch_q8",
+    "c115_tpch_q10", "c116_tpch_q13", "c117_tpch_q14", "c118_tpch_q15",
+    "c119_tpch_q19")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -376,7 +386,13 @@ object Bench {
     // the char-trigram pair grading: gram volume is chars-linear and
     // the pair join is candidate-bounded — x259's ratio should track
     // x05's candidate curve, not corpus²
-    "x259_chrf_pairs")
+    "x259_chrf_pairs",
+    // round-16 (VERDICT r15 #5): the two headline heavies that had
+    // no scaling entries — the sample-bounded kNN graph (vec_id<300
+    // cut: its ratio should read ≈ flat, a second control beside
+    // x288) and the cell-lattice clustering (one corpus-linear
+    // reduce to ≤256 cells; the ratio reads the scan term)
+    "x137_knn_graph", "x166_grid_cluster")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -427,7 +443,15 @@ object Bench {
     "x164_textrank",
     // VERDICT r14 #5: the banded edit-distance join is the heaviest
     // of the four new scaling shapes — candidate-bounded like x03
-    "x91_edit_distance_dedup")
+    "x91_edit_distance_dedup",
+    // VERDICT r15 #5: big-point coverage for the remaining heavies —
+    // the recall-side pair grading (candidate-bounded, instrumented
+    // as x285_verified_pairs), the frequent-pair lattice (basket-
+    // bounded, instrumented as x127_basket_pairs), the sample-bounded
+    // kNN graph (should read ≈ flat), and the cell-lattice
+    // clustering (scan-bound, ≤256 cells after the reduce)
+    "x285_rouge_pairs", "x127_association_rules",
+    "x137_knn_graph", "x166_grid_cluster")
 
   /** Heavy shapes that get ONE untimed per-query warm rep immediately
     * before their timed reps, in every timed phase (VERDICT r14 #2):
@@ -910,6 +934,61 @@ object Bench {
             graft.ext.TextAnalysis.bigramTable(spark, dir))).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x164_edges_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x285_rouge_pairs")) try {
+        // the VERIFIED pair count x285's grading joins are bounded by
+        // (same x05 shingle artifact chain as the query — prewarmed)
+        val d = Lake.table(spark, dir, "documents")
+        parts += s""""x285_verified_pairs":${graft.ext.Dedup
+          .ngramJaccardPairs(d, threshold = 0.5,
+            checkpoint = sh => Lake.materialize(spark, dir, "x05_shingles")(sh),
+            nDocs = Lake.rowCount(spark, dir, "documents")).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x285_verified_pairs_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x127_association_rules")) try {
+        // Σ C(basket, 2) — the pair-expansion volume x127's lattice
+        // join materializes before the ≥3 support prune; computed
+        // from the basket-size aggregate alone (no join)
+        parts += s""""x127_basket_pairs":${Lake.table(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+          .groupBy(col("ok")).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L)))
+          .head().getLong(0)}"""
+      } catch { case e: Throwable =>
+        parts += s""""x127_basket_pairs_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x137_knn_graph")) try {
+        // LSH collision candidates within x137's vec_id<300 sample —
+        // the quantity the sample cut bounds: FLAT across decades by
+        // design (the control reading beside x288's)
+        val e = Lake.table(spark, dir, "embeddings")
+          .filter(col("vec_id") < 300)
+          .withColumn("vec", expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"))
+        val buckets = e.select(col("vec_id"),
+          posexplode(array((0 until 2).map(t =>
+            graft.ext.Similarity.intPlaneSignature("vec", 8, t)): _*))
+            .as(Seq("tbl", "sig")))
+        parts += s""""x137_candidates":${
+          graft.ext.Similarity.candidatesFromBuckets(buckets).count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x137_candidates_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("x166_grid_cluster")) try {
+        // occupied 16×16 cells — the frame every propagation round
+        // joins on; bounded at 256 regardless of corpus size, so the
+        // wall ratio must read the one reduce scan, nothing else
+        val e = Lake.table(spark, dir, "embeddings")
+        val b = e.agg(
+          min(expr("array_min(transform(embedding, x -> CAST(x AS DOUBLE)))")).as("mn"),
+          max(expr("array_max(transform(embedding, x -> CAST(x AS DOUBLE)))")).as("mx"))
+        parts += s""""x166_cells":${e.crossJoin(broadcast(b))
+          .select(
+            round((expr("CAST(element_at(embedding, 1) AS DOUBLE)") - col("mn")) /
+              (col("mx") - col("mn")) * 15, 0).cast("long").as("cx"),
+            round((expr("CAST(element_at(embedding, 2) AS DOUBLE)") - col("mn")) /
+              (col("mx") - col("mn")) * 15, 0).cast("long").as("cy"))
+          .distinct().count()}"""
+      } catch { case e: Throwable =>
+        parts += s""""x166_cells_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("c02_join_large")) try {
         parts += s""""c02_join_strategy":"${joinStrategy(
           SparkEntry.queries("c02_join_large")(spark, dir))}""""

@@ -2399,6 +2399,250 @@ object Surface {
         .orderBy(col("cntrycode"))
     }),
 
+    // TPC-H Q4 (order priority checking) — the correlated EXISTS
+    // whose predicate references BOTH relations: the canonical
+    // "commitdate < receiptdate" marker isn't in the synthetic
+    // schema, so the late-line predicate l_shipdate > o_orderdate
+    // + 30 days stands in — and because it correlates on o_orderdate
+    // it decorrelates to a left-semi join with an equi leg
+    // (orderkey) plus a non-equi leg touching both sides, a plan
+    // class none of c24/c56/c109 pin. Quarter filter pushes into the
+    // orders scan; the count is exact.
+    "c111_tpch_q4" -> ((spark, sfDir) => {
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q6 (forecasting revenue change) — the pure predicate-
+    // pushdown scan-aggregate: every filter (date range, discount
+    // band, quantity cap) reaches the parquet scan, no join at all,
+    // and revenue Σ price·discount is the exact integer
+    // cents·discount_bp so the one output row hash-matches.
+    "c112_tpch_q6" -> ((spark, sfDir) =>
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "CAST(ROUND(l_discount * 10000) AS BIGINT)")).cast("double") /
+            1000000.0, 2).as("revenue"))),
+
+    // TPC-H Q7 (volume shipping) — the two-nation symmetric join
+    // with a DISJUNCTIVE cross-relation predicate ((n1,n2) OR
+    // (n2,n1)): both nation legs broadcast, the disjunction runs as
+    // a residual over the broadcast pair, and revenue groups by
+    // (supp_nation, cust_nation, ship year) in exact integers.
+    "c113_tpch_q7" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"))
+      val n1 = t(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      li.join(t(spark, sfDir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(t(spark, sfDir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(spark, sfDir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(round(sum(col("rev_fp")).cast("double") / 1000000.0, 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 (national market share) — the 7-relation star with a
+    // conditional-share readout: Σ(case nation)/Σ(all) per order
+    // year, both sums exact integers so the ONE division per year is
+    // engine-identical. Region/nation/part legs broadcast.
+    "c114_tpch_q8" -> ((spark, sfDir) => {
+      val pt = t(spark, sfDir, "part")
+        .filter(col("p_type") === "STANDARD").select(col("p_partkey"))
+      val asia = t(spark, sfDir, "region")
+        .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      val custNat = t(spark, sfDir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("ck"))
+      val suppNat = t(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val li = t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"))
+      li.join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .join(t(spark, sfDir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(spark, sfDir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNat), col("c_nationkey") === col("ck"))
+        .join(t(spark, sfDir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNat), col("s_nationkey") === col("sk"))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("rev_fp"))
+            .otherwise(0L)).cast("double") /
+            sum(col("rev_fp")).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q10 (returned items) — the revenue top-20 over a flag-
+    // filtered fact join: returnflag pushes into the lineitem scan,
+    // the quarter filter into orders, nation broadcasts, and the
+    // top-20 cut orders by the EXACT integer revenue (the published
+    // column is its rounded readout) with the key tiebreak.
+    "c115_tpch_q10" -> ((spark, sfDir) => {
+      val li = t(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"))
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+      val nat = t(spark, sfDir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal"))
+        .agg(sum(col("rev_fp")).as("rev_fp"))
+        .orderBy(desc("rev_fp"), col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev_fp").cast("double") / 1000000.0, 2).as("revenue"),
+          col("c_acctbal"))
+    }),
+
+    // TPC-H Q13 (customer order-count distribution) — the OUTER-join
+    // grouped twice: left join with the join-side filter in the ON
+    // clause (customers with zero qualifying orders must survive as
+    // count 0), then the count-of-counts rollup. Pins the
+    // filter-in-ON outer-join semantics no inner-join query can.
+    "c116_tpch_q13" -> ((spark, sfDir) => {
+      val ord = t(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(spark, sfDir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q14 (promotion effect) — conditional-share over one
+    // month's part⋈lineitem join: the part leg broadcasts, both
+    // revenue sums are exact integers, ONE division at readout.
+    "c117_tpch_q14" -> ((spark, sfDir) => {
+      val pt = t(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_type"))
+      t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"))
+        .join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("rev_fp")).otherwise(0L))
+            .cast("double") /
+          sum(col("rev_fp")).cast("double"), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 (top supplier) — the scalar-max subquery closed by
+    // an equality join back onto the aggregate: per-supplier quarter
+    // revenue (exact integer), its 1-row max broadcast, and the
+    // argmax row(s) selected by exact equality — no float compare
+    // anywhere near the cut, so ties are engine-identical.
+    "c118_tpch_q15" -> ((spark, sfDir) => {
+      val rev = t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+          "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))"))
+          .as("total_fp"))
+      val mx = rev.agg(max(col("total_fp")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_fp") === col("mx"))
+        .join(t(spark, sfDir, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
+          col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_fp").cast("double") / 1000000.0, 2)
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q19 (discounted revenue) — the DISJUNCTIVE join: three
+    // OR'd (brand, size-band, quantity-band) conjunctions spanning
+    // both relations run as a residual over the partkey equi-join
+    // (the equi leg is what keeps this a hash join, not a cartesian
+    // — the plan class the OR-heavy reporting queries exercise).
+    "c119_tpch_q19" -> ((spark, sfDir) => {
+      val pt = t(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"))
+        .join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("rev_fp")).cast("double") / 1000000.0, 2)
+            .as("revenue"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -3358,6 +3602,126 @@ object Surface {
         "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, " +
         "ROUND(CAST(SUM(bal_c) AS DOUBLE) / 100.0, 2) AS totacctbal " +
         "FROM q GROUP BY 1 ORDER BY 1"),
+    // same late-line EXISTS correlating on o_orderdate
+    "c111_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count " +
+        "FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) " +
+        "GROUP BY 1 ORDER BY 1"),
+    // same pushdown filters, same exact cents·bp revenue
+    "c112_tpch_q6" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(ROUND(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 1000000.0, 2) AS revenue " +
+        "FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    // same symmetric nation disjunction, same exact revenue by year
+    "c113_tpch_q7" ->
+      ("WITH li AS (SELECT l_orderkey, l_suppkey, " +
+        "CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS l_year, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01') " +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, l_year, " +
+        "ROUND(CAST(SUM(rev_fp) AS DOUBLE) / 1000000.0, 2) AS revenue " +
+        "FROM supplier JOIN li ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // same 7-relation star, same exact conditional share per year
+    "c114_tpch_q8" ->
+      ("WITH alln AS (SELECT " +
+        "CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp, " +
+        "n2.n_name AS supp_nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'ASIA' AND p_type = 'STANDARD' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01') " +
+        "SELECT o_year, " +
+        "ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_fp " +
+        "ELSE 0 END) AS DOUBLE) / CAST(SUM(rev_fp) AS DOUBLE), 6) AS mkt_share " +
+        "FROM alln GROUP BY 1 ORDER BY 1"),
+    // same flag/quarter pushdown, same exact-revenue top-20 cut
+    "c115_tpch_q10" ->
+      ("WITH li AS (SELECT l_orderkey, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp " +
+        "FROM lineitem WHERE l_returnflag = 'R'), " +
+        "g AS (SELECT c_custkey, c_name, n_name, " +
+        "ROUND(c_acctbal, 2) AS c_acctbal, " +
+        "CAST(SUM(rev_fp) AS BIGINT) AS rev_fp " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN li ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-10-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1, 2, 3, 4) " +
+        "SELECT c_custkey, c_name, n_name, " +
+        "ROUND(CAST(rev_fp AS DOUBLE) / 1000000.0, 2) AS revenue, c_acctbal " +
+        "FROM g ORDER BY rev_fp DESC, c_custkey LIMIT 20"),
+    // same filter-in-ON left join, same count-of-counts rollup
+    "c116_tpch_q13" ->
+      ("WITH co AS (SELECT c_custkey, " +
+        "CAST(COUNT(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "AND o_orderpriority <> '5-LOW' GROUP BY 1) " +
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist " +
+        "FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+    // same month join, same exact conditional share
+    "c117_tpch_q14" ->
+      ("WITH j AS (SELECT p_type, " +
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev_fp " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01') " +
+        "SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN rev_fp ELSE 0 END) AS DOUBLE) / " +
+        "CAST(SUM(rev_fp) AS DOUBLE), 6) AS promo_revenue FROM j"),
+    // same exact per-supplier quarter revenue, same exact-equality
+    // argmax cut
+    "c118_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey AS supplier_no, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS BIGINT) AS total_fp " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1), " +
+        "m AS (SELECT MAX(total_fp) AS mx FROM rev) " +
+        "SELECT s_suppkey, s_name, " +
+        "ROUND(CAST(total_fp AS DOUBLE) / 1000000.0, 2) AS total_revenue " +
+        "FROM supplier JOIN rev ON s_suppkey = supplier_no " +
+        "JOIN m ON total_fp = mx ORDER BY s_suppkey"),
+    // same three OR'd conjunctions as a residual over the equi-join
+    "c119_tpch_q19" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_lines, " +
+        "ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS DOUBLE) " +
+        "/ 1000000.0, 2) AS revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity >= 1 AND l_quantity <= 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 " +
+        "AND l_quantity >= 10 AND l_quantity <= 20) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
+        "AND l_quantity >= 20 AND l_quantity <= 30)"),
     // the c97 lifetime CTEs with cause classification (purchase
     // priority on ties), all-cause ln-sum KM left limits, exact
     // cumulative-prior risk sets, sequential window sums

@@ -819,6 +819,41 @@ class PlanSpec extends SparkSpec {
     assert(q22.contains("LeftAnti"), s"q22 NOT EXISTS not an anti join:\n$q22")
   }
 
+  test("TPC-H Q4/Q6-Q8/Q10/Q13-Q15/Q19 pin their plan classes (c111-c119)") {
+    Seq("c112_tpch_q6", "c113_tpch_q7", "c114_tpch_q8", "c115_tpch_q10",
+      "c116_tpch_q13", "c117_tpch_q14", "c118_tpch_q15",
+      "c119_tpch_q19").foreach { q =>
+      val plan = graft.queries.Surface.queries(q)(spark, SfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+    // Q4's correlated EXISTS (predicate touching both relations)
+    // decorrelates to ONE left-semi hash join with the date compare
+    // as its non-equi leg — never a per-row subquery
+    val q4 = graft.queries.Surface.queries("c111_tpch_q4")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi") && !q4.contains("CartesianProduct"),
+      s"q4 EXISTS not a semi join:\n$q4")
+    // Q6 is a pure scan-aggregate: filters at the scan, no join node
+    val q6 = graft.queries.Surface.queries("c112_tpch_q6")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q6.contains("Join"), s"q6 must not join:\n$q6")
+    assert(q6.contains("PushedFilters: [IsNotNull"),
+      s"q6 filters did not reach the scan:\n$q6")
+    // Q13's zero-order customers survive: the ON-clause filter must
+    // keep the join OUTER, not degrade it to inner
+    val q13 = graft.queries.Surface.queries("c116_tpch_q13")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(q13.contains("LeftOuter"), s"q13 outer join degraded:\n$q13")
+    // Q19's OR-of-conjunctions must ride the partkey equi-join as a
+    // residual (a hash/broadcast join), never a nested-loop
+    val q19 = graft.queries.Surface.queries("c119_tpch_q19")(spark, SfDir)
+      .queryExecution.executedPlan.toString
+    assert(q19.contains("BroadcastHashJoin") &&
+      !q19.contains("BroadcastNestedLoopJoin"),
+      s"q19 disjunction left the hash join:\n$q19")
+  }
+
   test("pair-grading joins ride the broadcast candidate set, never all pairs (x285/x288)") {
     Seq("x285_rouge_pairs" -> graft.ext.Dedup.queries("x285_rouge_pairs"),
       "x288_self_bleu" -> graft.ext.Dedup.queries("x288_self_bleu"))
