@@ -326,6 +326,25 @@ object Views {
     "x281_cvm_drift" -> ((spark, sfDir) =>
       cvmReportFromCounts(ksHalfCounts(Lake.table(spark, sfDir, "events")))),
 
+    // ANDERSON–DARLING 2-SAMPLE — the tail-weighted EDF member
+    // completing the KS/CvM/Kuiper quartet — see
+    // [[adDriftReportFromCounts]].
+    "x293_ad_drift" -> ((spark, sfDir) =>
+      adDriftReportFromCounts(
+        ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
+    // CUCCONI — the one-statistic joint location–scale test beside
+    // x282's Lepage combination — see [[cucconiReportFromCounts]].
+    "x294_cucconi" -> ((spark, sfDir) =>
+      cucconiReportFromCounts(
+        ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
+    // ANSARI–BRADLEY — the linear folded-rank scale test beside
+    // Mood's squared ranks — see [[ansariReportFromCounts]].
+    "x295_ansari_bradley" -> ((spark, sfDir) =>
+      ansariReportFromCounts(
+        ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
     // MOOD SCALE + LEPAGE COMBO — the tail-weighted squared-rank
     // scale test x146's location AUC is blind to, plus the combined
     // location–scale χ²₂ — see [[moodScaleReportFromCounts]].
@@ -2436,6 +2455,184 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x293's two-sample Anderson–Darling over the same half/bucket
+    * frame — the tail-sensitive member that completes the EDF quartet
+    * (x133 KS reads the sup; x281 CvM the mean square; x256 Kuiper
+    * the two one-sided sups; AD weights the square by 1/(F(1−F)), so
+    * tail divergence KS/CvM underweight dominates — the "new crawl
+    * differs in the extremes" reading). Scholz–Stephens' discrete
+    * form collapses at k = 2 to A² = Σ_j l_j·D_j²/(B_j(N−B_j))
+    * / (n_r·n_c) over the pooled cells, with D the SAME cross
+    * statistic as CvM's (cum_r·n_c − cum_c·n_r, exact DECIMAL(38,0))
+    * — one more readout off the identical cumulative chain. Each
+    * cell's quotient lands on a 10⁻⁶ grid via CvM's two-step floor
+    * (exact integer quotient, then the remainder refined onto the
+    * grid — every intermediate ≤ ~5×10³² at 10⁹ rows/side), so the
+    * order-free sum is exact and the grid loss is ≤ 10⁻⁶ per cell,
+    * mirrored verbatim in the oracle. The B = N tail cell is
+    * excluded (its numerator is identically 0; the denominator is
+    * the only thing that isn't).
+    */
+  def adDriftReportFromCounts(cnt: DataFrame): DataFrame = {
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    b.select(col("event_type"), col("cr"), col("cc"),
+        sum(col("cr")).over(cum).as("cum_r"),
+        sum(col("cc")).over(cum).as("cum_c"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .withColumn("bb", col("cum_r") + col("cum_c"))
+      .withColumn("nn", col("nr") + col("nc"))
+      .filter(col("bb") < col("nn"))
+      .withColumn("d", expr(
+        "CAST(cum_r AS DECIMAL(38,0)) * nc - CAST(cum_c AS DECIMAL(38,0)) * nr"))
+      .withColumn("den", expr("CAST(bb AS DECIMAL(38,0)) * (nn - bb)"))
+      .withColumn("q_fp", expr(
+        "CAST((d * d - (d * d) % den) / den AS DECIMAL(38,0)) * 1000000 + " +
+          "CAST(((d * d) % den * 1000000 - " +
+          "(d * d) % den * 1000000 % den) / den AS DECIMAL(38,0))"))
+      .withColumn("t_fp", expr("(cr + cc) * q_fp"))
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        sum(col("t_fp")).as("s_fp"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          round(col("s_fp").cast("double") /
+            (col("n_ref").cast("double") * col("n_cur").cast("double") *
+              1000000.0), 6)).as("ad_a2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x294's Cucconi joint location–scale test over the same cells —
+    * the ONE-statistic alternative to x282's Lepage combination
+    * (Lepage adds two separate z²; Cucconi scores Σrank² and
+    * Σcontra-rank² jointly with their exact correlation ρ, and
+    * simulation literature has it at-or-above Lepage's power on
+    * skewed shifts): U standardizes Σ R², V standardizes Σ (N+1−R)²
+    * over the CUR sample, C = (U² + V² − 2ρUV)/(2(1−ρ²)) with
+    * ρ = 2(N²−4)/((2N+1)(8N+11)) − 1. Ties take the standard
+    * MIDRANK convention, and quadrupled midranks make every block
+    * contribution an exact integer with NO division at all:
+    * 2m = lo+hi per tie block, so 4ΣR²_cur = Σ cc·(lo+hi)² and the
+    * contra side is Σ cc·(2(N+1)−lo−hi)² — DECIMAL(38,0) products
+    * (≤ 4N³ per cell), summed order-free, one sqrt-chain readout.
+    */
+  def cucconiReportFromCounts(cnt: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+      .withColumn("f", col("cr") + col("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = b.select(col("event_type"), col("cc"), col("f"),
+        sum(col("f")).over(cum).as("hi"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .withColumn("lo", col("hi") - col("f") + 1L)
+      .withColumn("nn", col("nr") + col("nc"))
+      .withColumn("r4", expr(
+        "cc * (CAST(lo + hi AS DECIMAL(38,0)) * (lo + hi))"))
+      .withColumn("s4", expr(
+        "cc * (CAST(2 * (nn + 1) - lo - hi AS DECIMAL(38,0)) * " +
+          "(2 * (nn + 1) - lo - hi))"))
+    val g = scored.groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        min(col("nn")).as("nn"), sum(col("r4")).as("qr"),
+        sum(col("s4")).as("qs"))
+    def nD = dd(col("nn"))
+    val sd = sqrt(dd(col("n_ref")) * dd(col("n_cur")) * (nD + 1.0) *
+      (lit(2.0) * nD + 1.0) * (lit(8.0) * nD + 11.0) / 5.0)
+    val u = (lit(6.0) * dd(col("qr")) / 4.0 -
+      dd(col("n_cur")) * (nD + 1.0) * (lit(2.0) * nD + 1.0)) / sd
+    val v = (lit(6.0) * dd(col("qs")) / 4.0 -
+      dd(col("n_cur")) * (nD + 1.0) * (lit(2.0) * nD + 1.0)) / sd
+    val rho = lit(2.0) * (nD * nD - 4.0) /
+      ((lit(2.0) * nD + 1.0) * (lit(8.0) * nD + 11.0)) - 1.0
+    val ok = col("n_ref") > 0L && col("n_cur") > 0L && col("nn") > 2L
+    g.select(col("event_type"), col("n_ref"), col("n_cur"),
+        when(ok, round(u, 4)).as("u"),
+        when(ok, round(v, 4)).as("v"),
+        when(ok, round((u * u + v * v - lit(2.0) * rho * u * v) /
+          (lit(2.0) * (lit(1.0) - rho * rho)), 4)).as("cucconi_c"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x295's Ansari–Bradley scale test over the same cells — the
+    * LINEAR-score scale member beside x282's squared-rank Mood (AB
+    * scores min(r, N+1−r): center-folded ranks, the classical
+    * dispersion test whose null distribution is tabulated everywhere;
+    * Mood's squares weight tails harder, AB is the robust default).
+    * Ties take the standard AVERAGE-SCORE convention, computed
+    * exactly: doubled scores 2·a(r) = (N+1) − |2r − (N+1)| sum over
+    * a tie block [lo, hi] in closed triangular form (split at the
+    * fold (N+1) DIV 2, GREATEST/LEAST guards — all integers), and
+    * the cur arm takes cc/f of each block's doubled sum by
+    * DECIMAL(38,0) floor division (x282's m4_t pattern). The doubled
+    * statistic publishes as a STRING (the m4 lesson: ~n_c·N/2
+    * outgrows BIGINT at ~6×10⁹ pooled events — loud, not wrapped);
+    * z uses the classical parity-split moments.
+    */
+  def ansariReportFromCounts(cnt: DataFrame): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val b = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(when(col("half") === "ref", col("c")).otherwise(0L)).as("cr"),
+        sum(when(col("half") === "cur", col("c")).otherwise(0L)).as("cc"))
+      .withColumn("f", col("cr") + col("cc"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = b.select(col("event_type"), col("cc"), col("f"),
+        sum(col("f")).over(cum).as("hi"),
+        sum(col("cr")).over(whole).as("nr"),
+        sum(col("cc")).over(whole).as("nc"))
+      .withColumn("lo", col("hi") - col("f") + 1L)
+      .withColumn("nn", col("nr") + col("nc"))
+      // Σ|2r−(N+1)| over [lo,hi]: below-the-fold leg + above leg,
+      // each a triangular closed form; the fold is (N+1) DIV 2
+      .withColumn("b_end", least(col("hi"), expr("(nn + 1) DIV 2")))
+      .withColumn("a_start", greatest(col("lo"), expr("(nn + 1) DIV 2 + 1")))
+      // position products widened to DECIMAL(38,0) BEFORE the
+      // multiply (hi·(hi+1) wraps a BIGINT at pooled N ≈ 3×10⁹)
+      .withColumn("abs2", expr(
+        "COALESCE(CASE WHEN b_end >= lo THEN " +
+          "(b_end - lo + 1) * CAST(nn + 1 AS DECIMAL(38,0)) - " +
+          "(CAST(b_end AS DECIMAL(38,0)) * (b_end + 1) - " +
+          "CAST(lo - 1 AS DECIMAL(38,0)) * lo) END, 0) + " +
+          "COALESCE(CASE WHEN hi >= a_start THEN " +
+          "(CAST(hi AS DECIMAL(38,0)) * (hi + 1) - " +
+          "CAST(a_start - 1 AS DECIMAL(38,0)) * a_start) - " +
+          "(hi - a_start + 1) * CAST(nn + 1 AS DECIMAL(38,0)) END, 0)"))
+      .withColumn("blk2", expr(
+        "CAST(f AS DECIMAL(38,0)) * (nn + 1) - abs2"))
+      .withColumn("ab2_t", when(col("f") > 0L, expr(
+        "CAST((cc * blk2 - cc * blk2 % CAST(f AS DECIMAL(38,0))) / " +
+          "CAST(f AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+        .otherwise(lit(0).cast("decimal(38,0)")))
+    val g = scored.groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        min(col("nn")).as("nn"), sum(col("ab2_t")).as("ab2"))
+    // doubled moments: E[2A] and Var[2A] = 4·Var[A], parity-split
+    def nD = dd(col("nn"))
+    val even = col("nn") % 2L === 0L
+    val e2 = when(even, dd(col("n_cur")) * (nD + 2.0) / 2.0)
+      .otherwise(dd(col("n_cur")) * (nD + 1.0) * (nD + 1.0) / (lit(2.0) * nD))
+    val v4 = when(even, dd(col("n_ref")) * dd(col("n_cur")) * (nD + 2.0) *
+        (nD - 2.0) / (lit(12.0) * (nD - 1.0)))
+      .otherwise(dd(col("n_ref")) * dd(col("n_cur")) * (nD + 1.0) *
+        (lit(3.0) + nD * nD) / (lit(12.0) * nD * nD))
+    g.select(col("event_type"), col("n_ref"), col("n_cur"),
+        col("ab2").cast("string").as("ab2"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L && col("nn") > 2L,
+          round((dd(col("ab2")) - e2) / sqrt(v4), 4)).as("z"))
+      .orderBy(col("event_type"))
+  }
+
   /** x282's Mood scale test (+ the Lepage-type combined readout)
     * over the SAME half/bucket frame: x146 detects a LOCATION shift
     * — a variance change with the same center slips right past it
@@ -2828,6 +3025,132 @@ object Views {
         "ROUND(CAST(t_sum AS DOUBLE) / " +
         "(CAST(n_ref + n_cur AS DOUBLE) * (n_ref + n_cur)), 6) END AS cvm_t " +
         "FROM a ORDER BY event_type"),
+    // same half/bucket chain and cross statistic D as x281; the
+    // per-cell quotient on the same two-step 10^-6 floor grid, the
+    // B = N tail cell excluded (numerator identically 0)
+    "x293_ad_drift" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, cr, cc, " +
+        "SUM(cr) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_r, " +
+        "SUM(cc) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS cum_c, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b), " +
+        "q AS (SELECT event_type, cr, cc, nr, nc, " +
+        "cum_r + cum_c AS bb, nr + nc AS nn, " +
+        "CAST(cum_r AS HUGEINT) * nc - CAST(cum_c AS HUGEINT) * nr AS d, " +
+        "CAST(cum_r + cum_c AS HUGEINT) * (nr + nc - cum_r - cum_c) AS den " +
+        "FROM c), " +
+        "t AS (SELECT event_type, nr, nc, (cr + cc) * " +
+        "((d * d) // den * 1000000 + (d * d) % den * 1000000 // den) AS t_fp " +
+        "FROM q WHERE bb < nn), " +
+        "a AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, SUM(t_fp) AS s_fp FROM t GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 THEN " +
+        "ROUND(CAST(s_fp AS DOUBLE) / (CAST(n_ref AS DOUBLE) * " +
+        "CAST(n_cur AS DOUBLE) * 1000000.0), 6) END AS ad_a2 " +
+        "FROM a ORDER BY event_type"),
+    // same cells; quadrupled MIDRANKS (2m = lo+hi — exact integers,
+    // no division), same classical U/V moments and exact rho
+    "x294_cucconi" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "b2 AS (SELECT *, cr + cc AS f FROM b), " +
+        "c AS (SELECT event_type, cc, f, " +
+        "SUM(f) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS hi, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b2), " +
+        "s AS (SELECT event_type, cc, hi, hi - f + 1 AS lo, nr, nc, " +
+        "nr + nc AS nn FROM c), " +
+        "k AS (SELECT event_type, nr, nc, nn, " +
+        "cc * (CAST(lo + hi AS HUGEINT) * (lo + hi)) AS r4, " +
+        "cc * (CAST(2 * (nn + 1) - lo - hi AS HUGEINT) * " +
+        "(2 * (nn + 1) - lo - hi)) AS s4 FROM s), " +
+        "g AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, CAST(MIN(nn) AS BIGINT) AS nn, " +
+        "SUM(r4) AS qr, SUM(s4) AS qs FROM k GROUP BY 1), " +
+        "z AS (SELECT event_type, n_ref, n_cur, nn, " +
+        "(6.0 * CAST(qr AS DOUBLE) / 4.0 - CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)) / " +
+        "SQRT(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0) * " +
+        "(8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0) AS u, " +
+        "(6.0 * CAST(qs AS DOUBLE) / 4.0 - CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0)) / " +
+        "SQRT(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * (2.0 * CAST(nn AS DOUBLE) + 1.0) * " +
+        "(8.0 * CAST(nn AS DOUBLE) + 11.0) / 5.0) AS v, " +
+        "2.0 * (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) - 4.0) / " +
+        "((2.0 * CAST(nn AS DOUBLE) + 1.0) * " +
+        "(8.0 * CAST(nn AS DOUBLE) + 11.0)) - 1.0 AS rho FROM g) " +
+        "SELECT event_type, n_ref, n_cur, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN ROUND(u, 4) END AS u, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN ROUND(v, 4) END AS v, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN " +
+        "ROUND((u * u + v * v - 2.0 * rho * u * v) / " +
+        "(2.0 * (1.0 - rho * rho)), 4) END AS cucconi_c " +
+        "FROM z ORDER BY event_type"),
+    // same cells; doubled folded scores in exact triangular closed
+    // forms (HUGEINT operands), the m4_t floor-divided cur share,
+    // parity-split classical moments, string readout
+    "x295_ansari_bradley" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-13' THEN 1 ELSE 0 END AS is_ref, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "b AS (SELECT event_type, bucket, CAST(SUM(is_ref) AS BIGINT) AS cr, " +
+        "CAST(SUM(1 - is_ref) AS BIGINT) AS cc FROM ev GROUP BY 1, 2), " +
+        "b2 AS (SELECT *, cr + cc AS f FROM b), " +
+        "c AS (SELECT event_type, cc, f, " +
+        "SUM(f) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS hi, " +
+        "SUM(cr) OVER (PARTITION BY event_type) AS nr, " +
+        "SUM(cc) OVER (PARTITION BY event_type) AS nc FROM b2), " +
+        "s AS (SELECT event_type, cc, f, hi, hi - f + 1 AS lo, nr, nc, " +
+        "nr + nc AS nn FROM c), " +
+        "k AS (SELECT *, LEAST(hi, (nn + 1) // 2) AS b_end, " +
+        "GREATEST(lo, (nn + 1) // 2 + 1) AS a_start FROM s), " +
+        "m AS (SELECT event_type, cc, f, nr, nc, nn, " +
+        "COALESCE(CASE WHEN b_end >= lo THEN " +
+        "(b_end - lo + 1) * CAST(nn + 1 AS HUGEINT) - " +
+        "(CAST(b_end AS HUGEINT) * (b_end + 1) - " +
+        "CAST(lo - 1 AS HUGEINT) * lo) END, 0) + " +
+        "COALESCE(CASE WHEN hi >= a_start THEN " +
+        "(CAST(hi AS HUGEINT) * (hi + 1) - " +
+        "CAST(a_start - 1 AS HUGEINT) * a_start) - " +
+        "(hi - a_start + 1) * CAST(nn + 1 AS HUGEINT) END, 0) AS abs2 FROM k), " +
+        "t AS (SELECT event_type, nr, nc, nn, " +
+        "CASE WHEN f > 0 THEN (cc * (CAST(f AS HUGEINT) * (nn + 1) - abs2)) " +
+        "// CAST(f AS HUGEINT) ELSE 0 END AS ab2_t FROM m), " +
+        "g AS (SELECT event_type, CAST(MIN(nr) AS BIGINT) AS n_ref, " +
+        "CAST(MIN(nc) AS BIGINT) AS n_cur, CAST(MIN(nn) AS BIGINT) AS nn, " +
+        "SUM(ab2_t) AS ab2 FROM t GROUP BY 1) " +
+        "SELECT event_type, n_ref, n_cur, CAST(ab2 AS VARCHAR) AS ab2, " +
+        "CASE WHEN n_ref > 0 AND n_cur > 0 AND nn > 2 THEN " +
+        "ROUND((CAST(ab2 AS DOUBLE) - CASE WHEN nn % 2 = 0 THEN " +
+        "CAST(n_cur AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0) / 2.0 ELSE " +
+        "CAST(n_cur AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) / (2.0 * CAST(nn AS DOUBLE)) END) / " +
+        "SQRT(CASE WHEN nn % 2 = 0 THEN CAST(n_ref AS DOUBLE) * " +
+        "CAST(n_cur AS DOUBLE) * (CAST(nn AS DOUBLE) + 2.0) * " +
+        "(CAST(nn AS DOUBLE) - 2.0) / (12.0 * (CAST(nn AS DOUBLE) - 1.0)) " +
+        "ELSE CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) + 1.0) * (3.0 + CAST(nn AS DOUBLE) * " +
+        "CAST(nn AS DOUBLE)) / (12.0 * CAST(nn AS DOUBLE) * " +
+        "CAST(nn AS DOUBLE)) END), 4) END AS z " +
+        "FROM g ORDER BY event_type"),
     // same half/bucket chain; exact block score sums (// 6 and // 2
     // are exact — the differences are divisible), same floor-divided
     // cur share, same classical moments, x146's z squared in

@@ -1912,6 +1912,33 @@ object Streams {
         maintainedHalfCounts(spark, sfDir, "s56"))
       .orderBy(col("event_type"))
 
+  /** s61: x293's Anderson–Darling tail-weighted EDF monitor off the
+    * same maintained half/bucket state — the fourth EDF readout
+    * (KS/CvM/Kuiper/AD) on one maintained binned-count artifact.
+    */
+  def foreachBatchAdDrift(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.adDriftReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s61"))
+      .orderBy(col("event_type"))
+
+  /** s62: x294's Cucconi joint location–scale statistic off the same
+    * maintained counts — the one-statistic alternative to s56's
+    * Lepage combination as IVM.
+    */
+  def foreachBatchCucconi(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.cucconiReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s62"))
+      .orderBy(col("event_type"))
+
+  /** s63: x295's Ansari–Bradley folded-rank scale test off the same
+    * maintained counts — the linear-score scale member beside s56's
+    * squared-rank Mood.
+    */
+  def foreachBatchAnsari(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.ansariReportFromCounts(
+        maintainedHalfCounts(spark, sfDir, "s63"))
+      .orderBy(col("event_type"))
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -2700,6 +2727,12 @@ object Streams {
       ((spark, sfDir) => foreachBatchGoodTuring(spark, sfDir)),
     "s60_stream_jonckheere_maintain" ->
       ((spark, sfDir) => foreachBatchJonckheere(spark, sfDir)),
+    "s61_stream_ad_monitor" ->
+      ((spark, sfDir) => foreachBatchAdDrift(spark, sfDir)),
+    "s62_stream_cucconi_monitor" ->
+      ((spark, sfDir) => foreachBatchCucconi(spark, sfDir)),
+    "s63_stream_ansari_monitor" ->
+      ((spark, sfDir) => foreachBatchAnsari(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2857,6 +2890,18 @@ object Streams {
     // ≡ batch x278
     "s60_stream_jonckheere_maintain" ->
       graft.pipeline.Views.oracles("x278_jonckheere"),
+    // the IVM contract verbatim: AD over the maintained half/bucket
+    // counts ≡ batch x293
+    "s61_stream_ad_monitor" ->
+      graft.pipeline.Views.oracles("x293_ad_drift"),
+    // the IVM contract verbatim: Cucconi over the same maintained
+    // counts ≡ batch x294
+    "s62_stream_cucconi_monitor" ->
+      graft.pipeline.Views.oracles("x294_cucconi"),
+    // the IVM contract verbatim: Ansari–Bradley over the same
+    // maintained counts ≡ batch x295
+    "s63_stream_ansari_monitor" ->
+      graft.pipeline.Views.oracles("x295_ansari_bradley"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

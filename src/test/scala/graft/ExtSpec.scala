@@ -6667,6 +6667,45 @@ class ExtSpec extends SparkSpec {
       s"corpus mood: ${c.toSeq}")
   }
 
+  test("x293/x294/x295 drift-family completions: AD, Cucconi, Ansari-Bradley hand fixtures") {
+    import spark.implicits._
+    // ref = {1,2,2,3,5,5,5,8}, cur = {2,3,3,6,6,8,9} (nr=8, nc=7,
+    // N=15, heavy ties). Exact references (python, Fraction):
+    //   AD A² = Σ l·D²/(B(N−B)) / (nr·nc) = 1.196834 (the 10⁻⁶ grid
+    //     loses nothing at 6 dp here; exact rational 1.1968344…)
+    //   Cucconi quadrupled-midrank sums qr=3011, qs=1667 →
+    //     U=1.2244, V=−1.1388, C=0.7551
+    //   AB doubled statistic ab2=55 (= 27.5 in score units, the
+    //     average-score tie convention), z=−0.5442 (odd-N moments)
+    val cnt = Seq(
+      ("a", "ref", 1L, 1L), ("a", "ref", 2L, 2L), ("a", "ref", 3L, 1L),
+      ("a", "ref", 5L, 3L), ("a", "ref", 8L, 1L),
+      ("a", "cur", 2L, 1L), ("a", "cur", 3L, 2L), ("a", "cur", 6L, 2L),
+      ("a", "cur", 8L, 1L), ("a", "cur", 9L, 1L))
+      .toDF("event_type", "half", "bucket", "c")
+    val ad = graft.pipeline.Views.adDriftReportFromCounts(cnt).collect()(0)
+    assert(ad.getLong(1) == 8L && ad.getLong(2) == 7L &&
+      ad.getDouble(3) == 1.196834, s"ad: $ad")
+    val cu = graft.pipeline.Views.cucconiReportFromCounts(cnt).collect()(0)
+    assert(cu.getDouble(3) == 1.2244 && cu.getDouble(4) == -1.1388 &&
+      cu.getDouble(5) == 0.7551, s"cucconi: $cu")
+    val ab = graft.pipeline.Views.ansariReportFromCounts(cnt).collect()(0)
+    assert(ab.getString(3) == "55" && ab.getDouble(4) == -0.5442,
+      s"ansari: $ab")
+    // identical halves: AD reads 0 (D ≡ 0 on every cell), Cucconi's
+    // C is a small non-negative number, AB z defined
+    val same = Seq(("a", "ref", 1L, 2L), ("a", "ref", 2L, 2L),
+      ("a", "cur", 1L, 2L), ("a", "cur", 2L, 2L))
+      .toDF("event_type", "half", "bucket", "c")
+    val ad0 = graft.pipeline.Views.adDriftReportFromCounts(same).collect()(0)
+    assert(ad0.getDouble(3) == 0.0, s"same-halves AD must be 0: $ad0")
+    // corpus sanity: one row per event_type, statistics defined
+    Seq("x293_ad_drift", "x294_cucconi", "x295_ansari_bradley").foreach { q =>
+      val c = graft.pipeline.Views.queries(q)(spark, SfDir).collect()
+      assert(c.nonEmpty, s"$q empty on corpus")
+    }
+  }
+
   test("x284 grubbs: a planted spike is the peak with the closed-form G") {
     import spark.implicits._
     val d = Seq(("a", 0, 1L), ("a", 1, 1L), ("a", 2, 1L), ("a", 3, 1L),

@@ -596,7 +596,9 @@ class StreamingStateSpec extends SparkSpec {
     assert(sc.toSeq == bc.toSeq,
       s"streamed CvM diverges:\n${sc.toSeq}\nvs\n${bc.toSeq}")
     def keyM(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      // m4 publishes as a string (the DECIMAL(38,0) sum stringified
+      // so the readout never wraps a BIGINT at lake scale)
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
         if (r.isNullAt(5)) None else Some(r.getDouble(5)))
     val sm = graft.streaming.Streams.foreachBatchMoodScale(spark, SfDir)
@@ -605,6 +607,36 @@ class StreamingStateSpec extends SparkSpec {
       .collect().map(keyM)
     assert(sm.toSeq == bm.toSeq,
       s"streamed Mood scale diverges:\n${sm.toSeq}\nvs\n${bm.toSeq}")
+  }
+
+  test("streaming AD/Cucconi/Ansari equal their batch twins (s61/s62/s63)") {
+    def keyAd(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val sa = graft.streaming.Streams.foreachBatchAdDrift(spark, SfDir)
+      .collect().map(keyAd)
+    val ba = graft.pipeline.Views.queries("x293_ad_drift")(spark, SfDir)
+      .collect().map(keyAd)
+    assert(sa.toSeq == ba.toSeq,
+      s"streamed AD diverges:\n${sa.toSeq}\nvs\n${ba.toSeq}")
+    def keyCu(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        (3 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val scu = graft.streaming.Streams.foreachBatchCucconi(spark, SfDir)
+      .collect().map(keyCu)
+    val bcu = graft.pipeline.Views.queries("x294_cucconi")(spark, SfDir)
+      .collect().map(keyCu)
+    assert(scu.toSeq == bcu.toSeq,
+      s"streamed Cucconi diverges:\n${scu.toSeq}\nvs\n${bcu.toSeq}")
+    def keyAb(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    val sab = graft.streaming.Streams.foreachBatchAnsari(spark, SfDir)
+      .collect().map(keyAb)
+    val bab = graft.pipeline.Views.queries("x295_ansari_bradley")(spark, SfDir)
+      .collect().map(keyAb)
+    assert(sab.toSeq == bab.toSeq,
+      s"streamed Ansari diverges:\n${sab.toSeq}\nvs\n${bab.toSeq}")
   }
 
   test("streaming Jonckheere equals batch x278 (s60)") {
