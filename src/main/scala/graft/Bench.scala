@@ -392,7 +392,12 @@ object Bench {
     // cut: its ratio should read ≈ flat, a second control beside
     // x288) and the cell-lattice clustering (one corpus-linear
     // reduce to ≤256 cells; the ratio reads the scan term)
-    "x137_knn_graph", "x166_grid_cluster")
+    "x137_knn_graph", "x166_grid_cluster",
+    // round-16: decade evidence for the published TPC-H shapes that
+    // stay inside the re-keyed fact set (lineitem/orders/customer
+    // re-key in lockstep; part/supplier shapes can't scale — the
+    // scaled lake's graph re-keying leaves those dims single-copy)
+    "c105_tpch_q3", "c108_tpch_q18", "c110_tpch_q22")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -451,7 +456,11 @@ object Bench {
     // kNN graph (should read ≈ flat), and the cell-lattice
     // clustering (scan-bound, ≤256 cells after the reduce)
     "x285_rouge_pairs", "x127_association_rules",
-    "x137_knn_graph", "x166_grid_cluster")
+    "x137_knn_graph", "x166_grid_cluster",
+    // round-16: the two heaviest published join shapes that survive
+    // the re-keyed scaled lake — Q3's 3-way join + exact top-k and
+    // Q18's double-pass semi-join over the same fact table
+    "c105_tpch_q3", "c108_tpch_q18")
 
   /** Heavy shapes that get ONE untimed per-query warm rep immediately
     * before their timed reps, in every timed phase (VERDICT r14 #2):
@@ -994,6 +1003,14 @@ object Bench {
           SparkEntry.queries("c02_join_large")(spark, dir))}""""
       } catch { case e: Throwable =>
         parts += s""""c02_join_strategy_err":"${jsonEscape(e.getMessage)}"""" }
+      if (forNames.contains("c105_tpch_q3")) try {
+        // which side of the broadcast→SMJ cliff the published 3-way
+        // join runs on at this decade (the c02 evidence class for
+        // the TPC-H shapes)
+        parts += s""""c105_join_strategy":"${joinStrategy(
+          SparkEntry.queries("c105_tpch_q3")(spark, dir))}""""
+      } catch { case e: Throwable =>
+        parts += s""""c105_join_strategy_err":"${jsonEscape(e.getMessage)}"""" }
       if (forNames.contains("x69_pagerank")) try {
         // distinct directed edge count: the quantity x69's per-
         // iteration cost is linear in. Since the v2 scaled lake

@@ -668,7 +668,7 @@ object Dedup {
     * default runtime-filter creation cap (64M bits / 8 MB) for the
     * registered defaults.
     */
-  private def bloomBits(expectedItems: Long, fpp: Double): Long =
+  private[graft] def bloomBits(expectedItems: Long, fpp: Double): Long =
     math.ceil(-expectedItems.toDouble * math.log(fpp) /
       (math.log(2) * math.log(2))).toLong
 

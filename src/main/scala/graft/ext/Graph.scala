@@ -388,22 +388,55 @@ object Graph {
 
   /** Join-based wedge stream — the degradation path for graphs whose
     * oriented adjacency outgrows arrays: the same per-arc
-    * c ∈ N⁺(a) ∩ N⁺(b) set, but N⁺(a) fans out through an equi-join
-    * (wedge rows spill to disk like any shuffle data — no per-row
-    * array allocation, no collect_list state) and N⁺(b) membership
-    * closes via a left-semi hash join. ~3× slower than the array
-    * form at sf0.1 — which is why it is the fallback, not the
-    * default — but memory-flat at any wedge volume: the r15 100×
-    * probe's 8.22 B-wedge graph runs at the default 32 g heap where
-    * the array form needed 64 g. Output identical row-for-row: each
-    * triangle once, c as long.
+    * c ∈ N⁺(a) ∩ N⁺(b) set, generated by an equi-join fan-out and
+    * closed in TWO steps whose order is the whole design:
+    *
+    *  1. a BLOOM of the arc-key set (x32's native
+    *     BloomFilterAggregate, 1% fpp, an explicit literal in the
+    *     plan) probes every wedge MAP-SIDE, inside the stage that
+    *     generates it — the O(Σ od²) stream is pipelined through the
+    *     filter and NEVER materializes to a shuffle. This is the
+    *     step the naive semi-join-only form gets fatally wrong: at
+    *     the 100× lake the 8.22 B-row wedge shuffle/sort needs
+    *     ~200 GB of spill and died on disk exactly there (r16 first
+    *     probe attempt);
+    *  2. the ~(triangles + fpp·wedges) survivors close by an EXACT
+    *     left-semi hash join on the arc set — blooms admit only
+    *     false positives, the semi join removes them, false
+    *     negatives are impossible, so the output is row-identical
+    *     to the array form (and oracle-stable: the engine-private
+    *     xxhash64 inside the bloom can only let extra rows REACH
+    *     the exact join).
+    *
+    * Cost shape at the fifth decade: the wedge-generating join
+    * shuffles only the E-row arc frame twice (~4 GB), the bloom is
+    * ~1.2 bytes·E (~140 MB at 118 M arcs — one copy per executor),
+    * and the survivor shuffle is ~2% of the wedge volume. Memory-
+    * and disk-flat where the array form needed a 64 g heap. Output
+    * identical: each triangle once, c as long.
     */
-  private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame =
+  private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
+    val spark = arcs.sparkSession
+    val nArcs = math.max(arcs.count(), 1L)
+    val fpp = 0.01
+    // the native aggregate validates numBits against the
+    // runtime-filter cap (64 M bits); this bloom is an explicit
+    // literal, not a runtime filter — raise the cap to what the arc
+    // set needs before building
+    val need = graft.ext.Dedup.bloomBits(nArcs, fpp)
+    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prior = spark.conf.get(capKey, "67108864")
+    if (need > prior.toLong) spark.conf.set(capKey, need.toString)
+    val bloom = graft.ext.Dedup.bloomFilterBytes(
+      arcs, struct(col("s"), col("t")), nArcs, fpp)
     arcs.select(col("s").as("a"), col("t").as("b"))
       .join(arcs.select(col("s").as("a"), col("t").as("c")), "a")
+      .filter(graft.ext.Dedup.bloomMightContain(bloom,
+        struct(col("b"), col("c"))))
       .join(arcs.select(col("s").as("b"), col("t").as("c")),
         Seq("b", "c"), "left_semi")
       .select(col("a"), col("b"), col("c").cast("long").as("c"))
+  }
 
   /** Per-node triangle participation from a prebuilt oriented arc
     * frame. Three equi-joins + one integer count — no windows.

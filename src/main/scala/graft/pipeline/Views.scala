@@ -345,6 +345,11 @@ object Views {
       ansariReportFromCounts(
         ksHalfCounts(Lake.table(spark, sfDir, "events")))),
 
+    // k-SAMPLE ANDERSON–DARLING — the omnibus EDF screen across all
+    // event types at once — see [[adKsampleReport]].
+    "x298_ad_ksample" -> ((spark, sfDir) =>
+      adKsampleReport(ksHalfCounts(Lake.table(spark, sfDir, "events")))),
+
     // MOOD SCALE + LEPAGE COMBO — the tail-weighted squared-rank
     // scale test x146's location AUC is blind to, plus the combined
     // location–scale χ²₂ — see [[moodScaleReportFromCounts]].
@@ -491,6 +496,23 @@ object Views {
     // the daily series — see [[grubbsReport]].
     "x284_grubbs" -> ((spark, sfDir) =>
       grubbsReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // PAGE–HINKLEY — the running-mean sequential change detector
+    // beside x138's fixed-reference CUSUM — see
+    // [[pageHinkleyReport]].
+    "x296_page_hinkley" -> ((spark, sfDir) =>
+      pageHinkleyReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // VARIANCE RATIO — Lo–MacKinlay's random-walk diagnostic at the
+    // weekly lag — see [[varianceRatioReport]].
+    "x297_variance_ratio" -> ((spark, sfDir) =>
+      varianceRatioReport(Lake.table(spark, sfDir, "events")
         .groupBy(col("event_type"),
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
@@ -1021,6 +1043,100 @@ object Views {
         when(col("den2") > 0L && col("n_days") >= 10L,
           round((dd(col("num2")) / dd(col("den2")) - 2.0) /
             sqrt(lit(4.0) / dd(col("n_days"))), 6)).as("z_approx"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x296's Page–Hinkley sequential change detector over the daily
+    * frame — the classical online mean-shift monitor beside x138's
+    * CUSUM (CUSUM cumulates deviations from the FIXED reference
+    * mean; PH cumulates deviations from the RUNNING mean, so it
+    * needs no reference window at all — the "detect the shift with
+    * zero configuration" member): m_t = Σ_{i≤t}(x_i − x̄_i),
+    * PH = max_t (m_t − min_{s≤t} m_s), alarm at the argmax day.
+    * The running mean lands on a 10⁻⁶ floor grid (DECIMAL(38,0) —
+    * S_i·10⁶ outgrows BIGINT at ~9×10¹² cumulated events), making
+    * every m_t an exact grid integer: the cumulative/min/max chain
+    * is then pure integer arithmetic, engine-identical. Windows are
+    * per-type over day grain — bounded by the calendar.
+    */
+  def pageHinkleyReport(daily: DataFrame): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val cum = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("s", sum(col("x")).over(cum))
+      .withColumn("mean_fp", expr(
+        "CAST((CAST(s AS DECIMAL(38,0)) * 1000000 - " +
+          "CAST(s AS DECIMAL(38,0)) * 1000000 % i) / i AS DECIMAL(38,0))"))
+      .withColumn("term", expr(
+        "CAST(x AS DECIMAL(38,0)) * 1000000 - mean_fp"))
+      .withColumn("m", sum(col("term")).over(cum))
+      .withColumn("runmin", least(min(col("m")).over(cum),
+        lit(0).cast("decimal(38,0)")))
+      .withColumn("ph_t", col("m") - col("runmin"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("ph_t"), (-col("day")).as("nd"))).as("pk"))
+      .select(col("event_type"), col("n_days"),
+        round(col("pk.ph_t").cast("double") / 1000000.0, 4).as("ph"),
+        (-col("pk.nd")).cast("long").as("alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** x297's Lo–MacKinlay variance-ratio test over the daily frame —
+    * the random-walk/mean-reversion diagnostic the forecasting
+    * family lacked (x152/x266 read individual autocorrelations; VR
+    * aggregates them: VR(q) ≈ 1 + 2Σ(1−k/q)ρ_k, so VR < 1 reads
+    * mean reversion and VR > 1 trending, the single-number "is this
+    * series a random walk" answer): VR = Var(x_t − x_{t−q}) /
+    * (q·Var(x_t − x_{t−1})) over CALENDAR-CONTIGUOUS lags only
+    * (day − lag(day) must equal the lag — x268's gap lesson: row
+    * adjacency is not calendar adjacency), both variance numerators
+    * exact n·Σd² − (Σd)² DECIMAL(38,0) (operands widened before the
+    * multiply), two divisions at readout, and the homoskedastic
+    * z = (VR−1)/√(2(2q−1)(q−1)/(3q(T−1))). q = 7: the weekly lag.
+    */
+  def varianceRatioReport(daily: DataFrame, q: Int = 7): DataFrame = {
+    require(q >= 2, s"variance ratio needs lag q >= 2, got $q")
+    def dd(c: Column) = c.cast("double")
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("x1", lag(col("x"), 1).over(byDay))
+      .withColumn("d1", lag(col("day"), 1).over(byDay))
+      .withColumn("xq", lag(col("x"), q).over(byDay))
+      .withColumn("dq", lag(col("day"), q).over(byDay))
+      .withColumn("inc1", when(col("day") - col("d1") === 1,
+        col("x") - col("x1")))
+      .withColumn("incq", when(col("day") - col("dq") === q,
+        col("x") - col("xq")))
+    val g = lagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("inc1")).as("n1"),
+        sum(col("inc1")).as("s1"),
+        sum(col("inc1").cast("decimal(38,0)") * col("inc1")).as("ss1"),
+        count(col("incq")).as("nq"),
+        sum(col("incq")).as("sq"),
+        sum(col("incq").cast("decimal(38,0)") * col("incq")).as("ssq"))
+      .withColumn("v1", expr(
+        "CAST(n1 AS DECIMAL(38,0)) * ss1 - CAST(s1 AS DECIMAL(38,0)) * s1"))
+      .withColumn("vq", expr(
+        "CAST(nq AS DECIMAL(38,0)) * ssq - CAST(sq AS DECIMAL(38,0)) * sq"))
+    // divisors guarded with GREATEST (mirrored in the oracle): the
+    // published value is NULL outside `ok` anyway, but subexpression
+    // elimination can hoist the shared division OUT of the CASE —
+    // an unguarded zero then raises under ANSI on degenerate frames
+    val nqG = dd(greatest(col("nq"), lit(1L)))
+    val n1G = dd(greatest(col("n1"), lit(1L)))
+    val v1G = dd(greatest(col("v1"), lit(1).cast("decimal(38,0)")))
+    val vr = (dd(col("vq")) / (nqG * nqG)) /
+      (lit(q.toDouble) * v1G / (n1G * n1G))
+    val ok = col("n1") > 1L && col("nq") > 1L && col("v1") > 0 &&
+      col("n_days") > 1L
+    g.select(col("event_type"), col("n_days"), col("n1"), col("nq"),
+        when(ok, round(vr, 6)).as("vr"),
+        when(ok, round((vr - 1.0) /
+          sqrt(lit(2.0) * (2.0 * q - 1.0) * (q - 1.0) /
+            (lit(3.0) * q * (dd(col("n_days")) - 1.0))), 4)).as("z"))
       .orderBy(col("event_type"))
   }
 
@@ -2633,6 +2749,75 @@ object Views {
       .orderBy(col("event_type"))
   }
 
+  /** x298's k-SAMPLE Anderson–Darling across the event types — the
+    * omnibus "do ALL the types share one value distribution" test
+    * beside the per-pair drift family (x217 KW asks it for location,
+    * x246 Bartlett / x229 BF for scale; the k-sample AD asks it for
+    * the whole EDF, tails included — the screen that says WHETHER to
+    * bother with pairwise drill-downs). Scholz–Stephens eq. (3), the
+    * right-continuous (non-midrank) version, over a zero-filled
+    * bucket×type spine (types·buckets ≤ a few thousand cells —
+    * support grain): A² = Σ_i (1/n_i) Σ_{j:B_j<N} l_j·D_ij² /
+    * (N·B_j(N−B_j)) with D_ij = N·M_ij − n_i·B_j exact
+    * DECIMAL(38,0). Per-cell quotients on x293's two-step 10⁻⁶
+    * floor grid; the per-type 1/n_i divisions are integer floors on
+    * the SAME grid, so the final k-term sum is order-free exact.
+    * D² ≤ (N²/4)² keeps every intermediate inside 38 digits to
+    * N ≈ 6×10⁹ pooled events — past that, overflow is loud (NULL /
+    * raise), never a silent wrap. The standardization's harmonic
+    * sums are corpus-sized (Σ1/i to N) and deliberately omitted:
+    * the published statistic is A² beside its null expectation k−1.
+    * Takes the (event_type, half, bucket, c) frame and collapses
+    * halves, so the s66 twin rides the SAME maintained state as the
+    * rest of the drift family.
+    */
+  def adKsampleReport(cnt: DataFrame): DataFrame = {
+    val cells = cnt.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+    val types = cells.select(col("event_type")).distinct()
+    val buckets = cells.select(col("bucket")).distinct()
+    val spine = types.crossJoin(buckets)
+      .join(cells, Seq("event_type", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pooled per-bucket mass and its cumulative ride the bucket
+    // spine (support-bounded global window, the x243 ECDF pattern)
+    val perBucket = cells.groupBy(col("bucket")).agg(sum(col("c")).as("l"))
+      .withColumn("bb", sum(col("l")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perType = cells.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_i"))
+    val tot = cells.agg(sum(col("c")).as("nn"))
+    val j = spine
+      .withColumn("m", sum(col("c")).over(byType))
+      .select(col("event_type"), col("bucket"), col("m"))
+      .join(broadcast(perBucket), "bucket")
+      .join(broadcast(perType), "event_type")
+      .crossJoin(broadcast(tot))
+      .filter(col("bb") < col("nn"))
+      .withColumn("d", expr(
+        "CAST(nn AS DECIMAL(38,0)) * m - CAST(n_i AS DECIMAL(38,0)) * bb"))
+      .withColumn("den", expr(
+        "CAST(nn AS DECIMAL(38,0)) * bb * (nn - bb)"))
+      .withColumn("q_fp", expr(
+        "CAST((d * d - (d * d) % den) / den AS DECIMAL(38,0)) * 1000000 + " +
+          "CAST(((d * d) % den * 1000000 - " +
+          "(d * d) % den * 1000000 % den) / den AS DECIMAL(38,0))"))
+      .withColumn("t_fp", expr("l * q_fp"))
+    val typeSums = j.groupBy(col("event_type"))
+      .agg(min(col("n_i")).as("n_i"), min(col("nn")).as("nn"),
+        sum(col("t_fp")).as("s_fp"))
+      .withColumn("u_fp", expr(
+        "CAST((s_fp - s_fp % n_i) / n_i AS DECIMAL(38,0))"))
+    typeSums.agg(count(lit(1)).as("k_samples"),
+        min(col("nn")).cast("long").as("n_total"),
+        sum(col("u_fp")).as("a_fp"))
+      .select(col("k_samples"), col("n_total"),
+        round(col("a_fp").cast("double") / 1000000.0, 6).as("a2"),
+        (col("k_samples") - 1L).as("e_a2"))
+  }
+
   /** x282's Mood scale test (+ the Lepage-type combined readout)
     * over the SAME half/bucket frame: x146 detects a LOCATION shift
     * — a variance change with the same center slips right past it
@@ -3151,6 +3336,46 @@ object Views {
         "CAST(nn AS DOUBLE)) / (12.0 * CAST(nn AS DOUBLE) * " +
         "CAST(nn AS DOUBLE)) END), 4) END AS z " +
         "FROM g ORDER BY event_type"),
+    // same bucket cells pooled across types, same zero-filled
+    // type×bucket spine, same two-step 10^-6 grid per cell and the
+    // integer-floored per-type 1/n_i shares
+    "x298_ad_ksample" ->
+      ("WITH ev AS (SELECT event_type, " +
+        "GREATEST(LEAST(CAST(FLOOR(value) AS BIGINT), 499), 0) AS bucket " +
+        "FROM events), " +
+        "cells AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c " +
+        "FROM ev GROUP BY 1, 2), " +
+        "types AS (SELECT DISTINCT event_type FROM cells), " +
+        "bks AS (SELECT DISTINCT bucket FROM cells), " +
+        "spine AS (SELECT t.event_type, b.bucket, COALESCE(c.c, 0) AS c " +
+        "FROM types t CROSS JOIN bks b LEFT JOIN cells c " +
+        "ON c.event_type = t.event_type AND c.bucket = b.bucket), " +
+        "mm AS (SELECT event_type, bucket, " +
+        "SUM(c) OVER (PARTITION BY event_type ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS m FROM spine), " +
+        "pb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS l " +
+        "FROM cells GROUP BY 1), " +
+        "pb2 AS (SELECT bucket, l, SUM(l) OVER (ORDER BY bucket " +
+        "ROWS UNBOUNDED PRECEDING) AS bb FROM pb), " +
+        "pt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_i " +
+        "FROM cells GROUP BY 1), " +
+        "tt AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells), " +
+        "j AS (SELECT mm.event_type, mm.m, pb2.l, pb2.bb, pt.n_i, tt.nn " +
+        "FROM mm JOIN pb2 USING (bucket) JOIN pt USING (event_type) " +
+        "CROSS JOIN tt), " +
+        "q AS (SELECT event_type, n_i, nn, l, " +
+        "CAST(nn AS HUGEINT) * m - CAST(n_i AS HUGEINT) * bb AS d, " +
+        "CAST(nn AS HUGEINT) * bb * (nn - bb) AS den FROM j WHERE bb < nn), " +
+        "t AS (SELECT event_type, n_i, nn, l * ((d * d) // den * 1000000 + " +
+        "(d * d) % den * 1000000 // den) AS t_fp FROM q), " +
+        "g AS (SELECT event_type, MIN(n_i) AS n_i, MIN(nn) AS nn, " +
+        "SUM(t_fp) AS s_fp FROM t GROUP BY 1), " +
+        "u AS (SELECT event_type, nn, s_fp // CAST(n_i AS HUGEINT) AS u_fp " +
+        "FROM g) " +
+        "SELECT CAST(COUNT(*) AS BIGINT) AS k_samples, " +
+        "CAST(MIN(nn) AS BIGINT) AS n_total, " +
+        "ROUND(CAST(SUM(u_fp) AS DOUBLE) / 1000000.0, 6) AS a2, " +
+        "CAST(COUNT(*) - 1 AS BIGINT) AS e_a2 FROM u"),
     // same half/bucket chain; exact block score sums (// 6 and // 2
     // are exact — the differences are divisible), same floor-divided
     // cur share, same classical moments, x146's z squared in
@@ -3376,6 +3601,71 @@ object Views {
         "(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))), 6) END AS g_stat " +
         "FROM g JOIN cp ON cp.event_type = g.event_type ORDER BY g.event_type"),
+    // same running-mean 10^-6 floor grid, same cumulative/min chain,
+    // same earliest-day argmax idiom as x284
+    "x296_page_hinkley" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, x, " +
+        "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i, " +
+        "SUM(x) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS s FROM d), " +
+        "t AS (SELECT event_type, day, CAST(x AS HUGEINT) * 1000000 - " +
+        "(CAST(s AS HUGEINT) * 1000000) // i AS term FROM w), " +
+        "m AS (SELECT event_type, day, " +
+        "SUM(term) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS m FROM t), " +
+        "p AS (SELECT event_type, day, m - LEAST(" +
+        "MIN(m) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING), 0) AS ph_t FROM m), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "MAX(ph_t) AS mx FROM p GROUP BY 1), " +
+        "cp AS (SELECT p.event_type, CAST(MIN(p.day) AS BIGINT) AS alarm_day " +
+        "FROM p JOIN g ON g.event_type = p.event_type AND p.ph_t = g.mx " +
+        "GROUP BY 1) " +
+        "SELECT g.event_type, n_days, " +
+        "ROUND(CAST(mx AS DOUBLE) / 1000000.0, 4) AS ph, alarm_day " +
+        "FROM g JOIN cp ON cp.event_type = g.event_type ORDER BY g.event_type"),
+    // same calendar-contiguous lags, same exact variance numerators
+    // (HUGEINT operands widened before the multiply), same two
+    // divisions and homoskedastic z
+    "x297_variance_ratio" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, day, x, " +
+        "LAG(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1, " +
+        "LAG(day, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1, " +
+        "LAG(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS xq, " +
+        "LAG(day, 7) OVER (PARTITION BY event_type ORDER BY day) AS dq FROM d), " +
+        "i AS (SELECT event_type, " +
+        "CASE WHEN day - d1 = 1 THEN x - x1 END AS inc1, " +
+        "CASE WHEN day - dq = 7 THEN x - xq END AS incq FROM l), " +
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, " +
+        "CAST(COUNT(inc1) AS BIGINT) AS n1, " +
+        "CAST(SUM(inc1) AS BIGINT) AS s1, " +
+        "SUM(CAST(inc1 AS HUGEINT) * inc1) AS ss1, " +
+        "CAST(COUNT(incq) AS BIGINT) AS nq, " +
+        "CAST(SUM(incq) AS BIGINT) AS sq, " +
+        "SUM(CAST(incq AS HUGEINT) * incq) AS ssq FROM i GROUP BY 1), " +
+        "v AS (SELECT event_type, n_days, n1, nq, " +
+        "CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1 AS v1, " +
+        "CAST(nq AS HUGEINT) * ssq - CAST(sq AS HUGEINT) * sq AS vq " +
+        "FROM g), " +
+        "r AS (SELECT event_type, n_days, n1, nq, v1, " +
+        "(CAST(vq AS DOUBLE) / (CAST(GREATEST(nq, 1) AS DOUBLE) * " +
+        "CAST(GREATEST(nq, 1) AS DOUBLE))) / " +
+        "(7.0 * CAST(GREATEST(v1, 1) AS DOUBLE) / " +
+        "(CAST(GREATEST(n1, 1) AS DOUBLE) * " +
+        "CAST(GREATEST(n1, 1) AS DOUBLE))) AS vr FROM v) " +
+        "SELECT event_type, n_days, n1, nq, " +
+        "CASE WHEN n1 > 1 AND nq > 1 AND v1 > 0 AND n_days > 1 THEN " +
+        "ROUND(vr, 6) END AS vr, " +
+        "CASE WHEN n1 > 1 AND nq > 1 AND v1 > 0 AND n_days > 1 THEN " +
+        "ROUND((vr - 1.0) / SQRT(2.0 * 13.0 * 6.0 / " +
+        "(21.0 * (CAST(n_days AS DOUBLE) - 1.0))), 4) END AS z " +
+        "FROM r ORDER BY event_type"),
     // same row-indexed full blocks, same exact integer ranges and
     // per-block 10^-6 fp grid, same frozen 2·ln2 slope constant
     "x286_hurst_rs" -> {

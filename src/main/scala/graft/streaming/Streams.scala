@@ -1939,6 +1939,33 @@ object Streams {
         maintainedHalfCounts(spark, sfDir, "s63"))
       .orderBy(col("event_type"))
 
+  /** s66: x298's k-sample Anderson–Darling omnibus off the same
+    * maintained half/bucket state (halves collapse inside the
+    * report) — the "did ANY type drift from the others" screen as
+    * IVM, one more readout on the family's one maintained artifact.
+    */
+  def foreachBatchAdKsample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.adKsampleReport(
+      maintainedHalfCounts(spark, sfDir, "s66"))
+
+  /** s64: x296's Page–Hinkley running-mean change detector off the
+    * maintained day cells — the zero-configuration sequential
+    * monitor beside s22's fixed-reference CUSUM as IVM.
+    */
+  def foreachBatchPageHinkley(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.pageHinkleyReport(
+        maintainedDayCounts(spark, sfDir, "s64"))
+      .orderBy(col("event_type"))
+
+  /** s65: x297's variance-ratio random-walk diagnostic off the same
+    * maintained day cells — the aggregated-autocorrelation readout
+    * beside s26's Mann–Kendall trend as IVM.
+    */
+  def foreachBatchVarianceRatio(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.varianceRatioReport(
+        maintainedDayCounts(spark, sfDir, "s65"))
+      .orderBy(col("event_type"))
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -2733,6 +2760,12 @@ object Streams {
       ((spark, sfDir) => foreachBatchCucconi(spark, sfDir)),
     "s63_stream_ansari_monitor" ->
       ((spark, sfDir) => foreachBatchAnsari(spark, sfDir)),
+    "s64_stream_page_hinkley_maintain" ->
+      ((spark, sfDir) => foreachBatchPageHinkley(spark, sfDir)),
+    "s65_stream_variance_ratio_maintain" ->
+      ((spark, sfDir) => foreachBatchVarianceRatio(spark, sfDir)),
+    "s66_stream_ad_ksample_monitor" ->
+      ((spark, sfDir) => foreachBatchAdKsample(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2902,6 +2935,18 @@ object Streams {
     // maintained counts ≡ batch x295
     "s63_stream_ansari_monitor" ->
       graft.pipeline.Views.oracles("x295_ansari_bradley"),
+    // the IVM contract verbatim: Page–Hinkley over the maintained
+    // day cells ≡ batch x296
+    "s64_stream_page_hinkley_maintain" ->
+      graft.pipeline.Views.oracles("x296_page_hinkley"),
+    // the IVM contract verbatim: the variance ratio over the same
+    // maintained day cells ≡ batch x297
+    "s65_stream_variance_ratio_maintain" ->
+      graft.pipeline.Views.oracles("x297_variance_ratio"),
+    // the IVM contract verbatim: the k-sample AD omnibus over the
+    // maintained half/bucket counts ≡ batch x298
+    "s66_stream_ad_ksample_monitor" ->
+      graft.pipeline.Views.oracles("x298_ad_ksample"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

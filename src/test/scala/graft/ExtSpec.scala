@@ -2560,8 +2560,14 @@ class ExtSpec extends SparkSpec {
     // graph down the array path
     val degraded = graft.ext.Graph.triangleEnum(arcs,
       maxArrayDegree = 2L, maxArrayWedges = Long.MaxValue)
-    assert(!degraded.queryExecution.executedPlan.toString
-      .contains("collect_list"), "gate did not take the join path")
+    val degradedPlan = degraded.queryExecution.executedPlan.toString
+    assert(!degradedPlan.contains("collect_list"),
+      "gate did not take the join path")
+    // the wedge stream must pass the map-side bloom probe BEFORE any
+    // join closes it — the pre-filter that keeps the fifth-decade
+    // stream off the shuffle disk
+    assert(degradedPlan.contains("might_contain"),
+      s"join path lost its bloom pre-filter:\n$degradedPlan")
     assert(setOf(degraded) == viaArrays, "degraded path diverges")
     val fast = graft.ext.Graph.triangleEnum(arcs,
       maxArrayDegree = 65536L, maxArrayWedges = Long.MaxValue)
@@ -6704,6 +6710,86 @@ class ExtSpec extends SparkSpec {
       val c = graft.pipeline.Views.queries(q)(spark, SfDir).collect()
       assert(c.nonEmpty, s"$q empty on corpus")
     }
+  }
+
+  test("x298 k-sample AD: three tied samples match the exact-rational reference") {
+    import spark.implicits._
+    // a = {1,2,2,5,7}, b = {2,3,5,5,8,8}, c = {1,4,4,6} (N = 15):
+    // Scholz–Stephens eq. (3) exact rational A² = 1.4285895…; the
+    // 10⁻⁶ grid version reads 1.428585 (each floor loses < 10⁻⁶)
+    val cnt = Seq(
+      ("a", "ref", 1L, 1L), ("a", "ref", 2L, 2L), ("a", "ref", 5L, 1L),
+      ("a", "ref", 7L, 1L),
+      ("b", "ref", 2L, 1L), ("b", "ref", 3L, 1L), ("b", "ref", 5L, 2L),
+      ("b", "ref", 8L, 2L),
+      ("c", "ref", 1L, 1L), ("c", "ref", 4L, 2L), ("c", "ref", 6L, 1L))
+      .toDF("event_type", "half", "bucket", "c")
+    val r = graft.pipeline.Views.adKsampleReport(cnt).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 15L &&
+      r.getDouble(2) == 1.428585 && r.getLong(3) == 2L, s"ad k: $r")
+    // identical samples: every D_ij = 0, A² reads exactly 0
+    val same = Seq(("a", "ref", 1L, 2L), ("a", "ref", 2L, 2L),
+      ("b", "ref", 1L, 2L), ("b", "ref", 2L, 2L))
+      .toDF("event_type", "half", "bucket", "c")
+    val r0 = graft.pipeline.Views.adKsampleReport(same).collect()(0)
+    assert(r0.getDouble(2) == 0.0, s"identical samples: $r0")
+    val c = graft.pipeline.Views.queries("x298_ad_ksample")(spark, SfDir)
+      .collect()(0)
+    assert(c.getLong(0) >= 2L && c.getDouble(2) >= 0.0, s"corpus: $c")
+    // the s66 twin reads the same number off the maintained state
+    val tw = graft.streaming.Streams.foreachBatchAdKsample(spark, SfDir)
+      .collect()(0)
+    assert(tw == c, s"s66 twin diverges: $tw vs $c")
+  }
+
+  test("x296 page-hinkley: a level shift alarms at the grid-exact peak") {
+    import spark.implicits._
+    // x = 10,12,11,13,12 then 30,31,29,33,30 (shift at day 5):
+    // running-mean deviations on the 10⁻⁶ floor grid cumulate to
+    // PH_fp = 64,522,223 with the peak at the last day (the running
+    // mean keeps chasing the new level, so m keeps climbing)
+    val d = Seq(10L, 12L, 11L, 13L, 12L, 30L, 31L, 29L, 33L, 30L)
+      .zipWithIndex.map { case (x, i) => ("a", i, x) }
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.pageHinkleyReport(d).collect()(0)
+    assert(r.getLong(1) == 10L && r.getDouble(2) == 64.5222 &&
+      r.getLong(3) == 9L, s"ph: $r")
+    // a constant series never leaves zero
+    val flat = (0 until 6).map(i => ("a", i, 7L))
+      .toDF("event_type", "day", "x")
+    val r0 = graft.pipeline.Views.pageHinkleyReport(flat).collect()(0)
+    assert(r0.getDouble(2) == 0.0, s"flat ph: $r0")
+    val c = graft.pipeline.Views.queries("x296_page_hinkley")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty && c.forall(_.getDouble(2) >= 0.0), s"corpus: ${c.toSeq}")
+  }
+
+  test("x297 variance ratio: mean-reverting fixture reads VR < 1 with the exact variances") {
+    import spark.implicits._
+    // same series at q = 3: contiguous increments give exact variance
+    // numerators v1 = 2876 (n1=9), vq = 3470 (nq=7) →
+    // VR = (3470/49)/(3·2876/81) = 0.664826, z = −0.6745 on the
+    // homoskedastic 2(2q−1)(q−1)/(3q(T−1)) band
+    val d = Seq(10L, 12L, 11L, 13L, 12L, 30L, 31L, 29L, 33L, 30L)
+      .zipWithIndex.map { case (x, i) => ("a", i, x) }
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.varianceRatioReport(d, q = 3).collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 9L && r.getLong(3) == 7L,
+      s"vr counts: $r")
+    assert(r.getDouble(4) == 0.664826 && r.getDouble(5) == -0.6745,
+      s"vr: $r")
+    // a calendar gap must DROP the straddling increments, never read
+    // row-adjacent days as calendar-contiguous
+    val gap = Seq(("a", 0, 10L), ("a", 1, 12L), ("a", 5, 30L),
+      ("a", 6, 31L)).toDF("event_type", "day", "x")
+    val rg = graft.pipeline.Views.varianceRatioReport(gap, q = 2).collect()(0)
+    assert(rg.getLong(2) == 2L && rg.getLong(3) == 0L,
+      s"gap must drop every non-contiguous increment: $rg")
+    assert(rg.isNullAt(4) && rg.isNullAt(5),
+      s"degenerate frame must publish NULLs, not divide: $rg")
+    val c = graft.pipeline.Views.queries("x297_variance_ratio")(spark, SfDir)
+      .collect()
+    assert(c.nonEmpty, s"corpus: ${c.toSeq}")
   }
 
   test("x284 grubbs: a planted spike is the peak with the closed-form G") {

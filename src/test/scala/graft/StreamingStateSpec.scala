@@ -639,6 +639,26 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed Ansari diverges:\n${sab.toSeq}\nvs\n${bab.toSeq}")
   }
 
+  test("streaming Page-Hinkley and variance ratio equal their batch twins (s64/s65)") {
+    def keyPh(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val sp = graft.streaming.Streams.foreachBatchPageHinkley(spark, SfDir)
+      .collect().map(keyPh)
+    val bp = graft.pipeline.Views.queries("x296_page_hinkley")(spark, SfDir)
+      .collect().map(keyPh)
+    assert(sp.toSeq == bp.toSeq,
+      s"streamed PH diverges:\n${sp.toSeq}\nvs\n${bp.toSeq}")
+    def keyVr(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        (4 to 5).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))))
+    val sv = graft.streaming.Streams.foreachBatchVarianceRatio(spark, SfDir)
+      .collect().map(keyVr)
+    val bv = graft.pipeline.Views.queries("x297_variance_ratio")(spark, SfDir)
+      .collect().map(keyVr)
+    assert(sv.toSeq == bv.toSeq,
+      s"streamed VR diverges:\n${sv.toSeq}\nvs\n${bv.toSeq}")
+  }
+
   test("streaming Jonckheere equals batch x278 (s60)") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
