@@ -415,20 +415,36 @@ object Graph {
     * and disk-flat where the array form needed a 64 g heap. Output
     * identical: each triangle once, c as long.
     */
-  private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
+  /** Bloom over the arc-key pairs, sized for the REAL arc count.
+    * The native aggregate CLAMPS (Math.min, silently — no error)
+    * both its numBits and estimatedNumItems against the
+    * runtime-filter conf caps (64 M bits / 4 M items); this bloom is
+    * an explicit literal, not a runtime filter, so both caps are
+    * raised to what the arc set needs before building. Raising only
+    * the bit cap is a trap this code fell into once: with items
+    * clamped to 4 M the optimal-k computation picks ~m/4M·ln2 ≈ 196
+    * hash functions, 118 M real insertions saturate every bit, and
+    * the "filter" passes ~100% of the 8.22 B-row wedge stream — the
+    * exact disk blow-up it exists to prevent (r16 second probe
+    * attempt: 70 GB of survivor shuffle before the disk died).
+    */
+  private[graft] def arcBloom(arcs: DataFrame, nArcs: Long,
+      fpp: Double): Array[Byte] = {
     val spark = arcs.sparkSession
-    val nArcs = math.max(arcs.count(), 1L)
-    val fpp = 0.01
-    // the native aggregate validates numBits against the
-    // runtime-filter cap (64 M bits); this bloom is an explicit
-    // literal, not a runtime filter — raise the cap to what the arc
-    // set needs before building
     val need = graft.ext.Dedup.bloomBits(nArcs, fpp)
-    val capKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prior = spark.conf.get(capKey, "67108864")
-    if (need > prior.toLong) spark.conf.set(capKey, need.toString)
-    val bloom = graft.ext.Dedup.bloomFilterBytes(
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    if (need > spark.conf.get(bitsKey, "67108864").toLong)
+      spark.conf.set(bitsKey, need.toString)
+    if (nArcs > spark.conf.get(itemsKey, "4000000").toLong)
+      spark.conf.set(itemsKey, nArcs.toString)
+    graft.ext.Dedup.bloomFilterBytes(
       arcs, struct(col("s"), col("t")), nArcs, fpp)
+  }
+
+  private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
+    val nArcs = math.max(arcs.count(), 1L)
+    val bloom = arcBloom(arcs, nArcs, fpp = 0.01)
     arcs.select(col("s").as("a"), col("t").as("b"))
       .join(arcs.select(col("s").as("a"), col("t").as("c")), "a")
       .filter(graft.ext.Dedup.bloomMightContain(bloom,

@@ -2580,6 +2580,33 @@ class ExtSpec extends SparkSpec {
       .contains("collect_list"), "wedge cap did not take the join path")
   }
 
+  test("the wedge-fallback bloom stays effective past Spark's silent size clamps") {
+    // 8M arc keys — ABOVE the native aggregate's default 4M item /
+    // 64M bit clamps. Without the conf raises the clamped filter
+    // saturates and passes ~100% of probes (the r16 probe-attempt
+    // disk blow-up); correctly sized at 1% fpp, non-member probes
+    // must pass at ~1%.
+    val n = 8000000L
+    val arcs = spark.range(n)
+      .select((col("id") * 2).as("s"), (col("id") * 2 + 1).as("t"))
+    val bloom = graft.ext.Graph.arcBloom(arcs, n, fpp = 0.01)
+    assert(bloom != null && bloom.length > 8000000,
+      s"bloom still clamped to ${if (bloom == null) -1 else bloom.length} bytes")
+    // 1M non-member pairs (reversed arcs are never inserted)
+    val probes = spark.range(1000000L)
+      .select((col("id") * 2 + 1).as("b"), (col("id") * 2).as("c"))
+    val fp = probes.filter(graft.ext.Dedup.bloomMightContain(bloom,
+        org.apache.spark.sql.functions.struct(col("b"), col("c"))))
+      .count()
+    assert(fp < 30000, s"false-positive rate ${fp / 10000.0}% — filter saturated")
+    // and every true member passes (no false negatives, ever)
+    val tn = arcs.limit(100000)
+      .filter(graft.ext.Dedup.bloomMightContain(bloom,
+        org.apache.spark.sql.functions.struct(col("s"), col("t"))))
+      .count()
+    assert(tn == 100000L, s"bloom dropped true members: $tn")
+  }
+
   test("x257 resource allocation: 1/deg terms on the same planted square-with-diagonal (vs x132)") {
     import spark.implicits._
     // same geometry as the x132 fixture: diagonal (1,3) has two
