@@ -438,8 +438,18 @@ object Graph {
       spark.conf.set(bitsKey, need.toString)
     if (nArcs > spark.conf.get(itemsKey, "4000000").toLong)
       spark.conf.set(itemsKey, nArcs.toString)
+    // EVERY partial-aggregation task holds a full bitmap plus its
+    // serialize copy (~3× the bitmap bytes peak), so the build's
+    // parallelism must shrink as the bloom grows: 32 concurrent
+    // 141 MB bitmaps OOM'd a 32 g heap on the r16 third probe
+    // attempt. Coalesce the build scan so all in-flight bitmaps stay
+    // inside a ~4 GB budget; inserting 118 M keys is cheap enough
+    // that a handful of tasks keep the build in seconds.
+    val bitmapBytes = math.max(1L, need / 8L)
+    val parts = math.max(1L,
+      math.min(32L, 4000000000L / (3L * bitmapBytes))).toInt
     graft.ext.Dedup.bloomFilterBytes(
-      arcs, struct(col("s"), col("t")), nArcs, fpp)
+      arcs.coalesce(parts), struct(col("s"), col("t")), nArcs, fpp)
   }
 
   private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
