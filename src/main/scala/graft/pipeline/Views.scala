@@ -517,6 +517,25 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // WILCOXON SIGNED-RANK — the PAIRED location test over
+    // day-paired type-pair differences (x218's Mann–Whitney treats
+    // the types as independent; pairing by day cancels the shared
+    // daily traffic shock) — see [[wilcoxonSignedRankReport]].
+    "x299_wilcoxon_signed_rank" -> ((spark, sfDir) =>
+      wilcoxonSignedRankReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
+    // PAIRED SIGN TEST — the distribution-free floor under x299
+    // (signs only; exact under asymmetric nulls) — see
+    // [[signTestReport]].
+    "x300_sign_test" -> ((spark, sfDir) =>
+      signTestReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // HURST R/S — the long-memory exponent of the daily series via
     // rescaled-range analysis at w ∈ {7, 14, 28} — see
     // [[hurstRsReport]].
@@ -1139,6 +1158,124 @@ object Views {
             (lit(3.0) * q * (dd(col("n_days")) - 1.0))), 4)).as("z"))
       .orderBy(col("event_type"))
   }
+
+  /** The paired-sample family's shared cell builder (x299/x300):
+    * day-paired daily-count differences d = x_a − x_b for every
+    * unordered event-type pair (a < b lexically), over the COMPLETE
+    * pair×day grid — a day with events for only one type pairs
+    * against an implicit 0 (dropping it would silently bias the
+    * test toward days where both types fired). The grid is
+    * |types|²·|days| — support grain on both axes, so the two
+    * crossJoins are bounded fan-outs (≤ 10 pairs × day count here),
+    * never corpus-scale.
+    */
+  private def pairedDayDiffs(daily: DataFrame): DataFrame = {
+    val types = daily.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val days = daily.select(col("day")).distinct()
+    val xa = daily.select(col("event_type").as("type_a"), col("day"),
+      col("x").as("xa"))
+    val xb = daily.select(col("event_type").as("type_b"), col("day"),
+      col("x").as("xb"))
+    pairs.crossJoin(days)
+      .join(xa, Seq("type_a", "day"), "left")
+      .join(xb, Seq("type_b", "day"), "left")
+      .select(col("type_a"), col("type_b"), col("day"),
+        (coalesce(col("xa"), lit(0L)) - coalesce(col("xb"), lit(0L)))
+          .as("d"))
+  }
+
+  /** x299's Wilcoxon signed-rank test over the day-paired daily
+    * counts of every event-type pair — the PAIRED location test the
+    * drift family lacked (x218's Mann–Whitney compares two types as
+    * INDEPENDENT samples, discarding that both series share each
+    * day's common traffic shocks; pairing by day differences that
+    * common term out, which is exactly why the signed-rank test has
+    * more power on day-coupled series). Zeros are dropped
+    * (Wilcoxon's original convention, reported as n_zero); |d| is
+    * ranked with midranks over each pair's nonzero days, and the
+    * whole statistic is EXACT INTEGER arithmetic on doubled ranks:
+    * per |d|-tie-group, the doubled midrank m2 = 2·cnt_less + t + 1
+    * is an odd/even integer, W2⁺ = Σ_{d>0} m2 is an exact BIGINT,
+    * E[W2⁺] = n(n+1)/2 likewise, and the tie-corrected null variance
+    * scales to V48 = 48·Var(W⁺) = 2n(n+1)(2n+1) − Σ_j (t_j³ − t_j)
+    * — BOTH exact integers with no division anywhere (the /4, /24
+    * and /48 denominators cancel into the single readout
+    * z = (W2⁺ − n(n+1)/2)·√(12/V48)). No continuity correction
+    * (documented; the large-sample form matches scipy's
+    * correction=False mode). Everything after the day-cell
+    * aggregation is support-grain: the rank window partitions by
+    * pair over ≤ |days| rows.
+    */
+  def wilcoxonSignedRankReport(daily: DataFrame): DataFrame = {
+    val nz = pairedDayDiffs(daily).filter(col("d") =!= 0L)
+      .groupBy(col("type_a"), col("type_b"), abs(col("d")).as("absd"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("pos"))
+    val byAbs = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("absd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zeros = pairedDayDiffs(daily).filter(col("d") === 0L)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_zero"))
+    val ranked = nz
+      .withColumn("cum", sum(col("t")).over(byAbs) - col("t"))
+      .withColumn("m2", lit(2L) * col("cum") + col("t") + lit(1L))
+    val g = ranked.groupBy(col("type_a"), col("type_b"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("pos") * col("m2")).as("w2_plus"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .withColumn("mean2", expr("n * (n + 1) DIV 2"))
+      .withColumn("v48",
+        lit(2L) * col("n") * (col("n") + 1L) * (lit(2L) * col("n") + 1L)
+          - col("tie3"))
+    g.join(zeros, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n").as("n_pairs"),
+        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
+        col("w2_plus"),
+        when(col("v48") > 0L, round(
+          (col("w2_plus") - col("mean2")).cast("double") *
+            sqrt(lit(12.0) / col("v48").cast("double")), 4)).as("z"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** x300's paired sign test over the same day-paired cells — the
+    * distribution-free floor under x299 (it reads ONLY the sign of
+    * each day's difference, so it is exact under any asymmetric
+    * null; the signed-rank test additionally assumes the difference
+    * distribution is symmetric): pos/neg/zero day counts per pair
+    * (zeros dropped from n, the standard convention), and the
+    * continuity-corrected large-sample statistic
+    * z = sign(pos − neg)·max(|2·pos − n| − 1, 0)/√n — the numerator
+    * an exact integer, ONE sqrt and one division at readout. The
+    * exact-binomial tail is the textbook small-n readout but its
+    * 2ⁿ denominator outgrows any fixed-width integer as the day
+    * support grows, so the published statistic is the z form
+    * (n ≥ 25 is comfortably normal; the exact counts are published
+    * beside it for anyone re-deriving the binomial at small n).
+    */
+  def signTestReport(daily: DataFrame): DataFrame =
+    pairedDayDiffs(daily)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(when(col("d") > 0L, 1L).otherwise(0L)).as("pos"),
+        sum(when(col("d") < 0L, 1L).otherwise(0L)).as("neg"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("n", col("pos") + col("neg"))
+      // the signed numerator stays an exact integer (sign folded in
+      // BEFORE the cast) so a pos≈neg pair reads 0.0, never -0.0
+      .withColumn("num",
+        (when(col("pos") > col("neg"), 1L)
+          .when(col("pos") < col("neg"), -1L).otherwise(0L)) *
+          greatest(abs(lit(2L) * col("pos") - col("n")) - lit(1L),
+            lit(0L)))
+      .select(col("type_a"), col("type_b"), col("pos"), col("neg"),
+        col("n_zero"),
+        when(col("n") > 0L, round(
+          col("num").cast("double") /
+            sqrt(col("n").cast("double")), 4)).as("z"))
+      .orderBy(col("type_a"), col("type_b"))
 
   /** x278's Jonckheere–Terpstra ordered-alternative test across the
     * event types (ordered lexically as the exposure order) — the
@@ -3666,6 +3803,70 @@ object Views {
         "ROUND((vr - 1.0) / SQRT(2.0 * 13.0 * 6.0 / " +
         "(21.0 * (CAST(n_days AS DOUBLE) - 1.0))), 4) END AS z " +
         "FROM r ORDER BY event_type"),
+    // same complete pair×day grid (implicit-0 days), same doubled
+    // midranks, same exact W2+/mean2/V48 integers, same √(12/V48)
+    // readout with no continuity correction
+    "x299_wilcoxon_signed_rank" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "ty AS (SELECT DISTINCT event_type FROM d), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b " +
+        "FROM ty a, ty b WHERE a.event_type < b.event_type), " +
+        "dy AS (SELECT DISTINCT day FROM d), " +
+        "c AS (SELECT type_a, type_b, dy.day, " +
+        "COALESCE(xa.x, 0) - COALESCE(xb.x, 0) AS dd " +
+        "FROM pr CROSS JOIN dy " +
+        "LEFT JOIN d xa ON xa.event_type = type_a AND xa.day = dy.day " +
+        "LEFT JOIN d xb ON xb.event_type = type_b AND xb.day = dy.day), " +
+        "ze AS (SELECT type_a, type_b, " +
+        "CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero " +
+        "FROM c GROUP BY 1, 2), " +
+        "nz AS (SELECT type_a, type_b, ABS(dd) AS absd, " +
+        "CAST(COUNT(*) AS BIGINT) AS t, " +
+        "CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos " +
+        "FROM c WHERE dd <> 0 GROUP BY 1, 2, 3), " +
+        "r AS (SELECT type_a, type_b, t, pos, 2 * (SUM(t) OVER " +
+        "(PARTITION BY type_a, type_b ORDER BY absd " +
+        "ROWS UNBOUNDED PRECEDING) - t) + t + 1 AS m2 FROM nz), " +
+        "g AS (SELECT type_a, type_b, CAST(SUM(t) AS BIGINT) AS n, " +
+        "CAST(SUM(pos * m2) AS BIGINT) AS w2_plus, " +
+        "CAST(SUM(t * t * t - t) AS BIGINT) AS tie3 FROM r GROUP BY 1, 2), " +
+        "v AS (SELECT type_a, type_b, n, w2_plus, " +
+        "n * (n + 1) // 2 AS mean2, " +
+        "2 * n * (n + 1) * (2 * n + 1) - tie3 AS v48 FROM g) " +
+        "SELECT v.type_a, v.type_b, n AS n_pairs, ze.n_zero, w2_plus, " +
+        "CASE WHEN v48 > 0 THEN ROUND(CAST(w2_plus - mean2 AS DOUBLE) * " +
+        "SQRT(12.0 / CAST(v48 AS DOUBLE)), 4) END AS z " +
+        "FROM v JOIN ze ON ze.type_a = v.type_a AND ze.type_b = v.type_b " +
+        "ORDER BY v.type_a, v.type_b"),
+    // same grid, same integer signed numerator (sign folded before
+    // the cast), same continuity-corrected z
+    "x300_sign_test" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "ty AS (SELECT DISTINCT event_type FROM d), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b " +
+        "FROM ty a, ty b WHERE a.event_type < b.event_type), " +
+        "dy AS (SELECT DISTINCT day FROM d), " +
+        "c AS (SELECT type_a, type_b, dy.day, " +
+        "COALESCE(xa.x, 0) - COALESCE(xb.x, 0) AS dd " +
+        "FROM pr CROSS JOIN dy " +
+        "LEFT JOIN d xa ON xa.event_type = type_a AND xa.day = dy.day " +
+        "LEFT JOIN d xb ON xb.event_type = type_b AND xb.day = dy.day), " +
+        "g AS (SELECT type_a, type_b, " +
+        "CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos, " +
+        "CAST(SUM(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg, " +
+        "CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero " +
+        "FROM c GROUP BY 1, 2), " +
+        "v AS (SELECT type_a, type_b, pos, neg, n_zero, pos + neg AS n, " +
+        "(CASE WHEN pos > neg THEN 1 WHEN pos < neg THEN -1 ELSE 0 END) * " +
+        "GREATEST(ABS(2 * pos - (pos + neg)) - 1, 0) AS num FROM g) " +
+        "SELECT type_a, type_b, pos, neg, n_zero, " +
+        "CASE WHEN n > 0 THEN ROUND(CAST(num AS DOUBLE) / " +
+        "SQRT(CAST(n AS DOUBLE)), 4) END AS z " +
+        "FROM v ORDER BY type_a, type_b"),
     // same row-indexed full blocks, same exact integer ranges and
     // per-block 10^-6 fp grid, same frozen 2·ln2 slope constant
     "x286_hurst_rs" -> {

@@ -2643,6 +2643,77 @@ object Surface {
             .as("revenue"))
     }),
 
+    // TPC-DS Q67's plan class — RANK-PER-GROUPING-LEVEL over a
+    // ROLLUP: the Expand→HashAggregate→Window→Filter chain no other
+    // registered query exercises (c09/c33/c46 stop at the aggregate;
+    // the window queries never sit on an Expand). Top-3 quantity
+    // shapes at EVERY level of the (returnflag, linestatus,
+    // ship-month) hierarchy, ranked within the level: the window
+    // partitions by grouping_id over ≤ 3·2·12 leaf rows + rollup
+    // margins — support grain. Integral quantities keep the sums and
+    // the rank cut exact; the (flag, status, mon) tiebreak makes
+    // rank() deterministic because the nulled-out columns of a
+    // rollup level are CONSTANT within its gid partition, so Spark's
+    // nulls-first vs DuckDB's nulls-last ASC convention cannot
+    // reorder anything.
+    "c120_rollup_window_topk" -> ((spark, sfDir) => {
+      val agg = t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          month(col("l_shipdate")).as("m"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+        .rollup(col("flag"), col("status"), col("m"))
+        .agg(grouping_id().as("gid"), sum(col("qty")).as("sum_qty"))
+      val w = Window.partitionBy(col("gid"))
+        .orderBy(desc("sum_qty"), col("flag"), col("status"), col("m"))
+      agg.withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("gid"), coalesce(col("flag"), lit("ALL")).as("flag"),
+          coalesce(col("status"), lit("ALL")).as("status"),
+          coalesce(col("m").cast("string"), lit("ALL")).as("mon"),
+          col("sum_qty"), col("rk"))
+        .orderBy(col("gid"), col("rk"), col("flag"), col("status"),
+          col("mon"))
+    }),
+
+    // TPC-DS Q51's plan class — the FULL OUTER join of two
+    // cumulative series with a carried-forward running max on top:
+    // per user-bucket daily purchase and view counts cumulate
+    // independently (each side its own Window), full-outer join on
+    // (bucket, day) — either side can have days the other lacks —
+    // then MAX OVER rows-unbounded-preceding carries each side's
+    // last seen cumulate across the join's null gaps, and the filter
+    // keeps the crossover days where cumulative purchases exceed
+    // cumulative views. Days before BOTH series have started carry a
+    // NULL running value and drop out of the comparison (Q51's own
+    // semantics). Three stacked Window nodes around a FullOuter
+    // join, all partitioned by bucket over day-grain rows — support
+    // grain, exact integer counts end to end.
+    "c121_cumulative_crossover" -> ((spark, sfDir) => {
+      val ev = t(spark, sfDir, "events")
+        .select(pmod(col("user_id"), lit(8)).as("bucket"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"),
+          col("event_type"))
+      def cum(tp: String, out: String) = {
+        val byDay = Window.partitionBy(col("bucket")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.filter(col("event_type") === tp)
+          .groupBy(col("bucket"), col("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("bucket"), col("day"),
+            sum(col("n")).over(byDay).as(out))
+      }
+      val j = cum("purchase", "cum_p")
+        .join(cum("view", "cum_v"), Seq("bucket", "day"), "full_outer")
+      val byDay = Window.partitionBy(col("bucket")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      j.select(col("bucket"), col("day").cast("long").as("day"),
+          max(col("cum_p")).over(byDay).as("run_p"),
+          max(col("cum_v")).over(byDay).as("run_v"))
+        .filter(col("run_p") > col("run_v"))
+        .orderBy(col("bucket"), col("day"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -3722,6 +3793,48 @@ object Surface {
         "AND l_quantity >= 10 AND l_quantity <= 20) " +
         "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 " +
         "AND l_quantity >= 20 AND l_quantity <= 30)"),
+    // same rollup hierarchy, same GROUPING bitmask (first argument
+    // most significant in both engines — verified), same integral
+    // sums and deterministic tiebreaks
+    "c120_rollup_window_topk" ->
+      ("WITH a AS (SELECT l_returnflag AS flag, l_linestatus AS status, " +
+        "MONTH(l_shipdate) AS m, " +
+        "GROUPING(l_returnflag, l_linestatus, MONTH(l_shipdate)) AS gid, " +
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus, MONTH(l_shipdate))), " +
+        "r AS (SELECT *, RANK() OVER (PARTITION BY gid " +
+        "ORDER BY sum_qty DESC, flag, status, m) AS rk FROM a) " +
+        "SELECT CAST(gid AS BIGINT) AS gid, " +
+        "COALESCE(flag, 'ALL') AS flag, COALESCE(status, 'ALL') AS status, " +
+        "COALESCE(CAST(m AS VARCHAR), 'ALL') AS mon, sum_qty, " +
+        "CAST(rk AS INT) AS rk " +
+        "FROM r WHERE rk <= 3 ORDER BY gid, rk, flag, status, mon"),
+    // same per-side cumulates, same coalesced full-outer keys, same
+    // carried-forward running max and crossover filter
+    "c121_cumulative_crossover" ->
+      ("WITH e AS (SELECT user_id % 8 AS bucket, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "event_type FROM events), " +
+        "p AS (SELECT bucket, day, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM e WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "pc AS (SELECT bucket, day, CAST(SUM(n) OVER (PARTITION BY bucket " +
+        "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p FROM p), " +
+        "v AS (SELECT bucket, day, CAST(COUNT(*) AS BIGINT) AS n " +
+        "FROM e WHERE event_type = 'view' GROUP BY 1, 2), " +
+        "vc AS (SELECT bucket, day, CAST(SUM(n) OVER (PARTITION BY bucket " +
+        "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v FROM v), " +
+        "j AS (SELECT COALESCE(pc.bucket, vc.bucket) AS bucket, " +
+        "COALESCE(pc.day, vc.day) AS day, cum_p, cum_v " +
+        "FROM pc FULL OUTER JOIN vc " +
+        "ON pc.bucket = vc.bucket AND pc.day = vc.day), " +
+        "r AS (SELECT bucket, day, " +
+        "MAX(cum_p) OVER (PARTITION BY bucket ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS run_p, " +
+        "MAX(cum_v) OVER (PARTITION BY bucket ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) AS run_v FROM j) " +
+        "SELECT bucket, day, run_p, run_v FROM r " +
+        "WHERE run_p > run_v ORDER BY bucket, day"),
     // the c97 lifetime CTEs with cause classification (purchase
     // priority on ties), all-cause ln-sum KM left limits, exact
     // cumulative-prior risk sets, sequential window sums

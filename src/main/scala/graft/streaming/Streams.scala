@@ -1966,6 +1966,25 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s65"))
       .orderBy(col("event_type"))
 
+  /** s67: x299's Wilcoxon signed-rank paired test off the maintained
+    * day cells — the paired-location monitor as IVM (the day-paired
+    * differences, doubled midranks and exact W2⁺/V48 integers all
+    * derive from the |types|·|days|-bounded maintained frame, so
+    * streamed ≡ batch by construction).
+    */
+  def foreachBatchSignedRank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.wilcoxonSignedRankReport(
+        maintainedDayCounts(spark, sfDir, "s67"))
+      .orderBy(col("type_a"), col("type_b"))
+
+  /** s68: x300's paired sign test off the same maintained day cells
+    * — the distribution-free floor under s67 as IVM.
+    */
+  def foreachBatchSignTest(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.signTestReport(
+        maintainedDayCounts(spark, sfDir, "s68"))
+      .orderBy(col("type_a"), col("type_b"))
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -2766,6 +2785,10 @@ object Streams {
       ((spark, sfDir) => foreachBatchVarianceRatio(spark, sfDir)),
     "s66_stream_ad_ksample_monitor" ->
       ((spark, sfDir) => foreachBatchAdKsample(spark, sfDir)),
+    "s67_stream_signed_rank_maintain" ->
+      ((spark, sfDir) => foreachBatchSignedRank(spark, sfDir)),
+    "s68_stream_sign_test_maintain" ->
+      ((spark, sfDir) => foreachBatchSignTest(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2947,6 +2970,14 @@ object Streams {
     // maintained half/bucket counts ≡ batch x298
     "s66_stream_ad_ksample_monitor" ->
       graft.pipeline.Views.oracles("x298_ad_ksample"),
+    // the IVM contract verbatim: the paired signed-rank test over
+    // the maintained day cells ≡ batch x299
+    "s67_stream_signed_rank_maintain" ->
+      graft.pipeline.Views.oracles("x299_wilcoxon_signed_rank"),
+    // the IVM contract verbatim: the paired sign test over the same
+    // maintained day cells ≡ batch x300
+    "s68_stream_sign_test_maintain" ->
+      graft.pipeline.Views.oracles("x300_sign_test"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

@@ -6605,6 +6605,78 @@ class ExtSpec extends SparkSpec {
     assert(r.getDouble(4) == 2.147034, s"tie-corrected z: $r")
   }
 
+  test("x299 signed-rank: untied differences read the textbook large-sample z") {
+    import spark.implicits._
+    // d = xa - xb = [1, -2, 3, -4, 5, 6]: ranks 1..6, W+ = 1+3+5+6
+    // = 15 (W2+ = 30), E = n(n+1)/4 = 10.5, Var = 6*7*13/24 = 22.75;
+    // z = 4.5/sqrt(22.75) = 0.943456 -> 0.9435 (no continuity corr).
+    val d = Seq(("a", 0, 10L), ("a", 1, 10L), ("a", 2, 13L),
+      ("a", 3, 10L), ("a", 4, 15L), ("a", 5, 16L),
+      ("b", 0, 9L), ("b", 1, 12L), ("b", 2, 10L),
+      ("b", 3, 14L), ("b", 4, 10L), ("b", 5, 10L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.wilcoxonSignedRankReport(d).collect()(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b" &&
+      r.getLong(2) == 6L && r.getLong(3) == 0L &&
+      r.getLong(4) == 30L, s"signed rank: $r")
+    assert(r.getDouble(5) == 0.9435, s"z: $r")
+  }
+
+  test("x299 signed-rank ties+zeros: doubled midranks and the tie-corrected V48, hand-computed") {
+    import spark.implicits._
+    // d = [2, 2, -2, 4, 0]: the zero drops (n_zero = 1, n = 4). Tie
+    // group |2| (t = 3, midrank 2, m2 = 4), |4| (m2 = 8): W+ = 2+2+4
+    // = 8 (W2+ = 16), E = 5, Var = 4*5*9/24 - (27-3)/48 = 7;
+    // z = 3/sqrt(7) = 1.133893 -> 1.1339.
+    val d = Seq(("a", 0, 12L), ("a", 1, 12L), ("a", 2, 10L),
+      ("a", 3, 14L), ("a", 4, 10L),
+      ("b", 0, 10L), ("b", 1, 10L), ("b", 2, 12L),
+      ("b", 3, 10L), ("b", 4, 10L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.wilcoxonSignedRankReport(d).collect()(0)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L &&
+      r.getLong(4) == 16L, s"signed rank tied: $r")
+    assert(r.getDouble(5) == 1.1339, s"tie-corrected z: $r")
+  }
+
+  test("x299/x300 pair days over the COMPLETE grid: a one-sided day pairs against 0") {
+    import spark.implicits._
+    // a fires only on day 0 (x=5), b only on day 1 (x=3): the grid
+    // reads d = [5, -3], NOT an empty inner join. Ranks |3|=1,
+    // |5|=2 -> W2+ = 4, E2 = 3, V48 = 2*2*3*5 = 60,
+    // z = 1*sqrt(12/60) = 0.4472.
+    val d = Seq(("a", 0, 5L), ("b", 1, 3L)).toDF("event_type", "day", "x")
+    val w = graft.pipeline.Views.wilcoxonSignedRankReport(d).collect()(0)
+    assert(w.getLong(2) == 2L && w.getLong(3) == 0L && w.getLong(4) == 4L,
+      s"grid w: $w")
+    assert(w.getDouble(5) == 0.4472, s"grid z: $w")
+    val s = graft.pipeline.Views.signTestReport(d).collect()(0)
+    // pos = 1, neg = 1: the signed numerator is exactly 0 (never
+    // -0.0 -- the sign folds into the integer before the cast)
+    assert(s.getLong(2) == 1L && s.getLong(3) == 1L && s.getLong(4) == 0L,
+      s"grid sign: $s")
+    assert(s.getDouble(5) == 0.0 &&
+      !(1.0 / s.getDouble(5) < 0.0), s"sign z must be +0.0: $s")
+  }
+
+  test("x300 sign test: continuity-corrected z on a 3-vs-1 split") {
+    import spark.implicits._
+    // d = [2, 2, -2, 4, 0]: pos = 3, neg = 1, zero dropped (n = 4);
+    // num = +(|2*3-4| - 1) = 1, z = 1/sqrt(4) = 0.5.
+    val d = Seq(("a", 0, 12L), ("a", 1, 12L), ("a", 2, 10L),
+      ("a", 3, 14L), ("a", 4, 10L),
+      ("b", 0, 10L), ("b", 1, 10L), ("b", 2, 12L),
+      ("b", 3, 10L), ("b", 4, 10L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.signTestReport(d).collect()(0)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 1L &&
+      r.getLong(4) == 1L, s"sign: $r")
+    assert(r.getDouble(5) == 0.5, s"sign z: $r")
+    val c = graft.pipeline.Views.queries("x300_sign_test")(spark, SfDir)
+      .collect()
+    assert(c.length == 10, s"corpus pairs: ${c.length}")
+  }
+
   test("x279 cochran-armitage: a linear dose-response fixture solves chi2 = 1.25 exactly") {
     import spark.implicits._
     val w = Seq((0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 3L))

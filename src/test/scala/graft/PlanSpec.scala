@@ -798,6 +798,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("c120 plans the Expand→Aggregate→Window chain with no cartesian") {
+    val plan = graft.queries.Surface.queries("c120_rollup_window_topk")(
+      spark, SfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must plan an Expand:\n$plan")
+    assert(plan.contains("Window"), s"rank must plan a Window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("c121 plans a FullOuter join under stacked Windows with no cartesian") {
+    val plan = graft.queries.Surface.queries("c121_cumulative_crossover")(
+      spark, SfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"must keep the full outer:\n$plan")
+    assert(plan.contains("Window"), s"running max must plan a Window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("TPC-H Q17/Q18/Q21/Q22 plan hash joins only — no cartesian, broadcast where pinned (c107-c110)") {
     Seq("c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21",
       "c110_tpch_q22").foreach { q =>

@@ -671,6 +671,25 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed JT diverges:\n${sj.toSeq}\nvs\n${bj.toSeq}")
   }
 
+  test("streaming signed-rank and sign test equal batch x299/x300 (s67/s68)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+    val sw = graft.streaming.Streams.foreachBatchSignedRank(spark, SfDir)
+      .collect().map(key)
+    val bw = graft.pipeline.Views.queries("x299_wilcoxon_signed_rank")(
+      spark, SfDir).collect().map(key)
+    assert(sw.toSeq == bw.toSeq,
+      s"streamed signed-rank diverges:\n${sw.toSeq}\nvs\n${bw.toSeq}")
+    val ss = graft.streaming.Streams.foreachBatchSignTest(spark, SfDir)
+      .collect().map(key)
+    val bs = graft.pipeline.Views.queries("x300_sign_test")(spark, SfDir)
+      .collect().map(key)
+    assert(ss.toSeq == bs.toSeq,
+      s"streamed sign test diverges:\n${ss.toSeq}\nvs\n${bs.toSeq}")
+  }
+
   test("streaming Good-Turing equals batch x290 (s59)") {
     def key(r: org.apache.spark.sql.Row) =
       ((0 to 4).map(r.getLong),
