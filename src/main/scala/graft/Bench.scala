@@ -323,7 +323,12 @@ object Bench {
     "c107_tpch_q17", "c108_tpch_q18", "c109_tpch_q21", "c110_tpch_q22",
     "c111_tpch_q4", "c112_tpch_q6", "c113_tpch_q7", "c114_tpch_q8",
     "c115_tpch_q10", "c116_tpch_q13", "c117_tpch_q14", "c118_tpch_q15",
-    "c119_tpch_q19")
+    "c119_tpch_q19",
+    // round-16 session-2 additions (94 → 96): the two TPC-DS plan
+    // classes — rank-per-grouping-level over a ROLLUP (c120, the
+    // Expand→Agg→Window chain) and the full-outer cumulative
+    // crossover (c121, stacked Windows around a FullOuter join)
+    "c120_rollup_window_topk", "c121_cumulative_crossover")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -397,7 +402,12 @@ object Bench {
     // stay inside the re-keyed fact set (lineitem/orders/customer
     // re-key in lockstep; part/supplier shapes can't scale — the
     // scaled lake's graph re-keying leaves those dims single-copy)
-    "c105_tpch_q3", "c108_tpch_q18", "c110_tpch_q22")
+    "c105_tpch_q3", "c108_tpch_q18", "c110_tpch_q22",
+    // round-16 session-2: the Expand→Agg→Window chain over the
+    // scaled fact table — the Expand's 4× row fan-out is the term
+    // the ratio reads; the window itself stays support-bounded
+    // (≤ 3·2·12 leaf groups per gid)
+    "c120_rollup_window_topk")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×

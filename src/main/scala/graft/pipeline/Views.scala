@@ -536,6 +536,16 @@ object Views {
           expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
         .agg(count(lit(1)).as("x")))),
 
+    // DISTANCE CORRELATION — the nonlinear-dependence readout over
+    // the same paired day cells (dCor = 0 iff independent; Spearman/
+    // Kendall read only monotone coupling) — see
+    // [[distanceCorrelationReport]].
+    "x301_distance_correlation" -> ((spark, sfDir) =>
+      distanceCorrelationReport(Lake.table(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          expr("datediff(to_date(ts), date'2024-01-01')").as("day"))
+        .agg(count(lit(1)).as("x")))),
+
     // HURST R/S — the long-memory exponent of the daily series via
     // rescaled-range analysis at w ∈ {7, 14, 28} — see
     // [[hurstRsReport]].
@@ -1169,23 +1179,28 @@ object Views {
     * crossJoins are bounded fan-outs (≤ 10 pairs × day count here),
     * never corpus-scale.
     */
-  private def pairedDayDiffs(daily: DataFrame): DataFrame = {
+  private def pairedDayCells(daily: DataFrame): DataFrame = {
     val types = daily.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("type_a"))
       .crossJoin(types.select(col("event_type").as("type_b")))
       .filter(col("type_a") < col("type_b"))
     val days = daily.select(col("day")).distinct()
     val xa = daily.select(col("event_type").as("type_a"), col("day"),
-      col("x").as("xa"))
+      col("x").as("xa_raw"))
     val xb = daily.select(col("event_type").as("type_b"), col("day"),
-      col("x").as("xb"))
+      col("x").as("xb_raw"))
     pairs.crossJoin(days)
       .join(xa, Seq("type_a", "day"), "left")
       .join(xb, Seq("type_b", "day"), "left")
       .select(col("type_a"), col("type_b"), col("day"),
-        (coalesce(col("xa"), lit(0L)) - coalesce(col("xb"), lit(0L)))
-          .as("d"))
+        coalesce(col("xa_raw"), lit(0L)).as("xa"),
+        coalesce(col("xb_raw"), lit(0L)).as("xb"))
   }
+
+  private def pairedDayDiffs(daily: DataFrame): DataFrame =
+    pairedDayCells(daily)
+      .select(col("type_a"), col("type_b"), col("day"),
+        (col("xa") - col("xb")).as("d"))
 
   /** x299's Wilcoxon signed-rank test over the day-paired daily
     * counts of every event-type pair — the PAIRED location test the
@@ -1276,6 +1291,66 @@ object Views {
           col("num").cast("double") /
             sqrt(col("n").cast("double")), 4)).as("z"))
       .orderBy(col("type_a"), col("type_b"))
+
+  /** x301's distance correlation (Székely–Rizzo–Bakirov 2007) over
+    * the same paired day cells — the NONLINEAR dependence readout
+    * the association family lacked (x205 Spearman and x216 Kendall
+    * read monotone association; dCor = 0 iff the two series are
+    * INDEPENDENT, so a U-shaped or threshold coupling that zeroes
+    * the rank statistics still lights up here). The biased
+    * V-statistic form on pairwise distances a_ij = |xa_i − xa_j|,
+    * b_ij = |xb_i − xb_j|:
+    *   n⁴·dCov²  = n²·Σab + (Σa)(Σb) − 2n·Σ_i ra_i·rb_i
+    * (ra_i the i-th row sum), same shape for the two dVars; the n⁴
+    * scales cancel in dCor² = dCov²/√(dVarX·dVarY), so EVERYTHING up
+    * to the final two sqrt/divide is exact integer arithmetic —
+    * operands widened to DECIMAL(38,0)/HUGEINT before every multiply
+    * (a_ij is count-sized; n²·Σab ~ n⁴·C² needs ~10²⁸ at a
+    * 365-day × 10⁹-count lake — far past BIGINT, comfortably inside
+    * 38 digits). The day×day self-join is |days|²·|pairs| — support
+    * grain squared, bounded at any corpus size (the corpus only
+    * changes the cell VALUES). dCov²_n ≥ 0 by construction (it is a
+    * squared empirical-characteristic-function norm), so the sqrt
+    * needs no clamp; a constant series reads dVar = 0 → NULL.
+    */
+  def distanceCorrelationReport(daily: DataFrame): DataFrame = {
+    val c = pairedDayCells(daily)
+    val c2 = c.select(col("type_a"), col("type_b"),
+      col("day").as("day2"), col("xa").as("xa2"), col("xb").as("xb2"))
+    val p = c.join(c2, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("day"),
+        abs(col("xa") - col("xa2")).cast("decimal(38,0)").as("a"),
+        abs(col("xb") - col("xb2")).cast("decimal(38,0)").as("b"))
+    val rows = p.groupBy(col("type_a"), col("type_b"), col("day"))
+      .agg(sum(col("a")).as("ra"), sum(col("b")).as("rb"),
+        sum(col("a") * col("b")).as("sab_i"),
+        sum(col("a") * col("a")).as("saa_i"),
+        sum(col("b") * col("b")).as("sbb_i"))
+    val g = rows.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("sab_i")).as("sab"), sum(col("saa_i")).as("saa"),
+        sum(col("sbb_i")).as("sbb"),
+        sum(col("ra") * col("rb")).as("s3"),
+        sum(col("ra") * col("ra")).as("s3a"),
+        sum(col("rb") * col("rb")).as("s3b"))
+      .withColumn("nd", col("n_days").cast("decimal(38,0)"))
+      .withColumn("num",
+        col("nd") * col("nd") * col("sab") + col("sa") * col("sb")
+          - lit(2) * col("nd") * col("s3"))
+      .withColumn("dvx",
+        col("nd") * col("nd") * col("saa") + col("sa") * col("sa")
+          - lit(2) * col("nd") * col("s3a"))
+      .withColumn("dvy",
+        col("nd") * col("nd") * col("sbb") + col("sb") * col("sb")
+          - lit(2) * col("nd") * col("s3b"))
+    g.select(col("type_a"), col("type_b"), col("n_days"),
+        when(col("dvx") > 0 && col("dvy") > 0, round(
+          sqrt(col("num").cast("double") /
+            sqrt(col("dvx").cast("double") * col("dvy").cast("double"))),
+          6)).as("dcor"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 
   /** x278's Jonckheere–Terpstra ordered-alternative test across the
     * event types (ordered lexically as the exposure order) — the
@@ -3866,6 +3941,43 @@ object Views {
         "SELECT type_a, type_b, pos, neg, n_zero, " +
         "CASE WHEN n > 0 THEN ROUND(CAST(num AS DOUBLE) / " +
         "SQRT(CAST(n AS DOUBLE)), 4) END AS z " +
+        "FROM v ORDER BY type_a, type_b"),
+    // same pair×day grid and day×day self-join, same exact HUGEINT
+    // V-statistic integers, same two sqrt/divide readout
+    "x301_distance_correlation" ->
+      ("WITH d AS (SELECT event_type, " +
+        "DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, " +
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "ty AS (SELECT DISTINCT event_type FROM d), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b " +
+        "FROM ty a, ty b WHERE a.event_type < b.event_type), " +
+        "dy AS (SELECT DISTINCT day FROM d), " +
+        "c AS (SELECT type_a, type_b, dy.day, " +
+        "CAST(COALESCE(xa.x, 0) AS HUGEINT) AS xa, " +
+        "CAST(COALESCE(xb.x, 0) AS HUGEINT) AS xb " +
+        "FROM pr CROSS JOIN dy " +
+        "LEFT JOIN d xa ON xa.event_type = type_a AND xa.day = dy.day " +
+        "LEFT JOIN d xb ON xb.event_type = type_b AND xb.day = dy.day), " +
+        "p AS (SELECT c.type_a, c.type_b, c.day, " +
+        "ABS(c.xa - c2.xa) AS a, ABS(c.xb - c2.xb) AS b " +
+        "FROM c JOIN c c2 ON c2.type_a = c.type_a AND c2.type_b = c.type_b), " +
+        "rs AS (SELECT type_a, type_b, day, SUM(a) AS ra, SUM(b) AS rb, " +
+        "SUM(a * b) AS sab_i, SUM(a * a) AS saa_i, SUM(b * b) AS sbb_i " +
+        "FROM p GROUP BY 1, 2, 3), " +
+        "g AS (SELECT type_a, type_b, " +
+        "CAST(COUNT(*) AS HUGEINT) AS nd, " +
+        "SUM(ra) AS sa, SUM(rb) AS sb, SUM(sab_i) AS sab, " +
+        "SUM(saa_i) AS saa, SUM(sbb_i) AS sbb, SUM(ra * rb) AS s3, " +
+        "SUM(ra * ra) AS s3a, SUM(rb * rb) AS s3b " +
+        "FROM rs GROUP BY 1, 2), " +
+        "v AS (SELECT type_a, type_b, CAST(nd AS BIGINT) AS n_days, " +
+        "nd * nd * sab + sa * sb - 2 * nd * s3 AS num, " +
+        "nd * nd * saa + sa * sa - 2 * nd * s3a AS dvx, " +
+        "nd * nd * sbb + sb * sb - 2 * nd * s3b AS dvy FROM g) " +
+        "SELECT type_a, type_b, n_days, " +
+        "CASE WHEN dvx > 0 AND dvy > 0 THEN ROUND(SQRT(" +
+        "CAST(num AS DOUBLE) / SQRT(CAST(dvx AS DOUBLE) * " +
+        "CAST(dvy AS DOUBLE))), 6) END AS dcor " +
         "FROM v ORDER BY type_a, type_b"),
     // same row-indexed full blocks, same exact integer ranges and
     // per-block 10^-6 fp grid, same frozen 2·ln2 slope constant

@@ -2714,6 +2714,45 @@ object Surface {
         .orderBy(col("bucket"), col("day"))
     }),
 
+    // TPC-DS Q36's plan class — RANK-WITHIN-PARENT over a ROLLUP,
+    // with GROUPING() markers inside the WINDOW PARTITION KEYS (c120
+    // partitions by the whole grouping_id; Q36's partition is
+    // (lochierarchy, CASE WHEN grouping(class) = 0 THEN category
+    // END): leaf rows rank within their parent flag, level-1
+    // subtotals rank against each other). The margin ordering key is
+    // the EXACT 10⁶ fixed-point floor of Σrev_fp/Σqty computed in
+    // DECIMAL(38,0)/HUGEINT (the x296 subtract-the-modulo idiom), so
+    // the rank — and the published margin_fp — are engine-identical
+    // with no float ratio anywhere. margin_fp is a per-unit AVERAGE:
+    // it stays BIGINT-sized at any corpus scale even though Σrev_fp
+    // itself outgrows 64 bits one decade above the gated lakes.
+    "c122_rollup_lochierarchy" -> ((spark, sfDir) => {
+      val agg = t(spark, sfDir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+            "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))")
+            .as("rev_fp"),
+          expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
+        .rollup(col("flag"), col("status"))
+        .agg(sum(col("rev_fp")).as("srev"), sum(col("qty")).as("sqty"),
+          grouping(col("flag")).as("gf"), grouping(col("status")).as("gs"))
+        .withColumn("loch", (col("gf") + col("gs")).cast("int"))
+        .withColumn("m_fp", expr(
+          "CAST((CAST(srev AS DECIMAL(38,0)) * 1000000 - " +
+            "CAST(srev AS DECIMAL(38,0)) * 1000000 % sqty) / sqty " +
+            "AS DECIMAL(38,0))"))
+      val w = Window
+        .partitionBy(col("loch"), when(col("gs") === 0, col("flag")))
+        .orderBy(col("m_fp"), col("flag"), col("status"))
+      agg.withColumn("rk", rank().over(w))
+        .select(coalesce(col("flag"), lit("ALL")).as("flag"),
+          coalesce(col("status"), lit("ALL")).as("status"),
+          col("loch"), col("m_fp").cast("long").as("margin_fp"),
+          col("rk"))
+        .orderBy(desc("loch"), col("flag"), col("status"))
+    }),
+
     // Window-function breadth beyond c12-c14: dense_rank, lead, ntile,
     // and a RANGE frame running aggregate.
     "c39_window_breadth" -> ((spark, sfDir) => {
@@ -3835,6 +3874,25 @@ object Surface {
         "ROWS UNBOUNDED PRECEDING) AS run_v FROM j) " +
         "SELECT bucket, day, run_p, run_v FROM r " +
         "WHERE run_p > run_v ORDER BY bucket, day"),
+    // same grouping()-keyed window partitions, same exact HUGEINT
+    // floor-division margin grid, same tiebreaks
+    "c122_rollup_lochierarchy" ->
+      ("WITH a AS (SELECT l_returnflag AS flag, l_linestatus AS status, " +
+        "GROUPING(l_returnflag) AS gf, GROUPING(l_linestatus) AS gs, " +
+        "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * " +
+        "(10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))) AS HUGEINT) " +
+        "AS srev, " +
+        "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sqty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)), " +
+        "m AS (SELECT *, gf + gs AS loch, " +
+        "(srev * 1000000) // sqty AS m_fp FROM a), " +
+        "r AS (SELECT *, RANK() OVER (PARTITION BY loch, " +
+        "CASE WHEN gs = 0 THEN flag END " +
+        "ORDER BY m_fp, flag, status) AS rk FROM m) " +
+        "SELECT COALESCE(flag, 'ALL') AS flag, " +
+        "COALESCE(status, 'ALL') AS status, CAST(loch AS INT) AS loch, " +
+        "CAST(m_fp AS BIGINT) AS margin_fp, CAST(rk AS INT) AS rk " +
+        "FROM r ORDER BY loch DESC, flag, status"),
     // the c97 lifetime CTEs with cause classification (purchase
     // priority on ties), all-cause ln-sum KM left limits, exact
     // cumulative-prior risk sets, sequential window sums

@@ -1985,6 +1985,16 @@ object Streams {
         maintainedDayCounts(spark, sfDir, "s68"))
       .orderBy(col("type_a"), col("type_b"))
 
+  /** s69: x301's distance correlation off the same maintained day
+    * cells — the nonlinear-dependence monitor as IVM (the day×day
+    * distance self-join and the exact V-statistic integers all
+    * derive from the |types|·|days|-bounded maintained frame).
+    */
+  def foreachBatchDistanceCorr(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.Views.distanceCorrelationReport(
+        maintainedDayCounts(spark, sfDir, "s69"))
+      .orderBy(col("type_a"), col("type_b"))
+
   /** s22: x138's CUSUM change-point report with the (event_type,
     * day) daily-count table maintained incrementally — the IVM
     * pattern on the SEQUENTIAL drift monitor (s15 maintains PSI's
@@ -2789,6 +2799,8 @@ object Streams {
       ((spark, sfDir) => foreachBatchSignedRank(spark, sfDir)),
     "s68_stream_sign_test_maintain" ->
       ((spark, sfDir) => foreachBatchSignTest(spark, sfDir)),
+    "s69_stream_dcor_maintain" ->
+      ((spark, sfDir) => foreachBatchDistanceCorr(spark, sfDir)),
     "s16_stream_join_maintain" ->
       ((spark, sfDir) => foreachBatchJoinView(spark, sfDir)),
     "s17_stream_cdc_maintain" ->
@@ -2978,6 +2990,10 @@ object Streams {
     // maintained day cells ≡ batch x300
     "s68_stream_sign_test_maintain" ->
       graft.pipeline.Views.oracles("x300_sign_test"),
+    // the IVM contract verbatim: the distance correlation over the
+    // same maintained day cells ≡ batch x301
+    "s69_stream_dcor_maintain" ->
+      graft.pipeline.Views.oracles("x301_distance_correlation"),
     // the IVM contract verbatim: the KM curve rebuilt from the
     // maintained per-user (d0, dl, dp) statistic ≡ batch c84
     "s37_stream_survival_maintain" ->

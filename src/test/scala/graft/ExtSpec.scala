@@ -6677,6 +6677,42 @@ class ExtSpec extends SparkSpec {
     assert(c.length == 10, s"corpus pairs: ${c.length}")
   }
 
+  test("x301 distance correlation: linear coupling reads exactly 1, constants read NULL") {
+    import spark.implicits._
+    // xb = 2*xa makes every b_ij = 2*a_ij, so dCov2 = 2*dVarX*... and
+    // the ratio collapses to exactly 1 in the exact integer algebra.
+    val lin = Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 3L),
+      ("b", 0, 2L), ("b", 1, 4L), ("b", 2, 6L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.distanceCorrelationReport(lin).collect()(0)
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 1.0, s"linear dcor: $r")
+    // a constant partner has dVarY = 0: the readout must be NULL,
+    // not a divide-by-zero or NaN
+    val const = Seq(("a", 0, 1L), ("a", 1, 2L), ("a", 2, 3L),
+      ("b", 0, 5L), ("b", 1, 5L), ("b", 2, 5L))
+      .toDF("event_type", "day", "x")
+    val c = graft.pipeline.Views.distanceCorrelationReport(const).collect()(0)
+    assert(c.isNullAt(3), s"constant dcor must be NULL: $c")
+  }
+
+  test("x301 distance correlation: the V-statistic integers match a hand computation") {
+    import spark.implicits._
+    // xa = [10,11,12], xb = [20,21,20] (distances shift-invariant, so
+    // this is [0,1,2] vs [0,1,0]): sab=4, sa=8, sb=4, s3=10, saa=12,
+    // sbb=4, s3a=22, s3b=6. num = 9*4+8*4-6*10 = 8, dvx = 108+64-132
+    // = 40, dvy = 36+16-36 = 16; dcor = sqrt(8/sqrt(640)) = 0.562341.
+    val d = Seq(("a", 0, 10L), ("a", 1, 11L), ("a", 2, 12L),
+      ("b", 0, 20L), ("b", 1, 21L), ("b", 2, 20L))
+      .toDF("event_type", "day", "x")
+    val r = graft.pipeline.Views.distanceCorrelationReport(d).collect()(0)
+    assert(r.getLong(2) == 3L && r.getDouble(3) == 0.562341, s"dcor: $r")
+    val corpus = graft.pipeline.Views
+      .queries("x301_distance_correlation")(spark, SfDir).collect()
+    assert(corpus.length == 10 && corpus.forall(r =>
+      r.isNullAt(3) || (r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)),
+      s"corpus dcor out of [0,1]: ${corpus.toSeq}")
+  }
+
   test("x279 cochran-armitage: a linear dose-response fixture solves chi2 = 1.25 exactly") {
     import spark.implicits._
     val w = Seq((0L, 10L, 1L), (1L, 10L, 2L), (2L, 10L, 3L))

@@ -806,6 +806,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
   }
 
+  test("c122 ranks within parent off grouping()-keyed window partitions") {
+    val rows = graft.queries.Surface.queries("c122_rollup_lochierarchy")(
+      spark, SfDir)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand") && plan.contains("Window"),
+      s"rollup+rank chain:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val out = rows.collect()
+    // leaf rows rank within their parent flag: every (loch=0, flag)
+    // group restarts at rank 1; the level-1 subtotals rank 1..3
+    val leaves = out.filter(_.getInt(2) == 0)
+    assert(leaves.groupBy(_.getString(0)).forall {
+      case (_, g) => g.map(_.getInt(4)).sorted.sameElements(1 to g.length)
+    }, s"leaf ranks: ${leaves.toSeq}")
+    assert(out.filter(_.getInt(2) == 1).map(_.getInt(4)).sorted
+      .sameElements(1 to 3), s"level-1 ranks: ${out.toSeq}")
+  }
+
   test("c121 plans a FullOuter join under stacked Windows with no cartesian") {
     val plan = graft.queries.Surface.queries("c121_cumulative_crossover")(
       spark, SfDir).queryExecution.executedPlan.toString

@@ -690,6 +690,18 @@ class StreamingStateSpec extends SparkSpec {
       s"streamed sign test diverges:\n${ss.toSeq}\nvs\n${bs.toSeq}")
   }
 
+  test("streaming distance correlation equals batch x301 (s69)") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    val sd = graft.streaming.Streams.foreachBatchDistanceCorr(spark, SfDir)
+      .collect().map(key)
+    val bd = graft.pipeline.Views.queries("x301_distance_correlation")(
+      spark, SfDir).collect().map(key)
+    assert(sd.toSeq == bd.toSeq,
+      s"streamed dcor diverges:\n${sd.toSeq}\nvs\n${bd.toSeq}")
+  }
+
   test("streaming Good-Turing equals batch x290 (s59)") {
     def key(r: org.apache.spark.sql.Row) =
       ((0 to 4).map(r.getLong),
