@@ -324,11 +324,16 @@ object Bench {
     "c111_tpch_q4", "c112_tpch_q6", "c113_tpch_q7", "c114_tpch_q8",
     "c115_tpch_q10", "c116_tpch_q13", "c117_tpch_q14", "c118_tpch_q15",
     "c119_tpch_q19",
-    // round-16 session-2 additions (94 → 96): the two TPC-DS plan
+    // round-16 session-2 additions (94 → 98): the two TPC-DS plan
     // classes — rank-per-grouping-level over a ROLLUP (c120, the
     // Expand→Agg→Window chain) and the full-outer cumulative
-    // crossover (c121, stacked Windows around a FullOuter join)
-    "c120_rollup_window_topk", "c121_cumulative_crossover")
+    // crossover (c121, stacked Windows around a FullOuter join) —
+    // plus the r15 TPC-H pair c105/c106: they were in scalingAll/
+    // scalingBig since r15 but the scaling sets intersect with the
+    // HEADLINE set, so their decade entries were silently dead —
+    // headline membership is what turns them on (no-silent-caps)
+    "c120_rollup_window_topk", "c121_cumulative_crossover",
+    "c105_tpch_q3", "c106_tpch_q5")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
