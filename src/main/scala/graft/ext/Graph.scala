@@ -455,10 +455,23 @@ object Graph {
   private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
     val nArcs = math.max(arcs.count(), 1L)
     val bloom = arcBloom(arcs, nArcs, fpp = 0.01)
+    // The bloom probes via a BROADCAST handle, not a plan literal:
+    // the literal form puts the full bitmap in the stage's task
+    // binary and every concurrent task deserializes a private copy —
+    // 32 tasks × 141 MB at the 100× lake OOM'd the 32 g contract
+    // heap in the wedge stage itself (r16 fourth probe attempt). The
+    // broadcast form ships the bitmap once per executor and
+    // [[graft.functions.BloomExpressions]] interns ONE deserialized
+    // filter per JVM, so the wedge stream's memory is back to the
+    // arc frame + one bitmap regardless of task concurrency.
+    val pre =
+      if (bloom == null) lit(false)
+      else graft.functions.BloomExpressions.mightContainBroadcast(
+        arcs.sparkSession.sparkContext.broadcast(bloom),
+        xxhash64(struct(col("b"), col("c"))))
     arcs.select(col("s").as("a"), col("t").as("b"))
       .join(arcs.select(col("s").as("a"), col("t").as("c")), "a")
-      .filter(graft.ext.Dedup.bloomMightContain(bloom,
-        struct(col("b"), col("c"))))
+      .filter(pre)
       .join(arcs.select(col("s").as("b"), col("t").as("c")),
         Seq("b", "c"), "left_semi")
       .select(col("a"), col("b"), col("c").cast("long").as("c"))

@@ -261,4 +261,28 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0)
     assert(r2.getSeq[Long](0) == Seq(3L, 5L))
   }
+
+  test("broadcast bloom probe: members always pass, non-members at ~fpp, identical to the literal probe") {
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    val arcs = spark.range(n)
+      .select((col("id") * 2).as("s"), (col("id") * 2 + 1).as("t"))
+    val bytes = graft.ext.Dedup.bloomFilterBytes(
+      arcs, struct(col("s"), col("t")), n, fpp = 0.01)
+    val bc = spark.sparkContext.broadcast(bytes)
+    def probe(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+      df.filter(graft.functions.BloomExpressions.mightContainBroadcast(
+        bc, xxhash64(struct(col(a), col(b))))).count()
+    // no false negatives, ever
+    assert(probe(arcs, "s", "t") == n, "broadcast probe dropped members")
+    // non-members (reversed arcs) pass at ~1%
+    val rev = arcs.select(col("t").as("s"), col("s").as("t"))
+    val fp = probe(rev, "s", "t")
+    assert(fp < 3000, s"broadcast probe saturated: $fp/100000 false positives")
+    // row-identical to the literal probe on the same sketch — the
+    // broadcast form changes WHERE the bitmap lives, never a verdict
+    val lit = rev.filter(graft.ext.Dedup.bloomMightContain(bytes,
+      struct(col("s"), col("t")))).count()
+    assert(fp == lit, s"broadcast $fp vs literal $lit verdicts diverge")
+  }
 }
