@@ -452,6 +452,29 @@ object Graph {
       arcs.coalesce(parts), struct(col("s"), col("t")), nArcs, fpp)
   }
 
+  /** The live arc-bloom broadcast, one per JVM. Each
+    * [[triangleEnumJoin]] call broadcasts a fresh ~1.2 B·E bitmap and
+    * nothing else frees the old one: the executor-side LRU in
+    * [[graft.functions.BloomExpressions]] only bounds DESERIALIZED
+    * copies, while the serialized blocks sit in every block manager
+    * until the driver GCs the handle — a warm-rep bench would
+    * accumulate ~141 MB per invocation at the fifth decade. The
+    * previous handle is destroyed when a new one is created; every
+    * consuming action runs to completion before the next plan is
+    * built, so the retired broadcast has no in-flight reader.
+    */
+  private var liveArcBloomBc: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None
+
+  private def trackArcBloom(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = synchronized {
+    liveArcBloomBc.filter(_.id != bc.id).foreach { prev =>
+      try prev.destroy() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    liveArcBloomBc = Some(bc)
+    bc
+  }
+
   private[graft] def triangleEnumJoin(arcs: DataFrame): DataFrame = {
     val nArcs = math.max(arcs.count(), 1L)
     val bloom = arcBloom(arcs, nArcs, fpp = 0.01)
@@ -467,7 +490,7 @@ object Graph {
     val pre =
       if (bloom == null) lit(false)
       else graft.functions.BloomExpressions.mightContainBroadcast(
-        arcs.sparkSession.sparkContext.broadcast(bloom),
+        trackArcBloom(arcs.sparkSession.sparkContext.broadcast(bloom)),
         xxhash64(struct(col("b"), col("c"))))
     arcs.select(col("s").as("a"), col("t").as("b"))
       .join(arcs.select(col("s").as("a"), col("t").as("c")), "a")

@@ -89,8 +89,16 @@ case class BloomMightContainBroadcast(bc: Broadcast[Array[Byte]],
       s"$prettyName requires the bigint xxhash64 of the probe key, " +
         s"got ${child.dataType.catalogString}")
 
-  def probe(h: Long): Boolean =
-    BloomExpressions.filterFor(bc).mightContainLong(h)
+  /** Resolved once per deserialized expression copy (= once per task),
+    * NOT per row: `filterFor` takes a global monitor and mutates the
+    * access-ordered LRU even on hits, so calling it from `probe` would
+    * serialize every concurrent task on one lock in the row loop —
+    * the exact stage the bloom exists to relieve.
+    */
+  @transient private lazy val filter: BloomFilter =
+    BloomExpressions.filterFor(bc)
+
+  def probe(h: Long): Boolean = filter.mightContainLong(h)
 
   override protected def nullSafeEval(h: Any): Any =
     probe(h.asInstanceOf[Long])

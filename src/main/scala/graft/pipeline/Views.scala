@@ -1232,9 +1232,15 @@ object Views {
     val byAbs = Window.partitionBy(col("type_a"), col("type_b"))
       .orderBy(col("absd"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val zeros = pairedDayDiffs(daily).filter(col("d") === 0L)
+    // the zeros frame aggregates over the COMPLETE pair grid (a
+    // conditional sum, not a filter-then-count), so it doubles as
+    // the pair universe: a fully-tied pair (all differences zero)
+    // still emits a row here and must not vanish from the report —
+    // it reads n_pairs=0, its n_zero count, W2⁺=0 and a NULL z,
+    // mirroring x300's handling of the same pair
+    val zeros = pairedDayDiffs(daily)
       .groupBy(col("type_a"), col("type_b"))
-      .agg(count(lit(1)).as("n_zero"))
+      .agg(sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_zero"))
     val ranked = nz
       .withColumn("cum", sum(col("t")).over(byAbs) - col("t"))
       .withColumn("m2", lit(2L) * col("cum") + col("t") + lit(1L))
@@ -1246,10 +1252,10 @@ object Views {
       .withColumn("v48",
         lit(2L) * col("n") * (col("n") + 1L) * (lit(2L) * col("n") + 1L)
           - col("tie3"))
-    g.join(zeros, Seq("type_a", "type_b"), "left")
-      .select(col("type_a"), col("type_b"), col("n").as("n_pairs"),
-        coalesce(col("n_zero"), lit(0L)).as("n_zero"),
-        col("w2_plus"),
+    zeros.join(g, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"), col("n_zero"),
+        coalesce(col("w2_plus"), lit(0L)).as("w2_plus"),
         when(col("v48") > 0L, round(
           (col("w2_plus") - col("mean2")).cast("double") *
             sqrt(lit(12.0) / col("v48").cast("double")), 4)).as("z"))
@@ -3910,11 +3916,13 @@ object Views {
         "v AS (SELECT type_a, type_b, n, w2_plus, " +
         "n * (n + 1) // 2 AS mean2, " +
         "2 * n * (n + 1) * (2 * n + 1) - tie3 AS v48 FROM g) " +
-        "SELECT v.type_a, v.type_b, n AS n_pairs, ze.n_zero, w2_plus, " +
+        "SELECT ze.type_a, ze.type_b, " +
+        "CAST(COALESCE(n, 0) AS BIGINT) AS n_pairs, ze.n_zero, " +
+        "CAST(COALESCE(w2_plus, 0) AS BIGINT) AS w2_plus, " +
         "CASE WHEN v48 > 0 THEN ROUND(CAST(w2_plus - mean2 AS DOUBLE) * " +
         "SQRT(12.0 / CAST(v48 AS DOUBLE)), 4) END AS z " +
-        "FROM v JOIN ze ON ze.type_a = v.type_a AND ze.type_b = v.type_b " +
-        "ORDER BY v.type_a, v.type_b"),
+        "FROM ze LEFT JOIN v ON v.type_a = ze.type_a AND v.type_b = ze.type_b " +
+        "ORDER BY ze.type_a, ze.type_b"),
     // same grid, same integer signed numerator (sign folded before
     // the cast), same continuity-corrected z
     "x300_sign_test" ->

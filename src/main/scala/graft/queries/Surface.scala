@@ -2724,8 +2724,10 @@ object Surface {
     // DECIMAL(38,0)/HUGEINT (the x296 subtract-the-modulo idiom), so
     // the rank — and the published margin_fp — are engine-identical
     // with no float ratio anywhere. margin_fp is a per-unit AVERAGE:
-    // it stays BIGINT-sized at any corpus scale even though Σrev_fp
-    // itself outgrows 64 bits one decade above the gated lakes.
+    // it stays BIGINT-sized at any corpus scale; Σrev_fp itself
+    // outgrows 64 bits one decade above the gated lakes, so the sum
+    // ACCUMULATES in DECIMAL(38,0) (matching the oracle's HUGEINT)
+    // rather than summing BIGINT and casting the wrapped result.
     "c122_rollup_lochierarchy" -> ((spark, sfDir) => {
       val agg = t(spark, sfDir, "lineitem")
         .select(col("l_returnflag").as("flag"),
@@ -2735,7 +2737,8 @@ object Surface {
             .as("rev_fp"),
           expr("CAST(ROUND(l_quantity) AS BIGINT)").as("qty"))
         .rollup(col("flag"), col("status"))
-        .agg(sum(col("rev_fp")).as("srev"), sum(col("qty")).as("sqty"),
+        .agg(sum(col("rev_fp").cast("decimal(38,0)")).as("srev"),
+          sum(col("qty")).as("sqty"),
           grouping(col("flag")).as("gf"), grouping(col("status")).as("gs"))
         .withColumn("loch", (col("gf") + col("gs")).cast("int"))
         .withColumn("m_fp", expr(

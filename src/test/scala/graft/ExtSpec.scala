@@ -6659,6 +6659,24 @@ class ExtSpec extends SparkSpec {
       !(1.0 / s.getDouble(5) < 0.0), s"sign z must be +0.0: $s")
   }
 
+  test("x299 signed-rank all-tied pair: stays in the report with n_pairs=0 and NULL z") {
+    import spark.implicits._
+    // a and b fire identically on every day: every difference is
+    // zero, so the pair has NO ranked days — it must still appear
+    // (n_pairs = 0, n_zero = 3, W2+ = 0, z NULL), mirroring x300's
+    // handling, not silently vanish from the monitored-pair report.
+    val d = Seq(("a", 0, 4L), ("a", 1, 7L), ("a", 2, 2L),
+      ("b", 0, 4L), ("b", 1, 7L), ("b", 2, 2L))
+      .toDF("event_type", "day", "x")
+    val w = graft.pipeline.Views.wilcoxonSignedRankReport(d).collect()
+    assert(w.length == 1, s"all-tied pair vanished: ${w.toSeq}")
+    val r = w(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "b" &&
+      r.getLong(2) == 0L && r.getLong(3) == 3L && r.getLong(4) == 0L,
+      s"all-tied row: $r")
+    assert(r.isNullAt(5), s"all-tied z must be NULL: $r")
+  }
+
   test("x300 sign test: continuity-corrected z on a 3-vs-1 split") {
     import spark.implicits._
     // d = [2, 2, -2, 4, 0]: pos = 3, neg = 1, zero dropped (n = 4);
