@@ -333,7 +333,12 @@ object Bench {
     // HEADLINE set, so their decade entries were silently dead —
     // headline membership is what turns them on (no-silent-caps)
     "c120_rollup_window_topk", "c121_cumulative_crossover",
-    "c105_tpch_q3", "c106_tpch_q5")
+    "c105_tpch_q3", "c106_tpch_q5",
+    // round-17 (VERDICT r16 #5): headline membership for the TPC-DS
+    // rank-within-parent rollup so its scaling entries are live (the
+    // c105/c106 dead-entry lesson — scaling sets intersect with the
+    // headline set)
+    "c122_rollup_lochierarchy")
 
   /** Scaling set: every risk shape where superlinearity would first
     * show — the range join (quadratic candidate volume), streaming
@@ -412,7 +417,14 @@ object Bench {
     // scaled fact table — the Expand's 4× row fan-out is the term
     // the ratio reads; the window itself stays support-bounded
     // (≤ 3·2·12 leaf groups per gid)
-    "c120_rollup_window_topk")
+    "c120_rollup_window_topk",
+    // round-17 (VERDICT r16 #5): mid+big coverage for the remaining
+    // heavy newcomers — Q5's 6-relation star (supplier/nation/region
+    // stay single-copy in the scaled lake, so past 1× only copy-0
+    // keys match: the big point reads the 100×-scan + join shape, not
+    // 100× matched rows — documented, not hidden) and the TPC-DS
+    // rank-per-rollup-level chain (lineitem-only: fully re-keyed)
+    "c106_tpch_q5", "c122_rollup_lochierarchy")
 
   /** Big-point set, trimmed to the shapes whose scaling verdict is
     * still open (VERDICT r10: x31 4.12×, x03 3.40×, x46 3.44× at 10×
@@ -475,7 +487,12 @@ object Bench {
     // round-16: the two heaviest published join shapes that survive
     // the re-keyed scaled lake — Q3's 3-way join + exact top-k and
     // Q18's double-pass semi-join over the same fact table
-    "c105_tpch_q3", "c108_tpch_q18")
+    "c105_tpch_q3", "c108_tpch_q18",
+    // round-17 (VERDICT r16 #5): big points for the heavy newcomers
+    // that had mid entries only — the Q5 star, the two TPC-DS window
+    // chains, and the 3-hop Katz walk-count iteration
+    "c106_tpch_q5", "c120_rollup_window_topk",
+    "c122_rollup_lochierarchy", "x220_katz_centrality")
 
   /** Heavy shapes that get ONE untimed per-query warm rep immediately
     * before their timed reps, in every timed phase (VERDICT r14 #2):
@@ -495,7 +512,12 @@ object Bench {
     // rep pays plan codegen visibly (x220 raw [3.02, 1.46, 1.16]
     // under an idle post-rep sentinel — decay, not load)
     "x220_katz_centrality", "x127_association_rules",
-    "x121_bpe_train_steps")
+    "x121_bpe_train_steps",
+    // r17: the two temporal joins show the same decay signature in
+    // the r17 probe's gated headline (c31 raw [4.17, 1.62, 0.54],
+    // c32 [4.59, 2.41, 1.32], post-rep sentinels 0.27/0.11 — idle,
+    // so decay, not load)
+    "c31_asof_join", "c32_range_join")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
@@ -704,8 +726,15 @@ object Bench {
     // floor; bounded retries, then proceed anyway with the window's
     // own sentinel — and a contended flag — stamped in the artifact
     // so machine load can never again masquerade as a regression.
+    // Ceiling tightened 0.9 → 0.45 in r17 (VERDICT r16 #4): the idle
+    // band across the r14-r17 gated runs reads 0.18-0.30, and the r16
+    // official close showed 0.28-0.38 windows inflating absolute
+    // medians ~1.3× while still passing the 0.9 gate. 0.45 ≈ 1.5× the
+    // band's top keeps genuinely-idle runs passing on the first read
+    // and defers contended ones (bounded: 10 × 20 s, then proceed
+    // with the contended flag stamped).
     val sentinelIdleMax = sys.env.get("SPARK_GRAFT_SENTINEL_IDLE_MAX")
-      .flatMap(_.toDoubleOption).getOrElse(0.9)
+      .flatMap(_.toDoubleOption).getOrElse(0.45)
     var headlineSent = sentinel()
     var gateAttempts = 0
     while (headlineSent > sentinelIdleMax && gateAttempts < 10 &&
@@ -964,7 +993,7 @@ object Bench {
         val d = Lake.table(spark, dir, "documents")
         parts += s""""x285_verified_pairs":${graft.ext.Dedup
           .ngramJaccardPairs(d, threshold = 0.5,
-            checkpoint = sh => Lake.materialize(spark, dir, "x05_shingles")(sh),
+            checkpoint = (n, f) => Lake.materialize(spark, dir, n)(f),
             nDocs = Lake.rowCount(spark, dir, "documents")).count()}"""
       } catch { case e: Throwable =>
         parts += s""""x285_verified_pairs_err":"${jsonEscape(e.getMessage)}"""" }

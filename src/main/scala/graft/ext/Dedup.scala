@@ -219,26 +219,34 @@ object Dedup {
     * matching the doc-grain 0/0 behavior, when the set is empty).
     */
   def ngramJaccardPairs(df: DataFrame, threshold: Double,
-      checkpoint: DataFrame => DataFrame = identity,
+      checkpoint: (String, DataFrame) => DataFrame = (_, f) => f,
       nDocs: Long = -1L): DataFrame = {
-    // the exploded shingle table feeds four plan branches (hot-list
+    // The exploded shingle table feeds four plan branches (hot-list
     // agg, anti-join probe, sizes, both intersection sides) — callers
-    // with a lake pass a materializing `checkpoint` so the tokenize +
-    // explode scan runs once, not per branch
-    val sh0 = checkpoint(shingleTable(df))
+    // with a lake pass a NAMED materializer so each derived stage
+    // lands in the lake once per dataset and every reference is one
+    // compact parquet scan. Three stages checkpoint (r17): the raw
+    // shingles, the canonical map (its md5 window otherwise re-runs
+    // per reference — it feeds the collapse filter, both cross-
+    // expansion sides and the within-group join), and the GATED table
+    // (hot-cap anti-join + canonical collapse), which three plan
+    // branches consume; all are corpus-deterministic (the cap derives
+    // from nDocs), so the artifacts are fingerprint-stable.
+    val sh0 = checkpoint("x05_shingles", shingleTable(df))
     // The cap is a literal in the plan, not a single-row join arm.
     // Callers with a lake pass nDocs from footer metadata (Lake.rowCount)
     // so no count() job runs per invocation; in-memory callers fall back.
     val cap = math.max(50L, (if (nDocs >= 0L) nDocs else df.count()) / 100L)
-    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
-      .filter(col("df_c") > cap)
-      .select(col("shingle"))
-    // anti-join against the (tiny) hot list — AQE broadcasts it
-    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
-    val canonMap = canonicalMap(df)
-    val shC = sh.join(
-      canonMap.filter(col("doc_id") === col("canon")).select(col("doc_id")),
-      "doc_id")
+    val canonMap = checkpoint("x05_canon_v1", canonicalMap(df))
+    val shC = checkpoint("x05_shingles_gated_v1", {
+      val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+        .filter(col("df_c") > cap)
+        .select(col("shingle"))
+      // anti-join against the (tiny) hot list — AQE broadcasts it
+      sh0.join(hot, Seq("shingle"), "left_anti")
+        .join(canonMap.filter(col("doc_id") === col("canon"))
+          .select(col("doc_id")), "doc_id")
+    })
     val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shC.select(col("doc_id").as("ca"), col("shingle"))
       .join(shC.select(col("doc_id").as("cb"), col("shingle")), "shingle")
@@ -291,16 +299,18 @@ object Dedup {
     */
   def bleuOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val uni = d.select(col("doc_id"), explode(toks).as("g"))
+    val pc = pairsOnce(pairs)
+    val p = broadcast(pc)
+    val dm = pairMembers(d, pc)
+    val uni = dm.select(col("doc_id"), explode(toks).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
-    val bi = d.select(col("doc_id"), toks.as("w"))
+    val bi = dm.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
         .as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
     def clipped(grams: DataFrame, name: String) = p
       .join(grams.select(col("doc_id").as("doc_a"), col("g"),
         col("c").as("c_ref")), Seq("doc_a"))
@@ -327,6 +337,33 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Docs restricted to the broadcast pair set's member ids: every
+    * consumer of the per-doc gram-count tables equi-joins them back
+    * onto the pair frame's doc_a/doc_b, so grams of non-member docs
+    * can never reach an output row — the left-semi filter BEFORE the
+    * explode+count makes gram-table shuffle volume proportional to
+    * the graded pair set, not the corpus (guide §2.3: project/filter
+    * before the exchange; the pair set is the x05 verified volume,
+    * already broadcast, so the member list rides the same exchange).
+    */
+  private def pairMembers(d: DataFrame, p: DataFrame): DataFrame =
+    d.join(broadcast(p.select(
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+
+  /** The candidate-pair frame computed ONCE per invocation: the
+    * graders reference it from two broadcast subtrees (the pair join
+    * and [[pairMembers]]'s member list) whose plans differ, so
+    * broadcast-exchange reuse cannot dedupe them and the whole
+    * candidate DAG (the x05 shingle join) would evaluate twice — the
+    * r17 first-cut member filter measured exactly that (+0.6-0.8 s at
+    * sf0.1). The pair set is the verified near-dup volume — bounded
+    * and tiny — so an eager localCheckpoint is node-sized blocks,
+    * recomputed per invocation (never a cross-run cache).
+    */
+  private def pairsOnce(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+
   /** x285's ROUGE-1/2 over the same verified pair frame as x239 —
     * the RECALL-oriented complement (BLEU asks how much of the
     * candidate is copied FROM the reference; ROUGE asks how much of
@@ -342,16 +379,18 @@ object Dedup {
     */
   def rougeOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val uni = d.select(col("doc_id"), explode(toks).as("g"))
+    val pc = pairsOnce(pairs)
+    val p = broadcast(pc)
+    val dm = pairMembers(d, pc)
+    val uni = dm.select(col("doc_id"), explode(toks).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
-    val bi = d.select(col("doc_id"), toks.as("w"))
+    val bi = dm.select(col("doc_id"), toks.as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
         .as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
     def clipped(grams: DataFrame, name: String) = p
       .join(grams.select(col("doc_id").as("doc_a"), col("g"),
         col("c").as("c_ref")), Seq("doc_a"))
@@ -396,13 +435,14 @@ object Dedup {
     * double expression; zero-overlap pairs read 0, not NULL.
     */
   def chrfOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
-    val tri = d.filter(length(col("text")) >= 3)
+    val pc = pairsOnce(pairs)
+    val p = broadcast(pc)
+    val tri = pairMembers(d, pc).filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val tots = tri.groupBy(col("doc_id")).agg(sum(col("c")).as("n3"))
-    val p = broadcast(pairs.select(col("doc_a"), col("doc_b")))
     val inter = p
       .join(tri.select(col("doc_id").as("doc_a"), col("g"),
         col("c").as("c_a")), Seq("doc_a"))
@@ -469,22 +509,26 @@ object Dedup {
     * ordered pairs with the inner's coverage fraction.
     */
   def containmentPairs(df: DataFrame, threshold: Double,
-      checkpoint: DataFrame => DataFrame = identity,
+      checkpoint: (String, DataFrame) => DataFrame = (_, f) => f,
       nDocs: Long = -1L): DataFrame = {
-    val sh0 = checkpoint(shingleTable(df))
+    // same named-checkpoint stages as [[ngramJaccardPairs]] — the cap
+    // rule and collapse are identical, so lake callers SHARE the
+    // three artifacts with the whole x05 family
+    val sh0 = checkpoint("x05_shingles", shingleTable(df))
     val cap = math.max(50L, (if (nDocs >= 0L) nDocs else df.count()) / 100L)
-    val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
-      .filter(col("df_c") > cap).select(col("shingle"))
-    val sh = sh0.join(hot, Seq("shingle"), "left_anti")
     // same exact-text pre-collapse as [[ngramJaccardPairs]]:
     // containment is canonical-pair-constant (c, na, nb all depend
     // only on the gated shingle SETS), roles expand group-to-group,
     // and within-group replica pairs are containment 1 both ways
     // whenever the gated set is non-empty
-    val canonMap = canonicalMap(df)
-    val shC = sh.join(
-      canonMap.filter(col("doc_id") === col("canon")).select(col("doc_id")),
-      "doc_id")
+    val canonMap = checkpoint("x05_canon_v1", canonicalMap(df))
+    val shC = checkpoint("x05_shingles_gated_v1", {
+      val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
+        .filter(col("df_c") > cap).select(col("shingle"))
+      sh0.join(hot, Seq("shingle"), "left_anti")
+        .join(canonMap.filter(col("doc_id") === col("canon"))
+          .select(col("doc_id")), "doc_id")
+    })
     val sizes = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shC.select(col("doc_id").as("ca"), col("shingle"))
       .join(shC.select(col("doc_id").as("cb"), col("shingle")), "shingle")
@@ -893,7 +937,7 @@ object Dedup {
     val tkey = s"t${(threshold * 100).toInt}"
     val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
       ngramJaccardPairs(docs(spark, sfDir), threshold = threshold,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .select(col("doc_a"), col("doc_b"))
     }
@@ -1222,6 +1266,13 @@ object Dedup {
     * to DECIMAL(38,0) unchanged.
     */
   def fellegiSunter(cand: DataFrame, meta: DataFrame): DataFrame = {
+    // The agreement frame feeds TWO consumers — the m-probability
+    // aggregate (a broadcast subtree) and the scored readout — whose
+    // plans differ, so exchange reuse cannot dedupe them and the
+    // candidate DAG (the x05 shingle join under `cand`) would
+    // evaluate twice per invocation. The frame is candidate-bounded;
+    // one eager localCheckpoint computes it once (per invocation —
+    // never a cross-run cache).
     val pairs = cand
       .join(meta.select(col("doc_id").as("doc_a"), col("lang").as("la"),
         col("source").as("sa"), col("len_b").as("ba")), "doc_a")
@@ -1231,6 +1282,7 @@ object Dedup {
         (col("la") === col("lb")).as("agree_lang"),
         (col("sa") === col("sb")).as("agree_source"),
         (col("ba") === col("bb")).as("agree_len"))
+      .localCheckpoint()
     val mstats = broadcast(pairs.filter(col("jaccard") >= 0.7)
       .agg(count(lit(1)).as("mn"),
         coalesce(sum(col("agree_lang").cast("long")), lit(0L)).as("ml"),
@@ -1507,7 +1559,7 @@ object Dedup {
 
     "x05_dedup_ngram_jaccard" -> ((spark, sfDir) =>
       ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
@@ -1520,7 +1572,7 @@ object Dedup {
     "x239_bleu_pairs" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       bleuOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
@@ -1562,7 +1614,7 @@ object Dedup {
     "x285_rouge_pairs" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       rougeOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
@@ -1573,7 +1625,7 @@ object Dedup {
     "x259_chrf_pairs" -> ((spark, sfDir) => {
       val d = docs(spark, sfDir)
       chrfOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents")))
     }),
 
@@ -1669,7 +1721,7 @@ object Dedup {
       val meta = d.select(col("doc_id"), col("lang"), col("source"),
         expr("n_chars DIV 50").as("len_b"))
       val cand = ngramJaccardPairs(d, threshold = 0.3,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
       fellegiSunter(cand, meta)
         .orderBy(desc("score_fp"), col("doc_a"), col("doc_b"))
@@ -1685,7 +1737,7 @@ object Dedup {
     // the prefix-positioned subset), so no injection is needed.
     "x97_containment_dedup" -> ((spark, sfDir) =>
       containmentPairs(docs(spark, sfDir), threshold = 0.9,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
         .orderBy(col("inner_id"), col("outer_id"))),
 
@@ -1876,7 +1928,7 @@ object Dedup {
       val tkey = "t50"
       val pairs = Lake.materialize(spark, sfDir, s"x18_ngram_pairs_$tkey") {
         ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
-          checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+          checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
           nDocs = Lake.rowCount(spark, sfDir, "documents"))
           .select(col("doc_a"), col("doc_b"))
       }
@@ -1975,7 +2027,7 @@ object Dedup {
     // are exact distinct counts over the (small) pair table.
     "x109_threshold_curve" -> ((spark, sfDir) => {
       val wp = ngramJaccardPairs(docs(spark, sfDir), threshold = 0.5,
-        checkpoint = sh => Lake.materialize(spark, sfDir, "x05_shingles")(sh),
+        checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
         nDocs = Lake.rowCount(spark, sfDir, "documents"))
       Seq(0.5, 0.7, 0.9).map { t =>
         val f = wp.filter(col("jaccard") >= t)

@@ -100,28 +100,50 @@ object Graph {
     * ([[graft.sources.Lake.materialize]]), the batch form of
     * iterative checkpointing.
     */
-  def iterate(adj: DataFrame, meta: DataFrame, iters: Int): DataFrame =
+  def iterate(adj: DataFrame, meta: DataFrame, iters: Int): DataFrame = {
+    // One node-sized probe decides the dangling branch for the WHOLE
+    // loop (the triangleEnum measured-gate idiom): meta is static
+    // across iterations, so on a graph where every node has out-edges
+    // — both symmetric arc frames and the bipartite both-directions
+    // materialization, i.e. every registered caller — dm is exactly 0
+    // every round and the aggregate + crossJoin computing it are the
+    // identity on rank_fp (base + (d·(in + 0 DIV n)) DIV 100 ≡
+    // base + (d·in) DIV 100). Skipping them removes one meta scan,
+    // one join, one aggregate and one broadcast per iteration, and —
+    // because the dm branch was the loop's SECOND reference to the
+    // previous rank frame — restores the linear lineage the loop
+    // scaladoc promises (with dm live, ranks_k's plan held two copies
+    // of ranks_{k-1}: 2^iters subtree growth, ReusedExchange
+    // notwithstanding). Graphs that DO carry dangling nodes keep the
+    // exact uniform redistribution unchanged.
+    val hasDangling = !meta.filter(!col("has_out")).isEmpty
     (1 to iters).foldLeft(
       meta.select(col("node"), col("init_fp").as("rank_fp"))) { (ranks, _) =>
       val contrib = adj
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank_fp DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      // dangling mass: the rank held by no-out-edge nodes this round,
-      // redistributed uniformly (dm DIV n per node — exact integer,
-      // engine-reproducible). One node-sized aggregate to a 1-row
-      // broadcast scalar per iteration; on a dangling-free graph dm=0
-      // and the recurrence reduces bit-for-bit to the pure edge form.
-      val dm = broadcast(
-        meta.filter(!col("has_out")).select(col("node"))
-          .join(ranks, "node")
-          .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("_dm")))
-      meta.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .crossJoin(dm)
-        .select(col("node"),
-          expr(s"base_fp + ($DampNum * (coalesce(in_mass, 0) + " +
-            s"_dm DIV n_nodes)) DIV $DampDen").as("rank_fp"))
+      val rejoined =
+        meta.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      if (hasDangling) {
+        // dangling mass: the rank held by no-out-edge nodes this round,
+        // redistributed uniformly (dm DIV n per node — exact integer,
+        // engine-reproducible). One node-sized aggregate to a 1-row
+        // broadcast scalar per iteration.
+        val dm = broadcast(
+          meta.filter(!col("has_out")).select(col("node"))
+            .join(ranks, "node")
+            .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("_dm")))
+        rejoined.crossJoin(dm)
+          .select(col("node"),
+            expr(s"base_fp + ($DampNum * (coalesce(in_mass, 0) + " +
+              s"_dm DIV n_nodes)) DIV $DampDen").as("rank_fp"))
+      } else
+        rejoined.select(col("node"),
+          expr(s"base_fp + ($DampNum * coalesce(in_mass, 0)) DIV $DampDen")
+            .as("rank_fp"))
     }
+  }
 
   /** Fixed-point PageRank over a directed edge list (`src`, `dst`:
     * any equi-joinable type). The node universe is src ∪ dst:
@@ -753,24 +775,38 @@ object Graph {
     * horizon stays a bounded constant and each hop is one frontier
     * equi-join + anti-join, x140's shape iterated).
     */
-  def bfsDistHist(edges: DataFrame, hops: Int = 4): DataFrame = {
+  def bfsDistHist(edges: DataFrame, hops: Int = 4,
+      seedOpt: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-    val seed = arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .orderBy(desc("d"), col("src")).limit(1)
-      .head().getLong(0)
+    // callers with a persisted degree artifact pass the hub seed in
+    // (x140's (deg desc, node) rule — arcs groupBy src ≡ degrees(),
+    // same tiebreak) instead of paying this edge-frame aggregate per
+    // invocation
+    val seed = seedOpt.getOrElse(
+      arcs.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .orderBy(desc("d"), col("src")).limit(1)
+        .head().getLong(0))
     val seed0 = arcs.sparkSession.range(1)
       .select(lit(seed).as("node"), lit(0).as("hop"))
-    val (_, labeled) = (1 to hops).foldLeft(
-      (seed0.select(col("node")), seed0)) { case ((visited, lab), h) =>
+    // The visited set IS the labeled set's node column (both start at
+    // the seed and union the same frontier every round), so one frame
+    // carries both roles — the r17 before-plan kept TWO parallel
+    // exponential lineages (lab and visited each re-held every prior
+    // frontier; 360 Exchange/Scan nodes at 4 hops), the folded form
+    // one. The remaining double reference per round (frontier filter
+    // + anti-join) is left lazy: its subtrees are identical, so
+    // runtime exchange reuse dedupes them (an eager per-hop
+    // localCheckpoint A/B'd at 3.64 s vs 3.55 s lazy at sf0.1 — the
+    // barriers buy nothing the reuse doesn't already give).
+    val labeled = (1 to hops).foldLeft(seed0) { (lab, h) =>
       val frontier = arcs
         .join(lab.filter(col("hop") === h - 1)
           .select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-      (visited.unionByName(frontier),
-        lab.unionByName(frontier.withColumn("hop", lit(h))))
+        .join(lab.select(col("node")), Seq("node"), "left_anti")
+      lab.unionByName(frontier.withColumn("hop", lit(h)))
     }
     val whole = Window.partitionBy(lit(1))
     val cum = Window.partitionBy(lit(1)).orderBy(col("hop"))
@@ -1153,7 +1189,12 @@ object Graph {
     // IS the honest one at 100 TB — each hop is one frontier
     // equi-join + anti-join, never a full APSP).
     "x173_bfs_diameter" -> ((spark, sfDir) =>
-      bfsDistHist(coPurchaseEdges(spark, sfDir))),
+      bfsDistHist(coPurchaseEdges(spark, sfDir),
+        // hub seed off the node-sized degree artifact (same
+        // (deg desc, node) rule the in-frame aggregate applies)
+        seedOpt = Some(copurchaseDegFor(spark, sfDir)
+          .orderBy(desc("deg"), col("n")).limit(1)
+          .head().getLong(0)))),
 
     // DEGREE ASSORTATIVITY — the one-number structural fingerprint
     // the graph family's per-node reads (x69/x81/x85) don't give:
@@ -1194,7 +1235,14 @@ object Graph {
       val seed = copurchaseDegFor(spark, sfDir)
         .orderBy(desc("deg"), col("n")).limit(1)
         .head().getLong(0)
-      iterate(adj, pprMeta(adj, seed), iters = 3)
+      // the meta frame is a lake artifact exactly as x69's pr_nodes_v2
+      // is (seed is deterministic per dataset, so the artifact is
+      // too): in-plan, the loop's per-iteration references re-derived
+      // the src∪dst distinct from the edge artifact every round
+      val meta = Lake.materialize(spark, sfDir, "ppr_nodes_v1") {
+        pprMeta(adj, seed)
+      }
+      iterate(adj, meta, iters = 3)
         .orderBy(desc("rank_fp"), col("node"))
         .limit(20)
     }),
@@ -1338,9 +1386,17 @@ object Graph {
     // joins, and the three ratios are single correctly-rounded
     // divisions at 4 dp. Top-20 by (lift, a, b).
     "x127_association_rules" -> ((spark, sfDir) => {
-      val items = Lake.table(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      // the distinct (order, part) basket frame feeds FOUR plan
+      // branches (order count, item marginals, both pair-join sides);
+      // as a lake artifact each branch is a scan of one compact
+      // parquet instead of its own fact-table scan + distinct shuffle
+      // (x03's shared-artifact discipline, applied to the basket
+      // lattice)
+      val items = Lake.materialize(spark, sfDir, "basket_items_v1") {
+        Lake.table(spark, sfDir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+      }
       val nOrders = broadcast(items.select(col("ok")).distinct()
         .agg(count(lit(1)).as("n_orders")))
       val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n_i"))

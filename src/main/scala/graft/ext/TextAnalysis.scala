@@ -1945,7 +1945,18 @@ object TextAnalysis {
       val edges = Lake.materialize(spark, sfDir, "textrank_edges_v1") {
         textrankEdges(bigramTable(spark, sfDir))
       }
-      Graph.pageRankFp(edges, iters = 3)
+      // x69's artifact discipline applied here too: in-plan (the old
+      // pageRankFp call), the degree join and the src∪dst distinct
+      // re-derived from the edge artifact inside every iteration
+      // reference; as lake artifacts each loop reference is one scan
+      // of a compact parquet
+      val adj = Lake.materialize(spark, sfDir, "textrank_adj_v1") {
+        Graph.adjacency(edges)
+      }
+      val meta = Lake.materialize(spark, sfDir, "textrank_nodes_v1") {
+        Graph.nodeMeta(adj)
+      }
+      Graph.iterate(adj, meta, iters = 3)
         .orderBy(desc("rank_fp"), col("node"))
         .limit(20)
         .select(col("node").as("keyword"), col("rank_fp"))
