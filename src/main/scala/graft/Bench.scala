@@ -1073,9 +1073,11 @@ object Bench {
         // all-arcs Σ deg² stream measured 147.8 M rows at sf0.1 and
         // 13.4 s median; the orientation bound is what retired it).
         // Computed from the degree aggregate alone — no join.
-        val e = graft.ext.Graph.coPurchaseEdges(spark, dir)
-        val (maxOd, wedges) = graft.ext.Graph.wedgeStats(
-          graft.ext.Graph.orientByDegree(e))
+        // read the SAME adjacency artifact the query's form gate reads
+        // (shared-constant discipline — the counted stats can never
+        // silently diverge from the gated ones)
+        val (maxOd, wedges) = graft.ext.Graph.adjWedgeStats(
+          graft.ext.Graph.orientedAdjListFor(spark, dir))
         parts += s""""x132_wedges":$wedges"""
         // which enumeration form the r16 measured gate picks at this
         // decade (arrays = fast path; join = the memory-flat wedge

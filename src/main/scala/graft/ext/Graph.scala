@@ -277,6 +277,22 @@ object Graph {
       degrees(coPurchaseEdges(spark, sfDir))
     }
 
+  /** The SORTED adjacency of the oriented co-purchase arcs as a lake
+    * artifact (r17): the five triangle-family consumers each re-ran
+    * the groupBy + collect_list over the E-row arc frame per
+    * invocation — the arrays are per-node bounded by the oriented
+    * degree cap (max od 97 at sf0.1 AND at the 100× lake), so the
+    * artifact is node-sized, its build is a safe bounded-group
+    * aggregate at any decade (the r15 OOM class was the JOIN carrying
+    * arrays at wedge frequency, not this build), and the form gate
+    * reads its array lengths instead of re-aggregating the arcs.
+    */
+  private[graft] def orientedAdjListFor(spark: SparkSession, sfDir: String): DataFrame =
+    Lake.materialize(spark, sfDir, "copurchase_adjlist_v1") {
+      orientedArcsFor(spark, sfDir).groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs"))
+    }
+
   /** The part↔supplier adjacency from `lineitem`, both directions. */
   private def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = Lake.table(spark, sfDir, "lineitem")
@@ -339,6 +355,18 @@ object Graph {
   def triangleEnum(arcs: DataFrame): DataFrame =
     triangleEnum(arcs, TriangleMaxArrayDegree, TriangleMaxArrayWedges)
 
+  /** [[triangleEnum]] with the sorted-adjacency frame prebuilt (the
+    * r17 lake artifact): the form gate reads its node-sized array
+    * lengths instead of re-aggregating the E-row arc frame, and the
+    * array path joins it directly instead of re-running the
+    * groupBy + collect_list per invocation. Callers without a lake
+    * (changing arc subsets — x240's peel rounds; tests) keep the
+    * in-plan derivation.
+    */
+  def triangleEnum(arcs: DataFrame, adj: DataFrame): DataFrame =
+    triangleEnum(arcs, TriangleMaxArrayDegree, TriangleMaxArrayWedges,
+      Some(adj))
+
   /** The measured gate that picks the enumeration form (VERDICT r15
     * #4 — previously the degradation was documented but nothing
     * selected it): ONE node-sized aggregate over the arc frame reads
@@ -356,10 +384,12 @@ object Graph {
     * frame, paid once per enumeration against a wedge-volume stage.
     */
   def triangleEnum(arcs: DataFrame, maxArrayDegree: Long,
-      maxArrayWedges: Long): DataFrame = {
-    val (maxOd, wedges) = wedgeStats(arcs)
+      maxArrayWedges: Long,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
+    val (maxOd, wedges) =
+      adjOpt.map(adjWedgeStats).getOrElse(wedgeStats(arcs))
     if (maxOd <= maxArrayDegree && wedges <= maxArrayWedges)
-      triangleEnumArrays(arcs)
+      triangleEnumArrays(arcs, adjOpt)
     else triangleEnumJoin(arcs)
   }
 
@@ -382,8 +412,23 @@ object Graph {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** [[wedgeStats]] off a prebuilt (s, nbrs) adjacency frame: od is
+    * the array length, so the scalar comes from one scan of the
+    * node-sized artifact instead of a groupBy over the E-row arcs.
+    * Identical values — the adjacency holds exactly the out-arc
+    * multiset per source.
+    */
+  private[graft] def adjWedgeStats(adj: DataFrame): (Long, Long) = {
+    val r = adj.select(size(col("nbrs")).cast("long").as("od"))
+      .agg(coalesce(max(col("od")), lit(0L)).as("m"),
+        coalesce(sum(col("od") * (col("od") - 1L)), lit(0L)).as("w"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Sorted-adjacency edge-iterator form — the fast path. */
-  private[graft] def triangleEnumArrays(arcs: DataFrame): DataFrame = {
+  private[graft] def triangleEnumArrays(arcs: DataFrame,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
     // edge-iterator form: every triangle is (a→b, a→c, b→c) exactly
     // once under the orientation, so enumerating c ∈ N⁺(a) ∩ N⁺(b)
     // per arc (a, b) finds each triangle once — over sorted
@@ -398,8 +443,8 @@ object Graph {
     // allocation and hashing that the sorted inputs make unnecessary,
     // at wedge-volume frequency. The two adjacency joins are
     // node-sized — broadcast while they fit, SMJ past that.
-    val adj = arcs.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs"))
+    val adj = adjOpt.getOrElse(arcs.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs")))
     arcs
       .join(adj.select(col("s"), col("nbrs").as("na")), "s")
       .join(adj.select(col("s").as("t"), col("nbrs").as("nb")), "t")
@@ -525,8 +570,9 @@ object Graph {
   /** Per-node triangle participation from a prebuilt oriented arc
     * frame. Three equi-joins + one integer count — no windows.
     */
-  def triangleCountsFrom(arcs: DataFrame): DataFrame =
-    triangleEnum(arcs)
+  def triangleCountsFrom(arcs: DataFrame,
+      adjOpt: Option[DataFrame] = None): DataFrame =
+    triangleEnum(arcs, TriangleMaxArrayDegree, TriangleMaxArrayWedges, adjOpt)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri"))
 
@@ -629,8 +675,9 @@ object Graph {
     * vs 82 M oriented ones feeding ~1 M triangles.
     */
   def linkJaccardFrom(edges: DataFrame, arcs: DataFrame,
-      deg: DataFrame): DataFrame = {
-    val common = triangleEnum(arcs).select(explode(array(
+      deg: DataFrame, adjOpt: Option[DataFrame] = None): DataFrame = {
+    val common = triangleEnum(arcs, TriangleMaxArrayDegree,
+      TriangleMaxArrayWedges, adjOpt).select(explode(array(
         struct(col("a").as("x"), col("b").as("y")),
         struct(col("a").as("x"), col("c").as("y")),
         struct(col("b").as("x"), col("c").as("y")))).as("i"))
@@ -672,8 +719,10 @@ object Graph {
     * the form registered queries use so the three wedge branches read
     * one lake artifact.
     */
-  def adamicAdarFrom(arcs: DataFrame, deg: DataFrame): DataFrame = {
-    val inc = triangleEnum(arcs).select(explode(array(
+  def adamicAdarFrom(arcs: DataFrame, deg: DataFrame,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
+    val inc = triangleEnum(arcs, TriangleMaxArrayDegree,
+      TriangleMaxArrayWedges, adjOpt).select(explode(array(
         struct(col("a").as("x"), col("b").as("y"), col("c").as("z")),
         struct(col("a").as("x"), col("c").as("y"), col("b").as("z")),
         struct(col("b").as("x"), col("c").as("y"), col("a").as("z"))))
@@ -698,8 +747,10 @@ object Graph {
     * per-pair score an exact BIGINT sum. Same O(Σ od²) oriented
     * enumeration, same one lake artifact.
     */
-  def resourceAllocFrom(arcs: DataFrame, deg: DataFrame): DataFrame = {
-    val inc = triangleEnum(arcs).select(explode(array(
+  def resourceAllocFrom(arcs: DataFrame, deg: DataFrame,
+      adjOpt: Option[DataFrame] = None): DataFrame = {
+    val inc = triangleEnum(arcs, TriangleMaxArrayDegree,
+      TriangleMaxArrayWedges, adjOpt).select(explode(array(
         struct(col("a").as("x"), col("b").as("y"), col("c").as("z")),
         struct(col("a").as("x"), col("c").as("y"), col("b").as("z")),
         struct(col("b").as("x"), col("c").as("y"), col("a").as("z"))))
@@ -1060,7 +1111,8 @@ object Graph {
     // density feature next to x69's global authority. Exact integer
     // counts end-to-end ⇒ full hash oracle.
     "x81_triangle_count" -> ((spark, sfDir) =>
-      triangleCountsFrom(orientedArcsFor(spark, sfDir))
+      triangleCountsFrom(orientedArcsFor(spark, sfDir),
+        Some(orientedAdjListFor(spark, sfDir)))
         .select(col("node"), col("tri"))
         .orderBy(desc("tri"), col("node"))
         .limit(20)),
@@ -1082,7 +1134,8 @@ object Graph {
     // before the 4 dp round (the x59/x72 one-division rule).
     "x85_clustering_coeff" -> ((spark, sfDir) =>
       clusteringCoeffFrom(copurchaseDegFor(spark, sfDir),
-        triangleCountsFrom(orientedArcsFor(spark, sfDir)))
+        triangleCountsFrom(orientedArcsFor(spark, sfDir),
+          Some(orientedAdjListFor(spark, sfDir))))
         .orderBy(desc("cc"), col("node"))
         .limit(20)),
 
@@ -1123,7 +1176,8 @@ object Graph {
     // degrees, one double division, 4 dp.
     "x87_link_jaccard" -> ((spark, sfDir) =>
       linkJaccardFrom(coPurchaseEdges(spark, sfDir),
-        orientedArcsFor(spark, sfDir), copurchaseDegFor(spark, sfDir))
+        orientedArcsFor(spark, sfDir), copurchaseDegFor(spark, sfDir),
+        Some(orientedAdjListFor(spark, sfDir)))
         .orderBy(desc("jac"), col("u"), col("v"))
         .limit(20)),
 
@@ -1140,7 +1194,8 @@ object Graph {
     // Top-20 by (aa_fp, u, v).
     "x132_adamic_adar" -> ((spark, sfDir) =>
       adamicAdarFrom(orientedArcsFor(spark, sfDir),
-        copurchaseDegFor(spark, sfDir))
+        copurchaseDegFor(spark, sfDir),
+        Some(orientedAdjListFor(spark, sfDir)))
         .orderBy(desc("aa_fp"), col("u"), col("v"))
         .limit(20)),
 
@@ -1150,7 +1205,8 @@ object Graph {
     // RA) — see [[resourceAllocFrom]].
     "x257_resource_alloc" -> ((spark, sfDir) =>
       resourceAllocFrom(orientedArcsFor(spark, sfDir),
-        copurchaseDegFor(spark, sfDir))
+        copurchaseDegFor(spark, sfDir),
+        Some(orientedAdjListFor(spark, sfDir)))
         .orderBy(desc("ra_fp"), col("u"), col("v"))
         .limit(20)),
     // BOUNDED BFS REACHABILITY — the traversal primitive next to the

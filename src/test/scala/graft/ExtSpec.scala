@@ -2578,6 +2578,19 @@ class ExtSpec extends SparkSpec {
       maxArrayDegree = 65536L, maxArrayWedges = 1L)
     assert(!byVolume.queryExecution.executedPlan.toString
       .contains("collect_list"), "wedge cap did not take the join path")
+    // r17: a PREBUILT sorted adjacency (the copurchase_adjlist_v1
+    // artifact shape) must give identical gate stats and an identical
+    // enumeration — and its plan must NOT re-run collect_list
+    val adj = arcs.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t").cast("long"))).as("nbrs"))
+      .localCheckpoint()
+    assert(graft.ext.Graph.adjWedgeStats(adj) == (maxOd, wedges),
+      "adjacency-derived gate stats diverge from the arc aggregate")
+    val viaPrebuilt = graft.ext.Graph.triangleEnum(arcs, adj)
+    assert(!viaPrebuilt.queryExecution.executedPlan.toString
+      .contains("collect_list"),
+      "prebuilt-adjacency path re-ran the collect_list build")
+    assert(setOf(viaPrebuilt) == viaArrays, "prebuilt path diverges")
   }
 
   test("the wedge-fallback bloom stays effective past Spark's silent size clamps") {
