@@ -543,13 +543,12 @@ object Bench {
     val budgetSec = envInt("SPARK_GRAFT_BENCH_BUDGET_SEC", 1500)
     def remainingSec: Double = budgetSec - elapsedSec
 
-    val spark = SparkSession.builder()
+    val spark = graft.engine.Tuning.rightSize(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -584,8 +583,25 @@ object Bench {
     val outs = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_latest.json"),
       "/tmp/graft-bench.json")
+    // Which derived-lake builds this process ran and their seconds
+    // (VERDICT r17 #5): cumulative ordered map in the FULL artifact,
+    // plus a phase -> ledger-length marker so "which phase paid which
+    // build" is reconstructible (a build landing inside the big phase
+    // — e.g. the x132 adjacency at first touch of the scaled lake —
+    // is exactly the hypothesis the r17 big-point inflations left
+    // open). Not on the compact stdout line (2 KB budget).
+    val ledgerMarks = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def stampLedger(phase: String): Unit = {
+      val led = graft.sources.Lake.buildLedgerSnapshot()
+      ledgerMarks(phase) = led.size
+      fields("derived_builds") = led.map { case (n, s) =>
+        s""""${jsonEscape(n)}":${fmt(s)}""" }.mkString("{", ",", "}")
+      fields("derived_builds_phase_marks") = ledgerMarks
+        .map { case (p, n) => s""""$p":$n""" }.mkString("{", ",", "}")
+    }
     def checkpoint(phase: String): Unit = {
       phasesDone += phase
+      stampLedger(phase)
       fields("phases_complete") = "\"" + phasesDone.mkString(",") + "\""
       fields("elapsed_sec") = fmt(elapsedSec)
       fields("detail") = s""""${outs.head}""""
@@ -1096,7 +1112,9 @@ object Bench {
     // prewarm over the point's query set (builds every lake checkpoint
     // untimed), then timed reps. Identical to the headline protocol.
     def timePoint(dir: String, pointNames: Seq[String],
-        repsFor: String => Int): (Map[String, QueryStats], String, String, Double) = {
+        repsFor: String => Int,
+        perShapeSentinel: Boolean = false):
+        (Map[String, QueryStats], String, String, Double, String) = {
       // per-point load sentinel: every compared point carries the
       // machine-load reading of ITS OWN measurement window, so a
       // cross-point ratio taken under asymmetric load is visible in
@@ -1106,7 +1124,20 @@ object Bench {
       prewarm(pointNames, dir)
       val warm = x31Warm(dir)
       val inst = instrumentation(dir, pointNames)
-      (pointNames.map(n => n -> timeQuery(n, dir, repsFor(n))).toMap, warm, inst, sent)
+      // per-SHAPE sentinels (VERDICT r17 #1): at the big point a
+      // 30-shape phase can drift from idle to contended between its
+      // single point sentinel and a given query's reps minutes later
+      // — the x199/x132 big inflations were unattributable for
+      // exactly this reason. One fixed-work reading immediately
+      // before each shape's reps stamps the load of THAT window.
+      val shapeSents = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val stats = pointNames.map { n =>
+        if (perShapeSentinel) shapeSents(n) = sentinel()
+        n -> timeQuery(n, dir, repsFor(n))
+      }.toMap
+      val shapeJson = shapeSents
+        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+      (stats, warm, inst, sent, shapeJson)
     }
 
     def med(m: Map[String, QueryStats], n: String): Option[Double] =
@@ -1130,9 +1161,9 @@ object Bench {
       scalingSkip = Some(s"missing_small_dir:$smallDir")
     else if (remainingSec < 180) scalingSkip = Some("budget")
 
-    val (smallStats, smallWarm, smallInst, smallSent) = scalingSkip match {
+    val (smallStats, smallWarm, smallInst, smallSent, _) = scalingSkip match {
       case None => timePoint(smallDir, scalingNames, _ => reps)
-      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0)
+      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0, "{}")
     }
     // The mid point is RE-TIMED here, adjacent to the small point,
     // instead of reusing the headline-phase stats: the headline pass
@@ -1143,9 +1174,9 @@ object Bench {
     // 21.4× vs a 3.6 s clean-session median). Adjacent same-protocol
     // points + the per-point sentinels make the compared windows
     // homogeneous and auditable.
-    val (midStats, midWarm, midInst, midSent) = scalingSkip match {
+    val (midStats, midWarm, midInst, midSent, _) = scalingSkip match {
       case None => timePoint(sfDir, scalingNames, _ => reps)
-      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0)
+      case Some(_) => (Map.empty[String, QueryStats], "{}", "{}", 0.0, "{}")
     }
     if (scalingSkip.isEmpty) {
       // small+mid two-point record first; the big point extends it
@@ -1191,17 +1222,42 @@ object Bench {
         "x199_sparse_cosine_pairs")
       def bigRepsFor(n: String): Int =
         if (volumeBound(n)) math.max(bigReps, 3) else bigReps
-      val (bigDirDesc, bigStats, bigWarm, bigInst, bigSent) =
+      val (bigDirDesc, bigStats, bigWarm, bigInst, bigSent, bigShapeSents) =
         if (remainingSec < 420)
-          ("skipped:budget", Map.empty[String, QueryStats], "{}", "{}", 0.0)
+          ("skipped:budget", Map.empty[String, QueryStats], "{}", "{}", 0.0, "{}")
         else try {
           val d = Lake.ensureScaledDir(spark, sfDir, bigFactor)
-          val (bs, bw, bi, bsent) = timePoint(d, bigNames, bigRepsFor)
-          (d, bs, bw, bi, bsent)
+          val (bs, bw, bi, bsent, bshape) =
+            timePoint(d, bigNames, bigRepsFor, perShapeSentinel = true)
+          (d, bs, bw, bi, bsent, bshape)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] scaled lake: ${e.getMessage}")
-          (s"FAILED: ${clip(e.getMessage)}", Map.empty[String, QueryStats], "{}", "{}", 0.0)
+          (s"FAILED: ${clip(e.getMessage)}", Map.empty[String, QueryStats],
+            "{}", "{}", 0.0, "{}")
         }
+      // VERDICT r17 #1 probe knob: a second pass over the big point in
+      // the SAME session with the shape order REVERSED. Identical
+      // prewarmed artifacts, adjacent windows — if a shape's wall
+      // tracks its position in the phase (in-phase contention /
+      // page-cache decay) the two passes disagree; if it tracks the
+      // plan they agree. Off unless SPARK_GRAFT_BIG_TWICE=1 (probe
+      // runs only — the official protocol is unchanged).
+      val bigRepeat =
+        if (sys.env.get("SPARK_GRAFT_BIG_TWICE").contains("1") &&
+            bigStats.nonEmpty && remainingSec > 420) try {
+          val d = Lake.ensureScaledDir(spark, sfDir, bigFactor)
+          val (rs, _, _, rsent, rshape) =
+            timePoint(d, bigNames.reverse, bigRepsFor, perShapeSentinel = true)
+          val rq = bigNames.reverse.map { n =>
+            s""""$n":{"median":${fmt(med(rs, n).getOrElse(0.0))},""" +
+              s""""raw":${rawJson(rs, n)}}"""
+          }.mkString("{", ",", "}")
+          Some(s"""{"order":"reversed","sentinel":${fmt(rsent)},""" +
+            s""""shape_sentinels":$rshape,"queries":$rq}""")
+        } catch { case e: Throwable =>
+          Some(s"""{"err":"${jsonEscape(e.getMessage)}"}""")
+        } else None
+      bigRepeat.foreach(r => fields("scaling_big_repeat") = r)
       val entries = scalingNames.map { name =>
         (med(smallStats, name), med(midStats, name), med(bigStats, name)) match {
           case (Some(s), Some(m), b) =>
@@ -1221,7 +1277,7 @@ object Bench {
       val dataRatioMid =
         if (sfOf(smallDir) > 0) sfOf(sfDir) / sfOf(smallDir) else 0.0
       fields("scaling") =
-        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","big_dir":"${jsonEscape(bigDirDesc)}","data_ratio_big_over_mid":$bigFactor,"big_reps":$bigReps,"big_queries":"${bigNames.mkString(",")}","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)},"big":${fmt(bigSent)}},"ckpt_warm":{"small":$smallWarm,"mid":$midWarm,"big":$bigWarm},"instrumentation":{"small":$smallInst,"mid":$midInst,"big":$bigInst},"queries":$entries}"""
+        s"""{"data_ratio_mid_over_small":${fmt(dataRatioMid)},"small_sf":"$smallDir","mid_protocol":"retimed_in_phase","big_dir":"${jsonEscape(bigDirDesc)}","data_ratio_big_over_mid":$bigFactor,"big_reps":$bigReps,"big_queries":"${bigNames.mkString(",")}","sentinel":{"small":${fmt(smallSent)},"mid":${fmt(midSent)},"big":${fmt(bigSent)}},"shape_sentinels":{"big":$bigShapeSents},"ckpt_warm":{"small":$smallWarm,"mid":$midWarm,"big":$bigWarm},"instrumentation":{"small":$smallInst,"mid":$midInst,"big":$bigInst},"queries":$entries}"""
       val maxMid = scalingNames.flatMap(n =>
         for { s <- med(smallStats, n); m <- med(midStats, n) } yield m / s)
       val maxBig = bigNames.flatMap(n =>

@@ -157,15 +157,14 @@ object SparkEngine {
     * parallelism sized for local[32] (not the 200 default).
     */
   def local(master: String = "local[*]"): SparkEngine = new SparkEngine(() => {
-    val s = SparkSession.builder()
+    val s = Tuning.rightSize(SparkSession.builder()
       .master(master)
       .appName("graft-engine")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -297,11 +297,12 @@ object Dedup {
     * corpus-sized but touched by equi-join only); the single exp/
     * sqrt runs on one fixed double expression at 6 dp.
     */
-  def bleuOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+  def bleuOnPairs(d: DataFrame, pairs: DataFrame,
+      nDocs: Long = -1L): DataFrame = {
     val toks = split(col("text"), " ")
     val pc = pairsOnce(pairs)
     val p = broadcast(pc)
-    val dm = pairMembers(d, pc)
+    val dm = pairMembers(d, pc, nDocs)
     val uni = dm.select(col("doc_id"), explode(toks).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
@@ -337,19 +338,52 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Member-coverage fraction above which the member filter is pure
+    * overhead and is skipped (VERDICT r17 #2: "skip the member filter
+    * when pairs ≈ corpus"). When the pair set's member docs cover
+    * ~the whole corpus — x288's 200-doc sample by construction, and
+    * the replicated scaled-lake big points where every doc has exact
+    * twins and therefore pairs — the semi-join keeps essentially
+    * every row and its extra stages buy nothing. Below the threshold
+    * the filter stays: the r18 MATCHED-session A/B at sf0.1 (members
+    * 40 of 5 000 docs) measured removal as a 65% REGRESSION on x259
+    * (2.72 → 4.51 s — the char-trigram table both intersection legs
+    * fully scan is exactly what the filter bounds) and flat on
+    * x239/x285, so the r17 close's apparent 25-40% filter cost was
+    * cross-session noise, not the filter.
+    */
+  private[graft] val PairMemberSkipCoverage: Double =
+    sys.env.get("SPARK_GRAFT_PAIR_MEMBER_SKIP_COVERAGE")
+      .flatMap(_.toDoubleOption).getOrElse(0.9)
+
   /** Docs restricted to the broadcast pair set's member ids: every
     * consumer of the per-doc gram-count tables equi-joins them back
     * onto the pair frame's doc_a/doc_b, so grams of non-member docs
     * can never reach an output row — the left-semi filter BEFORE the
-    * explode+count makes gram-table shuffle volume proportional to
-    * the graded pair set, not the corpus (guide §2.3: project/filter
+    * explode+count makes gram-table volume proportional to the pair
+    * set's member docs, not the corpus (guide §2.3: project/filter
     * before the exchange; the pair set is the x05 verified volume,
     * already broadcast, so the member list rides the same exchange).
+    *
+    * MEASURED GATE (VERDICT r17 #2, the wedgeStats idiom): applied
+    * unless the members already cover ≥ [[PairMemberSkipCoverage]] of
+    * the corpus — then it keeps ~every row and is skipped. `nDocs`
+    * comes from parquet footers (Lake.rowCount) — no job; the member
+    * count is one tiny job over the already-localCheckpoint'ed pair
+    * set. nDocs < 0 (unknown, in-memory callers) keeps the filter —
+    * the scale-safe default. Output is identical either way: grams
+    * of non-member docs cannot reach an output row (the r17
+    * equivalence argument), so the gate only moves work, never rows.
     */
-  private def pairMembers(d: DataFrame, p: DataFrame): DataFrame =
-    d.join(broadcast(p.select(
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
+  private def pairMembers(d: DataFrame, p: DataFrame,
+      nDocs: Long = -1L): DataFrame = {
+    val memberList = p.select(
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val worthIt =
+      nDocs < 0L || memberList.count() < nDocs * PairMemberSkipCoverage
+    if (worthIt) d.join(broadcast(memberList), Seq("doc_id"), "left_semi")
+    else d
+  }
 
   /** The candidate-pair frame computed ONCE per invocation: the
     * graders reference it from two broadcast subtrees (the pair join
@@ -377,11 +411,12 @@ object Dedup {
     * per-doc gram-count tables, exact integers to one fixed double
     * expression per column.
     */
-  def rougeOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+  def rougeOnPairs(d: DataFrame, pairs: DataFrame,
+      nDocs: Long = -1L): DataFrame = {
     val toks = split(col("text"), " ")
     val pc = pairsOnce(pairs)
     val p = broadcast(pc)
-    val dm = pairMembers(d, pc)
+    val dm = pairMembers(d, pc, nDocs)
     val uni = dm.select(col("doc_id"), explode(toks).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val lens = uni.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
@@ -434,10 +469,11 @@ object Dedup {
     * published default). Exact integer counts to the final fixed
     * double expression; zero-overlap pairs read 0, not NULL.
     */
-  def chrfOnPairs(d: DataFrame, pairs: DataFrame): DataFrame = {
+  def chrfOnPairs(d: DataFrame, pairs: DataFrame,
+      nDocs: Long = -1L): DataFrame = {
     val pc = pairsOnce(pairs)
     val p = broadcast(pc)
-    val tri = pairMembers(d, pc).filter(length(col("text")) >= 3)
+    val tri = pairMembers(d, pc, nDocs).filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
         .as("g"))
@@ -1573,7 +1609,8 @@ object Dedup {
       val d = docs(spark, sfDir)
       bleuOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
         checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
-        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+        nDocs = Lake.rowCount(spark, sfDir, "documents")),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
     }),
 
     // SELF-BLEU — corpus DIVERSITY as one number (Texygen's
@@ -1593,7 +1630,9 @@ object Dedup {
       val pairs = ids.as("a").join(ids.as("b"),
           col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      bleuOnPairs(d, pairs)
+      // nDocs = the 200-doc sample bound: far below the member-filter
+      // threshold, so the gate skips the semi-join with zero probe work
+      bleuOnPairs(d, pairs, nDocs = 200L)
         .select(when(col("bleu2").isNotNull,
           round(col("bleu2") * 1000000.0, 0).cast("long")).as("b_fp"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1615,7 +1654,8 @@ object Dedup {
       val d = docs(spark, sfDir)
       rougeOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
         checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
-        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+        nDocs = Lake.rowCount(spark, sfDir, "documents")),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
     }),
 
     // CHRF2 PAIR GRADING — the tokenization-free character-F twin
@@ -1626,7 +1666,8 @@ object Dedup {
       val d = docs(spark, sfDir)
       chrfOnPairs(d, ngramJaccardPairs(d, threshold = 0.5,
         checkpoint = (n, f) => Lake.materialize(spark, sfDir, n)(f),
-        nDocs = Lake.rowCount(spark, sfDir, "documents")))
+        nDocs = Lake.rowCount(spark, sfDir, "documents")),
+        nDocs = Lake.rowCount(spark, sfDir, "documents"))
     }),
 
     // LSH S-CURVE CALIBRATION — the threshold-tuning diagnostic the

@@ -217,12 +217,31 @@ object Graph {
             s"(CAST($v AS DECIMAL(38,0)) * ${HitsScale}L) % _t) / _t " +
             "AS BIGINT)").as(v): _*)
     }
-    val a1n = normalize(a1, "a1")
-    val h1 = pairs.join(a1n, "s").groupBy(col("p"))
-      .agg(sum(col("a1")).as("h1"))
-    val h1n = normalize(h1, "h1")
-    val a2 = pairs.join(h1n, "p").groupBy(col("s"))
-      .agg(sum(col("h1")).as("a2"))
+    // FOLDED NORMALIZATION (VERDICT r17 #4): normalizing a score
+    // frame BEFORE joining it into the next round serializes the AQE
+    // stage chain — broadcast(total) must materialize before the
+    // normalized frame exists, and only then can the frame itself be
+    // broadcast into the adjacency join. Folding the floor-division
+    // into the join's select instead makes the two broadcasts (the
+    // 1-row total and the node-sized score frame) depend only on the
+    // SAME aggregate, so AQE materializes them concurrently — one
+    // broadcast-latency wait per round instead of two. Exactness:
+    // the per-node normalized value floor(v·scale − (v·scale % T) / T)
+    // is computed per adjacency row instead of per node row — the
+    // same DECIMAL(38,0) expression on the same inputs, so every
+    // summand (and the sum) is bit-identical to the unfolded form.
+    def normExpr(v: String) =
+      expr(s"CAST(((CAST($v AS DECIMAL(38,0)) * ${HitsScale}L) - " +
+        s"(CAST($v AS DECIMAL(38,0)) * ${HitsScale}L) % _t) / _t " +
+        "AS BIGINT)")
+    val tot1 = broadcast(a1.agg(sum(col("a1")).as("_t")))
+    val h1 = pairs.join(a1, "s").crossJoin(tot1)
+      .select(col("p"), normExpr("a1").as("a1n"))
+      .groupBy(col("p")).agg(sum(col("a1n")).as("h1"))
+    val tot2 = broadcast(h1.agg(sum(col("h1")).as("_t")))
+    val a2 = pairs.join(h1, "p").crossJoin(tot2)
+      .select(col("s"), normExpr("h1").as("h1n"))
+      .groupBy(col("s")).agg(sum(col("h1n")).as("a2"))
     normalize(a2, "a2")
       .select(col("s").as("supplier"), col("a2").as("auth_fp"))
   }

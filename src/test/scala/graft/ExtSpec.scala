@@ -2690,6 +2690,40 @@ class ExtSpec extends SparkSpec {
       s"corpus chrf range")
   }
 
+  test("pair-grader member gate: skip at full coverage is output-identical, low coverage keeps the semi-join (x239/x259)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"),
+      (4L, "x y z w k")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // members = all 4 docs of a 4-doc corpus -> coverage 1.0 >= 0.9:
+    // the gate drops the semi-join; rows must be identical to the
+    // filtered (nDocs unknown) path for every grader
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(graft.ext.Dedup.bleuOnPairs(d, pairs, nDocs = 4L)) ==
+      rows(graft.ext.Dedup.bleuOnPairs(d, pairs)),
+      "bleu gate changed rows")
+    assert(rows(graft.ext.Dedup.chrfOnPairs(d, pairs, nDocs = 4L)) ==
+      rows(graft.ext.Dedup.chrfOnPairs(d, pairs)),
+      "chrf gate changed rows")
+    assert(rows(graft.ext.Dedup.rougeOnPairs(d, pairs, nDocs = 4L)) ==
+      rows(graft.ext.Dedup.rougeOnPairs(d, pairs)),
+      "rouge gate changed rows")
+    // plan form: full coverage has no member semi-join; a corpus whose
+    // pairs cover a minority of docs keeps it (the r18 matched A/B:
+    // the filter bounds the gram tables both intersection legs scan)
+    val skipPlan = graft.ext.Dedup.chrfOnPairs(d, pairs, nDocs = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!skipPlan.contains("LeftSemi"),
+      s"full-coverage gate still member-filters:\n$skipPlan")
+    val wide = Seq.tabulate(40)(i => (100L + i, s"filler doc $i body"))
+      .toDF("doc_id", "text").unionByName(d)
+    val keepPlan = graft.ext.Dedup.chrfOnPairs(wide, pairs, nDocs = 44L)
+      .queryExecution.executedPlan.toString
+    assert(keepPlan.contains("LeftSemi"),
+      s"low-coverage gate dropped the member filter:\n$keepPlan")
+  }
+
   test("x267 lsh s-curve: rates bounded, theory anchored at the bin centers, recall rises with jaccard") {
     val rows = graft.ext.Dedup.queries("x267_lsh_s_curve")(spark, SfDir)
       .collect()
