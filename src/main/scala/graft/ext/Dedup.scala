@@ -231,14 +231,18 @@ object Dedup {
     // expansion sides and the within-group join), and the GATED table
     // (hot-cap anti-join + canonical collapse), which three plan
     // branches consume; all are corpus-deterministic (the cap derives
-    // from nDocs), so the artifacts are fingerprint-stable.
+    // from nDocs), so the artifacts are fingerprint-stable. The gated
+    // table's CONTENT also depends on the cap value, so the cap is
+    // folded into its artifact name (ADVICE r17): a future caller
+    // passing a mismatched nDocs resolves to a different artifact
+    // instead of silently reusing a wrong gated table.
     val sh0 = checkpoint("x05_shingles", shingleTable(df))
     // The cap is a literal in the plan, not a single-row join arm.
     // Callers with a lake pass nDocs from footer metadata (Lake.rowCount)
     // so no count() job runs per invocation; in-memory callers fall back.
     val cap = math.max(50L, (if (nDocs >= 0L) nDocs else df.count()) / 100L)
     val canonMap = checkpoint("x05_canon_v1", canonicalMap(df))
-    val shC = checkpoint("x05_shingles_gated_v1", {
+    val shC = checkpoint(s"x05_shingles_gated_cap${cap}_v1", {
       val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
         .filter(col("df_c") > cap)
         .select(col("shingle"))
@@ -558,7 +562,7 @@ object Dedup {
     // and within-group replica pairs are containment 1 both ways
     // whenever the gated set is non-empty
     val canonMap = checkpoint("x05_canon_v1", canonicalMap(df))
-    val shC = checkpoint("x05_shingles_gated_v1", {
+    val shC = checkpoint(s"x05_shingles_gated_cap${cap}_v1", {
       val hot = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df_c"))
         .filter(col("df_c") > cap).select(col("shingle"))
       sh0.join(hot, Seq("shingle"), "left_anti")

@@ -99,6 +99,12 @@ object Graph {
     * lake-checkpoint the rank frame per round
     * ([[graft.sources.Lake.materialize]]), the batch form of
     * iterative checkpointing.
+    *
+    * NOT LAZY (ADVICE r17): constructing the frame runs one eager
+    * node-sized Spark action (the dangling probe below) — explain-only
+    * callers pay one evaluation of `meta`. Acceptable for every
+    * registered caller (meta is a compact lake artifact); an in-plan
+    * caller that needs laziness should materialize its meta first.
     */
   def iterate(adj: DataFrame, meta: DataFrame, iters: Int): DataFrame = {
     // One node-sized probe decides the dangling branch for the WHOLE
@@ -381,6 +387,13 @@ object Graph {
     * groupBy + collect_list per invocation. Callers without a lake
     * (changing arc subsets — x240's peel rounds; tests) keep the
     * in-plan derivation.
+    *
+    * CONTRACT (ADVICE r17): `adj` MUST be exactly
+    * `arcs.groupBy(s).agg(sort_array(collect_list(t)))` of THIS arc
+    * frame — there is no consistency guard, and an adjacency stale
+    * relative to a filtered arc subset would yield silently wrong
+    * gate stats and triangles. Callers iterating over changing arc
+    * subsets (x240) must use the 1-arg overload.
     */
   def triangleEnum(arcs: DataFrame, adj: DataFrame): DataFrame =
     triangleEnum(arcs, TriangleMaxArrayDegree, TriangleMaxArrayWedges,
