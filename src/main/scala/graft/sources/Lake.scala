@@ -273,6 +273,20 @@ object Lake {
     b.result()
   }
 
+  /** Artifact WRITES keep AQE's parallelism-first coalescing even
+    * when the session runs size-first (graft.engine.Tuning r18): a
+    * derived table's file count IS its consumers' scan parallelism
+    * (a few-MB artifact coalesced to one file hands every downstream
+    * compute-dense stage — the 82 M-wedge triangle intersect — to a
+    * single task; measured r18: x132 2.8 → 6.0 s through exactly
+    * this). Query-side shuffles stay size-coalesced; only the
+    * persisted layout keeps width. At cluster scale the same rule
+    * holds: artifact files sized by data/parallelism, never below
+    * the cluster's width.
+    */
+  private val ParallelismFirstKey =
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
   /** Build `target` once, gated on its _SUCCESS marker, holding the
     * given scoped confs during the build; idempotent and side-effect
     * free on session conf. Builds that actually run are timed into
@@ -285,7 +299,7 @@ object Lake {
         val (fs, marker) = hadoopFs(spark, s"$target/_SUCCESS")
         if (!fs.exists(marker)) {
           val t0 = System.nanoTime()
-          withConf(spark, confs: _*)(build)
+          withConf(spark, confs :+ (ParallelismFirstKey -> "true"): _*)(build)
           buildLedger.add(
             (new java.io.File(target).getName, (System.nanoTime() - t0) / 1e9))
         }
